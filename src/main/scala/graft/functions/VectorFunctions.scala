@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/**
+ * Embedding-vector Column library (`ARRAY<FLOAT>` columns) built on Spark's
+ * native higher-order functions — `zip_with` for the elementwise product,
+ * `aggregate` for the sequential sum — so no UDF leaves the engine and the
+ * evaluation order is deterministic left-to-right (bit-identical across
+ * engines computing the same double sequence; required for oracle parity).
+ *
+ * Scale notes: these are O(dim) per row projections. The quadratic part of
+ * similarity work is controlled by the *callers* (LSH bucketing / blocked
+ * join in graft.ext.Similarity), never here.
+ */
+object VectorFunctions {
+
+  /** Cast a float array to double once, up front — all arithmetic is then
+   *  double-exact and portable. */
+  def toDouble(v: Column): Column = transform(v, _.cast(DoubleType))
+
+  /** Sequential dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, p) => acc + p)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two float-array columns (cast, dot, normalize). */
+  def cosine(aF: Column, bF: Column): Column = {
+    val a = toDouble(aF); val b = toDouble(bF)
+    dot(a, b) / (norm(a) * norm(b))
+  }
+
+  /**
+   * Deterministic signed-random-projection LSH bucket for a float vector:
+   * `nBits` integer-weight hyperplanes with weights
+   * `w(i,j) = ((1103515245*(i*dim+j) + 12345) / 65536) % 7 - 3`
+   * (an LCG over the plane/coordinate index — pure 64-bit integer math, so
+   * any engine reproduces the exact same planes). Bucket = sign-bit pattern.
+   *
+   * Vectors in the same bucket are "probably close" (cosine-LSH property:
+   * P[sign match] = 1 - angle/π per plane); candidate generation joins on the
+   * bucket key, turning the O(n²) similarity join into O(n) + per-bucket work.
+   */
+  def lshBucket(vF: Column, dim: Int, nBits: Int): Column = {
+    val v = toDouble(vF)
+    val bits = (0 until nBits).map { i =>
+      val proj = (0 until dim).map { j =>
+        val w = ((1103515245L * (i * dim + j) + 12345L) / 65536L) % 7L - 3L
+        element_at(v, j + 1) * lit(w.toDouble)
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _).cast(LongType)
+  }
+
+  /** SQL mirror of [[lshBucket]] for the DuckDB oracle. */
+  def lshBucketSql(vecCol: String, dim: Int, nBits: Int): String = {
+    val bits = (0 until nBits).map { i =>
+      val terms = (0 until dim).map { j =>
+        val w = ((1103515245L * (i * dim + j) + 12345L) / 65536L) % 7L - 3L
+        s"$vecCol[${j + 1}]::DOUBLE * ($w)"
+      }.mkString(" + ")
+      s"CASE WHEN ($terms) >= 0 THEN ${1L << i} ELSE 0 END"
+    }
+    s"CAST(${bits.mkString(" + ")} AS BIGINT)"
+  }
+}

@@ -1,0 +1,168 @@
+package graft.gold
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.lake.LakeTable
+
+/** Dimension build parameters — the Scala replacement for the reference's
+ *  Python param dicts + `eval` (`DIM_Gold_layer.py:13-41`). */
+final case class DimConfig(
+    targetPath: String,
+    keyCols: Seq[String],
+    attrCols: Seq[String],
+    cdcCol: String,
+    surrogateCol: String)
+
+/** One dimension participating in a fact build: fact FK column(s) joined to
+ *  the dimension business key(s), pulling the dimension's surrogate key
+ *  (`FACT_Gold_Layer.py:35-51`). */
+final case class FactDim(
+    dim: LakeTable,
+    joinKeys: Seq[(String, String)], // (factCol, dimCol)
+    surrogateCol: String)
+
+final case class FactConfig(
+    targetPath: String,
+    dims: Seq[FactDim],
+    payloadCols: Seq[String],
+    factKeys: Seq[String],
+    cdcCol: String)
+
+/**
+ * Incremental star-schema gold builder — reimplements the reference's two
+ * composite procedures (SURVEY.md §2.9):
+ *
+ *  - G1 `buildDim`: SCD Type-1 dimension with integer surrogate keys and
+ *    `create_date`/`update_date` audit columns (`DIM_Gold_layer.py`).
+ *  - G2 `buildFact`: fact enriched with each dimension's surrogate key via
+ *    generated N-way left join, merged on the fact grain
+ *    (`FACT_Gold_Layer.py:84-148,174-198`).
+ *
+ * Documented deviations (SURVEY.md §7.5), both for determinism so the DuckDB
+ * oracle can replay results:
+ *  - surrogate keys are dense `row_number` over the business keys offset by
+ *    the current max, not `monotonically_increasing_id`
+ *    (`DIM_Gold_layer.py:238-246` yields unique but partition-offset-gapped,
+ *    nondeterministic keys);
+ *  - the CDC watermark direction is conventional (target exists → resume from
+ *    `MAX(cdc)` already loaded; bootstrap → full load), not the inverted
+ *    logic at `DIM_Gold_layer.py:120-134`;
+ *  - `clock` is injectable instead of raw `current_timestamp()`
+ *    (`DIM_Gold_layer.py:221,239-240`) so audit columns are reproducible.
+ *
+ * Scale notes: the dim build's global `row_number().over(orderBy(keys))` for
+ * NEW rows is a single-partition sort of *new keys only* — dimensions are the
+ * small side of a star schema, and per-increment new-key batches are smaller
+ * still. The fact build is pure shuffle-free scan + (broadcast) left joins +
+ * one merge shuffle on the fact keys; dims below the broadcast threshold
+ * never shuffle the fact.
+ */
+final class GoldBuilder(spark: SparkSession, clock: () => Timestamp) {
+  import spark.implicits._
+
+  private def now(): java.sql.Timestamp = clock()
+
+  /** G1 — incremental SCD1 dimension build. Returns the target table.
+   *  Dim schema: keyCols ++ attrCols ++ cdcCol ++ (surrogate, create_date, update_date). */
+  def buildDim(cfg: DimConfig, source: DataFrame): LakeTable = {
+    val table = LakeTable(spark, cfg.targetPath)
+    val ts = lit(now()).cast("timestamp")
+    val businessCols = cfg.keyCols ++ cfg.attrCols :+ cfg.cdcCol
+
+    // Latest row per business key (AUTO CDC core — SURVEY §2.8/O1); tiebreak
+    // on the attribute columns for full determinism when cdc values collide
+    // (the reference's constant-per-batch current_timestamp guarantees ties).
+    val latest = latestPerKey(source.select(businessCols.map(col): _*),
+      cfg.keyCols, cfg.cdcCol, cfg.attrCols)
+
+    if (!table.exists) {
+      val w = Window.orderBy(cfg.keyCols.map(col): _*)
+      val dim = latest
+        .withColumn(cfg.surrogateCol, row_number().over(w).cast(LongType))
+        .withColumn("create_date", ts)
+        .withColumn("update_date", ts)
+      table.overwrite(dim)
+      return table
+    }
+
+    val trg = table.read
+    // Conventional incremental watermark: only rows newer than what's loaded.
+    val lastLoad = trg.agg(max(col(cfg.cdcCol))).as[Option[Timestamp]].head()
+    val src = lastLoad.fold(latest)(w => latest.filter(col(cfg.cdcCol) >= lit(w)))
+
+    // J2: attach existing surrogate + create_date by left join on business keys.
+    val trgKeys = trg.select(
+      (cfg.keyCols.map(col) :+ col(cfg.surrogateCol).as("__sk") :+ col("create_date").as("__cd")): _*)
+    val joined = src.join(trgKeys, cfg.keyCols, "left")
+
+    // P5 split: OLD rows keep surrogate/create_date and restamp update_date;
+    // NEW rows mint surrogate keys above the current max.
+    val old = joined.filter(col("__sk").isNotNull)
+      .withColumn(cfg.surrogateCol, col("__sk"))
+      .withColumn("create_date", col("__cd"))
+      .withColumn("update_date", ts)
+      .drop("__sk", "__cd")
+    val maxSk = trg.agg(max(col(cfg.surrogateCol))).as[Option[Long]].head().getOrElse(0L)
+    val w = Window.orderBy(cfg.keyCols.map(col): _*)
+    val fresh = joined.filter(col("__sk").isNull).drop("__sk", "__cd")
+      .withColumn(cfg.surrogateCol, (row_number().over(w) + lit(maxSk)).cast(LongType))
+      .withColumn("create_date", ts)
+      .withColumn("update_date", ts)
+
+    // U1 + S8: recombine and latest-wins merge (guard as in DIM_Gold_layer.py:281).
+    val upserts = old.unionByName(fresh)
+    table.merge(upserts, cfg.keyCols, Some(s"s.${cfg.cdcCol} >= t.${cfg.cdcCol}"))
+    table
+  }
+
+  /** G2 — incremental fact build: N-way dim left join pulling surrogate keys,
+   *  CDC low-watermark filter, merge on the fact grain. */
+  def buildFact(cfg: FactConfig, factSource: DataFrame): LakeTable = {
+    val table = LakeTable(spark, cfg.targetPath)
+
+    val watermark: Option[Timestamp] =
+      if (table.exists) table.read.agg(max(col(cfg.cdcCol))).as[Option[Timestamp]].head()
+      else None
+    val incoming = watermark.fold(factSource)(w => factSource.filter(col(cfg.cdcCol) >= lit(w)))
+
+    // LEFT JOIN each dimension on its business keys, keep only its surrogate.
+    val enriched = cfg.dims.foldLeft(incoming) { (df, d) =>
+      val dimSel = d.dim.read.select(
+        (d.joinKeys.map { case (_, dk) => col(dk) } :+ col(d.surrogateCol)): _*)
+      val cond = d.joinKeys.map { case (fk, dk) => df(fk) === dimSel(dk) }.reduce(_ && _)
+      df.join(dimSel, cond, "left").drop(d.joinKeys.map(_._2): _*)
+    }
+    val out = enriched.select(
+      (cfg.dims.map(d => col(d.surrogateCol)) ++ cfg.payloadCols.map(col)): _*)
+
+    if (!table.exists) { table.overwrite(out); table }
+    else {
+      val deduped = latestPerKey(out, cfg.factKeys, cfg.cdcCol,
+        out.columns.toSeq.filterNot(cfg.factKeys.contains))
+      table.merge(deduped, cfg.factKeys, Some(s"s.${cfg.cdcCol} >= t.${cfg.cdcCol}"))
+      table
+    }
+  }
+
+  /** Latest row per key ordered by the sequence column descending, with a
+   *  deterministic tiebreak (remaining columns descending, SURVEY §7.8#3). */
+  def latestPerKey(df: DataFrame, keys: Seq[String], seqCol: String,
+      tiebreak: Seq[String]): DataFrame = {
+    val order = (col(seqCol).desc +: tiebreak.filterNot(_ == seqCol).map(col(_).desc))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+}
+
+object GoldBuilder {
+  /** Production clock. Tests and oracle-compared queries inject fixed values. */
+  def apply(spark: SparkSession): GoldBuilder =
+    new GoldBuilder(spark, () => new Timestamp(System.currentTimeMillis()))
+  def fixed(spark: SparkSession, at: Timestamp): GoldBuilder =
+    new GoldBuilder(spark, () => at)
+}

@@ -1,0 +1,390 @@
+package graft.ops
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.gold.{DimConfig, FactConfig, FactDim, GoldBuilder}
+import graft.lake.LakeTable
+import graft.pipeline.Expectations
+
+/**
+ * The SURVEY.md §2 relational/medallion operator inventory, each re-expressed
+ * over the driver test tables (TESTDATA.md) as a named query with a DuckDB
+ * oracle. Query ids reference the §2 operator rows they exercise.
+ *
+ * Determinism rules applied throughout (SURVEY §7.8#2):
+ *  - every result carries a total ORDER BY on both sides;
+ *  - double aggregates go through exact decimal sums ([[graft.ops.dsum]]);
+ *  - surrogate keys are dense `row_number`, clocks are fixed literals.
+ */
+object CoreQueries {
+
+  private val C1 = "2030-01-01 00:00:00"
+  private val C2 = "2030-02-01 00:00:00"
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  val all: Seq[Q] = Seq(
+
+    // ---- §2.4 aggregations ------------------------------------------------
+
+    // A-family pricing summary (partial+final hash agg; Catalyst pushes the
+    // shipdate filter to the parquet scan).
+    Q("a1_pricing_agg", (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+            .cast(DoubleType).as("revenue"),
+          davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        ${dsumSql("l_quantity")} AS sum_qty,
+        ${dsumSql("l_extendedprice")} AS sum_base_price,
+        CAST(SUM(${revenueTermSql("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue,
+        ${davgSql("l_quantity")} AS avg_qty,
+        COUNT(*) AS cnt
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
+
+    // A2: global count(*) (Setup.py:60-75 validation counts).
+    Q("a2_count_star", (s, d) =>
+      t(s, d, "lineitem").agg(count(lit(1)).as("row_cnt")),
+      Some("SELECT COUNT(*) AS row_cnt FROM lineitem")),
+
+    // A1: CDC watermark discovery — global MAX (DIM_Gold_layer.py:126,236).
+    Q("a1_max_watermark", (s, d) =>
+      t(s, d, "events").agg(
+        max(col("ts")).as("max_ts"), max(col("event_id")).as("max_event_id")),
+      Some("SELECT MAX(ts) AS max_ts, MAX(event_id) AS max_event_id FROM events")),
+
+    // A3/A4: duplicate-grain check via GROUP BY … HAVING count(*) > 1
+    // (README.md:109, FACT_Gold_Layer.py:162).
+    Q("a3_dup_keys_having", (s, d) =>
+      t(s, d, "events").groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+        .orderBy("user_id", "event_type"),
+      Some("""SELECT user_id, event_type, COUNT(*) AS cnt FROM events
+        GROUP BY user_id, event_type HAVING COUNT(*) > 1
+        ORDER BY user_id, event_type""")),
+
+    // ---- §2.2 projections / filters ----------------------------------------
+
+    // P1+P2: silver re-typing — string→double cast and string→date parse
+    // (dlt_bronze_to_silver_pipeline.py:20-22).
+    Q("p1_p2_silver_retype", (s, d) =>
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("string").cast(DoubleType).as("qty_retyped"),
+        to_date(date_format(col("l_shipdate"), "yyyy-MM-dd")).as("ship_date"))
+        // (l_orderkey, l_linenumber) is NOT a unique lineitem grain in the
+        // test data — sort totals over every output column for determinism.
+        .orderBy("l_orderkey", "l_linenumber", "qty_retyped", "ship_date"),
+      Some("""SELECT l_orderkey, l_linenumber,
+        CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS qty_retyped,
+        CAST(strftime(l_shipdate, '%Y-%m-%d') AS DATE) AS ship_date
+        FROM lineitem ORDER BY l_orderkey, l_linenumber, qty_retyped, ship_date""")),
+
+    // P6: CDC low-watermark predicate, pushed to the parquet scan
+    // (DIM_Gold_layer.py:170, FACT_Gold_Layer.py:109).
+    Q("p6_cdc_watermark_filter", (s, d) =>
+      t(s, d, "events")
+        .filter(col("ts") >= lit("2024-01-25 00:00:00").cast("timestamp"))
+        .select("event_id", "user_id", "event_type", "value", "ts")
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, event_type, value, ts FROM events
+        WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' ORDER BY event_id""")),
+
+    // P5: OLD/NEW split on surrogate-found null-ness (DIM_Gold_layer.py:204-207).
+    Q("p5_null_split", (s, d) => {
+      val dimKeys = t(s, d, "customer").filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("ck"))
+      val o = t(s, d, "orders")
+      o.join(dimKeys, o("o_custkey") === dimKeys("ck"), "left")
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(col("ck").isNotNull, lit("OLD")).otherwise(lit("NEW")).as("row_class"))
+        .orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey, o_custkey,
+        CASE WHEN m.ck IS NOT NULL THEN 'OLD' ELSE 'NEW' END AS row_class
+        FROM orders LEFT JOIN
+          (SELECT c_custkey AS ck FROM customer WHERE c_custkey % 3 = 0) m
+          ON o_custkey = m.ck
+        ORDER BY o_orderkey""")),
+
+    // P8: typed empty relation bootstrap (DIM_Gold_layer.py:154-158).
+    Q("p8_typed_empty", (s, _) =>
+      s.range(0).select(
+        lit("").as("business_key"),
+        lit(0).cast("int").as("surrogate_key"),
+        lit("1900-01-01 00:00:00").cast("timestamp").as("create_date")),
+      Some("""SELECT CAST('' AS VARCHAR) AS business_key, CAST(0 AS INT) AS surrogate_key,
+        TIMESTAMP '1900-01-01 00:00:00' AS create_date WHERE 1 = 0""")),
+
+    // P9: dense deterministic surrogate keys (documented deviation from
+    // monotonically_increasing_id, DIM_Gold_layer.py:238-246 / SURVEY §7.5).
+    Q("p9_surrogate_keys", (s, d) =>
+      t(s, d, "customer").select("c_custkey", "c_name")
+        .withColumn("dim_customer_key",
+          row_number().over(Window.orderBy("c_custkey")).cast(LongType))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name,
+        CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT) AS dim_customer_key
+        FROM customer ORDER BY c_custkey""")),
+
+    // ---- §2.3 joins ---------------------------------------------------------
+
+    // J1: chained multi-way inner equi-join (business_silver,
+    // dlt_bronze_to_silver_pipeline.py:125-133). Dim sides broadcast via AQE.
+    Q("j1_business_join", (s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val n = t(s, d, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          col("o_orderdate"), col("c_name"), col("n_name"))
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+    },
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice, o_orderdate, c_name, n_name
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY l_orderkey, l_linenumber, l_extendedprice""")),
+
+    // J2: left outer join on composite equi-keys (DIM_Gold_layer.py:174-195).
+    Q("j2_left_join_composite", (s, d) => {
+      val pairs = t(s, d, "lineitem").groupBy("l_partkey", "l_suppkey")
+        .agg(dsum(col("l_quantity")).as("pair_qty"))
+      val trg = pairs.filter(col("pair_qty") > 50)
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      pairs.join(trg,
+          pairs("l_partkey") === trg("pk") && pairs("l_suppkey") === trg("sk"), "left")
+        .select(pairs("l_partkey"), pairs("l_suppkey"), col("pair_qty"),
+          when(col("pk").isNotNull, lit("OLD")).otherwise(lit("NEW")).as("row_class"))
+        .orderBy("l_partkey", "l_suppkey")
+    },
+      Some(s"""WITH pairs AS (
+          SELECT l_partkey, l_suppkey, ${dsumSql("l_quantity")} AS pair_qty
+          FROM lineitem GROUP BY l_partkey, l_suppkey)
+        SELECT p.l_partkey, p.l_suppkey, p.pair_qty,
+          CASE WHEN q.l_partkey IS NOT NULL THEN 'OLD' ELSE 'NEW' END AS row_class
+        FROM pairs p LEFT JOIN (SELECT * FROM pairs WHERE pair_qty > 50) q
+          ON p.l_partkey = q.l_partkey AND p.l_suppkey = q.l_suppkey
+        ORDER BY p.l_partkey, p.l_suppkey""")),
+
+    // J3: N-way fact→dim left join pulling dim columns
+    // (FACT_Gold_Layer.py:135-148). All dims broadcastable.
+    Q("j3_fact_enrich_dims", (s, d) => {
+      val li = t(s, d, "lineitem"); val p = t(s, d, "part")
+      val sup = t(s, d, "supplier"); val o = t(s, d, "orders")
+      li.join(p, li("l_partkey") === p("p_partkey"), "left")
+        .join(sup, li("l_suppkey") === sup("s_suppkey"), "left")
+        .join(o, li("l_orderkey") === o("o_orderkey"), "left")
+        .select(col("l_orderkey"), col("l_linenumber"), col("p_brand"),
+          col("s_name"), col("o_orderpriority"), col("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "p_brand")
+    },
+      // NULLS FIRST mirrors Spark's ascending default on the nullable
+      // left-join columns.
+      Some("""SELECT l_orderkey, l_linenumber, p_brand, s_name, o_orderpriority, l_extendedprice
+        FROM lineitem
+        LEFT JOIN part ON l_partkey = p_partkey
+        LEFT JOIN supplier ON l_suppkey = s_suppkey
+        LEFT JOIN orders ON l_orderkey = o_orderkey
+        ORDER BY l_orderkey, l_linenumber, l_extendedprice, p_brand NULLS FIRST""")),
+
+    // ---- §2.6 set ops -------------------------------------------------------
+
+    // U1: unionByName — schema aligned by NAME not position
+    // (DIM_Gold_layer.py:263); the second branch deliberately reorders columns.
+    Q("u1_union_by_name", (s, d) => {
+      val c = t(s, d, "customer")
+      val a = c.filter(col("c_custkey") % 2 === 0).select("c_custkey", "c_name", "c_acctbal")
+      val b = c.filter(col("c_custkey") % 2 === 1).select("c_acctbal", "c_custkey", "c_name")
+      a.unionByName(b).orderBy("c_custkey")
+    },
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 2 = 0
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 2 = 1
+        ORDER BY c_custkey""")),
+
+    // ---- §2.8 CDC / data quality -------------------------------------------
+
+    // O1: AUTO CDC SCD1 latest-wins dedup core
+    // (dlt_bronze_to_silver_pipeline.py:30-36) — one row per key, newest by
+    // sequence column, deterministic event_id tiebreak (SURVEY §7.8#3).
+    Q("o1_scd1_latest_wins", (s, d) =>
+      GoldBuilder(s).latestPerKey(t(s, d, "events"), Seq("user_id"), "ts", Seq("event_id"))
+        .select(col("user_id"), col("ts").as("last_ts"),
+          col("event_type").as("last_event_type"), col("value").as("last_value"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, ts AS last_ts, event_type AS last_event_type, value AS last_value
+        FROM events
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        ORDER BY user_id""")),
+
+    // O4: expect_all_or_drop — violating rows dropped
+    // (dlt_bronze_to_silver_pipeline.py:5-12).
+    Q("o4_expect_drop", (s, d) =>
+      Expectations.dropFailed(t(s, d, "events"), Map(
+        "key_not_null" -> "user_id IS NOT NULL",
+        "type_not_null" -> "event_type IS NOT NULL",
+        "value_positive" -> "value > 0",
+        "value_capped" -> "value <= 400"))
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND value > 0 AND value <= 400
+        ORDER BY event_id""")),
+
+    // O4 metrics: per-rule violation counters (the DLT UI numbers), computed
+    // in one pass the way Expectations rides Dataset.observe.
+    Q("o4_expect_metrics", (s, d) =>
+      t(s, d, "events").agg(
+        count(lit(1)).as("rows_total"),
+        sum(when(!coalesce(col("user_id").isNotNull, lit(false)), 1L).otherwise(0L))
+          .as("viol_key_not_null"),
+        sum(when(!coalesce(col("value") > 0, lit(false)), 1L).otherwise(0L))
+          .as("viol_value_positive"),
+        sum(when(!coalesce(col("value") <= 400, lit(false)), 1L).otherwise(0L))
+          .as("viol_value_capped")),
+      Some("""SELECT COUNT(*) AS rows_total,
+        CAST(SUM(CASE WHEN NOT COALESCE(user_id IS NOT NULL, false) THEN 1 ELSE 0 END) AS BIGINT) AS viol_key_not_null,
+        CAST(SUM(CASE WHEN NOT COALESCE(value > 0, false) THEN 1 ELSE 0 END) AS BIGINT) AS viol_value_positive,
+        CAST(SUM(CASE WHEN NOT COALESCE(value <= 400, false) THEN 1 ELSE 0 END) AS BIGINT) AS viol_value_capped
+        FROM events""")),
+
+    // ---- §2.1 S8 merge + §2.9 gold procedures -------------------------------
+
+    // S8: Delta-MERGE semantics through the real LakeTable engine: base
+    // snapshot, then latest-wins upsert of a window batch (+1000 marks
+    // updated rows). Exercises update / keep-guarded / insert branches.
+    Q("s8_merge_upsert", (s, d) => {
+      val gb = GoldBuilder(s)
+      val ev = t(s, d, "events")
+      val cols = Seq("user_id", "ts", "event_type", "value")
+      val base = gb.latestPerKey(
+        ev.filter(col("user_id") % 5 =!= 0), Seq("user_id"), "ts", Seq("event_id"))
+        .select(cols.map(col): _*)
+      val src = gb.latestPerKey(
+        ev.filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+                  col("ts") < lit("2024-01-20 00:00:00").cast("timestamp")),
+        Seq("user_id"), "ts", Seq("event_id"))
+        .withColumn("value", col("value") + lit(1000.0))
+        .select(cols.map(col): _*)
+      val tbl = LakeTable(s, s"${tmp("graft_s8")}/t")
+      tbl.create(base.schema)
+      tbl.merge(base, Seq("user_id"))
+      tbl.merge(src, Seq("user_id"), Some("s.ts >= t.ts"))
+      tbl.read.orderBy("user_id")
+    },
+      Some("""WITH base AS (
+          SELECT user_id, ts, event_type, value FROM events WHERE user_id % 5 <> 0
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
+        src AS (
+          SELECT user_id, ts, event_type, value + 1000.0 AS value FROM events
+          WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1)
+        SELECT COALESCE(s.user_id, b.user_id) AS user_id,
+          CASE WHEN s.user_id IS NOT NULL AND (b.user_id IS NULL OR s.ts >= b.ts)
+               THEN s.ts ELSE b.ts END AS ts,
+          CASE WHEN s.user_id IS NOT NULL AND (b.user_id IS NULL OR s.ts >= b.ts)
+               THEN s.event_type ELSE b.event_type END AS event_type,
+          CASE WHEN s.user_id IS NOT NULL AND (b.user_id IS NULL OR s.ts >= b.ts)
+               THEN s.value ELSE b.value END AS value
+        FROM base b FULL OUTER JOIN src s ON b.user_id = s.user_id
+        ORDER BY user_id""")),
+
+    // G1: full incremental SCD1 dimension build through GoldBuilder —
+    // bootstrap batch then incremental batch with updates + brand-new keys
+    // (users ≡ 0 mod 7 are held out of batch 1 to force the NEW path).
+    Q("g1_dim_build", (s, d) => {
+      val ev = t(s, d, "events")
+      val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+      val cfg = DimConfig(s"${tmp("graft_g1")}/dim_user",
+        keyCols = Seq("user_id"), attrCols = Seq("event_type", "value"),
+        cdcCol = "ts", surrogateCol = "dim_user_key")
+      GoldBuilder.fixed(s, Timestamp.valueOf(C1))
+        .buildDim(cfg, ev.filter(col("ts") < cutoff && col("user_id") % 7 =!= 0))
+      val tbl = GoldBuilder.fixed(s, Timestamp.valueOf(C2))
+        .buildDim(cfg, ev.filter(col("ts") >= cutoff))
+      tbl.read.orderBy("user_id")
+    },
+      Some(s"""WITH w1 AS (
+          SELECT user_id, event_type, value, ts FROM events
+          WHERE ts < TIMESTAMP '2024-01-15 00:00:00' AND user_id % 7 <> 0
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_type DESC, value DESC) = 1),
+        dim1 AS (
+          SELECT user_id, event_type, value, ts,
+            CAST(ROW_NUMBER() OVER (ORDER BY user_id) AS BIGINT) AS dim_user_key FROM w1),
+        w2 AS (
+          SELECT user_id, event_type, value, ts FROM events
+          WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_type DESC, value DESC) = 1),
+        olds AS (
+          SELECT w2.user_id, w2.event_type, w2.value, w2.ts, d.dim_user_key,
+            TIMESTAMP '$C1' AS create_date, TIMESTAMP '$C2' AS update_date
+          FROM w2 JOIN dim1 d ON w2.user_id = d.user_id),
+        news AS (
+          SELECT w2.user_id, w2.event_type, w2.value, w2.ts,
+            (SELECT MAX(dim_user_key) FROM dim1) +
+              CAST(ROW_NUMBER() OVER (ORDER BY w2.user_id) AS BIGINT) AS dim_user_key,
+            TIMESTAMP '$C2' AS create_date, TIMESTAMP '$C2' AS update_date
+          FROM w2 LEFT JOIN dim1 d ON w2.user_id = d.user_id WHERE d.user_id IS NULL),
+        keeps AS (
+          SELECT d.user_id, d.event_type, d.value, d.ts, d.dim_user_key,
+            TIMESTAMP '$C1' AS create_date, TIMESTAMP '$C1' AS update_date
+          FROM dim1 d LEFT JOIN w2 ON d.user_id = w2.user_id WHERE w2.user_id IS NULL)
+        SELECT user_id, event_type, value, ts, dim_user_key, create_date, update_date
+        FROM (SELECT * FROM olds UNION ALL SELECT * FROM news UNION ALL SELECT * FROM keeps)
+        ORDER BY user_id""")),
+
+    // G2: incremental fact build — dim surrogate lookup via generated N-way
+    // left join + grain merge (FACT_Gold_Layer.py). Second pass exercises the
+    // watermark + merge path (idempotent: same final table).
+    Q("g2_fact_build", (s, d) => {
+      val root = tmp("graft_g2")
+      val dimPart = LakeTable(s, s"$root/dim_part")
+      dimPart.overwrite(t(s, d, "part").select("p_partkey")
+        .withColumn("dim_part_key", row_number().over(Window.orderBy("p_partkey")).cast(LongType)))
+      val dimSupp = LakeTable(s, s"$root/dim_supplier")
+      dimSupp.overwrite(t(s, d, "supplier").select("s_suppkey")
+        .withColumn("dim_supplier_key", row_number().over(Window.orderBy("s_suppkey")).cast(LongType)))
+      // Fact grain: (l_orderkey, l_linenumber) is not unique in the test
+      // data; the full (orderkey, linenumber, partkey, suppkey) tuple is.
+      val cfg = FactConfig(s"$root/fact",
+        dims = Seq(
+          FactDim(dimPart, Seq("l_partkey" -> "p_partkey"), "dim_part_key"),
+          FactDim(dimSupp, Seq("l_suppkey" -> "s_suppkey"), "dim_supplier_key")),
+        payloadCols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice", "l_shipdate"),
+        factKeys = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        cdcCol = "l_shipdate")
+      val gb = GoldBuilder(s)
+      gb.buildFact(cfg, t(s, d, "lineitem"))
+      val tbl = gb.buildFact(cfg, t(s, d, "lineitem")) // incremental re-run: merge path
+      tbl.read.orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    },
+      Some("""WITH dim_part AS (
+          SELECT p_partkey, CAST(ROW_NUMBER() OVER (ORDER BY p_partkey) AS BIGINT) AS dim_part_key FROM part),
+        dim_supp AS (
+          SELECT s_suppkey, CAST(ROW_NUMBER() OVER (ORDER BY s_suppkey) AS BIGINT) AS dim_supplier_key FROM supplier)
+        SELECT dim_part_key, dim_supplier_key, l_orderkey, l_linenumber, l_partkey, l_suppkey,
+          l_quantity, l_extendedprice, l_shipdate
+        FROM lineitem
+        LEFT JOIN dim_part ON l_partkey = p_partkey
+        LEFT JOIN dim_supp ON l_suppkey = s_suppkey
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""))
+  )
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/**
+ * Time-window operators over the `events` table — the reference leaves
+ * SURVEY §2.5 empty and names windowed dedup only as a design alternative
+ * (`README.md:89`); these fill the category with the three Structured
+ * Streaming window shapes (tumbling / sliding / session), expressed in batch
+ * mode with the exact same `window()` / `session_window()` operators a
+ * `readStream` plan would use (the plans are identical modulo the
+ * watermark-driven state cleanup, which streaming tests cover separately).
+ *
+ * Scale: tumbling/sliding windows are a single hash aggregation keyed on
+ * (window, group) — shuffle-partitioned by key, no skew concerns since
+ * windows are time-uniform. Session windows shuffle once on user_id.
+ */
+object WindowQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Tumbling 1-hour windows per event_type.
+    Q("w_tumbling", (s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("w_start", "event_type"),
+      Some(s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+          time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS w_end,
+          event_type, COUNT(*) AS cnt, ${dsumSql("value")} AS sum_value
+        FROM events GROUP BY 1, 2, 3 ORDER BY w_start, event_type""")),
+
+    // Sliding windows: 1-hour length, 30-minute slide (each event lands in
+    // exactly two windows; the oracle replays that as a two-way shifted union).
+    Q("w_sliding", (s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+          col("cnt"), col("sum_value"))
+        .orderBy("w_start"),
+      Some(s"""WITH ev AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS b, value FROM events),
+        exploded AS (
+          SELECT b AS w_start, value FROM ev
+          UNION ALL
+          SELECT b - INTERVAL '30 minutes' AS w_start, value FROM ev)
+        SELECT w_start, w_start + INTERVAL '1 hour' AS w_end,
+          COUNT(*) AS cnt, ${dsumSql("value")} AS sum_value
+        FROM exploded GROUP BY 1, 2 ORDER BY w_start""")),
+
+    // Session windows per user, 10-minute gap. Spark closes a session when the
+    // next event's ts >= previous ts + gap; window end = last ts + gap. The
+    // oracle is the classic gaps-and-islands formulation.
+    Q("w_session", (s, d) =>
+      t(s, d, "events")
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .select(col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"),
+          col("user_id"), col("cnt"), col("sum_value"))
+        .orderBy("user_id", "s_start"),
+      Some(s"""WITH marked AS (
+          SELECT user_id, ts, value, event_id,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts >= lag(ts) OVER w + INTERVAL '10 minutes'
+                 THEN 1 ELSE 0 END AS brk
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessions AS (
+          SELECT user_id, ts, value,
+            SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked)
+        SELECT MIN(ts) AS s_start, MAX(ts) + INTERVAL '10 minutes' AS s_end,
+          user_id, COUNT(*) AS cnt, ${dsumSql("value")} AS sum_value
+        FROM sessions GROUP BY user_id, sid ORDER BY user_id, s_start"""))
+  )
+}

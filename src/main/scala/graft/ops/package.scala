@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+package object ops {
+
+  /** A named, driver-checkable query: the Spark-side plan plus (when the op is
+   *  SQL-expressible) the equivalent ANSI SQL the DuckDB oracle replays on the
+   *  same parquet files. Output column names MUST match between the two. */
+  final case class Q(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  /** Read one driver test table (TESTDATA.md): `$dir/<name>.parquet`.
+   *
+   *  The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+   *  only reads as a raw long under `spark.sql.legacy.parquet.nanosAsLong`
+   *  (set by Verify/Bench/tests). DuckDB truncates the same column to
+   *  microseconds on read, so we re-type long-nanos → µs timestamp with
+   *  truncating integer division — bit-identical values in both engines. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.name == "ts" && f.dataType == LongType)
+        d.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else d
+    }
+  }
+
+  // ---- cross-engine deterministic double aggregation -----------------------
+  // SUM over doubles is order-dependent, so Spark and DuckDB can disagree in
+  // the last ulps and fail the driver's hash compare. Summing after a cast to
+  // DECIMAL is exact in both engines; casting the exact decimal result back to
+  // double is then bit-identical. Every oracle-compared money/quantity
+  // aggregate goes through these helpers, and the oracle SQL mirrors the same
+  // casts (see `dsumSql`).
+
+  /** Exact decimal-backed SUM surfaced as double. */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  /** SQL mirror of [[dsum]] for the DuckDB oracle. */
+  def dsumSql(c: String, scale: Int = 2): String =
+    s"CAST(SUM(CAST($c AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  /** Exact decimal-backed AVG surfaced as double (sum exact, one double division). */
+  def davg(c: Column, scale: Int = 2): Column =
+    (sum(c.cast(DecimalType(18, scale))).cast(DoubleType) / count(lit(1)))
+
+  def davgSql(c: String, scale: Int = 2): String =
+    s"(CAST(SUM(CAST($c AS DECIMAL(18,$scale))) AS DOUBLE) / COUNT(*))"
+
+  /** Exact product-of-two-factors sum: factors narrowed to DECIMAL(9,2) /
+   *  DECIMAL(9,4) so products stay inside precision-38 in both engines. */
+  def revenueTerm(price: Column, discount: Column): Column =
+    price.cast(DecimalType(9, 2)) * (lit(1.0) - discount).cast(DecimalType(9, 4))
+
+  def revenueTermSql(price: String, discount: String): String =
+    s"CAST($price AS DECIMAL(9,2)) * CAST(1.0 - $discount AS DECIMAL(9,4))"
+}

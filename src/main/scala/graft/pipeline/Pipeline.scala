@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.gold.GoldBuilder
+import graft.lake.LakeTable
+
+/**
+ * Declarative pipeline graph — the engine's replacement for DLT
+ * (`@dlt.view`, `dlt.create_streaming_table`, `dlt.create_auto_cdc_flow`;
+ * `DLT_Silver_Pipeline/dlt_bronze_to_silver_pipeline.py`).
+ *
+ * Nodes are registered lazily (nothing executes at definition time, matching
+ * DLT's decorator semantics) and resolved on [[run]]:
+ *  - [[view]]      — a named transformation thunk (O3). `read(name)` resolves
+ *                    registry edges the way `dlt.readStream(name)` does (S5).
+ *  - [[streamingTable]] — a materialized [[LakeTable]] CDC target (O2).
+ *  - [[autoCdcFlow]] — SCD Type-1 apply-changes (O1): per run, keep the latest
+ *                    source row per key ordered by `sequenceBy` (deterministic
+ *                    tiebreak, SURVEY §7.8#3) and latest-wins merge into the
+ *                    target guarded by `s.seq >= t.seq`.
+ *
+ * Execution is per-batch snapshots (`foreachBatch`-style): each `run()`
+ * drains whatever the source views currently produce and upserts the targets.
+ * Downstream multi-table joins (the reference's `business_silver`, J1) read
+ * current target snapshots instead of unwatermarked stream-stream joins —
+ * identical results for trigger-once workloads with bounded state
+ * (SURVEY §7.3). The merge itself is one shuffle on the CDC keys; at 100 TB
+ * the target would be key-partitioned so only touched partitions rewrite.
+ */
+final class Pipeline(val spark: SparkSession, storageRoot: String) {
+  private val views = mutable.LinkedHashMap[String, () => DataFrame]()
+  private val tables = mutable.LinkedHashMap[String, LakeTable]()
+  private val flows = mutable.ArrayBuffer[CdcFlow]()
+  private val gates = mutable.LinkedHashMap[String, Expectations.Gate]()
+
+  private final case class CdcFlow(
+      target: String, source: String, keys: Seq[String],
+      sequenceBy: String, tiebreak: Seq[String])
+
+  /** Register a named transformation (O3 `@dlt.view`). */
+  def view(name: String)(fn: => DataFrame): this.type = {
+    views(name) = () => fn
+    this
+  }
+
+  /** Register a view guarded by expectations (O4). The gate's violation
+   *  metrics are readable after `run()` via [[lastGate]]. */
+  def viewWithExpectations(name: String, rules: Map[String, String],
+      policy: Expectations.Policy = Expectations.Drop)(fn: => DataFrame): this.type = {
+    views(name) = () => {
+      val g = Expectations(fn, rules, policy)
+      gates(name) = g
+      g.df
+    }
+    this
+  }
+
+  /** Declare a materialized CDC target (O2 `dlt.create_streaming_table`). */
+  def streamingTable(name: String): LakeTable = {
+    val t = LakeTable(spark, s"$storageRoot/$name")
+    tables(name) = t
+    t
+  }
+
+  /** O1 `dlt.create_auto_cdc_flow(target, source, keys, sequence_by)` — SCD1. */
+  def autoCdcFlow(target: String, source: String, keys: Seq[String],
+      sequenceBy: String, tiebreak: Seq[String] = Nil): this.type = {
+    require(tables.contains(target), s"declare streamingTable($target) first")
+    flows += CdcFlow(target, source, keys, sequenceBy, tiebreak)
+    this
+  }
+
+  /** Resolve a node: materialized table if declared, else view thunk (S5). */
+  def read(name: String): DataFrame =
+    tables.get(name).filter(_.exists).map(_.read)
+      .orElse(views.get(name).map(_.apply()))
+      .getOrElse(sys.error(s"unknown pipeline dataset: $name"))
+
+  def table(name: String): LakeTable = tables(name)
+  def lastGate(name: String): Option[Expectations.Gate] = gates.get(name)
+
+  /** Drain one batch through every CDC flow, in declaration order. */
+  def run(): Unit = {
+    val gb = GoldBuilder(spark)
+    flows.foreach { f =>
+      val batch = views.getOrElse(f.source, () => read(f.source))()
+      val tiebreak =
+        if (f.tiebreak.nonEmpty) f.tiebreak
+        else batch.columns.toSeq.filterNot(c => f.keys.contains(c) || c == f.sequenceBy)
+      val latest = gb.latestPerKey(batch, f.keys, f.sequenceBy, tiebreak)
+      val t = tables(f.target)
+      if (!t.exists) t.create(latest.schema)
+      t.merge(latest, f.keys, Some(s"s.${f.sequenceBy} >= t.${f.sequenceBy}"))
+    }
+  }
+}

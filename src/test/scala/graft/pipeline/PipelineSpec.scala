@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("autoCdcFlow applies SCD1 latest-wins per key across runs") {
+    val p = new Pipeline(spark, tmpDir("pl_cdc"))
+    var batch = Seq(
+      (1L, "a", ts("2024-01-01 00:00:00")),
+      (1L, "b", ts("2024-01-02 00:00:00")),
+      (2L, "x", ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq")
+    p.streamingTable("silver")
+    p.view("source")(batch)
+    p.autoCdcFlow("silver", "source", Seq("k"), "seq")
+    p.run()
+    assert(p.read("silver").orderBy("k").as[(Long, String, Timestamp)].collect().toSeq ==
+      Seq((1L, "b", ts("2024-01-02 00:00:00")), (2L, "x", ts("2024-01-01 00:00:00"))))
+
+    // second batch: older row for k=1 loses, newer row for k=2 wins, k=3 inserts
+    batch = Seq(
+      (1L, "stale", ts("2023-12-01 00:00:00")),
+      (2L, "x2", ts("2024-02-01 00:00:00")),
+      (3L, "new", ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq")
+    p.run()
+    assert(p.read("silver").orderBy("k").as[(Long, String, Timestamp)].collect().toSeq ==
+      Seq((1L, "b", ts("2024-01-02 00:00:00")),
+        (2L, "x2", ts("2024-02-01 00:00:00")),
+        (3L, "new", ts("2024-01-01 00:00:00"))))
+  }
+
+  test("expectations: Drop filters violating rows and reports metrics") {
+    val df = Seq((1L, 10.0), (2L, -5.0), (3L, 0.0)).toDF("k", "v")
+    val gate = Expectations(df, Map("v_positive" -> "v > 0"), Expectations.Drop)
+    val kept = gate.df.collect()
+    assert(kept.map(_.getLong(0)).toSet == Set(1L))
+    assert(gate.violations("v_positive") == 2L)
+    assert(gate.passedCount == 1L)
+  }
+
+  test("expectations: Warn keeps all rows; Fail throws on violations") {
+    val df = Seq((1L, 10.0), (2L, -5.0)).toDF("k", "v")
+    val warn = Expectations(df, Map("v_positive" -> "v > 0"), Expectations.Warn)
+    assert(warn.df.count() == 2)
+    assert(warn.violations("v_positive") == 1L)
+
+    val fail = Expectations(df, Map("v_positive" -> "v > 0"), Expectations.Fail)
+    fail.df.count()
+    intercept[IllegalStateException] { fail.assertClean() }
+  }
+
+  test("expectations: NULL predicate results count as violations") {
+    val df = Seq((1L, Some(10.0)), (2L, None)).toDF("k", "v")
+    val gate = Expectations(df, Map("v_positive" -> "v > 0"), Expectations.Drop)
+    assert(gate.df.collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(gate.violations("v_positive") == 1L)
+  }
+
+  test("views resolve lazily and read() prefers materialized tables") {
+    val p = new Pipeline(spark, tmpDir("pl_views"))
+    var evaluated = false
+    p.view("v") { evaluated = true; Seq((1L, "a")).toDF("k", "v") }
+    assert(!evaluated) // nothing runs at definition time (DLT semantics)
+    assert(p.read("v").count() == 1)
+    assert(evaluated)
+  }
+}
