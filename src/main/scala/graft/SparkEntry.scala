@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{CoreQueries, Q, WindowQueries}
+import graft.ops.{CoreQueries, ExtQueries, Q, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
  *
@@ -12,7 +12,8 @@ import graft.ops.{CoreQueries, Q, WindowQueries}
  */
 object SparkEntry {
 
-  private def registry: Seq[Q] = CoreQueries.all ++ WindowQueries.all
+  private def registry: Seq[Q] =
+    CoreQueries.all ++ WindowQueries.all ++ ExtQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
    *  Revenue by nation/month off the business join (SURVEY §7.7): the full

@@ -1,0 +1,123 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions.TextFunctions
+
+/**
+ * Document-deduplication operators for large-scale training-data pipelines:
+ * exact (fingerprint group-by), MinHash+LSH banding, SimHash, and exact
+ * n-gram Jaccard over blocked candidate pairs.
+ *
+ * All hot paths are composed from codegen'd built-ins (no UDFs); hashes are
+ * md5-derived 60-bit ints so every step has a bit-identical DuckDB mirror
+ * (the *Sql builders) for the driver's oracle.
+ *
+ * Scale design (100 TB):
+ *  - exact dedup is one shuffle on the 128-bit fingerprint — perfectly
+ *    balanced keys, no skew.
+ *  - MinHash signatures are an O(shingles) per-row projection; candidate
+ *    generation joins on (band, band-hashes), i.e. O(n) shuffle + per-bucket
+ *    work, never the O(n²) all-pairs join. Bucket sizes concentrate sharply
+ *    (random hashing), so no salting is needed; a pathological hot bucket
+ *    would surface in AQE's skew-join split.
+ *  - exact-Jaccard verification runs only on LSH/blocking survivors — the
+ *    candidate set is ~linear in corpus size for real near-dup densities.
+ */
+object Dedup {
+
+  /** Exact dedup: keep the first row (lowest `idCol`) per normalized-text
+   *  fingerprint. One hash-shuffle; survivors carry their fingerprint. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy("fingerprint").orderBy(col(idCol))
+    docs.withColumn("fingerprint", TextFunctions.docFingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** k-element MinHash signature of a shingle-set column: element i is
+   *  `min over shingles of hash60(i ++ "|" ++ shingle)` — k independent
+   *  permutation approximations from one base hash. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(shingles, s =>
+        TextFunctions.hash60(concat(lit(s"$i|"), s))))): _*)
+
+  /** SQL mirror of [[minhashSignature]]. */
+  def minhashSignatureSql(shinglesExpr: String, k: Int): String =
+    (0 until k).map(i =>
+      s"list_min(list_transform($shinglesExpr, s -> ${TextFunctions.hash60Sql(s"'$i|' || s")}))")
+      .mkString("[", ", ", "]")
+
+  /**
+   * LSH banding: split the signature into `bands` bands of `rowsPerBand`
+   * minhashes; docs agreeing on ALL hashes of any band become a candidate
+   * pair. Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+   *
+   * The join key is (band, h_0..h_{r-1}) — an equi-join Catalyst shuffles by
+   * hash, so the quadratic blow-up is confined to single buckets.
+   */
+  def lshCandidatePairs(sig: DataFrame, idCol: String, mhCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandStructs = array((0 until bands).map { b =>
+      struct((lit(b).as("band") +:
+        (0 until rowsPerBand).map(r =>
+          element_at(col(mhCol), b * rowsPerBand + r + 1).as(s"h$r"))): _*)
+    }: _*)
+    val rows = sig.select(col(idCol), explode(bandStructs).as("bk"))
+      .select(col(idCol), col("bk.*"))
+    val a = rows.alias("a"); val b = rows.alias("b")
+    val keyEq = (col("a.band") === col("b.band")) +:
+      (0 until rowsPerBand).map(r => col(s"a.h$r") === col(s"b.h$r"))
+    a.join(b, keyEq.reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+  }
+
+  /** Fraction of the two signatures' k minhashes that agree — the unbiased
+   *  Jaccard estimate for MinHash. */
+  def signatureAgreement(mhA: Column, mhB: Column, k: Int): Column =
+    (1 to k).map(i =>
+      when(element_at(mhA, i) === element_at(mhB, i), 1).otherwise(0))
+      .reduce(_ + _).cast(DoubleType) / lit(k.toDouble)
+
+  def signatureAgreementSql(a: String, b: String, k: Int): String =
+    s"(CAST(len(list_filter([${(1 to k).mkString(", ")}], i -> $a[i] = $b[i])) AS DOUBLE) / $k.0)"
+
+  /** `bits`-bit SimHash over the distinct-token set: bit b is set when the
+   *  majority of token hashes have bit b set (+1/−1 voting). Near-duplicate
+   *  docs land within small Hamming distance. */
+  def simhash(tokens: Column, bits: Int): Column = {
+    val hashes = transform(array_distinct(tokens), t => TextFunctions.hash60(t))
+    (0 until bits).map { b =>
+      val vote = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(h.bitwiseAND(lit(1L << b)) =!= 0L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _).cast(LongType)
+  }
+
+  /** SQL mirror of [[simhash]] (integer votes — order-insensitive, so
+   *  DuckDB's unordered list_distinct is safe). */
+  def simhashSql(tokensExpr: String, bits: Int): String = {
+    val hashes = s"list_transform(list_distinct($tokensExpr), t -> ${TextFunctions.hash60Sql("t")})"
+    (0 until bits).map { b =>
+      val vote = s"list_sum(list_transform($hashes, h -> CASE WHEN (h & ${1L << b}) != 0 THEN 1 ELSE -1 END))"
+      s"(CASE WHEN $vote > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("CAST((", " + ", ") AS BIGINT)")
+  }
+
+  /** Exact Jaccard similarity of two distinct-element array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast(DoubleType)
+    val uni = size(a).cast(DoubleType) + size(b).cast(DoubleType) - inter
+    inter / greatest(uni, lit(1.0))
+  }
+
+  def jaccardSql(a: String, b: String): String = {
+    val inter = s"CAST(len(list_intersect($a, $b)) AS DOUBLE)"
+    s"($inter / greatest(CAST(len($a) AS DOUBLE) + CAST(len($b) AS DOUBLE) - $inter, 1.0))"
+  }
+}

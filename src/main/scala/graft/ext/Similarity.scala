@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column
+ * (`ARRAY<FLOAT>`): brute-force cosine top-k as the exact baseline, and a
+ * banded sign-random-projection LSH variant as the scale path.
+ *
+ * Numeric determinism: vectors are cast float→double once, dot products are
+ * strict left-to-right folds (`aggregate(zip_with(...))`), and norms are
+ * precomputed per row — the DuckDB oracle computes the identical sequence of
+ * double ops (verified bit-exact against `list_dot_product`), so cosine
+ * values and the (cosine DESC, id) ranking replay exactly.
+ *
+ * Scale design (100 TB):
+ *  - brute force is O(|queries| · n · dim) with the query side broadcast —
+ *    correct baseline, linear in corpus size per query; use only for small
+ *    query sets or re-ranking.
+ *  - LSH: each vector lands in `bands` buckets keyed by a small sign-bit
+ *    pattern; candidates join on (band, bucket) — an equi-join shuffle, no
+ *    cross product. Recall is tuned by bands × bits (OR of ANDs); re-rank
+ *    candidates with exact cosine. An IVF upgrade (k-means coarse quantizer)
+ *    swaps the bucket key for a centroid id with the same join shape.
+ */
+object Similarity {
+
+  /** Per-row projection: id, double vector `__v`, precomputed norm `__nrm`. */
+  private def prepared(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = VectorFunctions.toDouble(col(vecCol))
+    emb.select(col(idCol), v.as("__v"))
+      .withColumn("__nrm", sqrt(VectorFunctions.dot(col("__v"), col("__v"))))
+  }
+
+  /** Exact top-k neighbors (cosine) for every row matching `queryFilter`,
+   *  searched against the full table (self excluded). */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryFilter: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val base = prepared(emb, idCol, vecCol)
+    val q = base.filter(queryFilter)
+      .select(col(idCol).as("q_id"), col("__v").as("__qv"), col("__nrm").as("__qn"))
+    val scored = base.join(broadcast(q), col(idCol) =!= col("q_id"))
+      .withColumn("cos",
+        VectorFunctions.dot(col("__qv"), col("__v")) / (col("__qn") * col("__nrm")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col(idCol).as("n_id"), col("cos"), col("rank"))
+  }
+
+  /** Banded LSH bucket assignment: one row per (id, band, bucket). */
+  def lshBuckets(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bitsPerBand: Int, bands: Int): DataFrame = {
+    val bandStructs = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        VectorFunctions.lshBucket(col(vecCol), dim, bitsPerBand, seed = b * bitsPerBand)
+          .as("bucket"))
+    }: _*)
+    emb.select(col(idCol), col(vecCol), explode(bandStructs).as("bb"))
+      .select(col(idCol), col(vecCol), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Distinct candidate pairs (a < b) sharing any band bucket. */
+  def lshCandidatePairs(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bitsPerBand: Int, bands: Int): DataFrame = {
+    val bk = lshBuckets(emb, idCol, vecCol, dim, bitsPerBand, bands)
+      .select(col(idCol), col("band"), col("bucket"))
+    val a = bk.alias("a"); val b = bk.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs: LSH candidates re-ranked by exact cosine,
+   *  thresholded. The scalable form of an all-pairs cosine >= t query. */
+  def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bitsPerBand: Int, bands: Int, minCosine: Double): DataFrame = {
+    val base = prepared(emb, idCol, vecCol)
+    val pairs = lshCandidatePairs(emb, idCol, vecCol, dim, bitsPerBand, bands)
+    pairs
+      .join(base.select(col(idCol).as("id_a"), col("__v").as("__va"), col("__nrm").as("__na")), "id_a")
+      .join(base.select(col(idCol).as("id_b"), col("__v").as("__vb"), col("__nrm").as("__nb")), "id_b")
+      .withColumn("cos", VectorFunctions.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(col("cos") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** ANN top-k: LSH candidate generation + exact cosine re-rank per query. */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryFilter: org.apache.spark.sql.Column, dim: Int, bitsPerBand: Int,
+      bands: Int, k: Int): DataFrame = {
+    val base = prepared(emb, idCol, vecCol)
+    val bk = lshBuckets(emb, idCol, vecCol, dim, bitsPerBand, bands)
+      .select(col(idCol), col("band"), col("bucket"))
+    val qb = base.filter(queryFilter).select(col(idCol).as("q_id"))
+      .join(bk.withColumnRenamed(idCol, "q_id"), "q_id")
+    val cand = qb.alias("q")
+      .join(bk.alias("c"), col("q.band") === col("c.band") &&
+        col("q.bucket") === col("c.bucket") && col("q.q_id") =!= col(s"c.$idCol"))
+      .select(col("q.q_id"), col(s"c.$idCol").as("n_id")).distinct()
+    val scored = cand
+      .join(base.select(col(idCol).as("q_id"), col("__v").as("__qv"), col("__nrm").as("__qn")), "q_id")
+      .join(base.select(col(idCol).as("n_id"), col("__v").as("__nv"), col("__nrm").as("__nn")), "n_id")
+      .withColumn("cos", VectorFunctions.dot(col("__qv"), col("__nv")) / (col("__qn") * col("__nn")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+  }
+}

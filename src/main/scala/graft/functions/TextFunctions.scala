@@ -106,4 +106,73 @@ object TextFunctions {
       i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
     array_distinct(grams)
   }
+
+  // ---- DuckDB SQL mirrors (oracle parity) ----------------------------------
+  // Each *Sql builder produces the DuckDB expression computing the exact same
+  // value as the Column form above: identical regexes, identical arithmetic
+  // order, integer-exact list sums, truncating hex→int64. Note shingle/token
+  // SETS may come back in different element order (DuckDB list_distinct is
+  // unordered) — callers must only consume them set-wise (min/count/contains).
+
+  def normalizeTextSql(c: String): String =
+    s"lower(trim(regexp_replace($c, '\\s+', ' ', 'g')))"
+
+  def tokensSql(c: String): String = s"string_split_regex(trim($c), '\\s+')"
+
+  def tokenCountSql(c: String): String = s"CAST(len(${tokensSql(c)}) AS BIGINT)"
+
+  def bpeishTokenCountSql(c: String): String =
+    s"CAST(len(regexp_extract_all($c, '$BpePattern')) AS BIGINT)"
+
+  def punctRatioSql(c: String): String =
+    s"(CAST(length(regexp_replace($c, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / " +
+      s"CAST(greatest(length($c), 1) AS DOUBLE))"
+
+  private def sqlStringList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  def stopwordRatioSql(c: String): String = {
+    val toks = tokensSql(c)
+    s"(CAST(len(list_filter($toks, t -> list_contains(${sqlStringList(EnglishStopwords)}, t))) AS DOUBLE) / " +
+      s"CAST(greatest(len($toks), 1) AS DOUBLE))"
+  }
+
+  def avgWordLenSql(c: String): String = {
+    val toks = tokensSql(c)
+    s"(CAST(list_sum(list_transform($toks, t -> length(t))) AS DOUBLE) / " +
+      s"CAST(greatest(len($toks), 1) AS DOUBLE))"
+  }
+
+  def qualityScoreSql(c: String): String =
+    s"(0.4 * least(${stopwordRatioSql(c)} * 4.0, 1.0) + " +
+      s"0.4 * (1.0 - least(${punctRatioSql(c)} * 5.0, 1.0)) + " +
+      s"0.2 * (CASE WHEN ${tokenCountSql(c)} BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END))"
+
+  def languageIdSql(c: String): String = {
+    val toks = tokensSql(c)
+    def score(markers: Seq[String]) =
+      s"len(list_filter($toks, t -> list_contains(${sqlStringList(markers)}, t)))"
+    val scores = LangMarkers.map { case (l, m) => l -> score(m) }
+    val whens = scores.zipWithIndex.map { case ((l, s), i) =>
+      val beatsEarlier = scores.take(i).map(e => s"${e._2} < $s")
+      val tiesLater = scores.drop(i + 1).map(e => s"${e._2} <= $s")
+      val conds = (s"$s > 0" +: (beatsEarlier ++ tiesLater)).mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }
+    s"(CASE ${whens.mkString(" ")} ELSE 'und' END)"
+  }
+
+  def hash60Sql(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
+  def docFingerprintSql(c: String): String = s"md5(${normalizeTextSql(c)})"
+
+  def fingerprintBucketSql(c: String): String =
+    s"CAST(('0x' || substr(md5(${normalizeTextSql(c)}), 1, 15)) AS BIGINT)"
+
+  def wordShinglesSql(c: String, n: Int): String = {
+    val toks = tokensSql(normalizeTextSql(c))
+    s"list_distinct(list_transform(range(1, greatest(len($toks) - $n, 0) + 2), " +
+      s"i -> array_to_string($toks[i:i+${n - 1}], ' ')))"
+  }
 }

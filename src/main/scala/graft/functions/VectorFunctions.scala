@@ -44,11 +44,11 @@ object VectorFunctions {
    * P[sign match] = 1 - angle/π per plane); candidate generation joins on the
    * bucket key, turning the O(n²) similarity join into O(n) + per-bucket work.
    */
-  def lshBucket(vF: Column, dim: Int, nBits: Int): Column = {
+  def lshBucket(vF: Column, dim: Int, nBits: Int, seed: Int = 0): Column = {
     val v = toDouble(vF)
     val bits = (0 until nBits).map { i =>
       val proj = (0 until dim).map { j =>
-        val w = ((1103515245L * (i * dim + j) + 12345L) / 65536L) % 7L - 3L
+        val w = planeWeight(seed + i, j, dim)
         element_at(v, j + 1) * lit(w.toDouble)
       }.reduce(_ + _)
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
@@ -57,14 +57,19 @@ object VectorFunctions {
   }
 
   /** SQL mirror of [[lshBucket]] for the DuckDB oracle. */
-  def lshBucketSql(vecCol: String, dim: Int, nBits: Int): String = {
+  def lshBucketSql(vecCol: String, dim: Int, nBits: Int, seed: Int = 0): String = {
     val bits = (0 until nBits).map { i =>
       val terms = (0 until dim).map { j =>
-        val w = ((1103515245L * (i * dim + j) + 12345L) / 65536L) % 7L - 3L
+        val w = planeWeight(seed + i, j, dim)
         s"$vecCol[${j + 1}]::DOUBLE * ($w)"
       }.mkString(" + ")
       s"CASE WHEN ($terms) >= 0 THEN ${1L << i} ELSE 0 END"
     }
     s"CAST(${bits.mkString(" + ")} AS BIGINT)"
   }
+
+  /** Integer hyperplane weight for plane `p`, coordinate `j` — the shared
+   *  LCG both the Column and SQL forms derive planes from. */
+  private def planeWeight(p: Int, j: Int, dim: Int): Long =
+    ((1103515245L * (p.toLong * dim + j) + 12345L) / 65536L) % 7L - 3L
 }

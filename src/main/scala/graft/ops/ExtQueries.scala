@@ -1,0 +1,247 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Media, Similarity}
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+/**
+ * North-star extension queries (SURVEY.md §7.6): the operations a
+ * large-scale training-data pipeline needs on top of the reference's
+ * medallion surface — deduplication (exact / MinHash+LSH / SimHash /
+ * n-gram Jaccard / embedding cosine), similarity search (brute-force and
+ * LSH top-k), text analysis, and multimodal-column plumbing. All over the
+ * driver `documents` / `embeddings` tables with exact DuckDB oracles.
+ */
+object ExtQueries {
+
+  private val K = 8 // minhash signature length
+  private val BANDS = 4
+  private val ROWS_PER_BAND = 2
+  private val DIM = 64
+  private val LSH_BITS = 2
+  private val LSH_BANDS = 4
+
+  /** Shared oracle CTE: embeddings as double vectors with precomputed norms. */
+  private val NORM_CTE =
+    """n AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+      |  sqrt(list_dot_product(list_transform(embedding, x -> x::DOUBLE),
+      |                        list_transform(embedding, x -> x::DOUBLE))) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  /** Shared oracle CTE: banded LSH bucket per embedding. */
+  private val BUCKET_CTE = {
+    val bands = (0 until LSH_BANDS).map { b =>
+      s"SELECT vec_id, $b AS band, ${VF.lshBucketSql("embedding", DIM, LSH_BITS, seed = b * LSH_BITS)} AS bucket FROM embeddings"
+    }.mkString("\nUNION ALL\n")
+    s"bk AS (\n$bands)"
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ---- deduplication ------------------------------------------------------
+
+    // Exact dedup: fingerprint group-by, keep lowest doc_id. The union plants
+    // exact duplicates (same text, shifted ids) for the operator to remove.
+    Q("x1_dedup_exact", (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.withColumn("doc_id", col("doc_id") + lit(1000000L))
+      Dedup.exact(docs.unionByName(planted), "doc_id", "text")
+        .select("doc_id", "fingerprint").orderBy("doc_id")
+    },
+      Some(s"""WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        SELECT doc_id, ${TF.docFingerprintSql("text")} AS fingerprint FROM all_docs
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY ${TF.docFingerprintSql("text")} ORDER BY doc_id) = 1
+        ORDER BY doc_id""")),
+
+    // MinHash + LSH banding near-dup candidates with signature-estimated
+    // Jaccard (shingle→minhash→band→bucket-join; no O(n²) pair scan).
+    Q("x2_dedup_minhash_lsh", (s, d) => {
+      val sh = t(s, d, "documents")
+        .select(col("doc_id"), TF.wordShingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val sig = sh.select(col("doc_id"), Dedup.minhashSignature(col("sh"), K).as("mh"))
+      val cand = Dedup.lshCandidatePairs(sig, "doc_id", "mh", BANDS, ROWS_PER_BAND)
+      cand
+        .join(sig.select(col("doc_id").as("doc_a"), col("mh").as("mha")), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("mh").as("mhb")), "doc_b")
+        .withColumn("est_jaccard", Dedup.signatureAgreement(col("mha"), col("mhb"), K))
+        .select("doc_a", "doc_b", "est_jaccard")
+        .orderBy("doc_a", "doc_b")
+    },
+      Some(s"""WITH sh AS (
+          SELECT doc_id, ${TF.wordShinglesSql("text", 3)} AS sh FROM documents),
+        sigs AS (
+          SELECT doc_id, ${Dedup.minhashSignatureSql("sh", K)} AS mh
+          FROM sh WHERE len(sh) > 0),
+        bands AS (
+          SELECT doc_id, b AS band, mh[2*b+1] AS h0, mh[2*b+2] AS h1
+          FROM sigs, (SELECT unnest([0,1,2,3]) AS b) bb),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+          ${Dedup.signatureAgreementSql("sa.mh", "sb.mh", K)} AS est_jaccard
+        FROM cand JOIN sigs sa ON cand.doc_a = sa.doc_id
+                  JOIN sigs sb ON cand.doc_b = sb.doc_id
+        ORDER BY doc_a, doc_b""")),
+
+    // SimHash document sketch + hamming-prefix bucket.
+    Q("x3_dedup_simhash", (s, d) => {
+      val toks = TF.tokens(TF.normalizeText(col("text")))
+      t(s, d, "documents")
+        .select(col("doc_id"), Dedup.simhash(toks, 16).as("simhash"))
+        .withColumn("bucket", shiftright(col("simhash"), 8))
+        .orderBy("doc_id")
+    },
+      Some(s"""SELECT doc_id,
+          ${Dedup.simhashSql(TF.tokensSql(TF.normalizeTextSql("text")), 16)} AS simhash,
+          ${Dedup.simhashSql(TF.tokensSql(TF.normalizeTextSql("text")), 16)} >> 8 AS bucket
+        FROM documents ORDER BY doc_id""")),
+
+    // Exact n-gram Jaccard over blocked pairs (blocking = same lang+source
+    // bounds the pair count; exact set similarity on survivors).
+    Q("x4_dedup_jaccard_pairs", (s, d) => {
+      val dd = t(s, d, "documents").select(col("doc_id"), col("lang"), col("source"),
+        TF.wordShingles(col("text"), 2).as("sh"))
+      val a = dd.alias("a"); val b = dd.alias("b")
+      a.join(b, col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .withColumn("jaccard", Dedup.jaccard(col("a.sh"), col("b.sh")))
+        .filter(col("jaccard") >= 0.1)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+      Some(s"""WITH sh AS (
+          SELECT doc_id, lang, source, ${TF.wordShinglesSql("text", 2)} AS sh FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          ${Dedup.jaccardSql("a.sh", "b.sh")} AS jaccard
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE ${Dedup.jaccardSql("a.sh", "b.sh")} >= 0.1
+        ORDER BY doc_a, doc_b""")),
+
+    // Embedding near-dup pairs: banded sign-LSH candidates + exact cosine.
+    Q("x5_dedup_embedding_cosine", (s, d) =>
+      Similarity.nearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+          DIM, LSH_BITS, LSH_BANDS, minCosine = 0.4)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $NORM_CTE,
+        $BUCKET_CTE,
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM bk a JOIN bk b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cos FROM (
+          SELECT id_a, id_b,
+            list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS cos
+          FROM cand JOIN n na ON cand.id_a = na.vec_id
+                    JOIN n nb ON cand.id_b = nb.vec_id)
+        WHERE cos >= 0.4 ORDER BY id_a, id_b""")),
+
+    // ---- similarity search --------------------------------------------------
+
+    // Exact brute-force cosine top-k for a query subset (the baseline an ANN
+    // index is measured against).
+    Q("x6_sim_topk_brute", (s, d) =>
+      Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+          col("vec_id") % 50 === 0, k = 3)
+        .orderBy("q_id", "rank"),
+      Some(s"""WITH $NORM_CTE
+        SELECT q_id, n_id, cos, rank FROM (
+          SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+            list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos,
+            CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC, c.vec_id) AS INT) AS rank
+          FROM n q JOIN n c ON c.vec_id != q.vec_id
+          WHERE q.vec_id % 50 = 0)
+        WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    // ANN top-k: banded LSH candidate generation + exact cosine re-rank.
+    Q("x7_sim_lsh_topk", (s, d) =>
+      Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+          col("vec_id") % 50 === 0, DIM, LSH_BITS, LSH_BANDS, k = 3)
+        .orderBy("q_id", "rank"),
+      Some(s"""WITH $NORM_CTE,
+        $BUCKET_CTE,
+        cand AS (
+          SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+          FROM bk q JOIN bk c
+            ON q.band = c.band AND q.bucket = c.bucket AND q.vec_id != c.vec_id
+          WHERE q.vec_id % 50 = 0)
+        SELECT q_id, n_id, cos, rank FROM (
+          SELECT q_id, n_id,
+            list_dot_product(nq.v, nc.v) / (nq.nrm * nc.nrm) AS cos,
+            CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY list_dot_product(nq.v, nc.v) / (nq.nrm * nc.nrm) DESC, n_id) AS INT) AS rank
+          FROM cand JOIN n nq ON cand.q_id = nq.vec_id
+                    JOIN n nc ON cand.n_id = nc.vec_id)
+        WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    // ---- text analysis ------------------------------------------------------
+
+    Q("x8_text_stats", (s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).as("n_tokens"),
+        TF.bpeishTokenCount(col("text")).as("n_bpe_tokens"),
+        TF.punctRatio(col("text")).as("punct_ratio"),
+        TF.avgWordLen(col("text")).as("avg_word_len"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+          ${TF.tokenCountSql("text")} AS n_tokens,
+          ${TF.bpeishTokenCountSql("text")} AS n_bpe_tokens,
+          ${TF.punctRatioSql("text")} AS punct_ratio,
+          ${TF.avgWordLenSql("text")} AS avg_word_len
+        FROM documents ORDER BY doc_id""")),
+
+    Q("x9_text_quality", (s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TF.qualityScore(col("text")).as("quality"),
+        TF.stopwordRatio(col("text")).as("stopword_ratio"))
+        .filter(col("quality") >= 0.61)
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+          ${TF.qualityScoreSql("text")} AS quality,
+          ${TF.stopwordRatioSql("text")} AS stopword_ratio
+        FROM documents
+        WHERE ${TF.qualityScoreSql("text")} >= 0.61
+        ORDER BY doc_id""")),
+
+    Q("x10_text_langid", (s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"), col("lang"),
+        TF.languageId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang, ${TF.languageIdSql("text")} AS lang_pred
+        FROM documents ORDER BY doc_id""")),
+
+    Q("x11_text_fingerprint", (s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TF.docFingerprint(col("text")).as("fingerprint"),
+        TF.fingerprintBucket(col("text")).as("bucket"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+          ${TF.docFingerprintSql("text")} AS fingerprint,
+          ${TF.fingerprintBucketSql("text")} AS bucket
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- multimodal plumbing ------------------------------------------------
+
+    // Binary payload column + typed metadata; features via column functions
+    // (the mapPartitions decode path is cross-checked in MediaSpec).
+    Q("x12_media_features", (s, d) =>
+      Media.featureColumns(
+        Media.synthesizeFromDocuments(t(s, d, "documents")).toDF())
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id, 'img/' || source AS kind,
+          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+          md5(text) AS content_md5
+        FROM documents ORDER BY media_id"""))
+  )
+}

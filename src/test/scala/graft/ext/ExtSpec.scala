@@ -1,0 +1,103 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Dedup.exact keeps exactly one row per distinct normalized text") {
+    val docs = Seq(
+      (1L, "hello world"),
+      (2L, "  Hello   WORLD "), // same after normalization
+      (3L, "something else")).toDF("doc_id", "text")
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 3L)) // lowest id survives
+  }
+
+  test("minhash signature: identical shingle sets → identical signatures") {
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "v w x y z")).toDF("doc_id", "text")
+    val sig = docs.select(col("doc_id"),
+      Dedup.minhashSignature(TextFunctions.wordShingles(col("text"), 2), 8).as("mh"))
+    val m = sig.as[(Long, Seq[Long])].collect().toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L) != m(3L))
+  }
+
+  test("lshCandidatePairs surfaces identical docs as a candidate pair") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "entirely different content with no overlap at all here")).toDF("doc_id", "text")
+    val sig = docs.select(col("doc_id"),
+      Dedup.minhashSignature(TextFunctions.wordShingles(col("text"), 3), 8).as("mh"))
+    val pairs = Dedup.lshCandidatePairs(sig, "doc_id", "mh", 4, 2)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("simhash: identical docs equal; near-identical docs within small hamming distance") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota")).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"),
+      Dedup.simhash(TextFunctions.tokens(col("text")), 16).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    val hamming = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    assert(hamming <= 6, s"hamming distance $hamming too large for near-dup")
+  }
+
+  test("jaccard: exact set semantics") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("a", "b")
+    val j = df.select(Dedup.jaccard(col("a"), col("b"))).as[Double].head()
+    assert(j == 0.5) // |{b,c}| / |{a,b,c,d}|
+  }
+
+  test("bruteForceTopK: rank 1 is the true nearest neighbor") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)), // nearest to 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      col("vec_id") === 0, k = 2)
+      .select("n_id", "rank").as[(Long, Int)].collect().toSeq.sortBy(_._2)
+    assert(got.map(_._1) == Seq(1L, 2L))
+  }
+
+  test("lshTopK results are a subset of brute-force candidates with correct ranks") {
+    val emb = graft.ops.t(spark, sfDir, "embeddings")
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding",
+      col("vec_id") % 100 === 0, 64, 2, 4, k = 3)
+    // every (q, n) pair must be a real pair with the exact cosine the brute
+    // path computes; ranks are 1..k without gaps per query
+    val byQ = lsh.select("q_id", "rank").as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    byQ.foreach { case (q, ranks) => assert(ranks == (1 to ranks.size), s"q=$q ranks=$ranks") }
+  }
+
+  test("media: mapPartitions feature extraction matches the column-function path") {
+    val docs = graft.ops.t(spark, sfDir, "documents").limit(50)
+    val media = Media.synthesizeFromDocuments(docs)
+    val typed = Media.extractFeatures(media)
+      .select("media_id", "byte_len", "content_md5")
+      .as[(Long, Long, String)].collect().map { case (i, l, m) => i -> (l, m) }.toMap
+    val cols = Media.featureColumns(media.toDF())
+      .select("media_id", "byte_len", "content_md5")
+      .as[(Long, Long, String)].collect().map { case (i, l, m) => i -> (l, m) }.toMap
+    assert(typed == cols)
+  }
+
+  test("media: stub decode is deterministic and bounded") {
+    val (w, h) = Media.stubDecode("some bytes".getBytes("UTF-8"))
+    assert(w == Media.stubDecode("some bytes".getBytes("UTF-8"))._1)
+    assert(w >= 1 && w <= 640 && h >= 1 && h <= 480)
+  }
+}
