@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+import graft.functions.{TextFunctions => TF}
+import graft.ops.t
+
+/** Dev profiling harness: times the stages of a pipeline named in args(0)
+  * on SPARK_GRAFT_SF_DIR. Not part of the driver contract. */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+
+    val docs = t(spark, sfDir, "documents")
+    time("raw count")(docs.count())
+    val sh = docs
+      .select(col("doc_id"), TF.wordShingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    time("shingles count")(sh.count())
+    val hs = sh.select(col("doc_id"), Dedup.shingleHashes(col("sh")).as("hs")).persist()
+    time("hashes materialize")(hs.count())
+    val sig = hs.select(col("doc_id"), Dedup.minhashFromHashes(col("hs"), 8).as("mh")).persist()
+    time("signatures materialize")(sig.count())
+    val cand = Dedup.lshCandidatePairs(sig, "doc_id", "mh", 4, 2)
+    time("candidate pairs")(cand.count())
+    val est = cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("mh").as("mha")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("mh").as("mhb")), "doc_b")
+      .withColumn("est_jaccard", Dedup.signatureAgreement(col("mha"), col("mhb"), 8))
+    time("estimate join")(est.count())
+    spark.stop()
+  }
+}

@@ -38,19 +38,41 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** k-element MinHash signature of a shingle-set column: element i is
-   *  `min over shingles of hash60(i ++ "|" ++ shingle)` — k independent
-   *  permutation approximations from one base hash. */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    array((0 until k).map(i =>
-      array_min(transform(shingles, s =>
-        TextFunctions.hash60(concat(lit(s"$i|"), s))))): _*)
+  // MinHash hash family: ONE md5 per shingle (the expensive part), then k
+  // cheap affine derivations h_i = (a_i·(h mod 2^30) + b_i) mod P. All
+  // products stay < 2^60, so the integer math is overflow-free and
+  // bit-identical in any engine (DuckDB errors on BIGINT overflow — this
+  // family is designed to never get there).
+  private val MinhashP = 1073741789L // largest prime < 2^30
+  private val MinhashMod = 1073741824L // 2^30
+  private def affineA(i: Int): Long = ((1103515245L * i + 12345L) % MinhashMod) | 1L
+  private def affineB(i: Int): Long = (69069L * i + 1L) % MinhashP
 
-  /** SQL mirror of [[minhashSignature]]. */
-  def minhashSignatureSql(shinglesExpr: String, k: Int): String =
+  /** Per-shingle base hashes — bind this to a column once so the md5 pass
+   *  runs once, not once per signature element. */
+  def shingleHashes(shingles: Column): Column =
+    transform(shingles, s => TextFunctions.hash60(s))
+
+  def shingleHashesSql(shinglesExpr: String): String =
+    s"list_transform($shinglesExpr, s -> ${TextFunctions.hash60Sql("s")})"
+
+  /** k-element MinHash signature from the base-hash array: element i is
+   *  `min over shingles of affine_i(hash)` — k permutation approximations
+   *  from one md5 per shingle. */
+  def minhashFromHashes(hashes: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(hashes, h =>
+        (lit(affineA(i)) * (h % lit(MinhashMod)) + lit(affineB(i))) % lit(MinhashP)))): _*)
+
+  def minhashFromHashesSql(hashesExpr: String, k: Int): String =
     (0 until k).map(i =>
-      s"list_min(list_transform($shinglesExpr, s -> ${TextFunctions.hash60Sql(s"'$i|' || s")}))")
+      s"list_min(list_transform($hashesExpr, h -> (${affineA(i)} * (h % $MinhashMod) + ${affineB(i)}) % $MinhashP))")
       .mkString("[", ", ", "]")
+
+  /** Convenience composition (prefer binding [[shingleHashes]] to a column
+   *  first in multi-use plans — Catalyst won't CSE the md5 pass for you). */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    minhashFromHashes(shingleHashes(shingles), k)
 
   /**
    * LSH banding: split the signature into `bands` bands of `rowsPerBand`

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.VectorFunctions
 
@@ -29,11 +30,14 @@ import graft.functions.VectorFunctions
  */
 object Similarity {
 
-  /** Per-row projection: id, double vector `__v`, precomputed norm `__nrm`. */
+  /** Per-row projection: id, double vector `__v`, precomputed norm `__nrm`.
+   *  Persisted — every caller joins it at least twice, and Catalyst would
+   *  otherwise recompute the projection per join side. */
   private def prepared(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = VectorFunctions.toDouble(col(vecCol))
     emb.select(col(idCol), v.as("__v"))
       .withColumn("__nrm", sqrt(VectorFunctions.dot(col("__v"), col("__v"))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Exact top-k neighbors (cosine) for every row matching `queryFilter`,
@@ -61,6 +65,7 @@ object Similarity {
     }: _*)
     emb.select(col(idCol), col(vecCol), explode(bandStructs).as("bb"))
       .select(col(idCol), col(vecCol), col("bb.band"), col("bb.bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Distinct candidate pairs (a < b) sharing any band bucket. */

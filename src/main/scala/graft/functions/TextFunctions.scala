@@ -98,12 +98,29 @@ object TextFunctions {
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
   /** Distinct word n-gram shingles ("a b c" word windows) — the unit set for
-   *  Jaccard/minhash dedup. Documents shorter than n shingle to the whole text. */
+   *  Jaccard/minhash dedup. Documents shorter than n shingle to the whole text.
+   *
+   *  Implementation note: grams are built by zipping n SHIFTED SLICES of the
+   *  token array, not by `element_at(toks, i+k)` inside a transform lambda —
+   *  lambda bodies re-evaluate captured expression trees per ELEMENT, which
+   *  re-ran the regex tokenization ~3·|grams| times per row (30× slowdown
+   *  measured at sf0.1). Slices are top-level expressions, evaluated once per
+   *  row. zip_with pads the shorter slices with NULL and concat_ws skips
+   *  NULLs, which exactly reproduces the truncated-gram semantics for
+   *  documents shorter than n tokens. */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = tokens(normalizeText(text))
-    val grams = transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+    val cnt = greatest(size(toks) - (n - 1), lit(1))
+    val slices = (0 until n).map(k => slice(toks, lit(k + 1), cnt))
+    // accumulate the shifted slices into arrays of growing structs, then
+    // join each struct's fields into the gram string
+    val acc0 = transform(slices.head, x => struct(x.as("c0")))
+    val acc = slices.tail.zipWithIndex.foldLeft(acc0) { case (a, (s, k)) =>
+      zip_with(a, s, (p, x) =>
+        struct(((0 to k).map(j => p.getField(s"c$j").as(s"c$j")) :+ x.as(s"c${k + 1}")): _*))
+    }
+    val grams = transform(acc, p =>
+      concat_ws(" ", (0 until n).map(j => p.getField(s"c$j")): _*))
     array_distinct(grams)
   }
 

@@ -47,23 +47,22 @@ object VectorFunctions {
   def lshBucket(vF: Column, dim: Int, nBits: Int, seed: Int = 0): Column = {
     val v = toDouble(vF)
     val bits = (0 until nBits).map { i =>
-      val proj = (0 until dim).map { j =>
-        val w = planeWeight(seed + i, j, dim)
-        element_at(v, j + 1) * lit(w.toDouble)
-      }.reduce(_ + _)
-      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+      // plane as a literal array → tiny expression tree (the unrolled
+      // per-coordinate form blew up codegen), dot as the same sequential
+      // fold the oracle's list_dot_product performs.
+      val w = array((0 until dim).map(j =>
+        lit(planeWeight(seed + i, j, dim).toDouble)): _*)
+      when(dot(v, w) >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _).cast(LongType)
   }
 
-  /** SQL mirror of [[lshBucket]] for the DuckDB oracle. */
-  def lshBucketSql(vecCol: String, dim: Int, nBits: Int, seed: Int = 0): String = {
+  /** SQL mirror of [[lshBucket]] for the DuckDB oracle. `vExpr` must already
+    * be a DOUBLE[] expression (mirror of [[toDouble]]). */
+  def lshBucketSql(vExpr: String, dim: Int, nBits: Int, seed: Int = 0): String = {
     val bits = (0 until nBits).map { i =>
-      val terms = (0 until dim).map { j =>
-        val w = planeWeight(seed + i, j, dim)
-        s"$vecCol[${j + 1}]::DOUBLE * ($w)"
-      }.mkString(" + ")
-      s"CASE WHEN ($terms) >= 0 THEN ${1L << i} ELSE 0 END"
+      val w = (0 until dim).map(j => s"${planeWeight(seed + i, j, dim)}.0").mkString(", ")
+      s"CASE WHEN list_dot_product($vExpr, [$w]::DOUBLE[]) >= 0 THEN ${1L << i} ELSE 0 END"
     }
     s"CAST(${bits.mkString(" + ")} AS BIGINT)"
   }

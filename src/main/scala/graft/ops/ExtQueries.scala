@@ -19,7 +19,7 @@ object ExtQueries {
   private val BANDS = 4
   private val ROWS_PER_BAND = 2
   private val DIM = 64
-  private val LSH_BITS = 2
+  private val LSH_BITS = 6 // 64 buckets/band: candidate sets stay ~n/64-sized
   private val LSH_BANDS = 4
 
   /** Shared oracle CTE: embeddings as double vectors with precomputed norms. */
@@ -29,10 +29,11 @@ object ExtQueries {
       |                        list_transform(embedding, x -> x::DOUBLE))) AS nrm
       |  FROM embeddings)""".stripMargin
 
-  /** Shared oracle CTE: banded LSH bucket per embedding. */
+  /** Shared oracle CTE: banded LSH bucket per embedding (over the `n` CTE's
+    * double vectors — mirrors lshBucket's internal toDouble). */
   private val BUCKET_CTE = {
     val bands = (0 until LSH_BANDS).map { b =>
-      s"SELECT vec_id, $b AS band, ${VF.lshBucketSql("embedding", DIM, LSH_BITS, seed = b * LSH_BITS)} AS bucket FROM embeddings"
+      s"SELECT vec_id, $b AS band, ${VF.lshBucketSql("v", DIM, LSH_BITS, seed = b * LSH_BITS)} AS bucket FROM n"
     }.mkString("\nUNION ALL\n")
     s"bk AS (\n$bands)"
   }
@@ -62,7 +63,16 @@ object ExtQueries {
       val sh = t(s, d, "documents")
         .select(col("doc_id"), TF.wordShingles(col("text"), 3).as("sh"))
         .filter(size(col("sh")) > 0)
-      val sig = sh.select(col("doc_id"), Dedup.minhashSignature(col("sh"), K).as("mh"))
+      // persist the base-hash array: CollapseProject would otherwise inline
+      // `hs` into all K minhash expressions and run the md5 pass K times.
+      // The signature is persisted too — the self-join + two enrich joins
+      // would recompute it per use.
+      val hs = sh
+        .select(col("doc_id"), Dedup.shingleHashes(col("sh")).as("hs"))
+        .persist()
+      val sig = hs
+        .select(col("doc_id"), Dedup.minhashFromHashes(col("hs"), K).as("mh"))
+        .persist()
       val cand = Dedup.lshCandidatePairs(sig, "doc_id", "mh", BANDS, ROWS_PER_BAND)
       cand
         .join(sig.select(col("doc_id").as("doc_a"), col("mh").as("mha")), "doc_a")
@@ -73,9 +83,11 @@ object ExtQueries {
     },
       Some(s"""WITH sh AS (
           SELECT doc_id, ${TF.wordShinglesSql("text", 3)} AS sh FROM documents),
-        sigs AS (
-          SELECT doc_id, ${Dedup.minhashSignatureSql("sh", K)} AS mh
+        hs AS (
+          SELECT doc_id, ${Dedup.shingleHashesSql("sh")} AS hs
           FROM sh WHERE len(sh) > 0),
+        sigs AS (
+          SELECT doc_id, ${Dedup.minhashFromHashesSql("hs", K)} AS mh FROM hs),
         bands AS (
           SELECT doc_id, b AS band, mh[2*b+1] AS h0, mh[2*b+2] AS h1
           FROM sigs, (SELECT unnest([0,1,2,3]) AS b) bb),
@@ -105,8 +117,9 @@ object ExtQueries {
     // Exact n-gram Jaccard over blocked pairs (blocking = same lang+source
     // bounds the pair count; exact set similarity on survivors).
     Q("x4_dedup_jaccard_pairs", (s, d) => {
+      // persist: the self-join would re-run the regex shingling per side.
       val dd = t(s, d, "documents").select(col("doc_id"), col("lang"), col("source"),
-        TF.wordShingles(col("text"), 2).as("sh"))
+        TF.wordShingles(col("text"), 2).as("sh")).persist()
       val a = dd.alias("a"); val b = dd.alias("b")
       a.join(b, col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id"))
