@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.gold.{DimConfig, FactConfig, FactDim, GoldBuilder}
+import graft.ingest.BronzeIngest
+import graft.lake.LakeTable
+import graft.pipeline.{Expectations, Pipeline}
+
+/**
+ * End-to-end medallion scenario in the reference's own shape (SURVEY.md §5,
+ * FIXTURES.md §A): raw CSV → bronze (incremental ingest) → silver (re-type +
+ * expectations + SCD1 latest-wins CDC) → gold (surrogate-key dim + fact).
+ *
+ * The three CSV batches replay the reference's base / `_increment` / `_scd`
+ * fixture pattern, including the F0003-style latest-wins update and a
+ * synthesized null-key row for the expectation gate (the shipped reference
+ * data never violates its own expectations — FIXTURES.md:31-33).
+ */
+class MedallionE2ESpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeCsv(dir: String, name: String, lines: String*): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, name),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  test("base → increment → scd through bronze/silver/gold") {
+    val root = tmpDir("medallion")
+    val landing = s"$root/landing/flights"
+    val bLanding = s"$root/landing/bookings"
+
+    // ---- batch 1: base data -------------------------------------------------
+    writeCsv(landing, "flights_base.csv",
+      "flight_id,airline,origin,destination,flight_date",
+      "F0001,AirOne,AAA,BBB,2025-05-01",
+      "F0002,AirTwo,AAA,CCC,2025-05-02",
+      "F0003,AirOne,BBB,CCC,2025-05-11")
+    writeCsv(bLanding, "bookings_base.csv",
+      "booking_id,passenger_id,flight_id,amount,booking_date",
+      "B0001,P001,F0001,100.50,2025-05-03",
+      "B0002,P002,F0003,200.00,2025-05-04",
+      "B0002,P003,F0003,150.00,2025-05-04", // same booking_id, different passenger
+      "B0003,,F0002,99.99,2025-05-05")      // null key → expectation drop
+
+    val ingested = BronzeIngest.run(spark, landing, s"$root/bronze/flights", s"$root/cp/flights")
+    assert(ingested == 3)
+    BronzeIngest.run(spark, bLanding, s"$root/bronze/bookings", s"$root/cp/bookings")
+
+    // ---- silver pipeline: re-type, expectations, SCD1 CDC -------------------
+    val pipeline = new Pipeline(spark, s"$root/silver")
+    def clock(s: String) = lit(Timestamp.valueOf(s)).cast("timestamp")
+    var batchTs = "2030-01-01 00:00:00"
+
+    pipeline.view("flights_clean") {
+      LakeTable(spark, s"$root/bronze/flights").read
+        .withColumn("flight_date", to_date(col("flight_date")))
+        .withColumn("modifiedDate", clock(batchTs))
+        .drop(BronzeIngest.RescueCol)
+    }
+    pipeline.viewWithExpectations("bookings_clean",
+      Map("booking_id_not_null" -> "booking_id IS NOT NULL",
+          "passenger_id_not_null" -> "passenger_id IS NOT NULL")) {
+      LakeTable(spark, s"$root/bronze/bookings").read
+        .withColumn("amount", col("amount").cast(DoubleType))
+        .withColumn("booking_date", to_date(col("booking_date")))
+        .withColumn("modifiedDate", clock(batchTs))
+        .drop(BronzeIngest.RescueCol)
+    }
+    pipeline.streamingTable("flights_silver")
+    pipeline.streamingTable("bookings_silver")
+    pipeline.autoCdcFlow("flights_silver", "flights_clean",
+      Seq("flight_id"), "modifiedDate")
+    pipeline.autoCdcFlow("bookings_silver", "bookings_clean",
+      Seq("booking_id", "passenger_id"), "modifiedDate")
+    pipeline.run()
+
+    val silverFlights = pipeline.read("flights_silver")
+    assert(silverFlights.count() == 3)
+    // expectation gate dropped the null-key booking and counted it
+    assert(pipeline.read("bookings_silver").count() == 3)
+    assert(pipeline.lastGate("bookings_clean").get.violations("passenger_id_not_null") == 1)
+    // composite CDC key kept both passengers of B0002
+    assert(pipeline.read("bookings_silver")
+      .filter(col("booking_id") === "B0002").count() == 2)
+
+    // ---- gold: SCD1 dim + fact with surrogate lookup ------------------------
+    val dimCfg = DimConfig(s"$root/gold/dim_flights", Seq("flight_id"),
+      Seq("airline", "origin", "destination", "flight_date"), "modifiedDate", "DimFlightsKey")
+    def goldAt(s: String) = GoldBuilder.fixed(spark, Timestamp.valueOf(s))
+    goldAt("2030-01-01 12:00:00").buildDim(dimCfg, pipeline.read("flights_silver"))
+
+    val factCfg = FactConfig(s"$root/gold/fact_bookings",
+      dims = Seq(FactDim(LakeTable(spark, dimCfg.targetPath),
+        Seq("flight_id" -> "flight_id"), "DimFlightsKey")),
+      payloadCols = Seq("booking_id", "passenger_id", "amount", "booking_date", "modifiedDate"),
+      factKeys = Seq("booking_id", "passenger_id"),
+      cdcCol = "modifiedDate")
+    goldAt("2030-01-01 12:00:00").buildFact(factCfg, pipeline.read("bookings_silver"))
+
+    val dim1 = LakeTable(spark, dimCfg.targetPath).read
+    assert(dim1.count() == 3)
+    // surrogate keys are unique and dense
+    assert(dim1.groupBy("DimFlightsKey").count().filter(col("count") > 1).count() == 0)
+    assert(dim1.agg(max("DimFlightsKey")).head().getLong(0) == 3L)
+    // every fact row resolved its dim surrogate
+    val fact1 = LakeTable(spark, factCfg.targetPath).read
+    assert(fact1.count() == 3)
+    assert(fact1.filter(col("DimFlightsKey").isNull).count() == 0)
+
+    // ---- batch 2: increment (new flight) + scd (F0003 latest-wins update) --
+    writeCsv(landing, "flights_increment.csv",
+      "flight_id,airline,origin,destination,flight_date",
+      "F0004,AirFour,CCC,DDD,2025-06-01")
+    writeCsv(landing, "flights_scd.csv",
+      "flight_id,airline,origin,destination,flight_date",
+      "F0003,JetAir,BBB,CCC,2025-07-03", // update: airline + date change
+      "F0005,AirFive,DDD,EEE,2025-07-04") // brand new
+    BronzeIngest.run(spark, landing, s"$root/bronze/flights", s"$root/cp/flights")
+    batchTs = "2030-02-01 00:00:00"
+    pipeline.run()
+
+    val silver2 = pipeline.read("flights_silver")
+    assert(silver2.count() == 5)
+    // latest-wins: F0003 now JetAir with the new date
+    val f3 = silver2.filter(col("flight_id") === "F0003")
+      .select("airline", "flight_date").as[(String, java.sql.Date)].head()
+    assert(f3 == (("JetAir", java.sql.Date.valueOf("2025-07-03"))))
+
+    // incremental dim build: F0003 keeps its surrogate, new flights mint new ones
+    goldAt("2030-02-01 12:00:00").buildDim(dimCfg, silver2)
+    val dim2 = LakeTable(spark, dimCfg.targetPath).read
+    assert(dim2.count() == 5)
+    val sk3before = dim1.filter(col("flight_id") === "F0003").head().getAs[Long]("DimFlightsKey")
+    val f3row = dim2.filter(col("flight_id") === "F0003").head()
+    assert(f3row.getAs[Long]("DimFlightsKey") == sk3before)
+    assert(f3row.getAs[String]("airline") == "JetAir")
+    assert(f3row.getAs[Timestamp]("create_date") == Timestamp.valueOf("2030-01-01 12:00:00"))
+    assert(f3row.getAs[Timestamp]("update_date") == Timestamp.valueOf("2030-02-01 12:00:00"))
+    assert(dim2.groupBy("DimFlightsKey").count().filter(col("count") > 1).count() == 0)
+
+    // re-running the same dim build is a no-op (idempotent merge)
+    goldAt("2030-03-01 12:00:00").buildDim(dimCfg, silver2)
+    val dim3 = LakeTable(spark, dimCfg.targetPath).read
+    assert(dim3.count() == 5)
+    assert(dim3.select("flight_id", "DimFlightsKey", "airline").orderBy("flight_id").collect().toSeq ==
+      dim2.select("flight_id", "DimFlightsKey", "airline").orderBy("flight_id").collect().toSeq)
+  }
+}

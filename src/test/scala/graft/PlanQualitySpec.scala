@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.t
+
+/**
+ * Physical-plan quality gates (SURVEY.md §4): these queries must keep the
+ * plan shapes that survive a 100× scale-up — filters pushed into the parquet
+ * scan, dimension joins broadcast, scans column-pruned, and no accidental
+ * cartesian products. A regression here is a performance bug even while
+ * results stay correct.
+ */
+class PlanQualitySpec extends SparkSpec {
+
+  /** Final (post-AQE) physical plan string. */
+  private def planOf(df: DataFrame): String = {
+    df.collect() // let AQE finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter on lineitem.l_shipdate is pushed to the parquet scan") {
+    val df = t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-12-01 00:00:00").cast("timestamp"))
+      .select("l_orderkey")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("LessThanOrEqual(l_shipdate"), plan)
+  }
+
+  test("fact→dim left joins broadcast the dimension side") {
+    val li = t(spark, sfDir, "lineitem"); val p = t(spark, sfDir, "part")
+    val df = li.join(p, li("l_partkey") === p("p_partkey"), "left")
+      .select("l_orderkey", "p_brand")
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("narrow projection prunes the parquet read schema") {
+    val df = t(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+    val plan = planOf(df)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey"), readSchema)
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+    assert(!readSchema.contains("l_returnflag"), readSchema)
+  }
+
+  test("aggregation runs partial then final (map-side combine)") {
+    val df = t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag").agg(sum("l_quantity"))
+    val plan = planOf(df)
+    assert(plan.contains("partial_sum"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("brute-force top-k uses broadcast nested loop, never CartesianProduct") {
+    val df = graft.ext.Similarity.bruteForceTopK(
+      t(spark, sfDir, "embeddings"), "vec_id", "embedding",
+      col("vec_id") % 100 === 0, k = 2)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("LSH candidate generation is an equi-join (shuffle/broadcast hash), not a product") {
+    val df = graft.ext.Similarity.lshCandidatePairs(
+      t(spark, sfDir, "embeddings"), "vec_id", "embedding", 64, 6, 4)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("Join"), plan)
+  }
+}

@@ -1,0 +1,124 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.SparkSpec
+
+/**
+ * Structured Streaming coverage (SURVEY.md §2.8 north star): the reference's
+ * streaming surface is trigger-once file streams into CDC tables; these specs
+ * exercise the genuine streaming operators the engine adds on top —
+ * watermarked tumbling windows, update-mode aggregation, and
+ * flatMapGroupsWithState SCD1 state — through real `readStream` plans.
+ */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeCsv(dir: String, name: String, lines: String*): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, name),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  private val eventSchema = "user_id LONG, ts TIMESTAMP, value DOUBLE"
+
+  test("watermarked tumbling-window aggregation over a file stream") {
+    val dir = tmpDir("st_window")
+    writeCsv(dir, "b1.csv",
+      "user_id,ts,value",
+      "1,2024-01-01 00:05:00,10.0",
+      "1,2024-01-01 00:20:00,5.0",
+      "2,2024-01-01 01:10:00,7.0")
+    val stream = spark.readStream.schema(eventSchema)
+      .option("header", "true").csv(dir)
+    val agg = stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(sum("value").as("total"), count(lit(1)).as("n"))
+      .select(col("window.start").as("w"), col("total"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("st_window")
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("st_window").orderBy("w")
+      .as[(Timestamp, Double, Long)].collect().toSeq
+    assert(got == Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), 15.0, 2L),
+      (Timestamp.valueOf("2024-01-01 01:00:00"), 7.0, 1L)))
+  }
+
+  test("incremental restart: second batch only processes new files (checkpointed)") {
+    val dir = tmpDir("st_incr"); val cp = tmpDir("st_incr_cp")
+    val out = tmpDir("st_incr_out")
+    writeCsv(dir, "b1.csv", "user_id,ts,value", "1,2024-01-01 00:00:00,1.0")
+
+    def drain(): Unit = {
+      val q = spark.readStream.schema(eventSchema)
+        .option("header", "true").csv(dir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(out).count() == 1)
+    drain() // no new files → no new rows (exactly-once per file)
+    assert(spark.read.parquet(out).count() == 1)
+    writeCsv(dir, "b2.csv", "user_id,ts,value", "2,2024-01-01 00:01:00,2.0")
+    drain()
+    assert(spark.read.parquet(out).count() == 2)
+  }
+
+  test("flatMapGroupsWithState: streaming SCD1 latest-per-key state") {
+    val dir = tmpDir("st_state")
+    writeCsv(dir, "b1.csv",
+      "user_id,ts,value",
+      "1,2024-01-01 00:00:00,10.0",
+      "1,2024-01-02 00:00:00,20.0", // newer wins
+      "2,2024-01-01 00:00:00,30.0",
+      "2,2023-12-01 00:00:00,99.0") // older loses
+    val stream = spark.readStream.schema(eventSchema)
+      .option("header", "true").csv(dir)
+      .as[(Long, Timestamp, Double)]
+
+    // state = latest (ts, value) per user; emit current latest per batch
+    def update(key: Long, rows: Iterator[(Long, Timestamp, Double)],
+        state: GroupState[(Timestamp, Double)]): Iterator[(Long, Timestamp, Double)] = {
+      val incoming = rows.map(r => (r._2, r._3)).toSeq
+      val best = (state.getOption.toSeq ++ incoming).maxBy(_._1.getTime)
+      state.update(best)
+      Iterator((key, best._1, best._2))
+    }
+    val latest = stream.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
+    val q = latest.writeStream.format("memory").queryName("st_state")
+      .outputMode(OutputMode.Update()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("st_state").orderBy("_1")
+      .as[(Long, Timestamp, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, Timestamp.valueOf("2024-01-02 00:00:00"), 20.0),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:00"), 30.0)))
+  }
+
+  test("streaming dedup with watermark (dropDuplicates on key within horizon)") {
+    val dir = tmpDir("st_dedup")
+    writeCsv(dir, "b1.csv",
+      "user_id,ts,value",
+      "1,2024-01-01 00:00:00,1.0",
+      "1,2024-01-01 00:00:00,1.0", // exact dup
+      "2,2024-01-01 00:30:00,2.0")
+    val stream = spark.readStream.schema(eventSchema)
+      .option("header", "true").csv(dir)
+    val q = stream.withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "ts")
+      .writeStream.format("memory").queryName("st_dedup")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("st_dedup").count() == 2)
+  }
+}
