@@ -94,6 +94,41 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /**
+   * IVF-style ANN: a deterministic coarse quantizer (every `centStride`-th
+   * vector acts as a centroid — a k-means iteration would slot in here
+   * unchanged), each vector assigned to its nearest centroid by cosine, and
+   * queries searched only within their own cell (nprobe=1).
+   *
+   * Scale: assignment is |n|·|C| broadcast work (C small); search is an
+   * equi-join on cell id — the same join shape as LSH, so the 100 TB path
+   * is a shuffle on cell, never a cross product.
+   */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryFilter: org.apache.spark.sql.Column, centStride: Int, k: Int): DataFrame = {
+    val base = prepared(emb, idCol, vecCol)
+    val cent = base.filter(col(idCol) % centStride === 1)
+      .select(col(idCol).as("cent_id"), col("__v").as("__cv"), col("__nrm").as("__cn"))
+    // nearest centroid per vector (deterministic tiebreak on cent_id)
+    val wAssign = Window.partitionBy(idCol)
+      .orderBy(col("__ccos").desc, col("cent_id"))
+    val assigned = base.join(broadcast(cent))
+      .withColumn("__ccos",
+        VectorFunctions.dot(col("__v"), col("__cv")) / (col("__nrm") * col("__cn")))
+      .withColumn("__rn", row_number().over(wAssign)).filter(col("__rn") === 1)
+      .select(col(idCol), col("__v"), col("__nrm"), col("cent_id").as("cell"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val q = assigned.filter(queryFilter)
+      .select(col(idCol).as("q_id"), col("__v").as("__qv"), col("__nrm").as("__qn"), col("cell"))
+    val scored = q.join(assigned, Seq("cell"))
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("cos",
+        VectorFunctions.dot(col("__qv"), col("__v")) / (col("__qn") * col("__nrm")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col(idCol).as("n_id"), col("cell"), col("cos"), col("rank"))
+  }
+
   /** ANN top-k: LSH candidate generation + exact cosine re-rank per query. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryFilter: org.apache.spark.sql.Column, dim: Int, bitsPerBand: Int,

@@ -1,9 +1,13 @@
 package graft.ops
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Dedup, Media, Similarity}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.ingest.BronzeIngest
+import graft.lake.LakeTable
 
 /**
  * North-star extension queries (SURVEY.md §7.6): the operations a
@@ -21,6 +25,9 @@ object ExtQueries {
   private val DIM = 64
   private val LSH_BITS = 6 // 64 buckets/band: candidate sets stay ~n/64-sized
   private val LSH_BANDS = 4
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
 
   /** Shared oracle CTE: embeddings as double vectors with precomputed norms. */
   private val NORM_CTE =
@@ -194,6 +201,29 @@ object ExtQueries {
                     JOIN n nc ON cand.n_id = nc.vec_id)
         WHERE rank <= 3 ORDER BY q_id, rank""")),
 
+    // IVF-style ANN: deterministic coarse centroids, nearest-cell assignment,
+    // in-cell search (nprobe=1).
+    Q("x13_sim_ivf_topk", (s, d) =>
+      Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+          col("vec_id") % 50 === 0, centStride = 40, k = 3)
+        .orderBy("q_id", "rank"),
+      Some(s"""WITH $NORM_CTE,
+        cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 40 = 1),
+        assigned AS (
+          SELECT vec_id, v, nrm, cent_id AS cell FROM (
+            SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+              ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.cent_id) AS rn
+            FROM n, cent c) WHERE rn = 1)
+        SELECT q_id, n_id, cell, cos, rank FROM (
+          SELECT q.vec_id AS q_id, a.vec_id AS n_id, q.cell,
+            list_dot_product(q.v, a.v) / (q.nrm * a.nrm) AS cos,
+            CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY list_dot_product(q.v, a.v) / (q.nrm * a.nrm) DESC, a.vec_id) AS INT) AS rank
+          FROM assigned q JOIN assigned a ON q.cell = a.cell AND a.vec_id != q.vec_id
+          WHERE q.vec_id % 50 = 0)
+        WHERE rank <= 3 ORDER BY q_id, rank""")),
+
     // ---- text analysis ------------------------------------------------------
 
     Q("x8_text_stats", (s, d) =>
@@ -243,6 +273,42 @@ object ExtQueries {
           ${TF.docFingerprintSql("text")} AS fingerprint,
           ${TF.fingerprintBucketSql("text")} AS bucket
         FROM documents ORDER BY doc_id""")),
+
+    // ---- streaming ingest + catalog (S-family round-trips) ------------------
+
+    // S1/S2/O5/O6: real streaming CSV→bronze ingest — events subset written
+    // as CSV landing files, drained twice through the checkpointed stream
+    // (second run is a no-op), bronze read back. The oracle replays the
+    // subset from the original parquet: hash equality proves the lossless
+    // CSV round-trip + exactly-once ingest.
+    Q("s1_bronze_roundtrip", (s, d) => {
+      val root = tmp("graft_s1")
+      val subset = t(s, d, "events").filter(col("event_id") % 100 === 0)
+        .select("event_id", "user_id", "event_type", "value")
+      subset.coalesce(1).write.option("header", "true").csv(s"$root/landing")
+      BronzeIngest.run(s, s"$root/landing", s"$root/bronze", s"$root/cp")
+      BronzeIngest.run(s, s"$root/landing", s"$root/bronze", s"$root/cp") // idempotent
+      LakeTable(s, s"$root/bronze").read
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    },
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+        WHERE event_id % 100 = 0 ORDER BY event_id""")),
+
+    // S9-S12: catalog DDL, temp-view registration, existence introspection,
+    // scalar watermark collect.
+    Q("s9_catalog_ops", (s, d) => {
+      import s.implicits._
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_cat")
+      t(s, d, "events").createOrReplaceTempView("src_events")
+      val dbExists = s.catalog.databaseExists("graft_cat")
+      val viewExists = s.catalog.tableExists("src_events")
+      val maxTs = s.sql("SELECT MAX(ts) FROM src_events").head().getTimestamp(0)
+      Seq((dbExists, viewExists)).toDF("db_exists", "view_exists")
+        .withColumn("max_ts", lit(maxTs))
+    },
+      Some("""SELECT true AS db_exists, true AS view_exists,
+        (SELECT MAX(ts) FROM events) AS max_ts""")),
 
     // ---- multimodal plumbing ------------------------------------------------
 
