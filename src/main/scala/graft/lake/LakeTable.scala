@@ -21,8 +21,9 @@ import scala.jdk.CollectionConverters._
  * {{{
  *   root/
  *     _VERSION                 // pointer file: current version number (atomic swap)
- *     _commits/v000000001.mf   // manifest: schema (base64 JSON) + data dir list
- *     data/<uuid>/part-*.parquet
+ *     _commits/v000000001.mf   // manifest: schema + partition col + dir entries
+ *     data/<uuid>/part-*.parquet            (unpartitioned)
+ *     data/<uuid>/<pcol>=<val>/part-*.parquet  (partitioned)
  * }}}
  *
  * Commit = write data files to a fresh `data/<uuid>` dir, write the next
@@ -33,13 +34,21 @@ import scala.jdk.CollectionConverters._
  * file for a log-append with conditional-put, exactly as Delta's commit
  * protocol does.
  *
- * Scale design (100 TB): `append` is O(new data) — it never rewrites
+ * '''Partitioned tables''' (the 100 TB path): a table created with a
+ * partition column tracks, per data dir, WHICH partition values that dir
+ * currently owns. `merge` then touches only the partitions present in the
+ * source: it partition-prunes the target read, rewrites just those
+ * partitions into a new dir, and re-points ownership — cost is O(touched
+ * partitions), independent of table size. `append` adds a dir owning the
+ * batch's partitions without disturbing earlier owners (append-only
+ * accumulation). Reads union the per-dir scans filtered to owned values;
+ * the ownership filter is an equality OR-chain on the partition column, so
+ * Spark's partition pruning skips non-owned directories entirely.
+ *
+ * Unpartitioned scale notes: `append` is O(new data) — it never rewrites
  * existing files, so streaming ingest cost is independent of table size.
  * `merge` is join-based (shuffle on the merge keys, broadcast when the
- * source is small — left to AQE) and rewrites only on commit; at cluster
- * scale the upgrade path is hive-style partitioning + rewriting only the
- * partitions whose keys appear in the source (dynamic partition overwrite),
- * which this manifest layout supports without format changes.
+ * source is small — left to AQE) and rewrites on commit.
  */
 final class LakeTable private (val spark: SparkSession, val root: String) {
   import LakeTable._
@@ -55,66 +64,145 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
     new String(Files.readAllBytes(versionFile), StandardCharsets.UTF_8).trim.toLong
   }
 
+  private def b64e(s: String): String =
+    Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+  private def b64d(s: String): String =
+    new String(Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+
   private def readManifest(v: Long): Manifest = {
     val lines = Files.readAllLines(manifestFile(v), StandardCharsets.UTF_8).asScala
     val schemaB64 = lines.collectFirst { case l if l.startsWith("schema=") => l.stripPrefix("schema=") }
       .getOrElse(sys.error(s"manifest v$v missing schema"))
-    val schema = StructType.fromDDL(
-      new String(Base64.getDecoder.decode(schemaB64), StandardCharsets.UTF_8))
-    val dirs = lines.collect { case l if l.startsWith("dir=") => l.stripPrefix("dir=") }.toSeq
-    Manifest(schema, dirs)
+    val schema = StructType.fromDDL(b64d(schemaB64))
+    val pcol = lines.collectFirst { case l if l.startsWith("pcol=") => l.stripPrefix("pcol=") }
+    val entries = lines.collect {
+      case l if l.startsWith("dir=") =>
+        l.stripPrefix("dir=").split('|') match {
+          case Array(d) => DirEntry(d, None)
+          case Array(d, owned) =>
+            DirEntry(d, Some(owned.split(',').toSeq.filter(_.nonEmpty).map(b64d)))
+          case _ => sys.error(s"bad manifest line: $l")
+        }
+    }.toSeq
+    Manifest(schema, pcol, entries)
   }
 
-  def schema: StructType = readManifest(currentVersion).schema
+  private def manifest: Manifest = readManifest(currentVersion)
 
-  /** Snapshot read of the current version (explicit schema: no inference drift,
-   *  empty tables read fine). */
-  def read: DataFrame = {
-    val m = readManifest(currentVersion)
-    if (m.dirs.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
-    else
-      spark.read.schema(m.schema).parquet(m.dirs.map(d => s"$root/$d"): _*)
+  def schema: StructType = manifest.schema
+
+  /** Partition column, if this table is partitioned. */
+  def partitionColumn: Option[String] = manifest.pcol
+
+  /** Snapshot read of the current version (explicit schema: no inference
+   *  drift, empty tables read fine; partitioned reads prune to owned dirs). */
+  def read: DataFrame = readScoped(manifest, None)
+
+  /** Partition-pruned read of only the given partition values. */
+  def readPartitions(values: Seq[String]): DataFrame =
+    readScoped(manifest, Some(values.toSet))
+
+  private def readScoped(m: Manifest, scope: Option[Set[String]]): DataFrame = {
+    def empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
+    m.pcol match {
+      case None =>
+        if (m.entries.isEmpty) empty
+        else spark.read.schema(m.schema).parquet(m.entries.map(e => s"$root/${e.dir}"): _*)
+      case Some(p) =>
+        val dt = m.schema(p).dataType
+        val scans = m.entries.flatMap { e =>
+          val owned = e.owned.getOrElse(Nil)
+          val visible = scope.fold(owned)(s => owned.filter(s))
+          if (visible.isEmpty) None
+          else Some(
+            spark.read.schema(m.schema)
+              .option("basePath", s"$root/${e.dir}")
+              .parquet(s"$root/${e.dir}")
+              // equality OR-chain on the partition column → Spark prunes
+              // non-owned subdirectories at planning time
+              .filter(visible.map(v => col(p) === lit(v).cast(dt)).reduce(_ || _)))
+        }
+        if (scans.isEmpty) empty
+        else scans.reduce(_ unionByName _).select(m.schema.fieldNames.map(col).toSeq: _*)
+    }
   }
 
-  private def commit(schema: StructType, dirs: Seq[String]): Unit = synchronized {
+  /** Streaming tail of an APPEND-ONLY table (SURVEY §2.1/S4 — the
+   *  `readStream.format("delta")` equivalent): a Structured Streaming file
+   *  source over the table's data directories. Each `append` lands new
+   *  parquet files, which the file-listing checkpoint picks up exactly once.
+   *  Sound only for append-only tables (bronze) — merge/overwrite rewrite
+   *  files, which a file stream must never tail. */
+  def readStream: DataFrame = {
+    require(exists, s"LakeTable at $root does not exist")
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1000")
+      .parquet(s"$root/data/*")
+  }
+
+  private def commit(m: Manifest): Unit = synchronized {
     val next = if (exists) currentVersion + 1 else 0L
     Files.createDirectories(commitsDir)
-    val schemaB64 = Base64.getEncoder.encodeToString(schema.toDDL.getBytes(StandardCharsets.UTF_8))
-    val body = (s"schema=$schemaB64" +: dirs.map(d => s"dir=$d")).mkString("\n")
-    Files.write(manifestFile(next), body.getBytes(StandardCharsets.UTF_8))
+    val header = s"schema=${b64e(m.schema.toDDL)}" +:
+      m.pcol.map(p => s"pcol=$p").toSeq
+    val body = m.entries.map { e =>
+      e.owned match {
+        case None => s"dir=${e.dir}"
+        case Some(vs) => s"dir=${e.dir}|${vs.map(b64e).mkString(",")}"
+      }
+    }
+    Files.write(manifestFile(next),
+      (header ++ body).mkString("\n").getBytes(StandardCharsets.UTF_8))
     val tmp = Paths.get(root, s"_VERSION.tmp.${UUID.randomUUID()}")
     Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, versionFile, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Create an empty table with the given schema (idempotent: no-op if it exists). */
-  def create(schema: StructType): LakeTable = {
-    if (!exists) { Files.createDirectories(Paths.get(root)); commit(schema, Nil) }
+  /** Create an empty table (idempotent). `partitionBy` fixes the partition
+   *  column for the table's lifetime. */
+  def create(schema: StructType, partitionBy: Option[String] = None): LakeTable = {
+    if (!exists) {
+      partitionBy.foreach(p => require(schema.fieldNames.contains(p),
+        s"partition column $p not in schema"))
+      Files.createDirectories(Paths.get(root))
+      commit(Manifest(schema, partitionBy, Nil))
+    }
     this
   }
 
-  private def writeData(df: DataFrame): String = {
+  private def writeData(df: DataFrame, pcol: Option[String]): (String, Option[Seq[String]]) = {
     val dir = s"data/${UUID.randomUUID()}"
-    df.write.parquet(s"$root/$dir")
-    dir
+    pcol match {
+      case None =>
+        df.write.parquet(s"$root/$dir")
+        (dir, None)
+      case Some(p) =>
+        val owned = df.select(col(p).cast("string")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        require(!owned.contains(null), s"null partition value in column $p")
+        df.write.partitionBy(p).parquet(s"$root/$dir")
+        (dir, Some(owned))
+    }
   }
 
   /** Append-only write — O(new data), never rewrites existing files.
    *  This is the bronze-sink primitive (reference keeps bronze append-only,
-   *  `README.md:89`). */
+   *  `README.md:89`). On a partitioned table the new dir owns the batch's
+   *  partition values alongside earlier owners (accumulation). */
   def append(df: DataFrame): Unit = synchronized {
     Files.createDirectories(Paths.get(root))
-    val dir = writeData(df)
-    val prior = if (exists) readManifest(currentVersion).dirs else Nil
-    commit(df.schema, prior :+ dir)
+    val pcol = if (exists) manifest.pcol else None
+    val (dir, owned) = writeData(df, pcol)
+    val prior = if (exists) manifest.entries else Nil
+    commit(Manifest(df.schema, pcol, prior :+ DirEntry(dir, owned)))
   }
 
   /** Full-snapshot replace (new version; old files kept until vacuum). */
-  def overwrite(df: DataFrame): Unit = synchronized {
+  def overwrite(df: DataFrame, partitionBy: Option[String] = None): Unit = synchronized {
     Files.createDirectories(Paths.get(root))
-    val dir = writeData(df)
-    commit(df.schema, Seq(dir))
+    val pcol = partitionBy.orElse(if (exists) manifest.pcol else None)
+    val (dir, owned) = writeData(df, pcol)
+    commit(Manifest(df.schema, pcol, Seq(DirEntry(dir, owned))))
   }
 
   /**
@@ -132,6 +220,13 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
    * first — see Pipeline.autoCdcFlow); enforced cheaply only when
    * `checkUniqueKeys` is set.
    *
+   * On a PARTITIONED table the merge is partition-scoped: only the
+   * partitions present in the source are read (pruned scan), merged, and
+   * rewritten — O(touched partitions), not O(table). Rows may not change
+   * their partition value through a matched update (enforced by the join
+   * semantics only when the partition column is part of `keys`; callers
+   * partitioning by a stable column satisfy this by construction).
+   *
    * Plan shape: one shuffle on the merge keys (full-outer hash/sort-merge
    * join; AQE broadcasts a small source side as a broadcast outer join where
    * legal) followed by a projection — no driver-side iteration.
@@ -142,22 +237,41 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
       matchedGuard: Option[String] = None,
       checkUniqueKeys: Boolean = false): Unit = synchronized {
     require(exists, s"merge target $root does not exist — create() or append() first")
-    val target = read
-    val cols = target.schema.fieldNames.toSeq
+    val m = manifest
+    val cols = m.schema.fieldNames.toSeq
     require(src.columns.toSet == cols.toSet,
       s"merge source schema ${src.columns.mkString(",")} != target ${cols.mkString(",")}")
     if (checkUniqueKeys) {
       val dups = src.groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).count()
       require(dups == 0, s"merge source has duplicate keys $keys")
     }
-    val t = target.withColumn(T_MARK, lit(true)).alias("t")
-    val s = src.withColumn(S_MARK, lit(true)).alias("s")
-    val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
-    val guard = matchedGuard.map(expr).getOrElse(lit(true))
-    val takeSrc = col(S_MARK).isNotNull && (col(T_MARK).isNull || guard)
-    val merged = t.join(s, joinCond, "full_outer")
-      .select(cols.map(c => when(takeSrc, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
-    overwrite(merged)
+
+    def mergedOf(target: DataFrame): DataFrame = {
+      val t = target.withColumn(T_MARK, lit(true)).alias("t")
+      val s = src.withColumn(S_MARK, lit(true)).alias("s")
+      val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+      val guard = matchedGuard.map(expr).getOrElse(lit(true))
+      val takeSrc = col(S_MARK).isNotNull && (col(T_MARK).isNull || guard)
+      t.join(s, joinCond, "full_outer")
+        .select(cols.map(c => when(takeSrc, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
+    }
+
+    m.pcol match {
+      case None =>
+        overwrite(mergedOf(readScoped(m, None)))
+      case Some(p) =>
+        // touched partitions = the source's partition values (small, driver-side)
+        val touched = src.select(col(p).cast("string")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        require(!touched.contains(null), s"null partition value in column $p")
+        val touchedSet = touched.toSet
+        val merged = mergedOf(readScoped(m, Some(touchedSet)))
+        val (dir, owned) = writeData(merged, Some(p))
+        val kept = m.entries
+          .map(e => e.copy(owned = e.owned.map(_.filterNot(touchedSet))))
+          .filter(_.owned.exists(_.nonEmpty))
+        commit(Manifest(m.schema, m.pcol, kept :+ DirEntry(dir, owned)))
+    }
   }
 
   /** Drop data dirs not referenced by the newest `keepVersions` manifests. */
@@ -166,7 +280,7 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
     val cur = currentVersion
     val keep = (math.max(0L, cur - keepVersions + 1) to cur)
       .filter(v => Files.exists(manifestFile(v)))
-      .flatMap(v => readManifest(v).dirs).toSet
+      .flatMap(v => readManifest(v).entries.map(_.dir)).toSet
     val dataRoot = Paths.get(root, "data")
     if (Files.isDirectory(dataRoot)) {
       Files.list(dataRoot).iterator().asScala.toList.foreach { p =>
@@ -174,12 +288,20 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
       }
     }
   }
+
+  /** Rewrite the whole table into a single dir (small-file compaction for
+   *  tables that accumulated many append/merge dirs). */
+  def compact(): Unit = synchronized {
+    val m = manifest
+    overwrite(readScoped(m, None), m.pcol)
+  }
 }
 
 object LakeTable {
   private val T_MARK = "__t_exists"
   private val S_MARK = "__s_exists"
-  private case class Manifest(schema: StructType, dirs: Seq[String])
+  private case class DirEntry(dir: String, owned: Option[Seq[String]])
+  private case class Manifest(schema: StructType, pcol: Option[String], entries: Seq[DirEntry])
 
   def apply(spark: SparkSession, root: String): LakeTable = new LakeTable(spark, root)
 

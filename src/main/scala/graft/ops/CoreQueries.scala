@@ -77,6 +77,17 @@ object CoreQueries {
         GROUP BY user_id, event_type HAVING COUNT(*) > 1
         ORDER BY user_id, event_type""")),
 
+    // §2.5: ORDER BY + LIMIT top-k (absent from the reference; Spark plans
+    // this as TakeOrderedAndProject — per-partition heaps + driver merge,
+    // never a global sort, so it scales to any input size).
+    Q("a5_topk_limit", (s, d) =>
+      t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+
     // ---- §2.2 projections / filters ----------------------------------------
 
     // P1+P2: silver re-typing — string→double cast and string→date parse

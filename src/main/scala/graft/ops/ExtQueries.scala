@@ -4,7 +4,9 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Media, Similarity}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.ext.{Dedup, Media, Similarity, Skew}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.ingest.BronzeIngest
 import graft.lake.LakeTable
@@ -273,6 +275,39 @@ object ExtQueries {
           ${TF.docFingerprintSql("text")} AS fingerprint,
           ${TF.fingerprintBucketSql("text")} AS bucket
         FROM documents ORDER BY doc_id""")),
+
+    // ---- skew mitigation ----------------------------------------------------
+
+    // Salted two-phase aggregation over a deliberately hot key (6 distinct
+    // l_returnflag/l_linestatus cells own all rows). The rewrite is
+    // result-preserving: the oracle is the plain GROUP BY.
+    Q("k1_salted_agg", (s, d) =>
+      Skew.saltedAggregate(
+        t(s, d, "lineitem"), keys = Seq("l_returnflag"), saltBuckets = 16,
+        saltSource = Seq("l_orderkey", "l_linenumber", "l_partkey"),
+        partialAggs = Seq(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).as("psum"),
+          count(lit(1)).as("pcnt")),
+        finalAggs = Seq(
+          sum(col("psum")).cast(DoubleType).as("sum_qty"),
+          sum(col("pcnt")).as("cnt")))
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag, ${dsumSql("l_quantity")} AS sum_qty,
+          COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Salted dimension join (hot FK spread over 8 sub-keys) feeding an
+    // order-insensitive rollup; oracle is the unsalted join + GROUP BY.
+    Q("k2_salted_join", (s, d) => {
+      val joined = Skew.saltedJoin(
+        t(s, d, "lineitem"), t(s, d, "supplier"), "l_suppkey", "s_suppkey", 8)
+      joined.groupBy("s_name")
+        .agg(dsum(col("l_extendedprice")).as("total_price"), count(lit(1)).as("cnt"))
+        .orderBy("s_name")
+    },
+      Some(s"""SELECT s_name, ${dsumSql("l_extendedprice")} AS total_price, COUNT(*) AS cnt
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name ORDER BY s_name""")),
 
     // ---- streaming ingest + catalog (S-family round-trips) ------------------
 

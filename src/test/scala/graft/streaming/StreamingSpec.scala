@@ -105,6 +105,28 @@ class StreamingSpec extends SparkSpec {
       (2L, Timestamp.valueOf("2024-01-01 00:00:00"), 30.0)))
   }
 
+  test("LakeTable.readStream tails an append-only bronze table exactly-once") {
+    import graft.lake.LakeTable
+    val root = tmpDir("st_tail")
+    val tbl = LakeTable(spark, s"$root/bronze")
+    tbl.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+
+    val cp = s"$root/cp"; val out = s"$root/out"
+    def drain(): Unit = {
+      val q = tbl.readStream.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(out).count() == 2)
+    tbl.append(Seq((3L, "c")).toDF("k", "v"))
+    drain() // only the new file's rows flow
+    assert(spark.read.parquet(out).count() == 3)
+    drain() // nothing new
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
   test("streaming dedup with watermark (dropDuplicates on key within horizon)") {
     val dir = tmpDir("st_dedup")
     writeCsv(dir, "b1.csv",
