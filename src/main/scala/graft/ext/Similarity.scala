@@ -30,12 +30,12 @@ import graft.functions.VectorFunctions
  */
 object Similarity {
 
-  /** Per-row projection: id, double vector `__v`, precomputed norm `__nrm`.
-   *  Persisted — every caller joins it at least twice, and Catalyst would
-   *  otherwise recompute the projection per join side. */
+  /** Per-row projection: id, raw vector `__v`, precomputed norm `__nrm`.
+   *  The native dot expression widens float elements exactly, so the vector
+   *  stays in its compact float form. Persisted — every caller joins it at
+   *  least twice, and Catalyst would otherwise recompute per join side. */
   private def prepared(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val v = VectorFunctions.toDouble(col(vecCol))
-    emb.select(col(idCol), v.as("__v"))
+    emb.select(col(idCol), col(vecCol).as("__v"))
       .withColumn("__nrm", sqrt(VectorFunctions.dot(col("__v"), col("__v"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
   }

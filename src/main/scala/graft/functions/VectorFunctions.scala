@@ -21,8 +21,15 @@ object VectorFunctions {
    *  double-exact and portable. */
   def toDouble(v: Column): Column = transform(v, _.cast(DoubleType))
 
-  /** Sequential dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential dot product of two float/double arrays — the native codegen
+   *  expression ([[graft.expressions.VectorDot]]); bit-identical to the
+   *  higher-order fold [[dotHof]] (and to DuckDB's `list_dot_product`), just
+   *  compiled to a primitive loop. */
+  def dot(a: Column, b: Column): Column = graft.expressions.VectorDot.dot(a, b)
+
+  /** Interpreted higher-order-function formulation of [[dot]] — kept as the
+   *  executable specification the native expression is tested against. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, p) => acc + p)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -45,14 +52,14 @@ object VectorFunctions {
    * bucket key, turning the O(n²) similarity join into O(n) + per-bucket work.
    */
   def lshBucket(vF: Column, dim: Int, nBits: Int, seed: Int = 0): Column = {
-    val v = toDouble(vF)
     val bits = (0 until nBits).map { i =>
       // plane as a literal array → tiny expression tree (the unrolled
       // per-coordinate form blew up codegen), dot as the same sequential
-      // fold the oracle's list_dot_product performs.
+      // fold the oracle's list_dot_product performs (native expression
+      // widens float elements exactly, so no explicit toDouble needed).
       val w = array((0 until dim).map(j =>
         lit(planeWeight(seed + i, j, dim).toDouble)): _*)
-      when(dot(v, w) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(dot(vF, w) >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _).cast(LongType)
   }

@@ -1,0 +1,51 @@
+package graft.expressions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+import graft.ops.t
+
+class VectorDotSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native dot is bit-identical to the higher-order fold on real embeddings") {
+    val emb = t(spark, sfDir, "embeddings")
+    val pairs = emb.select(col("vec_id").as("a_id"), col("embedding").as("a"))
+      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("b")),
+        col("a_id") < col("b_id") && col("a_id") < 20 && col("b_id") < 20)
+    val diff = pairs.select(
+      (VectorFunctions.dot(col("a"), col("b")) =!=
+        VectorFunctions.dotHof(VectorFunctions.toDouble(col("a")),
+          VectorFunctions.toDouble(col("b")))).as("d"))
+      .filter(col("d")).count()
+    assert(diff == 0)
+  }
+
+  test("double arrays, float/double mix, and empty arrays") {
+    val df = Seq((Array(1.5, 2.5), Array(2.0, 4.0))).toDF("a", "b")
+    assert(df.select(VectorFunctions.dot(col("a"), col("b"))).as[Double].head() == 13.0)
+    val mixed = Seq((Array(1.5f, 2.5f), Array(2.0, 4.0))).toDF("a", "b")
+    assert(mixed.select(VectorFunctions.dot(col("a"), col("b"))).as[Double].head() == 13.0)
+    val empty = Seq((Array.empty[Float], Array.empty[Float])).toDF("a", "b")
+    assert(empty.select(VectorFunctions.dot(col("a"), col("b"))).as[Double].head() == 0.0)
+  }
+
+  test("null array or null element → null result (HOF parity)") {
+    val df = Seq(
+      (Some(Seq(Some(1.0f), None)), Some(Seq(Some(1.0f), Some(2.0f)))),
+      (None, Some(Seq(Some(1.0f))))).toDF("a", "b")
+    val got = df.select(VectorFunctions.dot(col("a"), col("b")).as("d"))
+      .collect().map(r => Option(r.get(0))).toSeq
+    assert(got == Seq(None, None))
+  }
+
+  test("participates in whole-stage codegen") {
+    val emb = t(spark, sfDir, "embeddings")
+    val df = emb.select(VectorFunctions.dot(col("embedding"), col("embedding")).as("d"))
+    df.collect()
+    // the "*(n)" prefix marks WholeStageCodegen spans in the plan rendering
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("vector_dot"), plan)
+  }
+}
