@@ -123,26 +123,31 @@ object ExtQueries {
           ${Dedup.simhashSql(TF.tokensSql(TF.normalizeTextSql("text")), 16)} >> 8 AS bucket
         FROM documents ORDER BY doc_id""")),
 
-    // Exact n-gram Jaccard over blocked pairs (blocking = same lang+source
-    // bounds the pair count; exact set similarity on survivors).
+    // Exact n-gram Jaccard over blocked pairs. Blocking = (lang, source,
+    // length band): near-duplicates have near-equal length, so banding
+    // n_chars cuts the quadratic pair count without losing real dups —
+    // the standard exact-verification stage after LSH at corpus scale.
     Q("x4_dedup_jaccard_pairs", (s, d) => {
       // persist: the self-join would re-run the regex shingling per side.
       val dd = t(s, d, "documents").select(col("doc_id"), col("lang"), col("source"),
+        floor(col("n_chars") / 150).as("len_band"),
         TF.wordShingles(col("text"), 2).as("sh")).persist()
       val a = dd.alias("a"); val b = dd.alias("b")
       a.join(b, col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.len_band") === col("b.len_band") && col("a.doc_id") < col("b.doc_id"))
         .withColumn("jaccard", Dedup.jaccard(col("a.sh"), col("b.sh")))
         .filter(col("jaccard") >= 0.1)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
       Some(s"""WITH sh AS (
-          SELECT doc_id, lang, source, ${TF.wordShinglesSql("text", 2)} AS sh FROM documents)
+          SELECT doc_id, lang, source, CAST(floor(n_chars / 150) AS BIGINT) AS len_band,
+            ${TF.wordShinglesSql("text", 2)} AS sh FROM documents)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           ${Dedup.jaccardSql("a.sh", "b.sh")} AS jaccard
         FROM sh a JOIN sh b
-          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+          ON a.lang = b.lang AND a.source = b.source
+            AND a.len_band = b.len_band AND a.doc_id < b.doc_id
         WHERE ${Dedup.jaccardSql("a.sh", "b.sh")} >= 0.1
         ORDER BY doc_a, doc_b""")),
 

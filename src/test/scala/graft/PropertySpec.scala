@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.gold.GoldBuilder
+import graft.lake.LakeTable
+
+/**
+ * ScalaCheck properties for the merge/dedup core (SURVEY §5): random
+ * key/sequence sets must satisfy
+ *  - latestPerKey ≡ group-max semantics (one row per key, max sequence);
+ *  - merge idempotence (replaying a source is a no-op);
+ *  - merge convergence (strict-newer guarded batches commute).
+ * Generators sampled across fixed seeds (Spark round-trips are too slow for
+ * the default 100-case forAll; 8 seeded cases per property keep runtime
+ * bounded while staying reproducible).
+ */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rowGen = for {
+    k <- Gen.choose(0L, 8L)
+    seq <- Gen.choose(0L, 20L)
+    v <- Gen.alphaStr.map(_.take(4))
+  } yield (k, new Timestamp(86400000L * seq), v)
+
+  private val batchGen = Gen.listOfN(30, rowGen)
+
+  private def sample(seed: Long): List[(Long, Timestamp, String)] =
+    batchGen(Gen.Parameters.default, Seed(seed))
+      .getOrElse(sys.error("gen failed"))
+
+  test("latestPerKey equals group-max semantics on random batches") {
+    for (seed <- 1L to 8L) {
+      val rows = sample(seed)
+      val df = rows.toDF("k", "seq", "v")
+      val got = GoldBuilder(spark).latestPerKey(df, Seq("k"), "seq", Seq("v"))
+        .select("k", "seq").as[(Long, Timestamp)].collect().toMap
+      val expect = rows.groupBy(_._1).view.mapValues(_.map(_._2.getTime).max).toMap
+      assert(got.size == expect.size, s"seed=$seed")
+      expect.foreach { case (k, maxSeq) =>
+        assert(got(k).getTime == maxSeq, s"seed=$seed key=$k") }
+    }
+  }
+
+  test("merge of a deduped batch is idempotent on random data") {
+    for (seed <- 11L to 18L) {
+      val rows = sample(seed)
+      val t = LakeTable(spark, s"${tmpDir("prop_idem")}/t")
+      val batch = GoldBuilder(spark)
+        .latestPerKey(rows.toDF("k", "seq", "v"), Seq("k"), "seq", Seq("v"))
+      t.create(batch.schema)
+      t.merge(batch, Seq("k"), Some("s.seq >= t.seq"))
+      val snap1 = t.read.orderBy("k", "seq", "v").collect().toSeq
+      t.merge(batch, Seq("k"), Some("s.seq >= t.seq"))
+      assert(t.read.orderBy("k", "seq", "v").collect().toSeq == snap1, s"seed=$seed")
+    }
+  }
+
+  test("latest-wins merges converge on (k, seq) regardless of batch order") {
+    for (seed <- 21L to 24L) {
+      val rowsA = sample(seed); val rowsB = sample(seed + 100)
+      val gb = GoldBuilder(spark)
+      def dedup(rows: List[(Long, Timestamp, String)]) =
+        gb.latestPerKey(rows.toDF("k", "seq", "v"), Seq("k"), "seq", Seq("v"))
+      def runOrder(first: List[(Long, Timestamp, String)],
+          second: List[(Long, Timestamp, String)], tag: String) = {
+        val t = LakeTable(spark, s"${tmpDir(s"prop_conv_$tag")}/t")
+        t.create(dedup(first).schema)
+        t.merge(dedup(first), Seq("k"), Some("s.seq > t.seq"))
+        t.merge(dedup(second), Seq("k"), Some("s.seq > t.seq"))
+        t.read.select("k", "seq").as[(Long, Timestamp)].collect().toMap
+      }
+      val ab = runOrder(rowsA, rowsB, "ab")
+      val ba = runOrder(rowsB, rowsA, "ba")
+      assert(ab.keySet == ba.keySet, s"seed=$seed")
+      // the final sequence per key is the global per-key max in either order
+      ab.foreach { case (k, seq) => assert(ba(k) == seq, s"seed=$seed key=$k") }
+    }
+  }
+}
