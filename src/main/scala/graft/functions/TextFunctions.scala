@@ -71,16 +71,15 @@ object TextFunctions {
   def langScore(text: Column, markers: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(markers: _*))).cast(LongType)
 
+  /** Argmax-with-precedence = FIRST index achieving the max score (ties go
+   *  to the earlier language, 'und' when no marker hits) — one score pass
+   *  per language instead of the O(L²) pairwise-comparison formulation. */
   def languageId(text: Column): Column = {
-    val scores = LangMarkers.map { case (l, m) => l -> langScore(text, m) }
-    // argmax with fixed precedence: a language wins iff its score is strictly
-    // greater than every earlier language's and >= every later one's.
-    val best = scores.zipWithIndex.foldLeft(lit("und")) { case (acc, ((l, s), i)) =>
-      val beatsEarlier = scores.take(i).map(_._2 < s).foldLeft(lit(true))(_ && _)
-      val tiesLater = scores.drop(i + 1).map(_._2 <= s).foldLeft(lit(true))(_ && _)
-      when(s > 0 && beatsEarlier && tiesLater, lit(l)).otherwise(acc)
-    }
-    best
+    val scores = array(LangMarkers.map { case (_, m) => langScore(text, m) }: _*)
+    val maxS = array_max(scores)
+    val langs = array(LangMarkers.map { case (l, _) => lit(l) }: _*)
+    when(maxS > 0, element_at(langs, array_position(scores, maxS).cast("int")))
+      .otherwise(lit("und"))
   }
 
   /** 60-bit portable hash of a string: first 15 hex chars of md5 as int. */
@@ -168,15 +167,11 @@ object TextFunctions {
   def languageIdSql(c: String): String = {
     val toks = tokensSql(c)
     def score(markers: Seq[String]) =
-      s"len(list_filter($toks, t -> list_contains(${sqlStringList(markers)}, t)))"
-    val scores = LangMarkers.map { case (l, m) => l -> score(m) }
-    val whens = scores.zipWithIndex.map { case ((l, s), i) =>
-      val beatsEarlier = scores.take(i).map(e => s"${e._2} < $s")
-      val tiesLater = scores.drop(i + 1).map(e => s"${e._2} <= $s")
-      val conds = (s"$s > 0" +: (beatsEarlier ++ tiesLater)).mkString(" AND ")
-      s"WHEN $conds THEN '$l'"
-    }
-    s"(CASE ${whens.mkString(" ")} ELSE 'und' END)"
+      s"CAST(len(list_filter($toks, t -> list_contains(${sqlStringList(markers)}, t))) AS BIGINT)"
+    val scores = LangMarkers.map { case (_, m) => score(m) }.mkString("[", ", ", "]")
+    val langs = sqlStringList(LangMarkers.map(_._1))
+    s"(CASE WHEN list_max($scores) > 0 " +
+      s"THEN $langs[list_position($scores, list_max($scores))] ELSE 'und' END)"
   }
 
   def hash60Sql(e: String): String =

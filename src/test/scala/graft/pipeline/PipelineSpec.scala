@@ -63,6 +63,37 @@ class PipelineSpec extends SparkSpec {
     assert(gate.violations("v_positive") == 1L)
   }
 
+  test("runCdcFlowStreaming: incremental bronze→silver CDC with checkpoint") {
+    import graft.lake.LakeTable
+    val root = tmpDir("pl_stream")
+    val bronze = LakeTable(spark, s"$root/bronze")
+    bronze.append(Seq(
+      (1L, "a", ts("2024-01-01 00:00:00")),
+      (1L, "b", ts("2024-01-02 00:00:00")),
+      (2L, "x", ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq"))
+
+    val p = new Pipeline(spark, s"$root/silver")
+    p.streamingTable("silver")
+    p.runCdcFlowStreaming("silver", bronze, Seq("k"), "seq", s"$root/cp")
+    assert(p.read("silver").orderBy("k").as[(Long, String, Timestamp)].collect().toSeq ==
+      Seq((1L, "b", ts("2024-01-02 00:00:00")), (2L, "x", ts("2024-01-01 00:00:00"))))
+    val v1 = p.table("silver").currentVersion
+
+    // no new bronze files → checkpoint yields an empty run, no new merge
+    p.runCdcFlowStreaming("silver", bronze, Seq("k"), "seq", s"$root/cp")
+    assert(p.table("silver").currentVersion == v1)
+
+    // new bronze append: only the new rows flow; latest-wins applies
+    bronze.append(Seq(
+      (1L, "stale", ts("2023-12-01 00:00:00")),
+      (3L, "new", ts("2024-01-05 00:00:00"))).toDF("k", "v", "seq"))
+    p.runCdcFlowStreaming("silver", bronze, Seq("k"), "seq", s"$root/cp")
+    assert(p.read("silver").orderBy("k").as[(Long, String, Timestamp)].collect().toSeq ==
+      Seq((1L, "b", ts("2024-01-02 00:00:00")),
+        (2L, "x", ts("2024-01-01 00:00:00")),
+        (3L, "new", ts("2024-01-05 00:00:00"))))
+  }
+
   test("views resolve lazily and read() prefers materialized tables") {
     val p = new Pipeline(spark, tmpDir("pl_views"))
     var evaluated = false
