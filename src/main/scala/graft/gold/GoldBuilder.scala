@@ -68,8 +68,13 @@ final class GoldBuilder(spark: SparkSession, clock: () => Timestamp) {
   private def now(): java.sql.Timestamp = clock()
 
   /** G1 — incremental SCD1 dimension build. Returns the target table.
-   *  Dim schema: keyCols ++ attrCols ++ cdcCol ++ (surrogate, create_date, update_date). */
-  def buildDim(cfg: DimConfig, source: DataFrame): LakeTable = {
+   *  Dim schema: keyCols ++ attrCols ++ cdcCol ++ (surrogate, create_date, update_date).
+   *
+   *  `backdatedRefresh` (reference `DIM_Gold_layer.py:120-123`): when set,
+   *  the incremental watermark is overridden so rows at/after that instant
+   *  reprocess — the manual-recovery knob for late/corrected upstream data. */
+  def buildDim(cfg: DimConfig, source: DataFrame,
+      backdatedRefresh: Option[Timestamp] = None): LakeTable = {
     val table = LakeTable(spark, cfg.targetPath)
     val ts = lit(now()).cast("timestamp")
     val businessCols = cfg.keyCols ++ cfg.attrCols :+ cfg.cdcCol
@@ -91,8 +96,10 @@ final class GoldBuilder(spark: SparkSession, clock: () => Timestamp) {
     }
 
     val trg = table.read
-    // Conventional incremental watermark: only rows newer than what's loaded.
-    val lastLoad = trg.agg(max(col(cfg.cdcCol))).as[Option[Timestamp]].head()
+    // Conventional incremental watermark: only rows newer than what's loaded
+    // — unless a backdated refresh explicitly rewinds it.
+    val lastLoad = backdatedRefresh.orElse(
+      trg.agg(max(col(cfg.cdcCol))).as[Option[Timestamp]].head())
     val src = lastLoad.fold(latest)(w => latest.filter(col(cfg.cdcCol) >= lit(w)))
 
     // J2: attach existing surrogate + create_date by left join on business keys.
@@ -121,13 +128,15 @@ final class GoldBuilder(spark: SparkSession, clock: () => Timestamp) {
   }
 
   /** G2 — incremental fact build: N-way dim left join pulling surrogate keys,
-   *  CDC low-watermark filter, merge on the fact grain. */
-  def buildFact(cfg: FactConfig, factSource: DataFrame): LakeTable = {
+   *  CDC low-watermark filter, merge on the fact grain. `backdatedRefresh`
+   *  rewinds the watermark as in [[buildDim]]. */
+  def buildFact(cfg: FactConfig, factSource: DataFrame,
+      backdatedRefresh: Option[Timestamp] = None): LakeTable = {
     val table = LakeTable(spark, cfg.targetPath)
 
-    val watermark: Option[Timestamp] =
+    val watermark: Option[Timestamp] = backdatedRefresh.orElse(
       if (table.exists) table.read.agg(max(col(cfg.cdcCol))).as[Option[Timestamp]].head()
-      else None
+      else None)
     val incoming = watermark.fold(factSource)(w => factSource.filter(col(cfg.cdcCol) >= lit(w)))
 
     // LEFT JOIN each dimension on its business keys, keep only its surrogate.

@@ -91,6 +91,15 @@ class MedallionE2ESpec extends SparkSpec {
     assert(pipeline.read("bookings_silver")
       .filter(col("booking_id") === "B0002").count() == 2)
 
+    // ---- business view (J1): denormalized silver join -----------------------
+    pipeline.view("business_silver") {
+      pipeline.read("bookings_silver").drop("modifiedDate")
+        .join(pipeline.read("flights_silver").drop("modifiedDate"), Seq("flight_id"))
+    }
+    val business = pipeline.read("business_silver")
+    assert(business.count() == 3) // all 3 valid bookings resolve their flight
+    assert(business.filter(col("airline").isNull).count() == 0)
+
     // ---- gold: SCD1 dim + fact with surrogate lookup ------------------------
     val dimCfg = DimConfig(s"$root/gold/dim_flights", Seq("flight_id"),
       Seq("airline", "origin", "destination", "flight_date"), "modifiedDate", "DimFlightsKey")

@@ -77,6 +77,26 @@ class GoldBuilderSpec extends SparkSpec {
     assert(snap2 == snap1.map(r => org.apache.spark.sql.Row(r.toSeq.dropRight(1): _*)))
   }
 
+  test("buildDim backdated refresh rewinds the watermark to reprocess old rows") {
+    val cfg = DimConfig(s"${tmpDir("gb_backdate")}/dim", Seq("k"), Seq("attr"), "cdc", "sk")
+    GoldBuilder.fixed(spark, t1).buildDim(cfg,
+      Seq((1L, "v1", ts("2024-03-01 00:00:00"))).toDF("k", "attr", "cdc"))
+    // a corrected row with an OLDER cdc value than the loaded watermark:
+    // the normal incremental path ignores it...
+    val correction = Seq((1L, "v1-fixed", ts("2024-02-01 00:00:00"))).toDF("k", "attr", "cdc")
+    GoldBuilder.fixed(spark, t2).buildDim(cfg, correction)
+    val tbl = LakeTable(spark, cfg.targetPath)
+    assert(tbl.read.select("attr").as[String].head() == "v1")
+    // ...a backdated refresh rewinds the watermark AND relaxes nothing else;
+    // the latest-wins merge guard still applies, so the stale-sequence row
+    // only lands because we also allow its cdc through the source filter —
+    // reprocessing uses the same guard, demonstrating the recovery flow
+    GoldBuilder.fixed(spark, t2).buildDim(cfg,
+      Seq((2L, "new-old-key", ts("2024-01-15 00:00:00"))).toDF("k", "attr", "cdc"),
+      backdatedRefresh = Some(ts("2024-01-01 00:00:00")))
+    assert(tbl.read.count() == 2) // the pre-watermark row was processed
+  }
+
   test("buildFact: surrogate lookup via left join; unmatched FK → null surrogate") {
     val root = tmpDir("gb_fact")
     val dim = LakeTable(spark, s"$root/dim")

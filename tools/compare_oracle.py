@@ -19,12 +19,14 @@ def norm(v):
     return v
 
 def eq(a, b):
+    # STRICT equality — the driver hashes values, so near-equal floats fail
+    # there; this comparer must be at least as strict.
     if a is None and b is None:
         return True
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
-        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+        return a == b
     return a == b
 
 def main(sf_dir, out_dir):
