@@ -102,10 +102,13 @@ final class GoldBuilder(spark: SparkSession, clock: () => Timestamp) {
       trg.agg(max(col(cfg.cdcCol))).as[Option[Timestamp]].head())
     val src = lastLoad.fold(latest)(w => latest.filter(col(cfg.cdcCol) >= lit(w)))
 
-    // J2: attach existing surrogate + create_date by left join on business keys.
+    // J2: attach existing surrogate + create_date by left join on business
+    // keys. Persisted: the OLD/NEW split below consumes it twice, and the
+    // branch would otherwise re-run the dedup window + join per side.
     val trgKeys = trg.select(
       (cfg.keyCols.map(col) :+ col(cfg.surrogateCol).as("__sk") :+ col("create_date").as("__cd")): _*)
     val joined = src.join(trgKeys, cfg.keyCols, "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // P5 split: OLD rows keep surrogate/create_date and restamp update_date;
     // NEW rows mint surrogate keys above the current max.
@@ -124,6 +127,7 @@ final class GoldBuilder(spark: SparkSession, clock: () => Timestamp) {
     // U1 + S8: recombine and latest-wins merge (guard as in DIM_Gold_layer.py:281).
     val upserts = old.unionByName(fresh)
     table.merge(upserts, cfg.keyCols, Some(s"s.${cfg.cdcCol} >= t.${cfg.cdcCol}"))
+    joined.unpersist()
     table
   }
 

@@ -31,14 +31,12 @@ import graft.lake.LakeTable
  * the target would be key-partitioned so only touched partitions rewrite.
  */
 final class Pipeline(val spark: SparkSession, storageRoot: String) {
+  import Pipeline.CdcFlow
+
   private val views = mutable.LinkedHashMap[String, () => DataFrame]()
   private val tables = mutable.LinkedHashMap[String, LakeTable]()
   private val flows = mutable.ArrayBuffer[CdcFlow]()
   private val gates = mutable.LinkedHashMap[String, Expectations.Gate]()
-
-  private final case class CdcFlow(
-      target: String, source: String, keys: Seq[String],
-      sequenceBy: String, tiebreak: Seq[String])
 
   /** Register a named transformation (O3 `@dlt.view`). */
   def view(name: String)(fn: => DataFrame): this.type = {
@@ -131,4 +129,10 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       .start()
     q.awaitTermination()
   }
+}
+
+object Pipeline {
+  private final case class CdcFlow(
+      target: String, source: String, keys: Seq[String],
+      sequenceBy: String, tiebreak: Seq[String])
 }
