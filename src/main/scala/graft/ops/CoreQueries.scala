@@ -77,6 +77,31 @@ object CoreQueries {
         GROUP BY user_id, event_type HAVING COUNT(*) > 1
         ORDER BY user_id, event_type""")),
 
+    // §2.4 extension: hierarchical ROLLUP (subtotals + grand total) — one
+    // pass, Catalyst expands the grouping sets without re-scanning.
+    Q("a6_rollup", (s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+          ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS cnt
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // §2.4 extension: distinct aggregation (exact). Catalyst plans this as
+    // a two-phase expand + aggregate; the approximate HLL variant
+    // (approx_count_distinct) swaps in for the 100 TB path.
+    Q("a7_count_distinct", (s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers,
+          COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // §2.5: ORDER BY + LIMIT top-k (absent from the reference; Spark plans
     // this as TakeOrderedAndProject — per-partition heaps + driver merge,
     // never a global sort, so it scales to any input size).
