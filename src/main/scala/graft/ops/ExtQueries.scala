@@ -350,6 +350,27 @@ object ExtQueries {
       Some("""SELECT true AS db_exists, true AS view_exists,
         (SELECT MAX(ts) FROM events) AS max_ts""")),
 
+    // ---- semi-structured (JSON) columns -------------------------------------
+
+    // JSON property extraction + typed aggregation over the events.props
+    // payload — the schema-on-read path every log/telemetry pipeline needs.
+    // get_json_object is codegen'd; from_json with an explicit schema is the
+    // bulk-typed alternative when the payload shape is known.
+    Q("x16_json_extract", (s, d) =>
+      t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .filter(col("k").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS cnt,
+          SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+          MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+          MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+        GROUP BY event_type ORDER BY event_type""")),
+
     // ---- multimodal plumbing ------------------------------------------------
 
     // Binary payload column + typed metadata; features via column functions
