@@ -34,11 +34,10 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity of two float-array columns (cast, dot, normalize). */
-  def cosine(aF: Column, bF: Column): Column = {
-    val a = toDouble(aF); val b = toDouble(bF)
+  /** Cosine similarity of two float/double-array columns — the native dot
+   *  widens floats exactly, so no up-front cast is needed. */
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
-  }
 
   /**
    * Deterministic signed-random-projection LSH bucket for a float vector:

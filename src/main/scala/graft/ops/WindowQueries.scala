@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import org.apache.spark.sql.types.DoubleType
 
 /**
@@ -50,6 +51,39 @@ object WindowQueries {
         SELECT w_start, w_start + INTERVAL '1 hour' AS w_end,
           COUNT(*) AS cnt, ${dsumSql("value")} AS sum_value
         FROM exploded GROUP BY 1, 2 ORDER BY w_start""")),
+
+    // The SAME tumbling aggregation as a real Structured Streaming query:
+    // parquet file stream → watermark → windowed agg → memory sink,
+    // AvailableNow. Complete output mode makes the drained result equal the
+    // batch plan's, so the batch oracle replays it exactly — proving the
+    // streaming operator (state store + watermark plumbing) computes the
+    // identical aggregation.
+    Q("w_streaming_tumbling", (s, d) => {
+      // the streaming file source wants a directory: stage the single
+      // parquet file into one (byte copy, file-level)
+      val stage = java.nio.file.Files.createTempDirectory("graft_wst")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        stage.resolve("events.parquet"))
+      val raw = s.read.parquet(s"$d/events.parquet").schema
+      val stream = s.readStream.schema(raw).parquet(stage.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+          col("event_type"), col("cnt"), col("sum_value"))
+      val q = stream.writeStream.format("memory")
+        .queryName("w_streaming_tumbling_sink")
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("w_streaming_tumbling_sink").orderBy("w_start", "event_type")
+    },
+      Some(s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+          time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS w_end,
+          event_type, COUNT(*) AS cnt, ${dsumSql("value")} AS sum_value
+        FROM events GROUP BY 1, 2, 3 ORDER BY w_start, event_type""")),
 
     // Session windows per user, 10-minute gap. Spark closes a session when the
     // next event's ts >= previous ts + gap; window end = last ts + gap. The
