@@ -131,6 +131,44 @@ object Dedup {
     }.mkString("CAST((", " + ", ") AS BIGINT)")
   }
 
+  /**
+   * Connected components over near-duplicate pairs: every node gets the
+   * MINIMUM id reachable through the pair graph as its cluster label — the
+   * canonical-document assignment of clustering dedup ("keep one doc per
+   * near-dup cluster").
+   *
+   * Iterative min-label propagation: per round, each node takes the min of
+   * its own label and its neighbors' labels; converges in O(graph diameter)
+   * rounds (near-dup clusters are shallow in practice). Each round is one
+   * join + one aggregation — shuffle-partitioned by node id, no driver-side
+   * graph state; the 100 TB upgrade is the large-star/small-star variant
+   * with the identical join shape.
+   */
+  def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("__src"), col(bCol).as("__dst"))
+      .unionByName(pairs.select(col(bCol).as("__src"), col(aCol).as("__dst")))
+      .distinct().persist()
+    var labels = nodes.select(col(idCol), col(idCol).as("cc")).persist()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val nbr = labels.join(edges, labels(idCol) === edges("__src"))
+        .select(col("__dst").as(idCol), col("cc"))
+      val next = labels.unionByName(nbr)
+        .groupBy(idCol).agg(min("cc").as("cc")).persist()
+      val changed = next.alias("n")
+        .join(labels.alias("o"), idCol)
+        .filter(col("n.cc") =!= col("o.cc")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exact Jaccard similarity of two distinct-element array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast(DoubleType)

@@ -169,6 +169,41 @@ object ExtQueries {
                     JOIN n nb ON cand.id_b = nb.vec_id)
         WHERE cos >= 0.4 ORDER BY id_a, id_b""")),
 
+    // Clustering dedup: connected components over the embedding near-dup
+    // pair graph — every vector labeled with its cluster's canonical
+    // (minimum) id; `is_canonical` marks the survivor per cluster.
+    Q("x17_dedup_clusters", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+        DIM, LSH_BITS, LSH_BANDS, minCosine = 0.4)
+      Dedup.connectedComponents(emb.select("vec_id"), "vec_id",
+          pairs, "id_a", "id_b")
+        .withColumn("is_canonical", col("vec_id") === col("cc"))
+        .orderBy("vec_id")
+    },
+      Some(s"""WITH RECURSIVE $NORM_CTE,
+        $BUCKET_CTE,
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM bk a JOIN bk b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        pairs AS (
+          SELECT id_a, id_b FROM (
+            SELECT id_a, id_b,
+              list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS cos
+            FROM cand JOIN n na ON cand.id_a = na.vec_id
+                      JOIN n nb ON cand.id_b = nb.vec_id)
+          WHERE cos >= 0.4),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(id, lbl) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+        SELECT id AS vec_id, MIN(lbl) AS cc, id = MIN(lbl) AS is_canonical
+        FROM reach GROUP BY id ORDER BY vec_id""")),
+
     // ---- similarity search --------------------------------------------------
 
     // Exact brute-force cosine top-k for a query subset (the baseline an ANN

@@ -83,6 +83,16 @@ class ExtSpec extends SparkSpec {
     byQ.foreach { case (q, ranks) => assert(ranks == (1 to ranks.size), s"q=$q ranks=$ranks") }
   }
 
+  test("connectedComponents labels chains transitively and keeps singletons") {
+    val nodes = (1L to 7L).toDF("id")
+    // chain 1-2-3, pair 5-6, singletons 4 and 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(nodes, "id", pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
   test("media: mapPartitions feature extraction matches the column-function path") {
     val docs = graft.ops.t(spark, sfDir, "documents").limit(50)
     val media = Media.synthesizeFromDocuments(docs)
