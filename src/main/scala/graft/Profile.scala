@@ -27,6 +27,16 @@ object Profile {
       r
     }
 
+    // x17 pipeline stages
+    val emb = t(spark, sfDir, "embeddings")
+    val pairs = graft.ext.Similarity.nearDupPairs(emb, "vec_id", "embedding",
+      64, 6, 4, minCosine = 0.4)
+    val p = time("nearDupPairs materialize")(pairs.persist())
+    time("nearDupPairs count")(p.count())
+    val cc = time("cc build")(graft.ext.Dedup.connectedComponents(
+      emb.select("vec_id"), "vec_id", p, "id_a", "id_b"))
+    time("cc count")(cc.count())
+
     val docs = t(spark, sfDir, "documents")
     time("raw count")(docs.count())
     val sh = docs

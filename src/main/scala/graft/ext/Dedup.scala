@@ -137,35 +137,43 @@ object Dedup {
    * canonical-document assignment of clustering dedup ("keep one doc per
    * near-dup cluster").
    *
-   * Iterative min-label propagation: per round, each node takes the min of
-   * its own label and its neighbors' labels; converges in O(graph diameter)
-   * rounds (near-dup clusters are shallow in practice). Each round is one
-   * join + one aggregation — shuffle-partitioned by node id, no driver-side
-   * graph state; the 100 TB upgrade is the large-star/small-star variant
-   * with the identical join shape.
+   * Iterative min-label propagation WITH pointer jumping: per round, each
+   * node takes the min of its own, its neighbors', and its label's label —
+   * the pointer-jump halves remaining chain lengths, so convergence is
+   * O(log diameter) rounds instead of O(diameter). Each round is two
+   * equi-joins + one aggregation — shuffle-partitioned by node id, no
+   * driver-side graph state; the same shape the large-star/small-star
+   * algorithm runs at 100 TB.
    */
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col(aCol).as("__src"), col(bCol).as("__dst"))
       .unionByName(pairs.select(col(bCol).as("__src"), col(aCol).as("__dst")))
-      .distinct().persist()
-    var labels = nodes.select(col(idCol), col(idCol).as("cc")).persist()
+      .distinct().localCheckpoint(true)
+    // localCheckpoint (not persist): iterative plans nest their whole
+    // history, so re-analysis cost grows per round — truncating lineage
+    // keeps every iteration O(current state).
+    var labels = nodes.select(col(idCol), col(idCol).as("cc")).localCheckpoint(true)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
       val nbr = labels.join(edges, labels(idCol) === edges("__src"))
         .select(col("__dst").as(idCol), col("cc"))
-      val next = labels.unionByName(nbr)
-        .groupBy(idCol).agg(min("cc").as("cc")).persist()
+      val merged = labels.unionByName(nbr)
+        .groupBy(idCol).agg(min("cc").as("cc")).localCheckpoint(true)
+      // pointer jump: follow the current label to ITS label and take the min
+      val jump = merged.select(col(idCol).as("__lid"), col("cc").as("__lcc"))
+      val next = merged.join(jump, merged("cc") === jump("__lid"), "left")
+        .select(merged(idCol),
+          least(merged("cc"), coalesce(col("__lcc"), merged("cc"))).as("cc"))
+        .localCheckpoint(true)
       val changed = next.alias("n")
         .join(labels.alias("o"), idCol)
         .filter(col("n.cc") =!= col("o.cc")).limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       it += 1
     }
-    edges.unpersist()
     labels
   }
 
