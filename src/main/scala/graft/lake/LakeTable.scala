@@ -256,6 +256,14 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
         .select(cols.map(c => when(takeSrc, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
     }
 
+    // fast path: merging into a table with no data dirs inserts everything —
+    // skip the full-outer join against an empty side (bootstrap merges are
+    // common: every CDC flow's first batch lands here)
+    if (m.entries.isEmpty) {
+      overwrite(src.select(cols.map(col): _*), m.pcol)
+      return
+    }
+
     m.pcol match {
       case None =>
         overwrite(mergedOf(readScoped(m, None)))
