@@ -370,8 +370,8 @@ object ExtQueries {
       Some("""SELECT event_id, user_id, event_type, value FROM events
         WHERE event_id % 100 = 0 ORDER BY event_id""")),
 
-    // S9-S12: catalog DDL, temp-view registration, existence introspection,
-    // scalar watermark collect.
+    // S6 + S9-S12: direct-path SQL scan, catalog DDL, temp-view
+    // registration, existence introspection, scalar watermark collect.
     Q("s9_catalog_ops", (s, d) => {
       import s.implicits._
       s.sql("CREATE DATABASE IF NOT EXISTS graft_cat")
@@ -379,11 +379,16 @@ object ExtQueries {
       val dbExists = s.catalog.databaseExists("graft_cat")
       val viewExists = s.catalog.tableExists("src_events")
       val maxTs = s.sql("SELECT MAX(ts) FROM src_events").head().getTimestamp(0)
+      // S6: SQL direct-path scan (`SELECT count(*) FROM delta.`path``-style)
+      val nRows = s.sql(s"SELECT count(*) FROM parquet.`$d/events.parquet`")
+        .head().getLong(0)
       Seq((dbExists, viewExists)).toDF("db_exists", "view_exists")
         .withColumn("max_ts", lit(maxTs))
+        .withColumn("n_rows", lit(nRows))
     },
       Some("""SELECT true AS db_exists, true AS view_exists,
-        (SELECT MAX(ts) FROM events) AS max_ts""")),
+        (SELECT MAX(ts) FROM events) AS max_ts,
+        (SELECT COUNT(*) FROM events) AS n_rows""")),
 
     // ---- semi-structured (JSON) columns -------------------------------------
 
