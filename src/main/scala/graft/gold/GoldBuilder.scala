@@ -144,11 +144,15 @@ final class GoldBuilder(spark: SparkSession, clock: () => Timestamp) {
     val incoming = watermark.fold(factSource)(w => factSource.filter(col(cfg.cdcCol) >= lit(w)))
 
     // LEFT JOIN each dimension on its business keys, keep only its surrogate.
+    // Dim-side join columns are renamed before the join: fact FKs usually
+    // share the dim key's name (f.flight_id = DimFlights.flight_id), and a
+    // post-join drop-by-name would take the fact's column with it.
     val enriched = cfg.dims.foldLeft(incoming) { (df, d) =>
+      def tag(dk: String) = s"__${d.surrogateCol}_$dk"
       val dimSel = d.dim.read.select(
-        (d.joinKeys.map { case (_, dk) => col(dk) } :+ col(d.surrogateCol)): _*)
-      val cond = d.joinKeys.map { case (fk, dk) => df(fk) === dimSel(dk) }.reduce(_ && _)
-      df.join(dimSel, cond, "left").drop(d.joinKeys.map(_._2): _*)
+        (d.joinKeys.map { case (_, dk) => col(dk).as(tag(dk)) } :+ col(d.surrogateCol)): _*)
+      val cond = d.joinKeys.map { case (fk, dk) => df(fk) === dimSel(tag(dk)) }.reduce(_ && _)
+      df.join(dimSel, cond, "left").drop(d.joinKeys.map(k => tag(k._2)): _*)
     }
     val out = enriched.select(
       (cfg.dims.map(d => col(d.surrogateCol)) ++ cfg.payloadCols.map(col)): _*)

@@ -36,6 +36,7 @@ class MedallionE2ESpec extends SparkSpec {
     val root = tmpDir("medallion")
     val landing = s"$root/landing/flights"
     val bLanding = s"$root/landing/bookings"
+    val pLanding = s"$root/landing/passengers"
 
     // ---- batch 1: base data -------------------------------------------------
     writeCsv(landing, "flights_base.csv",
@@ -49,10 +50,17 @@ class MedallionE2ESpec extends SparkSpec {
       "B0002,P002,F0003,200.00,2025-05-04",
       "B0002,P003,F0003,150.00,2025-05-04", // same booking_id, different passenger
       "B0003,,F0002,99.99,2025-05-05")      // null key → expectation drop
+    writeCsv(pLanding, "passengers_base.csv",
+      "passenger_id,name,gender,nationality",
+      "P001,Ada,Female,GB", "P002,Ben,Male,US", "P003,Cam,Female,CA")
 
-    val ingested = BronzeIngest.run(spark, landing, s"$root/bronze/flights", s"$root/cp/flights")
-    assert(ingested == 3)
-    BronzeIngest.run(spark, bLanding, s"$root/bronze/bookings", s"$root/cp/bookings")
+    // S13: parameterized multi-source fan-out, the reference's for-each job
+    val ingestedCounts = Seq(
+      "flights" -> landing, "bookings" -> bLanding, "passengers" -> pLanding)
+      .map { case (src, dir) =>
+        src -> BronzeIngest.run(spark, dir, s"$root/bronze/$src", s"$root/cp/$src")
+      }.toMap
+    assert(ingestedCounts == Map("flights" -> 3L, "bookings" -> 4L, "passengers" -> 3L))
 
     // ---- silver pipeline: re-type, expectations, SCD1 CDC -------------------
     val pipeline = new Pipeline(spark, s"$root/silver")
@@ -74,12 +82,20 @@ class MedallionE2ESpec extends SparkSpec {
         .withColumn("modifiedDate", clock(batchTs))
         .drop(BronzeIngest.RescueCol)
     }
+    pipeline.view("passengers_clean") {
+      LakeTable(spark, s"$root/bronze/passengers").read
+        .withColumn("modifiedDate", clock(batchTs))
+        .drop(BronzeIngest.RescueCol)
+    }
     pipeline.streamingTable("flights_silver")
     pipeline.streamingTable("bookings_silver")
+    pipeline.streamingTable("passengers_silver")
     pipeline.autoCdcFlow("flights_silver", "flights_clean",
       Seq("flight_id"), "modifiedDate")
     pipeline.autoCdcFlow("bookings_silver", "bookings_clean",
       Seq("booking_id", "passenger_id"), "modifiedDate")
+    pipeline.autoCdcFlow("passengers_silver", "passengers_clean",
+      Seq("passenger_id"), "modifiedDate")
     pipeline.run()
 
     val silverFlights = pipeline.read("flights_silver")
@@ -106,9 +122,18 @@ class MedallionE2ESpec extends SparkSpec {
     def goldAt(s: String) = GoldBuilder.fixed(spark, Timestamp.valueOf(s))
     goldAt("2030-01-01 12:00:00").buildDim(dimCfg, pipeline.read("flights_silver"))
 
+    // second dimension (passengers) → the fact resolves BOTH surrogate FKs,
+    // matching the reference's multi-dim star
+    val paxCfg = DimConfig(s"$root/gold/dim_passengers", Seq("passenger_id"),
+      Seq("name", "gender", "nationality"), "modifiedDate", "DimPassengersKey")
+    goldAt("2030-01-01 12:00:00").buildDim(paxCfg, pipeline.read("passengers_silver"))
+
     val factCfg = FactConfig(s"$root/gold/fact_bookings",
-      dims = Seq(FactDim(LakeTable(spark, dimCfg.targetPath),
-        Seq("flight_id" -> "flight_id"), "DimFlightsKey")),
+      dims = Seq(
+        FactDim(LakeTable(spark, dimCfg.targetPath),
+          Seq("flight_id" -> "flight_id"), "DimFlightsKey"),
+        FactDim(LakeTable(spark, paxCfg.targetPath),
+          Seq("passenger_id" -> "passenger_id"), "DimPassengersKey")),
       payloadCols = Seq("booking_id", "passenger_id", "amount", "booking_date", "modifiedDate"),
       factKeys = Seq("booking_id", "passenger_id"),
       cdcCol = "modifiedDate")
@@ -119,10 +144,11 @@ class MedallionE2ESpec extends SparkSpec {
     // surrogate keys are unique and dense
     assert(dim1.groupBy("DimFlightsKey").count().filter(col("count") > 1).count() == 0)
     assert(dim1.agg(max("DimFlightsKey")).head().getLong(0) == 3L)
-    // every fact row resolved its dim surrogate
+    // every fact row resolved BOTH dim surrogates
     val fact1 = LakeTable(spark, factCfg.targetPath).read
     assert(fact1.count() == 3)
-    assert(fact1.filter(col("DimFlightsKey").isNull).count() == 0)
+    assert(fact1.filter(col("DimFlightsKey").isNull ||
+      col("DimPassengersKey").isNull).count() == 0)
 
     // ---- batch 2: increment (new flight) + scd (F0003 latest-wins update) --
     writeCsv(landing, "flights_increment.csv",
