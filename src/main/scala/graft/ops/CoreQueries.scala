@@ -102,6 +102,22 @@ object CoreQueries {
           COUNT(*) AS n_orders
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // Approximate aggregates — the 100 TB substitutes for exact distinct
+    // counts and percentiles (HLL++ and KLL-style sketches, constant memory,
+    // one pass, mergeable across partitions). Sketch outputs are
+    // engine-specific, so this entry has no DuckDB oracle (driver records
+    // the weaker rows-only check per the harness contract).
+    Q("a8_approx_aggregates", (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("approx_median_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag"),
+      None),
+
     // §2.5: ORDER BY + LIMIT top-k (absent from the reference; Spark plans
     // this as TakeOrderedAndProject — per-partition heaps + driver merge,
     // never a global sort, so it scales to any input size).

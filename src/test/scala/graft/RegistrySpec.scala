@@ -16,9 +16,10 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.queries.keySet == all.map(_.name).toSet)
     // every declared oracle belongs to a declared query
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // current suite is fully oracle-covered (weaker rows-only entries would
-    // intentionally shrink this set — then update this spec)
-    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
+    // the only oracle-less entries are the deliberate sketch-based ones
+    // (engine-specific values, rows-only check per the harness contract)
+    val oracleLess = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(oracleLess == Set("a8_approx_aggregates"), oracleLess)
   }
 
   test("oracle SQL references only driver-provided tables") {
