@@ -25,7 +25,8 @@ object Expectations {
   case object Drop extends Policy
   case object Fail extends Policy
 
-  final case class Gate(df: DataFrame, observation: Observation, rules: Map[String, String]) {
+  final case class Gate(df: DataFrame, observation: Observation,
+      rules: Map[String, String], policy: Policy = Drop) {
     /** Violation count per rule — valid after an action has run on `df`. */
     def violations: Map[String, Long] =
       rules.keys.map(n => n -> observation.get(s"violations_$n").asInstanceOf[Long]).toMap
@@ -50,7 +51,7 @@ object Expectations {
       case Drop => observed.filter(rules.values.map(e => coalesce(expr(e), lit(false))).reduce(_ && _))
       case _ => observed
     }
-    Gate(out, obs, rules)
+    Gate(out, obs, rules, policy)
   }
 
   /** Pure filter form (no metrics) — the exact dataflow DLT injects for

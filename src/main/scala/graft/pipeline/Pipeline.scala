@@ -80,10 +80,25 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
   def table(name: String): LakeTable = tables(name)
   def lastGate(name: String): Option[Expectations.Gate] = gates.get(name)
 
-  /** Drain one batch through every CDC flow, in declaration order. */
+  /** Flows in dependency order: a flow whose source IS another flow's
+   *  target runs after it (DLT's topological DAG resolution; ties keep
+   *  declaration order). */
+  private def orderedFlows: Seq[CdcFlow] = {
+    val byTarget = flows.map(f => f.target -> f).toMap
+    val visited = mutable.LinkedHashSet[String]()
+    def visit(f: CdcFlow): Unit = if (!visited.contains(f.target)) {
+      byTarget.get(f.source).foreach(visit) // upstream flow first
+      visited += f.target
+    }
+    flows.foreach(visit)
+    visited.toSeq.map(byTarget)
+  }
+
+  /** Drain one batch through every CDC flow, in dependency order; then
+   *  enforce Fail-policy expectation gates (`expect_all_or_fail`). */
   def run(): Unit = {
     val gb = GoldBuilder(spark)
-    flows.foreach { f =>
+    orderedFlows.foreach { f =>
       val batch = views.getOrElse(f.source, () => read(f.source))()
       val tiebreak =
         if (f.tiebreak.nonEmpty) f.tiebreak
@@ -93,6 +108,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       if (!t.exists) t.create(latest.schema)
       t.merge(latest, f.keys, Some(s"s.${f.sequenceBy} >= t.${f.sequenceBy}"))
     }
+    gates.values.filter(_.policy == Expectations.Fail).foreach(_.assertClean())
   }
 
   /**

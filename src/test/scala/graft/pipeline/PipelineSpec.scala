@@ -63,6 +63,32 @@ class PipelineSpec extends SparkSpec {
     assert(gate.violations("v_positive") == 1L)
   }
 
+  test("flows run in dependency order regardless of declaration order") {
+    val p = new Pipeline(spark, tmpDir("pl_topo"))
+    p.streamingTable("stage1")
+    p.streamingTable("stage2")
+    // declared BACKWARDS: stage2 consumes stage1's target
+    p.autoCdcFlow("stage2", "stage1", Seq("k"), "seq")
+    p.autoCdcFlow("stage1", "raw", Seq("k"), "seq")
+    p.view("raw")(Seq((1L, "a", ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq"))
+    p.run()
+    // if stage1 hadn't run first, stage2 would have seen an empty/missing source
+    assert(p.read("stage2").as[(Long, String, Timestamp)].collect().toSeq ==
+      Seq((1L, "a", ts("2024-01-01 00:00:00"))))
+  }
+
+  test("run() throws when a Fail-policy gate observed violations") {
+    val p = new Pipeline(spark, tmpDir("pl_fail"))
+    p.streamingTable("silver")
+    p.viewWithExpectations("src", Map("v_positive" -> "v > 0"),
+      Expectations.Fail) {
+      Seq((1L, 5.0, ts("2024-01-01 00:00:00")),
+        (2L, -1.0, ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq")
+    }
+    p.autoCdcFlow("silver", "src", Seq("k"), "seq")
+    intercept[IllegalStateException] { p.run() }
+  }
+
   test("runCdcFlowStreaming: incremental bronze→silver CDC with checkpoint") {
     import graft.lake.LakeTable
     val root = tmpDir("pl_stream")
