@@ -123,6 +123,33 @@ object ExtQueries {
           ${Dedup.simhashSql(TF.tokensSql(TF.normalizeTextSql("text")), 16)} >> 8 AS bucket
         FROM documents ORDER BY doc_id""")),
 
+    // SimHash near-dup pairs: candidates share the 8-bit sketch prefix
+    // (bucket equi-join — the banding trick applied to SimHash), verified
+    // by Hamming distance over the full 16-bit sketch.
+    Q("x18_dedup_simhash_pairs", (s, d) => {
+      val toks = TF.tokens(TF.normalizeText(col("text")))
+      val dd = t(s, d, "documents")
+        .select(col("doc_id"), Dedup.simhash(toks, 16).as("sh"))
+        .withColumn("bucket", shiftright(col("sh"), 8))
+        .persist()
+      val a = dd.alias("a"); val b = dd.alias("b")
+      a.join(b, col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        .withColumn("hamming", bit_count(col("a.sh").bitwiseXOR(col("b.sh"))))
+        .filter(col("hamming") <= 1)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
+        .orderBy("doc_a", "doc_b")
+    },
+      Some(s"""WITH sh AS (
+          SELECT doc_id,
+            ${Dedup.simhashSql(TF.tokensSql(TF.normalizeTextSql("text")), 16)} AS sh
+          FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        FROM sh a JOIN sh b
+          ON (a.sh >> 8) = (b.sh >> 8) AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 1
+        ORDER BY doc_a, doc_b""")),
+
     // Exact n-gram Jaccard over blocked pairs. Blocking = (lang, source,
     // length band): near-duplicates have near-equal length, so banding
     // n_chars cuts the quadratic pair count without losing real dups —
