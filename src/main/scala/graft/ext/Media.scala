@@ -80,4 +80,47 @@ object Media {
       col("media_id"), col("kind"),
       octet_length(col("content")).cast("long").as("byte_len"),
       md5(col("content")).as("content_md5"))
+
+  /** One resized "image" row: stub pixels are a deterministic function of
+   *  the source bytes + target dims (a real codec would decode + resample). */
+  final case class ResizedMedia(
+      media_id: Long, kind: String, width: Int, height: Int, thumb: Array[Byte])
+
+  /** Resize pass — same mapPartitions batch shape as [[extractFeatures]];
+   *  output payload is WxH "pixels" (bounded size per row, so downstream
+   *  shuffles move thumbnails, never source bytes). */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        // stub resample: cycle source bytes into the target raster
+        val out = Array.tabulate[Byte](w * h)(i =>
+          if (r.content.isEmpty) 0 else r.content(i % r.content.length))
+        ResizedMedia(r.media_id, r.kind, w, h, out)
+      }
+    }
+  }
+
+  /** One sampled "frame": a fixed-size byte window at a deterministic
+   *  offset — the plumbing shape of video frame sampling (a real decoder
+   *  would seek keyframes). */
+  final case class MediaFrame(
+      media_id: Long, frame_no: Int, offset: Long, frame: Array[Byte])
+
+  /** Sample up to `nFrames` evenly-spaced fixed-size windows per payload.
+   *  flatMap shape: one input row → few bounded rows, no shuffle. */
+  def sampleFrames(media: Dataset[MediaRow], nFrames: Int,
+      frameBytes: Int = 16): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      val n = math.min(nFrames, math.max(1, r.content.length / frameBytes))
+      (0 until n).map { i =>
+        val off = (r.content.length.toLong * i) / n
+        val end = math.min(off + frameBytes, r.content.length.toLong).toInt
+        MediaFrame(r.media_id, i, off, r.content.slice(off.toInt, end))
+      }
+    }
+  }
 }

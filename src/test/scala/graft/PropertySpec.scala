@@ -60,6 +60,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("partitioned merge ≡ unpartitioned merge on random batches") {
+    for (seed <- 31L to 36L) {
+      val base = sample(seed).map(r => (r._1, s"p${r._1 % 3}", r._3))
+        .toDF("k", "part", "v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.first("part").as("part"),
+          org.apache.spark.sql.functions.first("v").as("v"))
+      val src = sample(seed + 50).map(r => (r._1, s"p${r._1 % 3}", r._3))
+        .toDF("k", "part", "v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.first("part").as("part"),
+          org.apache.spark.sql.functions.first("v").as("v"))
+
+      val plain = LakeTable(spark, s"${tmpDir("prop_plain")}/t")
+      plain.overwrite(base)
+      plain.merge(src, Seq("k"))
+
+      val parted = LakeTable(spark, s"${tmpDir("prop_part")}/t")
+      parted.overwrite(base, partitionBy = Some("part"))
+      parted.merge(src, Seq("k"))
+
+      val a = plain.read.orderBy("k", "part", "v").collect().toSeq
+      val b = parted.read.orderBy("k", "part", "v").collect().toSeq
+      assert(a == b, s"seed=$seed")
+    }
+  }
+
   test("latest-wins merges converge on (k, seq) regardless of batch order") {
     for (seed <- 21L to 24L) {
       val rowsA = sample(seed); val rowsB = sample(seed + 100)

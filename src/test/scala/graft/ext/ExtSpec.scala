@@ -105,6 +105,22 @@ class ExtSpec extends SparkSpec {
     assert(typed == cols)
   }
 
+  test("media: resize emits bounded fixed-dim thumbnails; frame sampling is deterministic") {
+    val docs = graft.ops.t(spark, sfDir, "documents").limit(20)
+    val media = Media.synthesizeFromDocuments(docs)
+    val thumbs = Media.resize(media, 8, 4).collect()
+    assert(thumbs.length == 20)
+    assert(thumbs.forall(t => t.width == 8 && t.height == 4 && t.thumb.length == 32))
+
+    val frames = Media.sampleFrames(media, nFrames = 3, frameBytes = 16).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame.length <= 16))
+    // deterministic: same input → same offsets and bytes
+    val again = Media.sampleFrames(media, nFrames = 3, frameBytes = 16).collect()
+    assert(frames.map(f => (f.media_id, f.frame_no, f.offset)).sorted.toSeq ==
+      again.map(f => (f.media_id, f.frame_no, f.offset)).sorted.toSeq)
+  }
+
   test("media: stub decode is deterministic and bounded") {
     val (w, h) = Media.stubDecode("some bytes".getBytes("UTF-8"))
     assert(w == Media.stubDecode("some bytes".getBytes("UTF-8"))._1)
