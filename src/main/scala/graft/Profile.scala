@@ -27,6 +27,29 @@ object Profile {
       r
     }
 
+    // s8 stages
+    {
+      import java.nio.file.Files
+      val gb = graft.gold.GoldBuilder(spark)
+      val ev = t(spark, sfDir, "events")
+      val cols = Seq("user_id", "ts", "event_type", "value")
+      val base = gb.latestPerKey(
+        ev.filter(col("user_id") % 5 =!= 0), Seq("user_id"), "ts", Seq("event_id"))
+        .select(cols.map(col): _*)
+      time("s8 base latest count")(base.count())
+      val tbl = graft.lake.LakeTable(spark,
+        Files.createTempDirectory("prof_s8").toString + "/t")
+      time("s8 create+merge base")({ tbl.create(base.schema); tbl.merge(base, Seq("user_id")) })
+      val src = gb.latestPerKey(
+        ev.filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-20 00:00:00").cast("timestamp")),
+        Seq("user_id"), "ts", Seq("event_id"))
+        .withColumn("value", col("value") + lit(1000.0))
+        .select(cols.map(col): _*)
+      time("s8 merge src")(tbl.merge(src, Seq("user_id"), Some("s.ts >= t.ts")))
+      time("s8 final read")(tbl.read.orderBy("user_id").count())
+    }
+
     // x17 pipeline stages
     val emb = t(spark, sfDir, "embeddings")
     val pairs = graft.ext.Similarity.nearDupPairs(emb, "vec_id", "embedding",
