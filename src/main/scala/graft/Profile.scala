@@ -50,6 +50,31 @@ object Profile {
       time("s8 final read")(tbl.read.orderBy("user_id").count())
     }
 
+    // x18 pipeline stages (60-bit simhash, 4×15-bit bands)
+    {
+      val docs0 = t(spark, sfDir, "documents")
+      val toks = TF.tokens(TF.normalizeText(col("text")))
+      val dd = docs0.select(col("doc_id"),
+        graft.expressions.TextSketches.simhash(toks, 60).as("sh")).persist()
+      time("x18 sketches")(dd.count())
+      val bandStructs = array((0 until 4).map { j =>
+        struct(lit(j).as("band"),
+          shiftright(col("sh"), j * 15).bitwiseAND(lit((1L << 15) - 1)).as("bv"))
+      }: _*)
+      val rows = dd.select(col("doc_id"), col("sh"), explode(bandStructs).as("bk"))
+        .select(col("doc_id"), col("sh"), col("bk.*"))
+      val aa = rows.alias("a"); val bb = rows.alias("b")
+      val joined = aa.join(bb, col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      time("x18 raw candidates")(println(s"  candidates=${joined.count()}"))
+      val ham = joined.select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+        .filter(col("hamming") <= 3)
+      time("x18 hamming filter")(println(s"  pairs=${ham.count()}"))
+      time("x18 distinct+sort")(ham.distinct().orderBy("doc_a", "doc_b").count())
+      dd.unpersist()
+    }
+
     // x17 pipeline stages
     val emb = t(spark, sfDir, "embeddings")
     val pairs = graft.ext.Similarity.nearDupPairs(emb, "vec_id", "embedding",

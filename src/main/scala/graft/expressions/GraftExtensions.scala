@@ -20,15 +20,43 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vectorDotDescriptor)
+    ext.injectFunction(GraftExtensions.minhashSignatureDescriptor)
+    ext.injectFunction(GraftExtensions.simhashDescriptor)
   }
 }
 
 object GraftExtensions {
-  val vectorDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+  type Descriptor = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an INT literal, got $other")
+  }
+
+  val vectorDotDescriptor: Descriptor = (
     FunctionIdentifier("vector_dot"),
     new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
     (children: Seq[Expression]) => {
       require(children.size == 2, s"vector_dot takes 2 arguments, got ${children.size}")
       VectorDot(children.head, children(1))
+    })
+
+  /** `minhash_signature(tokens, n, k)` — word-n-gram MinHash signature. */
+  val minhashSignatureDescriptor: Descriptor = (
+    FunctionIdentifier("minhash_signature"),
+    new ExpressionInfo(classOf[MinHashShingleSig].getName, "minhash_signature"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3, s"minhash_signature takes 3 arguments, got ${children.size}")
+      MinHashShingleSig(children.head,
+        litInt(children(1), "minhash_signature n"), litInt(children(2), "minhash_signature k"))
+    })
+
+  /** `simhash(tokens, bits)` — SimHash sketch of a token array. */
+  val simhashDescriptor: Descriptor = (
+    FunctionIdentifier("simhash"),
+    new ExpressionInfo(classOf[SimHashSketch].getName, "simhash"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, s"simhash takes 2 arguments, got ${children.size}")
+      SimHashSketch(children.head, litInt(children(1), "simhash bits"))
     })
 }

@@ -1,0 +1,202 @@
+package graft.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/**
+ * Native codegen kernels for the document-sketch hot path (minhash + simhash).
+ *
+ * Motivation (round-1 bench): the higher-order-function formulation of
+ * shingle→hash→k-min (`TextFunctions.wordShingles` + `Dedup.shingleHashes` +
+ * `Dedup.minhashFromHashes`) runs interpreted per element — `transform` /
+ * `zip_with` / `aggregate` lambdas never enter whole-stage codegen, and the
+ * struct-accumulating shingle builder allocates per gram. One query
+ * (`x2_dedup_minhash_lsh`) cost 22.7s = 23% of the entire bench at sf0.1.
+ *
+ * These expressions collapse the whole pipeline into a single compiled pass
+ * per row: token bytes are fed straight into an MD5 digest per shingle (no
+ * gram string materialization), the 60-bit hash and the k affine permutation
+ * minima are tracked in primitive locals. Semantics are BIT-IDENTICAL to the
+ * HOF forms (verified in `TextSketchSpec`), so the DuckDB oracle mirrors are
+ * unchanged:
+ *
+ *  - hash60(s) = first 15 hex chars of md5(s) as int64
+ *    (== big-endian first 8 md5 bytes >>> 4)
+ *  - gram_i    = concat_ws(" ", tokens[i..i+n-1])  (short tails truncate,
+ *    exactly as the slice/zip_with builder pads with skipped NULLs)
+ *  - sig[q]    = min over grams of (A_q·(hash60 mod 2^30) + B_q) mod P
+ *  - simhash   = Σ_b (1<<b) · [ Σ over DISTINCT tokens of ±1 on bit b > 0 ]
+ *
+ * 100 TB posture: a narrow per-row projection, no shuffle, no UDF —
+ * `WholeStageCodegen` keeps the row loop compiled and the kernel is a static
+ * call with zero boxing on the hot fields.
+ */
+object SketchKernels {
+
+  // Affine MinHash family — MUST stay identical to graft.ext.Dedup's
+  // (the DuckDB oracle mirrors these constants).
+  val MinhashP = 1073741789L // largest prime < 2^30
+  val MinhashMod = 1073741824L // 2^30
+  def affineA(i: Int): Long = ((1103515245L * i + 12345L) % MinhashMod) | 1L
+  def affineB(i: Int): Long = (69069L * i + 1L) % MinhashP
+
+  private val md5 = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** First 15 hex chars of an md5 digest as int64: big-endian first 8 bytes,
+   *  logically shifted right one nibble. */
+  private def h60(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** tokens → word-n-gram shingles → md5/60-bit hash → k-element affine
+   *  MinHash signature, in one compiled pass. Equals
+   *  `Dedup.minhashFromHashes(Dedup.shingleHashes(TextFunctions.wordShingles(text, n)), k)`. */
+  def minhashShingleSig(tokens: ArrayData, n: Int, k: Int): ArrayData = {
+    val numTok = tokens.numElements()
+    if (numTok == 0) return new GenericArrayData(Array.empty[Long])
+    val cnt = math.max(numTok - (n - 1), 1)
+    val md = md5.get()
+    val mins = Array.fill(k)(Long.MaxValue)
+    val as = Array.tabulate(k)(affineA)
+    val bs = Array.tabulate(k)(affineB)
+    var i = 0
+    while (i < cnt) {
+      md.reset()
+      var j = 0
+      var first = true
+      while (j < n) {
+        val idx = i + j
+        // concat_ws(" ") semantics: the zip_with builder pads short tails
+        // with NULL and concat_ws skips them — so just stop at the boundary.
+        if (idx < numTok && !tokens.isNullAt(idx)) {
+          if (!first) md.update(' '.toByte)
+          md.update(tokens.getUTF8String(idx).getBytes)
+          first = false
+        }
+        j += 1
+      }
+      val hm = h60(md.digest()) % MinhashMod
+      var q = 0
+      while (q < k) {
+        val v = (as(q) * hm + bs(q)) % MinhashP
+        if (v < mins(q)) mins(q) = v
+        q += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** `bits`-bit SimHash over the DISTINCT token set (±1 voting per hash bit,
+   *  tie → 0). Equals `Dedup.simhash(tokens, bits)`; bits ≤ 60 so every
+   *  sketch stays positive int64 (DuckDB BIGINT arithmetic is
+   *  overflow-checked — see the 60-bit hash family rationale in Dedup). */
+  def simhash(tokens: ArrayData, bits: Int): Long = {
+    val numTok = tokens.numElements()
+    val md = md5.get()
+    val votes = new Array[Int](bits)
+    val seen = new java.util.HashSet[Any](math.max(16, numTok * 2))
+    var i = 0
+    while (i < numTok) {
+      if (!tokens.isNullAt(i)) {
+        val t = tokens.getUTF8String(i)
+        if (seen.add(t)) {
+          md.reset()
+          md.update(t.getBytes)
+          val h = h60(md.digest())
+          var b = 0
+          while (b < bits) {
+            if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+      }
+      i += 1
+    }
+    var sketch = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) sketch |= (1L << b)
+      b += 1
+    }
+    sketch
+  }
+}
+
+/** Column expression: word-n-gram MinHash signature straight from the token
+ *  array (see [[SketchKernels.minhashShingleSig]]). */
+case class MinHashShingleSig(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+
+  require(n >= 1 && k >= 1 && k <= 64, s"minhash_signature: bad n=$n / k=$k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature expects ARRAY<STRING> tokens, got $other")
+  }
+
+  override def nullSafeEval(tokens: Any): Any =
+    SketchKernels.minhashShingleSig(tokens.asInstanceOf[ArrayData], n, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.SketchKernels.minhashShingleSig($c, $n, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_signature"
+}
+
+/** Column expression: `bits`-bit SimHash sketch of a token array
+ *  (see [[SketchKernels.simhash]]). */
+case class SimHashSketch(child: Expression, bits: Int) extends UnaryExpression {
+
+  require(bits >= 1 && bits <= 60, s"simhash: bits must be in [1,60], got $bits")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash expects ARRAY<STRING> tokens, got $other")
+  }
+
+  override def nullSafeEval(tokens: Any): Any =
+    SketchKernels.simhash(tokens.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.SketchKernels.simhash($c, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash"
+}
+
+object TextSketches {
+  /** Column-API entry: MinHash signature of word n-gram shingles of a
+   *  tokenized text. */
+  def minhashShingleSig(tokens: Column, n: Int, k: Int): Column =
+    GraftColumnBridge.column(
+      MinHashShingleSig(GraftColumnBridge.expression(tokens), n, k))
+
+  /** Column-API entry: SimHash sketch of a token array. */
+  def simhash(tokens: Column, bits: Int): Column =
+    GraftColumnBridge.column(
+      SimHashSketch(GraftColumnBridge.expression(tokens), bits))
+}

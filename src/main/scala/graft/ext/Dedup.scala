@@ -43,10 +43,13 @@ object Dedup {
   // products stay < 2^60, so the integer math is overflow-free and
   // bit-identical in any engine (DuckDB errors on BIGINT overflow — this
   // family is designed to never get there).
-  private val MinhashP = 1073741789L // largest prime < 2^30
-  private val MinhashMod = 1073741824L // 2^30
-  private def affineA(i: Int): Long = ((1103515245L * i + 12345L) % MinhashMod) | 1L
-  private def affineB(i: Int): Long = (69069L * i + 1L) % MinhashP
+  // Shared with the native codegen kernel (graft.expressions.SketchKernels):
+  // the HOF forms here are the readable spec + oracle mirror source, the
+  // kernel is the hot-path twin — TextSketchSpec pins them bit-equal.
+  private val MinhashP = graft.expressions.SketchKernels.MinhashP
+  private val MinhashMod = graft.expressions.SketchKernels.MinhashMod
+  private def affineA(i: Int): Long = graft.expressions.SketchKernels.affineA(i)
+  private def affineB(i: Int): Long = graft.expressions.SketchKernels.affineB(i)
 
   /** Per-shingle base hashes — bind this to a column once so the md5 pass
    *  runs once, not once per signature element. */
@@ -123,13 +126,18 @@ object Dedup {
 
   /** SQL mirror of [[simhash]] (integer votes — order-insensitive, so
    *  DuckDB's unordered list_distinct is safe). */
-  def simhashSql(tokensExpr: String, bits: Int): String = {
-    val hashes = s"list_transform(list_distinct($tokensExpr), t -> ${TextFunctions.hash60Sql("t")})"
+  def simhashSql(tokensExpr: String, bits: Int): String =
+    simhashFromHashesSql(
+      s"list_transform(list_distinct($tokensExpr), t -> ${TextFunctions.hash60Sql("t")})",
+      bits)
+
+  /** [[simhashSql]] over a pre-bound distinct-token hash list — hoist the
+   *  hash pass into a CTE so the oracle doesn't re-run md5 per sketch bit. */
+  def simhashFromHashesSql(hashesExpr: String, bits: Int): String =
     (0 until bits).map { b =>
-      val vote = s"list_sum(list_transform($hashes, h -> CASE WHEN (h & ${1L << b}) != 0 THEN 1 ELSE -1 END))"
+      val vote = s"list_sum(list_transform($hashesExpr, h -> CASE WHEN (h & ${1L << b}) != 0 THEN 1 ELSE -1 END))"
       s"(CASE WHEN $vote > 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString("CAST((", " + ", ") AS BIGINT)")
-  }
 
   /**
    * Connected components over near-duplicate pairs: every node gets the

@@ -2,10 +2,12 @@ package graft.ops
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
+import graft.expressions.{TextSketches => TS}
 import graft.ext.{Dedup, Media, Similarity, Skew}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.ingest.BronzeIngest
@@ -27,6 +29,10 @@ object ExtQueries {
   private val DIM = 64
   private val LSH_BITS = 6 // 64 buckets/band: candidate sets stay ~n/64-sized
   private val LSH_BANDS = 4
+  private val SIMHASH_BITS = 60 // positive int64 — DuckDB BIGINT is overflow-checked
+  private val SIMHASH_BANDS = 4
+  private val SIMHASH_BAND_BITS = 15 // 2^15 buckets/band
+  private val SIMHASH_HAM = 3 // ≤3 differing bits can't dirty all 4 bands → full recall
 
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
@@ -68,19 +74,15 @@ object ExtQueries {
 
     // MinHash + LSH banding near-dup candidates with signature-estimated
     // Jaccard (shingle→minhash→band→bucket-join; no O(n²) pair scan).
+    // The shingle→hash→k-min pipeline is ONE native codegen expression
+    // (graft.expressions.MinHashShingleSig) — the round-1 HOF formulation of
+    // the same math ran interpreted per element and owned 23% of the bench.
     Q("x2_dedup_minhash_lsh", (s, d) => {
-      val sh = t(s, d, "documents")
-        .select(col("doc_id"), TF.wordShingles(col("text"), 3).as("sh"))
-        .filter(size(col("sh")) > 0)
-      // persist the base-hash array: CollapseProject would otherwise inline
-      // `hs` into all K minhash expressions and run the md5 pass K times.
-      // The signature is persisted too — the self-join + two enrich joins
-      // would recompute it per use.
-      val hs = sh
-        .select(col("doc_id"), Dedup.shingleHashes(col("sh")).as("hs"))
-        .persist()
-      val sig = hs
-        .select(col("doc_id"), Dedup.minhashFromHashes(col("hs"), K).as("mh"))
+      // persist the signature: the self-join + two enrich joins reuse it.
+      val sig = t(s, d, "documents")
+        .select(col("doc_id"),
+          TS.minhashShingleSig(TF.tokens(TF.normalizeText(col("text"))), 3, K).as("mh"))
+        .filter(size(col("mh")) > 0)
         .persist()
       val cand = Dedup.lshCandidatePairs(sig, "doc_id", "mh", BANDS, ROWS_PER_BAND)
       cand
@@ -110,11 +112,12 @@ object ExtQueries {
                   JOIN sigs sb ON cand.doc_b = sb.doc_id
         ORDER BY doc_a, doc_b""")),
 
-    // SimHash document sketch + hamming-prefix bucket.
+    // SimHash document sketch + hamming-prefix bucket (native codegen kernel;
+    // TextSketchSpec pins it bit-equal to the HOF spec form Dedup.simhash).
     Q("x3_dedup_simhash", (s, d) => {
       val toks = TF.tokens(TF.normalizeText(col("text")))
       t(s, d, "documents")
-        .select(col("doc_id"), Dedup.simhash(toks, 16).as("simhash"))
+        .select(col("doc_id"), TS.simhash(toks, 16).as("simhash"))
         .withColumn("bucket", shiftright(col("simhash"), 8))
         .orderBy("doc_id")
     },
@@ -123,32 +126,69 @@ object ExtQueries {
           ${Dedup.simhashSql(TF.tokensSql(TF.normalizeTextSql("text")), 16)} >> 8 AS bucket
         FROM documents ORDER BY doc_id""")),
 
-    // SimHash near-dup pairs: candidates share the 8-bit sketch prefix
-    // (bucket equi-join — the banding trick applied to SimHash), verified
-    // by Hamming distance over the full 16-bit sketch.
+    // SimHash near-dup pairs, banded properly for corpus scale: a 60-bit
+    // sketch split into 4 × 15-bit bands (2^15 buckets per band — bucket
+    // cardinality grows with sketch entropy, so candidate pairs stay ~linear
+    // in corpus size, unlike round 1's 256-bucket prefix whose pairs grew
+    // O(n²/256)), verified by Hamming distance over the FULL sketch.
+    // Hamming ≤ SIMHASH_HAM with 4 bands guarantees 100% recall by
+    // pigeonhole (≤3 differing bits can't dirty all 4 bands). 60 bits (not
+    // 64) keeps every sketch a positive int64 — DuckDB BIGINT arithmetic is
+    // overflow-checked, and the driver oracle must replay the same math.
     Q("x18_dedup_simhash_pairs", (s, d) => {
+      def bandOf(sh: Column, j: Int): Column =
+        shiftright(sh, j * SIMHASH_BAND_BITS)
+          .bitwiseAND(lit((1L << SIMHASH_BAND_BITS) - 1))
       val toks = TF.tokens(TF.normalizeText(col("text")))
       val dd = t(s, d, "documents")
-        .select(col("doc_id"), Dedup.simhash(toks, 16).as("sh"))
-        .withColumn("bucket", shiftright(col("sh"), 8))
+        .select(col("doc_id"), TS.simhash(toks, SIMHASH_BITS).as("sh"))
         .persist()
-      val a = dd.alias("a"); val b = dd.alias("b")
-      a.join(b, col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-        .withColumn("hamming", bit_count(col("a.sh").bitwiseXOR(col("b.sh"))))
-        .filter(col("hamming") <= 1)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
+      val bandStructs = array((0 until SIMHASH_BANDS).map { j =>
+        struct(lit(j).as("band"), bandOf(col("sh"), j).as("bv"))
+      }: _*)
+      val rows = dd.select(col("doc_id"), col("sh"), explode(bandStructs).as("bk"))
+        .select(col("doc_id"), col("sh"), col("bk.*"))
+      val a = rows.alias("a"); val b = rows.alias("b")
+      // A pair matching several bands is emitted ONLY from its first agreeing
+      // band (no-earlier-band-matches predicate) — pairs come out unique by
+      // construction, so no post-join DISTINCT shuffle. The hamming verify
+      // rides the join as a filter, so non-dup bucket collisions never
+      // materialize downstream.
+      val firstBandOnly = (0 until SIMHASH_BANDS - 1).map { i =>
+        col("a.band") <= lit(i) || (bandOf(col("a.sh"), i) =!= bandOf(col("b.sh"), i))
+      }.reduce(_ && _)
+      a.join(b, col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= SIMHASH_HAM &&
+          firstBandOnly)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
         .orderBy("doc_a", "doc_b")
     },
-      Some(s"""WITH sh AS (
+      Some {
+        def bandOf(sh: String, j: Int): String =
+          s"(($sh >> ${j * SIMHASH_BAND_BITS}) & ${(1L << SIMHASH_BAND_BITS) - 1})"
+        val firstBandOnly = (0 until SIMHASH_BANDS - 1).map { i =>
+          s"(a.band <= $i OR ${bandOf("a.sh", i)} != ${bandOf("b.sh", i)})"
+        }.mkString(" AND ")
+        s"""WITH th AS (
           SELECT doc_id,
-            ${Dedup.simhashSql(TF.tokensSql(TF.normalizeTextSql("text")), 16)} AS sh
-          FROM documents)
+            list_transform(list_distinct(${TF.tokensSql(TF.normalizeTextSql("text"))}),
+                           t -> ${TF.hash60Sql("t")}) AS hs
+          FROM documents),
+        sk AS (
+          SELECT doc_id, ${Dedup.simhashFromHashesSql("hs", SIMHASH_BITS)} AS sh FROM th),
+        bands AS (
+          SELECT doc_id, sh, b AS band,
+            ((sh >> (b * $SIMHASH_BAND_BITS)) & ${(1L << SIMHASH_BAND_BITS) - 1}) AS bv
+          FROM sk, (SELECT unnest(${(0 until SIMHASH_BANDS).mkString("[", ",", "]")}) AS b) bb)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
-        FROM sh a JOIN sh b
-          ON (a.sh >> 8) = (b.sh >> 8) AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.sh, b.sh)) <= 1
-        ORDER BY doc_a, doc_b""")),
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= $SIMHASH_HAM AND $firstBandOnly
+        ORDER BY doc_a, doc_b"""
+      }),
 
     // Exact n-gram Jaccard over blocked pairs. Blocking = (lang, source,
     // length band): near-duplicates have near-equal length, so banding
@@ -431,8 +471,10 @@ object ExtQueries {
         .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy("event_type"),
+      // CAST(SUM(...) AS BIGINT): DuckDB SUM(BIGINT) yields HUGEINT, which
+      // the compare layer surfaces as float — Spark's sum(long) is BIGINT.
       Some("""SELECT event_type, COUNT(*) AS cnt,
-          SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+          CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL

@@ -1,0 +1,94 @@
+package graft.expressions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ext.Dedup
+import graft.functions.{TextFunctions => TF}
+import graft.ops.t
+
+/** Pins the native codegen sketch kernels bit-equal to their HOF spec forms
+ *  (which in turn are oracle-verified against DuckDB), including the edge
+ *  cases the HOF builders encode: short docs, empty text, unicode, nulls. */
+class TextSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val edgeDocs = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy cat",
+    "one two", // shorter than the 3-gram window → single truncated gram
+    "one",     // single token
+    "",        // empty text → one "" token (split semantics)
+    "  spaced   out\ttabs\nand newlines  ",
+    "MiXeD CaSe TEXT with Ünïcödé tökens 的是了 çæøå",
+    "punct!!! soup??? ### $$$ %%%",
+    "repeat repeat repeat repeat repeat")
+
+  test("minhash_signature == HOF shingle→hash→k-min on real documents") {
+    val docs = t(spark, sfDir, "documents")
+    val toks = TF.tokens(TF.normalizeText(col("text")))
+    val diff = docs.select(
+      TextSketches.minhashShingleSig(toks, 3, 8).as("native"),
+      Dedup.minhashSignature(TF.wordShingles(col("text"), 3), 8).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0)
+  }
+
+  test("minhash_signature == HOF on edge-case docs (n=2 and n=3)") {
+    val df = edgeDocs.toDF("text")
+    for (n <- Seq(2, 3); k <- Seq(4, 8)) {
+      val toks = TF.tokens(TF.normalizeText(col("text")))
+      val diff = df.select(
+        TextSketches.minhashShingleSig(toks, n, k).as("native"),
+        Dedup.minhashSignature(TF.wordShingles(col("text"), n), k).as("hof"))
+        .filter(col("native") =!= col("hof")).count()
+      assert(diff == 0, s"mismatch at n=$n k=$k")
+    }
+  }
+
+  test("simhash == HOF voting at 16 and 60 bits") {
+    val docs = t(spark, sfDir, "documents").limit(200)
+      .select(col("text")).unionByName(edgeDocs.toDF("text"))
+    val toks = TF.tokens(TF.normalizeText(col("text")))
+    for (bits <- Seq(16, 60)) {
+      val diff = docs.select(
+        TextSketches.simhash(toks, bits).as("native"),
+        Dedup.simhash(toks, bits).as("hof"))
+        .filter(col("native") =!= col("hof")).count()
+      assert(diff == 0, s"mismatch at bits=$bits")
+    }
+  }
+
+  test("60-bit sketches are non-negative (oracle BIGINT safety)") {
+    val docs = t(spark, sfDir, "documents")
+    val toks = TF.tokens(TF.normalizeText(col("text")))
+    val neg = docs.select(TextSketches.simhash(toks, 60).as("sh"))
+      .filter(col("sh") < 0).count()
+    assert(neg == 0)
+  }
+
+  test("null tokens → null sketch; empty token array → empty signature") {
+    val df = Seq(Some(Seq("a", "b", "c")), None).toDF("toks")
+    val got = df.select(
+      TextSketches.minhashShingleSig(col("toks"), 3, 4).as("mh"),
+      TextSketches.simhash(col("toks"), 16).as("sh"))
+      .collect()
+    assert(got(0).getSeq[Long](0).size == 4 && !got(0).isNullAt(1))
+    assert(got(1).isNullAt(0) && got(1).isNullAt(1))
+    val empty = Seq(Seq.empty[String]).toDF("toks")
+      .select(TextSketches.minhashShingleSig(col("toks"), 3, 4).as("mh"))
+    assert(empty.head().getSeq[Long](0).isEmpty)
+  }
+
+  test("participates in whole-stage codegen") {
+    val docs = t(spark, sfDir, "documents")
+    val toks = TF.tokens(TF.normalizeText(col("text")))
+    val df = docs.select(
+      TextSketches.minhashShingleSig(toks, 3, 8).as("mh"),
+      TextSketches.simhash(toks, 60).as("sh"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("minhash_signature")
+      && plan.contains("simhash"), plan)
+  }
+}
