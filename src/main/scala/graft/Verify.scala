@@ -18,10 +18,20 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // dev filter: SPARK_GRAFT_ONLY=x2,x18 runs just the named queries
-    // (prefix match), full run otherwise. Driver always runs the full set.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    // (EXACT name match — prefix matching made 'x1' also select x10..x18).
+    // Loud subset banner so a leaked env var can't silently shrink coverage.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
     val selected = SparkEntry.queries.filter { case (name, _) =>
-      only.forall(_.exists(name.startsWith)) }
+      only.forall(_.contains(name)) }
+    only.foreach { names =>
+      System.err.println(s"[verify] WARNING: SPARK_GRAFT_ONLY set — running " +
+        s"SUBSET ${selected.keys.toSeq.sorted.mkString(",")} " +
+        s"(${selected.size}/${SparkEntry.queries.size} queries)")
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(s"[verify] WARNING: unknown query names ignored: " +
+          unknown.toSeq.sorted.mkString(","))
+    }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vectorDotDescriptor)
     ext.injectFunction(GraftExtensions.minhashSignatureDescriptor)
     ext.injectFunction(GraftExtensions.simhashDescriptor)
+    ext.injectFunction(GraftExtensions.shingleHashSetDescriptor)
+    ext.injectFunction(GraftExtensions.jaccardSortedDescriptor)
   }
 }
 
@@ -58,5 +60,23 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 2, s"simhash takes 2 arguments, got ${children.size}")
       SimHashSketch(children.head, litInt(children(1), "simhash bits"))
+    })
+
+  /** `shingle_hash_set(tokens, n)` — distinct sorted word-n-gram hashes. */
+  val shingleHashSetDescriptor: Descriptor = (
+    FunctionIdentifier("shingle_hash_set"),
+    new ExpressionInfo(classOf[ShingleHashSet].getName, "shingle_hash_set"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, s"shingle_hash_set takes 2 arguments, got ${children.size}")
+      ShingleHashSet(children.head, litInt(children(1), "shingle_hash_set n"))
+    })
+
+  /** `jaccard_sorted(a, b)` — exact Jaccard of two sorted BIGINT arrays. */
+  val jaccardSortedDescriptor: Descriptor = (
+    FunctionIdentifier("jaccard_sorted"),
+    new ExpressionInfo(classOf[JaccardSorted].getName, "jaccard_sorted"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, s"jaccard_sorted takes 2 arguments, got ${children.size}")
+      JaccardSorted(children.head, children(1))
     })
 }

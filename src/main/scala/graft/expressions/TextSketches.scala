@@ -131,6 +131,61 @@ object SketchKernels {
     }
     sketch
   }
+
+  /** tokens → word-n-gram shingles → DISTINCT SORTED 60-bit gram hashes, in
+   *  one compiled pass — the set representation for exact Jaccard
+   *  verification. Gram bytes and hashing are identical to
+   *  [[minhashShingleSig]] (and to the `wordShinglesSql`+`hash60Sql` oracle
+   *  mirror); dedup happens on the HASHES, so both engines compare the exact
+   *  same integer sets even under (astronomically unlikely) collisions. */
+  def shingleHashSet(tokens: ArrayData, n: Int): ArrayData = {
+    val numTok = tokens.numElements()
+    if (numTok == 0) return new GenericArrayData(Array.empty[Long])
+    val cnt = math.max(numTok - (n - 1), 1)
+    val md = md5.get()
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < cnt) {
+      md.reset()
+      var j = 0
+      var first = true
+      while (j < n) {
+        val idx = i + j
+        if (idx < numTok && !tokens.isNullAt(idx)) {
+          if (!first) md.update(' '.toByte)
+          md.update(tokens.getUTF8String(idx).getBytes)
+          first = false
+        }
+        j += 1
+      }
+      set.add(h60(md.digest()))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Exact Jaccard of two SORTED distinct int64 arrays via a single merge
+   *  walk — O(|a|+|b|), no per-pair array allocation. Arithmetic mirrors
+   *  `Dedup.jaccardSql`: inter / max(|a|+|b|-inter, 1). */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter / math.max(na.toDouble + nb.toDouble - inter, 1.0)
+  }
 }
 
 /** Column expression: word-n-gram MinHash signature straight from the token
@@ -188,6 +243,63 @@ case class SimHashSketch(child: Expression, bits: Int) extends UnaryExpression {
   override def prettyName: String = "simhash"
 }
 
+/** Column expression: distinct sorted 60-bit word-n-gram shingle hashes
+ *  (see [[SketchKernels.shingleHashSet]]). */
+case class ShingleHashSet(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"shingle_hash_set: bad n=$n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hash_set expects ARRAY<STRING> tokens, got $other")
+  }
+
+  override def nullSafeEval(tokens: Any): Any =
+    SketchKernels.shingleHashSet(tokens.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.SketchKernels.shingleHashSet($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_hash_set"
+}
+
+/** Column expression: exact Jaccard of two sorted distinct int64 arrays
+ *  (see [[SketchKernels.jaccardSorted]]). Inputs MUST be sorted — pair with
+ *  [[ShingleHashSet]], which emits sorted sets by construction. */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"jaccard_sorted expects ARRAY<BIGINT> inputs, got $l / $r")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernels.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.SketchKernels.jaccardSorted($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "jaccard_sorted"
+}
+
 object TextSketches {
   /** Column-API entry: MinHash signature of word n-gram shingles of a
    *  tokenized text. */
@@ -199,4 +311,14 @@ object TextSketches {
   def simhash(tokens: Column, bits: Int): Column =
     GraftColumnBridge.column(
       SimHashSketch(GraftColumnBridge.expression(tokens), bits))
+
+  /** Column-API entry: distinct sorted word-n-gram shingle hash set. */
+  def shingleHashSet(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      ShingleHashSet(GraftColumnBridge.expression(tokens), n))
+
+  /** Column-API entry: exact Jaccard of two sorted distinct hash sets. */
+  def jaccardSorted(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      JaccardSorted(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

@@ -58,15 +58,22 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val lGet = if (isFloat(left)) "getFloat" else "getDouble"
     val rGet = if (isFloat(right)) "getFloat" else "getDouble"
+    // Locals MUST come from ctx.freshName: several vector_dot evaluations can
+    // land in one generated function (lshBucket emits 6 per band, cosine
+    // composes 3) and fixed names made janino reject the whole function with
+    // "Redefinition of local variable", silently de-compiling the hot path.
+    val n = ctx.freshName("vdN")
+    val acc = ctx.freshName("vdAcc")
+    val i = ctx.freshName("vdI")
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }
-         |  acc += ((double) $a.$lGet(i)) * ((double) $b.$rGet(i));
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $acc += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
   }

@@ -194,27 +194,43 @@ object ExtQueries {
     // length band): near-duplicates have near-equal length, so banding
     // n_chars cuts the quadratic pair count without losing real dups —
     // the standard exact-verification stage after LSH at corpus scale.
+    //
+    // Hot-path design (round-2 verdict #2 — this query was 25% of the bench):
+    //  - shingle sets are DISTINCT SORTED 60-bit hashes from ONE compiled
+    //    kernel pass (graft.expressions.ShingleHashSet) — the interpreted
+    //    struct-accumulating HOF builder is gone;
+    //  - the join carries an integer size-bound pre-filter
+    //    (jaccard ≤ min/max ⇒ prune when 10·min < max) so most candidate
+    //    pairs die on two array lengths, never intersecting;
+    //  - the exact jaccard is a compiled merge walk over the sorted sets
+    //    (JaccardSorted) — Catalyst pushing the ≥0.1 filter through the
+    //    project duplicates a cheap O(|a|+|b|) loop, not array_intersect.
     Q("x4_dedup_jaccard_pairs", (s, d) => {
-      // persist: the self-join would re-run the regex shingling per side.
+      // persist: the self-join would re-run tokenize+shingle+hash per side.
       val dd = t(s, d, "documents").select(col("doc_id"), col("lang"), col("source"),
         floor(col("n_chars") / 150).as("len_band"),
-        TF.wordShingles(col("text"), 2).as("sh")).persist()
+        TS.shingleHashSet(TF.tokens(TF.normalizeText(col("text"))), 2).as("sh")).persist()
       val a = dd.alias("a"); val b = dd.alias("b")
       a.join(b, col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-          col("a.len_band") === col("b.len_band") && col("a.doc_id") < col("b.doc_id"))
-        .withColumn("jaccard", Dedup.jaccard(col("a.sh"), col("b.sh")))
+          col("a.len_band") === col("b.len_band") && col("a.doc_id") < col("b.doc_id") &&
+          lit(10) * least(size(col("a.sh")), size(col("b.sh"))) >=
+            greatest(size(col("a.sh")), size(col("b.sh"))))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          TS.jaccardSorted(col("a.sh"), col("b.sh")).as("jaccard"))
         .filter(col("jaccard") >= 0.1)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
       Some(s"""WITH sh AS (
           SELECT doc_id, lang, source, CAST(floor(n_chars / 150) AS BIGINT) AS len_band,
-            ${TF.wordShinglesSql("text", 2)} AS sh FROM documents)
+            list_sort(list_distinct(list_transform(${TF.wordShinglesSql("text", 2)},
+              s -> ${TF.hash60Sql("s")}))) AS sh
+          FROM documents)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           ${Dedup.jaccardSql("a.sh", "b.sh")} AS jaccard
         FROM sh a JOIN sh b
           ON a.lang = b.lang AND a.source = b.source
             AND a.len_band = b.len_band AND a.doc_id < b.doc_id
+            AND 10 * least(len(a.sh), len(b.sh)) >= greatest(len(a.sh), len(b.sh))
         WHERE ${Dedup.jaccardSql("a.sh", "b.sh")} >= 0.1
         ORDER BY doc_a, doc_b""")),
 

@@ -80,6 +80,48 @@ class TextSketchSpec extends SparkSpec {
     assert(empty.head().getSeq[Long](0).isEmpty)
   }
 
+  test("shingle_hash_set == sorted distinct HOF shingle hashes") {
+    val docs = t(spark, sfDir, "documents").select(col("text"))
+      .unionByName(edgeDocs.toDF("text"))
+    for (n <- Seq(2, 3)) {
+      val toks = TF.tokens(TF.normalizeText(col("text")))
+      // spec form: distinct grams → hash → distinct-on-hash → ascending sort
+      val spec = array_sort(array_distinct(
+        transform(TF.wordShingles(col("text"), n), s => TF.hash60(s))))
+      val diff = docs.select(
+        TextSketches.shingleHashSet(toks, n).as("native"), spec.as("hof"))
+        .filter(col("native") =!= col("hof")).count()
+      assert(diff == 0, s"mismatch at n=$n")
+    }
+  }
+
+  test("jaccard_sorted == HOF jaccard over the same hash sets") {
+    val docs = t(spark, sfDir, "documents")
+    val toks = TF.tokens(TF.normalizeText(col("text")))
+    val dd = docs.select(col("doc_id"), col("lang"),
+      TextSketches.shingleHashSet(toks, 2).as("sh"))
+    val a = dd.alias("a"); val b = dd.alias("b")
+    val pairs = a.join(b, col("a.lang") === col("b.lang") &&
+      col("a.doc_id") < col("b.doc_id") && col("a.doc_id") < 50 && col("b.doc_id") < 50)
+    val diff = pairs.select(
+      (TextSketches.jaccardSorted(col("a.sh"), col("b.sh")) =!=
+        Dedup.jaccard(col("a.sh"), col("b.sh"))).as("d"))
+      .filter(col("d")).count()
+    assert(diff == 0)
+  }
+
+  test("jaccard_sorted edge cases: empty sets, identical sets, nulls") {
+    val df = Seq(
+      (Some(Seq(1L, 2L, 3L)), Some(Seq(2L, 3L, 4L))), // 2/4
+      (Some(Seq.empty[Long]), Some(Seq(1L))),          // 0/max(1,1)
+      (Some(Seq.empty[Long]), Some(Seq.empty[Long])),  // 0/1 guard
+      (Some(Seq(5L, 9L)), Some(Seq(5L, 9L))),          // identical → 1.0
+      (None, Some(Seq(1L)))).toDF("a", "b")
+    val got = df.select(TextSketches.jaccardSorted(col("a"), col("b")).as("j"))
+      .collect().map(r => Option(r.get(0))).toSeq
+    assert(got == Seq(Some(0.5), Some(0.0), Some(0.0), Some(1.0), None))
+  }
+
   test("participates in whole-stage codegen") {
     val docs = t(spark, sfDir, "documents")
     val toks = TF.tokens(TF.normalizeText(col("text")))

@@ -40,6 +40,29 @@ class VectorDotSpec extends SparkSpec {
     assert(got == Seq(None, None))
   }
 
+  test("many dots in one generated function compile (no local-name collision)") {
+    // Regression for the fixed-local-name codegen bug: lshBucket puts 6 dots
+    // per band and cosine composes 3 in ONE generated function; with fixed
+    // `int i` locals janino rejected the function and Spark silently fell
+    // back to interpreted mode. CODEGEN_ONLY + fallback=false make any
+    // compile failure throw instead of degrading.
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    val prevFactory = spark.conf.get("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val emb = t(spark, sfDir, "embeddings").limit(20)
+      val dim = emb.select(size(col("embedding"))).as[Int].head()
+      val df = emb.select(
+        VectorFunctions.cosine(col("embedding"), col("embedding")).as("c"),
+        VectorFunctions.lshBucket(col("embedding"), dim, 8).as("bucket"))
+      assert(df.collect().length == 20)
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)
+    }
+  }
+
   test("participates in whole-stage codegen") {
     val emb = t(spark, sfDir, "embeddings")
     val df = emb.select(VectorFunctions.dot(col("embedding"), col("embedding")).as("d"))
