@@ -63,4 +63,43 @@ class BronzeIngestSpec extends SparkSpec {
     assert(rescued.length == 1)
     assert(rescued.head.getAs[String](BronzeIngest.RescueCol).contains("oops"))
   }
+
+  test("per-field rescue: one ill-typed cell keeps the other columns typed") {
+    val root = tmpDir("bi_field_rescue")
+    val src = s"$root/landing"; val tbl = s"$root/bronze"; val cp = s"$root/cp"
+    writeCsv(src, "a.csv", "id,amount,qty", "1,10.5,7")
+    BronzeIngest.run(spark, src, tbl, cp)
+    // amount is garbage, id and qty are fine — they must stay typed
+    writeCsv(src, "b.csv", "id,amount,qty", "2,not_a_number,9")
+    BronzeIngest.run(spark, src, tbl, cp)
+    val bronze = LakeTable(spark, tbl).read
+    val bad = bronze.filter(col("id") === 2).collect().head
+    assert(bad.getAs[Any]("id") == 2, "id must survive the bad amount cell")
+    assert(bad.getAs[Any]("qty") == 9, "qty must survive the bad amount cell")
+    assert(bad.isNullAt(bad.fieldIndex("amount")))
+    val rescue = bad.getAs[String](BronzeIngest.RescueCol)
+    assert(rescue.contains("\"amount\"") && rescue.contains("not_a_number"), rescue)
+    assert(!rescue.contains("\"id\"") && !rescue.contains("\"qty\""),
+      s"only the failed field may be rescued: $rescue")
+    // clean rows carry NO rescue payload
+    assert(bronze.filter(col("id") === 1)
+      .filter(col(BronzeIngest.RescueCol).isNotNull).count() == 0)
+  }
+
+  test("per-field rescue: an extra CSV column lands in rescue") {
+    val root = tmpDir("bi_extra_col")
+    val src = s"$root/landing"; val tbl = s"$root/bronze"; val cp = s"$root/cp"
+    writeCsv(src, "a.csv", "id,amount", "1,10.5")
+    BronzeIngest.run(spark, src, tbl, cp)
+    // later file grew a column the persisted schema doesn't know
+    writeCsv(src, "b.csv", "id,amount,surprise", "2,20.0,hello")
+    BronzeIngest.run(spark, src, tbl, cp)
+    val bronze = LakeTable(spark, tbl).read
+    assert(bronze.columns.toSeq ==
+      Seq("id", "amount", BronzeIngest.RescueCol), "schema must stay stable")
+    val grown = bronze.filter(col("id") === 2).collect().head
+    assert(grown.getAs[Any]("amount") == 20.0, "declared columns stay typed")
+    val rescue = grown.getAs[String](BronzeIngest.RescueCol)
+    assert(rescue != null && rescue.contains("hello"), s"extra column rescued: $rescue")
+  }
 }
