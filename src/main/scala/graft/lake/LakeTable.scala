@@ -180,7 +180,12 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
         val owned = df.select(col(p).cast("string")).distinct()
           .collect().map(_.getString(0)).toSeq
         require(!owned.contains(null), s"null partition value in column $p")
-        df.write.partitionBy(p).parquet(s"$root/$dir")
+        // Cluster by the partition column first: otherwise every task writes
+        // a file per partition value it holds (tasks × partitions small
+        // files). One shuffle → each partition's rows land in one task →
+        // one file per partition. (A 100 TB deployment with giant single
+        // partitions would add a within-partition salt to split files.)
+        df.repartition(col(p)).write.partitionBy(p).parquet(s"$root/$dir")
         (dir, Some(owned))
     }
   }

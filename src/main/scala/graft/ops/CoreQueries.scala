@@ -415,17 +415,23 @@ object CoreQueries {
         .withColumn("dim_supplier_key", row_number().over(Window.orderBy("s_suppkey")).cast(LongType)))
       // Fact grain: (l_orderkey, l_linenumber) is not unique in the test
       // data; the full (orderkey, linenumber, partkey, suppkey) tuple is.
+      // The fact is DATE-PARTITIONED by ship month: the incremental second
+      // run's merge prunes to (and rewrites only) the months present in the
+      // new batch — O(touched partitions), the 100 TB merge path.
       val cfg = FactConfig(s"$root/fact",
         dims = Seq(
           FactDim(dimPart, Seq("l_partkey" -> "p_partkey"), "dim_part_key"),
           FactDim(dimSupp, Seq("l_suppkey" -> "s_suppkey"), "dim_supplier_key")),
         payloadCols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
-          "l_quantity", "l_extendedprice", "l_shipdate"),
+          "l_quantity", "l_extendedprice", "l_shipdate", "ship_month"),
         factKeys = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
-        cdcCol = "l_shipdate")
+        cdcCol = "l_shipdate",
+        partitionCol = Some("ship_month"))
+      val src = t(s, d, "lineitem")
+        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
       val gb = GoldBuilder(s)
-      gb.buildFact(cfg, t(s, d, "lineitem"))
-      val tbl = gb.buildFact(cfg, t(s, d, "lineitem")) // incremental re-run: merge path
+      gb.buildFact(cfg, src)
+      val tbl = gb.buildFact(cfg, src) // incremental re-run: partition-scoped merge
       tbl.read.orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     },
       Some("""WITH dim_part AS (
@@ -433,7 +439,7 @@ object CoreQueries {
         dim_supp AS (
           SELECT s_suppkey, CAST(ROW_NUMBER() OVER (ORDER BY s_suppkey) AS BIGINT) AS dim_supplier_key FROM supplier)
         SELECT dim_part_key, dim_supplier_key, l_orderkey, l_linenumber, l_partkey, l_suppkey,
-          l_quantity, l_extendedprice, l_shipdate
+          l_quantity, l_extendedprice, l_shipdate, strftime(l_shipdate, '%Y-%m') AS ship_month
         FROM lineitem
         LEFT JOIN dim_part ON l_partkey = p_partkey
         LEFT JOIN dim_supp ON l_suppkey = s_suppkey
