@@ -185,9 +185,11 @@ object CoreQueries {
     // P9: dense deterministic surrogate keys (documented deviation from
     // monotonically_increasing_id, DIM_Gold_layer.py:238-246 / SURVEY §7.5).
     Q("p9_surrogate_keys", (s, d) =>
-      t(s, d, "customer").select("c_custkey", "c_name")
-        .withColumn("dim_customer_key",
-          row_number().over(Window.orderBy("c_custkey")).cast(LongType))
+      // Distributed minting (range-partitioned numbering, no single-partition
+      // sort) — bit-identical to the oracle's global ROW_NUMBER.
+      GoldBuilder.mintSurrogateKeys(
+          t(s, d, "customer").select("c_custkey", "c_name"),
+          Seq("c_custkey"), "dim_customer_key")
         .orderBy("c_custkey"),
       Some("""SELECT c_custkey, c_name,
         CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT) AS dim_customer_key
@@ -408,11 +410,11 @@ object CoreQueries {
     Q("g2_fact_build", (s, d) => {
       val root = tmp("graft_g2")
       val dimPart = LakeTable(s, s"$root/dim_part")
-      dimPart.overwrite(t(s, d, "part").select("p_partkey")
-        .withColumn("dim_part_key", row_number().over(Window.orderBy("p_partkey")).cast(LongType)))
+      dimPart.overwrite(GoldBuilder.mintSurrogateKeys(
+        t(s, d, "part").select("p_partkey"), Seq("p_partkey"), "dim_part_key"))
       val dimSupp = LakeTable(s, s"$root/dim_supplier")
-      dimSupp.overwrite(t(s, d, "supplier").select("s_suppkey")
-        .withColumn("dim_supplier_key", row_number().over(Window.orderBy("s_suppkey")).cast(LongType)))
+      dimSupp.overwrite(GoldBuilder.mintSurrogateKeys(
+        t(s, d, "supplier").select("s_suppkey"), Seq("s_suppkey"), "dim_supplier_key"))
       // Fact grain: (l_orderkey, l_linenumber) is not unique in the test
       // data; the full (orderkey, linenumber, partkey, suppkey) tuple is.
       // The fact is DATE-PARTITIONED by ship month: the incremental second

@@ -64,6 +64,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("surrogate minting has no single-partition exchange and matches a global row_number") {
+    import org.apache.spark.sql.expressions.Window
+    val src = t(spark, sfDir, "customer").select("c_custkey", "c_name")
+    val minted = graft.gold.GoldBuilder.mintSurrogateKeys(src, Seq("c_custkey"), "sk", offset = 7L)
+    val plan = planOf(minted)
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(plan.contains("rangepartitioning"), plan)
+    // bit-identical numbering vs the global-sort formulation
+    val global = src.withColumn("sk",
+      (row_number().over(Window.orderBy("c_custkey")) + lit(7L)).cast("long"))
+    assert(minted.exceptAll(global).isEmpty && global.exceptAll(minted).isEmpty)
+  }
+
   test("LSH candidate generation is an equi-join (shuffle/broadcast hash), not a product") {
     val df = graft.ext.Similarity.lshCandidatePairs(
       t(spark, sfDir, "embeddings"), "vec_id", "embedding", 64, 6, 4)
