@@ -75,6 +75,8 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
       .getOrElse(sys.error(s"manifest v$v missing schema"))
     val schema = StructType.fromDDL(b64d(schemaB64))
     val pcol = lines.collectFirst { case l if l.startsWith("pcol=") => l.stripPrefix("pcol=") }
+    val op = lines.collectFirst { case l if l.startsWith("op=") => l.stripPrefix("op=") }
+      .getOrElse("unknown")
     val entries = lines.collect {
       case l if l.startsWith("dir=") =>
         l.stripPrefix("dir=").split('|') match {
@@ -84,7 +86,7 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
           case _ => sys.error(s"bad manifest line: $l")
         }
     }.toSeq
-    Manifest(schema, pcol, entries)
+    Manifest(schema, pcol, entries, op)
   }
 
   private def manifest: Manifest = readManifest(currentVersion)
@@ -97,6 +99,29 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
   /** Snapshot read of the current version (explicit schema: no inference
    *  drift, empty tables read fine; partitioned reads prune to owned dirs). */
   def read: DataFrame = readScoped(manifest, None)
+
+  /** TIME-TRAVEL read of historical version `v` (Delta
+   *  `VERSION AS OF` — `DIM_Gold_layer.py` targets run under Delta's
+   *  versioned protocol). Works for any version whose data dirs `vacuum`
+   *  still retains; a vacuumed version fails loudly rather than returning a
+   *  partial snapshot. */
+  def readVersion(v: Long): DataFrame = {
+    require(exists, s"LakeTable at $root does not exist")
+    require(v >= 0 && v <= currentVersion, s"version $v out of range [0, $currentVersion]")
+    val m = readManifest(v)
+    val missing = m.entries.map(_.dir).filterNot(d => Files.isDirectory(Paths.get(root, d)))
+    require(missing.isEmpty,
+      s"version $v has been vacuumed (missing ${missing.mkString(", ")})")
+    readScoped(m, None)
+  }
+
+  /** Commit history, oldest first: (version, operation). Operations:
+   *  create/append/overwrite/merge/compact. */
+  def history: Seq[(Long, String)] = {
+    require(exists, s"LakeTable at $root does not exist")
+    (0L to currentVersion).filter(v => Files.exists(manifestFile(v)))
+      .map(v => v -> readManifest(v).op)
+  }
 
   /** Partition-pruned read of only the given partition values. */
   def readPartitions(values: Seq[String]): DataFrame =
@@ -132,9 +157,16 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
    *  source over the table's data directories. Each `append` lands new
    *  parquet files, which the file-listing checkpoint picks up exactly once.
    *  Sound only for append-only tables (bronze) — merge/overwrite rewrite
-   *  files, which a file stream must never tail. */
+   *  files, which a file stream must never tail. ENFORCED: refuses any table
+   *  whose commit history contains a non-append operation (the guard Delta
+   *  implements as `ignoreChanges`-less streaming reads). */
   def readStream: DataFrame = {
     require(exists, s"LakeTable at $root does not exist")
+    val unsafe = history.filterNot { case (_, op) => op == "create" || op == "append" }
+    require(unsafe.isEmpty,
+      s"readStream requires an append-only history, but $root has non-append commits: " +
+        unsafe.map { case (v, op) => s"v$v=$op" }.mkString(", ") +
+        " — rewritten files would replay as duplicates in a file stream")
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1000")
       .parquet(s"$root/data/*")
@@ -143,7 +175,7 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
   private def commit(m: Manifest): Unit = synchronized {
     val next = if (exists) currentVersion + 1 else 0L
     Files.createDirectories(commitsDir)
-    val header = s"schema=${b64e(m.schema.toDDL)}" +:
+    val header = Seq(s"schema=${b64e(m.schema.toDDL)}", s"op=${m.op}") ++
       m.pcol.map(p => s"pcol=$p").toSeq
     val body = m.entries.map { e =>
       e.owned match {
@@ -165,7 +197,7 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
       partitionBy.foreach(p => require(schema.fieldNames.contains(p),
         s"partition column $p not in schema"))
       Files.createDirectories(Paths.get(root))
-      commit(Manifest(schema, partitionBy, Nil))
+      commit(Manifest(schema, partitionBy, Nil, "create"))
     }
     this
   }
@@ -199,15 +231,19 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
     val pcol = if (exists) manifest.pcol else None
     val (dir, owned) = writeData(df, pcol)
     val prior = if (exists) manifest.entries else Nil
-    commit(Manifest(df.schema, pcol, prior :+ DirEntry(dir, owned)))
+    commit(Manifest(df.schema, pcol, prior :+ DirEntry(dir, owned), "append"))
   }
 
   /** Full-snapshot replace (new version; old files kept until vacuum). */
-  def overwrite(df: DataFrame, partitionBy: Option[String] = None): Unit = synchronized {
+  def overwrite(df: DataFrame, partitionBy: Option[String] = None): Unit =
+    replaceAll(df, partitionBy, "overwrite")
+
+  private def replaceAll(df: DataFrame, partitionBy: Option[String],
+      op: String): Unit = synchronized {
     Files.createDirectories(Paths.get(root))
     val pcol = partitionBy.orElse(if (exists) manifest.pcol else None)
     val (dir, owned) = writeData(df, pcol)
-    commit(Manifest(df.schema, pcol, Seq(DirEntry(dir, owned))))
+    commit(Manifest(df.schema, pcol, Seq(DirEntry(dir, owned)), op))
   }
 
   /**
@@ -265,13 +301,13 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
     // skip the full-outer join against an empty side (bootstrap merges are
     // common: every CDC flow's first batch lands here)
     if (m.entries.isEmpty) {
-      overwrite(src.select(cols.map(col): _*), m.pcol)
+      replaceAll(src.select(cols.map(col): _*), m.pcol, "merge")
       return
     }
 
     m.pcol match {
       case None =>
-        overwrite(mergedOf(readScoped(m, None)))
+        replaceAll(mergedOf(readScoped(m, None)), None, "merge")
       case Some(p) =>
         // touched partitions = the source's partition values (small, driver-side)
         val touched = src.select(col(p).cast("string")).distinct()
@@ -283,7 +319,7 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
         val kept = m.entries
           .map(e => e.copy(owned = e.owned.map(_.filterNot(touchedSet))))
           .filter(_.owned.exists(_.nonEmpty))
-        commit(Manifest(m.schema, m.pcol, kept :+ DirEntry(dir, owned)))
+        commit(Manifest(m.schema, m.pcol, kept :+ DirEntry(dir, owned), "merge"))
     }
   }
 
@@ -306,7 +342,7 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
    *  tables that accumulated many append/merge dirs). */
   def compact(): Unit = synchronized {
     val m = manifest
-    overwrite(readScoped(m, None), m.pcol)
+    replaceAll(readScoped(m, None), m.pcol, "compact")
   }
 }
 
@@ -314,7 +350,8 @@ object LakeTable {
   private val T_MARK = "__t_exists"
   private val S_MARK = "__s_exists"
   private case class DirEntry(dir: String, owned: Option[Seq[String]])
-  private case class Manifest(schema: StructType, pcol: Option[String], entries: Seq[DirEntry])
+  private case class Manifest(schema: StructType, pcol: Option[String],
+      entries: Seq[DirEntry], op: String)
 
   def apply(spark: SparkSession, root: String): LakeTable = new LakeTable(spark, root)
 

@@ -99,6 +99,39 @@ class LakeTableSpec extends SparkSpec {
     assert(t.read.as[(Long, String)].collect().toSeq == Seq((3L, "c")))
   }
 
+  test("readVersion time-travels to any retained snapshot") {
+    val t = freshTable("lt_timetravel")
+    t.append(Seq((1L, "a")).toDF("k", "v"))              // v0: append
+    t.append(Seq((2L, "b")).toDF("k", "v"))              // v1: append
+    t.merge(Seq((2L, "b2")).toDF("k", "v"), Seq("k"))    // v2: merge update
+    assert(t.readVersion(0).as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    assert(t.readVersion(1).orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    assert(t.readVersion(2).orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b2")))
+    assert(t.history.map(_._2) == Seq("append", "append", "merge"))
+    assertThrows[IllegalArgumentException](t.readVersion(3))
+  }
+
+  test("readVersion of a vacuumed version fails loudly, not partially") {
+    val t = freshTable("lt_tt_vacuum")
+    t.overwrite(Seq((1L, "a")).toDF("k", "v"))           // v0
+    t.overwrite(Seq((2L, "b")).toDF("k", "v"))           // v1
+    t.overwrite(Seq((3L, "c")).toDF("k", "v"))           // v2
+    t.vacuum(keepVersions = 1)
+    val e = intercept[IllegalArgumentException](t.readVersion(0))
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+    assert(t.readVersion(2).as[(Long, String)].collect().toSeq == Seq((3L, "c")))
+  }
+
+  test("readStream refuses a table whose history has non-append commits") {
+    val t = freshTable("lt_stream_guard")
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    t.merge(Seq((1L, "a2")).toDF("k", "v"), Seq("k"))
+    val e = intercept[IllegalArgumentException](t.readStream)
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+  }
+
   test("merge with null-valued non-key columns round-trips") {
     val t = freshTable("lt_nulls")
     val schema = StructType(Seq(StructField("k", LongType), StructField("v", StringType)))
