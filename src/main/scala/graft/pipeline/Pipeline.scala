@@ -127,23 +127,57 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       sequenceBy: String,
       checkpoint: String,
       tiebreak: Seq[String] = Nil): Unit = {
+    runJoinFlowStreaming(target, source, keys, sequenceBy, checkpoint, tiebreak)(identity)
+    ()
+  }
+
+  /**
+   * TRUE INCREMENTAL `business_silver` (J1 — the reference's streaming
+   * multi-way join, `dlt_bronze_to_silver_pipeline.py:125-133`): tail the
+   * append-only fact table as a checkpointed stream and, per micro-batch,
+   * `enrich` ONLY the new fact rows — typically joins against current silver
+   * snapshots resolved through [[read]], exactly how DLT pairs
+   * `dlt.readStream` facts with `dlt.read` dims under trigger-once — then
+   * dedup latest-per-key and latest-wins merge into the target.
+   *
+   * Each run costs O(new fact rows) stream-side (the checkpoint skips files
+   * already processed) plus the dim snapshot reads, instead of [[run]]'s
+   * full-fact re-join; `foreachBatch` replay after a crash re-merges
+   * idempotently. At 100 TB the dims stay broadcast-joined and the merge is
+   * partition-scoped when the target is partitioned.
+   *
+   * Returns the number of new fact rows processed this run (counted per
+   * batch, never via table scans).
+   */
+  def runJoinFlowStreaming(
+      target: String,
+      source: LakeTable,
+      keys: Seq[String],
+      sequenceBy: String,
+      checkpoint: String,
+      tiebreak: Seq[String] = Nil)(
+      enrich: DataFrame => DataFrame): Long = {
     import org.apache.spark.sql.streaming.Trigger
     val t = tables(target)
     val gb = GoldBuilder(spark)
+    val processed = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = source.readStream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        processed.addAndGet(batch.count())
+        val enriched = enrich(batch)
         val tb =
           if (tiebreak.nonEmpty) tiebreak
-          else batch.columns.toSeq.filterNot(c => keys.contains(c) || c == sequenceBy)
-        val latest = gb.latestPerKey(batch, keys, sequenceBy, tb)
+          else enriched.columns.toSeq.filterNot(c => keys.contains(c) || c == sequenceBy)
+        val latest = gb.latestPerKey(enriched, keys, sequenceBy, tb)
         if (!t.exists) t.create(latest.schema)
         t.merge(latest, keys, Some(s"s.$sequenceBy >= t.$sequenceBy"))
         ()
       }
       .start()
     q.awaitTermination()
+    processed.get()
   }
 }
 

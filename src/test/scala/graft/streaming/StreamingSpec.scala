@@ -127,6 +127,41 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 3)
   }
 
+  test("incremental business join: second run joins only the new fact rows") {
+    import graft.lake.LakeTable
+    import graft.pipeline.Pipeline
+    val root = tmpDir("st_bizjoin")
+    val t1 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = Timestamp.valueOf("2024-01-02 00:00:00")
+
+    // silver dim snapshot + append-only silver fact (bookings)
+    val customers = LakeTable(spark, s"$root/silver_customers")
+    customers.append(Seq((10L, "alice"), (20L, "bob")).toDF("cust_id", "cust_name"))
+    val bookings = LakeTable(spark, s"$root/silver_bookings")
+    bookings.append(Seq((1L, 10L, 100.0, t1), (2L, 20L, 200.0, t1))
+      .toDF("booking_id", "cust_id", "amount", "modified"))
+
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.streamingTable("business_silver")
+    def run(): Long =
+      p.runJoinFlowStreaming("business_silver", bookings,
+        Seq("booking_id"), "modified", s"$root/cp")(
+        batch => batch.join(customers.read, Seq("cust_id")))
+
+    assert(run() == 2) // bootstrap: both fact rows joined
+    assert(p.table("business_silver").read.count() == 2)
+    assert(run() == 0) // nothing new → zero fact rows processed
+
+    bookings.append(Seq((3L, 10L, 300.0, t2))
+      .toDF("booking_id", "cust_id", "amount", "modified"))
+    assert(run() == 1) // restart: ONLY the new fact row flows through the join
+    val got = p.table("business_silver").read
+      .orderBy("booking_id")
+      .select("booking_id", "cust_name", "amount")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "alice", 100.0), (2L, "bob", 200.0), (3L, "alice", 300.0)))
+  }
+
   test("streaming dedup with watermark (dropDuplicates on key within horizon)") {
     val dir = tmpDir("st_dedup")
     writeCsv(dir, "b1.csv",
