@@ -60,7 +60,13 @@ object SketchKernels {
 
   /** tokens → word-n-gram shingles → md5/60-bit hash → k-element affine
    *  MinHash signature, in one compiled pass. Equals
-   *  `Dedup.minhashFromHashes(Dedup.shingleHashes(TextFunctions.wordShingles(text, n)), k)`. */
+   *  `Dedup.minhashFromHashes(Dedup.shingleHashes(TextFunctions.wordShingles(text, n)), k)`
+   *  for every non-empty token array. INTENTIONAL divergence on empty input:
+   *  this kernel returns an EMPTY signature (its `containsNull=false` array
+   *  type cannot carry the k NULLs `array_min([])` yields in the HOF form) —
+   *  an empty signature is the honest "no shingles" encoding, and every
+   *  pipeline consumer filters `size(sig) > 0` before banding. Pinned in
+   *  `TextSketchSpec`. */
   def minhashShingleSig(tokens: ArrayData, n: Int, k: Int): ArrayData = {
     val numTok = tokens.numElements()
     if (numTok == 0) return new GenericArrayData(Array.empty[Long])
@@ -98,17 +104,22 @@ object SketchKernels {
   }
 
   /** `bits`-bit SimHash over the DISTINCT token set (±1 voting per hash bit,
-   *  tie → 0). Equals `Dedup.simhash(tokens, bits)`; bits ≤ 60 so every
-   *  sketch stays positive int64 (DuckDB BIGINT arithmetic is
+   *  tie → 0). Equals `Dedup.simhash(tokens, bits)` BIT-FOR-BIT, including
+   *  null elements: `array_distinct` keeps one null, whose NULL hash votes
+   *  `otherwise(-1)` on every bit in the HOF form — mirrored here by a
+   *  single all-bits −1 vote when any null element is present. bits ≤ 60 so
+   *  every sketch stays positive int64 (DuckDB BIGINT arithmetic is
    *  overflow-checked — see the 60-bit hash family rationale in Dedup). */
   def simhash(tokens: ArrayData, bits: Int): Long = {
     val numTok = tokens.numElements()
     val md = md5.get()
     val votes = new Array[Int](bits)
     val seen = new java.util.HashSet[Any](math.max(16, numTok * 2))
+    var hasNull = false
     var i = 0
     while (i < numTok) {
-      if (!tokens.isNullAt(i)) {
+      if (tokens.isNullAt(i)) hasNull = true
+      else {
         val t = tokens.getUTF8String(i)
         if (seen.add(t)) {
           md.reset()
@@ -123,6 +134,7 @@ object SketchKernels {
       }
       i += 1
     }
+    if (hasNull) { var b = 0; while (b < bits) { votes(b) -= 1; b += 1 } }
     var sketch = 0L
     var b = 0
     while (b < bits) {

@@ -95,28 +95,58 @@ object Similarity {
   }
 
   /**
+   * One deterministic Lloyd (k-means) refinement of an IVF assignment: the
+   * new centroid of each cell is the component-wise DECIMAL-exact sum of its
+   * members, cast to double. A sum instead of the mean: cosine is
+   * scale-invariant, so argmax-cosine assignment against the sum is
+   * mathematically identical to the mean centroid — and the exact decimal
+   * sum is ORDER-INDEPENDENT, so the refined centroids are bit-reproducible
+   * regardless of aggregation order (the same `dsum` trick the A-family
+   * aggregates use for oracle parity). Only non-empty cells survive, ids
+   * stay the original cell ids.
+   */
+  private def refineCentroids(assigned: DataFrame, idCol: String): DataFrame = {
+    val byComp = assigned
+      .select(col("cell"), posexplode(col("__v")).as(Seq("__pos", "__c")))
+      .groupBy(col("cell"), col("__pos"))
+      .agg(sum(col("__c").cast("decimal(27,12)")).cast("double").as("__m"))
+    byComp.groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
+        s => s.getField("__m")).as("__cv"))
+      .select(col("cell").as("cent_id"), col("__cv"),
+        sqrt(VectorFunctions.dot(col("__cv"), col("__cv"))).as("__cn"))
+  }
+
+  /**
    * IVF-style ANN: a deterministic coarse quantizer (every `centStride`-th
-   * vector acts as a centroid — a k-means iteration would slot in here
-   * unchanged), each vector assigned to its nearest centroid by cosine, and
-   * queries searched only within their own cell (nprobe=1).
+   * vector seeds a centroid; `kmeansIters` Lloyd refinements via
+   * [[refineCentroids]] sharpen the cells), each vector assigned to its
+   * nearest centroid by cosine, and queries searched only within their own
+   * cell (nprobe=1).
    *
-   * Scale: assignment is |n|·|C| broadcast work (C small); search is an
+   * Scale: assignment is |n|·|C| broadcast work (C small) per iteration;
+   * centroid refinement is one shuffle on (cell, component); search is an
    * equi-join on cell id — the same join shape as LSH, so the 100 TB path
    * is a shuffle on cell, never a cross product.
    */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
-      queryFilter: org.apache.spark.sql.Column, centStride: Int, k: Int): DataFrame = {
+      queryFilter: org.apache.spark.sql.Column, centStride: Int, k: Int,
+      kmeansIters: Int = 0): DataFrame = {
     val base = prepared(emb, idCol, vecCol)
-    val cent = base.filter(col(idCol) % centStride === 1)
-      .select(col(idCol).as("cent_id"), col("__v").as("__cv"), col("__nrm").as("__cn"))
     // nearest centroid per vector (deterministic tiebreak on cent_id)
-    val wAssign = Window.partitionBy(idCol)
-      .orderBy(col("__ccos").desc, col("cent_id"))
-    val assigned = base.join(broadcast(cent))
-      .withColumn("__ccos",
-        VectorFunctions.dot(col("__v"), col("__cv")) / (col("__nrm") * col("__cn")))
-      .withColumn("__rn", row_number().over(wAssign)).filter(col("__rn") === 1)
-      .select(col(idCol), col("__v"), col("__nrm"), col("cent_id").as("cell"))
+    def assign(cent: DataFrame): DataFrame = {
+      val wAssign = Window.partitionBy(idCol)
+        .orderBy(col("__ccos").desc, col("cent_id"))
+      base.join(broadcast(cent))
+        .withColumn("__ccos",
+          VectorFunctions.dot(col("__v"), col("__cv")) / (col("__nrm") * col("__cn")))
+        .withColumn("__rn", row_number().over(wAssign)).filter(col("__rn") === 1)
+        .select(col(idCol), col("__v"), col("__nrm"), col("cent_id").as("cell"))
+    }
+    val cent0 = base.filter(col(idCol) % centStride === 1)
+      .select(col(idCol).as("cent_id"), col("__v").as("__cv"), col("__nrm").as("__cn"))
+    val assigned = (1 to kmeansIters)
+      .foldLeft(assign(cent0))((a, _) => assign(refineCentroids(a, idCol)))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val q = assigned.filter(queryFilter)
       .select(col(idCol).as("q_id"), col("__v").as("__qv"), col("__nrm").as("__qn"), col("cell"))

@@ -328,18 +328,36 @@ object ExtQueries {
 
     // IVF-style ANN: deterministic coarse centroids, nearest-cell assignment,
     // in-cell search (nprobe=1).
+    // IVF with ONE k-means (Lloyd) refinement of the coarse quantizer; the
+    // oracle replays the refinement exactly — decimal-exact component sums
+    // make the refined centroids order-independent (cosine is scale-
+    // invariant, so the sum centroid ≡ the mean centroid for assignment).
     Q("x13_sim_ivf_topk", (s, d) =>
       Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
-          col("vec_id") % 50 === 0, centStride = 40, k = 3)
+          col("vec_id") % 50 === 0, centStride = 40, k = 3, kmeansIters = 1)
         .orderBy("q_id", "rank"),
       Some(s"""WITH $NORM_CTE,
         cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 40 = 1),
+        a0 AS (
+          SELECT vec_id, v, nrm, cent_id AS cell FROM (
+            SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+              ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.cent_id) AS rn
+            FROM n, cent c) WHERE rn = 1),
+        refined AS (
+          SELECT cent_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
+            SELECT cell AS cent_id, list(m ORDER BY pos) AS cv FROM (
+              SELECT a.cell, r.range AS pos,
+                CAST(SUM(CAST(a.v[r.range] AS DECIMAL(27,12))) AS DOUBLE) AS m
+              FROM a0 a, range(1, 65) r
+              GROUP BY a.cell, r.range)
+            GROUP BY cell)),
         assigned AS (
           SELECT vec_id, v, nrm, cent_id AS cell FROM (
             SELECT n.vec_id, n.v, n.nrm, c.cent_id,
               ROW_NUMBER() OVER (PARTITION BY n.vec_id
                 ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.cent_id) AS rn
-            FROM n, cent c) WHERE rn = 1)
+            FROM n, refined c) WHERE rn = 1)
         SELECT q_id, n_id, cell, cos, rank FROM (
           SELECT q.vec_id AS q_id, a.vec_id AS n_id, q.cell,
             list_dot_product(q.v, a.v) / (q.nrm * a.nrm) AS cos,

@@ -80,6 +80,19 @@ class TextSketchSpec extends SparkSpec {
     assert(empty.head().getSeq[Long](0).isEmpty)
   }
 
+  test("simhash == HOF on arrays CONTAINING null elements (null votes -1 on all bits)") {
+    val df = Seq(
+      Seq[String]("a", null, "b"),
+      Seq[String](null, null),      // distinct → one null → one -1 vote
+      Seq[String]("a", "a", null)).toDF("toks")
+    for (bits <- Seq(16, 60)) {
+      val rows = df.select(
+        TextSketches.simhash(col("toks"), bits).as("native"),
+        Dedup.simhash(col("toks"), bits).as("hof")).collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"bits=$bits: $r"))
+    }
+  }
+
   test("shingle_hash_set == sorted distinct HOF shingle hashes") {
     val docs = t(spark, sfDir, "documents").select(col("text"))
       .unionByName(edgeDocs.toDF("text"))
