@@ -26,13 +26,28 @@ import scala.jdk.CollectionConverters._
  *     data/<uuid>/<pcol>=<val>/part-*.parquet  (partitioned)
  * }}}
  *
- * Commit = write data files to a fresh `data/<uuid>` dir, write the next
- * manifest, then atomically replace `_VERSION`. Readers resolve `_VERSION` →
- * manifest → file list, so they always see a consistent snapshot (old
- * versions' files are retained until `vacuum`). Single-writer per process is
- * assumed (the harness is one JVM); a real deployment would swap the pointer
- * file for a log-append with conditional-put, exactly as Delta's commit
- * protocol does.
+ * Commit = write data files to a fresh `data/<uuid>` dir, then PUBLISH the
+ * next manifest with a conditional put: the manifest bytes are staged to a
+ * temp file and hard-linked to `_commits/vN.mf` — link creation is atomic
+ * and fails with EEXIST if another writer already owns version N. This is
+ * Delta's optimistic-concurrency commit protocol (`DIM_Gold_layer.py:276`
+ * merges run under it) rebuilt on POSIX semantics:
+ *
+ *  - MULTI-WRITER SAFE across instances and processes on a shared
+ *    filesystem: exactly one writer wins each version.
+ *  - `append`/`overwrite` auto-retry on a lost race (their payload does not
+ *    depend on the losing snapshot; append re-reads the entry list and
+ *    re-commits — the data dir is already on disk, so a retry is
+ *    manifest-only).
+ *  - `merge`/`compact` are computed FROM a snapshot, so a lost race throws
+ *    [[ConcurrentWriteException]] — the caller recomputes against the new
+ *    version and retries, exactly Delta's `ConcurrentAppendException`
+ *    contract.
+ *
+ * `_VERSION` is a monotonic cache of the newest version, updated after a
+ * successful publish; readers resolve it and probe forward over `_commits`
+ * so a stale pointer can never hide a committed version. Readers always see
+ * a consistent snapshot (old versions' files are retained until `vacuum`).
  *
  * '''Partitioned tables''' (the 100 TB path): a table created with a
  * partition column tracks, per data dir, WHICH partition values that dir
@@ -50,6 +65,12 @@ import scala.jdk.CollectionConverters._
  * `merge` is join-based (shuffle on the merge keys, broadcast when the
  * source is small — left to AQE) and rewrites on commit.
  */
+/** A snapshot-dependent commit (merge/compact) lost an optimistic-concurrency
+ *  race: the table advanced past the version the result was computed from.
+ *  Callers recompute against the new current version and retry — the same
+ *  contract as Delta's concurrent-modification exceptions. */
+final class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
+
 final class LakeTable private (val spark: SparkSession, val root: String) {
   import LakeTable._
 
@@ -57,11 +78,20 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
   private def commitsDir: Path = Paths.get(root, "_commits")
   private def manifestFile(v: Long): Path = commitsDir.resolve(f"v$v%09d.mf")
 
-  def exists: Boolean = Files.exists(versionFile)
+  def exists: Boolean = Files.exists(versionFile) || Files.exists(manifestFile(0))
 
+  /** Newest committed version: the `_VERSION` cache, probed forward over
+   *  `_commits` — a concurrent writer that published but hasn't refreshed
+   *  the pointer yet is still visible. */
   def currentVersion: Long = {
     require(exists, s"LakeTable at $root does not exist")
-    new String(Files.readAllBytes(versionFile), StandardCharsets.UTF_8).trim.toLong
+    var v =
+      if (Files.exists(versionFile))
+        new String(Files.readAllBytes(versionFile), StandardCharsets.UTF_8).trim.toLong
+      else -1L
+    while (Files.exists(manifestFile(v + 1))) v += 1
+    require(v >= 0, s"LakeTable at $root has a pointer but no manifest")
+    v
   }
 
   private def b64e(s: String): String =
@@ -172,8 +202,10 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
       .parquet(s"$root/data/*")
   }
 
-  private def commit(m: Manifest): Unit = synchronized {
-    val next = if (exists) currentVersion + 1 else 0L
+  /** Conditional put of manifest `m` as version `next`: stage to a temp
+   *  file, hard-link it to the manifest path — atomic, and EEXIST if another
+   *  writer already committed `next`. Returns whether this writer won. */
+  private def tryCommit(m: Manifest, next: Long): Boolean = {
     Files.createDirectories(commitsDir)
     val header = Seq(s"schema=${b64e(m.schema.toDDL)}", s"op=${m.op}") ++
       m.pcol.map(p => s"pcol=$p").toSeq
@@ -183,11 +215,37 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
         case Some(vs) => s"dir=${e.dir}|${vs.map(b64e).mkString(",")}"
       }
     }
-    Files.write(manifestFile(next),
+    val staged = commitsDir.resolve(s".stage-${UUID.randomUUID()}")
+    Files.write(staged,
       (header ++ body).mkString("\n").getBytes(StandardCharsets.UTF_8))
-    val tmp = Paths.get(root, s"_VERSION.tmp.${UUID.randomUUID()}")
-    Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, versionFile, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val won =
+      try { Files.createLink(manifestFile(next), staged); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      finally Files.deleteIfExists(staged)
+    if (won) {
+      // refresh the pointer cache (stale/regressed values are harmless:
+      // currentVersion probes forward past them)
+      val tmp = Paths.get(root, s"_VERSION.tmp.${UUID.randomUUID()}")
+      Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, versionFile, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    won
+  }
+
+  /** Commit on top of whatever the current version is, retrying lost races —
+   *  sound only when `mkManifest` re-derives the manifest from the LATEST
+   *  snapshot on each attempt (append/overwrite). */
+  private def commitWithRetry(mkManifest: () => (Manifest, Long)): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val (m, next) = mkManifest()
+      done = tryCommit(m, next)
+      attempts += 1
+      if (!done && attempts >= 100)
+        throw new ConcurrentWriteException(
+          s"lost $attempts consecutive commit races at $root")
+    }
   }
 
   /** Create an empty table (idempotent). `partitionBy` fixes the partition
@@ -197,7 +255,8 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
       partitionBy.foreach(p => require(schema.fieldNames.contains(p),
         s"partition column $p not in schema"))
       Files.createDirectories(Paths.get(root))
-      commit(Manifest(schema, partitionBy, Nil, "create"))
+      // idempotent: losing the v0 race means someone else created the table
+      tryCommit(Manifest(schema, partitionBy, Nil, "create"), 0L)
     }
     this
   }
@@ -230,20 +289,38 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
     Files.createDirectories(Paths.get(root))
     val pcol = if (exists) manifest.pcol else None
     val (dir, owned) = writeData(df, pcol)
-    val prior = if (exists) manifest.entries else Nil
-    commit(Manifest(df.schema, pcol, prior :+ DirEntry(dir, owned), "append"))
+    // a lost race re-reads the entry list and re-commits — the data dir is
+    // already written, so append retries are manifest-only (no lost updates)
+    commitWithRetry { () =>
+      val (next, prior) = if (exists) (currentVersion + 1, manifest.entries) else (0L, Nil)
+      (Manifest(df.schema, pcol, prior :+ DirEntry(dir, owned), "append"), next)
+    }
   }
 
   /** Full-snapshot replace (new version; old files kept until vacuum). */
   def overwrite(df: DataFrame, partitionBy: Option[String] = None): Unit =
-    replaceAll(df, partitionBy, "overwrite")
+    replaceAll(df, partitionBy, "overwrite", expected = None)
 
+  /** `expected = Some(v)`: conditional replace — the snapshot this data was
+   *  computed from must still be current, else [[ConcurrentWriteException]]
+   *  (merge/compact). `None`: last-writer-wins replace, retried on races. */
   private def replaceAll(df: DataFrame, partitionBy: Option[String],
-      op: String): Unit = synchronized {
+      op: String, expected: Option[Long]): Unit = synchronized {
     Files.createDirectories(Paths.get(root))
     val pcol = partitionBy.orElse(if (exists) manifest.pcol else None)
     val (dir, owned) = writeData(df, pcol)
-    commit(Manifest(df.schema, pcol, Seq(DirEntry(dir, owned)), op))
+    val m = Manifest(df.schema, pcol, Seq(DirEntry(dir, owned)), op)
+    expected match {
+      case Some(v) =>
+        if (!tryCommit(m, v + 1))
+          throw new ConcurrentWriteException(
+            s"$op computed against version $v of $root, but a concurrent " +
+              s"writer committed v${v + 1} first — recompute and retry")
+      case None =>
+        commitWithRetry { () =>
+          (m, if (exists) currentVersion + 1 else 0L)
+        }
+    }
   }
 
   /**
@@ -278,7 +355,8 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
       matchedGuard: Option[String] = None,
       checkUniqueKeys: Boolean = false): Unit = synchronized {
     require(exists, s"merge target $root does not exist — create() or append() first")
-    val m = manifest
+    val v0 = currentVersion
+    val m = readManifest(v0) // merge computes against THIS snapshot
     val cols = m.schema.fieldNames.toSeq
     require(src.columns.toSet == cols.toSet,
       s"merge source schema ${src.columns.mkString(",")} != target ${cols.mkString(",")}")
@@ -301,13 +379,13 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
     // skip the full-outer join against an empty side (bootstrap merges are
     // common: every CDC flow's first batch lands here)
     if (m.entries.isEmpty) {
-      replaceAll(src.select(cols.map(col): _*), m.pcol, "merge")
+      replaceAll(src.select(cols.map(col): _*), m.pcol, "merge", Some(v0))
       return
     }
 
     m.pcol match {
       case None =>
-        replaceAll(mergedOf(readScoped(m, None)), None, "merge")
+        replaceAll(mergedOf(readScoped(m, None)), None, "merge", Some(v0))
       case Some(p) =>
         // touched partitions = the source's partition values (small, driver-side)
         val touched = src.select(col(p).cast("string")).distinct()
@@ -319,7 +397,10 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
         val kept = m.entries
           .map(e => e.copy(owned = e.owned.map(_.filterNot(touchedSet))))
           .filter(_.owned.exists(_.nonEmpty))
-        commit(Manifest(m.schema, m.pcol, kept :+ DirEntry(dir, owned), "merge"))
+        if (!tryCommit(Manifest(m.schema, m.pcol, kept :+ DirEntry(dir, owned), "merge"), v0 + 1))
+          throw new ConcurrentWriteException(
+            s"merge computed against version $v0 of $root, but a concurrent " +
+              s"writer committed v${v0 + 1} first — recompute and retry")
     }
   }
 
@@ -341,8 +422,9 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
   /** Rewrite the whole table into a single dir (small-file compaction for
    *  tables that accumulated many append/merge dirs). */
   def compact(): Unit = synchronized {
-    val m = manifest
-    replaceAll(readScoped(m, None), m.pcol, "compact")
+    val v0 = currentVersion
+    val m = readManifest(v0)
+    replaceAll(readScoped(m, None), m.pcol, "compact", Some(v0))
   }
 }
 
