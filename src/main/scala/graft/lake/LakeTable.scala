@@ -107,6 +107,8 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
     val pcol = lines.collectFirst { case l if l.startsWith("pcol=") => l.stripPrefix("pcol=") }
     val op = lines.collectFirst { case l if l.startsWith("op=") => l.stripPrefix("op=") }
       .getOrElse("unknown")
+    val cdfEnabled = lines.contains("cdf=on")
+    val cdfDir = lines.collectFirst { case l if l.startsWith("cdfdir=") => l.stripPrefix("cdfdir=") }
     val entries = lines.collect {
       case l if l.startsWith("dir=") =>
         l.stripPrefix("dir=").split('|') match {
@@ -116,7 +118,7 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
           case _ => sys.error(s"bad manifest line: $l")
         }
     }.toSeq
-    Manifest(schema, pcol, entries, op)
+    Manifest(schema, pcol, entries, op, cdfEnabled, cdfDir)
   }
 
   private def manifest: Manifest = readManifest(currentVersion)
@@ -151,6 +153,64 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
     require(exists, s"LakeTable at $root does not exist")
     (0L to currentVersion).filter(v => Files.exists(manifestFile(v)))
       .map(v => v -> readManifest(v).op)
+  }
+
+  /**
+   * O8 CHANGE DATA FEED (Delta `readChangeFeed` — the reference names it at
+   * `README.md:91` without implementing it): row-level changes committed in
+   * versions `[fromVersion, toVersion]`, with Delta's CDF columns
+   * `_change_type` ∈ {insert, update_preimage, update_postimage} and
+   * `_commit_version`.
+   *
+   *  - `append` commits derive their inserts straight from the appended data
+   *    dir — zero write-time overhead (bronze ingest stays O(new data));
+   *  - `merge` commits read the change rows the merge materialized under
+   *    `_changes/` (requires the table created with `enableChangeFeed`);
+   *  - full-rewrite commits (`overwrite`/`compact`) carry no row-level
+   *    delta — a range containing one fails loudly (Delta likewise refuses
+   *    CDF across non-CDC rewrites rather than fabricating changes).
+   *
+   * Deviation: no `_commit_timestamp` (the table keeps no wall clock; version
+   * numbers are the ordering the engine guarantees).
+   */
+  def readChangeFeed(fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
+    require(exists, s"LakeTable at $root does not exist")
+    val hi = toVersion.getOrElse(currentVersion)
+    require(fromVersion >= 0 && fromVersion <= hi && hi <= currentVersion,
+      s"bad change-feed range [$fromVersion, $hi] for table at version $currentVersion")
+    val m = manifest
+    val feedSchema = m.schema
+      .add(ChangeTypeCol, org.apache.spark.sql.types.StringType, nullable = false)
+    val parts = (fromVersion to hi).flatMap { v =>
+      val mv = readManifest(v)
+      val part: Option[DataFrame] = mv.op match {
+        case "create" => None
+        case "append" =>
+          val prevDirs: Set[String] =
+            if (v == 0) Set.empty else readManifest(v - 1).entries.map(_.dir).toSet
+          val added = mv.entries.map(_.dir).filterNot(prevDirs)
+          added.foreach(d => require(Files.isDirectory(Paths.get(root, d)),
+            s"change feed for v$v has been vacuumed ($d)"))
+          added.map { d =>
+            spark.read.schema(mv.schema)
+              .option("basePath", s"$root/$d").parquet(s"$root/$d")
+              .withColumn(ChangeTypeCol, lit("insert"))
+          }.reduceOption(_ unionByName _)
+        case "merge" =>
+          val d = mv.cdfDir.getOrElse(sys.error(
+            s"no change data recorded for merge at v$v — create the table " +
+              "with enableChangeFeed=true before merging"))
+          require(Files.isDirectory(Paths.get(root, d)),
+            s"change feed for v$v has been vacuumed ($d)")
+          Some(spark.read.schema(feedSchema).parquet(s"$root/$d"))
+        case other => sys.error(
+          s"change feed unavailable across full-rewrite commit v$v (op=$other)")
+      }
+      part.map(_.withColumn(CommitVersionCol, lit(v)))
+    }
+    parts.reduceOption(_ unionByName _).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        feedSchema.add(CommitVersionCol, org.apache.spark.sql.types.LongType, nullable = false)))
   }
 
   /** Partition-pruned read of only the given partition values. */
@@ -208,7 +268,9 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
   private def tryCommit(m: Manifest, next: Long): Boolean = {
     Files.createDirectories(commitsDir)
     val header = Seq(s"schema=${b64e(m.schema.toDDL)}", s"op=${m.op}") ++
-      m.pcol.map(p => s"pcol=$p").toSeq
+      m.pcol.map(p => s"pcol=$p").toSeq ++
+      (if (m.cdfEnabled) Seq("cdf=on") else Nil) ++
+      m.cdfDir.map(d => s"cdfdir=$d").toSeq
     val body = m.entries.map { e =>
       e.owned match {
         case None => s"dir=${e.dir}"
@@ -249,14 +311,18 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
   }
 
   /** Create an empty table (idempotent). `partitionBy` fixes the partition
-   *  column for the table's lifetime. */
-  def create(schema: StructType, partitionBy: Option[String] = None): LakeTable = {
+   *  column for the table's lifetime; `enableChangeFeed` turns on O8 change
+   *  data capture — every later MERGE materializes its row-level changes for
+   *  [[readChangeFeed]] (appends derive their inserts for free). */
+  def create(schema: StructType, partitionBy: Option[String] = None,
+      enableChangeFeed: Boolean = false): LakeTable = {
     if (!exists) {
       partitionBy.foreach(p => require(schema.fieldNames.contains(p),
         s"partition column $p not in schema"))
       Files.createDirectories(Paths.get(root))
       // idempotent: losing the v0 race means someone else created the table
-      tryCommit(Manifest(schema, partitionBy, Nil, "create"), 0L)
+      tryCommit(Manifest(schema, partitionBy, Nil, "create",
+        cdfEnabled = enableChangeFeed), 0L)
     }
     this
   }
@@ -292,8 +358,16 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
     // a lost race re-reads the entry list and re-commits — the data dir is
     // already written, so append retries are manifest-only (no lost updates)
     commitWithRetry { () =>
-      val (next, prior) = if (exists) (currentVersion + 1, manifest.entries) else (0L, Nil)
-      (Manifest(df.schema, pcol, prior :+ DirEntry(dir, owned), "append"), next)
+      if (exists) {
+        // snapshot the version ONCE and read THAT manifest: entry list and
+        // CAS slot must come from the same version, or a racer committing
+        // in between would make us publish a stale entry list one slot later
+        val v = currentVersion
+        val cur = readManifest(v)
+        (Manifest(df.schema, pcol, cur.entries :+ DirEntry(dir, owned), "append",
+          cur.cdfEnabled), v + 1)
+      } else
+        (Manifest(df.schema, pcol, Seq(DirEntry(dir, owned)), "append"), 0L)
     }
   }
 
@@ -305,11 +379,13 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
    *  computed from must still be current, else [[ConcurrentWriteException]]
    *  (merge/compact). `None`: last-writer-wins replace, retried on races. */
   private def replaceAll(df: DataFrame, partitionBy: Option[String],
-      op: String, expected: Option[Long]): Unit = synchronized {
+      op: String, expected: Option[Long], cdfDir: Option[String] = None): Unit = synchronized {
     Files.createDirectories(Paths.get(root))
-    val pcol = partitionBy.orElse(if (exists) manifest.pcol else None)
+    val cur = if (exists) Some(manifest) else None
+    val pcol = partitionBy.orElse(cur.flatMap(_.pcol))
     val (dir, owned) = writeData(df, pcol)
-    val m = Manifest(df.schema, pcol, Seq(DirEntry(dir, owned)), op)
+    val m = Manifest(df.schema, pcol, Seq(DirEntry(dir, owned)), op,
+      cur.exists(_.cdfEnabled), cdfDir)
     expected match {
       case Some(v) =>
         if (!tryCommit(m, v + 1))
@@ -365,56 +441,108 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
       require(dups == 0, s"merge source has duplicate keys $keys")
     }
 
-    def mergedOf(target: DataFrame): DataFrame = {
+    val guard = matchedGuard.map(expr).getOrElse(lit(true))
+    def joinedOf(target: DataFrame): DataFrame = {
       val t = target.withColumn(T_MARK, lit(true)).alias("t")
       val s = src.withColumn(S_MARK, lit(true)).alias("s")
       val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
-      val guard = matchedGuard.map(expr).getOrElse(lit(true))
-      val takeSrc = col(S_MARK).isNotNull && (col(T_MARK).isNull || guard)
       t.join(s, joinCond, "full_outer")
-        .select(cols.map(c => when(takeSrc, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
+    }
+    def mergedFrom(joined: DataFrame): DataFrame = {
+      val takeSrc = col(S_MARK).isNotNull && (col(T_MARK).isNull || guard)
+      joined.select(cols.map(c => when(takeSrc, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
+    }
+    // O8 change rows out of the SAME join: a source-only row is an insert;
+    // a matched-and-guard-passing row emits its target pre-image and source
+    // post-image (Delta CDF's row set for a MERGE without delete clauses).
+    def changesFrom(joined: DataFrame): DataFrame = {
+      val isInsert = col(S_MARK).isNotNull && col(T_MARK).isNull
+      val isUpdate = col(S_MARK).isNotNull && col(T_MARK).isNotNull && guard
+      def row(side: String, kind: String) = struct(
+        (cols.map(c => col(s"$side.$c").as(c)) :+ lit(kind).as(ChangeTypeCol)): _*)
+      joined.select(explode(array(
+          when(isInsert, row("s", "insert")),
+          when(isUpdate, row("t", "update_preimage")),
+          when(isUpdate, row("s", "update_postimage")))).as("__ch"))
+        .filter(col("__ch").isNotNull)
+        .select((cols :+ ChangeTypeCol).map(c => col(s"__ch.$c").as(c)): _*)
+    }
+    /** Materialize the commit's change rows under `_changes/` (referenced by
+     *  the manifest; orphaned by a lost race → cleaned by vacuum). */
+    def writeChanges(changes: DataFrame): Option[String] = {
+      if (!m.cdfEnabled) None
+      else {
+        val d = s"_changes/${UUID.randomUUID()}"
+        changes.write.parquet(s"$root/$d")
+        Some(d)
+      }
     }
 
     // fast path: merging into a table with no data dirs inserts everything —
     // skip the full-outer join against an empty side (bootstrap merges are
     // common: every CDC flow's first batch lands here)
     if (m.entries.isEmpty) {
-      replaceAll(src.select(cols.map(col): _*), m.pcol, "merge", Some(v0))
+      val flat = src.select(cols.map(col): _*)
+      val chDir = writeChanges(flat.withColumn(ChangeTypeCol, lit("insert")))
+      replaceAll(flat, m.pcol, "merge", Some(v0), chDir)
       return
     }
 
     m.pcol match {
       case None =>
-        replaceAll(mergedOf(readScoped(m, None)), None, "merge", Some(v0))
+        val joined = joinedOf(readScoped(m, None))
+        val pinned = // two consumers under CDF: pin the join, not twice the work
+          if (m.cdfEnabled) joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else joined
+        try {
+          val chDir = writeChanges(changesFrom(pinned))
+          replaceAll(mergedFrom(pinned), None, "merge", Some(v0), chDir)
+        } finally if (m.cdfEnabled) { pinned.unpersist(); () }
       case Some(p) =>
         // touched partitions = the source's partition values (small, driver-side)
         val touched = src.select(col(p).cast("string")).distinct()
           .collect().map(_.getString(0)).toSeq
         require(!touched.contains(null), s"null partition value in column $p")
         val touchedSet = touched.toSet
-        val merged = mergedOf(readScoped(m, Some(touchedSet)))
-        val (dir, owned) = writeData(merged, Some(p))
-        val kept = m.entries
-          .map(e => e.copy(owned = e.owned.map(_.filterNot(touchedSet))))
-          .filter(_.owned.exists(_.nonEmpty))
-        if (!tryCommit(Manifest(m.schema, m.pcol, kept :+ DirEntry(dir, owned), "merge"), v0 + 1))
-          throw new ConcurrentWriteException(
-            s"merge computed against version $v0 of $root, but a concurrent " +
-              s"writer committed v${v0 + 1} first — recompute and retry")
+        val joined = joinedOf(readScoped(m, Some(touchedSet)))
+        val pinned =
+          if (m.cdfEnabled) joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else joined
+        try {
+          val chDir = writeChanges(changesFrom(pinned))
+          val (dir, owned) = writeData(mergedFrom(pinned), Some(p))
+          val kept = m.entries
+            .map(e => e.copy(owned = e.owned.map(_.filterNot(touchedSet))))
+            .filter(_.owned.exists(_.nonEmpty))
+          if (!tryCommit(Manifest(m.schema, m.pcol, kept :+ DirEntry(dir, owned), "merge",
+              m.cdfEnabled, chDir), v0 + 1))
+            throw new ConcurrentWriteException(
+              s"merge computed against version $v0 of $root, but a concurrent " +
+                s"writer committed v${v0 + 1} first — recompute and retry")
+        } finally if (m.cdfEnabled) { pinned.unpersist(); () }
     }
   }
 
-  /** Drop data dirs not referenced by the newest `keepVersions` manifests. */
+  /** Drop data dirs (and change-feed dirs, including race-orphaned ones) not
+   *  referenced by the newest `keepVersions` manifests. */
   def vacuum(keepVersions: Int = 2): Unit = synchronized {
     if (!exists) return
     val cur = currentVersion
-    val keep = (math.max(0L, cur - keepVersions + 1) to cur)
+    val retained = (math.max(0L, cur - keepVersions + 1) to cur)
       .filter(v => Files.exists(manifestFile(v)))
-      .flatMap(v => readManifest(v).entries.map(_.dir)).toSet
+      .map(readManifest)
+    val keep = retained.flatMap(_.entries.map(_.dir)).toSet
     val dataRoot = Paths.get(root, "data")
     if (Files.isDirectory(dataRoot)) {
       Files.list(dataRoot).iterator().asScala.toList.foreach { p =>
         if (!keep.contains(s"data/${p.getFileName}")) deleteRecursively(p)
+      }
+    }
+    val keepCh = retained.flatMap(_.cdfDir).toSet
+    val chRoot = Paths.get(root, "_changes")
+    if (Files.isDirectory(chRoot)) {
+      Files.list(chRoot).iterator().asScala.toList.foreach { p =>
+        if (!keepCh.contains(s"_changes/${p.getFileName}")) deleteRecursively(p)
       }
     }
   }
@@ -431,9 +559,14 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
 object LakeTable {
   private val T_MARK = "__t_exists"
   private val S_MARK = "__s_exists"
+  /** Change-feed column names (Delta CDF's). */
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
   private case class DirEntry(dir: String, owned: Option[Seq[String]])
   private case class Manifest(schema: StructType, pcol: Option[String],
-      entries: Seq[DirEntry], op: String)
+      entries: Seq[DirEntry], op: String,
+      cdfEnabled: Boolean = false, cdfDir: Option[String] = None)
 
   def apply(spark: SparkSession, root: String): LakeTable = new LakeTable(spark, root)
 

@@ -360,6 +360,54 @@ object CoreQueries {
         FROM base b FULL OUTER JOIN src s ON b.user_id = s.user_id
         ORDER BY user_id""")),
 
+    // O8: Delta Change Data Feed — the same two merges as s8 on a
+    // CDF-enabled table, reading the SECOND merge's row-level changes:
+    // source-only keys surface as inserts, guard-passing matches as
+    // update_preimage (target row) + update_postimage (source row),
+    // guard-rejected and target-only rows as nothing. The oracle replays the
+    // change classification off the identical full-outer join.
+    Q("o8_change_feed", (s, d) => {
+      val gb = GoldBuilder(s)
+      val ev = t(s, d, "events")
+      val cols = Seq("user_id", "ts", "event_type", "value")
+      val base = gb.latestPerKey(
+        ev.filter(col("user_id") % 5 =!= 0), Seq("user_id"), "ts", Seq("event_id"))
+        .select(cols.map(col): _*)
+      val src = gb.latestPerKey(
+        ev.filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+                  col("ts") < lit("2024-01-20 00:00:00").cast("timestamp")),
+        Seq("user_id"), "ts", Seq("event_id"))
+        .withColumn("value", col("value") + lit(1000.0))
+        .select(cols.map(col): _*)
+      val tbl = LakeTable(s, s"${tmp("graft_o8")}/t")
+      tbl.create(base.schema, enableChangeFeed = true)
+      tbl.merge(base, Seq("user_id"))                      // v1: bootstrap
+      tbl.merge(src, Seq("user_id"), Some("s.ts >= t.ts")) // v2: upsert
+      tbl.readChangeFeed(2).orderBy("user_id", "_change_type")
+    },
+      Some("""WITH base AS (
+          SELECT user_id, ts, event_type, value FROM events WHERE user_id % 5 <> 0
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
+        src AS (
+          SELECT user_id, ts, event_type, value + 1000.0 AS value FROM events
+          WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
+        j AS (
+          SELECT b.user_id AS b_uid, b.ts AS b_ts, b.event_type AS b_et, b.value AS b_val,
+                 s.user_id AS s_uid, s.ts AS s_ts, s.event_type AS s_et, s.value AS s_val
+          FROM base b FULL OUTER JOIN src s ON b.user_id = s.user_id)
+        SELECT * FROM (
+          SELECT s_uid AS user_id, s_ts AS ts, s_et AS event_type, s_val AS value,
+            'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+          FROM j WHERE s_uid IS NOT NULL AND b_uid IS NULL
+          UNION ALL
+          SELECT b_uid, b_ts, b_et, b_val, 'update_preimage', 2
+          FROM j WHERE s_uid IS NOT NULL AND b_uid IS NOT NULL AND s_ts >= b_ts
+          UNION ALL
+          SELECT s_uid, s_ts, s_et, s_val, 'update_postimage', 2
+          FROM j WHERE s_uid IS NOT NULL AND b_uid IS NOT NULL AND s_ts >= b_ts)
+        ORDER BY user_id, _change_type""")),
+
     // G1: full incremental SCD1 dimension build through GoldBuilder —
     // bootstrap batch then incremental batch with updates + brand-new keys
     // (users ≡ 0 mod 7 are held out of batch 1 to force the NEW path).

@@ -1,0 +1,93 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** O8 Change Data Feed: row-level deltas per commit with Delta CDF's
+ *  `_change_type` / `_commit_version` columns. */
+class ChangeFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType),
+    StructField("seq", IntegerType)))
+
+  private def cdfTable(name: String): LakeTable =
+    LakeTable(spark, s"${tmpDir(name)}/t").create(schema, enableChangeFeed = true)
+
+  private def feed(t: LakeTable, from: Long): Seq[(Long, String, Long)] =
+    t.readChangeFeed(from).orderBy("_commit_version", "k", "_change_type")
+      .select(col("k"), col("_change_type"), col("_commit_version"))
+      .as[(Long, String, Long)].collect().toSeq
+
+  test("merge emits insert / update_preimage / update_postimage; appends emit inserts") {
+    val t = cdfTable("cdf_basic")
+    t.append(Seq((1L, "a", 1), (2L, "b", 1)).toDF("k", "v", "seq"))      // v1: inserts
+    // v2: k=2 updated (guard passes), k=3 inserted, k=1 untouched
+    t.merge(Seq((2L, "b2", 2), (3L, "c", 2)).toDF("k", "v", "seq"),
+      Seq("k"), Some("s.seq >= t.seq"))
+    // NB "update_postimage" < "update_preimage" lexicographically
+    assert(feed(t, 0) == Seq(
+      (1L, "insert", 1L), (2L, "insert", 1L),
+      (2L, "update_postimage", 2L), (2L, "update_preimage", 2L),
+      (3L, "insert", 2L)))
+    // reading from a later version narrows the feed
+    assert(feed(t, 2).forall(_._3 == 2L))
+    // pre/post images carry the right values
+    val images = t.readChangeFeed(2).filter(col("k") === 2)
+      .orderBy("_change_type").select("v").as[String].collect().toSeq
+    assert(images == Seq("b2", "b"))
+  }
+
+  test("guard-rejected matches produce NO change rows (stale source)") {
+    val t = cdfTable("cdf_guard")
+    t.merge(Seq((1L, "cur", 10)).toDF("k", "v", "seq"), Seq("k"))        // v1: bootstrap insert
+    t.merge(Seq((1L, "stale", 5)).toDF("k", "v", "seq"),
+      Seq("k"), Some("s.seq >= t.seq"))                                  // v2: rejected
+    assert(feed(t, 0) == Seq((1L, "insert", 1L)))
+    assert(t.readChangeFeed(2, Some(2)).count() == 0)
+  }
+
+  test("merge on a non-CDF table fails loudly when its feed is requested") {
+    val t = LakeTable(spark, s"${tmpDir("cdf_off")}/t").create(schema)
+    t.merge(Seq((1L, "a", 1)).toDF("k", "v", "seq"), Seq("k"))
+    val e = intercept[RuntimeException](t.readChangeFeed(0).collect())
+    assert(e.getMessage.contains("enableChangeFeed"), e.getMessage)
+  }
+
+  test("feed range across a full rewrite (compact) refuses; appends after it still feed") {
+    val t = cdfTable("cdf_rewrite")
+    t.append(Seq((1L, "a", 1)).toDF("k", "v", "seq"))  // v1
+    t.compact()                                        // v2: full rewrite
+    t.append(Seq((2L, "b", 1)).toDF("k", "v", "seq"))  // v3
+    val e = intercept[RuntimeException](t.readChangeFeed(0).collect())
+    assert(e.getMessage.contains("full-rewrite"), e.getMessage)
+    assert(feed(t, 3) == Seq((2L, "insert", 3L)))
+  }
+
+  test("partitioned CDF merge records changes only for touched partitions") {
+    val pschema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("seq", IntegerType), StructField("pt", StringType)))
+    val t = LakeTable(spark, s"${tmpDir("cdf_part")}/t")
+      .create(pschema, partitionBy = Some("pt"), enableChangeFeed = true)
+    t.merge(Seq((1L, "a", 1, "p1"), (2L, "b", 1, "p2")).toDF("k", "v", "seq", "pt"), Seq("k"))
+    t.merge(Seq((2L, "b2", 2, "p2")).toDF("k", "v", "seq", "pt"),
+      Seq("k"), Some("s.seq >= t.seq"))
+    assert(feed(t, 2) == Seq((2L, "update_postimage", 2L), (2L, "update_preimage", 2L)))
+    assert(t.read.count() == 2)
+  }
+
+  test("vacuum keeps referenced change dirs, drops aged ones") {
+    val t = cdfTable("cdf_vacuum")
+    t.merge(Seq((1L, "a", 1)).toDF("k", "v", "seq"), Seq("k"))           // v1
+    t.merge(Seq((1L, "a2", 2)).toDF("k", "v", "seq"), Seq("k"))          // v2
+    t.merge(Seq((1L, "a3", 3)).toDF("k", "v", "seq"), Seq("k"))          // v3
+    t.vacuum(keepVersions = 2)                                           // keeps v2, v3
+    assert(feed(t, 2).map(_._3).distinct == Seq(2L, 3L))
+    val e = intercept[RuntimeException](t.readChangeFeed(1, Some(1)).collect())
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+  }
+}
