@@ -35,10 +35,15 @@ final case class FactConfig(
     /** Partition the fact table by this (payload) column — e.g. a derived
      *  ship month. Incremental merges then rewrite only the partitions
      *  present in the new batch (O(touched partitions), not O(table)); at
-     *  100 TB an unpartitioned fact merge is a full-table rewrite. The
-     *  partition value must be stable per fact grain (it is derived from
-     *  the row's own immutable date), since a matched update may not move a
-     *  row across partitions. */
+     *  100 TB an unpartitioned fact merge is a full-table rewrite. Two
+     *  contracts on the partition value:
+     *   - stable per fact grain (derived from the row's own immutable
+     *     date), since a matched update may not move a row across
+     *     partitions;
+     *   - MONOTONE in `cdcCol` under string ordering (a zero-padded
+     *     `yyyy-MM` is), so the CDC watermark `MAX(cdcCol)` can be read
+     *     from the max partition alone — the incremental run never scans
+     *     the full fact for its watermark. */
     partitionCol: Option[String] = None)
 
 /**
@@ -145,9 +150,20 @@ final class GoldBuilder(spark: SparkSession, clock: () => Timestamp) {
       backdatedRefresh: Option[Timestamp] = None): LakeTable = {
     val table = LakeTable(spark, cfg.targetPath)
 
-    val watermark: Option[Timestamp] = backdatedRefresh.orElse(
-      if (table.exists) table.read.agg(max(col(cfg.cdcCol))).as[Option[Timestamp]].head()
-      else None)
+    val watermark: Option[Timestamp] = backdatedRefresh.orElse {
+      if (!table.exists) None
+      else {
+        // partitioned fact: the partition value is monotone in cdcCol (see
+        // FactConfig.partitionCol), so MAX(cdc) lives in the max partition —
+        // a one-partition scan instead of O(table) per incremental run
+        val scope = cfg.partitionCol.flatMap { _ =>
+          val owned = table.ownedPartitionValues
+          if (owned.isEmpty) None else Some(table.readPartitions(Seq(owned.max)))
+        }
+        scope.getOrElse(table.read)
+          .agg(max(col(cfg.cdcCol))).as[Option[Timestamp]].head()
+      }
+    }
     val incoming = watermark.fold(factSource)(w => factSource.filter(col(cfg.cdcCol) >= lit(w)))
 
     // LEFT JOIN each dimension on its business keys, keep only its surrogate.

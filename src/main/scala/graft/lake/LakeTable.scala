@@ -128,6 +128,11 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
   /** Partition column, if this table is partitioned. */
   def partitionColumn: Option[String] = manifest.pcol
 
+  /** Distinct partition values currently owned (manifest-resolved — no data
+   *  scan). Empty for unpartitioned tables. */
+  def ownedPartitionValues: Seq[String] =
+    manifest.entries.flatMap(_.owned.getOrElse(Nil)).distinct
+
   /** Snapshot read of the current version (explicit schema: no inference
    *  drift, empty tables read fine; partitioned reads prune to owned dirs). */
   def read: DataFrame = readScoped(manifest, None)

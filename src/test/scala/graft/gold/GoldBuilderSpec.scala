@@ -128,4 +128,32 @@ class GoldBuilderSpec extends SparkSpec {
     gb.buildFact(cfg, fact)
     assert(LakeTable(spark, cfg.targetPath).read.count() == 1)
   }
+
+  test("partitioned buildFact ≡ unpartitioned across an incremental 2-batch run") {
+    val root = tmpDir("gb_fact_part")
+    val dim = LakeTable(spark, s"$root/dim")
+    dim.overwrite(Seq((100L, 1L), (200L, 2L)).toDF("bk", "dim_key"))
+    def cfg(path: String, part: Option[String]) = FactConfig(s"$root/$path",
+      dims = Seq(FactDim(dim, Seq("fk" -> "bk"), "dim_key")),
+      payloadCols = Seq("fk", "amount", "cdc", "month"),
+      factKeys = Seq("fk"), cdcCol = "cdc", partitionCol = part)
+    def batch(rows: Seq[(Long, Double, String)]) =
+      rows.toDF("fk", "amount", "cdc0")
+        .select(col("fk"), col("amount"), col("cdc0").cast("timestamp").as("cdc"),
+          date_format(col("cdc0").cast("timestamp"), "yyyy-MM").as("month"))
+    val b1 = batch(Seq(
+      (100L, 10.0, "2024-01-05 00:00:00"), (200L, 20.0, "2024-02-05 00:00:00")))
+    // batch 2: late update to fk=200 (same max month) + new fk=300 in a new month
+    val b2 = batch(Seq(
+      (200L, 21.0, "2024-02-20 00:00:00"), (300L, 30.0, "2024-03-01 00:00:00")))
+    val gb = GoldBuilder.fixed(spark, t1)
+    val p = { gb.buildFact(cfg("fp", Some("month")), b1); gb.buildFact(cfg("fp", Some("month")), b2) }
+    val u = { gb.buildFact(cfg("fu", None), b1); gb.buildFact(cfg("fu", None), b2) }
+    val ps = p.read.orderBy("fk").collect().toSeq
+    val us = u.read.orderBy("fk").select(p.read.columns.map(col): _*).collect().toSeq
+    assert(ps == us, s"partitioned $ps != unpartitioned $us")
+    assert(p.partitionColumn.contains("month"))
+    // incremental watermark pruning really pruned: only the max month is read
+    assert(p.ownedPartitionValues.sorted == Seq("2024-01", "2024-02", "2024-03"))
+  }
 }
