@@ -85,6 +85,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("change feed replay: snapshot(n-1) + feed(n) reconstructs snapshot(n)") {
+    import org.apache.spark.sql.functions.col
+    for (seed <- 41L to 44L) {
+      val t = LakeTable(spark, s"${tmpDir("prop_cdf")}/t")
+      val gb = GoldBuilder(spark)
+      val batches = Seq(sample(seed), sample(seed + 100), sample(seed + 200))
+      t.create(batches.head.toDF("k", "seq", "v").schema, enableChangeFeed = true)
+      batches.foreach { rows =>
+        t.merge(gb.latestPerKey(rows.toDF("k", "seq", "v"), Seq("k"), "seq", Seq("v")),
+          Seq("k"), Some("s.seq >= t.seq"))
+      }
+      (1L to t.currentVersion).foreach { v =>
+        val prev = t.readVersion(v - 1)
+        val applied = t.readChangeFeed(v, Some(v))
+          .filter(col("_change_type").isin("insert", "update_postimage"))
+          .select("k", "seq", "v")
+        val got = prev.join(applied.select("k"), Seq("k"), "left_anti")
+          .unionByName(applied).orderBy("k", "seq", "v").collect().toSeq
+        val want = t.readVersion(v).orderBy("k", "seq", "v").collect().toSeq
+        assert(got == want, s"seed=$seed v=$v")
+      }
+    }
+  }
+
   test("latest-wins merges converge on (k, seq) regardless of batch order") {
     for (seed <- 21L to 24L) {
       val rowsA = sample(seed); val rowsB = sample(seed + 100)
