@@ -120,6 +120,49 @@ class PipelineSpec extends SparkSpec {
         (3L, "new", ts("2024-01-05 00:00:00"))))
   }
 
+  test("runCdcFlowFromChangeFeed: silver→gold via CDF, only new versions per run") {
+    import graft.lake.LakeTable
+    def ts(s: String) = Timestamp.valueOf(s)
+    val root = tmpDir("pl_cdf")
+    val silver = LakeTable(spark, s"$root/silver")
+    silver.create(Seq((0L, "", ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq").schema,
+      enableChangeFeed = true)
+    silver.merge(Seq(
+      (1L, "a", ts("2024-01-01 00:00:00")),
+      (2L, "b", ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq"),
+      Seq("k"), Some("s.seq >= t.seq"))                                  // v1
+
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.streamingTable("gold")
+    def run(): Long = p.runCdcFlowFromChangeFeed(
+      "gold", silver, Seq("k"), "seq", s"$root/ledger")
+
+    assert(run() == 2) // bootstrap: both inserts flow
+    assert(run() == 0) // no new silver versions → nothing processed
+    assert(p.table("gold").read.orderBy("k").collect().toSeq ==
+      silver.read.orderBy("k").collect().toSeq)
+
+    // v2: one update (pre+post in the feed, only post applies) + one insert
+    silver.merge(Seq(
+      (2L, "b2", ts("2024-01-02 00:00:00")),
+      (3L, "c", ts("2024-01-02 00:00:00"))).toDF("k", "v", "seq"),
+      Seq("k"), Some("s.seq >= t.seq"))
+    assert(run() == 2) // insert + update_postimage; preimage filtered out
+    assert(p.table("gold").read.orderBy("k").as[(Long, String, Timestamp)].collect().toSeq ==
+      Seq((1L, "a", ts("2024-01-01 00:00:00")),
+          (2L, "b2", ts("2024-01-02 00:00:00")),
+          (3L, "c", ts("2024-01-02 00:00:00"))))
+
+    // a key updated across MULTIPLE unprocessed versions: last commit wins
+    silver.merge(Seq((3L, "c2", ts("2024-01-03 00:00:00"))).toDF("k", "v", "seq"),
+      Seq("k"), Some("s.seq >= t.seq"))                                  // v3
+    silver.merge(Seq((3L, "c3", ts("2024-01-04 00:00:00"))).toDF("k", "v", "seq"),
+      Seq("k"), Some("s.seq >= t.seq"))                                  // v4
+    assert(run() == 2) // one postimage per version; preimages filtered out
+    assert(p.table("gold").read.filter(col("k") === 3L)
+      .select("v").as[String].head() == "c3")
+  }
+
   test("views resolve lazily and read() prefers materialized tables") {
     val p = new Pipeline(spark, tmpDir("pl_views"))
     var evaluated = false
