@@ -187,5 +187,35 @@ class MedallionE2ESpec extends SparkSpec {
     assert(dim3.count() == 5)
     assert(dim3.select("flight_id", "DimFlightsKey", "airline").orderBy("flight_id").collect().toSeq ==
       dim2.select("flight_id", "DimFlightsKey", "airline").orderBy("flight_id").collect().toSeq)
+
+    // ---- incremental business_silver (J1 streaming shape): checkpointed
+    // tail of bookings BRONZE joined per-batch against current silver
+    // snapshots, merged into a business table — each run is O(new bookings)
+    pipeline.streamingTable("business_silver_tbl")
+    def enrich(batch: DataFrame): DataFrame = batch
+      .withColumn("amount", col("amount").cast(DoubleType))
+      .withColumn("booking_date", to_date(col("booking_date")))
+      .drop(BronzeIngest.RescueCol)
+      .filter(col("booking_id").isNotNull && col("passenger_id").isNotNull)
+      .join(pipeline.read("flights_silver").select("flight_id", "airline"), Seq("flight_id"))
+      .join(pipeline.read("passengers_silver").select("passenger_id", "name"), Seq("passenger_id"))
+    def runBiz(): Long = pipeline.runJoinFlowStreaming("business_silver_tbl",
+      LakeTable(spark, s"$root/bronze/bookings"), Seq("booking_id", "passenger_id"),
+      "booking_date", s"$root/cp/bizjoin")(enrich)
+
+    assert(runBiz() == 4)  // bootstrap drains all bronze booking rows
+    assert(pipeline.read("business_silver_tbl").count() == 3) // null-key row never joins
+    assert(runBiz() == 0)  // checkpointed: nothing new
+
+    writeCsv(bLanding, "bookings_increment.csv",
+      "booking_id,passenger_id,flight_id,amount,booking_date",
+      "B0004,P001,F0003,300.00,2025-07-05")
+    BronzeIngest.run(spark, bLanding, s"$root/bronze/bookings", s"$root/cp/bookings")
+    assert(runBiz() == 1)  // ONLY the new booking flows through the join
+    val biz = pipeline.read("business_silver_tbl")
+    assert(biz.count() == 4)
+    // the late booking sees the CURRENT silver snapshot: F0003 is JetAir now
+    assert(biz.filter(col("booking_id") === "B0004")
+      .select("airline").as[String].head() == "JetAir")
   }
 }
