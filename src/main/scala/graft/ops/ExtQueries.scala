@@ -234,6 +234,64 @@ object ExtQueries {
         WHERE ${Dedup.jaccardSql("a.sh", "b.sh")} >= 0.1
         ORDER BY doc_a, doc_b""")),
 
+    // CAPSTONE: full corpus dedup in one pipeline — the actual training-data
+    // workflow the x-family stages compose into: minhash-LSH candidate pairs
+    // (never all-pairs) → exact Jaccard verification on compiled sorted hash
+    // sets → connected components → canonical (minimum-id) survivor per
+    // near-dup cluster. Every doc gets its cluster label; `is_canonical`
+    // marks the kept document. All stages are bucketed equi-joins + the
+    // pointer-jumping CC — the shape that runs at 100 TB.
+    Q("x19_dedup_corpus", (s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = TF.tokens(TF.normalizeText(col("text")))
+      // one pass computes BOTH sketch forms; persisted for the three joins
+      val sig = docs.select(col("doc_id"),
+          TS.minhashShingleSig(toks, 3, K).as("mh"),
+          TS.shingleHashSet(toks, 3).as("sh"))
+        .filter(size(col("mh")) > 0)
+        .persist()
+      val cand = Dedup.lshCandidatePairs(sig, "doc_id", "mh", BANDS, ROWS_PER_BAND)
+      val verified = cand
+        .join(sig.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+        .filter(TS.jaccardSorted(col("sha"), col("shb")) >= 0.5)
+        .select("doc_a", "doc_b")
+      Dedup.connectedComponents(docs.select("doc_id"), "doc_id",
+          verified, "doc_a", "doc_b")
+        .withColumn("is_canonical", col("doc_id") === col("cc"))
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH RECURSIVE shg AS (
+          SELECT doc_id, ${TF.wordShinglesSql("text", 3)} AS shg FROM documents),
+        hs AS (
+          SELECT doc_id, ${Dedup.shingleHashesSql("shg")} AS hs
+          FROM shg WHERE len(shg) > 0),
+        sigs AS (
+          SELECT doc_id, ${Dedup.minhashFromHashesSql("hs", K)} AS mh FROM hs),
+        sets AS (
+          SELECT doc_id, list_sort(list_distinct(hs)) AS sh FROM hs),
+        bands AS (
+          SELECT doc_id, b AS band, mh[2*b+1] AS h0, mh[2*b+2] AS h1
+          FROM sigs, (SELECT unnest([0,1,2,3]) AS b) bb),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id),
+        pairs AS (
+          SELECT doc_a, doc_b FROM cand
+          JOIN sets sa ON cand.doc_a = sa.doc_id
+          JOIN sets sb ON cand.doc_b = sb.doc_id
+          WHERE ${Dedup.jaccardSql("sa.sh", "sb.sh")} >= 0.5),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+        reach(id, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+        SELECT id AS doc_id, MIN(lbl) AS cc, id = MIN(lbl) AS is_canonical
+        FROM reach GROUP BY id ORDER BY doc_id""")),
+
     // Embedding near-dup pairs: banded sign-LSH candidates + exact cosine.
     Q("x5_dedup_embedding_cosine", (s, d) =>
       Similarity.nearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
