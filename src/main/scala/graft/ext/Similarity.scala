@@ -159,6 +159,64 @@ object Similarity {
       .select(col("q_id"), col(idCol).as("n_id"), col("cell"), col("cos"), col("rank"))
   }
 
+  /**
+   * PRODUCT-QUANTIZATION ANN (the memory-compressed scale path): the vector
+   * space is split into `m` subspaces; each subspace gets a codebook of the
+   * stride-selected vectors' sub-vectors; every corpus vector is encoded as
+   * its per-subspace nearest (L2) centroid. Queries score ASYMMETRICALLY —
+   * exact query vs reconstructed corpus vector (cosine against the
+   * concatenated chosen centroids), the ADC pattern.
+   *
+   * Scale: the corpus collapses to m small integers + the broadcast
+   * codebook (m·k·(dim/m) doubles) — a 64-dim float vector becomes 8 codes;
+   * scan cost per query is O(n·dim) on RECONSTRUCTED data that never
+   * touches the raw embeddings, and the codebook fits any executor. All
+   * determinism rules hold: L2 distances and cosines are identical double
+   * expression trees on both engines, ties break on centroid/vector id.
+   */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryFilter: org.apache.spark.sql.Column, dim: Int, m: Int,
+      centStride: Int, k: Int): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    val base = prepared(emb, idCol, vecCol)
+    val vd = VectorFunctions.toDouble(col("__v"))
+    def subspaces(v: org.apache.spark.sql.Column, as: String) =
+      explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"), slice(v, j * sub + 1, sub).as(as))): _*))
+    // per-subspace codebook — broadcast side
+    val cents = base.filter(col(idCol) % centStride === 1)
+      .select(col(idCol).as("cent_id"), subspaces(vd, "csub").as("e"))
+      .select(col("cent_id"), col("e.j").as("j"), col("e.csub").as("csub"))
+    // encode: nearest centroid per (vector, subspace) by L2 (deterministic
+    // expansion |sv|² − 2·sv·c + |c|², tiebreak on cent_id)
+    val subs = base.select(col(idCol), subspaces(vd, "sv").as("e"))
+      .select(col(idCol), col("e.j").as("j"), col("e.sv").as("sv"))
+    val l2 = VectorFunctions.dot(col("sv"), col("sv")) -
+      lit(2.0) * VectorFunctions.dot(col("sv"), col("csub")) +
+      VectorFunctions.dot(col("csub"), col("csub"))
+    val wEnc = Window.partitionBy(col(idCol), col("j"))
+      .orderBy(col("__d"), col("cent_id"))
+    val enc = subs.join(broadcast(cents), "j")
+      .withColumn("__d", l2)
+      .withColumn("__rn", row_number().over(wEnc)).filter(col("__rn") === 1)
+      .select(col(idCol), col("j"), col("csub"))
+    // reconstruction = chosen sub-centroids concatenated in subspace order
+    val recon = enc.groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("j"), col("csub")))),
+        s => s.getField("csub"))).as("__rv"))
+      .withColumn("__rnrm", sqrt(VectorFunctions.dot(col("__rv"), col("__rv"))))
+    val q = base.filter(queryFilter)
+      .select(col(idCol).as("q_id"), col("__v").as("__qv"), col("__nrm").as("__qn"))
+    val scored = recon.join(broadcast(q), col(idCol) =!= col("q_id"))
+      .withColumn("score",
+        VectorFunctions.dot(col("__qv"), col("__rv")) / (col("__qn") * col("__rnrm")))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col(idCol).as("n_id"), col("score"), col("rank"))
+  }
+
   /** ANN top-k: LSH candidate generation + exact cosine re-rank per query. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryFilter: org.apache.spark.sql.Column, dim: Int, bitsPerBand: Int,

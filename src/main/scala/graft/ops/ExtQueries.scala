@@ -425,6 +425,43 @@ object ExtQueries {
           WHERE q.vec_id % 50 = 0)
         WHERE rank <= 3 ORDER BY q_id, rank""")),
 
+    // Product-quantization ANN: 8 subspaces × 8 dims, stride-seeded per-
+    // subspace codebooks, asymmetric (exact-query vs reconstructed-corpus)
+    // cosine scoring. The oracle replays the encode (argmin L2, tiebreak
+    // cent_id), the ordered reconstruction, and the ADC scores exactly.
+    Q("x14_sim_pq_topk", (s, d) =>
+      Similarity.pqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+          col("vec_id") % 50 === 0, dim = DIM, m = 8, centStride = 40, k = 3)
+        .orderBy("q_id", "rank"),
+      Some(s"""WITH $NORM_CTE,
+        jj AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS j),
+        cents AS (
+          SELECT vec_id AS cent_id, j, v[8*j+1 : 8*j+8] AS csub
+          FROM n, jj WHERE vec_id % 40 = 1),
+        subs AS (
+          SELECT vec_id, j, v[8*j+1 : 8*j+8] AS sv FROM n, jj),
+        enc AS (
+          SELECT vec_id, j, csub FROM (
+            SELECT s.vec_id, s.j, c.csub,
+              ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+                list_dot_product(s.sv, s.sv)
+                  - 2.0 * list_dot_product(s.sv, c.csub)
+                  + list_dot_product(c.csub, c.csub),
+                c.cent_id) AS rn
+            FROM subs s JOIN cents c ON s.j = c.j) WHERE rn = 1),
+        recon AS (
+          SELECT vec_id, rv, sqrt(list_dot_product(rv, rv)) AS rnrm FROM (
+            SELECT vec_id, flatten(list(csub ORDER BY j)) AS rv
+            FROM enc GROUP BY vec_id))
+        SELECT q_id, n_id, score, rank FROM (
+          SELECT q.vec_id AS q_id, r.vec_id AS n_id,
+            list_dot_product(q.v, r.rv) / (q.nrm * r.rnrm) AS score,
+            CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+              list_dot_product(q.v, r.rv) / (q.nrm * r.rnrm) DESC, r.vec_id) AS INT) AS rank
+          FROM n q JOIN recon r ON r.vec_id != q.vec_id
+          WHERE q.vec_id % 50 = 0)
+        WHERE rank <= 3 ORDER BY q_id, rank""")),
+
     // ---- text analysis ------------------------------------------------------
 
     Q("x8_text_stats", (s, d) =>
