@@ -482,7 +482,10 @@ object CoreQueries {
       val gb = GoldBuilder(s)
       gb.buildFact(cfg, src)
       val tbl = gb.buildFact(cfg, src) // incremental re-run: partition-scoped merge
-      tbl.read.orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      // sort includes l_shipdate/quantity/price: the grain tuple has a rare
+      // duplicate at sf0.001, so the key columns alone are not a total order
+      tbl.read.orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_shipdate", "l_quantity", "l_extendedprice")
     },
       Some("""WITH dim_part AS (
           SELECT p_partkey, CAST(ROW_NUMBER() OVER (ORDER BY p_partkey) AS BIGINT) AS dim_part_key FROM part),
@@ -493,6 +496,7 @@ object CoreQueries {
         FROM lineitem
         LEFT JOIN dim_part ON l_partkey = p_partkey
         LEFT JOIN dim_supp ON l_suppkey = s_suppkey
-        ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""))
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+          l_shipdate, l_quantity, l_extendedprice"""))
   )
 }
