@@ -2,10 +2,10 @@ package graft.gold
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.lake.LakeTable
 
@@ -217,33 +217,31 @@ object GoldBuilder {
    * `monotonically_increasing_id`; we keep dense deterministic keys AND the
    * distributed shape).
    *
-   * Shape: range-partition by `keys` (ordered ranges), `row_number` within
-   * each range, then add per-range offsets = cumulative counts of earlier
-   * ranges. The counts collect is bounded at #shuffle-partitions rows (the
-   * same bounded-scalar pattern as the S12 watermark collect). The two jobs
-   * (counts, final) re-execute the range exchange; Spark's range sampler is
-   * seeded per input partition, so identical input yields identical ranges.
+   * Shape: range-partition by `keys` (ordered, contiguous ranges), sort
+   * within each range, then `zipWithIndex` for the global dense index —
+   * genuine per-partition imperative logic, the one place the RDD API is
+   * the right tool. Correctness depends on every job seeing the SAME range
+   * boundaries: `zipWithIndex`'s internal size job and the final pass run
+   * over one RDD lineage, whose shuffle dependency (and its sampled
+   * bounds) is materialized once and reused. (The previous formulation
+   * computed offsets and rows in two separately-compiled jobs; their range
+   * samplers seeded differently and the offsets drifted at scale —
+   * caught by the p9/g2 oracle at sf0.1.)
    *
    * Requires one row per key tuple (callers dedup first), so the numbering
    * is total and deterministic.
    */
   def mintSurrogateKeys(df: DataFrame, keys: Seq[String], skCol: String,
       offset: Long = 0L): DataFrame = {
-    val pid = "__mint_pid"
-    val n = df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(n, keys.map(col): _*)
-      .withColumn(pid, spark_partition_id())
-    val counts = ranged.groupBy(pid).agg(count(lit(1)).as("cnt"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val starts = counts.map(_._2).scanLeft(0L)(_ + _)
-    // pid → rows in earlier ranges, as a chained conditional (≤ n terms)
-    val offCol = counts.map(_._1).zip(starts).foldLeft(lit(0L)) {
-      case (acc, (p, off)) => when(col(pid) === p, lit(off)).otherwise(acc)
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(n, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(skCol, LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L + offset))
     }
-    val w = Window.partitionBy(col(pid)).orderBy(keys.map(col): _*)
-    ranged
-      .withColumn(skCol,
-        (row_number().over(w).cast(LongType) + offCol + lit(offset)).cast(LongType))
-      .drop(pid)
+    spark.createDataFrame(indexed, schema)
   }
 }

