@@ -27,6 +27,37 @@ object Profile {
       r
     }
 
+    // g2 stages (date-partitioned fact build)
+    {
+      import java.nio.file.Files
+      import org.apache.spark.sql.expressions.Window
+      import graft.gold.{FactConfig, FactDim, GoldBuilder}
+      import graft.lake.LakeTable
+      val root = Files.createTempDirectory("prof_g2").toString
+      val dimPart = LakeTable(spark, s"$root/dim_part")
+      time("g2 mint dim_part")(dimPart.overwrite(GoldBuilder.mintSurrogateKeys(
+        t(spark, sfDir, "part").select("p_partkey"), Seq("p_partkey"), "dim_part_key")))
+      val dimSupp = LakeTable(spark, s"$root/dim_supplier")
+      time("g2 mint dim_supplier")(dimSupp.overwrite(GoldBuilder.mintSurrogateKeys(
+        t(spark, sfDir, "supplier").select("s_suppkey"), Seq("s_suppkey"), "dim_supplier_key")))
+      val cfg = FactConfig(s"$root/fact",
+        dims = Seq(
+          FactDim(dimPart, Seq("l_partkey" -> "p_partkey"), "dim_part_key"),
+          FactDim(dimSupp, Seq("l_suppkey" -> "s_suppkey"), "dim_supplier_key")),
+        payloadCols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice", "l_shipdate", "ship_month"),
+        factKeys = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        cdcCol = "l_shipdate",
+        partitionCol = Some("ship_month"))
+      val src = t(spark, sfDir, "lineitem")
+        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      val gb = GoldBuilder(spark)
+      time("g2 bootstrap build (84-partition write)")(gb.buildFact(cfg, src))
+      time("g2 incremental build (pruned watermark + 1-partition merge)")(gb.buildFact(cfg, src))
+      time("g2 final read+sort")(LakeTable(spark, cfg.targetPath).read
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey").count())
+    }
+
     // s8 stages
     {
       import java.nio.file.Files
