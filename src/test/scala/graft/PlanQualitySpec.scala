@@ -78,6 +78,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(minted.exceptAll(global).isEmpty && global.exceptAll(minted).isEmpty)
   }
 
+  test("PQ scoring broadcasts the query side, never CartesianProduct") {
+    val df = graft.ext.Similarity.pqTopK(
+      t(spark, sfDir, "embeddings"), "vec_id", "embedding",
+      col("vec_id") % 100 === 0, dim = 64, m = 8, centStride = 40, k = 2)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("LSH candidate generation is an equi-join (shuffle/broadcast hash), not a product") {
     val df = graft.ext.Similarity.lshCandidatePairs(
       t(spark, sfDir, "embeddings"), "vec_id", "embedding", 64, 6, 4)
