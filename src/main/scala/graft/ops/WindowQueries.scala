@@ -85,6 +85,47 @@ object WindowQueries {
           event_type, COUNT(*) AS cnt, ${dsumSql("value")} AS sum_value
         FROM events GROUP BY 1, 2, 3 ORDER BY w_start, event_type""")),
 
+    // STREAM-STREAM interval join (the §2.8 machinery DLT runs under its
+    // streaming joins): clicks joined to same-user purchases within the
+    // following hour — two watermarked file streams, event-time range
+    // condition, append mode. The watermark delay spans the dataset so no
+    // row is late-dropped, making the drained append output equal the batch
+    // interval join the oracle replays. (Bounded-delay state cleanup is the
+    // same code path with a shorter delay; StreamingSpec covers dropping.)
+    Q("w_stream_join", (s, d) => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_wsj")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        stage.resolve("events.parquet"))
+      val raw = s.read.parquet(s"$d/events.parquet").schema
+      def side(tpe: String, idAs: String, tsAs: String) =
+        s.readStream.schema(raw).parquet(stage.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .filter(col("event_type") === tpe)
+          .select(col("event_id").as(idAs), col("user_id"), col("ts").as(tsAs))
+          .withWatermark(tsAs, "40 days")
+      val clicks = side("click", "click_id", "click_ts")
+      val purchases = side("purchase", "purchase_id", "purchase_ts")
+        .withColumnRenamed("user_id", "p_user_id")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          col("click_ts"), col("purchase_ts"))
+      val q = joined.writeStream.format("memory").queryName("w_stream_join_sink")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("w_stream_join_sink").orderBy("click_id", "purchase_id")
+    },
+      Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+          c.ts AS click_ts, p.ts AS purchase_ts
+        FROM events c JOIN events p ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
+        ORDER BY click_id, purchase_id""")),
+
     // Session windows per user, 10-minute gap. Spark closes a session when the
     // next event's ts >= previous ts + gap; window end = last ts + gap. The
     // oracle is the classic gaps-and-islands formulation.
