@@ -118,6 +118,22 @@ object CoreQueries {
         .orderBy("l_returnflag"),
       None),
 
+    // Exact percentiles — the oracle-checkable companion to a8's sketches:
+    // Spark's `percentile` and DuckDB's `quantile_cont` both sort and
+    // linearly interpolate at p·(n−1), so the doubles replay bit-exact.
+    Q("a9_exact_percentiles", (s, d) =>
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(expr("percentile(value, array(0.25D, 0.5D, 0.75D))").as("q"))
+        .select(col("event_type"),
+          col("q")(0).as("p25"), col("q")(1).as("p50"), col("q")(2).as("p75"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+          quantile_cont(value, 0.25) AS p25,
+          quantile_cont(value, 0.5) AS p50,
+          quantile_cont(value, 0.75) AS p75
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // §2.5: ORDER BY + LIMIT top-k (absent from the reference; Spark plans
     // this as TakeOrderedAndProject — per-partition heaps + driver merge,
     // never a global sort, so it scales to any input size).
