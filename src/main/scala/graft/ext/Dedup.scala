@@ -162,6 +162,12 @@ object Dedup {
     // history, so re-analysis cost grows per round — truncating lineage
     // keeps every iteration O(current state).
     var labels = nodes.select(col(idCol), col(idCol).as("cc")).localCheckpoint(true)
+    // labels only ever DECREASE (min-propagation + min-jump), so the label
+    // SUM is a strictly monotone progress measure: sum unchanged ⟺ no label
+    // changed. One cheap aggregate per round replaces a join+count.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cc").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -175,11 +181,10 @@ object Dedup {
         .select(merged(idCol),
           least(merged("cc"), coalesce(col("__lcc"), merged("cc"))).as("cc"))
         .localCheckpoint(true)
-      val changed = next.alias("n")
-        .join(labels.alias("o"), idCol)
-        .filter(col("n.cc") =!= col("o.cc")).limit(1).count()
+      val curSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = curSum == prevSum
+      prevSum = curSum
       it += 1
     }
     labels
