@@ -274,6 +274,76 @@ object CoreQueries {
         LEFT JOIN orders ON l_orderkey = o_orderkey
         ORDER BY l_orderkey, l_linenumber, l_extendedprice, p_brand NULLS FIRST""")),
 
+    // J4: as-of (point-in-time) join — each click picks up the most recent
+    // purchase at-or-before it for the same user. No native Spark operator;
+    // see graft.ext.AsOf for the single-shuffle union-merge formulation. The
+    // oracle mirrors the same union + running last_value(IGNORE NULLS) plan.
+    Q("j4_asof_join", (s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      graft.ext.AsOf.asOfJoin(clicks, purchases, key = "user_id",
+          leftTime = "ts", rightTime = "ts", tieBreak = "event_id",
+          payload = Seq("ts", "event_id", "value"))
+        // inner as-of: clicks with no prior purchase are dropped so the
+        // driver compare never hashes engine-specific null-timestamp
+        // encodings; left-outer (null) semantics are pinned in JoinsSpec.
+        .filter(col("asof_event_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("asof_ts"), col("asof_event_id"), col("asof_value"))
+        .orderBy("event_id")
+    },
+      Some("""WITH u AS (
+          SELECT user_id, ts AS __t, 1 AS __side, CAST(NULL AS BIGINT) AS __tb,
+                 event_id, value,
+                 CAST(NULL AS TIMESTAMP) AS asof_ts,
+                 CAST(NULL AS BIGINT) AS asof_event_id,
+                 CAST(NULL AS DOUBLE) AS asof_value
+          FROM events WHERE event_type = 'click'
+          UNION ALL
+          SELECT user_id, ts, 0, event_id, NULL, NULL, ts, event_id, value
+          FROM events WHERE event_type = 'purchase'
+        ), c AS (
+          SELECT *,
+            last_value(asof_ts IGNORE NULLS) OVER w AS l_ts,
+            last_value(asof_event_id IGNORE NULLS) OVER w AS l_eid,
+            last_value(asof_value IGNORE NULLS) OVER w AS l_val
+          FROM u
+          WINDOW w AS (PARTITION BY user_id
+            ORDER BY __t, __side, __tb NULLS FIRST
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, user_id, __t AS ts, value,
+               l_ts AS asof_ts, l_eid AS asof_event_id, l_val AS asof_value
+        FROM c WHERE __side = 1 AND l_eid IS NOT NULL ORDER BY event_id""")),
+
+    // J5: value-band range join — lineitem prices bucketed into non-uniform
+    // bands. A raw inequality join plans BroadcastNestedLoopJoin; see
+    // graft.ext.RangeJoin for the bucketed equi-join rewrite
+    // (PlanQualitySpec pins the absence of BNLJ).
+    Q("j5_range_join", (s, d) => {
+      import s.implicits._
+      val bands = Seq(
+        ("economy", 0.0, 5000.0), ("standard", 5000.0, 20000.0),
+        ("premium", 20000.0, 50000.0), ("luxury", 50000.0, 200000.0))
+        .toDF("price_band", "lo", "hi")
+      graft.ext.RangeJoin.bandJoin(
+          t(s, d, "lineitem"), "l_extendedprice", bands, "lo", "hi", width = 5000.0)
+        .groupBy("price_band")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("price_band")
+    },
+      Some(s"""SELECT price_band, COUNT(*) AS n_items,
+          ${dsumSql("l_extendedprice")} AS sum_price
+        FROM lineitem
+        JOIN (VALUES ('economy', 0.0, 5000.0), ('standard', 5000.0, 20000.0),
+                     ('premium', 20000.0, 50000.0), ('luxury', 50000.0, 200000.0))
+          b(price_band, lo, hi)
+          ON l_extendedprice >= lo AND l_extendedprice < hi
+        GROUP BY price_band ORDER BY price_band""")),
+
     // ---- §2.6 set ops -------------------------------------------------------
 
     // U1: unionByName — schema aligned by NAME not position

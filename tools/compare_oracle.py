@@ -23,6 +23,12 @@ def eq(a, b):
     # there; this comparer must be at least as strict.
     if a is None and b is None:
         return True
+    try:  # pandas NaT (null timestamp) != itself; both-missing is equal
+        import pandas as pd
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
