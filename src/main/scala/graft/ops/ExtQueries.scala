@@ -462,6 +462,51 @@ object ExtQueries {
           WHERE q.vec_id % 50 = 0)
         WHERE rank <= 3 ORDER BY q_id, rank""")),
 
+    // ---- curation: deterministic sampling & corpus vocabulary ---------------
+
+    // Exact-fraction stratified sample: ceil(10%) of documents per lang,
+    // membership a pure function of doc_id (reproducible across clusters and
+    // re-runs, unlike Dataset.sample). One exchange on the stratum key.
+    Q("x20_sample_stratified", (s, d) =>
+      graft.ext.Sampling.stratifiedExact(
+          t(s, d, "documents").select("doc_id", "lang"),
+          Seq("lang"), "doc_id", 0.1)
+        .select("doc_id", "lang", "sample_rank")
+        .orderBy("doc_id"),
+      Some(s"""WITH ranked AS (
+          SELECT doc_id, lang,
+            CAST(ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY ${TF.hash60Sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS BIGINT)
+              AS sample_rank,
+            COUNT(*) OVER (PARTITION BY lang) AS __n
+          FROM documents)
+        SELECT doc_id, lang, sample_rank FROM ranked
+        WHERE sample_rank <= CEIL(__n * 0.1) ORDER BY doc_id""")),
+
+    // Hash-threshold ~10% sample: zero-shuffle narrow filter — the 100 TB
+    // default when exact per-stratum counts aren't required.
+    Q("x21_sample_hash", (s, d) =>
+      graft.ext.Sampling.hashSample(t(s, d, "documents"), "doc_id", 1, 10)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang, source FROM documents
+        WHERE ${TF.hash60Sql("CAST(doc_id AS VARCHAR)")} % 10 < 1
+        ORDER BY doc_id""")),
+
+    // Corpus vocabulary: global token frequencies, top 100. Explode + two-
+    // phase hash aggregate (map-side partial combine absorbs the Zipfian
+    // token skew) + TakeOrdered top-k — no global sort of the vocabulary.
+    Q("x22_vocab_topk", (s, d) =>
+      t(s, d, "documents")
+        .select(explode(TF.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(100),
+      Some(s"""SELECT token, COUNT(*) AS cnt
+        FROM (SELECT unnest(${TF.tokensSql("text")}) AS token FROM documents)
+        GROUP BY token ORDER BY cnt DESC, token LIMIT 100""")),
+
     // ---- text analysis ------------------------------------------------------
 
     Q("x8_text_stats", (s, d) =>
