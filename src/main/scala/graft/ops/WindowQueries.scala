@@ -126,6 +126,35 @@ object WindowQueries {
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
         ORDER BY click_id, purchase_id""")),
 
+    // STREAMING DEDUP: exactly-once key emission over a watermarked stream
+    // via dropDuplicatesWithinWatermark — the state-BOUNDED streaming dedup
+    // (state for a key is dropped once the watermark passes it, unlike plain
+    // dropDuplicates whose state grows forever). The delay spans the dataset
+    // so no duplicate falls outside the window and the drained output equals
+    // batch DISTINCT; only key columns are emitted so which physical
+    // occurrence survived cannot affect the oracle hash.
+    Q("w_streaming_dedup", (s, d) => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_wsd")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        stage.resolve("events.parquet"))
+      val raw = s.read.parquet(s"$d/events.parquet").schema
+      val deduped = s.readStream.schema(raw).parquet(stage.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select("user_id", "event_type", "ts")
+        .withWatermark("ts", "40 days")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select("user_id", "event_type")
+      val q = deduped.writeStream.format("memory")
+        .queryName("w_streaming_dedup_sink")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("w_streaming_dedup_sink").orderBy("user_id", "event_type")
+    },
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+        ORDER BY user_id, event_type""")),
+
     // Session windows per user, 10-minute gap. Spark closes a session when the
     // next event's ts >= previous ts + gap; window end = last ts + gap. The
     // oracle is the classic gaps-and-islands formulation.

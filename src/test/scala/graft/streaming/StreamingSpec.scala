@@ -178,4 +178,42 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination()
     assert(spark.table("st_dedup").count() == 2)
   }
+
+  test("dropDuplicatesWithinWatermark bounds state: a key re-emits once the " +
+      "watermark has expired its entry") {
+    val dir = tmpDir("st_dedup_ww")
+    // three files = three micro-batches (maxFilesPerTrigger=1), ordered by
+    // explicit mtimes so the file source replays them in sequence
+    writeCsv(dir, "b1.csv",
+      "user_id,ts,value",
+      "1,2024-01-01 00:00:00,1.0",
+      "1,2024-01-01 00:10:00,1.5") // same-batch dup: dropped
+    writeCsv(dir, "b2.csv",
+      "user_id,ts,value",
+      "2,2024-01-20 00:00:00,2.0") // advances watermark far past key 1 + delay
+    writeCsv(dir, "b3.csv",
+      "user_id,ts,value",
+      "3,2024-01-20 00:01:00,9.0") // a batch under the advanced watermark
+    // evicts key 1's expired state (cleanup runs post-dedup, so the eviction
+    // lands one batch after the watermark passes the expiry)
+    writeCsv(dir, "b4.csv",
+      "user_id,ts,value",
+      "1,2024-01-20 00:05:00,3.0") // state for key 1 expired → re-emitted
+    Seq("b1.csv", "b2.csv", "b3.csv", "b4.csv").zipWithIndex.foreach { case (f, i) =>
+      Files.setLastModifiedTime(Paths.get(dir, f),
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+    }
+    val stream = spark.readStream.schema(eventSchema)
+      .option("header", "true").option("maxFilesPerTrigger", "1").csv(dir)
+    val q = stream.withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("user_id")
+      .select("user_id", "value")
+      .writeStream.format("memory").queryName("st_dedup_ww")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("st_dedup_ww").as[(Long, Double)].collect().toSeq.sorted
+    // key 1 appears TWICE (bounded state, not global distinct); the
+    // within-horizon duplicate at 00:10 was dropped
+    assert(got == Seq((1L, 1.0), (1L, 3.0), (2L, 2.0), (3L, 9.0)))
+  }
 }
