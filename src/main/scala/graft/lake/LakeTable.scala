@@ -109,6 +109,9 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
       .getOrElse("unknown")
     val cdfEnabled = lines.contains("cdf=on")
     val cdfDir = lines.collectFirst { case l if l.startsWith("cdfdir=") => l.stripPrefix("cdfdir=") }
+    val statsCols = lines.collectFirst { case l if l.startsWith("statscols=") =>
+      l.stripPrefix("statscols=").split(',').toSeq.filter(_.nonEmpty).map(b64d)
+    }.getOrElse(Nil)
     val entries = lines.collect {
       case l if l.startsWith("dir=") =>
         l.stripPrefix("dir=").split('|') match {
@@ -118,7 +121,15 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
           case _ => sys.error(s"bad manifest line: $l")
         }
     }.toSeq
-    Manifest(schema, pcol, entries, op, cdfEnabled, cdfDir)
+    val fileStats = lines.collect {
+      case l if l.startsWith("fstat=") =>
+        val parts = l.stripPrefix("fstat=").split('|')
+        FileStat(b64d(parts.head), parts.tail.toSeq.map { cs =>
+          val Array(c, mn, mx) = cs.split(':')
+          b64d(c) -> ((b64d(mn), b64d(mx)))
+        }.toMap)
+    }.toSeq
+    Manifest(schema, pcol, entries, op, cdfEnabled, cdfDir, statsCols, fileStats)
   }
 
   private def manifest: Manifest = readManifest(currentVersion)
@@ -222,6 +233,96 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
   def readPartitions(values: Seq[String]): DataFrame =
     readScoped(manifest, Some(values.toSet))
 
+  /**
+   * DATA-SKIPPING read (Delta's stats-based file pruning rebuilt on the
+   * manifest): whole files whose zone map proves no row can satisfy the
+   * conjunction of `preds` are dropped BEFORE Spark plans the scan, so at
+   * 100 TB a narrow time/key range touches only the files that can hold it —
+   * the scan cost tracks the selectivity, not the table size. The residual
+   * predicate is still applied row-level (zone maps are necessary, never
+   * sufficient), so the result equals `read.filter(...)` exactly. Files
+   * without recorded stats (table created without `statsColumns`, or a
+   * column all-NULL in the file) are always read — skipping is only ever an
+   * optimization, never a filter.
+   */
+  def readWhere(preds: Seq[ZonePred]): DataFrame = {
+    val m = manifest
+    preds.foreach(p => require(m.schema.fieldNames.contains(p.col),
+      s"unknown predicate column ${p.col}"))
+    def residual(df: DataFrame): DataFrame =
+      preds.foldLeft(df) { (d, pr) =>
+        val dt = m.schema(pr.col).dataType
+        val conds = pr.lo.map(v => col(pr.col) >= lit(v).cast(dt)).toSeq ++
+          pr.hi.map(v => col(pr.col) <= lit(v).cast(dt)).toSeq
+        conds.foldLeft(d)(_ filter _)
+      }
+    def empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
+    val scans = planSkip(m, preds).flatMap { case (e, kept, _) =>
+      // a partitioned dir that owns no partition values is invisible
+      val disowned = m.pcol.isDefined && e.owned.exists(_.isEmpty)
+      if (kept.isEmpty || disowned) None
+      else {
+        val scan = spark.read.schema(m.schema)
+          .option("basePath", s"$root/${e.dir}")
+          .parquet(kept.map(f => s"$root/$f"): _*)
+        // partitioned dirs still honor manifest ownership (a dir keeps files
+        // for partitions it no longer owns until vacuum)
+        val ownedFiltered = (m.pcol, e.owned) match {
+          case (Some(p), Some(vs)) if vs.nonEmpty =>
+            val dt = m.schema(p).dataType
+            scan.filter(vs.map(v => col(p) === lit(v).cast(dt)).reduce(_ || _))
+          case _ => scan
+        }
+        Some(residual(ownedFiltered))
+      }
+    }
+    if (scans.isEmpty) empty
+    else scans.reduce(_ unionByName _).select(m.schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Introspection for [[readWhere]]: (files read, files skipped) under the
+   *  given predicates — the observability hook specs and operators use to
+   *  prove skipping actually happens. */
+  def skippingStats(preds: Seq[ZonePred]): (Int, Int) = {
+    val plan = planSkip(manifest, preds)
+    val kept = plan.map(_._2.size).sum
+    val total = plan.map(_._3).sum
+    (kept, total - kept)
+  }
+
+  /** Per dir-entry: (entry, kept root-relative files, total files). */
+  private def planSkip(m: Manifest,
+      preds: Seq[ZonePred]): Seq[(DirEntry, Seq[String], Int)] = {
+    val statByPath = m.fileStats.map(fs => fs.path -> fs.minMax).toMap
+    m.entries.map { e =>
+      val all = listParquet(Paths.get(root, e.dir))
+        .map(p => Paths.get(root).relativize(p).toString).sorted
+      val kept = all.filter { f =>
+        statByPath.get(f).forall { mm =>
+          preds.forall(pr => mayMatch(mm, pr, m.schema))
+        }
+      }
+      (e, kept, all.size)
+    }
+  }
+
+  /** Can a file with zone map `mm` contain a row satisfying `pr`? Missing
+   *  stats keep the file; comparisons are numeric for numeric columns and
+   *  lexicographic otherwise (Spark's fixed-width timestamp/date renderings
+   *  order correctly as strings). Unparseable values never prune. */
+  private def mayMatch(mm: Map[String, (String, String)], pr: ZonePred,
+      schema: StructType): Boolean =
+    mm.get(pr.col).forall { case (mn, mx) =>
+      val numeric = schema(pr.col).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+      def cmp(a: String, b: String): Int =
+        if (!numeric) a.compareTo(b)
+        else try { BigDecimal(a).compare(BigDecimal(b)) }
+        catch { case _: NumberFormatException => 0 } // can't prove → keep
+      val aboveMax = pr.lo.exists(l => cmp(l, mx) > 0)
+      val belowMin = pr.hi.exists(h => cmp(h, mn) < 0)
+      !aboveMax && !belowMin
+    }
+
   private def readScoped(m: Manifest, scope: Option[Set[String]]): DataFrame = {
     def empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
     m.pcol match {
@@ -275,12 +376,18 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
     val header = Seq(s"schema=${b64e(m.schema.toDDL)}", s"op=${m.op}") ++
       m.pcol.map(p => s"pcol=$p").toSeq ++
       (if (m.cdfEnabled) Seq("cdf=on") else Nil) ++
-      m.cdfDir.map(d => s"cdfdir=$d").toSeq
+      m.cdfDir.map(d => s"cdfdir=$d").toSeq ++
+      (if (m.statsCols.nonEmpty)
+        Seq(s"statscols=${m.statsCols.map(b64e).mkString(",")}") else Nil)
     val body = m.entries.map { e =>
       e.owned match {
         case None => s"dir=${e.dir}"
         case Some(vs) => s"dir=${e.dir}|${vs.map(b64e).mkString(",")}"
       }
+    } ++ m.fileStats.map { fs =>
+      (b64e(fs.path) +: fs.minMax.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+        s"${b64e(c)}:${b64e(mn)}:${b64e(mx)}"
+      }).mkString("fstat=", "|", "")
     }
     val staged = commitsDir.resolve(s".stage-${UUID.randomUUID()}")
     Files.write(staged,
@@ -320,36 +427,71 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
    *  data capture — every later MERGE materializes its row-level changes for
    *  [[readChangeFeed]] (appends derive their inserts for free). */
   def create(schema: StructType, partitionBy: Option[String] = None,
-      enableChangeFeed: Boolean = false): LakeTable = {
+      enableChangeFeed: Boolean = false,
+      statsColumns: Seq[String] = Nil): LakeTable = {
     if (!exists) {
       partitionBy.foreach(p => require(schema.fieldNames.contains(p),
         s"partition column $p not in schema"))
+      statsColumns.foreach(c => require(schema.fieldNames.contains(c),
+        s"stats column $c not in schema"))
       Files.createDirectories(Paths.get(root))
       // idempotent: losing the v0 race means someone else created the table
       tryCommit(Manifest(schema, partitionBy, Nil, "create",
-        cdfEnabled = enableChangeFeed), 0L)
+        cdfEnabled = enableChangeFeed,
+        statsCols = statsColumns.filterNot(partitionBy.contains)), 0L)
     }
     this
   }
 
-  private def writeData(df: DataFrame, pcol: Option[String]): (String, Option[Seq[String]]) = {
+  private def writeData(df: DataFrame, pcol: Option[String],
+      statsCols: Seq[String] = Nil): (String, Option[Seq[String]], Seq[FileStat]) = {
     val dir = s"data/${UUID.randomUUID()}"
-    pcol match {
+    val owned = pcol match {
       case None =>
         df.write.parquet(s"$root/$dir")
-        (dir, None)
+        None
       case Some(p) =>
-        val owned = df.select(col(p).cast("string")).distinct()
+        val vals = df.select(col(p).cast("string")).distinct()
           .collect().map(_.getString(0)).toSeq
-        require(!owned.contains(null), s"null partition value in column $p")
+        require(!vals.contains(null), s"null partition value in column $p")
         // Cluster by the partition column first: otherwise every task writes
         // a file per partition value it holds (tasks × partitions small
         // files). One shuffle → each partition's rows land in one task →
         // one file per partition. (A 100 TB deployment with giant single
         // partitions would add a within-partition salt to split files.)
         df.repartition(col(p)).write.partitionBy(p).parquet(s"$root/$dir")
-        (dir, Some(owned))
+        Some(vals)
     }
+    (dir, owned, collectFileStats(dir, df.schema, pcol, statsCols))
+  }
+
+  /** Per-file zone maps for the freshly written `dir`: one aggregation pass
+   *  over the NEW data only (grouped by `input_file_name`), min/max rendered
+   *  through CAST-to-STRING so the manifest encoding is engine-portable.
+   *  Driver-side result is one row per written file — bounded like the
+   *  partition-value manifests. */
+  private def collectFileStats(dir: String, schema: StructType,
+      pcol: Option[String], statsCols: Seq[String]): Seq[FileStat] = {
+    val scols = statsCols.filter(c => schema.fieldNames.contains(c) &&
+      !pcol.contains(c))
+    if (scols.isEmpty) return Nil
+    val written = spark.read.schema(schema)
+      .option("basePath", s"$root/$dir").parquet(s"$root/$dir")
+    val aggs = scols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"__mn_$c"),
+      max(col(c)).cast("string").as(s"__mx_$c")))
+    written.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().toSeq.map { r =>
+        val full = r.getString(0)
+        val idx = full.indexOf(dir)
+        require(idx >= 0, s"file path $full not under $dir")
+        val mm = scols.flatMap { c =>
+          val mn = r.getAs[String](s"__mn_$c"); val mx = r.getAs[String](s"__mx_$c")
+          if (mn == null || mx == null) None else Some(c -> ((mn, mx)))
+        }.toMap
+        FileStat(full.substring(idx), mm)
+      }
   }
 
   /** Append-only write — O(new data), never rewrites existing files.
@@ -358,8 +500,9 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
    *  partition values alongside earlier owners (accumulation). */
   def append(df: DataFrame): Unit = synchronized {
     Files.createDirectories(Paths.get(root))
-    val pcol = if (exists) manifest.pcol else None
-    val (dir, owned) = writeData(df, pcol)
+    val (pcol, scols) =
+      if (exists) { val m = manifest; (m.pcol, m.statsCols) } else (None, Nil)
+    val (dir, owned, fstats) = writeData(df, pcol, scols)
     // a lost race re-reads the entry list and re-commits — the data dir is
     // already written, so append retries are manifest-only (no lost updates)
     commitWithRetry { () =>
@@ -370,9 +513,11 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
         val v = currentVersion
         val cur = readManifest(v)
         (Manifest(df.schema, pcol, cur.entries :+ DirEntry(dir, owned), "append",
-          cur.cdfEnabled), v + 1)
+          cur.cdfEnabled, statsCols = cur.statsCols,
+          fileStats = cur.fileStats ++ fstats), v + 1)
       } else
-        (Manifest(df.schema, pcol, Seq(DirEntry(dir, owned)), "append"), 0L)
+        (Manifest(df.schema, pcol, Seq(DirEntry(dir, owned)), "append",
+          statsCols = scols, fileStats = fstats), 0L)
     }
   }
 
@@ -388,9 +533,10 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
     Files.createDirectories(Paths.get(root))
     val cur = if (exists) Some(manifest) else None
     val pcol = partitionBy.orElse(cur.flatMap(_.pcol))
-    val (dir, owned) = writeData(df, pcol)
+    val scols = cur.map(_.statsCols).getOrElse(Nil)
+    val (dir, owned, fstats) = writeData(df, pcol, scols)
     val m = Manifest(df.schema, pcol, Seq(DirEntry(dir, owned)), op,
-      cur.exists(_.cdfEnabled), cdfDir)
+      cur.exists(_.cdfEnabled), cdfDir, statsCols = scols, fileStats = fstats)
     expected match {
       case Some(v) =>
         if (!tryCommit(m, v + 1))
@@ -515,12 +661,16 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
           else joined
         try {
           val chDir = writeChanges(changesFrom(pinned))
-          val (dir, owned) = writeData(mergedFrom(pinned), Some(p))
+          val (dir, owned, fstats) = writeData(mergedFrom(pinned), Some(p), m.statsCols)
           val kept = m.entries
             .map(e => e.copy(owned = e.owned.map(_.filterNot(touchedSet))))
             .filter(_.owned.exists(_.nonEmpty))
+          val keptDirs = kept.map(_.dir).toSet
+          val keptStats = m.fileStats.filter(fs =>
+            keptDirs.exists(d => fs.path.startsWith(d + "/")))
           if (!tryCommit(Manifest(m.schema, m.pcol, kept :+ DirEntry(dir, owned), "merge",
-              m.cdfEnabled, chDir), v0 + 1))
+              m.cdfEnabled, chDir, statsCols = m.statsCols,
+              fileStats = keptStats ++ fstats), v0 + 1))
             throw new ConcurrentWriteException(
               s"merge computed against version $v0 of $root, but a concurrent " +
                 s"writer committed v${v0 + 1} first — recompute and retry")
@@ -569,9 +719,27 @@ object LakeTable {
   val CommitVersionCol = "_commit_version"
 
   private case class DirEntry(dir: String, owned: Option[Seq[String]])
+  /** Zone map for one data file: root-relative path → per-column (min, max)
+   *  as Spark CAST-to-STRING renderings (UTC session). Columns whose min or
+   *  max is NULL in the file are absent — absent stats never prune. */
+  private case class FileStat(path: String, minMax: Map[String, (String, String)])
   private case class Manifest(schema: StructType, pcol: Option[String],
       entries: Seq[DirEntry], op: String,
-      cdfEnabled: Boolean = false, cdfDir: Option[String] = None)
+      cdfEnabled: Boolean = false, cdfDir: Option[String] = None,
+      statsCols: Seq[String] = Nil, fileStats: Seq[FileStat] = Nil)
+
+  /** Conjunctive data-skipping predicate: `col` between `lo` and `hi`, both
+   *  inclusive, either bound open. Bound values are Spark CAST-to-STRING
+   *  renderings of the column's type (timestamps as
+   *  `yyyy-MM-dd HH:mm:ss[.S]`, UTC). */
+  final case class ZonePred(col: String, lo: Option[String], hi: Option[String])
+  object ZonePred {
+    def eq(col: String, v: String): ZonePred = ZonePred(col, Some(v), Some(v))
+    def atLeast(col: String, v: String): ZonePred = ZonePred(col, Some(v), None)
+    def atMost(col: String, v: String): ZonePred = ZonePred(col, None, Some(v))
+    def between(col: String, lo: String, hi: String): ZonePred =
+      ZonePred(col, Some(lo), Some(hi))
+  }
 
   def apply(spark: SparkSession, root: String): LakeTable = new LakeTable(spark, root)
 
@@ -579,5 +747,14 @@ object LakeTable {
     if (Files.isDirectory(p))
       Files.list(p).iterator().asScala.toList.foreach(deleteRecursively)
     Files.deleteIfExists(p)
+  }
+
+  private def listParquet(dir: Path): Seq[Path] = {
+    if (!Files.isDirectory(dir)) Nil
+    else Files.list(dir).iterator().asScala.toList.flatMap { p =>
+      if (Files.isDirectory(p)) listParquet(p)
+      else if (p.getFileName.toString.endsWith(".parquet")) Seq(p)
+      else Nil
+    }
   }
 }

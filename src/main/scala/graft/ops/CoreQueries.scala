@@ -410,6 +410,29 @@ object CoreQueries {
     // S8: Delta-MERGE semantics through the real LakeTable engine: base
     // snapshot, then latest-wins upsert of a window batch (+1000 marks
     // updated rows). Exercises update / keep-guarded / insert branches.
+    // S10: zone-map data-skipping read — appends land in year-ranged files
+    // whose manifest min/max stats prune the scan to the files that can hold
+    // the predicate range (ZoneMapSpec proves files are actually skipped);
+    // the result must equal a plain filtered scan, which is what the oracle
+    // replays.
+    Q("s10_zonemap_read", (s, d) => {
+      val o = t(s, d, "orders")
+      val tbl = LakeTable(s, s"${tmp("graft_s10")}/t")
+      tbl.create(o.schema, statsColumns = Seq("o_orderdate", "o_totalprice"))
+      Seq((1995, 1996), (1997, 1998), (1999, 2001)).foreach { case (a, b) =>
+        tbl.append(o.filter(year(col("o_orderdate")).between(a, b)).coalesce(1))
+      }
+      tbl.readWhere(Seq(LakeTable.ZonePred.between("o_orderdate",
+          "1997-03-01 00:00:00", "1998-06-01 00:00:00")))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-03-01 00:00:00'
+          AND o_orderdate <= TIMESTAMP '1998-06-01 00:00:00'
+        ORDER BY o_orderkey""")),
+
     Q("s8_merge_upsert", (s, d) => {
       val gb = GoldBuilder(s)
       val ev = t(s, d, "events")
