@@ -709,6 +709,74 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
     val m = readManifest(v0)
     replaceAll(readScoped(m, None), m.pcol, "compact", Some(v0))
   }
+
+  /**
+   * Z-ORDER compaction (Delta `OPTIMIZE ... ZORDER BY`): rewrite the table
+   * clustered on the interleaved-bit order of `zcols`, so the per-file zone
+   * maps become selective on EVERY z-ordered column at once — a linear sort
+   * clusters only its leading column; Z-order gives each of k columns
+   * ~(1/file_count)^(1/k) selectivity. The payoff is [[readWhere]] skipping
+   * on whichever of the columns a query filters.
+   *
+   * Mechanics: each column is quantized to an 8-bit bin via approximate
+   * quantile boundaries (equi-DEPTH bins, so skew cannot collapse the curve
+   * into a few bins), bits of the bin indices are interleaved into a z-value,
+   * and the table is range-repartitioned + sorted by it into `targetFiles`
+   * files. The quantile sketch is one pass; the rewrite is one shuffle —
+   * O(table), same as any compaction, and worth it when read volume
+   * dominates write volume.
+   *
+   * Unpartitioned tables only (a partitioned table's layout is owned by the
+   * partition column; Z-order within partitions would need per-partition
+   * boundaries). Columns must be numeric, timestamp, or date.
+   */
+  def compactZOrder(zcols: Seq[String], targetFiles: Int = 16): Unit = synchronized {
+    val v0 = currentVersion
+    val m = readManifest(v0)
+    require(m.pcol.isEmpty, "compactZOrder supports unpartitioned tables")
+    require(zcols.nonEmpty && zcols.size <= 4, "1..4 z-order columns")
+    zcols.foreach { c =>
+      require(m.schema.fieldNames.contains(c), s"unknown z-order column $c")
+      val dt = m.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        dt == org.apache.spark.sql.types.TimestampType ||
+        dt == org.apache.spark.sql.types.DateType,
+        s"z-order column $c has unsupported type $dt")
+    }
+    val df = readScoped(m, None)
+    // one numeric shadow column per z-col for the quantile sketch
+    val shadowed = zcols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      d.withColumn(s"__zc$i", col(c).cast("double"))
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bits = 8
+      val bins = 1 << bits
+      val probes = (1 until bins).map(_.toDouble / bins).toArray
+      val binCols = zcols.indices.map { i =>
+        val bnds = shadowed.stat
+          .approxQuantile(s"__zc$i", probes, 0.01).distinct.sorted
+        if (bnds.isEmpty) lit(0)
+        else {
+          val bArr = array(bnds.map(lit(_)): _*)
+          // bin = #boundaries <= value (0..255); null sorts to bin 0
+          size(filter(bArr, b => b <= coalesce(col(s"__zc$i"),
+            lit(Double.NegativeInfinity))))
+        }
+      }
+      // interleave: bit b of column i lands at position b*k + i
+      val k = zcols.size
+      val z = (0 until bits).flatMap { b =>
+        binCols.zipWithIndex.map { case (bc, i) =>
+          shiftleft(shiftright(bc, b).bitwiseAND(lit(1)), b * k + i)
+        }
+      }.reduce[Column](_ bitwiseOR _)
+      val clustered = shadowed.withColumn("__z", z)
+        .repartitionByRange(targetFiles, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop((zcols.indices.map(i => s"__zc$i") :+ "__z"): _*)
+      replaceAll(clustered, None, "compact", Some(v0))
+    } finally { shadowed.unpersist(); () }
+  }
 }
 
 object LakeTable {

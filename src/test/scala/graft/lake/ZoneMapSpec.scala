@@ -108,6 +108,66 @@ class ZoneMapSpec extends SparkSpec {
     assert(t.read.count() == 4)
   }
 
+  test("compactZOrder makes zone maps selective on BOTH columns; linear " +
+      "sort only on its leading column") {
+    // two independent uniform dims: x = id, y = a decorrelated permutation
+    def mk(): LakeTable = {
+      val t = LakeTable(spark, tmpDir("zorder"))
+      val df = spark.range(0, 4096).select(
+        col("id").as("x"), ((col("id") * 2654435761L) % 4096).as("y"))
+      t.create(df.schema, statsColumns = Seq("x", "y"))
+      t
+    }
+    // 1/16 ranges aligned to the top-2-bits-of-bin boundary (bin 64..79 of
+    // 256), so the range doesn't straddle a z-curve class split
+    val xPred = Seq(ZonePred.between("x", "1024", "1279"))
+    val yPred = Seq(ZonePred.between("y", "1024", "1279"))
+
+    val linear = mk()
+    linear.append(spark.range(0, 4096).select(
+        col("id").as("x"), ((col("id") * 2654435761L) % 4096).as("y"))
+      .repartitionByRange(64, col("x")).sortWithinPartitions("x"))
+    val (_, linX) = linear.skippingStats(xPred)
+    val (_, linY) = linear.skippingStats(yPred)
+    assert(linX >= 56, s"linear sort should skip most files on x, got $linX")
+    assert(linY <= 8, s"linear sort cannot skip on y, got $linY")
+
+    val zt = mk()
+    zt.append(spark.range(0, 4096).select(
+      col("id").as("x"), ((col("id") * 2654435761L) % 4096).as("y")))
+    zt.compactZOrder(Seq("x", "y"), targetFiles = 64)
+    // file boundaries come from sampled range partitioning, so they blur the
+    // finest z-class bit — with 64 files the top bits dominate and BOTH dims
+    // must skip at least half the files; y must beat linear decisively
+    val (_, zX) = zt.skippingStats(xPred)
+    val (_, zY) = zt.skippingStats(yPred)
+    assert(zX >= 32, s"z-order should skip on x, got $zX of 64")
+    assert(zY >= 32, s"z-order should skip on y, got $zY of 64")
+    assert(zY > linY, s"z-order y-skipping ($zY) must beat linear ($linY)")
+
+    // contents unchanged by the rewrite, history records a compact
+    assert(zt.read.select("x", "y").as[(Long, Long)].collect().toSet ==
+      linear.read.select("x", "y").as[(Long, Long)].collect().toSet)
+    assert(zt.history.last._2 == "compact")
+    // and the skipping read returns exactly the filtered rows
+    assert(zt.readWhere(yPred).count() ==
+      zt.read.filter(col("y").between(1000, 1255)).count())
+  }
+
+  test("compactZOrder handles skewed columns via equi-depth bins") {
+    val t = LakeTable(spark, tmpDir("zorder_skew"))
+    // y heavily skewed: 90% zeros, 10% spread — equi-depth binning still
+    // separates the tail into its own bins
+    val df = spark.range(0, 4000).select(col("id").as("x"),
+      when(col("id") % 10 =!= 0, 0L).otherwise(col("id")).as("y"))
+    t.create(df.schema, statsColumns = Seq("x", "y"))
+    t.append(df)
+    t.compactZOrder(Seq("x", "y"), targetFiles = 8)
+    assert(t.read.count() == 4000)
+    val (_, skippedHighY) = t.skippingStats(Seq(ZonePred.atLeast("y", "3000")))
+    assert(skippedHighY >= 4, s"skew tail should be separable, got $skippedHighY of 8")
+  }
+
   test("readWhere on a multi-file append prunes within the dir") {
     val t = LakeTable(spark, tmpDir("zm_multi"))
     val df = spark.range(0, 1000).select(col("id"), (col("id") * 2).as("v"))
