@@ -107,7 +107,12 @@ object TextFunctions {
    *  row. zip_with pads the shorter slices with NULL and concat_ws skips
    *  NULLs, which exactly reproduces the truncated-gram semantics for
    *  documents shorter than n tokens. */
-  def wordShingles(text: Column, n: Int): Column = {
+  def wordShingles(text: Column, n: Int): Column =
+    array_distinct(wordGrams(text, n))
+
+  /** All word n-grams IN ORDER (duplicates kept) — the raw sequence
+   *  repetition metrics count over; [[wordShingles]] is its distinct set. */
+  def wordGrams(text: Column, n: Int): Column = {
     val toks = tokens(normalizeText(text))
     val cnt = greatest(size(toks) - (n - 1), lit(1))
     val slices = (0 until n).map(k => slice(toks, lit(k + 1), cnt))
@@ -118,9 +123,27 @@ object TextFunctions {
       zip_with(a, s, (p, x) =>
         struct(((0 to k).map(j => p.getField(s"c$j").as(s"c$j")) :+ x.as(s"c${k + 1}")): _*))
     }
-    val grams = transform(acc, p =>
+    transform(acc, p =>
       concat_ws(" ", (0 until n).map(j => p.getField(s"c$j")): _*))
-    array_distinct(grams)
+  }
+
+  /** Gopher-style repetition signal: fraction of n-gram OCCURRENCES that are
+   *  repeats of an earlier gram (0 = no repetition, →1 = loops). Exactly
+   *  `1 - |distinct grams| / |grams|`; both counts are row-local integers so
+   *  the single double division replays bit-identically in the oracle. */
+  def dupGramFrac(text: Column, n: Int): Column = {
+    val g = wordGrams(text, n)
+    when(size(g) === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(g)).cast(DoubleType) / size(g).cast(DoubleType))
+  }
+
+  /** Vocabulary diversity: distinct tokens / total tokens (1 = all unique). */
+  def distinctTokenRatio(text: Column): Column = {
+    val toks = tokens(normalizeText(text))
+    when(size(toks) === 0, lit(1.0))
+      .otherwise(size(array_distinct(toks)).cast(DoubleType) /
+        size(toks).cast(DoubleType))
   }
 
   // ---- DuckDB SQL mirrors (oracle parity) ----------------------------------
@@ -182,9 +205,24 @@ object TextFunctions {
   def fingerprintBucketSql(c: String): String =
     s"CAST(('0x' || substr(md5(${normalizeTextSql(c)}), 1, 15)) AS BIGINT)"
 
-  def wordShinglesSql(c: String, n: Int): String = {
+  def wordShinglesSql(c: String, n: Int): String =
+    s"list_distinct(${wordGramsSql(c, n)})"
+
+  def wordGramsSql(c: String, n: Int): String = {
     val toks = tokensSql(normalizeTextSql(c))
-    s"list_distinct(list_transform(range(1, greatest(len($toks) - $n, 0) + 2), " +
-      s"i -> array_to_string($toks[i:i+${n - 1}], ' ')))"
+    s"list_transform(range(1, greatest(len($toks) - $n, 0) + 2), " +
+      s"i -> array_to_string($toks[i:i+${n - 1}], ' '))"
+  }
+
+  def dupGramFracSql(c: String, n: Int): String = {
+    val g = wordGramsSql(c, n)
+    s"CASE WHEN len($g) = 0 THEN 0.0 ELSE 1.0 - " +
+      s"CAST(len(list_distinct($g)) AS DOUBLE) / CAST(len($g) AS DOUBLE) END"
+  }
+
+  def distinctTokenRatioSql(c: String): String = {
+    val toks = tokensSql(normalizeTextSql(c))
+    s"CASE WHEN len($toks) = 0 THEN 1.0 ELSE " +
+      s"CAST(len(list_distinct($toks)) AS DOUBLE) / CAST(len($toks) AS DOUBLE) END"
   }
 }

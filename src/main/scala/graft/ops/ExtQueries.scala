@@ -538,6 +538,23 @@ object ExtQueries {
         WHERE ${TF.qualityScoreSql("text")} >= 0.61
         ORDER BY doc_id""")),
 
+    // Gopher-style repetition / diversity signals (the filters a training-
+    // data pipeline runs before dedup): duplicate-bigram and -trigram
+    // occurrence fractions plus distinct-token ratio, all row-local HOF
+    // arithmetic — no shuffle, linear in tokens.
+    Q("x23_text_repetition", (s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TF.distinctTokenRatio(col("text")).as("distinct_token_ratio"),
+        TF.dupGramFrac(col("text"), 2).as("dup_bigram_frac"),
+        TF.dupGramFrac(col("text"), 3).as("dup_trigram_frac"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+          ${TF.distinctTokenRatioSql("text")} AS distinct_token_ratio,
+          ${TF.dupGramFracSql("text", 2)} AS dup_bigram_frac,
+          ${TF.dupGramFracSql("text", 3)} AS dup_trigram_frac
+        FROM documents ORDER BY doc_id""")),
+
     Q("x10_text_langid", (s, d) =>
       t(s, d, "documents").select(
         col("doc_id"), col("lang"),

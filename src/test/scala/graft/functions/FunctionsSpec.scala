@@ -7,6 +7,31 @@ import graft.SparkSpec
 class FunctionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("repetition signals: dupGramFrac and distinctTokenRatio") {
+    val df = Seq(
+      "a b a b a b",        // bigrams: ab ba ab ba ab → 5 total, 2 distinct
+      "all words unique here",
+      "").toDF("text")
+    val got = df.select(
+      TextFunctions.distinctTokenRatio(col("text")),
+      TextFunctions.dupGramFrac(col("text"), 2)).as[(Double, Double)].collect().toSeq
+    assert(got(0) == ((2.0 / 6.0, 1.0 - 2.0 / 5.0)))
+    assert(got(1) == ((1.0, 0.0)))
+    // empty text: "" tokenizes to [""] (one empty token), so ratios stay
+    // defined — 1 distinct of 1 token, 1 gram of 1
+    assert(got(2) == ((1.0, 0.0)))
+  }
+
+  test("wordGrams keeps duplicate grams in order; wordShingles is its distinct set") {
+    val df = Seq("x y x y").toDF("text")
+    val grams = df.select(TextFunctions.wordGrams(col("text"), 2))
+      .as[Seq[String]].head()
+    assert(grams == Seq("x y", "y x", "x y"))
+    val sh = df.select(TextFunctions.wordShingles(col("text"), 2))
+      .as[Seq[String]].head()
+    assert(sh.sorted == Seq("x y", "y x"))
+  }
+
   test("tokenCount / bpeishTokenCount") {
     val df = Seq("the quick brown fox", "hello, world!").toDF("text")
     val got = df.select(
