@@ -89,6 +89,39 @@ object CoreQueries {
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
 
+    // §2.5 extension: full CUBE over two grouping dims (rollup's superset —
+    // all four grouping sets in one Expand + partial/final aggregate pass).
+    Q("a10_cube", (s, d) =>
+      t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+          ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS cnt
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // §2.5 extension: PIVOT — event counts spread into one column per event
+    // type. Spark's pivot leaves never-observed cells NULL while a
+    // conditional-aggregate mirror yields 0, so the nulls are filled to make
+    // both engines agree (and match the relational reading "count = 0").
+    Q("a11_pivot", (s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      t(s, d, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0, types)
+        .orderBy("user_id")
+    },
+      Some("""SELECT user_id,
+          COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+          COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+          COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+          COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+          COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // §2.4 extension: distinct aggregation (exact). Catalyst plans this as
     // a two-phase expand + aggregate; the approximate HLL variant
     // (approx_count_distinct) swaps in for the 100 TB path.

@@ -507,6 +507,29 @@ object ExtQueries {
         FROM (SELECT unnest(${TF.tokensSql("text")}) AS token FROM documents)
         GROUP BY token ORDER BY cnt DESC, token LIMIT 100""")),
 
+    // Per-stratum heavy hitters: the 5 most frequent tokens per language.
+    // Two-phase hash aggregate on (lang, token) absorbs Zipf skew map-side;
+    // the per-lang top-k window runs over the already-aggregated (small)
+    // vocabulary, never the raw token stream.
+    Q("x25_heavy_hitters", (s, d) => {
+      val counts = t(s, d, "documents")
+        .select(col("lang"), explode(TF.tokens(col("text"))).as("token"))
+        .groupBy("lang", "token")
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("cnt").desc, col("token"))
+      counts.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 5)
+        .orderBy("lang", "rank")
+    },
+      Some(s"""WITH counts AS (
+          SELECT lang, token, COUNT(*) AS cnt
+          FROM (SELECT lang, unnest(${TF.tokensSql("text")}) AS token FROM documents)
+          GROUP BY lang, token)
+        SELECT lang, token, cnt,
+          CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS INT) AS rank
+        FROM counts QUALIFY rank <= 5 ORDER BY lang, rank""")),
+
     // ---- text analysis ------------------------------------------------------
 
     Q("x8_text_stats", (s, d) =>

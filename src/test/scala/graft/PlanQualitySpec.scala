@@ -95,4 +95,38 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("Join"), plan)
   }
+
+  test("as-of join plans exactly one exchange (key shuffle) and one window sort") {
+    val ev = t(spark, sfDir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    val df = graft.ext.AsOf.asOfJoin(clicks, purchases, "user_id",
+      "ts", "ts", "event_id", Seq("ts", "value"))
+    // AdaptiveSparkPlan.toString prints the initial plan too — count
+    // operators in the FINAL section only
+    val plan = planOf(df).split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), plan) // no join operator at all
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("corpus vocabulary top-k aggregates partially map-side and takes k without a global sort") {
+    val df = t(spark, sfDir, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(100)
+    val plan = planOf(df)
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("GlobalSort"), plan)
+  }
+
+  test("hash sampling is a pure narrow filter over the scan") {
+    val df = graft.ext.Sampling.hashSample(
+      t(spark, sfDir, "documents"), "doc_id", 1, 10).select("doc_id")
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
