@@ -212,13 +212,20 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
               .option("basePath", s"$root/$d").parquet(s"$root/$d")
               .withColumn(ChangeTypeCol, lit("insert"))
           }.reduceOption(_ unionByName _)
-        case "merge" =>
-          val d = mv.cdfDir.getOrElse(sys.error(
-            s"no change data recorded for merge at v$v — create the table " +
-              "with enableChangeFeed=true before merging"))
-          require(Files.isDirectory(Paths.get(root, d)),
-            s"change feed for v$v has been vacuumed ($d)")
-          Some(spark.read.schema(feedSchema).parquet(s"$root/$d"))
+        case "merge" | "delete" | "update" =>
+          mv.cdfDir match {
+            case Some(d) =>
+              require(Files.isDirectory(Paths.get(root, d)),
+                s"change feed for v$v has been vacuumed ($d)")
+              Some(spark.read.schema(feedSchema).parquet(s"$root/$d"))
+            case None if mv.op != "merge" && !mv.cdfEnabled => sys.error(
+              s"no change data recorded for ${mv.op} at v$v — create the " +
+                "table with enableChangeFeed=true first")
+            case None if mv.op != "merge" => None // CDF on, zero rows matched
+            case None => sys.error(
+              s"no change data recorded for merge at v$v — create the table " +
+                "with enableChangeFeed=true before merging")
+          }
         case other => sys.error(
           s"change feed unavailable across full-rewrite commit v$v (op=$other)")
       }
@@ -472,15 +479,22 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
    *  partition-value manifests. */
   private def collectFileStats(dir: String, schema: StructType,
       pcol: Option[String], statsCols: Seq[String]): Seq[FileStat] = {
+    if (statsCols.isEmpty) Nil
+    else statsOf(
+      spark.read.schema(schema).option("basePath", s"$root/$dir").parquet(s"$root/$dir"),
+      dir, schema, pcol, statsCols)
+  }
+
+  /** Zone maps for the files `df` scans (all expected under `dir`). */
+  private def statsOf(df: DataFrame, dir: String, schema: StructType,
+      pcol: Option[String], statsCols: Seq[String]): Seq[FileStat] = {
     val scols = statsCols.filter(c => schema.fieldNames.contains(c) &&
       !pcol.contains(c))
     if (scols.isEmpty) return Nil
-    val written = spark.read.schema(schema)
-      .option("basePath", s"$root/$dir").parquet(s"$root/$dir")
     val aggs = scols.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"__mn_$c"),
       max(col(c)).cast("string").as(s"__mx_$c")))
-    written.groupBy(input_file_name().as("__f"))
+    df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().toSeq.map { r =>
         val full = r.getString(0)
@@ -676,6 +690,142 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
                 s"writer committed v${v0 + 1} first — recompute and retry")
         } finally if (m.cdfEnabled) { pinned.unpersist(); () }
     }
+  }
+
+  /**
+   * Copy-on-write DELETE (Delta `DELETE FROM ... WHERE`): remove the rows
+   * matching the conjunction of `preds`, rewriting ONLY the files whose zone
+   * map admits a match — every other file is re-referenced by hard link, so
+   * I/O is O(files that may contain matches), not O(table). At 100 TB a
+   * targeted delete (one doc id, one day) touches a handful of files when
+   * the table records stats on the predicate column (ideally Z-ordered).
+   * Returns the number of rows deleted. With change feed enabled the
+   * deleted rows are materialized as `_change_type = 'delete'`.
+   */
+  def delete(preds: Seq[ZonePred]): Long = mutateWhere(preds, None)
+
+  /**
+   * Copy-on-write UPDATE (Delta `UPDATE ... SET ... WHERE`): assign
+   * `set` (column → expression over the row) on rows matching `preds`,
+   * with the same zone-map-pruned file rewrite as [[delete]]. The partition
+   * column cannot be assigned (a row may not change partition). Returns the
+   * number of rows updated; change feed records pre/post images.
+   */
+  def update(preds: Seq[ZonePred], set: Map[String, Column]): Long =
+    mutateWhere(preds, Some(set))
+
+  private def mutateWhere(preds: Seq[ZonePred],
+      set: Option[Map[String, Column]]): Long = synchronized {
+    require(preds.nonEmpty, "refusing a whole-table mutation with no predicate")
+    val v0 = currentVersion
+    val m = readManifest(v0)
+    val opName = if (set.isEmpty) "delete" else "update"
+    preds.foreach(p => require(m.schema.fieldNames.contains(p.col),
+      s"unknown predicate column ${p.col}"))
+    set.foreach(_.keys.foreach { c =>
+      require(m.schema.fieldNames.contains(c), s"unknown update column $c")
+      require(!m.pcol.contains(c), s"cannot update partition column $c")
+    })
+    val cols = m.schema.fieldNames.toSeq
+    val cond = preds.map { pr =>
+      val dt = m.schema(pr.col).dataType
+      (pr.lo.map(v => col(pr.col) >= lit(v).cast(dt)).toSeq ++
+        pr.hi.map(v => col(pr.col) <= lit(v).cast(dt)).toSeq)
+        .reduce(_ && _)
+    }.reduce(_ && _)
+
+    val plan = planSkip(m, preds)
+    var matched = 0L
+    val newEntries = scala.collection.mutable.ArrayBuffer.empty[DirEntry]
+    val newStats = scala.collection.mutable.ArrayBuffer.empty[FileStat]
+    val changeParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    plan.foreach { case (e, touched, _) =>
+      if (touched.isEmpty) {
+        // no file in this dir can hold a match: re-reference as-is
+        newEntries += e
+        newStats ++= m.fileStats.filter(_.path.startsWith(e.dir + "/"))
+      } else {
+        val newDir = s"data/${UUID.randomUUID()}"
+        Files.createDirectories(Paths.get(root, newDir))
+        // 1. hard-link every untouched file (zero data I/O), keeping the
+        //    partition subpath so basePath reads still recover the pcol
+        val touchedSet = touched.toSet
+        val all = listParquet(Paths.get(root, e.dir))
+          .map(p => Paths.get(root).relativize(p).toString)
+        all.filterNot(touchedSet).foreach { f =>
+          val rel = Paths.get(e.dir).relativize(Paths.get(f))
+          val dst = Paths.get(root, newDir).resolve(rel)
+          Files.createDirectories(dst.getParent)
+          Files.createLink(dst, Paths.get(root, f))
+          m.fileStats.find(_.path == f).foreach { fs =>
+            newStats += fs.copy(path = s"$newDir/$rel")
+          }
+        }
+        // 2. rewrite the touched files with the mutation applied
+        val touchedDf = spark.read.schema(m.schema)
+          .option("basePath", s"$root/${e.dir}")
+          .parquet(touched.map(f => s"$root/$f"): _*)
+        matched += touchedDf.filter(cond).count()
+        val rewritten = set match {
+          case None => touchedDf.filter(!coalesce(cond, lit(false)))
+          case Some(assigns) => touchedDf.select(cols.map { c =>
+            assigns.get(c) match {
+              case Some(expr0) => when(coalesce(cond, lit(false)), expr0)
+                .otherwise(col(c)).as(c)
+              case None => col(c)
+            }
+          }: _*)
+        }
+        if (m.cdfEnabled) {
+          val pinned = touchedDf.filter(cond)
+          changeParts += (set match {
+            case None => pinned.withColumn(ChangeTypeCol, lit("delete"))
+            case Some(assigns) =>
+              pinned.withColumn(ChangeTypeCol, lit("update_preimage"))
+                .unionByName(pinned.select(cols.map { c =>
+                  assigns.get(c).map(x => x.as(c)).getOrElse(col(c))
+                }: _*).withColumn(ChangeTypeCol, lit("update_postimage")))
+          })
+        }
+        val rwTmp = s"data/.rw-${UUID.randomUUID()}"
+        // preserve partition subdirs for partitioned tables
+        m.pcol match {
+          case Some(p) => rewritten.repartition(col(p))
+            .write.partitionBy(p).parquet(s"$root/$rwTmp")
+          case None => rewritten.write.parquet(s"$root/$rwTmp")
+        }
+        val rwFiles = listParquet(Paths.get(root, rwTmp))
+        rwFiles.foreach { src =>
+          val rel = Paths.get(root, rwTmp).relativize(src)
+          val dst = Paths.get(root, newDir).resolve(rel)
+          Files.createDirectories(dst.getParent)
+          Files.createLink(dst, src)
+        }
+        // stats for just the rewritten files (linked files kept theirs)
+        val rwRel = rwFiles.map(src =>
+          s"$newDir/${Paths.get(root, rwTmp).relativize(src)}")
+        if (m.statsCols.nonEmpty && rwRel.nonEmpty) {
+          val rwDf = spark.read.schema(m.schema)
+            .option("basePath", s"$root/$newDir")
+            .parquet(rwRel.map(f => s"$root/$f"): _*)
+          newStats ++= statsOf(rwDf, newDir, m.schema, m.pcol, m.statsCols)
+        }
+        deleteRecursively(Paths.get(root, rwTmp))
+        newEntries += DirEntry(newDir, e.owned)
+      }
+    }
+    val chDir =
+      if (m.cdfEnabled && changeParts.nonEmpty) {
+        val d = s"_changes/${UUID.randomUUID()}"
+        changeParts.reduce(_ unionByName _).write.parquet(s"$root/$d")
+        Some(d)
+      } else None
+    if (!tryCommit(Manifest(m.schema, m.pcol, newEntries.toSeq, opName,
+        m.cdfEnabled, chDir, m.statsCols, newStats.toSeq), v0 + 1))
+      throw new ConcurrentWriteException(
+        s"$opName computed against version $v0 of $root, but a concurrent " +
+          s"writer committed v${v0 + 1} first — recompute and retry")
+    matched
   }
 
   /** Drop data dirs (and change-feed dirs, including race-orphaned ones) not

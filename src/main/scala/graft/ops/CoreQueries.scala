@@ -466,6 +466,37 @@ object CoreQueries {
           AND o_orderdate <= TIMESTAMP '1998-06-01 00:00:00'
         ORDER BY o_orderkey""")),
 
+    // S11: copy-on-write DELETE + UPDATE with zone-map-pruned rewrites —
+    // only files whose stats admit a match are rewritten, the rest are
+    // hard-link re-references (MutationSpec proves physical files survive).
+    // The oracle replays the relational reading: delete = anti-filter,
+    // update = CASE projection.
+    Q("s11_delete_update", (s, d) => {
+      val o = t(s, d, "orders")
+      val tbl = LakeTable(s, s"${tmp("graft_s11")}/t")
+      tbl.create(o.schema, statsColumns = Seq("o_orderdate"))
+      Seq((1995, 1996), (1997, 1998), (1999, 2001)).foreach { case (a, b) =>
+        tbl.append(o.filter(year(col("o_orderdate")).between(a, b)).coalesce(1))
+      }
+      tbl.delete(Seq(LakeTable.ZonePred.between("o_orderdate",
+        "1996-01-01 00:00:00", "1996-12-31 23:59:59")))
+      tbl.update(
+        Seq(LakeTable.ZonePred.between("o_orderdate",
+          "1999-01-01 00:00:00", "1999-12-31 23:59:59")),
+        Map("o_totalprice" -> (col("o_totalprice") + lit(100000.0))))
+      tbl.read.select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey,
+          CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+                AND o_orderdate <= TIMESTAMP '1999-12-31 23:59:59'
+               THEN o_totalprice + 100000.0 ELSE o_totalprice END AS o_totalprice,
+          o_orderdate
+        FROM orders
+        WHERE NOT (o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+               AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59')
+        ORDER BY o_orderkey""")),
+
     Q("s8_merge_upsert", (s, d) => {
       val gb = GoldBuilder(s)
       val ev = t(s, d, "events")
