@@ -458,18 +458,48 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
         df.write.parquet(s"$root/$dir")
         None
       case Some(p) =>
-        val vals = df.select(col(p).cast("string")).distinct()
-          .collect().map(_.getString(0)).toSeq
-        require(!vals.contains(null), s"null partition value in column $p")
         // Cluster by the partition column first: otherwise every task writes
         // a file per partition value it holds (tasks × partitions small
         // files). One shuffle → each partition's rows land in one task →
         // one file per partition. (A 100 TB deployment with giant single
         // partitions would add a within-partition salt to split files.)
         df.repartition(col(p)).write.partitionBy(p).parquet(s"$root/$dir")
+        // Owned partition values from the written directory layout (p=value
+        // subdirs) — a driver-side listing instead of a second full
+        // evaluation of `df` (which may be an expensive join/window plan).
+        val vals = listPartitionValues(dir, p)
+        require(!vals.contains(null), s"null partition value in column $p")
         Some(vals)
     }
     (dir, owned, collectFileStats(dir, df.schema, pcol, statsCols))
+  }
+
+  /** Partition values of a freshly written dir, decoded from its `p=value`
+   *  subdirectory names (Hive layout). Spark percent-escapes special path
+   *  characters on write; `%XX` sequences are decoded back. A null partition
+   *  value writes the Hive default-partition sentinel and maps to null. */
+  private def listPartitionValues(dir: String, p: String): Seq[String] = {
+    def unescape(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length) {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+    val base = Paths.get(root, dir)
+    val stream = Files.list(base)
+    try stream.iterator().asScala
+      .filter(f => Files.isDirectory(f) && f.getFileName.toString.startsWith(s"$p="))
+      .map { f =>
+        val v = unescape(f.getFileName.toString.stripPrefix(s"$p="))
+        if (v == "__HIVE_DEFAULT_PARTITION__") null else v
+      }.toSeq
+    finally stream.close()
   }
 
   /** Per-file zone maps for the freshly written `dir`: one aggregation pass

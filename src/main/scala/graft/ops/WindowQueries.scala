@@ -58,7 +58,7 @@ object WindowQueries {
     // batch plan's, so the batch oracle replays it exactly — proving the
     // streaming operator (state store + watermark plumbing) computes the
     // identical aggregation.
-    Q("w_streaming_tumbling", (s, d) => {
+    Q("w_streaming_tumbling", (s, d) => withShufflePartitions(s, 4) {
       // the streaming file source wants a directory: stage the single
       // parquet file into one (byte copy, file-level)
       val stage = java.nio.file.Files.createTempDirectory("graft_wst")
@@ -92,7 +92,7 @@ object WindowQueries {
     // row is late-dropped, making the drained append output equal the batch
     // interval join the oracle replays. (Bounded-delay state cleanup is the
     // same code path with a shorter delay; StreamingSpec covers dropping.)
-    Q("w_stream_join", (s, d) => {
+    Q("w_stream_join", (s, d) => withShufflePartitions(s, 4) {
       val stage = java.nio.file.Files.createTempDirectory("graft_wsj")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$d/events.parquet"),
@@ -133,7 +133,7 @@ object WindowQueries {
     // so no duplicate falls outside the window and the drained output equals
     // batch DISTINCT; only key columns are emitted so which physical
     // occurrence survived cannot affect the oracle hash.
-    Q("w_streaming_dedup", (s, d) => {
+    Q("w_streaming_dedup", (s, d) => withShufflePartitions(s, 4) {
       val stage = java.nio.file.Files.createTempDirectory("graft_wsd")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$d/events.parquet"),

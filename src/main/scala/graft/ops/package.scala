@@ -30,6 +30,21 @@ package object ops {
     }
   }
 
+  /** Run `body` under a temporarily reduced `spark.sql.shuffle.partitions`,
+   *  restoring the prior value after. Streaming stateful operators allocate
+   *  one state store PER shuffle partition (stream-stream joins allocate
+   *  four), and AvailableNow drains re-commit every store each micro-batch —
+   *  at correctness scale that per-store overhead dwarfs the data. Stateful
+   *  queries scope themselves to a partition count sized to their key
+   *  cardinality; at production scale the same knob is sized to the cluster
+   *  instead (state partitioning is fixed per checkpoint, so it is a
+   *  deliberate per-pipeline choice either way, not a session default). */
+  def withShufflePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   // ---- cross-engine deterministic double aggregation -----------------------
   // SUM over doubles is order-dependent, so Spark and DuckDB can disagree in
   // the last ulps and fail the driver's hash compare. Summing after a cast to
