@@ -370,6 +370,15 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
       s"readStream requires an append-only history, but $root has non-append commits: " +
         unsafe.map { case (v, op) => s"v$v=$op" }.mkString(", ") +
         " — rewritten files would replay as duplicates in a file stream")
+    // Partitioned tables store the partition column in the Hive directory
+    // layout, not in the parquet files; the glob file stream below has no
+    // per-dir basePath, so that column would silently come back all-NULL.
+    val m = manifest
+    require(m.pcol.isEmpty,
+      s"readStream does not support partitioned tables ($root is " +
+        s"partitioned by ${m.pcol.get}): the file-stream glob " +
+        "cannot materialize Hive-layout partition values — stream the " +
+        "unpartitioned bronze table and partition downstream")
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1000")
       .parquet(s"$root/data/*")
@@ -466,9 +475,20 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
         df.repartition(col(p)).write.partitionBy(p).parquet(s"$root/$dir")
         // Owned partition values from the written directory layout (p=value
         // subdirs) — a driver-side listing instead of a second full
-        // evaluation of `df` (which may be an expensive join/window plan).
+        // evaluation of `df` (which may be an expensive join/window plan;
+        // a pre-write validation scan would evaluate it twice). Null and
+        // empty-string values both land in the Hive default-partition
+        // sentinel dir and decode to null here; reject them BEFORE commit
+        // and reclaim the uncommitted dir so no orphan lingers.
         val vals = listPartitionValues(dir, p)
-        require(!vals.contains(null), s"null partition value in column $p")
+        if (vals.contains(null)) {
+          deleteRecursively(Paths.get(root, dir))
+          throw new IllegalArgumentException(
+            s"null or empty-string partition value in column $p " +
+              "(both map to __HIVE_DEFAULT_PARTITION__, whose rows a " +
+              "partition-scoped read could never locate); uncommitted data " +
+              "dir removed")
+        }
         Some(vals)
     }
     (dir, owned, collectFileStats(dir, df.schema, pcol, statsCols))
@@ -476,27 +496,29 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
 
   /** Partition values of a freshly written dir, decoded from its `p=value`
    *  subdirectory names (Hive layout). Spark percent-escapes special path
-   *  characters on write; `%XX` sequences are decoded back. A null partition
-   *  value writes the Hive default-partition sentinel and maps to null. */
+   *  characters on write; `%XX` sequences are decoded back. A null (or
+   *  empty-string) partition value writes the Hive default-partition
+   *  sentinel and maps to null.
+   *
+   *  Decoding matches Hive/Spark `unescapePathName`: consecutive `%XX`
+   *  escapes accumulate into a byte run that is UTF-8-decoded ONCE (a
+   *  multi-byte value such as `é` = `%C3%A9` must not become two mojibake
+   *  chars — that would record a partition value no equality filter can
+   *  ever match, silently hiding the partition), and a `%` not followed by
+   *  two hex digits passes through literally.
+   *
+   *  Known Hive-layout ambiguity: a genuine string value equal to
+   *  `"__HIVE_DEFAULT_PARTITION__"` is indistinguishable from null in the
+   *  directory name, decodes to null here, and is rejected by [[writeData]]
+   *  with the null/empty-string error. */
   private def listPartitionValues(dir: String, p: String): Seq[String] = {
-    def unescape(s: String): String = {
-      val sb = new StringBuilder
-      var i = 0
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (c == '%' && i + 2 < s.length) {
-          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-          i += 3
-        } else { sb.append(c); i += 1 }
-      }
-      sb.toString
-    }
+    import LakeTable.unescapePathName
     val base = Paths.get(root, dir)
     val stream = Files.list(base)
     try stream.iterator().asScala
       .filter(f => Files.isDirectory(f) && f.getFileName.toString.startsWith(s"$p="))
       .map { f =>
-        val v = unescape(f.getFileName.toString.stripPrefix(s"$p="))
+        val v = unescapePathName(f.getFileName.toString.stripPrefix(s"$p="))
         if (v == "__HIVE_DEFAULT_PARTITION__") null else v
       }.toSeq
     finally stream.close()
@@ -990,6 +1012,31 @@ object LakeTable {
   }
 
   def apply(spark: SparkSession, root: String): LakeTable = new LakeTable(spark, root)
+
+  /** Hive-layout `%XX` unescape. Consecutive escapes accumulate into one
+   *  byte run that is UTF-8-decoded TOGETHER (so `%C3%A9` → `é`, never two
+   *  mojibake chars), and a `%` not followed by two hex digits passes
+   *  through literally — both matching Hive/Spark `unescapePathName`. */
+  private[lake] def unescapePathName(s: String): String = {
+    def isHex(c: Char): Boolean = Character.digit(c, 16) >= 0
+    val sb = new StringBuilder
+    val run = new java.io.ByteArrayOutputStream(8)
+    def flush(): Unit = if (run.size() > 0) {
+      sb.append(new String(run.toByteArray, StandardCharsets.UTF_8))
+      run.reset()
+    }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length && isHex(s.charAt(i + 1)) &&
+          isHex(s.charAt(i + 2))) {
+        run.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
+      } else { flush(); sb.append(c); i += 1 }
+    }
+    flush()
+    sb.toString
+  }
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
