@@ -199,9 +199,80 @@ final class GoldBuilder(spark: SparkSession, clock: () => Timestamp) {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
+
+  /**
+   * SCD Type 2 apply-changes — the `stored_as_scd_type = 2` arm of the DLT
+   * API the reference calls with type 1 (`dlt_bronze_to_silver_pipeline
+   * .py:30-36`): compute the merge rows for `batch` against `target`'s
+   * current OPEN rows (`__END_AT IS NULL`, at most one per key).
+   *
+   * Semantics (all non-key columns tracked — DLT's default):
+   *  - one event per (keys, sequenceBy), deterministic tiebreak;
+   *  - events at/before a key's open `__START_AT` are DROPPED (stale or
+   *    replayed input — the monotone-input contract of the SCD1 guard; DLT
+   *    additionally back-inserts late rows into CLOSED history, which this
+   *    batch close-and-insert trades away for an O(changed keys) merge —
+   *    documented deviation);
+   *  - an event whose tracked columns equal the key's current attributes
+   *    opens NO new version (run-length collapse, lag-based: dropping a
+   *    row that equals its predecessor never changes the last-kept
+   *    attributes, so one window pass suffices);
+   *  - each surviving event opens a version `[seq, next seq)`; the key's
+   *    previous open row closes at its first new version's start.
+   *
+   * Output schema: keys ++ tracked ++ (`__START_AT`, `__END_AT`) — the
+   * sequence column is absorbed into `__START_AT` exactly like DLT. The
+   * caller merges on `keys :+ __START_AT` (closed open rows update in
+   * place; new versions insert). Replaying the same batch yields zero rows
+   * — idempotent. One shuffle on the keys end-to-end (dedup window, RLE
+   * window and lead share the partitioning); the open-rows join is
+   * broadcast-able when the batch is small.
+   */
+  def scd2Apply(batch: DataFrame, target: Option[DataFrame], keys: Seq[String],
+      seqCol: String, tiebreak: Seq[String]): DataFrame = {
+    import GoldBuilder.{Scd2End, Scd2Start}
+    val track = batch.columns.toSeq.filterNot(c => keys.contains(c) || c == seqCol)
+    val cur = struct(track.map(col): _*)
+    val events = latestPerKey(batch, keys :+ seqCol, seqCol, tiebreak)
+    val open = target.map(_.filter(col(Scd2End).isNull))
+    val withOpen = open match {
+      case Some(o) =>
+        val sel = o.select((keys.map(col) :+ col(Scd2Start).as("__open_start") :+
+          struct(track.map(col): _*).as("__open_track")): _*)
+        events.join(sel, keys, "left")
+      case None =>
+        events
+          .withColumn("__open_start", lit(null).cast(batch.schema(seqCol).dataType))
+          .withColumn("__open_track", when(lit(false), cur)) // typed null struct
+    }
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).asc)
+    val kept = withOpen
+      .filter(col("__open_start").isNull || col(seqCol) > col("__open_start"))
+      .withColumn("__prev", coalesce(lag(cur, 1).over(w), col("__open_track")))
+      .filter(!(col("__prev") <=> cur))
+    val outCols = (keys ++ track).map(col) :+ col(Scd2Start) :+ col(Scd2End)
+    val versions = kept
+      .withColumn(Scd2Start, col(seqCol))
+      .withColumn(Scd2End, lead(col(seqCol), 1).over(w))
+      .select(outCols: _*)
+    open match {
+      case None => versions
+      case Some(o) =>
+        val closeAt = versions.groupBy(keys.map(col): _*)
+          .agg(min(col(Scd2Start)).as("__close_at"))
+        val closed = o.join(closeAt, keys)
+          .withColumn(Scd2End, col("__close_at")).drop("__close_at")
+          .select(outCols: _*)
+        closed.unionByName(versions)
+    }
+  }
 }
 
 object GoldBuilder {
+  /** SCD Type 2 validity-interval columns (DLT's names). */
+  val Scd2Start = "__START_AT"
+  val Scd2End = "__END_AT"
+
   /** Production clock. Tests and oracle-compared queries inject fixed values. */
   def apply(spark: SparkSession): GoldBuilder =
     new GoldBuilder(spark, () => new Timestamp(System.currentTimeMillis()))

@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.gold.{DimConfig, FactConfig, FactDim, GoldBuilder}
 import graft.lake.LakeTable
-import graft.pipeline.Expectations
+import graft.pipeline.{Expectations, Pipeline}
 
 /**
  * The SURVEY.md §2 relational/medallion operator inventory, each re-expressed
@@ -406,6 +406,63 @@ object CoreQueries {
         FROM events
         QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         ORDER BY user_id""")),
+
+    // O1 SCD2: `stored_as_scd_type = 2` — the other arm of the DLT
+    // create_auto_cdc_flow API (dlt_bronze_to_silver_pipeline.py:30-36):
+    // full per-key history with __START_AT/__END_AT validity intervals,
+    // exercised INCREMENTALLY through the Pipeline (two time-ordered batches
+    // through one flow; batch 2 closes batch 1's open rows in place). The
+    // oracle replays the equivalent one-pass history build: dedup per
+    // (key, ts) with the same tiebreak, run-length collapse of unchanged
+    // tracked columns, validity = [ts, next ts). Open rows project the
+    // conventional SCD high-date instead of NULL __END_AT so the compared
+    // output stays timestamp-null-free (NaT != NaT in the compare; the
+    // high-date stays inside pandas' ns range).
+    Q("o1_scd2_history", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select("user_id", "ts", "event_type", "value")
+      // deterministic mid-range cutoff for the two incremental batches
+      val r = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val cut = new Timestamp(
+        (r.getTimestamp(0).getTime + r.getTimestamp(1).getTime) / 2)
+      val p = new Pipeline(s, tmp("graft_scd2"))
+      p.streamingTable("hist")
+      var batch = ev.filter(col("ts") <= lit(cut))
+      p.view("src")(batch)
+      p.autoCdcFlow("hist", "src", Seq("user_id"), "ts", scdType = 2)
+      p.run()
+      batch = ev.filter(col("ts") > lit(cut))
+      p.run()
+      p.read("hist")
+        .select(col("user_id"), col("event_type"), col("value"),
+          col(GoldBuilder.Scd2Start).as("start_at"),
+          coalesce(col(GoldBuilder.Scd2End),
+            lit("2200-01-01 00:00:00").cast("timestamp")).as("end_at"))
+        .orderBy("user_id", "start_at")
+    },
+      Some("""WITH ev AS (
+          SELECT user_id, ts, event_type, value FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ), d AS (
+          SELECT user_id, ts, event_type, value FROM ev
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+            ORDER BY event_type DESC NULLS LAST, value DESC NULLS LAST) = 1
+        ), c AS (
+          SELECT *, lag(ts) OVER w AS prev_ts,
+                 lag(event_type) OVER w AS prev_et,
+                 lag(value) OVER w AS prev_v
+          FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), k AS (
+          SELECT user_id, ts, event_type, value FROM c
+          WHERE prev_ts IS NULL
+             OR event_type IS DISTINCT FROM prev_et
+             OR value IS DISTINCT FROM prev_v
+        )
+        SELECT user_id, event_type, value, ts AS start_at,
+               COALESCE(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                        TIMESTAMP '2200-01-01 00:00:00') AS end_at
+        FROM k ORDER BY user_id, start_at""")),
 
     // O4: expect_all_or_drop — violating rows dropped
     // (dlt_bronze_to_silver_pipeline.py:5-12).

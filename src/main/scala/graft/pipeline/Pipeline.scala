@@ -63,11 +63,17 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     t
   }
 
-  /** O1 `dlt.create_auto_cdc_flow(target, source, keys, sequence_by)` — SCD1. */
+  /** O1 `dlt.create_auto_cdc_flow(target, source, keys, sequence_by,
+   *  stored_as_scd_type)`. `scdType = 1` (the reference's setting) keeps one
+   *  latest-wins row per key; `scdType = 2` keeps full history with
+   *  `__START_AT`/`__END_AT` validity intervals
+   *  ([[graft.gold.GoldBuilder.scd2Apply]]). */
   def autoCdcFlow(target: String, source: String, keys: Seq[String],
-      sequenceBy: String, tiebreak: Seq[String] = Nil): this.type = {
+      sequenceBy: String, tiebreak: Seq[String] = Nil,
+      scdType: Int = 1): this.type = {
+    require(scdType == 1 || scdType == 2, s"stored_as_scd_type must be 1 or 2, got $scdType")
     require(tables.contains(target), s"declare streamingTable($target) first")
-    flows += CdcFlow(target, source, keys, sequenceBy, tiebreak)
+    flows += CdcFlow(target, source, keys, sequenceBy, tiebreak, scdType)
     this
   }
 
@@ -103,10 +109,19 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       val tiebreak =
         if (f.tiebreak.nonEmpty) f.tiebreak
         else batch.columns.toSeq.filterNot(c => f.keys.contains(c) || c == f.sequenceBy)
-      val latest = gb.latestPerKey(batch, f.keys, f.sequenceBy, tiebreak)
       val t = tables(f.target)
-      if (!t.exists) t.create(latest.schema)
-      t.merge(latest, f.keys, Some(s"s.${f.sequenceBy} >= t.${f.sequenceBy}"))
+      if (f.scdType == 2) {
+        // history table: closed open rows update in place, new versions
+        // insert — merged on (keys, __START_AT)
+        val rows = gb.scd2Apply(batch, if (t.exists) Some(t.read) else None,
+          f.keys, f.sequenceBy, tiebreak)
+        if (!t.exists) t.create(rows.schema)
+        t.merge(rows, f.keys :+ GoldBuilder.Scd2Start)
+      } else {
+        val latest = gb.latestPerKey(batch, f.keys, f.sequenceBy, tiebreak)
+        if (!t.exists) t.create(latest.schema)
+        t.merge(latest, f.keys, Some(s"s.${f.sequenceBy} >= t.${f.sequenceBy}"))
+      }
     }
     gates.values.filter(_.policy == Expectations.Fail).foreach(_.assertClean())
   }
@@ -164,23 +179,28 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       else -1L
     val cur = source.currentVersion
     if (cur <= last) return 0L
+    // persisted: both the processed-count and the dedup+merge consume the
+    // feed — one pass over the change dirs instead of two
     val feed = source.readChangeFeed(last + 1, Some(cur))
       .filter(col(graft.lake.LakeTable.ChangeTypeCol)
         .isin("insert", "update_postimage"))
       .drop(graft.lake.LakeTable.ChangeTypeCol)
-    val gb = GoldBuilder(spark)
-    // newest committed state per key: the LAST version a key changed in wins
-    // (source merges are themselves guarded, so commit order ⊇ seq order)
-    val perKey = gb.latestPerKey(feed, keys,
-      graft.lake.LakeTable.CommitVersionCol, Seq(sequenceBy) ++ tiebreak)
-      .drop(graft.lake.LakeTable.CommitVersionCol)
-    val processed = feed.count()
-    val t = tables(target)
-    if (!t.exists) t.create(perKey.schema)
-    t.merge(perKey, keys, Some(s"s.$sequenceBy >= t.$sequenceBy"))
-    Files.createDirectories(ledger.getParent)
-    Files.write(ledger, cur.toString.getBytes(StandardCharsets.UTF_8))
-    processed
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val gb = GoldBuilder(spark)
+      // newest committed state per key: the LAST version a key changed in wins
+      // (source merges are themselves guarded, so commit order ⊇ seq order)
+      val perKey = gb.latestPerKey(feed, keys,
+        graft.lake.LakeTable.CommitVersionCol, Seq(sequenceBy) ++ tiebreak)
+        .drop(graft.lake.LakeTable.CommitVersionCol)
+      val processed = feed.count()
+      val t = tables(target)
+      if (!t.exists) t.create(perKey.schema)
+      t.merge(perKey, keys, Some(s"s.$sequenceBy >= t.$sequenceBy"))
+      Files.createDirectories(ledger.getParent)
+      Files.write(ledger, cur.toString.getBytes(StandardCharsets.UTF_8))
+      processed
+    } finally feed.unpersist()
   }
 
   /**
@@ -236,5 +256,5 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
 object Pipeline {
   private final case class CdcFlow(
       target: String, source: String, keys: Seq[String],
-      sequenceBy: String, tiebreak: Seq[String])
+      sequenceBy: String, tiebreak: Seq[String], scdType: Int = 1)
 }

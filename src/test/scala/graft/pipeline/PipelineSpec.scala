@@ -36,6 +36,74 @@ class PipelineSpec extends SparkSpec {
         (3L, "new", ts("2024-01-01 00:00:00"))))
   }
 
+  test("autoCdcFlow SCD2 keeps full history with __START_AT/__END_AT") {
+    val p = new Pipeline(spark, tmpDir("pl_scd2"))
+    var batch = Seq(
+      (1L, "a", ts("2024-01-01 00:00:00")),
+      (1L, "b", ts("2024-01-02 00:00:00")),
+      (2L, "x", ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq")
+    p.streamingTable("hist")
+    p.view("source")(batch)
+    p.autoCdcFlow("hist", "source", Seq("k"), "seq", scdType = 2)
+    p.run()
+    def history = p.read("hist")
+      .select(col("k"), col("v"), col("__START_AT").cast("string"),
+        col("__END_AT").cast("string"))
+      .orderBy("k", "__START_AT")
+      .as[(Long, String, String, String)].collect().toSeq
+    assert(history == Seq(
+      (1L, "a", "2024-01-01 00:00:00", "2024-01-02 00:00:00"),
+      (1L, "b", "2024-01-02 00:00:00", null),
+      (2L, "x", "2024-01-01 00:00:00", null)))
+
+    // batch 2: k=1 changes (closes open row), k=2 UNCHANGED value (no new
+    // version), k=1 stale event (dropped), k=3 brand new
+    batch = Seq(
+      (1L, "c", ts("2024-02-01 00:00:00")),
+      (1L, "ancient", ts("2023-01-01 00:00:00")),
+      (2L, "x", ts("2024-03-01 00:00:00")),
+      (3L, "n", ts("2024-01-15 00:00:00"))).toDF("k", "v", "seq")
+    p.run()
+    val afterTwo = Seq(
+      (1L, "a", "2024-01-01 00:00:00", "2024-01-02 00:00:00"),
+      (1L, "b", "2024-01-02 00:00:00", "2024-02-01 00:00:00"),
+      (1L, "c", "2024-02-01 00:00:00", null),
+      (2L, "x", "2024-01-01 00:00:00", null),
+      (3L, "n", "2024-01-15 00:00:00", null))
+    assert(history == afterTwo)
+
+    // replaying the same batch is a no-op (idempotent)
+    p.run()
+    assert(history == afterTwo)
+  }
+
+  test("autoCdcFlow SCD2 collapses same-batch runs and dedups same-seq events") {
+    val p = new Pipeline(spark, tmpDir("pl_scd2b"))
+    val batch = Seq(
+      // k=1: A, A, B, A — middle duplicate collapses, later A reopens
+      (1L, "A", ts("2024-01-01 00:00:00")),
+      (1L, "A", ts("2024-01-02 00:00:00")),
+      (1L, "B", ts("2024-01-03 00:00:00")),
+      (1L, "A", ts("2024-01-04 00:00:00")),
+      // k=2: two events at the SAME seq — deterministic tiebreak keeps "z"
+      (2L, "y", ts("2024-01-01 00:00:00")),
+      (2L, "z", ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq")
+    p.streamingTable("hist")
+    p.view("source")(batch)
+    p.autoCdcFlow("hist", "source", Seq("k"), "seq", scdType = 2)
+    p.run()
+    val got = p.read("hist")
+      .select(col("k"), col("v"), col("__START_AT").cast("string"),
+        col("__END_AT").cast("string"))
+      .orderBy("k", "__START_AT")
+      .as[(Long, String, String, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "A", "2024-01-01 00:00:00", "2024-01-03 00:00:00"),
+      (1L, "B", "2024-01-03 00:00:00", "2024-01-04 00:00:00"),
+      (1L, "A", "2024-01-04 00:00:00", null),
+      (2L, "z", "2024-01-01 00:00:00", null)))
+  }
+
   test("expectations: Drop filters violating rows and reports metrics") {
     val df = Seq((1L, 10.0), (2L, -5.0), (3L, 0.0)).toDF("k", "v")
     val gate = Expectations(df, Map("v_positive" -> "v > 0"), Expectations.Drop)
