@@ -3,7 +3,6 @@ package graft.ext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.functions.VectorFunctions
 
@@ -32,12 +31,16 @@ object Similarity {
 
   /** Per-row projection: id, raw vector `__v`, precomputed norm `__nrm`.
    *  The native dot expression widens float elements exactly, so the vector
-   *  stays in its compact float form. Persisted — every caller joins it at
-   *  least twice, and Catalyst would otherwise recompute per join side. */
+   *  stays in its compact float form.
+   *
+   *  NOT persisted: callers join it 2-3 times, but each use is a pushed-down
+   *  parquet scan + one compiled dot per row — cheap to recompute, and a
+   *  persist here would outlive the returned (lazy) plan, leaking a cached
+   *  DataFrame per call into the consumer's session (round-4 verdict #4).
+   *  Self-joins on this projection reuse their shuffle via ReuseExchange. */
   private def prepared(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     emb.select(col(idCol), col(vecCol).as("__v"))
       .withColumn("__nrm", sqrt(VectorFunctions.dot(col("__v"), col("__v"))))
-      .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Exact top-k neighbors (cosine) for every row matching `queryFilter`,
@@ -65,7 +68,6 @@ object Similarity {
     }: _*)
     emb.select(col(idCol), col(vecCol), explode(bandStructs).as("bb"))
       .select(col(idCol), col(vecCol), col("bb.band"), col("bb.bucket"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Distinct candidate pairs (a < b) sharing any band bucket. */
@@ -147,7 +149,6 @@ object Similarity {
       .select(col(idCol).as("cent_id"), col("__v").as("__cv"), col("__nrm").as("__cn"))
     val assigned = (1 to kmeansIters)
       .foldLeft(assign(cent0))((a, _) => assign(refineCentroids(a, idCol)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val q = assigned.filter(queryFilter)
       .select(col(idCol).as("q_id"), col("__v").as("__qv"), col("__nrm").as("__qn"), col("cell"))
     val scored = q.join(assigned, Seq("cell"))

@@ -1,13 +1,15 @@
 package graft.ingest
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
 import java.util.Base64
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{MapType, StringType, StructField, StructType}
 
 import graft.lake.LakeTable
 
@@ -26,13 +28,15 @@ import graft.lake.LakeTable
  *    `bronze_ingest_autoloader.py:18`): every declared column is read RAW
  *    (string) and re-typed with `try_cast`; a cell that fails its cast keeps
  *    the REST of the row typed and lands alone in `_rescued_data` as a
- *    `{"column": "raw"}` JSON entry. Rows whose token count diverges from
- *    the persisted schema (a file that grew or lost columns) and
- *    structurally malformed lines rescue the whole raw line under
- *    `_corrupt_record` — the declared columns still parse positionally, so
- *    no data is lost. (Deviation: Auto Loader keys rescued extras by header
- *    name; a fixed-schema stream cannot see per-file headers, so we keep
- *    the raw line instead.)
+ *    `{"column": "raw"}` JSON entry. A file whose header GREW extra columns
+ *    rescues each extra cell keyed by its HEADER NAME (`{"new_col": "v"}`),
+ *    exactly like Auto Loader: the batch finalizer captures the header of
+ *    each file that produced token-divergent rows (driver-side, O(new
+ *    files)) and re-parses just those rows against the extended header.
+ *    Lines that are structurally malformed — or divergent in a way the
+ *    file's own header does not explain — rescue the whole raw line under
+ *    `_corrupt_record`; the declared columns still parse positionally, so
+ *    no data is lost either way.
  *  - S2 + O5: `Trigger.AvailableNow` drains everything not yet checkpointed,
  *    appends to the bronze [[LakeTable]] via `foreachBatch`, then stops —
  *    the reference's `trigger(once=True)` incremental-batch pattern.
@@ -40,7 +44,10 @@ import graft.lake.LakeTable
  * Ingest is O(new files): bronze stays append-only (`README.md:89`) and the
  * appended-row count is taken from the BATCH inside `foreachBatch` (never a
  * table scan), so run cost at 100 TB is bounded by the new-data volume,
- * independent of table size.
+ * independent of table size. A run that finds the landing directory
+ * UNCHANGED since the last successful drain (name/size/mtime fingerprint)
+ * returns without starting a stream at all — the no-op re-run pays a
+ * directory listing, not a stream startup.
  */
 object BronzeIngest {
 
@@ -52,6 +59,19 @@ object BronzeIngest {
    *  counted per batch inside `foreachBatch`, NOT via table scans. */
   def run(spark: SparkSession, sourceDir: String, tableRoot: String,
       checkpointDir: String): Long = {
+    // Fast path: the landing dir is byte-identical to what the last
+    // successful run drained — skip stream startup entirely. The listing is
+    // captured BEFORE the stream starts, so everything in it is guaranteed
+    // drained by AvailableNow; a file landing mid-run simply misses the
+    // fingerprint and re-triggers a (no-op-safe) stream next run. The
+    // checkpoint stays the source of truth — this gate only ever skips
+    // provably-empty work.
+    val listing = listingOf(sourceDir)
+    val seen = seenFile(tableRoot)
+    if (Files.exists(seen) &&
+        new String(Files.readAllBytes(seen), StandardCharsets.UTF_8) == listing)
+      return 0L
+
     val inferred = loadOrInferSchema(spark, sourceDir, tableRoot)
     val base = StructType(inferred.fields.filterNot(f =>
       f.name == RescueCol || f.name == CorruptCol))
@@ -82,22 +102,25 @@ object BronzeIngest {
         // foreachBatch can replay a batch after a crash; the batch-id ledger
         // makes the append idempotent (exactly-once into the table).
         if (batchId > lastCommittedBatch(tableRoot)) {
+          val finalized = finalizeRescue(batch, base)
           // O(batch) count — re-reads only the batch's new files, never the
           // table (round-2 verdict #3: two full-table counts per run made
           // ingest O(table)).
-          appended.addAndGet(batch.count())
-          table.append(batch)
+          appended.addAndGet(finalized.count())
+          table.append(finalized)
           recordBatch(tableRoot, batchId)
         }
       }
       .start()
     q.awaitTermination()
+    Files.createDirectories(Paths.get(tableRoot))
+    Files.write(seen, listing.getBytes(StandardCharsets.UTF_8))
     appended.get()
   }
 
-  /** Per-field rescue projection: raw strings → declared types via
-   *  `try_cast`; failed cells and corrupt/column-divergent raw lines are
-   *  collected into a `{"col": "raw"}` JSON map in [[RescueCol]]. */
+  /** Per-field rescue projection (streamed): raw strings → declared types
+   *  via `try_cast`, failed cells collected in a `__rescued` map; the raw
+   *  corrupt line and source file ride along for [[finalizeRescue]]. */
   private def rescueProjection(raw: DataFrame, base: StructType): DataFrame = {
     val typedCols = base.fields.map { f =>
       (if (f.dataType == StringType) col(f.name)
@@ -108,12 +131,126 @@ object BronzeIngest {
         when(col(f.name).isNotNull && col(f.name).try_cast(f.dataType).isNull,
           col(f.name)))
     }
-    val entries = (fieldEntries ++ Seq(lit(CorruptCol), col(CorruptCol))).toSeq
-    val rescued = map_filter(map(entries: _*), (_, v) => v.isNotNull)
-    raw.select(typedCols :+
-      when(size(map_keys(rescued)) > 0, to_json(rescued))
-        .otherwise(lit(null).cast(StringType)).as(RescueCol): _*)
+    val rescued =
+      if (fieldEntries.isEmpty)
+        lit(null).cast(MapType(StringType, StringType))
+      else map_filter(map(fieldEntries.toSeq: _*), (_, v) => v.isNotNull)
+    raw.select(typedCols ++ Seq(
+      rescued.as("__rescued"),
+      col(CorruptCol).as("__corrupt"),
+      input_file_name().as("__file")): _*)
   }
+
+  /** Finalize `_rescued_data` for one batch: rows from files whose header
+   *  EXTENDS the declared schema rescue extra cells keyed by header name
+   *  (Auto Loader's behavior); other corrupt rows keep the raw line under
+   *  `_corrupt_record`. Header capture is driver-side and bounded by the
+   *  number of NEW files that produced corrupt rows. */
+  private def finalizeRescue(batch: DataFrame, base: StructType): DataFrame = {
+    val corruptFiles = batch.filter(col("__corrupt").isNotNull)
+      .select("__file").distinct().collect().map(_.getString(0))
+    // file URI → extra header names, for files whose header is the declared
+    // schema plus trailing new columns
+    val extrasByFile: Map[String, Seq[String]] = corruptFiles.flatMap { uri =>
+      headerOf(uri).flatMap { names =>
+        if (names.length > base.fields.length &&
+            names.take(base.fields.length) == base.fieldNames.toSeq)
+          Some(uri -> names.drop(base.fields.length))
+        else None
+      }
+    }.toMap
+
+    val baseCols = base.fieldNames.map(col).toSeq
+    def emptyMap = typedlit(Map.empty[String, String])
+    def rescuedOr(extra: Column): Column =
+      map_concat(coalesce(col("__rescued"), emptyMap), extra)
+    def finish(df: DataFrame, rescued: Column): DataFrame =
+      df.select(baseCols :+
+        when(size(map_keys(rescued)) > 0, to_json(rescued))
+          .otherwise(lit(null).cast(StringType)).as(RescueCol): _*)
+
+    val clean = finish(batch.filter(col("__corrupt").isNull),
+      coalesce(col("__rescued"), emptyMap))
+    val extFiles = extrasByFile.keys.toSeq
+    val plainCorrupt = finish(
+      batch.filter(col("__corrupt").isNotNull &&
+        (if (extFiles.isEmpty) lit(true) else !col("__file").isin(extFiles: _*))),
+      rescuedOr(map(lit(CorruptCol), col("__corrupt"))))
+    // one frame per distinct header extension (several files may share one)
+    val extended = extrasByFile.groupBy(_._2).map { case (extraNames, group) =>
+      val files = group.keys.toSeq
+      val extSchema = StructType((base.fieldNames.toSeq ++ extraNames)
+        .map(n => StructField(n, StringType, nullable = true)))
+      val extEntries = extraNames.flatMap(n =>
+        Seq(lit(n), col("__ext").getField(n)))
+      finish(
+        batch.filter(col("__corrupt").isNotNull && col("__file").isin(files: _*))
+          .withColumn("__ext",
+            from_csv(col("__corrupt"), extSchema, Map.empty[String, String]))
+          .withColumn("__extras",
+            map_filter(map(extEntries: _*), (_, v) => v.isNotNull)),
+        rescuedOr(col("__extras")))
+    }.toSeq
+    (Seq(clean, plainCorrupt) ++ extended).reduce(_ unionByName _)
+  }
+
+  /** First header line of a landing file, split as CSV (quote-aware).
+   *  None if the file vanished or is empty. */
+  private def headerOf(uri: String): Option[Seq[String]] = {
+    val path =
+      try Paths.get(new java.net.URI(uri))
+      catch { case _: Exception => Paths.get(uri) }
+    if (!Files.isRegularFile(path)) return None
+    val s = Files.lines(path, StandardCharsets.UTF_8)
+    try {
+      val first = s.findFirst()
+      if (!first.isPresent || first.get.isEmpty) None
+      else Some(splitCsvLine(first.get))
+    } finally s.close()
+  }
+
+  /** Minimal RFC-4180 line split: commas outside double quotes delimit;
+   *  `""` inside a quoted cell is an escaped quote. */
+  private def splitCsvLine(line: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == '"' && i + 1 < line.length && line.charAt(i + 1) == '"') {
+          cur.append('"'); i += 1
+        } else if (c == '"') inQ = false
+        else cur.append(c)
+      } else c match {
+        case '"' => inQ = true
+        case ',' => out += cur.toString; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.result()
+  }
+
+  /** Sorted name|size|mtime fingerprint of the landing dir's data files. */
+  private def listingOf(sourceDir: String): String = {
+    val p = Paths.get(sourceDir)
+    if (!Files.isDirectory(p)) return ""
+    def walk(dir: Path): Seq[String] = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.toList.flatMap { f =>
+        val name = f.getFileName.toString
+        if (name.startsWith("_") || name.startsWith(".")) Nil
+        else if (Files.isDirectory(f)) walk(f)
+        else Seq(s"$f|${Files.size(f)}|${Files.getLastModifiedTime(f).toMillis}")
+      } finally s.close()
+    }
+    walk(p).sorted.mkString("\n")
+  }
+
+  private def seenFile(tableRoot: String) = Paths.get(tableRoot, "_seen_files")
 
   private def schemaFile(tableRoot: String) = Paths.get(tableRoot, "_schema.ddl")
 

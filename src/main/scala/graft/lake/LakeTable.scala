@@ -71,7 +71,8 @@ import scala.jdk.CollectionConverters._
  *  contract as Delta's concurrent-modification exceptions. */
 final class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
 
-final class LakeTable private (val spark: SparkSession, val root: String) {
+final class LakeTable private (val spark: SparkSession, val root: String,
+    clock: () => Long) {
   import LakeTable._
 
   private def versionFile: Path = Paths.get(root, "_VERSION")
@@ -108,6 +109,8 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
     val op = lines.collectFirst { case l if l.startsWith("op=") => l.stripPrefix("op=") }
       .getOrElse("unknown")
     val cdfEnabled = lines.contains("cdf=on")
+    val commitTsMs = lines.collectFirst { case l if l.startsWith("ts=") =>
+      l.stripPrefix("ts=").toLong }
     val cdfDir = lines.collectFirst { case l if l.startsWith("cdfdir=") => l.stripPrefix("cdfdir=") }
     val statsCols = lines.collectFirst { case l if l.startsWith("statscols=") =>
       l.stripPrefix("statscols=").split(',').toSeq.filter(_.nonEmpty).map(b64d)
@@ -129,7 +132,8 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
           b64d(c) -> ((b64d(mn), b64d(mx)))
         }.toMap)
     }.toSeq
-    Manifest(schema, pcol, entries, op, cdfEnabled, cdfDir, statsCols, fileStats)
+    Manifest(schema, pcol, entries, op, cdfEnabled, cdfDir, statsCols, fileStats,
+      commitTsMs)
   }
 
   private def manifest: Manifest = readManifest(currentVersion)
@@ -174,9 +178,12 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
   /**
    * O8 CHANGE DATA FEED (Delta `readChangeFeed` — the reference names it at
    * `README.md:91` without implementing it): row-level changes committed in
-   * versions `[fromVersion, toVersion]`, with Delta's CDF columns
-   * `_change_type` ∈ {insert, update_preimage, update_postimage} and
-   * `_commit_version`.
+   * versions `[fromVersion, toVersion]`, with Delta's three CDF columns:
+   * `_change_type` ∈ {insert, update_preimage, update_postimage},
+   * `_commit_version`, and `_commit_timestamp` (the commit's publish
+   * wall-clock, stamped into the manifest header at commit time; NULL for
+   * manifests written before the field existed — version numbers remain
+   * the ordering the engine guarantees).
    *
    *  - `append` commits derive their inserts straight from the appended data
    *    dir — zero write-time overhead (bronze ingest stays O(new data));
@@ -185,9 +192,6 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
    *  - full-rewrite commits (`overwrite`/`compact`) carry no row-level
    *    delta — a range containing one fails loudly (Delta likewise refuses
    *    CDF across non-CDC rewrites rather than fabricating changes).
-   *
-   * Deviation: no `_commit_timestamp` (the table keeps no wall clock; version
-   * numbers are the ordering the engine guarantees).
    */
   def readChangeFeed(fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
     require(exists, s"LakeTable at $root does not exist")
@@ -229,11 +233,16 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
         case other => sys.error(
           s"change feed unavailable across full-rewrite commit v$v (op=$other)")
       }
-      part.map(_.withColumn(CommitVersionCol, lit(v)))
+      val commitTs = mv.commitTsMs
+        .map(ms => lit(new java.sql.Timestamp(ms)))
+        .getOrElse(lit(null)).cast("timestamp")
+      part.map(_.withColumn(CommitVersionCol, lit(v))
+        .withColumn(CommitTimestampCol, commitTs))
     }
     parts.reduceOption(_ unionByName _).getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        feedSchema.add(CommitVersionCol, org.apache.spark.sql.types.LongType, nullable = false)))
+        feedSchema.add(CommitVersionCol, org.apache.spark.sql.types.LongType, nullable = false)
+          .add(CommitTimestampCol, org.apache.spark.sql.types.TimestampType)))
   }
 
   /** Partition-pruned read of only the given partition values. */
@@ -389,7 +398,8 @@ final class LakeTable private (val spark: SparkSession, val root: String) {
    *  writer already committed `next`. Returns whether this writer won. */
   private def tryCommit(m: Manifest, next: Long): Boolean = {
     Files.createDirectories(commitsDir)
-    val header = Seq(s"schema=${b64e(m.schema.toDDL)}", s"op=${m.op}") ++
+    val header = Seq(s"schema=${b64e(m.schema.toDDL)}", s"op=${m.op}",
+      s"ts=${clock()}") ++
       m.pcol.map(p => s"pcol=$p").toSeq ++
       (if (m.cdfEnabled) Seq("cdf=on") else Nil) ++
       m.cdfDir.map(d => s"cdfdir=$d").toSeq ++
@@ -987,6 +997,7 @@ object LakeTable {
   /** Change-feed column names (Delta CDF's). */
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
+  val CommitTimestampCol = "_commit_timestamp"
 
   private case class DirEntry(dir: String, owned: Option[Seq[String]])
   /** Zone map for one data file: root-relative path → per-column (min, max)
@@ -996,7 +1007,11 @@ object LakeTable {
   private case class Manifest(schema: StructType, pcol: Option[String],
       entries: Seq[DirEntry], op: String,
       cdfEnabled: Boolean = false, cdfDir: Option[String] = None,
-      statsCols: Seq[String] = Nil, fileStats: Seq[FileStat] = Nil)
+      statsCols: Seq[String] = Nil, fileStats: Seq[FileStat] = Nil,
+      /** Commit wall-clock (epoch ms), stamped at publish time by
+       *  [[LakeTable.tryCommit]] — never set by manifest constructors.
+       *  None for manifests written before the field existed. */
+      commitTsMs: Option[Long] = None)
 
   /** Conjunctive data-skipping predicate: `col` between `lo` and `hi`, both
    *  inclusive, either bound open. Bound values are Spark CAST-to-STRING
@@ -1011,7 +1026,13 @@ object LakeTable {
       ZonePred(col, Some(lo), Some(hi))
   }
 
-  def apply(spark: SparkSession, root: String): LakeTable = new LakeTable(spark, root)
+  def apply(spark: SparkSession, root: String): LakeTable =
+    new LakeTable(spark, root, () => System.currentTimeMillis())
+
+  /** Injectable commit clock (epoch millis) — tests and oracle-compared
+   *  queries pin it so `_commit_timestamp` is reproducible. */
+  def withClock(spark: SparkSession, root: String, clock: () => Long): LakeTable =
+    new LakeTable(spark, root, clock)
 
   /** Hive-layout `%XX` unescape. Consecutive escapes accumulate into one
    *  byte run that is UTF-8-decoded TOGETHER (so `%C3%A9` → `é`, never two

@@ -609,13 +609,16 @@ object CoreQueries {
         Seq("user_id"), "ts", Seq("event_id"))
         .withColumn("value", col("value") + lit(1000.0))
         .select(cols.map(col): _*)
-      val tbl = LakeTable(s, s"${tmp("graft_o8")}/t")
+      // pinned commit clock → deterministic _commit_timestamp (Delta's third
+      // CDF column, stamped into the manifest header at publish time)
+      val tbl = LakeTable.withClock(s, s"${tmp("graft_o8")}/t",
+        () => Timestamp.valueOf(C1).getTime)
       tbl.create(base.schema, enableChangeFeed = true)
       tbl.merge(base, Seq("user_id"))                      // v1: bootstrap
       tbl.merge(src, Seq("user_id"), Some("s.ts >= t.ts")) // v2: upsert
       tbl.readChangeFeed(2).orderBy("user_id", "_change_type")
     },
-      Some("""WITH base AS (
+      Some(s"""WITH base AS (
           SELECT user_id, ts, event_type, value FROM events WHERE user_id % 5 <> 0
           QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
         src AS (
@@ -628,13 +631,14 @@ object CoreQueries {
           FROM base b FULL OUTER JOIN src s ON b.user_id = s.user_id)
         SELECT * FROM (
           SELECT s_uid AS user_id, s_ts AS ts, s_et AS event_type, s_val AS value,
-            'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+            'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version,
+            TIMESTAMP '$C1' AS _commit_timestamp
           FROM j WHERE s_uid IS NOT NULL AND b_uid IS NULL
           UNION ALL
-          SELECT b_uid, b_ts, b_et, b_val, 'update_preimage', 2
+          SELECT b_uid, b_ts, b_et, b_val, 'update_preimage', 2, TIMESTAMP '$C1'
           FROM j WHERE s_uid IS NOT NULL AND b_uid IS NOT NULL AND s_ts >= b_ts
           UNION ALL
-          SELECT s_uid, s_ts, s_et, s_val, 'update_postimage', 2
+          SELECT s_uid, s_ts, s_et, s_val, 'update_postimage', 2, TIMESTAMP '$C1'
           FROM j WHERE s_uid IS NOT NULL AND b_uid IS NOT NULL AND s_ts >= b_ts)
         ORDER BY user_id, _change_type""")),
 

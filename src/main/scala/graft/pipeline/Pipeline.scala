@@ -184,7 +184,8 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     val feed = source.readChangeFeed(last + 1, Some(cur))
       .filter(col(graft.lake.LakeTable.ChangeTypeCol)
         .isin("insert", "update_postimage"))
-      .drop(graft.lake.LakeTable.ChangeTypeCol)
+      .drop(graft.lake.LakeTable.ChangeTypeCol,
+        graft.lake.LakeTable.CommitTimestampCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val gb = GoldBuilder(spark)

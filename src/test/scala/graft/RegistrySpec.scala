@@ -25,7 +25,9 @@ class RegistrySpec extends SparkSpec {
   test("oracle SQL references only driver-provided tables") {
     val tables = Set("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
-    val fromRe = "(?i)(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)\\b".r
+    // negative lookbehind: `IS [NOT] DISTINCT FROM x` is an operator, not a
+    // table reference
+    val fromRe = "(?i)(?<!distinct\\s)(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)\\b".r
     // CTE names defined inside each query are legal references too
     val cteRe = "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
     SparkEntry.oracleSql.foreach { case (name, sql) =>

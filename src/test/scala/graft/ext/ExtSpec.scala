@@ -83,6 +83,23 @@ class ExtSpec extends SparkSpec {
     byQ.foreach { case (q, ranks) => assert(ranks == (1 to ranks.size), s"q=$q ranks=$ranks") }
   }
 
+  test("similarity queries leave NO cached RDDs behind (round-4 verdict #4)") {
+    val emb = graft.ops.t(spark, sfDir, "embeddings")
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Similarity.nearDupPairs(emb, "vec_id", "embedding", 64, 6, 4, 0.95).count()
+    Similarity.lshTopK(emb, "vec_id", "embedding",
+      col("vec_id") % 500 === 0, 64, 2, 4, k = 3).count()
+    Similarity.ivfTopK(emb, "vec_id", "embedding",
+      col("vec_id") % 500 === 0, centStride = 40, k = 3, kmeansIters = 1).count()
+    Similarity.pqTopK(emb, "vec_id", "embedding",
+      col("vec_id") % 500 === 0, dim = 64, m = 8, centStride = 40, k = 3).count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"similarity calls leaked cached RDDs: $leaked — a library consumer " +
+        "composing several calls would accumulate cache pressure")
+  }
+
   test("connectedComponents labels chains transitively and keeps singletons") {
     val nodes = (1L to 7L).toDF("id")
     // chain 1-2-3, pair 5-6, singletons 4 and 7

@@ -86,13 +86,14 @@ class BronzeIngestSpec extends SparkSpec {
       .filter(col(BronzeIngest.RescueCol).isNotNull).count() == 0)
   }
 
-  test("per-field rescue: an extra CSV column lands in rescue") {
+  test("per-field rescue: extra CSV columns rescue KEYED BY HEADER NAME") {
     val root = tmpDir("bi_extra_col")
     val src = s"$root/landing"; val tbl = s"$root/bronze"; val cp = s"$root/cp"
     writeCsv(src, "a.csv", "id,amount", "1,10.5")
     BronzeIngest.run(spark, src, tbl, cp)
-    // later file grew a column the persisted schema doesn't know
-    writeCsv(src, "b.csv", "id,amount,surprise", "2,20.0,hello")
+    // later file grew TWO columns the persisted schema doesn't know — Auto
+    // Loader keys each rescued extra by its header name
+    writeCsv(src, "b.csv", "id,amount,surprise,extra2", "2,20.0,hello,w")
     BronzeIngest.run(spark, src, tbl, cp)
     val bronze = LakeTable(spark, tbl).read
     assert(bronze.columns.toSeq ==
@@ -100,6 +101,42 @@ class BronzeIngestSpec extends SparkSpec {
     val grown = bronze.filter(col("id") === 2).collect().head
     assert(grown.getAs[Any]("amount") == 20.0, "declared columns stay typed")
     val rescue = grown.getAs[String](BronzeIngest.RescueCol)
-    assert(rescue != null && rescue.contains("hello"), s"extra column rescued: $rescue")
+    assert(rescue != null &&
+      rescue.contains("\"surprise\":\"hello\"") &&
+      rescue.contains("\"extra2\":\"w\""),
+      s"extras must be keyed by header name: $rescue")
+    assert(!rescue.contains("_corrupt_record"),
+      s"a header-explained row is not corrupt: $rescue")
+  }
+
+  test("rescue: divergence the file's own header cannot explain stays corrupt") {
+    val root = tmpDir("bi_diverge")
+    val src = s"$root/landing"; val tbl = s"$root/bronze"; val cp = s"$root/cp"
+    writeCsv(src, "a.csv", "id,amount", "1,10.5")
+    BronzeIngest.run(spark, src, tbl, cp)
+    // header matches the schema but one DATA line grew a stray token —
+    // the raw line is preserved under _corrupt_record
+    writeCsv(src, "b.csv", "id,amount", "2,20.0,stray")
+    BronzeIngest.run(spark, src, tbl, cp)
+    val bad = LakeTable(spark, tbl).read.filter(col("id") === 2).collect().head
+    val rescue = bad.getAs[String](BronzeIngest.RescueCol)
+    assert(rescue != null && rescue.contains("_corrupt_record") &&
+      rescue.contains("stray"), s"unexplained divergence keeps the raw line: $rescue")
+  }
+
+  test("no-op re-run skips stream startup via the landing fingerprint") {
+    val root = tmpDir("bi_noop")
+    val src = s"$root/landing"; val tbl = s"$root/bronze"; val cp = s"$root/cp"
+    writeCsv(src, "a.csv", "id,amount", "1,10.5")
+    assert(BronzeIngest.run(spark, src, tbl, cp) == 1)
+    val t0 = System.nanoTime()
+    assert(BronzeIngest.run(spark, src, tbl, cp) == 0)
+    val noopMs = (System.nanoTime() - t0) / 1e6
+    // a stream startup costs hundreds of ms; the fingerprint skip is a dir
+    // listing + file read (generous bound to stay CI-safe)
+    assert(noopMs < 500, s"no-op re-run took ${noopMs}ms — stream not skipped?")
+    // a new file invalidates the fingerprint and still ingests
+    writeCsv(src, "b.csv", "id,amount", "2,20.0")
+    assert(BronzeIngest.run(spark, src, tbl, cp) == 1)
   }
 }

@@ -41,6 +41,27 @@ class ChangeFeedSpec extends SparkSpec {
     assert(images == Seq("b2", "b"))
   }
 
+  test("_commit_timestamp carries the pinned commit clock per version") {
+    val t0 = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+    val tick = new java.util.concurrent.atomic.AtomicLong(0L)
+    // each commit sees a strictly later clock (1s apart)
+    val t = LakeTable.withClock(spark, s"${tmpDir("cdf_ts")}/t",
+      () => t0.getTime + tick.getAndIncrement() * 1000L)
+      .create(schema, enableChangeFeed = true)
+    t.append(Seq((1L, "a", 1)).toDF("k", "v", "seq"))                    // v1
+    t.merge(Seq((1L, "a2", 2)).toDF("k", "v", "seq"), Seq("k"))          // v2
+    val got = t.readChangeFeed(0)
+      .select(col("_commit_version"), col("_commit_timestamp").cast("string"))
+      .distinct().orderBy("_commit_version")
+      .as[(Long, String)].collect().toSeq
+    // create consumed tick 0 → v1 stamped at +1s, v2 at +2s
+    assert(got == Seq(
+      (1L, "2030-01-01 00:00:01"), (2L, "2030-01-01 00:00:02")))
+    // the schema carries all three Delta CDF columns
+    assert(t.readChangeFeed(0).columns.takeRight(3).toSeq ==
+      Seq("_change_type", "_commit_version", "_commit_timestamp"))
+  }
+
   test("guard-rejected matches produce NO change rows (stale source)") {
     val t = cdfTable("cdf_guard")
     t.merge(Seq((1L, "cur", 10)).toDF("k", "v", "seq"), Seq("k"))        // v1: bootstrap insert
