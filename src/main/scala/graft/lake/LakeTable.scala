@@ -470,7 +470,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
   }
 
   private def writeData(df: DataFrame, pcol: Option[String],
-      statsCols: Seq[String] = Nil): (String, Option[Seq[String]], Seq[FileStat]) = {
+      statsCols: Seq[String] = Nil,
+      preclustered: Boolean = false): (String, Option[Seq[String]], Seq[FileStat]) = {
     val dir = s"data/${UUID.randomUUID()}"
     val owned = pcol match {
       case None =>
@@ -482,7 +483,10 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         // files). One shuffle → each partition's rows land in one task →
         // one file per partition. (A 100 TB deployment with giant single
         // partitions would add a within-partition salt to split files.)
-        df.repartition(col(p)).write.partitionBy(p).parquet(s"$root/$dir")
+        // `preclustered` callers (Z-order compaction) arranged their own
+        // task layout — re-shuffling here would destroy it.
+        val out = if (preclustered) df else df.repartition(col(p))
+        out.write.partitionBy(p).parquet(s"$root/$dir")
         // Owned partition values from the written directory layout (p=value
         // subdirs) — a driver-side listing instead of a second full
         // evaluation of `df` (which may be an expensive join/window plan;
@@ -605,12 +609,13 @@ final class LakeTable private (val spark: SparkSession, val root: String,
    *  computed from must still be current, else [[ConcurrentWriteException]]
    *  (merge/compact). `None`: last-writer-wins replace, retried on races. */
   private def replaceAll(df: DataFrame, partitionBy: Option[String],
-      op: String, expected: Option[Long], cdfDir: Option[String] = None): Unit = synchronized {
+      op: String, expected: Option[Long], cdfDir: Option[String] = None,
+      preclustered: Boolean = false): Unit = synchronized {
     Files.createDirectories(Paths.get(root))
     val cur = if (exists) Some(manifest) else None
     val pcol = partitionBy.orElse(cur.flatMap(_.pcol))
     val scols = cur.map(_.statsCols).getOrElse(Nil)
-    val (dir, owned, fstats) = writeData(df, pcol, scols)
+    val (dir, owned, fstats) = writeData(df, pcol, scols, preclustered)
     val m = Manifest(df.schema, pcol, Seq(DirEntry(dir, owned)), op,
       cur.exists(_.cdfEnabled), cdfDir, statsCols = scols, fileStats = fstats)
     expected match {
@@ -938,17 +943,22 @@ final class LakeTable private (val spark: SparkSession, val root: String,
    * O(table), same as any compaction, and worth it when read volume
    * dominates write volume.
    *
-   * Unpartitioned tables only (a partitioned table's layout is owned by the
-   * partition column; Z-order within partitions would need per-partition
-   * boundaries). Columns must be numeric, timestamp, or date.
+   * Partitioned tables Z-order WITHIN each partition: bin boundaries are
+   * computed PER PARTITION in one grouped `percentile_approx` pass (a June
+   * partition's timestamps span June — global boundaries would collapse
+   * every partition's rows into one or two bins), broadcast-joined back,
+   * and the rewrite range-partitions on (partition, z) so each partition's
+   * z-curve is contiguous across its files. Columns must be numeric,
+   * timestamp, or date.
    */
   def compactZOrder(zcols: Seq[String], targetFiles: Int = 16): Unit = synchronized {
     val v0 = currentVersion
     val m = readManifest(v0)
-    require(m.pcol.isEmpty, "compactZOrder supports unpartitioned tables")
     require(zcols.nonEmpty && zcols.size <= 4, "1..4 z-order columns")
     zcols.foreach { c =>
       require(m.schema.fieldNames.contains(c), s"unknown z-order column $c")
+      require(!m.pcol.contains(c), s"$c is the partition column — the Hive " +
+        "layout already clusters it; z-order the within-partition columns")
       val dt = m.schema(c).dataType
       require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
         dt == org.apache.spark.sql.types.TimestampType ||
@@ -964,29 +974,54 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       val bits = 8
       val bins = 1 << bits
       val probes = (1 until bins).map(_.toDouble / bins).toArray
-      val binCols = zcols.indices.map { i =>
-        val bnds = shadowed.stat
-          .approxQuantile(s"__zc$i", probes, 0.01).distinct.sorted
-        if (bnds.isEmpty) lit(0)
-        else {
-          val bArr = array(bnds.map(lit(_)): _*)
-          // bin = #boundaries <= value (0..255); null sorts to bin 0
-          size(filter(bArr, b => b <= coalesce(col(s"__zc$i"),
-            lit(Double.NegativeInfinity))))
-        }
-      }
+      // bin = #boundaries <= value (0..255); null sorts to bin 0
+      def binOf(bnds: Column, i: Int): Column =
+        coalesce(size(filter(bnds, b => b <= coalesce(col(s"__zc$i"),
+          lit(Double.NegativeInfinity)))), lit(0))
       // interleave: bit b of column i lands at position b*k + i
-      val k = zcols.size
-      val z = (0 until bits).flatMap { b =>
-        binCols.zipWithIndex.map { case (bc, i) =>
-          shiftleft(shiftright(bc, b).bitwiseAND(lit(1)), b * k + i)
-        }
-      }.reduce[Column](_ bitwiseOR _)
-      val clustered = shadowed.withColumn("__z", z)
-        .repartitionByRange(targetFiles, col("__z"))
-        .sortWithinPartitions("__z")
-        .drop((zcols.indices.map(i => s"__zc$i") :+ "__z"): _*)
-      replaceAll(clustered, None, "compact", Some(v0))
+      def interleave(binCols: Seq[Column]): Column = {
+        val k = binCols.size
+        (0 until bits).flatMap { b =>
+          binCols.zipWithIndex.map { case (bc, i) =>
+            shiftleft(shiftright(bc, b).bitwiseAND(lit(1)), b * k + i)
+          }
+        }.reduce[Column](_ bitwiseOR _)
+      }
+      val zdrop = zcols.indices.map(i => s"__zc$i") :+ "__z"
+      m.pcol match {
+        case None =>
+          val binCols = zcols.indices.map { i =>
+            val bnds = shadowed.stat
+              .approxQuantile(s"__zc$i", probes, 0.01).distinct.sorted
+            if (bnds.isEmpty) lit(0): Column
+            else binOf(array(bnds.map(lit(_)): _*), i)
+          }
+          val clustered = shadowed.withColumn("__z", interleave(binCols))
+            .repartitionByRange(targetFiles, col("__z"))
+            .sortWithinPartitions("__z")
+            .drop(zdrop: _*)
+          replaceAll(clustered, None, "compact", Some(v0))
+        case Some(p) =>
+          // equi-depth boundaries PER PARTITION, one grouped aggregation
+          // pass (never a per-partition driver loop); boundary arrays ride
+          // a broadcast join back onto the rows
+          val probeArr = array(probes.map(lit(_)): _*)
+          val aggs = zcols.indices.map(i =>
+            percentile_approx(col(s"__zc$i"), probeArr, lit(10000))
+              .as(s"__bnds$i"))
+          val bnds = shadowed.groupBy(col(p)).agg(aggs.head, aggs.tail: _*)
+          val cleaned = zcols.indices.foldLeft(bnds)((d, i) =>
+            d.withColumn(s"__bnds$i",
+              array_sort(array_distinct(col(s"__bnds$i")))))
+          val binCols = zcols.indices.map(i => binOf(col(s"__bnds$i"), i))
+          val clustered = shadowed.join(broadcast(cleaned), Seq(p))
+            .withColumn("__z", interleave(binCols))
+            .repartitionByRange(targetFiles, col(p), col("__z"))
+            .sortWithinPartitions(col(p), col("__z"))
+            .drop(zcols.indices.map(i => s"__bnds$i") ++ zdrop: _*)
+            .select(m.schema.fieldNames.map(col).toSeq: _*)
+          replaceAll(clustered, m.pcol, "compact", Some(v0), preclustered = true)
+      }
     } finally { shadowed.unpersist(); () }
   }
 }

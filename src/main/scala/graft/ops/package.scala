@@ -38,7 +38,12 @@ package object ops {
    *  queries scope themselves to a partition count sized to their key
    *  cardinality; at production scale the same knob is sized to the cluster
    *  instead (state partitioning is fixed per checkpoint, so it is a
-   *  deliberate per-pipeline choice either way, not a session default). */
+   *  deliberate per-pipeline choice either way, not a session default).
+   *
+   *  NOT concurrency-safe: the setting is session-global, so a query running
+   *  concurrently on the same SparkSession would observe `n` (or a clobbered
+   *  restore). Bench/Verify run queries sequentially; a concurrent consumer
+   *  should scope the setting to its own `spark.newSession()` instead. */
   def withShufflePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)

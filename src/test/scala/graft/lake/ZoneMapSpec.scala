@@ -168,6 +168,53 @@ class ZoneMapSpec extends SparkSpec {
     assert(skippedHighY >= 4, s"skew tail should be separable, got $skippedHighY of 8")
   }
 
+  test("compactZOrder on a PARTITIONED table: per-partition bins, skipping " +
+      "within each partition, layout preserved") {
+    val t = LakeTable(spark, tmpDir("zorder_part"))
+    // two partitions with DISJOINT local x ranges — per-partition equi-depth
+    // boundaries give each partition its own 256 bins (a global curve would
+    // spend half its bins on each)
+    def half(p: String, off: Long) = spark.range(0, 2048).select(
+      lit(p).as("part"), (col("id") + off).as("x"),
+      (((col("id") * 2654435761L) % 2048) + off).as("y"))
+    val df = half("a", 0L).unionByName(half("b", 100000L))
+    t.create(df.schema, partitionBy = Some("part"), statsColumns = Seq("x", "y"))
+    t.append(df)
+    val before = t.read.select("part", "x", "y")
+      .as[(String, Long, Long)].collect().toSet
+
+    t.compactZOrder(Seq("x", "y"), targetFiles = 32)
+
+    // contents and partition layout survive the rewrite
+    assert(t.read.select("part", "x", "y")
+      .as[(String, Long, Long)].collect().toSet == before)
+    assert(t.partitionColumn.contains("part"))
+    assert(t.ownedPartitionValues.toSet == Set("a", "b"))
+    assert(t.readPartitions(Seq("b")).count() == 2048)
+    assert(t.history.last._2 == "compact")
+
+    // a 1/8 x-range inside partition b must skip partition a's files
+    // entirely (zone maps) plus most of b's (the local z-curve)
+    val total = t.skippingStats(Seq(ZonePred.atLeast("x", "0")))._1 +
+      t.skippingStats(Seq(ZonePred.atLeast("x", "0")))._2
+    val (keptX, skippedX) =
+      t.skippingStats(Seq(ZonePred.between("x", "100512", "100767")))
+    assert(skippedX > total / 2, s"kept=$keptX skipped=$skippedX of $total")
+    // and the y dimension skips too — that's what z-order buys over a sort
+    val (keptY, skippedY) =
+      t.skippingStats(Seq(ZonePred.between("y", "100512", "100767")))
+    assert(skippedY > total / 2, s"kept=$keptY skipped=$skippedY of $total")
+    // skipping read equals the plain filtered read
+    assert(t.readWhere(Seq(ZonePred.between("x", "100512", "100767"))).count() ==
+      t.read.filter(col("x").between(100512, 100767)).count())
+
+    // the table stays fully functional: a partition-scoped merge after the
+    // z-order rewrite sees and updates rows
+    t.merge(Seq(("b", 100000L, -1L)).toDF("part", "x", "y"), Seq("part", "x"))
+    assert(t.read.filter(col("x") === 100000L).select("y").as[Long]
+      .collect().toSeq == Seq(-1L))
+  }
+
   test("readWhere on a multi-file append prunes within the dir") {
     val t = LakeTable(spark, tmpDir("zm_multi"))
     val df = spark.range(0, 1000).select(col("id"), (col("id") * 2).as("v"))
