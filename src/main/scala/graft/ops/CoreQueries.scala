@@ -392,6 +392,80 @@ object CoreQueries {
         SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 2 = 1
         ORDER BY c_custkey""")),
 
+    // U2 (§2.6): EXCEPT / INTERSECT — both with SQL set (distinct) semantics
+    // on each engine; the two branches are labeled and unioned so one result
+    // exercises both operators.
+    Q("u2_except_intersect", (s, d) => {
+      val c = t(s, d, "customer").select("c_custkey")
+      val byThree = c.filter(col("c_custkey") % 3 === 0)
+      val byTwo = c.filter(col("c_custkey") % 2 === 0)
+      byThree.except(byTwo).withColumn("op", lit("except"))
+        .unionByName(byThree.intersect(byTwo).withColumn("op", lit("intersect")))
+        .select("op", "c_custkey")
+        .orderBy("op", "c_custkey")
+    },
+      Some("""SELECT 'except' AS op, c_custkey FROM (
+          SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0
+          EXCEPT
+          SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0)
+        UNION ALL
+        SELECT 'intersect', c_custkey FROM (
+          SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0
+          INTERSECT
+          SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0)
+        ORDER BY op, c_custkey""")),
+
+    // J6 (§2.3): LEFT SEMI / LEFT ANTI — existence joins, planned as
+    // broadcast/shuffled hash semi-joins (never materializing the right
+    // side's columns); the oracle replays them as EXISTS / NOT EXISTS.
+    Q("j6_semi_anti_join", (s, d) => {
+      val c = t(s, d, "customer")
+      val bigOrders = t(s, d, "orders").filter(col("o_totalprice") > 300000.0)
+      val semi = c.join(bigOrders, c("c_custkey") === bigOrders("o_custkey"), "left_semi")
+        .withColumn("op", lit("has_big_order"))
+      val anti = c.join(bigOrders, c("c_custkey") === bigOrders("o_custkey"), "left_anti")
+        .withColumn("op", lit("no_big_order"))
+      semi.unionByName(anti).select("op", "c_custkey", "c_name")
+        .orderBy("op", "c_custkey")
+    },
+      Some("""SELECT 'has_big_order' AS op, c_custkey, c_name FROM customer c
+          WHERE EXISTS (SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+        UNION ALL
+        SELECT 'no_big_order', c_custkey, c_name FROM customer c
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+        ORDER BY op, c_custkey""")),
+
+    // A12 (§2.5): analytic window functions — lag/lead/ntile/row_number plus
+    // a running total, all over one (customer, order-date) window. The
+    // running sum goes through DECIMAL so the order-dependent double fold is
+    // exact on both engines; (o_orderdate, o_orderkey) is a total order per
+    // partition, so every analytic value is deterministic.
+    Q("a12_window_analytics", (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .filter(col("o_custkey") % 50 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+        .withColumn("order_seq", row_number().over(w).cast("int"))
+        .withColumn("prev_price", coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)))
+        .withColumn("next_price", coalesce(lead(col("o_totalprice"), 1).over(w), lit(0.0)))
+        .withColumn("quartile", ntile(4).over(w).cast("int"))
+        .withColumn("running_spend",
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast(DoubleType))
+        .orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+          CAST(ROW_NUMBER() OVER w AS INT) AS order_seq,
+          COALESCE(LAG(o_totalprice, 1) OVER w, 0.0) AS prev_price,
+          COALESCE(LEAD(o_totalprice, 1) OVER w, 0.0) AS next_price,
+          CAST(NTILE(4) OVER w AS INT) AS quartile,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_spend
+        FROM orders WHERE o_custkey % 50 = 0
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_orderkey""")),
+
     // ---- §2.8 CDC / data quality -------------------------------------------
 
     // O1: AUTO CDC SCD1 latest-wins dedup core

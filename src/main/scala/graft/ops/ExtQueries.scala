@@ -530,6 +530,67 @@ object ExtQueries {
           CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS INT) AS rank
         FROM counts QUALIFY rank <= 5 ORDER BY lang, rank""")),
 
+    // Sliding-window text CHUNKING — the split step every context-bounded
+    // training pipeline runs (window 64 tokens, stride 48 → 16-token
+    // overlap). Pure narrow ops: tokenize once, explode the start offsets,
+    // slice per chunk — no shuffle until the output sort. Both engines
+    // compute identical chunk frames: Spark `slice(toks, start+1, 64)` ==
+    // DuckDB `list_slice(toks, start+1, start+64)` (1-based, end-clamped).
+    Q("x26_text_chunking", (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .withColumn("start",
+          explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(48))))
+        .select(
+          col("doc_id"),
+          (col("start") / 48).cast("int").as("chunk_idx"),
+          size(slice(col("toks"), col("start") + 1, lit(64))).as("n_chunk_tokens"),
+          array_join(slice(col("toks"), col("start") + 1, lit(64)), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some(s"""WITH toks AS (
+          SELECT doc_id, ${TF.tokensSql("text")} AS toks FROM documents
+        ), starts AS (
+          SELECT doc_id, toks,
+            unnest(generate_series(0, CAST(len(toks) AS INT) - 1, 48)) AS start
+          FROM toks)
+        SELECT doc_id, CAST(start / 48 AS INT) AS chunk_idx,
+          CAST(len(list_slice(toks, start + 1, start + 64)) AS INT) AS n_chunk_tokens,
+          array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk_text
+        FROM starts ORDER BY doc_id, chunk_idx""")),
+
+    // PII REDACTION — regex scrubbing of emails and long digit runs, the
+    // hygiene pass training corpora run before tokenization. The synthetic
+    // documents carry no PII, so both sides deterministically inject the
+    // same email + account fragment per doc, then redact; match counts are
+    // asserted via regexp_extract_all so the oracle proves the patterns
+    // actually fired. Codegen'd regexp_replace — row-local, no shuffle.
+    Q("x27_pii_redact", (s, d) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val numRe = "[0-9]{6,}"
+      t(s, d, "documents")
+        .withColumn("dirty",
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com acct 900"), col("doc_id"), lit("1234")))
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("dirty"), lit(emailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("dirty"), lit(numRe), lit(0))).as("n_numbers"),
+          regexp_replace(regexp_replace(col("dirty"), emailRe, "<EMAIL>"),
+            numRe, "<NUM>").as("redacted"))
+        .filter(col("doc_id") % 20 === 0)
+        .orderBy("doc_id")
+    },
+      Some("""SELECT doc_id,
+          CAST(len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+          CAST(len(regexp_extract_all(dirty, '[0-9]{6,}')) AS INT) AS n_numbers,
+          regexp_replace(regexp_replace(dirty,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '[0-9]{6,}', '<NUM>', 'g') AS redacted
+        FROM (SELECT doc_id,
+                text || ' contact user' || doc_id || '@example.com acct 900' || doc_id || '1234' AS dirty
+              FROM documents)
+        WHERE doc_id % 20 = 0 ORDER BY doc_id""")),
+
     // ---- text analysis ------------------------------------------------------
 
     Q("x8_text_stats", (s, d) =>
