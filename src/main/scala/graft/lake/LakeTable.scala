@@ -168,11 +168,68 @@ final class LakeTable private (val spark: SparkSession, val root: String,
   }
 
   /** Commit history, oldest first: (version, operation). Operations:
-   *  create/append/overwrite/merge/compact. */
+   *  create/append/overwrite/merge/compact/restore/clone. */
   def history: Seq[(Long, String)] = {
     require(exists, s"LakeTable at $root does not exist")
     (0L to currentVersion).filter(v => Files.exists(manifestFile(v)))
       .map(v => v -> readManifest(v).op)
+  }
+
+  /** RESTORE to historical version `v` (Delta `RESTORE TABLE ... TO VERSION
+   *  AS OF`): publishes a NEW version whose file set is version `v`'s — a
+   *  metadata-only commit (no data is copied or rewritten), so a bad merge
+   *  or overwrite is undone in O(manifest). History is preserved: the
+   *  intermediate versions remain readable via [[readVersion]] until
+   *  `vacuum` reclaims them, and the restore itself can be restored over.
+   *  Fails loudly if `v`'s data dirs have already been vacuumed. Like
+   *  Delta, the change feed does not span a restore (it is a rewrite-class
+   *  commit, not row-level change). */
+  def restore(v: Long): Unit = synchronized {
+    require(exists, s"LakeTable at $root does not exist")
+    require(v >= 0 && v <= currentVersion,
+      s"version $v out of range [0, $currentVersion]")
+    val m = readManifest(v)
+    val missing = m.entries.map(_.dir)
+      .filterNot(d => Files.isDirectory(Paths.get(root, d)))
+    require(missing.isEmpty,
+      s"cannot restore to vacuumed version $v (missing ${missing.mkString(", ")})")
+    commitWithRetry { () =>
+      val cur = currentVersion
+      val curM = readManifest(cur)
+      (Manifest(m.schema, m.pcol, m.entries, "restore",
+        cdfEnabled = curM.cdfEnabled, statsCols = m.statsCols,
+        fileStats = m.fileStats), cur + 1)
+    }
+  }
+
+  /** SHALLOW CLONE of the current snapshot into `targetRoot` (Delta
+   *  `CREATE TABLE ... SHALLOW CLONE src`): the clone is a fully independent
+   *  table — its own version history, its own future commits — whose v0
+   *  re-references the source's data files without copying bytes. On this
+   *  POSIX backend the re-reference is a hard link per file (O(file count)
+   *  metadata, zero data movement; source and clone can then be written,
+   *  compacted, or vacuumed independently — neither can orphan the other's
+   *  files). An object-store deployment would store absolute source paths
+   *  in the manifest instead; the commit protocol is unchanged either way. */
+  def shallowClone(targetRoot: String): LakeTable = synchronized {
+    require(exists, s"LakeTable at $root does not exist")
+    val m = manifest
+    val dst = new LakeTable(spark, targetRoot, clock)
+    require(!dst.exists, s"clone target $targetRoot already exists")
+    Files.createDirectories(Paths.get(targetRoot))
+    m.entries.foreach { e =>
+      listParquet(Paths.get(root, e.dir)).foreach { src =>
+        val rel = Paths.get(root).relativize(src)
+        val dstFile = Paths.get(targetRoot).resolve(rel)
+        Files.createDirectories(dstFile.getParent)
+        Files.createLink(dstFile, src)
+      }
+    }
+    require(dst.tryCommit(Manifest(m.schema, m.pcol, m.entries, "clone",
+      cdfEnabled = m.cdfEnabled, statsCols = m.statsCols,
+      fileStats = m.fileStats), 0L),
+      s"clone target $targetRoot was created concurrently")
+    dst
   }
 
   /**

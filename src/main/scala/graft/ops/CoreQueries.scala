@@ -628,6 +628,46 @@ object CoreQueries {
                AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59')
         ORDER BY o_orderkey""")),
 
+    // S12: RESTORE (Delta `RESTORE TABLE ... TO VERSION AS OF`) — a bad
+    // overwrite is undone by a metadata-only commit re-pointing at the good
+    // snapshot's files. If restore were a no-op the read would return the
+    // 10% overwrite, so hash equality against the full table proves the
+    // rollback actually re-materialized v1.
+    Q("s12_restore", (s, d) => {
+      val o = t(s, d, "orders")
+      val tbl = LakeTable(s, s"${tmp("graft_s12")}/t")
+      tbl.create(o.schema)
+      tbl.append(o)                                          // v1: good
+      tbl.overwrite(o.filter(col("o_orderkey") % 10 === 0))  // v2: bad
+      tbl.restore(1)                                         // v3: undo v2
+      tbl.read.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_orderkey""")),
+
+    // S13: SHALLOW CLONE — zero-copy table fork (hard-linked file
+    // re-references, O(file count) metadata). The clone then diverges with
+    // its own append while the SOURCE is overwritten and vacuumed down to
+    // its newest version — deleting the very data dirs the clone was forked
+    // from at the source — so reading the full dataset back out of the
+    // clone proves the fork is physically independent, not a view.
+    Q("s13_shallow_clone", (s, d) => {
+      val o = t(s, d, "orders")
+      val root = tmp("graft_s13")
+      val src = LakeTable(s, s"$root/src")
+      src.create(o.schema)
+      src.append(o.filter(col("o_orderkey") % 2 === 0))
+      val clone = src.shallowClone(s"$root/clone")
+      clone.append(o.filter(col("o_orderkey") % 2 === 1))     // clone diverges
+      src.overwrite(o.filter(col("o_orderkey") % 100 === 0))  // source diverges
+      src.vacuum(keepVersions = 1)                            // source drops forked files
+      clone.read.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_orderkey""")),
+
     Q("s8_merge_upsert", (s, d) => {
       val gb = GoldBuilder(s)
       val ev = t(s, d, "events")

@@ -766,6 +766,134 @@ object ExtQueries {
       Some("""SELECT doc_id AS media_id, 'img/' || source AS kind,
           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
           md5(text) AS content_md5
-        FROM documents ORDER BY media_id"""))
+        FROM documents ORDER BY media_id""")),
+
+    // ---- corpus curation: decontamination, packing, mixture -----------------
+
+    // Benchmark DECONTAMINATION — drop training documents that share any
+    // 5-word shingle with a held-out eval set (doc_id ≡ 0 mod 97 stands in
+    // for the benchmark). The eval side is tiny BY NATURE (benchmarks are
+    // thousands of docs, the corpus is billions), so its distinct shingle
+    // hashes broadcast and the 100 TB training side is scanned ONCE with a
+    // narrow hash-join probe — no shuffle of the corpus. Joining on the
+    // 60-bit shingle hash in BOTH engines keeps the comparison exact even
+    // under (vanishingly unlikely) hash collisions.
+    Q("x28_decontaminate", (s, d) => {
+      // filter each side BEFORE shingling (the doc_id predicate pushes into
+      // the parquet scan, and the tiny eval side never shingles the corpus);
+      // shingle hashes come from the one-pass compiled kernel — same
+      // tokenize→5-gram→hash60 family the oracle replays per x4's mirror
+      def grams(docs: org.apache.spark.sql.DataFrame) = docs
+        .select(col("doc_id"), explode(
+          TS.shingleHashSet(TF.tokens(TF.normalizeText(col("text"))), 5)).as("gram_h"))
+      val docs = t(s, d, "documents")
+      val bench = grams(docs.filter(col("doc_id") % 97 === 0))
+        .select("gram_h").distinct()
+      grams(docs.filter(col("doc_id") % 97 =!= 0))
+        .join(broadcast(bench), "gram_h")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("gram_h")).as("n_shared_grams"))
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH g AS (
+          SELECT doc_id, ${TF.hash60Sql("gram")} AS gram_h FROM (
+            SELECT doc_id, unnest(${TF.wordShinglesSql("text", 5)}) AS gram
+            FROM documents)),
+        bench AS (SELECT DISTINCT gram_h FROM g WHERE doc_id % 97 = 0)
+        SELECT g.doc_id, COUNT(DISTINCT g.gram_h) AS n_shared_grams
+        FROM g JOIN bench b ON g.gram_h = b.gram_h
+        WHERE g.doc_id % 97 <> 0
+        GROUP BY g.doc_id ORDER BY g.doc_id""")),
+
+    // SEQUENCE PACKING — concat-then-chunk assignment of documents to fixed
+    // 1024-token training sequences, the step between curation and batch
+    // assembly. Packing state is a running token count per source stream, so
+    // the only exchange is the window partitioning on `source`; each doc's
+    // sequence id and intra-sequence offset derive from the EXCLUSIVE running
+    // sum (docs straddle budget boundaries, as concat packing does). At
+    // 100 TB the same window runs per (source, day) shard to bound partition
+    // height.
+    Q("x29_pack_sequences", (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"), TF.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("seq_id", expr("(cum - n_tokens) div 1024"))
+        .withColumn("tok_offset", (col("cum") - col("n_tokens")) % 1024)
+        .drop("cum")
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH c AS (
+          SELECT doc_id, source, ${TF.tokenCountSql("text")} AS n_tokens,
+            CAST(SUM(${TF.tokenCountSql("text")}) OVER (
+              PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM documents)
+        SELECT doc_id, source, n_tokens,
+          (cum - n_tokens) // 1024 AS seq_id,
+          (cum - n_tokens) % 1024 AS tok_offset
+        FROM c ORDER BY doc_id""")),
+
+    // DATA-MIXTURE SAMPLING — resample the corpus so per-source counts hit
+    // target mixture weights (here: sources ≥ src10 weighted 3×), taking the
+    // LARGEST feasible corpus under rate ≤ 1: λ = min_s(n_s / w_s), target_s
+    // = ⌊λ·w_s⌋. Membership is the same deterministic hash-rank used by the
+    // stratified sampler (reproducible across clusters/re-runs). The per-
+    // source counts and targets are a 20-row aggregate — broadcast back; the
+    // corpus itself is scanned once and exchanged once (the per-source rank
+    // window). Output is the per-source audit: totals, sampled counts,
+    // achieved share.
+    Q("x30_mixture_sample", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents").select("doc_id", "source")
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+        .withColumn("w",
+          when(substring(col("source"), 4, 8).cast("int") >= 10, lit(3.0))
+            .otherwise(lit(1.0)))
+      // tiny (one row per source): the all-rows window is a 20-row frame
+      val targets = counts
+        .withColumn("lambda",
+          min(col("n_total").cast(DoubleType) / col("w")).over(Window.partitionBy()))
+        .withColumn("n_target", floor(col("lambda") * col("w")).cast("long"))
+        .select("source", "n_total", "n_target")
+      val rk = Window.partitionBy("source")
+        .orderBy(TF.hash60(col("doc_id").cast("string")), col("doc_id"))
+      docs.withColumn("rk", row_number().over(rk).cast("long"))
+        .join(broadcast(targets), "source")
+        .filter(col("rk") <= col("n_target"))
+        .groupBy("source")
+        .agg(max(col("n_total")).as("n_total"), count(lit(1)).as("n_sampled"))
+        .withColumn("achieved_share",
+          col("n_sampled").cast(DoubleType) /
+            sum(col("n_sampled")).over(Window.partitionBy()).cast(DoubleType))
+        .orderBy("source")
+    },
+      Some(s"""WITH counts AS (
+          SELECT source, COUNT(*) AS n_total,
+            CASE WHEN CAST(substr(source, 4) AS INT) >= 10 THEN 3.0 ELSE 1.0 END AS w
+          FROM documents GROUP BY source),
+        targets AS (
+          SELECT source, n_total,
+            CAST(FLOOR(MIN(CAST(n_total AS DOUBLE) / w) OVER () * w) AS BIGINT)
+              AS n_target
+          FROM counts),
+        ranked AS (
+          SELECT doc_id, source,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY ${TF.hash60Sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS BIGINT)
+              AS rk
+          FROM documents),
+        sampled AS (
+          SELECT r.source, t.n_total
+          FROM ranked r JOIN targets t ON r.source = t.source
+          WHERE r.rk <= t.n_target),
+        agg AS (
+          SELECT source, MAX(n_total) AS n_total, COUNT(*) AS n_sampled
+          FROM sampled GROUP BY source)
+        SELECT source, n_total, n_sampled,
+          CAST(n_sampled AS DOUBLE) / CAST(SUM(n_sampled) OVER () AS DOUBLE)
+            AS achieved_share
+        FROM agg ORDER BY source"""))
   )
 }

@@ -179,6 +179,53 @@ object WindowQueries {
           FROM marked)
         SELECT MIN(ts) AS s_start, MAX(ts) + INTERVAL '10 minutes' AS s_end,
           user_id, COUNT(*) AS cnt, ${dsumSql("value")} AS sum_value
-        FROM sessions GROUP BY user_id, sid ORDER BY user_id, s_start"""))
+        FROM sessions GROUP BY user_id, sid ORDER BY user_id, s_start""")),
+
+    // CUSTOM-STATE sessionization via flatMapGroupsWithState: sessions close
+    // on a 10-minute gap OR on a 5-event activity cap — the cap is a running
+    // fold no declarative window (session_window included) can express, so
+    // this exercises the KeyValueGroupedDataset arbitrary-state API. The
+    // oracle replays it as gaps-and-islands + a within-island row-number
+    // split (cap splits are every 5th event regardless of time, so the
+    // iterative fold collapses to ⌊rn/5⌋ — true only because the cap check
+    // and the gap check are independent, which is what makes it
+    // SQL-replayable at all). Output keys on (user_id, session_idx) so the
+    // compare is total-order stable even when capped sub-sessions share a
+    // start timestamp; max_value (not sum) keeps doubles order-independent.
+    Q("w_custom_state", (s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+        .as[graft.ext.Sessionize.Event]
+      graft.ext.Sessionize.sessions(s, ev, gapMillis = 10 * 60 * 1000L, cap = 5)
+        .toDF()
+        .orderBy("user_id", "session_idx")
+    },
+      Some("""WITH marked AS (
+          SELECT user_id, ts, value, event_id,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts >= lag(ts) OVER w + INTERVAL '10 minutes'
+                 THEN 1 ELSE 0 END AS brk
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        islands AS (
+          SELECT user_id, ts, value, event_id,
+            SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS isl
+          FROM marked),
+        sub AS (
+          SELECT user_id, ts, value, isl,
+            (CAST(ROW_NUMBER() OVER (PARTITION BY user_id, isl
+               ORDER BY ts, event_id) AS BIGINT) - 1) // 5 AS subsess
+          FROM islands),
+        sess AS (
+          SELECT user_id, isl, subsess,
+            MIN(ts) AS s_start, MAX(ts) + INTERVAL '10 minutes' AS s_end,
+            COUNT(*) AS cnt, MAX(value) AS max_value
+          FROM sub GROUP BY user_id, isl, subsess)
+        SELECT user_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY isl, subsess)
+            AS BIGINT) - 1 AS session_idx,
+          s_start, s_end, cnt, max_value
+        FROM sess ORDER BY user_id, session_idx"""))
   )
 }

@@ -1,0 +1,69 @@
+package graft.ext
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+
+  private def run(events: Seq[Sessionize.Event], gapMin: Int = 10, cap: Int = 5) =
+    Sessionize.sessions(spark, spark.createDataset(events),
+        gapMillis = gapMin * 60 * 1000L, cap = cap)
+      .collect().sortBy(s => (s.user_id, s.session_idx)).toSeq
+
+  test("gap closes a session; end = last ts + gap") {
+    val got = run(Seq(
+      Sessionize.Event(1L, ts(0), 1.0, 1),
+      Sessionize.Event(1L, ts(5), 2.0, 2),
+      Sessionize.Event(1L, ts(20), 3.0, 3))) // 15-min quiet gap → new session
+    assert(got.map(s => (s.session_idx, s.cnt, s.s_start, s.s_end, s.max_value)) == Seq(
+      (0L, 2L, ts(0), ts(15), 2.0),
+      (1L, 1L, ts(20), ts(30), 3.0)))
+  }
+
+  test("boundary: an event exactly gap after the previous starts a new session") {
+    val got = run(Seq(
+      Sessionize.Event(1L, ts(0), 1.0, 1),
+      Sessionize.Event(1L, ts(10), 2.0, 2))) // ts == last + gap → closes
+    assert(got.map(_.cnt) == Seq(1L, 1L))
+  }
+
+  test("activity cap splits a dense burst every `cap` events") {
+    val events = (0 until 12).map(i => Sessionize.Event(1L, ts(i / 2, 30 * (i % 2)), i.toDouble, i.toLong))
+    val got = run(events, cap = 5)
+    assert(got.map(_.cnt) == Seq(5L, 5L, 2L))
+    assert(got.map(_.session_idx) == Seq(0L, 1L, 2L))
+    assert(got.map(_.max_value) == Seq(4.0, 9.0, 11.0))
+  }
+
+  test("keys fold independently; ties break on event_id") {
+    val got = run(Seq(
+      Sessionize.Event(2L, ts(0), 5.0, 11),
+      Sessionize.Event(1L, ts(0), 7.0, 10),
+      Sessionize.Event(1L, ts(0), 6.0, 9))) // same ts, order by event_id
+    assert(got.map(s => (s.user_id, s.cnt)) == Seq((1L, 2L), (2L, 1L)))
+    assert(got.head.max_value == 7.0)
+  }
+
+  test("matches the declarative session_window when the cap never binds") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+      .select("user_id", "ts", "value", "event_id")
+      .as[Sessionize.Event]
+    val custom = Sessionize.sessions(spark, ev,
+        gapMillis = 10 * 60 * 1000L, cap = Int.MaxValue)
+      .select("user_id", "s_start", "s_end", "cnt")
+    import org.apache.spark.sql.functions._
+    val declarative = ev.toDF()
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("cnt"))
+    assert(custom.exceptAll(declarative).isEmpty && declarative.exceptAll(custom).isEmpty)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+class RestoreCloneSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("restore rolls back to a prior version as a new commit") {
+    val t = LakeTable(spark, s"${tmpDir("rc_restore")}/t")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v")) // v0
+    t.overwrite(Seq((9L, "z")).toDF("k", "v"))         // v1
+    t.restore(0)                                       // v2
+    assert(t.currentVersion == 2)
+    assert(t.read.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // history preserved: the bad overwrite is still time-travelable
+    assert(t.readVersion(1).as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+    assert(t.history.map(_._2) == Seq("append", "overwrite", "restore"))
+    // a restore can itself be restored over
+    t.restore(1)
+    assert(t.read.as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+  }
+
+  test("restore refuses a vacuumed version") {
+    val t = LakeTable(spark, s"${tmpDir("rc_restore_vac")}/t")
+    t.append(Seq((1L, "a")).toDF("k", "v"))    // v0
+    t.overwrite(Seq((2L, "b")).toDF("k", "v")) // v1
+    t.overwrite(Seq((3L, "c")).toDF("k", "v")) // v2
+    t.vacuum(keepVersions = 1)                 // drops v0's data dir
+    intercept[IllegalArgumentException](t.restore(0))
+    assert(t.read.as[(Long, String)].collect().toSeq == Seq((3L, "c")))
+  }
+
+  test("shallow clone forks without copying bytes and diverges independently") {
+    val root = tmpDir("rc_clone")
+    val src = LakeTable(spark, s"$root/src")
+    src.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val clone = src.shallowClone(s"$root/clone")
+    // zero-copy: every cloned parquet file is a hard link (same inode)
+    val srcFiles = Files.walk(Paths.get(s"$root/src/data")).iterator()
+    var linked = 0
+    srcFiles.forEachRemaining { p =>
+      if (p.toString.endsWith(".parquet")) {
+        val rel = Paths.get(s"$root/src").relativize(p)
+        val cp = Paths.get(s"$root/clone").resolve(rel)
+        assert(Files.exists(cp))
+        assert(Files.getAttribute(p, "unix:ino") == Files.getAttribute(cp, "unix:ino"))
+        linked += 1
+      }
+    }
+    assert(linked > 0)
+    assert(clone.history.map(_._2) == Seq("clone"))
+    // divergence: writes to either side don't leak to the other
+    clone.append(Seq((3L, "c")).toDF("k", "v"))
+    src.append(Seq((9L, "z")).toDF("k", "v"))
+    assert(clone.read.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(src.read.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (9L, "z")))
+  }
+
+  test("clone survives source overwrite + vacuum of the forked files") {
+    val root = tmpDir("rc_clone_vac")
+    val src = LakeTable(spark, s"$root/src")
+    src.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val clone = src.shallowClone(s"$root/clone")
+    src.overwrite(Seq((9L, "z")).toDF("k", "v"))
+    src.vacuum(keepVersions = 1) // unlinks the forked data dirs at the source
+    assert(clone.read.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("clone preserves partitioning and zone-map stats") {
+    val root = tmpDir("rc_clone_part")
+    val src = LakeTable(spark, s"$root/src")
+    val df = Seq((1L, "x", "p1"), (2L, "y", "p2")).toDF("k", "v", "p")
+    src.create(df.schema, partitionBy = Some("p"), statsColumns = Seq("k"))
+    src.append(df)
+    val clone = src.shallowClone(s"$root/clone")
+    assert(clone.partitionColumn.contains("p"))
+    assert(clone.ownedPartitionValues.toSet == Set("p1", "p2"))
+    assert(clone.readPartitions(Seq("p2")).as[(Long, String, String)]
+      .collect().toSeq == Seq((2L, "y", "p2")))
+  }
+
+  test("clone refuses an existing target") {
+    val root = tmpDir("rc_clone_exists")
+    val src = LakeTable(spark, s"$root/src")
+    src.append(Seq((1L, "a")).toDF("k", "v"))
+    src.shallowClone(s"$root/clone")
+    intercept[IllegalArgumentException](src.shallowClone(s"$root/clone"))
+  }
+}
