@@ -23,9 +23,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * independent, so 1000 executors each fold their own key range; there is no
  * driver-side state. In batch mode Spark invokes the function once per key
  * with the key's full history and ignores timeouts, so the trailing open
- * session is flushed at end of input; a continuous-streaming deployment of
- * the same fold keeps the open session in [[GroupState]] and flushes on
- * event-time timeout instead (the state type is already shaped for it).
+ * session is flushed at end of input; [[sessionsStream]] is the streaming
+ * deployment of the same fold — open sessions persist in [[GroupState]]
+ * across micro-batches and flush on event-time timeout.
  */
 object Sessionize extends Serializable {
 
@@ -53,46 +53,100 @@ object Sessionize extends Serializable {
       user_id: Long, session_idx: Long, s_start: Timestamp, s_end: Timestamp,
       cnt: Long, max_value: Double)
 
+  /** Shared incremental fold: continue `st` over this invocation's events
+   *  (sorted by (ts, event_id)), returning the advanced state and the
+   *  sessions closed along the way. */
+  private def foldEvents(uid: Long, st0: SessState, it: Iterator[Event],
+      gapUs: Long, cap: Int): (SessState, Seq[Session]) = {
+    val sorted = it.map(e => (toMicros(e.ts), e))
+      .toArray.sortBy { case (us, e) => (us, e.event_id) }
+    var st = st0
+    val out = Seq.newBuilder[Session]
+    def close(o: OpenSession): Unit = {
+      out += Session(uid, st.nextIdx, fromMicros(o.startUs),
+        fromMicros(o.lastUs + gapUs), o.cnt, o.maxValue)
+      st = SessState(st.nextIdx + 1, None)
+    }
+    sorted.foreach { case (us, e) =>
+      st.open match {
+        case Some(o) if us >= o.lastUs + gapUs || o.cnt >= cap =>
+          close(o)
+          st = st.copy(open = Some(OpenSession(us, us, 1L, e.value)))
+        case Some(o) =>
+          st = st.copy(open = Some(OpenSession(o.startUs, us,
+            o.cnt + 1, math.max(o.maxValue, e.value))))
+        case None =>
+          st = st.copy(open = Some(OpenSession(us, us, 1L, e.value)))
+      }
+    }
+    (st, out.result())
+  }
+
   /** Sessionize `events` per user: close a session when the next event is
    *  `gapMillis` or later after the previous one, or when it already holds
-   *  `cap` events. Deterministic: events fold in (ts, event_id) order. */
+   *  `cap` events. Deterministic: events fold in (ts, event_id) order.
+   *  Batch form — input per key is complete, so the trailing open session is
+   *  flushed at end of input. */
   def sessions(spark: SparkSession, events: Dataset[Event], gapMillis: Long,
       cap: Int): Dataset[Session] = {
     import spark.implicits._
-
     val gapUs = gapMillis * 1000L
+    val capN = cap
     def fold(uid: Long, it: Iterator[Event],
         state: GroupState[SessState]): Iterator[Session] = {
-      val sorted = it.map(e => (toMicros(e.ts), e))
-        .toArray.sortBy { case (us, e) => (us, e.event_id) }
-      var st = state.getOption.getOrElse(SessState(0L, None))
-      val out = Seq.newBuilder[Session]
-      def close(o: OpenSession): Unit = {
-        out += Session(uid, st.nextIdx, fromMicros(o.startUs),
+      var (st, closed) = foldEvents(uid,
+        state.getOption.getOrElse(SessState(0L, None)), it, gapUs, capN)
+      val tail = st.open.map { o =>
+        Session(uid, st.nextIdx, fromMicros(o.startUs),
           fromMicros(o.lastUs + gapUs), o.cnt, o.maxValue)
-        st = SessState(st.nextIdx + 1, None)
       }
-      sorted.foreach { case (us, e) =>
-        st.open match {
-          case Some(o) if us >= o.lastUs + gapUs || o.cnt >= cap =>
-            close(o)
-            st = st.copy(open = Some(OpenSession(us, us, 1L, e.value)))
-          case Some(o) =>
-            st = st.copy(open = Some(OpenSession(o.startUs, us,
-              o.cnt + 1, math.max(o.maxValue, e.value))))
-          case None =>
-            st = st.copy(open = Some(OpenSession(us, us, 1L, e.value)))
-        }
-      }
-      // batch semantics: input per key is complete — flush the open session.
-      // (A streaming deployment keeps it: state.update(st) + event-time
-      // timeout instead of this flush.)
-      st.open.foreach(close)
-      out.result().iterator
+      (closed ++ tail).iterator
     }
-
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, Session](
         OutputMode.Append(), GroupStateTimeout.NoTimeout)(fold)
+  }
+
+  /** STREAMING form of [[sessions]]: the open session lives in [[GroupState]]
+   *  across micro-batches and is closed either by a later event (gap/cap) or
+   *  by an EVENT-TIME TIMEOUT once the watermark passes `last_ts + gap` — so
+   *  a user who goes quiet still gets their final session emitted, and state
+   *  for quiet users is dropped (bounded state). Input must carry a
+   *  watermark on `ts`. Assumes per-key arrival order across micro-batches
+   *  follows event time (the usual replay/ingest shape); events later than
+   *  the open session's last timestamp minus the watermark delay would be
+   *  dropped by the watermark anyway. */
+  def sessionsStream(spark: SparkSession, events: Dataset[Event],
+      gapMillis: Long, cap: Int): Dataset[Session] = {
+    import spark.implicits._
+    val gapUs = gapMillis * 1000L
+    val capN = cap
+    def fold(uid: Long, it: Iterator[Event],
+        state: GroupState[SessState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        // watermark passed last_ts + gap: no event can extend the session
+        val st = state.get
+        val out = st.open.map { o =>
+          Session(uid, st.nextIdx, fromMicros(o.startUs),
+            fromMicros(o.lastUs + gapUs), o.cnt, o.maxValue)
+        }
+        state.remove()
+        out.iterator
+      } else {
+        val (st, closed) = foldEvents(uid,
+          state.getOption.getOrElse(SessState(0L, None)), it, gapUs, capN)
+        st.open match {
+          case Some(o) =>
+            state.update(st)
+            // fire once the watermark clock passes the session's quiet gap
+            state.setTimeoutTimestamp(Math.floorDiv(o.lastUs + gapUs, 1000L))
+          case None => state.remove()
+        }
+        closed.iterator
+      }
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(fold)
   }
 }

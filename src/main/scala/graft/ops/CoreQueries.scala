@@ -101,6 +101,27 @@ object CoreQueries {
         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
 
+    // §2.4 extension: explicit GROUPING SETS (the general form CUBE/ROLLUP
+    // specialize) + grouping_id() to disambiguate "NULL because aggregated
+    // away" from a NULL group value — the disambiguator every BI consumer
+    // of a multi-grain aggregate needs.
+    Q("a13_grouping_sets", (s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("li_gsets")
+      s.sql(s"""SELECT l_returnflag, l_linestatus,
+          CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          COUNT(*) AS cnt
+        FROM li_gsets
+        GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+        ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+          CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS cnt
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+        ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
     // §2.5 extension: PIVOT — event counts spread into one column per event
     // type. Spark's pivot leaves never-observed cells NULL while a
     // conditional-aggregate mirror yields 0, so the nulls are filled to make
@@ -552,6 +573,30 @@ object CoreQueries {
         WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND value > 0 AND value <= 400
         ORDER BY event_id""")),
 
+    // O4 quarantine: drop + CAPTURE — the violating rows o4_expect_drop
+    // discards, annotated with which rules they failed (name-sorted,
+    // comma-joined), ready for triage/replay. NULL predicates count as
+    // violations (three-valued logic), mirrored by COALESCE on both sides.
+    Q("o4_quarantine", (s, d) => {
+      val (_, bad) = Expectations.quarantine(t(s, d, "events"), Map(
+        "key_not_null" -> "user_id IS NOT NULL",
+        "value_positive" -> "value > 0",
+        "value_capped" -> "value <= 400"))
+      bad.select("event_id", "user_id", "value", "_failed_rules")
+        .orderBy("event_id")
+    },
+      Some("""SELECT event_id, user_id, value,
+          concat_ws(',',
+            CASE WHEN NOT COALESCE(user_id IS NOT NULL, false) THEN 'key_not_null' END,
+            CASE WHEN NOT COALESCE(value <= 400, false) THEN 'value_capped' END,
+            CASE WHEN NOT COALESCE(value > 0, false) THEN 'value_positive' END)
+            AS _failed_rules
+        FROM events
+        WHERE NOT COALESCE(user_id IS NOT NULL, false)
+           OR NOT COALESCE(value > 0, false)
+           OR NOT COALESCE(value <= 400, false)
+        ORDER BY event_id""")),
+
     // O4 metrics: per-rule violation counters (the DLT UI numbers), computed
     // in one pass the way Expectations rides Dataset.observe.
     Q("o4_expect_metrics", (s, d) =>
@@ -667,6 +712,27 @@ object CoreQueries {
     },
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         ORDER BY o_orderkey""")),
+
+    // S14: JSONL source round-trip — the second landing format Auto Loader
+    // ingests (cloudFiles format json). An events subset is serialized to
+    // JSON lines and read back under an EXPLICIT schema (schema-on-read, no
+    // inference drift); hash equality against the parquet original proves
+    // the format hop is lossless, including micro-precision timestamps
+    // (pinned timestampFormat — the default truncates to millis) and
+    // round-trippable doubles.
+    Q("s14_jsonl_roundtrip", (s, d) => {
+      val root = tmp("graft_s14")
+      val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+      val subset = t(s, d, "events").filter(col("event_id") % 100 === 1)
+        .select("event_id", "user_id", "event_type", "value", "ts")
+      subset.coalesce(1).write.option("timestampFormat", tsFmt)
+        .json(s"$root/landing")
+      s.read.schema(subset.schema).option("timestampFormat", tsFmt)
+        .json(s"$root/landing")
+        .orderBy("event_id")
+    },
+      Some("""SELECT event_id, user_id, event_type, value, ts FROM events
+        WHERE event_id % 100 = 1 ORDER BY event_id""")),
 
     Q("s8_merge_upsert", (s, d) => {
       val gb = GoldBuilder(s)

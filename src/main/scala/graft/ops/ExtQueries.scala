@@ -894,6 +894,50 @@ object ExtQueries {
         SELECT source, n_total, n_sampled,
           CAST(n_sampled AS DOUBLE) / CAST(SUM(n_sampled) OVER () AS DOUBLE)
             AS achieved_share
-        FROM agg ORDER BY source"""))
+        FROM agg ORDER BY source""")),
+
+    // TF-IDF keyterms — top-3 distinguishing terms per document, scored
+    // tf·(N+1)/(df+1): the rarity weight is kept RATIONAL (no log) because
+    // integer-exact double division replays bit-identically across engines,
+    // while libm log implementations differ in the last ulp (same term
+    // ordering per document either way — the weight is monotone in 1/df).
+    // Shape: one shuffle to (doc, token) counts, one to token doc-
+    // frequencies, equi-join them back, per-doc top-k window over the
+    // already-aggregated terms — never the raw token stream. N is a bounded
+    // scalar collect (the S12 watermark pattern).
+    Q("x31_tfidf_keyterms", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val n = docs.count()
+      val toks = docs.select(col("doc_id"),
+        explode(TF.tokens(TF.normalizeText(col("text")))).as("token"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("token"))
+      tf.join(dfreq, "token")
+        .withColumn("score",
+          col("tf").cast(DoubleType) * lit((n + 1).toDouble) /
+            (col("df").cast(DoubleType) + lit(1.0)))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "token", "tf", "df", "score")
+        .orderBy("doc_id", "rank")
+    },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, unnest(${TF.tokensSql(TF.normalizeTextSql("text"))}) AS token
+          FROM documents),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+        dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (
+          SELECT doc_id, token, tf, df,
+            CAST(tf AS DOUBLE) * (n + 1) / (CAST(df AS DOUBLE) + 1.0) AS score
+          FROM tf JOIN dfreq USING (token), n)
+        SELECT doc_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, token) AS INT) AS rank,
+          token, tf, df, score
+        FROM scored QUALIFY rank <= 3 ORDER BY doc_id, rank"""))
   )
 }

@@ -58,4 +58,22 @@ object Expectations {
    *  `expect_all_or_drop`; used by oracle-compared queries. */
   def dropFailed(df: DataFrame, rules: Map[String, String]): DataFrame =
     df.filter(rules.values.map(e => coalesce(expr(e), lit(false))).reduce(_ && _))
+
+  /** Drop + CAPTURE (the quarantine pattern layered on expect_all_or_drop):
+   *  passing rows continue downstream; rows failing ANY rule are returned
+   *  separately, annotated with the names of the rules they failed
+   *  (name-sorted, comma-joined in `_failed_rules`) for triage and replay
+   *  after a fix. Both branches are narrow single-pass filters over the
+   *  same source — no shuffle, no second evaluation of upstream plans
+   *  beyond the shared scan. */
+  def quarantine(df: DataFrame, rules: Map[String, String]): (DataFrame, DataFrame) = {
+    val ordered = rules.toSeq.sortBy(_._1) // Map order is not deterministic
+    val failCond = ordered.map { case (_, e) => !coalesce(expr(e), lit(false)) }
+      .reduce(_ || _)
+    val tags = ordered.map { case (n, e) =>
+      when(!coalesce(expr(e), lit(false)), lit(n)) }
+    val bad = df.filter(failCond).withColumn("_failed_rules",
+      array_join(filter(array(tags: _*), c => c.isNotNull), ","))
+    (dropFailed(df, rules), bad)
+  }
 }

@@ -129,4 +129,36 @@ class PlanQualitySpec extends SparkSpec {
     val plan = planOf(df)
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("decontamination probes the corpus with a broadcast of the eval shingles") {
+    val df = SparkEntry.queries("x28_decontaminate")(spark, sfDir)
+    val plan = planOf(df)
+    // the 100 TB training side must never shuffle against the tiny eval set
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("sequence packing exchanges once on the source key (plus the output sort)") {
+    val df = SparkEntry.queries("x29_pack_sequences")(spark, sfDir)
+    val plan = planOf(df).split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("mixture sampling broadcasts the per-source targets back to the corpus") {
+    val df = SparkEntry.queries("x30_mixture_sample")(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("custom-state sessionization plans the arbitrary-state operator, one key shuffle") {
+    val df = SparkEntry.queries("w_custom_state")(spark, sfDir)
+    val plan = planOf(df).split("== Initial Plan ==").head
+    // batch planning lowers flatMapGroupsWithState to MapGroupsExec (state is
+    // per-invocation); streaming would plan FlatMapGroupsWithStateExec
+    assert(plan.contains("MapGroups"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
 }

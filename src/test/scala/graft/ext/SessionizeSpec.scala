@@ -2,6 +2,8 @@ package graft.ext
 
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSpec
 
 class SessionizeSpec extends SparkSpec {
@@ -47,6 +49,56 @@ class SessionizeSpec extends SparkSpec {
       Sessionize.Event(1L, ts(0), 6.0, 9))) // same ts, order by event_id
     assert(got.map(s => (s.user_id, s.cnt)) == Seq((1L, 2L), (2L, 1L)))
     assert(got.head.max_value == 7.0)
+  }
+
+  test("streaming: state persists across micro-batches, event-time timeout flushes quiet users") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val gapMs = 10 * 60 * 1000L
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("user_id", "ts", "value", "event_id")
+    // two time-split files → two micro-batches in event-time order
+    val cut = batch.selectExpr(
+      "timestamp_micros(cast(percentile_approx(unix_micros(ts), 0.5) as long))")
+      .head().getTimestamp(0)
+    val stage = java.nio.file.Files.createTempDirectory("graft_sess_stream")
+    batch.filter(col("ts") <= cut).coalesce(1).write.parquet(s"$stage/b0")
+    batch.filter(col("ts") > cut).coalesce(1).write.parquet(s"$stage/b1")
+    val land = java.nio.file.Files.createDirectory(stage.resolve("land"))
+    def stageFile(sub: String, mtime: Long): Unit = {
+      val f = java.nio.file.Files.list(stage.resolve(sub)).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dst = land.resolve(s"$sub.parquet")
+      java.nio.file.Files.copy(f, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    stageFile("b0", 1000000L); stageFile("b1", 2000000L) // order by mtime
+    import spark.implicits._
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(land.toString)
+      .withWatermark("ts", "0 seconds")
+      .as[Sessionize.Event]
+    val q = Sessionize.sessionsStream(spark, stream, gapMs, cap = 5)
+      .writeStream.format("memory").queryName("sess_stream_sink")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("sess_stream_sink").as[Sessionize.Session]
+      .collect().map(s => (s.user_id, s.session_idx, s.s_start, s.s_end, s.cnt, s.max_value))
+      .toSet
+    // expected: the batch fold, minus sessions still open at the final
+    // watermark (= max ts): timeout fires only when watermark > last+gap
+    val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0)
+    val all = Sessionize.sessions(spark, batch.as[Sessionize.Event], gapMs, cap = 5)
+      .collect()
+    val expected = all.filter(_.s_end.compareTo(maxTs) < 0)
+      .map(s => (s.user_id, s.session_idx, s.s_start, s.s_end, s.cnt, s.max_value))
+      .toSet
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < all.length) // some sessions stayed open
   }
 
   test("matches the declarative session_window when the cap never binds") {

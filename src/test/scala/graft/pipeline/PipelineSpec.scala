@@ -131,6 +131,26 @@ class PipelineSpec extends SparkSpec {
     assert(gate.violations("v_positive") == 1L)
   }
 
+  test("expectations: quarantine splits pass/fail and names the failed rules") {
+    val df = Seq(
+      (1L, Some(10.0)),  // passes both
+      (2L, Some(-5.0)),  // fails v_positive
+      (3L, None),        // fails both (NULL counts as violation)
+      (4L, Some(900.0))  // fails v_capped
+    ).toDF("k", "v")
+    val (good, bad) = Expectations.quarantine(df,
+      Map("v_positive" -> "v > 0", "v_capped" -> "v <= 400"))
+    assert(good.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val tagged = bad.select("k", "_failed_rules").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(tagged == Seq(
+      (2L, "v_positive"),
+      (3L, "v_capped,v_positive"), // name-sorted join
+      (4L, "v_capped")))
+    // partition: every source row lands on exactly one side
+    assert(good.count() + bad.count() == df.count())
+  }
+
   test("flows run in dependency order regardless of declaration order") {
     val p = new Pipeline(spark, tmpDir("pl_topo"))
     p.streamingTable("stage1")
