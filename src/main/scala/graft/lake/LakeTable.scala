@@ -631,14 +631,50 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       }
   }
 
+  /** Reconcile an incoming batch's schema against the table's (Delta write
+   *  compatibility): same-name columns must keep their type (order and
+   *  nullability are free); columns the batch omits read back as NULL from
+   *  its files; NEW columns are rejected unless `mergeSchema` (Delta's
+   *  `mergeSchema` option) — with it the table schema widens, the new
+   *  columns nullable, and every pre-existing file serves NULL for them. */
+  private def reconcileSchema(table: StructType, incoming: StructType,
+      mergeSchema: Boolean): StructType = {
+    val byName = table.fields.map(f => f.name -> f).toMap
+    val novel = incoming.fields.flatMap { f =>
+      byName.get(f.name) match {
+        case Some(t) =>
+          require(t.dataType == f.dataType,
+            s"column ${f.name}: incoming type ${f.dataType.simpleString} " +
+              s"conflicts with table type ${t.dataType.simpleString} " +
+              "(schema evolution is additive-only — full type changes need overwrite)")
+          None
+        case None =>
+          require(mergeSchema,
+            s"incoming batch adds column ${f.name} not in the table schema — " +
+              "pass mergeSchema = true to evolve, or drop the column")
+          Some(f.copy(nullable = true))
+      }
+    }
+    StructType(table.fields ++ novel)
+  }
+
   /** Append-only write — O(new data), never rewrites existing files.
    *  This is the bronze-sink primitive (reference keeps bronze append-only,
    *  `README.md:89`). On a partitioned table the new dir owns the batch's
-   *  partition values alongside earlier owners (accumulation). */
-  def append(df: DataFrame): Unit = synchronized {
+   *  partition values alongside earlier owners (accumulation).
+   *
+   *  Schema: validated against the table via [[reconcileSchema]] — silent
+   *  schema clobbering is an error; additive evolution is opt-in with
+   *  `mergeSchema = true` (the Delta option). */
+  def append(df: DataFrame, mergeSchema: Boolean = false): Unit = synchronized {
     Files.createDirectories(Paths.get(root))
     val (pcol, scols) =
       if (exists) { val m = manifest; (m.pcol, m.statsCols) } else (None, Nil)
+    // fail-fast validation BEFORE the (expensive) physical write; the commit
+    // loop re-reconciles per attempt against the then-current snapshot
+    if (exists) reconcileSchema(manifest.schema, df.schema, mergeSchema)
+    pcol.foreach(p => require(df.columns.contains(p),
+      s"append batch is missing the partition column $p"))
     val (dir, owned, fstats) = writeData(df, pcol, scols)
     // a lost race re-reads the entry list and re-commits — the data dir is
     // already written, so append retries are manifest-only (no lost updates)
@@ -649,7 +685,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         // in between would make us publish a stale entry list one slot later
         val v = currentVersion
         val cur = readManifest(v)
-        (Manifest(df.schema, pcol, cur.entries :+ DirEntry(dir, owned), "append",
+        (Manifest(reconcileSchema(cur.schema, df.schema, mergeSchema), pcol,
+          cur.entries :+ DirEntry(dir, owned), "append",
           cur.cdfEnabled, statsCols = cur.statsCols,
           fileStats = cur.fileStats ++ fstats), v + 1)
       } else

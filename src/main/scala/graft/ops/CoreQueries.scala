@@ -734,6 +734,25 @@ object CoreQueries {
       Some("""SELECT event_id, user_id, event_type, value, ts FROM events
         WHERE event_id % 100 = 1 ORDER BY event_id""")),
 
+    // S15: additive SCHEMA EVOLUTION (Delta mergeSchema) — a later batch
+    // arrives with a new column; the table schema widens (new column
+    // nullable) and every pre-evolution file serves NULL for it. The oracle
+    // replays the widened union relationally.
+    Q("s15_schema_evolution", (s, d) => {
+      val o = t(s, d, "orders")
+      val tbl = LakeTable(s, s"${tmp("graft_s15")}/t")
+      tbl.append(o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice"))
+      tbl.append(o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          (col("o_totalprice") * lit(0.1)).as("o_discounted")),
+        mergeSchema = true)
+      tbl.read.orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+          CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice * 0.1 END AS o_discounted
+        FROM orders ORDER BY o_orderkey""")),
+
     Q("s8_merge_upsert", (s, d) => {
       val gb = GoldBuilder(s)
       val ev = t(s, d, "events")

@@ -92,4 +92,36 @@ class RestoreCloneSpec extends SparkSpec {
     src.shallowClone(s"$root/clone")
     intercept[IllegalArgumentException](src.shallowClone(s"$root/clone"))
   }
+
+  // ---- append-time schema reconciliation / evolution ------------------------
+
+  test("append rejects a new column unless mergeSchema, then widens with nulls") {
+    val t = LakeTable(spark, s"${tmpDir("se_widen")}/t")
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    intercept[IllegalArgumentException](
+      t.append(Seq((2L, "b", 9.5)).toDF("k", "v", "score")))
+    t.append(Seq((2L, "b", 9.5)).toDF("k", "v", "score"), mergeSchema = true)
+    assert(t.schema.fieldNames.toSeq == Seq("k", "v", "score"))
+    assert(t.schema("score").nullable)
+    val got = t.read.orderBy("k").as[(Long, String, Option[Double])].collect().toSeq
+    assert(got == Seq((1L, "a", None), (2L, "b", Some(9.5))))
+  }
+
+  test("append rejects a type conflict even with mergeSchema") {
+    val t = LakeTable(spark, s"${tmpDir("se_conflict")}/t")
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    val bad = Seq((2L, 3.0)).toDF("k", "v") // v: string → double
+    intercept[IllegalArgumentException](t.append(bad))
+    intercept[IllegalArgumentException](t.append(bad, mergeSchema = true))
+    assert(t.read.count() == 1) // nothing committed, no schema clobber
+  }
+
+  test("append with a missing column fills NULL; column order is free") {
+    val t = LakeTable(spark, s"${tmpDir("se_missing")}/t")
+    t.append(Seq((1L, "a", 5.0)).toDF("k", "v", "score"))
+    t.append(Seq(("b", 2L)).toDF("v", "k")) // reordered, score absent
+    assert(t.schema.fieldNames.toSeq == Seq("k", "v", "score"))
+    val got = t.read.orderBy("k").as[(Long, String, Option[Double])].collect().toSeq
+    assert(got == Seq((1L, "a", Some(5.0)), (2L, "b", None)))
+  }
 }
