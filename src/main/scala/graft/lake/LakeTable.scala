@@ -115,6 +115,11 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     val statsCols = lines.collectFirst { case l if l.startsWith("statscols=") =>
       l.stripPrefix("statscols=").split(',').toSeq.filter(_.nonEmpty).map(b64d)
     }.getOrElse(Nil)
+    val constraints = lines.collect {
+      case l if l.startsWith("check=") =>
+        val Array(n, e) = l.stripPrefix("check=").split(':')
+        b64d(n) -> b64d(e)
+    }.toSeq
     val entries = lines.collect {
       case l if l.startsWith("dir=") =>
         l.stripPrefix("dir=").split('|') match {
@@ -133,7 +138,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         }.toMap)
     }.toSeq
     Manifest(schema, pcol, entries, op, cdfEnabled, cdfDir, statsCols, fileStats,
-      commitTsMs)
+      commitTsMs, constraints)
   }
 
   private def manifest: Manifest = readManifest(currentVersion)
@@ -168,7 +173,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
   }
 
   /** Commit history, oldest first: (version, operation). Operations:
-   *  create/append/overwrite/merge/compact/restore/clone. */
+   *  create/append/overwrite/merge/delete/update/compact/restore/clone/
+   *  constraint. */
   def history: Seq[(Long, String)] = {
     require(exists, s"LakeTable at $root does not exist")
     (0L to currentVersion).filter(v => Files.exists(manifestFile(v)))
@@ -198,7 +204,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       val curM = readManifest(cur)
       (Manifest(m.schema, m.pcol, m.entries, "restore",
         cdfEnabled = curM.cdfEnabled, statsCols = m.statsCols,
-        fileStats = m.fileStats), cur + 1)
+        fileStats = m.fileStats, constraints = m.constraints), cur + 1)
     }
   }
 
@@ -227,9 +233,62 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     }
     require(dst.tryCommit(Manifest(m.schema, m.pcol, m.entries, "clone",
       cdfEnabled = m.cdfEnabled, statsCols = m.statsCols,
-      fileStats = m.fileStats), 0L),
+      fileStats = m.fileStats, constraints = m.constraints), 0L),
       s"clone target $targetRoot was created concurrently")
     dst
+  }
+
+  /** Active CHECK constraints (name → SQL boolean expression). */
+  def checkConstraints: Map[String, String] = manifest.constraints.toMap
+
+  /** ADD a CHECK constraint (Delta `ALTER TABLE ... ADD CONSTRAINT ... CHECK`):
+   *  existing data is validated first — like Delta, the constraint is refused
+   *  if any current row violates it — then a metadata-only commit records it;
+   *  every later append/overwrite/merge/update batch is enforced against it
+   *  (a violating batch fails BEFORE commit). NULL predicate results count as
+   *  violations (three-valued logic, matching the expectations gate). */
+  def addCheckConstraint(name: String, expression: String): Unit = synchronized {
+    require(exists, s"LakeTable at $root does not exist")
+    require(name.nonEmpty && !name.contains(':'), s"bad constraint name $name")
+    val bad = read.filter(!coalesce(expr(expression), lit(false))).limit(1).count()
+    require(bad == 0,
+      s"cannot add CHECK constraint $name ($expression): existing rows violate it")
+    commitWithRetry { () =>
+      val v = currentVersion
+      val cur = readManifest(v)
+      require(!cur.constraints.exists(_._1 == name),
+        s"constraint $name already exists")
+      (cur.copy(op = "constraint", cdfDir = None, commitTsMs = None,
+        constraints = cur.constraints :+ (name -> expression)), v + 1)
+    }
+  }
+
+  /** DROP a CHECK constraint (metadata-only commit). */
+  def dropCheckConstraint(name: String): Unit = synchronized {
+    require(exists, s"LakeTable at $root does not exist")
+    commitWithRetry { () =>
+      val v = currentVersion
+      val cur = readManifest(v)
+      require(cur.constraints.exists(_._1 == name), s"no constraint named $name")
+      (cur.copy(op = "constraint", cdfDir = None, commitTsMs = None,
+        constraints = cur.constraints.filterNot(_._1 == name)), v + 1)
+    }
+  }
+
+  /** Enforce CHECK constraints on an incoming batch: one conjoined pre-pass
+   *  (narrow filter, no shuffle); only on failure a per-constraint probe
+   *  names the offender. Throws before anything is committed. */
+  private def enforceConstraints(df: DataFrame,
+      constraints: Seq[(String, String)]): Unit = if (constraints.nonEmpty) {
+    val all = constraints.map { case (_, e) => coalesce(expr(e), lit(false)) }
+      .reduce(_ && _)
+    if (df.filter(!all).limit(1).count() > 0) {
+      val offender = constraints.find { case (_, e) =>
+        df.filter(!coalesce(expr(e), lit(false))).limit(1).count() > 0 }
+      throw new IllegalArgumentException(
+        s"CHECK constraint ${offender.map(_._1).getOrElse("?")} " +
+          s"(${offender.map(_._2).getOrElse("?")}) violated by the incoming batch")
+    }
   }
 
   /**
@@ -261,7 +320,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     val parts = (fromVersion to hi).flatMap { v =>
       val mv = readManifest(v)
       val part: Option[DataFrame] = mv.op match {
-        case "create" => None
+        case "create" | "constraint" => None // metadata-only: no row changes
         case "append" =>
           val prevDirs: Set[String] =
             if (v == 0) Set.empty else readManifest(v - 1).entries.map(_.dir).toSet
@@ -431,7 +490,9 @@ final class LakeTable private (val spark: SparkSession, val root: String,
    *  implements as `ignoreChanges`-less streaming reads). */
   def readStream: DataFrame = {
     require(exists, s"LakeTable at $root does not exist")
-    val unsafe = history.filterNot { case (_, op) => op == "create" || op == "append" }
+    // metadata-only commits (create/constraint) touch no data files — safe
+    val unsafe = history.filterNot { case (_, op) =>
+      op == "create" || op == "append" || op == "constraint" }
     require(unsafe.isEmpty,
       s"readStream requires an append-only history, but $root has non-append commits: " +
         unsafe.map { case (v, op) => s"v$v=$op" }.mkString(", ") +
@@ -461,7 +522,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       (if (m.cdfEnabled) Seq("cdf=on") else Nil) ++
       m.cdfDir.map(d => s"cdfdir=$d").toSeq ++
       (if (m.statsCols.nonEmpty)
-        Seq(s"statscols=${m.statsCols.map(b64e).mkString(",")}") else Nil)
+        Seq(s"statscols=${m.statsCols.map(b64e).mkString(",")}") else Nil) ++
+      m.constraints.sortBy(_._1).map { case (n, e) => s"check=${b64e(n)}:${b64e(e)}" }
     val body = m.entries.map { e =>
       e.owned match {
         case None => s"dir=${e.dir}"
@@ -672,7 +734,11 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       if (exists) { val m = manifest; (m.pcol, m.statsCols) } else (None, Nil)
     // fail-fast validation BEFORE the (expensive) physical write; the commit
     // loop re-reconciles per attempt against the then-current snapshot
-    if (exists) reconcileSchema(manifest.schema, df.schema, mergeSchema)
+    if (exists) {
+      val m = manifest
+      reconcileSchema(m.schema, df.schema, mergeSchema)
+      enforceConstraints(df, m.constraints)
+    }
     pcol.foreach(p => require(df.columns.contains(p),
       s"append batch is missing the partition column $p"))
     val (dir, owned, fstats) = writeData(df, pcol, scols)
@@ -688,7 +754,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         (Manifest(reconcileSchema(cur.schema, df.schema, mergeSchema), pcol,
           cur.entries :+ DirEntry(dir, owned), "append",
           cur.cdfEnabled, statsCols = cur.statsCols,
-          fileStats = cur.fileStats ++ fstats), v + 1)
+          fileStats = cur.fileStats ++ fstats,
+          constraints = cur.constraints), v + 1)
       } else
         (Manifest(df.schema, pcol, Seq(DirEntry(dir, owned)), "append",
           statsCols = scols, fileStats = fstats), 0L)
@@ -709,9 +776,14 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     val cur = if (exists) Some(manifest) else None
     val pcol = partitionBy.orElse(cur.flatMap(_.pcol))
     val scols = cur.map(_.statsCols).getOrElse(Nil)
+    // overwrite enforces CHECK constraints on the incoming snapshot; compact/
+    // merge/zorder rewrite rows that were already enforced on their way in
+    if (op == "overwrite")
+      cur.foreach(c => enforceConstraints(df, c.constraints))
     val (dir, owned, fstats) = writeData(df, pcol, scols, preclustered)
     val m = Manifest(df.schema, pcol, Seq(DirEntry(dir, owned)), op,
-      cur.exists(_.cdfEnabled), cdfDir, statsCols = scols, fileStats = fstats)
+      cur.exists(_.cdfEnabled), cdfDir, statsCols = scols, fileStats = fstats,
+      constraints = cur.map(_.constraints).getOrElse(Nil))
     expected match {
       case Some(v) =>
         if (!tryCommit(m, v + 1))
@@ -762,6 +834,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     val cols = m.schema.fieldNames.toSeq
     require(src.columns.toSet == cols.toSet,
       s"merge source schema ${src.columns.mkString(",")} != target ${cols.mkString(",")}")
+    enforceConstraints(src, m.constraints)
     if (checkUniqueKeys) {
       val dups = src.groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).count()
       require(dups == 0, s"merge source has duplicate keys $keys")
@@ -845,7 +918,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
             keptDirs.exists(d => fs.path.startsWith(d + "/")))
           if (!tryCommit(Manifest(m.schema, m.pcol, kept :+ DirEntry(dir, owned), "merge",
               m.cdfEnabled, chDir, statsCols = m.statsCols,
-              fileStats = keptStats ++ fstats), v0 + 1))
+              fileStats = keptStats ++ fstats, constraints = m.constraints), v0 + 1))
             throw new ConcurrentWriteException(
               s"merge computed against version $v0 of $root, but a concurrent " +
                 s"writer committed v${v0 + 1} first — recompute and retry")
@@ -937,6 +1010,10 @@ final class LakeTable private (val spark: SparkSession, val root: String,
             }
           }: _*)
         }
+        // UPDATE can write new values: enforce CHECK constraints on the
+        // rewritten rows before any file lands (DELETE can't violate).
+        // A failure before commit leaves only uncommitted dirs (vacuumable).
+        if (set.nonEmpty) enforceConstraints(rewritten, m.constraints)
         if (m.cdfEnabled) {
           val pinned = touchedDf.filter(cond)
           changeParts += (set match {
@@ -982,7 +1059,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         Some(d)
       } else None
     if (!tryCommit(Manifest(m.schema, m.pcol, newEntries.toSeq, opName,
-        m.cdfEnabled, chDir, m.statsCols, newStats.toSeq), v0 + 1))
+        m.cdfEnabled, chDir, m.statsCols, newStats.toSeq,
+        constraints = m.constraints), v0 + 1))
       throw new ConcurrentWriteException(
         s"$opName computed against version $v0 of $root, but a concurrent " +
           s"writer committed v${v0 + 1} first — recompute and retry")
@@ -1140,7 +1218,10 @@ object LakeTable {
       /** Commit wall-clock (epoch ms), stamped at publish time by
        *  [[LakeTable.tryCommit]] — never set by manifest constructors.
        *  None for manifests written before the field existed. */
-      commitTsMs: Option[Long] = None)
+      commitTsMs: Option[Long] = None,
+      /** CHECK constraints (name → SQL boolean expr), enforced on every
+       *  incoming batch. Name-ordered for deterministic manifests. */
+      constraints: Seq[(String, String)] = Nil)
 
   /** Conjunctive data-skipping predicate: `col` between `lo` and `hi`, both
    *  inclusive, either bound open. Bound values are Spark CAST-to-STRING

@@ -97,4 +97,42 @@ class ConcurrencySpec extends SparkSpec {
     val got = LakeTable(spark, root).read.orderBy("k").as[(Long, Long)].collect().toSeq
     assert(got == ((-1L, -1L) +: (0 until writers).map(w => (w.toLong, w.toLong * 10))))
   }
+
+  test("racing schema evolutions compose: every writer's new column survives") {
+    val root = s"${tmpDir("conc_evolve")}/t"
+    LakeTable(spark, root).append(Seq((0L, "base")).toDF("k", "v"))
+    val writers = 4
+    val pool = Executors.newFixedThreadPool(writers)
+    val start = new CountDownLatch(1)
+    val results = (0 until writers).map { w =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          val t = LakeTable(spark, root)
+          // each writer evolves a distinct column; the commit loop must
+          // re-reconcile against whatever snapshot it lands on
+          t.append(
+            Seq((100L + w, s"w$w", w.toDouble)).toDF("k", "v", s"extra_$w"),
+            mergeSchema = true)
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    results.foreach(_.get())
+    val t = LakeTable(spark, root)
+    assert(t.schema.fieldNames.toSet ==
+      (Set("k", "v") ++ (0 until writers).map(w => s"extra_$w")))
+    assert(t.read.count() == writers.toLong + 1)
+    // each row carries its own column's value, NULL in every other writer's
+    val rows = t.read.filter(col("k") >= 100).collect()
+    rows.foreach { r =>
+      val w = r.getAs[Long]("k") - 100
+      assert(r.getAs[Double](s"extra_$w") == w.toDouble)
+      (0 until writers).filter(_ != w).foreach { o =>
+        assert(r.isNullAt(r.fieldIndex(s"extra_$o")))
+      }
+    }
+  }
 }

@@ -1,0 +1,92 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ConstraintSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(name: String): LakeTable =
+    LakeTable(spark, s"${tmpDir(name)}/t")
+
+  test("addCheckConstraint validates existing data first") {
+    val t = fresh("ck_existing")
+    t.append(Seq((1L, 10.0), (2L, -3.0)).toDF("k", "v"))
+    intercept[IllegalArgumentException](t.addCheckConstraint("v_pos", "v > 0"))
+    assert(t.checkConstraints.isEmpty) // refused, nothing committed
+    t.addCheckConstraint("v_sane", "v > -100")
+    assert(t.checkConstraints == Map("v_sane" -> "v > -100"))
+    assert(t.history.last._2 == "constraint")
+  }
+
+  test("append/overwrite/merge enforce constraints before commit") {
+    val t = fresh("ck_writes")
+    t.append(Seq((1L, 10.0)).toDF("k", "v"))
+    t.addCheckConstraint("v_pos", "v > 0")
+    val v = t.currentVersion
+
+    intercept[IllegalArgumentException](t.append(Seq((2L, -1.0)).toDF("k", "v")))
+    intercept[IllegalArgumentException](t.overwrite(Seq((2L, -1.0)).toDF("k", "v")))
+    intercept[IllegalArgumentException](
+      t.merge(Seq((1L, -5.0)).toDF("k", "v"), Seq("k")))
+    // NULL counts as a violation (three-valued logic)
+    intercept[IllegalArgumentException](
+      t.append(Seq((3L, None: Option[Double])).toDF("k", "v")))
+    assert(t.currentVersion == v) // no partial commits
+    assert(t.read.as[(Long, Double)].collect().toSeq == Seq((1L, 10.0)))
+
+    t.append(Seq((2L, 5.0)).toDF("k", "v")) // clean batch passes
+    assert(t.read.count() == 2)
+  }
+
+  test("UPDATE enforces constraints on rewritten values; DELETE is exempt") {
+    val t = fresh("ck_update")
+    val df = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    t.create(df.schema, statsColumns = Seq("k"))
+    t.append(df)
+    t.addCheckConstraint("v_capped", "v <= 100")
+    intercept[IllegalArgumentException](
+      t.update(Seq(LakeTable.ZonePred.eq("k", "1")), Map("v" -> (col("v") + 500))))
+    assert(t.read.orderBy("k").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 10.0), (2L, 20.0)))
+    t.update(Seq(LakeTable.ZonePred.eq("k", "1")), Map("v" -> (col("v") + 50)))
+    t.delete(Seq(LakeTable.ZonePred.eq("k", "2")))
+    assert(t.read.as[(Long, Double)].collect().toSeq == Seq((1L, 60.0)))
+  }
+
+  test("constraints persist across instances, survive restore, carry to clones") {
+    val root = tmpDir("ck_persist")
+    val t = LakeTable(spark, s"$root/t")
+    t.append(Seq((1L, 1.0)).toDF("k", "v"))
+    t.addCheckConstraint("v_pos", "v > 0")
+    t.append(Seq((2L, 2.0)).toDF("k", "v"))
+
+    // fresh instance reads the manifest
+    val reopened = LakeTable(spark, s"$root/t")
+    assert(reopened.checkConstraints == Map("v_pos" -> "v > 0"))
+
+    // restore to a pre-constraint version restores that version's (empty) set
+    t.restore(0)
+    assert(t.checkConstraints.isEmpty)
+    t.restore(2) // back to the constrained snapshot
+    assert(t.checkConstraints == Map("v_pos" -> "v > 0"))
+
+    val clone = t.shallowClone(s"$root/clone")
+    assert(clone.checkConstraints == Map("v_pos" -> "v > 0"))
+    intercept[IllegalArgumentException](clone.append(Seq((3L, -1.0)).toDF("k", "v")))
+  }
+
+  test("dropCheckConstraint lifts enforcement; streaming tail tolerates constraint commits") {
+    val t = fresh("ck_drop")
+    t.append(Seq((1L, 1.0)).toDF("k", "v"))
+    t.addCheckConstraint("v_pos", "v > 0")
+    intercept[IllegalArgumentException](t.append(Seq((2L, -1.0)).toDF("k", "v")))
+    t.dropCheckConstraint("v_pos")
+    t.append(Seq((2L, -1.0)).toDF("k", "v"))
+    assert(t.read.count() == 2)
+    // metadata-only commits don't break the append-only streaming guard
+    t.readStream // must not throw
+    intercept[IllegalArgumentException](t.dropCheckConstraint("nope"))
+  }
+}
