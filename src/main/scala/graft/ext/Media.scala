@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
  * `BINARY` columns with a typed metadata struct; decode / feature-extract
  * run as batched per-partition passes.
  *
- * The decode step itself is STUBBED (no image/audio codecs ship in this
- * environment): [[stubDecode]] derives deterministic fake dimensions and a
- * byte-histogram "feature" from the raw bytes. Everything around it — the
- * schema, the `mapPartitions` batch shape, partition sizing, the typed
- * output — is the real plumbing a codec would drop into.
+ * The decode step is REAL for PPM (P6) — an uncompressed raster format that
+ * needs no codec library, so [[decodePpm]] genuinely parses headers and
+ * raster bytes, [[ppmFeatures]] extracts per-channel statistics, and
+ * [[resizePpm]] resamples pixels (nearest-neighbor). For compressed codecs
+ * (JPEG/MP3/H.264), which don't ship in this environment, [[stubDecode]]
+ * stands in — the surrounding plumbing (schema, `mapPartitions` batch
+ * shape, partition sizing, typed output) is identical either way.
  *
  * Scale design (100 TB): payload columns dominate row size, so feature
  * extraction must be a single narrow pass — `mapPartitions` (no shuffle),
@@ -120,6 +122,128 @@ object Media {
         val off = (r.content.length.toLong * i) / n
         val end = math.min(off + frameBytes, r.content.length.toLong).toInt
         MediaFrame(r.media_id, i, off, r.content.slice(off.toInt, end))
+      }
+    }
+  }
+
+  // ---- REAL codec path: binary PPM (P6) ------------------------------------
+
+  /** A decoded 8-bit RGB raster: `pixels.length == width * height * 3`,
+   *  row-major, channel-interleaved. */
+  final case class PpmImage(width: Int, height: Int, pixels: Array[Byte])
+
+  /** Encode an RGB raster as binary PPM (P6). */
+  def encodePpm(img: PpmImage): Array[Byte] = {
+    require(img.pixels.length == img.width * img.height * 3,
+      s"raster ${img.pixels.length} != ${img.width}x${img.height}x3")
+    s"P6\n${img.width} ${img.height}\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ img.pixels
+  }
+
+  /** REAL decode of a binary PPM (P6) payload: parses the header per the
+   *  netpbm spec (any whitespace between tokens, `#` comments to end of
+   *  line, exactly one whitespace byte after maxval), validates maxval 255
+   *  and the raster length. Malformed payloads throw — a corrupt record in
+   *  a 100 TB corpus must fail (or be quarantined by the caller), never
+   *  decode to garbage silently. */
+  def decodePpm(bytes: Array[Byte]): PpmImage = {
+    var i = 0
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"bad PPM payload: $msg")
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    def skipWsAndComments(): Unit = {
+      var going = true
+      while (going) {
+        while (i < bytes.length && isWs(bytes(i))) i += 1
+        if (i < bytes.length && bytes(i) == '#')
+          while (i < bytes.length && bytes(i) != '\n') i += 1
+        else going = false
+      }
+    }
+    def token(): String = {
+      skipWsAndComments()
+      val start = i
+      while (i < bytes.length && !isWs(bytes(i))) i += 1
+      if (i == start) fail("truncated header")
+      new String(bytes, start, i - start, java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    if (token() != "P6") fail("not a P6 magic")
+    val w = token().toInt
+    val h = token().toInt
+    val maxval = token().toInt
+    if (maxval != 255) fail(s"unsupported maxval $maxval")
+    i += 1 // exactly ONE whitespace byte separates maxval from the raster
+    val expected = w * h * 3
+    if (bytes.length - i != expected)
+      fail(s"raster has ${bytes.length - i} bytes, expected $expected")
+    PpmImage(w, h, java.util.Arrays.copyOfRange(bytes, i, bytes.length))
+  }
+
+  /** Nearest-neighbor resample — the real pixel math a thumbnail pipeline
+   *  runs (box/bilinear would slot in the same loop). */
+  def resizePpm(img: PpmImage, tw: Int, th: Int): PpmImage = {
+    val out = new Array[Byte](tw * th * 3)
+    var y = 0
+    while (y < th) {
+      val sy = y * img.height / th
+      var x = 0
+      while (x < tw) {
+        val sx = x * img.width / tw
+        val s = (sy * img.width + sx) * 3
+        val d = (y * tw + x) * 3
+        out(d) = img.pixels(s); out(d + 1) = img.pixels(s + 1); out(d + 2) = img.pixels(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    PpmImage(tw, th, out)
+  }
+
+  /** Features out of the REAL decoder. Channel means are exact rationals
+   *  (integer sum / pixel count) so they reproduce bit-identically. */
+  final case class PpmFeatures(
+      media_id: Long, width: Int, height: Int, n_pixels: Long, byte_len: Long,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Decode + per-channel stats in one narrow mapPartitions pass. */
+  def ppmFeatures(media: Dataset[MediaRow]): Dataset[PpmFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = decodePpm(r.content)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var p = 0
+        while (p < img.pixels.length) {
+          sr += img.pixels(p) & 0xff
+          sg += img.pixels(p + 1) & 0xff
+          sb += img.pixels(p + 2) & 0xff
+          p += 3
+        }
+        val n = (img.width * img.height).toLong
+        PpmFeatures(r.media_id, img.width, img.height, n, r.content.length.toLong,
+          sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+      }
+    }
+  }
+
+  /** Synthesize deterministic PPM payloads from the documents table: dims
+   *  are small mod-functions of `doc_id`, pixels an md5 keystream of the
+   *  text — so tests and the oracle can predict dims/sizes while the
+   *  DECODER (not the synthesizer) produces every output value. */
+  def synthesizePpmFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { rows =>
+      val md = MessageDigest.getInstance("MD5")
+      rows.map { case (id, text) =>
+        val w = 4 + (id % 5).toInt
+        val h = 3 + (id % 4).toInt
+        md.reset()
+        val seed = md.digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val pixels = Array.tabulate[Byte](w * h * 3)(i =>
+          (seed(i % seed.length) ^ (i & 0x7f)).toByte)
+        MediaRow(id, "image/ppm", encodePpm(PpmImage(w, h, pixels)))
       }
     }
   }

@@ -896,6 +896,25 @@ object ExtQueries {
             AS achieved_share
         FROM agg ORDER BY source""")),
 
+    // REAL multimodal decode — deterministic PPM (P6) payloads synthesized
+    // from documents, then parsed by the actual byte-level decoder in a
+    // narrow mapPartitions pass. The oracle predicts dims/sizes from the
+    // synthesis formulas, but every compared value flows OUT of the parser:
+    // a header/raster bug breaks the hash. (Channel means are spec-verified;
+    // they'd require replaying the md5 keystream in SQL.)
+    Q("x32_media_ppm_decode", (s, d) =>
+      Media.ppmFeatures(Media.synthesizePpmFromDocuments(t(s, d, "documents")))
+        .select("media_id", "width", "height", "n_pixels", "byte_len")
+        .orderBy("media_id"),
+      // header "P6\n{w} {h}\n255\n" is 11 bytes while w,h are single-digit
+      // (w∈[4,8], h∈[3,6] by construction)
+      Some("""SELECT doc_id AS media_id,
+          CAST(4 + doc_id % 5 AS INT) AS width,
+          CAST(3 + doc_id % 4 AS INT) AS height,
+          (4 + doc_id % 5) * (3 + doc_id % 4) AS n_pixels,
+          11 + (4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS byte_len
+        FROM documents ORDER BY media_id""")),
+
     // TF-IDF keyterms — top-3 distinguishing terms per document, scored
     // tf·(N+1)/(df+1): the rarity weight is kept RATIONAL (no log) because
     // integer-exact double division replays bit-identically across engines,
