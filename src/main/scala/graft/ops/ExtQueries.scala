@@ -915,6 +915,25 @@ object ExtQueries {
           11 + (4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS byte_len
         FROM documents ORDER BY media_id""")),
 
+    // REAL audio decode — RIFF/WAVE PCM16 payloads (8 kHz mono, frame count
+    // a mod-function of doc_id) walked by the actual chunk parser; the
+    // compared dims/durations/sizes all flow OUT of the decoder. byte_len =
+    // canonical 44-byte header + 2 bytes/sample; duration_us is exact
+    // integer arithmetic in both engines. (RMS/zero-crossings are
+    // spec-verified — they'd require replaying the md5 keystream in SQL.)
+    Q("x33_media_wav_decode", (s, d) =>
+      Media.wavFeatures(Media.synthesizeWavFromDocuments(t(s, d, "documents")))
+        .select("media_id", "sample_rate", "channels", "n_frames",
+          "duration_us", "byte_len")
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id,
+          CAST(8000 AS INT) AS sample_rate,
+          CAST(1 AS INT) AS channels,
+          50 + doc_id % 200 AS n_frames,
+          (50 + doc_id % 200) * 1000000 // 8000 AS duration_us,
+          44 + (50 + doc_id % 200) * 2 AS byte_len
+        FROM documents ORDER BY media_id""")),
+
     // TF-IDF keyterms — top-3 distinguishing terms per document, scored
     // tf·(N+1)/(df+1): the rarity weight is kept RATIONAL (no log) because
     // integer-exact double division replays bit-identically across engines,
