@@ -184,9 +184,14 @@ final class GoldBuilder(spark: SparkSession, clock: () => Timestamp) {
       s"partition column $p must be a payload column"))
     if (!table.exists) { table.overwrite(out, cfg.partitionCol); table }
     else {
+      // pin the deduped source: the merge consumes it multiple times
+      // (touched-partition collect, change rows, rewrite), and each pass
+      // would otherwise re-run the scan → dim joins → dedup window chain
       val deduped = latestPerKey(out, cfg.factKeys, cfg.cdcCol,
         out.columns.toSeq.filterNot(cfg.factKeys.contains))
-      table.merge(deduped, cfg.factKeys, Some(s"s.${cfg.cdcCol} >= t.${cfg.cdcCol}"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try table.merge(deduped, cfg.factKeys, Some(s"s.${cfg.cdcCol} >= t.${cfg.cdcCol}"))
+      finally { deduped.unpersist(); () }
       table
     }
   }
