@@ -383,4 +383,140 @@ object Media {
       }
     }
   }
+
+  // ---- REAL codec path: Y4M video (YUV4MPEG2, raw 4:2:0 frames) ------------
+
+  /** Decoded raw video: per-frame YUV 4:2:0 planes
+   *  (`width*height*3/2` bytes each). Dims must be even (chroma subsampling). */
+  final case class Y4mVideo(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+      frames: Array[Array[Byte]])
+
+  private def y4mFrameBytes(w: Int, h: Int): Int = w * h * 3 / 2
+
+  /** Encode as YUV4MPEG2 with the standard stream header + per-frame FRAME
+   *  markers. */
+  def encodeY4m(v: Y4mVideo): Array[Byte] = {
+    require(v.width % 2 == 0 && v.height % 2 == 0, "4:2:0 needs even dims")
+    val fb = y4mFrameBytes(v.width, v.height)
+    v.frames.foreach(f => require(f.length == fb, s"frame ${f.length} != $fb"))
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val header =
+      s"YUV4MPEG2 W${v.width} H${v.height} F${v.fpsNum}:${v.fpsDen} Ip A1:1 C420jpeg\n"
+        .getBytes(ascii)
+    val marker = "FRAME\n".getBytes(ascii)
+    val buf = new java.io.ByteArrayOutputStream(
+      header.length + v.frames.length * (marker.length + fb))
+    buf.write(header)
+    v.frames.foreach { f => buf.write(marker); buf.write(f) }
+    buf.toByteArray
+  }
+
+  /** REAL decode of a YUV4MPEG2 payload: parses the parameter line
+   *  (W/H/F required, unknown parameters tolerated, chroma must be a 420
+   *  variant or absent), then walks FRAME markers — each may carry its own
+   *  parameters up to the newline, which real encoders do emit — and slices
+   *  fixed-size 4:2:0 rasters. Malformed payloads throw. */
+  def decodeY4m(bytes: Array[Byte]): Y4mVideo = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"bad Y4M payload: $msg")
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    var i = 0
+    def line(): String = {
+      val start = i
+      while (i < bytes.length && bytes(i) != '\n') i += 1
+      if (i >= bytes.length) fail("truncated header line")
+      val s = new String(bytes, start, i - start, ascii)
+      i += 1 // consume the newline
+      s
+    }
+    val header = line()
+    if (!header.startsWith("YUV4MPEG2")) fail("not a YUV4MPEG2 stream")
+    var w = -1; var h = -1; var fn = -1; var fd = -1
+    header.split(' ').drop(1).filter(_.nonEmpty).foreach { p =>
+      p.head match {
+        case 'W' => w = p.tail.toInt
+        case 'H' => h = p.tail.toInt
+        case 'F' => p.tail.split(':') match {
+          case Array(a, b) => fn = a.toInt; fd = b.toInt
+          case _ => fail(s"bad frame rate $p")
+        }
+        case 'C' => if (!p.tail.startsWith("420")) fail(s"unsupported chroma ${p.tail}")
+        case _ => // interlacing, aspect, extensions: tolerated
+      }
+    }
+    if (w <= 0 || h <= 0) fail("missing W/H")
+    if (fn <= 0 || fd <= 0) fail("missing F rate")
+    if (w % 2 != 0 || h % 2 != 0) fail("odd dims with 4:2:0 chroma")
+    val fb = y4mFrameBytes(w, h)
+    val frames = Seq.newBuilder[Array[Byte]]
+    while (i < bytes.length) {
+      val marker = line()
+      if (!marker.startsWith("FRAME")) fail(s"expected FRAME marker, got '$marker'")
+      if (bytes.length - i < fb) fail("truncated frame raster")
+      frames += java.util.Arrays.copyOfRange(bytes, i, i + fb)
+      i += fb
+    }
+    Y4mVideo(w, h, fn, fd, frames.result().toArray)
+  }
+
+  /** One sampled decoded frame: luma statistics of every `stride`-th frame —
+   *  the video-side training-data op (keyframe-ish sampling on a raw
+   *  container seeks markers instead). */
+  final case class SampledFrame(
+      media_id: Long, frame_no: Int, width: Int, height: Int, mean_luma: Double)
+
+  /** Decode + sample every `stride`-th frame in one narrow flatMap pass. */
+  def sampleY4mFrames(media: Dataset[MediaRow], stride: Int): Dataset[SampledFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      val v = decodeY4m(r.content)
+      val n = v.width * v.height // luma plane
+      v.frames.zipWithIndex.collect { case (f, idx) if idx % stride == 0 =>
+        var s = 0L; var p = 0
+        while (p < n) { s += f(p) & 0xff; p += 1 }
+        SampledFrame(r.media_id, idx, v.width, v.height, s.toDouble / n)
+      }
+    }
+  }
+
+  /** Video-level features out of the REAL decoder. */
+  final case class Y4mFeatures(
+      media_id: Long, width: Int, height: Int, n_frames: Long,
+      duration_us: Long, byte_len: Long)
+
+  def y4mFeatures(media: Dataset[MediaRow]): Dataset[Y4mFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val v = decodeY4m(r.content)
+        val n = v.frames.length.toLong
+        Y4mFeatures(r.media_id, v.width, v.height, n,
+          n * 1000000L * v.fpsDen / v.fpsNum, r.content.length.toLong)
+      }
+    }
+  }
+
+  /** Deterministic Y4M payloads from the documents table: even dims and
+   *  frame counts are mod-functions of `doc_id` (single-digit dims → fixed
+   *  39-byte stream header), planes an md5 keystream, 25 fps. */
+  def synthesizeY4mFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { rows =>
+      val md = MessageDigest.getInstance("MD5")
+      rows.map { case (id, text) =>
+        val w = 4 + (id % 3).toInt * 2 // 4, 6, 8
+        val h = 2 + (id % 2).toInt * 2 // 2, 4
+        val n = 3 + (id % 6).toInt
+        md.reset()
+        val seed = md.digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val fb = y4mFrameBytes(w, h)
+        val frames = Array.tabulate(n)(fi =>
+          Array.tabulate[Byte](fb)(i => (seed((fi + i) % seed.length) ^ (i & 0x3f)).toByte))
+        MediaRow(id, "video/y4m", encodeY4m(Y4mVideo(w, h, 25, 1, frames)))
+      }
+    }
+  }
 }

@@ -934,6 +934,26 @@ object ExtQueries {
           44 + (50 + doc_id % 200) * 2 AS byte_len
         FROM documents ORDER BY media_id""")),
 
+    // REAL video decode — YUV4MPEG2 (Y4M) payloads with raw 4:2:0 frames,
+    // walked by the actual stream/FRAME-marker parser. Header is a fixed 39
+    // bytes while dims are single-digit (w∈{4,6,8}, h∈{2,4} by
+    // construction); each frame costs 6 ("FRAME\n") + w*h*3/2 raster bytes;
+    // 25 fps → 40000 µs per frame, exact in both engines. (Per-frame luma
+    // sampling is spec-verified — the md5 plane keystream has no SQL twin.)
+    Q("x34_media_y4m_decode", (s, d) =>
+      Media.y4mFeatures(Media.synthesizeY4mFromDocuments(t(s, d, "documents")))
+        .select("media_id", "width", "height", "n_frames", "duration_us", "byte_len")
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id,
+          CAST(4 + (doc_id % 3) * 2 AS INT) AS width,
+          CAST(2 + (doc_id % 2) * 2 AS INT) AS height,
+          3 + doc_id % 6 AS n_frames,
+          (3 + doc_id % 6) * 40000 AS duration_us,
+          39 + (3 + doc_id % 6) *
+            (6 + (4 + (doc_id % 3) * 2) * (2 + (doc_id % 2) * 2) * 3 // 2)
+            AS byte_len
+        FROM documents ORDER BY media_id""")),
+
     // TF-IDF keyterms — top-3 distinguishing terms per document, scored
     // tf·(N+1)/(df+1): the rarity weight is kept RATIONAL (no log) because
     // integer-exact double division replays bit-identically across engines,
