@@ -55,8 +55,9 @@ object Sessionize extends Serializable {
 
   /** Shared incremental fold: continue `st` over this invocation's events
    *  (sorted by (ts, event_id)), returning the advanced state and the
-   *  sessions closed along the way. */
-  private def foldEvents(uid: Long, st0: SessState, it: Iterator[Event],
+   *  sessions closed along the way. Package-visible so the property suite
+   *  can pin chunked ≡ one-shot folding (the batch/stream equivalence). */
+  private[ext] def foldEvents(uid: Long, st0: SessState, it: Iterator[Event],
       gapUs: Long, cap: Int): (SessState, Seq[Session]) = {
     val sorted = it.map(e => (toMicros(e.ts), e))
       .toArray.sortBy { case (us, e) => (us, e.event_id) }

@@ -101,6 +101,40 @@ class SessionizeSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < all.length) // some sessions stayed open
   }
 
+  test("property: chunked incremental folding equals one-shot folding (stream ≡ batch)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gapUs = 5L * 60 * 1000000
+    val base = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val evGen = for {
+      offsetSec <- Gen.choose(0, 90 * 60) // 90 minutes of event time
+      value <- Gen.choose(-100.0, 100.0)
+      id <- Gen.choose(1L, 1000000L)
+    } yield Sessionize.Event(1L, new Timestamp(base + offsetSec * 1000L), value, id)
+    def sample(seed: Long): List[Sessionize.Event] =
+      Gen.listOfN(40, evGen)(Gen.Parameters.default, Seed(seed))
+        .getOrElse(sys.error("gen failed"))
+    for (seed <- 1L to 20L; cap <- Seq(3, Int.MaxValue)) {
+      val events = sample(seed).sortBy(e => (e.ts.getTime, e.event_id))
+      def finish(st: Sessionize.SessState): Seq[Sessionize.Session] =
+        st.open.map(o => Sessionize.Session(1L, st.nextIdx,
+          new Timestamp(o.startUs / 1000), new Timestamp((o.lastUs + gapUs) / 1000),
+          o.cnt, o.maxValue)).toSeq
+      val (st1, closed1) =
+        Sessionize.foldEvents(1L, Sessionize.SessState(0L, None), events.iterator, gapUs, cap)
+      val oneShot = closed1 ++ finish(st1)
+      // every time-ordered split point must produce the identical history
+      for (cut <- Seq(0, 1, events.length / 2, events.length - 1, events.length)) {
+        val (a, b) = events.splitAt(cut)
+        val (stA, closedA) =
+          Sessionize.foldEvents(1L, Sessionize.SessState(0L, None), a.iterator, gapUs, cap)
+        val (stB, closedB) = Sessionize.foldEvents(1L, stA, b.iterator, gapUs, cap)
+        val chunked = closedA ++ closedB ++ finish(stB)
+        assert(chunked == oneShot, s"seed=$seed cap=$cap cut=$cut")
+      }
+    }
+  }
+
   test("matches the declarative session_window when the cap never binds") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
