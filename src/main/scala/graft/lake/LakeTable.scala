@@ -241,6 +241,26 @@ final class LakeTable private (val spark: SparkSession, val root: String,
   /** Active CHECK constraints (name → SQL boolean expression). */
   def checkConstraints: Map[String, String] = manifest.constraints.toMap
 
+  /** DESCRIBE DETAIL (Delta parity): table-level facts resolved from the
+   *  manifest + a driver-side file listing of the CURRENT snapshot only —
+   *  O(current files) metadata, no data scan. */
+  def detail: LakeTable.TableDetail = {
+    require(exists, s"LakeTable at $root does not exist")
+    val m = manifest
+    val files = m.entries.flatMap(e => listParquet(Paths.get(root, e.dir)))
+    LakeTable.TableDetail(
+      location = root,
+      version = currentVersion,
+      numFiles = files.size.toLong,
+      sizeInBytes = files.map(Files.size).sum,
+      partitionColumns = m.pcol.toSeq,
+      statsColumns = m.statsCols,
+      changeFeedEnabled = m.cdfEnabled,
+      constraints = m.constraints.toMap,
+      lastOperation = m.op,
+      lastCommitTimestampMs = m.commitTsMs)
+  }
+
   /** ADD a CHECK constraint (Delta `ALTER TABLE ... ADD CONSTRAINT ... CHECK`):
    *  existing data is validated first — like Delta, the constraint is refused
    *  if any current row violates it — then a metadata-only commit records it;
@@ -1222,6 +1242,13 @@ object LakeTable {
       /** CHECK constraints (name → SQL boolean expr), enforced on every
        *  incoming batch. Name-ordered for deterministic manifests. */
       constraints: Seq[(String, String)] = Nil)
+
+  /** DESCRIBE DETAIL row (Delta parity): current-snapshot facts. */
+  final case class TableDetail(
+      location: String, version: Long, numFiles: Long, sizeInBytes: Long,
+      partitionColumns: Seq[String], statsColumns: Seq[String],
+      changeFeedEnabled: Boolean, constraints: Map[String, String],
+      lastOperation: String, lastCommitTimestampMs: Option[Long])
 
   /** Conjunctive data-skipping predicate: `col` between `lo` and `hi`, both
    *  inclusive, either bound open. Bound values are Spark CAST-to-STRING

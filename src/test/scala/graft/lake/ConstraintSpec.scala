@@ -77,6 +77,26 @@ class ConstraintSpec extends SparkSpec {
     intercept[IllegalArgumentException](clone.append(Seq((3L, -1.0)).toDF("k", "v")))
   }
 
+  test("detail reports current-snapshot facts (DESCRIBE DETAIL parity)") {
+    val root = tmpDir("ck_detail")
+    val t = LakeTable(spark, s"$root/t")
+    val df = Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("k", "v", "p")
+    t.create(df.schema, partitionBy = Some("p"), statsColumns = Seq("k"),
+      enableChangeFeed = true)
+    t.append(df)
+    t.addCheckConstraint("k_pos", "k > 0")
+    val d = t.detail
+    assert(d.version == 2 && d.lastOperation == "constraint")
+    assert(d.numFiles == 2) // one file per owned partition
+    assert(d.sizeInBytes > 0)
+    assert(d.partitionColumns == Seq("p") && d.statsColumns == Seq("k"))
+    assert(d.changeFeedEnabled && d.constraints == Map("k_pos" -> "k > 0"))
+    // detail tracks the CURRENT snapshot: overwrite shrinks the file count
+    t.overwrite(df.filter(col("k") === 1))
+    assert(t.detail.numFiles == 1)
+    assert(t.detail.lastOperation == "overwrite")
+  }
+
   test("dropCheckConstraint lifts enforcement; streaming tail tolerates constraint commits") {
     val t = fresh("ck_drop")
     t.append(Seq((1L, 1.0)).toDF("k", "v"))
