@@ -120,6 +120,11 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         val Array(n, e) = l.stripPrefix("check=").split(':')
         b64d(n) -> b64d(e)
     }.toSeq
+    val generated = lines.collect {
+      case l if l.startsWith("gen=") =>
+        val Array(n, e) = l.stripPrefix("gen=").split(':')
+        b64d(n) -> b64d(e)
+    }.toSeq
     val entries = lines.collect {
       case l if l.startsWith("dir=") =>
         l.stripPrefix("dir=").split('|') match {
@@ -138,7 +143,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         }.toMap)
     }.toSeq
     Manifest(schema, pcol, entries, op, cdfEnabled, cdfDir, statsCols, fileStats,
-      commitTsMs, constraints)
+      commitTsMs, constraints, generated)
   }
 
   private def manifest: Manifest = readManifest(currentVersion)
@@ -204,7 +209,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       val curM = readManifest(cur)
       (Manifest(m.schema, m.pcol, m.entries, "restore",
         cdfEnabled = curM.cdfEnabled, statsCols = m.statsCols,
-        fileStats = m.fileStats, constraints = m.constraints), cur + 1)
+        fileStats = m.fileStats, constraints = m.constraints,
+        generated = m.generated), cur + 1)
     }
   }
 
@@ -233,7 +239,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     }
     require(dst.tryCommit(Manifest(m.schema, m.pcol, m.entries, "clone",
       cdfEnabled = m.cdfEnabled, statsCols = m.statsCols,
-      fileStats = m.fileStats, constraints = m.constraints), 0L),
+      fileStats = m.fileStats, constraints = m.constraints,
+      generated = m.generated), 0L),
       s"clone target $targetRoot was created concurrently")
     dst
   }
@@ -257,6 +264,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       statsColumns = m.statsCols,
       changeFeedEnabled = m.cdfEnabled,
       constraints = m.constraints.toMap,
+      generatedColumns = m.generated.toMap,
       lastOperation = m.op,
       lastCommitTimestampMs = m.commitTsMs)
   }
@@ -543,7 +551,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       m.cdfDir.map(d => s"cdfdir=$d").toSeq ++
       (if (m.statsCols.nonEmpty)
         Seq(s"statscols=${m.statsCols.map(b64e).mkString(",")}") else Nil) ++
-      m.constraints.sortBy(_._1).map { case (n, e) => s"check=${b64e(n)}:${b64e(e)}" }
+      m.constraints.sortBy(_._1).map { case (n, e) => s"check=${b64e(n)}:${b64e(e)}" } ++
+      m.generated.sortBy(_._1).map { case (n, e) => s"gen=${b64e(n)}:${b64e(e)}" }
     val body = m.entries.map { e =>
       e.owned match {
         case None => s"dir=${e.dir}"
@@ -593,20 +602,46 @@ final class LakeTable private (val spark: SparkSession, val root: String,
    *  [[readChangeFeed]] (appends derive their inserts for free). */
   def create(schema: StructType, partitionBy: Option[String] = None,
       enableChangeFeed: Boolean = false,
-      statsColumns: Seq[String] = Nil): LakeTable = {
+      statsColumns: Seq[String] = Nil,
+      generatedColumns: Map[String, String] = Map.empty): LakeTable = {
     if (!exists) {
       partitionBy.foreach(p => require(schema.fieldNames.contains(p),
         s"partition column $p not in schema"))
       statsColumns.foreach(c => require(schema.fieldNames.contains(c),
         s"stats column $c not in schema"))
+      generatedColumns.keys.foreach(c => require(schema.fieldNames.contains(c),
+        s"generated column $c not in schema"))
       Files.createDirectories(Paths.get(root))
       // idempotent: losing the v0 race means someone else created the table
       tryCommit(Manifest(schema, partitionBy, Nil, "create",
         cdfEnabled = enableChangeFeed,
-        statsCols = statsColumns.filterNot(partitionBy.contains)), 0L)
+        statsCols = statsColumns.filterNot(partitionBy.contains),
+        generated = generatedColumns.toSeq.sortBy(_._1)), 0L)
     }
     this
   }
+
+  /** GENERATED columns (Delta `GENERATED ALWAYS AS`): columns the table
+   *  derives from an expression over the other columns — typically the
+   *  partition column (`ship_month` from a timestamp), so writers never
+   *  hand-maintain it and partition pruning stays trustworthy. A batch that
+   *  OMITS a generated column gets it computed; a batch that SUPPLIES one is
+   *  validated cell-for-cell against the expression (Delta's write-side
+   *  contract) — a mismatch fails before anything is written. */
+  def generatedColumns: Map[String, String] = manifest.generated.toMap
+
+  /** Compute missing generated columns; validate supplied ones. */
+  private def materializeGenerated(df: DataFrame, m: Manifest): DataFrame =
+    m.generated.foldLeft(df) { case (d, (c, e)) =>
+      val target = expr(e).cast(m.schema(c).dataType)
+      if (!d.columns.contains(c)) d.withColumn(c, target)
+      else {
+        val bad = d.filter(!(col(c) <=> target)).limit(1).count()
+        require(bad == 0,
+          s"generated column $c: supplied values disagree with '$e'")
+        d
+      }
+    }
 
   private def writeData(df: DataFrame, pcol: Option[String],
       statsCols: Seq[String] = Nil,
@@ -748,16 +783,17 @@ final class LakeTable private (val spark: SparkSession, val root: String,
    *  Schema: validated against the table via [[reconcileSchema]] — silent
    *  schema clobbering is an error; additive evolution is opt-in with
    *  `mergeSchema = true` (the Delta option). */
-  def append(df: DataFrame, mergeSchema: Boolean = false): Unit = synchronized {
+  def append(df0: DataFrame, mergeSchema: Boolean = false): Unit = synchronized {
     Files.createDirectories(Paths.get(root))
-    val (pcol, scols) =
-      if (exists) { val m = manifest; (m.pcol, m.statsCols) } else (None, Nil)
+    val m0 = if (exists) Some(manifest) else None
+    val (pcol, scols) = m0.map(m => (m.pcol, m.statsCols)).getOrElse((None, Nil))
     // fail-fast validation BEFORE the (expensive) physical write; the commit
     // loop re-reconciles per attempt against the then-current snapshot
-    if (exists) {
-      val m = manifest
-      reconcileSchema(m.schema, df.schema, mergeSchema)
-      enforceConstraints(df, m.constraints)
+    val df = m0.fold(df0) { m =>
+      val d = materializeGenerated(df0, m)
+      reconcileSchema(m.schema, d.schema, mergeSchema)
+      enforceConstraints(d, m.constraints)
+      d
     }
     pcol.foreach(p => require(df.columns.contains(p),
       s"append batch is missing the partition column $p"))
@@ -775,7 +811,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
           cur.entries :+ DirEntry(dir, owned), "append",
           cur.cdfEnabled, statsCols = cur.statsCols,
           fileStats = cur.fileStats ++ fstats,
-          constraints = cur.constraints), v + 1)
+          constraints = cur.constraints, generated = cur.generated), v + 1)
       } else
         (Manifest(df.schema, pcol, Seq(DirEntry(dir, owned)), "append",
           statsCols = scols, fileStats = fstats), 0L)
@@ -796,14 +832,22 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     val cur = if (exists) Some(manifest) else None
     val pcol = partitionBy.orElse(cur.flatMap(_.pcol))
     val scols = cur.map(_.statsCols).getOrElse(Nil)
-    // overwrite enforces CHECK constraints on the incoming snapshot; compact/
-    // merge/zorder rewrite rows that were already enforced on their way in
-    if (op == "overwrite")
-      cur.foreach(c => enforceConstraints(df, c.constraints))
-    val (dir, owned, fstats) = writeData(df, pcol, scols, preclustered)
-    val m = Manifest(df.schema, pcol, Seq(DirEntry(dir, owned)), op,
+    // overwrite materializes generated columns and enforces CHECK constraints
+    // on the incoming snapshot; compact/merge/zorder rewrite rows that were
+    // already validated on their way in
+    val df1 =
+      if (op == "overwrite")
+        cur.fold(df) { c =>
+          val d = materializeGenerated(df, c)
+          enforceConstraints(d, c.constraints)
+          d
+        }
+      else df
+    val (dir, owned, fstats) = writeData(df1, pcol, scols, preclustered)
+    val m = Manifest(df1.schema, pcol, Seq(DirEntry(dir, owned)), op,
       cur.exists(_.cdfEnabled), cdfDir, statsCols = scols, fileStats = fstats,
-      constraints = cur.map(_.constraints).getOrElse(Nil))
+      constraints = cur.map(_.constraints).getOrElse(Nil),
+      generated = cur.map(_.generated).getOrElse(Nil))
     expected match {
       case Some(v) =>
         if (!tryCommit(m, v + 1))
@@ -844,13 +888,14 @@ final class LakeTable private (val spark: SparkSession, val root: String,
    * legal) followed by a projection — no driver-side iteration.
    */
   def merge(
-      src: DataFrame,
+      src0: DataFrame,
       keys: Seq[String],
       matchedGuard: Option[String] = None,
       checkUniqueKeys: Boolean = false): Unit = synchronized {
     require(exists, s"merge target $root does not exist — create() or append() first")
     val v0 = currentVersion
     val m = readManifest(v0) // merge computes against THIS snapshot
+    val src = materializeGenerated(src0, m)
     val cols = m.schema.fieldNames.toSeq
     require(src.columns.toSet == cols.toSet,
       s"merge source schema ${src.columns.mkString(",")} != target ${cols.mkString(",")}")
@@ -938,7 +983,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
             keptDirs.exists(d => fs.path.startsWith(d + "/")))
           if (!tryCommit(Manifest(m.schema, m.pcol, kept :+ DirEntry(dir, owned), "merge",
               m.cdfEnabled, chDir, statsCols = m.statsCols,
-              fileStats = keptStats ++ fstats, constraints = m.constraints), v0 + 1))
+              fileStats = keptStats ++ fstats, constraints = m.constraints,
+              generated = m.generated), v0 + 1))
             throw new ConcurrentWriteException(
               s"merge computed against version $v0 of $root, but a concurrent " +
                 s"writer committed v${v0 + 1} first — recompute and retry")
@@ -1080,7 +1126,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       } else None
     if (!tryCommit(Manifest(m.schema, m.pcol, newEntries.toSeq, opName,
         m.cdfEnabled, chDir, m.statsCols, newStats.toSeq,
-        constraints = m.constraints), v0 + 1))
+        constraints = m.constraints, generated = m.generated), v0 + 1))
       throw new ConcurrentWriteException(
         s"$opName computed against version $v0 of $root, but a concurrent " +
           s"writer committed v${v0 + 1} first — recompute and retry")
@@ -1241,13 +1287,17 @@ object LakeTable {
       commitTsMs: Option[Long] = None,
       /** CHECK constraints (name → SQL boolean expr), enforced on every
        *  incoming batch. Name-ordered for deterministic manifests. */
-      constraints: Seq[(String, String)] = Nil)
+      constraints: Seq[(String, String)] = Nil,
+      /** GENERATED columns (col → SQL expr): computed when a batch omits
+       *  them, validated when it supplies them. Fixed at create time. */
+      generated: Seq[(String, String)] = Nil)
 
   /** DESCRIBE DETAIL row (Delta parity): current-snapshot facts. */
   final case class TableDetail(
       location: String, version: Long, numFiles: Long, sizeInBytes: Long,
       partitionColumns: Seq[String], statsColumns: Seq[String],
       changeFeedEnabled: Boolean, constraints: Map[String, String],
+      generatedColumns: Map[String, String],
       lastOperation: String, lastCommitTimestampMs: Option[Long])
 
   /** Conjunctive data-skipping predicate: `col` between `lo` and `hi`, both

@@ -753,6 +753,32 @@ object CoreQueries {
           CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice * 0.1 END AS o_discounted
         FROM orders ORDER BY o_orderkey""")),
 
+    // S16: GENERATED partition column (Delta `GENERATED ALWAYS AS`) — the
+    // ship-month partition key derives from the shipdate at write time, so
+    // the batch never carries it and partition pruning stays trustworthy.
+    // The partition-scoped read proves the generated values actually drive
+    // the Hive layout (a wrong generation would route rows to the wrong
+    // directory and the scoped read would miss them).
+    Q("s16_generated_partition", (s, d) => {
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_linenumber",
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+      val tbl = LakeTable(s, s"${tmp("graft_s16")}/t")
+      tbl.create(
+        li.schema.add("ship_month", org.apache.spark.sql.types.StringType),
+        partitionBy = Some("ship_month"),
+        generatedColumns = Map("ship_month" -> "date_format(l_shipdate, 'yyyy-MM')"))
+      tbl.append(li) // no ship_month in the batch: computed at write
+      tbl.readPartitions(Seq("1997-03", "1998-11"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_shipdate", "l_quantity")
+    },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+          l_shipdate, strftime(l_shipdate, '%Y-%m') AS ship_month
+        FROM lineitem
+        WHERE strftime(l_shipdate, '%Y-%m') IN ('1997-03', '1998-11')
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+          l_shipdate, l_quantity""")),
+
     Q("s8_merge_upsert", (s, d) => {
       val gb = GoldBuilder(s)
       val ev = t(s, d, "events")
