@@ -805,6 +805,60 @@ object ExtQueries {
         WHERE g.doc_id % 97 <> 0
         GROUP BY g.doc_id ORDER BY g.doc_id""")),
 
+    // FUZZY decontamination — cross-corpus MinHash-LSH between the training
+    // corpus and the held-out eval set, then EXACT Jaccard verification of
+    // the banded candidates: catches paraphrased/near-duplicate
+    // contamination that exact n-gram overlap (x28) misses. The eval side's
+    // banded signatures broadcast (tiny by nature); the corpus side stays a
+    // narrow scan + hash probe — never an all-pairs product. The set
+    // sketches ride the band explode so no second pass recomputes them.
+    Q("x35_decontaminate_fuzzy", (s, d) => {
+      val docs = t(s, d, "documents")
+      def prep(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+          TS.minhashShingleSig(TF.tokens(TF.normalizeText(col("text"))), 3, K).as("mh"),
+          TS.shingleHashSet(TF.tokens(TF.normalizeText(col("text"))), 3).as("sh"))
+        .filter(size(col("mh")) > 0)
+      def banded(df: org.apache.spark.sql.DataFrame, idAs: String, shAs: String) =
+        df.select(col("doc_id").as(idAs), col("sh").as(shAs),
+          explode(array((0 until BANDS).map(b => struct(lit(b).as("band"),
+            element_at(col("mh"), b * ROWS_PER_BAND + 1).as("h0"),
+            element_at(col("mh"), b * ROWS_PER_BAND + 2).as("h1"))): _*)).as("bd"))
+        .select(col(idAs), col(shAs), col("bd.band").as("band"),
+          col("bd.h0").as("h0"), col("bd.h1").as("h1"))
+      val evalB = banded(prep(docs.filter(col("doc_id") % 13 === 11)),
+        "eval_doc_id", "sh_e")
+      val trainB = banded(prep(docs.filter(col("doc_id") % 13 =!= 11)),
+        "doc_id", "sh_t")
+      trainB.join(broadcast(evalB), Seq("band", "h0", "h1"))
+        .select(col("doc_id"), col("eval_doc_id"),
+          TS.jaccardSorted(col("sh_t"), col("sh_e")).as("jaccard"))
+        .distinct() // same pair from several agreeing bands → identical rows
+        .filter(col("jaccard") >= 0.3)
+        .orderBy("doc_id", "eval_doc_id")
+    },
+      Some(s"""WITH shg AS (
+          SELECT doc_id, ${TF.wordShinglesSql("text", 3)} AS sh FROM documents),
+        hs AS (
+          SELECT doc_id, ${Dedup.shingleHashesSql("sh")} AS hs
+          FROM shg WHERE len(sh) > 0),
+        sigs AS (
+          SELECT doc_id, ${Dedup.minhashFromHashesSql("hs", K)} AS mh FROM hs),
+        sets AS (SELECT doc_id, list_sort(list_distinct(hs)) AS shs FROM hs),
+        bands AS (
+          SELECT doc_id, b AS band, mh[2*b+1] AS h0, mh[2*b+2] AS h1
+          FROM sigs, (SELECT unnest([0,1,2,3]) AS b) bb),
+        cand AS (
+          SELECT DISTINCT t.doc_id AS doc_id, e.doc_id AS eval_doc_id
+          FROM bands t JOIN bands e
+            ON t.band = e.band AND t.h0 = e.h0 AND t.h1 = e.h1
+          WHERE t.doc_id % 13 <> 11 AND e.doc_id % 13 = 11)
+        SELECT c.doc_id AS doc_id, c.eval_doc_id AS eval_doc_id,
+          ${Dedup.jaccardSql("st.shs", "se.shs")} AS jaccard
+        FROM cand c JOIN sets st ON c.doc_id = st.doc_id
+                    JOIN sets se ON c.eval_doc_id = se.doc_id
+        WHERE ${Dedup.jaccardSql("st.shs", "se.shs")} >= 0.3
+        ORDER BY c.doc_id, c.eval_doc_id""")),
+
     // SEQUENCE PACKING — concat-then-chunk assignment of documents to fixed
     // 1024-token training sequences, the step between curation and batch
     // assembly. Packing state is a running token count per source stream, so
