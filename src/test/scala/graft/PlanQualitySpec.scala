@@ -153,6 +153,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  // whole-stage codegen renders as a `*(n)` stage prefix in executedPlan
+  test("regex token counting and punct ratio stay inside whole-stage codegen") {
+    val df = t(spark, sfDir, "documents").select(
+      col("doc_id"),
+      graft.functions.TextFunctions.bpeishTokenCount(col("text")).as("n"),
+      graft.functions.TextFunctions.punctRatio(col("text")).as("p"))
+    val plan = planOf(df)
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
+  test("native sketch kernels participate in whole-stage codegen") {
+    val df = t(spark, sfDir, "documents").select(
+      graft.expressions.TextSketches.shingleHashSet(
+        graft.functions.TextFunctions.tokens(col("text")), 3).as("sh"))
+    val plan = planOf(df)
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
   test("custom-state sessionization plans the arbitrary-state operator, one key shuffle") {
     val df = SparkEntry.queries("w_custom_state")(spark, sfDir)
     val plan = planOf(df).split("== Initial Plan ==").head
