@@ -889,6 +889,43 @@ object ExtQueries {
           (cum - n_tokens) % 1024 AS tok_offset
         FROM c ORDER BY doc_id""")),
 
+    // SEQUENCE MATERIALIZATION — assemble x29's packed sequences into the
+    // actual training-sequence payloads: documents of one (source, seq_id)
+    // bin concatenated in doc_id order. The comparison carries the md5 of
+    // each assembled payload, so the oracle proves byte-identical assembly
+    // (order included) without shipping megabytes of packed text through
+    // the compare. One exchange for the window + one for the group-by —
+    // both on the same (source-dominated) keys.
+    Q("x36_pack_materialize", (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"),
+          TF.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("seq_id", expr("(cum - n_tokens) div 1024"))
+        .groupBy("source", "seq_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens_total"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            p => p.getField("text")), "\n")).as("packed_md5"))
+        .orderBy("source", "seq_id")
+    },
+      Some(s"""WITH c AS (
+          SELECT doc_id, source, text, ${TF.tokenCountSql("text")} AS n_tokens,
+            CAST(SUM(${TF.tokenCountSql("text")}) OVER (
+              PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM documents)
+        SELECT source, (cum - n_tokens) // 1024 AS seq_id,
+          COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
+          md5(string_agg(text, chr(10) ORDER BY doc_id)) AS packed_md5
+        FROM c GROUP BY source, (cum - n_tokens) // 1024
+        ORDER BY source, seq_id""")),
+
     // DATA-MIXTURE SAMPLING — resample the corpus so per-source counts hit
     // target mixture weights (here: sources ≥ src10 weighted 3×), taking the
     // LARGEST feasible corpus under rate ≤ 1: λ = min_s(n_s / w_s), target_s
