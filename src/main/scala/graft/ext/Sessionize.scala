@@ -139,8 +139,14 @@ object Sessionize extends Serializable {
         st.open match {
           case Some(o) =>
             state.update(st)
-            // fire once the watermark clock passes the session's quiet gap
-            state.setTimeoutTimestamp(Math.floorDiv(o.lastUs + gapUs, 1000L))
+            // fire once the watermark clock passes the session's quiet gap;
+            // a session already expired relative to the watermark (boundary-
+            // late events) still needs a FUTURE timestamp — Spark rejects
+            // timeouts at or before the current watermark — so clamp to
+            // watermark+1ms and let the next micro-batch flush it
+            state.setTimeoutTimestamp(Math.max(
+              Math.floorDiv(o.lastUs + gapUs, 1000L),
+              state.getCurrentWatermarkMs() + 1L))
           case None => state.remove()
         }
         closed.iterator

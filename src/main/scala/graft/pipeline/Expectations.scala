@@ -67,6 +67,7 @@ object Expectations {
    *  same source — no shuffle, no second evaluation of upstream plans
    *  beyond the shared scan. */
   def quarantine(df: DataFrame, rules: Map[String, String]): (DataFrame, DataFrame) = {
+    require(rules.nonEmpty, "quarantine needs at least one rule")
     val ordered = rules.toSeq.sortBy(_._1) // Map order is not deterministic
     val failCond = ordered.map { case (_, e) => !coalesce(expr(e), lit(false)) }
       .reduce(_ || _)
