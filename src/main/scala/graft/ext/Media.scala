@@ -134,7 +134,7 @@ object Media {
 
   /** Encode an RGB raster as binary PPM (P6). */
   def encodePpm(img: PpmImage): Array[Byte] = {
-    require(img.pixels.length == img.width * img.height * 3,
+    require(img.pixels.length.toLong == img.width.toLong * img.height * 3,
       s"raster ${img.pixels.length} != ${img.width}x${img.height}x3")
     s"P6\n${img.width} ${img.height}\n255\n"
       .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ img.pixels
@@ -173,8 +173,12 @@ object Media {
     val maxval = token().toInt
     if (maxval != 255) fail(s"unsupported maxval $maxval")
     i += 1 // exactly ONE whitespace byte separates maxval from the raster
-    val expected = w * h * 3
-    if (bytes.length - i != expected)
+    // Long math: a crafted header like 65536x65536 overflows w*h*3 in Int,
+    // letting the length check pass with a wrong-sized raster — bound dims
+    // and compare in Long so malformed payloads throw, never decode short
+    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) fail(s"bad dims ${w}x$h")
+    val expected = w.toLong * h * 3
+    if ((bytes.length - i).toLong != expected)
       fail(s"raster has ${bytes.length - i} bytes, expected $expected")
     PpmImage(w, h, java.util.Arrays.copyOfRange(bytes, i, bytes.length))
   }
@@ -220,7 +224,7 @@ object Media {
           sb += img.pixels(p + 2) & 0xff
           p += 3
         }
-        val n = (img.width * img.height).toLong
+        val n = img.width.toLong * img.height
         PpmFeatures(r.media_id, img.width, img.height, n, r.content.length.toLong,
           sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
       }

@@ -74,7 +74,10 @@ object Sessionize extends Serializable {
           close(o)
           st = st.copy(open = Some(OpenSession(us, us, 1L, e.value)))
         case Some(o) =>
-          st = st.copy(open = Some(OpenSession(o.startUs, us,
+          // max, not us: a cross-micro-batch event above the watermark but
+          // older than the open session's last event must only add to
+          // cnt/maxValue — never regress the session end or the gap anchor
+          st = st.copy(open = Some(OpenSession(o.startUs, math.max(o.lastUs, us),
             o.cnt + 1, math.max(o.maxValue, e.value))))
         case None =>
           st = st.copy(open = Some(OpenSession(us, us, 1L, e.value)))

@@ -278,14 +278,20 @@ final class LakeTable private (val spark: SparkSession, val root: String,
   def addCheckConstraint(name: String, expression: String): Unit = synchronized {
     require(exists, s"LakeTable at $root does not exist")
     require(name.nonEmpty && !name.contains(':'), s"bad constraint name $name")
-    val bad = read.filter(!coalesce(expr(expression), lit(false))).limit(1).count()
-    require(bad == 0,
-      s"cannot add CHECK constraint $name ($expression): existing rows violate it")
+    // validation runs INSIDE the commit loop against the exact snapshot the
+    // constraint commit lands on top of: a concurrent append racing this add
+    // loses the CAS, we re-read the grown snapshot and re-validate it — no
+    // check-then-commit window where unvalidated data slips under an active
+    // constraint (mirrors Delta's metadata-conflict detection)
     commitWithRetry { () =>
       val v = currentVersion
       val cur = readManifest(v)
       require(!cur.constraints.exists(_._1 == name),
         s"constraint $name already exists")
+      val bad = readScoped(cur, None)
+        .filter(!coalesce(expr(expression), lit(false))).limit(1).count()
+      require(bad == 0,
+        s"cannot add CHECK constraint $name ($expression): existing rows violate it")
       (cur.copy(op = "constraint", cdfDir = None, commitTsMs = None,
         constraints = cur.constraints :+ (name -> expression)), v + 1)
     }
@@ -383,10 +389,21 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       part.map(_.withColumn(CommitVersionCol, lit(v))
         .withColumn(CommitTimestampCol, commitTs))
     }
-    parts.reduceOption(_ unionByName _).getOrElse(
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        feedSchema.add(CommitVersionCol, org.apache.spark.sql.types.LongType, nullable = false)
-          .add(CommitTimestampCol, org.apache.spark.sql.types.TimestampType)))
+    val outSchema = feedSchema
+      .add(CommitVersionCol, org.apache.spark.sql.types.LongType, nullable = false)
+      .add(CommitTimestampCol, org.apache.spark.sql.types.TimestampType)
+    // Serve the whole range under the LATEST schema (Delta's contract for
+    // CDF across additive evolution): parts committed before a mergeSchema
+    // append are projected to the current feed schema with NULLs for the
+    // columns that didn't exist yet, instead of failing the union.
+    def conform(df: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      df.select(outSchema.fields.toIndexedSeq.map { f =>
+        if (have(f.name)) col(f.name) else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }
+    parts.map(conform).reduceOption(_ unionByName _).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema))
   }
 
   /** Partition-pruned read of only the given partition values. */
@@ -797,6 +814,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     }
     pcol.foreach(p => require(df.columns.contains(p),
       s"append batch is missing the partition column $p"))
+    val validatedConstraints = m0.map(_.constraints).getOrElse(Nil).toSet
     val (dir, owned, fstats) = writeData(df, pcol, scols)
     // a lost race re-reads the entry list and re-commits — the data dir is
     // already written, so append retries are manifest-only (no lost updates)
@@ -807,6 +825,12 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         // in between would make us publish a stale entry list one slot later
         val v = currentVersion
         val cur = readManifest(v)
+        // a concurrent addCheckConstraint may have landed after the
+        // pre-write validation: re-enforce any constraint we did not
+        // validate against, so the published table never carries data that
+        // violates an active constraint (Delta's metadata-conflict rule)
+        val unvalidated = cur.constraints.filterNot(validatedConstraints)
+        if (unvalidated.nonEmpty) enforceConstraints(df, unvalidated)
         (Manifest(reconcileSchema(cur.schema, df.schema, mergeSchema), pcol,
           cur.entries :+ DirEntry(dir, owned), "append",
           cur.cdfEnabled, statsCols = cur.statsCols,
@@ -844,6 +868,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         }
       else df
     val (dir, owned, fstats) = writeData(df1, pcol, scols, preclustered)
+    val validatedConstraints = cur.map(_.constraints).getOrElse(Nil).toSet
     val m = Manifest(df1.schema, pcol, Seq(DirEntry(dir, owned)), op,
       cur.exists(_.cdfEnabled), cdfDir, statsCols = scols, fileStats = fstats,
       constraints = cur.map(_.constraints).getOrElse(Nil),
@@ -856,7 +881,19 @@ final class LakeTable private (val spark: SparkSession, val root: String,
               s"writer committed v${v + 1} first — recompute and retry")
       case None =>
         commitWithRetry { () =>
-          (m, if (exists) currentVersion + 1 else 0L)
+          if (exists) {
+            // re-derive table metadata from the THEN-CURRENT manifest: a
+            // constraint or generated column added after our pre-write
+            // snapshot must survive this overwrite (not be clobbered by the
+            // stale copy) and be enforced on the data we are publishing
+            val v = currentVersion
+            val c = readManifest(v)
+            val unvalidated = c.constraints.filterNot(validatedConstraints)
+            if (op == "overwrite" && unvalidated.nonEmpty)
+              enforceConstraints(df1, unvalidated)
+            (m.copy(cdfEnabled = c.cdfEnabled, constraints = c.constraints,
+              generated = c.generated), v + 1)
+          } else (m, 0L)
         }
     }
   }

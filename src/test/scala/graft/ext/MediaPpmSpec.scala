@@ -33,6 +33,12 @@ class MediaPpmSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Media.decodePpm("P6\n1 1\n65535\n".getBytes ++ new Array[Byte](6)))
     intercept[IllegalArgumentException](Media.decodePpm("P6\n1".getBytes))  // truncated
+    // crafted dims whose w*h*3 overflows Int (65536*65536*3 ≡ 0 mod 2^32):
+    // must throw on the header, never pass the length check with a tiny raster
+    intercept[IllegalArgumentException](
+      Media.decodePpm("P6\n65536 65536\n255\n".getBytes))
+    intercept[IllegalArgumentException](
+      Media.decodePpm("P6\n-1 4\n255\n".getBytes ++ new Array[Byte](12)))
   }
 
   test("nearest-neighbor resize picks the exact source pixels") {

@@ -135,6 +135,29 @@ class SessionizeSpec extends SparkSpec {
     }
   }
 
+  test("a boundary-late cross-chunk event never regresses the open session end") {
+    val gapUs = 5L * 60 * 1000000
+    val base = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def ev(offsetSec: Int, id: Long) =
+      Sessionize.Event(1L, new Timestamp(base + offsetSec * 1000L), 1.0, id)
+    // chunk 1 ends with an open session whose last event is t=120s
+    val (st1, c1) = Sessionize.foldEvents(1L, Sessionize.SessState(0L, None),
+      Iterator(ev(0, 1), ev(120, 2)), gapUs, Int.MaxValue)
+    assert(c1.isEmpty && st1.open.get.cnt == 2L)
+    val endAfterChunk1 = st1.open.get.lastUs
+    // chunk 2 delivers an event OLDER than the open session's last event
+    // (above the watermark, out of order across micro-batches): it must add
+    // to cnt but never move the session end / gap anchor backward
+    val (st2, c2) = Sessionize.foldEvents(1L, st1, Iterator(ev(60, 3)), gapUs, Int.MaxValue)
+    assert(c2.isEmpty)
+    assert(st2.open.get.cnt == 3L)
+    assert(st2.open.get.lastUs == endAfterChunk1)
+    // and the gap anchor still closes relative to t=120s, not t=60s
+    val (st3, c3) = Sessionize.foldEvents(1L, st2,
+      Iterator(ev(120 + 299, 4)), gapUs, Int.MaxValue) // 299s later: same session
+    assert(c3.isEmpty && st3.open.get.cnt == 4L)
+  }
+
   test("matches the declarative session_window when the cap never binds") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(

@@ -101,6 +101,26 @@ class ChangeFeedSpec extends SparkSpec {
     assert(t.read.count() == 2)
   }
 
+  test("CDF range spanning additive schema evolution reads under the latest schema") {
+    val t = cdfTable("cdf_evolve")
+    t.append(Seq((1L, "a", 1)).toDF("k", "v", "seq"))                    // v1: old schema
+    t.append(Seq((2L, "b", 1, 9.5)).toDF("k", "v", "seq", "score"),
+      mergeSchema = true)                                                // v2: adds score
+    t.merge(Seq((1L, "a2", 2, 1.5)).toDF("k", "v", "seq", "score"),
+      Seq("k"), Some("s.seq >= t.seq"))                                  // v3: update
+    val cdf = t.readChangeFeed(0)
+    // served under the LATEST schema: score present everywhere, NULL for
+    // rows committed before the column existed
+    assert(cdf.columns.contains("score"))
+    val rows = cdf.orderBy("_commit_version", "k", "_change_type")
+      .select(col("k"), col("_commit_version"), col("score"))
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(rows == Seq(
+      (1L, 1L, None),                                   // v1 insert, pre-evolution
+      (2L, 2L, Some(9.5)),                              // v2 insert carries score
+      (1L, 3L, Some(1.5)), (1L, 3L, None)))             // post/pre images
+  }
+
   test("vacuum keeps referenced change dirs, drops aged ones") {
     val t = cdfTable("cdf_vacuum")
     t.merge(Seq((1L, "a", 1)).toDF("k", "v", "seq"), Seq("k"))           // v1

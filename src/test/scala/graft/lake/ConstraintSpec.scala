@@ -109,4 +109,37 @@ class ConstraintSpec extends SparkSpec {
     t.readStream // must not throw
     intercept[IllegalArgumentException](t.dropCheckConstraint("nope"))
   }
+
+  test("racing addCheckConstraint vs violating append never publishes both") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    // check-then-commit race: a constraint add and an append of data that
+    // violates it race on the manifest CAS from SEPARATE instances (no
+    // shared monitor). Whoever commits first must make the other fail its
+    // re-validation — the published table may carry the constraint OR the
+    // violating rows, never both.
+    (1 to 5).foreach { round =>
+      val root = s"${tmpDir(s"ck_race$round")}/t"
+      LakeTable(spark, root).append(Seq((1L, 5.0)).toDF("k", "v")) // clean seed
+      val pool = Executors.newFixedThreadPool(2)
+      val start = new CountDownLatch(1)
+      def submit(body: => Unit) = pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = {
+          start.await()
+          try { body; true }
+          catch { case _: IllegalArgumentException | _: ConcurrentWriteException => false }
+        }
+      })
+      val appendOk = submit(LakeTable(spark, root).append(Seq((2L, -1.0)).toDF("k", "v")))
+      val addOk = submit(LakeTable(spark, root).addCheckConstraint("v_pos", "v > 0"))
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+      assert(!(appendOk.get() && addOk.get()), s"round $round: both writers won")
+      val t = LakeTable(spark, root)
+      val hasConstraint = t.checkConstraints.contains("v_pos")
+      val badRows = t.read.filter(col("v") <= 0).count()
+      assert(!(hasConstraint && badRows > 0),
+        s"round $round: constraint active over $badRows violating rows")
+    }
+  }
 }
