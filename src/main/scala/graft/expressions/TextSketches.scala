@@ -180,6 +180,58 @@ object SketchKernels {
     new GenericArrayData(out)
   }
 
+  /** BOTH sketch forms in ONE md5 pass over the shingle stream:
+   *  struct(mh = [[minhashShingleSig]], sh = [[shingleHashSet]]). The MD5
+   *  digest per shingle dominates both kernels, so pipelines that need the
+   *  banded signature AND the exact-verification set (x19, x35) halve their
+   *  hot-path cost by sketching once. Outputs are BIT-IDENTICAL to the two
+   *  separate kernels (pinned in `TextSketchSpec`). */
+  def minhashAndShingleSet(tokens: ArrayData, n: Int, k: Int)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val numTok = tokens.numElements()
+    if (numTok == 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](new GenericArrayData(Array.empty[Long]),
+          new GenericArrayData(Array.empty[Long])))
+    val cnt = math.max(numTok - (n - 1), 1)
+    val md = md5.get()
+    val mins = Array.fill(k)(Long.MaxValue)
+    val as = Array.tabulate(k)(affineA)
+    val bs = Array.tabulate(k)(affineB)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < cnt) {
+      md.reset()
+      var j = 0
+      var first = true
+      while (j < n) {
+        val idx = i + j
+        if (idx < numTok && !tokens.isNullAt(idx)) {
+          if (!first) md.update(' '.toByte)
+          md.update(tokens.getUTF8String(idx).getBytes)
+          first = false
+        }
+        j += 1
+      }
+      val h = h60(md.digest())
+      set.add(h)
+      val hm = h % MinhashMod
+      var q = 0
+      while (q < k) {
+        val v = (as(q) * hm + bs(q)) % MinhashP
+        if (v < mins(q)) mins(q) = v
+        q += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new GenericArrayData(mins), new GenericArrayData(out)))
+  }
+
   /** Exact Jaccard of two SORTED distinct int64 arrays via a single merge
    *  walk — O(|a|+|b|), no per-pair array allocation. Arithmetic mirrors
    *  `Dedup.jaccardSql`: inter / max(|a|+|b|-inter, 1). */
@@ -282,6 +334,39 @@ case class ShingleHashSet(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "shingle_hash_set"
 }
 
+/** Column expression: both sketch forms in one compiled pass —
+ *  struct(mh: ARRAY<BIGINT>, sh: ARRAY<BIGINT>) per
+ *  [[SketchKernels.minhashAndShingleSet]]. */
+case class ShingleSketch(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+
+  require(n >= 1 && k >= 1 && k <= 64, s"shingle_sketch: bad n=$n / k=$k")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField(
+      "mh", ArrayType(LongType, containsNull = false), nullable = false),
+    org.apache.spark.sql.types.StructField(
+      "sh", ArrayType(LongType, containsNull = false), nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_sketch expects ARRAY<STRING> tokens, got $other")
+  }
+
+  override def nullSafeEval(tokens: Any): Any =
+    SketchKernels.minhashAndShingleSet(tokens.asInstanceOf[ArrayData], n, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.SketchKernels.minhashAndShingleSet($c, $n, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_sketch"
+}
+
 /** Column expression: exact Jaccard of two sorted distinct int64 arrays
  *  (see [[SketchKernels.jaccardSorted]]). Inputs MUST be sorted — pair with
  *  [[ShingleHashSet]], which emits sorted sets by construction. */
@@ -328,6 +413,11 @@ object TextSketches {
   def shingleHashSet(tokens: Column, n: Int): Column =
     GraftColumnBridge.column(
       ShingleHashSet(GraftColumnBridge.expression(tokens), n))
+
+  /** Column-API entry: struct(mh, sh) — signature + set in one md5 pass. */
+  def shingleSketch(tokens: Column, n: Int, k: Int): Column =
+    GraftColumnBridge.column(
+      ShingleSketch(GraftColumnBridge.expression(tokens), n, k))
 
   /** Column-API entry: exact Jaccard of two sorted distinct hash sets. */
   def jaccardSorted(a: Column, b: Column): Column =

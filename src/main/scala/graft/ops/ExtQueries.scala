@@ -79,10 +79,13 @@ object ExtQueries {
     // the same math ran interpreted per element and owned 23% of the bench.
     Q("x2_dedup_minhash_lsh", (s, d) => {
       // persist the signature: the self-join + two enrich joins reuse it.
+      // text-non-null ≡ size(mh)>0 (split(trim(s)) is never empty for
+      // non-null s); the cheap form pushes to the scan instead of
+      // duplicating the minhash kernel into a pushed Filter
       val sig = t(s, d, "documents")
+        .filter(col("text").isNotNull)
         .select(col("doc_id"),
           TS.minhashShingleSig(TF.tokens(TF.normalizeText(col("text"))), 3, K).as("mh"))
-        .filter(size(col("mh")) > 0)
         .persist()
       val cand = Dedup.lshCandidatePairs(sig, "doc_id", "mh", BANDS, ROWS_PER_BAND)
       cand
@@ -244,11 +247,12 @@ object ExtQueries {
     Q("x19_dedup_corpus", (s, d) => {
       val docs = t(s, d, "documents")
       val toks = TF.tokens(TF.normalizeText(col("text")))
-      // one pass computes BOTH sketch forms; persisted for the three joins
-      val sig = docs.select(col("doc_id"),
-          TS.minhashShingleSig(toks, 3, K).as("mh"),
-          TS.shingleHashSet(toks, 3).as("sh"))
-        .filter(size(col("mh")) > 0)
+      // one pass computes BOTH sketch forms; persisted for the three joins.
+      // text-non-null ≡ size(mh)>0 here, and the cheap form pushes to the
+      // scan instead of duplicating the kernel into a pushed Filter
+      val sig = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), TS.shingleSketch(toks, 3, K).as("sk"))
+        .select(col("doc_id"), col("sk.mh").as("mh"), col("sk.sh").as("sh"))
         .persist()
       val cand = Dedup.lshCandidatePairs(sig, "doc_id", "mh", BANDS, ROWS_PER_BAND)
       val verified = cand
@@ -814,10 +818,18 @@ object ExtQueries {
     // sketches ride the band explode so no second pass recomputes them.
     Q("x35_decontaminate_fuzzy", (s, d) => {
       val docs = t(s, d, "documents")
-      def prep(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
-          TS.minhashShingleSig(TF.tokens(TF.normalizeText(col("text"))), 3, K).as("mh"),
-          TS.shingleHashSet(TF.tokens(TF.normalizeText(col("text"))), 3).as("sh"))
-        .filter(size(col("mh")) > 0)
+      // ONE compiled sketch pass per row: signature + verification set share
+      // the md5-per-shingle stream instead of each recomputing it. The
+      // no-shingles guard is `text IS NOT NULL` — equivalent to
+      // `size(mh) > 0` (split(trim(s)) is never empty for non-null s) but
+      // CHEAP, so predicate pushdown lands it in the scan instead of
+      // duplicating the sketch kernel into a pushed Filter (PlanQualitySpec
+      // pins one kernel per side).
+      def prep(df: org.apache.spark.sql.DataFrame) = df
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          TS.shingleSketch(TF.tokens(TF.normalizeText(col("text"))), 3, K).as("sk"))
+        .select(col("doc_id"), col("sk.mh").as("mh"), col("sk.sh").as("sh"))
       def banded(df: org.apache.spark.sql.DataFrame, idAs: String, shAs: String) =
         df.select(col("doc_id").as(idAs), col("sh").as(shAs),
           explode(array((0 until BANDS).map(b => struct(lit(b).as("band"),

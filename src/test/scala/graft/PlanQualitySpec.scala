@@ -139,6 +139,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("fuzzy decontamination broadcasts banded eval signatures; corpus never shuffles pre-join") {
+    val df = SparkEntry.queries("x35_decontaminate_fuzzy")(spark, sfDir)
+    val plan = planOf(df).split("== Initial Plan ==").head
+    // the 100 TB training side probes a broadcast of the (tiny) banded eval
+    // side — a sort-merge or cartesian here is a scale killer
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // one combined sketch kernel per side — the signature and the
+    // verification set must NOT be computed by two separate md5 passes
+    assert("shingle_sketch".r.findAllIn(plan).size == 2, plan)
+    assert(!plan.contains("minhash_signature"), plan)
+  }
+
   test("sequence packing exchanges once on the source key (plus the output sort)") {
     val df = SparkEntry.queries("x29_pack_sequences")(spark, sfDir)
     val plan = planOf(df).split("== Initial Plan ==").head

@@ -135,6 +135,26 @@ class TextSketchSpec extends SparkSpec {
     assert(got == Seq(Some(0.5), Some(0.0), Some(0.0), Some(1.0), None))
   }
 
+  test("shingle_sketch == (minhash_signature, shingle_hash_set) in one pass") {
+    val docs = t(spark, sfDir, "documents").select(col("text"))
+      .unionByName(edgeDocs.toDF("text"))
+    for ((n, k) <- Seq((2, 8), (3, 8), (3, 16))) {
+      val toks = TF.tokens(TF.normalizeText(col("text")))
+      val diff = docs.select(
+          TextSketches.shingleSketch(toks, n, k).as("sk"),
+          TextSketches.minhashShingleSig(toks, n, k).as("mh"),
+          TextSketches.shingleHashSet(toks, n).as("sh"))
+        .filter(col("sk.mh") =!= col("mh") || col("sk.sh") =!= col("sh"))
+        .count()
+      assert(diff == 0, s"combined kernel diverges at n=$n k=$k")
+    }
+    // null tokens → null struct (UnaryExpression null propagation)
+    val nulls = Seq[Option[Seq[String]]](None).toDF("toks")
+      .select(TextSketches.shingleSketch(col("toks"), 3, 8).as("sk"))
+      .collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("participates in whole-stage codegen") {
     val docs = t(spark, sfDir, "documents")
     val toks = TF.tokens(TF.normalizeText(col("text")))
