@@ -142,8 +142,11 @@ final class LakeTable private (val spark: SparkSession, val root: String,
           b64d(c) -> ((b64d(mn), b64d(mx)))
         }.toMap)
     }.toSeq
+    val deleteVectors = lines.collect {
+      case l if l.startsWith("dv=") => l.stripPrefix("dv=")
+    }.toSeq
     Manifest(schema, pcol, entries, op, cdfEnabled, cdfDir, statsCols, fileStats,
-      commitTsMs, constraints, generated)
+      commitTsMs, constraints, generated, deleteVectors)
   }
 
   private def manifest: Manifest = readManifest(currentVersion)
@@ -171,7 +174,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     require(exists, s"LakeTable at $root does not exist")
     require(v >= 0 && v <= currentVersion, s"version $v out of range [0, $currentVersion]")
     val m = readManifest(v)
-    val missing = m.entries.map(_.dir).filterNot(d => Files.isDirectory(Paths.get(root, d)))
+    val missing = (m.entries.map(_.dir) ++ m.deleteVectors)
+      .filterNot(d => Files.isDirectory(Paths.get(root, d)))
     require(missing.isEmpty,
       s"version $v has been vacuumed (missing ${missing.mkString(", ")})")
     readScoped(m, None)
@@ -200,7 +204,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     require(v >= 0 && v <= currentVersion,
       s"version $v out of range [0, $currentVersion]")
     val m = readManifest(v)
-    val missing = m.entries.map(_.dir)
+    val missing = (m.entries.map(_.dir) ++ m.deleteVectors)
       .filterNot(d => Files.isDirectory(Paths.get(root, d)))
     require(missing.isEmpty,
       s"cannot restore to vacuumed version $v (missing ${missing.mkString(", ")})")
@@ -210,7 +214,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       (Manifest(m.schema, m.pcol, m.entries, "restore",
         cdfEnabled = curM.cdfEnabled, statsCols = m.statsCols,
         fileStats = m.fileStats, constraints = m.constraints,
-        generated = m.generated), cur + 1)
+        generated = m.generated, deleteVectors = m.deleteVectors), cur + 1)
     }
   }
 
@@ -229,8 +233,11 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     val dst = new LakeTable(spark, targetRoot, clock)
     require(!dst.exists, s"clone target $targetRoot already exists")
     Files.createDirectories(Paths.get(targetRoot))
-    m.entries.foreach { e =>
-      listParquet(Paths.get(root, e.dir)).foreach { src =>
+    // deletion vectors ride along: coordinates are root-RELATIVE, and the
+    // clone links the data files under the same relative layout, so the
+    // vectors address the clone's rows exactly
+    (m.entries.map(_.dir) ++ m.deleteVectors).foreach { d =>
+      listParquet(Paths.get(root, d)).foreach { src =>
         val rel = Paths.get(root).relativize(src)
         val dstFile = Paths.get(targetRoot).resolve(rel)
         Files.createDirectories(dstFile.getParent)
@@ -240,7 +247,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     require(dst.tryCommit(Manifest(m.schema, m.pcol, m.entries, "clone",
       cdfEnabled = m.cdfEnabled, statsCols = m.statsCols,
       fileStats = m.fileStats, constraints = m.constraints,
-      generated = m.generated), 0L),
+      generated = m.generated, deleteVectors = m.deleteVectors), 0L),
       s"clone target $targetRoot was created concurrently")
     dst
   }
@@ -439,9 +446,12 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       val disowned = m.pcol.isDefined && e.owned.exists(_.isEmpty)
       if (kept.isEmpty || disowned) None
       else {
-        val scan = spark.read.schema(m.schema)
+        val scan0 = spark.read.schema(m.schema)
           .option("basePath", s"$root/${e.dir}")
           .parquet(kept.map(f => s"$root/$f"): _*)
+        // zone maps stay sound under deletion vectors (they only remove
+        // rows), but the surviving files must still drop their dead rows
+        val scan = if (m.deleteVectors.isEmpty) scan0 else rowIdCols(scan0)
         // partitioned dirs still honor manifest ownership (a dir keeps files
         // for partitions it no longer owns until vacuum)
         val ownedFiltered = (m.pcol, e.owned) match {
@@ -454,7 +464,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       }
     }
     if (scans.isEmpty) empty
-    else scans.reduce(_ unionByName _).select(m.schema.fieldNames.map(col).toSeq: _*)
+    else antiJoinDeleteVectors(scans.reduce(_ unionByName _), m)
+      .select(m.schema.fieldNames.map(col).toSeq: _*)
   }
 
   /** Introspection for [[readWhere]]: (files read, files skipped) under the
@@ -500,30 +511,72 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       !aboveMax && !belowMin
     }
 
-  private def readScoped(m: Manifest, scope: Option[Set[String]]): DataFrame = {
+  private def readScoped(m: Manifest, scope: Option[Set[String]]): DataFrame =
+    readScopedRows(m, scope, withRowIds = false)
+      .select(m.schema.fieldNames.map(col).toSeq: _*)
+
+  /** Root-relative path + in-file row index of every scanned row — the
+   *  coordinates deletion vectors address rows by. Hadoop renders
+   *  `_metadata.file_path` as `file:` + absolute path (single slash). */
+  private def rowIdCols(df: DataFrame): DataFrame = {
+    val prefix = "file:" + Paths.get(root).toAbsolutePath.normalize.toString + "/"
+    df.withColumn(DvFileCol,
+        expr(s"substring(_metadata.file_path, ${prefix.length + 1})"))
+      .withColumn(DvPosCol, col("_metadata.row_index"))
+  }
+
+  /** Snapshot rows of `m` (optionally partition-scoped), with logically
+   *  deleted rows anti-joined out against the manifest's deletion vectors.
+   *  `withRowIds = true` keeps [[DvFileCol]]/[[DvPosCol]] on the output
+   *  (the merge-on-read DELETE write path needs the coordinates); callers
+   *  re-project to `m.schema` either way. The DV side is broadcast: it is
+   *  sized by deleted-row count, not table size — tables accumulating
+   *  large vectors compact (which materializes and clears them). */
+  private def readScopedRows(m: Manifest, scope: Option[Set[String]],
+      withRowIds: Boolean): DataFrame = {
     def empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
-    m.pcol match {
+    val needIds = withRowIds || m.deleteVectors.nonEmpty
+    def attach(df: DataFrame): DataFrame = if (needIds) rowIdCols(df) else df
+    val base: Option[DataFrame] = m.pcol match {
       case None =>
-        if (m.entries.isEmpty) empty
-        else spark.read.schema(m.schema).parquet(m.entries.map(e => s"$root/${e.dir}"): _*)
+        if (m.entries.isEmpty) None
+        else Some(attach(spark.read.schema(m.schema)
+          .parquet(m.entries.map(e => s"$root/${e.dir}"): _*)))
       case Some(p) =>
         val dt = m.schema(p).dataType
         val scans = m.entries.flatMap { e =>
           val owned = e.owned.getOrElse(Nil)
           val visible = scope.fold(owned)(s => owned.filter(s))
           if (visible.isEmpty) None
-          else Some(
+          else Some(attach(
             spark.read.schema(m.schema)
               .option("basePath", s"$root/${e.dir}")
-              .parquet(s"$root/${e.dir}")
+              .parquet(s"$root/${e.dir}"))
               // equality OR-chain on the partition column → Spark prunes
               // non-owned subdirectories at planning time
               .filter(visible.map(v => col(p) === lit(v).cast(dt)).reduce(_ || _)))
         }
-        if (scans.isEmpty) empty
-        else scans.reduce(_ unionByName _).select(m.schema.fieldNames.map(col).toSeq: _*)
+        scans.reduceOption(_ unionByName _)
+    }
+    base match {
+      case None =>
+        if (withRowIds)
+          empty.withColumn(DvFileCol, lit(null).cast("string"))
+            .withColumn(DvPosCol, lit(null).cast("long"))
+        else empty
+      case Some(df) => antiJoinDeleteVectors(df, m)
     }
   }
+
+  /** Filter logically deleted rows out of a scan carrying row-id columns. */
+  private def antiJoinDeleteVectors(df: DataFrame, m: Manifest): DataFrame =
+    if (m.deleteVectors.isEmpty) df
+    else {
+      val dv = spark.read.schema(DvSchema)
+        .parquet(m.deleteVectors.map(d => s"$root/$d"): _*)
+      df.join(broadcast(dv),
+        df(DvFileCol) === dv("file") && df(DvPosCol) === dv("pos"), "left_anti")
+    }
 
   /** Streaming tail of an APPEND-ONLY table (SURVEY §2.1/S4 — the
    *  `readStream.format("delta")` equivalent): a Structured Streaming file
@@ -569,7 +622,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       (if (m.statsCols.nonEmpty)
         Seq(s"statscols=${m.statsCols.map(b64e).mkString(",")}") else Nil) ++
       m.constraints.sortBy(_._1).map { case (n, e) => s"check=${b64e(n)}:${b64e(e)}" } ++
-      m.generated.sortBy(_._1).map { case (n, e) => s"gen=${b64e(n)}:${b64e(e)}" }
+      m.generated.sortBy(_._1).map { case (n, e) => s"gen=${b64e(n)}:${b64e(e)}" } ++
+      m.deleteVectors.map(d => s"dv=$d")
     val body = m.entries.map { e =>
       e.owned match {
         case None => s"dir=${e.dir}"
@@ -835,7 +889,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
           cur.entries :+ DirEntry(dir, owned), "append",
           cur.cdfEnabled, statsCols = cur.statsCols,
           fileStats = cur.fileStats ++ fstats,
-          constraints = cur.constraints, generated = cur.generated), v + 1)
+          constraints = cur.constraints, generated = cur.generated,
+          deleteVectors = cur.deleteVectors), v + 1)
       } else
         (Manifest(df.schema, pcol, Seq(DirEntry(dir, owned)), "append",
           statsCols = scols, fileStats = fstats), 0L)
@@ -1018,10 +1073,13 @@ final class LakeTable private (val spark: SparkSession, val root: String,
           val keptDirs = kept.map(_.dir).toSet
           val keptStats = m.fileStats.filter(fs =>
             keptDirs.exists(d => fs.path.startsWith(d + "/")))
+          // carry live deletion vectors: kept dirs' coordinates stay valid;
+          // entries for replaced dirs are stale-but-harmless (anti-join
+          // can't match a file no longer scanned)
           if (!tryCommit(Manifest(m.schema, m.pcol, kept :+ DirEntry(dir, owned), "merge",
               m.cdfEnabled, chDir, statsCols = m.statsCols,
               fileStats = keptStats ++ fstats, constraints = m.constraints,
-              generated = m.generated), v0 + 1))
+              generated = m.generated, deleteVectors = m.deleteVectors), v0 + 1))
             throw new ConcurrentWriteException(
               s"merge computed against version $v0 of $root, but a concurrent " +
                 s"writer committed v${v0 + 1} first — recompute and retry")
@@ -1042,6 +1100,69 @@ final class LakeTable private (val spark: SparkSession, val root: String,
   def delete(preds: Seq[ZonePred]): Long = mutateWhere(preds, None)
 
   /**
+   * MERGE-ON-READ DELETE (Delta deletion vectors): logically remove the
+   * rows matching `condition` (a SQL boolean expression over the table's
+   * columns) WITHOUT rewriting any data file. The matching rows' coordinates
+   * — root-relative file path + in-file row index, Spark's
+   * `_metadata.file_path`/`_metadata.row_index` — are written as a deletion
+   * vector under `_dv/`, and every read anti-joins live vectors out of the
+   * scan. At 100 TB this makes a point delete O(matched rows), not O(files
+   * that may contain matches): the copy-on-write [[delete]] rewrites
+   * whole files to drop one row; this writes a few coordinates.
+   *
+   * Semantics match [[delete]]: returns the number of rows deleted; with
+   * change feed enabled the deleted rows are materialized as
+   * `_change_type = 'delete'`. Deleting already-deleted rows is a no-op
+   * (matching runs against the LIVE snapshot). Reads of every form —
+   * [[read]], [[readWhere]], [[readVersion]], merge sources — apply the
+   * vectors; full-rewrite commits (overwrite / compact / unpartitioned
+   * merge) read through them and clear them. Later appends are untouched
+   * by earlier vectors (coordinates are per existing file).
+   *
+   * The read-side anti-join broadcasts the vector set, so it is sized by
+   * DELETED ROWS, not table size — a table accumulating large vectors
+   * should `compact()` (Delta's `REORG TABLE ... APPLY (PURGE)`), which
+   * materializes the deletes and clears the vectors.
+   */
+  def deleteWhere(condition: String): Long = synchronized {
+    require(exists, s"LakeTable at $root does not exist")
+    val v0 = currentVersion
+    val m = readManifest(v0)
+    val cond = coalesce(expr(condition), lit(false))
+    val live = readScopedRows(m, None, withRowIds = true)
+    val matches = live.filter(cond)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dvDir = s"_dv/${UUID.randomUUID()}"
+      matches.select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
+        .write.parquet(s"$root/$dvDir")
+      val matched = spark.read.schema(DvSchema).parquet(s"$root/$dvDir").count()
+      if (matched == 0) {
+        deleteRecursively(Paths.get(root, dvDir))
+        return 0L
+      }
+      val chDir =
+        if (m.cdfEnabled) {
+          val d = s"_changes/${UUID.randomUUID()}"
+          matches.select(m.schema.fieldNames.map(col).toSeq: _*)
+            .withColumn(ChangeTypeCol, lit("delete"))
+            .write.parquet(s"$root/$d")
+          Some(d)
+        } else None
+      if (!tryCommit(m.copy(op = "delete", cdfDir = chDir, commitTsMs = None,
+          deleteVectors = m.deleteVectors :+ dvDir), v0 + 1))
+        throw new ConcurrentWriteException(
+          s"delete computed against version $v0 of $root, but a concurrent " +
+            s"writer committed v${v0 + 1} first — recompute and retry")
+      matched
+    } finally { matches.unpersist(); () }
+  }
+
+  /** Live deletion-vector dirs of the current snapshot (empty once a
+   *  rewrite materializes them). */
+  def deleteVectorDirs: Seq[String] = manifest.deleteVectors
+
+  /**
    * Copy-on-write UPDATE (Delta `UPDATE ... SET ... WHERE`): assign
    * `set` (column → expression over the row) on rows matching `preds`,
    * with the same zone-map-pruned file rewrite as [[delete]]. The partition
@@ -1057,6 +1178,12 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     val v0 = currentVersion
     val m = readManifest(v0)
     val opName = if (set.isEmpty) "delete" else "update"
+    // CoW rewrites read raw files and re-link untouched ones under new dirs —
+    // both would resurrect rows a live deletion vector has removed. Delta
+    // draws the same line (REORG ... APPLY (PURGE) before incompatible ops).
+    require(m.deleteVectors.isEmpty,
+      s"copy-on-write $opName on $root with live deletion vectors — " +
+        "compact() first to materialize them, or use deleteWhere()")
     preds.foreach(p => require(m.schema.fieldNames.contains(p.col),
       s"unknown predicate column ${p.col}"))
     set.foreach(_.keys.foreach { c =>
@@ -1192,6 +1319,13 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         if (!keepCh.contains(s"_changes/${p.getFileName}")) deleteRecursively(p)
       }
     }
+    val keepDv = retained.flatMap(_.deleteVectors).toSet
+    val dvRoot = Paths.get(root, "_dv")
+    if (Files.isDirectory(dvRoot)) {
+      Files.list(dvRoot).iterator().asScala.toList.foreach { p =>
+        if (!keepDv.contains(s"_dv/${p.getFileName}")) deleteRecursively(p)
+      }
+    }
   }
 
   /** Rewrite the whole table into a single dir (small-file compaction for
@@ -1308,6 +1442,15 @@ object LakeTable {
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
   val CommitTimestampCol = "_commit_timestamp"
+  /** Deletion-vector row coordinates attached to scans (internal). */
+  private val DvFileCol = "__dv_file"
+  private val DvPosCol = "__dv_pos"
+  /** Deletion-vector parquet schema: root-relative data file + row index. */
+  private val DvSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("file",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType, nullable = false)))
 
   private case class DirEntry(dir: String, owned: Option[Seq[String]])
   /** Zone map for one data file: root-relative path → per-column (min, max)
@@ -1327,7 +1470,15 @@ object LakeTable {
       constraints: Seq[(String, String)] = Nil,
       /** GENERATED columns (col → SQL expr): computed when a batch omits
        *  them, validated when it supplies them. Fixed at create time. */
-      generated: Seq[(String, String)] = Nil)
+      generated: Seq[(String, String)] = Nil,
+      /** DELETION VECTORS (merge-on-read DELETE): root-relative dirs of
+       *  parquet (file STRING root-relative, pos BIGINT row index) naming
+       *  rows that are logically deleted. Reads anti-join them out; data
+       *  files are NEVER rewritten by the delete. Entries referencing files
+       *  no longer in `entries` are stale and harmless (the anti-join
+       *  cannot match). Full-rewrite commits (overwrite/compact/merge-all)
+       *  read through the vectors and clear them. */
+      deleteVectors: Seq[String] = Nil)
 
   /** DESCRIBE DETAIL row (Delta parity): current-snapshot facts. */
   final case class TableDetail(

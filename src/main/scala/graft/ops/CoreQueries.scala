@@ -673,6 +673,29 @@ object CoreQueries {
                AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59')
         ORDER BY o_orderkey""")),
 
+    // S17: MERGE-ON-READ DELETE (Delta deletion vectors) — the point delete
+    // writes the matched rows' (file, row_index) coordinates under `_dv/`
+    // and commits metadata; NO data file is rewritten or re-linked
+    // (DeletionVectorSpec pins the data-dir set byte-identical), and every
+    // read anti-joins the vectors out via a broadcast (PlanQualitySpec pins
+    // the join shape). The post-delete append proves vectors address ROWS
+    // THAT EXISTED, not a predicate over future data: its rows match the
+    // deleted price range and must survive. At 100 TB this is the O(matched
+    // rows) delete path; the copy-on-write s11 path is O(candidate files).
+    Q("s17_delete_mor", (s, d) => {
+      val o = t(s, d, "orders")
+      val tbl = LakeTable(s, s"${tmp("graft_s17")}/t")
+      tbl.create(o.schema)
+      tbl.append(o.filter(col("o_orderkey") % 3 =!= 0))
+      tbl.deleteWhere("o_totalprice > 300000.0")
+      tbl.append(o.filter(col("o_orderkey") % 3 === 0)) // post-delete: untouched
+      tbl.read.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE NOT (o_orderkey % 3 <> 0 AND o_totalprice > 300000.0)
+        ORDER BY o_orderkey""")),
+
     // S12: RESTORE (Delta `RESTORE TABLE ... TO VERSION AS OF`) — a bad
     // overwrite is undone by a metadata-only commit re-pointing at the good
     // snapshot's files. If restore were a no-op the read would return the

@@ -139,6 +139,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("deletion-vector reads broadcast the vector anti-join; never sort-merge") {
+    val df = SparkEntry.queries("s17_delete_mor")(spark, sfDir)
+    val plan = planOf(df).split("== Initial Plan ==").head
+    // the scan side is the (100 TB) table; the vector side is sized by
+    // deleted rows — it must broadcast, and the scan must never sort for it
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("fuzzy decontamination broadcasts banded eval signatures; corpus never shuffles pre-join") {
     val df = SparkEntry.queries("x35_decontaminate_fuzzy")(spark, sfDir)
     val plan = planOf(df).split("== Initial Plan ==").head
