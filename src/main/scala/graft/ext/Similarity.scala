@@ -123,33 +123,41 @@ object Similarity {
    * IVF-style ANN: a deterministic coarse quantizer (every `centStride`-th
    * vector seeds a centroid; `kmeansIters` Lloyd refinements via
    * [[refineCentroids]] sharpen the cells), each vector assigned to its
-   * nearest centroid by cosine, and queries searched only within their own
-   * cell (nprobe=1).
+   * nearest centroid by cosine, and queries searched within their `nprobe`
+   * nearest cells (nprobe=1 ≡ own cell only; higher nprobe trades linear
+   * probe cost for recall — a near-dup sitting just across a cell boundary
+   * is found at nprobe=2, the classic IVF recall knob).
    *
    * Scale: assignment is |n|·|C| broadcast work (C small) per iteration;
    * centroid refinement is one shuffle on (cell, component); search is an
-   * equi-join on cell id — the same join shape as LSH, so the 100 TB path
-   * is a shuffle on cell, never a cross product.
+   * equi-join on cell id whose probe side is `nprobe`× the queries — the
+   * same join shape as LSH, so the 100 TB path is a shuffle on cell, never
+   * a cross product. Each corpus vector lives in exactly ONE cell, so
+   * multi-probe never duplicates a candidate pair.
    */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryFilter: org.apache.spark.sql.Column, centStride: Int, k: Int,
-      kmeansIters: Int = 0): DataFrame = {
+      kmeansIters: Int = 0, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val base = prepared(emb, idCol, vecCol)
-    // nearest centroid per vector (deterministic tiebreak on cent_id)
-    def assign(cent: DataFrame): DataFrame = {
+    // top-`limit` centroids per vector (deterministic tiebreak on cent_id)
+    def rankCells(cent: DataFrame, limit: Int): DataFrame = {
       val wAssign = Window.partitionBy(idCol)
         .orderBy(col("__ccos").desc, col("cent_id"))
       base.join(broadcast(cent))
         .withColumn("__ccos",
           VectorFunctions.dot(col("__v"), col("__cv")) / (col("__nrm") * col("__cn")))
-        .withColumn("__rn", row_number().over(wAssign)).filter(col("__rn") === 1)
+        .withColumn("__rn", row_number().over(wAssign)).filter(col("__rn") <= limit)
         .select(col(idCol), col("__v"), col("__nrm"), col("cent_id").as("cell"))
     }
+    def assign(cent: DataFrame): DataFrame = rankCells(cent, 1)
     val cent0 = base.filter(col(idCol) % centStride === 1)
       .select(col(idCol).as("cent_id"), col("__v").as("__cv"), col("__nrm").as("__cn"))
-    val assigned = (1 to kmeansIters)
-      .foldLeft(assign(cent0))((a, _) => assign(refineCentroids(a, idCol)))
-    val q = assigned.filter(queryFilter)
+    val centFinal = (1 to kmeansIters)
+      .foldLeft(cent0)((c, _) => refineCentroids(assign(c), idCol))
+    val assigned = assign(centFinal)
+    // queries probe their nprobe nearest cells of the FINAL quantizer
+    val q = rankCells(centFinal, nprobe).filter(queryFilter)
       .select(col(idCol).as("q_id"), col("__v").as("__qv"), col("__nrm").as("__qn"), col("cell"))
     val scored = q.join(assigned, Seq("cell"))
       .filter(col(idCol) =!= col("q_id"))

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.gold.{DimConfig, FactConfig, FactDim, GoldBuilder}
-import graft.lake.LakeTable
+import graft.lake.{LakeSql, LakeTable}
 import graft.pipeline.{Expectations, Pipeline}
 
 /**
@@ -695,6 +695,61 @@ object CoreQueries {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         WHERE NOT (o_orderkey % 3 <> 0 AND o_totalprice > 300000.0)
         ORDER BY o_orderkey""")),
+
+    // S18: SQL-TEXT MERGE — s8's guarded upsert driven through the exact
+    // statement form the reference's gold notebook executes
+    // (`DIM_Gold_layer.py:176-195` runs spark.sql(merge_sql) on Delta):
+    // Spark's own parser produces the MergeIntoTable plan, LakeSql walks it
+    // (registry lookup, temp-view source via the analyzer, ON→keys,
+    // matched-guard requalified onto s/t) and executes LakeTable.merge.
+    // Same final state as s8 → same oracle, proving the SQL surface is
+    // semantics-identical to the programmatic one.
+    Q("s18_sql_merge", (s, d) => {
+      val gb = GoldBuilder(s)
+      val ev = t(s, d, "events")
+      val cols = Seq("user_id", "ts", "event_type", "value")
+      val base = gb.latestPerKey(
+        ev.filter(col("user_id") % 5 =!= 0), Seq("user_id"), "ts", Seq("event_id"))
+        .select(cols.map(col): _*)
+      val src = gb.latestPerKey(
+        ev.filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+                  col("ts") < lit("2024-01-20 00:00:00").cast("timestamp")),
+        Seq("user_id"), "ts", Seq("event_id"))
+        .withColumn("value", col("value") + lit(1000.0))
+        .select(cols.map(col): _*)
+      val tbl = LakeTable(s, s"${tmp("graft_s18")}/t")
+      tbl.create(base.schema)
+      tbl.merge(base, Seq("user_id"))
+      LakeSql.register("user_latest", tbl)
+      src.createOrReplaceTempView("user_updates")
+      try LakeSql.merge(s,
+        """MERGE INTO user_latest AS tgt
+           USING user_updates AS upd
+           ON tgt.user_id = upd.user_id
+           WHEN MATCHED AND upd.ts >= tgt.ts THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""")
+      finally {
+        LakeSql.unregister("user_latest")
+        s.catalog.dropTempView("user_updates")
+      }
+      tbl.read.orderBy("user_id")
+    },
+      Some("""WITH base AS (
+          SELECT user_id, ts, event_type, value FROM events WHERE user_id % 5 <> 0
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
+        src AS (
+          SELECT user_id, ts, event_type, value + 1000.0 AS value FROM events
+          WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1)
+        SELECT COALESCE(s.user_id, b.user_id) AS user_id,
+          CASE WHEN s.user_id IS NOT NULL AND (b.user_id IS NULL OR s.ts >= b.ts)
+               THEN s.ts ELSE b.ts END AS ts,
+          CASE WHEN s.user_id IS NOT NULL AND (b.user_id IS NULL OR s.ts >= b.ts)
+               THEN s.event_type ELSE b.event_type END AS event_type,
+          CASE WHEN s.user_id IS NOT NULL AND (b.user_id IS NULL OR s.ts >= b.ts)
+               THEN s.value ELSE b.value END AS value
+        FROM base b FULL OUTER JOIN src s ON b.user_id = s.user_id
+        ORDER BY user_id""")),
 
     // S12: RESTORE (Delta `RESTORE TABLE ... TO VERSION AS OF`) — a bad
     // overwrite is undone by a metadata-only commit re-pointing at the good

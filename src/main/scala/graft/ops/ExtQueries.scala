@@ -429,6 +429,49 @@ object ExtQueries {
           WHERE q.vec_id % 50 = 0)
         WHERE rank <= 3 ORDER BY q_id, rank""")),
 
+    // x13 companion at nprobe=2: queries probe their TWO nearest cells of
+    // the same refined quantizer — the IVF recall knob (a neighbor just
+    // across the cell boundary is reachable; SimilaritySpec proves recall
+    // vs brute force is monotone in nprobe). The oracle replays the same
+    // top-2 probe assignment; corpus rows still live in exactly one cell,
+    // so the probe join never duplicates a candidate pair.
+    Q("x37_sim_ivf_nprobe", (s, d) =>
+      Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+          col("vec_id") % 50 === 0, centStride = 40, k = 3, kmeansIters = 1,
+          nprobe = 2)
+        .orderBy("q_id", "rank"),
+      Some(s"""WITH $NORM_CTE,
+        cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 40 = 1),
+        a0 AS (
+          SELECT vec_id, v, nrm, cent_id AS cell FROM (
+            SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+              ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.cent_id) AS rn
+            FROM n, cent c) WHERE rn = 1),
+        refined AS (
+          SELECT cent_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
+            SELECT cell AS cent_id, list(m ORDER BY pos) AS cv FROM (
+              SELECT a.cell, r.range AS pos,
+                CAST(SUM(CAST(a.v[r.range] AS DECIMAL(27,12))) AS DOUBLE) AS m
+              FROM a0 a, range(1, 65) r
+              GROUP BY a.cell, r.range)
+            GROUP BY cell)),
+        ranked AS (
+          SELECT n.vec_id, n.v, n.nrm, c.cent_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY n.vec_id
+              ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.cent_id) AS rn
+          FROM n, refined c),
+        assigned AS (SELECT vec_id, v, nrm, cell FROM ranked WHERE rn = 1),
+        probes AS (SELECT vec_id, v, nrm, cell FROM ranked
+          WHERE rn <= 2 AND vec_id % 50 = 0)
+        SELECT q_id, n_id, cell, cos, rank FROM (
+          SELECT q.vec_id AS q_id, a.vec_id AS n_id, q.cell,
+            list_dot_product(q.v, a.v) / (q.nrm * a.nrm) AS cos,
+            CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY list_dot_product(q.v, a.v) / (q.nrm * a.nrm) DESC, a.vec_id) AS INT) AS rank
+          FROM probes q JOIN assigned a ON q.cell = a.cell AND a.vec_id != q.vec_id)
+        WHERE rank <= 3 ORDER BY q_id, rank""")),
+
     // Product-quantization ANN: 8 subspaces × 8 dims, stride-seeded per-
     // subspace codebooks, asymmetric (exact-query vs reconstructed-corpus)
     // cosine scoring. The oracle replays the encode (argmin L2, tiebreak

@@ -1,0 +1,114 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** SQL-text MERGE INTO → LakeTable.merge translation: Spark's parser, the
+ *  engine's merge — no Catalyst surgery. */
+class LakeSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(name: String): LakeTable = {
+    val t = LakeTable(spark, s"${tmpDir(name)}/t")
+    t.append(Seq((1L, "a", 1), (2L, "b", 1)).toDF("k", "v", "seq"))
+    t
+  }
+
+  test("guarded UPDATE SET * / INSERT * upserts through SQL text") {
+    val t = fresh("sql_merge")
+    LakeSql.register("tgt_table", t)
+    Seq((2L, "b2", 2), (3L, "c", 2), (1L, "stale", 0))
+      .toDF("k", "v", "seq").createOrReplaceTempView("updates_v")
+    try {
+      LakeSql.merge(spark,
+        """MERGE INTO tgt_table AS t0
+           USING updates_v AS u
+           ON t0.k = u.k
+           WHEN MATCHED AND u.seq >= t0.seq THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""")
+    } finally {
+      LakeSql.unregister("tgt_table")
+      spark.catalog.dropTempView("updates_v")
+    }
+    // k=1 guard-rejected (stale), k=2 updated, k=3 inserted
+    assert(t.read.orderBy("k").as[(Long, String, Int)].collect().toSeq ==
+      Seq((1L, "a", 1), (2L, "b2", 2), (3L, "c", 2)))
+  }
+
+  test("no MATCHED clause → insert-only; unaliased names and subquery sources work") {
+    val t = fresh("sql_insert_only")
+    LakeSql.register("tgt2", t)
+    Seq((2L, "CLOBBER", 9), (4L, "d", 1)).toDF("k", "v", "seq")
+      .createOrReplaceTempView("updates2")
+    try {
+      LakeSql.merge(spark,
+        """MERGE INTO tgt2
+           USING (SELECT * FROM updates2 WHERE seq <= 9) AS u
+           ON tgt2.k = u.k
+           WHEN NOT MATCHED THEN INSERT *""")
+    } finally {
+      LakeSql.unregister("tgt2")
+      spark.catalog.dropTempView("updates2")
+    }
+    // matched k=2 kept its target version; only k=4 inserted
+    assert(t.read.orderBy("k").as[(Long, String, Int)].collect().toSeq ==
+      Seq((1L, "a", 1), (2L, "b", 1), (4L, "d", 1)))
+  }
+
+  test("unsupported statement shapes fail loudly with the clause named") {
+    val t = fresh("sql_errors")
+    LakeSql.register("tgt3", t)
+    Seq((9L, "z", 1)).toDF("k", "v", "seq").createOrReplaceTempView("updates3")
+    def bad(sql: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](LakeSql.merge(spark, sql))
+      assert(e.getMessage.toLowerCase.contains(needle), e.getMessage)
+    }
+    try {
+      bad("""MERGE INTO nowhere AS t0 USING updates3 AS u ON t0.k = u.k
+             WHEN NOT MATCHED THEN INSERT *""", "no lake table registered")
+      bad("""MERGE INTO tgt3 AS t0 USING updates3 AS u ON t0.k >= u.k
+             WHEN NOT MATCHED THEN INSERT *""", "conjunction of column equalities")
+      bad("""MERGE INTO tgt3 AS t0 USING updates3 AS u ON t0.k = u.seq
+             WHEN NOT MATCHED THEN INSERT *""", "differently-named")
+      bad("""MERGE INTO tgt3 AS t0 USING updates3 AS u ON t0.k = u.k
+             WHEN MATCHED THEN UPDATE SET v = u.v
+             WHEN NOT MATCHED THEN INSERT *""", "update set *")
+      bad("""MERGE INTO tgt3 AS t0 USING updates3 AS u ON t0.k = u.k
+             WHEN MATCHED THEN DELETE
+             WHEN NOT MATCHED THEN INSERT *""", "update set *")
+      bad("""MERGE INTO tgt3 AS t0 USING updates3 AS u ON t0.k = u.k
+             WHEN MATCHED THEN UPDATE SET *""", "insert *")
+      bad("""MERGE INTO tgt3 AS t0 USING updates3 AS u ON t0.k = u.k
+             WHEN NOT MATCHED THEN INSERT *
+             WHEN NOT MATCHED BY SOURCE THEN DELETE""", "not matched by source")
+      // the table is untouched by all of the rejected statements
+      assert(t.read.count() == 2)
+    } finally {
+      LakeSql.unregister("tgt3")
+      spark.catalog.dropTempView("updates3")
+    }
+  }
+
+  test("composite keys and swapped equality sides resolve") {
+    val root = tmpDir("sql_composite")
+    val t = LakeTable(spark, s"$root/t")
+    t.append(Seq((1L, "x", "old"), (1L, "y", "old")).toDF("k1", "k2", "v"))
+    LakeSql.register("comp", t)
+    Seq((1L, "x", "new"), (2L, "z", "new")).toDF("k1", "k2", "v")
+      .createOrReplaceTempView("comp_updates")
+    try {
+      LakeSql.merge(spark,
+        """MERGE INTO comp AS t0
+           USING comp_updates AS u
+           ON t0.k1 = u.k1 AND u.k2 = t0.k2
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""")
+    } finally {
+      LakeSql.unregister("comp")
+      spark.catalog.dropTempView("comp_updates")
+    }
+    assert(t.read.orderBy("k1", "k2").as[(Long, String, String)].collect().toSeq ==
+      Seq((1L, "x", "new"), (1L, "y", "old"), (2L, "z", "new")))
+  }
+}
