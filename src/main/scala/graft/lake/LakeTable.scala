@@ -145,8 +145,11 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     val deleteVectors = lines.collect {
       case l if l.startsWith("dv=") => l.stripPrefix("dv=")
     }.toSeq
+    val bloomCols = lines.collectFirst { case l if l.startsWith("bloomcols=") =>
+      l.stripPrefix("bloomcols=").split(',').toSeq.filter(_.nonEmpty).map(b64d)
+    }.getOrElse(Nil)
     Manifest(schema, pcol, entries, op, cdfEnabled, cdfDir, statsCols, fileStats,
-      commitTsMs, constraints, generated, deleteVectors)
+      commitTsMs, constraints, generated, deleteVectors, bloomCols)
   }
 
   private def manifest: Manifest = readManifest(currentVersion)
@@ -190,6 +193,35 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       .map(v => v -> readManifest(v).op)
   }
 
+  /** DESCRIBE HISTORY with commit wall-clocks, oldest first:
+   *  (version, operation, commit epoch ms — None only for manifests written
+   *  before the clock field existed). */
+  def historyDetail: Seq[(Long, String, Option[Long])] = {
+    require(exists, s"LakeTable at $root does not exist")
+    (0L to currentVersion).filter(v => Files.exists(manifestFile(v)))
+      .map { v => val m = readManifest(v); (v, m.op, m.commitTsMs) }
+  }
+
+  /** TIME TRAVEL by wall-clock (Delta `TIMESTAMP AS OF`): the snapshot of
+   *  the LATEST commit published at or before `epochMs` — Delta's rule
+   *  exactly (a timestamp between commits resolves to the earlier one; a
+   *  timestamp before the first commit is an error). Commit clocks are
+   *  stamped at publish time and monotone within a writer; the resolver
+   *  takes the last version whose clock qualifies, so a clock tie between
+   *  racing historical writers resolves to the newer version. */
+  def readTimestampAsOf(epochMs: Long): DataFrame = {
+    require(exists, s"LakeTable at $root does not exist")
+    val candidates = (0L to currentVersion)
+      .filter(v => Files.exists(manifestFile(v)))
+      .flatMap { v => readManifest(v).commitTsMs.collect {
+        case ts if ts <= epochMs => v
+      } }
+    require(candidates.nonEmpty,
+      s"no commit at or before epoch ms $epochMs in $root " +
+        "(timestamp precedes the table's first commit)")
+    readVersion(candidates.max)
+  }
+
   /** RESTORE to historical version `v` (Delta `RESTORE TABLE ... TO VERSION
    *  AS OF`): publishes a NEW version whose file set is version `v`'s — a
    *  metadata-only commit (no data is copied or rewritten), so a bad merge
@@ -214,7 +246,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       (Manifest(m.schema, m.pcol, m.entries, "restore",
         cdfEnabled = curM.cdfEnabled, statsCols = m.statsCols,
         fileStats = m.fileStats, constraints = m.constraints,
-        generated = m.generated, deleteVectors = m.deleteVectors), cur + 1)
+        generated = m.generated, deleteVectors = m.deleteVectors,
+        bloomCols = m.bloomCols), cur + 1)
     }
   }
 
@@ -244,10 +277,18 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         Files.createLink(dstFile, src)
       }
     }
+    // bloom sidecars are keyed by dir uuid and reference root-relative
+    // paths — link them so the clone keeps its point-lookup pruning
+    m.entries.map(e => bloomIndexFile(e.dir)).filter(Files.exists(_)).foreach { src =>
+      val dstFile = Paths.get(targetRoot, "_bloom", src.getFileName.toString)
+      Files.createDirectories(dstFile.getParent)
+      Files.createLink(dstFile, src)
+    }
     require(dst.tryCommit(Manifest(m.schema, m.pcol, m.entries, "clone",
       cdfEnabled = m.cdfEnabled, statsCols = m.statsCols,
       fileStats = m.fileStats, constraints = m.constraints,
-      generated = m.generated, deleteVectors = m.deleteVectors), 0L),
+      generated = m.generated, deleteVectors = m.deleteVectors,
+      bloomCols = m.bloomCols), 0L),
       s"clone target $targetRoot was created concurrently")
     dst
   }
@@ -478,16 +519,28 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     (kept, total - kept)
   }
 
-  /** Per dir-entry: (entry, kept root-relative files, total files). */
+  /** Per dir-entry: (entry, kept root-relative files, total files).
+   *  Zone maps prune range predicates; the bloom index additionally prunes
+   *  EQUALITY predicates on indexed columns (both necessary conditions —
+   *  a file survives only if every pred admits it; missing stats/sidecars
+   *  admit everything). */
   private def planSkip(m: Manifest,
       preds: Seq[ZonePred]): Seq[(DirEntry, Seq[String], Int)] = {
     val statByPath = m.fileStats.map(fs => fs.path -> fs.minMax).toMap
+    val eqPreds = preds.filter(p =>
+      p.lo.isDefined && p.lo == p.hi && m.bloomCols.contains(p.col))
     m.entries.map { e =>
+      val blooms = if (eqPreds.isEmpty) Map.empty[String,
+        Map[String, org.apache.spark.util.sketch.BloomFilter]]
+      else readBloomIndex(e.dir)
       val all = listParquet(Paths.get(root, e.dir))
         .map(p => Paths.get(root).relativize(p).toString).sorted
       val kept = all.filter { f =>
         statByPath.get(f).forall { mm =>
           preds.forall(pr => mayMatch(mm, pr, m.schema))
+        } && eqPreds.forall { pr =>
+          blooms.get(f).flatMap(_.get(pr.col))
+            .forall(_.mightContainString(pr.lo.get))
         }
       }
       (e, kept, all.size)
@@ -623,7 +676,9 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         Seq(s"statscols=${m.statsCols.map(b64e).mkString(",")}") else Nil) ++
       m.constraints.sortBy(_._1).map { case (n, e) => s"check=${b64e(n)}:${b64e(e)}" } ++
       m.generated.sortBy(_._1).map { case (n, e) => s"gen=${b64e(n)}:${b64e(e)}" } ++
-      m.deleteVectors.map(d => s"dv=$d")
+      m.deleteVectors.map(d => s"dv=$d") ++
+      (if (m.bloomCols.nonEmpty)
+        Seq(s"bloomcols=${m.bloomCols.map(b64e).mkString(",")}") else Nil)
     val body = m.entries.map { e =>
       e.owned match {
         case None => s"dir=${e.dir}"
@@ -674,12 +729,15 @@ final class LakeTable private (val spark: SparkSession, val root: String,
   def create(schema: StructType, partitionBy: Option[String] = None,
       enableChangeFeed: Boolean = false,
       statsColumns: Seq[String] = Nil,
-      generatedColumns: Map[String, String] = Map.empty): LakeTable = {
+      generatedColumns: Map[String, String] = Map.empty,
+      bloomFilterColumns: Seq[String] = Nil): LakeTable = {
     if (!exists) {
       partitionBy.foreach(p => require(schema.fieldNames.contains(p),
         s"partition column $p not in schema"))
       statsColumns.foreach(c => require(schema.fieldNames.contains(c),
         s"stats column $c not in schema"))
+      bloomFilterColumns.foreach(c => require(schema.fieldNames.contains(c),
+        s"bloom filter column $c not in schema"))
       generatedColumns.keys.foreach(c => require(schema.fieldNames.contains(c),
         s"generated column $c not in schema"))
       Files.createDirectories(Paths.get(root))
@@ -687,7 +745,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       tryCommit(Manifest(schema, partitionBy, Nil, "create",
         cdfEnabled = enableChangeFeed,
         statsCols = statsColumns.filterNot(partitionBy.contains),
-        generated = generatedColumns.toSeq.sortBy(_._1)), 0L)
+        generated = generatedColumns.toSeq.sortBy(_._1),
+        bloomCols = bloomFilterColumns.filterNot(partitionBy.contains)), 0L)
     }
     this
   }
@@ -716,7 +775,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
 
   private def writeData(df: DataFrame, pcol: Option[String],
       statsCols: Seq[String] = Nil,
-      preclustered: Boolean = false): (String, Option[Seq[String]], Seq[FileStat]) = {
+      preclustered: Boolean = false,
+      bloomCols: Seq[String] = Nil): (String, Option[Seq[String]], Seq[FileStat]) = {
     val dir = s"data/${UUID.randomUUID()}"
     val owned = pcol match {
       case None =>
@@ -750,8 +810,124 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         }
         Some(vals)
     }
+    writeBloomIndex(dir, df.schema, pcol, bloomCols)
     (dir, owned, collectFileStats(dir, df.schema, pcol, statsCols))
   }
+
+  // ---- BLOOM-FILTER FILE INDEX (Delta bloom filter index analog) ----------
+  //
+  // Zone maps prune on VALUE RANGES, which needs the column clustered
+  // (sorted appends, Z-order) — on a high-cardinality unclustered key every
+  // file's [min, max] spans the domain and nothing prunes. The bloom index
+  // answers the other question: "can this file contain THIS value?" — per
+  // file, per indexed column, built in one distributed pass over the freshly
+  // written dir and stored as a `_bloom/<dir-uuid>.idx` sidecar (never in
+  // the manifest: index bytes are O(files × bits), manifests are read on
+  // every snapshot resolution). Missing sidecars never prune, so hard-link
+  // relinks (mutateWhere) and pre-index dirs stay correct, just unpruned.
+  // At 100 TB: a point lookup on an indexed key reads ~fpp of the files a
+  // zone-mapped-but-unclustered scan would read.
+
+  /** Values hashed as their CAST-to-STRING rendering — the same canonical
+   *  form zone-map bounds and [[ZonePred]] literals use, so probe and build
+   *  agree for every column type. */
+  private def writeBloomIndex(dir: String, schema: StructType,
+      pcol: Option[String], bloomCols: Seq[String]): Unit = {
+    val bcols = bloomCols.filter(c =>
+      schema.fieldNames.contains(c) && !pcol.contains(c))
+    if (bcols.isEmpty) return
+    val raw = spark.read.schema(schema)
+      .option("basePath", s"$root/$dir").parquet(s"$root/$dir")
+      .select(input_file_name().as("__f") +:
+        bcols.map(c => col(c).cast("string")): _*)
+    val nb = bcols.size
+    // per-partition partial blooms keyed by file, OR-merged on the driver
+    // (partials are KB-scale; commits write few files)
+    val partials = raw.rdd.mapPartitions { it =>
+      val m = scala.collection.mutable.Map.empty[
+        String, Array[org.apache.spark.util.sketch.BloomFilter]]
+      it.foreach { r =>
+        val arr = m.getOrElseUpdate(r.getString(0),
+          Array.fill(nb)(org.apache.spark.util.sketch.BloomFilter.create(
+            BloomExpectedItems, BloomFpp)))
+        var i = 0
+        while (i < nb) {
+          if (!r.isNullAt(i + 1)) arr(i).putString(r.getString(i + 1))
+          i += 1
+        }
+      }
+      m.iterator.map { case (f, arr) =>
+        (f, arr.map { bf =>
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          bos.toByteArray
+        })
+      }
+    }.collect()
+    val merged = partials.groupBy(_._1).map { case (f, parts) =>
+      val acc = parts.head._2.map(b =>
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(b)))
+      parts.tail.foreach(_._2.zipWithIndex.foreach { case (b, i) =>
+        acc(i).mergeInPlace(org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(b)))
+      })
+      val idx = f.indexOf(dir)
+      require(idx >= 0, s"file path $f not under $dir")
+      f.substring(idx) -> acc
+    }
+    val out = bloomIndexFile(dir)
+    Files.createDirectories(out.getParent)
+    val dos = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      Files.newOutputStream(out)))
+    try {
+      dos.writeInt(merged.size)
+      merged.foreach { case (relPath, blooms) =>
+        dos.writeUTF(relPath)
+        dos.writeInt(bcols.size)
+        bcols.zip(blooms).foreach { case (c, bf) =>
+          dos.writeUTF(c)
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          val bytes = bos.toByteArray
+          dos.writeInt(bytes.length)
+          dos.write(bytes)
+        }
+      }
+    } finally dos.close()
+  }
+
+  /** `data/<uuid>` → `_bloom/<uuid>.idx` */
+  private def bloomIndexFile(dir: String): Path =
+    Paths.get(root, "_bloom", s"${Paths.get(dir).getFileName}.idx")
+
+  /** file relPath → column → bloom; empty map when no sidecar exists. */
+  private def readBloomIndex(dir: String)
+      : Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]] =
+    bloomIndexCache.getOrElseUpdate(dir, {
+      val f = bloomIndexFile(dir)
+      if (!Files.exists(f)) Map.empty
+      else {
+        val dis = new java.io.DataInputStream(new java.io.BufferedInputStream(
+          Files.newInputStream(f)))
+        try {
+          (0 until dis.readInt()).map { _ =>
+            val relPath = dis.readUTF()
+            val cols = (0 until dis.readInt()).map { _ =>
+              val c = dis.readUTF()
+              val bytes = new Array[Byte](dis.readInt())
+              dis.readFully(bytes)
+              c -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+                new java.io.ByteArrayInputStream(bytes))
+            }.toMap
+            relPath -> cols
+          }.toMap
+        } finally dis.close()
+      }
+    })
+
+  private val bloomIndexCache = scala.collection.concurrent.TrieMap
+    .empty[String, Map[String, Map[String, org.apache.spark.util.sketch.BloomFilter]]]
 
   /** Partition values of a freshly written dir, decoded from its `p=value`
    *  subdirectory names (Hive layout). Spark percent-escapes special path
@@ -858,6 +1034,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     Files.createDirectories(Paths.get(root))
     val m0 = if (exists) Some(manifest) else None
     val (pcol, scols) = m0.map(m => (m.pcol, m.statsCols)).getOrElse((None, Nil))
+    val bcols = m0.map(_.bloomCols).getOrElse(Nil)
     // fail-fast validation BEFORE the (expensive) physical write; the commit
     // loop re-reconciles per attempt against the then-current snapshot
     val df = m0.fold(df0) { m =>
@@ -869,7 +1046,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     pcol.foreach(p => require(df.columns.contains(p),
       s"append batch is missing the partition column $p"))
     val validatedConstraints = m0.map(_.constraints).getOrElse(Nil).toSet
-    val (dir, owned, fstats) = writeData(df, pcol, scols)
+    val (dir, owned, fstats) = writeData(df, pcol, scols, bloomCols = bcols)
     // a lost race re-reads the entry list and re-commits — the data dir is
     // already written, so append retries are manifest-only (no lost updates)
     commitWithRetry { () =>
@@ -890,7 +1067,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
           cur.cdfEnabled, statsCols = cur.statsCols,
           fileStats = cur.fileStats ++ fstats,
           constraints = cur.constraints, generated = cur.generated,
-          deleteVectors = cur.deleteVectors), v + 1)
+          deleteVectors = cur.deleteVectors, bloomCols = cur.bloomCols), v + 1)
       } else
         (Manifest(df.schema, pcol, Seq(DirEntry(dir, owned)), "append",
           statsCols = scols, fileStats = fstats), 0L)
@@ -922,12 +1099,14 @@ final class LakeTable private (val spark: SparkSession, val root: String,
           d
         }
       else df
-    val (dir, owned, fstats) = writeData(df1, pcol, scols, preclustered)
+    val (dir, owned, fstats) = writeData(df1, pcol, scols, preclustered,
+      bloomCols = cur.map(_.bloomCols).getOrElse(Nil))
     val validatedConstraints = cur.map(_.constraints).getOrElse(Nil).toSet
     val m = Manifest(df1.schema, pcol, Seq(DirEntry(dir, owned)), op,
       cur.exists(_.cdfEnabled), cdfDir, statsCols = scols, fileStats = fstats,
       constraints = cur.map(_.constraints).getOrElse(Nil),
-      generated = cur.map(_.generated).getOrElse(Nil))
+      generated = cur.map(_.generated).getOrElse(Nil),
+      bloomCols = cur.map(_.bloomCols).getOrElse(Nil))
     expected match {
       case Some(v) =>
         if (!tryCommit(m, v + 1))
@@ -947,7 +1126,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
             if (op == "overwrite" && unvalidated.nonEmpty)
               enforceConstraints(df1, unvalidated)
             (m.copy(cdfEnabled = c.cdfEnabled, constraints = c.constraints,
-              generated = c.generated), v + 1)
+              generated = c.generated, bloomCols = c.bloomCols), v + 1)
           } else (m, 0L)
         }
     }
@@ -1066,7 +1245,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
           else joined
         try {
           val chDir = writeChanges(changesFrom(pinned))
-          val (dir, owned, fstats) = writeData(mergedFrom(pinned), Some(p), m.statsCols)
+          val (dir, owned, fstats) = writeData(mergedFrom(pinned), Some(p),
+            m.statsCols, bloomCols = m.bloomCols)
           val kept = m.entries
             .map(e => e.copy(owned = e.owned.map(_.filterNot(touchedSet))))
             .filter(_.owned.exists(_.nonEmpty))
@@ -1079,7 +1259,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
           if (!tryCommit(Manifest(m.schema, m.pcol, kept :+ DirEntry(dir, owned), "merge",
               m.cdfEnabled, chDir, statsCols = m.statsCols,
               fileStats = keptStats ++ fstats, constraints = m.constraints,
-              generated = m.generated, deleteVectors = m.deleteVectors), v0 + 1))
+              generated = m.generated, deleteVectors = m.deleteVectors,
+              bloomCols = m.bloomCols), v0 + 1))
             throw new ConcurrentWriteException(
               s"merge computed against version $v0 of $root, but a concurrent " +
                 s"writer committed v${v0 + 1} first — recompute and retry")
@@ -1290,7 +1471,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       } else None
     if (!tryCommit(Manifest(m.schema, m.pcol, newEntries.toSeq, opName,
         m.cdfEnabled, chDir, m.statsCols, newStats.toSeq,
-        constraints = m.constraints, generated = m.generated), v0 + 1))
+        constraints = m.constraints, generated = m.generated,
+        bloomCols = m.bloomCols), v0 + 1))
       throw new ConcurrentWriteException(
         s"$opName computed against version $v0 of $root, but a concurrent " +
           s"writer committed v${v0 + 1} first — recompute and retry")
@@ -1324,6 +1506,14 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     if (Files.isDirectory(dvRoot)) {
       Files.list(dvRoot).iterator().asScala.toList.foreach { p =>
         if (!keepDv.contains(s"_dv/${p.getFileName}")) deleteRecursively(p)
+      }
+    }
+    // bloom sidecars live and die with their data dir
+    val keepBloom = keep.map(d => s"${Paths.get(d).getFileName}.idx")
+    val bloomRoot = Paths.get(root, "_bloom")
+    if (Files.isDirectory(bloomRoot)) {
+      Files.list(bloomRoot).iterator().asScala.toList.foreach { p =>
+        if (!keepBloom.contains(p.getFileName.toString)) deleteRecursively(p)
       }
     }
   }
@@ -1445,6 +1635,13 @@ object LakeTable {
   /** Deletion-vector row coordinates attached to scans (internal). */
   private val DvFileCol = "__dv_file"
   private val DvPosCol = "__dv_pos"
+  /** Bloom index sizing: per-file expected distinct values and target false
+   *  positive rate. 50k items @ 1% ≈ 60 KB/file/column — a production
+   *  deployment writing ~1M-row files would size these from write stats;
+   *  the knob is a constant here because the CONTRACT (absent/undersized
+   *  blooms only lose pruning, never correctness) does not depend on it. */
+  private val BloomExpectedItems = 50000L
+  private val BloomFpp = 0.01
   /** Deletion-vector parquet schema: root-relative data file + row index. */
   private val DvSchema = StructType(Seq(
     org.apache.spark.sql.types.StructField("file",
@@ -1478,7 +1675,13 @@ object LakeTable {
        *  no longer in `entries` are stale and harmless (the anti-join
        *  cannot match). Full-rewrite commits (overwrite/compact/merge-all)
        *  read through the vectors and clear them. */
-      deleteVectors: Seq[String] = Nil)
+      deleteVectors: Seq[String] = Nil,
+      /** BLOOM-FILTER INDEX columns (Delta bloom filter index): per-file
+       *  blooms built at write time into `_bloom/<dir-uuid>.idx` sidecars;
+       *  equality predicates on these columns prune files zone maps cannot
+       *  (high-cardinality, unclustered keys). Missing sidecars (pre-index
+       *  dirs, hard-link relinks) simply never prune. */
+      bloomCols: Seq[String] = Nil)
 
   /** DESCRIBE DETAIL row (Delta parity): current-snapshot facts. */
   final case class TableDetail(

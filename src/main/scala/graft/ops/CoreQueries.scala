@@ -696,6 +696,27 @@ object CoreQueries {
         WHERE NOT (o_orderkey % 3 <> 0 AND o_totalprice > 300000.0)
         ORDER BY o_orderkey""")),
 
+    // S19: BLOOM-INDEX POINT LOOKUP — appends interleave on o_orderkey % 3,
+    // so every file's key range spans the table and ZONE MAPS CANNOT PRUNE
+    // this predicate; the per-file bloom sidecars can (BloomIndexSpec pins
+    // files actually skipped + fpp-only over-keep). The oracle is the plain
+    // filtered scan: pruning must be invisible in the result. At 100 TB
+    // this is the needle-in-haystack path — a point lookup on an indexed
+    // unclustered key reads ~fpp of the files instead of all of them.
+    Q("s19_bloom_lookup", (s, d) => {
+      val o = t(s, d, "orders")
+      val tbl = LakeTable(s, s"${tmp("graft_s19")}/t")
+      tbl.create(o.schema, statsColumns = Seq("o_orderdate"),
+        bloomFilterColumns = Seq("o_orderkey"))
+      (0 until 3).foreach(i =>
+        tbl.append(o.filter(col("o_orderkey") % 3 === i).coalesce(1)))
+      tbl.readWhere(Seq(LakeTable.ZonePred.eq("o_orderkey", "7")))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_orderkey = 7 ORDER BY o_orderkey""")),
+
     // S18: SQL-TEXT MERGE — s8's guarded upsert driven through the exact
     // statement form the reference's gold notebook executes
     // (`DIM_Gold_layer.py:176-195` runs spark.sql(merge_sql) on Delta):

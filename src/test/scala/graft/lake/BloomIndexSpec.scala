@@ -1,0 +1,91 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * Bloom-filter file index: point-lookup pruning on high-cardinality
+ * UNCLUSTERED columns — the case zone maps cannot help (every file's
+ * [min, max] spans the domain). The invariant under test everywhere:
+ * pruning only ever REMOVES files that provably lack the value; results
+ * equal an unpruned filtered scan exactly.
+ */
+class BloomIndexSpec extends SparkSpec {
+  import spark.implicits._
+  import scala.jdk.CollectionConverters._
+
+  /** Three appends of interleaved ids: id % 3 == slice, so every file's
+   *  zone map on `uid` spans ~the whole domain (no range pruning possible),
+   *  but each uid value lives in exactly ONE file. */
+  private def interleaved(name: String): LakeTable = {
+    val t = LakeTable(spark, s"${tmpDir(name)}/t")
+    val df = (1L to 3000L).map(k => (k, s"u$k")).toDF("k", "uid")
+    t.create(df.schema, statsColumns = Seq("k"), bloomFilterColumns = Seq("uid"))
+    (0 until 3).foreach(s => t.append(df.filter(col("k") % 3 === s).coalesce(1)))
+    t
+  }
+
+  test("point lookup on an unclustered indexed column prunes to ~one file") {
+    val t = interleaved("bloom_point")
+    val pred = Seq(LakeTable.ZonePred.eq("uid", "u1234"))
+    val (kept, skipped) = t.skippingStats(pred)
+    assert(kept + skipped == 3)
+    // u1234 lives in one file; the other two prune (fpp could keep an
+    // extra at ~1%, never both at once for this fixed dataset)
+    assert(kept <= 2, s"kept=$kept skipped=$skipped")
+    assert(skipped >= 1)
+    // zone maps alone CANNOT prune this predicate: uid min/max are
+    // lexicographic over interleaved ids — prove the bloom is what pruned
+    // by checking the k zone-map pred keeps everything
+    val (keptZm, _) = t.skippingStats(Seq(LakeTable.ZonePred.between("k", "1", "3000")))
+    assert(keptZm == 3)
+    // and the pruned read returns exactly the unpruned result
+    assert(t.readWhere(pred).as[(Long, String)].collect().toSeq == Seq((1234L, "u1234")))
+    // a value that exists nowhere prunes everything (modulo fpp)
+    val (keptNone, _) = t.skippingStats(Seq(LakeTable.ZonePred.eq("uid", "nope")))
+    assert(keptNone <= 1, s"phantom value kept $keptNone files")
+    assert(t.readWhere(Seq(LakeTable.ZonePred.eq("uid", "nope"))).count() == 0)
+  }
+
+  test("range predicates never consult blooms; missing sidecars never prune") {
+    val t = interleaved("bloom_range")
+    // RANGE pred on the bloom column: blooms answer only equality — all kept
+    val (kept, _) = t.skippingStats(Seq(LakeTable.ZonePred.between("uid", "u1", "u9999")))
+    assert(kept == 3)
+    // deleting the sidecars loses pruning, never correctness
+    val bloomDir = Paths.get(t.root, "_bloom")
+    Files.list(bloomDir).iterator().asScala.foreach(p => Files.delete(p))
+    val fresh = LakeTable(spark, t.root) // no cached index
+    val (keptNoIdx, _) = fresh.skippingStats(Seq(LakeTable.ZonePred.eq("uid", "u1234")))
+    assert(keptNoIdx == 3)
+    assert(fresh.readWhere(Seq(LakeTable.ZonePred.eq("uid", "u1234"))).count() == 1)
+  }
+
+  test("blooms survive overwrite, partitioned merge, clone and vacuum") {
+    val base = tmpDir("bloom_life")
+    val t = LakeTable(spark, s"$base/t")
+    val df = Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2")).toDF("k", "uid", "pt")
+    t.create(df.schema, partitionBy = Some("pt"), bloomFilterColumns = Seq("uid"))
+    t.append(df)
+    assert(t.skippingStats(Seq(LakeTable.ZonePred.eq("uid", "zzz")))._1 <= 1)
+    // partitioned merge rebuilds indexed files for touched partitions
+    t.merge(Seq((3L, "c2", "p2")).toDF("k", "uid", "pt"), Seq("k"))
+    val pred = Seq(LakeTable.ZonePred.eq("uid", "c2"))
+    assert(t.readWhere(pred).count() == 1)
+    assert(t.skippingStats(pred)._2 >= 1) // p1's file pruned
+    // clone carries the sidecars
+    val c = t.shallowClone(s"$base/clone")
+    assert(c.skippingStats(pred)._2 >= 1)
+    assert(c.readWhere(pred).count() == 1)
+    // vacuum keeps live sidecars, drops orphaned ones
+    t.overwrite(t.read)
+    t.vacuum(keepVersions = 1)
+    val live = LakeTable(spark, t.root)
+    assert(live.readWhere(pred).count() == 1)
+    val idxFiles = Files.list(Paths.get(t.root, "_bloom")).iterator().asScala.toList
+    assert(idxFiles.size == 1, idxFiles.toString) // only the overwrite's dir
+  }
+}

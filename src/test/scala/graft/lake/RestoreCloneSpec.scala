@@ -23,6 +23,26 @@ class RestoreCloneSpec extends SparkSpec {
     assert(t.read.as[(Long, String)].collect().toSeq == Seq((9L, "z")))
   }
 
+  test("TIMESTAMP AS OF resolves to the latest commit at or before the clock") {
+    val t0 = java.sql.Timestamp.valueOf("2030-01-01 00:00:00").getTime
+    val tick = new java.util.concurrent.atomic.AtomicLong(0L)
+    // commits land at t0, t0+1000, t0+2000, ...
+    val t = LakeTable.withClock(spark, s"${tmpDir("ts_asof")}/t",
+      () => t0 + tick.getAndIncrement() * 1000L)
+    t.append(Seq((1L, "a")).toDF("k", "v"))            // v0 @ t0
+    t.append(Seq((2L, "b")).toDF("k", "v"))            // v1 @ t0+1000
+    t.overwrite(Seq((9L, "z")).toDF("k", "v"))         // v2 @ t0+2000
+    assert(t.readTimestampAsOf(t0).count() == 1)               // exactly v0
+    assert(t.readTimestampAsOf(t0 + 1500).count() == 2)        // between → v1
+    assert(t.readTimestampAsOf(t0 + 999999).count() == 1)      // future → latest
+    intercept[IllegalArgumentException](t.readTimestampAsOf(t0 - 1))
+    // DESCRIBE HISTORY carries the same clocks
+    assert(t.historyDetail.map(_._3) ==
+      Seq(Some(t0), Some(t0 + 1000), Some(t0 + 2000)))
+    assert(t.historyDetail.map(h => (h._1, h._2)) ==
+      Seq((0L, "append"), (1L, "append"), (2L, "overwrite")))
+  }
+
   test("restore refuses a vacuumed version") {
     val t = LakeTable(spark, s"${tmpDir("rc_restore_vac")}/t")
     t.append(Seq((1L, "a")).toDF("k", "v"))    // v0
