@@ -1526,6 +1526,143 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     replaceAll(readScoped(m, None), m.pcol, "compact", Some(v0))
   }
 
+  /** [[optimizeCompact]] result: what was rewritten vs carried by link. */
+  final case class OptimizeStats(
+      filesRewritten: Int, filesLinked: Int, bytesRewritten: Long)
+
+  /**
+   * OPTIMIZE bin-packing (Delta `OPTIMIZE` without ZORDER): coalesce SMALL
+   * files into ~`targetFileBytes` files and hard-link every already-large
+   * file untouched — I/O is O(small files), not O(table), which is the cost
+   * that matters when streaming ingest has accumulated thousands of tiny
+   * appends. [[compact]] stays the full-rewrite (REORG) path.
+   *
+   *  - "small" = under `targetFileBytes / 2` (Delta's minFileSize rule).
+   *  - Partitioned tables pack PER PARTITION (files cannot cross partition
+   *    dirs); files of partitions an entry no longer owns are dropped, not
+   *    carried.
+   *  - Files carrying DELETION-VECTOR rows are force-rewritten through the
+   *    vector filter regardless of size — a hard link would put the dead
+   *    rows under a new path the vectors don't address — so a completed
+   *    optimize also MATERIALIZES all deletes and clears the vectors (the
+   *    targeted `REORG TABLE ... APPLY (PURGE)`).
+   *  - Zone-map stats ride along: linked files keep theirs (path remap),
+   *    rewritten files get fresh ones. Bloom sidecars are rebuilt over the
+   *    packed dir when the table indexes bloom columns (one extra scan —
+   *    the write-side cost every indexed write pays).
+   *
+   * Commits conditionally against the snapshot it read (lost race →
+   * [[ConcurrentWriteException]], recompute and retry). Rewrite-class
+   * commit: the change feed does not span it, append-only streams refuse
+   * histories containing it (same contract as compact).
+   */
+  def optimizeCompact(targetFileBytes: Long = 128L * 1024 * 1024): OptimizeStats =
+    synchronized {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(exists, s"LakeTable at $root does not exist")
+    val v0 = currentVersion
+    val m = readManifest(v0)
+    val minSize = targetFileBytes / 2
+    val dvFiles: Set[String] =
+      if (m.deleteVectors.isEmpty) Set.empty
+      else spark.read.schema(DvSchema)
+        .parquet(m.deleteVectors.map(d => s"$root/$d"): _*)
+        .select("file").distinct().collect().map(_.getString(0)).toSet
+
+    val newDir = s"data/${UUID.randomUUID()}"
+    Files.createDirectories(Paths.get(root, newDir))
+    // per entry: owned-partition files only; small-or-deleted → rewrite,
+    // the rest hard-link into the packed dir (Spark part-file names embed a
+    // job UUID, so cross-dir links cannot collide)
+    var linked = 0
+    var rewriteBytes = 0L
+    val rewriteByDir = scala.collection.mutable.Map.empty[String, Seq[String]]
+    val newStats = scala.collection.mutable.ArrayBuffer.empty[FileStat]
+    m.entries.foreach { e =>
+      val ownedVals = e.owned.map(_.toSet)
+      listParquet(Paths.get(root, e.dir)).foreach { p =>
+        val rel = Paths.get(root).relativize(p).toString
+        val sub = Paths.get(root, e.dir).relativize(p).toString
+        val inOwned = (m.pcol, ownedVals) match {
+          case (Some(pc), Some(vs)) =>
+            partitionValueOf(sub, pc).exists(vs.contains)
+          case _ => true
+        }
+        if (inOwned) {
+          if (Files.size(p) < minSize || dvFiles.contains(rel)) {
+            rewriteBytes += Files.size(p)
+            rewriteByDir(e.dir) = rewriteByDir.getOrElse(e.dir, Nil) :+ rel
+          } else {
+            val dst = Paths.get(root, newDir).resolve(sub)
+            Files.createDirectories(dst.getParent)
+            Files.createLink(dst, p)
+            linked += 1
+            m.fileStats.find(_.path == rel).foreach { fs =>
+              newStats += fs.copy(path = s"$newDir/$sub")
+            }
+          }
+        }
+      }
+    }
+    val rewritten = rewriteByDir.toSeq.sortBy(_._1).map { case (dir, rels) =>
+      val scan0 = spark.read.schema(m.schema)
+        .option("basePath", s"$root/$dir")
+        .parquet(rels.map(f => s"$root/$f"): _*)
+      if (m.deleteVectors.isEmpty) scan0 else rowIdCols(scan0)
+    } match {
+      case Nil => None
+      case scans => Some(antiJoinDeleteVectors(
+        scans.reduce(_ unionByName _), m)
+        .select(m.schema.fieldNames.map(col).toSeq: _*))
+    }
+    var rewrittenCount = 0
+    rewritten.foreach { df =>
+      val rwTmp = s"data/.opt-${UUID.randomUUID()}"
+      m.pcol match {
+        case Some(p) => df.repartition(col(p))
+          .write.partitionBy(p).parquet(s"$root/$rwTmp")
+        case None =>
+          val n = math.max(1, math.ceil(rewriteBytes.toDouble / targetFileBytes).toInt)
+          df.coalesce(n).write.parquet(s"$root/$rwTmp")
+      }
+      val rwFiles = listParquet(Paths.get(root, rwTmp))
+      rwFiles.foreach { src =>
+        val sub = Paths.get(root, rwTmp).relativize(src)
+        val dst = Paths.get(root, newDir).resolve(sub)
+        Files.createDirectories(dst.getParent)
+        Files.createLink(dst, src)
+      }
+      rewrittenCount = rwFiles.size
+      if (m.statsCols.nonEmpty && rwFiles.nonEmpty) {
+        val rwRel = rwFiles.map(src =>
+          s"$newDir/${Paths.get(root, rwTmp).relativize(src)}")
+        val rwDf = spark.read.schema(m.schema)
+          .option("basePath", s"$root/$newDir")
+          .parquet(rwRel.map(f => s"$root/$f"): _*)
+        newStats ++= statsOf(rwDf, newDir, m.schema, m.pcol, m.statsCols)
+      }
+      deleteRecursively(Paths.get(root, rwTmp))
+    }
+    // owned values for the packed dir = the union of what the entries owned
+    val owned = m.pcol.map(_ => m.entries.flatMap(_.owned.getOrElse(Nil)).distinct)
+    writeBloomIndex(newDir, m.schema, m.pcol, m.bloomCols)
+    if (!tryCommit(Manifest(m.schema, m.pcol, Seq(DirEntry(newDir, owned)),
+        "optimize", m.cdfEnabled, None, m.statsCols, newStats.toSeq,
+        constraints = m.constraints, generated = m.generated,
+        bloomCols = m.bloomCols), v0 + 1))
+      throw new ConcurrentWriteException(
+        s"optimize computed against version $v0 of $root, but a concurrent " +
+          s"writer committed v${v0 + 1} first — recompute and retry")
+    OptimizeStats(rewrittenCount, linked, rewriteBytes)
+  }
+
+  /** Hive-layout partition value of a file's dir-relative subpath, if any. */
+  private def partitionValueOf(sub: String, pcol: String): Option[String] = {
+    val prefix = s"$pcol="
+    sub.split('/').find(_.startsWith(prefix))
+      .map(s => LakeTable.unescapePathName(s.stripPrefix(prefix)))
+  }
+
   /**
    * Z-ORDER compaction (Delta `OPTIMIZE ... ZORDER BY`): rewrite the table
    * clustered on the interleaved-bit order of `zcols`, so the per-file zone

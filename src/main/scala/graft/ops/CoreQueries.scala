@@ -717,6 +717,29 @@ object CoreQueries {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         WHERE o_orderkey = 7 ORDER BY o_orderkey""")),
 
+    // S20: OPTIMIZE BIN-PACKING after a merge-on-read delete — the
+    // small-file lifecycle a streaming ingest table lives: one large
+    // landing, a trickle of small appends, a logical delete, then OPTIMIZE
+    // coalesces the smalls and materializes the vectors while the large
+    // file rides by hard link (OptimizeSpec proves the inode survives;
+    // I/O is O(small files), not O(table)). Oracle = the delete's
+    // relational reading over the full dataset: packing must be invisible.
+    Q("s20_optimize_pack", (s, d) => {
+      val o = t(s, d, "orders")
+      val tbl = LakeTable(s, s"${tmp("graft_s20")}/t")
+      tbl.create(o.schema, statsColumns = Seq("o_orderdate"))
+      tbl.append(o.filter(col("o_orderkey") % 3 =!= 0).coalesce(1))
+      (0 to 2).foreach(i => tbl.append(
+        o.filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") % 9 === i * 3)
+          .coalesce(1)))
+      tbl.deleteWhere("o_totalprice > 200000.0")
+      tbl.optimizeCompact(targetFileBytes = 8L * 1024 * 1024)
+      tbl.read.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE NOT (o_totalprice > 200000.0) ORDER BY o_orderkey""")),
+
     // S18: SQL-TEXT MERGE — s8's guarded upsert driven through the exact
     // statement form the reference's gold notebook executes
     // (`DIM_Gold_layer.py:176-195` runs spark.sql(merge_sql) on Delta):

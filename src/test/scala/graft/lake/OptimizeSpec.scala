@@ -1,0 +1,94 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** OPTIMIZE bin-packing: small files coalesce, large files ride by hard
+ *  link (byte-identical, zero I/O), deletion vectors materialize. */
+class OptimizeSpec extends SparkSpec {
+  import spark.implicits._
+  import scala.jdk.CollectionConverters._
+
+  private def fileKeys(root: String): Map[String, Object] =
+    Files.walk(Paths.get(root, "data")).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map(p => p.getFileName.toString ->
+        Files.getAttribute(p, "fileKey"))
+      .toMap
+
+  test("small files pack; the large file is carried by hard link, not copied") {
+    val root = s"${tmpDir("opt_pack")}/t"
+    val t = LakeTable(spark, root)
+    val big = (1L to 20000L).map(k => (k, s"v$k" * 10)).toDF("k", "v")
+    t.create(big.schema, statsColumns = Seq("k"))
+    t.append(big.coalesce(1))                       // one comfortably-large file
+    (1 to 5).foreach(i =>                            // five tiny appends
+      t.append(Seq((100000L + i, "tiny")).toDF("k", "v")))
+    assert(t.detail.numFiles == 6)
+    val beforeKeys = fileKeys(root)
+
+    val stats = t.optimizeCompact(targetFileBytes = 256 * 1024)
+    // the big file (well over 128KB min) linked; the 5 tiny ones rewrote to 1
+    assert(stats.filesLinked == 1, stats.toString)
+    assert(stats.filesRewritten == 1, stats.toString)
+    assert(t.detail.numFiles == 2)
+    assert(t.read.count() == 20005)
+    // hard link proof: the surviving big file shares its fileKey (inode)
+    // with a pre-optimize file — bytes were never copied
+    val afterKeys = fileKeys(root)
+    val sharedInodes = afterKeys.values.toSet intersect beforeKeys.values.toSet
+    assert(sharedInodes.nonEmpty)
+    // zone maps still prune after the pack (stats were carried/rebuilt)
+    val (kept, skipped) = t.skippingStats(Seq(LakeTable.ZonePred.eq("k", "100001")))
+    assert(skipped >= 1, s"kept=$kept skipped=$skipped")
+  }
+
+  test("optimize materializes deletion vectors and clears them") {
+    val t = LakeTable(spark, s"${tmpDir("opt_dv")}/t")
+    val df = (1L to 1000L).map(k => (k, k * 2.0)).toDF("k", "v")
+    t.append(df.coalesce(1))
+    t.append(Seq((2000L, 0.0)).toDF("k", "v"))
+    t.deleteWhere("k <= 100")
+    assert(t.deleteVectorDirs.nonEmpty)
+    // the DV-carrying file is large enough to be "big", but MUST rewrite
+    // anyway: a link would resurrect its deleted rows under a new path
+    t.optimizeCompact(targetFileBytes = 1024)
+    assert(t.deleteVectorDirs.isEmpty)
+    assert(t.read.count() == 901)
+    assert(t.read.filter(col("k") <= 100).count() == 0)
+    // copy-on-write works again now that the vectors are gone
+    t.update(Seq(LakeTable.ZonePred.eq("k", "101")), Map("v" -> lit(0.0)))
+    assert(t.read.filter(col("v") === 0.0).count() == 2)
+  }
+
+  test("partitioned optimize packs per partition and keeps pruning + blooms") {
+    val t = LakeTable(spark, s"${tmpDir("opt_part")}/t")
+    val df = (1L to 300L).map(k => (k, s"u$k", s"p${k % 3}")).toDF("k", "uid", "pt")
+    t.create(df.schema, partitionBy = Some("pt"), bloomFilterColumns = Seq("uid"))
+    (0 until 4).foreach(s => t.append(df.filter(col("k") % 4 === s)))
+    assert(t.detail.numFiles == 12) // 4 appends × 3 partitions
+    val stats = t.optimizeCompact(targetFileBytes = 512 * 1024 * 1024)
+    assert(stats.filesRewritten == 3, stats.toString) // one packed file per partition
+    assert(t.detail.numFiles == 3)
+    assert(t.read.count() == 300)
+    // partition-scoped reads still prune; bloom sidecar rebuilt for the dir
+    assert(t.readPartitions(Seq("p1")).count() == 100)
+    val (kept, skipped) = t.skippingStats(Seq(LakeTable.ZonePred.eq("uid", "zzz")))
+    assert(kept <= 1 && skipped >= 2, s"kept=$kept skipped=$skipped")
+  }
+
+  test("optimize is a rewrite-class commit: CDF refuses to span it") {
+    val t = LakeTable(spark, s"${tmpDir("opt_cdf")}/t")
+      .create(Seq((1L, "a")).toDF("k", "v").schema, enableChangeFeed = true)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    t.optimizeCompact()
+    t.append(Seq((3L, "c")).toDF("k", "v"))
+    val e = intercept[RuntimeException](t.readChangeFeed(0).collect())
+    assert(e.getMessage.contains("full-rewrite"), e.getMessage)
+    assert(t.readChangeFeed(3).count() == 1) // post-optimize range reads fine
+    assert(t.history.map(_._2) == Seq("create", "append", "optimize", "append"))
+  }
+}
