@@ -1,0 +1,89 @@
+package graft.lake
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * Model-based randomized lifecycle test: a LakeTable driven through random
+ * op sequences must stay row-identical to a trivial in-memory relational
+ * model after EVERY step. This is the whole-system invariant the individual
+ * specs can't state — appends, merge-on-read deletes, bin-packing,
+ * full compaction, and overwrites COMPOSE in any order without losing,
+ * duplicating, or resurrecting a row.
+ */
+case class Rw(k: Long, v: Double, pt: String)
+
+class LifecyclePropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("random append/deleteWhere/optimize/compact/overwrite sequences match the model") {
+    for (seed <- 1 to 3) {
+      val rng = new Random(seed)
+      val root = s"${tmpDir(s"life_$seed")}/t"
+      val t = LakeTable(spark, root)
+      t.create(Seq(Rw(0L, 0.0, "p0")).toDF("k", "v", "pt").schema,
+        partitionBy = Some("pt"), statsColumns = Seq("k"))
+      var model = Vector.empty[Rw]
+      var nextK = 1L
+      def freshBatch(): Seq[Rw] = {
+        val n = 1 + rng.nextInt(40)
+        val rows = (0 until n).map { _ =>
+          val r = Rw(nextK, math.floor(rng.nextDouble() * 100) / 100, s"p${rng.nextInt(3)}")
+          nextK += 1
+          r
+        }
+        rows
+      }
+      def check(step: String): Unit = {
+        val got = t.read.as[Rw].collect().toVector.sortBy(r => (r.k, r.v, r.pt))
+        val want = model.sortBy(r => (r.k, r.v, r.pt))
+        assert(got == want,
+          s"seed=$seed after $step: table=${got.size} rows, model=${want.size}; " +
+            s"first diff=${got.zipAll(want, null, null).find(p => p._1 != p._2)}")
+      }
+      (1 to 14).foreach { step =>
+        rng.nextInt(6) match {
+          case 0 | 1 => // append skews the mix toward accumulation
+            val b = freshBatch()
+            t.append(b.toDF("k", "v", "pt"))
+            model = model ++ b
+          case 2 => // merge-on-read delete with a random predicate family
+            val (cond, pred) = rng.nextInt(3) match {
+              case 0 =>
+                val x = math.floor(rng.nextDouble() * 100) / 100
+                (s"v < $x", (r: Rw) => r.v < x)
+              case 1 =>
+                val mod = 2 + rng.nextInt(5)
+                (s"k % $mod = 0", (r: Rw) => r.k % mod == 0)
+              case 2 =>
+                val p = s"p${rng.nextInt(3)}"
+                val x = math.floor(rng.nextDouble() * 100) / 100
+                (s"pt = '$p' AND v >= $x", (r: Rw) => r.pt == p && r.v >= x)
+            }
+            val deleted = t.deleteWhere(cond)
+            val expected = model.count(pred)
+            assert(deleted == expected,
+              s"seed=$seed step=$step deleteWhere($cond): got $deleted, want $expected")
+            model = model.filterNot(pred)
+          case 3 =>
+            t.optimizeCompact(targetFileBytes = 64 * 1024)
+          case 4 =>
+            t.compact()
+          case 5 => // overwrite resets to a fresh batch
+            val b = freshBatch()
+            t.overwrite(b.toDF("k", "v", "pt"), partitionBy = Some("pt"))
+            model = b.toVector
+        }
+        check(s"step $step")
+      }
+      // end state also survives a cold re-open and a vacuum
+      t.vacuum(keepVersions = 1)
+      val cold = LakeTable(spark, root)
+      assert(cold.read.as[Rw].collect().toVector.sortBy(r => (r.k, r.v, r.pt)) ==
+        model.sortBy(r => (r.k, r.v, r.pt)), s"seed=$seed after vacuum+reopen")
+    }
+  }
+}
