@@ -38,6 +38,19 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  private def mayHaveNullElems: Boolean = Seq(left, right).exists(
+    _.dataType.asInstanceOf[ArrayType].containsNull)
+
+  /** A NULL ELEMENT nulls the result even when the array columns themselves
+   *  are non-nullable (collect_list output, literals) — without this
+   *  override the expression claimed non-nullable, and the codegen's
+   *  `ev.isNull = true` assigned to a slot that does not exist, which
+   *  Janino rejected — silently DE-COMPILING every operator containing a
+   *  vector_dot over non-nullable arrays (the whole IVF assignment path)
+   *  to interpreted mode. */
+  override def nullable: Boolean = !left.resolved || !right.resolved ||
+    left.nullable || right.nullable || mayHaveNullElems
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -65,12 +78,20 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
     val n = ctx.freshName("vdN")
     val acc = ctx.freshName("vdAcc")
     val i = ctx.freshName("vdI")
+    // element null-check only when an input's element type admits nulls —
+    // otherwise the loop is a branch-free multiply-add (and `ev.isNull` may
+    // be the non-existent slot of a non-nullable expression)
+    val elemCheck =
+      if (mayHaveNullElems)
+        (a: String, b: String, idx: String) =>
+          s"if ($a.isNullAt($idx) || $b.isNullAt($idx)) { ${ev.isNull} = true; break; }"
+      else (_: String, _: String, _: String) => ""
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  ${elemCheck(a, b, i)}
          |  $acc += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
          |}
          |${ev.value} = $acc;

@@ -71,4 +71,30 @@ class VectorDotSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project") && plan.contains("vector_dot"), plan)
   }
+
+  test("dots over NON-NULLABLE arrays stay compiled (IVF refinement shape)") {
+    // Regression: collect_list output is a non-nullable array column; the
+    // expression then reported nullable=false while its codegen assigned
+    // `ev.isNull = true` — a slot that does not exist — so janino rejected
+    // the function and EVERY operator containing a dot over non-nullable
+    // arrays (the whole IVF centroid-assignment join) silently ran
+    // interpreted. fallback=false makes any compile failure throw.
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq((1L, 2.0), (1L, 3.0), (2L, 4.0)).toDF("id", "x")
+        .groupBy("id").agg(collect_list(col("x")).as("cv"))
+        .withColumn("d", VectorFunctions.dot(col("cv"), col("cv")))
+      // non-nullable arrays of non-nullable elements → non-nullable result,
+      // branch-free generated loop
+      assert(!df.schema("d").nullable)
+      val got = df.orderBy("id").select("d").as[Double].collect().toSeq
+      assert(got == Seq(13.0, 16.0)) // 4+9, 16
+      // null ELEMENTS still null the result — and flip nullability on
+      val withNulls = Seq((Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 1.0)))
+        .toDF("a", "b").withColumn("d", VectorFunctions.dot(col("a"), col("b")))
+      assert(withNulls.schema("d").nullable)
+      assert(withNulls.select("d").collect().head.isNullAt(0))
+    } finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+  }
 }
