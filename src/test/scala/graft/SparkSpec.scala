@@ -29,6 +29,11 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // STRICT codegen: a generated function that fails to compile THROWS
+      // instead of silently de-compiling the operator to interpreted mode —
+      // the vector_dot nullability bug ran the whole IVF path interpreted
+      // for five rounds without a single red test. Never again.
+      .config("spark.sql.codegen.fallback", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
