@@ -296,6 +296,73 @@ object ExtQueries {
         SELECT id AS doc_id, MIN(lbl) AS cc, id = MIN(lbl) AS is_canonical
         FROM reach GROUP BY id ORDER BY doc_id""")),
 
+    // QUALITY-WEIGHTED canonical selection — the curation form of x19: the
+    // survivor of each near-dup cluster is the HIGHEST-QUALITY member (tie →
+    // lowest id), not the lowest id. This is what a training-data pipeline
+    // actually keeps: dedup clusters via MinHash-LSH + exact-Jaccard +
+    // connected components, then one window over (cluster, quality DESC).
+    // Same bucketed join + pointer-jumping shapes as x19; the only addition
+    // is a broadcast-sized quality projection and one hash exchange on cc.
+    Q("x38_dedup_keep_best", (s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = TF.tokens(TF.normalizeText(col("text")))
+      val sig = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), TS.shingleSketch(toks, 3, K).as("sk"))
+        .select(col("doc_id"), col("sk.mh").as("mh"), col("sk.sh").as("sh"))
+        .persist()
+      val cand = Dedup.lshCandidatePairs(sig, "doc_id", "mh", BANDS, ROWS_PER_BAND)
+      val verified = cand
+        .join(sig.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+        .filter(TS.jaccardSorted(col("sha"), col("shb")) >= 0.5)
+        .select("doc_a", "doc_b")
+      val cc = Dedup.connectedComponents(docs.select("doc_id"), "doc_id",
+        verified, "doc_a", "doc_b")
+      val quality = docs.select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cc").orderBy(col("quality").desc, col("doc_id"))
+      cc.join(quality, "doc_id")
+        .withColumn("is_kept", row_number().over(w) === 1)
+        .select("doc_id", "cc", "quality", "is_kept")
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH RECURSIVE shg AS (
+          SELECT doc_id, ${TF.wordShinglesSql("text", 3)} AS shg FROM documents),
+        hs AS (
+          SELECT doc_id, ${Dedup.shingleHashesSql("shg")} AS hs
+          FROM shg WHERE len(shg) > 0),
+        sigs AS (
+          SELECT doc_id, ${Dedup.minhashFromHashesSql("hs", K)} AS mh FROM hs),
+        sets AS (
+          SELECT doc_id, list_sort(list_distinct(hs)) AS sh FROM hs),
+        bands AS (
+          SELECT doc_id, b AS band, mh[2*b+1] AS h0, mh[2*b+2] AS h1
+          FROM sigs, (SELECT unnest([0,1,2,3]) AS b) bb),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id),
+        pairs AS (
+          SELECT doc_a, doc_b FROM cand
+          JOIN sets sa ON cand.doc_a = sa.doc_id
+          JOIN sets sb ON cand.doc_b = sb.doc_id
+          WHERE ${Dedup.jaccardSql("sa.sh", "sb.sh")} >= 0.5),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+        reach(id, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        comp AS (SELECT id AS doc_id, MIN(lbl) AS cc FROM reach GROUP BY id),
+        scored AS (
+          SELECT c.doc_id, c.cc, ${TF.qualityScoreSql("d.text")} AS quality
+          FROM comp c JOIN documents d ON c.doc_id = d.doc_id)
+        SELECT doc_id, cc, quality,
+          ROW_NUMBER() OVER (PARTITION BY cc ORDER BY quality DESC, doc_id) = 1
+            AS is_kept
+        FROM scored ORDER BY doc_id""")),
+
     // Embedding near-dup pairs: banded sign-LSH candidates + exact cosine.
     Q("x5_dedup_embedding_cosine", (s, d) =>
       Similarity.nearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
