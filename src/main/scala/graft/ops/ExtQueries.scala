@@ -363,6 +363,68 @@ object ExtQueries {
             AS is_kept
         FROM scored ORDER BY doc_id""")),
 
+    // LEAKAGE-FREE SPLIT ASSIGNMENT — train/valid/test by hashing the
+    // near-dup CLUSTER id, not the document id: every member of a cluster
+    // lands in the same split, so a near-duplicate of a test document can
+    // never sit in train (the eval-leakage failure mode doc-level hashing
+    // has). 80/10/10 via the deterministic 60-bit hash both engines share.
+    // Shapes: x19's cluster machinery + one scalar hash — no new exchange.
+    Q("x39_split_by_cluster", (s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = TF.tokens(TF.normalizeText(col("text")))
+      val sig = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), TS.shingleSketch(toks, 3, K).as("sk"))
+        .select(col("doc_id"), col("sk.mh").as("mh"), col("sk.sh").as("sh"))
+        .persist()
+      val cand = Dedup.lshCandidatePairs(sig, "doc_id", "mh", BANDS, ROWS_PER_BAND)
+      val verified = cand
+        .join(sig.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+        .filter(TS.jaccardSorted(col("sha"), col("shb")) >= 0.5)
+        .select("doc_a", "doc_b")
+      val pct = TF.hash60(col("cc").cast("string")) % 100
+      Dedup.connectedComponents(docs.select("doc_id"), "doc_id",
+          verified, "doc_a", "doc_b")
+        .withColumn("split",
+          when(pct < 80, "train").when(pct < 90, "valid").otherwise("test"))
+        .select("doc_id", "cc", "split")
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH RECURSIVE shg AS (
+          SELECT doc_id, ${TF.wordShinglesSql("text", 3)} AS shg FROM documents),
+        hs AS (
+          SELECT doc_id, ${Dedup.shingleHashesSql("shg")} AS hs
+          FROM shg WHERE len(shg) > 0),
+        sigs AS (
+          SELECT doc_id, ${Dedup.minhashFromHashesSql("hs", K)} AS mh FROM hs),
+        sets AS (
+          SELECT doc_id, list_sort(list_distinct(hs)) AS sh FROM hs),
+        bands AS (
+          SELECT doc_id, b AS band, mh[2*b+1] AS h0, mh[2*b+2] AS h1
+          FROM sigs, (SELECT unnest([0,1,2,3]) AS b) bb),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id),
+        pairs AS (
+          SELECT doc_a, doc_b FROM cand
+          JOIN sets sa ON cand.doc_a = sa.doc_id
+          JOIN sets sb ON cand.doc_b = sb.doc_id
+          WHERE ${Dedup.jaccardSql("sa.sh", "sb.sh")} >= 0.5),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+        reach(id, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        comp AS (SELECT id AS doc_id, MIN(lbl) AS cc FROM reach GROUP BY id)
+        SELECT doc_id, cc,
+          CASE WHEN ${TF.hash60Sql("CAST(cc AS VARCHAR)")} % 100 < 80 THEN 'train'
+               WHEN ${TF.hash60Sql("CAST(cc AS VARCHAR)")} % 100 < 90 THEN 'valid'
+               ELSE 'test' END AS split
+        FROM comp ORDER BY doc_id""")),
+
     // Embedding near-dup pairs: banded sign-LSH candidates + exact cosine.
     Q("x5_dedup_embedding_cosine", (s, d) =>
       Similarity.nearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
