@@ -1309,8 +1309,68 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     require(exists, s"LakeTable at $root does not exist")
     val v0 = currentVersion
     val m = readManifest(v0)
-    val cond = coalesce(expr(condition), lit(false))
-    val live = readScopedRows(m, None, withRowIds = true)
+    deleteRows(m, v0, coalesce(expr(condition), lit(false)),
+      readScopedRows(m, None, withRowIds = true))
+  }
+
+  /**
+   * MERGE-ON-READ POINT DELETE with file skipping — the merge-on-read twin
+   * of the copy-on-write [[delete]]: the candidate scan is pruned by zone
+   * maps AND the bloom index FIRST (the preds name which files can hold a
+   * match), then the surviving rows are filtered by the same preds and
+   * their coordinates written as a deletion vector. At 100 TB a keyed
+   * delete on a stats/bloom-indexed column touches the handful of files
+   * that can contain the key instead of scanning the table to locate the
+   * rows it will not rewrite anyway. Semantics ≡ `deleteWhere(<preds as
+   * conjunction>)` — pruning uses the same predicates row-filtering does,
+   * so it can never miss a match.
+   */
+  def deleteWhere(preds: Seq[ZonePred]): Long = synchronized {
+    require(exists, s"LakeTable at $root does not exist")
+    require(preds.nonEmpty, "refusing a whole-table delete with no predicate")
+    val v0 = currentVersion
+    val m = readManifest(v0)
+    preds.foreach(p => require(m.schema.fieldNames.contains(p.col),
+      s"unknown predicate column ${p.col}"))
+    deleteRows(m, v0, zonePredCondition(m, preds), readKeptRows(m, preds))
+  }
+
+  /** Conjunction of [[ZonePred]] bounds as a row-level Column. */
+  private def zonePredCondition(m: Manifest, preds: Seq[ZonePred]): org.apache.spark.sql.Column =
+    preds.map { pr =>
+      val dt = m.schema(pr.col).dataType
+      (pr.lo.map(v => col(pr.col) >= lit(v).cast(dt)).toSeq ++
+        pr.hi.map(v => col(pr.col) <= lit(v).cast(dt)).toSeq)
+        .reduce(_ && _)
+    }.reduce(_ && _)
+
+  /** Zone/bloom-pruned scan carrying row-id columns, deletion vectors
+   *  applied — the candidate set for a pruned merge-on-read delete. */
+  private def readKeptRows(m: Manifest, preds: Seq[ZonePred]): DataFrame = {
+    val scans = planSkip(m, preds).flatMap { case (e, kept, _) =>
+      val disowned = m.pcol.isDefined && e.owned.exists(_.isEmpty)
+      if (kept.isEmpty || disowned) None
+      else {
+        val scan = rowIdCols(spark.read.schema(m.schema)
+          .option("basePath", s"$root/${e.dir}")
+          .parquet(kept.map(f => s"$root/$f"): _*))
+        Some((m.pcol, e.owned) match {
+          case (Some(p), Some(vs)) if vs.nonEmpty =>
+            val dt = m.schema(p).dataType
+            scan.filter(vs.map(v => col(p) === lit(v).cast(dt)).reduce(_ || _))
+          case _ => scan
+        })
+      }
+    }
+    scans.reduceOption(_ unionByName _) match {
+      case None => readScopedRows(m, Some(Set.empty), withRowIds = true)
+        .limit(0) // no file can hold a match: empty, schema-correct
+      case Some(df) => antiJoinDeleteVectors(df, m)
+    }
+  }
+
+  private def deleteRows(m: Manifest, v0: Long,
+      cond: org.apache.spark.sql.Column, live: DataFrame): Long = {
     val matches = live.filter(cond)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

@@ -132,6 +132,40 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.read.count() == 2)
   }
 
+  test("pruned point delete: preds skip files via zone maps and blooms") {
+    val root = s"${tmpDir("dv_pruned")}/t"
+    val t = LakeTable(spark, root)
+    val df = (1L to 3000L).map(k => (k, s"u$k", k * 1.0)).toDF("k", "uid", "v")
+    t.create(df.schema, statsColumns = Seq("k"), bloomFilterColumns = Seq("uid"))
+    // year-style ranges on k (zone maps prune), interleaved uid lives in
+    // exactly one file (blooms prune)
+    Seq((1L, 1000L), (1001L, 2000L), (2001L, 3000L)).foreach { case (a, b) =>
+      t.append(df.filter(col("k").between(a, b)).coalesce(1))
+    }
+    // zone-map-pruned range delete
+    assert(t.deleteWhere(Seq(LakeTable.ZonePred.between("k", "1500", "1600"))) == 101L)
+    assert(t.read.count() == 2899)
+    assert(t.read.filter(col("k").between(1500, 1600)).count() == 0)
+    // bloom-pruned keyed delete (uid is unclustered ACROSS the k-ranged
+    // files only in the sense that zone maps on uid don't exist — the
+    // bloom is what locates the file)
+    assert(t.deleteWhere(Seq(LakeTable.ZonePred.eq("uid", "u42"))) == 1L)
+    assert(t.read.filter(col("uid") === "u42").count() == 0)
+    // deleting an absent key is a no-op commit-wise
+    val v = t.currentVersion
+    assert(t.deleteWhere(Seq(LakeTable.ZonePred.eq("uid", "nope"))) == 0L)
+    assert(t.currentVersion == v)
+    // semantics ≡ the string form on the same predicate
+    val t2 = LakeTable(spark, s"${tmpDir("dv_pruned2")}/t")
+    t2.create(df.schema, statsColumns = Seq("k"))
+    Seq((1L, 1000L), (1001L, 2000L), (2001L, 3000L)).foreach { case (a, b) =>
+      t2.append(df.filter(col("k").between(a, b)).coalesce(1))
+    }
+    assert(t2.deleteWhere("k >= 1500 AND k <= 1600") == 101L)
+    assert(t2.read.count() == 2899)
+    assert(t2.read.filter(col("k").between(1500, 1600)).count() == 0)
+  }
+
   test("shallow clones carry vectors; vacuum keeps referenced vector dirs") {
     val base = tmpDir("dv_clone")
     val t = LakeTable(spark, s"$base/src")
