@@ -314,7 +314,9 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       constraints = m.constraints.toMap,
       generatedColumns = m.generated.toMap,
       lastOperation = m.op,
-      lastCommitTimestampMs = m.commitTsMs)
+      lastCommitTimestampMs = m.commitTsMs,
+      deletionVectors = m.deleteVectors.size,
+      bloomFilterColumns = m.bloomCols)
   }
 
   /** ADD a CHECK constraint (Delta `ALTER TABLE ... ADD CONSTRAINT ... CHECK`):
@@ -1886,7 +1888,11 @@ object LakeTable {
       partitionColumns: Seq[String], statsColumns: Seq[String],
       changeFeedEnabled: Boolean, constraints: Map[String, String],
       generatedColumns: Map[String, String],
-      lastOperation: String, lastCommitTimestampMs: Option[Long])
+      lastOperation: String, lastCommitTimestampMs: Option[Long],
+      /** Live deletion-vector dirs (rows logically deleted, files intact). */
+      deletionVectors: Int = 0,
+      /** Bloom-indexed columns (point-lookup file skipping). */
+      bloomFilterColumns: Seq[String] = Nil)
 
   /** Conjunctive data-skipping predicate: `col` between `lo` and `hi`, both
    *  inclusive, either bound open. Bound values are Spark CAST-to-STRING

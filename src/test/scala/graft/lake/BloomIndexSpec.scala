@@ -44,6 +44,8 @@ class BloomIndexSpec extends SparkSpec {
     assert(keptZm == 3)
     // and the pruned read returns exactly the unpruned result
     assert(t.readWhere(pred).as[(Long, String)].collect().toSeq == Seq((1234L, "u1234")))
+    // DESCRIBE DETAIL names the indexed columns
+    assert(t.detail.bloomFilterColumns == Seq("uid"))
     // a value that exists nowhere prunes everything (modulo fpp)
     val (keptNone, _) = t.skippingStats(Seq(LakeTable.ZonePred.eq("uid", "nope")))
     assert(keptNone <= 1, s"phantom value kept $keptNone files")

@@ -44,6 +44,8 @@ class DeletionVectorSpec extends SparkSpec {
     }
     assert(t.deleteVectorDirs.size == 1)
     assert(t.history.last._2 == "delete")
+    // DESCRIBE DETAIL surfaces the live vectors
+    assert(t.detail.deletionVectors == 1)
   }
 
   test("deleting already-deleted rows is a no-op; disjoint deletes accumulate") {
