@@ -531,6 +531,12 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     val statByPath = m.fileStats.map(fs => fs.path -> fs.minMax).toMap
     val eqPreds = preds.filter(p =>
       p.lo.isDefined && p.lo == p.hi && m.bloomCols.contains(p.col))
+    // Hive-layout pruning: an EQUALITY pred on the partition column drops
+    // files of other partitions by their `p=value` subpath (the partition
+    // column has no zone stats — its value IS the directory name)
+    val pcolEq = m.pcol.toSeq.flatMap(pc => preds.collect {
+      case pr if pr.col == pc && pr.lo.isDefined && pr.lo == pr.hi => pr.lo.get
+    })
     m.entries.map { e =>
       val blooms = if (eqPreds.isEmpty) Map.empty[String,
         Map[String, org.apache.spark.util.sketch.BloomFilter]]
@@ -543,7 +549,10 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         } && eqPreds.forall { pr =>
           blooms.get(f).flatMap(_.get(pr.col))
             .forall(_.mightContainString(pr.lo.get))
-        }
+        } && (pcolEq.isEmpty || m.pcol.forall { pc =>
+          val sub = Paths.get(e.dir).relativize(Paths.get(f)).toString
+          partitionValueOf(sub, pc).forall(v => pcolEq.forall(_ == v))
+        })
       }
       (e, kept, all.size)
     }

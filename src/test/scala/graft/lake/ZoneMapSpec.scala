@@ -108,6 +108,28 @@ class ZoneMapSpec extends SparkSpec {
     assert(t.read.count() == 4)
   }
 
+  test("equality pred on the PARTITION column prunes by Hive subpath") {
+    val t = LakeTable(spark, tmpDir("zm_pcol"))
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "part", "v")
+    t.create(df.schema, partitionBy = Some("part"), statsColumns = Seq("id"))
+    t.append(df) // one file per partition
+    // the partition column has NO zone stats — its value IS the dir name;
+    // an equality pred must still skip the other partitions' files
+    val preds = Seq(ZonePred.eq("part", "b"))
+    val (kept, skipped) = t.skippingStats(preds)
+    assert(kept == 1 && skipped == 2, s"kept=$kept skipped=$skipped")
+    assert(t.readWhere(preds).select("id").as[Long].collect().toSeq == Seq(2L))
+    // range preds on the partition column never mis-prune (not handled →
+    // all kept, row-filtered)
+    val range = Seq(ZonePred.between("part", "a", "b"))
+    assert(t.skippingStats(range)._1 == 3)
+    assert(t.readWhere(range).count() == 2)
+    // and a pruned MoR delete keyed on the partition value touches one file
+    assert(t.deleteWhere(Seq(ZonePred.eq("part", "c"))) == 1L)
+    assert(t.read.count() == 2)
+  }
+
   test("compactZOrder makes zone maps selective on BOTH columns; linear " +
       "sort only on its leading column") {
     // two independent uniform dims: x = id, y = a decorrelated permutation
