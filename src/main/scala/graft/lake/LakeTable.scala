@@ -347,6 +347,38 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     }
   }
 
+  /** ADD a bloom-index column (Delta `CREATE BLOOMFILTER INDEX` analog):
+   *  metadata-only commit — every LATER write builds sidecar blooms for the
+   *  column; files written before the add have no entries and simply never
+   *  prune (the index is an optimization, never a filter). `optimizeCompact`
+   *  or `compact` re-writes old data under the new index. */
+  def addBloomFilterColumn(c: String): Unit = synchronized {
+    require(exists, s"LakeTable at $root does not exist")
+    commitWithRetry { () =>
+      val v = currentVersion
+      val cur = readManifest(v)
+      require(cur.schema.fieldNames.contains(c), s"unknown column $c")
+      require(!cur.pcol.contains(c),
+        s"$c is the partition column — the Hive layout already prunes it")
+      require(!cur.bloomCols.contains(c), s"$c is already bloom-indexed")
+      (cur.copy(op = "index", cdfDir = None, commitTsMs = None,
+        bloomCols = cur.bloomCols :+ c), v + 1)
+    }
+  }
+
+  /** DROP a bloom-index column (metadata-only; sidecars for it become dead
+   *  weight until their data dirs rotate out). */
+  def dropBloomFilterColumn(c: String): Unit = synchronized {
+    require(exists, s"LakeTable at $root does not exist")
+    commitWithRetry { () =>
+      val v = currentVersion
+      val cur = readManifest(v)
+      require(cur.bloomCols.contains(c), s"$c is not bloom-indexed")
+      (cur.copy(op = "index", cdfDir = None, commitTsMs = None,
+        bloomCols = cur.bloomCols.filterNot(_ == c)), v + 1)
+    }
+  }
+
   /** DROP a CHECK constraint (metadata-only commit). */
   def dropCheckConstraint(name: String): Unit = synchronized {
     require(exists, s"LakeTable at $root does not exist")
@@ -404,7 +436,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     val parts = (fromVersion to hi).flatMap { v =>
       val mv = readManifest(v)
       val part: Option[DataFrame] = mv.op match {
-        case "create" | "constraint" => None // metadata-only: no row changes
+        case "create" | "constraint" | "index" => None // metadata-only: no row changes
         case "append" =>
           val prevDirs: Set[String] =
             if (v == 0) Set.empty else readManifest(v - 1).entries.map(_.dir).toSet
@@ -652,9 +684,9 @@ final class LakeTable private (val spark: SparkSession, val root: String,
    *  implements as `ignoreChanges`-less streaming reads). */
   def readStream: DataFrame = {
     require(exists, s"LakeTable at $root does not exist")
-    // metadata-only commits (create/constraint) touch no data files — safe
+    // metadata-only commits (create/constraint/index) touch no data files — safe
     val unsafe = history.filterNot { case (_, op) =>
-      op == "create" || op == "append" || op == "constraint" }
+      op == "create" || op == "append" || op == "constraint" || op == "index" }
     require(unsafe.isEmpty,
       s"readStream requires an append-only history, but $root has non-append commits: " +
         unsafe.map { case (v, op) => s"v$v=$op" }.mkString(", ") +

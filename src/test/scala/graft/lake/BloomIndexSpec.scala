@@ -66,6 +66,38 @@ class BloomIndexSpec extends SparkSpec {
     assert(fresh.readWhere(Seq(LakeTable.ZonePred.eq("uid", "u1234"))).count() == 1)
   }
 
+  test("addBloomFilterColumn indexes LATER writes only; old files never prune") {
+    val t = LakeTable(spark, s"${tmpDir("bloom_add")}/t")
+    val df = (1L to 1000L).map(k => (k, s"u$k")).toDF("k", "uid")
+    t.append(df.filter(col("k") <= 500).coalesce(1))     // pre-index file
+    t.addBloomFilterColumn("uid")                        // metadata-only DDL
+    assert(t.history.last._2 == "index")
+    t.append(df.filter(col("k") > 500).coalesce(1))      // indexed file
+    // a key living in the POST-index file: the pre-index file has no
+    // sidecar entry (never prunes), the other indexed file would prune if
+    // there were one — here both files stay ≤ fpp noise
+    val hit = Seq(LakeTable.ZonePred.eq("uid", "u700"))
+    assert(t.readWhere(hit).as[(Long, String)].collect().toSeq == Seq((700L, "u700")))
+    // a phantom key prunes the indexed file but must keep the pre-index one
+    val miss = Seq(LakeTable.ZonePred.eq("uid", "nope"))
+    val (kept, skipped) = t.skippingStats(miss)
+    assert(kept >= 1 && skipped >= 1, s"kept=$kept skipped=$skipped")
+    assert(t.readWhere(miss).count() == 0)
+    // optimize rewrites everything under the index → full pruning
+    t.optimizeCompact(targetFileBytes = 512 * 1024 * 1024)
+    assert(t.readWhere(hit).count() == 1)
+    // drop lifts the index; reads stay correct
+    t.dropBloomFilterColumn("uid")
+    assert(t.skippingStats(miss)._1 >= 1) // no bloom pruning anymore
+    assert(t.readWhere(hit).count() == 1)
+    intercept[IllegalArgumentException](t.dropBloomFilterColumn("uid"))
+    // metadata-only commits don't break the append-only streaming guard
+    val t2 = LakeTable(spark, s"${tmpDir("bloom_add2")}/t")
+    t2.append(Seq((1L, "a")).toDF("k", "uid"))
+    t2.addBloomFilterColumn("uid")
+    t2.readStream // must not throw
+  }
+
   test("blooms survive overwrite, partitioned merge, clone and vacuum") {
     val base = tmpDir("bloom_life")
     val t = LakeTable(spark, s"$base/t")
