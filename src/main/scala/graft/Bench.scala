@@ -39,7 +39,10 @@ object Bench {
       val best = if (times.contains(-1.0)) -1.0 else times.min
       name -> best
     }
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // explicit ROOT locale: the f-interpolator honors the JVM default locale,
+    // and a comma decimal separator would corrupt the canonical JSON line
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

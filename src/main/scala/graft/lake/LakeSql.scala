@@ -54,6 +54,9 @@ object LakeSql {
     val target = tables.getOrElse(norm(targetName), throw new IllegalArgumentException(
       s"no lake table registered as '$targetName' — LakeSql.register it first"))
     val (sourceDf, sourceAlias) = sourceOf(spark, m.sourceTable)
+    require(norm(targetAlias) != norm(sourceAlias),
+      s"target and source aliases must differ (both are '$targetAlias') — " +
+        "equiKeys cannot tell the sides apart and guard requalification would misbind")
 
     val keys = equiKeys(m.mergeCondition, targetAlias, sourceAlias)
 

@@ -199,7 +199,21 @@ final class LakeTable private (val spark: SparkSession, val root: String,
   def historyDetail: Seq[(Long, String, Option[Long])] = {
     require(exists, s"LakeTable at $root does not exist")
     (0L to currentVersion).filter(v => Files.exists(manifestFile(v)))
-      .map { v => val m = readManifest(v); (v, m.op, m.commitTsMs) }
+      .map { v => val (op, ts) = manifestHeader(v); (v, op, ts) }
+  }
+
+  /** Cheap manifest header scan — (op, commit ts) only, skipping the schema
+   *  DDL parse and the per-file stats bodies. History listings and timestamp
+   *  resolution over long histories are O(versions × header line scan), not
+   *  O(versions × full manifest parse). */
+  private def manifestHeader(v: Long): (String, Option[Long]) = {
+    var op = "unknown"; var ts: Option[Long] = None
+    val it = Files.lines(manifestFile(v), StandardCharsets.UTF_8)
+    try it.iterator().asScala.foreach { l =>
+      if (l.startsWith("op=")) op = l.stripPrefix("op=")
+      else if (l.startsWith("ts=")) ts = Some(l.stripPrefix("ts=").toLong)
+    } finally it.close()
+    (op, ts)
   }
 
   /** TIME TRAVEL by wall-clock (Delta `TIMESTAMP AS OF`): the snapshot of
@@ -213,7 +227,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     require(exists, s"LakeTable at $root does not exist")
     val candidates = (0L to currentVersion)
       .filter(v => Files.exists(manifestFile(v)))
-      .flatMap { v => readManifest(v).commitTsMs.collect {
+      .flatMap { v => manifestHeader(v)._2.collect {
         case ts if ts <= epochMs => v
       } }
     require(candidates.nonEmpty,
@@ -1371,6 +1385,9 @@ final class LakeTable private (val spark: SparkSession, val root: String,
   def deleteWhere(preds: Seq[ZonePred]): Long = synchronized {
     require(exists, s"LakeTable at $root does not exist")
     require(preds.nonEmpty, "refusing a whole-table delete with no predicate")
+    preds.foreach(p => require(p.lo.isDefined || p.hi.isDefined,
+      s"predicate on ${p.col} has neither a lower nor an upper bound — " +
+        "an unbounded ZonePred matches every row (use delete() for a full rewrite)"))
     val v0 = currentVersion
     val m = readManifest(v0)
     preds.foreach(p => require(m.schema.fieldNames.contains(p.col),

@@ -158,19 +158,39 @@ object CoreQueries {
 
     // Approximate aggregates — the 100 TB substitutes for exact distinct
     // counts and percentiles (HLL++ and KLL-style sketches, constant memory,
-    // one pass, mergeable across partitions). Sketch outputs are
-    // engine-specific, so this entry has no DuckDB oracle (driver records
-    // the weaker rows-only check per the harness contract).
+    // one pass, mergeable across partitions). Raw sketch estimates are
+    // engine-specific, so the oracle-checkable form emits the EXACT values
+    // (hash-compared against DuckDB) plus within-bound booleans over the
+    // sketches: the oracle asserts TRUE, so a sketch drifting outside its
+    // documented error envelope (HLL++ default rsd 5% → 10% ≈ 2σ;
+    // percentile_approx accuracy 1000 → rank error ≤ n/1000, far inside the
+    // exact p45–p55 band) flips the boolean and fails the row hash.
     Q("a8_approx_aggregates", (s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-            .as("approx_median_price"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("__hll"),
+          expr("percentile(l_extendedprice, 0.5D)").as("exact_median_price"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("__kll"),
+          expr("percentile(l_extendedprice, 0.45D)").as("__p45"),
+          expr("percentile(l_extendedprice, 0.55D)").as("__p55"),
           count(lit(1)).as("cnt"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("__hll") - col("exact_parts"))
+            <= col("exact_parts") * lit(0.10)).as("hll_within_10pct"),
+          col("exact_median_price"),
+          (col("__kll") >= col("__p45") && col("__kll") <= col("__p55"))
+            .as("kll_within_decile"),
+          col("cnt"))
         .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag,
+          COUNT(DISTINCT l_partkey) AS exact_parts,
+          TRUE AS hll_within_10pct,
+          quantile_cont(l_extendedprice, 0.5) AS exact_median_price,
+          TRUE AS kll_within_decile,
+          COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // Exact percentiles — the oracle-checkable companion to a8's sketches:
     // Spark's `percentile` and DuckDB's `quantile_cont` both sort and

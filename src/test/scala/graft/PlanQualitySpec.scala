@@ -130,6 +130,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("x4 exact-Jaccard verify consumes LSH candidate pairs, never raw block keys") {
+    val df = SparkEntry.queries("x4_dedup_jaccard_pairs")(spark, sfDir)
+    val plan = planOf(df)
+    // candidate generation must be the banded-minhash equi-join (band, h0, h1)
+    assert(plan.contains("band"), plan)
+    // ...not the round-5 quadratic self-join on coarse document attributes:
+    // one (lang, source, len_band) block is billions of docs at 100 TB
+    assert(!plan.contains("len_band"), plan)
+    assert(!plan.contains("n_chars"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("decontamination probes the corpus with a broadcast of the eval shingles") {
     val df = SparkEntry.queries("x28_decontaminate")(spark, sfDir)
     val plan = planOf(df)
