@@ -5,14 +5,14 @@ import java.util.Locale
 import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
 
 /**
- * SQL-TEXT DML surface for lake tables: `MERGE INTO ... USING ... ON ...
- * WHEN MATCHED [AND guard] THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
- * executed against a registered [[LakeTable]] — the statement form the
- * reference's gold notebooks run (`DIM_Gold_layer.py:176-195` drives its
- * upserts through `spark.sql(merge_sql)` on Delta).
+ * SQL-TEXT DML surface for lake tables: MERGE INTO, DELETE FROM, UPDATE,
+ * OPTIMIZE [ZORDER BY], and DESCRIBE DETAIL executed against registered
+ * [[LakeTable]]s — the statement forms the reference drives through
+ * `spark.sql` (`DIM_Gold_layer.py:176-195` for MERGE; `Setup.py:39-50`,
+ * `README.md:106-110` for DDL/DML text).
  *
  * Spark's OWN parser produces the `MergeIntoTable` logical plan; this layer
  * only WALKS it — target name → registry lookup, `USING` plan → analyzed
@@ -144,4 +144,125 @@ object LakeSql {
       case a: UnresolvedAttribute => throw new IllegalArgumentException(
         s"qualify '${a.name}' with the source or target alias in the matched guard")
     }
+
+  // ---- DELETE / UPDATE / OPTIMIZE / DESCRIBE DETAIL -----------------------
+  //
+  // The reference drives its whole DML surface through spark.sql(...) text
+  // (Setup.py:39-50, README.md:106-110). DELETE and UPDATE parse through
+  // Spark's own parser to DeleteFromTable/UpdateTable plans this layer
+  // walks; OPTIMIZE and DESCRIBE DETAIL are Delta grammar extensions Spark's
+  // parser rejects, so they get a token-level pre-dispatch. Everything lands
+  // on the existing LakeTable APIs; unsupported shapes fail loudly.
+
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+  private val DescribeDetailRe =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*;?\s*""".r
+
+  /**
+   * Parse and execute ONE SQL statement against registered lake tables:
+   * MERGE INTO, DELETE FROM, UPDATE, OPTIMIZE [ZORDER BY (...)], DESCRIBE
+   * DETAIL. Returns Delta-style result rows: affected-row counts for DML,
+   * rewrite stats for OPTIMIZE, the table facts row for DESCRIBE DETAIL,
+   * and the post-merge snapshot for MERGE.
+   */
+  def sql(spark: SparkSession, sqlText: String): DataFrame = {
+    import spark.implicits._
+    sqlText match {
+      case OptimizeRe(name, zcols) =>
+        val tbl = lookup(name)
+        if (zcols == null) {
+          val st = tbl.optimizeCompact()
+          Seq((st.filesRewritten, st.filesLinked, st.bytesRewritten))
+            .toDF("files_rewritten", "files_linked", "bytes_rewritten")
+        } else {
+          val cols = zcols.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          require(cols.nonEmpty, s"OPTIMIZE $name ZORDER BY () names no columns")
+          tbl.compactZOrder(cols)
+          Seq((cols.mkString(","), tbl.detail.numFiles))
+            .toDF("zorder_by", "num_files")
+        }
+      case DescribeDetailRe(name) =>
+        val d = lookup(name).detail
+        Seq((d.location, d.version, d.numFiles, d.sizeInBytes,
+            d.partitionColumns.mkString(","), d.statsColumns.mkString(","),
+            d.changeFeedEnabled, d.constraints.size, d.lastOperation,
+            d.deletionVectors, d.bloomFilterColumns.mkString(",")))
+          .toDF("location", "version", "num_files", "size_in_bytes",
+            "partition_columns", "stats_columns", "change_feed_enabled",
+            "num_constraints", "last_operation", "deletion_vectors",
+            "bloom_filter_columns")
+      case _ =>
+        spark.sessionState.sqlParser.parsePlan(sqlText) match {
+          case _: MergeIntoTable =>
+            merge(spark, sqlText).read
+          case DeleteFromTable(target, condition) =>
+            val (name, _) = relationOf(target, "DELETE")
+            // merge-on-read: arbitrary conditions, O(matched rows), valid
+            // with or without live deletion vectors (Delta's DV default)
+            Seq(lookup(name).deleteWhere(stripTableQualifiers(condition).sql))
+              .toDF("deleted_rows")
+          case UpdateTable(target, assignments, condition) =>
+            val (name, _) = relationOf(target, "UPDATE")
+            val cond = condition.getOrElse(throw new IllegalArgumentException(
+              "UPDATE without WHERE would rewrite the whole table — add a predicate"))
+            val preds = zonePreds(stripTableQualifiers(cond)).getOrElse(
+              throw new IllegalArgumentException(
+                "UPDATE WHERE must be a conjunction of <col> =/>=/<= <literal> " +
+                  s"bounds (the file-skipping contract), got: ${cond.sql}"))
+            val set = assignments.map { a =>
+              val k = a.key match {
+                case attr: UnresolvedAttribute => attr.nameParts.last
+                case other => throw new IllegalArgumentException(
+                  s"SET target must be a column, got ${other.sql}")
+              }
+              k -> GraftColumnBridge.column(stripTableQualifiers(a.value))
+            }.toMap
+            Seq(lookup(name).update(preds, set)).toDF("updated_rows")
+          case other => throw new IllegalArgumentException(
+            s"LakeSql.sql supports MERGE / DELETE / UPDATE / OPTIMIZE / " +
+              s"DESCRIBE DETAIL, got ${other.nodeName}")
+        }
+    }
+  }
+
+  private def lookup(name: String): LakeTable =
+    tables.getOrElse(norm(name), throw new IllegalArgumentException(
+      s"no lake table registered as '$name' — LakeSql.register it first"))
+
+  /** DML conditions reference one table; drop `t.c`-style qualifiers so the
+   *  expression binds against the bare snapshot DataFrame. */
+  private def stripTableQualifiers(e: Expression): Expression =
+    e.transform {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 =>
+        UnresolvedAttribute(Seq(a.nameParts.last))
+    }
+
+  /** WHERE → conjunctive [[LakeTable.ZonePred]] bounds when every conjunct
+   *  is `<col> = / >= / <= <foldable literal>` (inclusive bounds only — the
+   *  zone-map contract); None otherwise. */
+  private def zonePreds(e: Expression): Option[Seq[LakeTable.ZonePred]] = {
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, LessThanOrEqual}
+    def litStr(v: Expression): Option[String] =
+      if (!v.foldable) None
+      else Option(org.apache.spark.sql.catalyst.expressions.Cast(
+        v, org.apache.spark.sql.types.StringType, Some("UTC")).eval(null))
+        .map(_.toString)
+    e match {
+      case And(l, r) => for { a <- zonePreds(l); b <- zonePreds(r) } yield a ++ b
+      case EqualTo(a: UnresolvedAttribute, v) if litStr(v).isDefined =>
+        Some(Seq(LakeTable.ZonePred(a.nameParts.last, litStr(v), litStr(v))))
+      case EqualTo(v, a: UnresolvedAttribute) if litStr(v).isDefined =>
+        Some(Seq(LakeTable.ZonePred(a.nameParts.last, litStr(v), litStr(v))))
+      case GreaterThanOrEqual(a: UnresolvedAttribute, v) if litStr(v).isDefined =>
+        Some(Seq(LakeTable.ZonePred(a.nameParts.last, litStr(v), None)))
+      case GreaterThanOrEqual(v, a: UnresolvedAttribute) if litStr(v).isDefined =>
+        Some(Seq(LakeTable.ZonePred(a.nameParts.last, None, litStr(v))))
+      case LessThanOrEqual(a: UnresolvedAttribute, v) if litStr(v).isDefined =>
+        Some(Seq(LakeTable.ZonePred(a.nameParts.last, None, litStr(v))))
+      case LessThanOrEqual(v, a: UnresolvedAttribute) if litStr(v).isDefined =>
+        Some(Seq(LakeTable.ZonePred(a.nameParts.last, litStr(v), None)))
+      case _ => None
+    }
+  }
 }

@@ -898,8 +898,12 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       .select(input_file_name().as("__f") +:
         bcols.map(c => col(c).cast("string")): _*)
     val nb = bcols.size
-    // per-partition partial blooms keyed by file, OR-merged on the driver
-    // (partials are KB-scale; commits write few files)
+    // per-partition partial blooms keyed by file, OR-merged EXECUTOR-SIDE
+    // via reduceByKey: the driver receives exactly ONE merged bloom array
+    // per file — the final index content it writes anyway — never the
+    // partition-count × file-count partial set, and the merge work is
+    // distributed. A 10k-file initial-load commit indexes without driver
+    // memory pressure or a single-threaded merge loop.
     val partials = raw.rdd.mapPartitions { it =>
       val m = scala.collection.mutable.Map.empty[
         String, Array[org.apache.spark.util.sketch.BloomFilter]]
@@ -920,19 +924,13 @@ final class LakeTable private (val spark: SparkSession, val root: String,
           bos.toByteArray
         })
       }
-    }.collect()
-    val merged = partials.groupBy(_._1).map { case (f, parts) =>
-      val acc = parts.head._2.map(b =>
-        org.apache.spark.util.sketch.BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(b)))
-      parts.tail.foreach(_._2.zipWithIndex.foreach { case (b, i) =>
-        acc(i).mergeInPlace(org.apache.spark.util.sketch.BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(b)))
-      })
-      val idx = f.indexOf(dir)
-      require(idx >= 0, s"file path $f not under $dir")
-      f.substring(idx) -> acc
     }
+    val merged = partials.reduceByKey(LakeTable.mergeBloomBytes _)
+      .map { case (f, blooms) =>
+        val idx = f.indexOf(dir)
+        require(idx >= 0, s"file path $f not under $dir")
+        f.substring(idx) -> blooms
+      }.collect()
     val out = bloomIndexFile(dir)
     Files.createDirectories(out.getParent)
     val dos = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
@@ -942,11 +940,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       merged.foreach { case (relPath, blooms) =>
         dos.writeUTF(relPath)
         dos.writeInt(bcols.size)
-        bcols.zip(blooms).foreach { case (c, bf) =>
+        bcols.zip(blooms).foreach { case (c, bytes) =>
           dos.writeUTF(c)
-          val bos = new java.io.ByteArrayOutputStream()
-          bf.writeTo(bos)
-          val bytes = bos.toByteArray
           dos.writeInt(bytes.length)
           dos.write(bytes)
         }
@@ -1899,6 +1894,24 @@ object LakeTable {
    *  blooms only lose pruning, never correctness) does not depend on it. */
   private val BloomExpectedItems = 50000L
   private val BloomFpp = 0.01
+
+  /** Executor-side OR-merge of two serialized per-file bloom arrays (one
+   *  element per indexed column) — the reduceByKey combiner of the index
+   *  build. Lives on the companion so the task closure captures no table. */
+  private[lake] def mergeBloomBytes(a: Array[Array[Byte]],
+      b: Array[Array[Byte]]): Array[Array[Byte]] = {
+    require(a.length == b.length,
+      s"bloom partial arity mismatch: ${a.length} vs ${b.length}")
+    a.zip(b).map { case (x, y) =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(x))
+      bf.mergeInPlace(org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(y)))
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+  }
   /** Deletion-vector parquet schema: root-relative data file + row index. */
   private val DvSchema = StructType(Seq(
     org.apache.spark.sql.types.StructField("file",

@@ -833,6 +833,108 @@ object CoreQueries {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         ORDER BY o_orderkey""")),
 
+    // S21: TIME TRAVEL BY TIMESTAMP (Delta `TIMESTAMP AS OF`) — commits are
+    // stamped by the injectable clock at t0, t0+1s, t0+2s, …, and a
+    // wall-clock BETWEEN commits resolves to the EARLIER one (Delta's rule).
+    // The probe reads t0+2.5s: after the append that completes the table
+    // (v2) but before the bad 10% overwrite (v3) — so only a correct
+    // resolver returns the full orders table. "Latest" would hash-mismatch
+    // with the overwrite subset; an off-by-one to v1 with the evens only.
+    Q("s21_time_travel_ts", (s, d) => {
+      val o = t(s, d, "orders")
+      val t0 = java.sql.Timestamp.valueOf("2030-01-01 00:00:00").getTime
+      val tick = new java.util.concurrent.atomic.AtomicLong(0L)
+      val tbl = LakeTable.withClock(s, s"${tmp("graft_s21")}/t",
+        () => t0 + 1000L * tick.getAndIncrement())
+      tbl.create(o.schema)                                   // v0 @ t0
+      tbl.append(o.filter(col("o_orderkey") % 2 === 0))      // v1 @ t0+1s
+      tbl.append(o.filter(col("o_orderkey") % 2 === 1))      // v2 @ t0+2s: full
+      tbl.overwrite(o.filter(col("o_orderkey") % 10 === 0))  // v3 @ t0+3s: bad
+      tbl.readTimestampAsOf(t0 + 2500)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_orderkey""")),
+
+    // S22: SQL-TEXT DML — the reference drives every mutation through
+    // spark.sql text; this runs the s11 scenario as statements: DELETE
+    // (merge-on-read, writes deletion vectors), OPTIMIZE (bin-packs and
+    // materializes the vectors — the required step before copy-on-write),
+    // UPDATE (CoW with zone-pred file skipping). Hash equality against the
+    // s11 oracle proves statement dispatch ≡ the programmatic API.
+    Q("s22_sql_dml", (s, d) => {
+      val o = t(s, d, "orders")
+      val tbl = LakeTable(s, s"${tmp("graft_s22")}/t")
+      tbl.create(o.schema, statsColumns = Seq("o_orderdate"))
+      Seq((1995, 1996), (1997, 1998), (1999, 2001)).foreach { case (a, b) =>
+        tbl.append(o.filter(year(col("o_orderdate")).between(a, b)).coalesce(1))
+      }
+      LakeSql.register("s22_orders", tbl)
+      try {
+        LakeSql.sql(s, """DELETE FROM s22_orders
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'""")
+        LakeSql.sql(s, "OPTIMIZE s22_orders")
+        LakeSql.sql(s, """UPDATE s22_orders SET o_totalprice = o_totalprice + 100000.0
+          WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+            AND o_orderdate <= TIMESTAMP '1999-12-31 23:59:59'""")
+      } finally LakeSql.unregister("s22_orders")
+      tbl.read.select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey,
+          CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+                AND o_orderdate <= TIMESTAMP '1999-12-31 23:59:59'
+               THEN o_totalprice + 100000.0 ELSE o_totalprice END AS o_totalprice,
+          o_orderdate
+        FROM orders
+        WHERE NOT (o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+               AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59')
+        ORDER BY o_orderkey""")),
+
+    // S23: Z-ORDER then zone-pruned read — the clustering that MAKES zone
+    // maps effective: the interleaved appends give every file a custkey
+    // range spanning ~the whole domain (nothing prunes), compactZOrder
+    // re-clusters on the interleaved-bit order so a key-range read touches
+    // the few files owning that range. Hash equality against the plain
+    // filter proves re-clustering is a physical reorganization only.
+    Q("s23_zorder_read", (s, d) => {
+      val o = t(s, d, "orders")
+      val tbl = LakeTable(s, s"${tmp("graft_s23")}/t")
+      tbl.create(o.schema, statsColumns = Seq("o_custkey", "o_totalprice"))
+      (0 until 3).foreach(r =>
+        tbl.append(o.filter(col("o_orderkey") % 3 === r).coalesce(1)))
+      tbl.compactZOrder(Seq("o_custkey", "o_totalprice"))
+      tbl.readWhere(Seq(LakeTable.ZonePred.between("o_custkey", "100", "300")))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_custkey >= 100 AND o_custkey <= 300
+        ORDER BY o_orderkey""")),
+
+    // S24: CHECK-constraint reject-then-read — a violating append must fail
+    // ATOMICALLY (no partial files land, no version is published), so the
+    // subsequent read sees exactly the pre-violation snapshot. The oracle is
+    // the valid subset alone: any leaked row hash-mismatches.
+    Q("s24_check_reject", (s, d) => {
+      val o = t(s, d, "orders")
+      val tbl = LakeTable(s, s"${tmp("graft_s24")}/t")
+      tbl.create(o.schema)
+      tbl.addCheckConstraint("positive_price", "o_totalprice > 0")
+      tbl.append(o.filter(col("o_orderkey") % 2 === 0))
+      val rejected = scala.util.Try(tbl.append(
+        o.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("o_totalprice", -col("o_totalprice")))).isFailure
+      require(rejected, "CHECK constraint failed to reject the violating append")
+      tbl.read.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_orderkey % 2 = 0
+        ORDER BY o_orderkey""")),
+
     // S13: SHALLOW CLONE — zero-copy table fork (hard-linked file
     // re-references, O(file count) metadata). The clone then diverges with
     // its own append while the SOURCE is overwritten and vacuumed down to

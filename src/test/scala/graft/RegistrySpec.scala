@@ -16,10 +16,10 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.queries.keySet == all.map(_.name).toSet)
     // every declared oracle belongs to a declared query
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // the only oracle-less entries are the deliberate sketch-based ones
-    // (engine-specific values, rows-only check per the harness contract)
+    // EVERY query is oracle-checked (a8's sketches verify via exact values
+    // + within-bound booleans since r7) — new entries must ship an oracle
     val oracleLess = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(oracleLess == Set("a8_approx_aggregates"), oracleLess)
+    assert(oracleLess.isEmpty, oracleLess)
   }
 
   test("oracle SQL references only driver-provided tables") {

@@ -52,6 +52,41 @@ class BloomIndexSpec extends SparkSpec {
     assert(t.readWhere(Seq(LakeTable.ZonePred.eq("uid", "nope"))).count() == 0)
   }
 
+  test("a many-file single commit indexes distributed: one merged bloom per file") {
+    // a 64-file commit (the shape of an initial load) must build its index
+    // through the executor-side reduceByKey merge — the driver only ever
+    // collects the final per-file blooms it writes to the sidecar
+    val t = LakeTable(spark, s"${tmpDir("bloom_manyfile")}/t")
+    val df = (1L to 20000L).map(k => (k, s"u$k")).toDF("k", "uid").repartition(64)
+    t.create(df.schema, bloomFilterColumns = Seq("uid"))
+    t.append(df)
+    val pred = Seq(LakeTable.ZonePred.eq("uid", "u7777"))
+    val (kept, skipped) = t.skippingStats(pred)
+    assert(kept + skipped >= 60, s"expected a many-file commit, got ${kept + skipped}")
+    assert(kept <= 4, s"kept=$kept of ${kept + skipped}") // 1 true file + ~1% fpp
+    assert(t.readWhere(pred).as[(Long, String)].collect().toSeq == Seq((7777L, "u7777")))
+  }
+
+  test("bloom partial OR-merge (the reduceByKey combiner) unions value sets") {
+    import org.apache.spark.util.sketch.BloomFilter
+    def ser(vals: Seq[String]): Array[Byte] = {
+      val bf = BloomFilter.create(100, 0.01)
+      vals.foreach(bf.putString)
+      val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray
+    }
+    val merged = LakeTable.mergeBloomBytes(
+      Array(ser(Seq("a")), ser(Seq("x"))),
+      Array(ser(Seq("b")), ser(Seq("y"))))
+    val bf0 = BloomFilter.readFrom(new java.io.ByteArrayInputStream(merged(0)))
+    val bf1 = BloomFilter.readFrom(new java.io.ByteArrayInputStream(merged(1)))
+    assert(bf0.mightContainString("a") && bf0.mightContainString("b"))
+    assert(bf1.mightContainString("x") && bf1.mightContainString("y"))
+    assert(!bf0.mightContainString("zzz-not-present"))
+    intercept[IllegalArgumentException] {
+      LakeTable.mergeBloomBytes(Array(ser(Seq("a"))), Array.empty)
+    }
+  }
+
   test("range predicates never consult blooms; missing sidecars never prune") {
     val t = interleaved("bloom_range")
     // RANGE pred on the bloom column: blooms answer only equality — all kept

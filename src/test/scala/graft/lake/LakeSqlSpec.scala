@@ -90,6 +90,58 @@ class LakeSqlSpec extends SparkSpec {
     }
   }
 
+  test("DELETE / UPDATE / OPTIMIZE / DESCRIBE DETAIL statements dispatch") {
+    val t = fresh("sql_dml")
+    LakeSql.register("dml_t", t)
+    try {
+      val del = LakeSql.sql(spark, "DELETE FROM dml_t WHERE k = 1")
+      assert(del.as[Long].head() == 1L)
+      assert(t.read.as[(Long, String, Int)].collect().toSeq == Seq((2L, "b", 1)))
+      // merge-on-read delete left a live vector; OPTIMIZE materializes it
+      assert(t.deleteVectorDirs.nonEmpty)
+      val opt = LakeSql.sql(spark, "OPTIMIZE dml_t")
+      assert(opt.columns.toSeq ==
+        Seq("files_rewritten", "files_linked", "bytes_rewritten"))
+      assert(t.deleteVectorDirs.isEmpty)
+      val upd = LakeSql.sql(spark,
+        "UPDATE dml_t SET v = concat(v, '!') WHERE k >= 2 AND k <= 9")
+      assert(upd.as[Long].head() == 1L)
+      assert(t.read.as[(Long, String, Int)].collect().toSeq == Seq((2L, "b!", 1)))
+      val det = LakeSql.sql(spark, "DESCRIBE DETAIL dml_t").collect().head
+      assert(det.getAs[String]("last_operation") == "update")
+      assert(det.getAs[Long]("num_files") >= 1L)
+      // ZORDER form routes to compactZOrder
+      val z = LakeSql.sql(spark, "OPTIMIZE dml_t ZORDER BY (k)")
+      assert(z.select("zorder_by").as[String].head() == "k")
+      assert(t.read.as[(Long, String, Int)].collect().toSeq == Seq((2L, "b!", 1)))
+    } finally LakeSql.unregister("dml_t")
+  }
+
+  test("DML statement shapes outside the contract fail loudly") {
+    val t = fresh("sql_dml_errors")
+    LakeSql.register("dml_e", t)
+    def bad(sql: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](LakeSql.sql(spark, sql))
+      assert(e.getMessage.toLowerCase.contains(needle), e.getMessage)
+    }
+    try {
+      bad("DELETE FROM nowhere WHERE k = 1", "no lake table registered")
+      bad("UPDATE dml_e SET v = 'x'", "without where")
+      // non-zone-expressible WHERE (strict inequality) is rejected, not
+      // silently run as a full scan
+      bad("UPDATE dml_e SET v = 'x' WHERE k > 1", "conjunction")
+      bad("UPDATE dml_e SET v = 'x' WHERE k = 1 OR k = 2", "conjunction")
+      bad("OPTIMIZE dml_e ZORDER BY ( )", "names no columns")
+      bad("SELECT * FROM dml_e", "supports merge / delete / update")
+      // identical target/source aliases cannot disambiguate guard refs
+      Seq((9L, "z", 1)).toDF("k", "v", "seq").createOrReplaceTempView("dml_u")
+      bad("""MERGE INTO dml_e AS x USING dml_u AS x ON x.k = x.k
+             WHEN NOT MATCHED THEN INSERT *""", "aliases must differ")
+      spark.catalog.dropTempView("dml_u")
+      assert(t.read.count() == 2) // nothing mutated by rejected statements
+    } finally LakeSql.unregister("dml_e")
+  }
+
   test("composite keys and swapped equality sides resolve") {
     val root = tmpDir("sql_composite")
     val t = LakeTable(spark, s"$root/t")
