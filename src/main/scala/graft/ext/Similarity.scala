@@ -135,29 +135,51 @@ object Similarity {
    * a cross product. Each corpus vector lives in exactly ONE cell, so
    * multi-probe never duplicates a candidate pair.
    */
+  /** Top-`limit` centroids per vector (deterministic tiebreak on cent_id). */
+  private def rankCells(base: DataFrame, idCol: String, cent: DataFrame,
+      limit: Int): DataFrame = {
+    val wAssign = Window.partitionBy(idCol)
+      .orderBy(col("__ccos").desc, col("cent_id"))
+    base.join(broadcast(cent))
+      .withColumn("__ccos",
+        VectorFunctions.dot(col("__v"), col("__cv")) / (col("__nrm") * col("__cn")))
+      .withColumn("__rn", row_number().over(wAssign)).filter(col("__rn") <= limit)
+      .select(col(idCol), col("__v"), col("__nrm"), col("cent_id").as("cell"))
+  }
+
+  /** The deterministic quantizer of [[ivfTopK]] after `kmeansIters` Lloyd
+   *  refinements (stride-seeded, decimal-exact centroids). */
+  private def quantizer(base: DataFrame, idCol: String, centStride: Int,
+      kmeansIters: Int): DataFrame = {
+    val cent0 = base.filter(col(idCol) % centStride === 1)
+      .select(col(idCol).as("cent_id"), col("__v").as("__cv"), col("__nrm").as("__cn"))
+    (1 to kmeansIters).foldLeft(cent0)((c, _) =>
+      refineCentroids(rankCells(base, idCol, c, 1), idCol))
+  }
+
+  /**
+   * IVF CELL ASSIGNMENT only — every vector labeled with its nearest-centroid
+   * cell of the (optionally Lloyd-refined) deterministic quantizer, plus the
+   * prepared double vector and norm for downstream scoring. This is the
+   * blocking primitive semantic (SemDeDup-style) dedup builds on: cells
+   * bound the pairwise work the way LSH bands do for text.
+   */
+  def ivfCells(emb: DataFrame, idCol: String, vecCol: String,
+      centStride: Int, kmeansIters: Int = 0): DataFrame = {
+    val base = prepared(emb, idCol, vecCol)
+    rankCells(base, idCol, quantizer(base, idCol, centStride, kmeansIters), 1)
+      .select(col(idCol), col("cell"), col("__v").as("vec"), col("__nrm").as("nrm"))
+  }
+
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryFilter: org.apache.spark.sql.Column, centStride: Int, k: Int,
       kmeansIters: Int = 0, nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val base = prepared(emb, idCol, vecCol)
-    // top-`limit` centroids per vector (deterministic tiebreak on cent_id)
-    def rankCells(cent: DataFrame, limit: Int): DataFrame = {
-      val wAssign = Window.partitionBy(idCol)
-        .orderBy(col("__ccos").desc, col("cent_id"))
-      base.join(broadcast(cent))
-        .withColumn("__ccos",
-          VectorFunctions.dot(col("__v"), col("__cv")) / (col("__nrm") * col("__cn")))
-        .withColumn("__rn", row_number().over(wAssign)).filter(col("__rn") <= limit)
-        .select(col(idCol), col("__v"), col("__nrm"), col("cent_id").as("cell"))
-    }
-    def assign(cent: DataFrame): DataFrame = rankCells(cent, 1)
-    val cent0 = base.filter(col(idCol) % centStride === 1)
-      .select(col(idCol).as("cent_id"), col("__v").as("__cv"), col("__nrm").as("__cn"))
-    val centFinal = (1 to kmeansIters)
-      .foldLeft(cent0)((c, _) => refineCentroids(assign(c), idCol))
-    val assigned = assign(centFinal)
+    val centFinal = quantizer(base, idCol, centStride, kmeansIters)
+    val assigned = rankCells(base, idCol, centFinal, 1)
     // queries probe their nprobe nearest cells of the FINAL quantizer
-    val q = rankCells(centFinal, nprobe).filter(queryFilter)
+    val q = rankCells(base, idCol, centFinal, nprobe).filter(queryFilter)
       .select(col(idCol).as("q_id"), col("__v").as("__qv"), col("__nrm").as("__qn"), col("cell"))
     val scored = q.join(assigned, Seq("cell"))
       .filter(col(idCol) =!= col("q_id"))

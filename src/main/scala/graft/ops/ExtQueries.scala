@@ -429,6 +429,197 @@ object ExtQueries {
                ELSE 'test' END AS split
         FROM comp ORDER BY doc_id""")),
 
+    // EXACT-SUBSTRING span dedup (Lee et al. 2022's ExactSubstr, the
+    // practical hashed form): every 8-token span is hashed by the compiled
+    // shingle kernel; a span hash seen in MORE THAN ONE document marks
+    // duplicated text. Output per doc: span counts and the duplicated-text
+    // fraction — the signal used to clip boilerplate/licence blocks that
+    // MinHash (whole-doc granularity) cannot see. Scale shape: one explode
+    // (linear in corpus tokens), one balanced hash-shuffle on the 60-bit
+    // span hash, one broadcast-sized join back — no pairwise anything.
+    Q("x40_dup_spans", (s, d) => {
+      val sh = t(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          TS.shingleHashSet(TF.tokens(TF.normalizeText(col("text"))), 8).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .persist() // consumed twice: span explode + per-doc span counts
+      val spans = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+      val dupHashes = spans.groupBy("h")
+        .agg(count(lit(1)).as("ndocs")).filter(col("ndocs") > 1)
+      val dupPerDoc = spans.join(dupHashes, "h")
+        .groupBy("doc_id").agg(count(lit(1)).as("dup_spans"))
+      sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_spans"))
+        .join(dupPerDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+          (coalesce(col("dup_spans"), lit(0L)).cast(DoubleType) / col("n_spans"))
+            .as("dup_frac"))
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH shg AS (
+          SELECT doc_id, ${TF.wordShinglesSql("text", 8)} AS shg FROM documents),
+        hs AS (
+          SELECT doc_id, list_distinct(list_transform(shg,
+            s -> ${TF.hash60Sql("s")})) AS sh
+          FROM shg WHERE len(shg) > 0),
+        spans AS (SELECT doc_id, unnest(sh) AS h FROM hs),
+        dup AS (SELECT h FROM spans GROUP BY h HAVING COUNT(*) > 1),
+        per AS (
+          SELECT s.doc_id, COUNT(*) AS dup_spans
+          FROM spans s JOIN dup USING (h) GROUP BY s.doc_id)
+        SELECT hs.doc_id AS doc_id, len(hs.sh) AS n_spans,
+          COALESCE(per.dup_spans, 0) AS dup_spans,
+          CAST(COALESCE(per.dup_spans, 0) AS DOUBLE) / len(hs.sh) AS dup_frac
+        FROM hs LEFT JOIN per ON hs.doc_id = per.doc_id
+        ORDER BY hs.doc_id""")),
+
+    // INCREMENTAL DEDUP — the production form: an ARRIVING BATCH is deduped
+    // against the existing corpus without ever recomputing corpus-vs-corpus
+    // pairs. The corpus side is scanned ONCE and never shuffles (its banded
+    // signatures probe a BROADCAST of the batch's bands — at 100 TB the
+    // corpus is the table, the day's batch is the broadcast); MinHash-LSH
+    // candidates verify through the compiled exact-Jaccard kernel. Planted
+    // batch: exact copies of corpus docs (must be flagged, with their
+    // canonical corpus match) + token-reversed docs (novel, must be kept).
+    // x35 runs the same cross-set shape for decontamination; here the
+    // decision lands on the SMALL side (drop the arrival, keep the match).
+    Q("x41_dedup_incremental", (s, d) => {
+      val docs = t(s, d, "documents")
+      def sketch(df: org.apache.spark.sql.DataFrame, idCol: String) = df
+        .filter(col("text").isNotNull)
+        .select(col(idCol),
+          TS.shingleSketch(TF.tokens(TF.normalizeText(col("text"))), 3, K).as("sk"))
+        .select(col(idCol), col("sk.mh").as("mh"), col("sk.sh").as("sh"))
+      def banded(df: org.apache.spark.sql.DataFrame, idCol: String, shAs: String) = df
+        .select(col(idCol), col("sh").as(shAs),
+          explode(array((0 until BANDS).map(b => struct(lit(b).as("band"),
+            element_at(col("mh"), b * ROWS_PER_BAND + 1).as("h0"),
+            element_at(col("mh"), b * ROWS_PER_BAND + 2).as("h1"))): _*)).as("bd"))
+        .select(col(idCol), col(shAs), col("bd.band").as("band"),
+          col("bd.h0").as("h0"), col("bd.h1").as("h1"))
+      val batch = docs.filter(col("doc_id") % 9 === 2)
+        .select((col("doc_id") + 900000L).as("batch_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 9 === 5)
+          .select((col("doc_id") + 900000L).as("batch_id"),
+            array_join(reverse(TF.tokens(TF.normalizeText(col("text")))), " ")
+              .as("text")))
+      val corpusB = banded(
+        sketch(docs.select(col("doc_id").as("corpus_id"), col("text")), "corpus_id"),
+        "corpus_id", "sh_c")
+      val batchB = banded(sketch(batch, "batch_id"), "batch_id", "sh_b")
+      val matches = corpusB.join(broadcast(batchB), Seq("band", "h0", "h1"))
+        .select(col("batch_id"), col("corpus_id"),
+          TS.jaccardSorted(col("sh_b"), col("sh_c")).as("j"))
+        .distinct() // several agreeing bands → identical candidate rows
+        .filter(col("j") >= 0.5)
+        .groupBy("batch_id").agg(min(col("corpus_id")).as("match_id"))
+      batch.select(col("batch_id"))
+        .join(matches, Seq("batch_id"), "left")
+        .select(col("batch_id"), col("match_id").isNotNull.as("is_dup"),
+          col("match_id"))
+        .orderBy("batch_id")
+    },
+      Some(s"""WITH batch_raw AS (
+          SELECT doc_id + 900000 AS batch_id, text FROM documents WHERE doc_id % 9 = 2
+          UNION ALL
+          SELECT doc_id + 900000, array_to_string(list_reverse(
+            ${TF.tokensSql(TF.normalizeTextSql("text"))}), ' ')
+          FROM documents WHERE doc_id % 9 = 5),
+        cshg AS (SELECT doc_id AS corpus_id, ${TF.wordShinglesSql("text", 3)} AS shg
+          FROM documents),
+        chs AS (SELECT corpus_id, ${Dedup.shingleHashesSql("shg")} AS hs
+          FROM cshg WHERE len(shg) > 0),
+        csigs AS (SELECT corpus_id, ${Dedup.minhashFromHashesSql("hs", K)} AS mh FROM chs),
+        csets AS (SELECT corpus_id, list_sort(list_distinct(hs)) AS sh FROM chs),
+        cbands AS (SELECT corpus_id, b AS band, mh[2*b+1] AS h0, mh[2*b+2] AS h1
+          FROM csigs, (SELECT unnest([0,1,2,3]) AS b) bb),
+        bshg AS (SELECT batch_id, ${TF.wordShinglesSql("text", 3)} AS shg FROM batch_raw),
+        bhs AS (SELECT batch_id, ${Dedup.shingleHashesSql("shg")} AS hs
+          FROM bshg WHERE len(shg) > 0),
+        bsigs AS (SELECT batch_id, ${Dedup.minhashFromHashesSql("hs", K)} AS mh FROM bhs),
+        bsets AS (SELECT batch_id, list_sort(list_distinct(hs)) AS sh FROM bhs),
+        bbands AS (SELECT batch_id, b AS band, mh[2*b+1] AS h0, mh[2*b+2] AS h1
+          FROM bsigs, (SELECT unnest([0,1,2,3]) AS b) bb),
+        cand AS (
+          SELECT DISTINCT bt.batch_id, c.corpus_id
+          FROM cbands c JOIN bbands bt
+            ON c.band = bt.band AND c.h0 = bt.h0 AND c.h1 = bt.h1),
+        matches AS (
+          SELECT cand.batch_id, MIN(cand.corpus_id) AS match_id
+          FROM cand
+          JOIN bsets ON cand.batch_id = bsets.batch_id
+          JOIN csets ON cand.corpus_id = csets.corpus_id
+          WHERE ${Dedup.jaccardSql("bsets.sh", "csets.sh")} >= 0.5
+          GROUP BY cand.batch_id)
+        SELECT br.batch_id AS batch_id, m.match_id IS NOT NULL AS is_dup, m.match_id
+        FROM batch_raw br LEFT JOIN matches m ON br.batch_id = m.batch_id
+        ORDER BY br.batch_id""")),
+
+    // SEMANTIC PRUNING (SemDeDup-style): embeddings are blocked by k-means
+    // cells (the IVF quantizer with one Lloyd refinement — cells play the
+    // role LSH bands play for text), pairwise cosine runs WITHIN cells only,
+    // and connected components pick one canonical survivor per semantic
+    // cluster. Pairwise work is bounded by cell size (at 100 TB the
+    // quantizer is sized so cells cap at ~10⁴ vectors); cross-cell near-dups
+    // are the method's documented recall trade, exactly as in SemDeDup.
+    Q("x42_semantic_prune", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val assigned = Similarity.ivfCells(emb, "vec_id", "embedding",
+        centStride = 100, kmeansIters = 1).persist() // pair sides + label join
+      val a = assigned.select(col("vec_id").as("id_a"), col("vec").as("va"),
+        col("nrm").as("na"), col("cell"))
+      val b = assigned.select(col("vec_id").as("id_b"), col("vec").as("vb"),
+        col("nrm").as("nb"), col("cell"))
+      val pairs = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+        .withColumn("cos", VF.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.4)
+        .select("id_a", "id_b")
+      Dedup.connectedComponents(emb.select("vec_id"), "vec_id",
+          pairs, "id_a", "id_b")
+        .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+        .withColumn("is_kept", col("vec_id") === col("cc"))
+        .select("vec_id", "cell", "cc", "is_kept")
+        .orderBy("vec_id")
+    },
+      Some(s"""WITH RECURSIVE $NORM_CTE,
+        cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 100 = 1),
+        a0 AS (
+          SELECT vec_id, v, nrm, cent_id AS cell FROM (
+            SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+              ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.cent_id) AS rn
+            FROM n, cent c) WHERE rn = 1),
+        refined AS (
+          SELECT cent_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
+            SELECT cell AS cent_id, list(m ORDER BY pos) AS cv FROM (
+              SELECT a.cell, r.range AS pos,
+                CAST(SUM(CAST(a.v[r.range] AS DECIMAL(27,12))) AS DOUBLE) AS m
+              FROM a0 a, range(1, 65) r
+              GROUP BY a.cell, r.range)
+            GROUP BY cell)),
+        assigned AS (
+          SELECT vec_id, v, nrm, cent_id AS cell FROM (
+            SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+              ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.cent_id) AS rn
+            FROM n, refined c) WHERE rn = 1),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(id, lbl) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        comp AS (SELECT id AS vec_id, MIN(lbl) AS cc FROM reach GROUP BY id)
+        SELECT comp.vec_id AS vec_id, assigned.cell AS cell, comp.cc AS cc,
+          comp.vec_id = comp.cc AS is_kept
+        FROM comp JOIN assigned ON comp.vec_id = assigned.vec_id
+        ORDER BY comp.vec_id""")),
+
     // Embedding near-dup pairs: banded sign-LSH candidates + exact cosine.
     Q("x5_dedup_embedding_cosine", (s, d) =>
       Similarity.nearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",

@@ -142,6 +142,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("incremental dedup probes the corpus with a broadcast of the batch bands") {
+    val df = SparkEntry.queries("x41_dedup_incremental")(spark, sfDir)
+    val plan = planOf(df).split("== Initial Plan ==").head
+    // the 100 TB corpus side must never shuffle against the day's batch
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("span dedup is one explode + balanced hash shuffles, never pairwise") {
+    val df = SparkEntry.queries("x40_dup_spans")(spark, sfDir)
+    val plan = planOf(df)
+    // the duplicated-span check is a group-by on the span hash — any
+    // cartesian/pairwise shape here would be quadratic at corpus scale
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("decontamination probes the corpus with a broadcast of the eval shingles") {
     val df = SparkEntry.queries("x28_decontaminate")(spark, sfDir)
     val plan = planOf(df)
