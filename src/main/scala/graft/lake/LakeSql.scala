@@ -9,9 +9,10 @@ import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertStarA
 
 /**
  * SQL-TEXT DML surface for lake tables: MERGE INTO, DELETE FROM, UPDATE,
- * OPTIMIZE [ZORDER BY], and DESCRIBE DETAIL executed against registered
- * [[LakeTable]]s — the statement forms the reference drives through
- * `spark.sql` (`DIM_Gold_layer.py:176-195` for MERGE; `Setup.py:39-50`,
+ * OPTIMIZE [ZORDER BY], VACUUM, RESTORE TABLE, DESCRIBE DETAIL and
+ * DESCRIBE HISTORY executed against registered [[LakeTable]]s — the
+ * statement forms the reference drives through `spark.sql`
+ * (`DIM_Gold_layer.py:176-195` for MERGE; `Setup.py:39-50`,
  * `README.md:106-110` for DDL/DML text).
  *
  * Spark's OWN parser produces the `MergeIntoTable` logical plan; this layer
@@ -158,12 +159,20 @@ object LakeSql {
     """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
   private val DescribeDetailRe =
     """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*;?\s*""".r
+  private val DescribeHistoryRe =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+  private val RestoreRe =
+    """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
 
   /**
    * Parse and execute ONE SQL statement against registered lake tables:
-   * MERGE INTO, DELETE FROM, UPDATE, OPTIMIZE [ZORDER BY (...)], DESCRIBE
-   * DETAIL. Returns Delta-style result rows: affected-row counts for DML,
-   * rewrite stats for OPTIMIZE, the table facts row for DESCRIBE DETAIL,
+   * MERGE INTO, DELETE FROM, UPDATE, OPTIMIZE [ZORDER BY (...)],
+   * VACUUM [RETAIN n VERSIONS], RESTORE TABLE ... TO VERSION AS OF n,
+   * DESCRIBE DETAIL, DESCRIBE HISTORY. Returns Delta-style result rows:
+   * affected-row counts for DML, rewrite stats for OPTIMIZE, the table
+   * facts row for DESCRIBE DETAIL, the commit log for DESCRIBE HISTORY,
    * and the post-merge snapshot for MERGE.
    */
   def sql(spark: SparkSession, sqlText: String): DataFrame = {
@@ -182,6 +191,19 @@ object LakeSql {
           Seq((cols.mkString(","), tbl.detail.numFiles))
             .toDF("zorder_by", "num_files")
         }
+      case DescribeHistoryRe(name) =>
+        lookup(name).historyDetail
+          .map { case (v, op, ts) => (v, op, ts.map(new java.sql.Timestamp(_))) }
+          .toDF("version", "operation", "timestamp")
+      case VacuumRe(name, keep) =>
+        val tbl = lookup(name)
+        tbl.vacuum(if (keep == null) 2 else keep.toInt)
+        Seq((tbl.currentVersion, tbl.detail.numFiles))
+          .toDF("current_version", "num_files")
+      case RestoreRe(name, v) =>
+        val tbl = lookup(name)
+        tbl.restore(v.toLong)
+        Seq((v.toLong, tbl.currentVersion)).toDF("restored_version", "current_version")
       case DescribeDetailRe(name) =>
         val d = lookup(name).detail
         Seq((d.location, d.version, d.numFiles, d.sizeInBytes,
@@ -196,6 +218,21 @@ object LakeSql {
         spark.sessionState.sqlParser.parsePlan(sqlText) match {
           case _: MergeIntoTable =>
             merge(spark, sqlText).read
+          case ac: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint =>
+            // the parser wraps the target in a validation Filter — the named
+            // relation sits below it
+            val name = ac.child.collectFirst {
+              case UnresolvedRelation(parts, _, _) => parts.mkString(".")
+              case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+                ut.multipartIdentifier.mkString(".")
+            }.getOrElse(throw new IllegalArgumentException(
+              s"ALTER TABLE target must be a named table, got ${ac.child.nodeName}"))
+            val cc = ac.checkConstraint
+            val cname = Option(cc.userProvidedName).getOrElse(
+              throw new IllegalArgumentException(
+                "name the constraint: ALTER TABLE t ADD CONSTRAINT <name> CHECK (...)"))
+            lookup(name).addCheckConstraint(cname, cc.condition)
+            Seq((cname, cc.condition)).toDF("constraint", "expression")
           case DeleteFromTable(target, condition) =>
             val (name, _) = relationOf(target, "DELETE")
             // merge-on-read: arbitrary conditions, O(matched rows), valid
@@ -221,7 +258,8 @@ object LakeSql {
             Seq(lookup(name).update(preds, set)).toDF("updated_rows")
           case other => throw new IllegalArgumentException(
             s"LakeSql.sql supports MERGE / DELETE / UPDATE / OPTIMIZE / " +
-              s"DESCRIBE DETAIL, got ${other.nodeName}")
+              s"VACUUM / RESTORE / DESCRIBE DETAIL / DESCRIBE HISTORY, " +
+              s"got ${other.nodeName}")
         }
     }
   }

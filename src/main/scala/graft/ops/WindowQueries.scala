@@ -126,6 +126,37 @@ object WindowQueries {
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
         ORDER BY click_id, purchase_id""")),
 
+    // STREAM-STATIC ENRICHMENT: the DLT silver staple — a streaming fact
+    // joined to a STATIC broadcast dimension. Stateless (no watermark, no
+    // state store): each micro-batch probes the broadcast hash table and
+    // appends, so at 100 TB the streaming side never shuffles and the dim
+    // refresh cadence is a re-broadcast, not a stateful join. Left join
+    // keeps facts with no dim row (nulls), exactly as the batch twin.
+    Q("w_stream_enrich", (s, d) => withShufflePartitions(s, 4) {
+      val stage = java.nio.file.Files.createTempDirectory("graft_wsen")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        stage.resolve("events.parquet"))
+      val raw = s.read.parquet(s"$d/events.parquet").schema
+      val dim = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val enriched = s.readStream.schema(raw).parquet(stage.toString)
+        .filter(col("user_id") % 50 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("c_name"), col("c_mktsegment"))
+      val q = enriched.writeStream.format("memory")
+        .queryName("w_stream_enrich_sink")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("w_stream_enrich_sink").orderBy("event_id")
+    },
+      Some("""SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        WHERE e.user_id % 50 = 0 ORDER BY e.event_id""")),
+
     // STREAMING DEDUP: exactly-once key emission over a watermarked stream
     // via dropDuplicatesWithinWatermark — the state-BOUNDED streaming dedup
     // (state for a key is dropped once the watermark passes it, unlike plain

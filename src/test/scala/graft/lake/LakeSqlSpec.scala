@@ -117,6 +117,42 @@ class LakeSqlSpec extends SparkSpec {
     } finally LakeSql.unregister("dml_t")
   }
 
+  test("VACUUM / RESTORE / DESCRIBE HISTORY statements dispatch") {
+    val t = fresh("sql_lifecycle")                        // v0: append
+    LakeSql.register("lc_t", t)
+    try {
+      t.overwrite(Seq((9L, "z", 9)).toDF("k", "v", "seq")) // v1: bad overwrite
+      val hist = LakeSql.sql(spark, "DESCRIBE HISTORY lc_t").collect()
+      assert(hist.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((0L, "append"), (1L, "overwrite")))
+      val res = LakeSql.sql(spark, "RESTORE TABLE lc_t TO VERSION AS OF 0")
+      assert(res.as[(Long, Long)].head() == ((0L, 2L)))    // v2: the restore
+      assert(t.read.orderBy("k").as[(Long, String, Int)].collect().toSeq ==
+        Seq((1L, "a", 1), (2L, "b", 1)))
+      LakeSql.sql(spark, "VACUUM lc_t RETAIN 1 VERSIONS")
+      // v1's overwrite-only data is reclaimed; the restored snapshot reads
+      intercept[IllegalArgumentException](t.readVersion(1).collect())
+      assert(t.read.count() == 2)
+    } finally LakeSql.unregister("lc_t")
+  }
+
+  test("ALTER TABLE ADD CONSTRAINT parses through Spark and enforces on write") {
+    val t = fresh("sql_constraint")
+    LakeSql.register("con_t", t)
+    try {
+      val res = LakeSql.sql(spark,
+        "ALTER TABLE con_t ADD CONSTRAINT positive_seq CHECK (seq > 0)")
+      assert(res.as[(String, String)].head() == (("positive_seq", "seq > 0")))
+      assert(t.checkConstraints.contains("positive_seq"))
+      // the constraint is live: a violating append is rejected atomically
+      assert(scala.util.Try(
+        t.append(Seq((5L, "bad", -1)).toDF("k", "v", "seq"))).isFailure)
+      assert(t.read.count() == 2)
+      t.append(Seq((5L, "ok", 3)).toDF("k", "v", "seq"))
+      assert(t.read.count() == 3)
+    } finally LakeSql.unregister("con_t")
+  }
+
   test("DML statement shapes outside the contract fail loudly") {
     val t = fresh("sql_dml_errors")
     LakeSql.register("dml_e", t)
