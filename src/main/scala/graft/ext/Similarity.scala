@@ -176,7 +176,10 @@ object Similarity {
       kmeansIters: Int = 0, nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val base = prepared(emb, idCol, vecCol)
-    val centFinal = quantizer(base, idCol, centStride, kmeansIters)
+    // persist: the refined quantizer (tiny — |C| rows) feeds BOTH the corpus
+    // assignment and the query probe; unpersisted, each broadcast would
+    // re-run the full Lloyd lineage over the corpus
+    val centFinal = quantizer(base, idCol, centStride, kmeansIters).persist()
     val assigned = rankCells(base, idCol, centFinal, 1)
     // queries probe their nprobe nearest cells of the FINAL quantizer
     val q = rankCells(base, idCol, centFinal, nprobe).filter(queryFilter)
