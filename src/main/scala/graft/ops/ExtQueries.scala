@@ -1424,6 +1424,46 @@ object ExtQueries {
             AS byte_len
         FROM documents ORDER BY media_id""")),
 
+    // UNIGRAM-LM QUALITY PROXY (the CCNet-style corpus-statistics filter,
+    // log-free): per doc, the mean corpus document-frequency of its token
+    // occurrences (high = boilerplate built from ubiquitous tokens) and the
+    // hapax fraction (occurrences of corpus-unique tokens — gibberish/OCR
+    // noise scores high). All-integer aggregation with ONE final double
+    // division per column, so the doubles replay bit-exact in any engine —
+    // the same determinism trick as the decimal-exact centroid sums.
+    // Scale: explode is linear; the df join keys on the token itself, so
+    // stopwords are hot keys — exactly the skew AQE's skew-join split
+    // handles (proven in SkewSpec); at 100 TB one would broadcast the
+    // head-of-vocabulary df table and shuffle only the tail.
+    Q("x43_lm_quality", (s, d) => {
+      val toks = t(s, d, "documents").select(col("doc_id"),
+        explode(TF.tokens(TF.normalizeText(col("text")))).as("token"))
+      val dfreq = toks.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      toks.join(dfreq, "token")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("df")).as("sum_df"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("hapax"))
+        .select(col("doc_id"), col("n_tokens"), col("sum_df"),
+          (col("sum_df").cast(DoubleType) / col("n_tokens")).as("mean_df"),
+          (col("hapax").cast(DoubleType) / col("n_tokens")).as("hapax_frac"))
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, unnest(${TF.tokensSql(TF.normalizeTextSql("text"))}) AS token
+          FROM documents),
+        dfreq AS (
+          SELECT token, COUNT(*) AS df
+          FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token)
+        SELECT t.doc_id AS doc_id, COUNT(*) AS n_tokens,
+          CAST(SUM(d.df) AS BIGINT) AS sum_df,
+          CAST(SUM(d.df) AS DOUBLE) / COUNT(*) AS mean_df,
+          CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+            AS hapax_frac
+        FROM toks t JOIN dfreq d USING (token)
+        GROUP BY t.doc_id ORDER BY t.doc_id""")),
+
     // TF-IDF keyterms — top-3 distinguishing terms per document, scored
     // tf·(N+1)/(df+1): the rarity weight is kept RATIONAL (no log) because
     // integer-exact double division replays bit-identically across engines,

@@ -117,6 +117,20 @@ class LakeSqlSpec extends SparkSpec {
     } finally LakeSql.unregister("dml_t")
   }
 
+  test("table-qualified column references in DELETE/UPDATE bind to the snapshot") {
+    val t = fresh("sql_qualified")
+    LakeSql.register("q_t", t)
+    try {
+      // CoW update first (a live deletion vector would refuse it), MoR delete after
+      assert(LakeSql.sql(spark,
+        "UPDATE q_t SET v = upper(q_t.v) WHERE q_t.k >= 2 AND q_t.k <= 2")
+        .as[Long].head() == 1L)
+      assert(LakeSql.sql(spark, "DELETE FROM q_t WHERE q_t.k = 1")
+        .as[Long].head() == 1L)
+      assert(t.read.as[(Long, String, Int)].collect().toSeq == Seq((2L, "B", 1)))
+    } finally LakeSql.unregister("q_t")
+  }
+
   test("VACUUM / RESTORE / DESCRIBE HISTORY statements dispatch") {
     val t = fresh("sql_lifecycle")                        // v0: append
     LakeSql.register("lc_t", t)
