@@ -161,6 +161,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("semantic pruning broadcasts centroids; pairwise work stays within cells") {
+    val df = SparkEntry.queries("x42_semantic_prune")(spark, sfDir)
+    val plan = planOf(df).split("== Initial Plan ==").head
+    // quantizer assignment must broadcast the (tiny) centroid side, and the
+    // only pair join is the cell equi-join — never an all-pairs product
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("LM-quality df aggregation runs partial then final (map-side combine)") {
+    val df = SparkEntry.queries("x43_lm_quality")(spark, sfDir)
+    val plan = planOf(df)
+    // token df and the per-doc sums must combine map-side: the token stream
+    // is the corpus itself at 100 TB
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.contains("partial_sum"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("decontamination probes the corpus with a broadcast of the eval shingles") {
     val df = SparkEntry.queries("x28_decontaminate")(spark, sfDir)
     val plan = planOf(df)
