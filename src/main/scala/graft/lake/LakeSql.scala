@@ -3,17 +3,20 @@ package graft.lake
 import java.util.Locale
 
 import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, Cast, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.types.TimestampType
 
 /**
- * SQL-TEXT DML surface for lake tables: MERGE INTO, DELETE FROM, UPDATE,
- * OPTIMIZE [ZORDER BY], VACUUM, RESTORE TABLE, DESCRIBE DETAIL and
- * DESCRIBE HISTORY executed against registered [[LakeTable]]s — the
- * statement forms the reference drives through `spark.sql`
- * (`DIM_Gold_layer.py:176-195` for MERGE; `Setup.py:39-50`,
- * `README.md:106-110` for DDL/DML text).
+ * SQL-TEXT surface for lake tables: SELECT (incl. `VERSION/TIMESTAMP AS
+ * OF` time travel), MERGE INTO, DELETE FROM, UPDATE (zone-pruned CoW or
+ * arbitrary-predicate MoR), INSERT INTO/OVERWRITE, OPTIMIZE
+ * [WHERE <partition pred>] [ZORDER BY], VACUUM [RETAIN n VERSIONS|HOURS],
+ * RESTORE TABLE, DESCRIBE DETAIL and DESCRIBE HISTORY executed against
+ * registered [[LakeTable]]s — the statement forms the reference drives
+ * through `spark.sql` (`DIM_Gold_layer.py:176-195` for MERGE;
+ * `Setup.py:39-75`, `README.md:106-110` for DDL/DML/validation text).
  *
  * Spark's OWN parser produces the `MergeIntoTable` logical plan; this layer
  * only WALKS it — target name → registry lookup, `USING` plan → analyzed
@@ -156,13 +159,13 @@ object LakeSql {
   // on the existing LakeTable APIs; unsupported shapes fail loudly.
 
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
   private val DescribeDetailRe =
     """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*;?\s*""".r
   private val DescribeHistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+(VERSIONS|HOURS))?\s*;?\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
 
@@ -178,26 +181,43 @@ object LakeSql {
   def sql(spark: SparkSession, sqlText: String): DataFrame = {
     import spark.implicits._
     sqlText match {
-      case OptimizeRe(name, zcols) =>
+      case OptimizeRe(name, where, zcols) =>
         val tbl = lookup(name)
-        if (zcols == null) {
-          val st = tbl.optimizeCompact()
-          Seq((st.filesRewritten, st.filesLinked, st.bytesRewritten))
-            .toDF("files_rewritten", "files_linked", "bytes_rewritten")
-        } else {
-          val cols = zcols.split(',').map(_.trim).filter(_.nonEmpty).toSeq
-          require(cols.nonEmpty, s"OPTIMIZE $name ZORDER BY () names no columns")
-          tbl.compactZOrder(cols)
-          Seq((cols.mkString(","), tbl.detail.numFiles))
-            .toDF("zorder_by", "num_files")
+        val zc = Option(zcols)
+          .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        zc.foreach(cols => require(cols.nonEmpty,
+          s"OPTIMIZE $name ZORDER BY () names no columns"))
+        (Option(where), zc) match {
+          case (Some(w), _) =>
+            // partition-scoped maintenance (Delta `OPTIMIZE t WHERE ...`):
+            // the predicate must be zone-expressible bounds on the
+            // partition column — optimizeWhere enforces the column rule
+            val preds = zonePreds(stripTableQualifiers(
+              spark.sessionState.sqlParser.parseExpression(w), name)).getOrElse(
+              throw new IllegalArgumentException(
+                "OPTIMIZE WHERE must be a conjunction of <partition col> " +
+                  s"=/>=/<= <literal> bounds, got: $w"))
+            val st = tbl.optimizeWhere(preds, zc.getOrElse(Nil))
+            Seq((st.filesRewritten, st.filesLinked, st.bytesRewritten))
+              .toDF("files_rewritten", "files_untouched", "bytes_rewritten")
+          case (None, None) =>
+            val st = tbl.optimizeCompact()
+            Seq((st.filesRewritten, st.filesLinked, st.bytesRewritten))
+              .toDF("files_rewritten", "files_linked", "bytes_rewritten")
+          case (None, Some(cols)) =>
+            tbl.compactZOrder(cols)
+            Seq((cols.mkString(","), tbl.detail.numFiles))
+              .toDF("zorder_by", "num_files")
         }
       case DescribeHistoryRe(name) =>
         lookup(name).historyDetail
           .map { case (v, op, ts) => (v, op, ts.map(new java.sql.Timestamp(_))) }
           .toDF("version", "operation", "timestamp")
-      case VacuumRe(name, keep) =>
+      case VacuumRe(name, keep, unit) =>
         val tbl = lookup(name)
-        tbl.vacuum(if (keep == null) 2 else keep.toInt)
+        if (keep != null && unit.toUpperCase(Locale.ROOT) == "HOURS")
+          tbl.vacuumRetainHours(keep.toDouble)
+        else tbl.vacuum(if (keep == null) 2 else keep.toInt)
         Seq((tbl.currentVersion, tbl.detail.numFiles))
           .toDF("current_version", "num_files")
       case RestoreRe(name, v) =>
@@ -244,10 +264,7 @@ object LakeSql {
             val (name, alias) = relationOf(target, "UPDATE")
             val cond = condition.getOrElse(throw new IllegalArgumentException(
               "UPDATE without WHERE would rewrite the whole table — add a predicate"))
-            val preds = zonePreds(stripTableQualifiers(cond, name, alias)).getOrElse(
-              throw new IllegalArgumentException(
-                "UPDATE WHERE must be a conjunction of <col> =/>=/<= <literal> " +
-                  s"bounds (the file-skipping contract), got: ${cond.sql}"))
+            val stripped = stripTableQualifiers(cond, name, alias)
             val set = assignments.map { a =>
               val k = a.key match {
                 case attr: UnresolvedAttribute => attr.nameParts.last
@@ -256,13 +273,144 @@ object LakeSql {
               }
               k -> GraftColumnBridge.column(stripTableQualifiers(a.value, name, alias))
             }.toMap
-            Seq(lookup(name).update(preds, set)).toDF("updated_rows")
+            val tbl = lookup(name)
+            // zone-expressible bounds take the file-skipping copy-on-write
+            // path (prunes to the files that can hold a match); anything
+            // else — and any table with live deletion vectors — takes the
+            // merge-on-read path: DV the old images, append the new, one
+            // commit, O(matched rows) at any table size
+            val n = zonePreds(stripped) match {
+              case Some(preds) if tbl.deleteVectorDirs.isEmpty =>
+                tbl.update(preds, set)
+              case _ => tbl.updateWhere(stripped.sql, set)
+            }
+            Seq(n).toDF("updated_rows")
+          case InsertIntoStatement(target, partitionSpec, userCols, query,
+              overwrite, _, byName) =>
+            val (name, _) = relationOf(target, "INSERT")
+            require(partitionSpec.isEmpty,
+              "static PARTITION specs are not supported — put the partition " +
+                "column in the inserted data")
+            val tbl = lookup(name)
+            val incoming = GraftColumnBridge.dataset(spark, query)
+            val df = insertShape(tbl, incoming, userCols, byName)
+            if (overwrite) tbl.overwrite(df) else tbl.append(df)
+            Seq((norm(name), tbl.currentVersion)).toDF("table", "version")
+          case other if other.containsPattern(
+              org.apache.spark.sql.catalyst.trees.TreePattern.UNRESOLVED_RELATION)
+              && collectLakeRelations(other).nonEmpty =>
+            // a query (SELECT, including time travel) over registered lake
+            // tables — splice snapshots in and let Spark's analyzer run it
+            GraftColumnBridge.dataset(spark, substituteLakeRelations(spark, other))
           case other => throw new IllegalArgumentException(
-            s"LakeSql.sql supports MERGE / DELETE / UPDATE / OPTIMIZE / " +
-              s"VACUUM / RESTORE / DESCRIBE DETAIL / DESCRIBE HISTORY, " +
-              s"got ${other.nodeName}")
+            s"LakeSql.sql supports SELECT / MERGE / DELETE / UPDATE / " +
+              s"INSERT INTO / OPTIMIZE / VACUUM / RESTORE / DESCRIBE DETAIL / " +
+              s"DESCRIBE HISTORY, got ${other.nodeName}")
         }
     }
+  }
+
+  /**
+   * SQL-text SELECT over registered lake tables with FULL table semantics —
+   * deletion vectors filtered, evolved schema, generated/constraint
+   * metadata, and time travel: `SELECT ... FROM t VERSION AS OF 3` /
+   * `TIMESTAMP AS OF '...'` (Spark's own temporal-clause grammar). The
+   * parsed plan's lake relations are replaced by the CURRENT snapshot's
+   * logical plan at call time — there is no registered-view staleness: a
+   * SELECT issued after a commit sees that commit. Temp views, subqueries,
+   * joins against non-lake relations, and every SQL construct Spark's
+   * analyzer handles all compose (only the relation leaves are touched).
+   * This is the read path the reference drives through `spark.sql`
+   * (`Setup.py:58-75` count checks, `README.md:106-110` invariants).
+   */
+  def select(spark: SparkSession, sqlText: String): DataFrame = {
+    val plan = spark.sessionState.sqlParser.parsePlan(sqlText)
+    require(collectLakeRelations(plan).nonEmpty,
+      s"no registered lake table referenced in: $sqlText")
+    GraftColumnBridge.dataset(spark, substituteLakeRelations(spark, plan))
+  }
+
+  /** Names of registered lake tables referenced by `plan`'s relation leaves. */
+  private def collectLakeRelations(plan: LogicalPlan): Seq[String] =
+    plan.collect {
+      case UnresolvedRelation(parts, _, _)
+          if tables.contains(norm(parts.mkString("."))) => parts.mkString(".")
+    }
+
+  /** Replace registered lake relations (plain or time-travelled) with the
+   *  corresponding snapshot's logical plan, aliased under the table's last
+   *  name part so qualified column references keep resolving. */
+  private def substituteLakeRelations(spark: SparkSession,
+      plan: LogicalPlan): LogicalPlan = plan transformUp {
+    case RelationTimeTravel(UnresolvedRelation(parts, _, _), ts, version)
+        if tables.contains(norm(parts.mkString("."))) =>
+      val tbl = tables(norm(parts.mkString(".")))
+      val df = (ts, version) match {
+        case (None, Some(v)) =>
+          val n = try v.toLong catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"VERSION AS OF expects a numeric version, got '$v'") }
+          tbl.readVersion(n)
+        case (Some(e), None) => tbl.readTimestampAsOf(evalTimestampMs(e))
+        case _ => throw new IllegalArgumentException(
+          "time travel needs exactly one of VERSION AS OF / TIMESTAMP AS OF")
+      }
+      SubqueryAlias(parts.last, GraftColumnBridge.logicalPlan(df))
+    case UnresolvedRelation(parts, _, _)
+        if tables.contains(norm(parts.mkString("."))) =>
+      SubqueryAlias(parts.last,
+        GraftColumnBridge.logicalPlan(tables(norm(parts.mkString("."))).read))
+  }
+
+  /** Evaluate a (foldable) TIMESTAMP AS OF operand to epoch millis — UTC,
+   *  the session renderings zone maps and commit clocks use. */
+  private def evalTimestampMs(e: Expression): Long = {
+    require(e.foldable, s"TIMESTAMP AS OF must be a literal, got ${e.sql}")
+    val micros = Cast(e, TimestampType, Some("UTC")).eval(null)
+    require(micros != null, s"cannot parse ${e.sql} as a timestamp")
+    micros.asInstanceOf[Long] / 1000L
+  }
+
+  /** Conform an INSERT's incoming frame to the target table's schema:
+   *  positional when no column list is given (arity must match the full
+   *  schema, or the schema minus generated columns — those are computed),
+   *  name-matched for `INSERT ... (cols)` / `BY NAME`. Values are cast to
+   *  the declared column types (SQL `VALUES` literals arrive narrower);
+   *  constraint and generated-column enforcement happens inside
+   *  append/overwrite, so a violating INSERT fails before anything lands. */
+  private def insertShape(tbl: LakeTable, incoming: DataFrame,
+      userCols: Seq[String], byName: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val schema = tbl.schema
+    val generated = tbl.generatedColumns.keySet
+    val named =
+      if (userCols.nonEmpty) {
+        require(userCols.size == incoming.columns.length,
+          s"INSERT column list names ${userCols.size} columns but the query " +
+            s"produces ${incoming.columns.length}")
+        val missing = schema.fieldNames
+          .filterNot(c => userCols.exists(_.equalsIgnoreCase(c)) || generated(c))
+        require(missing.isEmpty,
+          s"INSERT column list omits non-generated column(s) ${missing.mkString(", ")}")
+        incoming.toDF(userCols: _*)
+      } else if (byName) incoming
+      else {
+        val nonGen = schema.fieldNames.filterNot(generated)
+        if (incoming.columns.length == schema.fields.length)
+          incoming.toDF(schema.fieldNames.toSeq: _*)
+        else if (incoming.columns.length == nonGen.length)
+          incoming.toDF(nonGen.toSeq: _*)
+        else throw new IllegalArgumentException(
+          s"INSERT arity ${incoming.columns.length} matches neither the full " +
+            s"schema (${schema.fields.length}) nor the non-generated " +
+            s"columns (${nonGen.length})")
+      }
+    named.select(named.columns.map { c =>
+      schema.fields.find(_.name.equalsIgnoreCase(c)) match {
+        case Some(f) => col(c).cast(f.dataType).as(f.name)
+        case None => col(c)
+      }
+    }.toSeq: _*)
   }
 
   private def lookup(name: String): LakeTable =

@@ -1594,14 +1594,119 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     matched
   }
 
+  /**
+   * MERGE-ON-READ UPDATE (the deletion-vector twin of the copy-on-write
+   * [[update]], Delta's DV-enabled `UPDATE`): assign `set` on rows matching
+   * `condition` — an ARBITRARY SQL boolean expression over the table's
+   * columns, not just zone-expressible bounds — WITHOUT rewriting any
+   * existing data file. One commit carries both halves: the matched rows'
+   * coordinates land in a deletion vector (the old images vanish from every
+   * read) and the updated images are appended as a fresh data dir. At
+   * 100 TB this is O(matched rows) like [[deleteWhere]], where the CoW
+   * [[update]] is O(files that may contain matches) — and unlike the CoW
+   * path it composes with live deletion vectors (no `compact()` first).
+   *
+   * Semantics: CHECK constraints are enforced on the updated images before
+   * anything is written; GENERATED columns are recomputed from their
+   * expressions (assigning one directly is an error — its value is derived,
+   * not set), so an update that moves a row's generated partition value
+   * lands the new image in the right partition dir. With change feed
+   * enabled the commit records `update_preimage`/`update_postimage` rows.
+   * Returns the number of rows updated.
+   */
+  def updateWhere(condition: String, set: Map[String, Column]): Long = synchronized {
+    require(exists, s"LakeTable at $root does not exist")
+    require(set.nonEmpty, "UPDATE with no SET assignments")
+    val v0 = currentVersion
+    val m = readManifest(v0)
+    set.keys.foreach { c =>
+      require(m.schema.fieldNames.contains(c), s"unknown update column $c")
+      require(!m.generated.exists(_._1 == c),
+        s"$c is a generated column — it is recomputed from its expression, not assigned")
+    }
+    val cols = m.schema.fieldNames.toSeq
+    val cond = coalesce(expr(condition), lit(false))
+    val matches = readScopedRows(m, None, withRowIds = true).filter(cond)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dvDir = s"_dv/${UUID.randomUUID()}"
+      matches.select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
+        .write.parquet(s"$root/$dvDir")
+      val matched = spark.read.schema(DvSchema).parquet(s"$root/$dvDir").count()
+      if (matched == 0) {
+        deleteRecursively(Paths.get(root, dvDir))
+        return 0L
+      }
+      val genCols = m.generated.map(_._1).toSet
+      val assigned = matches.select(cols.filterNot(genCols).map { c =>
+        set.get(c).map(_.as(c)).getOrElse(col(c))
+      }: _*)
+      val updated = materializeGenerated(assigned, m)
+        .select(cols.map(col): _*)
+      enforceConstraints(updated, m.constraints)
+      val (dir, owned, fstats) =
+        writeData(updated, m.pcol, m.statsCols, bloomCols = m.bloomCols)
+      val chDir =
+        if (m.cdfEnabled) {
+          val d = s"_changes/${UUID.randomUUID()}"
+          matches.select(cols.map(col): _*)
+            .withColumn(ChangeTypeCol, lit("update_preimage"))
+            .unionByName(updated.withColumn(ChangeTypeCol, lit("update_postimage")))
+            .write.parquet(s"$root/$d")
+          Some(d)
+        } else None
+      if (!tryCommit(m.copy(op = "update", cdfDir = chDir, commitTsMs = None,
+          entries = m.entries :+ DirEntry(dir, owned),
+          fileStats = m.fileStats ++ fstats,
+          deleteVectors = m.deleteVectors :+ dvDir), v0 + 1))
+        throw new ConcurrentWriteException(
+          s"update computed against version $v0 of $root, but a concurrent " +
+            s"writer committed v${v0 + 1} first — recompute and retry")
+      matched
+    } finally { matches.unpersist(); () }
+  }
+
   /** Drop data dirs (and change-feed dirs, including race-orphaned ones) not
    *  referenced by the newest `keepVersions` manifests. */
   def vacuum(keepVersions: Int = 2): Unit = synchronized {
     if (!exists) return
     val cur = currentVersion
-    val retained = (math.max(0L, cur - keepVersions + 1) to cur)
+    reclaimExcept((math.max(0L, cur - keepVersions + 1) to cur)
       .filter(v => Files.exists(manifestFile(v)))
-      .map(readManifest)
+      .map(readManifest))
+  }
+
+  /**
+   * VACUUM by wall-clock retention (Delta `VACUUM t RETAIN n HOURS`): drop
+   * data no version committed within the last `hours` references. Time
+   * travel to any commit inside the window keeps working; older versions'
+   * histories stay listable but their data is reclaimed. The CURRENT
+   * version is always retained regardless of its age (a quiet table must
+   * never lose its live snapshot), and manifests written before commit
+   * clocks existed are retained conservatively (their age cannot be
+   * proven). Like Delta's retention-duration check, windows shorter than
+   * [[LakeTable.MinRetentionHours]] are refused unless `force` — a reader
+   * of an old snapshot could still be mid-scan — so short-window tests and
+   * deliberate purges opt in explicitly.
+   */
+  def vacuumRetainHours(hours: Double, force: Boolean = false): Unit = synchronized {
+    if (!exists) return
+    require(hours >= 0, s"retention hours must be >= 0, got $hours")
+    require(force || hours >= MinRetentionHours,
+      f"retention of $hours%.1f h is below the ${MinRetentionHours}h safety " +
+        "floor (a reader of an old snapshot may still be mid-scan) — " +
+        "pass force = true to override")
+    val cutoffMs = clock() - (hours * 3600 * 1000).toLong
+    val cur = currentVersion
+    reclaimExcept((0L to cur)
+      .filter(v => Files.exists(manifestFile(v)))
+      .filter(v => v == cur || manifestHeader(v)._2.forall(_ >= cutoffMs))
+      .map(readManifest))
+  }
+
+  /** Reclaim every data/change/DV dir and bloom sidecar not referenced by
+   *  one of `retained` — the shared sweep of both vacuum forms. */
+  private def reclaimExcept(retained: Seq[Manifest]): Unit = {
     val keep = retained.flatMap(_.entries.map(_.dir)).toSet
     val dataRoot = Paths.get(root, "data")
     if (Files.isDirectory(dataRoot)) {
@@ -1805,6 +1910,22 @@ final class LakeTable private (val spark: SparkSession, val root: String,
   def compactZOrder(zcols: Seq[String], targetFiles: Int = 16): Unit = synchronized {
     val v0 = currentVersion
     val m = readManifest(v0)
+    val (clustered, release) =
+      zorderClustered(readScoped(m, None), m, zcols, targetFiles)
+    try replaceAll(clustered, m.pcol, "compact", Some(v0),
+      preclustered = m.pcol.isDefined)
+    finally release()
+  }
+
+  /** The Z-order clustering transform shared by [[compactZOrder]] (whole
+   *  table) and [[optimizeWhere]] (partition-scoped): quantize each z-col
+   *  to equi-depth 8-bit bins, interleave the bin bits into a z-value, and
+   *  range-repartition + sort so each output file covers a contiguous span
+   *  of the curve. Returns the clustered frame and an unpersist handle the
+   *  caller releases after consuming it (the quantile sketch and the write
+   *  are two passes over the input). */
+  private def zorderClustered(df: DataFrame, m: Manifest, zcols: Seq[String],
+      targetFiles: Int): (DataFrame, () => Unit) = {
     require(zcols.nonEmpty && zcols.size <= 4, "1..4 z-order columns")
     zcols.foreach { c =>
       require(m.schema.fieldNames.contains(c), s"unknown z-order column $c")
@@ -1816,70 +1937,158 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         dt == org.apache.spark.sql.types.DateType,
         s"z-order column $c has unsupported type $dt")
     }
-    val df = readScoped(m, None)
     // one numeric shadow column per z-col for the quantile sketch
     val shadowed = zcols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
       d.withColumn(s"__zc$i", col(c).cast("double"))
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val bits = 8
-      val bins = 1 << bits
-      val probes = (1 until bins).map(_.toDouble / bins).toArray
-      // bin = #boundaries <= value (0..255); null sorts to bin 0
-      def binOf(bnds: Column, i: Int): Column =
-        coalesce(size(filter(bnds, b => b <= coalesce(col(s"__zc$i"),
-          lit(Double.NegativeInfinity)))), lit(0))
-      // interleave: bit b of column i lands at position b*k + i
-      def interleave(binCols: Seq[Column]): Column = {
-        val k = binCols.size
-        (0 until bits).flatMap { b =>
-          binCols.zipWithIndex.map { case (bc, i) =>
-            shiftleft(shiftright(bc, b).bitwiseAND(lit(1)), b * k + i)
-          }
-        }.reduce[Column](_ bitwiseOR _)
+    val bits = 8
+    val bins = 1 << bits
+    val probes = (1 until bins).map(_.toDouble / bins).toArray
+    // bin = #boundaries <= value (0..255); null sorts to bin 0
+    def binOf(bnds: Column, i: Int): Column =
+      coalesce(size(filter(bnds, b => b <= coalesce(col(s"__zc$i"),
+        lit(Double.NegativeInfinity)))), lit(0))
+    // interleave: bit b of column i lands at position b*k + i
+    def interleave(binCols: Seq[Column]): Column = {
+      val k = binCols.size
+      (0 until bits).flatMap { b =>
+        binCols.zipWithIndex.map { case (bc, i) =>
+          shiftleft(shiftright(bc, b).bitwiseAND(lit(1)), b * k + i)
+        }
+      }.reduce[Column](_ bitwiseOR _)
+    }
+    val zdrop = zcols.indices.map(i => s"__zc$i") :+ "__z"
+    val clustered = m.pcol match {
+      case None =>
+        val binCols = zcols.indices.map { i =>
+          val bnds = shadowed.stat
+            .approxQuantile(s"__zc$i", probes, 0.01).distinct.sorted
+          if (bnds.isEmpty) lit(0): Column
+          else binOf(array(bnds.map(lit(_)): _*), i)
+        }
+        shadowed.withColumn("__z", interleave(binCols))
+          .repartitionByRange(targetFiles, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop(zdrop: _*)
+      case Some(p) =>
+        // equi-depth boundaries PER PARTITION, one grouped aggregation
+        // pass (never a per-partition driver loop); boundary arrays ride
+        // a broadcast join back onto the rows
+        val probeArr = array(probes.map(lit(_)): _*)
+        val aggs = zcols.indices.map(i =>
+          percentile_approx(col(s"__zc$i"), probeArr, lit(10000))
+            .as(s"__bnds$i"))
+        val bnds = shadowed.groupBy(col(p)).agg(aggs.head, aggs.tail: _*)
+        val cleaned = zcols.indices.foldLeft(bnds)((d, i) =>
+          d.withColumn(s"__bnds$i",
+            array_sort(array_distinct(col(s"__bnds$i")))))
+        val binCols = zcols.indices.map(i => binOf(col(s"__bnds$i"), i))
+        shadowed.join(broadcast(cleaned), Seq(p))
+          .withColumn("__z", interleave(binCols))
+          .repartitionByRange(targetFiles, col(p), col("__z"))
+          .sortWithinPartitions(col(p), col("__z"))
+          .drop(zcols.indices.map(i => s"__bnds$i") ++ zdrop: _*)
+          .select(m.schema.fieldNames.map(col).toSeq: _*)
+    }
+    (clustered, () => { shadowed.unpersist(); () })
+  }
+
+  /**
+   * PARTITION-SCOPED OPTIMIZE (Delta `OPTIMIZE t WHERE <partition pred>
+   * [ZORDER BY (...)]`): rewrite ONLY the partitions matching `preds` —
+   * bin-packed, or Z-order clustered when `zcols` is non-empty — and leave
+   * every other partition's files byte-for-byte untouched: the commit
+   * transfers ownership of the matching partition values to the freshly
+   * written dir and keeps the remaining entries exactly as they were, so
+   * untouched files keep their paths AND inodes (no relink, no copy).
+   * This is how table maintenance survives 100 TB: the nightly OPTIMIZE
+   * touches yesterday's partition, not the table — cost is O(matched
+   * partitions), independent of table size, where [[compactZOrder]] /
+   * [[optimizeCompact]] are O(table) per invocation.
+   *
+   * `preds` must name only the partition column (Delta's rule: only
+   * partition predicates can scope whole-file maintenance); values are
+   * matched against the manifest's owned partition values — no data scan
+   * decides the scope. Deletion vectors over the scoped partitions are
+   * materialized by the rewrite; vectors over untouched partitions stay
+   * live (their coordinates still address the untouched files, and stale
+   * coordinates into rewritten partitions can never match a scanned row).
+   * Returns files rewritten (new files), files kept untouched, and bytes
+   * of scoped input rewritten.
+   */
+  def optimizeWhere(preds: Seq[ZonePred], zcols: Seq[String] = Nil,
+      targetFiles: Int = 16): OptimizeStats = synchronized {
+    require(exists, s"LakeTable at $root does not exist")
+    val v0 = currentVersion
+    val m = readManifest(v0)
+    val p = m.pcol.getOrElse(throw new IllegalArgumentException(
+      "OPTIMIZE ... WHERE needs a partitioned table — use optimizeCompact()/" +
+        "compactZOrder() for whole-table maintenance"))
+    require(preds.nonEmpty,
+      "OPTIMIZE ... WHERE with no predicate — use optimizeCompact()/compactZOrder()")
+    preds.foreach(pr => require(pr.col == p,
+      s"OPTIMIZE WHERE must predicate only the partition column $p, " +
+        s"got ${pr.col} (Delta's rule — only partition predicates scope files)"))
+    val numeric =
+      m.schema(p).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    def cmp(a: String, b: String): Int =
+      if (!numeric) a.compareTo(b)
+      else try BigDecimal(a).compare(BigDecimal(b))
+      catch { case _: NumberFormatException => 0 }
+    def inScope(v: String): Boolean = preds.forall(pr =>
+      pr.lo.forall(l => cmp(v, l) >= 0) && pr.hi.forall(h => cmp(v, h) <= 0))
+    val scope = m.entries.flatMap(_.owned.getOrElse(Nil)).distinct.filter(inScope)
+    val (scopedFiles, scopedBytes, keptFiles) = {
+      var sf = 0; var sb = 0L; var kf = 0
+      m.entries.foreach { e =>
+        val owned = e.owned.getOrElse(Nil).toSet
+        listParquet(Paths.get(root, e.dir)).foreach { f =>
+          val sub = Paths.get(root, e.dir).relativize(f).toString
+          val v = partitionValueOf(sub, p)
+          if (v.exists(x => owned(x) && inScope(x))) { sf += 1; sb += Files.size(f) }
+          else if (v.exists(owned)) kf += 1 // live, out of scope: untouched
+          // else: a partition this dir no longer owns — dead, vacuum's business
+        }
       }
-      val zdrop = zcols.indices.map(i => s"__zc$i") :+ "__z"
-      m.pcol match {
-        case None =>
-          val binCols = zcols.indices.map { i =>
-            val bnds = shadowed.stat
-              .approxQuantile(s"__zc$i", probes, 0.01).distinct.sorted
-            if (bnds.isEmpty) lit(0): Column
-            else binOf(array(bnds.map(lit(_)): _*), i)
-          }
-          val clustered = shadowed.withColumn("__z", interleave(binCols))
-            .repartitionByRange(targetFiles, col("__z"))
-            .sortWithinPartitions("__z")
-            .drop(zdrop: _*)
-          replaceAll(clustered, None, "compact", Some(v0))
-        case Some(p) =>
-          // equi-depth boundaries PER PARTITION, one grouped aggregation
-          // pass (never a per-partition driver loop); boundary arrays ride
-          // a broadcast join back onto the rows
-          val probeArr = array(probes.map(lit(_)): _*)
-          val aggs = zcols.indices.map(i =>
-            percentile_approx(col(s"__zc$i"), probeArr, lit(10000))
-              .as(s"__bnds$i"))
-          val bnds = shadowed.groupBy(col(p)).agg(aggs.head, aggs.tail: _*)
-          val cleaned = zcols.indices.foldLeft(bnds)((d, i) =>
-            d.withColumn(s"__bnds$i",
-              array_sort(array_distinct(col(s"__bnds$i")))))
-          val binCols = zcols.indices.map(i => binOf(col(s"__bnds$i"), i))
-          val clustered = shadowed.join(broadcast(cleaned), Seq(p))
-            .withColumn("__z", interleave(binCols))
-            .repartitionByRange(targetFiles, col(p), col("__z"))
-            .sortWithinPartitions(col(p), col("__z"))
-            .drop(zcols.indices.map(i => s"__bnds$i") ++ zdrop: _*)
-            .select(m.schema.fieldNames.map(col).toSeq: _*)
-          replaceAll(clustered, m.pcol, "compact", Some(v0), preclustered = true)
-      }
-    } finally { shadowed.unpersist(); () }
+      (sf, sb, kf)
+    }
+    if (scope.isEmpty) return OptimizeStats(0, keptFiles, 0L)
+    val scopeSet = scope.toSet
+    // scoped snapshot rows, deletion vectors applied (the rewrite
+    // materializes deletes for these partitions)
+    val df0 = readScoped(m, Some(scopeSet))
+    val (df, release) =
+      if (zcols.isEmpty) (df0.repartition(col(p)), () => ())
+      else zorderClustered(df0, m, zcols, targetFiles)
+    val (dir, owned, fstats) =
+      try writeData(df, m.pcol, m.statsCols, preclustered = true,
+        bloomCols = m.bloomCols)
+      finally release()
+    val keptEntries = m.entries.flatMap { e =>
+      val rest = e.owned.map(_.filterNot(scopeSet))
+      if (rest.exists(_.isEmpty)) None else Some(e.copy(owned = rest))
+    }
+    val keptDirs = keptEntries.map(_.dir).toSet
+    val keptStats =
+      m.fileStats.filter(fs => keptDirs.exists(d => fs.path.startsWith(d + "/")))
+    if (!tryCommit(Manifest(m.schema, m.pcol, keptEntries :+ DirEntry(dir, owned),
+        "optimize", m.cdfEnabled, None, m.statsCols, keptStats ++ fstats,
+        constraints = m.constraints, generated = m.generated,
+        deleteVectors = m.deleteVectors, bloomCols = m.bloomCols), v0 + 1))
+      throw new ConcurrentWriteException(
+        s"optimize computed against version $v0 of $root, but a concurrent " +
+          s"writer committed v${v0 + 1} first — recompute and retry")
+    OptimizeStats(listParquet(Paths.get(root, dir)).size, keptFiles, scopedBytes)
   }
 }
 
 object LakeTable {
   private val T_MARK = "__t_exists"
   private val S_MARK = "__s_exists"
+  /** [[LakeTable.vacuumRetainHours]] safety floor (Delta's default retention
+   *  window): reclaiming data younger than this risks failing a reader that
+   *  resolved its snapshot before the vacuum started. */
+  val MinRetentionHours: Double = 168.0
   /** Change-feed column names (Delta CDF's). */
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"

@@ -16,4 +16,11 @@ object GraftColumnBridge {
   def dataset(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** A DataFrame's logical plan — the hook SQL-text SELECT uses to splice a
+    * lake table's snapshot (DV-filtered, schema-evolved, time-travelled)
+    * into a parsed query in place of its `UnresolvedRelation`. */
+  def logicalPlan(df: DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.logical
 }
