@@ -171,6 +171,45 @@ object Similarity {
       .select(col(idCol), col("cell"), col("__v").as("vec"), col("__nrm").as("nrm"))
   }
 
+  /**
+   * WITHIN-CELL candidate pairs with a HOT-CELL CAP — the SemDeDup pair
+   * step hardened against degenerate embedding distributions. A plain
+   * per-cell self-join is quadratic in cell size: expected work is linear
+   * (cells average `centStride`), but a mass collapse onto one centroid
+   * makes that cell O(n²) and no join-side skew handling (AQE splits the
+   * SHUFFLE, not the pair count) can save it. Here any cell whose
+   * population exceeds `maxCellSize` is re-split on a deterministic
+   * secondary hash of the member id into ceil(size/cap) sub-cells before
+   * the self-join, so per-(sub)cell work is bounded by ~cap²/2 and TOTAL
+   * pair work stays O(n·cap) under any distribution. Pairs spanning two
+   * sub-cells of a hot cell are the documented recall trade — the same one
+   * SemDeDup accepts for pairs spanning two quantizer cells; cells at or
+   * under the cap (the non-degenerate 99.9%) are exhaustive and unchanged.
+   * The oversized-cell census is O(#cells) rows and rides a broadcast, so
+   * the only shuffle is the (cell, sub) equi-join itself.
+   *
+   * Input is [[ivfCells]]' shape (`idCol`, cell, vec, nrm); output is one
+   * row per unordered candidate pair with both sides' vectors and norms
+   * ready for exact rescoring.
+   */
+  def cellCappedPairs(assigned: DataFrame, idCol: String,
+      maxCellSize: Int): DataFrame = {
+    require(maxCellSize > 1, s"maxCellSize must be > 1, got $maxCellSize")
+    val hot = assigned.groupBy("cell").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxCellSize)
+      .select(col("cell"),
+        ceil(col("__n").cast("double") / maxCellSize).cast("long").as("__nsub"))
+    val sub = assigned.join(broadcast(hot), Seq("cell"), "left_outer")
+      .withColumn("__sub", when(col("__nsub").isNull, lit(0L))
+        .otherwise(pmod(xxhash64(col(idCol)), col("__nsub"))))
+    val a = sub.select(col("cell"), col("__sub"), col(idCol).as("id_a"),
+      col("vec").as("va"), col("nrm").as("na"))
+    val b = sub.select(col("cell"), col("__sub"), col(idCol).as("id_b"),
+      col("vec").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell", "__sub")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "va", "na", "vb", "nb")
+  }
+
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryFilter: org.apache.spark.sql.Column, centStride: Int, k: Int,
       kmeansIters: Int = 0, nprobe: Int = 1): DataFrame = {

@@ -292,13 +292,17 @@ object LakeSql {
               "static PARTITION specs are not supported — put the partition " +
                 "column in the inserted data")
             val tbl = lookup(name)
-            val incoming = GraftColumnBridge.dataset(spark, query)
+            // the source query may itself read lake relations
+            // (INSERT INTO t SELECT ... FROM other_lake_table)
+            val incoming = GraftColumnBridge.dataset(spark,
+              substituteLakeRelations(spark, query))
             val df = insertShape(tbl, incoming, userCols, byName)
             if (overwrite) tbl.overwrite(df) else tbl.append(df)
             Seq((norm(name), tbl.currentVersion)).toDF("table", "version")
-          case other if other.containsPattern(
-              org.apache.spark.sql.catalyst.trees.TreePattern.UNRESOLVED_RELATION)
-              && collectLakeRelations(other).nonEmpty =>
+          // no containsPattern(UNRESOLVED_RELATION) fast-path here:
+          // RelationTimeTravel is a LEAF whose nodePatterns do NOT include
+          // it, so a pure time-travel SELECT would never dispatch
+          case other if collectLakeRelations(other).nonEmpty =>
             // a query (SELECT, including time travel) over registered lake
             // tables — splice snapshots in and let Spark's analyzer run it
             GraftColumnBridge.dataset(spark, substituteLakeRelations(spark, other))
@@ -330,10 +334,15 @@ object LakeSql {
     GraftColumnBridge.dataset(spark, substituteLakeRelations(spark, plan))
   }
 
-  /** Names of registered lake tables referenced by `plan`'s relation leaves. */
+  /** Names of registered lake tables referenced by `plan`'s relation leaves.
+   *  `RelationTimeTravel` is an analysis-time LEAF wrapping its relation as
+   *  a field (not a child), so a plain collect over children misses it —
+   *  match it explicitly or `SELECT ... VERSION AS OF` never dispatches. */
   private def collectLakeRelations(plan: LogicalPlan): Seq[String] =
-    plan.collect {
+    plan.collectWithSubqueries {
       case UnresolvedRelation(parts, _, _)
+          if tables.contains(norm(parts.mkString("."))) => parts.mkString(".")
+      case RelationTimeTravel(UnresolvedRelation(parts, _, _), _, _)
           if tables.contains(norm(parts.mkString("."))) => parts.mkString(".")
     }
 
@@ -341,7 +350,7 @@ object LakeSql {
    *  corresponding snapshot's logical plan, aliased under the table's last
    *  name part so qualified column references keep resolving. */
   private def substituteLakeRelations(spark: SparkSession,
-      plan: LogicalPlan): LogicalPlan = plan transformUp {
+      plan: LogicalPlan): LogicalPlan = plan transformUpWithSubqueries {
     case RelationTimeTravel(UnresolvedRelation(parts, _, _), ts, version)
         if tables.contains(norm(parts.mkString("."))) =>
       val tbl = tables(norm(parts.mkString(".")))

@@ -935,6 +935,99 @@ object CoreQueries {
         WHERE o_orderkey % 2 = 0
         ORDER BY o_orderkey""")),
 
+    // S25: SQL-TEXT SELECT with FULL table semantics — the reference runs
+    // all its validation through `spark.sql` SELECTs (Setup.py:58-75,
+    // README.md:106-110). The table here carries BOTH hazards a naive
+    // `spark.read.parquet(path)` fallback gets wrong: live deletion vectors
+    // (MoR delete, never optimized away) and an evolved schema (the first
+    // batch predates `o_discounted`). Hash equality against the relational
+    // oracle proves the SELECT path serves the true snapshot.
+    Q("s25_sql_select", (s, d) => {
+      val o = t(s, d, "orders")
+      val tbl = LakeTable(s, s"${tmp("graft_s25")}/t")
+      tbl.append(o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice"))
+      tbl.append(o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          (col("o_totalprice") * lit(0.1)).as("o_discounted")),
+        mergeSchema = true)
+      tbl.deleteWhere("o_orderkey % 10 = 3") // arbitrary predicate → live DVs
+      LakeSql.register("s25_orders", tbl)
+      try LakeSql.sql(s,
+        """SELECT o_orderkey, o_custkey, o_totalprice, o_discounted
+           FROM s25_orders WHERE o_totalprice >= 1000.0
+           ORDER BY o_orderkey""")
+      finally LakeSql.unregister("s25_orders")
+    },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+          CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice * 0.1 END AS o_discounted
+        FROM orders
+        WHERE o_orderkey % 10 <> 3 AND o_totalprice >= 1000.0
+        ORDER BY o_orderkey""")),
+
+    // S26: PARTITION-SCOPED OPTIMIZE (Delta `OPTIMIZE t WHERE <partition
+    // pred> ZORDER BY ...`) — the maintenance shape that survives 100 TB:
+    // the nightly pass rewrites yesterday's partition, cost O(matched
+    // partitions) not O(table) (OptimizeSpec proves untouched partitions
+    // keep their inodes). The interleaved appends give every partition 3
+    // files; the scoped Z-order re-clusters ONLY o_year=1997, then the read
+    // partition-prunes to it and zone-skips on the freshly clustered
+    // o_custkey. Hash equality proves the scoped rewrite is physical-only.
+    Q("s26_optimize_scoped", (s, d) => {
+      val o = t(s, d, "orders")
+      val oy = o.withColumn("o_year", year(col("o_orderdate")))
+      val tbl = LakeTable(s, s"${tmp("graft_s26")}/t")
+      tbl.create(oy.schema, partitionBy = Some("o_year"),
+        statsColumns = Seq("o_custkey"))
+      (0 until 3).foreach(r =>
+        tbl.append(oy.filter(col("o_orderkey") % 3 === r)))
+      LakeSql.register("s26_orders", tbl)
+      try LakeSql.sql(s,
+        "OPTIMIZE s26_orders WHERE o_year = 1997 ZORDER BY (o_custkey)")
+      finally LakeSql.unregister("s26_orders")
+      tbl.readWhere(Seq(LakeTable.ZonePred("o_year", Some("1997"), Some("1997")),
+          LakeTable.ZonePred.between("o_custkey", "100", "500")))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE year(o_orderdate) = 1997
+          AND o_custkey >= 100 AND o_custkey <= 500
+        ORDER BY o_orderkey""")),
+
+    // S27: SQL UPDATE with an ARBITRARY predicate — parity with DELETE's
+    // merge-on-read path: the modulo+inequality WHERE is not
+    // zone-expressible, so the statement routes to updateWhere (old images
+    // deletion-vectored, new images appended, ONE commit, O(matched rows)
+    // at any table size — no full-table rewrite). The change feed must
+    // carry exactly one pre+post image pair per matched row. 1.5 is
+    // binary-exact so the doubled price hashes identically in DuckDB.
+    Q("s27_update_where", (s, d) => {
+      val o = t(s, d, "orders")
+      val tbl = LakeTable(s, s"${tmp("graft_s27")}/t")
+      tbl.create(o.schema, enableChangeFeed = true)
+      tbl.append(o)
+      LakeSql.register("s27_orders", tbl)
+      val n =
+        try LakeSql.sql(s,
+          """UPDATE s27_orders SET o_totalprice = o_totalprice * 1.5
+             WHERE o_orderkey % 7 = 0 AND o_totalprice < 150000.0""")
+          .collect().head.getLong(0)
+        finally LakeSql.unregister("s27_orders")
+      require(tbl.deleteVectorDirs.nonEmpty,
+        "arbitrary-WHERE UPDATE must take the merge-on-read path")
+      val images = tbl.readChangeFeed(tbl.currentVersion)
+        .groupBy(col("_change_type")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(images == Map("update_preimage" -> n, "update_postimage" -> n),
+        s"change feed images $images disagree with $n updated rows")
+      tbl.read.select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey,
+          CASE WHEN o_orderkey % 7 = 0 AND o_totalprice < 150000.0
+               THEN o_totalprice * 1.5 ELSE o_totalprice END AS o_totalprice
+        FROM orders ORDER BY o_orderkey""")),
+
     // S13: SHALLOW CLONE — zero-copy table fork (hard-linked file
     // re-references, O(file count) metadata). The clone then diverges with
     // its own append while the SOURCE is overwritten and vacuumed down to

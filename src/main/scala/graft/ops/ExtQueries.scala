@@ -566,11 +566,14 @@ object ExtQueries {
       val emb = t(s, d, "embeddings")
       val assigned = Similarity.ivfCells(emb, "vec_id", "embedding",
         centStride = 100, kmeansIters = 1).persist() // pair sides + label join
-      val a = assigned.select(col("vec_id").as("id_a"), col("vec").as("va"),
-        col("nrm").as("na"), col("cell"))
-      val b = assigned.select(col("vec_id").as("id_b"), col("vec").as("vb"),
-        col("nrm").as("nb"), col("cell"))
-      val pairs = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      // hot-cell-capped within-cell pairs: cells average centStride, and
+      // any degenerate cell above the cap is hash-re-split so pair work is
+      // O(n·cap) under ANY distribution (SimilarityCapSpec plants a 90%
+      // mass collapse and proves the bound). The cap sits far above the
+      // natural max cell size here, so on well-spread data — including this
+      // oracle's — capped ≡ exhaustive within-cell.
+      val pairs = Similarity.cellCappedPairs(assigned, "vec_id",
+          maxCellSize = 1000)
         .withColumn("cos", VF.dot(col("va"), col("vb")) / (col("na") * col("nb")))
         .filter(col("cos") >= 0.4)
         .select("id_a", "id_b")

@@ -67,7 +67,7 @@ object WindowQueries {
         stage.resolve("events.parquet"))
       val raw = s.read.parquet(s"$d/events.parquet").schema
       val stream = s.readStream.schema(raw).parquet(stage.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(normalizeTs)
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
@@ -100,7 +100,7 @@ object WindowQueries {
       val raw = s.read.parquet(s"$d/events.parquet").schema
       def side(tpe: String, idAs: String, tsAs: String) =
         s.readStream.schema(raw).parquet(stage.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .transform(normalizeTs)
           .filter(col("event_type") === tpe)
           .select(col("event_id").as(idAs), col("user_id"), col("ts").as(tsAs))
           .withWatermark(tsAs, "40 days")
@@ -171,7 +171,7 @@ object WindowQueries {
         stage.resolve("events.parquet"))
       val raw = s.read.parquet(s"$d/events.parquet").schema
       val deduped = s.readStream.schema(raw).parquet(stage.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(normalizeTs)
         .select("user_id", "event_type", "ts")
         .withWatermark("ts", "40 days")
         .dropDuplicatesWithinWatermark("user_id", "event_type")

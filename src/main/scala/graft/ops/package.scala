@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, TimestampNTZType}
 
 package object ops {
 
@@ -14,21 +14,30 @@ package object ops {
       run: (SparkSession, String) => DataFrame,
       oracle: Option[String])
 
-  /** Read one driver test table (TESTDATA.md): `$dir/<name>.parquet`.
-   *
-   *  The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-   *  only reads as a raw long under `spark.sql.legacy.parquet.nanosAsLong`
-   *  (set by Verify/Bench/tests). DuckDB truncates the same column to
-   *  microseconds on read, so we re-type long-nanos → µs timestamp with
-   *  truncating integer division — bit-identical values in both engines. */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+  /** Normalize an `events.ts` column to session-zone TIMESTAMP, whatever
+   *  physical encoding the driver generated it with — schema-driven, so it
+   *  works on batch AND streaming frames:
+   *   - parquet TIMESTAMP(NANOS) read as raw long (under
+   *     `spark.sql.legacy.parquet.nanosAsLong`, set by Verify/Bench/tests):
+   *     truncating long-nanos → µs division, bit-identical to DuckDB's
+   *     nanos→µs truncation on the same file;
+   *   - parquet TIMESTAMP(MICROS) without zone (read as TIMESTAMP_NTZ):
+   *     value-preserving cast (session zone is pinned UTC everywhere);
+   *   - already-zoned TIMESTAMP: untouched. */
+  def normalizeTs(df: DataFrame): DataFrame =
     df.schema.fields.foldLeft(df) { (d, f) =>
-      if (f.name == "ts" && f.dataType == LongType)
-        d.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else d
+      if (f.name != "ts") d
+      else f.dataType match {
+        case LongType => d.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType => d.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => d
+      }
     }
-  }
+
+  /** Read one driver test table (TESTDATA.md): `$dir/<name>.parquet`,
+   *  with `events.ts` re-typed via [[normalizeTs]]. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
 
   /** Run `body` under a temporarily reduced `spark.sql.shuffle.partitions`,
    *  restoring the prior value after. Streaming stateful operators allocate

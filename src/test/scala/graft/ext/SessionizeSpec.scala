@@ -55,8 +55,7 @@ class SessionizeSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val gapMs = 10 * 60 * 1000L
-    val batch = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = graft.ops.normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
       .select("user_id", "ts", "value", "event_id")
     // two time-split files → two micro-batches in event-time order
     val cut = batch.selectExpr(
@@ -159,9 +158,7 @@ class SessionizeSpec extends SparkSpec {
   }
 
   test("matches the declarative session_window when the cap never binds") {
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val ev = graft.ops.normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
       .select("user_id", "ts", "value", "event_id")
       .as[Sessionize.Event]
     val custom = Sessionize.sessions(spark, ev,

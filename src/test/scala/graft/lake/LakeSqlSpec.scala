@@ -4,8 +4,8 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** SQL-text MERGE INTO → LakeTable.merge translation: Spark's parser, the
- *  engine's merge — no Catalyst surgery. */
+/** SQL-text statement surface → LakeTable translation: Spark's parser, the
+ *  engine's merge/update/insert/select — no Catalyst surgery. */
 class LakeSqlSpec extends SparkSpec {
   import spark.implicits._
 
@@ -177,12 +177,13 @@ class LakeSqlSpec extends SparkSpec {
     try {
       bad("DELETE FROM nowhere WHERE k = 1", "no lake table registered")
       bad("UPDATE dml_e SET v = 'x'", "without where")
-      // non-zone-expressible WHERE (strict inequality) is rejected, not
-      // silently run as a full scan
-      bad("UPDATE dml_e SET v = 'x' WHERE k > 1", "conjunction")
-      bad("UPDATE dml_e SET v = 'x' WHERE k = 1 OR k = 2", "conjunction")
       bad("OPTIMIZE dml_e ZORDER BY ( )", "names no columns")
-      bad("SELECT * FROM dml_e", "supports merge / delete / update")
+      // OPTIMIZE WHERE scopes by partition — meaningless on an
+      // unpartitioned table, and the predicate must be zone-expressible
+      bad("OPTIMIZE dml_e WHERE k = 1", "partitioned table")
+      bad("OPTIMIZE dml_e WHERE k > 1", "conjunction")
+      // a statement referencing no registered lake relation is not ours
+      bad("SELECT 1 AS one", "supports select / merge / delete / update")
       // identical target/source aliases cannot disambiguate guard refs
       Seq((9L, "z", 1)).toDF("k", "v", "seq").createOrReplaceTempView("dml_u")
       bad("""MERGE INTO dml_e AS x USING dml_u AS x ON x.k = x.k
@@ -190,6 +191,201 @@ class LakeSqlSpec extends SparkSpec {
       spark.catalog.dropTempView("dml_u")
       assert(t.read.count() == 2) // nothing mutated by rejected statements
     } finally LakeSql.unregister("dml_e")
+  }
+
+  test("SQL SELECT reads the live snapshot — DVs filtered, schema evolved, never stale") {
+    val t = fresh("sql_select")
+    LakeSql.register("sel_t", t)
+    try {
+      assert(LakeSql.sql(spark, "SELECT k, v FROM sel_t ORDER BY k")
+        .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")))
+      // merge-on-read delete leaves a LIVE deletion vector — a naive
+      // spark.read.parquet of the table dir would still see k=1; the SQL
+      // read path must not
+      t.deleteWhere("k = 1")
+      assert(t.deleteVectorDirs.nonEmpty)
+      assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM sel_t")
+        .as[Long].head() == 1L)
+      // additive schema evolution: pre-evolution rows serve NULL
+      t.append(Seq((3L, "c", 2, 9.5)).toDF("k", "v", "seq", "score"),
+        mergeSchema = true)
+      assert(LakeSql.sql(spark, "SELECT k, score FROM sel_t ORDER BY k")
+        .as[(Long, Option[Double])].collect().toSeq ==
+        Seq((2L, None), (3L, Some(9.5))))
+      // no registered-view staleness: a commit between two SELECTs is
+      // visible to the second without any re-registration
+      t.append(Seq((4L, "d", 2, 1.0)).toDF("k", "v", "seq", "score"))
+      assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM sel_t")
+        .as[Long].head() == 3L)
+      // lake relations compose with temp views and aggregation
+      Seq((2L, "even"), (3L, "odd")).toDF("k", "parity")
+        .createOrReplaceTempView("parity_v")
+      val joined = LakeSql.sql(spark,
+        """SELECT p.parity, count(*) AS n, sum(s.seq) AS seq_sum
+           FROM sel_t s JOIN parity_v p ON s.k = p.k
+           GROUP BY p.parity ORDER BY p.parity""")
+      assert(joined.as[(String, Long, Long)].collect().toSeq ==
+        Seq(("even", 1L, 1L), ("odd", 1L, 2L)))
+      spark.catalog.dropTempView("parity_v")
+    } finally LakeSql.unregister("sel_t")
+  }
+
+  test("SELECT ... VERSION / TIMESTAMP AS OF text time-travels the relation") {
+    val t0 = java.time.Instant.parse("2030-01-01T00:00:00Z").toEpochMilli
+    val tick = new java.util.concurrent.atomic.AtomicLong(0L)
+    val t = LakeTable.withClock(spark, s"${tmpDir("sql_tt")}/t",
+      () => t0 + 1000L * tick.getAndIncrement())
+    t.append(Seq((1L, "a")).toDF("k", "v"))            // v0 @ t0
+    t.append(Seq((2L, "b")).toDF("k", "v"))            // v1 @ t0+1s
+    t.overwrite(Seq((9L, "z")).toDF("k", "v"))         // v2 @ t0+2s
+    LakeSql.register("tt_t", t)
+    try {
+      assert(LakeSql.sql(spark,
+        "SELECT k FROM tt_t VERSION AS OF 1 ORDER BY k")
+        .as[Long].collect().toSeq == Seq(1L, 2L))
+      // Delta's rule: a timestamp BETWEEN commits resolves to the earlier
+      // one — t0+1.5s is after v1, before v2
+      assert(LakeSql.sql(spark,
+        "SELECT k FROM tt_t TIMESTAMP AS OF '2030-01-01 00:00:01.500' ORDER BY k")
+        .as[Long].collect().toSeq == Seq(1L, 2L))
+      // current and time-travelled snapshots compose in ONE statement
+      assert(LakeSql.sql(spark,
+        """SELECT (SELECT count(*) FROM tt_t) AS now_n,
+                  (SELECT count(*) FROM tt_t VERSION AS OF 1) AS then_n""")
+        .as[(Long, Long)].head() == ((1L, 2L)))
+      val e = intercept[IllegalArgumentException](LakeSql.sql(spark,
+        "SELECT * FROM tt_t VERSION AS OF 99"))
+      assert(e.getMessage.contains("99"), e.getMessage)
+    } finally LakeSql.unregister("tt_t")
+  }
+
+  test("INSERT INTO appends; column lists reorder; OVERWRITE replaces; constraints hold") {
+    val t = fresh("sql_ins")
+    LakeSql.register("ins_t", t)
+    try {
+      val r = LakeSql.sql(spark, "INSERT INTO ins_t VALUES (3, 'c', 2)")
+      assert(r.as[(String, Long)].head() == (("ins_t", 1L)))
+      // a column list binds by NAME, any order; literals cast to the
+      // declared column types (VALUES integers arrive narrower than LONG)
+      LakeSql.sql(spark, "INSERT INTO ins_t (seq, v, k) VALUES (3, 'd', 4)")
+      assert(t.read.orderBy("k").as[(Long, String, Int)].collect().toSeq ==
+        Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 2), (4L, "d", 3)))
+      // INSERT runs through the same constraint gate as the API
+      t.addCheckConstraint("seq_positive", "seq > 0")
+      assert(scala.util.Try(LakeSql.sql(spark,
+        "INSERT INTO ins_t VALUES (5, 'bad', -1)")).isFailure)
+      assert(t.read.count() == 4) // rejected atomically — nothing landed
+      // INSERT ... SELECT over another registered lake relation
+      LakeSql.sql(spark,
+        "INSERT INTO ins_t SELECT k + 10, upper(v), seq FROM ins_t WHERE k <= 2")
+      assert(t.read.count() == 6)
+      LakeSql.sql(spark, "INSERT OVERWRITE ins_t VALUES (9, 'z', 1)")
+      assert(t.read.as[(Long, String, Int)].collect().toSeq == Seq((9L, "z", 1)))
+      val e = intercept[IllegalArgumentException](LakeSql.sql(spark,
+        "INSERT INTO ins_t VALUES (1, 'x')"))
+      assert(e.getMessage.contains("arity"), e.getMessage)
+    } finally LakeSql.unregister("ins_t")
+  }
+
+  test("INSERT INTO computes omitted generated columns and validates supplied ones") {
+    val root = tmpDir("sql_ins_gen")
+    val df = Seq((1L, 10.0, 20.0)).toDF("k", "price", "total")
+    val t = LakeTable(spark, s"$root/t")
+    t.create(df.schema, generatedColumns = Map("total" -> "price * 2"))
+    LakeSql.register("gen_t", t)
+    try {
+      // positional arity = schema minus generated columns → computed
+      LakeSql.sql(spark, "INSERT INTO gen_t VALUES (1, 10.0)")
+      // full arity with a CORRECT generated value → validated, accepted
+      LakeSql.sql(spark, "INSERT INTO gen_t VALUES (2, 3.0, 6.0)")
+      assert(t.read.orderBy("k").as[(Long, Double, Double)].collect().toSeq ==
+        Seq((1L, 10.0, 20.0), (2L, 3.0, 6.0)))
+      // a WRONG supplied generated value fails before anything lands
+      assert(scala.util.Try(LakeSql.sql(spark,
+        "INSERT INTO gen_t VALUES (3, 5.0, 11.0)")).isFailure)
+      assert(t.read.count() == 2)
+    } finally LakeSql.unregister("gen_t")
+  }
+
+  test("UPDATE with a non-zone predicate takes the MoR path and emits CDF images") {
+    val root = tmpDir("sql_upd_mor")
+    val df = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("k", "v", "seq")
+    val t = LakeTable(spark, s"$root/t")
+    t.create(df.schema, enableChangeFeed = true)
+    t.append(df)
+    LakeSql.register("mor_t", t)
+    try {
+      // strict inequality + modulo: not zone-expressible → merge-on-read
+      val n = LakeSql.sql(spark,
+        "UPDATE mor_t SET seq = seq + 100 WHERE k > 1 AND k % 2 = 1")
+        .as[Long].head()
+      assert(n == 1L)
+      assert(t.deleteVectorDirs.nonEmpty) // old image DV'd, not rewritten
+      assert(t.read.orderBy("k").as[(Long, String, Int)].collect().toSeq ==
+        Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 130)))
+      val ch = t.readChangeFeed(t.currentVersion)
+        .select("k", "seq", "_change_type").orderBy("_change_type")
+        .as[(Long, Int, String)].collect().toSeq
+      assert(ch == Seq((3L, 130, "update_postimage"), (3L, 30, "update_preimage")))
+      // with a live DV even a zone-expressible UPDATE routes MoR (the CoW
+      // path cannot see vectors) — it must still apply exactly once
+      assert(LakeSql.sql(spark,
+        "UPDATE mor_t SET v = 'B' WHERE k = 2").as[Long].head() == 1L)
+      assert(t.read.orderBy("k").as[(Long, String, Int)].collect().toSeq ==
+        Seq((1L, "a", 10), (2L, "B", 20), (3L, "c", 130)))
+      // no match → version unchanged, 0 rows
+      val v = t.currentVersion
+      assert(LakeSql.sql(spark,
+        "UPDATE mor_t SET v = 'x' WHERE k = 99").as[Long].head() == 0L)
+      assert(t.currentVersion == v)
+    } finally LakeSql.unregister("mor_t")
+  }
+
+  test("OPTIMIZE ... WHERE dispatches partition-scoped maintenance") {
+    val root = tmpDir("sql_opt_scope")
+    val df = Seq((1L, "x", "a")).toDF("k", "v", "pt")
+    val t = LakeTable(spark, s"$root/t")
+    t.create(df.schema, partitionBy = Some("pt"), statsColumns = Seq("k"))
+    (1 to 3).foreach { i =>
+      t.append(Seq((i.toLong, s"a$i", "a")).toDF("k", "v", "pt"))
+      t.append(Seq((i.toLong + 10, s"b$i", "b")).toDF("k", "v", "pt"))
+    }
+    LakeSql.register("opt_t", t)
+    try {
+      val r = LakeSql.sql(spark, "OPTIMIZE opt_t WHERE pt = 'a'").collect().head
+      assert(r.getAs[Int]("files_rewritten") >= 1)
+      assert(r.getAs[Int]("files_untouched") >= 3)  // pt=b files untouched
+      assert(t.read.count() == 6)
+      // scoped Z-order form parses too
+      val z = LakeSql.sql(spark,
+        "OPTIMIZE opt_t WHERE pt = 'b' ZORDER BY (k)").collect().head
+      assert(z.getAs[Int]("files_rewritten") >= 1)
+      assert(t.read.orderBy("k").as[(Long, String, String)].collect().map(_._1).toSeq ==
+        Seq(1L, 2L, 3L, 11L, 12L, 13L))
+    } finally LakeSql.unregister("opt_t")
+  }
+
+  test("VACUUM RETAIN n HOURS reclaims by commit age under the safety floor") {
+    val t0 = java.time.Instant.parse("2030-01-01T00:00:00Z").toEpochMilli
+    val now = new java.util.concurrent.atomic.AtomicLong(t0)
+    val t = LakeTable.withClock(spark, s"${tmpDir("sql_vac_hours")}/t",
+      () => now.get())
+    t.append(Seq((1L, "a")).toDF("k", "v"))            // v0 @ t0
+    t.overwrite(Seq((2L, "b")).toDF("k", "v"))         // v1 @ t0
+    LakeSql.register("vac_t", t)
+    try {
+      // below the 168h floor → refused (SQL text cannot pass force=true)
+      val e = intercept[IllegalArgumentException](
+        LakeSql.sql(spark, "VACUUM vac_t RETAIN 1 HOURS"))
+      assert(e.getMessage.contains("safety"), e.getMessage)
+      assert(t.readVersion(0).count() == 1) // nothing reclaimed
+      // 200h later, RETAIN 168 HOURS reclaims v0's overwritten data
+      now.set(t0 + 200L * 3600 * 1000)
+      LakeSql.sql(spark, "VACUUM vac_t RETAIN 168 HOURS")
+      intercept[IllegalArgumentException](t.readVersion(0).collect())
+      assert(t.read.as[(Long, String)].head() == ((2L, "b")))
+    } finally LakeSql.unregister("vac_t")
   }
 
   test("composite keys and swapped equality sides resolve") {

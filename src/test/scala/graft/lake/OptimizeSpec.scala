@@ -80,6 +80,48 @@ class OptimizeSpec extends SparkSpec {
     assert(kept <= 1 && skipped >= 2, s"kept=$kept skipped=$skipped")
   }
 
+  test("scoped optimizeWhere rewrites one partition; the rest keep path AND inode") {
+    val root = s"${tmpDir("opt_where")}/t"
+    val t = LakeTable(spark, root)
+    val df = (1L to 300L).map(k => (k, s"u$k", s"p${k % 3}")).toDF("k", "uid", "pt")
+    t.create(df.schema, partitionBy = Some("pt"), statsColumns = Seq("k"))
+    (0 until 4).foreach(s => t.append(df.filter(col("k") % 4 === s)))
+    assert(t.detail.numFiles == 12) // 4 appends × 3 partitions
+    import java.nio.file.{Files, Paths}
+    def liveFiles(): Map[String, Object] =
+      Files.walk(Paths.get(root)).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") &&
+          p.toString.contains("pt="))
+        .map(p => Paths.get(root).relativize(p).toString ->
+          Files.getAttribute(p, "fileKey"))
+        .toMap
+    val before = liveFiles()
+    val st = t.optimizeWhere(Seq(LakeTable.ZonePred.eq("pt", "p1")))
+    assert(st.filesRewritten == 1, st.toString) // p1's 4 files packed to 1
+    assert(st.filesLinked == 8, st.toString)    // p0+p2 files untouched
+    // untouched partitions: SAME path, SAME inode — not even relinked
+    val after = liveFiles()
+    before.filter(e => !e._1.contains("pt=p1")).foreach { case (path, key) =>
+      assert(after.get(path).contains(key), s"$path was touched")
+    }
+    assert(t.read.count() == 300)
+    assert(t.readPartitions(Seq("p1")).count() == 100)
+    // deletion vectors over the SCOPED partition materialize; vectors over
+    // untouched partitions stay live and still filter
+    t.deleteWhere("k = 5")   // p2 (5 % 3 = 2)
+    t.deleteWhere("k = 7")   // p1
+    assert(t.deleteVectorDirs.nonEmpty)
+    val st2 = t.optimizeWhere(Seq(LakeTable.ZonePred.eq("pt", "p1")))
+    assert(st2.filesRewritten >= 1)
+    assert(t.read.count() == 298)               // both deletes still honored
+    assert(t.read.filter(col("k").isin(5L, 7L)).count() == 0)
+    // scoped Z-order: same rows, reorganized physically
+    val st3 = t.optimizeWhere(Seq(LakeTable.ZonePred.eq("pt", "p0")),
+      zcols = Seq("k"))
+    assert(st3.filesRewritten >= 1)
+    assert(t.read.count() == 298)
+  }
+
   test("optimize is a rewrite-class commit: CDF refuses to span it") {
     val t = LakeTable(spark, s"${tmpDir("opt_cdf")}/t")
       .create(Seq((1L, "a")).toDF("k", "v").schema, enableChangeFeed = true)
