@@ -246,6 +246,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), plan)
   }
 
+  test("SQL-text SELECT pushes its WHERE into the snapshot's parquet scan") {
+    val df = SparkEntry.queries("s25_sql_select")(spark, sfDir)
+    val plan = planOf(df).split("== Initial Plan ==").head
+    // the substituted snapshot is ordinary parquet relations underneath, so
+    // Catalyst must push the SELECT's predicate into every file scan (incl.
+    // the pre-evolution files) — at 100 TB an unpushed filter re-reads the
+    // table — and the live-DV anti-join must broadcast, never sort-merge
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("GreaterThanOrEqual(o_totalprice"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("hot-cell-capped pairs broadcast the oversized-cell census") {
+    val emb = t(spark, sfDir, "embeddings")
+    val assigned = graft.ext.Similarity.ivfCells(emb, "vec_id", "embedding",
+      centStride = 100, kmeansIters = 1)
+    val df = graft.ext.Similarity.cellCappedPairs(assigned, "vec_id", 1000)
+    val plan = planOf(df)
+    // the per-cell census is O(#cells) rows: it must ride a broadcast back
+    // onto the corpus, never shuffle the corpus against it
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("custom-state sessionization plans the arbitrary-state operator, one key shuffle") {
     val df = SparkEntry.queries("w_custom_state")(spark, sfDir)
     val plan = planOf(df).split("== Initial Plan ==").head
