@@ -3,17 +3,24 @@ package graft.lake
 import java.util.Locale
 
 import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTableValuedFunction}
 import org.apache.spark.sql.catalyst.expressions.{And, Cast, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{ColumnDefinition, CreateTable, CreateTableAsSelect, DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, OverwriteByExpression, SubqueryAlias, UnresolvedTableSpec, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.types.TimestampType
 
 /**
  * SQL-TEXT surface for lake tables: SELECT (incl. `VERSION/TIMESTAMP AS
- * OF` time travel), MERGE INTO, DELETE FROM, UPDATE (zone-pruned CoW or
- * arbitrary-predicate MoR), INSERT INTO/OVERWRITE, OPTIMIZE
- * [WHERE <partition pred>] [ZORDER BY], VACUUM [RETAIN n VERSIONS|HOURS],
- * RESTORE TABLE, DESCRIBE DETAIL and DESCRIBE HISTORY executed against
+ * OF` time travel and the `table_changes('t', from[, to])` CDF
+ * table-valued function), CREATE TABLE [IF NOT EXISTS] [PARTITIONED BY]
+ * LOCATION [AS SELECT], MERGE INTO, DELETE FROM, UPDATE (zone-pruned CoW
+ * or arbitrary-predicate MoR), INSERT INTO/OVERWRITE, INSERT INTO ...
+ * REPLACE WHERE (atomic region swap; zero-scan on partition predicates),
+ * OPTIMIZE [WHERE <partition pred>] [ZORDER BY], VACUUM
+ * [RETAIN n VERSIONS|HOURS] [DRY RUN], RESTORE TABLE ... TO
+ * VERSION/TIMESTAMP AS OF, SHOW PARTITIONS,
+ * DESCRIBE DETAIL and DESCRIBE HISTORY executed against
  * registered [[LakeTable]]s — the statement forms the reference drives
  * through `spark.sql` (`DIM_Gold_layer.py:176-195` for MERGE;
  * `Setup.py:39-75`, `README.md:106-110` for DDL/DML/validation text).
@@ -165,9 +172,13 @@ object LakeSql {
   private val DescribeHistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+(VERSIONS|HOURS))?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+(VERSIONS|HOURS))?(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val RestoreTsRe =
+    """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+  private val ShowPartitionsRe =
+    """(?is)\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*;?\s*""".r
 
   /**
    * Parse and execute ONE SQL statement against registered lake tables:
@@ -213,17 +224,41 @@ object LakeSql {
         lookup(name).historyDetail
           .map { case (v, op, ts) => (v, op, ts.map(new java.sql.Timestamp(_))) }
           .toDF("version", "operation", "timestamp")
-      case VacuumRe(name, keep, unit) =>
+      case VacuumRe(name, keep, unit, dry) =>
         val tbl = lookup(name)
-        if (keep != null && unit.toUpperCase(Locale.ROOT) == "HOURS")
-          tbl.vacuumRetainHours(keep.toDouble)
-        else tbl.vacuum(if (keep == null) 2 else keep.toInt)
-        Seq((tbl.currentVersion, tbl.detail.numFiles))
-          .toDF("current_version", "num_files")
+        val hours = keep != null && unit.toUpperCase(Locale.ROOT) == "HOURS"
+        if (dry != null) {
+          // DRY RUN: list what the real pass would reclaim, delete nothing
+          val would =
+            if (hours) tbl.vacuumRetainHoursDryRun(keep.toDouble)
+            else tbl.vacuumDryRun(if (keep == null) 2 else keep.toInt)
+          would.toDF("would_reclaim")
+        } else {
+          if (hours) tbl.vacuumRetainHours(keep.toDouble)
+          else tbl.vacuum(if (keep == null) 2 else keep.toInt)
+          Seq((tbl.currentVersion, tbl.detail.numFiles))
+            .toDF("current_version", "num_files")
+        }
       case RestoreRe(name, v) =>
         val tbl = lookup(name)
         tbl.restore(v.toLong)
         Seq((v.toLong, tbl.currentVersion)).toDF("restored_version", "current_version")
+      case ShowPartitionsRe(name) =>
+        // Delta/Hive `SHOW PARTITIONS t`: the manifest's owned partition
+        // values — O(manifest), no data listing or scan
+        val tbl = lookup(name)
+        val p = tbl.partitionColumn.getOrElse(throw new IllegalArgumentException(
+          s"SHOW PARTITIONS $name: table is not partitioned"))
+        tbl.ownedPartitionValues.sorted.map(v => s"$p=$v").toDF("partition")
+      case RestoreTsRe(name, ts) =>
+        // Delta `RESTORE TABLE t TO TIMESTAMP AS OF '...'`: resolve the
+        // timestamp to a version by the read-path rule (latest commit at or
+        // before), then restore to it — one resolver, no drift
+        val tbl = lookup(name)
+        val v = tbl.versionAtTimestamp(evalTimestampMs(
+          spark.sessionState.sqlParser.parseExpression(s"TIMESTAMP '$ts'")))
+        tbl.restore(v)
+        Seq((v, tbl.currentVersion)).toDF("restored_version", "current_version")
       case DescribeDetailRe(name) =>
         val d = lookup(name).detail
         Seq((d.location, d.version, d.numFiles, d.sizeInBytes,
@@ -285,6 +320,49 @@ object LakeSql {
               case _ => tbl.updateWhere(stripped.sql, set)
             }
             Seq(n).toDF("updated_rows")
+          case ctas: CreateTableAsSelect =>
+            // CREATE TABLE name [PARTITIONED BY (col)] LOCATION 'path'
+            // AS SELECT ... — stand up a lake table purely in SQL (the
+            // reference's Setup.py shape). The engine is path-addressed, so
+            // LOCATION is required; the created table is auto-registered
+            // under its SQL name.
+            val name = identifierOf(ctas.name, "CREATE TABLE")
+            createDispatch(spark, name, ctas.tableSpec, ctas.partitioning,
+              ctas.ignoreIfExists) { (tbl, pcol) =>
+              val df = GraftColumnBridge.dataset(spark,
+                substituteLakeRelations(spark, ctas.query))
+              tbl.create(df.schema, partitionBy = pcol)
+              tbl.append(df)
+            }
+          case ct: CreateTable =>
+            val name = identifierOf(ct.name, "CREATE TABLE")
+            createDispatch(spark, name, ct.tableSpec, ct.partitioning,
+              ct.ignoreIfExists) { (tbl, pcol) =>
+              val schema = StructType(ct.columns.map((c: ColumnDefinition) =>
+                org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
+              tbl.create(schema, partitionBy = pcol)
+              ()
+            }
+          case o: OverwriteByExpression =>
+            // `INSERT INTO t REPLACE WHERE <cond> <query>` (Delta's
+            // replaceWhere): atomic delete-matching + insert in ONE commit.
+            // A predicate over the partition column takes the zero-scan
+            // ownership-transfer path (nightly partition reload); anything
+            // else the merge-on-read path (matched rows deletion-vectored)
+            val (name, alias) = relationOf(o.table, "INSERT REPLACE WHERE")
+            val tbl = lookup(name)
+            val incoming = GraftColumnBridge.dataset(spark,
+              substituteLakeRelations(spark, o.query))
+            val df = insertShape(tbl, incoming, Nil, byName = false)
+            val stripped = stripTableQualifiers(o.deleteExpr, name, alias)
+            zonePreds(stripped) match {
+              case Some(preds)
+                  if tbl.partitionColumn.exists(p => preds.forall(_.col == p)) =>
+                tbl.overwritePartitions(preds, df)
+                Seq(-1L).toDF("replaced_rows") // zero-scan: count not known
+              case _ =>
+                Seq(tbl.overwriteWhere(stripped.sql, df)).toDF("replaced_rows")
+            }
           case InsertIntoStatement(target, partitionSpec, userCols, query,
               overwrite, _, byName) =>
             val (name, _) = relationOf(target, "INSERT")
@@ -344,6 +422,22 @@ object LakeSql {
           if tables.contains(norm(parts.mkString("."))) => parts.mkString(".")
       case RelationTimeTravel(UnresolvedRelation(parts, _, _), _, _)
           if tables.contains(norm(parts.mkString("."))) => parts.mkString(".")
+      case tvf: UnresolvedTableValuedFunction
+          if tableChangesTarget(tvf).isDefined => tableChangesTarget(tvf).get
+    }
+
+  /** `table_changes('t', from[, to])` (Delta's SQL CDF read): the target
+   *  table name when `tvf` is a table_changes call over a registered lake
+   *  table — the first argument must be a foldable string. */
+  private def tableChangesTarget(
+      tvf: UnresolvedTableValuedFunction): Option[String] =
+    tvf.name.map(_.toLowerCase(Locale.ROOT)) match {
+      case Seq("table_changes") => tvf.functionArgs.headOption.flatMap { e =>
+        if (!e.foldable) None
+        else Option(Cast(e, org.apache.spark.sql.types.StringType, Some("UTC"))
+          .eval(null)).map(_.toString).filter(n => tables.contains(norm(n)))
+      }
+      case _ => None
     }
 
   /** Replace registered lake relations (plain or time-travelled) with the
@@ -365,6 +459,29 @@ object LakeSql {
           "time travel needs exactly one of VERSION AS OF / TIMESTAMP AS OF")
       }
       SubqueryAlias(parts.last, GraftColumnBridge.logicalPlan(df))
+    case tvf: UnresolvedTableValuedFunction
+        if tableChangesTarget(tvf).isDefined =>
+      // Delta's table_changes('t', from [, to]): version bounds must be
+      // foldable integers (timestamp bounds are not supported — resolve a
+      // timestamp to a version with DESCRIBE HISTORY first)
+      val tbl = tables(norm(tableChangesTarget(tvf).get))
+      def ver(e: Expression, what: String): Long = {
+        require(e.foldable, s"table_changes $what must be a literal, got ${e.sql}")
+        val v = try Cast(e, org.apache.spark.sql.types.LongType, Some("UTC")).eval(null)
+          catch { case _: Exception => null } // ANSI cast throws on malformed
+        require(v != null, s"table_changes $what must be an integer version, " +
+          s"got ${e.sql} (timestamp bounds: resolve via DESCRIBE HISTORY)")
+        v.asInstanceOf[Long]
+      }
+      val df = tvf.functionArgs match {
+        case Seq(_, from) => tbl.readChangeFeed(ver(from, "start version"))
+        case Seq(_, from, to) => tbl.readChangeFeed(
+          ver(from, "start version"), Some(ver(to, "end version")))
+        case args => throw new IllegalArgumentException(
+          s"table_changes takes (table, from_version [, to_version]), " +
+            s"got ${args.size} argument(s)")
+      }
+      SubqueryAlias("table_changes", GraftColumnBridge.logicalPlan(df))
     case UnresolvedRelation(parts, _, _)
         if tables.contains(norm(parts.mkString("."))) =>
       SubqueryAlias(parts.last,
@@ -420,6 +537,45 @@ object LakeSql {
         case None => col(c)
       }
     }.toSeq: _*)
+  }
+
+  private def identifierOf(plan: LogicalPlan, what: String): String = plan match {
+    case id: UnresolvedIdentifier => id.nameParts.mkString(".")
+    case other => throw new IllegalArgumentException(
+      s"$what target must be a plain identifier, got ${other.nodeName}")
+  }
+
+  /** Shared CREATE TABLE [AS SELECT] walk: LOCATION required (the engine is
+   *  path-addressed), at most one identity PARTITIONED BY column, IF NOT
+   *  EXISTS honored against the registry AND the path; on success the table
+   *  is registered under its SQL name. Returns (table, version). */
+  private def createDispatch(spark: SparkSession, name: String,
+      spec: org.apache.spark.sql.catalyst.plans.logical.TableSpecBase,
+      partitioning: Seq[Transform], ignoreIfExists: Boolean)(
+      build: (LakeTable, Option[String]) => Unit): DataFrame = {
+    import spark.implicits._
+    val location = (spec match {
+      case s: UnresolvedTableSpec => s.location
+      case _ => None
+    }).getOrElse(throw new IllegalArgumentException(
+      s"CREATE TABLE $name needs LOCATION '<path>' — lake tables are " +
+        "path-addressed"))
+    val pcol = partitioning.toList match {
+      case Nil => None
+      case t :: Nil if t.name == "identity" && t.references.length == 1 =>
+        Some(t.references.head.fieldNames.mkString("."))
+      case _ => throw new IllegalArgumentException(
+        s"CREATE TABLE $name: only a single-column PARTITIONED BY (col) is " +
+          "supported")
+    }
+    val existing = tables.get(norm(name))
+    val tbl = existing.getOrElse(LakeTable(spark, location))
+    if (existing.isDefined || tbl.exists) {
+      if (!ignoreIfExists) throw new IllegalArgumentException(
+        s"table $name already exists — use CREATE TABLE IF NOT EXISTS")
+    } else build(tbl, pcol)
+    register(name, tbl)
+    Seq((norm(name), tbl.currentVersion)).toDF("table", "version")
   }
 
   private def lookup(name: String): LakeTable =

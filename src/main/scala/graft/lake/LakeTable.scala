@@ -160,7 +160,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
   def partitionColumn: Option[String] = manifest.pcol
 
   /** Distinct partition values currently owned (manifest-resolved — no data
-   *  scan). Empty for unpartitioned tables. */
+   *  scan; the SHOW PARTITIONS backing). Empty for unpartitioned tables. */
   def ownedPartitionValues: Seq[String] =
     manifest.entries.flatMap(_.owned.getOrElse(Nil)).distinct
 
@@ -223,7 +223,12 @@ final class LakeTable private (val spark: SparkSession, val root: String,
    *  stamped at publish time and monotone within a writer; the resolver
    *  takes the last version whose clock qualifies, so a clock tie between
    *  racing historical writers resolves to the newer version. */
-  def readTimestampAsOf(epochMs: Long): DataFrame = {
+  def readTimestampAsOf(epochMs: Long): DataFrame =
+    readVersion(versionAtTimestamp(epochMs))
+
+  /** The version [[readTimestampAsOf]] resolves `epochMs` to — the latest
+   *  commit published at or before it (Delta's resolution rule). */
+  def versionAtTimestamp(epochMs: Long): Long = {
     require(exists, s"LakeTable at $root does not exist")
     val candidates = (0L to currentVersion)
       .filter(v => Files.exists(manifestFile(v)))
@@ -233,7 +238,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     require(candidates.nonEmpty,
       s"no commit at or before epoch ms $epochMs in $root " +
         "(timestamp precedes the table's first commit)")
-    readVersion(candidates.max)
+    candidates.max
   }
 
   /** RESTORE to historical version `v` (Delta `RESTORE TABLE ... TO VERSION
@@ -462,12 +467,17 @@ final class LakeTable private (val spark: SparkSession, val root: String,
               .option("basePath", s"$root/$d").parquet(s"$root/$d")
               .withColumn(ChangeTypeCol, lit("insert"))
           }.reduceOption(_ unionByName _)
-        case "merge" | "delete" | "update" =>
+        case "merge" | "delete" | "update" | "replace" =>
           mv.cdfDir match {
             case Some(d) =>
               require(Files.isDirectory(Paths.get(root, d)),
                 s"change feed for v$v has been vacuumed ($d)")
               Some(spark.read.schema(feedSchema).parquet(s"$root/$d"))
+            case None if mv.op == "replace" && !mv.cdfEnabled => sys.error(
+              s"no change data recorded for replace at v$v — create the " +
+                "table with enableChangeFeed=true first")
+            case None if mv.op == "replace" => sys.error(
+              s"replace at v$v predates change-feed images — unreadable range")
             case None if mv.op != "merge" && !mv.cdfEnabled => sys.error(
               s"no change data recorded for ${mv.op} at v$v — create the " +
                 "table with enableChangeFeed=true first")
@@ -1459,6 +1469,150 @@ final class LakeTable private (val spark: SparkSession, val root: String,
   def deleteVectorDirs: Seq[String] = manifest.deleteVectors
 
   /**
+   * REPLACE WHERE (Delta's `replaceWhere` / SQL `INSERT INTO ... REPLACE
+   * WHERE`): atomically delete every row matching `condition` and insert
+   * `df0` — ONE commit, so readers see either the old region or the new,
+   * never a gap. Delta's write-side contract is enforced: every incoming
+   * row must itself satisfy the predicate (a replace that smuggles rows
+   * outside its region would corrupt downstream incremental consumers).
+   * Merge-on-read: matched old rows are deletion-vectored, the new data
+   * lands as a fresh dir — cost O(matched rows + new data) at any table
+   * size, no untouched file is rewritten. The change feed records
+   * delete + insert images. Returns the number of rows replaced (deleted).
+   *
+   * For a predicate over the PARTITION column use [[overwritePartitions]]:
+   * it transfers manifest ownership without scanning any existing data.
+   */
+  def overwriteWhere(condition: String, df0: DataFrame): Long = synchronized {
+    require(exists, s"LakeTable at $root does not exist")
+    val v0 = currentVersion
+    val m = readManifest(v0)
+    val cols = m.schema.fieldNames.toSeq
+    val df = materializeGenerated(df0, m)
+    require(df.columns.toSet == cols.toSet,
+      s"replace batch columns ${df.columns.sorted.mkString(",")} != table " +
+        s"schema ${cols.sorted.mkString(",")}")
+    val cond = coalesce(expr(condition), lit(false))
+    val data = df.select(cols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      require(data.filter(!cond).limit(1).count() == 0L,
+        s"replaceWhere contract: every incoming row must satisfy '$condition'")
+      enforceConstraints(data, m.constraints)
+      val matches = readScopedRows(m, None, withRowIds = true).filter(cond)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val dvDir = s"_dv/${UUID.randomUUID()}"
+        matches.select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
+          .write.parquet(s"$root/$dvDir")
+        val replaced = spark.read.schema(DvSchema).parquet(s"$root/$dvDir").count()
+        val (dir, owned, fstats) =
+          writeData(data, m.pcol, m.statsCols, bloomCols = m.bloomCols)
+        val chDir =
+          if (m.cdfEnabled) {
+            val d = s"_changes/${UUID.randomUUID()}"
+            matches.select(cols.map(col): _*)
+              .withColumn(ChangeTypeCol, lit("delete"))
+              .unionByName(data.withColumn(ChangeTypeCol, lit("insert")))
+              .write.parquet(s"$root/$d")
+            Some(d)
+          } else None
+        if (!tryCommit(m.copy(op = "replace", cdfDir = chDir, commitTsMs = None,
+            entries = m.entries :+ DirEntry(dir, owned),
+            fileStats = m.fileStats ++ fstats,
+            deleteVectors = m.deleteVectors :+ dvDir), v0 + 1))
+          throw new ConcurrentWriteException(
+            s"replace computed against version $v0 of $root, but a concurrent " +
+              s"writer committed v${v0 + 1} first — recompute and retry")
+        replaced
+      } finally { matches.unpersist(); () }
+    } finally { data.unpersist(); () }
+  }
+
+  /**
+   * PARTITION REPLACEMENT — the zero-scan fast path of [[overwriteWhere]]
+   * for predicates over the partition column (the nightly "reload
+   * yesterday's partition" shape): manifest ownership of the matching
+   * partition values transfers to the freshly written dir, every other
+   * entry is carried UNCHANGED (same paths, same inodes, like
+   * [[optimizeWhere]]), and no existing data is read at all — cost is
+   * O(new data) + O(manifest), independent of table size. Incoming rows
+   * must all fall inside the replaced partition range (Delta's replaceWhere
+   * contract). Deletion vectors over replaced partitions become inert
+   * (their coordinates address disowned files); vectors over untouched
+   * partitions stay live.
+   */
+  def overwritePartitions(preds: Seq[ZonePred], df0: DataFrame): Unit =
+    synchronized {
+      require(exists, s"LakeTable at $root does not exist")
+      val v0 = currentVersion
+      val m = readManifest(v0)
+      val p = m.pcol.getOrElse(throw new IllegalArgumentException(
+        "overwritePartitions needs a partitioned table — use overwriteWhere"))
+      require(preds.nonEmpty, "overwritePartitions with no predicate")
+      preds.foreach(pr => require(pr.col == p,
+        s"overwritePartitions must predicate only the partition column $p, " +
+          s"got ${pr.col}"))
+      val cols = m.schema.fieldNames.toSeq
+      val df = materializeGenerated(df0, m)
+      require(df.columns.toSet == cols.toSet,
+        s"replace batch columns ${df.columns.sorted.mkString(",")} != table " +
+          s"schema ${cols.sorted.mkString(",")}")
+      val dt = m.schema(p).dataType
+      val inScope = preds.map { pr =>
+        pr.lo.map(v => col(p) >= lit(v).cast(dt)).getOrElse(lit(true)) &&
+        pr.hi.map(v => col(p) <= lit(v).cast(dt)).getOrElse(lit(true))
+      }.reduce(_ && _)
+      val data = df.select(cols.map(col): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        require(data.filter(!coalesce(inScope, lit(false))).limit(1).count() == 0L,
+          "replaceWhere contract: every incoming row must fall inside the " +
+            s"replaced partition range on $p")
+        enforceConstraints(data, m.constraints)
+        val (dir, owned, fstats) =
+          writeData(data, m.pcol, m.statsCols, bloomCols = m.bloomCols)
+        val numeric = dt.isInstanceOf[org.apache.spark.sql.types.NumericType]
+        def cmp(a: String, b: String): Int =
+          if (!numeric) a.compareTo(b)
+          else try BigDecimal(a).compare(BigDecimal(b))
+          catch { case _: NumberFormatException => 0 }
+        def replaced(v: String): Boolean = preds.forall(pr =>
+          pr.lo.forall(l => cmp(v, l) >= 0) && pr.hi.forall(h => cmp(v, h) <= 0))
+        val keptEntries = m.entries.flatMap { e =>
+          val rest = e.owned.map(_.filterNot(replaced))
+          if (rest.exists(_.isEmpty)) None else Some(e.copy(owned = rest))
+        }
+        val keptDirs = keptEntries.map(_.dir).toSet
+        val keptStats = m.fileStats
+          .filter(fs => keptDirs.exists(d => fs.path.startsWith(d + "/")))
+        val chDir =
+          if (m.cdfEnabled) {
+            // CDF needs the replaced rows' delete images: read ONLY the
+            // replaced partitions (partition-pruned — the zero-scan promise
+            // relaxes to O(replaced region) exactly when CDF demands it)
+            val scope = m.entries.flatMap(_.owned.getOrElse(Nil))
+              .distinct.filter(replaced).toSet
+            val d = s"_changes/${UUID.randomUUID()}"
+            readScoped(m, Some(scope))
+              .select(cols.map(col): _*)
+              .withColumn(ChangeTypeCol, lit("delete"))
+              .unionByName(data.withColumn(ChangeTypeCol, lit("insert")))
+              .write.parquet(s"$root/$d")
+            Some(d)
+          } else None
+        if (!tryCommit(Manifest(m.schema, m.pcol,
+            keptEntries :+ DirEntry(dir, owned), "replace", m.cdfEnabled, chDir,
+            m.statsCols, keptStats ++ fstats, constraints = m.constraints,
+            generated = m.generated, deleteVectors = m.deleteVectors,
+            bloomCols = m.bloomCols), v0 + 1))
+          throw new ConcurrentWriteException(
+            s"replace computed against version $v0 of $root, but a concurrent " +
+              s"writer committed v${v0 + 1} first — recompute and retry")
+      } finally { data.unpersist(); () }
+    }
+
+  /**
    * Copy-on-write UPDATE (Delta `UPDATE ... SET ... WHERE`): assign
    * `set` (column → expression over the row) on rows matching `preds`,
    * with the same zone-map-pruned file rewrite as [[delete]]. The partition
@@ -1670,10 +1824,20 @@ final class LakeTable private (val spark: SparkSession, val root: String,
    *  referenced by the newest `keepVersions` manifests. */
   def vacuum(keepVersions: Int = 2): Unit = synchronized {
     if (!exists) return
+    reclaimExcept(retainedByVersions(keepVersions))
+  }
+
+  /** DRY RUN of [[vacuum]] (Delta `VACUUM ... DRY RUN`): the root-relative
+   *  dirs/sidecars the real pass would delete, deleting nothing. */
+  def vacuumDryRun(keepVersions: Int = 2): Seq[String] = synchronized {
+    if (!exists) Nil else reclaimCandidates(retainedByVersions(keepVersions))
+  }
+
+  private def retainedByVersions(keepVersions: Int): Seq[Manifest] = {
     val cur = currentVersion
-    reclaimExcept((math.max(0L, cur - keepVersions + 1) to cur)
+    (math.max(0L, cur - keepVersions + 1) to cur)
       .filter(v => Files.exists(manifestFile(v)))
-      .map(readManifest))
+      .map(readManifest)
   }
 
   /**
@@ -1691,6 +1855,18 @@ final class LakeTable private (val spark: SparkSession, val root: String,
    */
   def vacuumRetainHours(hours: Double, force: Boolean = false): Unit = synchronized {
     if (!exists) return
+    reclaimExcept(retainedByHours(hours, force))
+  }
+
+  /** DRY RUN of [[vacuumRetainHours]]: what it would delete, deleting
+   *  nothing. The same retention floor applies — a dry run must report what
+   *  a PERMITTED vacuum would do, not preview a refused one. */
+  def vacuumRetainHoursDryRun(hours: Double, force: Boolean = false): Seq[String] =
+    synchronized {
+      if (!exists) Nil else reclaimCandidates(retainedByHours(hours, force))
+    }
+
+  private def retainedByHours(hours: Double, force: Boolean): Seq[Manifest] = {
     require(hours >= 0, s"retention hours must be >= 0, got $hours")
     require(force || hours >= MinRetentionHours,
       f"retention of $hours%.1f h is below the ${MinRetentionHours}h safety " +
@@ -1698,44 +1874,37 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         "pass force = true to override")
     val cutoffMs = clock() - (hours * 3600 * 1000).toLong
     val cur = currentVersion
-    reclaimExcept((0L to cur)
+    (0L to cur)
       .filter(v => Files.exists(manifestFile(v)))
       .filter(v => v == cur || manifestHeader(v)._2.forall(_ >= cutoffMs))
-      .map(readManifest))
+      .map(readManifest)
   }
 
   /** Reclaim every data/change/DV dir and bloom sidecar not referenced by
    *  one of `retained` — the shared sweep of both vacuum forms. */
-  private def reclaimExcept(retained: Seq[Manifest]): Unit = {
+  private def reclaimExcept(retained: Seq[Manifest]): Unit =
+    reclaimCandidates(retained).foreach(d => deleteRecursively(Paths.get(root, d)))
+
+  /** The root-relative dirs/sidecars [[reclaimExcept]] would delete given
+   *  the retained manifest set — the DRY RUN listing, shared with the real
+   *  pass so the two can never disagree. */
+  private def reclaimCandidates(retained: Seq[Manifest]): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    def sweep(sub: String, keep: Set[String]): Unit = {
+      val dir = Paths.get(root, sub)
+      if (Files.isDirectory(dir)) {
+        Files.list(dir).iterator().asScala.toList.foreach { p =>
+          if (!keep.contains(s"$sub/${p.getFileName}")) out += s"$sub/${p.getFileName}"
+        }
+      }
+    }
     val keep = retained.flatMap(_.entries.map(_.dir)).toSet
-    val dataRoot = Paths.get(root, "data")
-    if (Files.isDirectory(dataRoot)) {
-      Files.list(dataRoot).iterator().asScala.toList.foreach { p =>
-        if (!keep.contains(s"data/${p.getFileName}")) deleteRecursively(p)
-      }
-    }
-    val keepCh = retained.flatMap(_.cdfDir).toSet
-    val chRoot = Paths.get(root, "_changes")
-    if (Files.isDirectory(chRoot)) {
-      Files.list(chRoot).iterator().asScala.toList.foreach { p =>
-        if (!keepCh.contains(s"_changes/${p.getFileName}")) deleteRecursively(p)
-      }
-    }
-    val keepDv = retained.flatMap(_.deleteVectors).toSet
-    val dvRoot = Paths.get(root, "_dv")
-    if (Files.isDirectory(dvRoot)) {
-      Files.list(dvRoot).iterator().asScala.toList.foreach { p =>
-        if (!keepDv.contains(s"_dv/${p.getFileName}")) deleteRecursively(p)
-      }
-    }
+    sweep("data", keep)
+    sweep("_changes", retained.flatMap(_.cdfDir).toSet)
+    sweep("_dv", retained.flatMap(_.deleteVectors).toSet)
     // bloom sidecars live and die with their data dir
-    val keepBloom = keep.map(d => s"${Paths.get(d).getFileName}.idx")
-    val bloomRoot = Paths.get(root, "_bloom")
-    if (Files.isDirectory(bloomRoot)) {
-      Files.list(bloomRoot).iterator().asScala.toList.foreach { p =>
-        if (!keepBloom.contains(p.getFileName.toString)) deleteRecursively(p)
-      }
-    }
+    sweep("_bloom", keep.map(d => s"_bloom/${Paths.get(d).getFileName}.idx"))
+    out.result()
   }
 
   /** Rewrite the whole table into a single dir (small-file compaction for

@@ -1028,6 +1028,96 @@ object CoreQueries {
                THEN o_totalprice * 1.5 ELSE o_totalprice END AS o_totalprice
         FROM orders ORDER BY o_orderkey""")),
 
+    // S28: SQL-TEXT CDF read — Delta's `table_changes('t', from[, to])`
+    // table-valued function, the SQL form of the O8 change feed (the
+    // reference names CDF as its incremental-consumer surface). Same
+    // scenario as o8 (bootstrap merge + guarded upsert under a pinned
+    // commit clock), but the feed is read through LakeSql SELECT dispatch —
+    // hash equality against o8's relational oracle proves TVF dispatch ≡
+    // the programmatic readChangeFeed, composed under ordinary SQL
+    // projection and ORDER BY.
+    Q("s28_table_changes", (s, d) => {
+      val gb = GoldBuilder(s)
+      val ev = t(s, d, "events")
+      val cols = Seq("user_id", "ts", "event_type", "value")
+      val base = gb.latestPerKey(
+        ev.filter(col("user_id") % 5 =!= 0), Seq("user_id"), "ts", Seq("event_id"))
+        .select(cols.map(col): _*)
+      val src = gb.latestPerKey(
+        ev.filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+                  col("ts") < lit("2024-01-20 00:00:00").cast("timestamp")),
+        Seq("user_id"), "ts", Seq("event_id"))
+        .withColumn("value", col("value") + lit(1000.0))
+        .select(cols.map(col): _*)
+      val tbl = LakeTable.withClock(s, s"${tmp("graft_s28")}/t",
+        () => Timestamp.valueOf(C1).getTime)
+      tbl.create(base.schema, enableChangeFeed = true)
+      tbl.merge(base, Seq("user_id"))                      // v1: bootstrap
+      tbl.merge(src, Seq("user_id"), Some("s.ts >= t.ts")) // v2: upsert
+      LakeSql.register("s28_events", tbl)
+      try LakeSql.sql(s,
+        """SELECT user_id, ts, event_type, value,
+                  _change_type, _commit_version, _commit_timestamp
+           FROM table_changes('s28_events', 2)
+           ORDER BY user_id, _change_type""")
+      finally LakeSql.unregister("s28_events")
+    },
+      Some(s"""WITH base AS (
+          SELECT user_id, ts, event_type, value FROM events WHERE user_id % 5 <> 0
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
+        src AS (
+          SELECT user_id, ts, event_type, value + 1000.0 AS value FROM events
+          WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
+        j AS (
+          SELECT b.user_id AS b_uid, b.ts AS b_ts, b.event_type AS b_et, b.value AS b_val,
+                 s.user_id AS s_uid, s.ts AS s_ts, s.event_type AS s_et, s.value AS s_val
+          FROM base b FULL OUTER JOIN src s ON b.user_id = s.user_id)
+        SELECT * FROM (
+          SELECT s_uid AS user_id, s_ts AS ts, s_et AS event_type, s_val AS value,
+            'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version,
+            TIMESTAMP '$C1' AS _commit_timestamp
+          FROM j WHERE s_uid IS NOT NULL AND b_uid IS NULL
+          UNION ALL
+          SELECT b_uid, b_ts, b_et, b_val, 'update_preimage', 2, TIMESTAMP '$C1'
+          FROM j WHERE s_uid IS NOT NULL AND b_uid IS NOT NULL AND s_ts >= b_ts
+          UNION ALL
+          SELECT s_uid, s_ts, s_et, s_val, 'update_postimage', 2, TIMESTAMP '$C1'
+          FROM j WHERE s_uid IS NOT NULL AND b_uid IS NOT NULL AND s_ts >= b_ts)
+        ORDER BY user_id, _change_type""")),
+
+    // S29: REPLACE WHERE on the partition column (Delta `replaceWhere` /
+    // SQL `INSERT INTO ... REPLACE WHERE`) — the nightly partition-reload
+    // shape: ONE atomic commit swaps o_year=1997 for its re-priced
+    // replacement (computed FROM the table's own current snapshot) while
+    // every other partition's files are carried untouched by manifest
+    // ownership transfer — no existing data scanned, no file rewritten
+    // (LakeSqlSpec proves inode identity). Hash equality against the CASE
+    // oracle proves the swap replaced exactly the predicated region.
+    Q("s29_replace_partition", (s, d) => {
+      val o = t(s, d, "orders")
+      val oy = o.withColumn("o_year", year(col("o_orderdate")))
+      val tbl = LakeTable(s, s"${tmp("graft_s29")}/t")
+      tbl.create(oy.schema, partitionBy = Some("o_year"),
+        statsColumns = Seq("o_custkey"))
+      (0 until 3).foreach(r =>
+        tbl.append(oy.filter(col("o_orderkey") % 3 === r)))
+      LakeSql.register("s29_orders", tbl)
+      try LakeSql.sql(s,
+        """INSERT INTO s29_orders REPLACE WHERE o_year = 1997
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 1.5,
+                  o_orderdate, o_orderpriority, o_year
+           FROM s29_orders WHERE o_year = 1997""")
+      finally LakeSql.unregister("s29_orders")
+      tbl.read.select("o_orderkey", "o_totalprice", "o_year")
+        .orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey,
+          CASE WHEN year(o_orderdate) = 1997 THEN o_totalprice * 1.5
+               ELSE o_totalprice END AS o_totalprice,
+          CAST(year(o_orderdate) AS INTEGER) AS o_year
+        FROM orders ORDER BY o_orderkey""")),
+
     // S13: SHALLOW CLONE — zero-copy table fork (hard-linked file
     // re-references, O(file count) metadata). The clone then diverges with
     // its own append while the SOURCE is overwritten and vacuumed down to

@@ -388,6 +388,177 @@ class LakeSqlSpec extends SparkSpec {
     } finally LakeSql.unregister("vac_t")
   }
 
+  test("table_changes('t', from[, to]) reads the change feed through SQL text") {
+    val root = tmpDir("sql_tvf_cdf")
+    val df = Seq((1L, "a")).toDF("k", "v")
+    val t = LakeTable(spark, s"$root/t")
+    t.create(df.schema, enableChangeFeed = true)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))       // v1: 2 inserts
+    t.merge(Seq((2L, "B2"), (3L, "c")).toDF("k", "v"), Seq("k")) // v2: upd+ins
+    LakeSql.register("cdf_t", t)
+    try {
+      // whole-range read ≡ the programmatic API
+      val sql = LakeSql.sql(spark,
+        "SELECT k, v, _change_type, _commit_version FROM table_changes('cdf_t', 1) " +
+          "ORDER BY _commit_version, k, _change_type")
+        .as[(Long, String, String, Long)].collect().toSeq
+      val api = t.readChangeFeed(1)
+        .select("k", "v", "_change_type", "_commit_version")
+        .orderBy("_commit_version", "k", "_change_type")
+        .as[(Long, String, String, Long)].collect().toSeq
+      assert(sql == api && sql.nonEmpty)
+      // bounded range + aggregation over the TVF
+      assert(LakeSql.sql(spark,
+        "SELECT count(*) AS n FROM table_changes('cdf_t', 2, 2) " +
+          "WHERE _change_type LIKE 'update_%'").as[Long].head() == 2L)
+      // version bounds must be integers; timestamps are loudly rejected
+      val e = intercept[IllegalArgumentException](LakeSql.sql(spark,
+        "SELECT * FROM table_changes('cdf_t', '2030-01-01')"))
+      assert(e.getMessage.contains("integer version"), e.getMessage)
+      // an unregistered name is not ours → no silent empty result
+      intercept[Exception](LakeSql.sql(spark,
+        "SELECT * FROM table_changes('nowhere', 1)").collect())
+    } finally LakeSql.unregister("cdf_t")
+  }
+
+  test("RESTORE TABLE ... TO TIMESTAMP AS OF resolves by the read-path rule") {
+    val t0 = java.time.Instant.parse("2030-01-01T00:00:00Z").toEpochMilli
+    val tick = new java.util.concurrent.atomic.AtomicLong(0L)
+    val t = LakeTable.withClock(spark, s"${tmpDir("sql_restore_ts")}/t",
+      () => t0 + 1000L * tick.getAndIncrement())
+    t.append(Seq((1L, "a")).toDF("k", "v"))            // v0 @ t0
+    t.append(Seq((2L, "b")).toDF("k", "v"))            // v1 @ t0+1s
+    t.overwrite(Seq((9L, "z")).toDF("k", "v"))         // v2 @ t0+2s: bad
+    LakeSql.register("rts_t", t)
+    try {
+      // t0+1.5s is between v1 and v2 → restores v1 (the earlier commit)
+      val r = LakeSql.sql(spark,
+        "RESTORE TABLE rts_t TO TIMESTAMP AS OF '2030-01-01 00:00:01.500'")
+      assert(r.as[(Long, Long)].head() == ((1L, 3L)))
+      assert(t.read.orderBy("k").as[(Long, String)].collect().toSeq ==
+        Seq((1L, "a"), (2L, "b")))
+    } finally LakeSql.unregister("rts_t")
+  }
+
+  test("VACUUM ... DRY RUN lists exactly what the real pass reclaims, deletes nothing") {
+    val t = fresh("sql_vac_dry")                         // v0: append
+    t.overwrite(Seq((9L, "z", 9)).toDF("k", "v", "seq")) // v1: orphans v0 soon
+    t.overwrite(Seq((8L, "y", 8)).toDF("k", "v", "seq")) // v2: orphans v1 soon
+    LakeSql.register("dry_t", t)
+    try {
+      val would = LakeSql.sql(spark, "VACUUM dry_t RETAIN 1 VERSIONS DRY RUN")
+        .as[String].collect().toSeq
+      assert(would.nonEmpty && would.forall(_.startsWith("data/")), would.toString)
+      // dry run deleted nothing: every old version still reads
+      assert(t.readVersion(0).count() == 2 && t.readVersion(1).count() == 1)
+      // the real pass reclaims EXACTLY the listed dirs
+      LakeSql.sql(spark, "VACUUM dry_t RETAIN 1 VERSIONS")
+      would.foreach { d =>
+        assert(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(t.root, d)), s"$d not reclaimed")
+      }
+      assert(t.read.count() == 1)
+    } finally LakeSql.unregister("dry_t")
+  }
+
+  test("INSERT ... REPLACE WHERE atomically swaps the matching region (MoR path)") {
+    val root = tmpDir("sql_replace")
+    val df = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "v", "seq")
+    val t = LakeTable(spark, s"$root/t")
+    t.create(df.schema, enableChangeFeed = true)
+    t.append(df)
+    LakeSql.register("rep_t", t)
+    try {
+      // k > 1: not zone-expressible bounds-on-partition → merge-on-read
+      val n = LakeSql.sql(spark,
+        "INSERT INTO rep_t REPLACE WHERE k > 1 VALUES (5, 'e', 50), (6, 'f', 60)")
+        .as[Long].head()
+      assert(n == 2L) // k=2,3 replaced
+      assert(t.deleteVectorDirs.nonEmpty)
+      assert(t.read.orderBy("k").as[(Long, String, Int)].collect().toSeq ==
+        Seq((1L, "a", 10), (5L, "e", 50), (6L, "f", 60)))
+      // ONE commit: delete + insert images share a version
+      val ch = t.readChangeFeed(t.currentVersion)
+        .groupBy("_change_type").count().as[(String, Long)].collect().toMap
+      assert(ch == Map("delete" -> 2L, "insert" -> 2L))
+      // contract: an incoming row OUTSIDE the predicate region is rejected
+      // atomically (k=0 fails k > 5)
+      val v = t.currentVersion
+      assert(scala.util.Try(LakeSql.sql(spark,
+        "INSERT INTO rep_t REPLACE WHERE k > 5 VALUES (0, 'x', 0)")).isFailure)
+      assert(t.currentVersion == v && t.read.count() == 3)
+    } finally LakeSql.unregister("rep_t")
+  }
+
+  test("REPLACE WHERE on the partition column is a zero-scan ownership transfer") {
+    val root = tmpDir("sql_replace_part")
+    val df = Seq((1L, "x", "a")).toDF("k", "v", "pt")
+    val t = LakeTable(spark, s"$root/t")
+    t.create(df.schema, partitionBy = Some("pt"), statsColumns = Seq("k"))
+    t.append(Seq((1L, "a1", "a"), (2L, "a2", "a")).toDF("k", "v", "pt"))
+    t.append(Seq((11L, "b1", "b"), (12L, "b2", "b")).toDF("k", "v", "pt"))
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def files(sub: String): Map[String, Object] =
+      Files.walk(Paths.get(s"$root/t")).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && p.toString.contains(sub))
+        .map(p => p.toString -> Files.getAttribute(p, "fileKey")).toMap
+    val bBefore = files("pt=b")
+    LakeSql.register("rpp_t", t)
+    try {
+      LakeSql.sql(spark,
+        "INSERT INTO rpp_t REPLACE WHERE pt = 'a' VALUES (3, 'a3', 'a')")
+      // pt=a fully replaced, pt=b untouched — same paths, same inodes
+      assert(t.read.orderBy("k").as[(Long, String, String)].collect().toSeq ==
+        Seq((3L, "a3", "a"), (11L, "b1", "b"), (12L, "b2", "b")))
+      val bAfter = files("pt=b")
+      bBefore.foreach { case (p, key) =>
+        assert(bAfter.get(p).contains(key), s"$p was touched") }
+      assert(t.history.last._2 == "replace")
+      // contract: a row OUTSIDE the replaced partition is rejected
+      assert(scala.util.Try(LakeSql.sql(spark,
+        "INSERT INTO rpp_t REPLACE WHERE pt = 'a' VALUES (9, 'zz', 'b')")).isFailure)
+      assert(t.read.count() == 3)
+    } finally LakeSql.unregister("rpp_t")
+  }
+
+  test("CREATE TABLE / CTAS stand up a lake table purely in SQL; SHOW PARTITIONS lists it") {
+    val root = tmpDir("sql_create")
+    try {
+      // empty CREATE with a declared schema + partition column
+      val r = LakeSql.sql(spark,
+        s"CREATE TABLE cr_t (k BIGINT, v STRING, pt STRING) " +
+          s"PARTITIONED BY (pt) LOCATION '$root/t'")
+      assert(r.as[(String, Long)].head() == (("cr_t", 0L)))
+      // the created table is registered: INSERT and SELECT dispatch by name
+      LakeSql.sql(spark, "INSERT INTO cr_t VALUES (1, 'a', 'p0'), (2, 'b', 'p1')")
+      assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM cr_t")
+        .as[Long].head() == 2L)
+      assert(LakeSql.sql(spark, "SHOW PARTITIONS cr_t")
+        .as[String].collect().sorted.toSeq == Seq("pt=p0", "pt=p1"))
+      // IF NOT EXISTS over an existing table: no-op, no error
+      LakeSql.sql(spark, s"CREATE TABLE IF NOT EXISTS cr_t (x INT) LOCATION '$root/t'")
+      assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM cr_t").as[Long].head() == 2L)
+      intercept[IllegalArgumentException](LakeSql.sql(spark,
+        s"CREATE TABLE cr_t (x INT) LOCATION '$root/t'"))
+      // CTAS from another registered lake table
+      val r2 = LakeSql.sql(spark,
+        s"CREATE TABLE cr_t2 LOCATION '$root/t2' AS SELECT k, v FROM cr_t WHERE k = 1")
+      assert(r2.as[(String, Long)].head()._1 == "cr_t2")
+      assert(LakeSql.sql(spark, "SELECT k, v FROM cr_t2")
+        .as[(Long, String)].head() == ((1L, "a")))
+      // LOCATION is mandatory — the engine is path-addressed
+      val e = intercept[IllegalArgumentException](LakeSql.sql(spark,
+        "CREATE TABLE cr_t3 (x INT)"))
+      assert(e.getMessage.contains("LOCATION"), e.getMessage)
+      // SHOW PARTITIONS on an unpartitioned table fails loudly
+      intercept[IllegalArgumentException](
+        LakeSql.sql(spark, "SHOW PARTITIONS cr_t2"))
+    } finally {
+      LakeSql.unregister("cr_t"); LakeSql.unregister("cr_t2")
+    }
+  }
+
   test("composite keys and swapped equality sides resolve") {
     val root = tmpDir("sql_composite")
     val t = LakeTable(spark, s"$root/t")
