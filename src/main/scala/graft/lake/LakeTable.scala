@@ -148,8 +148,13 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     val bloomCols = lines.collectFirst { case l if l.startsWith("bloomcols=") =>
       l.stripPrefix("bloomcols=").split(',').toSeq.filter(_.nonEmpty).map(b64d)
     }.getOrElse(Nil)
+    val txns = lines.collect {
+      case l if l.startsWith("txn=") =>
+        val Array(a, tv) = l.stripPrefix("txn=").split(':')
+        b64d(a) -> tv.toLong
+    }.toSeq
     Manifest(schema, pcol, entries, op, cdfEnabled, cdfDir, statsCols, fileStats,
-      commitTsMs, constraints, generated, deleteVectors, bloomCols)
+      commitTsMs, constraints, generated, deleteVectors, bloomCols, txns)
   }
 
   private def manifest: Manifest = readManifest(currentVersion)
@@ -266,6 +271,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         cdfEnabled = curM.cdfEnabled, statsCols = m.statsCols,
         fileStats = m.fileStats, constraints = m.constraints,
         generated = m.generated, deleteVectors = m.deleteVectors,
+        txns = curM.txns,
         bloomCols = m.bloomCols), cur + 1)
     }
   }
@@ -307,6 +313,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       cdfEnabled = m.cdfEnabled, statsCols = m.statsCols,
       fileStats = m.fileStats, constraints = m.constraints,
       generated = m.generated, deleteVectors = m.deleteVectors,
+      txns = m.txns,
       bloomCols = m.bloomCols), 0L),
       s"clone target $targetRoot was created concurrently")
     dst
@@ -745,7 +752,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       m.generated.sortBy(_._1).map { case (n, e) => s"gen=${b64e(n)}:${b64e(e)}" } ++
       m.deleteVectors.map(d => s"dv=$d") ++
       (if (m.bloomCols.nonEmpty)
-        Seq(s"bloomcols=${m.bloomCols.map(b64e).mkString(",")}") else Nil)
+        Seq(s"bloomcols=${m.bloomCols.map(b64e).mkString(",")}") else Nil) ++
+      m.txns.sortBy(_._1).map { case (a, tv) => s"txn=${b64e(a)}:$tv" }
     val body = m.entries.map { e =>
       e.owned match {
         case None => s"dir=${e.dir}"
@@ -1093,8 +1101,37 @@ final class LakeTable private (val spark: SparkSession, val root: String,
    *  schema clobbering is an error; additive evolution is opt-in with
    *  `mergeSchema = true` (the Delta option). */
   def append(df0: DataFrame, mergeSchema: Boolean = false): Unit = synchronized {
+    appendImpl(df0, mergeSchema, None); ()
+  }
+
+  /**
+   * IDEMPOTENT append (Delta's `txnAppId`/`txnVersion` write options — the
+   * retry-safety primitive): the batch commits ONLY if `txnVersion` is
+   * strictly greater than the highest version this `appId` has already
+   * committed, recorded in the manifest's transaction ledger. A retried job
+   * (orchestrator re-run, speculative task, crashed-then-restarted writer)
+   * replaying the same (appId, txnVersion) is a NO-OP — exactly-once
+   * ingestion without an external ledger. Returns whether the batch landed.
+   * The ledger rides the manifest, so it is snapshotted, restored, and
+   * cloned with the table; the skip-check re-runs inside the commit race
+   * loop, so two concurrent replays can never both land.
+   */
+  def appendIdempotent(appId: String, txnVersion: Long, df0: DataFrame,
+      mergeSchema: Boolean = false): Boolean = synchronized {
+    require(appId.nonEmpty, "appendIdempotent needs a non-empty appId")
+    appendImpl(df0, mergeSchema, Some(appId -> txnVersion))
+  }
+
+  private case class TxnAlreadyApplied() extends RuntimeException
+
+  private def appendImpl(df0: DataFrame, mergeSchema: Boolean,
+      txn: Option[(String, Long)]): Boolean = {
     Files.createDirectories(Paths.get(root))
     val m0 = if (exists) Some(manifest) else None
+    def applied(m: Manifest): Boolean = txn.exists { case (a, tv) =>
+      m.txns.exists { case (a0, tv0) => a0 == a && tv0 >= tv } }
+    // fast path: the transaction already landed — skip before the write
+    if (m0.exists(applied)) return false
     val (pcol, scols) = m0.map(m => (m.pcol, m.statsCols)).getOrElse((None, Nil))
     val bcols = m0.map(_.bloomCols).getOrElse(Nil)
     // fail-fast validation BEFORE the (expensive) physical write; the commit
@@ -1109,30 +1146,47 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       s"append batch is missing the partition column $p"))
     val validatedConstraints = m0.map(_.constraints).getOrElse(Nil).toSet
     val (dir, owned, fstats) = writeData(df, pcol, scols, bloomCols = bcols)
+    def withTxn(ts: Seq[(String, Long)]): Seq[(String, Long)] = txn match {
+      case None => ts
+      case Some((a, tv)) => ts.filterNot(_._1 == a) :+ (a -> tv)
+    }
     // a lost race re-reads the entry list and re-commits — the data dir is
     // already written, so append retries are manifest-only (no lost updates)
-    commitWithRetry { () =>
-      if (exists) {
-        // snapshot the version ONCE and read THAT manifest: entry list and
-        // CAS slot must come from the same version, or a racer committing
-        // in between would make us publish a stale entry list one slot later
-        val v = currentVersion
-        val cur = readManifest(v)
-        // a concurrent addCheckConstraint may have landed after the
-        // pre-write validation: re-enforce any constraint we did not
-        // validate against, so the published table never carries data that
-        // violates an active constraint (Delta's metadata-conflict rule)
-        val unvalidated = cur.constraints.filterNot(validatedConstraints)
-        if (unvalidated.nonEmpty) enforceConstraints(df, unvalidated)
-        (Manifest(reconcileSchema(cur.schema, df.schema, mergeSchema), pcol,
-          cur.entries :+ DirEntry(dir, owned), "append",
-          cur.cdfEnabled, statsCols = cur.statsCols,
-          fileStats = cur.fileStats ++ fstats,
-          constraints = cur.constraints, generated = cur.generated,
-          deleteVectors = cur.deleteVectors, bloomCols = cur.bloomCols), v + 1)
-      } else
-        (Manifest(df.schema, pcol, Seq(DirEntry(dir, owned)), "append",
-          statsCols = scols, fileStats = fstats), 0L)
+    try {
+      commitWithRetry { () =>
+        if (exists) {
+          // snapshot the version ONCE and read THAT manifest: entry list and
+          // CAS slot must come from the same version, or a racer committing
+          // in between would make us publish a stale entry list one slot later
+          val v = currentVersion
+          val cur = readManifest(v)
+          // a concurrent replay of the SAME transaction may have won the
+          // race: re-check the ledger each attempt, never double-commit
+          if (applied(cur)) throw TxnAlreadyApplied()
+          // a concurrent addCheckConstraint may have landed after the
+          // pre-write validation: re-enforce any constraint we did not
+          // validate against, so the published table never carries data that
+          // violates an active constraint (Delta's metadata-conflict rule)
+          val unvalidated = cur.constraints.filterNot(validatedConstraints)
+          if (unvalidated.nonEmpty) enforceConstraints(df, unvalidated)
+          (Manifest(reconcileSchema(cur.schema, df.schema, mergeSchema), pcol,
+            cur.entries :+ DirEntry(dir, owned), "append",
+            cur.cdfEnabled, statsCols = cur.statsCols,
+            fileStats = cur.fileStats ++ fstats,
+            constraints = cur.constraints, generated = cur.generated,
+            deleteVectors = cur.deleteVectors, bloomCols = cur.bloomCols,
+            txns = withTxn(cur.txns)), v + 1)
+        } else
+          (Manifest(df.schema, pcol, Seq(DirEntry(dir, owned)), "append",
+            statsCols = scols, fileStats = fstats, txns = withTxn(Nil)), 0L)
+      }
+      true
+    } catch {
+      case TxnAlreadyApplied() =>
+        // the orphaned dir was never referenced by any manifest: reclaim it
+        deleteRecursively(Paths.get(root, dir))
+        Files.deleteIfExists(bloomIndexFile(dir))
+        false
     }
   }
 
@@ -1166,6 +1220,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     val validatedConstraints = cur.map(_.constraints).getOrElse(Nil).toSet
     val m = Manifest(df1.schema, pcol, Seq(DirEntry(dir, owned)), op,
       cur.exists(_.cdfEnabled), cdfDir, statsCols = scols, fileStats = fstats,
+      txns = cur.map(_.txns).getOrElse(Nil),
       constraints = cur.map(_.constraints).getOrElse(Nil),
       generated = cur.map(_.generated).getOrElse(Nil),
       bloomCols = cur.map(_.bloomCols).getOrElse(Nil))
@@ -1319,7 +1374,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
           // entries for replaced dirs are stale-but-harmless (anti-join
           // can't match a file no longer scanned)
           if (!tryCommit(Manifest(m.schema, m.pcol, kept :+ DirEntry(dir, owned), "merge",
-              m.cdfEnabled, chDir, statsCols = m.statsCols,
+              m.cdfEnabled, chDir, statsCols = m.statsCols, txns = m.txns,
               fileStats = keptStats ++ fstats, constraints = m.constraints,
               generated = m.generated, deleteVectors = m.deleteVectors,
               bloomCols = m.bloomCols), v0 + 1))
@@ -1603,7 +1658,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
           } else None
         if (!tryCommit(Manifest(m.schema, m.pcol,
             keptEntries :+ DirEntry(dir, owned), "replace", m.cdfEnabled, chDir,
-            m.statsCols, keptStats ++ fstats, constraints = m.constraints,
+            m.statsCols, keptStats ++ fstats, txns = m.txns,
+            constraints = m.constraints,
             generated = m.generated, deleteVectors = m.deleteVectors,
             bloomCols = m.bloomCols), v0 + 1))
           throw new ConcurrentWriteException(
@@ -1739,7 +1795,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         Some(d)
       } else None
     if (!tryCommit(Manifest(m.schema, m.pcol, newEntries.toSeq, opName,
-        m.cdfEnabled, chDir, m.statsCols, newStats.toSeq,
+        m.cdfEnabled, chDir, m.statsCols, newStats.toSeq, txns = m.txns,
         constraints = m.constraints, generated = m.generated,
         bloomCols = m.bloomCols), v0 + 1))
       throw new ConcurrentWriteException(
@@ -2037,7 +2093,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     writeBloomIndex(newDir, m.schema, m.pcol, m.bloomCols)
     if (!tryCommit(Manifest(m.schema, m.pcol, Seq(DirEntry(newDir, owned)),
         "optimize", m.cdfEnabled, None, m.statsCols, newStats.toSeq,
-        constraints = m.constraints, generated = m.generated,
+        txns = m.txns, constraints = m.constraints, generated = m.generated,
         bloomCols = m.bloomCols), v0 + 1))
       throw new ConcurrentWriteException(
         s"optimize computed against version $v0 of $root, but a concurrent " +
@@ -2242,7 +2298,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       m.fileStats.filter(fs => keptDirs.exists(d => fs.path.startsWith(d + "/")))
     if (!tryCommit(Manifest(m.schema, m.pcol, keptEntries :+ DirEntry(dir, owned),
         "optimize", m.cdfEnabled, None, m.statsCols, keptStats ++ fstats,
-        constraints = m.constraints, generated = m.generated,
+        txns = m.txns, constraints = m.constraints, generated = m.generated,
         deleteVectors = m.deleteVectors, bloomCols = m.bloomCols), v0 + 1))
       throw new ConcurrentWriteException(
         s"optimize computed against version $v0 of $root, but a concurrent " +
@@ -2329,7 +2385,12 @@ object LakeTable {
        *  equality predicates on these columns prune files zone maps cannot
        *  (high-cardinality, unclustered keys). Missing sidecars (pre-index
        *  dirs, hard-link relinks) simply never prune. */
-      bloomCols: Seq[String] = Nil)
+      bloomCols: Seq[String] = Nil,
+      /** TRANSACTION LEDGER (Delta `txnAppId`/`txnVersion` idempotent
+       *  writes): highest committed application version per writer id.
+       *  [[LakeTable.appendIdempotent]] consults it to make retried job
+       *  writes exactly-once. Carried verbatim across every commit kind. */
+      txns: Seq[(String, Long)] = Nil)
 
   /** DESCRIBE DETAIL row (Delta parity): current-snapshot facts. */
   final case class TableDetail(
