@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simhashDescriptor)
     ext.injectFunction(GraftExtensions.shingleHashSetDescriptor)
     ext.injectFunction(GraftExtensions.jaccardSortedDescriptor)
+    // LakeSql-registered tables resolve inside plain spark.sql text
+    // (SELECT/time travel/table_changes) — see ResolveLakeRelations
+    ext.injectResolutionRule(session => new graft.lake.ResolveLakeRelations(session))
   }
 }
 

@@ -19,7 +19,8 @@ import org.apache.spark.sql.types.TimestampType
  * REPLACE WHERE (atomic region swap; zero-scan on partition predicates),
  * OPTIMIZE [WHERE <partition pred>] [ZORDER BY], VACUUM
  * [RETAIN n VERSIONS|HOURS] [DRY RUN], RESTORE TABLE ... TO
- * VERSION/TIMESTAMP AS OF, SHOW PARTITIONS,
+ * VERSION/TIMESTAMP AS OF, SHOW PARTITIONS, ALTER TABLE ... ADD
+ * CONSTRAINT / DROP COLUMN (metadata-only, tombstoned),
  * DESCRIBE DETAIL and DESCRIBE HISTORY executed against
  * registered [[LakeTable]]s — the statement forms the reference drives
  * through `spark.sql` (`DIM_Gold_layer.py:176-195` for MERGE;
@@ -89,7 +90,8 @@ object LakeSql {
     }
     // when no UPDATE clause exists, matched rows keep the target version:
     // guard `false` never takes the source side for matches
-    target.merge(sourceDf, keys, if (m.matchedActions.isEmpty) Some("false") else guard)
+    target.merge(sourceDf, keys, if (m.matchedActions.isEmpty) Some("false") else guard,
+      mergeSchema = m.withSchemaEvolution) // MERGE WITH SCHEMA EVOLUTION
     target
   }
 
@@ -288,6 +290,23 @@ object LakeSql {
                 "name the constraint: ALTER TABLE t ADD CONSTRAINT <name> CHECK (...)"))
             lookup(name).addCheckConstraint(cname, cc.condition)
             Seq((cname, cc.condition)).toDF("constraint", "expression")
+          case dc: org.apache.spark.sql.catalyst.plans.logical.DropColumns =>
+            // metadata-only DROP COLUMN — O(manifest); tombstoned against
+            // resurrection (see LakeTable.dropColumn)
+            val name = dc.table.collectFirst {
+              case UnresolvedRelation(parts, _, _) => parts.mkString(".")
+              case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+                ut.multipartIdentifier.mkString(".")
+            }.getOrElse(throw new IllegalArgumentException(
+              s"ALTER TABLE target must be a named table, got ${dc.table.nodeName}"))
+            val tbl = lookup(name)
+            dc.columnsToDrop.foreach { fn =>
+              val c = fn.name.mkString(".")
+              if (!(dc.ifExists &&
+                  !tbl.schema.fieldNames.exists(_.equalsIgnoreCase(c))))
+                tbl.dropColumn(c)
+            }
+            Seq((norm(name), tbl.currentVersion)).toDF("table", "version")
           case DeleteFromTable(target, condition) =>
             val (name, alias) = relationOf(target, "DELETE")
             // merge-on-read: arbitrary conditions, O(matched rows), valid
@@ -411,6 +430,16 @@ object LakeSql {
       s"no registered lake table referenced in: $sqlText")
     GraftColumnBridge.dataset(spark, substituteLakeRelations(spark, plan))
   }
+
+  /** Hook for [[graft.lake.ResolveLakeRelations]] (the analyzer rule the
+   *  session extension injects): substitute registered lake relations —
+   *  plain, time-travelled, or `table_changes` — inside ANY plan Spark is
+   *  resolving, so `spark.sql("SELECT ... FROM lake_t")` works natively.
+   *  No-op (and cheap) when the plan references no registered table. */
+  private[lake] def resolveRelations(spark: SparkSession,
+      plan: LogicalPlan): LogicalPlan =
+    if (tables.isEmpty || collectLakeRelations(plan).isEmpty) plan
+    else substituteLakeRelations(spark, plan)
 
   /** Names of registered lake tables referenced by `plan`'s relation leaves.
    *  `RelationTimeTravel` is an analysis-time LEAF wrapping its relation as

@@ -153,8 +153,12 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         val Array(a, tv) = l.stripPrefix("txn=").split(':')
         b64d(a) -> tv.toLong
     }.toSeq
+    val dropped = lines.collectFirst { case l if l.startsWith("dropped=") =>
+      l.stripPrefix("dropped=").split(',').toSeq.filter(_.nonEmpty).map(b64d)
+    }.getOrElse(Nil)
     Manifest(schema, pcol, entries, op, cdfEnabled, cdfDir, statsCols, fileStats,
-      commitTsMs, constraints, generated, deleteVectors, bloomCols, txns)
+      commitTsMs, constraints, generated, deleteVectors, bloomCols, txns,
+      dropped)
   }
 
   private def manifest: Manifest = readManifest(currentVersion)
@@ -271,7 +275,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         cdfEnabled = curM.cdfEnabled, statsCols = m.statsCols,
         fileStats = m.fileStats, constraints = m.constraints,
         generated = m.generated, deleteVectors = m.deleteVectors,
-        txns = curM.txns,
+        txns = curM.txns, droppedCols = curM.droppedCols,
         bloomCols = m.bloomCols), cur + 1)
     }
   }
@@ -313,7 +317,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       cdfEnabled = m.cdfEnabled, statsCols = m.statsCols,
       fileStats = m.fileStats, constraints = m.constraints,
       generated = m.generated, deleteVectors = m.deleteVectors,
-      txns = m.txns,
+      txns = m.txns, droppedCols = m.droppedCols,
       bloomCols = m.bloomCols), 0L),
       s"clone target $targetRoot was created concurrently")
     dst
@@ -417,6 +421,62 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     }
   }
 
+  /**
+   * METADATA-ONLY DROP COLUMN (`ALTER TABLE ... DROP COLUMN`): the manifest
+   * schema shrinks and every read projects it away — no data file is
+   * touched, O(manifest) at any table size (where a rewrite-based drop is
+   * O(table)). The column's zone stats, bloom index and stats registration
+   * are dropped with it. The name is TOMBSTONED: old files still carry the
+   * bytes, so schema evolution re-adding the name would resurrect stale
+   * values — evolution rejects tombstoned names until a full rewrite
+   * (overwrite/compact) physically sheds them. Dropping the partition
+   * column, a generated column's source, or a constraint-referenced column
+   * is refused. Time travel to pre-drop versions still serves the column.
+   */
+  def dropColumn(colName: String): Unit = synchronized {
+    require(exists, s"LakeTable at $root does not exist")
+    def refs(e: String): Boolean =
+      spark.sessionState.sqlParser.parseExpression(e).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if a.nameParts.head.equalsIgnoreCase(colName) => a
+      }.nonEmpty
+    commitWithRetry { () =>
+      val v = currentVersion
+      val cur = readManifest(v)
+      val f = cur.schema.fields.find(_.name.equalsIgnoreCase(colName))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no column $colName in ${cur.schema.fieldNames.mkString(",")}"))
+      val c = f.name
+      require(cur.schema.fields.length > 1, "cannot drop the only column")
+      require(!cur.pcol.contains(c), s"cannot drop partition column $c")
+      cur.constraints.foreach { case (n, e) => require(!refs(e),
+        s"constraint $n references $c — drop the constraint first") }
+      cur.generated.foreach { case (g, e) => require(g == c || !refs(e),
+        s"generated column $g is computed from $c — drop it first") }
+      (cur.copy(op = "alter", cdfDir = None, commitTsMs = None,
+        schema = StructType(cur.schema.fields.filterNot(_.name == c)),
+        statsCols = cur.statsCols.filterNot(_ == c),
+        fileStats = cur.fileStats.map(fs => fs.copy(minMax = fs.minMax - c)),
+        generated = cur.generated.filterNot(_._1 == c),
+        bloomCols = cur.bloomCols.filterNot(_ == c),
+        droppedCols = cur.droppedCols :+ c), v + 1)
+    }
+  }
+
+  /** Reject additive evolution re-using a [[dropColumn]]-tombstoned name:
+   *  old files still carry the bytes, so the "new" column would resurrect
+   *  stale values. A full rewrite (overwrite/compact) clears tombstones. */
+  private def rejectTombstoned(m: Manifest,
+      incoming: StructType): Unit = {
+    val novel = incoming.fieldNames
+      .filterNot(n => m.schema.fieldNames.exists(_.equalsIgnoreCase(n)))
+    val hit = novel.filter(n => m.droppedCols.exists(_.equalsIgnoreCase(n)))
+    require(hit.isEmpty,
+      s"column(s) ${hit.mkString(", ")} were dropped metadata-only — old " +
+        "files still carry their bytes and would resurrect stale values; " +
+        "rewrite the table (overwrite/compact) before re-adding the name")
+  }
+
   /** Enforce CHECK constraints on an incoming batch: one conjoined pre-pass
    *  (narrow filter, no shuffle); only on failure a per-constraint probe
    *  names the offender. Throws before anything is committed. */
@@ -462,7 +522,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     val parts = (fromVersion to hi).flatMap { v =>
       val mv = readManifest(v)
       val part: Option[DataFrame] = mv.op match {
-        case "create" | "constraint" | "index" => None // metadata-only: no row changes
+        case "create" | "constraint" | "index" | "alter" => None // metadata-only
         case "append" =>
           val prevDirs: Set[String] =
             if (v == 0) Set.empty else readManifest(v - 1).entries.map(_.dir).toSet
@@ -753,7 +813,9 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       m.deleteVectors.map(d => s"dv=$d") ++
       (if (m.bloomCols.nonEmpty)
         Seq(s"bloomcols=${m.bloomCols.map(b64e).mkString(",")}") else Nil) ++
-      m.txns.sortBy(_._1).map { case (a, tv) => s"txn=${b64e(a)}:$tv" }
+      m.txns.sortBy(_._1).map { case (a, tv) => s"txn=${b64e(a)}:$tv" } ++
+      (if (m.droppedCols.nonEmpty)
+        Seq(s"dropped=${m.droppedCols.map(b64e).mkString(",")}") else Nil)
     val body = m.entries.map { e =>
       e.owned match {
         case None => s"dir=${e.dir}"
@@ -1139,6 +1201,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     val df = m0.fold(df0) { m =>
       val d = materializeGenerated(df0, m)
       reconcileSchema(m.schema, d.schema, mergeSchema)
+      rejectTombstoned(m, d.schema)
       enforceConstraints(d, m.constraints)
       d
     }
@@ -1169,13 +1232,14 @@ final class LakeTable private (val spark: SparkSession, val root: String,
           // violates an active constraint (Delta's metadata-conflict rule)
           val unvalidated = cur.constraints.filterNot(validatedConstraints)
           if (unvalidated.nonEmpty) enforceConstraints(df, unvalidated)
+          rejectTombstoned(cur, df.schema)
           (Manifest(reconcileSchema(cur.schema, df.schema, mergeSchema), pcol,
             cur.entries :+ DirEntry(dir, owned), "append",
             cur.cdfEnabled, statsCols = cur.statsCols,
             fileStats = cur.fileStats ++ fstats,
             constraints = cur.constraints, generated = cur.generated,
             deleteVectors = cur.deleteVectors, bloomCols = cur.bloomCols,
-            txns = withTxn(cur.txns)), v + 1)
+            txns = withTxn(cur.txns), droppedCols = cur.droppedCols), v + 1)
         } else
           (Manifest(df.schema, pcol, Seq(DirEntry(dir, owned)), "append",
             statsCols = scols, fileStats = fstats, txns = withTxn(Nil)), 0L)
@@ -1279,14 +1343,26 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       src0: DataFrame,
       keys: Seq[String],
       matchedGuard: Option[String] = None,
-      checkUniqueKeys: Boolean = false): Unit = synchronized {
+      checkUniqueKeys: Boolean = false,
+      mergeSchema: Boolean = false): Unit = synchronized {
     require(exists, s"merge target $root does not exist — create() or append() first")
     val v0 = currentVersion
     val m = readManifest(v0) // merge computes against THIS snapshot
     val src = materializeGenerated(src0, m)
-    val cols = m.schema.fieldNames.toSeq
+    // WITH SCHEMA EVOLUTION (Delta's MERGE form): the source may carry
+    // ADDITIVE new columns — the table schema widens (nullable), matched
+    // target pre-images serve NULL for them. Source must still supply every
+    // existing target column; type changes are rejected (same contract as
+    // append's mergeSchema).
+    val schema1 =
+      if (mergeSchema) {
+        rejectTombstoned(m, src.schema)
+        reconcileSchema(m.schema, src.schema, mergeSchema = true)
+      } else m.schema
+    val cols = schema1.fieldNames.toSeq
     require(src.columns.toSet == cols.toSet,
-      s"merge source schema ${src.columns.mkString(",")} != target ${cols.mkString(",")}")
+      s"merge source schema ${src.columns.mkString(",")} != target ${cols.mkString(",")}" +
+        (if (mergeSchema) "" else " (additive columns need mergeSchema = true)"))
     enforceConstraints(src, m.constraints)
     if (checkUniqueKeys) {
       val dups = src.groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).count()
@@ -1340,9 +1416,15 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       return
     }
 
+    // under evolution the target snapshot serves NULL for the new columns
+    def widen(target: DataFrame): DataFrame =
+      schema1.fields.foldLeft(target)((d, f) =>
+        if (d.columns.contains(f.name)) d
+        else d.withColumn(f.name, lit(null).cast(f.dataType)))
+
     m.pcol match {
       case None =>
-        val joined = joinedOf(readScoped(m, None))
+        val joined = joinedOf(widen(readScoped(m, None)))
         val pinned = // two consumers under CDF: pin the join, not twice the work
           if (m.cdfEnabled) joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           else joined
@@ -1356,7 +1438,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
           .collect().map(_.getString(0)).toSeq
         require(!touched.contains(null), s"null partition value in column $p")
         val touchedSet = touched.toSet
-        val joined = joinedOf(readScoped(m, Some(touchedSet)))
+        val joined = joinedOf(widen(readScoped(m, Some(touchedSet))))
         val pinned =
           if (m.cdfEnabled) joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           else joined
@@ -1373,8 +1455,9 @@ final class LakeTable private (val spark: SparkSession, val root: String,
           // carry live deletion vectors: kept dirs' coordinates stay valid;
           // entries for replaced dirs are stale-but-harmless (anti-join
           // can't match a file no longer scanned)
-          if (!tryCommit(Manifest(m.schema, m.pcol, kept :+ DirEntry(dir, owned), "merge",
+          if (!tryCommit(Manifest(schema1, m.pcol, kept :+ DirEntry(dir, owned), "merge",
               m.cdfEnabled, chDir, statsCols = m.statsCols, txns = m.txns,
+              droppedCols = m.droppedCols,
               fileStats = keptStats ++ fstats, constraints = m.constraints,
               generated = m.generated, deleteVectors = m.deleteVectors,
               bloomCols = m.bloomCols), v0 + 1))
@@ -1659,6 +1742,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         if (!tryCommit(Manifest(m.schema, m.pcol,
             keptEntries :+ DirEntry(dir, owned), "replace", m.cdfEnabled, chDir,
             m.statsCols, keptStats ++ fstats, txns = m.txns,
+            droppedCols = m.droppedCols,
             constraints = m.constraints,
             generated = m.generated, deleteVectors = m.deleteVectors,
             bloomCols = m.bloomCols), v0 + 1))
@@ -1796,6 +1880,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       } else None
     if (!tryCommit(Manifest(m.schema, m.pcol, newEntries.toSeq, opName,
         m.cdfEnabled, chDir, m.statsCols, newStats.toSeq, txns = m.txns,
+        droppedCols = m.droppedCols,
         constraints = m.constraints, generated = m.generated,
         bloomCols = m.bloomCols), v0 + 1))
       throw new ConcurrentWriteException(
@@ -2093,7 +2178,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     writeBloomIndex(newDir, m.schema, m.pcol, m.bloomCols)
     if (!tryCommit(Manifest(m.schema, m.pcol, Seq(DirEntry(newDir, owned)),
         "optimize", m.cdfEnabled, None, m.statsCols, newStats.toSeq,
-        txns = m.txns, constraints = m.constraints, generated = m.generated,
+        txns = m.txns, droppedCols = m.droppedCols,
+        constraints = m.constraints, generated = m.generated,
         bloomCols = m.bloomCols), v0 + 1))
       throw new ConcurrentWriteException(
         s"optimize computed against version $v0 of $root, but a concurrent " +
@@ -2298,7 +2384,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       m.fileStats.filter(fs => keptDirs.exists(d => fs.path.startsWith(d + "/")))
     if (!tryCommit(Manifest(m.schema, m.pcol, keptEntries :+ DirEntry(dir, owned),
         "optimize", m.cdfEnabled, None, m.statsCols, keptStats ++ fstats,
-        txns = m.txns, constraints = m.constraints, generated = m.generated,
+        txns = m.txns, droppedCols = m.droppedCols,
+        constraints = m.constraints, generated = m.generated,
         deleteVectors = m.deleteVectors, bloomCols = m.bloomCols), v0 + 1))
       throw new ConcurrentWriteException(
         s"optimize computed against version $v0 of $root, but a concurrent " +
@@ -2390,7 +2477,13 @@ object LakeTable {
        *  writes): highest committed application version per writer id.
        *  [[LakeTable.appendIdempotent]] consults it to make retried job
        *  writes exactly-once. Carried verbatim across every commit kind. */
-      txns: Seq[(String, Long)] = Nil)
+      txns: Seq[(String, Long)] = Nil,
+      /** TOMBSTONES of metadata-only [[LakeTable.dropColumn]]s: old data
+       *  files still physically carry these columns, so re-adding one via
+       *  schema evolution would RESURRECT stale values — evolution rejects
+       *  tombstoned names. Cleared by full rewrites (overwrite/compact),
+       *  which physically shed the dropped bytes. */
+      droppedCols: Seq[String] = Nil)
 
   /** DESCRIBE DETAIL row (Delta parity): current-snapshot facts. */
   final case class TableDetail(

@@ -1118,6 +1118,43 @@ object CoreQueries {
           CAST(year(o_orderdate) AS INTEGER) AS o_year
         FROM orders ORDER BY o_orderkey""")),
 
+    // S30: MERGE WITH SCHEMA EVOLUTION (Delta's evolving-upsert form) — the
+    // CDC batch arrives carrying a NEW column (o_channel); the SQL-text
+    // merge widens the table schema additively: untouched rows serve NULL,
+    // matched rows take the updated price + channel, source-only rows
+    // insert complete. The oracle replays the widened full-outer
+    // relationally; hash equality proves evolution changed exactly the
+    // predicated cells and nothing else.
+    Q("s30_merge_evolve", (s, d) => {
+      val o = t(s, d, "orders")
+      val tbl = LakeTable(s, s"${tmp("graft_s30")}/t")
+      tbl.append(o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice"))
+      val src = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + lit(1000.0)).as("o_totalprice"),
+          lit("web").as("o_channel"))
+      LakeSql.register("s30_orders", tbl)
+      src.createOrReplaceTempView("s30_updates")
+      try LakeSql.merge(s,
+        """MERGE WITH SCHEMA EVOLUTION INTO s30_orders AS t0
+           USING s30_updates AS u ON t0.o_orderkey = u.o_orderkey
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""")
+      finally {
+        LakeSql.unregister("s30_orders")
+        s.catalog.dropTempView("s30_updates")
+      }
+      tbl.read.orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey, o_custkey,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+               ELSE o_totalprice END AS o_totalprice,
+          CASE WHEN o_orderkey % 3 = 0 THEN 'web' END AS o_channel
+        FROM orders
+        WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0
+        ORDER BY o_orderkey""")),
+
     // S13: SHALLOW CLONE — zero-copy table fork (hard-linked file
     // re-references, O(file count) metadata). The clone then diverges with
     // its own append while the SOURCE is overwritten and vacuumed down to

@@ -559,6 +559,80 @@ class LakeSqlSpec extends SparkSpec {
     }
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens the table; old rows serve NULL") {
+    val t = fresh("sql_merge_evolve")
+    LakeSql.register("ev_t", t)
+    Seq((2L, "b2", 2, "web"), (3L, "c", 1, "app"))
+      .toDF("k", "v", "seq", "channel").createOrReplaceTempView("ev_updates")
+    try {
+      // without evolution the additive column is a loud error
+      val e = intercept[IllegalArgumentException](LakeSql.merge(spark,
+        """MERGE INTO ev_t AS t0 USING ev_updates AS u ON t0.k = u.k
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *"""))
+      assert(e.getMessage.contains("mergeSchema"), e.getMessage)
+      LakeSql.merge(spark,
+        """MERGE WITH SCHEMA EVOLUTION INTO ev_t AS t0
+           USING ev_updates AS u ON t0.k = u.k
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""")
+      // k=1 untouched (NULL channel), k=2 updated, k=3 inserted
+      assert(t.read.orderBy("k").as[(Long, String, Int, Option[String])]
+        .collect().toSeq == Seq((1L, "a", 1, None), (2L, "b2", 2, Some("web")),
+          (3L, "c", 1, Some("app"))))
+      assert(t.schema.fieldNames.toSeq == Seq("k", "v", "seq", "channel"))
+      // a type CHANGE is still rejected under evolution
+      Seq((9L, 1.5)).toDF("k", "seq").createOrReplaceTempView("ev_bad")
+      assert(scala.util.Try(t.merge(
+        Seq((9L, "z", 1.5, "x")).toDF("k", "v", "seq", "channel"),
+        Seq("k"), mergeSchema = true)).isFailure)
+    } finally {
+      LakeSql.unregister("ev_t")
+      spark.catalog.dropTempView("ev_updates")
+      spark.catalog.dropTempView("ev_bad")
+    }
+  }
+
+  test("ALTER TABLE DROP COLUMN is metadata-only; tombstones block resurrection") {
+    val root = tmpDir("sql_drop_col")
+    val df = Seq((1L, "a", 9.5), (2L, "b", 3.0)).toDF("k", "v", "score")
+    val t = LakeTable(spark, s"$root/t")
+    t.create(df.schema, statsColumns = Seq("score"))
+    t.append(df)
+    LakeSql.register("drop_t", t)
+    try {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val bytesBefore = Files.walk(Paths.get(s"$root/t", "data"))
+        .iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
+      LakeSql.sql(spark, "ALTER TABLE drop_t DROP COLUMN score")
+      // reads project the column away; NO data file changed (metadata-only)
+      assert(t.schema.fieldNames.toSeq == Seq("k", "v"))
+      assert(t.read.orderBy("k").as[(Long, String)].collect().toSeq ==
+        Seq((1L, "a"), (2L, "b")))
+      val bytesAfter = Files.walk(Paths.get(s"$root/t", "data"))
+        .iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
+      assert(bytesAfter == bytesBefore, "drop rewrote data files")
+      // time travel to the pre-drop version still serves the column
+      assert(t.readVersion(t.currentVersion - 1).schema.fieldNames.contains("score"))
+      // TOMBSTONE: re-adding the name via evolution would resurrect the old
+      // bytes — rejected loudly
+      val e = intercept[IllegalArgumentException](t.append(
+        Seq((3L, "c", 1.0)).toDF("k", "v", "score"), mergeSchema = true))
+      assert(e.getMessage.contains("resurrect"), e.getMessage)
+      // a full rewrite sheds the bytes and clears the tombstone
+      t.overwrite(t.read)
+      t.append(Seq((3L, "c", 1.0)).toDF("k", "v", "score"), mergeSchema = true)
+      assert(t.read.count() == 3)
+      // guarded shapes
+      intercept[IllegalArgumentException](t.dropColumn("nope"))
+      LakeSql.sql(spark, "ALTER TABLE drop_t DROP COLUMN IF EXISTS nope") // no-op
+      t.addCheckConstraint("v_nonempty", "length(v) > 0")
+      val e2 = intercept[IllegalArgumentException](t.dropColumn("v"))
+      assert(e2.getMessage.contains("constraint"), e2.getMessage)
+    } finally LakeSql.unregister("drop_t")
+  }
+
   test("composite keys and swapped equality sides resolve") {
     val root = tmpDir("sql_composite")
     val t = LakeTable(spark, s"$root/t")
