@@ -94,7 +94,7 @@ object ChangeFeedTail {
       changes: Option[DataFrame], fromVersion: Long, toVersion: Long)
 
   private val RowChangeOps =
-    Set("append", "merge", "delete", "update", "replace")
+    Set("append", "convert", "merge", "delete", "update", "replace")
   private val RewriteOps = Set("overwrite", "restore", "clone")
 
   /** Open (or resume) a tail of `tbl` checkpointed under `checkpointDir`. */

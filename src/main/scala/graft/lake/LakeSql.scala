@@ -181,6 +181,10 @@ object LakeSql {
     """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val ShowPartitionsRe =
     """(?is)\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*;?\s*""".r
+  private val ConvertRe =
+    ("""(?is)\s*CONVERT\s+TO\s+LAKE\s+parquet\.`([^`]+)`\s+AS\s+([\w.]+)\s+""" +
+      """LOCATION\s+'([^']+)'(?:\s+PARTITIONED\s+BY\s*\(\s*([\w]+)\s*\))?""" +
+      """(?:\s+STATS\s+ON\s*\(([^)]+)\))?\s*;?\s*""").r
 
   /**
    * Parse and execute ONE SQL statement against registered lake tables:
@@ -245,6 +249,20 @@ object LakeSql {
         val tbl = lookup(name)
         tbl.restore(v.toLong)
         Seq((v.toLong, tbl.currentVersion)).toDF("restored_version", "current_version")
+      case ConvertRe(srcDir, name, location, pcol, statsCols) =>
+        // `CONVERT TO LAKE parquet.`/src` AS t LOCATION '/root'
+        //  [PARTITIONED BY (col)] [STATS ON (c1, c2)]` — Delta's
+        // CONVERT TO DELTA role: adopt an existing parquet directory by
+        // hard link (O(files), zero rewrite), register the result
+        require(!tables.contains(norm(name)),
+          s"table $name is already registered")
+        val sc = Option(statsCols)
+          .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+        val tbl = LakeTable(spark, location)
+          .convertFrom(srcDir, Option(pcol), statsColumns = sc)
+        register(name, tbl)
+        Seq((norm(name), tbl.currentVersion, tbl.detail.numFiles))
+          .toDF("table", "version", "num_files")
       case ShowPartitionsRe(name) =>
         // Delta/Hive `SHOW PARTITIONS t`: the manifest's owned partition
         // values — O(manifest), no data listing or scan
@@ -290,6 +308,28 @@ object LakeSql {
                 "name the constraint: ALTER TABLE t ADD CONSTRAINT <name> CHECK (...)"))
             lookup(name).addCheckConstraint(cname, cc.condition)
             Seq((cname, cc.condition)).toDF("constraint", "expression")
+          case ac: org.apache.spark.sql.catalyst.plans.logical.AddColumns =>
+            // metadata-only ADD COLUMNS — O(manifest); existing files serve
+            // NULL for the new columns (see LakeTable.addColumns)
+            val name = ac.table.collectFirst {
+              case UnresolvedRelation(parts, _, _) => parts.mkString(".")
+              case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+                ut.multipartIdentifier.mkString(".")
+            }.getOrElse(throw new IllegalArgumentException(
+              s"ALTER TABLE target must be a named table, got ${ac.table.nodeName}"))
+            val cols = ac.columnsToAdd.map { q =>
+              require(q.path.isEmpty,
+                s"nested column ${q.name.mkString(".")} is not supported")
+              require(q.position.isEmpty,
+                s"column position (FIRST/AFTER) is not supported for ${q.colName}")
+              require(q.default.isEmpty,
+                s"DEFAULT is not supported for added column ${q.colName} — " +
+                  "existing rows serve NULL")
+              q.colName -> q.dataType
+            }
+            val tbl = lookup(name)
+            tbl.addColumns(cols)
+            Seq((norm(name), tbl.currentVersion)).toDF("table", "version")
           case dc: org.apache.spark.sql.catalyst.plans.logical.DropColumns =>
             // metadata-only DROP COLUMN — O(manifest); tombstoned against
             // resurrection (see LakeTable.dropColumn)

@@ -463,6 +463,41 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     }
   }
 
+  /**
+   * METADATA-ONLY ADD COLUMNS (`ALTER TABLE ... ADD COLUMNS (c TYPE, ...)`,
+   * Delta's additive evolution as an explicit DDL instead of a write-side
+   * `mergeSchema`): the manifest schema widens, the new columns nullable;
+   * every existing file serves NULL for them on read (the scan is planned
+   * with the widened schema — parquet name-resolution yields NULL for
+   * absent columns). No data file is touched — O(manifest) at any table
+   * size. Tombstoned names ([[dropColumn]]) are rejected: old files still
+   * carry their bytes and would resurrect stale values. Duplicate and
+   * nested names are refused.
+   */
+  def addColumns(cols: Seq[(String, org.apache.spark.sql.types.DataType)]): Unit =
+    synchronized {
+      require(exists, s"LakeTable at $root does not exist")
+      require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
+      cols.foreach { case (n, _) =>
+        require(!n.contains("."), s"nested column $n is not supported") }
+      val dups = cols.groupBy(_._1.toLowerCase(java.util.Locale.ROOT))
+        .filter(_._2.size > 1)
+      require(dups.isEmpty,
+        s"duplicate column name(s) in ADD COLUMNS: ${dups.keys.mkString(", ")}")
+      commitWithRetry { () =>
+        val v = currentVersion
+        val cur = readManifest(v)
+        cols.foreach { case (n, _) =>
+          require(!cur.schema.fieldNames.exists(_.equalsIgnoreCase(n)),
+            s"column $n already exists") }
+        val incoming = StructType(cols.map { case (n, dt) =>
+          org.apache.spark.sql.types.StructField(n, dt, nullable = true) })
+        rejectTombstoned(cur, incoming)
+        (cur.copy(op = "alter", cdfDir = None, commitTsMs = None,
+          schema = StructType(cur.schema.fields ++ incoming.fields)), v + 1)
+      }
+    }
+
   /** Reject additive evolution re-using a [[dropColumn]]-tombstoned name:
    *  old files still carry the bytes, so the "new" column would resurrect
    *  stale values. A full rewrite (overwrite/compact) clears tombstones. */
@@ -523,7 +558,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       val mv = readManifest(v)
       val part: Option[DataFrame] = mv.op match {
         case "create" | "constraint" | "index" | "alter" => None // metadata-only
-        case "append" =>
+        case "append" | "convert" => // convert's adopted files ARE its inserts
           val prevDirs: Set[String] =
             if (v == 0) Set.empty else readManifest(v - 1).entries.map(_.dir).toSet
           val added = mv.entries.map(_.dir).filterNot(prevDirs)
@@ -775,9 +810,12 @@ final class LakeTable private (val spark: SparkSession, val root: String,
    *  implements as `ignoreChanges`-less streaming reads). */
   def readStream: DataFrame = {
     require(exists, s"LakeTable at $root does not exist")
-    // metadata-only commits (create/constraint/index) touch no data files — safe
+    // metadata-only commits (create/constraint/index/alter) touch no data
+    // files — safe: the stream plans with the CURRENT schema, so files
+    // predating an ADD COLUMNS serve NULL and dropped columns project away
     val unsafe = history.filterNot { case (_, op) =>
-      op == "create" || op == "append" || op == "constraint" || op == "index" }
+      op == "create" || op == "append" || op == "constraint" ||
+        op == "index" || op == "alter" || op == "convert" }
     require(unsafe.isEmpty,
       s"readStream requires an append-only history, but $root has non-append commits: " +
         unsafe.map { case (v, op) => s"v$v=$op" }.mkString(", ") +
@@ -884,6 +922,79 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         statsCols = statsColumns.filterNot(partitionBy.contains),
         generated = generatedColumns.toSeq.sortBy(_._1),
         bloomCols = bloomFilterColumns.filterNot(partitionBy.contains)), 0L)
+    }
+    this
+  }
+
+  /**
+   * CONVERT an existing plain-parquet directory into a lake table (Delta's
+   * `CONVERT TO DELTA` role — the migration path onto the engine): the
+   * source files are ADOPTED BY HARD LINK into the table's data layout —
+   * O(files) metadata operations, ZERO data movement or rewrite, so a
+   * 100 TB parquet corpus converts in the time it takes to list it. The
+   * source directory is left untouched (existing readers keep working; the
+   * links share inodes, so no storage is duplicated — same trick the
+   * optimizer uses to carry untouched files across compactions). Schema
+   * comes from the parquet footers; `partitionBy` declares an existing
+   * Hive `col=value` layout (the link step preserves the directory
+   * structure, so partition pruning works immediately); `statsColumns`
+   * runs the same one-pass zone-map collection a native write performs —
+   * the only step that reads data, and the price of file skipping (omit it
+   * for a pure-metadata convert; Delta's convert likewise scans for
+   * stats). Commits as version 0 with op `convert`; change feeds and
+   * streaming tails treat the adopted files as the initial insert batch.
+   */
+  def convertFrom(sourceDir: String, partitionBy: Option[String] = None,
+      statsColumns: Seq[String] = Nil,
+      bloomFilterColumns: Seq[String] = Nil): LakeTable = synchronized {
+    require(!exists, s"LakeTable at $root already exists — CONVERT targets " +
+      "a fresh root")
+    val src = Paths.get(sourceDir).toAbsolutePath.normalize
+    val files = listParquet(src)
+    require(files.nonEmpty, s"no parquet files under $sourceDir")
+    val inferred = StructType(spark.read.parquet(sourceDir).schema.map(
+      _.copy(nullable = true)))
+    partitionBy.foreach(p => require(inferred.fieldNames.contains(p),
+      s"partition column $p not found — is $sourceDir Hive-partitioned by it?"))
+    if (partitionBy.isEmpty) {
+      // a Hive col=value layout silently yields NULLs for the partition
+      // column if adopted unpartitioned — refuse instead
+      val hive = files.flatMap(f => src.relativize(f).iterator().asScala
+        .map(_.toString).find(s => s.contains("=") && !s.endsWith(".parquet")))
+      require(hive.isEmpty,
+        s"$sourceDir has col=value directories (${hive.head}) — pass partitionBy")
+    }
+    val dir = s"data/${UUID.randomUUID()}"
+    files.foreach { f =>
+      val dest = Paths.get(root, dir).resolve(src.relativize(f))
+      Files.createDirectories(dest.getParent)
+      try { Files.createLink(dest, f); () }
+      catch { // cross-filesystem (EXDEV) or FS without links: copy instead
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          Files.copy(f, dest); ()
+      }
+    }
+    val owned = partitionBy.map { p =>
+      val vals = listPartitionValues(dir, p)
+      if (vals.contains(null)) {
+        deleteRecursively(Paths.get(root, dir))
+        throw new IllegalArgumentException(
+          s"null or __HIVE_DEFAULT_PARTITION__ value in partition column $p " +
+            "— unaddressable by partition-scoped reads; convert aborted")
+      }
+      vals
+    }
+    val scols = statsColumns.filterNot(partitionBy.contains)
+    val bcols = bloomFilterColumns.filterNot(partitionBy.contains)
+    writeBloomIndex(dir, inferred, partitionBy, bcols)
+    val committed = tryCommit(Manifest(inferred, partitionBy,
+      Seq(DirEntry(dir, owned)), "convert", statsCols = scols,
+      fileStats = collectFileStats(dir, inferred, partitionBy, scols),
+      bloomCols = bcols), 0L)
+    if (!committed) {
+      deleteRecursively(Paths.get(root, dir))
+      throw new ConcurrentWriteException(
+        s"another writer created a table at $root during CONVERT")
     }
     this
   }

@@ -1155,6 +1155,54 @@ object CoreQueries {
         WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0
         ORDER BY o_orderkey""")),
 
+    // S31: METADATA-ONLY ADD COLUMNS (`ALTER TABLE ... ADD COLUMNS`) — the
+    // explicit-DDL form of additive evolution: the manifest widens without
+    // touching a single data file (O(manifest) at any table size), files
+    // predating the ALTER serve NULL for the new column, and the first
+    // post-ALTER append carries real values. The oracle replays the
+    // widened union relationally.
+    Q("s31_add_column", (s, d) => {
+      val o = t(s, d, "orders")
+      val tbl = LakeTable(s, s"${tmp("graft_s31")}/t")
+      tbl.append(o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice"))
+      LakeSql.register("s31_orders", tbl)
+      try LakeSql.sql(s, "ALTER TABLE s31_orders ADD COLUMNS (o_margin DOUBLE)")
+      finally LakeSql.unregister("s31_orders")
+      tbl.append(o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          (col("o_totalprice") * lit(0.25)).as("o_margin")))
+      tbl.read.orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+          CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice * 0.25 END AS o_margin
+        FROM orders ORDER BY o_orderkey""")),
+
+    // S32: CONVERT — adopt a pre-existing plain-parquet directory as a lake
+    // table (Delta `CONVERT TO DELTA`): hard-link adoption, O(files)
+    // metadata work and ZERO data movement (ConvertSpec proves shared
+    // inodes), zone-map stats collected in the same pass a native write
+    // pays. The adopted table is immediately a FULL table: the query runs
+    // an arbitrary-predicate MoR DELETE and a pushed-filter SQL SELECT over
+    // it — the 100 TB migration path (convert in minutes, then query and
+    // mutate in place, source readers untouched).
+    Q("s32_convert", (s, d) => {
+      val o = t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      val root = tmp("graft_s32")
+      o.write.parquet(s"$root/src") // the pre-existing corpus to migrate
+      try {
+        LakeSql.sql(s, s"CONVERT TO LAKE parquet.`$root/src` AS s32_orders " +
+          s"LOCATION '$root/t' STATS ON (o_totalprice)")
+        LakeSql.sql(s, "DELETE FROM s32_orders WHERE o_orderkey % 10 = 3")
+        LakeSql.sql(s,
+          """SELECT o_orderkey, o_custkey, o_totalprice FROM s32_orders
+             WHERE o_totalprice >= 1000.0 ORDER BY o_orderkey""")
+      } finally LakeSql.unregister("s32_orders")
+    },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_orderkey % 10 <> 3 AND o_totalprice >= 1000.0
+        ORDER BY o_orderkey""")),
+
     // S13: SHALLOW CLONE — zero-copy table fork (hard-linked file
     // re-references, O(file count) metadata). The clone then diverges with
     // its own append while the SOURCE is overwritten and vacuumed down to

@@ -633,6 +633,46 @@ class LakeSqlSpec extends SparkSpec {
     } finally LakeSql.unregister("drop_t")
   }
 
+  test("ALTER TABLE ADD COLUMNS is metadata-only; old files serve NULL") {
+    val root = tmpDir("sql_add_col")
+    val t = LakeTable(spark, s"$root/t")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    LakeSql.register("add_t", t)
+    try {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val bytesBefore = Files.walk(Paths.get(s"$root/t", "data"))
+        .iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
+      LakeSql.sql(spark,
+        "ALTER TABLE add_t ADD COLUMNS (score DOUBLE, channel STRING)")
+      assert(t.schema.fieldNames.toSeq == Seq("k", "v", "score", "channel"))
+      // pre-alter files serve NULL for the new columns; nothing rewritten
+      assert(t.read.orderBy("k")
+        .as[(Long, String, Option[Double], Option[String])].collect().toSeq ==
+        Seq((1L, "a", None, None), (2L, "b", None, None)))
+      val bytesAfter = Files.walk(Paths.get(s"$root/t", "data"))
+        .iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
+      assert(bytesAfter == bytesBefore, "add rewrote data files")
+      // post-alter appends carry values; the mixed read unions correctly
+      t.append(Seq((3L, "c", 1.5, "web")).toDF("k", "v", "score", "channel"))
+      assert(t.read.orderBy("k")
+        .as[(Long, String, Option[Double], Option[String])].collect().toSeq ==
+        Seq((1L, "a", None, None), (2L, "b", None, None),
+          (3L, "c", Some(1.5), Some("web"))))
+      // time travel to the pre-alter version has the narrow schema
+      assert(!t.readVersion(t.currentVersion - 2).schema.fieldNames
+        .contains("score"))
+      // guards: duplicate of an existing name; tombstoned name
+      val e = intercept[IllegalArgumentException](
+        LakeSql.sql(spark, "ALTER TABLE add_t ADD COLUMNS (v INT)"))
+      assert(e.getMessage.contains("already exists"), e.getMessage)
+      t.dropColumn("channel")
+      val e2 = intercept[IllegalArgumentException](
+        LakeSql.sql(spark, "ALTER TABLE add_t ADD COLUMNS (channel STRING)"))
+      assert(e2.getMessage.contains("resurrect"), e2.getMessage)
+    } finally LakeSql.unregister("add_t")
+  }
+
   test("composite keys and swapped equality sides resolve") {
     val root = tmpDir("sql_composite")
     val t = LakeTable(spark, s"$root/t")
