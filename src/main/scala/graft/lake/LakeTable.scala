@@ -100,8 +100,72 @@ final class LakeTable private (val spark: SparkSession, val root: String,
   private def b64d(s: String): String =
     new String(Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
 
+  /** Resolved manifests by version. Committed manifest files are immutable
+   *  (the CAS link publishes exactly one file per version, never rewritten),
+   *  so cached resolutions can never go stale — the cache only bounds the
+   *  repeated IO of delta-chain resolution. Kept small: snapshot reads only
+   *  ever need the chain back to the nearest checkpoint. */
+  private val mfCache = new java.util.concurrent.ConcurrentHashMap[Long, Manifest]()
+
+  /** Chain depth of version `v`'s manifest file: 0 for a full checkpoint,
+   *  parent's depth + 1 for a delta. Reads only the first two lines —
+   *  delta files lead with `base=`/`chain=`. */
+  private def chainLenOf(v: Long): Int = {
+    val it = Files.lines(manifestFile(v), StandardCharsets.UTF_8)
+    try it.iterator().asScala.take(2).collectFirst {
+      case l if l.startsWith("chain=") => l.stripPrefix("chain=").toInt
+    }.getOrElse(0) finally it.close()
+  }
+
+  private def parseDirEntry(s: String): DirEntry = s.split('|') match {
+    case Array(d) => DirEntry(d, None)
+    case Array(d, owned) =>
+      DirEntry(d, Some(owned.split(',').toSeq.filter(_.nonEmpty).map(b64d)))
+    case _ => sys.error(s"bad manifest dir entry: $s")
+  }
+
+  /** Load version `v`'s manifest. A file is either a FULL checkpoint (the
+   *  complete snapshot) or a DELTA against `base=` (its immediate parent):
+   *  all O(columns + writers) metadata is carried in full either way, and
+   *  only the O(files) `dir=`/`fstat=` body is diff-encoded (`adddir=` /
+   *  `rmdir=` / added `fstat=`). Resolution walks the chain to the nearest
+   *  checkpoint (bounded by [[LakeTable.ManifestCheckpointInterval]]) and
+   *  is memoized per instance. */
   private def readManifest(v: Long): Manifest = {
+    val cached = mfCache.get(v)
+    if (cached != null) return cached
     val lines = Files.readAllLines(manifestFile(v), StandardCharsets.UTF_8).asScala
+    val own = parseManifestLines(v, lines)
+    val m = lines.collectFirst {
+      case l if l.startsWith("base=") => l.stripPrefix("base=").toLong
+    } match {
+      case None => own
+      case Some(b) =>
+        val parent = readManifest(b)
+        val rmDirs = lines.collect {
+          case l if l.startsWith("rmdir=") => l.stripPrefix("rmdir=")
+        }.toSet
+        val addEntries = lines.collect {
+          case l if l.startsWith("adddir=") => parseDirEntry(l.stripPrefix("adddir="))
+        }.toSeq
+        // `fstat=` lines in a delta are the ADDED stats only
+        val addPaths = own.fileStats.map(_.path).toSet
+        val entries = parent.entries.filterNot(e => rmDirs.contains(e.dir)) ++ addEntries
+        val fileStats = parent.fileStats.filterNot(f =>
+          addPaths.contains(f.path) || rmDirs.exists(d => f.path.startsWith(d + "/"))) ++
+          own.fileStats
+        own.copy(entries = entries, fileStats = fileStats)
+    }
+    mfCache.put(v, m)
+    if (mfCache.size() > 32) {
+      val ks = mfCache.keySet().asScala.toSeq.sorted
+      ks.dropRight(16).foreach(k => mfCache.remove(k))
+    }
+    m
+  }
+
+  private def parseManifestLines(v: Long,
+      lines: scala.collection.Seq[String]): Manifest = {
     val schemaB64 = lines.collectFirst { case l if l.startsWith("schema=") => l.stripPrefix("schema=") }
       .getOrElse(sys.error(s"manifest v$v missing schema"))
     val schema = StructType.fromDDL(b64d(schemaB64))
@@ -199,7 +263,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
   def history: Seq[(Long, String)] = {
     require(exists, s"LakeTable at $root does not exist")
     (0L to currentVersion).filter(v => Files.exists(manifestFile(v)))
-      .map(v => v -> readManifest(v).op)
+      .map(v => v -> manifestHeader(v)._1)
   }
 
   /** DESCRIBE HISTORY with commit wall-clocks, oldest first:
@@ -837,6 +901,58 @@ final class LakeTable private (val spark: SparkSession, val root: String,
   /** Conditional put of manifest `m` as version `next`: stage to a temp
    *  file, hard-link it to the manifest path — atomic, and EEXIST if another
    *  writer already committed `next`. Returns whether this writer won. */
+  private def dirLine(prefix: String, e: DirEntry): String = e.owned match {
+    case None => s"$prefix${e.dir}"
+    case Some(vs) => s"$prefix${e.dir}|${vs.map(b64e).mkString(",")}"
+  }
+
+  private def fstatLine(fs: FileStat): String =
+    (b64e(fs.path) +: fs.minMax.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+      s"${b64e(c)}:${b64e(mn)}:${b64e(mx)}"
+    }).mkString("fstat=", "|", "")
+
+  /** Delta-encode `m`'s O(files) body against its parent, or None when a
+   *  full checkpoint is due: v0, every
+   *  [[LakeTable.ManifestCheckpointInterval]]th commit in a chain, a parent
+   *  that can't be read, a diff no smaller than the full body
+   *  (overwrite/compact-class rewrites), or — the safety net — a diff whose
+   *  in-memory resolution does not reproduce `m` exactly. */
+  private def deltaBodyFor(m: Manifest, next: Long,
+      fullBody: Seq[String]): Option[Seq[String]] = {
+    if (next == 0) return None
+    val pv = next - 1
+    if (!Files.exists(manifestFile(pv))) return None
+    val chain = chainLenOf(pv)
+    if (chain + 1 >= LakeTable.ManifestCheckpointInterval) return None
+    val parent = try readManifest(pv) catch { case scala.util.control.NonFatal(_) => return None }
+    val parentDirs = parent.entries.map(e => e.dir -> e).toMap
+    val newDirs = m.entries.map(e => e.dir -> e).toMap
+    val rm = parent.entries.filterNot(e => newDirs.get(e.dir).contains(e)).map(_.dir)
+    val add = m.entries.filterNot(e => parentDirs.get(e.dir).contains(e))
+    val parentStats = parent.fileStats.map(f => f.path -> f).toMap
+    val addStats = m.fileStats.filterNot(f => parentStats.get(f.path).contains(f))
+    // verify: the reader's resolution of this diff must reproduce m exactly
+    val rmSet = rm.toSet
+    val addPaths = addStats.map(_.path).toSet
+    val resolvedEntries = parent.entries.filterNot(e => rmSet(e.dir)) ++ add
+    val resolvedStats = parent.fileStats.filterNot(f =>
+      addPaths(f.path) || rmSet.exists(d => f.path.startsWith(d + "/"))) ++ addStats
+    if (resolvedEntries.toSet != m.entries.toSet ||
+        resolvedStats.toSet != m.fileStats.toSet) return None
+    val delta = Seq(s"base=$pv", s"chain=${chain + 1}") ++
+      rm.map(d => s"rmdir=$d") ++
+      add.map(dirLine("adddir=", _)) ++
+      addStats.map(fstatLine)
+    if (delta.size >= fullBody.size + 2) None else Some(delta)
+  }
+
+  /** Publish `m` as version `next` via hard-link CAS. The manifest LOG uses
+   *  Delta Lake's discipline (delta log + `delta.checkpointInterval`-style
+   *  checkpoints, default 10): between checkpoints a commit records only the
+   *  dirs/file-stats it added or removed, so a one-file append to a
+   *  million-file table writes O(new files) manifest bytes, not O(table) —
+   *  the shape that keeps per-commit metadata cost flat at 100 TB. Readers
+   *  resolve at most one checkpoint + interval-1 deltas per snapshot load. */
   private def tryCommit(m: Manifest, next: Long): Boolean = {
     Files.createDirectories(commitsDir)
     val header = Seq(s"schema=${b64e(m.schema.toDDL)}", s"op=${m.op}",
@@ -854,19 +970,14 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       m.txns.sortBy(_._1).map { case (a, tv) => s"txn=${b64e(a)}:$tv" } ++
       (if (m.droppedCols.nonEmpty)
         Seq(s"dropped=${m.droppedCols.map(b64e).mkString(",")}") else Nil)
-    val body = m.entries.map { e =>
-      e.owned match {
-        case None => s"dir=${e.dir}"
-        case Some(vs) => s"dir=${e.dir}|${vs.map(b64e).mkString(",")}"
-      }
-    } ++ m.fileStats.map { fs =>
-      (b64e(fs.path) +: fs.minMax.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
-        s"${b64e(c)}:${b64e(mn)}:${b64e(mx)}"
-      }).mkString("fstat=", "|", "")
+    val fullBody = m.entries.map(dirLine("dir=", _)) ++ m.fileStats.map(fstatLine)
+    val lines = deltaBodyFor(m, next, fullBody) match {
+      // base=/chain= lead the file so chain-depth probes read 2 lines only
+      case Some(delta) => delta.take(2) ++ header ++ delta.drop(2)
+      case None => header ++ fullBody
     }
     val staged = commitsDir.resolve(s".stage-${UUID.randomUUID()}")
-    Files.write(staged,
-      (header ++ body).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(staged, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     val won =
       try { Files.createLink(manifestFile(next), staged); true }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
@@ -2512,6 +2623,12 @@ object LakeTable {
    *  window): reclaiming data younger than this risks failing a reader that
    *  resolved its snapshot before the vacuum started. */
   val MinRetentionHours: Double = 168.0
+  /** Full-checkpoint cadence of the manifest log (Delta's
+   *  `delta.checkpointInterval` default): commits between checkpoints are
+   *  diff-encoded against their parent, so per-commit manifest bytes scale
+   *  with the files TOUCHED, not the table; snapshot resolution reads at
+   *  most one checkpoint + this-many-minus-one deltas. */
+  val ManifestCheckpointInterval: Int = 10
   /** Change-feed column names (Delta CDF's). */
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"

@@ -1203,6 +1203,32 @@ object CoreQueries {
         WHERE o_orderkey % 10 <> 3 AND o_totalprice >= 1000.0
         ORDER BY o_orderkey""")),
 
+    // S33: MANIFEST LOG — the Delta-transaction-log commit discipline under
+    // load: 12 consecutive appends cross a full-checkpoint boundary
+    // (LakeTable.ManifestCheckpointInterval = 10), so the table's history is
+    // checkpoint → 9 deltas → checkpoint → delta when the MoR DELETE lands
+    // on top. Per-commit manifest bytes are O(files touched), not O(table)
+    // (ManifestDeltaSpec pins the sizes); this query proves the READ side —
+    // chain resolution, zone stats, deletion vectors, time travel — by
+    // hash-matching a full scan plus a mid-chain readVersion row count
+    // against the oracle. A resolver that dropped or duplicated any delta's
+    // dirs would mismatch.
+    Q("s33_manifest_log", (s, d) => {
+      val o = t(s, d, "orders")
+      val tbl = LakeTable(s, s"${tmp("graft_s33")}/t")
+      tbl.create(o.schema)
+      (0 until 12).foreach(i => tbl.append(o.filter(col("o_orderkey") % 12 === i)))
+      tbl.deleteWhere("o_orderkey % 10 = 7") // delta commit carrying DVs
+      val midChain = tbl.readVersion(6).count() // v6 = 6 appends resolved mid-chain
+      tbl.read.select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("mid_chain_rows", lit(midChain))
+        .orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+          (SELECT count(*) FROM orders WHERE o_orderkey % 12 < 6) AS mid_chain_rows
+        FROM orders WHERE o_orderkey % 10 <> 7
+        ORDER BY o_orderkey""")),
+
     // S13: SHALLOW CLONE — zero-copy table fork (hard-linked file
     // re-references, O(file count) metadata). The clone then diverges with
     // its own append while the SOURCE is overwritten and vacuumed down to
