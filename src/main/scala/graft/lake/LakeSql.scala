@@ -347,6 +347,55 @@ object LakeSql {
                 tbl.dropColumn(c)
             }
             Seq((norm(name), tbl.currentVersion)).toDF("table", "version")
+          case rc: org.apache.spark.sql.catalyst.plans.logical.RenameColumn =>
+            // metadata-only RENAME COLUMN (column mapping) — O(manifest);
+            // no data file is touched (see LakeTable.renameColumn)
+            val name = rc.table.collectFirst {
+              case UnresolvedRelation(parts, _, _) => parts.mkString(".")
+              case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+                ut.multipartIdentifier.mkString(".")
+            }.getOrElse(throw new IllegalArgumentException(
+              s"ALTER TABLE target must be a named table, got ${rc.table.nodeName}"))
+            require(rc.column.name.length == 1,
+              s"nested column ${rc.column.name.mkString(".")} is not supported")
+            val tbl = lookup(name)
+            tbl.renameColumn(rc.column.name.head, rc.newName)
+            Seq((norm(name), tbl.currentVersion)).toDF("table", "version")
+          case sp: org.apache.spark.sql.catalyst.plans.logical.SetTableProperties =>
+            val name = sp.table.collectFirst {
+              case UnresolvedRelation(parts, _, _) => parts.mkString(".")
+              case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+                ut.multipartIdentifier.mkString(".")
+            }.getOrElse(throw new IllegalArgumentException(
+              s"ALTER TABLE target must be a named table, got ${sp.table.nodeName}"))
+            val tbl = lookup(name)
+            tbl.setTableProperties(sp.properties)
+            Seq((norm(name), tbl.currentVersion)).toDF("table", "version")
+          case up: org.apache.spark.sql.catalyst.plans.logical.UnsetTableProperties =>
+            val name = up.table.collectFirst {
+              case UnresolvedRelation(parts, _, _) => parts.mkString(".")
+              case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+                ut.multipartIdentifier.mkString(".")
+            }.getOrElse(throw new IllegalArgumentException(
+              s"ALTER TABLE target must be a named table, got ${up.table.nodeName}"))
+            val tbl = lookup(name)
+            tbl.unsetTableProperties(up.propertyKeys)
+            Seq((norm(name), tbl.currentVersion)).toDF("table", "version")
+          case st: org.apache.spark.sql.catalyst.plans.logical.ShowTableProperties =>
+            val name = st.table.collectFirst {
+              case UnresolvedRelation(parts, _, _) => parts.mkString(".")
+              case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+                ut.multipartIdentifier.mkString(".")
+              case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+                ut.multipartIdentifier.mkString(".")
+            }.getOrElse(throw new IllegalArgumentException(
+              s"SHOW TBLPROPERTIES target must be a named table, got ${st.table.nodeName}"))
+            val all = lookup(name).tableProperties
+            val shown = st.propertyKey match {
+              case Some(k) => all.get(k).map(k -> _).toSeq
+              case None => all.toSeq.sortBy(_._1)
+            }
+            shown.toDF("key", "value")
           case DeleteFromTable(target, condition) =>
             val (name, alias) = relationOf(target, "DELETE")
             // merge-on-read: arbitrary conditions, O(matched rows), valid

@@ -220,9 +220,20 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     val dropped = lines.collectFirst { case l if l.startsWith("dropped=") =>
       l.stripPrefix("dropped=").split(',').toSeq.filter(_.nonEmpty).map(b64d)
     }.getOrElse(Nil)
+    val colMap = lines.collectFirst { case l if l.startsWith("colmap=") =>
+      l.stripPrefix("colmap=").split(',').toSeq.filter(_.nonEmpty).map { kv =>
+        val Array(lg, ph) = kv.split(':')
+        b64d(lg) -> b64d(ph)
+      }
+    }.getOrElse(Nil)
+    val props = lines.collect {
+      case l if l.startsWith("prop=") =>
+        val Array(k, v0) = l.stripPrefix("prop=").split(':')
+        b64d(k) -> b64d(v0)
+    }.toSeq
     Manifest(schema, pcol, entries, op, cdfEnabled, cdfDir, statsCols, fileStats,
       commitTsMs, constraints, generated, deleteVectors, bloomCols, txns,
-      dropped)
+      dropped, colMap, props)
   }
 
   private def manifest: Manifest = readManifest(currentVersion)
@@ -340,7 +351,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         fileStats = m.fileStats, constraints = m.constraints,
         generated = m.generated, deleteVectors = m.deleteVectors,
         txns = curM.txns, droppedCols = curM.droppedCols,
-        bloomCols = m.bloomCols), cur + 1)
+        bloomCols = m.bloomCols, colMap = m.colMap, props = m.props), cur + 1)
     }
   }
 
@@ -382,7 +393,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       fileStats = m.fileStats, constraints = m.constraints,
       generated = m.generated, deleteVectors = m.deleteVectors,
       txns = m.txns, droppedCols = m.droppedCols,
-      bloomCols = m.bloomCols), 0L),
+      bloomCols = m.bloomCols, colMap = m.colMap, props = m.props), 0L),
       s"clone target $targetRoot was created concurrently")
     dst
   }
@@ -517,13 +528,15 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         s"constraint $n references $c — drop the constraint first") }
       cur.generated.foreach { case (g, e) => require(g == c || !refs(e),
         s"generated column $g is computed from $c — drop it first") }
+      val pc = physName(cur, c) // files carry the physical name forever
       (cur.copy(op = "alter", cdfDir = None, commitTsMs = None,
         schema = StructType(cur.schema.fields.filterNot(_.name == c)),
         statsCols = cur.statsCols.filterNot(_ == c),
-        fileStats = cur.fileStats.map(fs => fs.copy(minMax = fs.minMax - c)),
+        fileStats = cur.fileStats.map(fs => fs.copy(minMax = fs.minMax - pc)),
         generated = cur.generated.filterNot(_._1 == c),
         bloomCols = cur.bloomCols.filterNot(_ == c),
-        droppedCols = cur.droppedCols :+ c), v + 1)
+        colMap = cur.colMap.filterNot(_._1 == c),
+        droppedCols = cur.droppedCols :+ pc), v + 1)
     }
   }
 
@@ -562,6 +575,117 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       }
     }
 
+  /**
+   * METADATA-ONLY RENAME COLUMN (`ALTER TABLE ... RENAME COLUMN a TO b`,
+   * Delta's `columnMapping.mode = name` rename): only the LOGICAL name
+   * changes — the column's PHYSICAL name (fixed at creation) stays in every
+   * data file, so no file is rewritten, O(manifest) at any table size.
+   * Zone stats, bloom sidecars and Hive partition dirs are keyed by the
+   * physical name and stay valid; partition columns may be renamed. Reads,
+   * predicates, MERGE keys and SQL conditions use the new name immediately;
+   * [[readVersion]] of pre-rename versions serves the old name; the change
+   * feed serves the whole history under the CURRENT names (physical
+   * identity makes old versions' rows column-consistent). Renaming a column
+   * referenced by a CHECK constraint or a generated-column expression is
+   * refused (drop the constraint first — expression strings are not
+   * rewritten), as is adopting an existing or tombstoned name.
+   */
+  def renameColumn(oldName: String, newName: String): Unit = synchronized {
+    require(exists, s"LakeTable at $root does not exist")
+    require(newName.nonEmpty && !newName.contains("."),
+      s"bad column name '$newName'")
+    commitWithRetry { () =>
+      val v = currentVersion
+      val cur = readManifest(v)
+      val f = cur.schema.fields.find(_.name.equalsIgnoreCase(oldName))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no column $oldName in ${cur.schema.fieldNames.mkString(",")}"))
+      val c = f.name
+      def refs(e: String): Boolean =
+        spark.sessionState.sqlParser.parseExpression(e).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if a.nameParts.head.equalsIgnoreCase(c) => a
+        }.nonEmpty
+      require(!cur.schema.fieldNames.exists(n => n != c && n.equalsIgnoreCase(newName)),
+        s"column $newName already exists")
+      require(!cur.droppedCols.exists(_.equalsIgnoreCase(newName)),
+        s"$newName is the tombstoned physical name of a dropped column — " +
+          "old files still carry its bytes")
+      require(!cur.colMap.exists { case (l, ph) =>
+        l != c && l != ph && ph.equalsIgnoreCase(newName) },
+        s"$newName is the physical name of another renamed column — old " +
+          "files still carry its bytes")
+      cur.constraints.foreach { case (n, e) => require(!refs(e),
+        s"constraint $n references $c — drop the constraint first") }
+      cur.generated.foreach { case (g, e) => require(g != c && !refs(e),
+        s"generated column $g is defined as '$e' — renames do not rewrite " +
+          "expressions; drop the generated column first") }
+      val phys = physName(cur, c)
+      val newMap = cur.colMap.filterNot(_._1 == c) ++
+        (if (phys == newName) Nil else Seq(newName -> phys))
+      (cur.copy(op = "rename", cdfDir = None, commitTsMs = None,
+        schema = StructType(cur.schema.fields.map(x =>
+          if (x.name == c) x.copy(name = newName) else x)),
+        pcol = cur.pcol.map(p => if (p == c) newName else p),
+        statsCols = cur.statsCols.map(x => if (x == c) newName else x),
+        bloomCols = cur.bloomCols.map(x => if (x == c) newName else x),
+        colMap = newMap), v + 1)
+    }
+  }
+
+  /** Current logical → physical column mapping (renamed columns only). */
+  def columnMapping: Map[String, String] = manifest.colMap.toMap
+
+  /**
+   * `ALTER TABLE ... SET TBLPROPERTIES` (Delta table properties): free-form
+   * key/value metadata carried in the manifest, versioned, restored and
+   * cloned with the table. `enableChangeFeed` is RECOGNIZED: setting it
+   * 'true'/'false' switches change-data capture for subsequent commits
+   * (Delta's `delta.enableChangeDataFeed` — the feed is readable from the
+   * version that enabled it).
+   */
+  def setTableProperties(kvs: Map[String, String]): Unit = synchronized {
+    require(exists, s"LakeTable at $root does not exist")
+    require(kvs.nonEmpty, "SET TBLPROPERTIES with no properties")
+    commitWithRetry { () =>
+      val v = currentVersion
+      val cur = readManifest(v)
+      val cdf = kvs.get(LakeTable.ChangeFeedProp) match {
+        case Some(x) => x.trim.toLowerCase(java.util.Locale.ROOT) == "true"
+        case None => cur.cdfEnabled
+      }
+      val merged = (cur.props.toMap ++ (kvs - LakeTable.ChangeFeedProp))
+        .toSeq.sortBy(_._1)
+      (cur.copy(op = "properties", cdfDir = None, commitTsMs = None,
+        props = merged, cdfEnabled = cdf), v + 1)
+    }
+  }
+
+  /** `ALTER TABLE ... UNSET TBLPROPERTIES` — absent keys are ignored
+   *  (Delta's IF EXISTS semantics). Unsetting `enableChangeFeed` disables
+   *  capture for subsequent commits. */
+  def unsetTableProperties(keys: Seq[String]): Unit = synchronized {
+    require(exists, s"LakeTable at $root does not exist")
+    require(keys.nonEmpty, "UNSET TBLPROPERTIES with no keys")
+    commitWithRetry { () =>
+      val v = currentVersion
+      val cur = readManifest(v)
+      val cdf = if (keys.contains(LakeTable.ChangeFeedProp)) false
+        else cur.cdfEnabled
+      (cur.copy(op = "properties", cdfDir = None, commitTsMs = None,
+        props = cur.props.filterNot(p => keys.contains(p._1)),
+        cdfEnabled = cdf), v + 1)
+    }
+  }
+
+  /** Current table properties (`SHOW TBLPROPERTIES`), including the
+   *  recognized `enableChangeFeed` flag. */
+  def tableProperties: Map[String, String] = {
+    val m = manifest
+    m.props.toMap ++
+      (if (m.cdfEnabled) Map(LakeTable.ChangeFeedProp -> "true") else Map.empty)
+  }
+
   /** Reject additive evolution re-using a [[dropColumn]]-tombstoned name:
    *  old files still carry the bytes, so the "new" column would resurrect
    *  stale values. A full rewrite (overwrite/compact) clears tombstones. */
@@ -574,6 +698,15 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       s"column(s) ${hit.mkString(", ")} were dropped metadata-only — old " +
         "files still carry their bytes and would resurrect stale values; " +
         "rewrite the table (overwrite/compact) before re-adding the name")
+    // same hazard through column mapping: a renamed column's PHYSICAL name
+    // is still carried by every old file — a new logical column adopting it
+    // would read those stale bytes
+    val mapped = novel.filter(n =>
+      m.colMap.exists { case (l, ph) => l != ph && ph.equalsIgnoreCase(n) })
+    require(mapped.isEmpty,
+      s"column(s) ${mapped.mkString(", ")} are the physical names of " +
+        "renamed columns — old files still carry their bytes; pick a " +
+        "different name or rewrite the table (overwrite) first")
   }
 
   /** Enforce CHECK constraints on an incoming batch: one conjoined pre-pass
@@ -621,7 +754,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     val parts = (fromVersion to hi).flatMap { v =>
       val mv = readManifest(v)
       val part: Option[DataFrame] = mv.op match {
-        case "create" | "constraint" | "index" | "alter" => None // metadata-only
+        case "create" | "constraint" | "index" | "alter" | "rename" |
+             "properties" => None // metadata-only
         case "append" | "convert" => // convert's adopted files ARE its inserts
           val prevDirs: Set[String] =
             if (v == 0) Set.empty else readManifest(v - 1).entries.map(_.dir).toSet
@@ -629,8 +763,11 @@ final class LakeTable private (val spark: SparkSession, val root: String,
           added.foreach(d => require(Files.isDirectory(Paths.get(root, d)),
             s"change feed for v$v has been vacuumed ($d)"))
           added.map { d =>
-            spark.read.schema(mv.schema)
-              .option("basePath", s"$root/$d").parquet(s"$root/$d")
+            // files carry PHYSICAL names; serve the feed under the CURRENT
+            // logical names (physical ids are stable across renames, so a
+            // feed spanning a RENAME COLUMN stays column-consistent)
+            toLogicalNames(m, spark.read.schema(physSchema(m))
+              .option("basePath", s"$root/$d").parquet(s"$root/$d"))
               .withColumn(ChangeTypeCol, lit("insert"))
           }.reduceOption(_ unionByName _)
         case "merge" | "delete" | "update" | "replace" =>
@@ -638,7 +775,11 @@ final class LakeTable private (val spark: SparkSession, val root: String,
             case Some(d) =>
               require(Files.isDirectory(Paths.get(root, d)),
                 s"change feed for v$v has been vacuumed ($d)")
-              Some(spark.read.schema(feedSchema).parquet(s"$root/$d"))
+              val physFeed = physSchema(m)
+                .add(ChangeTypeCol, org.apache.spark.sql.types.StringType,
+                  nullable = false)
+              Some(toLogicalNames(m,
+                spark.read.schema(physFeed).parquet(s"$root/$d")))
             case None if mv.op == "replace" && !mv.cdfEnabled => sys.error(
               s"no change data recorded for replace at v$v — create the " +
                 "table with enableChangeFeed=true first")
@@ -711,12 +852,13 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       val disowned = m.pcol.isDefined && e.owned.exists(_.isEmpty)
       if (kept.isEmpty || disowned) None
       else {
-        val scan0 = spark.read.schema(m.schema)
+        val scanP = spark.read.schema(physSchema(m))
           .option("basePath", s"$root/${e.dir}")
           .parquet(kept.map(f => s"$root/$f"): _*)
         // zone maps stay sound under deletion vectors (they only remove
         // rows), but the surviving files must still drop their dead rows
-        val scan = if (m.deleteVectors.isEmpty) scan0 else rowIdCols(scan0)
+        val scan = toLogicalNames(m,
+          if (m.deleteVectors.isEmpty) scanP else rowIdCols(scanP))
         // partitioned dirs still honor manifest ownership (a dir keeps files
         // for partitions it no longer owns until vacuum)
         val ownedFiltered = (m.pcol, e.owned) match {
@@ -749,14 +891,18 @@ final class LakeTable private (val spark: SparkSession, val root: String,
    *  a file survives only if every pred admits it; missing stats/sidecars
    *  admit everything). */
   private def planSkip(m: Manifest,
-      preds: Seq[ZonePred]): Seq[(DirEntry, Seq[String], Int)] = {
+      preds0: Seq[ZonePred]): Seq[(DirEntry, Seq[String], Int)] = {
+    // callers pass LOGICAL predicate columns; per-file stats, bloom sidecar
+    // keys and Hive dir names are all PHYSICAL — translate once here
+    val bloomPhys = m.bloomCols.map(physName(m, _))
+    val preds = toPhysicalPreds(m, preds0)
     val statByPath = m.fileStats.map(fs => fs.path -> fs.minMax).toMap
     val eqPreds = preds.filter(p =>
-      p.lo.isDefined && p.lo == p.hi && m.bloomCols.contains(p.col))
+      p.lo.isDefined && p.lo == p.hi && bloomPhys.contains(p.col))
     // Hive-layout pruning: an EQUALITY pred on the partition column drops
     // files of other partitions by their `p=value` subpath (the partition
     // column has no zone stats — its value IS the directory name)
-    val pcolEq = m.pcol.toSeq.flatMap(pc => preds.collect {
+    val pcolEq = m.pcol.map(physName(m, _)).toSeq.flatMap(pc => preds.collect {
       case pr if pr.col == pc && pr.lo.isDefined && pr.lo == pr.hi => pr.lo.get
     })
     m.entries.map { e =>
@@ -767,11 +913,11 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         .map(p => Paths.get(root).relativize(p).toString).sorted
       val kept = all.filter { f =>
         statByPath.get(f).forall { mm =>
-          preds.forall(pr => mayMatch(mm, pr, m.schema))
+          preds.forall(pr => mayMatch(mm, pr, physSchema(m)))
         } && eqPreds.forall { pr =>
           blooms.get(f).flatMap(_.get(pr.col))
             .forall(_.mightContainString(pr.lo.get))
-        } && (pcolEq.isEmpty || m.pcol.forall { pc =>
+        } && (pcolEq.isEmpty || m.pcol.map(physName(m, _)).forall { pc =>
           val sub = Paths.get(e.dir).relativize(Paths.get(f)).toString
           partitionValueOf(sub, pc).forall(v => pcolEq.forall(_ == v))
         })
@@ -796,6 +942,43 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       val belowMin = pr.hi.exists(h => cmp(h, mn) < 0)
       !aboveMax && !belowMin
     }
+
+  // ---- COLUMN-MAPPING translation boundary --------------------------------
+  //
+  // With a non-empty colMap, parquet files carry PHYSICAL column names while
+  // every API surface (schema, predicates, conditions, constraints,
+  // generated expressions) speaks LOGICAL names. These helpers are the ONLY
+  // translation points: file reads force the physical schema and rename to
+  // logical immediately; file writes rename to physical just before
+  // `.write.parquet`. Per-file artifacts (zone stats, bloom sidecars, Hive
+  // partition dirs) describe physical files and stay keyed physical, so a
+  // rename can never invalidate them. Empty colMap ⇒ every helper is the
+  // identity.
+
+  /** Logical → physical column name (identity when unmapped). */
+  private def physName(m: Manifest, c: String): String =
+    m.colMap.collectFirst { case (l, p) if l == c => p }.getOrElse(c)
+
+  /** The manifest schema with physical field names — what the files carry. */
+  private def physSchema(m: Manifest): StructType =
+    if (m.colMap.isEmpty) m.schema
+    else StructType(m.schema.fields.map(f => f.copy(name = physName(m, f.name))))
+
+  /** Rename a logical-space frame to physical names (write-side boundary). */
+  private def toPhysicalNames(m: Manifest, df: DataFrame): DataFrame =
+    if (m.colMap.isEmpty) df else df.withColumnsRenamed(m.colMap.toMap)
+
+  /** Rename a physical-space frame to logical names (read-side boundary).
+   *  Columns outside the map (row-id/_change_type helpers) pass through. */
+  private def toLogicalNames(m: Manifest, df: DataFrame): DataFrame =
+    if (m.colMap.isEmpty) df
+    else df.withColumnsRenamed(m.colMap.map { case (l, p) => p -> l }.toMap)
+
+  /** Zone predicates translated onto physical column names, for consulting
+   *  per-file stats/bloom sidecars and Hive partition dir names. */
+  private def toPhysicalPreds(m: Manifest, preds: Seq[ZonePred]): Seq[ZonePred] =
+    if (m.colMap.isEmpty) preds
+    else preds.map(pr => pr.copy(col = physName(m, pr.col)))
 
   private def readScoped(m: Manifest, scope: Option[Set[String]]): DataFrame =
     readScopedRows(m, scope, withRowIds = false)
@@ -826,21 +1009,22 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     val base: Option[DataFrame] = m.pcol match {
       case None =>
         if (m.entries.isEmpty) None
-        else Some(attach(spark.read.schema(m.schema)
-          .parquet(m.entries.map(e => s"$root/${e.dir}"): _*)))
+        else Some(toLogicalNames(m, attach(spark.read.schema(physSchema(m))
+          .parquet(m.entries.map(e => s"$root/${e.dir}"): _*))))
       case Some(p) =>
         val dt = m.schema(p).dataType
+        val pp = physName(m, p) // Hive dirs are named with the physical pcol
         val scans = m.entries.flatMap { e =>
           val owned = e.owned.getOrElse(Nil)
           val visible = scope.fold(owned)(s => owned.filter(s))
           if (visible.isEmpty) None
-          else Some(attach(
-            spark.read.schema(m.schema)
+          else Some(toLogicalNames(m, attach(
+            spark.read.schema(physSchema(m))
               .option("basePath", s"$root/${e.dir}")
               .parquet(s"$root/${e.dir}"))
               // equality OR-chain on the partition column → Spark prunes
               // non-owned subdirectories at planning time
-              .filter(visible.map(v => col(p) === lit(v).cast(dt)).reduce(_ || _)))
+              .filter(visible.map(v => col(pp) === lit(v).cast(dt)).reduce(_ || _))))
         }
         scans.reduceOption(_ unionByName _)
     }
@@ -879,7 +1063,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     // predating an ADD COLUMNS serve NULL and dropped columns project away
     val unsafe = history.filterNot { case (_, op) =>
       op == "create" || op == "append" || op == "constraint" ||
-        op == "index" || op == "alter" || op == "convert" }
+        op == "index" || op == "alter" || op == "convert" ||
+        op == "rename" || op == "properties" }
     require(unsafe.isEmpty,
       s"readStream requires an append-only history, but $root has non-append commits: " +
         unsafe.map { case (v, op) => s"v$v=$op" }.mkString(", ") +
@@ -893,9 +1078,12 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         s"partitioned by ${m.pcol.get}): the file-stream glob " +
         "cannot materialize Hive-layout partition values — stream the " +
         "unpartitioned bronze table and partition downstream")
-    spark.readStream.schema(schema)
+    // files carry PHYSICAL names: plan the stream with the physical
+    // schema and rename to the logical view (a rename mid-stream is safe —
+    // physical names never change, so the file source's schema is stable)
+    toLogicalNames(m, spark.readStream.schema(physSchema(m))
       .option("maxFilesPerTrigger", "1000")
-      .parquet(s"$root/data/*")
+      .parquet(s"$root/data/*"))
   }
 
   /** Conditional put of manifest `m` as version `next`: stage to a temp
@@ -969,7 +1157,11 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         Seq(s"bloomcols=${m.bloomCols.map(b64e).mkString(",")}") else Nil) ++
       m.txns.sortBy(_._1).map { case (a, tv) => s"txn=${b64e(a)}:$tv" } ++
       (if (m.droppedCols.nonEmpty)
-        Seq(s"dropped=${m.droppedCols.map(b64e).mkString(",")}") else Nil)
+        Seq(s"dropped=${m.droppedCols.map(b64e).mkString(",")}") else Nil) ++
+      (if (m.colMap.nonEmpty)
+        Seq(s"colmap=${m.colMap.sortBy(_._1).map { case (l, p) =>
+          s"${b64e(l)}:${b64e(p)}" }.mkString(",")}") else Nil) ++
+      m.props.sortBy(_._1).map { case (k, v) => s"prop=${b64e(k)}:${b64e(v)}" }
     val fullBody = m.entries.map(dirLine("dir=", _)) ++ m.fileStats.map(fstatLine)
     val lines = deltaBodyFor(m, next, fullBody) match {
       // base=/chain= lead the file so chain-depth probes read 2 lines only
@@ -1132,12 +1324,20 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       }
     }
 
-  private def writeData(df: DataFrame, pcol: Option[String],
+  /** `colMap` is the table's column mapping: `df`, `pcol`, `statsCols` and
+   *  `bloomCols` arrive in LOGICAL names; files, Hive dirs, stats keys and
+   *  bloom sidecars are written PHYSICAL (see the translation-boundary
+   *  notes above). */
+  private def writeData(df0: DataFrame, pcol: Option[String],
       statsCols: Seq[String] = Nil,
       preclustered: Boolean = false,
-      bloomCols: Seq[String] = Nil): (String, Option[Seq[String]], Seq[FileStat]) = {
+      bloomCols: Seq[String] = Nil,
+      colMap: Seq[(String, String)] = Nil): (String, Option[Seq[String]], Seq[FileStat]) = {
+    def pn(c: String): String =
+      colMap.collectFirst { case (l, p) if l == c => p }.getOrElse(c)
+    val df = if (colMap.isEmpty) df0 else df0.withColumnsRenamed(colMap.toMap)
     val dir = s"data/${UUID.randomUUID()}"
-    val owned = pcol match {
+    val owned = pcol.map(pn) match {
       case None =>
         df.write.parquet(s"$root/$dir")
         None
@@ -1169,8 +1369,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         }
         Some(vals)
     }
-    writeBloomIndex(dir, df.schema, pcol, bloomCols)
-    (dir, owned, collectFileStats(dir, df.schema, pcol, statsCols))
+    writeBloomIndex(dir, df.schema, pcol.map(pn), bloomCols.map(pn))
+    (dir, owned, collectFileStats(dir, df.schema, pcol.map(pn), statsCols.map(pn)))
   }
 
   // ---- BLOOM-FILTER FILE INDEX (Delta bloom filter index analog) ----------
@@ -1430,7 +1630,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     pcol.foreach(p => require(df.columns.contains(p),
       s"append batch is missing the partition column $p"))
     val validatedConstraints = m0.map(_.constraints).getOrElse(Nil).toSet
-    val (dir, owned, fstats) = writeData(df, pcol, scols, bloomCols = bcols)
+    val (dir, owned, fstats) = writeData(df, pcol, scols, bloomCols = bcols,
+      colMap = m0.map(_.colMap).getOrElse(Nil))
     def withTxn(ts: Seq[(String, Long)]): Seq[(String, Long)] = txn match {
       case None => ts
       case Some((a, tv)) => ts.filterNot(_._1 == a) :+ (a -> tv)
@@ -1461,7 +1662,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
             fileStats = cur.fileStats ++ fstats,
             constraints = cur.constraints, generated = cur.generated,
             deleteVectors = cur.deleteVectors, bloomCols = cur.bloomCols,
-            txns = withTxn(cur.txns), droppedCols = cur.droppedCols), v + 1)
+            txns = withTxn(cur.txns), droppedCols = cur.droppedCols,
+            colMap = cur.colMap, props = cur.props), v + 1)
         } else
           (Manifest(df.schema, pcol, Seq(DirEntry(dir, owned)), "append",
             statsCols = scols, fileStats = fstats, txns = withTxn(Nil)), 0L)
@@ -1501,15 +1703,18 @@ final class LakeTable private (val spark: SparkSession, val root: String,
           d
         }
       else df
+    val keptMap = cur.map(_.colMap.filter { case (l, _) =>
+      df1.columns.contains(l) }).getOrElse(Nil)
     val (dir, owned, fstats) = writeData(df1, pcol, scols, preclustered,
-      bloomCols = cur.map(_.bloomCols).getOrElse(Nil))
+      bloomCols = cur.map(_.bloomCols).getOrElse(Nil), colMap = keptMap)
     val validatedConstraints = cur.map(_.constraints).getOrElse(Nil).toSet
     val m = Manifest(df1.schema, pcol, Seq(DirEntry(dir, owned)), op,
       cur.exists(_.cdfEnabled), cdfDir, statsCols = scols, fileStats = fstats,
       txns = cur.map(_.txns).getOrElse(Nil),
       constraints = cur.map(_.constraints).getOrElse(Nil),
       generated = cur.map(_.generated).getOrElse(Nil),
-      bloomCols = cur.map(_.bloomCols).getOrElse(Nil))
+      bloomCols = cur.map(_.bloomCols).getOrElse(Nil),
+      colMap = keptMap, props = cur.map(_.props).getOrElse(Nil))
     expected match {
       case Some(v) =>
         if (!tryCommit(m, v + 1))
@@ -1529,7 +1734,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
             if (op == "overwrite" && unvalidated.nonEmpty)
               enforceConstraints(df1, unvalidated)
             (m.copy(cdfEnabled = c.cdfEnabled, constraints = c.constraints,
-              generated = c.generated, bloomCols = c.bloomCols), v + 1)
+              generated = c.generated, bloomCols = c.bloomCols,
+              props = c.props), v + 1)
           } else (m, 0L)
         }
     }
@@ -1623,7 +1829,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       if (!m.cdfEnabled) None
       else {
         val d = s"_changes/${UUID.randomUUID()}"
-        changes.write.parquet(s"$root/$d")
+        toPhysicalNames(m, changes).write.parquet(s"$root/$d")
         Some(d)
       }
     }
@@ -1667,7 +1873,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         try {
           val chDir = writeChanges(changesFrom(pinned))
           val (dir, owned, fstats) = writeData(mergedFrom(pinned), Some(p),
-            m.statsCols, bloomCols = m.bloomCols)
+            m.statsCols, bloomCols = m.bloomCols, colMap = m.colMap)
           val kept = m.entries
             .map(e => e.copy(owned = e.owned.map(_.filterNot(touchedSet))))
             .filter(_.owned.exists(_.nonEmpty))
@@ -1682,7 +1888,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
               droppedCols = m.droppedCols,
               fileStats = keptStats ++ fstats, constraints = m.constraints,
               generated = m.generated, deleteVectors = m.deleteVectors,
-              bloomCols = m.bloomCols), v0 + 1))
+              bloomCols = m.bloomCols, colMap = m.colMap, props = m.props), v0 + 1))
             throw new ConcurrentWriteException(
               s"merge computed against version $v0 of $root, but a concurrent " +
                 s"writer committed v${v0 + 1} first — recompute and retry")
@@ -1776,9 +1982,9 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       val disowned = m.pcol.isDefined && e.owned.exists(_.isEmpty)
       if (kept.isEmpty || disowned) None
       else {
-        val scan = rowIdCols(spark.read.schema(m.schema)
+        val scan = toLogicalNames(m, rowIdCols(spark.read.schema(physSchema(m))
           .option("basePath", s"$root/${e.dir}")
-          .parquet(kept.map(f => s"$root/$f"): _*))
+          .parquet(kept.map(f => s"$root/$f"): _*)))
         Some((m.pcol, e.owned) match {
           case (Some(p), Some(vs)) if vs.nonEmpty =>
             val dt = m.schema(p).dataType
@@ -1810,8 +2016,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       val chDir =
         if (m.cdfEnabled) {
           val d = s"_changes/${UUID.randomUUID()}"
-          matches.select(m.schema.fieldNames.map(col).toSeq: _*)
-            .withColumn(ChangeTypeCol, lit("delete"))
+          toPhysicalNames(m, matches.select(m.schema.fieldNames.map(col).toSeq: _*)
+            .withColumn(ChangeTypeCol, lit("delete")))
             .write.parquet(s"$root/$d")
           Some(d)
         } else None
@@ -1867,13 +2073,14 @@ final class LakeTable private (val spark: SparkSession, val root: String,
           .write.parquet(s"$root/$dvDir")
         val replaced = spark.read.schema(DvSchema).parquet(s"$root/$dvDir").count()
         val (dir, owned, fstats) =
-          writeData(data, m.pcol, m.statsCols, bloomCols = m.bloomCols)
+          writeData(data, m.pcol, m.statsCols, bloomCols = m.bloomCols,
+            colMap = m.colMap)
         val chDir =
           if (m.cdfEnabled) {
             val d = s"_changes/${UUID.randomUUID()}"
-            matches.select(cols.map(col): _*)
+            toPhysicalNames(m, matches.select(cols.map(col): _*)
               .withColumn(ChangeTypeCol, lit("delete"))
-              .unionByName(data.withColumn(ChangeTypeCol, lit("insert")))
+              .unionByName(data.withColumn(ChangeTypeCol, lit("insert"))))
               .write.parquet(s"$root/$d")
             Some(d)
           } else None
@@ -1931,7 +2138,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
             s"replaced partition range on $p")
         enforceConstraints(data, m.constraints)
         val (dir, owned, fstats) =
-          writeData(data, m.pcol, m.statsCols, bloomCols = m.bloomCols)
+          writeData(data, m.pcol, m.statsCols, bloomCols = m.bloomCols,
+            colMap = m.colMap)
         val numeric = dt.isInstanceOf[org.apache.spark.sql.types.NumericType]
         def cmp(a: String, b: String): Int =
           if (!numeric) a.compareTo(b)
@@ -1954,10 +2162,10 @@ final class LakeTable private (val spark: SparkSession, val root: String,
             val scope = m.entries.flatMap(_.owned.getOrElse(Nil))
               .distinct.filter(replaced).toSet
             val d = s"_changes/${UUID.randomUUID()}"
-            readScoped(m, Some(scope))
+            toPhysicalNames(m, readScoped(m, Some(scope))
               .select(cols.map(col): _*)
               .withColumn(ChangeTypeCol, lit("delete"))
-              .unionByName(data.withColumn(ChangeTypeCol, lit("insert")))
+              .unionByName(data.withColumn(ChangeTypeCol, lit("insert"))))
               .write.parquet(s"$root/$d")
             Some(d)
           } else None
@@ -1967,7 +2175,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
             droppedCols = m.droppedCols,
             constraints = m.constraints,
             generated = m.generated, deleteVectors = m.deleteVectors,
-            bloomCols = m.bloomCols), v0 + 1))
+            bloomCols = m.bloomCols, colMap = m.colMap, props = m.props), v0 + 1))
           throw new ConcurrentWriteException(
             s"replace computed against version $v0 of $root, but a concurrent " +
               s"writer committed v${v0 + 1} first — recompute and retry")
@@ -2038,9 +2246,9 @@ final class LakeTable private (val spark: SparkSession, val root: String,
           }
         }
         // 2. rewrite the touched files with the mutation applied
-        val touchedDf = spark.read.schema(m.schema)
+        val touchedDf = toLogicalNames(m, spark.read.schema(physSchema(m))
           .option("basePath", s"$root/${e.dir}")
-          .parquet(touched.map(f => s"$root/$f"): _*)
+          .parquet(touched.map(f => s"$root/$f"): _*))
         matched += touchedDf.filter(cond).count()
         val rewritten = set match {
           case None => touchedDf.filter(!coalesce(cond, lit(false)))
@@ -2068,11 +2276,13 @@ final class LakeTable private (val spark: SparkSession, val root: String,
           })
         }
         val rwTmp = s"data/.rw-${UUID.randomUUID()}"
-        // preserve partition subdirs for partitioned tables
-        m.pcol match {
-          case Some(p) => rewritten.repartition(col(p))
+        // preserve partition subdirs for partitioned tables; files are
+        // written under PHYSICAL column names (column-mapping boundary)
+        val rewrittenP = toPhysicalNames(m, rewritten)
+        m.pcol.map(physName(m, _)) match {
+          case Some(p) => rewrittenP.repartition(col(p))
             .write.partitionBy(p).parquet(s"$root/$rwTmp")
-          case None => rewritten.write.parquet(s"$root/$rwTmp")
+          case None => rewrittenP.write.parquet(s"$root/$rwTmp")
         }
         val rwFiles = listParquet(Paths.get(root, rwTmp))
         rwFiles.foreach { src =>
@@ -2085,10 +2295,11 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         val rwRel = rwFiles.map(src =>
           s"$newDir/${Paths.get(root, rwTmp).relativize(src)}")
         if (m.statsCols.nonEmpty && rwRel.nonEmpty) {
-          val rwDf = spark.read.schema(m.schema)
+          val rwDf = spark.read.schema(physSchema(m))
             .option("basePath", s"$root/$newDir")
             .parquet(rwRel.map(f => s"$root/$f"): _*)
-          newStats ++= statsOf(rwDf, newDir, m.schema, m.pcol, m.statsCols)
+          newStats ++= statsOf(rwDf, newDir, physSchema(m),
+            m.pcol.map(physName(m, _)), m.statsCols.map(physName(m, _)))
         }
         deleteRecursively(Paths.get(root, rwTmp))
         newEntries += DirEntry(newDir, e.owned)
@@ -2097,14 +2308,15 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     val chDir =
       if (m.cdfEnabled && changeParts.nonEmpty) {
         val d = s"_changes/${UUID.randomUUID()}"
-        changeParts.reduce(_ unionByName _).write.parquet(s"$root/$d")
+        toPhysicalNames(m, changeParts.reduce(_ unionByName _))
+          .write.parquet(s"$root/$d")
         Some(d)
       } else None
     if (!tryCommit(Manifest(m.schema, m.pcol, newEntries.toSeq, opName,
         m.cdfEnabled, chDir, m.statsCols, newStats.toSeq, txns = m.txns,
         droppedCols = m.droppedCols,
         constraints = m.constraints, generated = m.generated,
-        bloomCols = m.bloomCols), v0 + 1))
+        bloomCols = m.bloomCols, colMap = m.colMap, props = m.props), v0 + 1))
       throw new ConcurrentWriteException(
         s"$opName computed against version $v0 of $root, but a concurrent " +
           s"writer committed v${v0 + 1} first — recompute and retry")
@@ -2162,13 +2374,14 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         .select(cols.map(col): _*)
       enforceConstraints(updated, m.constraints)
       val (dir, owned, fstats) =
-        writeData(updated, m.pcol, m.statsCols, bloomCols = m.bloomCols)
+        writeData(updated, m.pcol, m.statsCols, bloomCols = m.bloomCols,
+          colMap = m.colMap)
       val chDir =
         if (m.cdfEnabled) {
           val d = s"_changes/${UUID.randomUUID()}"
-          matches.select(cols.map(col): _*)
+          toPhysicalNames(m, matches.select(cols.map(col): _*)
             .withColumn(ChangeTypeCol, lit("update_preimage"))
-            .unionByName(updated.withColumn(ChangeTypeCol, lit("update_postimage")))
+            .unionByName(updated.withColumn(ChangeTypeCol, lit("update_postimage"))))
             .write.parquet(s"$root/$d")
           Some(d)
         } else None
@@ -2335,7 +2548,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       listParquet(Paths.get(root, e.dir)).foreach { p =>
         val rel = Paths.get(root).relativize(p).toString
         val sub = Paths.get(root, e.dir).relativize(p).toString
-        val inOwned = (m.pcol, ownedVals) match {
+        val inOwned = (m.pcol.map(physName(m, _)), ownedVals) match {
           case (Some(pc), Some(vs)) =>
             partitionValueOf(sub, pc).exists(vs.contains)
           case _ => true
@@ -2357,10 +2570,10 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       }
     }
     val rewritten = rewriteByDir.toSeq.sortBy(_._1).map { case (dir, rels) =>
-      val scan0 = spark.read.schema(m.schema)
+      val scan0 = spark.read.schema(physSchema(m))
         .option("basePath", s"$root/$dir")
         .parquet(rels.map(f => s"$root/$f"): _*)
-      if (m.deleteVectors.isEmpty) scan0 else rowIdCols(scan0)
+      toLogicalNames(m, if (m.deleteVectors.isEmpty) scan0 else rowIdCols(scan0))
     } match {
       case Nil => None
       case scans => Some(antiJoinDeleteVectors(
@@ -2370,12 +2583,13 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     var rewrittenCount = 0
     rewritten.foreach { df =>
       val rwTmp = s"data/.opt-${UUID.randomUUID()}"
-      m.pcol match {
-        case Some(p) => df.repartition(col(p))
+      val dfP = toPhysicalNames(m, df)
+      m.pcol.map(physName(m, _)) match {
+        case Some(p) => dfP.repartition(col(p))
           .write.partitionBy(p).parquet(s"$root/$rwTmp")
         case None =>
           val n = math.max(1, math.ceil(rewriteBytes.toDouble / targetFileBytes).toInt)
-          df.coalesce(n).write.parquet(s"$root/$rwTmp")
+          dfP.coalesce(n).write.parquet(s"$root/$rwTmp")
       }
       val rwFiles = listParquet(Paths.get(root, rwTmp))
       rwFiles.foreach { src =>
@@ -2388,21 +2602,23 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       if (m.statsCols.nonEmpty && rwFiles.nonEmpty) {
         val rwRel = rwFiles.map(src =>
           s"$newDir/${Paths.get(root, rwTmp).relativize(src)}")
-        val rwDf = spark.read.schema(m.schema)
+        val rwDf = spark.read.schema(physSchema(m))
           .option("basePath", s"$root/$newDir")
           .parquet(rwRel.map(f => s"$root/$f"): _*)
-        newStats ++= statsOf(rwDf, newDir, m.schema, m.pcol, m.statsCols)
+        newStats ++= statsOf(rwDf, newDir, physSchema(m),
+          m.pcol.map(physName(m, _)), m.statsCols.map(physName(m, _)))
       }
       deleteRecursively(Paths.get(root, rwTmp))
     }
     // owned values for the packed dir = the union of what the entries owned
     val owned = m.pcol.map(_ => m.entries.flatMap(_.owned.getOrElse(Nil)).distinct)
-    writeBloomIndex(newDir, m.schema, m.pcol, m.bloomCols)
+    writeBloomIndex(newDir, physSchema(m), m.pcol.map(physName(m, _)),
+      m.bloomCols.map(physName(m, _)))
     if (!tryCommit(Manifest(m.schema, m.pcol, Seq(DirEntry(newDir, owned)),
         "optimize", m.cdfEnabled, None, m.statsCols, newStats.toSeq,
         txns = m.txns, droppedCols = m.droppedCols,
         constraints = m.constraints, generated = m.generated,
-        bloomCols = m.bloomCols), v0 + 1))
+        bloomCols = m.bloomCols, colMap = m.colMap, props = m.props), v0 + 1))
       throw new ConcurrentWriteException(
         s"optimize computed against version $v0 of $root, but a concurrent " +
           s"writer committed v${v0 + 1} first — recompute and retry")
@@ -2577,7 +2793,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         val owned = e.owned.getOrElse(Nil).toSet
         listParquet(Paths.get(root, e.dir)).foreach { f =>
           val sub = Paths.get(root, e.dir).relativize(f).toString
-          val v = partitionValueOf(sub, p)
+          val v = partitionValueOf(sub, physName(m, p))
           if (v.exists(x => owned(x) && inScope(x))) { sf += 1; sb += Files.size(f) }
           else if (v.exists(owned)) kf += 1 // live, out of scope: untouched
           // else: a partition this dir no longer owns — dead, vacuum's business
@@ -2595,7 +2811,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       else zorderClustered(df0, m, zcols, targetFiles)
     val (dir, owned, fstats) =
       try writeData(df, m.pcol, m.statsCols, preclustered = true,
-        bloomCols = m.bloomCols)
+        bloomCols = m.bloomCols, colMap = m.colMap)
       finally release()
     val keptEntries = m.entries.flatMap { e =>
       val rest = e.owned.map(_.filterNot(scopeSet))
@@ -2608,7 +2824,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         "optimize", m.cdfEnabled, None, m.statsCols, keptStats ++ fstats,
         txns = m.txns, droppedCols = m.droppedCols,
         constraints = m.constraints, generated = m.generated,
-        deleteVectors = m.deleteVectors, bloomCols = m.bloomCols), v0 + 1))
+        deleteVectors = m.deleteVectors, bloomCols = m.bloomCols,
+        colMap = m.colMap, props = m.props), v0 + 1))
       throw new ConcurrentWriteException(
         s"optimize computed against version $v0 of $root, but a concurrent " +
           s"writer committed v${v0 + 1} first — recompute and retry")
@@ -2629,6 +2846,9 @@ object LakeTable {
    *  with the files TOUCHED, not the table; snapshot resolution reads at
    *  most one checkpoint + this-many-minus-one deltas. */
   val ManifestCheckpointInterval: Int = 10
+  /** The recognized TBLPROPERTIES key that switches change-data capture
+   *  (Delta's `delta.enableChangeDataFeed` role). */
+  val ChangeFeedProp = "enableChangeFeed"
   /** Change-feed column names (Delta CDF's). */
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
@@ -2707,11 +2927,27 @@ object LakeTable {
        *  writes exactly-once. Carried verbatim across every commit kind. */
       txns: Seq[(String, Long)] = Nil,
       /** TOMBSTONES of metadata-only [[LakeTable.dropColumn]]s: old data
-       *  files still physically carry these columns, so re-adding one via
-       *  schema evolution would RESURRECT stale values — evolution rejects
-       *  tombstoned names. Cleared by full rewrites (overwrite/compact),
-       *  which physically shed the dropped bytes. */
-      droppedCols: Seq[String] = Nil)
+       *  files still physically carry these columns (under their PHYSICAL
+       *  names), so re-adding one via schema evolution would RESURRECT
+       *  stale values — evolution rejects tombstoned names. Cleared by full
+       *  rewrites (overwrite/compact), which physically shed the dropped
+       *  bytes. */
+      droppedCols: Seq[String] = Nil,
+      /** COLUMN MAPPING (Delta `columnMapping.mode = name`): logical →
+       *  physical name, recorded only where they differ. A column's
+       *  physical name is fixed at creation; [[LakeTable.renameColumn]]
+       *  changes ONLY the logical name — no data file is ever rewritten.
+       *  The manifest schema, partition column, stats/bloom registrations,
+       *  constraints and generated expressions all live in LOGICAL space;
+       *  translation happens exactly at the parquet read/write boundary
+       *  (and in per-file stats/bloom/partition-dir naming, which describe
+       *  physical files and therefore stay keyed physical forever). */
+      colMap: Seq[(String, String)] = Nil,
+      /** TBLPROPERTIES (Delta table properties): free-form key → value,
+       *  name-ordered for deterministic manifests. `enableChangeFeed` is
+       *  recognized and routed to [[Manifest.cdfEnabled]] rather than
+       *  stored here. */
+      props: Seq[(String, String)] = Nil)
 
   /** DESCRIBE DETAIL row (Delta parity): current-snapshot facts. */
   final case class TableDetail(

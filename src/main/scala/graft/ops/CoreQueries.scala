@@ -5,7 +5,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 import graft.gold.{DimConfig, FactConfig, FactDim, GoldBuilder}
 import graft.lake.{LakeSql, LakeTable}
@@ -1228,6 +1228,73 @@ object CoreQueries {
           (SELECT count(*) FROM orders WHERE o_orderkey % 12 < 6) AS mid_chain_rows
         FROM orders WHERE o_orderkey % 10 <> 7
         ORDER BY o_orderkey""")),
+
+    // S34: METADATA-ONLY RENAME COLUMN (Delta column-mapping `name` mode) —
+    // only the LOGICAL name changes; every data file keeps the physical
+    // name it was written with (RenameColumnSpec proves zero file rewrites
+    // by inode). The query drives the whole post-rename lifecycle through
+    // the NEW name: an append lands under it, a MoR DELETE predicates on
+    // it, and the final SQL SELECT filters on it — over files that
+    // physically carry the OLD name. The oracle replays relationally;
+    // hash equality proves the mapping reconciles both file eras exactly.
+    Q("s34_rename_column", (s, d) => {
+      val o = t(s, d, "orders")
+      val tbl = LakeTable(s, s"${tmp("graft_s34")}/t")
+      tbl.create(StructType(Seq(
+          StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+          StructField("o_totalprice", DoubleType))),
+        statsColumns = Seq("o_totalprice"))
+      tbl.append(o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice"))
+      LakeSql.register("s34_orders", tbl)
+      try {
+        LakeSql.sql(s, "ALTER TABLE s34_orders RENAME COLUMN o_totalprice TO price")
+        tbl.append(o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").as("price")))
+        LakeSql.sql(s, "DELETE FROM s34_orders WHERE o_orderkey % 10 = 3")
+        LakeSql.sql(s,
+          """SELECT o_orderkey, o_custkey, price FROM s34_orders
+             WHERE price >= 1000.0 ORDER BY o_orderkey""")
+      } finally LakeSql.unregister("s34_orders")
+    },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice AS price FROM orders
+        WHERE o_orderkey % 10 <> 3 AND o_totalprice >= 1000.0
+        ORDER BY o_orderkey""")),
+
+    // S35: TBLPROPERTIES as live table metadata — the recognized
+    // `enableChangeFeed` property switches change-data capture MID-LIFE
+    // (Delta's `delta.enableChangeDataFeed`): the table is created with CDF
+    // OFF, the property lands as its own versioned commit, and the very
+    // next MoR UPDATE records pre/post images readable via
+    // `table_changes(...)`. SHOW TBLPROPERTIES feeds the property count
+    // into the result so the oracle also pins the property surface.
+    Q("s35_tblproperties", (s, d) => {
+      val o = t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      val tbl = LakeTable.withClock(s, s"${tmp("graft_s35")}/t",
+        () => Timestamp.valueOf(C1).getTime)
+      tbl.create(o.schema) // CDF OFF at creation
+      tbl.append(o.filter(col("o_orderkey") % 2 === 0)) // v1
+      LakeSql.register("s35_orders", tbl)
+      try {
+        LakeSql.sql(s, "ALTER TABLE s35_orders SET TBLPROPERTIES " +
+          "('enableChangeFeed' = 'true', 'pipeline' = 'nightly')") // v2
+        LakeSql.sql(s, "UPDATE s35_orders SET o_totalprice = o_totalprice * 2.0 " +
+          "WHERE o_orderkey % 10 = 4") // v3: captured
+        val nprops = LakeSql.sql(s, "SHOW TBLPROPERTIES s35_orders").count()
+        LakeSql.sql(s, "SELECT * FROM table_changes('s35_orders', 3)")
+          .withColumn("n_props", lit(nprops))
+          .orderBy("o_orderkey", "_change_type")
+      } finally LakeSql.unregister("s35_orders")
+    },
+      Some(s"""SELECT o_orderkey, o_custkey,
+          CASE WHEN kind = 'update_postimage' THEN o_totalprice * 2.0
+               ELSE o_totalprice END AS o_totalprice,
+          kind AS _change_type, CAST(3 AS BIGINT) AS _commit_version,
+          TIMESTAMP '$C1' AS _commit_timestamp, CAST(2 AS BIGINT) AS n_props
+        FROM orders CROSS JOIN (VALUES ('update_preimage'), ('update_postimage')) AS k(kind)
+        WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 = 4
+        ORDER BY o_orderkey, _change_type""")),
 
     // S13: SHALLOW CLONE — zero-copy table fork (hard-linked file
     // re-references, O(file count) metadata). The clone then diverges with

@@ -673,6 +673,69 @@ class LakeSqlSpec extends SparkSpec {
     } finally LakeSql.unregister("add_t")
   }
 
+  test("ALTER TABLE RENAME COLUMN is metadata-only; the new name works " +
+      "across SELECT / MERGE / UPDATE text immediately") {
+    val root = tmpDir("sql_rename")
+    val t = LakeTable(spark, s"$root/t")
+    t.append(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))
+    LakeSql.register("ren_t", t)
+    try {
+      LakeSql.sql(spark, "ALTER TABLE ren_t RENAME COLUMN v TO score")
+      assert(t.schema.fieldNames.toSeq == Seq("id", "score"))
+      assert(LakeSql.sql(spark,
+        "SELECT sum(score) AS s FROM ren_t").as[Double].head() == 30.0)
+      LakeSql.sql(spark, "UPDATE ren_t SET score = score + 1.0 WHERE id >= 2")
+      assert(LakeSql.sql(spark,
+        "SELECT score FROM ren_t WHERE id = 2").as[Double].head() == 21.0)
+      Seq((3L, 30.0)).toDF("id", "score").createOrReplaceTempView("ren_updates")
+      LakeSql.sql(spark,
+        """MERGE INTO ren_t AS t0 USING ren_updates AS u ON t0.id = u.id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""")
+      assert(t.read.count() == 3)
+      val e = intercept[IllegalArgumentException](
+        LakeSql.sql(spark, "ALTER TABLE ren_t RENAME COLUMN id TO score"))
+      assert(e.getMessage.contains("already exists"), e.getMessage)
+    } finally {
+      LakeSql.unregister("ren_t")
+      spark.catalog.dropTempView("ren_updates")
+    }
+  }
+
+  test("SET/UNSET/SHOW TBLPROPERTIES round-trip through SQL text; " +
+      "enableChangeFeed property switches CDF capture") {
+    val root = tmpDir("sql_props")
+    val t = LakeTable(spark, s"$root/t")
+    t.append(Seq((1L, 1.0)).toDF("id", "v"))
+    LakeSql.register("props_t", t)
+    try {
+      LakeSql.sql(spark,
+        "ALTER TABLE props_t SET TBLPROPERTIES ('team' = 'gold', 'tier' = 'silver')")
+      val shown = LakeSql.sql(spark, "SHOW TBLPROPERTIES props_t")
+        .as[(String, String)].collect().toMap
+      assert(shown == Map("team" -> "gold", "tier" -> "silver"))
+      assert(LakeSql.sql(spark, "SHOW TBLPROPERTIES props_t ('team')")
+        .as[(String, String)].collect().toSeq == Seq("team" -> "gold"))
+      LakeSql.sql(spark, "ALTER TABLE props_t UNSET TBLPROPERTIES ('tier')")
+      assert(t.tableProperties == Map("team" -> "gold"))
+      // the recognized CDF switch, driven purely through SQL
+      LakeSql.sql(spark,
+        "ALTER TABLE props_t SET TBLPROPERTIES ('enableChangeFeed' = 'true')")
+      val vOn = t.currentVersion
+      Seq((1L, 2.0)).toDF("id", "v").createOrReplaceTempView("props_updates")
+      LakeSql.sql(spark,
+        """MERGE INTO props_t AS t0 USING props_updates AS u ON t0.id = u.id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""")
+      val feed = LakeSql.sql(spark,
+        s"SELECT * FROM table_changes('props_t', $vOn)")
+      assert(feed.filter($"_change_type" === "update_postimage").count() == 1)
+    } finally {
+      LakeSql.unregister("props_t")
+      spark.catalog.dropTempView("props_updates")
+    }
+  }
+
   test("composite keys and swapped equality sides resolve") {
     val root = tmpDir("sql_composite")
     val t = LakeTable(spark, s"$root/t")
