@@ -201,4 +201,49 @@ object Dedup {
     val inter = s"CAST(len(list_intersect($a, $b)) AS DOUBLE)"
     s"($inter / greatest(CAST(len($a) AS DOUBLE) + CAST(len($b) AS DOUBLE) - $inter, 1.0))"
   }
+
+  // ---- CORPUS BLOOM SUMMARY (incremental exact-dedup prefilter) -----------
+  //
+  // The production shape when corpus ≫ batch and batches arrive
+  // continuously: instead of scanning (or even banding) the corpus per
+  // arriving batch, the corpus's fingerprint set is summarized ONCE into a
+  // Bloom filter — megabytes for billions of documents — and each batch
+  // probes the broadcast summary row-locally. Only probe HITS (true
+  // matches + the fpp sliver of false positives) proceed to the exact
+  // fingerprint join; a batch with no duplicates touches zero corpus
+  // partitions. The filter is maintained incrementally: bloom union is
+  // bitwise OR, so each committed batch's own summary ORs in (same
+  // discipline as the per-file bloom index sidecars in LakeTable).
+  // Exactness: Bloom filters have no false negatives, and the verify join
+  // removes false positives — the RESULT is exact, only the WORK is
+  // probabilistic. Build and probe reuse Spark's own codegen'd
+  // BloomFilterAggregate / BloomFilterMightContain (the runtime-filter
+  // machinery), driven directly so the summary is a first-class value the
+  // pipeline can persist and ship.
+
+  /** One-pass executor-merged Bloom summary of `keyCol` (a LONG column):
+   *  partial blooms build per partition and OR-merge in the aggregate —
+   *  the driver receives only the final ~`numBits/8` byte sketch. */
+  def bloomSummary(df: DataFrame, keyCol: Column,
+      expectedItems: Long, numBits: Long): Array[Byte] = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val agg = new BloomFilterAggregate(
+      new XxHash64(Seq(GraftColumnBridge.expression(keyCol.cast(LongType)))),
+      Literal(expectedItems), Literal(numBits))
+    df.select(GraftColumnBridge.column(agg.toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** Row-local membership probe of a [[bloomSummary]] — codegen'd, no UDF.
+   *  NULL keys probe to NULL (kept by neither filter side). */
+  def mightContain(summary: Array[Byte], keyCol: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.types.BinaryType
+    GraftColumnBridge.column(BloomFilterMightContain(
+      Literal(summary, BinaryType),
+      new XxHash64(Seq(GraftColumnBridge.expression(keyCol.cast(LongType))))))
+  }
 }

@@ -686,12 +686,21 @@ object LakeSql {
         s"CREATE TABLE $name: only a single-column PARTITIONED BY (col) is " +
           "supported")
     }
+    val props = spec match {
+      case s: UnresolvedTableSpec => s.properties
+      case _ => Map.empty[String, String]
+    }
     val existing = tables.get(norm(name))
     val tbl = existing.getOrElse(LakeTable(spark, location))
     if (existing.isDefined || tbl.exists) {
       if (!ignoreIfExists) throw new IllegalArgumentException(
         s"table $name already exists — use CREATE TABLE IF NOT EXISTS")
-    } else build(tbl, pcol)
+    } else {
+      build(tbl, pcol)
+      // CREATE TABLE ... TBLPROPERTIES lands as the table's first property
+      // commit; `enableChangeFeed` is recognized (CDF on from creation)
+      if (props.nonEmpty) tbl.setTableProperties(props)
+    }
     register(name, tbl)
     Seq((norm(name), tbl.currentVersion)).toDF("table", "version")
   }

@@ -555,6 +555,59 @@ object ExtQueries {
         FROM batch_raw br LEFT JOIN matches m ON br.batch_id = m.batch_id
         ORDER BY br.batch_id""")),
 
+    // BLOOM-PREFILTERED INCREMENTAL EXACT DEDUP — the steady-state
+    // production form when corpus ≫ batch: the corpus's 60-bit document
+    // fingerprints are summarized ONCE into a Bloom filter (megabytes for
+    // billions of docs; executor-side partial-bloom OR-merge, the driver
+    // receives only the finished sketch) and every arriving batch probes
+    // the BROADCAST summary row-locally — a batch with no duplicates
+    // touches ZERO corpus partitions, where x41's banded form still scans
+    // the corpus once per batch. Only bloom HITS (true matches + the fpp
+    // sliver of false positives) reach the exact fingerprint join, whose
+    // corpus side is a narrow broadcast-probe scan. Bloom filters have no
+    // false negatives and the exact join removes false positives, so the
+    // RESULT is exact — only the work is probabilistic — which is what
+    // makes the oracle a plain relational replay.
+    Q("x44_dedup_bloom", (s, d) => {
+      val docs = t(s, d, "documents")
+      val batch = docs.filter(col("doc_id") % 9 === 2)
+        .select((col("doc_id") + 900000L).as("batch_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 9 === 5)
+          .select((col("doc_id") + 900000L).as("batch_id"),
+            array_join(reverse(TF.tokens(TF.normalizeText(col("text")))), " ")
+              .as("text")))
+      val corpusFp = docs.select(col("doc_id"),
+        TF.fingerprintBucket(col("text")).as("fp"))
+      val batchFp = batch.select(col("batch_id"),
+        TF.fingerprintBucket(col("text")).as("fp"))
+      // one pass over the corpus → ~512 KB summary on the driver
+      val bloom = Dedup.bloomSummary(corpusFp.filter(col("fp").isNotNull),
+        col("fp"), expectedItems = 500000L, numBits = 1L << 22)
+      val candFps = batchFp
+        .filter(Dedup.mightContain(bloom, col("fp"))) // row-local prefilter
+        .select("fp").distinct()
+      // corpus scanned once, never shuffled: broadcast-probe + partial agg;
+      // only the handful of MATCHED rows reach the exchange
+      val matches = corpusFp.join(broadcast(candFps), Seq("fp"))
+        .groupBy("fp").agg(min(col("doc_id")).as("match_id"))
+      batchFp.join(broadcast(matches), Seq("fp"), "left")
+        .select(col("batch_id"), col("match_id").isNotNull.as("is_dup"),
+          col("match_id"))
+        .orderBy("batch_id")
+    },
+      Some(s"""WITH batch_raw AS (
+          SELECT doc_id + 900000 AS batch_id, text FROM documents WHERE doc_id % 9 = 2
+          UNION ALL
+          SELECT doc_id + 900000, array_to_string(list_reverse(
+            ${TF.tokensSql(TF.normalizeTextSql("text"))}), ' ')
+          FROM documents WHERE doc_id % 9 = 5),
+        bfp AS (SELECT batch_id, ${TF.fingerprintBucketSql("text")} AS fp FROM batch_raw),
+        cfp AS (SELECT doc_id, ${TF.fingerprintBucketSql("text")} AS fp FROM documents),
+        m AS (SELECT fp, MIN(doc_id) AS match_id FROM cfp GROUP BY fp)
+        SELECT b.batch_id, m.match_id IS NOT NULL AS is_dup, m.match_id
+        FROM bfp b LEFT JOIN m ON b.fp = m.fp
+        ORDER BY b.batch_id""")),
+
     // SEMANTIC PRUNING (SemDeDup-style): embeddings are blocked by k-means
     // cells (the IVF quantizer with one Lloyd refinement — cells play the
     // role LSH bands play for text), pairwise cosine runs WITHIN cells only,

@@ -151,6 +151,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("bloom-prefiltered dedup: row-local bloom probe, broadcast exact " +
+      "verify, corpus never sort-merge-shuffles") {
+    val df = SparkEntry.queries("x44_dedup_bloom")(spark, sfDir)
+    val plan = planOf(df).split("== Initial Plan ==").head
+    // the probe is Spark's codegen'd bloom expression, pushed as a row-local
+    // Filter over the batch — not a join against the corpus
+    assert(plan.contains("might_contain"), plan)
+    // both joins (candidate-fp verify, match-back) broadcast the small side
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("span dedup is one explode + balanced hash shuffles, never pairwise") {
     val df = SparkEntry.queries("x40_dup_spans")(spark, sfDir)
     val plan = planOf(df)

@@ -164,4 +164,26 @@ class ExtSpec extends SparkSpec {
     assert(w == Media.stubDecode("some bytes".getBytes("UTF-8"))._1)
     assert(w >= 1 && w <= 640 && h >= 1 && h <= 480)
   }
+
+  test("bloomSummary has NO false negatives; probe is deterministic; " +
+      "false-positive rate stays near the sizing") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.Dedup
+    val members = (1L to 2000L).map(_ * 7919L) // arbitrary member keys
+    val corpus = members.toDF("k")
+    val bloom = Dedup.bloomSummary(corpus, col("k"), 2000L, 1L << 16)
+    val bloom2 = Dedup.bloomSummary(corpus, col("k"), 2000L, 1L << 16)
+    assert(java.util.Arrays.equals(bloom, bloom2), "summary must be deterministic")
+    // no false negatives: every member probes true
+    val memberHits = corpus.filter(Dedup.mightContain(bloom, col("k"))).count()
+    assert(memberHits == 2000L)
+    // false positives bounded: 10k non-members, expect ~fpp · 10k hits
+    val nonMembers = (1L to 10000L).map(_ * 7919L + 3L).toDF("k")
+    val fp = nonMembers.filter(Dedup.mightContain(bloom, col("k"))).count()
+    assert(fp < 1000L, s"false-positive count $fp is far above the sizing")
+    // NULL keys probe to NULL → dropped by the filter, kept by its negation's
+    // null-rejecting complement — never a phantom hit
+    val withNull = spark.sql("SELECT CAST(NULL AS BIGINT) AS k")
+    assert(withNull.filter(Dedup.mightContain(bloom, col("k"))).count() == 0)
+  }
 }

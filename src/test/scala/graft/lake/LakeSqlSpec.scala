@@ -673,6 +673,33 @@ class LakeSqlSpec extends SparkSpec {
     } finally LakeSql.unregister("add_t")
   }
 
+  test("CREATE TABLE ... TBLPROPERTIES applies properties at creation; " +
+      "enableChangeFeed makes the very first merge feed-readable") {
+    val root = tmpDir("sql_create_props")
+    try {
+      LakeSql.sql(spark,
+        s"""CREATE TABLE cp_t (id BIGINT, v DOUBLE) LOCATION '$root/t'
+            TBLPROPERTIES ('enableChangeFeed' = 'true', 'tier' = 'bronze')""")
+      val t = LakeSql.sql(spark, "SELECT * FROM cp_t") // resolves registration
+      assert(t.count() == 0)
+      LakeSql.sql(spark, s"INSERT INTO cp_t VALUES (1, 1.0)")
+      Seq((1L, 2.0)).toDF("id", "v").createOrReplaceTempView("cp_updates")
+      LakeSql.sql(spark,
+        """MERGE INTO cp_t AS t0 USING cp_updates AS u ON t0.id = u.id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""")
+      val shown = LakeSql.sql(spark, "SHOW TBLPROPERTIES cp_t")
+        .as[(String, String)].collect().toMap
+      assert(shown == Map("enableChangeFeed" -> "true", "tier" -> "bronze"))
+      val feed = LakeSql.sql(spark,
+        "SELECT * FROM table_changes('cp_t', 0)")
+      assert(feed.filter($"_change_type" === "update_postimage").count() == 1)
+    } finally {
+      LakeSql.unregister("cp_t")
+      spark.catalog.dropTempView("cp_updates")
+    }
+  }
+
   test("ALTER TABLE RENAME COLUMN is metadata-only; the new name works " +
       "across SELECT / MERGE / UPDATE text immediately") {
     val root = tmpDir("sql_rename")
