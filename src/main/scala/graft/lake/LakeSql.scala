@@ -5,7 +5,7 @@ import java.util.Locale
 import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTableValuedFunction}
 import org.apache.spark.sql.catalyst.expressions.{And, Cast, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{ColumnDefinition, CreateTable, CreateTableAsSelect, DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, OverwriteByExpression, SubqueryAlias, UnresolvedTableSpec, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{ColumnDefinition, CreateTable, CreateTableAsSelect, DeleteFromTable, Filter, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, OverwriteByExpression, SubqueryAlias, UnresolvedTableSpec, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.types.TimestampType
@@ -561,8 +561,55 @@ object LakeSql {
   /** Replace registered lake relations (plain or time-travelled) with the
    *  corresponding snapshot's logical plan, aliased under the table's last
    *  name part so qualified column references keep resolving. */
+  /** FILE SKIPPING FOR SQL-TEXT SELECT: a `WHERE` sitting directly on a
+   *  lake relation is split into its zone-expressible conjuncts
+   *  (`col = / >= / <= literal`), which prune whole files through the
+   *  manifest's zone maps and bloom index BEFORE Spark plans the scan —
+   *  the same [[LakeTable.readWhere]] path the Scala API takes, now
+   *  reached from plain `SELECT ... FROM t WHERE key = x` text. At 100 TB
+   *  this is the difference between a point lookup scanning the table and
+   *  scanning the handful of files that can hold the key. The FULL original
+   *  predicate stays as a residual filter (skipping is only ever an
+   *  optimization), so non-zone conjuncts and strict bounds are exact. */
+  private def pruneFilteredScans(plan: LogicalPlan): LogicalPlan = {
+    def unwrap(p: LogicalPlan): Option[(String, String)] = p match {
+      case SubqueryAlias(ident, UnresolvedRelation(parts, _, _)) =>
+        Some((parts.mkString("."), ident.name))
+      case UnresolvedRelation(parts, _, _) =>
+        Some((parts.mkString("."), parts.last))
+      case _ => None
+    }
+    def conjunctsOf(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+      case other => Seq(other)
+    }
+    plan.transformDownWithSubqueries {
+      case f @ Filter(cond, rel0) =>
+        unwrap(rel0) match {
+          case Some((name, alias)) if tables.contains(norm(name)) =>
+            val tbl = tables(norm(name))
+            val fields = tbl.schema.fieldNames
+            val preds = conjunctsOf(cond).flatMap { c =>
+              // only schema-resolved columns may prune (unknown names are
+              // someone else's references — readWhere would refuse them)
+              zonePreds(c).getOrElse(Nil).flatMap { pr =>
+                fields.find(_.equalsIgnoreCase(pr.col)).map(n => pr.copy(col = n))
+              }
+            }
+            val qualified = conjunctsOf(cond).forall(_.collect {
+              case a: UnresolvedAttribute => a
+            }.forall(a => a.nameParts.length == 1 ||
+              (a.nameParts.length == 2 && a.nameParts.head.equalsIgnoreCase(alias))))
+            if (preds.isEmpty || !qualified) f
+            else Filter(cond, SubqueryAlias(alias,
+              GraftColumnBridge.logicalPlan(tbl.readWhere(preds))))
+          case _ => f
+        }
+    }
+  }
+
   private def substituteLakeRelations(spark: SparkSession,
-      plan: LogicalPlan): LogicalPlan = plan transformUpWithSubqueries {
+      plan: LogicalPlan): LogicalPlan = pruneFilteredScans(plan) transformUpWithSubqueries {
     case RelationTimeTravel(UnresolvedRelation(parts, _, _), ts, version)
         if tables.contains(norm(parts.mkString("."))) =>
       val tbl = tables(norm(parts.mkString(".")))

@@ -763,6 +763,41 @@ class LakeSqlSpec extends SparkSpec {
     }
   }
 
+  test("SELECT ... WHERE over a lake table prunes whole files through the " +
+      "manifest zone maps before Spark plans the scan") {
+    val root = tmpDir("sql_skip")
+    val t = LakeTable(spark, s"$root/t")
+    t.create(Seq((0L, "")).toDF("id", "tag").schema, statsColumns = Seq("id"))
+    def batch(r: Range, tag: String) =
+      r.map(i => (i.toLong, tag)).toDF("id", "tag").coalesce(1)
+    t.append(batch(1 to 100, "a"))
+    t.append(batch(101 to 200, "b"))
+    t.append(batch(201 to 300, "c"))
+    LakeSql.register("skip_t", t)
+    try {
+      def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.relation.location.inputFiles.length
+        }.sum
+      val pruned = LakeSql.sql(spark,
+        "SELECT id, tag FROM skip_t WHERE id >= 150 AND id <= 160")
+      assert(scannedFiles(pruned) == 1, "two of three files must be zone-skipped")
+      assert(pruned.count() == 11)
+      val full = LakeSql.sql(spark, "SELECT id, tag FROM skip_t")
+      assert(scannedFiles(full) == 3)
+      // non-zone conjuncts stay exact through the residual filter
+      val mixed = LakeSql.sql(spark,
+        "SELECT id FROM skip_t WHERE id >= 250 AND tag LIKE '%c%' AND id % 2 = 0")
+      assert(scannedFiles(mixed) == 1)
+      assert(mixed.count() == 26)
+      // an aliased relation prunes too; a foreign qualifier never does
+      val aliased = LakeSql.sql(spark,
+        "SELECT x.id FROM skip_t AS x WHERE x.id <= 50")
+      assert(scannedFiles(aliased) == 1)
+    } finally LakeSql.unregister("skip_t")
+  }
+
   test("composite keys and swapped equality sides resolve") {
     val root = tmpDir("sql_composite")
     val t = LakeTable(spark, s"$root/t")
