@@ -58,6 +58,37 @@ object Similarity {
       .select(col("q_id"), col(idCol).as("n_id"), col("cos"), col("rank"))
   }
 
+  /**
+   * HARD-NEGATIVE MINING for contrastive training: for every anchor
+   * (rows matching `queryFilter`), the k nearest neighbors carrying a
+   * DIFFERENT label — the negatives closest to the decision boundary,
+   * the ones contrastive and metric-learning losses learn most from
+   * (random negatives are trivially separable and contribute ~zero
+   * gradient). Exact cosine against the full corpus with the anchor side
+   * broadcast — the same documented brute-force baseline as
+   * [[bruteForceTopK]]; at 100 TB anchors batch through the IVF path
+   * instead ([[ivfCells]] blocks the corpus, anchors probe their nprobe
+   * nearest cells, same re-rank — composition mirrors [[ivfTopK]]).
+   */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queryFilter: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    val base = emb.select(col(idCol), col(labelCol).as("__lbl"),
+        col(vecCol).as("__v"))
+      .withColumn("__nrm", sqrt(VectorFunctions.dot(col("__v"), col("__v"))))
+    val q = base.filter(queryFilter)
+      .select(col(idCol).as("q_id"), col("__lbl").as("q_label"),
+        col("__v").as("__qv"), col("__nrm").as("__qn"))
+    val scored = base.join(broadcast(q),
+        col(idCol) =!= col("q_id") && col("__lbl") =!= col("q_label"))
+      .withColumn("cos",
+        VectorFunctions.dot(col("__qv"), col("__v")) / (col("__qn") * col("__nrm")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("q_label"), col(idCol).as("n_id"),
+        col("__lbl").as("n_label"), col("cos"), col("rank"))
+  }
+
   /** Banded LSH bucket assignment: one row per (id, band, bucket). */
   def lshBuckets(emb: DataFrame, idCol: String, vecCol: String,
       dim: Int, bitsPerBand: Int, bands: Int): DataFrame = {

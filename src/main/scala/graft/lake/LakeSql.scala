@@ -630,20 +630,35 @@ object LakeSql {
       // foldable integers (timestamp bounds are not supported — resolve a
       // timestamp to a version with DESCRIBE HISTORY first)
       val tbl = tables(norm(tableChangesTarget(tvf).get))
-      def ver(e: Expression, what: String): Long = {
+      // Delta's bound forms: an integer VERSION, or a TIMESTAMP string —
+      // start resolves to the first commit AT OR AFTER it, end to the last
+      // commit at-or-before (DESCRIBE HISTORY's clock, versioned manifests)
+      def ver(e: Expression, what: String, isStart: Boolean): Long = {
         require(e.foldable, s"table_changes $what must be a literal, got ${e.sql}")
         val v = try Cast(e, org.apache.spark.sql.types.LongType, Some("UTC")).eval(null)
           catch { case _: Exception => null } // ANSI cast throws on malformed
-        require(v != null, s"table_changes $what must be an integer version, " +
-          s"got ${e.sql} (timestamp bounds: resolve via DESCRIBE HISTORY)")
-        v.asInstanceOf[Long]
+        if (v != null) v.asInstanceOf[Long]
+        else {
+          val ms = try evalTimestampMs(e) catch {
+            case _: Exception => throw new IllegalArgumentException(
+              s"table_changes $what must be an integer version or a " +
+                s"timestamp, got ${e.sql}")
+          }
+          if (isStart) {
+            tbl.historyDetail.collectFirst {
+              case (hv, _, Some(ts)) if ts >= ms => hv
+            }.getOrElse(throw new IllegalArgumentException(
+              s"table_changes start timestamp ${e.sql} is after the last commit"))
+          } else tbl.versionAtTimestamp(ms)
+        }
       }
       val df = tvf.functionArgs match {
-        case Seq(_, from) => tbl.readChangeFeed(ver(from, "start version"))
+        case Seq(_, from) => tbl.readChangeFeed(ver(from, "start bound", isStart = true))
         case Seq(_, from, to) => tbl.readChangeFeed(
-          ver(from, "start version"), Some(ver(to, "end version")))
+          ver(from, "start bound", isStart = true),
+          Some(ver(to, "end bound", isStart = false)))
         case args => throw new IllegalArgumentException(
-          s"table_changes takes (table, from_version [, to_version]), " +
+          s"table_changes takes (table, from [, to]), " +
             s"got ${args.size} argument(s)")
       }
       SubqueryAlias("table_changes", GraftColumnBridge.logicalPlan(df))

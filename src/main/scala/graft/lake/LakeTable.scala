@@ -756,6 +756,11 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       val part: Option[DataFrame] = mv.op match {
         case "create" | "constraint" | "index" | "alter" | "rename" |
              "properties" => None // metadata-only
+        case "optimize" | "compact" => None // rowset-preserving maintenance:
+          // bin-pack/Z-order rewrite FILES, never logical rows (deletes the
+          // pass materializes were already emitted by their own commits) —
+          // Delta's CDF likewise skips OPTIMIZE. Auto-compact (property-
+          // driven) makes these commits routine inside append streams.
         case "append" | "convert" => // convert's adopted files ARE its inserts
           val prevDirs: Set[String] =
             if (v == 0) Set.empty else readManifest(v - 1).entries.map(_.dir).toSet
@@ -1668,6 +1673,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
           (Manifest(df.schema, pcol, Seq(DirEntry(dir, owned)), "append",
             statsCols = scols, fileStats = fstats, txns = withTxn(Nil)), 0L)
       }
+      maybeAutoCompact()
       true
     } catch {
       case TxnAlreadyApplied() =>
@@ -1676,6 +1682,37 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         Files.deleteIfExists(bloomIndexFile(dir))
         false
     }
+  }
+
+  /**
+   * AUTO COMPACT (Delta `delta.autoOptimize.autoCompact`, property-driven):
+   * after a successful append on a table with TBLPROPERTIES
+   * `autoCompact = 'true'`, bin-pack the accumulated small files once their
+   * count reaches `autoCompact.minFiles` (default 8; Delta's minNumFiles
+   * rule). Streaming ingest is the motivating shape: thousands of tiny
+   * trigger-interval appends degrade every later scan; auto-compact keeps
+   * the small-file population bounded WITHOUT an external maintenance job.
+   * Cost stays O(small files) per invocation ([[optimizeCompact]] hard-links
+   * everything already large). BEST-EFFORT like Delta's: a lost commit race
+   * or any failure is swallowed — the append itself has already committed,
+   * and the next append retries the compaction.
+   */
+  private def maybeAutoCompact(): Unit = {
+    val m = try manifest catch { case scala.util.control.NonFatal(_) => return }
+    if (!m.props.exists { case (k, v) =>
+        k == LakeTable.AutoCompactProp && v.trim.equalsIgnoreCase("true") })
+      return
+    val minFiles = m.props.collectFirst {
+      case (LakeTable.AutoCompactMinFilesProp, v) => v.trim.toInt
+    }.getOrElse(8)
+    val target = m.props.collectFirst {
+      case (LakeTable.AutoCompactTargetBytesProp, v) => v.trim.toLong
+    }.getOrElse(128L * 1024 * 1024)
+    val small = m.entries.flatMap(e => listParquet(Paths.get(root, e.dir)))
+      .count(p => Files.size(p) < target / 2)
+    if (small < minFiles) return
+    try { optimizeCompact(target); () }
+    catch { case scala.util.control.NonFatal(_) => () } // best-effort
   }
 
   /** Full-snapshot replace (new version; old files kept until vacuum). */
@@ -2849,6 +2886,12 @@ object LakeTable {
   /** The recognized TBLPROPERTIES key that switches change-data capture
    *  (Delta's `delta.enableChangeDataFeed` role). */
   val ChangeFeedProp = "enableChangeFeed"
+  /** TBLPROPERTIES keys driving write-side AUTO COMPACT (Delta
+   *  `delta.autoOptimize.autoCompact` role): switch, small-file count
+   *  threshold, and target packed-file size. */
+  val AutoCompactProp = "autoCompact"
+  val AutoCompactMinFilesProp = "autoCompact.minFiles"
+  val AutoCompactTargetBytesProp = "autoCompact.targetFileBytes"
   /** Change-feed column names (Delta CDF's). */
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"

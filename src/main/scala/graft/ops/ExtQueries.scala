@@ -747,6 +747,32 @@ object ExtQueries {
           WHERE q.vec_id % 50 = 0)
         WHERE rank <= 3 ORDER BY q_id, rank""")),
 
+    // HARD-NEGATIVE MINING (contrastive-training data prep): for each
+    // anchor, the k nearest embeddings with a DIFFERENT label — the
+    // near-boundary negatives that dominate the contrastive gradient
+    // (random negatives are trivially separable). Exact cosine, anchors
+    // broadcast (x6's documented baseline shape); the 100 TB path batches
+    // anchors through the IVF cells instead (x13/x37 machinery).
+    Q("x45_hard_negatives", (s, d) =>
+      Similarity.hardNegatives(t(s, d, "embeddings"), "vec_id", "embedding",
+          "label", col("vec_id") % 50 === 0, k = 3)
+        .orderBy("q_id", "rank"),
+      Some(s"""WITH nl AS (
+          SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v,
+            sqrt(list_dot_product(list_transform(embedding, x -> x::DOUBLE),
+                 list_transform(embedding, x -> x::DOUBLE))) AS nrm
+          FROM embeddings)
+        SELECT q_id, q_label, n_id, n_label, cos, rank FROM (
+          SELECT q.vec_id AS q_id, q.label AS q_label,
+            c.vec_id AS n_id, c.label AS n_label,
+            list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos,
+            CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+                       c.vec_id) AS INT) AS rank
+          FROM nl q JOIN nl c ON c.vec_id != q.vec_id AND c.label != q.label
+          WHERE q.vec_id % 50 = 0)
+        WHERE rank <= 3 ORDER BY q_id, rank""")),
+
     // ANN top-k: banded LSH candidate generation + exact cosine re-rank.
     Q("x7_sim_lsh_topk", (s, d) =>
       Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",

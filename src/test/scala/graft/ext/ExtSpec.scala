@@ -165,6 +165,22 @@ class ExtSpec extends SparkSpec {
     assert(w >= 1 && w <= 640 && h >= 1 && h <= 480)
   }
 
+  test("hardNegatives returns only cross-label neighbors, ranked by cosine, " +
+      "and the top negative is the true nearest cross-label vector") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.Similarity
+    val emb = spark.createDataFrame(Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0.8f, 0.2f), 1), (4L, Seq(0.0f, 1.0f), 1),
+      (5L, Seq(-1.0f, 0.0f), 2))).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+      col("vec_id") === 1, k = 2).orderBy("rank")
+      .select("n_id", "n_label", "rank").as[(Long, Int, Int)].collect().toSeq
+    // anchor 1 (label 0): same-label 2 is excluded even though it is the
+    // globally nearest; the hardest negative is 3 (label 1), then 4
+    assert(got == Seq((3L, 1, 1), (4L, 1, 2)))
+  }
+
   test("bloomSummary has NO false negatives; probe is deterministic; " +
       "false-positive rate stays near the sizing") {
     import org.apache.spark.sql.functions._

@@ -78,14 +78,18 @@ class ChangeFeedSpec extends SparkSpec {
     assert(e.getMessage.contains("enableChangeFeed"), e.getMessage)
   }
 
-  test("feed range across a full rewrite (compact) refuses; appends after it still feed") {
+  test("compact/optimize are rowset-preserving: the feed spans them " +
+      "silently; a true rewrite (overwrite) still refuses") {
     val t = cdfTable("cdf_rewrite")
     t.append(Seq((1L, "a", 1)).toDF("k", "v", "seq"))  // v1
-    t.compact()                                        // v2: full rewrite
+    t.compact()                                        // v2: file rewrite only
     t.append(Seq((2L, "b", 1)).toDF("k", "v", "seq"))  // v3
+    // the feed spans the compact: both appends' inserts, nothing for v2
+    assert(feed(t, 0) == Seq((1L, "insert", 1L), (2L, "insert", 3L)))
+    assert(t.readChangeFeed(2, Some(2)).count() == 0)
+    t.overwrite(Seq((9L, "z", 9)).toDF("k", "v", "seq")) // v4: true rewrite
     val e = intercept[RuntimeException](t.readChangeFeed(0).collect())
     assert(e.getMessage.contains("full-rewrite"), e.getMessage)
-    assert(feed(t, 3) == Seq((2L, "insert", 3L)))
   }
 
   test("partitioned CDF merge records changes only for touched partitions") {

@@ -411,14 +411,48 @@ class LakeSqlSpec extends SparkSpec {
       assert(LakeSql.sql(spark,
         "SELECT count(*) AS n FROM table_changes('cdf_t', 2, 2) " +
           "WHERE _change_type LIKE 'update_%'").as[Long].head() == 2L)
-      // version bounds must be integers; timestamps are loudly rejected
+      // a start timestamp after the last commit fails loudly, as does junk
       val e = intercept[IllegalArgumentException](LakeSql.sql(spark,
-        "SELECT * FROM table_changes('cdf_t', '2030-01-01')"))
-      assert(e.getMessage.contains("integer version"), e.getMessage)
+        "SELECT * FROM table_changes('cdf_t', '2099-01-01')"))
+      assert(e.getMessage.contains("after the last commit"), e.getMessage)
+      val e2 = intercept[IllegalArgumentException](LakeSql.sql(spark,
+        "SELECT * FROM table_changes('cdf_t', 'not-a-bound')"))
+      assert(e2.getMessage.contains("integer version or a timestamp"), e2.getMessage)
       // an unregistered name is not ours → no silent empty result
       intercept[Exception](LakeSql.sql(spark,
         "SELECT * FROM table_changes('nowhere', 1)").collect())
     } finally LakeSql.unregister("cdf_t")
+  }
+
+  test("table_changes timestamp bounds: start = first commit at-or-after, " +
+      "end = last commit at-or-before (DESCRIBE HISTORY's clock)") {
+    val t0 = java.time.Instant.parse("2030-01-01T00:00:00Z").toEpochMilli
+    val tick = new java.util.concurrent.atomic.AtomicLong(0L)
+    val t = LakeTable.withClock(spark, s"${tmpDir("sql_tvf_ts")}/t",
+      () => t0 + 60000L * tick.getAndIncrement())
+    t.create(Seq((1L, "a")).toDF("k", "v").schema, enableChangeFeed = true) // v0 @ 00:00
+    t.append(Seq((1L, "a")).toDF("k", "v"))                                 // v1 @ 00:01
+    t.append(Seq((2L, "b")).toDF("k", "v"))                                 // v2 @ 00:02
+    t.append(Seq((3L, "c")).toDF("k", "v"))                                 // v3 @ 00:03
+    LakeSql.register("ts_cdf_t", t)
+    try {
+      // start between v1 and v2 → feed begins at v2
+      val got = LakeSql.sql(spark,
+        "SELECT k, _commit_version FROM " +
+          "table_changes('ts_cdf_t', '2030-01-01 00:01:30') ORDER BY k")
+        .as[(Long, Long)].collect().toSeq
+      assert(got == Seq((2L, 2L), (3L, 3L)))
+      // both bounds as timestamps: [at-or-after 00:01, at-or-before 00:02:30]
+      val ranged = LakeSql.sql(spark,
+        "SELECT k FROM table_changes('ts_cdf_t', " +
+          "'2030-01-01 00:00:30', '2030-01-01 00:02:30') ORDER BY k")
+        .as[Long].collect().toSeq
+      assert(ranged == Seq(1L, 2L))
+      // mixed bound kinds compose
+      assert(LakeSql.sql(spark,
+        "SELECT count(*) AS n FROM table_changes('ts_cdf_t', 1, " +
+          "'2030-01-01 00:02:00')").as[Long].head() == 2L)
+    } finally LakeSql.unregister("ts_cdf_t")
   }
 
   test("RESTORE TABLE ... TO TIMESTAMP AS OF resolves by the read-path rule") {

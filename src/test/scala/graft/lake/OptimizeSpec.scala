@@ -122,15 +122,38 @@ class OptimizeSpec extends SparkSpec {
     assert(t.read.count() == 298)
   }
 
-  test("optimize is a rewrite-class commit: CDF refuses to span it") {
+  test("optimize is rowset-preserving: CDF spans it silently") {
     val t = LakeTable(spark, s"${tmpDir("opt_cdf")}/t")
       .create(Seq((1L, "a")).toDF("k", "v").schema, enableChangeFeed = true)
     t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
     t.optimizeCompact()
     t.append(Seq((3L, "c")).toDF("k", "v"))
-    val e = intercept[RuntimeException](t.readChangeFeed(0).collect())
-    assert(e.getMessage.contains("full-rewrite"), e.getMessage)
-    assert(t.readChangeFeed(3).count() == 1) // post-optimize range reads fine
+    // the optimize commit contributes ZERO change rows; the feed spans it
+    assert(t.readChangeFeed(0).count() == 3)
+    assert(t.readChangeFeed(2, Some(2)).count() == 0)
+    assert(t.readChangeFeed(3).count() == 1)
     assert(t.history.map(_._2) == Seq("create", "append", "optimize", "append"))
+  }
+
+  test("autoCompact TBLPROPERTIES: appends self-compact past the small-file " +
+      "threshold; the switch is live both ways") {
+    val t = LakeTable(spark, s"${tmpDir("opt_auto")}/t")
+      .create(Seq((1L, "a")).toDF("k", "v").schema)
+    t.setTableProperties(Map(
+      LakeTable.AutoCompactProp -> "true",
+      LakeTable.AutoCompactMinFilesProp -> "4"))
+    def files: Int = t.detail.numFiles.toInt
+    (1 to 3).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1)))
+    assert(files == 3, "below the threshold nothing compacts")
+    assert(!t.history.map(_._2).contains("optimize"))
+    t.append(Seq((4L, "v4")).toDF("k", "v").coalesce(1)) // 4th small file → pack
+    assert(t.history.last._2 == "optimize", t.history.mkString(","))
+    assert(files == 1, "the four small files packed into one")
+    assert(t.read.count() == 4)
+    // switching the property off stops the behavior immediately
+    t.unsetTableProperties(Seq(LakeTable.AutoCompactProp))
+    (5 to 9).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1)))
+    assert(files == 6, "disabled: small files accumulate again")
+    assert(t.read.count() == 9)
   }
 }
