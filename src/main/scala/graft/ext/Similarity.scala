@@ -266,6 +266,41 @@ object Similarity {
   }
 
   /**
+   * HARD-NEGATIVE MINING, IVF-blocked (the 100 TB path of
+   * [[hardNegatives]]): the corpus is cell-assigned by the deterministic
+   * quantizer, anchors probe their `nprobe` nearest cells, and the
+   * cross-label top-k re-ranks exactly within the probed cells — per-anchor
+   * work is O(nprobe · cell size) instead of O(corpus). Corpus rows live in
+   * exactly ONE cell, so multi-probe never duplicates a candidate. Labels
+   * ride a co-partitioned equi-join on the id (at scale: a zipped column of
+   * the same table, one shuffle). Recall trade: a hard negative just across
+   * an unprobed cell boundary is missed — the standard IVF trade, tunable
+   * with `nprobe`.
+   */
+  def hardNegativesIvf(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queryFilter: org.apache.spark.sql.Column,
+      centStride: Int, k: Int, kmeansIters: Int = 0,
+      nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val base = prepared(emb, idCol, vecCol)
+    val labels = emb.select(col(idCol), col(labelCol).as("__lbl"))
+    val centFinal = quantizer(base, idCol, centStride, kmeansIters)
+    val assigned = rankCells(base, idCol, centFinal, 1).join(labels, idCol)
+    val q = rankCells(base, idCol, centFinal, nprobe).filter(queryFilter)
+      .join(labels, idCol)
+      .select(col(idCol).as("q_id"), col("__lbl").as("q_label"),
+        col("__v").as("__qv"), col("__nrm").as("__qn"), col("cell"))
+    val scored = q.join(assigned, Seq("cell"))
+      .filter(col(idCol) =!= col("q_id") && col("__lbl") =!= col("q_label"))
+      .withColumn("cos",
+        VectorFunctions.dot(col("__qv"), col("__v")) / (col("__qn") * col("__nrm")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("q_label"), col(idCol).as("n_id"),
+        col("__lbl").as("n_label"), col("cos"), col("rank"))
+  }
+
+  /**
    * PRODUCT-QUANTIZATION ANN (the memory-compressed scale path): the vector
    * space is split into `m` subspaces; each subspace gets a codebook of the
    * stride-selected vectors' sub-vectors; every corpus vector is encoded as

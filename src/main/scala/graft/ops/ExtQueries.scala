@@ -773,6 +773,54 @@ object ExtQueries {
           WHERE q.vec_id % 50 = 0)
         WHERE rank <= 3 ORDER BY q_id, rank""")),
 
+    // x45's 100 TB path: IVF cells block the corpus, anchors probe their 2
+    // nearest cells, the cross-label top-k re-ranks exactly within probed
+    // cells — per-anchor work O(nprobe·cell) instead of O(corpus). The
+    // oracle replays quantizer + refinement + 2-probe assignment (x37's
+    // chain) with the label inequality in the candidate join.
+    Q("x46_hard_negatives_ivf", (s, d) =>
+      Similarity.hardNegativesIvf(t(s, d, "embeddings"), "vec_id", "embedding",
+          "label", col("vec_id") % 50 === 0, centStride = 40, k = 3,
+          kmeansIters = 1, nprobe = 2)
+        .orderBy("q_id", "rank"),
+      Some(s"""WITH $NORM_CTE,
+        lab AS (SELECT vec_id, label FROM embeddings),
+        cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 40 = 1),
+        a0 AS (
+          SELECT vec_id, v, nrm, cent_id AS cell FROM (
+            SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+              ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.cent_id) AS rn
+            FROM n, cent c) WHERE rn = 1),
+        refined AS (
+          SELECT cent_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
+            SELECT cell AS cent_id, list(m ORDER BY pos) AS cv FROM (
+              SELECT a.cell, r.range AS pos,
+                CAST(SUM(CAST(a.v[r.range] AS DECIMAL(27,12))) AS DOUBLE) AS m
+              FROM a0 a, range(1, 65) r
+              GROUP BY a.cell, r.range)
+            GROUP BY cell)),
+        ranked AS (
+          SELECT n.vec_id, n.v, n.nrm, c.cent_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY n.vec_id
+              ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.cent_id) AS rn
+          FROM n, refined c),
+        assigned AS (SELECT r.vec_id, r.v, r.nrm, r.cell, l.label
+          FROM ranked r JOIN lab l ON r.vec_id = l.vec_id WHERE r.rn = 1),
+        probes AS (SELECT r.vec_id, r.v, r.nrm, r.cell, l.label
+          FROM ranked r JOIN lab l ON r.vec_id = l.vec_id
+          WHERE r.rn <= 2 AND r.vec_id % 50 = 0)
+        SELECT q_id, q_label, n_id, n_label, cos, rank FROM (
+          SELECT q.vec_id AS q_id, q.label AS q_label,
+            a.vec_id AS n_id, a.label AS n_label,
+            list_dot_product(q.v, a.v) / (q.nrm * a.nrm) AS cos,
+            CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY list_dot_product(q.v, a.v) / (q.nrm * a.nrm) DESC,
+                       a.vec_id) AS INT) AS rank
+          FROM probes q JOIN assigned a
+            ON q.cell = a.cell AND a.vec_id != q.vec_id AND a.label != q.label)
+        WHERE rank <= 3 ORDER BY q_id, rank""")),
+
     // ANN top-k: banded LSH candidate generation + exact cosine re-rank.
     Q("x7_sim_lsh_topk", (s, d) =>
       Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
