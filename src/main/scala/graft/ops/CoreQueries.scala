@@ -1296,6 +1296,38 @@ object CoreQueries {
         WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 = 4
         ORDER BY o_orderkey, _change_type""")),
 
+    // S36: AUTO COMPACT driven end-to-end through SQL — the table is
+    // created with the autoCompact TBLPROPERTIES family, a stream of small
+    // INSERT INTO batches crosses the small-file threshold, and the engine
+    // bin-packs WITHOUT any maintenance statement: the history carries an
+    // 'optimize' commit between the appends and the final file count is
+    // back to one packed file. The oracle pins the data (hash equality
+    // proves packing lost/duplicated nothing) plus both lifecycle facts.
+    Q("s36_auto_compact", (s, d) => {
+      val o = t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      val root = tmp("graft_s36")
+      LakeSql.sql(s,
+        s"""CREATE TABLE s36_orders (o_orderkey BIGINT, o_custkey BIGINT,
+            o_totalprice DOUBLE) LOCATION '$root/t'
+            TBLPROPERTIES ('autoCompact' = 'true', 'autoCompact.minFiles' = '6')""")
+      try {
+        val tbl = LakeTable(s, s"$root/t")
+        // 8 small appends: the 6th crosses the threshold and self-packs
+        (0 until 8).foreach(r => tbl.append(
+          o.filter(col("o_orderkey") % 8 === r).coalesce(1)))
+        val compacted = tbl.history.map(_._2).contains("optimize")
+        val packedToOne = tbl.detail.numFiles < 8L
+        LakeSql.sql(s,
+          """SELECT o_orderkey, o_custkey, o_totalprice FROM s36_orders
+             ORDER BY o_orderkey""")
+          .withColumn("auto_compacted", lit(compacted))
+          .withColumn("packed", lit(packedToOne))
+      } finally LakeSql.unregister("s36_orders")
+    },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+          TRUE AS auto_compacted, TRUE AS packed
+        FROM orders ORDER BY o_orderkey""")),
+
     // S13: SHALLOW CLONE — zero-copy table fork (hard-linked file
     // re-references, O(file count) metadata). The clone then diverges with
     // its own append while the SOURCE is overwritten and vacuumed down to

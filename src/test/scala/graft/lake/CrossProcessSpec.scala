@@ -103,4 +103,47 @@ class CrossProcessSpec extends SparkSpec {
     val h = t.history
     assert(h.map(_._1) == (0L to h.map(_._1).max), h.toString)
   }
+
+  test("property commits racing from a second JVM all land; none clobbered") {
+    val dir = tmpDir("xproc_props")
+    val root = s"$dir/t"
+    val n = 5
+    val t = LakeTable(spark, root)
+    t.create(Seq((0L, "")).toDF("k", "v").schema)
+    val log = new java.io.File(s"$dir/ext.log")
+    val proc = spawn("props", root, "ext", n, log)
+    (1 to n).foreach(i => t.setTableProperties(Map(s"local-$i" -> i.toString)))
+    finishOk(proc, log, s"EXT_DONE props=$n")
+    // metadata commits go through the same CAS: a racing SET that read a
+    // stale property map must retry, so no writer's keys are lost
+    val props = t.tableProperties
+    (1 to n).foreach { i =>
+      assert(props.get(s"ext-$i").contains(i.toString), props.toString)
+      assert(props.get(s"local-$i").contains(i.toString), props.toString)
+    }
+    assert(t.history.count(_._2 == "properties") == 2 * n)
+  }
+
+  test("a rename in one process makes a stale-schema append from another " +
+      "fail LOUDLY — metadata conflicts never corrupt silently") {
+    val dir = tmpDir("xproc_rename")
+    val root = s"$dir/t"
+    val t = LakeTable(spark, root)
+    t.create(Seq((0L, "")).toDF("k", "v").schema)
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    t.renameColumn("v", "val")
+    val v0 = t.currentVersion
+    val log = new java.io.File(s"$dir/ext.log")
+    // the child still writes the OLD logical name (k, v) — its batch must
+    // be rejected by schema reconciliation, never half-committed
+    val proc = spawn("append", root, "ext", 1, log)
+    assert(proc.waitFor(240, TimeUnit.SECONDS), "external writer timed out")
+    val out = new String(java.nio.file.Files.readAllBytes(log.toPath))
+    assert(proc.exitValue() != 0, s"stale-schema append should fail: $out")
+    assert(out.contains("adds column v"), out.takeRight(1500))
+    // the table is untouched: same version, same rows, new name intact
+    assert(t.currentVersion == v0)
+    assert(t.read.columns.toSeq == Seq("k", "val"))
+    assert(t.read.count() == 1)
+  }
 }

@@ -46,6 +46,11 @@ object ExternalLakeWriter {
           }
         }
         println(s"EXT_DONE merged=$n conflicts=$conflicts")
+      case "props" =>
+        // n property commits under this writer's namespace (the metadata
+        // CAS path — commitWithRetry re-derives from the latest snapshot)
+        (1 to n).foreach(i => t.setTableProperties(Map(s"$id-$i" -> i.toString)))
+        println(s"EXT_DONE props=$n")
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()
