@@ -185,6 +185,8 @@ object LakeSql {
     ("""(?is)\s*CONVERT\s+TO\s+LAKE\s+parquet\.`([^`]+)`\s+AS\s+([\w.]+)\s+""" +
       """LOCATION\s+'([^']+)'(?:\s+PARTITIONED\s+BY\s*\(\s*([\w]+)\s*\))?""" +
       """(?:\s+STATS\s+ON\s*\(([^)]+)\))?\s*;?\s*""").r
+  private val CloneRe =
+    """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)\s+LOCATION\s+'([^']+)'\s*;?\s*""".r
 
   /**
    * Parse and execute ONE SQL statement against registered lake tables:
@@ -262,6 +264,17 @@ object LakeSql {
           .convertFrom(srcDir, Option(pcol), statsColumns = sc)
         register(name, tbl)
         Seq((norm(name), tbl.currentVersion, tbl.detail.numFiles))
+          .toDF("table", "version", "num_files")
+      case CloneRe(name, srcName, location) =>
+        // `CREATE TABLE t2 SHALLOW CLONE t1 LOCATION '/path'` — Delta's
+        // zero-copy fork as SQL text: hard-linked file re-references,
+        // O(file count) metadata, fully independent lifecycle after the
+        // fork (RestoreCloneSpec); the clone auto-registers under its name
+        require(!tables.contains(norm(name)),
+          s"table $name is already registered")
+        val cloned = lookup(srcName).shallowClone(location)
+        register(name, cloned)
+        Seq((norm(name), cloned.currentVersion, cloned.detail.numFiles))
           .toDF("table", "version", "num_files")
       case ShowPartitionsRe(name) =>
         // Delta/Hive `SHOW PARTITIONS t`: the manifest's owned partition

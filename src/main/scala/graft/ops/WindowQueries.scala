@@ -157,6 +157,38 @@ object WindowQueries {
         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         WHERE e.user_id % 50 = 0 ORDER BY e.event_id""")),
 
+    // STREAMING SINK INTO A LAKE TABLE (the writeStream.format("delta")
+    // role): a checkpointed AvailableNow drain appends each micro-batch
+    // idempotently through the transaction ledger (appId + epoch id), so a
+    // crash-replayed batch can never double-land — LakeSinkSpec pins the
+    // replay/restart halves; this query pins the data path end-to-end
+    // (stream → ledgered appends → DV-aware lake read ≡ plain relational
+    // oracle).
+    Q("w_lake_sink", (s, d) => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_wsink")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/orders.parquet"),
+        stage.resolve("orders.parquet"))
+      val raw = s.read.parquet(s"$d/orders.parquet").schema
+      val root = java.nio.file.Files.createTempDirectory("graft_wsink_t")
+      val tbl = graft.lake.LakeTable(s, s"$root/t")
+      val stream = s.readStream.schema(raw).parquet(stage.toString)
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      tbl.create(stream.schema)
+      graft.streaming.LakeSink.appendStream(
+        stream, tbl, "w_lake_sink", s"$root/ck")
+      // a second drain of the same checkpoint commits nothing (ledger)
+      graft.streaming.LakeSink.appendStream(
+        s.readStream.schema(raw).parquet(stage.toString)
+          .filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        tbl, "w_lake_sink", s"$root/ck")
+      tbl.read.orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey""")),
+
     // STREAMING DEDUP: exactly-once key emission over a watermarked stream
     // via dropDuplicatesWithinWatermark — the state-BOUNDED streaming dedup
     // (state for a key is dropped once the watermark passes it, unlike plain

@@ -832,6 +832,30 @@ class LakeSqlSpec extends SparkSpec {
     } finally LakeSql.unregister("skip_t")
   }
 
+  test("CREATE TABLE ... SHALLOW CLONE forks through SQL text: zero-copy, " +
+      "independent lifecycle, auto-registered") {
+    val dir = tmpDir("sql_clone")
+    val t = LakeTable(spark, s"$dir/src")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    LakeSql.register("clone_src", t)
+    try {
+      val res = LakeSql.sql(spark,
+        s"CREATE TABLE clone_dst SHALLOW CLONE clone_src LOCATION '$dir/dst'")
+      assert(res.columns.toSeq == Seq("table", "version", "num_files"))
+      // the clone reads identically and then DIVERGES without touching src
+      assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM clone_dst")
+        .as[Long].head() == 2L)
+      LakeSql.sql(spark, "INSERT INTO clone_dst VALUES (3, 'c')")
+      assert(LakeSql.sql(spark, "SELECT count(*) AS n FROM clone_dst")
+        .as[Long].head() == 3L)
+      assert(t.read.count() == 2)
+      // a second clone under a taken name is refused
+      val e = intercept[IllegalArgumentException](LakeSql.sql(spark,
+        s"CREATE TABLE clone_dst SHALLOW CLONE clone_src LOCATION '$dir/dst2'"))
+      assert(e.getMessage.contains("already registered"), e.getMessage)
+    } finally { LakeSql.unregister("clone_src"); LakeSql.unregister("clone_dst") }
+  }
+
   test("composite keys and swapped equality sides resolve") {
     val root = tmpDir("sql_composite")
     val t = LakeTable(spark, s"$root/t")
