@@ -360,6 +360,33 @@ object LakeSql {
                 tbl.dropColumn(c)
             }
             Seq((norm(name), tbl.currentVersion)).toDF("table", "version")
+          case dr: org.apache.spark.sql.catalyst.plans.logical.DescribeRelation =>
+            // `DESCRIBE [TABLE] t`: column name/type/nullability under the
+            // CURRENT logical names, plus partition-column and generated/
+            // constraint annotations — schema facts only (DESCRIBE DETAIL
+            // carries the snapshot facts)
+            val name = dr.relation.collectFirst {
+              case UnresolvedRelation(parts, _, _) => parts.mkString(".")
+              case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+                ut.multipartIdentifier.mkString(".")
+            }.getOrElse(throw new IllegalArgumentException(
+              s"DESCRIBE target must be a named table, got ${dr.relation.nodeName}"))
+            val tbl = lookup(name)
+            val gen = tbl.generatedColumns
+            tbl.schema.fields.toSeq.map { f =>
+              val notes = Seq(
+                if (tbl.partitionColumn.contains(f.name)) Some("partition") else None,
+                gen.get(f.name).map(e => s"generated as ($e)")).flatten
+              (f.name, f.dataType.simpleString, f.nullable, notes.mkString("; "))
+            }.toDF("col_name", "data_type", "nullable", "comment")
+          case sc: org.apache.spark.sql.catalyst.plans.logical.ShowColumns =>
+            val name = sc.child.collectFirst {
+              case UnresolvedRelation(parts, _, _) => parts.mkString(".")
+              case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+                ut.multipartIdentifier.mkString(".")
+            }.getOrElse(throw new IllegalArgumentException(
+              s"SHOW COLUMNS target must be a named table, got ${sc.child.nodeName}"))
+            lookup(name).schema.fieldNames.toSeq.toDF("col_name")
           case rc: org.apache.spark.sql.catalyst.plans.logical.RenameColumn =>
             // metadata-only RENAME COLUMN (column mapping) — O(manifest);
             // no data file is touched (see LakeTable.renameColumn)

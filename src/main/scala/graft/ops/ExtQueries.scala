@@ -821,6 +821,46 @@ object ExtQueries {
             ON q.cell = a.cell AND a.vec_id != q.vec_id AND a.label != q.label)
         WHERE rank <= 3 ORDER BY q_id, rank""")),
 
+    // DATASET CARD (datasheet/data-statement reporting — the per-source
+    // summary every published training corpus ships): one grouped pass over
+    // the corpus produces document counts, token/char volumes, exact-dup
+    // counts (fingerprint cardinality), decimal-exact mean quality, and
+    // exact length percentiles per (source, lang). Everything is a partial-
+    // aggregatable expression, so at 100 TB this is one map-side-combined
+    // shuffle on a handful of group keys — the cheapest possible full-corpus
+    // report shape.
+    Q("x47_dataset_card", (s, d) => {
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      docs.select(col("source"), col("lang"), col("n_chars"), col("text"),
+          TF.tokenCount(col("text")).as("toks"),
+          TF.qualityScore(col("text")).as("q"),
+          TF.fingerprintBucket(col("text")).as("fp"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"),
+          davg(col("q"), 6).as("mean_quality"),
+          expr("percentile(n_chars, array(0.5D, 0.9D))").as("pq"))
+        .select(col("source"), col("lang"), col("n_docs"), col("total_tokens"),
+          col("total_chars"), col("n_exact_dups"), col("mean_quality"),
+          col("pq")(0).as("p50_chars"), col("pq")(1).as("p90_chars"))
+        .orderBy("source", "lang")
+    },
+      Some(s"""WITH base AS (
+          SELECT source, lang, n_chars,
+            ${TF.tokenCountSql("text")} AS toks,
+            ${TF.qualityScoreSql("text")} AS q,
+            ${TF.fingerprintBucketSql("text")} AS fp
+          FROM documents WHERE text IS NOT NULL)
+        SELECT source, lang, count(*) AS n_docs,
+          SUM(toks) AS total_tokens, SUM(n_chars) AS total_chars,
+          count(*) - count(DISTINCT fp) AS n_exact_dups,
+          ${dsumSql("q", 6)} / count(*) AS mean_quality,
+          quantile_cont(n_chars, 0.5) AS p50_chars,
+          quantile_cont(n_chars, 0.9) AS p90_chars
+        FROM base GROUP BY source, lang ORDER BY source, lang""")),
+
     // ANN top-k: banded LSH candidate generation + exact cosine re-rank.
     Q("x7_sim_lsh_topk", (s, d) =>
       Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",

@@ -164,6 +164,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("dataset card is one map-side-combined shuffle on the group keys") {
+    val df = SparkEntry.queries("x47_dataset_card")(spark, sfDir)
+    val plan = planOf(df)
+    // partial aggregation before the exchange: the 100 TB corpus combines
+    // per partition, only (source, lang) partials cross the wire
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("span dedup is one explode + balanced hash shuffles, never pairwise") {
     val df = SparkEntry.queries("x40_dup_spans")(spark, sfDir)
     val plan = planOf(df)

@@ -856,6 +856,26 @@ class LakeSqlSpec extends SparkSpec {
     } finally { LakeSql.unregister("clone_src"); LakeSql.unregister("clone_dst") }
   }
 
+  test("DESCRIBE TABLE / SHOW COLUMNS list the CURRENT logical schema " +
+      "with partition and generated annotations") {
+    val dir = tmpDir("sql_desc")
+    val t = LakeTable(spark, s"$dir/t")
+    t.create(Seq((1L, "2024-01", 1.0)).toDF("k", "month", "amt").schema,
+      partitionBy = Some("month"))
+    t.append(Seq((1L, "2024-01", 5.0)).toDF("k", "month", "amt"))
+    t.renameColumn("amt", "amount")
+    LakeSql.register("desc_t", t)
+    try {
+      val desc = LakeSql.sql(spark, "DESCRIBE TABLE desc_t")
+        .as[(String, String, Boolean, String)].collect().toSeq
+      assert(desc.map(_._1) == Seq("k", "month", "amount"))
+      assert(desc.find(_._1 == "month").get._4 == "partition")
+      assert(desc.find(_._1 == "amount").get._2 == "double")
+      assert(LakeSql.sql(spark, "SHOW COLUMNS IN desc_t")
+        .as[String].collect().toSeq == Seq("k", "month", "amount"))
+    } finally LakeSql.unregister("desc_t")
+  }
+
   test("composite keys and swapped equality sides resolve") {
     val root = tmpDir("sql_composite")
     val t = LakeTable(spark, s"$root/t")
