@@ -252,6 +252,65 @@ object Media {
     }
   }
 
+  // ---- PERCEPTUAL HASH (aHash) over the real PPM decode --------------------
+
+  /**
+   * 8×8 mean-threshold AVERAGE HASH (aHash) of a PPM payload — the
+   * perceptual-dedup primitive for image corpora: byte-level noise
+   * (re-encodes, slight brightness jitter) that never crosses the image's
+   * own luma mean leaves the hash IDENTICAL, so near-duplicate images
+   * collapse to one 64-bit key and dedup becomes the same equi-join
+   * machinery text fingerprints use. Pipeline: real decode → nearest-
+   * neighbor resize to 8×8 → integer luma per cell → bit (r·8+c) set iff
+   * luma > mean. Deterministic integer arithmetic end-to-end.
+   */
+  def ppmAHash(bytes: Array[Byte]): Long = {
+    val small = resizePpm(decodePpm(bytes), 8, 8)
+    val luma = Array.tabulate(64) { i =>
+      val p = i * 3
+      ((small.pixels(p) & 0xff) + (small.pixels(p + 1) & 0xff) +
+        (small.pixels(p + 2) & 0xff)) / 3
+    }
+    val mean = luma.sum / 64 // integer mean: exact, replayable
+    luma.zipWithIndex.foldLeft(0L) { case (h, (v, i)) =>
+      if (v > mean) h | (1L << i) else h
+    }
+  }
+
+  final case class PpmHash(media_id: Long, ahash: Long, byte_len: Long)
+
+  /** Decode + aHash in one narrow mapPartitions pass (the batch shape). */
+  def ppmAHashes(media: Dataset[MediaRow]): Dataset[PpmHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(r =>
+      PpmHash(r.media_id, ppmAHash(r.content), r.content.length.toLong)))
+  }
+
+  /**
+   * aHash FIXTURE with analytic structure: 8×8 images whose BRIGHT ROW is
+   * `doc_id % 7` (values 200 + id%40, always above the image mean) over a
+   * dim background (10 + id%15, always below) — so every image's BYTES are
+   * id-distinct (no two payloads equal) while its aHash depends ONLY on the
+   * bright-row index: hash = 0xFF << (8·(id%7)), exactly replayable in SQL.
+   * This is the perceptual-dedup property in miniature: byte-noise within
+   * the luma bands never moves the hash.
+   */
+  def synthesizeAHashPpms(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val bright = (200 + (id % 40)).toInt
+      val bg = (10 + (id % 15)).toInt
+      val row = (id % 7).toInt
+      val pixels = Array.tabulate[Byte](8 * 8 * 3) { i =>
+        val r = (i / 3) / 8
+        (if (r == row) bright else bg).toByte
+      }
+      MediaRow(id, "image/ppm", encodePpm(PpmImage(8, 8, pixels)))
+    })
+  }
+
   // ---- REAL codec path: WAV (RIFF, 16-bit PCM) -----------------------------
 
   /** Decoded mono/stereo 16-bit PCM audio: `samples` is channel-interleaved,

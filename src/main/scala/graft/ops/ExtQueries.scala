@@ -861,6 +861,33 @@ object ExtQueries {
           quantile_cont(n_chars, 0.9) AS p90_chars
         FROM base GROUP BY source, lang ORDER BY source, lang""")),
 
+    // PERCEPTUAL IMAGE DEDUP (aHash): real PPM decode → 8×8 resize →
+    // mean-threshold 64-bit average hash → equi-grouping on the hash — the
+    // image twin of text fingerprint dedup (byte-level noise within the
+    // luma bands never moves the hash, so re-encodes/jitter collapse to one
+    // class). The fixture is analytically structured: every payload's BYTES
+    // are id-distinct but its aHash depends only on the bright-row index,
+    // so the oracle replays hash, canonical and class size in pure SQL
+    // while the Spark side runs the REAL decoder end-to-end.
+    Q("x48_media_ahash_dedup", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = Media.ppmAHashes(
+        Media.synthesizeAHashPpms(t(s, d, "documents"))).toDF()
+      val w = Window.partitionBy("ahash")
+      h.withColumn("canonical_id", min(col("media_id")).over(w))
+        .withColumn("class_size", count(lit(1)).over(w))
+        .select("media_id", "ahash", "canonical_id", "class_size")
+        .orderBy("media_id")
+    },
+      Some("""WITH h AS (
+          SELECT doc_id AS media_id,
+            255 * (CAST(1 AS BIGINT) << CAST(8 * (doc_id % 7) AS INT)) AS ahash
+          FROM documents)
+        SELECT media_id, ahash,
+          MIN(media_id) OVER (PARTITION BY ahash) AS canonical_id,
+          COUNT(*) OVER (PARTITION BY ahash) AS class_size
+        FROM h ORDER BY media_id""")),
+
     // ANN top-k: banded LSH candidate generation + exact cosine re-rank.
     Q("x7_sim_lsh_topk", (s, d) =>
       Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",

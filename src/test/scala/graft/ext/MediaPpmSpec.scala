@@ -72,4 +72,26 @@ class MediaPpmSpec extends SparkSpec {
     val again = Media.ppmFeatures(Media.synthesizePpmFromDocuments(docs)).collect()
     assert(feats.sortBy(_.media_id).toSeq == again.sortBy(_.media_id).toSeq)
   }
+
+  test("aHash is invariant to byte-level noise within the luma bands and " +
+      "separates genuinely different structure") {
+    def img(bright: Int, bg: Int, row: Int, w: Int = 8, h: Int = 8): Array[Byte] =
+      Media.encodePpm(Media.PpmImage(w, h, Array.tabulate[Byte](w * h * 3) { i =>
+        (if ((i / 3) / w == row) bright else bg).toByte
+      }))
+    // same structure, different bytes (jittered brightness) → SAME hash
+    val a = Media.ppmAHash(img(bright = 200, bg = 10, row = 3))
+    val b = Media.ppmAHash(img(bright = 239, bg = 24, row = 3))
+    assert(a == b)
+    assert(a == 255L << 24, f"hash $a%x must be the analytic bright-row mask")
+    // different structure → different hash
+    assert(Media.ppmAHash(img(200, 10, row = 5)) != a)
+    // resize path: a 16×16 with a two-row bright band hashes like the 8×8
+    val big = Media.encodePpm(Media.PpmImage(16, 16,
+      Array.tabulate[Byte](16 * 16 * 3) { i =>
+        val r = (i / 3) / 16
+        (if (r == 6 || r == 7) 200 else 10).toByte
+      }))
+    assert(Media.ppmAHash(big) == 255L << 24)
+  }
 }
