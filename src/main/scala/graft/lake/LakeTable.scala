@@ -1878,6 +1878,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       val flat = src.select(cols.map(col): _*)
       val chDir = writeChanges(flat.withColumn(ChangeTypeCol, lit("insert")))
       replaceAll(flat, m.pcol, "merge", Some(v0), chDir)
+      maybeAutoCompact()
       return
     }
 
@@ -1896,6 +1897,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         try {
           val chDir = writeChanges(changesFrom(pinned))
           replaceAll(mergedFrom(pinned), None, "merge", Some(v0), chDir)
+          maybeAutoCompact()
         } finally if (m.cdfEnabled) { pinned.unpersist(); () }
       case Some(p) =>
         // touched partitions = the source's partition values (small, driver-side)
@@ -1929,6 +1931,10 @@ final class LakeTable private (val spark: SparkSession, val root: String,
             throw new ConcurrentWriteException(
               s"merge computed against version $v0 of $root, but a concurrent " +
                 s"writer committed v${v0 + 1} first — recompute and retry")
+          // Delta fires auto-compact after MERGE too: partition-scoped
+          // merges accumulate one dir per run, the small-file shape the
+          // property exists to bound (best-effort, post-commit)
+          maybeAutoCompact()
         } finally if (m.cdfEnabled) { pinned.unpersist(); () }
     }
   }

@@ -135,4 +135,31 @@ class ConcurrencySpec extends SparkSpec {
       }
     }
   }
+
+  test("racing renames of DISTINCT columns compose; a second rename of the " +
+      "SAME column fails loudly after the winner moves it") {
+    val root = s"${tmpDir("conc_rename")}/t"
+    LakeTable(spark, root).append(Seq((1L, "a", 1.0)).toDF("k", "v", "w"))
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val results = Seq("v" -> "value", "w" -> "weight").map { case (from, to) =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          LakeTable(spark, root).renameColumn(from, to)
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    results.foreach(_.get()) // both commit (commitWithRetry re-derives)
+    val t = LakeTable(spark, root)
+    assert(t.schema.fieldNames.toSeq == Seq("k", "value", "weight"))
+    assert(t.columnMapping == Map("value" -> "v", "weight" -> "w"))
+    assert(t.read.count() == 1)
+    // the old name is GONE for a late writer: loud, never silent
+    val e = intercept[IllegalArgumentException](t.renameColumn("v", "x"))
+    assert(e.getMessage.contains("no column v"), e.getMessage)
+  }
 }

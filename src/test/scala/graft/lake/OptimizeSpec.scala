@@ -135,6 +135,25 @@ class OptimizeSpec extends SparkSpec {
     assert(t.history.map(_._2) == Seq("create", "append", "optimize", "append"))
   }
 
+  test("autoCompact fires after partition-scoped MERGES too — the one-dir-" +
+      "per-run accumulation the property exists to bound") {
+    val t = LakeTable(spark, s"${tmpDir("opt_auto_merge")}/t")
+    val df = Seq((1L, "p1", 1.0)).toDF("k", "pt", "v")
+    t.create(df.schema, partitionBy = Some("pt"))
+    t.setTableProperties(Map(
+      LakeTable.AutoCompactProp -> "true",
+      LakeTable.AutoCompactMinFilesProp -> "4"))
+    // each merge lands a NEW partition: owned dirs (one small file each)
+    // accumulate run over run — the shape that crosses the threshold
+    (1 to 5).foreach { i =>
+      t.merge(Seq((i.toLong, s"p$i", i.toDouble)).toDF("k", "pt", "v"), Seq("k", "pt"))
+    }
+    assert(t.history.map(_._2).contains("optimize"), t.history.mkString(","))
+    assert(t.read.count() == 5)
+    assert(t.read.agg(org.apache.spark.sql.functions.sum("v"))
+      .head().getDouble(0) == 15.0)
+  }
+
   test("autoCompact TBLPROPERTIES: appends self-compact past the small-file " +
       "threshold; the switch is live both ways") {
     val t = LakeTable(spark, s"${tmpDir("opt_auto")}/t")
