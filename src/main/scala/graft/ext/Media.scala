@@ -447,6 +447,27 @@ object Media {
     }
   }
 
+  /**
+   * Audio-fingerprint FIXTURE with analytic structure: fixed-length (800
+   * frame) square waves whose HALF-PERIOD is `1 + doc_id % 5` samples and
+   * whose AMPLITUDE is `1000 + doc_id % 4000` — every payload's bytes are
+   * id-distinct (amplitude), while the zero-crossing count depends ONLY on
+   * the half-period: `floor(799 / half)`, exactly replayable in SQL. The
+   * acoustic-dedup property in miniature: loudness changes (re-encodes,
+   * gain) never move the crossing signature.
+   */
+  def synthesizeSquareWavs(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val half = 1 + (id % 5).toInt
+      val amp = (1000 + (id % 4000)).toInt
+      val samples = Array.tabulate[Short](800)(i =>
+        (if ((i / half) % 2 == 0) amp else -amp).toShort)
+      MediaRow(id, "audio/wav", encodeWav(WavAudio(8000, 1, samples)))
+    })
+  }
+
   // ---- REAL codec path: Y4M video (YUV4MPEG2, raw 4:2:0 frames) ------------
 
   /** Decoded raw video: per-frame YUV 4:2:0 planes
@@ -564,6 +585,32 @@ object Media {
   /** Deterministic Y4M payloads from the documents table: even dims and
    *  frame counts are mod-functions of `doc_id` (single-digit dims → fixed
    *  39-byte stream header), planes an md5 keystream, 25 fps. */
+  /**
+   * Scene-cut FIXTURE with analytic structure: 4×4 videos of `7 + id % 4`
+   * solid-luma frames with ONE hard cut at frame `1 + id % 5` — luma jumps
+   * from a dim band (40 + id % 30) to a bright one (160 + id % 60), so the
+   * per-frame mean-luma delta is ≥ 91 at the cut and exactly 0 inside
+   * either segment. Byte-distinct payloads (luma jitter), analytic cut
+   * position — SQL-replayable while Spark runs the real stream parser.
+   */
+  def synthesizeSceneCutY4ms(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val n = 7 + (id % 4).toInt
+      val cut = 1 + (id % 5).toInt
+      val dim = (40 + (id % 30)).toInt
+      val bright = (160 + (id % 60)).toInt
+      val fb = y4mFrameBytes(4, 4)
+      val luma = 4 * 4
+      val frames = Array.tabulate(n) { f =>
+        val l = if (f < cut) dim else bright
+        Array.tabulate[Byte](fb)(i => (if (i < luma) l else 128).toByte)
+      }
+      MediaRow(id, "video/y4m", encodeY4m(Y4mVideo(4, 4, 25, 1, frames)))
+    })
+  }
+
   def synthesizeY4mFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -888,6 +888,60 @@ object ExtQueries {
           COUNT(*) OVER (PARTITION BY ahash) AS class_size
         FROM h ORDER BY media_id""")),
 
+    // ACOUSTIC DEDUP (zero-crossing fingerprint): real WAV decode → integer
+    // zero-crossing signature → equi-grouping — the audio twin of x48's
+    // image aHash (gain/loudness changes never move the crossing count, so
+    // re-encoded takes collapse to one class). The fixture is analytic:
+    // byte-distinct square waves whose signature depends only on the
+    // half-period, so the oracle replays signature/canonical/class size in
+    // pure SQL while Spark runs the real RIFF chunk walker.
+    Q("x49_media_audio_dedup", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val f = Media.wavFeatures(
+        Media.synthesizeSquareWavs(t(s, d, "documents"))).toDF()
+      val w = Window.partitionBy("zero_crossings")
+      f.withColumn("canonical_id", min(col("media_id")).over(w))
+        .withColumn("class_size", count(lit(1)).over(w))
+        .select("media_id", "zero_crossings", "peak", "canonical_id", "class_size")
+        .orderBy("media_id")
+    },
+      Some("""WITH f AS (
+          SELECT doc_id AS media_id,
+            799 // (1 + doc_id % 5) AS zero_crossings,
+            CAST(1000 + doc_id % 4000 AS INT) AS peak
+          FROM documents)
+        SELECT media_id, zero_crossings, peak,
+          MIN(media_id) OVER (PARTITION BY zero_crossings) AS canonical_id,
+          COUNT(*) OVER (PARTITION BY zero_crossings) AS class_size
+        FROM f ORDER BY media_id""")),
+
+    // VIDEO SCENE-CUT DETECTION: real Y4M decode → every-frame luma means
+    // (the x34 sampling primitive at stride 1) → per-video lag window →
+    // frames whose luma delta exceeds the threshold are cuts — the keyframe
+    // selection/shot-boundary primitive video curation pipelines run before
+    // captioning or frame extraction. One narrow flatMap + one window keyed
+    // on the video id; no shuffle grows with frame count beyond the window
+    // key. Analytic fixture → pure-SQL oracle for cut position and count.
+    Q("x50_media_scene_cuts", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val frames = Media.sampleY4mFrames(
+        Media.synthesizeSceneCutY4ms(t(s, d, "documents")), stride = 1).toDF()
+      val w = Window.partitionBy("media_id").orderBy("frame_no")
+      frames
+        .withColumn("delta", abs(col("mean_luma") - lag("mean_luma", 1).over(w)))
+        .withColumn("is_cut", col("delta") > 50.0)
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("is_cut"), 1L).otherwise(0L)).as("n_cuts"),
+          min(when(col("is_cut"), col("frame_no"))).as("cut_frame"))
+        .orderBy("media_id")
+    },
+      Some("""SELECT doc_id AS media_id,
+          7 + doc_id % 4 AS n_frames,
+          CAST(1 AS BIGINT) AS n_cuts,
+          CAST(1 + doc_id % 5 AS INT) AS cut_frame
+        FROM documents ORDER BY media_id""")),
+
     // ANN top-k: banded LSH candidate generation + exact cosine re-rank.
     Q("x7_sim_lsh_topk", (s, d) =>
       Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
