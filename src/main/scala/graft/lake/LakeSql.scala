@@ -33,12 +33,13 @@ import org.apache.spark.sql.types.TimestampType
  * expression — and hands off to [[LakeTable.merge]]. No Catalyst surgery:
  * resolution rules, analyzer, and the merge engine stay untouched.
  *
- * Supported statement shape (exactly the reference's):
+ * Supported statement shape (the reference's, plus column-level SET):
  *   - ON: conjunction of `t.k = s.k` equalities over SAME-named columns
- *   - WHEN MATCHED [AND <guard>] THEN UPDATE SET *   (at most one)
- *   - WHEN NOT MATCHED THEN INSERT *                 (unconditioned)
- * Anything else — DELETE clauses, column-level assignments, NOT MATCHED BY
- * SOURCE — fails loudly with the offending clause named.
+ *   - WHEN MATCHED [AND <guard>] THEN UPDATE SET *            (at most one)
+ *     or WHEN MATCHED [AND <guard>] THEN UPDATE SET c = <expr over s/t>
+ *   - WHEN NOT MATCHED THEN INSERT *                          (unconditioned)
+ * Anything else — DELETE clauses, NOT MATCHED BY SOURCE — fails loudly with
+ * the offending clause named.
  */
 object LakeSql {
 
@@ -74,12 +75,27 @@ object LakeSql {
 
     require(m.notMatchedBySourceActions.isEmpty,
       "WHEN NOT MATCHED BY SOURCE is not supported (the engine merge keeps target-only rows)")
-    val guard = m.matchedActions match {
-      case Nil => None
+    val (guard, matchedSet) = m.matchedActions match {
+      case Nil => (None, None)
       case Seq(UpdateStarAction(cond)) =>
-        cond.map(c => requalify(c, targetAlias, sourceAlias).sql)
+        (cond.map(c => requalify(c, targetAlias, sourceAlias).sql), None)
+      case Seq(org.apache.spark.sql.catalyst.plans.logical.UpdateAction(
+          cond, assignments, _)) =>
+        // WHEN MATCHED [AND g] THEN UPDATE SET col = <expr over s/t>
+        val as = assignments.map { a =>
+          val k = a.key match {
+            case attr: UnresolvedAttribute => attr.nameParts.last
+            case other => throw new IllegalArgumentException(
+              s"SET target must be a column, got ${other.sql}")
+          }
+          k -> requalify(a.value, targetAlias, sourceAlias).sql
+        }.toMap
+        require(as.size == assignments.size,
+          "duplicate SET column in the UPDATE clause")
+        (cond.map(c => requalify(c, targetAlias, sourceAlias).sql), Some(as))
       case other => throw new IllegalArgumentException(
-        s"only a single WHEN MATCHED THEN UPDATE SET * clause is supported, got: " +
+        s"only a single WHEN MATCHED THEN UPDATE SET * / SET col = expr " +
+          s"clause is supported, got: " +
           other.map(_.getClass.getSimpleName).mkString(", "))
     }
     m.notMatchedActions match {
@@ -91,7 +107,8 @@ object LakeSql {
     // when no UPDATE clause exists, matched rows keep the target version:
     // guard `false` never takes the source side for matches
     target.merge(sourceDf, keys, if (m.matchedActions.isEmpty) Some("false") else guard,
-      mergeSchema = m.withSchemaEvolution) // MERGE WITH SCHEMA EVOLUTION
+      mergeSchema = m.withSchemaEvolution, // MERGE WITH SCHEMA EVOLUTION
+      matchedSet = matchedSet)
     target
   }
 

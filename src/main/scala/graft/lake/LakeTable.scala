@@ -1809,7 +1809,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       keys: Seq[String],
       matchedGuard: Option[String] = None,
       checkUniqueKeys: Boolean = false,
-      mergeSchema: Boolean = false): Unit = synchronized {
+      mergeSchema: Boolean = false,
+      matchedSet: Option[Map[String, String]] = None): Unit = synchronized {
     require(exists, s"merge target $root does not exist — create() or append() first")
     val v0 = currentVersion
     val m = readManifest(v0) // merge computes against THIS snapshot
@@ -1829,6 +1830,25 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       s"merge source schema ${src.columns.mkString(",")} != target ${cols.mkString(",")}" +
         (if (mergeSchema) "" else " (additive columns need mergeSchema = true)"))
     enforceConstraints(src, m.constraints)
+    matchedSet.foreach { as =>
+      require(as.nonEmpty, "UPDATE SET with no assignments")
+      def refs(e: String, c: String): Boolean =
+        spark.sessionState.sqlParser.parseExpression(e).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if a.nameParts.last.equalsIgnoreCase(c) => a
+        }.nonEmpty
+      as.keys.foreach { c =>
+        require(cols.contains(c), s"unknown SET column $c")
+        require(!keys.contains(c), s"cannot assign merge key $c")
+        require(!m.pcol.contains(c),
+          s"cannot assign partition column $c (a row may not change partition)")
+        require(!m.generated.exists(_._1 == c),
+          s"$c is a generated column — it is recomputed, not assigned")
+        m.generated.foreach { case (g, e) => require(!refs(e, c),
+          s"generated column $g derives from $c — assigning it would " +
+            "stale the derived value; rewrite via overwrite instead") }
+      }
+    }
     if (checkUniqueKeys) {
       val dups = src.groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).count()
       require(dups == 0, s"merge source has duplicate keys $keys")
@@ -1841,9 +1861,22 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
       t.join(s, joinCond, "full_outer")
     }
-    def mergedFrom(joined: DataFrame): DataFrame = {
-      val takeSrc = col(S_MARK).isNotNull && (col(T_MARK).isNull || guard)
-      joined.select(cols.map(c => when(takeSrc, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
+    def mergedFrom(joined: DataFrame): DataFrame = matchedSet match {
+      case None => // UPDATE SET *: matched-and-guarded rows take the source row
+        val takeSrc = col(S_MARK).isNotNull && (col(T_MARK).isNull || guard)
+        joined.select(cols.map(c => when(takeSrc, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
+      case Some(assigns) =>
+        // COLUMN-LEVEL UPDATE SET c = <expr over s/t>: matched-and-guarded
+        // rows keep the TARGET row with only the assigned columns computed;
+        // source-only rows still insert the full source row (INSERT *)
+        val isInsert = col(S_MARK).isNotNull && col(T_MARK).isNull
+        val isUpdate = col(S_MARK).isNotNull && col(T_MARK).isNotNull && guard
+        joined.select(cols.map { c =>
+          val updated = assigns.get(c).map(expr).getOrElse(col(s"t.$c"))
+          when(isUpdate, updated)
+            .otherwise(when(isInsert, col(s"s.$c")).otherwise(col(s"t.$c")))
+            .as(c)
+        }: _*)
     }
     // O8 change rows out of the SAME join: a source-only row is an insert;
     // a matched-and-guard-passing row emits its target pre-image and source
@@ -1853,10 +1886,18 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       val isUpdate = col(S_MARK).isNotNull && col(T_MARK).isNotNull && guard
       def row(side: String, kind: String) = struct(
         (cols.map(c => col(s"$side.$c").as(c)) :+ lit(kind).as(ChangeTypeCol)): _*)
+      // with column-level assignments the POSTIMAGE is the assigned target
+      // row, not the raw source row
+      def postRow = matchedSet match {
+        case None => row("s", "update_postimage")
+        case Some(assigns) => struct(
+          (cols.map(c => assigns.get(c).map(expr).getOrElse(col(s"t.$c")).as(c)) :+
+            lit("update_postimage").as(ChangeTypeCol)): _*)
+      }
       joined.select(explode(array(
           when(isInsert, row("s", "insert")),
           when(isUpdate, row("t", "update_preimage")),
-          when(isUpdate, row("s", "update_postimage")))).as("__ch"))
+          when(isUpdate, postRow))).as("__ch"))
         .filter(col("__ch").isNotNull)
         .select((cols :+ ChangeTypeCol).map(c => col(s"__ch.$c").as(c)): _*)
     }
@@ -1896,7 +1937,11 @@ final class LakeTable private (val spark: SparkSession, val root: String,
           else joined
         try {
           val chDir = writeChanges(changesFrom(pinned))
-          replaceAll(mergedFrom(pinned), None, "merge", Some(v0), chDir)
+          val merged = mergedFrom(pinned)
+          // SET * writes source rows (validated above); column ASSIGNMENTS
+          // synthesize new rows — gate them before anything lands
+          if (matchedSet.nonEmpty) enforceConstraints(merged, m.constraints)
+          replaceAll(merged, None, "merge", Some(v0), chDir)
           maybeAutoCompact()
         } finally if (m.cdfEnabled) { pinned.unpersist(); () }
       case Some(p) =>
@@ -1911,7 +1956,9 @@ final class LakeTable private (val spark: SparkSession, val root: String,
           else joined
         try {
           val chDir = writeChanges(changesFrom(pinned))
-          val (dir, owned, fstats) = writeData(mergedFrom(pinned), Some(p),
+          val merged = mergedFrom(pinned)
+          if (matchedSet.nonEmpty) enforceConstraints(merged, m.constraints)
+          val (dir, owned, fstats) = writeData(merged, Some(p),
             m.statsCols, bloomCols = m.bloomCols, colMap = m.colMap)
           val kept = m.entries
             .map(e => e.copy(owned = e.owned.map(_.filterNot(touchedSet))))

@@ -1328,6 +1328,43 @@ object CoreQueries {
           TRUE AS auto_compacted, TRUE AS packed
         FROM orders ORDER BY o_orderkey""")),
 
+    // S37: COLUMN-LEVEL MERGE ASSIGNMENTS (`WHEN MATCHED THEN UPDATE SET
+    // col = <expr over s/t>`) — the Delta statement a SET *-only surface
+    // can't express: matched rows keep the TARGET row with only the
+    // assigned column computed (here price summed across both sides), so
+    // the source's clobbered o_custkey (+1 on every source row) must NOT
+    // leak into matched rows — a SET * regression would hash-mismatch
+    // immediately. Source-only rows still INSERT * complete.
+    Q("s37_merge_set_columns", (s, d) => {
+      val o = t(s, d, "orders")
+      val tbl = LakeTable(s, s"${tmp("graft_s37")}/t")
+      tbl.append(o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice"))
+      val src = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), (col("o_custkey") + 1L).as("o_custkey"),
+          col("o_totalprice"))
+      LakeSql.register("s37_orders", tbl)
+      src.createOrReplaceTempView("s37_updates")
+      try LakeSql.merge(s,
+        """MERGE INTO s37_orders AS t0
+           USING s37_updates AS u ON t0.o_orderkey = u.o_orderkey
+           WHEN MATCHED THEN UPDATE SET
+             o_totalprice = t0.o_totalprice + u.o_totalprice
+           WHEN NOT MATCHED THEN INSERT *""")
+      finally {
+        LakeSql.unregister("s37_orders")
+        s.catalog.dropTempView("s37_updates")
+      }
+      tbl.read.orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey,
+          CASE WHEN o_orderkey % 2 = 0 THEN o_custkey
+               ELSE o_custkey + 1 END AS o_custkey,
+          CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + o_totalprice
+               ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0
+        ORDER BY o_orderkey""")),
+
     // S13: SHALLOW CLONE — zero-copy table fork (hard-linked file
     // re-references, O(file count) metadata). The clone then diverges with
     // its own append while the SOURCE is overwritten and vacuumed down to

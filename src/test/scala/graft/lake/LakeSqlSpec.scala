@@ -72,9 +72,6 @@ class LakeSqlSpec extends SparkSpec {
       bad("""MERGE INTO tgt3 AS t0 USING updates3 AS u ON t0.k = u.seq
              WHEN NOT MATCHED THEN INSERT *""", "differently-named")
       bad("""MERGE INTO tgt3 AS t0 USING updates3 AS u ON t0.k = u.k
-             WHEN MATCHED THEN UPDATE SET v = u.v
-             WHEN NOT MATCHED THEN INSERT *""", "update set *")
-      bad("""MERGE INTO tgt3 AS t0 USING updates3 AS u ON t0.k = u.k
              WHEN MATCHED THEN DELETE
              WHEN NOT MATCHED THEN INSERT *""", "update set *")
       bad("""MERGE INTO tgt3 AS t0 USING updates3 AS u ON t0.k = u.k
@@ -87,6 +84,44 @@ class LakeSqlSpec extends SparkSpec {
     } finally {
       LakeSql.unregister("tgt3")
       spark.catalog.dropTempView("updates3")
+    }
+  }
+
+  test("column-level WHEN MATCHED ... UPDATE SET c = expr assigns only the " +
+      "named columns; CDF postimage carries the assigned row") {
+    val root = tmpDir("sql_merge_set")
+    val t = LakeTable(spark, s"$root/t")
+    t.create(Seq((0L, "", 0)).toDF("k", "v", "seq").schema, enableChangeFeed = true)
+    t.append(Seq((1L, "a", 1), (2L, "b", 5)).toDF("k", "v", "seq"))
+    LakeSql.register("set_t", t)
+    Seq((1L, "A1", 3), (2L, "B2", 1), (9L, "new", 1)).toDF("k", "v", "seq")
+      .createOrReplaceTempView("set_updates")
+    try {
+      val vBefore = t.currentVersion
+      LakeSql.merge(spark,
+        """MERGE INTO set_t AS t0 USING set_updates AS u ON t0.k = u.k
+           WHEN MATCHED AND u.seq >= t0.seq
+             THEN UPDATE SET v = concat(u.v, '!'), seq = t0.seq + u.seq
+           WHEN NOT MATCHED THEN INSERT *""")
+      // k=1 matched+guard: v assigned from source expr, seq summed;
+      // k=2 guard-rejected (stale): target row untouched;
+      // k=9 source-only: full INSERT *
+      assert(t.read.orderBy("k").as[(Long, String, Int)].collect().toSeq ==
+        Seq((1L, "A1!", 4), (2L, "b", 5), (9L, "new", 1)))
+      // the change feed's postimage is the ASSIGNED row, not the raw source
+      val post = t.readChangeFeed(vBefore + 1)
+        .filter(col("_change_type") === "update_postimage")
+        .select("k", "v", "seq").as[(Long, String, Int)].collect().toSeq
+      assert(post == Seq((1L, "A1!", 4)))
+      // assigning a merge key is refused loudly
+      val e = intercept[IllegalArgumentException](LakeSql.merge(spark,
+        """MERGE INTO set_t AS t0 USING set_updates AS u ON t0.k = u.k
+           WHEN MATCHED THEN UPDATE SET k = u.k
+           WHEN NOT MATCHED THEN INSERT *"""))
+      assert(e.getMessage.contains("merge key"), e.getMessage)
+    } finally {
+      LakeSql.unregister("set_t")
+      spark.catalog.dropTempView("set_updates")
     }
   }
 
