@@ -33,13 +33,16 @@ import org.apache.spark.sql.types.TimestampType
  * expression — and hands off to [[LakeTable.merge]]. No Catalyst surgery:
  * resolution rules, analyzer, and the merge engine stay untouched.
  *
- * Supported statement shape (the reference's, plus column-level SET):
+ * Supported statement shape (the reference's, plus the full clause triad):
  *   - ON: conjunction of `t.k = s.k` equalities over SAME-named columns
  *   - WHEN MATCHED [AND <guard>] THEN UPDATE SET *            (at most one)
  *     or WHEN MATCHED [AND <guard>] THEN UPDATE SET c = <expr over s/t>
- *   - WHEN NOT MATCHED THEN INSERT *                          (unconditioned)
- * Anything else — DELETE clauses, NOT MATCHED BY SOURCE — fails loudly with
- * the offending clause named.
+ *     or WHEN MATCHED [AND <guard>] THEN DELETE
+ *   - WHEN NOT MATCHED THEN INSERT * (unconditioned; omittable when a
+ *     DELETE clause exists)
+ *   - WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE (table sync:
+ *     target-only rows removed — full-rewrite path on partitioned targets)
+ * Anything else fails loudly with the offending clause named.
  */
 object LakeSql {
 
@@ -73,12 +76,25 @@ object LakeSql {
 
     val keys = equiKeys(m.mergeCondition, targetAlias, sourceAlias)
 
-    require(m.notMatchedBySourceActions.isEmpty,
-      "WHEN NOT MATCHED BY SOURCE is not supported (the engine merge keeps target-only rows)")
-    val (guard, matchedSet) = m.matchedActions match {
-      case Nil => (None, None)
+    // WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE — the table-sync form:
+    // target-only rows matching the condition are removed (every partition
+    // examined; the engine takes the full-rewrite path)
+    val deleteUnmatched = m.notMatchedBySourceActions match {
+      case Nil => None
+      case Seq(org.apache.spark.sql.catalyst.plans.logical.DeleteAction(cond)) =>
+        Some(cond.map(c => requalify(c, targetAlias, sourceAlias).sql)
+          .getOrElse("true"))
+      case other => throw new IllegalArgumentException(
+        "WHEN NOT MATCHED BY SOURCE supports only THEN DELETE, got: " +
+          other.map(_.getClass.getSimpleName).mkString(", "))
+    }
+    val (guard, matchedSet, matchedDelete) = m.matchedActions match {
+      case Nil => (None, None, false)
       case Seq(UpdateStarAction(cond)) =>
-        (cond.map(c => requalify(c, targetAlias, sourceAlias).sql), None)
+        (cond.map(c => requalify(c, targetAlias, sourceAlias).sql), None, false)
+      case Seq(org.apache.spark.sql.catalyst.plans.logical.DeleteAction(cond)) =>
+        // WHEN MATCHED [AND g] THEN DELETE: matched-and-guarded rows removed
+        (cond.map(c => requalify(c, targetAlias, sourceAlias).sql), None, true)
       case Seq(org.apache.spark.sql.catalyst.plans.logical.UpdateAction(
           cond, assignments, _)) =>
         // WHEN MATCHED [AND g] THEN UPDATE SET col = <expr over s/t>
@@ -92,23 +108,27 @@ object LakeSql {
         }.toMap
         require(as.size == assignments.size,
           "duplicate SET column in the UPDATE clause")
-        (cond.map(c => requalify(c, targetAlias, sourceAlias).sql), Some(as))
+        (cond.map(c => requalify(c, targetAlias, sourceAlias).sql), Some(as), false)
       case other => throw new IllegalArgumentException(
-        s"only a single WHEN MATCHED THEN UPDATE SET * / SET col = expr " +
-          s"clause is supported, got: " +
+        s"only a single WHEN MATCHED THEN UPDATE SET * / SET col = expr / " +
+          s"DELETE clause is supported, got: " +
           other.map(_.getClass.getSimpleName).mkString(", "))
     }
-    m.notMatchedActions match {
-      case Seq(InsertStarAction(None)) => ()
+    val insertAll = m.notMatchedActions match {
+      case Seq(InsertStarAction(None)) => true
+      // no insert clause is legal for pure-delete merges (sync deletions)
+      case Nil if matchedDelete || deleteUnmatched.nonEmpty => false
       case other => throw new IllegalArgumentException(
-        "exactly one unconditioned WHEN NOT MATCHED THEN INSERT * clause is required, got: " +
+        "WHEN NOT MATCHED supports only an unconditioned THEN INSERT * " +
+          "clause (omittable when a DELETE clause exists), got: " +
           (if (other.isEmpty) "none" else other.map(_.getClass.getSimpleName).mkString(", ")))
     }
-    // when no UPDATE clause exists, matched rows keep the target version:
-    // guard `false` never takes the source side for matches
+    // when no UPDATE/DELETE clause exists, matched rows keep the target
+    // version: guard `false` never takes the source side for matches
     target.merge(sourceDf, keys, if (m.matchedActions.isEmpty) Some("false") else guard,
       mergeSchema = m.withSchemaEvolution, // MERGE WITH SCHEMA EVOLUTION
-      matchedSet = matchedSet)
+      matchedSet = matchedSet, matchedDelete = matchedDelete,
+      deleteUnmatchedTarget = deleteUnmatched, insertAll = insertAll)
     target
   }
 

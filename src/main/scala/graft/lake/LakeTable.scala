@@ -1810,8 +1810,13 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       matchedGuard: Option[String] = None,
       checkUniqueKeys: Boolean = false,
       mergeSchema: Boolean = false,
-      matchedSet: Option[Map[String, String]] = None): Unit = synchronized {
+      matchedSet: Option[Map[String, String]] = None,
+      matchedDelete: Boolean = false,
+      deleteUnmatchedTarget: Option[String] = None,
+      insertAll: Boolean = true): Unit = synchronized {
     require(exists, s"merge target $root does not exist — create() or append() first")
+    require(!(matchedDelete && matchedSet.nonEmpty),
+      "WHEN MATCHED can DELETE or UPDATE, not both")
     val v0 = currentVersion
     val m = readManifest(v0) // merge computes against THIS snapshot
     val src = materializeGenerated(src0, m)
@@ -1861,29 +1866,55 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
       t.join(s, joinCond, "full_outer")
     }
-    def mergedFrom(joined: DataFrame): DataFrame = matchedSet match {
-      case None => // UPDATE SET *: matched-and-guarded rows take the source row
-        val takeSrc = col(S_MARK).isNotNull && (col(T_MARK).isNull || guard)
-        joined.select(cols.map(c => when(takeSrc, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
-      case Some(assigns) =>
-        // COLUMN-LEVEL UPDATE SET c = <expr over s/t>: matched-and-guarded
-        // rows keep the TARGET row with only the assigned columns computed;
-        // source-only rows still insert the full source row (INSERT *)
-        val isInsert = col(S_MARK).isNotNull && col(T_MARK).isNull
-        val isUpdate = col(S_MARK).isNotNull && col(T_MARK).isNotNull && guard
-        joined.select(cols.map { c =>
-          val updated = assigns.get(c).map(expr).getOrElse(col(s"t.$c"))
-          when(isUpdate, updated)
-            .otherwise(when(isInsert, col(s"s.$c")).otherwise(col(s"t.$c")))
-            .as(c)
-        }: _*)
+    def mergedFrom(joined0: DataFrame): DataFrame = {
+      // row classes shared by every clause combination; DELETE clauses and
+      // a missing INSERT * clause DROP whole classes before the projection
+      val isMatchedG = col(S_MARK).isNotNull && col(T_MARK).isNotNull && guard
+      val isTargetOnly = col(T_MARK).isNotNull && col(S_MARK).isNull
+      val dropMatched = if (matchedDelete) isMatchedG else lit(false)
+      val dropTargetOnly = deleteUnmatchedTarget match {
+        // WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE: cond over t.*
+        case Some(c) => isTargetOnly && coalesce(expr(c), lit(false))
+        case None => lit(false)
+      }
+      val dropInsert =
+        if (insertAll) lit(false) else col(S_MARK).isNotNull && col(T_MARK).isNull
+      val joined = joined0.filter(!coalesce(
+        dropMatched || dropTargetOnly || dropInsert, lit(false)))
+      matchedSet match {
+        case None => // UPDATE SET *: matched-and-guarded rows take the source row
+          val takeSrc = col(S_MARK).isNotNull && (col(T_MARK).isNull ||
+            (if (matchedDelete) lit(false) else guard))
+          joined.select(cols.map(c => when(takeSrc, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
+        case Some(assigns) =>
+          // COLUMN-LEVEL UPDATE SET c = <expr over s/t>: matched-and-guarded
+          // rows keep the TARGET row with only the assigned columns computed;
+          // source-only rows still insert the full source row (INSERT *)
+          val isInsert = col(S_MARK).isNotNull && col(T_MARK).isNull
+          val isUpdate = col(S_MARK).isNotNull && col(T_MARK).isNotNull && guard
+          joined.select(cols.map { c =>
+            val updated = assigns.get(c).map(expr).getOrElse(col(s"t.$c"))
+            when(isUpdate, updated)
+              .otherwise(when(isInsert, col(s"s.$c")).otherwise(col(s"t.$c")))
+              .as(c)
+          }: _*)
+      }
     }
     // O8 change rows out of the SAME join: a source-only row is an insert;
     // a matched-and-guard-passing row emits its target pre-image and source
     // post-image (Delta CDF's row set for a MERGE without delete clauses).
     def changesFrom(joined: DataFrame): DataFrame = {
-      val isInsert = col(S_MARK).isNotNull && col(T_MARK).isNull
-      val isUpdate = col(S_MARK).isNotNull && col(T_MARK).isNotNull && guard
+      val isInsert = lit(insertAll) && col(S_MARK).isNotNull && col(T_MARK).isNull
+      val isMatchedG = col(S_MARK).isNotNull && col(T_MARK).isNotNull && guard
+      // matched-and-guarded rows are updates — unless the MATCHED clause is
+      // DELETE, in which case they emit a single delete image
+      val isUpdate = if (matchedDelete) lit(false) else isMatchedG
+      val isMatchDel = if (matchedDelete) isMatchedG else lit(false)
+      val isSyncDel = deleteUnmatchedTarget match {
+        case Some(c) => col(T_MARK).isNotNull && col(S_MARK).isNull &&
+          coalesce(expr(c), lit(false))
+        case None => lit(false)
+      }
       def row(side: String, kind: String) = struct(
         (cols.map(c => col(s"$side.$c").as(c)) :+ lit(kind).as(ChangeTypeCol)): _*)
       // with column-level assignments the POSTIMAGE is the assigned target
@@ -1897,7 +1928,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       joined.select(explode(array(
           when(isInsert, row("s", "insert")),
           when(isUpdate, row("t", "update_preimage")),
-          when(isUpdate, postRow))).as("__ch"))
+          when(isUpdate, postRow),
+          when(isMatchDel || isSyncDel, row("t", "delete")))).as("__ch"))
         .filter(col("__ch").isNotNull)
         .select((cols :+ ChangeTypeCol).map(c => col(s"__ch.$c").as(c)): _*)
     }
@@ -1916,6 +1948,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     // skip the full-outer join against an empty side (bootstrap merges are
     // common: every CDC flow's first batch lands here)
     if (m.entries.isEmpty) {
+      if (!insertAll) return // nothing to delete, nothing to insert: no-op
       val flat = src.select(cols.map(col): _*)
       val chDir = writeChanges(flat.withColumn(ChangeTypeCol, lit("insert")))
       replaceAll(flat, m.pcol, "merge", Some(v0), chDir)
@@ -1929,7 +1962,11 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         if (d.columns.contains(f.name)) d
         else d.withColumn(f.name, lit(null).cast(f.dataType)))
 
-    m.pcol match {
+    // WHEN NOT MATCHED BY SOURCE DELETE must examine target-only rows in
+    // EVERY partition (sync semantics touch the whole table by definition),
+    // so it takes the full-rewrite path even on partitioned targets —
+    // replaceAll keeps the partitioning.
+    m.pcol.filter(_ => deleteUnmatchedTarget.isEmpty) match {
       case None =>
         val joined = joinedOf(widen(readScoped(m, None)))
         val pinned = // two consumers under CDF: pin the join, not twice the work

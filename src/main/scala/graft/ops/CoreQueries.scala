@@ -1365,6 +1365,46 @@ object CoreQueries {
         FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0
         ORDER BY o_orderkey""")),
 
+    // S38: MERGE DELETE CLAUSES — the other two thirds of Delta's clause
+    // triad: `WHEN MATCHED [AND g] THEN DELETE` (guarded removal, no insert
+    // clause needed) and `WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE`
+    // (table sync: target-only rows reconciled away). Statement 1 deletes
+    // matched cheap orders; statement 2 re-syncs — matched rows update,
+    // source-only rows insert (including the ones statement 1 removed),
+    // and unmatched cheap target rows vanish. The oracle replays the whole
+    // two-statement composition as one relational predicate.
+    Q("s38_merge_sync", (s, d) => {
+      val o = t(s, d, "orders")
+      val tbl = LakeTable(s, s"${tmp("graft_s38")}/t")
+      tbl.append(o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice"))
+      val src = o.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      LakeSql.register("s38_orders", tbl)
+      src.createOrReplaceTempView("s38_updates")
+      try {
+        LakeSql.merge(s,
+          """MERGE INTO s38_orders AS t0
+             USING s38_updates AS u ON t0.o_orderkey = u.o_orderkey
+             WHEN MATCHED AND u.o_totalprice < 50000.0 THEN DELETE""")
+        LakeSql.merge(s,
+          """MERGE INTO s38_orders AS t0
+             USING s38_updates AS u ON t0.o_orderkey = u.o_orderkey
+             WHEN MATCHED THEN UPDATE SET *
+             WHEN NOT MATCHED THEN INSERT *
+             WHEN NOT MATCHED BY SOURCE AND t0.o_totalprice < 1000.0
+               THEN DELETE""")
+      } finally {
+        LakeSql.unregister("s38_orders")
+        s.catalog.dropTempView("s38_updates")
+      }
+      tbl.read.orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_orderkey % 3 = 0
+           OR (o_orderkey % 2 = 0 AND o_totalprice >= 1000.0)
+        ORDER BY o_orderkey""")),
+
     // S13: SHALLOW CLONE — zero-copy table fork (hard-linked file
     // re-references, O(file count) metadata). The clone then diverges with
     // its own append while the SOURCE is overwritten and vacuumed down to

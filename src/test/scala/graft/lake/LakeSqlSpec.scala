@@ -72,13 +72,13 @@ class LakeSqlSpec extends SparkSpec {
       bad("""MERGE INTO tgt3 AS t0 USING updates3 AS u ON t0.k = u.seq
              WHEN NOT MATCHED THEN INSERT *""", "differently-named")
       bad("""MERGE INTO tgt3 AS t0 USING updates3 AS u ON t0.k = u.k
-             WHEN MATCHED THEN DELETE
-             WHEN NOT MATCHED THEN INSERT *""", "update set *")
+             WHEN NOT MATCHED AND u.seq > 0 THEN INSERT *""", "insert *")
       bad("""MERGE INTO tgt3 AS t0 USING updates3 AS u ON t0.k = u.k
              WHEN MATCHED THEN UPDATE SET *""", "insert *")
       bad("""MERGE INTO tgt3 AS t0 USING updates3 AS u ON t0.k = u.k
              WHEN NOT MATCHED THEN INSERT *
-             WHEN NOT MATCHED BY SOURCE THEN DELETE""", "not matched by source")
+             WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'z'""",
+        "not matched by source")
       // the table is untouched by all of the rejected statements
       assert(t.read.count() == 2)
     } finally {
@@ -122,6 +122,42 @@ class LakeSqlSpec extends SparkSpec {
     } finally {
       LakeSql.unregister("set_t")
       spark.catalog.dropTempView("set_updates")
+    }
+  }
+
+  test("WHEN MATCHED DELETE and NOT MATCHED BY SOURCE DELETE: guarded " +
+      "removal and full table sync, with CDF delete images") {
+    val root = tmpDir("sql_merge_del")
+    val t = LakeTable(spark, s"$root/t")
+    t.create(Seq((0L, "", 0)).toDF("k", "v", "seq").schema, enableChangeFeed = true)
+    t.append(Seq((1L, "a", 1), (2L, "b", 5), (3L, "c", 2)).toDF("k", "v", "seq"))
+    LakeSql.register("del_t", t)
+    Seq((1L, "x", 9), (2L, "x", 1)).toDF("k", "v", "seq")
+      .createOrReplaceTempView("del_updates")
+    try {
+      // matched+guard (seq >= target) deletes k=1; k=2 guard-rejected kept;
+      // no INSERT clause → the source-only world never lands
+      val v0 = t.currentVersion
+      LakeSql.merge(spark,
+        """MERGE INTO del_t AS t0 USING del_updates AS u ON t0.k = u.k
+           WHEN MATCHED AND u.seq >= t0.seq THEN DELETE""")
+      assert(t.read.orderBy("k").as[(Long, String, Int)].collect().toSeq ==
+        Seq((2L, "b", 5), (3L, "c", 2)))
+      val feed = t.readChangeFeed(v0 + 1)
+      assert(feed.filter($"_change_type" === "delete")
+        .select("k").as[Long].collect().toSeq == Seq(1L))
+      // the sync form: rows with no source counterpart vanish (k=3),
+      // matched rows update — one statement reconciles the table
+      LakeSql.merge(spark,
+        """MERGE INTO del_t AS t0 USING del_updates AS u ON t0.k = u.k
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *
+           WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      assert(t.read.orderBy("k").as[(Long, String, Int)].collect().toSeq ==
+        Seq((1L, "x", 9), (2L, "x", 1)))
+    } finally {
+      LakeSql.unregister("del_t")
+      spark.catalog.dropTempView("del_updates")
     }
   }
 
