@@ -114,13 +114,28 @@ object LakeSql {
           s"DELETE clause is supported, got: " +
           other.map(_.getClass.getSimpleName).mkString(", "))
     }
-    val insertAll = m.notMatchedActions match {
-      case Seq(InsertStarAction(None)) => true
+    val (insertAll, insertGuard, insertSet) = m.notMatchedActions match {
+      case Seq(InsertStarAction(cond)) => // WHEN NOT MATCHED [AND c] THEN INSERT *
+        (true, cond.map(c => requalify(c, targetAlias, sourceAlias).sql), None)
+      case Seq(org.apache.spark.sql.catalyst.plans.logical.InsertAction(
+          cond, assignments)) =>
+        // WHEN NOT MATCHED [AND c] THEN INSERT (cols) VALUES (<exprs over s>)
+        val as = assignments.map { a =>
+          val k = a.key match {
+            case attr: UnresolvedAttribute => attr.nameParts.last
+            case other => throw new IllegalArgumentException(
+              s"INSERT target must be a column, got ${other.sql}")
+          }
+          k -> requalify(a.value, targetAlias, sourceAlias).sql
+        }.toMap
+        require(as.size == assignments.size,
+          "duplicate column in the INSERT clause")
+        (true, cond.map(c => requalify(c, targetAlias, sourceAlias).sql), Some(as))
       // no insert clause is legal for pure-delete merges (sync deletions)
-      case Nil if matchedDelete || deleteUnmatched.nonEmpty => false
+      case Nil if matchedDelete || deleteUnmatched.nonEmpty => (false, None, None)
       case other => throw new IllegalArgumentException(
-        "WHEN NOT MATCHED supports only an unconditioned THEN INSERT * " +
-          "clause (omittable when a DELETE clause exists), got: " +
+        "WHEN NOT MATCHED supports THEN INSERT * or THEN INSERT (cols) " +
+          "VALUES (...) (omittable when a DELETE clause exists), got: " +
           (if (other.isEmpty) "none" else other.map(_.getClass.getSimpleName).mkString(", ")))
     }
     // when no UPDATE/DELETE clause exists, matched rows keep the target
@@ -128,7 +143,8 @@ object LakeSql {
     target.merge(sourceDf, keys, if (m.matchedActions.isEmpty) Some("false") else guard,
       mergeSchema = m.withSchemaEvolution, // MERGE WITH SCHEMA EVOLUTION
       matchedSet = matchedSet, matchedDelete = matchedDelete,
-      deleteUnmatchedTarget = deleteUnmatched, insertAll = insertAll)
+      deleteUnmatchedTarget = deleteUnmatched, insertAll = insertAll,
+      insertGuard = insertGuard, insertSet = insertSet)
     target
   }
 

@@ -1813,7 +1813,9 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       matchedSet: Option[Map[String, String]] = None,
       matchedDelete: Boolean = false,
       deleteUnmatchedTarget: Option[String] = None,
-      insertAll: Boolean = true): Unit = synchronized {
+      insertAll: Boolean = true,
+      insertGuard: Option[String] = None,
+      insertSet: Option[Map[String, String]] = None): Unit = synchronized {
     require(exists, s"merge target $root does not exist — create() or append() first")
     require(!(matchedDelete && matchedSet.nonEmpty),
       "WHEN MATCHED can DELETE or UPDATE, not both")
@@ -1854,6 +1856,19 @@ final class LakeTable private (val spark: SparkSession, val root: String,
             "stale the derived value; rewrite via overwrite instead") }
       }
     }
+    insertSet.foreach { as =>
+      require(insertAll, "insertSet without an insert clause")
+      require(as.nonEmpty, "INSERT with no columns")
+      as.keys.foreach(c => require(cols.contains(c), s"unknown INSERT column $c"))
+      as.keys.foreach(c => require(!m.generated.exists(_._1 == c),
+        s"$c is a generated column — it is computed, not inserted"))
+      // partition-scoped merges derive touched partitions from the SOURCE's
+      // partition values; a column-level INSERT could fabricate values
+      // outside that set and double-own a partition — refuse on partitioned
+      // targets (INSERT * carries the source's own partition value)
+      require(m.pcol.isEmpty,
+        "column-level INSERT is not supported on partitioned targets — use INSERT *")
+    }
     if (checkUniqueKeys) {
       val dups = src.groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).count()
       require(dups == 0, s"merge source has duplicate keys $keys")
@@ -1877,25 +1892,42 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         case Some(c) => isTargetOnly && coalesce(expr(c), lit(false))
         case None => lit(false)
       }
+      val isInsertRow = col(S_MARK).isNotNull && col(T_MARK).isNull
       val dropInsert =
-        if (insertAll) lit(false) else col(S_MARK).isNotNull && col(T_MARK).isNull
+        if (!insertAll) isInsertRow
+        else insertGuard match {
+          // WHEN NOT MATCHED [AND c]: source-only rows failing c are ignored
+          case Some(c) => isInsertRow && !coalesce(expr(c), lit(false))
+          case None => lit(false)
+        }
       val joined = joined0.filter(!coalesce(
         dropMatched || dropTargetOnly || dropInsert, lit(false)))
+      // the inserted image: the source row (INSERT *), or — column-level
+      // INSERT (cols) VALUES (...) — the assigned expressions with NULL for
+      // omitted columns (Delta's rule)
+      def insertedCol(c: String): Column = insertSet match {
+        case None => col(s"s.$c")
+        case Some(as) => as.get(c).map(expr).getOrElse(
+          lit(null).cast(schema1(c).dataType))
+      }
       matchedSet match {
         case None => // UPDATE SET *: matched-and-guarded rows take the source row
-          val takeSrc = col(S_MARK).isNotNull && (col(T_MARK).isNull ||
-            (if (matchedDelete) lit(false) else guard))
-          joined.select(cols.map(c => when(takeSrc, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
+          val isIns = col(S_MARK).isNotNull && col(T_MARK).isNull
+          val isUpd = col(S_MARK).isNotNull && col(T_MARK).isNotNull &&
+            (if (matchedDelete) lit(false) else guard)
+          joined.select(cols.map(c =>
+            when(isIns, insertedCol(c))
+              .otherwise(when(isUpd, col(s"s.$c")).otherwise(col(s"t.$c")))
+              .as(c)): _*)
         case Some(assigns) =>
           // COLUMN-LEVEL UPDATE SET c = <expr over s/t>: matched-and-guarded
-          // rows keep the TARGET row with only the assigned columns computed;
-          // source-only rows still insert the full source row (INSERT *)
+          // rows keep the TARGET row with only the assigned columns computed
           val isInsert = col(S_MARK).isNotNull && col(T_MARK).isNull
           val isUpdate = col(S_MARK).isNotNull && col(T_MARK).isNotNull && guard
           joined.select(cols.map { c =>
             val updated = assigns.get(c).map(expr).getOrElse(col(s"t.$c"))
             when(isUpdate, updated)
-              .otherwise(when(isInsert, col(s"s.$c")).otherwise(col(s"t.$c")))
+              .otherwise(when(isInsert, insertedCol(c)).otherwise(col(s"t.$c")))
               .as(c)
           }: _*)
       }
@@ -1904,7 +1936,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     // a matched-and-guard-passing row emits its target pre-image and source
     // post-image (Delta CDF's row set for a MERGE without delete clauses).
     def changesFrom(joined: DataFrame): DataFrame = {
-      val isInsert = lit(insertAll) && col(S_MARK).isNotNull && col(T_MARK).isNull
+      val isInsert = lit(insertAll) && col(S_MARK).isNotNull && col(T_MARK).isNull &&
+        insertGuard.map(c => coalesce(expr(c), lit(false))).getOrElse(lit(true))
       val isMatchedG = col(S_MARK).isNotNull && col(T_MARK).isNotNull && guard
       // matched-and-guarded rows are updates — unless the MATCHED clause is
       // DELETE, in which case they emit a single delete image
@@ -1925,8 +1958,15 @@ final class LakeTable private (val spark: SparkSession, val root: String,
           (cols.map(c => assigns.get(c).map(expr).getOrElse(col(s"t.$c")).as(c)) :+
             lit("update_postimage").as(ChangeTypeCol)): _*)
       }
+      def insRow = insertSet match {
+        case None => row("s", "insert")
+        case Some(as) => struct(
+          (cols.map(c => as.get(c).map(expr)
+            .getOrElse(lit(null).cast(schema1(c).dataType)).as(c)) :+
+            lit("insert").as(ChangeTypeCol)): _*)
+      }
       joined.select(explode(array(
-          when(isInsert, row("s", "insert")),
+          when(isInsert, insRow),
           when(isUpdate, row("t", "update_preimage")),
           when(isUpdate, postRow),
           when(isMatchDel || isSyncDel, row("t", "delete")))).as("__ch"))
@@ -1949,7 +1989,19 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     // common: every CDC flow's first batch lands here)
     if (m.entries.isEmpty) {
       if (!insertAll) return // nothing to delete, nothing to insert: no-op
-      val flat = src.select(cols.map(col): _*)
+      // bootstrap inserts honor the insert guard and column-level INSERT
+      // exactly like the joined path (source rows are all source-only here)
+      val sAliased = src.alias("s")
+      val guarded = insertGuard match {
+        case Some(c) => sAliased.filter(coalesce(expr(c), lit(false)))
+        case None => sAliased
+      }
+      val flat = insertSet match {
+        case None => guarded.select(cols.map(col): _*)
+        case Some(as) => guarded.select(cols.map(c =>
+          as.get(c).map(expr).getOrElse(lit(null).cast(schema1(c).dataType))
+            .as(c)): _*)
+      }
       val chDir = writeChanges(flat.withColumn(ChangeTypeCol, lit("insert")))
       replaceAll(flat, m.pcol, "merge", Some(v0), chDir)
       maybeAutoCompact()

@@ -72,7 +72,9 @@ class LakeSqlSpec extends SparkSpec {
       bad("""MERGE INTO tgt3 AS t0 USING updates3 AS u ON t0.k = u.seq
              WHEN NOT MATCHED THEN INSERT *""", "differently-named")
       bad("""MERGE INTO tgt3 AS t0 USING updates3 AS u ON t0.k = u.k
-             WHEN NOT MATCHED AND u.seq > 0 THEN INSERT *""", "insert *")
+             WHEN MATCHED AND u.seq > 0 THEN UPDATE SET *
+             WHEN MATCHED THEN DELETE
+             WHEN NOT MATCHED THEN INSERT *""", "single when matched")
       bad("""MERGE INTO tgt3 AS t0 USING updates3 AS u ON t0.k = u.k
              WHEN MATCHED THEN UPDATE SET *""", "insert *")
       bad("""MERGE INTO tgt3 AS t0 USING updates3 AS u ON t0.k = u.k
@@ -158,6 +160,40 @@ class LakeSqlSpec extends SparkSpec {
     } finally {
       LakeSql.unregister("del_t")
       spark.catalog.dropTempView("del_updates")
+    }
+  }
+
+  test("conditional INSERT and column-level INSERT (cols) VALUES dispatch; " +
+      "omitted columns land NULL") {
+    val root = tmpDir("sql_merge_ins")
+    val t = LakeTable(spark, s"$root/t")
+    t.create(Seq((0L, "", 0)).toDF("k", "v", "seq").schema)
+    t.append(Seq((1L, "a", 1)).toDF("k", "v", "seq"))
+    LakeSql.register("ins_t", t)
+    Seq((2L, "keep", 5), (3L, "drop", 0), (4L, "cols", 7))
+      .toDF("k", "v", "seq").createOrReplaceTempView("ins_updates")
+    try {
+      // guard admits only seq >= 5 source-only rows
+      LakeSql.merge(spark,
+        """MERGE INTO ins_t AS t0 USING ins_updates AS u ON t0.k = u.k
+           WHEN NOT MATCHED AND u.seq >= 5 THEN INSERT *""")
+      assert(t.read.orderBy("k").as[(Long, String, Int)].collect().toSeq ==
+        Seq((1L, "a", 1), (2L, "keep", 5), (4L, "cols", 7)))
+      // column-level INSERT: v computed, seq omitted → NULL
+      LakeSql.sql(spark, "DELETE FROM ins_t WHERE k >= 2")
+      LakeSql.merge(spark,
+        """MERGE INTO ins_t AS t0 USING ins_updates AS u ON t0.k = u.k
+           WHEN NOT MATCHED AND u.seq >= 5
+             THEN INSERT (k, v) VALUES (u.k, concat(u.v, '?'))""")
+      val rows = t.read.orderBy("k")
+        .select("k", "v", "seq").collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getInt(2))))
+      assert(rows == Seq((1L, "a", Some(1)),
+        (2L, "keep?", None), (4L, "cols?", None)))
+    } finally {
+      LakeSql.unregister("ins_t")
+      spark.catalog.dropTempView("ins_updates")
     }
   }
 
