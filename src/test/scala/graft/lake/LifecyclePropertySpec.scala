@@ -100,6 +100,23 @@ class LifecyclePropertySpec extends SparkSpec {
               t.setTableProperties(Map(s"k${rng.nextInt(3)}" -> s"v$step"))
             else t.unsetTableProperties(Seq(s"k${rng.nextInt(3)}"))
         }
+        // every third step, a FULL SYNC merge (UPDATE SET * + INSERT * +
+        // NOT MATCHED BY SOURCE DELETE): semantically "table := source",
+        // but through the join path — keys matched, unmatched inserted,
+        // target-only rows reconciled away. The model equivalent is trivial
+        // assignment, so any leak/dup/ghost in the clause plumbing diverges.
+        if (step % 3 == 0) {
+          // half the surviving keys re-valued (matched updates — partition
+          // moves included: the sync path reads every partition) + fresh
+          // keys (inserts); everything else reconciled away
+          val kept = model.take(model.size / 2).map(r => r.copy(
+            v = math.floor(rng.nextDouble() * 100) / 100,
+            pt = s"p${rng.nextInt(3)}"))
+          val b = kept ++ freshBatch()
+          t.merge(b.toDF("k", vName, ptName), keys = Seq("k"),
+            deleteUnmatchedTarget = Some("true"))
+          model = b.toVector
+        }
         check(s"step $step")
       }
       // end state also survives a cold re-open and a vacuum
