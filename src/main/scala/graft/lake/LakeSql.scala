@@ -88,32 +88,58 @@ object LakeSql {
         "WHEN NOT MATCHED BY SOURCE supports only THEN DELETE, got: " +
           other.map(_.getClass.getSimpleName).mkString(", "))
     }
-    val (guard, matchedSet, matchedDelete) = m.matchedActions match {
-      case Nil => (None, None, false)
-      case Seq(UpdateStarAction(cond)) =>
-        (cond.map(c => requalify(c, targetAlias, sourceAlias).sql), None, false)
-      case Seq(org.apache.spark.sql.catalyst.plans.logical.DeleteAction(cond)) =>
-        // WHEN MATCHED [AND g] THEN DELETE: matched-and-guarded rows removed
-        (cond.map(c => requalify(c, targetAlias, sourceAlias).sql), None, true)
-      case Seq(org.apache.spark.sql.catalyst.plans.logical.UpdateAction(
-          cond, assignments, _)) =>
-        // WHEN MATCHED [AND g] THEN UPDATE SET col = <expr over s/t>
-        val as = assignments.map { a =>
-          val k = a.key match {
+    def updateClauseOf(a: org.apache.spark.sql.catalyst.plans.logical.MergeAction)
+        : Option[(Option[String], Option[Map[String, String]])] = a match {
+      case UpdateStarAction(cond) =>
+        Some((cond.map(c => requalify(c, targetAlias, sourceAlias).sql), None))
+      case org.apache.spark.sql.catalyst.plans.logical.UpdateAction(
+          cond, assignments, _) =>
+        val as = assignments.map { x =>
+          val k = x.key match {
             case attr: UnresolvedAttribute => attr.nameParts.last
             case other => throw new IllegalArgumentException(
               s"SET target must be a column, got ${other.sql}")
           }
-          k -> requalify(a.value, targetAlias, sourceAlias).sql
+          k -> requalify(x.value, targetAlias, sourceAlias).sql
         }.toMap
         require(as.size == assignments.size,
           "duplicate SET column in the UPDATE clause")
-        (cond.map(c => requalify(c, targetAlias, sourceAlias).sql), Some(as), false)
-      case other => throw new IllegalArgumentException(
-        s"only a single WHEN MATCHED THEN UPDATE SET * / SET col = expr / " +
-          s"DELETE clause is supported, got: " +
-          other.map(_.getClass.getSimpleName).mkString(", "))
+        Some((cond.map(c => requalify(c, targetAlias, sourceAlias).sql), Some(as)))
+      case _ => None
     }
+    def deleteCondOf(a: org.apache.spark.sql.catalyst.plans.logical.MergeAction)
+        : Option[Option[String]] = a match {
+      case org.apache.spark.sql.catalyst.plans.logical.DeleteAction(cond) =>
+        Some(cond.map(c => requalify(c, targetAlias, sourceAlias).sql))
+      case _ => None
+    }
+    val (guard, matchedSet, matchedDelete, matchedDeleteWhen) =
+      m.matchedActions match {
+        case Nil => (None, None, false, None)
+        case Seq(a) if updateClauseOf(a).isDefined =>
+          val (g, set) = updateClauseOf(a).get
+          (g, set, false, None)
+        case Seq(a) if deleteCondOf(a).isDefined =>
+          // WHEN MATCHED [AND g] THEN DELETE as the sole clause
+          (deleteCondOf(a).get, None, true, None)
+        case Seq(a1, a2) // the CDC-apply pair, either order: FIRST MATCH WINS
+            if Seq(a1, a2).count(deleteCondOf(_).isDefined) == 1 &&
+               Seq(a1, a2).count(updateClauseOf(_).isDefined) == 1 =>
+          val (updG, set) = Seq(a1, a2).flatMap(updateClauseOf).head
+          val delC = Seq(a1, a2).flatMap(deleteCondOf).head
+          val delWhen =
+            if (deleteCondOf(a1).isDefined) delC.getOrElse("true")
+            else { // update clause is FIRST: delete applies to its remainder
+              val ug = updG.getOrElse("true")
+              s"(NOT coalesce(($ug), false)) AND (${delC.getOrElse("true")})"
+            }
+          (updG, set, false, Some(delWhen))
+        case other => throw new IllegalArgumentException(
+          s"only a single WHEN MATCHED THEN UPDATE SET * / SET col = expr / " +
+            s"DELETE clause — or one UPDATE + one DELETE pair — is " +
+            s"supported, got: " +
+            other.map(_.getClass.getSimpleName).mkString(", "))
+      }
     val (insertAll, insertGuard, insertSet) = m.notMatchedActions match {
       case Seq(InsertStarAction(cond)) => // WHEN NOT MATCHED [AND c] THEN INSERT *
         (true, cond.map(c => requalify(c, targetAlias, sourceAlias).sql), None)
@@ -131,8 +157,9 @@ object LakeSql {
         require(as.size == assignments.size,
           "duplicate column in the INSERT clause")
         (true, cond.map(c => requalify(c, targetAlias, sourceAlias).sql), Some(as))
-      // no insert clause is legal for pure-delete merges (sync deletions)
-      case Nil if matchedDelete || deleteUnmatched.nonEmpty => (false, None, None)
+      // no insert clause is legal for merges that carry a DELETE clause
+      case Nil if matchedDelete || matchedDeleteWhen.nonEmpty ||
+          deleteUnmatched.nonEmpty => (false, None, None)
       case other => throw new IllegalArgumentException(
         "WHEN NOT MATCHED supports THEN INSERT * or THEN INSERT (cols) " +
           "VALUES (...) (omittable when a DELETE clause exists), got: " +
@@ -143,6 +170,7 @@ object LakeSql {
     target.merge(sourceDf, keys, if (m.matchedActions.isEmpty) Some("false") else guard,
       mergeSchema = m.withSchemaEvolution, // MERGE WITH SCHEMA EVOLUTION
       matchedSet = matchedSet, matchedDelete = matchedDelete,
+      matchedDeleteWhen = matchedDeleteWhen,
       deleteUnmatchedTarget = deleteUnmatched, insertAll = insertAll,
       insertGuard = insertGuard, insertSet = insertSet)
     target

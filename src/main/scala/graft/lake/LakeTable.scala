@@ -1812,6 +1812,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       mergeSchema: Boolean = false,
       matchedSet: Option[Map[String, String]] = None,
       matchedDelete: Boolean = false,
+      matchedDeleteWhen: Option[String] = None,
       deleteUnmatchedTarget: Option[String] = None,
       insertAll: Boolean = true,
       insertGuard: Option[String] = None,
@@ -1819,6 +1820,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     require(exists, s"merge target $root does not exist — create() or append() first")
     require(!(matchedDelete && matchedSet.nonEmpty),
       "WHEN MATCHED can DELETE or UPDATE, not both")
+    require(!(matchedDelete && matchedDeleteWhen.nonEmpty),
+      "matchedDelete (sole clause) and matchedDeleteWhen (second clause) are exclusive")
     val v0 = currentVersion
     val m = readManifest(v0) // merge computes against THIS snapshot
     val src = materializeGenerated(src0, m)
@@ -1833,10 +1836,28 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         reconcileSchema(m.schema, src.schema, mergeSchema = true)
       } else m.schema
     val cols = schema1.fieldNames.toSeq
-    require(src.columns.toSet == cols.toSet,
-      s"merge source schema ${src.columns.mkString(",")} != target ${cols.mkString(",")}" +
-        (if (mergeSchema) "" else " (additive columns need mergeSchema = true)"))
-    enforceConstraints(src, m.constraints)
+    // full-ROW clauses (UPDATE SET *, INSERT *) reference every target
+    // column on the source side; column-LEVEL clauses only reference what
+    // their expressions name, so an op-coded CDC batch may carry EXTRA
+    // columns (`op`, sequence metadata) and omit nothing but the keys —
+    // Delta's contract. Full-row requirement holds iff such a clause exists.
+    val fullFromUpdate = matchedSet.isEmpty && !matchedDelete
+    val fullFromInsert = insertAll && insertSet.isEmpty
+    if (fullFromUpdate || fullFromInsert)
+      require(cols.forall(src.columns.contains),
+        s"merge source schema ${src.columns.mkString(",")} is missing target " +
+          s"columns (full-row SET */INSERT * needs them all): ${cols.mkString(",")}" +
+          (if (mergeSchema) "" else " (additive columns need mergeSchema = true)"))
+    require(keys.forall(src.columns.contains),
+      s"merge source is missing key column(s) ${keys.mkString(",")}")
+    require(mergeSchema || src.columns.forall(c => cols.contains(c) ||
+        !(fullFromUpdate || fullFromInsert)),
+      s"merge source adds column(s) ${src.columns.filterNot(cols.contains).mkString(",")} " +
+        "not in the table schema — pass mergeSchema for evolution")
+    // constraints gate the rows that can LAND: the full source row on
+    // full-row paths; the merged output re-gates column-level paths below
+    if (fullFromUpdate || fullFromInsert) enforceConstraints(
+      src.select(cols.map(col): _*), m.constraints)
     matchedSet.foreach { as =>
       require(as.nonEmpty, "UPDATE SET with no assignments")
       def refs(e: String, c: String): Boolean =
@@ -1881,12 +1902,27 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
       t.join(s, joinCond, "full_outer")
     }
+    // unified matched-row predicates (shared by the projection and the CDF):
+    //  - matchedDelete: DELETE is the SOLE matched clause, guarded by `guard`
+    //  - matchedDeleteWhen: DELETE rides NEXT TO an update clause — its own
+    //    condition wins first (the SQL walk pre-composes statement order
+    //    into these two predicates), updates apply to the remainder
+    val isMatched = col(S_MARK).isNotNull && col(T_MARK).isNotNull
+    val matchedDelPred: org.apache.spark.sql.Column =
+      if (matchedDelete) isMatched && guard
+      else matchedDeleteWhen match {
+        case Some(c) => isMatched && coalesce(expr(c), lit(false))
+        case None => lit(false)
+      }
+    val matchedUpdPred: org.apache.spark.sql.Column =
+      if (matchedDelete) lit(false)
+      else isMatched && !matchedDelPred && guard
+
     def mergedFrom(joined0: DataFrame): DataFrame = {
       // row classes shared by every clause combination; DELETE clauses and
       // a missing INSERT * clause DROP whole classes before the projection
-      val isMatchedG = col(S_MARK).isNotNull && col(T_MARK).isNotNull && guard
       val isTargetOnly = col(T_MARK).isNotNull && col(S_MARK).isNull
-      val dropMatched = if (matchedDelete) isMatchedG else lit(false)
+      val dropMatched = matchedDelPred
       val dropTargetOnly = deleteUnmatchedTarget match {
         // WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE: cond over t.*
         case Some(c) => isTargetOnly && coalesce(expr(c), lit(false))
@@ -1910,24 +1946,20 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         case Some(as) => as.get(c).map(expr).getOrElse(
           lit(null).cast(schema1(c).dataType))
       }
+      val isIns = col(S_MARK).isNotNull && col(T_MARK).isNull
       matchedSet match {
-        case None => // UPDATE SET *: matched-and-guarded rows take the source row
-          val isIns = col(S_MARK).isNotNull && col(T_MARK).isNull
-          val isUpd = col(S_MARK).isNotNull && col(T_MARK).isNotNull &&
-            (if (matchedDelete) lit(false) else guard)
+        case None => // UPDATE SET *: update-class rows take the source row
           joined.select(cols.map(c =>
             when(isIns, insertedCol(c))
-              .otherwise(when(isUpd, col(s"s.$c")).otherwise(col(s"t.$c")))
+              .otherwise(when(matchedUpdPred, col(s"s.$c")).otherwise(col(s"t.$c")))
               .as(c)): _*)
         case Some(assigns) =>
-          // COLUMN-LEVEL UPDATE SET c = <expr over s/t>: matched-and-guarded
-          // rows keep the TARGET row with only the assigned columns computed
-          val isInsert = col(S_MARK).isNotNull && col(T_MARK).isNull
-          val isUpdate = col(S_MARK).isNotNull && col(T_MARK).isNotNull && guard
+          // COLUMN-LEVEL UPDATE SET c = <expr over s/t>: update-class rows
+          // keep the TARGET row with only the assigned columns computed
           joined.select(cols.map { c =>
             val updated = assigns.get(c).map(expr).getOrElse(col(s"t.$c"))
-            when(isUpdate, updated)
-              .otherwise(when(isInsert, insertedCol(c)).otherwise(col(s"t.$c")))
+            when(matchedUpdPred, updated)
+              .otherwise(when(isIns, insertedCol(c)).otherwise(col(s"t.$c")))
               .as(c)
           }: _*)
       }
@@ -1938,11 +1970,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     def changesFrom(joined: DataFrame): DataFrame = {
       val isInsert = lit(insertAll) && col(S_MARK).isNotNull && col(T_MARK).isNull &&
         insertGuard.map(c => coalesce(expr(c), lit(false))).getOrElse(lit(true))
-      val isMatchedG = col(S_MARK).isNotNull && col(T_MARK).isNotNull && guard
-      // matched-and-guarded rows are updates — unless the MATCHED clause is
-      // DELETE, in which case they emit a single delete image
-      val isUpdate = if (matchedDelete) lit(false) else isMatchedG
-      val isMatchDel = if (matchedDelete) isMatchedG else lit(false)
+      val isUpdate = matchedUpdPred
+      val isMatchDel = matchedDelPred
       val isSyncDel = deleteUnmatchedTarget match {
         case Some(c) => col(T_MARK).isNotNull && col(S_MARK).isNull &&
           coalesce(expr(c), lit(false))
@@ -2002,6 +2031,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
           as.get(c).map(expr).getOrElse(lit(null).cast(schema1(c).dataType))
             .as(c)): _*)
       }
+      if (insertSet.nonEmpty) enforceConstraints(flat, m.constraints)
       val chDir = writeChanges(flat.withColumn(ChangeTypeCol, lit("insert")))
       replaceAll(flat, m.pcol, "merge", Some(v0), chDir)
       maybeAutoCompact()
@@ -2027,9 +2057,10 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         try {
           val chDir = writeChanges(changesFrom(pinned))
           val merged = mergedFrom(pinned)
-          // SET * writes source rows (validated above); column ASSIGNMENTS
-          // synthesize new rows — gate them before anything lands
-          if (matchedSet.nonEmpty) enforceConstraints(merged, m.constraints)
+          // SET * writes source rows (validated above); column-level
+          // clauses synthesize new rows — gate them before anything lands
+          if (matchedSet.nonEmpty || insertSet.nonEmpty)
+            enforceConstraints(merged, m.constraints)
           replaceAll(merged, None, "merge", Some(v0), chDir)
           maybeAutoCompact()
         } finally if (m.cdfEnabled) { pinned.unpersist(); () }
@@ -2046,7 +2077,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         try {
           val chDir = writeChanges(changesFrom(pinned))
           val merged = mergedFrom(pinned)
-          if (matchedSet.nonEmpty) enforceConstraints(merged, m.constraints)
+          if (matchedSet.nonEmpty || insertSet.nonEmpty)
+            enforceConstraints(merged, m.constraints)
           val (dir, owned, fstats) = writeData(merged, Some(p),
             m.statsCols, bloomCols = m.bloomCols, colMap = m.colMap)
           val kept = m.entries

@@ -1405,6 +1405,53 @@ object CoreQueries {
            OR (o_orderkey % 2 = 0 AND o_totalprice >= 1000.0)
         ORDER BY o_orderkey""")),
 
+    // S39: THE CANONICAL CDC-APPLY STATEMENT — an op-coded change batch
+    // (op ∈ D/U/I plus EXTRA metadata columns the target doesn't have)
+    // applied in ONE merge with the two-clause WHEN MATCHED pair:
+    //   WHEN MATCHED AND op='D' THEN DELETE
+    //   WHEN MATCHED AND op='U' THEN UPDATE SET <col> = u.<col>
+    //   WHEN NOT MATCHED AND op='I' THEN INSERT (cols) VALUES (...)
+    // — the `apply_changes`-with-deletes shape every CDC consumer writes.
+    // First-match-wins clause order, column-level images, and the relaxed
+    // source-schema contract (the op column never lands) are all exercised;
+    // the oracle replays the whole application relationally.
+    Q("s39_merge_cdc_apply", (s, d) => {
+      val o = t(s, d, "orders")
+      val tbl = LakeTable(s, s"${tmp("graft_s39")}/t")
+      tbl.append(o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice"))
+      val cdc = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + lit(1000.0)).as("o_totalprice"),
+          when(col("o_orderkey") % 12 === 0, lit("D"))
+            .when(col("o_orderkey") % 2 === 0, lit("U"))
+            .otherwise(lit("I")).as("op"))
+      LakeSql.register("s39_orders", tbl)
+      cdc.createOrReplaceTempView("s39_cdc")
+      try LakeSql.merge(s,
+        """MERGE INTO s39_orders AS t0
+           USING s39_cdc AS u ON t0.o_orderkey = u.o_orderkey
+           WHEN MATCHED AND u.op = 'D' THEN DELETE
+           WHEN MATCHED AND u.op = 'U'
+             THEN UPDATE SET o_totalprice = u.o_totalprice
+           WHEN NOT MATCHED AND u.op = 'I'
+             THEN INSERT (o_orderkey, o_custkey, o_totalprice)
+             VALUES (u.o_orderkey, u.o_custkey, u.o_totalprice)""")
+      finally {
+        LakeSql.unregister("s39_orders")
+        s.catalog.dropTempView("s39_cdc")
+      }
+      tbl.read.orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey, o_custkey,
+          CASE WHEN o_orderkey % 6 = 0
+                 OR (o_orderkey % 3 = 0 AND o_orderkey % 2 = 1)
+               THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE (o_orderkey % 2 = 0 AND o_orderkey % 12 <> 0)
+           OR (o_orderkey % 3 = 0 AND o_orderkey % 2 = 1)
+        ORDER BY o_orderkey""")),
+
     // S13: SHALLOW CLONE — zero-copy table fork (hard-linked file
     // re-references, O(file count) metadata). The clone then diverges with
     // its own append while the SOURCE is overwritten and vacuumed down to

@@ -73,7 +73,7 @@ class LakeSqlSpec extends SparkSpec {
              WHEN NOT MATCHED THEN INSERT *""", "differently-named")
       bad("""MERGE INTO tgt3 AS t0 USING updates3 AS u ON t0.k = u.k
              WHEN MATCHED AND u.seq > 0 THEN UPDATE SET *
-             WHEN MATCHED THEN DELETE
+             WHEN MATCHED THEN UPDATE SET *
              WHEN NOT MATCHED THEN INSERT *""", "single when matched")
       bad("""MERGE INTO tgt3 AS t0 USING updates3 AS u ON t0.k = u.k
              WHEN MATCHED THEN UPDATE SET *""", "insert *")
