@@ -70,10 +70,18 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
    *  ([[graft.gold.GoldBuilder.scd2Apply]]). */
   def autoCdcFlow(target: String, source: String, keys: Seq[String],
       sequenceBy: String, tiebreak: Seq[String] = Nil,
-      scdType: Int = 1): this.type = {
+      scdType: Int = 1,
+      applyAsDeletes: Option[String] = None,
+      exceptColumns: Seq[String] = Nil): this.type = {
     require(scdType == 1 || scdType == 2, s"stored_as_scd_type must be 1 or 2, got $scdType")
     require(tables.contains(target), s"declare streamingTable($target) first")
-    flows += CdcFlow(target, source, keys, sequenceBy, tiebreak, scdType)
+    // DLT's `apply_as_deletes` (rows matching the predicate REMOVE their
+    // key) and `except_column_list` (op/sequence metadata excluded from the
+    // target) — SCD1 only, like the common DLT deployment
+    require(applyAsDeletes.isEmpty || scdType == 1,
+      "apply_as_deletes is supported for SCD type 1 flows")
+    flows += CdcFlow(target, source, keys, sequenceBy, tiebreak, scdType,
+      applyAsDeletes, exceptColumns)
     this
   }
 
@@ -119,8 +127,26 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         t.merge(rows, f.keys :+ GoldBuilder.Scd2Start)
       } else {
         val latest = gb.latestPerKey(batch, f.keys, f.sequenceBy, tiebreak)
-        if (!t.exists) t.create(latest.schema)
-        t.merge(latest, f.keys, Some(s"s.${f.sequenceBy} >= t.${f.sequenceBy}"))
+        val kept = latest.drop(f.exceptColumns: _*)
+        if (!t.exists) t.create(kept.schema)
+        f.applyAsDeletes match {
+          case None =>
+            t.merge(kept, f.keys, Some(s"s.${f.sequenceBy} >= t.${f.sequenceBy}"))
+          case Some(delPred) =>
+            // CDC apply with deletes (the s39 statement, programmatic):
+            // the op-coded batch keeps its metadata columns on the SOURCE
+            // side only — column-level images carry just the target schema
+            val sPred = Pipeline.qualifyOnSource(spark, delPred)
+            val seqGuard = s"s.${f.sequenceBy} >= t.${f.sequenceBy}"
+            val assignAll = t.schema.fieldNames.toSeq
+              .filterNot(f.keys.contains).map(c => c -> s"s.$c").toMap
+            t.merge(latest, f.keys,
+              matchedGuard = Some(seqGuard),
+              matchedSet = Some(assignAll),
+              matchedDeleteWhen = Some(s"($sPred) AND ($seqGuard)"),
+              insertGuard = Some(s"NOT coalesce(($sPred), false)"),
+              insertSet = Some(t.schema.fieldNames.toSeq.map(c => c -> s"s.$c").toMap))
+        }
       }
     }
     gates.values.filter(_.policy == Expectations.Fail).foreach(_.assertClean())
@@ -255,7 +281,20 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
 }
 
 object Pipeline {
+  /** Prefix unqualified column refs with the engine merge's `s` alias —
+   *  the apply_as_deletes predicate is written over the SOURCE's columns. */
+  private[pipeline] def qualifyOnSource(spark: org.apache.spark.sql.SparkSession,
+      pred: String): String =
+    spark.sessionState.sqlParser.parseExpression(pred).transform {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.length == 1 =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+          Seq("s", a.nameParts.head))
+    }.sql
+
   private final case class CdcFlow(
       target: String, source: String, keys: Seq[String],
-      sequenceBy: String, tiebreak: Seq[String], scdType: Int = 1)
+      sequenceBy: String, tiebreak: Seq[String], scdType: Int = 1,
+      applyAsDeletes: Option[String] = None,
+      exceptColumns: Seq[String] = Nil)
 }

@@ -36,6 +36,37 @@ class PipelineSpec extends SparkSpec {
         (3L, "new", ts("2024-01-01 00:00:00"))))
   }
 
+  test("autoCdcFlow apply_as_deletes removes keyed rows; except_column_list " +
+      "keeps op metadata out of the target; stale deletes lose to sequencing") {
+    val p = new Pipeline(spark, tmpDir("pl_cdc_del"))
+    var batch = Seq(
+      (1L, "a", "upsert", ts("2024-01-01 00:00:00")),
+      (2L, "b", "upsert", ts("2024-01-01 00:00:00")),
+      (3L, "c", "upsert", ts("2024-01-01 00:00:00"))).toDF("k", "v", "op", "seq")
+    p.streamingTable("silver")
+    p.view("source")(batch)
+    p.autoCdcFlow("silver", "source", Seq("k"), "seq",
+      applyAsDeletes = Some("op = 'delete'"), exceptColumns = Seq("op"))
+    p.run()
+    // the op column never lands in the target
+    assert(p.read("silver").columns.toSeq == Seq("k", "v", "seq"))
+    assert(p.read("silver").count() == 3)
+
+    // batch 2: k=1 deleted, k=2 STALE delete loses to sequencing, k=3
+    // updated, k=4 delete of an absent key is ignored, k=5 inserts
+    batch = Seq(
+      (1L, "x", "delete", ts("2024-02-01 00:00:00")),
+      (2L, "x", "delete", ts("2023-01-01 00:00:00")),
+      (3L, "c2", "upsert", ts("2024-02-01 00:00:00")),
+      (4L, "x", "delete", ts("2024-02-01 00:00:00")),
+      (5L, "e", "upsert", ts("2024-02-01 00:00:00"))).toDF("k", "v", "op", "seq")
+    p.run()
+    assert(p.read("silver").orderBy("k").as[(Long, String, Timestamp)].collect().toSeq ==
+      Seq((2L, "b", ts("2024-01-01 00:00:00")),
+        (3L, "c2", ts("2024-02-01 00:00:00")),
+        (5L, "e", ts("2024-02-01 00:00:00"))))
+  }
+
   test("autoCdcFlow SCD2 keeps full history with __START_AT/__END_AT") {
     val p = new Pipeline(spark, tmpDir("pl_scd2"))
     var batch = Seq(
