@@ -2061,7 +2061,11 @@ final class LakeTable private (val spark: SparkSession, val root: String,
           // clauses synthesize new rows — gate them before anything lands
           if (matchedSet.nonEmpty || insertSet.nonEmpty)
             enforceConstraints(merged, m.constraints)
-          replaceAll(merged, None, "merge", Some(v0), chDir)
+          // pass m.pcol explicitly: a partitioned table taking the
+          // full-rewrite path (NOT MATCHED BY SOURCE sync) must come out the
+          // other side still partitioned — Hive layout, SHOW PARTITIONS and
+          // replaceWhere ownership all key off the manifest's pcol
+          replaceAll(merged, m.pcol, "merge", Some(v0), chDir)
           maybeAutoCompact()
         } finally if (m.cdfEnabled) { pinned.unpersist(); () }
       case Some(p) =>

@@ -824,42 +824,94 @@ object ExtQueries {
     // DATASET CARD (datasheet/data-statement reporting — the per-source
     // summary every published training corpus ships): one grouped pass over
     // the corpus produces document counts, token/char volumes, exact-dup
-    // counts (fingerprint cardinality), decimal-exact mean quality, and
-    // exact length percentiles per (source, lang). Everything is a partial-
-    // aggregatable expression, so at 100 TB this is one map-side-combined
-    // shuffle on a handful of group keys — the cheapest possible full-corpus
-    // report shape.
+    // counts (fingerprint cardinality), mean quality, and exact interpolated
+    // length percentiles per (source, lang). Every float is engineered out
+    // of the cross-engine compare: quality is truncated to micro-units
+    // (FLOOR(q*1e6) — integer, no decimal rounding-mode dependence) before
+    // the exact integer SUM, and the p50/p90 interpolation lo+frac·(hi−lo)
+    // is computed as a pure-integer numerator divided by the rank
+    // denominator in ONE IEEE (correctly-rounded, hence engine-identical)
+    // double division — never an engine's own quantile formula. The stats
+    // pass stays one map-side-combined shuffle on the handful of group keys;
+    // the percentile pass is a per-group sort (rank windows), the unavoidable
+    // cost of EXACT order statistics — at 100 TB one would swap in the
+    // t-digest/GK sketch and drop the sort, same report shape.
     Q("x47_dataset_card", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val docs = t(s, d, "documents").filter(col("text").isNotNull)
-      docs.select(col("source"), col("lang"), col("n_chars"), col("text"),
-          TF.tokenCount(col("text")).as("toks"),
-          TF.qualityScore(col("text")).as("q"),
-          TF.fingerprintBucket(col("text")).as("fp"))
-        .groupBy("source", "lang")
+      val base = docs.select(col("source"), col("lang"), col("n_chars"),
+        TF.tokenCount(col("text")).as("toks"),
+        floor(TF.qualityScore(col("text")) * lit(1000000.0)).as("q6"),
+        TF.fingerprintBucket(col("text")).as("fp"))
+      val stats = base.groupBy("source", "lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("toks")).as("total_tokens"),
           sum(col("n_chars")).as("total_chars"),
           (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"),
-          davg(col("q"), 6).as("mean_quality"),
-          expr("percentile(n_chars, array(0.5D, 0.9D))").as("pq"))
+          (sum(col("q6")).cast(DoubleType) /
+            (count(lit(1)) * lit(1000000L)).cast(DoubleType)).as("mean_quality"))
+      val grp = Window.partitionBy("source", "lang")
+      val ranked = base.select(col("source"), col("lang"), col("n_chars"))
+        .withColumn("rn", row_number().over(grp.orderBy("n_chars")) - lit(1))
+        .withColumn("n", count(lit(1)).over(grp))
+        // interpolation indices: pos = (n-1)·p as an exact rational num/den
+        .withColumn("lo50", expr("(n-1) DIV 2"))
+        .withColumn("hi50", expr("(n-1) DIV 2 + CASE WHEN (n-1) % 2 > 0 THEN 1 ELSE 0 END"))
+        .withColumn("lo90", expr("((n-1)*9) DIV 10"))
+        .withColumn("hi90", expr("((n-1)*9) DIV 10 + CASE WHEN ((n-1)*9) % 10 > 0 THEN 1 ELSE 0 END"))
+      val pcts = ranked.groupBy("source", "lang")
+        .agg(max(col("n")).as("nn"),
+          max(when(col("rn") === col("lo50"), col("n_chars"))).as("v50lo"),
+          max(when(col("rn") === col("hi50"), col("n_chars"))).as("v50hi"),
+          max(when(col("rn") === col("lo90"), col("n_chars"))).as("v90lo"),
+          max(when(col("rn") === col("hi90"), col("n_chars"))).as("v90hi"))
+        .select(col("source"), col("lang"),
+          ((col("v50lo") * lit(2) + ((col("nn") - 1) % 2) * (col("v50hi") - col("v50lo")))
+            .cast(DoubleType) / lit(2.0)).as("p50_chars"),
+          ((col("v90lo") * lit(10) + (((col("nn") - 1) * 9) % 10) * (col("v90hi") - col("v90lo")))
+            .cast(DoubleType) / lit(10.0)).as("p90_chars"))
+      stats.join(pcts, Seq("source", "lang"))
         .select(col("source"), col("lang"), col("n_docs"), col("total_tokens"),
           col("total_chars"), col("n_exact_dups"), col("mean_quality"),
-          col("pq")(0).as("p50_chars"), col("pq")(1).as("p90_chars"))
+          col("p50_chars"), col("p90_chars"))
         .orderBy("source", "lang")
     },
       Some(s"""WITH base AS (
           SELECT source, lang, n_chars,
             ${TF.tokenCountSql("text")} AS toks,
-            ${TF.qualityScoreSql("text")} AS q,
+            CAST(FLOOR(${TF.qualityScoreSql("text")} * 1000000) AS BIGINT) AS q6,
             ${TF.fingerprintBucketSql("text")} AS fp
-          FROM documents WHERE text IS NOT NULL)
-        SELECT source, lang, count(*) AS n_docs,
-          SUM(toks) AS total_tokens, SUM(n_chars) AS total_chars,
-          count(*) - count(DISTINCT fp) AS n_exact_dups,
-          ${dsumSql("q", 6)} / count(*) AS mean_quality,
-          quantile_cont(n_chars, 0.5) AS p50_chars,
-          quantile_cont(n_chars, 0.9) AS p90_chars
-        FROM base GROUP BY source, lang ORDER BY source, lang""")),
+          FROM documents WHERE text IS NOT NULL),
+        stats AS (
+          SELECT source, lang, count(*) AS n_docs,
+            SUM(toks) AS total_tokens, SUM(n_chars) AS total_chars,
+            count(*) - count(DISTINCT fp) AS n_exact_dups,
+            CAST(SUM(q6) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE) AS mean_quality
+          FROM base GROUP BY source, lang),
+        ranked AS (
+          SELECT source, lang, n_chars,
+            ROW_NUMBER() OVER (PARTITION BY source, lang ORDER BY n_chars) - 1 AS rn,
+            COUNT(*) OVER (PARTITION BY source, lang) AS n
+          FROM base),
+        pcts AS (
+          SELECT source, lang,
+            CAST(MAX(CASE WHEN rn = (n-1)//2 THEN n_chars END) * 2
+              + ((MAX(n)-1) % 2)
+                * (MAX(CASE WHEN rn = (n-1)//2 + (CASE WHEN (n-1) % 2 > 0 THEN 1 ELSE 0 END)
+                        THEN n_chars END)
+                   - MAX(CASE WHEN rn = (n-1)//2 THEN n_chars END)) AS DOUBLE) / 2
+              AS p50_chars,
+            CAST(MAX(CASE WHEN rn = ((n-1)*9)//10 THEN n_chars END) * 10
+              + (((MAX(n)-1)*9) % 10)
+                * (MAX(CASE WHEN rn = ((n-1)*9)//10 + (CASE WHEN ((n-1)*9) % 10 > 0 THEN 1 ELSE 0 END)
+                        THEN n_chars END)
+                   - MAX(CASE WHEN rn = ((n-1)*9)//10 THEN n_chars END)) AS DOUBLE) / 10
+              AS p90_chars
+          FROM ranked GROUP BY source, lang)
+        SELECT s.source, s.lang, n_docs, total_tokens, total_chars, n_exact_dups,
+          mean_quality, p50_chars, p90_chars
+        FROM stats s JOIN pcts p ON s.source = p.source AND s.lang = p.lang
+        ORDER BY s.source, s.lang""")),
 
     // PERCEPTUAL IMAGE DEDUP (aHash): real PPM decode → 8×8 resize →
     // mean-threshold 64-bit average hash → equi-grouping on the hash — the
