@@ -179,13 +179,38 @@ object Similarity {
   }
 
   /** The deterministic quantizer of [[ivfTopK]] after `kmeansIters` Lloyd
-   *  refinements (stride-seeded, decimal-exact centroids). */
+   *  refinements (stride-seeded, decimal-exact centroids).
+   *
+   *  The centroid set is COLLECTED to the driver and re-emitted as a literal
+   *  local relation — once after seeding and once after every Lloyd step.
+   *  Centroids are metadata-sized by construction (n/centStride rows, each
+   *  dim doubles — a few KB at any corpus scale), so this is the one
+   *  legitimately driver-side collect in the ANN family, and it is what
+   *  makes the quantizer SINGLE-COMPUTE: corpus assignment, the query probe,
+   *  and successive Lloyd iterations all broadcast the same tiny local
+   *  relation instead of each re-running the full-corpus refinement subtree
+   *  (at 100 TB that recompute multiplies whole-corpus passes). Values are
+   *  bit-identical: float→double element casts are exact, so the
+   *  materialized doubles equal what the lazy plan's dot would widen to. */
   private def quantizer(base: DataFrame, idCol: String, centStride: Int,
       kmeansIters: Int): DataFrame = {
     val cent0 = base.filter(col(idCol) % centStride === 1)
       .select(col(idCol).as("cent_id"), col("__v").as("__cv"), col("__nrm").as("__cn"))
-    (1 to kmeansIters).foldLeft(cent0)((c, _) =>
-      refineCentroids(rankCells(base, idCol, c, 1), idCol))
+    (1 to kmeansIters).foldLeft(materializeCentroids(cent0))((c, _) =>
+      materializeCentroids(refineCentroids(rankCells(base, idCol, c, 1), idCol)))
+  }
+
+  /** Collect a (tiny) centroid frame and rebuild it as a local relation
+   *  (cent_id BIGINT, __cv ARRAY<DOUBLE>, __cn DOUBLE). */
+  private def materializeCentroids(cent: DataFrame): DataFrame = {
+    val spark = cent.sparkSession
+    import spark.implicits._
+    cent.select(col("cent_id").cast("long"),
+        VectorFunctions.toDouble(col("__cv")).as("__cv"),
+        col("__cn").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .toSeq.toDF("cent_id", "__cv", "__cn")
   }
 
   /**
@@ -246,11 +271,12 @@ object Similarity {
       kmeansIters: Int = 0, nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val base = prepared(emb, idCol, vecCol)
-    // NOT persisted: the refined quantizer is recomputed by the corpus
-    // assignment and the query probe (both broadcast it), but caching here
-    // would leak cached RDDs out of a library call — the no-leak contract
-    // ExtSpec pins (round-4 verdict #4). Callers composing many searches
-    // over one quantizer should persist their own ivfCells output.
+    // The quantizer arrives as a literal local relation (collected once in
+    // [[quantizer]] — metadata-sized by construction), so the corpus
+    // assignment and the query probe below broadcast the SAME computed
+    // centroid set instead of each re-running the refinement subtree; no
+    // cached RDD leaks out of the call (the no-leak contract ExtSpec pins,
+    // round-4 verdict #4) because a local relation holds no cluster state.
     val centFinal = quantizer(base, idCol, centStride, kmeansIters)
     val assigned = rankCells(base, idCol, centFinal, 1)
     // queries probe their nprobe nearest cells of the FINAL quantizer

@@ -211,6 +211,19 @@ final class GoldBuilder(spark: SparkSession, clock: () => Timestamp) {
    * .py:30-36`): compute the merge rows for `batch` against `target`'s
    * current OPEN rows (`__END_AT IS NULL`, at most one per key).
    *
+   * `deleteCol` names a BOOLEAN column marking delete events (DLT's
+   * `apply_as_deletes`, pre-evaluated by the caller): a delete event closes
+   * the key's open history row at its sequence (`__END_AT = seq`) and opens
+   * nothing; stale deletes (at/before the open `__START_AT`) lose by
+   * sequence; a delete for an absent key is a no-op; an upsert after a
+   * delete always opens a new row even with pre-delete attributes
+   * (existence itself is part of the run-length state). `trackCols` scopes
+   * history to a column subset (DLT's `track_history_column_list` /
+   * `..._except_column_list`, resolved by the caller): only tracked-column
+   * changes open a version; untracked-only changes rewrite the current
+   * row's untracked columns IN PLACE (no new history row) — within a batch,
+   * each version carries the last untracked values of its interval.
+   *
    * Semantics (all non-key columns tracked — DLT's default):
    *  - one event per (keys, sequenceBy), deterministic tiebreak;
    *  - events at/before a key's open `__START_AT` are DROPPED (stale or
@@ -234,12 +247,32 @@ final class GoldBuilder(spark: SparkSession, clock: () => Timestamp) {
    * broadcast-able when the batch is small.
    */
   def scd2Apply(batch: DataFrame, target: Option[DataFrame], keys: Seq[String],
-      seqCol: String, tiebreak: Seq[String]): DataFrame = {
+      seqCol: String, tiebreak: Seq[String],
+      deleteCol: Option[String] = None,
+      trackCols: Option[Seq[String]] = None): DataFrame = {
     import GoldBuilder.{Scd2End, Scd2Start}
-    val track = batch.columns.toSeq.filterNot(c => keys.contains(c) || c == seqCol)
-    val cur = struct(track.map(col): _*)
-    val events = latestPerKey(batch, keys :+ seqCol, seqCol, tiebreak)
+    val attrs = batch.columns.toSeq.filterNot(c =>
+      keys.contains(c) || c == seqCol || deleteCol.contains(c))
+    val track = trackCols.getOrElse(attrs)
+    require(track.nonEmpty, "SCD2 needs at least one tracked attribute column")
+    track.foreach(c => require(attrs.contains(c),
+      s"track-history column $c is not an attribute column (${attrs.mkString(",")})"))
+    val untrack = attrs.filterNot(track.contains)
+    val trackS = struct(track.map(col): _*)
+    val isDel = deleteCol
+      .map(c => coalesce(col(c).cast("boolean"), lit(false))).getOrElse(lit(false))
+    val events = latestPerKey(batch, keys :+ seqCol, seqCol,
+        tiebreak.filterNot(deleteCol.contains))
+      .withColumn("__del", isDel)
+    // per-event STATE: delete events all collapse to one canonical
+    // "absent" value (tracked struct nulled), so consecutive deletes — and a
+    // leading delete against an absent key — run-length-collapse away just
+    // like unchanged upserts do
+    val evState = struct(col("__del").as("__d"),
+      when(!col("__del"), trackS).as("__t"))
     val open = target.map(_.filter(col(Scd2End).isNull))
+    val untrackSel =
+      if (untrack.isEmpty) struct(lit(0).as("__z")) else struct(untrack.map(col): _*)
     val withOpen = open match {
       case Some(o) =>
         val sel = o.select((keys.map(col) :+ col(Scd2Start).as("__open_start") :+
@@ -248,27 +281,60 @@ final class GoldBuilder(spark: SparkSession, clock: () => Timestamp) {
       case None =>
         events
           .withColumn("__open_start", lit(null).cast(batch.schema(seqCol).dataType))
-          .withColumn("__open_track", when(lit(false), cur)) // typed null struct
+          .withColumn("__open_track", when(lit(false), trackS)) // typed null struct
     }
+    // the state PRECEDING the batch: the open row's tracked attributes, or
+    // "absent" (same canonical value a delete produces) when no row is open
+    val openState = when(col("__open_start").isNotNull,
+      struct(lit(false).as("__d"), col("__open_track").as("__t")))
+      .otherwise(struct(lit(true).as("__d"), when(lit(false), trackS).as("__t")))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).asc)
-    val kept = withOpen
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // __chg marks the events that open a version boundary (tracked attrs or
+    // existence changed vs the immediately preceding state); __vstart labels
+    // EVERY event with the version interval it falls in — NULL means the
+    // event lands inside the target's still-open interval (an
+    // untracked-column-only change: update-in-place, no new history row)
+    val st = withOpen
       .filter(col("__open_start").isNull || col(seqCol) > col("__open_start"))
-      .withColumn("__prev", coalesce(lag(cur, 1).over(w), col("__open_track")))
-      .filter(!(col("__prev") <=> cur))
-    val outCols = (keys ++ track).map(col) :+ col(Scd2Start) :+ col(Scd2End)
-    val versions = kept
-      .withColumn(Scd2Start, col(seqCol))
-      .withColumn(Scd2End, lead(col(seqCol), 1).over(w))
-      .select(outCols: _*)
+      .withColumn("__state", evState)
+      .withColumn("__prev", coalesce(lag(col("__state"), 1).over(w), openState))
+      .withColumn("__chg", !(col("__prev") <=> col("__state")))
+      .withColumn("__vstart",
+        last(when(col("__chg"), col(seqCol)), ignoreNulls = true).over(wRun))
+    val outCols = (keys ++ attrs).map(col) :+ col(Scd2Start) :+ col(Scd2End)
+    // one row per version interval: tracked attrs are constant within it by
+    // construction, untracked attrs take the LAST event's values (DLT's
+    // update-in-place rule scoped to the interval); a delete interval emits
+    // no row but still bounds its predecessor's __END_AT via the lead
+    val wv = Window.partitionBy(keys.map(col): _*).orderBy(col("__vstart").asc)
+    val grouped = latestPerKey(st.filter(col("__vstart").isNotNull),
+        keys :+ "__vstart", seqCol, Nil)
+      .withColumn(Scd2Start, col("__vstart"))
+      .withColumn(Scd2End, lead(col("__vstart"), 1).over(wv))
+    val versions = grouped.filter(!col("__del")).select(outCols: _*)
     open match {
       case None => versions
       case Some(o) =>
-        val closeAt = versions.groupBy(keys.map(col): _*)
-          .agg(min(col(Scd2Start)).as("__close_at"))
-        val closed = o.join(closeAt, keys)
-          .withColumn(Scd2End, col("__close_at")).drop("__close_at")
-          .select(outCols: _*)
-        closed.unionByName(versions)
+        // the open row closes at the key's FIRST in-batch version boundary
+        // (an upsert re-opening history or a delete ending it — both bound
+        // the interval); independently, untracked-only events inside the
+        // open interval rewrite the open row's untracked columns in place
+        val closeAt = st.filter(col("__chg")).groupBy(keys.map(col): _*)
+          .agg(min(col("__vstart")).as("__close_at"))
+        val updatable = // no untracked columns → nothing updates in place
+          if (untrack.isEmpty) st.filter(lit(false)) else st.filter(col("__vstart").isNull)
+        val openUpd = latestPerKey(updatable, keys, seqCol, Nil)
+          .select((keys.map(col) :+ lit(true).as("__upd") :+
+            untrackSel.as("__new_untrack")): _*)
+        val touched = o.join(closeAt, keys, "left").join(openUpd, keys, "left")
+          .filter(col("__close_at").isNotNull || col("__upd").isNotNull)
+        val openOut = touched.select((keys.map(col) ++ attrs.map { c =>
+          if (untrack.contains(c))
+            when(col("__upd").isNotNull, col(s"__new_untrack.$c")).otherwise(col(c)).as(c)
+          else col(c)
+        } :+ col(Scd2Start) :+ col("__close_at").as(Scd2End)): _*)
+        openOut.unionByName(versions)
     }
   }
 }

@@ -1896,6 +1896,16 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     }
 
     val guard = matchedGuard.map(expr).getOrElse(lit(true))
+    // A source-side column reference that tolerates a KEYS-ONLY source: when
+    // no full-row clause is active (e.g. WHEN MATCHED THEN DELETE only — a
+    // Delta-legal shape), the projection's insert/update branches are dead
+    // (`lit(false)` predicates) but would still fail ANALYSIS on `s.<col>`
+    // references to columns the source never carried. Substitute a typed
+    // NULL for absent columns — live full-row branches can never see it
+    // because the presence `require` above already demanded every column.
+    def srcCol(c: String): Column =
+      if (src.columns.contains(c)) col(s"s.$c")
+      else lit(null).cast(schema1(c).dataType)
     def joinedOf(target: DataFrame): DataFrame = {
       val t = target.withColumn(T_MARK, lit(true)).alias("t")
       val s = src.withColumn(S_MARK, lit(true)).alias("s")
@@ -1942,7 +1952,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       // INSERT (cols) VALUES (...) — the assigned expressions with NULL for
       // omitted columns (Delta's rule)
       def insertedCol(c: String): Column = insertSet match {
-        case None => col(s"s.$c")
+        case None => srcCol(c)
         case Some(as) => as.get(c).map(expr).getOrElse(
           lit(null).cast(schema1(c).dataType))
       }
@@ -1951,7 +1961,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         case None => // UPDATE SET *: update-class rows take the source row
           joined.select(cols.map(c =>
             when(isIns, insertedCol(c))
-              .otherwise(when(matchedUpdPred, col(s"s.$c")).otherwise(col(s"t.$c")))
+              .otherwise(when(matchedUpdPred, srcCol(c)).otherwise(col(s"t.$c")))
               .as(c)): _*)
         case Some(assigns) =>
           // COLUMN-LEVEL UPDATE SET c = <expr over s/t>: update-class rows
@@ -1978,7 +1988,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         case None => lit(false)
       }
       def row(side: String, kind: String) = struct(
-        (cols.map(c => col(s"$side.$c").as(c)) :+ lit(kind).as(ChangeTypeCol)): _*)
+        (cols.map(c => (if (side == "s") srcCol(c) else col(s"$side.$c")).as(c)) :+
+          lit(kind).as(ChangeTypeCol)): _*)
       // with column-level assignments the POSTIMAGE is the assigned target
       // row, not the raw source row
       def postRow = matchedSet match {
@@ -2047,8 +2058,10 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     // WHEN NOT MATCHED BY SOURCE DELETE must examine target-only rows in
     // EVERY partition (sync semantics touch the whole table by definition),
     // so it takes the full-rewrite path even on partitioned targets —
-    // replaceAll keeps the partitioning.
-    m.pcol.filter(_ => deleteUnmatchedTarget.isEmpty) match {
+    // replaceAll keeps the partitioning. A keys-only source (delete-only
+    // merge) that doesn't carry the partition column can't scope the touched
+    // partitions either — same full-rewrite fallback, partitioning kept.
+    m.pcol.filter(p => deleteUnmatchedTarget.isEmpty && src.columns.contains(p)) match {
       case None =>
         val joined = joinedOf(widen(readScoped(m, None)))
         val pinned = // two consumers under CDF: pin the join, not twice the work

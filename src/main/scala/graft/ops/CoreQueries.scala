@@ -579,6 +579,134 @@ object CoreQueries {
                         TIMESTAMP '2200-01-01 00:00:00') AS end_at
         FROM k ORDER BY user_id, start_at""")),
 
+    // O1 SCD2 + apply_as_deletes: DLT's `create_auto_cdc_flow(apply_as_deletes
+    // = expr(...), stored_as_scd_type = 2)` (the same API surface as
+    // dlt_bronze_to_silver_pipeline.py:30-36): an 'error' event DELETES its
+    // key — the open history row closes at the delete's sequence and nothing
+    // re-opens until a later upsert (which always opens a new row, even with
+    // pre-delete attributes: existence is part of the run-length state).
+    // Exercised incrementally (two batches; batch-2 deletes close batch-1
+    // open rows in place). The oracle replays the one-pass equivalent: the
+    // per-event state is (deleted?, tracked attrs), deletes collapse to one
+    // canonical "absent" state (leading/consecutive deletes are no-ops), and
+    // only non-delete boundary events emit history rows — but delete
+    // boundaries still bound their predecessor's __END_AT.
+    Q("o1_scd2_deletes", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select("user_id", "ts", "event_type", "value")
+      val r = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val cut = new Timestamp(
+        (r.getTimestamp(0).getTime + r.getTimestamp(1).getTime) / 2)
+      val p = new Pipeline(s, tmp("graft_scd2del"))
+      p.streamingTable("hist")
+      var batch = ev.filter(col("ts") <= lit(cut))
+      p.view("src")(batch)
+      p.autoCdcFlow("hist", "src", Seq("user_id"), "ts", scdType = 2,
+        applyAsDeletes = Some("event_type = 'error'"))
+      p.run()
+      batch = ev.filter(col("ts") > lit(cut))
+      p.run()
+      p.read("hist")
+        .select(col("user_id"), col("event_type"), col("value"),
+          col(GoldBuilder.Scd2Start).as("start_at"),
+          coalesce(col(GoldBuilder.Scd2End),
+            lit("2200-01-01 00:00:00").cast("timestamp")).as("end_at"))
+        .orderBy("user_id", "start_at")
+    },
+      Some("""WITH ev AS (
+          SELECT user_id, ts, event_type, value FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ), d AS (
+          SELECT user_id, ts, event_type, value,
+            COALESCE(event_type = 'error', FALSE) AS is_del
+          FROM ev
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+            ORDER BY event_type DESC NULLS LAST, value DESC NULLS LAST) = 1
+        ), st AS (
+          SELECT *, CASE WHEN is_del THEN NULL ELSE event_type END AS t_et,
+                 CASE WHEN is_del THEN NULL ELSE value END AS t_v
+          FROM d
+        ), c AS (
+          SELECT *, lag(is_del) OVER w AS p_del,
+                 lag(t_et) OVER w AS p_et, lag(t_v) OVER w AS p_v
+          FROM st WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), k AS (
+          SELECT * FROM c
+          WHERE is_del IS DISTINCT FROM COALESCE(p_del, TRUE)
+             OR t_et IS DISTINCT FROM p_et
+             OR t_v IS DISTINCT FROM p_v
+        )
+        , f AS (
+          -- lead BEFORE the delete filter: a delete boundary emits no row
+          -- but still bounds its predecessor's end_at
+          SELECT user_id, event_type, value, is_del, ts AS start_at,
+                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS nxt
+          FROM k
+        )
+        SELECT user_id, event_type, value, start_at,
+               COALESCE(nxt, TIMESTAMP '2200-01-01 00:00:00') AS end_at
+        FROM f WHERE NOT is_del ORDER BY user_id, start_at""")),
+
+    // O1 SCD2 + track_history_except_column_list: only TRACKED columns
+    // (here: event_type — `value` is excepted) open history rows; an
+    // untracked-only change rewrites the current row's untracked columns IN
+    // PLACE. Each version therefore carries the LAST `value` observed inside
+    // its validity interval. Two incremental batches again: batch-2
+    // untracked churn updates batch-1's still-open rows in place. The
+    // oracle's one-pass replay labels every event with its version start
+    // (running last tracked-change ts) and takes the last event per
+    // (key, version) — tracked attrs are constant within a version by
+    // construction, untracked take the interval's final value.
+    Q("o1_scd2_track_history", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select("user_id", "ts", "event_type", "value")
+      val r = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val cut = new Timestamp(
+        (r.getTimestamp(0).getTime + r.getTimestamp(1).getTime) / 2)
+      val p = new Pipeline(s, tmp("graft_scd2trk"))
+      p.streamingTable("hist")
+      var batch = ev.filter(col("ts") <= lit(cut))
+      p.view("src")(batch)
+      p.autoCdcFlow("hist", "src", Seq("user_id"), "ts", scdType = 2,
+        trackHistoryExceptColumns = Seq("value"))
+      p.run()
+      batch = ev.filter(col("ts") > lit(cut))
+      p.run()
+      p.read("hist")
+        .select(col("user_id"), col("event_type"), col("value"),
+          col(GoldBuilder.Scd2Start).as("start_at"),
+          coalesce(col(GoldBuilder.Scd2End),
+            lit("2200-01-01 00:00:00").cast("timestamp")).as("end_at"))
+        .orderBy("user_id", "start_at")
+    },
+      Some("""WITH ev AS (
+          SELECT user_id, ts, event_type, value FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ), d AS (
+          SELECT user_id, ts, event_type, value FROM ev
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+            ORDER BY event_type DESC NULLS LAST, value DESC NULLS LAST) = 1
+        ), c AS (
+          SELECT *, CASE WHEN ROW_NUMBER() OVER w = 1
+                 OR event_type IS DISTINCT FROM lag(event_type) OVER w
+              THEN ts END AS chg_ts
+          FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), v AS (
+          SELECT *, MAX(chg_ts) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vstart
+          FROM c
+        ), last AS (
+          SELECT user_id, vstart, event_type, value FROM v
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, vstart
+            ORDER BY ts DESC) = 1
+        )
+        SELECT user_id, event_type, value, vstart AS start_at,
+               COALESCE(lead(vstart) OVER (PARTITION BY user_id ORDER BY vstart),
+                        TIMESTAMP '2200-01-01 00:00:00') AS end_at
+        FROM last ORDER BY user_id, start_at""")),
+
     // O4: expect_all_or_drop — violating rows dropped
     // (dlt_bronze_to_silver_pipeline.py:5-12).
     Q("o4_expect_drop", (s, d) =>

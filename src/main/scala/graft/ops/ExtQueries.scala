@@ -884,7 +884,8 @@ object ExtQueries {
           FROM documents WHERE text IS NOT NULL),
         stats AS (
           SELECT source, lang, count(*) AS n_docs,
-            SUM(toks) AS total_tokens, SUM(n_chars) AS total_chars,
+            CAST(SUM(toks) AS BIGINT) AS total_tokens,
+            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
             count(*) - count(DISTINCT fp) AS n_exact_dups,
             CAST(SUM(q6) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE) AS mean_quality
           FROM base GROUP BY source, lang),

@@ -72,16 +72,23 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       sequenceBy: String, tiebreak: Seq[String] = Nil,
       scdType: Int = 1,
       applyAsDeletes: Option[String] = None,
-      exceptColumns: Seq[String] = Nil): this.type = {
+      exceptColumns: Seq[String] = Nil,
+      trackHistoryColumns: Seq[String] = Nil,
+      trackHistoryExceptColumns: Seq[String] = Nil): this.type = {
     require(scdType == 1 || scdType == 2, s"stored_as_scd_type must be 1 or 2, got $scdType")
     require(tables.contains(target), s"declare streamingTable($target) first")
     // DLT's `apply_as_deletes` (rows matching the predicate REMOVE their
-    // key) and `except_column_list` (op/sequence metadata excluded from the
-    // target) — SCD1 only, like the common DLT deployment
-    require(applyAsDeletes.isEmpty || scdType == 1,
-      "apply_as_deletes is supported for SCD type 1 flows")
+    // key — SCD1 — or close the open history row — SCD2),
+    // `except_column_list` (op/sequence metadata excluded from the target),
+    // and the SCD2-only `track_history_[except_]column_list` (changes in
+    // non-tracked columns update the current row in place instead of
+    // opening a history row)
+    require(trackHistoryColumns.isEmpty || trackHistoryExceptColumns.isEmpty,
+      "track_history_column_list and track_history_except_column_list are exclusive")
+    require((trackHistoryColumns.isEmpty && trackHistoryExceptColumns.isEmpty) ||
+      scdType == 2, "track-history column scoping applies to SCD type 2 flows only")
     flows += CdcFlow(target, source, keys, sequenceBy, tiebreak, scdType,
-      applyAsDeletes, exceptColumns)
+      applyAsDeletes, exceptColumns, trackHistoryColumns, trackHistoryExceptColumns)
     this
   }
 
@@ -119,10 +126,32 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         else batch.columns.toSeq.filterNot(c => f.keys.contains(c) || c == f.sequenceBy)
       val t = tables(f.target)
       if (f.scdType == 2) {
-        // history table: closed open rows update in place, new versions
-        // insert — merged on (keys, __START_AT)
-        val rows = gb.scd2Apply(batch, if (t.exists) Some(t.read) else None,
-          f.keys, f.sequenceBy, tiebreak)
+        // history table: closed/updated open rows update in place, new
+        // versions insert — merged on (keys, __START_AT). The
+        // apply_as_deletes predicate is evaluated BEFORE except columns
+        // drop (it typically reads the op-code metadata that
+        // except_column_list then strips from the target).
+        import org.apache.spark.sql.functions.{coalesce, expr, lit}
+        val delFlag = "__graft_is_delete"
+        val flagged = f.applyAsDeletes match {
+          case Some(p) => batch.withColumn(delFlag,
+            coalesce(expr(p).cast("boolean"), lit(false)))
+          case None => batch
+        }
+        val cleaned = flagged.drop(f.exceptColumns: _*)
+        val attrs = cleaned.columns.toSeq.filterNot(c =>
+          f.keys.contains(c) || c == f.sequenceBy || c == delFlag)
+        val trackCols =
+          if (f.trackHistoryColumns.nonEmpty) Some(f.trackHistoryColumns)
+          else if (f.trackHistoryExceptColumns.nonEmpty)
+            Some(attrs.filterNot(f.trackHistoryExceptColumns.contains))
+          else None
+        val tb2 = (if (f.tiebreak.nonEmpty) f.tiebreak
+          else attrs).filterNot(_ == delFlag)
+        val rows = gb.scd2Apply(cleaned, if (t.exists) Some(t.read) else None,
+          f.keys, f.sequenceBy, tb2,
+          deleteCol = f.applyAsDeletes.map(_ => delFlag),
+          trackCols = trackCols)
         if (!t.exists) t.create(rows.schema)
         t.merge(rows, f.keys :+ GoldBuilder.Scd2Start)
       } else {
@@ -135,16 +164,24 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           case Some(delPred) =>
             // CDC apply with deletes (the s39 statement, programmatic):
             // the op-coded batch keeps its metadata columns on the SOURCE
-            // side only — column-level images carry just the target schema
-            val sPred = Pipeline.qualifyOnSource(spark, delPred)
+            // side only — column-level images carry just the target schema.
+            // The predicate is evaluated HERE, in the source's own frame
+            // (one boolean column riding the source), instead of being
+            // re-qualified into the merge's s/t scope as text — unqualified
+            // names, lambdas (`exists(ops, x -> x = 'D')`) and any other
+            // expression shape resolve exactly as the user wrote them.
+            import org.apache.spark.sql.functions.{coalesce, expr, lit}
+            val delFlag = "__graft_is_delete"
+            val flagged = latest.withColumn(delFlag,
+              coalesce(expr(delPred).cast("boolean"), lit(false)))
             val seqGuard = s"s.${f.sequenceBy} >= t.${f.sequenceBy}"
             val assignAll = t.schema.fieldNames.toSeq
               .filterNot(f.keys.contains).map(c => c -> s"s.$c").toMap
-            t.merge(latest, f.keys,
+            t.merge(flagged, f.keys,
               matchedGuard = Some(seqGuard),
               matchedSet = Some(assignAll),
-              matchedDeleteWhen = Some(s"($sPred) AND ($seqGuard)"),
-              insertGuard = Some(s"NOT coalesce(($sPred), false)"),
+              matchedDeleteWhen = Some(s"(s.$delFlag) AND ($seqGuard)"),
+              insertGuard = Some(s"NOT s.$delFlag"),
               insertSet = Some(t.schema.fieldNames.toSeq.map(c => c -> s"s.$c").toMap))
         }
       }
@@ -281,20 +318,11 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
 }
 
 object Pipeline {
-  /** Prefix unqualified column refs with the engine merge's `s` alias —
-   *  the apply_as_deletes predicate is written over the SOURCE's columns. */
-  private[pipeline] def qualifyOnSource(spark: org.apache.spark.sql.SparkSession,
-      pred: String): String =
-    spark.sessionState.sqlParser.parseExpression(pred).transform {
-      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-          if a.nameParts.length == 1 =>
-        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
-          Seq("s", a.nameParts.head))
-    }.sql
-
   private final case class CdcFlow(
       target: String, source: String, keys: Seq[String],
       sequenceBy: String, tiebreak: Seq[String], scdType: Int = 1,
       applyAsDeletes: Option[String] = None,
-      exceptColumns: Seq[String] = Nil)
+      exceptColumns: Seq[String] = Nil,
+      trackHistoryColumns: Seq[String] = Nil,
+      trackHistoryExceptColumns: Seq[String] = Nil)
 }

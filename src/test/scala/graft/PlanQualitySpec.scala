@@ -294,6 +294,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("IVF quantizer is single-compute: the refined centroid set is a local " +
+      "relation, and the final plan scans the corpus exactly twice") {
+    val df = SparkEntry.queries("x13_sim_ivf_topk")(spark, sfDir)
+    val plan = planOf(df).split("== Initial Plan ==").head
+    // the quantizer (stride seed + Lloyd refinement) runs ONCE, eagerly, and
+    // lands as a broadcast-able LocalTableScan — corpus assignment and the
+    // query probe must NOT each re-run the refinement subtree (at 100 TB
+    // that recompute multiplies whole-corpus passes)
+    assert(plan.contains("LocalTableScan"), plan)
+    val corpusScans = "Scan parquet".r.findAllIn(plan).size
+    assert(corpusScans <= 2, s"expected <=2 corpus scans, got $corpusScans\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("custom-state sessionization plans the arbitrary-state operator, one key shuffle") {
     val df = SparkEntry.queries("w_custom_state")(spark, sfDir)
     val plan = planOf(df).split("== Initial Plan ==").head

@@ -163,6 +163,50 @@ class LakeSqlSpec extends SparkSpec {
     }
   }
 
+  test("delete-only merge accepts a KEYS-ONLY source (Delta-legal): dead " +
+      "insert/update branches never reference absent source columns") {
+    val root = tmpDir("sql_merge_del_keys")
+    val t = LakeTable(spark, s"$root/t")
+    t.create(Seq((0L, "", 0)).toDF("k", "v", "seq").schema, enableChangeFeed = true)
+    t.append(Seq((1L, "a", 1), (2L, "b", 5), (3L, "c", 2)).toDF("k", "v", "seq"))
+    // programmatic: source carries ONLY the key column
+    val v0 = t.currentVersion
+    t.merge(Seq(1L, 4L).toDF("k"), Seq("k"),
+      matchedDelete = true, insertAll = false)
+    assert(t.read.orderBy("k").as[(Long, String, Int)].collect().toSeq ==
+      Seq((2L, "b", 5), (3L, "c", 2)))
+    // CDF still records the delete pre-image off the same join
+    assert(t.readChangeFeed(v0 + 1).filter($"_change_type" === "delete")
+      .select("k").as[Long].collect().toSeq == Seq(1L))
+    // SQL text form of the same shape
+    LakeSql.register("delk_t", t)
+    Seq(3L).toDF("k").createOrReplaceTempView("delk_keys")
+    try {
+      LakeSql.merge(spark,
+        """MERGE INTO delk_t AS t0 USING delk_keys AS u ON t0.k = u.k
+           WHEN MATCHED THEN DELETE""")
+      assert(t.read.orderBy("k").as[(Long, String, Int)].collect().toSeq ==
+        Seq((2L, "b", 5)))
+    } finally {
+      LakeSql.unregister("delk_t")
+      spark.catalog.dropTempView("delk_keys")
+    }
+  }
+
+  test("delete-only merge with a keys-only source on a PARTITIONED target " +
+      "falls back to the full rewrite and keeps the partitioning") {
+    val root = tmpDir("sql_merge_del_keys_part")
+    val t = LakeTable(spark, s"$root/t")
+    val df = Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2"))
+      .toDF("k", "v", "p")
+    t.overwrite(df, Some("p"))
+    t.merge(Seq(2L).toDF("k"), Seq("k"), matchedDelete = true, insertAll = false)
+    assert(t.read.orderBy("k").as[(Long, String, String)].collect().toSeq ==
+      Seq((1L, "a", "p1"), (3L, "c", "p2")))
+    // partition layout survives the fallback rewrite
+    assert(t.ownedPartitionValues.sorted == Seq("p1", "p2"))
+  }
+
   test("conditional INSERT and column-level INSERT (cols) VALUES dispatch; " +
       "omitted columns land NULL") {
     val root = tmpDir("sql_merge_ins")

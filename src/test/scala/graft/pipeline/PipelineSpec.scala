@@ -282,6 +282,131 @@ class PipelineSpec extends SparkSpec {
       .select("v").as[String].head() == "c3")
   }
 
+  test("autoCdcFlow SCD2 apply_as_deletes closes the open history row; " +
+      "stale/absent-key deletes are no-ops; re-upsert opens a new row") {
+    val p = new Pipeline(spark, tmpDir("pl_scd2_del"))
+    var batch = Seq(
+      (1L, "a", "U", ts("2024-01-01 00:00:00")),
+      (2L, "b", "U", ts("2024-01-01 00:00:00"))).toDF("k", "v", "op", "seq")
+    p.streamingTable("hist")
+    p.view("source")(batch)
+    p.autoCdcFlow("hist", "source", Seq("k"), "seq", scdType = 2,
+      applyAsDeletes = Some("op = 'D'"), exceptColumns = Seq("op"))
+    p.run()
+    def history = p.read("hist")
+      .select(col("k"), col("v"), col("__START_AT").cast("string"),
+        col("__END_AT").cast("string"))
+      .orderBy("k", "__START_AT")
+      .as[(Long, String, String, String)].collect().toSeq
+    assert(p.read("hist").columns.toSeq ==
+      Seq("k", "v", "__START_AT", "__END_AT")) // op never lands
+    assert(history == Seq(
+      (1L, "a", "2024-01-01 00:00:00", null),
+      (2L, "b", "2024-01-01 00:00:00", null)))
+
+    // batch 2: k=1 deleted (open row CLOSES at the delete's seq, nothing
+    // re-opens), k=2 STALE delete loses by sequence, k=3 delete of an
+    // absent key is a no-op
+    batch = Seq(
+      (1L, null, "D", ts("2024-02-01 00:00:00")),
+      (2L, null, "D", ts("2023-06-01 00:00:00")),
+      (3L, null, "D", ts("2024-02-01 00:00:00"))).toDF("k", "v", "op", "seq")
+    p.run()
+    assert(history == Seq(
+      (1L, "a", "2024-01-01 00:00:00", "2024-02-01 00:00:00"),
+      (2L, "b", "2024-01-01 00:00:00", null)))
+
+    // batch 3: k=1 re-upserts with its PRE-DELETE attributes — existence is
+    // part of the run-length state, so a NEW version still opens
+    batch = Seq((1L, "a", "U", ts("2024-03-01 00:00:00"))).toDF("k", "v", "op", "seq")
+    p.run()
+    val afterThree = Seq(
+      (1L, "a", "2024-01-01 00:00:00", "2024-02-01 00:00:00"),
+      (1L, "a", "2024-03-01 00:00:00", null),
+      (2L, "b", "2024-01-01 00:00:00", null))
+    assert(history == afterThree)
+
+    // same-batch interleave on a fresh key: upsert, delete, re-upsert —
+    // the delete bounds version 1's end and version 2 reopens at the
+    // re-upsert's seq (plus replay idempotency for the whole batch)
+    batch = Seq(
+      (9L, "p", "U", ts("2024-04-01 00:00:00")),
+      (9L, null, "D", ts("2024-04-02 00:00:00")),
+      (9L, "p", "U", ts("2024-04-03 00:00:00"))).toDF("k", "v", "op", "seq")
+    p.run()
+    val afterFour = afterThree ++ Seq(
+      (9L, "p", "2024-04-01 00:00:00", "2024-04-02 00:00:00"),
+      (9L, "p", "2024-04-03 00:00:00", null))
+    assert(history.sortBy(r => (r._1, r._3)) == afterFour.sortBy(r => (r._1, r._3)))
+    p.run() // replay: idempotent
+    assert(history.sortBy(r => (r._1, r._3)) == afterFour.sortBy(r => (r._1, r._3)))
+  }
+
+  test("autoCdcFlow SCD2 track_history_except_column_list: untracked churn " +
+      "updates the open row in place; tracked changes open versions carrying " +
+      "the interval's last untracked value") {
+    val p = new Pipeline(spark, tmpDir("pl_scd2_trk"))
+    var batch = Seq(
+      (1L, "x", 1.0, ts("2024-01-01 00:00:00")),
+      // k=2 changes tracked et mid-batch: v rides each interval's last event
+      (2L, "x", 1.0, ts("2024-01-01 00:00:00")),
+      (2L, "x", 5.0, ts("2024-01-02 00:00:00")),
+      (2L, "y", 7.0, ts("2024-01-03 00:00:00"))).toDF("k", "et", "v", "seq")
+    p.streamingTable("hist")
+    p.view("source")(batch)
+    p.autoCdcFlow("hist", "source", Seq("k"), "seq", scdType = 2,
+      trackHistoryExceptColumns = Seq("v"))
+    p.run()
+    def history = p.read("hist")
+      .select(col("k"), col("et"), col("v"), col("__START_AT").cast("string"),
+        col("__END_AT").cast("string"))
+      .orderBy("k", "__START_AT")
+      .as[(Long, String, Double, String, String)].collect().toSeq
+    assert(history == Seq(
+      (1L, "x", 1.0, "2024-01-01 00:00:00", null),
+      (2L, "x", 5.0, "2024-01-01 00:00:00", "2024-01-03 00:00:00"),
+      (2L, "y", 7.0, "2024-01-03 00:00:00", null)))
+
+    // batch 2: k=1 untracked-only change → NO new version, v updates in
+    // place and __START_AT stays
+    batch = Seq((1L, "x", 2.0, ts("2024-02-01 00:00:00"))).toDF("k", "et", "v", "seq")
+    p.run()
+    assert(history == Seq(
+      (1L, "x", 2.0, "2024-01-01 00:00:00", null),
+      (2L, "x", 5.0, "2024-01-01 00:00:00", "2024-01-03 00:00:00"),
+      (2L, "y", 7.0, "2024-01-03 00:00:00", null)))
+
+    // batch 3: k=1 tracked change → history row opens, closing at the change
+    batch = Seq((1L, "z", 3.0, ts("2024-03-01 00:00:00"))).toDF("k", "et", "v", "seq")
+    p.run()
+    assert(history == Seq(
+      (1L, "x", 2.0, "2024-01-01 00:00:00", "2024-03-01 00:00:00"),
+      (1L, "z", 3.0, "2024-03-01 00:00:00", null),
+      (2L, "x", 5.0, "2024-01-01 00:00:00", "2024-01-03 00:00:00"),
+      (2L, "y", 7.0, "2024-01-03 00:00:00", null)))
+  }
+
+  test("autoCdcFlow SCD1 apply_as_deletes works with a higher-order-function " +
+      "predicate (lambda parameters are not source columns)") {
+    val p = new Pipeline(spark, tmpDir("pl_cdc_hof"))
+    var batch = Seq(
+      (1L, "a", Seq("U"), ts("2024-01-01 00:00:00")),
+      (2L, "b", Seq("U"), ts("2024-01-01 00:00:00"))).toDF("k", "v", "ops", "seq")
+    p.streamingTable("silver")
+    p.view("source")(batch)
+    p.autoCdcFlow("silver", "source", Seq("k"), "seq",
+      applyAsDeletes = Some("exists(ops, x -> x = 'D')"),
+      exceptColumns = Seq("ops"))
+    p.run()
+    assert(p.read("silver").count() == 2)
+    batch = Seq(
+      (1L, "x", Seq("touch", "D"), ts("2024-02-01 00:00:00")),
+      (2L, "b2", Seq("U"), ts("2024-02-01 00:00:00"))).toDF("k", "v", "ops", "seq")
+    p.run()
+    assert(p.read("silver").orderBy("k").as[(Long, String, Timestamp)].collect().toSeq ==
+      Seq((2L, "b2", ts("2024-02-01 00:00:00"))))
+  }
+
   test("views resolve lazily and read() prefers materialized tables") {
     val p = new Pipeline(spark, tmpDir("pl_views"))
     var evaluated = false
