@@ -1070,10 +1070,23 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       op == "create" || op == "append" || op == "constraint" ||
         op == "index" || op == "alter" || op == "convert" ||
         op == "rename" || op == "properties" }
+    // the one self-inflicted way to break this contract: TBLPROPERTIES
+    // autoCompact='true' makes APPENDS commit optimize rewrites, so the
+    // property and a file-glob stream are mutually exclusive on one table —
+    // name the property in the error or the failure looks like a mystery
+    // (the user only ever appended)
+    val autoCompactHint =
+      if (unsafe.exists(_._2 == "optimize") && manifest.props.exists { case (k, v) =>
+          k == LakeTable.AutoCompactProp && v.trim.equalsIgnoreCase("true") })
+        s" (this table has TBLPROPERTIES ${LakeTable.AutoCompactProp}='true': " +
+          "appends themselves commit compaction rewrites — unset it, or " +
+          "stream a separate non-compacting bronze table and OPTIMIZE downstream)"
+      else ""
     require(unsafe.isEmpty,
       s"readStream requires an append-only history, but $root has non-append commits: " +
         unsafe.map { case (v, op) => s"v$v=$op" }.mkString(", ") +
-        " — rewritten files would replay as duplicates in a file stream")
+        " — rewritten files would replay as duplicates in a file stream" +
+        autoCompactHint)
     // Partitioned tables store the partition column in the Hive directory
     // layout, not in the parquet files; the glob file stream below has no
     // per-dir basePath, so that column would silently come back all-NULL.
@@ -2098,24 +2111,62 @@ final class LakeTable private (val spark: SparkSession, val root: String,
             enforceConstraints(merged, m.constraints)
           val (dir, owned, fstats) = writeData(merged, Some(p),
             m.statsCols, bloomCols = m.bloomCols, colMap = m.colMap)
-          val kept = m.entries
-            .map(e => e.copy(owned = e.owned.map(_.filterNot(touchedSet))))
-            .filter(_.owned.exists(_.nonEmpty))
-          val keptDirs = kept.map(_.dir).toSet
-          val keptStats = m.fileStats.filter(fs =>
-            keptDirs.exists(d => fs.path.startsWith(d + "/")))
-          // carry live deletion vectors: kept dirs' coordinates stay valid;
-          // entries for replaced dirs are stale-but-harmless (anti-join
-          // can't match a file no longer scanned)
-          if (!tryCommit(Manifest(schema1, m.pcol, kept :+ DirEntry(dir, owned), "merge",
-              m.cdfEnabled, chDir, statsCols = m.statsCols, txns = m.txns,
-              droppedCols = m.droppedCols,
-              fileStats = keptStats ++ fstats, constraints = m.constraints,
-              generated = m.generated, deleteVectors = m.deleteVectors,
-              bloomCols = m.bloomCols, colMap = m.colMap, props = m.props), v0 + 1))
-            throw new ConcurrentWriteException(
-              s"merge computed against version $v0 of $root, but a concurrent " +
-                s"writer committed v${v0 + 1} first — recompute and retry")
+          // PARTITION-DISJOINT CONCURRENT MERGES both commit without
+          // recompute (Delta's partition-level conflict resolution): on a
+          // lost CAS, REBASE instead of throwing when the interleaved
+          // commits provably did not touch this merge's input — identical
+          // schema/metadata and an identical (dir → touched-partition-value)
+          // ownership map mean a recompute against the new snapshot would
+          // read the same rows and write the same output, so the
+          // already-written data dir is simply re-pointed at the new base
+          // (kept entries and their stats re-derived from it). Anything
+          // else — overlapping partitions, schema evolution in flight,
+          // property/constraint/DV/txn drift — stays a
+          // [[ConcurrentWriteException]]: the loser must recompute.
+          def ownTouched(mm: Manifest): Set[(String, String)] =
+            mm.entries.flatMap(e => e.owned.getOrElse(Seq.empty)
+              .filter(touchedSet).map(v => (e.dir, v))).toSet
+          def rebasable(mN: Manifest): Boolean =
+            schema1 == m.schema && mN.schema == m.schema &&
+              mN.pcol == m.pcol && mN.cdfEnabled == m.cdfEnabled &&
+              mN.statsCols == m.statsCols && mN.bloomCols == m.bloomCols &&
+              mN.colMap == m.colMap && mN.droppedCols == m.droppedCols &&
+              mN.constraints == m.constraints && mN.generated == m.generated &&
+              mN.props == m.props && mN.deleteVectors == m.deleteVectors &&
+              mN.txns == m.txns && ownTouched(mN) == ownTouched(m)
+          var base = m
+          var baseV = v0
+          var committed = false
+          while (!committed) {
+            val kept = base.entries
+              .map(e => e.copy(owned = e.owned.map(_.filterNot(touchedSet))))
+              .filter(_.owned.exists(_.nonEmpty))
+            val keptDirs = kept.map(_.dir).toSet
+            val keptStats = base.fileStats.filter(fs =>
+              keptDirs.exists(d => fs.path.startsWith(d + "/")))
+            // carry live deletion vectors: kept dirs' coordinates stay
+            // valid; entries for replaced dirs are stale-but-harmless
+            // (anti-join can't match a file no longer scanned)
+            committed = tryCommit(Manifest(schema1, base.pcol,
+              kept :+ DirEntry(dir, owned), "merge",
+              base.cdfEnabled, chDir, statsCols = base.statsCols,
+              txns = base.txns, droppedCols = base.droppedCols,
+              fileStats = keptStats ++ fstats, constraints = base.constraints,
+              generated = base.generated, deleteVectors = base.deleteVectors,
+              bloomCols = base.bloomCols, colMap = base.colMap,
+              props = base.props), baseV + 1)
+            if (!committed) {
+              val vN = currentVersion
+              val mN = readManifest(vN)
+              if (!rebasable(mN))
+                throw new ConcurrentWriteException(
+                  s"merge computed against version $v0 of $root, but a " +
+                    s"concurrent writer committed conflicting changes by " +
+                    s"v$vN — recompute and retry")
+              base = mN
+              baseV = vN
+            }
+          }
           // Delta fires auto-compact after MERGE too: partition-scoped
           // merges accumulate one dir per run, the small-file shape the
           // property exists to bound (best-effort, post-commit)
@@ -2746,8 +2797,12 @@ final class LakeTable private (val spark: SparkSession, val root: String,
    *
    * Commits conditionally against the snapshot it read (lost race →
    * [[ConcurrentWriteException]], recompute and retry). Rewrite-class
-   * commit: the change feed does not span it, append-only streams refuse
-   * histories containing it (same contract as compact).
+   * commit, but ROWSET-PRESERVING: the change feed spans it (it emits no
+   * change rows — ChangeFeedSpec pins this), while append-only FILE streams
+   * still refuse histories containing it (rewritten files would replay as
+   * duplicates; same contract as compact). That makes auto-compact and
+   * `readStream` mutually exclusive on one table — see the
+   * [[LakeTable.AutoCompactProp]] note and the readStream error text.
    */
   def optimizeCompact(targetFileBytes: Long = 128L * 1024 * 1024): OptimizeStats =
     synchronized {
@@ -3079,7 +3134,12 @@ object LakeTable {
   val ChangeFeedProp = "enableChangeFeed"
   /** TBLPROPERTIES keys driving write-side AUTO COMPACT (Delta
    *  `delta.autoOptimize.autoCompact` role): switch, small-file count
-   *  threshold, and target packed-file size. */
+   *  threshold, and target packed-file size. MUTUALLY EXCLUSIVE with
+   *  file-glob `readStream` on the same table: auto-compact makes appends
+   *  commit optimize rewrites, which an append-only file stream refuses
+   *  (rewritten files would replay as duplicates) — its error names this
+   *  property when that's the cause. Stream a non-compacting bronze table
+   *  and OPTIMIZE downstream instead. */
   val AutoCompactProp = "autoCompact"
   val AutoCompactMinFilesProp = "autoCompact.minFiles"
   val AutoCompactTargetBytesProp = "autoCompact.targetFileBytes"

@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
 
 import graft.gold.{DimConfig, FactConfig, FactDim, GoldBuilder}
 import graft.lake.{LakeSql, LakeTable}
-import graft.pipeline.{Expectations, Pipeline}
+import graft.pipeline.{Expectations, Pipeline, PipelineSql}
 
 /**
  * The SURVEY.md §2 relational/medallion operator inventory, each re-expressed
@@ -1579,6 +1579,62 @@ object CoreQueries {
         WHERE (o_orderkey % 2 = 0 AND o_orderkey % 12 <> 0)
            OR (o_orderkey % 3 = 0 AND o_orderkey % 2 = 1)
         ORDER BY o_orderkey""")),
+
+    // S40: the ENTIRE pipeline declared in Lakeflow SQL — the public SQL
+    // surface of the API the reference drives through Python decorators:
+    // `CREATE OR REFRESH STREAMING TABLE` + `APPLY CHANGES INTO … APPLY AS
+    // DELETE WHEN … SEQUENCE BY … STORED AS SCD TYPE 1` for the silver CDC
+    // target, and `CREATE OR REFRESH MATERIALIZED VIEW … AS SELECT` for a
+    // gold aggregate over it (the MV refreshes AFTER the flow each run, so
+    // it always aggregates that run's post-merge silver). Two incremental
+    // batches; output joins every silver row to its gold per-type stats so
+    // the oracle checks both tables at full row grain. The oracle replays
+    // the equivalent one-pass build: latest event per key (same tiebreak),
+    // deletes drop the key, aggregates over the survivors.
+    Q("s40_pipeline_sql_cdc", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select("user_id", "ts", "event_type", "value")
+      val r = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val cut = new Timestamp(
+        (r.getTimestamp(0).getTime + r.getTimestamp(1).getTime) / 2)
+      val p = new Pipeline(s, tmp("graft_s40"))
+      var batch = ev.filter(col("ts") <= lit(cut))
+      p.view("updates")(batch)
+      PipelineSql(p, "CREATE OR REFRESH STREAMING TABLE silver")
+      PipelineSql(p, """APPLY CHANGES INTO silver FROM STREAM(updates)
+        KEYS (user_id)
+        APPLY AS DELETE WHEN event_type = 'error'
+        SEQUENCE BY ts
+        STORED AS SCD TYPE 1""")
+      PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW gold AS
+        SELECT event_type, COUNT(*) AS n_et,
+               MIN(value) AS min_value, MAX(value) AS max_value
+        FROM silver GROUP BY event_type""")
+      p.run()
+      batch = ev.filter(col("ts") > lit(cut))
+      p.run()
+      p.read("silver").join(p.read("gold"), Seq("event_type"), "left")
+        .select("user_id", "ts", "event_type", "value",
+          "n_et", "min_value", "max_value")
+        .orderBy("user_id")
+    },
+      Some("""WITH latest AS (
+          SELECT user_id, ts, event_type, value FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_type DESC NULLS LAST, value DESC NULLS LAST) = 1
+        ), silver AS (
+          SELECT * FROM latest WHERE NOT COALESCE(event_type = 'error', FALSE)
+        ), gold AS (
+          SELECT event_type, COUNT(*) AS n_et,
+                 MIN(value) AS min_value, MAX(value) AS max_value
+          FROM silver GROUP BY event_type
+        )
+        SELECT s.user_id, s.ts, s.event_type, s.value,
+               g.n_et, g.min_value, g.max_value
+        FROM silver s LEFT JOIN gold g ON s.event_type = g.event_type
+        ORDER BY s.user_id""")),
 
     // S13: SHALLOW CLONE — zero-copy table fork (hard-linked file
     // re-references, O(file count) metadata). The clone then diverges with

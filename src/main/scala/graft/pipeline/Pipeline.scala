@@ -36,7 +36,12 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
   private val views = mutable.LinkedHashMap[String, () => DataFrame]()
   private val tables = mutable.LinkedHashMap[String, LakeTable]()
   private val flows = mutable.ArrayBuffer[CdcFlow]()
+  private val mviews = mutable.LinkedHashMap[String, () => DataFrame]()
   private val gates = mutable.LinkedHashMap[String, Expectations.Gate]()
+
+  /** Whether `name` is a declared pipeline dataset (table, view, or MV). */
+  def contains(name: String): Boolean =
+    tables.contains(name) || views.contains(name)
 
   /** Register a named transformation (O3 `@dlt.view`). */
   def view(name: String)(fn: => DataFrame): this.type = {
@@ -60,6 +65,21 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
   def streamingTable(name: String): LakeTable = {
     val t = LakeTable(spark, s"$storageRoot/$name")
     tables(name) = t
+    t
+  }
+
+  /** Declare a MATERIALIZED VIEW (DLT's other table kind): a [[LakeTable]]
+   *  fully recomputed from its defining query on every [[run]] — DLT's
+   *  documented MV refresh semantic (full recompute unless the engine can
+   *  prove incremental maintenance; this engine always recomputes). MVs
+   *  materialize AFTER the CDC flows each run, so a gold MV over a silver
+   *  streaming table sees that run's merged state. Before the first run the
+   *  name resolves to the defining query itself. */
+  def materializedView(name: String)(fn: => DataFrame): LakeTable = {
+    val t = LakeTable(spark, s"$storageRoot/$name")
+    tables(name) = t
+    views(name) = () => fn
+    mviews(name) = () => fn
     t
   }
 
@@ -185,6 +205,15 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
               insertSet = Some(t.schema.fieldNames.toSeq.map(c => c -> s"s.$c").toMap))
         }
       }
+    }
+    // materialized views refresh AFTER the flows (a gold MV over a silver
+    // streaming table must see this run's merged state), in declaration
+    // order — full recompute, atomically swapped in via overwrite
+    mviews.foreach { case (name, fn) =>
+      val df = fn()
+      val t = tables(name)
+      if (!t.exists) t.create(df.schema)
+      t.overwrite(df)
     }
     gates.values.filter(_.policy == Expectations.Fail).foreach(_.assertClean())
   }

@@ -104,6 +104,62 @@ class CrossProcessSpec extends SparkSpec {
     assert(h.map(_._1) == (0L to h.map(_._1).max), h.toString)
   }
 
+  test("partition-DISJOINT merges racing from a second JVM all commit " +
+      "without a single ConcurrentWriteException; same-partition merges " +
+      "still conflict") {
+    val dir = tmpDir("xproc_pmerge")
+    val root = s"$dir/t"
+    val n = 4
+    val t = LakeTable(spark, root)
+    val schema = Seq(("", "", 0)).toDF("k", "pt", "seq").schema
+    t.create(schema, partitionBy = Some("pt"))
+    // seed BOTH partitions sequentially so neither racer hits the
+    // empty-table bootstrap path
+    t.merge(Seq(("ext", "ext", 0)).toDF("k", "pt", "seq"), Seq("k"))
+    t.merge(Seq(("local", "local", 0)).toDF("k", "pt", "seq"), Seq("k"))
+    val log = new java.io.File(s"$dir/ext.log")
+    val proc = spawn("pmerge", root, "ext", n, log)
+    // local merges touch ONLY the 'local' partition: a lost CAS against the
+    // child's 'ext'-partition commits must REBASE (re-point the written
+    // dir), never throw — zero exceptions is the proof of no-recompute
+    (1 to n).foreach { seq =>
+      t.merge(Seq(("local", "local", seq)).toDF("k", "pt", "seq"), Seq("k"))
+    }
+    finishOk(proc, log, s"EXT_DONE pmerged=$n conflicts=0")
+    val rows = t.read.orderBy("k").as[(String, String, Int)].collect().toSeq
+    assert(rows == Seq(("ext", "ext", n), ("local", "local", n)), rows.toString)
+    // every version slot is exactly one commit; no writer stomped another
+    val h = t.history
+    assert(h.map(_._1) == (0L to h.map(_._1).max), h.toString)
+    assert(h.count(_._2 == "merge") == 2 * n + 2, h.toString)
+    // SAME-partition rivals stay safe: rebase refuses (ownership of the
+    // touched partition changed), the loser recomputes under retry, and no
+    // update is lost — two instances hammer one partition's two keys
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val futures = Seq("A", "B").map { key =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          val w = LakeTable(spark, root)
+          (1 to 3).foreach { seq =>
+            var done = false
+            while (!done) {
+              try {
+                w.merge(Seq((key, "shared", seq)).toDF("k", "pt", "seq"), Seq("k"))
+                done = true
+              } catch { case _: ConcurrentWriteException => () } // recompute
+            }
+          }
+        }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(180, TimeUnit.SECONDS))
+    futures.foreach(_.get())
+    val shared = t.read.filter(col("pt") === "shared")
+      .orderBy("k").as[(String, String, Int)].collect().toSeq
+    assert(shared == Seq(("A", "shared", 3), ("B", "shared", 3)), shared.toString)
+  }
+
   test("property commits racing from a second JVM all land; none clobbered") {
     val dir = tmpDir("xproc_props")
     val root = s"$dir/t"

@@ -46,6 +46,21 @@ object ExternalLakeWriter {
           }
         }
         println(s"EXT_DONE merged=$n conflicts=$conflicts")
+      case "pmerge" =>
+        // n merges confined to THIS writer's partition (pt = id): with
+        // partition-disjoint rebase, racing writers on different partitions
+        // must all land WITHOUT ever surfacing ConcurrentWriteException
+        var conflicts = 0
+        (1 to n).foreach { seq =>
+          var done = false
+          while (!done) {
+            try {
+              t.merge(Seq((id, id, seq)).toDF("k", "pt", "seq"), Seq("k"))
+              done = true
+            } catch { case _: ConcurrentWriteException => conflicts += 1 }
+          }
+        }
+        println(s"EXT_DONE pmerged=$n conflicts=$conflicts")
       case "props" =>
         // n property commits under this writer's namespace (the metadata
         // CAS path — commitWithRetry re-derives from the latest snapshot)

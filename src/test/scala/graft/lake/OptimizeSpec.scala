@@ -175,4 +175,20 @@ class OptimizeSpec extends SparkSpec {
     assert(files == 6, "disabled: small files accumulate again")
     assert(t.read.count() == 9)
   }
+
+  test("autoCompact and readStream are mutually exclusive: the stream's " +
+      "refusal names the property as the cause") {
+    val t = LakeTable(spark, s"${tmpDir("opt_auto_stream")}/t")
+      .create(Seq((1L, "a")).toDF("k", "v").schema)
+    t.setTableProperties(Map(
+      LakeTable.AutoCompactProp -> "true",
+      LakeTable.AutoCompactMinFilesProp -> "4"))
+    // the user only ever APPENDS — yet the property makes the 4th append
+    // commit an optimize rewrite, permanently breaking the file stream
+    (1 to 4).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1)))
+    assert(t.history.map(_._2).contains("optimize"))
+    val e = intercept[IllegalArgumentException](t.readStream)
+    assert(e.getMessage.contains(LakeTable.AutoCompactProp), e.getMessage)
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+  }
 }

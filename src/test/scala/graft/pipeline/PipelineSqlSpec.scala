@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PipelineSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("SQL-declared SCD1 CDC flow: APPLY CHANGES with deletes and except " +
+      "columns behaves like the programmatic autoCdcFlow") {
+    val p = new Pipeline(spark, tmpDir("plsql_scd1"))
+    var batch = Seq(
+      (1L, "a", "U", ts("2024-01-01 00:00:00")),
+      (2L, "b", "U", ts("2024-01-01 00:00:00"))).toDF("k", "v", "op", "seq")
+    p.view("src")(batch)
+    PipelineSql(p, "CREATE OR REFRESH STREAMING TABLE silver")
+    PipelineSql(p, """APPLY CHANGES INTO silver FROM STREAM(src)
+      KEYS (k)
+      APPLY AS DELETE WHEN op = 'D'
+      SEQUENCE BY seq
+      COLUMNS * EXCEPT (op)
+      STORED AS SCD TYPE 1""")
+    p.run()
+    assert(p.read("silver").columns.toSeq == Seq("k", "v", "seq"))
+    assert(p.read("silver").count() == 2)
+    batch = Seq(
+      (1L, "x", "D", ts("2024-02-01 00:00:00")),
+      (2L, "b2", "U", ts("2024-02-01 00:00:00")),
+      (3L, "c", "U", ts("2024-02-01 00:00:00"))).toDF("k", "v", "op", "seq")
+    p.run()
+    assert(p.read("silver").orderBy("k").as[(Long, String, Timestamp)].collect().toSeq ==
+      Seq((2L, "b2", ts("2024-02-01 00:00:00")),
+        (3L, "c", ts("2024-02-01 00:00:00"))))
+  }
+
+  test("AUTO CDC INTO synonym with SCD TYPE 2 and TRACK HISTORY ON * EXCEPT") {
+    val p = new Pipeline(spark, tmpDir("plsql_scd2"))
+    var batch = Seq(
+      (1L, "x", 1.0, ts("2024-01-01 00:00:00"))).toDF("k", "et", "v", "seq")
+    p.view("src")(batch)
+    PipelineSql(p, "CREATE OR REFRESH STREAMING TABLE hist;")
+    PipelineSql(p, """AUTO CDC INTO hist FROM src
+      KEYS (k)
+      SEQUENCE BY seq
+      STORED AS SCD TYPE 2
+      TRACK HISTORY ON * EXCEPT (v)""")
+    p.run()
+    // untracked churn updates in place; tracked change opens a version
+    batch = Seq((1L, "x", 2.0, ts("2024-02-01 00:00:00"))).toDF("k", "et", "v", "seq")
+    p.run()
+    batch = Seq((1L, "y", 3.0, ts("2024-03-01 00:00:00"))).toDF("k", "et", "v", "seq")
+    p.run()
+    val got = p.read("hist")
+      .select(col("k"), col("et"), col("v"), col("__START_AT").cast("string"),
+        col("__END_AT").cast("string"))
+      .orderBy("__START_AT")
+      .as[(Long, String, Double, String, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "x", 2.0, "2024-01-01 00:00:00", "2024-03-01 00:00:00"),
+      (1L, "y", 3.0, "2024-03-01 00:00:00", null)))
+  }
+
+  test("materialized view recomputes over the flow's post-merge state each run") {
+    val p = new Pipeline(spark, tmpDir("plsql_mv"))
+    var batch = Seq(
+      (1L, "a", 10.0, ts("2024-01-01 00:00:00")),
+      (2L, "a", 20.0, ts("2024-01-01 00:00:00")),
+      (3L, "b", 5.0, ts("2024-01-01 00:00:00"))).toDF("k", "grp", "v", "seq")
+    p.view("src")(batch)
+    PipelineSql(p, "CREATE OR REFRESH STREAMING TABLE silver")
+    PipelineSql(p, "APPLY CHANGES INTO silver FROM STREAM(src) KEYS (k) SEQUENCE BY seq")
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW agg AS
+      SELECT grp, COUNT(*) AS n, MAX(v) AS max_v FROM silver GROUP BY grp""")
+    p.run()
+    def agg = p.read("agg").orderBy("grp")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(agg == Seq(("a", 2L, 20.0), ("b", 1L, 5.0)))
+    // the MV sees the SAME run's merge: k=2 moves groups, k=4 inserts
+    batch = Seq(
+      (2L, "b", 30.0, ts("2024-02-01 00:00:00")),
+      (4L, "b", 1.0, ts("2024-02-01 00:00:00"))).toDF("k", "grp", "v", "seq")
+    p.run()
+    assert(agg == Seq(("a", 1L, 10.0), ("b", 3L, 30.0)))
+  }
+
+  test("STREAMING TABLE AS SELECT materializes its defining query per run " +
+      "(snapshot refresh) and composes with STREAM() references") {
+    val p = new Pipeline(spark, tmpDir("plsql_stas"))
+    var n = 2
+    p.view("src")(spark.range(n).toDF("id"))
+    PipelineSql(p,
+      "CREATE OR REFRESH STREAMING TABLE doubled AS SELECT id * 2 AS d FROM STREAM(src)")
+    p.run()
+    assert(p.read("doubled").as[Long].collect().sorted.toSeq == Seq(0L, 2L))
+    n = 3
+    p.run()
+    assert(p.read("doubled").as[Long].collect().sorted.toSeq == Seq(0L, 2L, 4L))
+  }
+
+  test("unsupported statements fail loudly") {
+    val p = new Pipeline(spark, tmpDir("plsql_bad"))
+    val e = intercept[IllegalArgumentException] {
+      PipelineSql(p, "DROP TABLE whatever")
+    }
+    assert(e.getMessage.contains("PipelineSql supports"))
+  }
+}
