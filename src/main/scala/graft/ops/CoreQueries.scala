@@ -1636,6 +1636,70 @@ object CoreQueries {
         FROM silver s LEFT JOIN gold g ON s.event_type = g.event_type
         ORDER BY s.user_id""")),
 
+    // S41: SQL pipeline with DLT's expectation block and IGNORE NULL
+    // UPDATES. The CDC batch is gated by `CONSTRAINT … EXPECT … ON
+    // VIOLATION DROP ROW` before dedup+merge, and NULL source columns in
+    // updates keep the target's prior values (partial-row CDC) while
+    // inserts land as-is. NULLs are synthesized deterministically
+    // (event_id % 7 / % 11) since the driver data is null-free. Two
+    // batches split at the mid-range ts — the ignore-null result DEPENDS
+    // on the batch boundary (in-batch intermediates are discarded by the
+    // latest-per-key dedup; only the batch-latest coalesces against the
+    // target), so the oracle computes the SAME millisecond cut
+    // (epoch_ms ≡ Timestamp.getTime) and replays per-batch latests joined
+    // with per-column COALESCE.
+    Q("s41_pipeline_sql_expect", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("ts"),
+          when(col("event_id") % 11 === 0, lit(null).cast("string"))
+            .otherwise(col("event_type")).as("event_type"),
+          when(col("event_id") % 7 === 0, lit(null).cast("double"))
+            .otherwise(col("value")).as("value"))
+      val r = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val cut = new Timestamp(
+        (r.getTimestamp(0).getTime + r.getTimestamp(1).getTime) / 2)
+      val p = new Pipeline(s, tmp("graft_s41"))
+      var batch = ev.filter(col("ts") <= lit(cut))
+      p.view("updates")(batch)
+      PipelineSql(p, """CREATE OR REFRESH STREAMING TABLE silver (
+          CONSTRAINT user_cohort EXPECT (user_id % 10 != 3) ON VIOLATION DROP ROW
+        )""")
+      PipelineSql(p, """APPLY CHANGES INTO silver FROM STREAM(updates)
+        KEYS (user_id) IGNORE NULL UPDATES SEQUENCE BY ts""")
+      p.run()
+      batch = ev.filter(col("ts") > lit(cut))
+      p.run()
+      p.read("silver").orderBy("user_id")
+    },
+      Some("""WITH gated AS (
+          SELECT user_id, ts,
+            CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_type END AS event_type,
+            CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND COALESCE(user_id % 10 != 3, FALSE)
+        ), cut AS (
+          SELECT (epoch_ms(MIN(ts)) + epoch_ms(MAX(ts))) // 2 AS ms FROM (
+            SELECT ts FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+        ), b1 AS (
+          SELECT user_id, ts, event_type, value FROM gated
+          WHERE ts <= make_timestamp((SELECT ms FROM cut) * 1000)
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_type DESC NULLS LAST, value DESC NULLS LAST) = 1
+        ), b2 AS (
+          SELECT user_id, ts, event_type, value FROM gated
+          WHERE ts > make_timestamp((SELECT ms FROM cut) * 1000)
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_type DESC NULLS LAST, value DESC NULLS LAST) = 1
+        )
+        SELECT COALESCE(b2.user_id, b1.user_id) AS user_id,
+               COALESCE(b2.ts, b1.ts) AS ts,
+               COALESCE(b2.event_type, b1.event_type) AS event_type,
+               COALESCE(b2.value, b1.value) AS value
+        FROM b1 FULL OUTER JOIN b2 ON b1.user_id = b2.user_id
+        ORDER BY user_id""")),
+
     // S13: SHALLOW CLONE — zero-copy table fork (hard-linked file
     // re-references, O(file count) metadata). The clone then diverges with
     // its own append while the SOURCE is overwritten and vacuumed down to

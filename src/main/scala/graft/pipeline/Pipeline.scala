@@ -38,6 +38,8 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
   private val flows = mutable.ArrayBuffer[CdcFlow]()
   private val mviews = mutable.LinkedHashMap[String, () => DataFrame]()
   private val gates = mutable.LinkedHashMap[String, Expectations.Gate]()
+  private val tableGates =
+    mutable.LinkedHashMap[String, Seq[(Expectations.Policy, Map[String, String])]]()
 
   /** Whether `name` is a declared pipeline dataset (table, view, or MV). */
   def contains(name: String): Boolean =
@@ -94,9 +96,14 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       applyAsDeletes: Option[String] = None,
       exceptColumns: Seq[String] = Nil,
       trackHistoryColumns: Seq[String] = Nil,
-      trackHistoryExceptColumns: Seq[String] = Nil): this.type = {
+      trackHistoryExceptColumns: Seq[String] = Nil,
+      ignoreNullUpdates: Boolean = false): this.type = {
     require(scdType == 1 || scdType == 2, s"stored_as_scd_type must be 1 or 2, got $scdType")
     require(tables.contains(target), s"declare streamingTable($target) first")
+    // DLT's `ignore_null_updates`: a NULL source column in an UPDATE keeps
+    // the target's existing value (partial-row CDC feeds) — SCD1 here
+    require(!ignoreNullUpdates || scdType == 1,
+      "ignore_null_updates is supported for SCD type 1 flows")
     // DLT's `apply_as_deletes` (rows matching the predicate REMOVE their
     // key — SCD1 — or close the open history row — SCD2),
     // `except_column_list` (op/sequence metadata excluded from the target),
@@ -108,9 +115,37 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     require((trackHistoryColumns.isEmpty && trackHistoryExceptColumns.isEmpty) ||
       scdType == 2, "track-history column scoping applies to SCD type 2 flows only")
     flows += CdcFlow(target, source, keys, sequenceBy, tiebreak, scdType,
-      applyAsDeletes, exceptColumns, trackHistoryColumns, trackHistoryExceptColumns)
+      applyAsDeletes, exceptColumns, trackHistoryColumns,
+      trackHistoryExceptColumns, ignoreNullUpdates)
     this
   }
+
+  /** Attach an expectation group to a DECLARED dataset (the SQL
+   *  `CONSTRAINT name EXPECT (cond) [ON VIOLATION …]` surface, and DLT's
+   *  `@dlt.expect_*` on tables): a CDC target gates its incoming batch
+   *  before dedup+merge; an AS-SELECT / materialized-view dataset gates
+   *  its defining query before materialization. Groups accumulate (one per
+   *  policy is the usual shape); rows failing a Drop group never land,
+   *  Warn groups only count, Fail groups abort the run after the fact.
+   *  Violation metrics are readable after `run()` via [[lastGate]] (keyed
+   *  `name` for the first group, `name#<i>` beyond). */
+  def expectations(dataset: String, rules: Map[String, String],
+      policy: Expectations.Policy = Expectations.Drop): this.type = {
+    require(rules.nonEmpty, "expectations need at least one rule")
+    tableGates(dataset) = tableGates.getOrElse(dataset, Nil) :+ (policy -> rules)
+    this
+  }
+
+  /** Run `df` through `dataset`'s attached expectation groups (if any),
+   *  registering each gate for post-run metrics/Fail enforcement. */
+  private def gate(dataset: String, df: DataFrame): DataFrame =
+    tableGates.get(dataset).fold(df) { groups =>
+      groups.zipWithIndex.foldLeft(df) { case (d, ((policy, rules), i)) =>
+        val g = Expectations(d, rules, policy)
+        gates(if (i == 0) dataset else s"$dataset#$i") = g
+        g.df
+      }
+    }
 
   /** Resolve a node: materialized table if declared, else view thunk (S5). */
   def read(name: String): DataFrame =
@@ -140,7 +175,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
   def run(): Unit = {
     val gb = GoldBuilder(spark)
     orderedFlows.foreach { f =>
-      val batch = views.getOrElse(f.source, () => read(f.source))()
+      val batch = gate(f.target, views.getOrElse(f.source, () => read(f.source))())
       val tiebreak =
         if (f.tiebreak.nonEmpty) f.tiebreak
         else batch.columns.toSeq.filterNot(c => f.keys.contains(c) || c == f.sequenceBy)
@@ -178,9 +213,20 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         val latest = gb.latestPerKey(batch, f.keys, f.sequenceBy, tiebreak)
         val kept = latest.drop(f.exceptColumns: _*)
         if (!t.exists) t.create(kept.schema)
+        // DLT's ignore_null_updates: matched rows take each source column
+        // only when non-NULL (partial-row CDC feeds); the sequence column
+        // always advances, inserts land the row as-is (DLT's rule)
+        def updSet: Map[String, String] = t.schema.fieldNames.toSeq
+          .filterNot(f.keys.contains).map(c =>
+            c -> (if (c == f.sequenceBy || !f.ignoreNullUpdates) s"s.$c"
+              else s"coalesce(s.$c, t.$c)")).toMap
         f.applyAsDeletes match {
-          case None =>
+          case None if !f.ignoreNullUpdates =>
             t.merge(kept, f.keys, Some(s"s.${f.sequenceBy} >= t.${f.sequenceBy}"))
+          case None =>
+            t.merge(kept, f.keys,
+              matchedGuard = Some(s"s.${f.sequenceBy} >= t.${f.sequenceBy}"),
+              matchedSet = Some(updSet))
           case Some(delPred) =>
             // CDC apply with deletes (the s39 statement, programmatic):
             // the op-coded batch keeps its metadata columns on the SOURCE
@@ -195,11 +241,9 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
             val flagged = latest.withColumn(delFlag,
               coalesce(expr(delPred).cast("boolean"), lit(false)))
             val seqGuard = s"s.${f.sequenceBy} >= t.${f.sequenceBy}"
-            val assignAll = t.schema.fieldNames.toSeq
-              .filterNot(f.keys.contains).map(c => c -> s"s.$c").toMap
             t.merge(flagged, f.keys,
               matchedGuard = Some(seqGuard),
-              matchedSet = Some(assignAll),
+              matchedSet = Some(updSet),
               matchedDeleteWhen = Some(s"(s.$delFlag) AND ($seqGuard)"),
               insertGuard = Some(s"NOT s.$delFlag"),
               insertSet = Some(t.schema.fieldNames.toSeq.map(c => c -> s"s.$c").toMap))
@@ -210,7 +254,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     // streaming table must see this run's merged state), in declaration
     // order — full recompute, atomically swapped in via overwrite
     mviews.foreach { case (name, fn) =>
-      val df = fn()
+      val df = gate(name, fn())
       val t = tables(name)
       if (!t.exists) t.create(df.schema)
       t.overwrite(df)
@@ -353,5 +397,6 @@ object Pipeline {
       applyAsDeletes: Option[String] = None,
       exceptColumns: Seq[String] = Nil,
       trackHistoryColumns: Seq[String] = Nil,
-      trackHistoryExceptColumns: Seq[String] = Nil)
+      trackHistoryExceptColumns: Seq[String] = Nil,
+      ignoreNullUpdates: Boolean = false)
 }

@@ -20,11 +20,16 @@ import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
  *    yields the same rows — the incremental append path is the checkpointed
  *    [[Pipeline.runCdcFlowStreaming]]/[[Pipeline.runJoinFlowStreaming]]).
  *  - `APPLY CHANGES INTO t FROM [STREAM(]src[)] KEYS (k, …)
- *     [APPLY AS DELETE WHEN cond] SEQUENCE BY seq
+ *     [IGNORE NULL UPDATES] [APPLY AS DELETE WHEN cond] SEQUENCE BY seq
  *     [COLUMNS * EXCEPT (c, …)] [STORED AS SCD TYPE 1|2]
  *     [TRACK HISTORY ON (c, …) | TRACK HISTORY ON * EXCEPT (c, …)]`
  *    — the SQL form of `create_auto_cdc_flow`; `AUTO CDC INTO` (the renamed
  *    current syntax) is accepted as a synonym.
+ *  - Either CREATE form takes DLT's expectation block before AS:
+ *    `( CONSTRAINT n EXPECT (cond) [ON VIOLATION DROP ROW | FAIL UPDATE],
+ *    … )` — no ON VIOLATION = warn (metrics only), DROP ROW filters, FAIL
+ *    UPDATE aborts the run after the fact. On a CDC target the gates apply
+ *    to the incoming batch; on AS-SELECT/MV datasets to the defining query.
  *
  * Statements only DECLARE graph nodes (DLT semantics — nothing executes
  * until [[Pipeline.run]]). Defining queries may reference any declared
@@ -36,16 +41,17 @@ import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
  */
 object PipelineSql {
 
-  private val CreateStAs =
-    """(?is)\s*CREATE\s+OR\s+REFRESH\s+STREAMING\s+TABLE\s+([A-Za-z_]\w*)\s+AS\s+(.+?);?\s*""".r
-  private val CreateSt =
-    """(?is)\s*CREATE\s+OR\s+REFRESH\s+STREAMING\s+TABLE\s+([A-Za-z_]\w*)\s*;?\s*""".r
-  private val CreateMv =
-    """(?is)\s*CREATE\s+OR\s+REFRESH\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)\s+AS\s+(.+?);?\s*""".r
+  private val CreateHead =
+    """(?is)\s*CREATE\s+OR\s+REFRESH\s+(STREAMING\s+TABLE|MATERIALIZED\s+VIEW)\s+([A-Za-z_]\w*)\s*(.*?)\s*;?\s*""".r
+  private val ConstraintHead =
+    """(?is)\s*CONSTRAINT\s+([A-Za-z_]\w*)\s+EXPECT\s*(.*)""".r
+  private val OnViolation =
+    """(?is)\s*(?:ON\s+VIOLATION\s+(DROP\s+ROW|FAIL\s+UPDATE))?\s*""".r
   private val ApplyChanges =
     ("""(?is)\s*(?:APPLY\s+CHANGES|AUTO\s+CDC)\s+INTO\s+([A-Za-z_]\w*)""" +
       """\s+FROM\s+(?:STREAM\s*\(\s*([A-Za-z_]\w*)\s*\)|([A-Za-z_]\w*))""" +
       """\s+KEYS\s*\(([^)]*)\)""" +
+      """(\s+IGNORE\s+NULL\s+UPDATES)?""" +
       """(?:\s+APPLY\s+AS\s+DELETE\s+WHEN\s+(.+?))?""" +
       """\s+SEQUENCE\s+BY\s+([A-Za-z_]\w*)""" +
       """(?:\s+COLUMNS\s+\*\s+EXCEPT\s*\(([^)]*)\))?""" +
@@ -56,17 +62,43 @@ object PipelineSql {
   /** Execute one pipeline DDL statement against `p` (declaration only —
    *  run the graph with `p.run()`). */
   def apply(p: Pipeline, sqlText: String): Unit = sqlText match {
-    case CreateStAs(name, select) =>
-      p.materializedView(name)(evalSelect(p, select))
+    case CreateHead(kind, name, rest) =>
+      // optional expectations block first: ( CONSTRAINT n EXPECT (cond)
+      // [ON VIOLATION DROP ROW | FAIL UPDATE], ... ) — balanced-paren
+      // scanned, since conditions nest parentheses freely
+      val (constraints, afterBlock) = takeParenBlock(rest) match {
+        case Some((block, tail)) => (parseConstraints(block), tail)
+        case None => (Nil, rest)
+      }
+      val asSelect = """(?is)\s*AS\s+(.+)""".r
+      val select = afterBlock match {
+        case asSelect(sel) => Some(sel)
+        case s if s.trim.isEmpty => None
+        case s => throw new IllegalArgumentException(
+          s"unparseable CREATE tail: ${s.trim.linesIterator.next()}")
+      }
+      val isMv = kind.toUpperCase(java.util.Locale.ROOT).startsWith("MATERIALIZED")
+      require(select.nonEmpty || !isMv, "MATERIALIZED VIEW needs AS SELECT")
+      select match {
+        case Some(sel) => p.materializedView(name)(evalSelect(p, sel))
+        case None => p.streamingTable(name)
+      }
+      // DLT policy per constraint, grouped; observe-only groups (Warn,
+      // Fail) attach BEFORE Drop so their violation counts reflect the
+      // full input, not the post-drop survivors (DLT computes all
+      // expectation metrics on the incoming rows)
+      val order: Expectations.Policy => Int = {
+        case Expectations.Warn => 0
+        case Expectations.Fail => 1
+        case Expectations.Drop => 2
+      }
+      constraints.groupBy(_._3).toSeq.sortBy(g => order(g._1)).foreach {
+        case (policy, cs) =>
+          p.expectations(name, cs.map(c => c._1 -> c._2).toMap, policy)
+      }
       ()
-    case CreateSt(name) =>
-      p.streamingTable(name)
-      ()
-    case CreateMv(name, select) =>
-      p.materializedView(name)(evalSelect(p, select))
-      ()
-    case ApplyChanges(target, streamSrc, plainSrc, keys, delWhen, seqBy,
-        except, scdType, trackExcept, trackOn) =>
+    case ApplyChanges(target, streamSrc, plainSrc, keys, ignoreNulls, delWhen,
+        seqBy, except, scdType, trackExcept, trackOn) =>
       val source = Option(streamSrc).getOrElse(plainSrc)
       def cols(s: String): Seq[String] =
         Option(s).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
@@ -77,13 +109,76 @@ object PipelineSql {
         applyAsDeletes = Option(delWhen).map(_.trim),
         exceptColumns = cols(except),
         trackHistoryColumns = cols(trackOn),
-        trackHistoryExceptColumns = cols(trackExcept))
+        trackHistoryExceptColumns = cols(trackExcept),
+        ignoreNullUpdates = ignoreNulls != null)
       ()
     case other => throw new IllegalArgumentException(
       "PipelineSql supports CREATE OR REFRESH STREAMING TABLE [AS SELECT] / " +
         "CREATE OR REFRESH MATERIALIZED VIEW AS SELECT / " +
         s"APPLY CHANGES (AUTO CDC) INTO, got: ${other.linesIterator.next()}")
   }
+
+  /** `( … )` with balanced nesting at the head of `s` → (inside, tail). */
+  private def takeParenBlock(s: String): Option[(String, String)] = {
+    val t = s.trim
+    if (!t.startsWith("(")) None
+    else {
+      var depth = 0
+      var i = 0
+      while (i < t.length) {
+        t.charAt(i) match {
+          case '(' => depth += 1
+          case ')' =>
+            depth -= 1
+            if (depth == 0) return Some((t.substring(1, i), t.substring(i + 1)))
+          case _ =>
+        }
+        i += 1
+      }
+      throw new IllegalArgumentException(s"unbalanced parentheses in: $t")
+    }
+  }
+
+  /** Split on `sep` at parenthesis depth 0. */
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var start = 0
+    s.zipWithIndex.foreach { case (c, i) =>
+      c match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case `sep` if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+    }
+    out += s.substring(start)
+    out.result()
+  }
+
+  /** `(name, condition, policy)` triples out of a constraint block. DLT's
+   *  policy mapping: no ON VIOLATION → Warn (expect), DROP ROW → Drop,
+   *  FAIL UPDATE → Fail. */
+  private def parseConstraints(
+      block: String): Seq[(String, String, Expectations.Policy)] =
+    splitTopLevel(block, ',').map(_.trim).filter(_.nonEmpty).map {
+      case ConstraintHead(name, rest) =>
+        val (cond, tail) = takeParenBlock(rest).getOrElse(
+          throw new IllegalArgumentException(
+            s"CONSTRAINT $name EXPECT needs a parenthesized condition"))
+        val policy = tail match {
+          case OnViolation(null) => Expectations.Warn
+          case OnViolation(v) =>
+            if (v.toUpperCase(java.util.Locale.ROOT).startsWith("DROP"))
+              Expectations.Drop
+            else Expectations.Fail
+          case other => throw new IllegalArgumentException(
+            s"unparseable constraint tail for $name: $other")
+        }
+        (name, cond.trim, policy)
+      case other => throw new IllegalArgumentException(
+        s"unparseable constraint: $other")
+    }
 
   /** Evaluate a defining SELECT with pipeline-dataset resolution: declared
    *  names (and `STREAM(name)` wrappers) are spliced in as the dataset's

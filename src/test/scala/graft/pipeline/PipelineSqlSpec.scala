@@ -102,6 +102,59 @@ class PipelineSqlSpec extends SparkSpec {
     assert(p.read("doubled").as[Long].collect().sorted.toSeq == Seq(0L, 2L, 4L))
   }
 
+  test("IGNORE NULL UPDATES: NULL source columns keep the target's values; " +
+      "inserts land the row as-is") {
+    val p = new Pipeline(spark, tmpDir("plsql_inu"))
+    var batch = Seq[(Long, Option[String], Option[Double], Timestamp)](
+      (1L, Some("a"), Some(10.0), ts("2024-01-01 00:00:00")))
+      .toDF("k", "v", "x", "seq")
+    p.view("src")(batch)
+    PipelineSql(p, "CREATE OR REFRESH STREAMING TABLE silver")
+    PipelineSql(p, """APPLY CHANGES INTO silver FROM STREAM(src)
+      KEYS (k) IGNORE NULL UPDATES SEQUENCE BY seq""")
+    p.run()
+    // partial update: v arrives NULL → keeps 'a'; x updates; new key k=2
+    // inserts its NULL as-is (DLT's rule: ignore-null applies to UPDATES)
+    batch = Seq[(Long, Option[String], Option[Double], Timestamp)](
+      (1L, None, Some(20.0), ts("2024-02-01 00:00:00")),
+      (2L, None, Some(5.0), ts("2024-02-01 00:00:00")))
+      .toDF("k", "v", "x", "seq")
+    p.run()
+    val got = p.read("silver").orderBy("k")
+      .as[(Long, Option[String], Option[Double], Timestamp)].collect().toSeq
+    assert(got == Seq(
+      (1L, Some("a"), Some(20.0), ts("2024-02-01 00:00:00")),
+      (2L, None, Some(5.0), ts("2024-02-01 00:00:00"))))
+  }
+
+  test("CONSTRAINT ... EXPECT blocks: DROP ROW filters the CDC batch, warn " +
+      "counts on the full input, FAIL UPDATE aborts the run") {
+    val p = new Pipeline(spark, tmpDir("plsql_expect"))
+    p.view("src")(Seq(
+      (1L, 10.0, ts("2024-01-01 00:00:00")),
+      (2L, -5.0, ts("2024-01-01 00:00:00")),
+      (3L, 99.0, ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq"))
+    PipelineSql(p, """CREATE OR REFRESH STREAMING TABLE silver (
+        CONSTRAINT v_positive EXPECT (v > 0) ON VIOLATION DROP ROW,
+        CONSTRAINT v_small EXPECT (v < 50)
+      )""")
+    PipelineSql(p, "APPLY CHANGES INTO silver FROM STREAM(src) KEYS (k) SEQUENCE BY seq")
+    p.run()
+    // drop removed k=2; the WARN rule counted k=3 on the FULL input
+    assert(p.read("silver").select("k").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(p.lastGate("silver").exists(_.violations == Map("v_small" -> 1L)))
+    assert(p.lastGate("silver#1").exists(_.violations == Map("v_positive" -> 1L)))
+
+    // FAIL UPDATE on a materialized view aborts the run after the fact
+    val p2 = new Pipeline(spark, tmpDir("plsql_expect_fail"))
+    p2.view("src")(Seq((1L, -1.0)).toDF("k", "v"))
+    PipelineSql(p2, """CREATE OR REFRESH MATERIALIZED VIEW mv (
+        CONSTRAINT v_positive EXPECT (v > 0) ON VIOLATION FAIL UPDATE
+      ) AS SELECT k, v FROM src""")
+    val e = intercept[IllegalStateException](p2.run())
+    assert(e.getMessage.contains("v_positive"))
+  }
+
   test("unsupported statements fail loudly") {
     val p = new Pipeline(spark, tmpDir("plsql_bad"))
     val e = intercept[IllegalArgumentException] {
