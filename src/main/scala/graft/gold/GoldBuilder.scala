@@ -223,6 +223,10 @@ final class GoldBuilder(spark: SparkSession, clock: () => Timestamp) {
    * changes open a version; untracked-only changes rewrite the current
    * row's untracked columns IN PLACE (no new history row) — within a batch,
    * each version carries the last untracked values of its interval.
+   * `ignoreNulls` (DLT's `ignore_null_updates`): a NULL attribute in an
+   * upsert means "no change" — run-length comparison and stored versions
+   * both use per-column EFFECTIVE values (last non-null, seeded by the
+   * open row, reset by deletes).
    *
    * Semantics (all non-key columns tracked — DLT's default):
    *  - one event per (keys, sequenceBy), deterministic tiebreak;
@@ -249,7 +253,8 @@ final class GoldBuilder(spark: SparkSession, clock: () => Timestamp) {
   def scd2Apply(batch: DataFrame, target: Option[DataFrame], keys: Seq[String],
       seqCol: String, tiebreak: Seq[String],
       deleteCol: Option[String] = None,
-      trackCols: Option[Seq[String]] = None): DataFrame = {
+      trackCols: Option[Seq[String]] = None,
+      ignoreNulls: Boolean = false): DataFrame = {
     import GoldBuilder.{Scd2End, Scd2Start}
     val attrs = batch.columns.toSeq.filterNot(c =>
       keys.contains(c) || c == seqCol || deleteCol.contains(c))
@@ -273,15 +278,18 @@ final class GoldBuilder(spark: SparkSession, clock: () => Timestamp) {
     val open = target.map(_.filter(col(Scd2End).isNull))
     val untrackSel =
       if (untrack.isEmpty) struct(lit(0).as("__z")) else struct(untrack.map(col): _*)
+    val attrsS = struct(attrs.map(col): _*)
     val withOpen = open match {
       case Some(o) =>
         val sel = o.select((keys.map(col) :+ col(Scd2Start).as("__open_start") :+
-          struct(track.map(col): _*).as("__open_track")): _*)
+          struct(track.map(col): _*).as("__open_track") :+
+          struct(attrs.map(col): _*).as("__open_attrs")): _*)
         events.join(sel, keys, "left")
       case None =>
         events
           .withColumn("__open_start", lit(null).cast(batch.schema(seqCol).dataType))
           .withColumn("__open_track", when(lit(false), trackS)) // typed null struct
+          .withColumn("__open_attrs", when(lit(false), attrsS))
     }
     // the state PRECEDING the batch: the open row's tracked attributes, or
     // "absent" (same canonical value a delete produces) when no row is open
@@ -295,8 +303,32 @@ final class GoldBuilder(spark: SparkSession, clock: () => Timestamp) {
     // EVERY event with the version interval it falls in — NULL means the
     // event lands inside the target's still-open interval (an
     // untracked-column-only change: update-in-place, no new history row)
-    val st = withOpen
+    val filtered = withOpen
       .filter(col("__open_start").isNull || col(seqCol) > col("__open_start"))
+    // `ignore_null_updates` for SCD2: a NULL attribute in an upsert means
+    // "no change" — each event's EFFECTIVE attributes chain the last
+    // non-null value per column (run-length compare and stored versions
+    // both use effective values), seeded by the open row's attributes; a
+    // DELETE resets the chain (existence ended — a post-delete upsert with
+    // a null column stores NULL, never the pre-delete value), implemented
+    // by restarting the per-column window at each delete's group boundary.
+    val effective =
+      if (!ignoreNulls) filtered
+      else {
+        val wRun = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val grouped = filtered.withColumn("__g",
+          sum(when(col("__del"), 1).otherwise(0)).over(wRun))
+        val wg = Window.partitionBy((keys.map(col) :+ col("__g")): _*)
+          .orderBy(col(seqCol).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        attrs.foldLeft(grouped) { (d, c) =>
+          val chain = last(when(!col("__del"), col(c)), ignoreNulls = true).over(wg)
+          d.withColumn(c, when(col("__g") === 0,
+            coalesce(chain, col(s"__open_attrs.$c"))).otherwise(chain))
+        }.drop("__g")
+      }
+    val st = effective
       .withColumn("__state", evState)
       .withColumn("__prev", coalesce(lag(col("__state"), 1).over(w), openState))
       .withColumn("__chg", !(col("__prev") <=> col("__state")))

@@ -707,6 +707,70 @@ object CoreQueries {
                         TIMESTAMP '2200-01-01 00:00:00') AS end_at
         FROM last ORDER BY user_id, start_at""")),
 
+    // O1 SCD2 + ignore_null_updates: a NULL attribute in an upsert means
+    // "no change" — history compares and stores per-column EFFECTIVE values
+    // (running last non-null, seeded across batches by the open row).
+    // NULLs are synthesized deterministically (driver data is null-free).
+    // Two incremental batches; the one-pass oracle chains LAST_VALUE
+    // IGNORE NULLS per column, then run-length collapses on the effective
+    // pair — an all-null or no-effective-change event opens nothing.
+    Q("o1_scd2_ignore_nulls", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("ts"),
+          when(col("event_id") % 9 === 0, lit(null).cast("string"))
+            .otherwise(col("event_type")).as("event_type"),
+          when(col("event_id") % 5 === 0, lit(null).cast("double"))
+            .otherwise(col("value")).as("value"))
+      val r = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val cut = new Timestamp(
+        (r.getTimestamp(0).getTime + r.getTimestamp(1).getTime) / 2)
+      val p = new Pipeline(s, tmp("graft_scd2inu"))
+      p.streamingTable("hist")
+      var batch = ev.filter(col("ts") <= lit(cut))
+      p.view("src")(batch)
+      p.autoCdcFlow("hist", "src", Seq("user_id"), "ts", scdType = 2,
+        ignoreNullUpdates = true)
+      p.run()
+      batch = ev.filter(col("ts") > lit(cut))
+      p.run()
+      p.read("hist")
+        .select(col("user_id"), col("event_type"), col("value"),
+          col(GoldBuilder.Scd2Start).as("start_at"),
+          coalesce(col(GoldBuilder.Scd2End),
+            lit("2200-01-01 00:00:00").cast("timestamp")).as("end_at"))
+        .orderBy("user_id", "start_at")
+    },
+      Some("""WITH ev AS (
+          SELECT user_id, ts,
+            CASE WHEN event_id % 9 = 0 THEN NULL ELSE event_type END AS event_type,
+            CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ), dd AS (
+          SELECT user_id, ts, event_type, value FROM ev
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+            ORDER BY event_type DESC NULLS LAST, value DESC NULLS LAST) = 1
+        ), eff AS (
+          SELECT user_id, ts,
+            LAST_VALUE(event_type IGNORE NULLS) OVER w AS event_type,
+            LAST_VALUE(value IGNORE NULLS) OVER w AS value
+          FROM dd
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), c AS (
+          SELECT *, lag(event_type) OVER w2 AS p_et, lag(value) OVER w2 AS p_v,
+            ROW_NUMBER() OVER w2 AS rn
+          FROM eff WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
+        ), k AS (
+          SELECT user_id, ts, event_type, value FROM c
+          WHERE rn = 1 OR event_type IS DISTINCT FROM p_et
+             OR value IS DISTINCT FROM p_v
+        )
+        SELECT user_id, event_type, value, ts AS start_at,
+               COALESCE(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                        TIMESTAMP '2200-01-01 00:00:00') AS end_at
+        FROM k ORDER BY user_id, start_at""")),
+
     // O4: expect_all_or_drop — violating rows dropped
     // (dlt_bronze_to_silver_pipeline.py:5-12).
     Q("o4_expect_drop", (s, d) =>

@@ -97,13 +97,20 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       exceptColumns: Seq[String] = Nil,
       trackHistoryColumns: Seq[String] = Nil,
       trackHistoryExceptColumns: Seq[String] = Nil,
-      ignoreNullUpdates: Boolean = false): this.type = {
+      ignoreNullUpdates: Boolean = false,
+      applyAsTruncates: Option[String] = None,
+      columnList: Seq[String] = Nil): this.type = {
     require(scdType == 1 || scdType == 2, s"stored_as_scd_type must be 1 or 2, got $scdType")
     require(tables.contains(target), s"declare streamingTable($target) first")
-    // DLT's `ignore_null_updates`: a NULL source column in an UPDATE keeps
-    // the target's existing value (partial-row CDC feeds) — SCD1 here
-    require(!ignoreNullUpdates || scdType == 1,
-      "ignore_null_updates is supported for SCD type 1 flows")
+    // DLT's `apply_as_truncate`: an event matching the predicate wipes the
+    // WHOLE target; only events sequenced after it survive — SCD1 only
+    // (DLT's own restriction: truncating history is contradictory)
+    require(applyAsTruncates.isEmpty || scdType == 1,
+      "apply_as_truncate is supported for SCD type 1 flows (DLT's rule)")
+    // DLT's COLUMNS forms are exclusive: a positive include list or
+    // * EXCEPT, never both
+    require(columnList.isEmpty || exceptColumns.isEmpty,
+      "COLUMNS (list) and COLUMNS * EXCEPT (list) are exclusive")
     // DLT's `apply_as_deletes` (rows matching the predicate REMOVE their
     // key — SCD1 — or close the open history row — SCD2),
     // `except_column_list` (op/sequence metadata excluded from the target),
@@ -116,7 +123,8 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       scdType == 2, "track-history column scoping applies to SCD type 2 flows only")
     flows += CdcFlow(target, source, keys, sequenceBy, tiebreak, scdType,
       applyAsDeletes, exceptColumns, trackHistoryColumns,
-      trackHistoryExceptColumns, ignoreNullUpdates)
+      trackHistoryExceptColumns, ignoreNullUpdates, applyAsTruncates,
+      columnList)
     this
   }
 
@@ -206,12 +214,38 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         val rows = gb.scd2Apply(cleaned, if (t.exists) Some(t.read) else None,
           f.keys, f.sequenceBy, tb2,
           deleteCol = f.applyAsDeletes.map(_ => delFlag),
-          trackCols = trackCols)
+          trackCols = trackCols,
+          ignoreNulls = f.ignoreNullUpdates)
         if (!t.exists) t.create(rows.schema)
         t.merge(rows, f.keys :+ GoldBuilder.Scd2Start)
       } else {
-        val latest = gb.latestPerKey(batch, f.keys, f.sequenceBy, tiebreak)
-        val kept = latest.drop(f.exceptColumns: _*)
+        import org.apache.spark.sql.functions.{coalesce => fnCoalesce, col => fnCol, expr => fnExpr, lit => fnLit, max => fnMax}
+        // apply_as_truncate: the NEWEST truncate event wipes the whole
+        // target; only events sequenced strictly after it survive this
+        // batch (earlier upserts were wiped with the table — DLT's
+        // semantic). The wipe and the follow-up merge are separate commits
+        // (same staging DLT performs); replay is idempotent because the
+        // surviving merge is still sequence-guarded.
+        val afterTruncate = f.applyAsTruncates match {
+          case None => batch
+          case Some(pred) =>
+            val tFlag = fnCoalesce(fnExpr(pred).cast("boolean"), fnLit(false))
+            val tSeq = batch.filter(tFlag).agg(fnMax(fnCol(f.sequenceBy))).head().get(0)
+            if (tSeq == null) batch
+            else {
+              if (t.exists && t.read.limit(1).count() > 0)
+                t.overwrite(t.read.limit(0))
+              batch.filter(fnCol(f.sequenceBy) > fnLit(tSeq) && !tFlag)
+            }
+        }
+        val latest = gb.latestPerKey(afterTruncate, f.keys, f.sequenceBy, tiebreak)
+        // COLUMNS (list) keeps exactly the listed attributes (keys and the
+        // sequence column always ride along); COLUMNS * EXCEPT drops
+        val kept =
+          if (f.columnList.nonEmpty)
+            latest.select((f.keys ++ Seq(f.sequenceBy) ++ f.columnList)
+              .distinct.map(fnCol): _*)
+          else latest.drop(f.exceptColumns: _*)
         if (!t.exists) t.create(kept.schema)
         // DLT's ignore_null_updates: matched rows take each source column
         // only when non-NULL (partial-row CDC feeds); the sequence column
@@ -398,5 +432,7 @@ object Pipeline {
       exceptColumns: Seq[String] = Nil,
       trackHistoryColumns: Seq[String] = Nil,
       trackHistoryExceptColumns: Seq[String] = Nil,
-      ignoreNullUpdates: Boolean = false)
+      ignoreNullUpdates: Boolean = false,
+      applyAsTruncates: Option[String] = None,
+      columnList: Seq[String] = Nil)
 }

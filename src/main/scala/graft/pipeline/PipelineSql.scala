@@ -19,12 +19,13 @@ import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
  *    a full recompute (DLT's MV semantic; a deterministic ST AS SELECT
  *    yields the same rows — the incremental append path is the checkpointed
  *    [[Pipeline.runCdcFlowStreaming]]/[[Pipeline.runJoinFlowStreaming]]).
- *  - `APPLY CHANGES INTO t FROM [STREAM(]src[)] KEYS (k, …)
- *     [IGNORE NULL UPDATES] [APPLY AS DELETE WHEN cond] SEQUENCE BY seq
- *     [COLUMNS * EXCEPT (c, …)] [STORED AS SCD TYPE 1|2]
+ *  - `[CREATE FLOW f AS] APPLY CHANGES INTO t FROM [STREAM(]src[)]
+ *     KEYS (k, …) [IGNORE NULL UPDATES] [APPLY AS DELETE WHEN cond]
+ *     [APPLY AS TRUNCATE WHEN cond] SEQUENCE BY seq
+ *     [COLUMNS (c, …) | COLUMNS * EXCEPT (c, …)] [STORED AS SCD TYPE 1|2]
  *     [TRACK HISTORY ON (c, …) | TRACK HISTORY ON * EXCEPT (c, …)]`
  *    — the SQL form of `create_auto_cdc_flow`; `AUTO CDC INTO` (the renamed
- *    current syntax) is accepted as a synonym.
+ *    current syntax) and its `CREATE FLOW … AS` wrapper are synonyms.
  *  - Either CREATE form takes DLT's expectation block before AS:
  *    `( CONSTRAINT n EXPECT (cond) [ON VIOLATION DROP ROW | FAIL UPDATE],
  *    … )` — no ON VIOLATION = warn (metrics only), DROP ROW filters, FAIL
@@ -48,13 +49,15 @@ object PipelineSql {
   private val OnViolation =
     """(?is)\s*(?:ON\s+VIOLATION\s+(DROP\s+ROW|FAIL\s+UPDATE))?\s*""".r
   private val ApplyChanges =
-    ("""(?is)\s*(?:APPLY\s+CHANGES|AUTO\s+CDC)\s+INTO\s+([A-Za-z_]\w*)""" +
+    ("""(?is)\s*(?:CREATE\s+FLOW\s+[A-Za-z_]\w*\s+AS\s+)?""" +
+      """(?:APPLY\s+CHANGES|AUTO\s+CDC)\s+INTO\s+([A-Za-z_]\w*)""" +
       """\s+FROM\s+(?:STREAM\s*\(\s*([A-Za-z_]\w*)\s*\)|([A-Za-z_]\w*))""" +
       """\s+KEYS\s*\(([^)]*)\)""" +
       """(\s+IGNORE\s+NULL\s+UPDATES)?""" +
       """(?:\s+APPLY\s+AS\s+DELETE\s+WHEN\s+(.+?))?""" +
+      """(?:\s+APPLY\s+AS\s+TRUNCATE\s+WHEN\s+(.+?))?""" +
       """\s+SEQUENCE\s+BY\s+([A-Za-z_]\w*)""" +
-      """(?:\s+COLUMNS\s+\*\s+EXCEPT\s*\(([^)]*)\))?""" +
+      """(?:\s+COLUMNS\s+(?:\*\s+EXCEPT\s*\(([^)]*)\)|\(([^)]*)\)))?""" +
       """(?:\s+STORED\s+AS\s+SCD\s+TYPE\s+([12]))?""" +
       """(?:\s+TRACK\s+HISTORY\s+ON\s+(?:\*\s+EXCEPT\s*\(([^)]*)\)|\(([^)]*)\)))?""" +
       """\s*;?\s*""").r
@@ -98,7 +101,7 @@ object PipelineSql {
       }
       ()
     case ApplyChanges(target, streamSrc, plainSrc, keys, ignoreNulls, delWhen,
-        seqBy, except, scdType, trackExcept, trackOn) =>
+        truncWhen, seqBy, except, colList, scdType, trackExcept, trackOn) =>
       val source = Option(streamSrc).getOrElse(plainSrc)
       def cols(s: String): Seq[String] =
         Option(s).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
@@ -107,7 +110,9 @@ object PipelineSql {
         sequenceBy = seqBy.trim,
         scdType = Option(scdType).map(_.trim.toInt).getOrElse(1),
         applyAsDeletes = Option(delWhen).map(_.trim),
+        applyAsTruncates = Option(truncWhen).map(_.trim),
         exceptColumns = cols(except),
+        columnList = cols(colList),
         trackHistoryColumns = cols(trackOn),
         trackHistoryExceptColumns = cols(trackExcept),
         ignoreNullUpdates = ignoreNulls != null)

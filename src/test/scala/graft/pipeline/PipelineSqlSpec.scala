@@ -155,6 +155,78 @@ class PipelineSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("v_positive"))
   }
 
+  test("SCD2 + IGNORE NULL UPDATES: null attrs carry the effective value; " +
+      "a delete resets the chain") {
+    val p = new Pipeline(spark, tmpDir("plsql_scd2_inu"))
+    var batch = Seq[(Long, Option[String], Option[Double], String, Timestamp)](
+      (1L, Some("a"), Some(1.0), "U", ts("2024-01-01 00:00:00")),
+      // null v: effective (a, 1.0) — NO new version (no effective change)
+      (1L, Some("a"), None, "U", ts("2024-01-02 00:00:00")),
+      // null et, v=2: effective (a, 2.0) — new version
+      (1L, None, Some(2.0), "U", ts("2024-01-03 00:00:00")))
+      .toDF("k", "et", "v", "op", "seq")
+    p.view("src")(batch)
+    PipelineSql(p, "CREATE OR REFRESH STREAMING TABLE hist")
+    PipelineSql(p, """AUTO CDC INTO hist FROM STREAM(src)
+      KEYS (k) IGNORE NULL UPDATES
+      APPLY AS DELETE WHEN op = 'D'
+      SEQUENCE BY seq
+      COLUMNS * EXCEPT (op)
+      STORED AS SCD TYPE 2""")
+    p.run()
+    def history = p.read("hist")
+      .select(col("k"), col("et"), col("v"), col("__START_AT").cast("string"),
+        col("__END_AT").cast("string"))
+      .orderBy("k", "__START_AT")
+      .as[(Long, String, Option[Double], String, String)].collect().toSeq
+    assert(history == Seq(
+      (1L, "a", Some(1.0), "2024-01-01 00:00:00", "2024-01-03 00:00:00"),
+      (1L, "a", Some(2.0), "2024-01-03 00:00:00", null)))
+
+    // batch 2: null v seeds from the OPEN row (v stays 2.0, et changes);
+    // then delete; then an upsert with null et — post-delete, the chain is
+    // reset: et stores NULL, never the pre-delete 'b'
+    batch = Seq[(Long, Option[String], Option[Double], String, Timestamp)](
+      (1L, Some("b"), None, "U", ts("2024-02-01 00:00:00")),
+      (1L, None, None, "D", ts("2024-03-01 00:00:00")),
+      (1L, None, Some(9.0), "U", ts("2024-04-01 00:00:00")))
+      .toDF("k", "et", "v", "op", "seq")
+    p.run()
+    assert(history == Seq(
+      (1L, "a", Some(1.0), "2024-01-01 00:00:00", "2024-01-03 00:00:00"),
+      (1L, "a", Some(2.0), "2024-01-03 00:00:00", "2024-02-01 00:00:00"),
+      (1L, "b", Some(2.0), "2024-02-01 00:00:00", "2024-03-01 00:00:00"),
+      (1L, null, Some(9.0), "2024-04-01 00:00:00", null)))
+  }
+
+  test("APPLY AS TRUNCATE WHEN wipes the target; only later-sequenced " +
+      "events survive; CREATE FLOW wrapper and COLUMNS (list) dispatch") {
+    val p = new Pipeline(spark, tmpDir("plsql_trunc"))
+    var batch = Seq(
+      (1L, "a", "meta1", "U", ts("2024-01-01 00:00:00")),
+      (2L, "b", "meta2", "U", ts("2024-01-01 00:00:00"))).toDF("k", "v", "m", "op", "seq")
+    p.view("src")(batch)
+    PipelineSql(p, "CREATE OR REFRESH STREAMING TABLE silver")
+    PipelineSql(p, """CREATE FLOW f1 AS AUTO CDC INTO silver FROM STREAM(src)
+      KEYS (k)
+      APPLY AS TRUNCATE WHEN op = 'T'
+      SEQUENCE BY seq
+      COLUMNS (v)""")
+    p.run()
+    // COLUMNS (v): only k, seq, v land — metadata m and op never do
+    assert(p.read("silver").columns.toSeq.sorted == Seq("k", "seq", "v"))
+    assert(p.read("silver").count() == 2)
+    // truncate at 02-01: k=1's earlier upsert is wiped with the table;
+    // k=3's later upsert survives
+    batch = Seq(
+      (1L, "a2", "x", "U", ts("2024-01-15 00:00:00")),
+      (0L, null, null, "T", ts("2024-02-01 00:00:00")),
+      (3L, "c", "x", "U", ts("2024-03-01 00:00:00"))).toDF("k", "v", "m", "op", "seq")
+    p.run()
+    assert(p.read("silver").select("k", "v").as[(Long, String)].collect().toSeq ==
+      Seq((3L, "c")))
+  }
+
   test("unsupported statements fail loudly") {
     val p = new Pipeline(spark, tmpDir("plsql_bad"))
     val e = intercept[IllegalArgumentException] {
