@@ -36,6 +36,8 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
   private val views = mutable.LinkedHashMap[String, () => DataFrame]()
   private val tables = mutable.LinkedHashMap[String, LakeTable]()
   private val flows = mutable.ArrayBuffer[CdcFlow]()
+  private val appendFlows = mutable.ArrayBuffer[AppendFlow]()
+  private val onceFlowsDone = mutable.Set[String]()
   private val mviews = mutable.LinkedHashMap[String, () => DataFrame]()
   private val gates = mutable.LinkedHashMap[String, Expectations.Gate]()
   private val tableGates =
@@ -125,6 +127,26 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       applyAsDeletes, exceptColumns, trackHistoryColumns,
       trackHistoryExceptColumns, ignoreNullUpdates, applyAsTruncates,
       columnList)
+    this
+  }
+
+  /** DLT's `@dlt.append_flow(target=…, name=…, once=…)` — one of possibly
+   *  MANY append-only flows feeding a single streaming table (the
+   *  multi-topic / backfill-plus-live pattern: each flow appends its rows,
+   *  none of them owns the target). Columns match BY NAME against the
+   *  target's schema once it exists — a column the target lacks is a loud
+   *  error (same as `INSERT INTO … BY NAME`), a target column the flow
+   *  doesn't produce lands as a typed NULL. `once = true` is DLT's one-time
+   *  backfill: the flow drains on the first [[run]] of this pipeline
+   *  instance and is skipped afterwards (DLT re-runs it only on full
+   *  refresh). Append flows drain BEFORE the CDC flows each run, so a CDC
+   *  flow reading the appended table sees this run's rows. */
+  def appendFlow(target: String, name: String = "", once: Boolean = false)(
+      fn: => DataFrame): this.type = {
+    require(tables.contains(target), s"declare streamingTable($target) first")
+    val flowName = if (name.nonEmpty) name else s"${target}_flow_${appendFlows.size}"
+    require(!appendFlows.exists(_.name == flowName), s"duplicate flow name: $flowName")
+    appendFlows += AppendFlow(target, flowName, once, () => fn)
     this
   }
 
