@@ -31,7 +31,7 @@ import graft.lake.LakeTable
  * the target would be key-partitioned so only touched partitions rewrite.
  */
 final class Pipeline(val spark: SparkSession, storageRoot: String) {
-  import Pipeline.CdcFlow
+  import Pipeline.{AppendFlow, CdcFlow}
 
   private val views = mutable.LinkedHashMap[String, () => DataFrame]()
   private val tables = mutable.LinkedHashMap[String, LakeTable]()
@@ -60,10 +60,22 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     views(name) = () => {
       val g = Expectations(fn, rules, policy)
       gates(name) = g
+      enforceFailEagerly(g)
       g.df
     }
     this
   }
+
+  /** DLT's `expect_or_fail` FAILS THE UPDATE: violating data must never
+   *  land. For a Fail-policy gate, force the violation counters NOW (one
+   *  eager pass over the gated batch) and throw before any downstream
+   *  merge/overwrite commits — instead of detecting the violation after
+   *  the write, which would leave the target corrupted. */
+  private def enforceFailEagerly(g: Expectations.Gate): Unit =
+    if (g.policy == Expectations.Fail) {
+      g.df.count()
+      g.assertClean()
+    }
 
   /** Declare a materialized CDC target (O2 `dlt.create_streaming_table`). */
   def streamingTable(name: String): LakeTable = {
@@ -104,6 +116,12 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       columnList: Seq[String] = Nil): this.type = {
     require(scdType == 1 || scdType == 2, s"stored_as_scd_type must be 1 or 2, got $scdType")
     require(tables.contains(target), s"declare streamingTable($target) first")
+    // one CDC flow owns a target (DLT's rule: APPLY CHANGES is the sole
+    // writer of its table); feeding one table from many sources is the
+    // appendFlow pattern. Loud here instead of silently last-wins at run().
+    require(!flows.exists(_.target == target),
+      s"target $target already has a CDC flow — one CDC flow per target " +
+        "(use appendFlow for multi-source ingestion)")
     // DLT's `apply_as_truncate`: an event matching the predicate wipes the
     // WHOLE target; only events sequenced after it survive — SCD1 only
     // (DLT's own restriction: truncating history is contradictory)
@@ -156,7 +174,10 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
    *  before dedup+merge; an AS-SELECT / materialized-view dataset gates
    *  its defining query before materialization. Groups accumulate (one per
    *  policy is the usual shape); rows failing a Drop group never land,
-   *  Warn groups only count, Fail groups abort the run after the fact.
+   *  Warn groups only count, Fail groups abort the run before the gated
+   *  write commits (violating data never lands).
+   *  rows failing a Fail group abort the run BEFORE the write commits
+   *  (DLT's expect_or_fail: violating data never lands).
    *  Violation metrics are readable after `run()` via [[lastGate]] (keyed
    *  `name` for the first group, `name#<i>` beyond). */
   def expectations(dataset: String, rules: Map[String, String],
@@ -173,6 +194,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       groups.zipWithIndex.foldLeft(df) { case (d, ((policy, rules), i)) =>
         val g = Expectations(d, rules, policy)
         gates(if (i == 0) dataset else s"$dataset#$i") = g
+        enforceFailEagerly(g)
         g.df
       }
     }
@@ -204,6 +226,27 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
    *  enforce Fail-policy expectation gates (`expect_all_or_fail`). */
   def run(): Unit = {
     val gb = GoldBuilder(spark)
+    // append flows drain FIRST (declaration order): a CDC flow reading an
+    // append-fed table sees this run's rows. `once = true` flows drain only
+    // on this instance's first run (DLT's one-time backfill).
+    appendFlows.foreach { af =>
+      if (!(af.once && onceFlowsDone.contains(af.name))) {
+        import org.apache.spark.sql.functions.{col => fnCol, lit => fnLit}
+        val df = gate(af.target, af.fn())
+        val t = tables(af.target)
+        if (!t.exists) t.create(df.schema)
+        val tgt = t.schema
+        val extra = df.columns.filterNot(tgt.fieldNames.contains)
+        require(extra.isEmpty, s"append flow ${af.name}: column(s) " +
+          s"${extra.mkString(", ")} not in target ${af.target}'s schema")
+        val aligned = df.select(tgt.fields.toSeq.map { fld =>
+          if (df.columns.contains(fld.name)) fnCol(fld.name).cast(fld.dataType).as(fld.name)
+          else fnLit(null).cast(fld.dataType).as(fld.name)
+        }: _*)
+        t.append(aligned)
+        if (af.once) onceFlowsDone += af.name
+      }
+    }
     orderedFlows.foreach { f =>
       val batch = gate(f.target, views.getOrElse(f.source, () => read(f.source))())
       val tiebreak =
@@ -245,9 +288,12 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         // apply_as_truncate: the NEWEST truncate event wipes the whole
         // target; only events sequenced strictly after it survive this
         // batch (earlier upserts were wiped with the table — DLT's
-        // semantic). The wipe and the follow-up merge are separate commits
-        // (same staging DLT performs); replay is idempotent because the
-        // surviving merge is still sequence-guarded.
+        // semantic). The wipe and the survivors land as ONE atomic
+        // overwrite commit below — a crash can't leave the table empty
+        // with the survivors lost, and concurrent readers never observe
+        // the empty intermediate state; replay of the same batch
+        // re-overwrites with the same survivor set (idempotent).
+        var truncated = false
         val afterTruncate = f.applyAsTruncates match {
           case None => batch
           case Some(pred) =>
@@ -255,19 +301,19 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
             val tSeq = batch.filter(tFlag).agg(fnMax(fnCol(f.sequenceBy))).head().get(0)
             if (tSeq == null) batch
             else {
-              if (t.exists && t.read.limit(1).count() > 0)
-                t.overwrite(t.read.limit(0))
+              truncated = true
               batch.filter(fnCol(f.sequenceBy) > fnLit(tSeq) && !tFlag)
             }
         }
         val latest = gb.latestPerKey(afterTruncate, f.keys, f.sequenceBy, tiebreak)
         // COLUMNS (list) keeps exactly the listed attributes (keys and the
         // sequence column always ride along); COLUMNS * EXCEPT drops
-        val kept =
+        def keepCols(d: DataFrame): DataFrame =
           if (f.columnList.nonEmpty)
-            latest.select((f.keys ++ Seq(f.sequenceBy) ++ f.columnList)
+            d.select((f.keys ++ Seq(f.sequenceBy) ++ f.columnList)
               .distinct.map(fnCol): _*)
-          else latest.drop(f.exceptColumns: _*)
+          else d.drop(f.exceptColumns: _*)
+        val kept = keepCols(latest)
         if (!t.exists) t.create(kept.schema)
         // DLT's ignore_null_updates: matched rows take each source column
         // only when non-NULL (partial-row CDC feeds); the sequence column
@@ -276,7 +322,16 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           .filterNot(f.keys.contains).map(c =>
             c -> (if (c == f.sequenceBy || !f.ignoreNullUpdates) s"s.$c"
               else s"coalesce(s.$c, t.$c)")).toMap
-        f.applyAsDeletes match {
+        if (truncated) {
+          // post-truncate survivors REPLACE the table in one commit;
+          // latest-per-key delete events simply don't survive the wipe
+          val survivors = f.applyAsDeletes match {
+            case None => kept
+            case Some(delPred) => keepCols(latest.filter(
+              !fnCoalesce(fnExpr(delPred).cast("boolean"), fnLit(false))))
+          }
+          t.overwrite(survivors.select(t.schema.fieldNames.toSeq.map(fnCol): _*))
+        } else f.applyAsDeletes match {
           case None if !f.ignoreNullUpdates =>
             t.merge(kept, f.keys, Some(s"s.${f.sequenceBy} >= t.${f.sequenceBy}"))
           case None =>
@@ -447,6 +502,10 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
 }
 
 object Pipeline {
+  /** One registered `@dlt.append_flow` — see [[Pipeline.appendFlow]]. */
+  private final case class AppendFlow(
+      target: String, name: String, once: Boolean, fn: () => DataFrame)
+
   private final case class CdcFlow(
       target: String, source: String, keys: Seq[String],
       sequenceBy: String, tiebreak: Seq[String], scdType: Int = 1,

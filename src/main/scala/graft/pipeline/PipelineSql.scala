@@ -29,7 +29,7 @@ import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
  *  - Either CREATE form takes DLT's expectation block before AS:
  *    `( CONSTRAINT n EXPECT (cond) [ON VIOLATION DROP ROW | FAIL UPDATE],
  *    … )` — no ON VIOLATION = warn (metrics only), DROP ROW filters, FAIL
- *    UPDATE aborts the run after the fact. On a CDC target the gates apply
+ *    UPDATE aborts the run before the gated write commits. On a CDC target the gates apply
  *    to the incoming batch; on AS-SELECT/MV datasets to the defining query.
  *
  * Statements only DECLARE graph nodes (DLT semantics — nothing executes
@@ -191,16 +191,20 @@ object PipelineSql {
    *  through Spark's analyzer as usual. */
   private def evalSelect(p: Pipeline, select: String): DataFrame = {
     val spark = p.spark
-    // STREAM(ds) is Lakeflow's streaming-read marker, not an OSS-Spark
-    // construct — under snapshot execution it reads the same current
-    // contents, so unwrap it textually before parsing
-    val text = select.replaceAll(
-      "(?i)\\bSTREAM\\s*\\(\\s*([A-Za-z_]\\w*)\\s*\\)", "$1")
-    val plan = spark.sessionState.sqlParser.parsePlan(text)
+    // STREAM(ds) is Lakeflow's streaming-read marker; Spark 4's parser
+    // handles it natively (UnresolvedRelation with isStreaming = true), so
+    // the rewrite happens on the LOGICAL PLAN — `STREAM(x)` inside string
+    // literals or comments is never touched. Under snapshot execution a
+    // streaming read resolves to the same current contents.
+    val plan = spark.sessionState.sqlParser.parsePlan(select)
     val spliced = plan.transformUpWithSubqueries {
       case UnresolvedRelation(parts, _, _)
           if parts.length == 1 && p.contains(parts.head) =>
         SubqueryAlias(parts.head, GraftColumnBridge.logicalPlan(p.read(parts.head)))
+      case r @ UnresolvedRelation(_, _, true) =>
+        // STREAM() over a non-pipeline relation: demote to a batch read of
+        // the same name (snapshot semantics) and let Spark resolve it
+        r.copy(isStreaming = false)
     }
     GraftColumnBridge.dataset(spark, spliced)
   }

@@ -407,6 +407,117 @@ class PipelineSpec extends SparkSpec {
       Seq((2L, "b2", ts("2024-02-01 00:00:00"))))
   }
 
+  test("appendFlow: many flows feed one streaming table; columns align by " +
+      "name (missing target columns land as typed NULLs); once=true drains " +
+      "only on the first run") {
+    val p = new Pipeline(spark, tmpDir("pl_append"))
+    p.streamingTable("events")
+    // backfill flow: once=true, full schema — defines the target's shape
+    p.appendFlow("events", name = "backfill", once = true) {
+      Seq((1L, "hist", 10.0), (2L, "hist", 20.0)).toDF("k", "src", "v")
+    }
+    // live flow: different column ORDER and missing `v` → typed NULL
+    p.appendFlow("events", name = "live") {
+      Seq(("live", 3L)).toDF("src", "k")
+    }
+    p.run()
+    val r1 = p.read("events").orderBy("k")
+      .as[(Long, String, Option[Double])].collect().toSeq
+    assert(r1 == Seq((1L, "hist", Some(10.0)), (2L, "hist", Some(20.0)),
+      (3L, "live", None)))
+
+    // second run: backfill is skipped (once), live appends again
+    p.run()
+    assert(p.read("events").count() == 4)
+    assert(p.read("events").filter($"src" === "hist").count() == 2)
+  }
+
+  test("appendFlow: a column the target lacks is a loud error; duplicate " +
+      "flow names are rejected") {
+    val p = new Pipeline(spark, tmpDir("pl_append_err"))
+    p.streamingTable("t")
+    p.appendFlow("t", name = "a") { Seq((1L, "x")).toDF("k", "v") }
+    intercept[IllegalArgumentException] {
+      p.appendFlow("t", name = "a") { Seq((2L, "y")).toDF("k", "v") }
+    }
+    p.run()
+    p.appendFlow("t", name = "b") { Seq((2L, "y", true)).toDF("k", "v", "extra") }
+    val e = intercept[IllegalArgumentException] { p.run() }
+    assert(e.getMessage.contains("extra"))
+  }
+
+  test("appendFlow drains BEFORE CDC flows: a CDC flow reading the appended " +
+      "table sees this run's rows") {
+    val p = new Pipeline(spark, tmpDir("pl_append_order"))
+    p.streamingTable("raw")
+    p.streamingTable("silver")
+    p.autoCdcFlow("silver", "raw", Seq("k"), "seq")
+    p.appendFlow("raw") {
+      Seq((1L, "a", ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq")
+    }
+    p.run()
+    assert(p.read("silver").as[(Long, String, Timestamp)].collect().toSeq ==
+      Seq((1L, "a", ts("2024-01-01 00:00:00"))))
+  }
+
+  test("Fail-policy gate aborts BEFORE the write commits: the target keeps " +
+      "its pre-run state (DLT expect_or_fail)") {
+    val p = new Pipeline(spark, tmpDir("pl_fail_eager"))
+    var batch = Seq((1L, 5.0, ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq")
+    p.streamingTable("silver")
+    p.view("src")(batch)
+    p.autoCdcFlow("silver", "src", Seq("k"), "seq")
+    p.expectations("silver", Map("v_positive" -> "v > 0"), Expectations.Fail)
+    p.run() // clean batch lands
+    val v1 = p.table("silver").currentVersion
+    batch = Seq(
+      (1L, 9.0, ts("2024-02-01 00:00:00")),
+      (2L, -1.0, ts("2024-02-01 00:00:00"))).toDF("k", "v", "seq")
+    intercept[IllegalStateException] { p.run() }
+    // nothing committed: no new version, k=1 untouched, k=2 never landed
+    assert(p.table("silver").currentVersion == v1)
+    assert(p.read("silver").as[(Long, Double, Timestamp)].collect().toSeq ==
+      Seq((1L, 5.0, ts("2024-01-01 00:00:00"))))
+  }
+
+  test("one CDC flow per target: a second autoCdcFlow into the same table " +
+      "is rejected loudly") {
+    val p = new Pipeline(spark, tmpDir("pl_dup_flow"))
+    p.streamingTable("t")
+    p.view("a")(Seq((1L, ts("2024-01-01 00:00:00"))).toDF("k", "seq"))
+    p.view("b")(Seq((2L, ts("2024-01-01 00:00:00"))).toDF("k", "seq"))
+    p.autoCdcFlow("t", "a", Seq("k"), "seq")
+    val e = intercept[IllegalArgumentException] {
+      p.autoCdcFlow("t", "b", Seq("k"), "seq")
+    }
+    assert(e.getMessage.contains("one CDC flow per target"))
+  }
+
+  test("apply_as_truncate is ONE atomic commit: wipe + survivors land " +
+      "together (no empty intermediate version)") {
+    val p = new Pipeline(spark, tmpDir("pl_trunc_atomic"))
+    var batch = Seq(
+      (1L, "a", "U", ts("2024-01-01 00:00:00")),
+      (2L, "b", "U", ts("2024-01-01 00:00:00"))).toDF("k", "v", "op", "seq")
+    p.streamingTable("silver")
+    p.view("src")(batch)
+    p.autoCdcFlow("silver", "src", Seq("k"), "seq",
+      applyAsTruncates = Some("op = 'T'"), exceptColumns = Seq("op"))
+    p.run()
+    val v1 = p.table("silver").currentVersion
+    batch = Seq(
+      (0L, null, "T", ts("2024-02-01 00:00:00")),
+      (3L, "c", "U", ts("2024-03-01 00:00:00"))).toDF("k", "v", "op", "seq")
+    p.run()
+    // exactly one commit for the truncate run; survivors replaced the table
+    assert(p.table("silver").currentVersion == v1 + 1)
+    assert(p.read("silver").select("k", "v").as[(Long, String)].collect().toSeq ==
+      Seq((3L, "c")))
+    // time travel to the pre-truncate version still shows both rows —
+    // and NO version in between is the empty wiped state
+    assert(p.table("silver").readVersion(v1).count() == 2)
+  }
+
   test("views resolve lazily and read() prefers materialized tables") {
     val p = new Pipeline(spark, tmpDir("pl_views"))
     var evaluated = false

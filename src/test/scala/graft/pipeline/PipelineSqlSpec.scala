@@ -227,6 +227,18 @@ class PipelineSqlSpec extends SparkSpec {
       Seq((3L, "c")))
   }
 
+  test("STREAM() is rewritten at the plan level: the marker inside a string " +
+      "literal survives untouched") {
+    val p = new Pipeline(spark, tmpDir("plsql_streamlit"))
+    p.view("src")(Seq((1L, "a")).toDF("k", "v"))
+    PipelineSql(p,
+      "CREATE OR REFRESH MATERIALIZED VIEW mv AS " +
+        "SELECT k, 'STREAM(src)' AS tag, v FROM STREAM(src)")
+    p.run()
+    assert(p.read("mv").as[(Long, String, String)].collect().toSeq ==
+      Seq((1L, "STREAM(src)", "a")))
+  }
+
   test("unsupported statements fail loudly") {
     val p = new Pipeline(spark, tmpDir("plsql_bad"))
     val e = intercept[IllegalArgumentException] {
