@@ -771,6 +771,157 @@ object CoreQueries {
                         TIMESTAMP '2200-01-01 00:00:00') AS end_at
         FROM k ORDER BY user_id, start_at""")),
 
+    // O9 AUTO CDC FROM SNAPSHOT, SCD1 — DLT's
+    // `create_auto_cdc_from_snapshot_flow(stored_as_scd_type = 1)`, the
+    // sibling of the reference's create_auto_cdc_flow API
+    // (dlt_bronze_to_silver_pipeline.py:30-36): CDC derived by DIFFING
+    // successive full snapshots. Snapshot 1 = per-user latest state at the
+    // mid-range cutoff; snapshot 2 = per-user latest state overall,
+    // restricted to users active after the cutoff (so cut-only users
+    // VANISH → deletes). After applying both, SCD1 must equal snapshot 2
+    // exactly — stale rows, missed deletes, or missed updates all diverge.
+    // Cutoff arithmetic is integer epoch-ms on both sides.
+    Q("o9_cdc_snapshot_scd1", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select("user_id", "ts", "event_type", "value", "event_id")
+      val r = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val cut = new Timestamp(
+        (r.getTimestamp(0).getTime + r.getTimestamp(1).getTime) / 2)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      def latest(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      val snap1 = latest(ev.filter(col("ts") <= lit(cut)))
+        .select("user_id", "event_type", "value")
+      val snap2 = latest(ev).filter(col("ts") > lit(cut))
+        .select("user_id", "event_type", "value")
+      val p = new Pipeline(s, tmp("graft_snap1"))
+      p.streamingTable("dim")
+      var snap = snap1
+      p.view("snap")(snap)
+      p.autoCdcFromSnapshotFlow("dim", "snap", Seq("user_id"))
+      p.run()
+      snap = snap2
+      p.run()
+      p.read("dim").orderBy("user_id")
+    },
+      Some("""WITH ev AS (
+          SELECT user_id, ts, event_type, value, event_id FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ), b AS (
+          SELECT make_timestamp(((epoch_ms(MIN(ts)) + epoch_ms(MAX(ts))) // 2) * 1000) AS cut
+          FROM ev
+        )
+        SELECT user_id, event_type, value FROM ev
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY ts DESC, event_id DESC) = 1 AND ts > (SELECT cut FROM b)
+        ORDER BY user_id""")),
+
+    // O9 AUTO CDC FROM SNAPSHOT, SCD2 — same two snapshots, full history:
+    // snapshot versions 1 and 2 land in __START_AT/__END_AT. The oracle
+    // replays the diff as a FULL OUTER JOIN of the two snapshot states:
+    // unchanged rows stay open from v1; changed rows close at v2 and
+    // reopen; vanished users close at v2 with no open row; new users open
+    // at v2. Open rows project sentinel end 999999 (bigint-typed on both
+    // sides).
+    Q("o9_cdc_snapshot_scd2", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select("user_id", "ts", "event_type", "value", "event_id")
+      val r = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val cut = new Timestamp(
+        (r.getTimestamp(0).getTime + r.getTimestamp(1).getTime) / 2)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      def latest(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      val snap1 = latest(ev.filter(col("ts") <= lit(cut)))
+        .select("user_id", "event_type", "value")
+      val snap2 = latest(ev).filter(col("ts") > lit(cut))
+        .select("user_id", "event_type", "value")
+      val p = new Pipeline(s, tmp("graft_snap2"))
+      p.streamingTable("hist")
+      var snap = snap1
+      p.view("snap")(snap)
+      p.autoCdcFromSnapshotFlow("hist", "snap", Seq("user_id"), scdType = 2)
+      p.run()
+      snap = snap2
+      p.run()
+      p.read("hist")
+        .select(col("user_id"), col("event_type"), col("value"),
+          col(GoldBuilder.Scd2Start).cast("long").as("start_at"),
+          coalesce(col(GoldBuilder.Scd2End), lit(999999L)).cast("long").as("end_at"))
+        .orderBy("user_id", "start_at")
+    },
+      Some("""WITH ev AS (
+          SELECT user_id, ts, event_type, value, event_id FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ), b AS (
+          SELECT make_timestamp(((epoch_ms(MIN(ts)) + epoch_ms(MAX(ts))) // 2) * 1000) AS cut
+          FROM ev
+        ), s1 AS (
+          SELECT user_id, event_type, value FROM ev, b WHERE ts <= cut
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) = 1
+        ), s2 AS (
+          SELECT user_id, event_type, value FROM ev
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) = 1 AND ts > (SELECT cut FROM b)
+        ), j AS (
+          SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+                 s1.event_type AS et1, s1.value AS v1,
+                 s2.event_type AS et2, s2.value AS v2,
+                 s1.user_id IS NOT NULL AS in1, s2.user_id IS NOT NULL AS in2
+          FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id
+        ), h1 AS ( -- v1 rows: open iff unchanged in v2, else closed at 2
+          SELECT user_id, et1 AS event_type, v1 AS value,
+                 CAST(1 AS BIGINT) AS start_at,
+                 CAST(CASE WHEN in2 AND et2 IS NOT DISTINCT FROM et1
+                             AND v2 IS NOT DISTINCT FROM v1
+                      THEN 999999 ELSE 2 END AS BIGINT) AS end_at
+          FROM j WHERE in1
+        ), h2 AS ( -- v2 rows new or changed: open from 2
+          SELECT user_id, et2 AS event_type, v2 AS value,
+                 CAST(2 AS BIGINT) AS start_at, CAST(999999 AS BIGINT) AS end_at
+          FROM j WHERE in2 AND (NOT in1 OR et2 IS DISTINCT FROM et1
+                                OR v2 IS DISTINCT FROM v1)
+        )
+        SELECT * FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+        ORDER BY user_id, start_at""")),
+
+    // O10 append flows — DLT's `@dlt.append_flow` / Lakeflow SQL
+    // `CREATE FLOW f AS INSERT INTO [ONCE] t BY NAME …`: many append-only
+    // flows feed ONE streaming table. Declared through the SQL surface;
+    // the backfill flow is ONCE (drains only on run 1), the live flow
+    // appends per run (two runs → view rows land twice). The live flow
+    // omits `value`, exercising by-name alignment (typed NULL backfill).
+    Q("o10_append_flows", (s, d) => {
+      val ev = t(s, d, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      val p = new Pipeline(s, tmp("graft_appendq"))
+      p.view("clicks")(ev.filter(col("event_type") === "click"))
+      p.view("views")(ev.filter(col("event_type") === "view").drop("value"))
+      PipelineSql(p, "CREATE OR REFRESH STREAMING TABLE feed")
+      PipelineSql(p,
+        "CREATE FLOW backfill AS INSERT INTO ONCE feed BY NAME SELECT * FROM clicks")
+      PipelineSql(p,
+        "CREATE FLOW live AS INSERT INTO feed BY NAME SELECT * FROM STREAM(views)")
+      p.run()
+      p.run()
+      p.read("feed").orderBy("event_id")
+    },
+      Some("""WITH clicks AS (
+          SELECT event_id, user_id, event_type, value FROM events
+          WHERE event_type = 'click'
+        ), views AS (
+          SELECT event_id, user_id, event_type, CAST(NULL AS DOUBLE) AS value
+          FROM events WHERE event_type = 'view'
+        )
+        SELECT * FROM (SELECT * FROM clicks
+          UNION ALL SELECT * FROM views UNION ALL SELECT * FROM views)
+        ORDER BY event_id""")),
+
     // O4: expect_all_or_drop — violating rows dropped
     // (dlt_bronze_to_silver_pipeline.py:5-12).
     Q("o4_expect_drop", (s, d) =>

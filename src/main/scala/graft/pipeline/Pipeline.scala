@@ -31,13 +31,15 @@ import graft.lake.LakeTable
  * the target would be key-partitioned so only touched partitions rewrite.
  */
 final class Pipeline(val spark: SparkSession, storageRoot: String) {
-  import Pipeline.{AppendFlow, CdcFlow}
+  import Pipeline.{AppendFlow, CdcFlow, SnapshotFlow}
 
   private val views = mutable.LinkedHashMap[String, () => DataFrame]()
   private val tables = mutable.LinkedHashMap[String, LakeTable]()
   private val flows = mutable.ArrayBuffer[CdcFlow]()
   private val appendFlows = mutable.ArrayBuffer[AppendFlow]()
   private val onceFlowsDone = mutable.Set[String]()
+  private val snapshotFlows = mutable.ArrayBuffer[SnapshotFlow]()
+  private val snapshotVersions = mutable.Map[String, Long]()
   private val mviews = mutable.LinkedHashMap[String, () => DataFrame]()
   private val gates = mutable.LinkedHashMap[String, Expectations.Gate]()
   private val tableGates =
@@ -119,7 +121,8 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     // one CDC flow owns a target (DLT's rule: APPLY CHANGES is the sole
     // writer of its table); feeding one table from many sources is the
     // appendFlow pattern. Loud here instead of silently last-wins at run().
-    require(!flows.exists(_.target == target),
+    require(!flows.exists(_.target == target) &&
+      !snapshotFlows.exists(_.target == target),
       s"target $target already has a CDC flow — one CDC flow per target " +
         "(use appendFlow for multi-source ingestion)")
     // DLT's `apply_as_truncate`: an event matching the predicate wipes the
@@ -165,6 +168,67 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     val flowName = if (name.nonEmpty) name else s"${target}_flow_${appendFlows.size}"
     require(!appendFlows.exists(_.name == flowName), s"duplicate flow name: $flowName")
     appendFlows += AppendFlow(target, flowName, once, () => fn)
+    this
+  }
+
+  /** DLT's `create_auto_cdc_from_snapshot_flow` (AUTO CDC FROM SNAPSHOT) —
+   *  CDC derived from successive FULL snapshots instead of an event feed:
+   *  each [[run]] reads the source dataset's CURRENT contents as the next
+   *  snapshot (version = previous + 1) and diffs it against the target.
+   *  Keys must be unique within a snapshot. Rows new to the snapshot
+   *  insert; rows whose attributes changed update (SCD1) or close the open
+   *  history row and open a new one at the snapshot version (SCD2, with
+   *  the same `track_history_[except_]column_list` scoping as
+   *  [[autoCdcFlow]]); keys PRESENT in the target but ABSENT from the
+   *  snapshot are deletes (SCD1 removes the row, SCD2 closes the open row).
+   *  Re-presenting an identical snapshot is a no-op. SCD2 `__START_AT`/
+   *  `__END_AT` carry the snapshot version (long); across instances the
+   *  version counter resumes from the target's max `__START_AT` (SCD1
+   *  keeps no version column — its counter is instance-scoped, which only
+   *  affects the version numbers, never the diff). */
+  def autoCdcFromSnapshotFlow(target: String, source: String,
+      keys: Seq[String], scdType: Int = 1,
+      trackHistoryColumns: Seq[String] = Nil,
+      trackHistoryExceptColumns: Seq[String] = Nil): this.type =
+    registerSnapshotFlow(target, keys, scdType, trackHistoryColumns,
+      trackHistoryExceptColumns, Left(source))
+
+  /** Historical-backfill form of [[autoCdcFromSnapshotFlow]] (DLT's
+   *  `snapshot_and_version` argument): `next(lastVersion)` returns the
+   *  next snapshot and its version — strictly increasing — or None when
+   *  the backlog is drained. Each [[run]] loops until None, applying every
+   *  pending snapshot in order. */
+  def autoCdcFromSnapshotFlow(target: String,
+      next: Option[Long] => Option[(DataFrame, Long)],
+      keys: Seq[String], scdType: Int,
+      trackHistoryColumns: Seq[String],
+      trackHistoryExceptColumns: Seq[String]): this.type =
+    registerSnapshotFlow(target, keys, scdType, trackHistoryColumns,
+      trackHistoryExceptColumns, Right(next))
+
+  /** Historical-backfill form with defaults (Scala can't default-param
+   *  across overloads). */
+  def autoCdcFromSnapshotFlow(target: String,
+      next: Option[Long] => Option[(DataFrame, Long)],
+      keys: Seq[String]): this.type =
+    registerSnapshotFlow(target, keys, 1, Nil, Nil, Right(next))
+
+  private def registerSnapshotFlow(target: String, keys: Seq[String],
+      scdType: Int, trackCols: Seq[String], trackExcept: Seq[String],
+      source: Either[String, Option[Long] => Option[(DataFrame, Long)]]): this.type = {
+    require(scdType == 1 || scdType == 2, s"stored_as_scd_type must be 1 or 2, got $scdType")
+    require(tables.contains(target), s"declare streamingTable($target) first")
+    require(keys.nonEmpty, "snapshot CDC needs at least one key column")
+    require(!flows.exists(_.target == target) &&
+      !snapshotFlows.exists(_.target == target),
+      s"target $target already has a CDC flow — one CDC flow per target " +
+        "(use appendFlow for multi-source ingestion)")
+    require(trackCols.isEmpty || trackExcept.isEmpty,
+      "track_history_column_list and track_history_except_column_list are exclusive")
+    require((trackCols.isEmpty && trackExcept.isEmpty) || scdType == 2,
+      "track-history column scoping applies to SCD type 2 flows only")
+    snapshotFlows += SnapshotFlow(target, keys, scdType, trackCols,
+      trackExcept, source)
     this
   }
 
@@ -245,6 +309,29 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         }: _*)
         t.append(aligned)
         if (af.once) onceFlowsDone += af.name
+      }
+    }
+    // snapshot-diff CDC flows next (declaration order; their targets are
+    // disjoint from the event-fed CDC flows' by construction), so an
+    // event-fed flow sourcing a snapshot-maintained table sees this run's
+    // state below
+    snapshotFlows.foreach { f =>
+      f.source match {
+        case Left(name) =>
+          val last = lastSnapshotVersion(f)
+          applySnapshot(f, views.getOrElse(name, () => read(name))(),
+            last.getOrElse(0L) + 1, gb)
+        case Right(next) =>
+          var last = lastSnapshotVersion(f)
+          var step = next(last)
+          while (step.isDefined) {
+            val (snap, ver) = step.get
+            require(last.forall(ver > _),
+              s"snapshot versions must strictly increase: $ver after ${last.get}")
+            applySnapshot(f, snap, ver, gb)
+            last = Some(ver)
+            step = next(last)
+          }
       }
     }
     orderedFlows.foreach { f =>
@@ -371,6 +458,74 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       t.overwrite(df)
     }
     gates.values.filter(_.policy == Expectations.Fail).foreach(_.assertClean())
+  }
+
+  /** Last processed snapshot version for `f`: the in-memory counter, else
+   *  (SCD2) the target's max `__START_AT` — SCD2 versions survive
+   *  instance restarts through the history itself. */
+  private def lastSnapshotVersion(f: SnapshotFlow): Option[Long] =
+    snapshotVersions.get(f.target).orElse {
+      val t = tables(f.target)
+      if (f.scdType == 2 && t.exists)
+        Option(t.read.agg(org.apache.spark.sql.functions
+          .max(org.apache.spark.sql.functions.col(GoldBuilder.Scd2Start)))
+          .head().get(0)).map(_.asInstanceOf[Number].longValue)
+      else None
+    }
+
+  /** Diff one full snapshot (at `ver`) against `f.target` and apply it —
+   *  the single-snapshot step of [[autoCdcFromSnapshotFlow]]. One shuffle
+   *  on the keys end-to-end: the SCD1 path is a single guarded merge with
+   *  WHEN NOT MATCHED BY SOURCE DELETE; the SCD2 path synthesizes delete
+   *  events for vanished open keys (left-anti on the same keys) and runs
+   *  the shared [[graft.gold.GoldBuilder.scd2Apply]] kernel. */
+  private def applySnapshot(f: SnapshotFlow, snap0: DataFrame, ver: Long,
+      gb: GoldBuilder): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = tables(f.target)
+    val snap = gate(f.target, snap0)
+    f.keys.foreach(k => require(snap.columns.contains(k),
+      s"snapshot is missing key column $k"))
+    if (f.scdType == 1) {
+      if (!t.exists) t.create(snap.schema)
+      val attrs = t.schema.fieldNames.toSeq.filterNot(f.keys.contains)
+      // update only rows whose attributes actually changed; target keys
+      // absent from the snapshot are deletes
+      val changed = attrs.map(a => s"NOT (s.$a <=> t.$a)")
+      t.merge(snap, f.keys,
+        matchedGuard =
+          Some(if (changed.isEmpty) "false" else changed.mkString(" OR ")),
+        deleteUnmatchedTarget = Some("true"))
+    } else {
+      val delFlag = "__graft_is_delete"
+      val verCol = "__snapshot_ver"
+      val up = snap.withColumn(verCol, lit(ver)).withColumn(delFlag, lit(false))
+      val events =
+        if (t.exists) {
+          // open keys that vanished from the snapshot → delete events
+          val gone = t.read.filter(col(GoldBuilder.Scd2End).isNull)
+            .select(f.keys.map(col): _*)
+            .join(snap, f.keys, "left_anti")
+          val attrFields = snap.schema.fields.toSeq
+            .filterNot(fl => f.keys.contains(fl.name))
+          val delRows = attrFields.foldLeft(gone) { (d, fl) =>
+              d.withColumn(fl.name, lit(null).cast(fl.dataType)) }
+            .select(snap.columns.toSeq.map(col): _*)
+            .withColumn(verCol, lit(ver)).withColumn(delFlag, lit(true))
+          up.unionByName(delRows)
+        } else up
+      val attrs = snap.columns.toSeq.filterNot(f.keys.contains)
+      val trackCols =
+        if (f.trackHistoryColumns.nonEmpty) Some(f.trackHistoryColumns)
+        else if (f.trackHistoryExceptColumns.nonEmpty)
+          Some(attrs.filterNot(f.trackHistoryExceptColumns.contains))
+        else None
+      val rows = gb.scd2Apply(events, if (t.exists) Some(t.read) else None,
+        f.keys, verCol, attrs, deleteCol = Some(delFlag), trackCols = trackCols)
+      if (!t.exists) t.create(rows.schema)
+      t.merge(rows, f.keys :+ GoldBuilder.Scd2Start)
+    }
+    snapshotVersions(f.target) = ver
   }
 
   /**
@@ -505,6 +660,16 @@ object Pipeline {
   /** One registered `@dlt.append_flow` — see [[Pipeline.appendFlow]]. */
   private final case class AppendFlow(
       target: String, name: String, once: Boolean, fn: () => DataFrame)
+
+  /** One registered snapshot-diff CDC flow — see
+   *  [[Pipeline.autoCdcFromSnapshotFlow]]. `source` is either a pipeline
+   *  dataset name (current-snapshot mode) or the historical-backfill
+   *  generator `lastVersion => Option[(snapshot, version)]`. */
+  private final case class SnapshotFlow(
+      target: String, keys: Seq[String], scdType: Int,
+      trackHistoryColumns: Seq[String],
+      trackHistoryExceptColumns: Seq[String],
+      source: Either[String, Option[Long] => Option[(DataFrame, Long)]])
 
   private final case class CdcFlow(
       target: String, source: String, keys: Seq[String],

@@ -26,6 +26,9 @@ import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
  *     [TRACK HISTORY ON (c, …) | TRACK HISTORY ON * EXCEPT (c, …)]`
  *    — the SQL form of `create_auto_cdc_flow`; `AUTO CDC INTO` (the renamed
  *    current syntax) and its `CREATE FLOW … AS` wrapper are synonyms.
+ *  - `CREATE FLOW f AS INSERT INTO [ONCE] t BY NAME select` — the SQL form
+ *    of `@dlt.append_flow` ([[Pipeline.appendFlow]]): one of possibly many
+ *    append-only flows feeding `t`; `ONCE` marks a one-time backfill.
  *  - Either CREATE form takes DLT's expectation block before AS:
  *    `( CONSTRAINT n EXPECT (cond) [ON VIOLATION DROP ROW | FAIL UPDATE],
  *    … )` — no ON VIOLATION = warn (metrics only), DROP ROW filters, FAIL
@@ -48,6 +51,9 @@ object PipelineSql {
     """(?is)\s*CONSTRAINT\s+([A-Za-z_]\w*)\s+EXPECT\s*(.*)""".r
   private val OnViolation =
     """(?is)\s*(?:ON\s+VIOLATION\s+(DROP\s+ROW|FAIL\s+UPDATE))?\s*""".r
+  private val CreateFlowInsert =
+    ("""(?is)\s*CREATE\s+FLOW\s+([A-Za-z_]\w*)\s+AS\s+INSERT\s+INTO\s+""" +
+      """(?:(ONCE)\s+)?([A-Za-z_]\w*)\s+BY\s+NAME\s+(.+?)\s*;?\s*""").r
   private val ApplyChanges =
     ("""(?is)\s*(?:CREATE\s+FLOW\s+[A-Za-z_]\w*\s+AS\s+)?""" +
       """(?:APPLY\s+CHANGES|AUTO\s+CDC)\s+INTO\s+([A-Za-z_]\w*)""" +
@@ -99,6 +105,12 @@ object PipelineSql {
         case (policy, cs) =>
           p.expectations(name, cs.map(c => c._1 -> c._2).toMap, policy)
       }
+      ()
+    case CreateFlowInsert(flowName, once, target, select) =>
+      // Lakeflow's SQL append flow: `CREATE FLOW f AS INSERT INTO [ONCE] t
+      // BY NAME <select>` — one of possibly many append-only flows feeding
+      // t; ONCE is the one-time backfill marker
+      p.appendFlow(target, flowName, once = once != null)(evalSelect(p, select))
       ()
     case ApplyChanges(target, streamSrc, plainSrc, keys, ignoreNulls, delWhen,
         truncWhen, seqBy, except, colList, scdType, trackExcept, trackOn) =>

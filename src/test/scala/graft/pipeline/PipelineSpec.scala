@@ -518,6 +518,120 @@ class PipelineSpec extends SparkSpec {
     assert(p.table("silver").readVersion(v1).count() == 2)
   }
 
+  test("autoCdcFromSnapshotFlow SCD1: snapshot diff inserts, updates, and " +
+      "deletes vanished keys; identical snapshot is a no-op") {
+    val p = new Pipeline(spark, tmpDir("pl_snap1"))
+    var snap = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "v", "x")
+    p.streamingTable("dim")
+    p.view("snap")(snap)
+    p.autoCdcFromSnapshotFlow("dim", "snap", Seq("k"))
+    p.run()
+    assert(p.read("dim").orderBy("k").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)))
+
+    // snapshot 2: k=1 changed, k=2 VANISHED (delete), k=3 new
+    snap = Seq((1L, "a2", 10.0), (3L, "c", 30.0)).toDF("k", "v", "x")
+    p.run()
+    assert(p.read("dim").orderBy("k").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a2", 10.0), (3L, "c", 30.0)))
+
+    // identical snapshot: the final state is unchanged
+    p.run()
+    assert(p.read("dim").orderBy("k").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a2", 10.0), (3L, "c", 30.0)))
+  }
+
+  test("autoCdcFromSnapshotFlow SCD2: changed rows close at the snapshot " +
+      "version and reopen; vanished keys close with no open row; an " +
+      "unchanged snapshot opens nothing") {
+    val p = new Pipeline(spark, tmpDir("pl_snap2"))
+    var snap = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    p.streamingTable("hist")
+    p.view("snap")(snap)
+    p.autoCdcFromSnapshotFlow("hist", "snap", Seq("k"), scdType = 2)
+    p.run() // version 1
+    snap = Seq((1L, "a2"), (3L, "c")).toDF("k", "v") // k=1 changed, k=2 gone, k=3 new
+    p.run() // version 2
+    snap = Seq((1L, "a2"), (3L, "c")).toDF("k", "v") // identical
+    p.run() // version 3: no-op
+    import graft.gold.GoldBuilder.{Scd2End, Scd2Start}
+    val rows = p.read("hist")
+      .select($"k", $"v", col(Scd2Start).cast("long"),
+        coalesce(col(Scd2End), lit(-1)).cast("long"))
+      .as[(Long, String, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(rows == Seq(
+      (1L, "a", 1L, 2L), (1L, "a2", 2L, -1L),
+      (2L, "b", 1L, 2L),
+      (3L, "c", 2L, -1L)))
+  }
+
+  test("autoCdcFromSnapshotFlow SCD2 resumes its version counter from the " +
+      "target history across pipeline instances") {
+    val root = tmpDir("pl_snap_resume")
+    val p1 = new Pipeline(spark, root)
+    p1.streamingTable("hist")
+    p1.view("snap")(Seq((1L, "a")).toDF("k", "v"))
+    p1.autoCdcFromSnapshotFlow("hist", "snap", Seq("k"), scdType = 2)
+    p1.run() // version 1
+
+    val p2 = new Pipeline(spark, root) // fresh instance, same storage
+    p2.streamingTable("hist")
+    p2.view("snap")(Seq((1L, "a2")).toDF("k", "v"))
+    p2.autoCdcFromSnapshotFlow("hist", "snap", Seq("k"), scdType = 2)
+    p2.run() // resumes → version 2, not 1
+    import graft.gold.GoldBuilder.{Scd2End, Scd2Start}
+    val rows = p2.read("hist")
+      .select($"v", col(Scd2Start).cast("long"),
+        coalesce(col(Scd2End), lit(-1)).cast("long"))
+      .as[(String, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(rows == Seq(("a", 1L, 2L), ("a2", 2L, -1L)))
+  }
+
+  test("autoCdcFromSnapshotFlow historical-backfill form drains every " +
+      "pending snapshot in version order in one run") {
+    val p = new Pipeline(spark, tmpDir("pl_snap_hist"))
+    p.streamingTable("hist")
+    val snaps = Map(
+      10L -> Seq((1L, "a"), (2L, "b")),
+      20L -> Seq((1L, "a2")),
+      30L -> Seq((1L, "a2"), (4L, "d")))
+    p.autoCdcFromSnapshotFlow("hist",
+      (last: Option[Long]) => snaps.keys.filter(v => last.forall(v > _))
+        .minOption.map(v => (snaps(v).toDF("k", "v"), v)),
+      Seq("k"), scdType = 2, Nil, Nil)
+    p.run()
+    import graft.gold.GoldBuilder.{Scd2End, Scd2Start}
+    val rows = p.read("hist")
+      .select($"k", $"v", col(Scd2Start).cast("long"),
+        coalesce(col(Scd2End), lit(-1)).cast("long"))
+      .as[(Long, String, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(rows == Seq(
+      (1L, "a", 10L, 20L), (1L, "a2", 20L, -1L),
+      (2L, "b", 10L, 20L),
+      (4L, "d", 30L, -1L)))
+    // a later run with nothing pending is a no-op
+    val v = p.table("hist").currentVersion
+    p.run()
+    assert(p.table("hist").currentVersion == v)
+  }
+
+  test("autoCdcFromSnapshotFlow SCD2 track_history_except: untracked churn " +
+      "updates the open row in place instead of opening a version") {
+    val p = new Pipeline(spark, tmpDir("pl_snap_trk"))
+    var snap = Seq((1L, "a", 1.0)).toDF("k", "v", "score")
+    p.streamingTable("hist")
+    p.view("snap")(snap)
+    p.autoCdcFromSnapshotFlow("hist", "snap", Seq("k"), scdType = 2,
+      trackHistoryExceptColumns = Seq("score"))
+    p.run()
+    snap = Seq((1L, "a", 2.0)).toDF("k", "v", "score") // untracked-only churn
+    p.run()
+    import graft.gold.GoldBuilder.Scd2End
+    assert(p.read("hist").count() == 1) // still a single open version
+    assert(p.read("hist").filter(col(Scd2End).isNull)
+      .select($"score").as[Double].head() == 2.0)
+  }
+
   test("views resolve lazily and read() prefers materialized tables") {
     val p = new Pipeline(spark, tmpDir("pl_views"))
     var evaluated = false

@@ -239,6 +239,24 @@ class PipelineSqlSpec extends SparkSpec {
       Seq((1L, "STREAM(src)", "a")))
   }
 
+  test("CREATE FLOW ... AS INSERT INTO BY NAME declares append flows: many " +
+      "flows feed one table, ONCE drains only on the first run") {
+    val p = new Pipeline(spark, tmpDir("plsql_append"))
+    p.view("hist")(Seq((1L, "h")).toDF("k", "src"))
+    p.view("live")(Seq((2L, "l")).toDF("k", "src"))
+    PipelineSql(p, "CREATE OR REFRESH STREAMING TABLE events")
+    PipelineSql(p,
+      "CREATE FLOW backfill AS INSERT INTO ONCE events BY NAME SELECT * FROM hist")
+    PipelineSql(p,
+      "CREATE FLOW live_feed AS INSERT INTO events BY NAME SELECT * FROM STREAM(live)")
+    p.run()
+    assert(p.read("events").orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "h"), (2L, "l")))
+    p.run() // backfill skipped, live appends again
+    assert(p.read("events").count() == 3)
+    assert(p.read("events").filter($"src" === "h").count() == 1)
+  }
+
   test("unsupported statements fail loudly") {
     val p = new Pipeline(spark, tmpDir("plsql_bad"))
     val e = intercept[IllegalArgumentException] {
