@@ -771,6 +771,38 @@ object CoreQueries {
                         TIMESTAMP '2200-01-01 00:00:00') AS end_at
         FROM k ORDER BY user_id, start_at""")),
 
+    // O1 SCD1 + multi-column SEQUENCE BY — DLT's struct `sequence_by`
+    // (`sequence_by = struct(c1, c2)` / SQL `SEQUENCE BY (c1, c2)`):
+    // ordering is LEXICOGRAPHIC over the tuple, within a batch and across
+    // merges. Primary = day (deliberately coarse: ~2.9k (user, day) tie
+    // groups at sf0.01), secondary = event_id. Batches split by event_id
+    // parity, so same-day ties for one user straddle the two merges and
+    // only the tuple guard — (s.day > t.day) OR (s.day = t.day AND
+    // s.event_id >= t.event_id) — keeps the right winner. Declared through
+    // the SQL surface to exercise the SEQUENCE BY (…) parse.
+    Q("o1_scd1_multiseq", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+          col("event_id"), col("event_type"), col("value"))
+      val p = new Pipeline(s, tmp("graft_mseq"))
+      var batch = ev.filter(col("event_id") % 2 === 0)
+      p.view("src")(batch)
+      PipelineSql(p, "CREATE OR REFRESH STREAMING TABLE silver")
+      PipelineSql(p,
+        "APPLY CHANGES INTO silver FROM STREAM(src) KEYS (user_id) SEQUENCE BY (day, event_id)")
+      p.run()
+      batch = ev.filter(col("event_id") % 2 === 1)
+      p.run()
+      p.read("silver").orderBy("user_id")
+    },
+      Some("""SELECT user_id, date_trunc('day', ts) AS day, event_id,
+               event_type, value
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY date_trunc('day', ts) DESC, event_id DESC) = 1
+        ORDER BY user_id""")),
+
     // O9 AUTO CDC FROM SNAPSHOT, SCD1 — DLT's
     // `create_auto_cdc_from_snapshot_flow(stored_as_scd_type = 1)`, the
     // sibling of the reference's create_auto_cdc_flow API

@@ -115,8 +115,17 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       trackHistoryExceptColumns: Seq[String] = Nil,
       ignoreNullUpdates: Boolean = false,
       applyAsTruncates: Option[String] = None,
-      columnList: Seq[String] = Nil): this.type = {
+      columnList: Seq[String] = Nil,
+      sequenceAlso: Seq[String] = Nil): this.type = {
     require(scdType == 1 || scdType == 2, s"stored_as_scd_type must be 1 or 2, got $scdType")
+    // DLT's struct sequence_by (`sequence_by = struct(c1, c2)` / SQL
+    // `SEQUENCE BY (c1, c2)`): ordering is lexicographic over the column
+    // tuple — within a batch AND across batches (the merge guard compares
+    // tuples). SCD1 only for now: SCD2 validity columns are single-valued.
+    require(sequenceAlso.isEmpty || scdType == 1,
+      "multi-column SEQUENCE BY is supported for SCD type 1 flows")
+    require(sequenceAlso.isEmpty || applyAsTruncates.isEmpty,
+      "multi-column SEQUENCE BY and apply_as_truncate are exclusive")
     require(tables.contains(target), s"declare streamingTable($target) first")
     // one CDC flow owns a target (DLT's rule: APPLY CHANGES is the sole
     // writer of its table); feeding one table from many sources is the
@@ -147,9 +156,19 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     flows += CdcFlow(target, source, keys, sequenceBy, tiebreak, scdType,
       applyAsDeletes, exceptColumns, trackHistoryColumns,
       trackHistoryExceptColumns, ignoreNullUpdates, applyAsTruncates,
-      columnList)
+      columnList, sequenceAlso)
     this
   }
+
+  /** Lexicographic `s`-sequence ≥ `t`-sequence over the sequence column
+   *  tuple (DLT struct `sequence_by`; one column degenerates to the plain
+   *  `s.seq >= t.seq`). */
+  private def seqGeGuard(cols: Seq[String]): String =
+    cols.indices.map { i =>
+      val eqs = (0 until i).map(j => s"s.${cols(j)} = t.${cols(j)}")
+      val cmp = if (i == cols.size - 1) ">=" else ">"
+      (eqs :+ s"s.${cols(i)} $cmp t.${cols(i)}").mkString("(", " AND ", ")")
+    }.mkString(" OR ")
 
   /** DLT's `@dlt.append_flow(target=…, name=…, once=…)` — one of possibly
    *  MANY append-only flows feeding a single streaming table (the
@@ -392,12 +411,16 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
               batch.filter(fnCol(f.sequenceBy) > fnLit(tSeq) && !tFlag)
             }
         }
-        val latest = gb.latestPerKey(afterTruncate, f.keys, f.sequenceBy, tiebreak)
+        // secondary sequence columns order FIRST among the tiebreaks
+        // (lexicographic struct sequence_by), ahead of any deterministic
+        // leftovers
+        val tb1 = f.sequenceAlso ++ tiebreak.filterNot(f.sequenceAlso.contains)
+        val latest = gb.latestPerKey(afterTruncate, f.keys, f.sequenceBy, tb1)
         // COLUMNS (list) keeps exactly the listed attributes (keys and the
-        // sequence column always ride along); COLUMNS * EXCEPT drops
+        // sequence columns always ride along); COLUMNS * EXCEPT drops
         def keepCols(d: DataFrame): DataFrame =
           if (f.columnList.nonEmpty)
-            d.select((f.keys ++ Seq(f.sequenceBy) ++ f.columnList)
+            d.select((f.keys ++ Seq(f.sequenceBy) ++ f.sequenceAlso ++ f.columnList)
               .distinct.map(fnCol): _*)
           else d.drop(f.exceptColumns: _*)
         val kept = keepCols(latest)
@@ -407,7 +430,8 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         // always advances, inserts land the row as-is (DLT's rule)
         def updSet: Map[String, String] = t.schema.fieldNames.toSeq
           .filterNot(f.keys.contains).map(c =>
-            c -> (if (c == f.sequenceBy || !f.ignoreNullUpdates) s"s.$c"
+            c -> (if (c == f.sequenceBy || f.sequenceAlso.contains(c) ||
+                !f.ignoreNullUpdates) s"s.$c"
               else s"coalesce(s.$c, t.$c)")).toMap
         if (truncated) {
           // post-truncate survivors REPLACE the table in one commit;
@@ -420,10 +444,10 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           t.overwrite(survivors.select(t.schema.fieldNames.toSeq.map(fnCol): _*))
         } else f.applyAsDeletes match {
           case None if !f.ignoreNullUpdates =>
-            t.merge(kept, f.keys, Some(s"s.${f.sequenceBy} >= t.${f.sequenceBy}"))
+            t.merge(kept, f.keys, Some(seqGeGuard(f.sequenceBy +: f.sequenceAlso)))
           case None =>
             t.merge(kept, f.keys,
-              matchedGuard = Some(s"s.${f.sequenceBy} >= t.${f.sequenceBy}"),
+              matchedGuard = Some(seqGeGuard(f.sequenceBy +: f.sequenceAlso)),
               matchedSet = Some(updSet))
           case Some(delPred) =>
             // CDC apply with deletes (the s39 statement, programmatic):
@@ -438,7 +462,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
             val delFlag = "__graft_is_delete"
             val flagged = latest.withColumn(delFlag,
               coalesce(expr(delPred).cast("boolean"), lit(false)))
-            val seqGuard = s"s.${f.sequenceBy} >= t.${f.sequenceBy}"
+            val seqGuard = s"(${seqGeGuard(f.sequenceBy +: f.sequenceAlso)})"
             t.merge(flagged, f.keys,
               matchedGuard = Some(seqGuard),
               matchedSet = Some(updSet),
@@ -680,5 +704,6 @@ object Pipeline {
       trackHistoryExceptColumns: Seq[String] = Nil,
       ignoreNullUpdates: Boolean = false,
       applyAsTruncates: Option[String] = None,
-      columnList: Seq[String] = Nil)
+      columnList: Seq[String] = Nil,
+      sequenceAlso: Seq[String] = Nil)
 }

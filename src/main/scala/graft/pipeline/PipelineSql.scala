@@ -21,7 +21,7 @@ import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
  *    [[Pipeline.runCdcFlowStreaming]]/[[Pipeline.runJoinFlowStreaming]]).
  *  - `[CREATE FLOW f AS] APPLY CHANGES INTO t FROM [STREAM(]src[)]
  *     KEYS (k, …) [IGNORE NULL UPDATES] [APPLY AS DELETE WHEN cond]
- *     [APPLY AS TRUNCATE WHEN cond] SEQUENCE BY seq
+ *     [APPLY AS TRUNCATE WHEN cond] SEQUENCE BY seq|(seq, …)
  *     [COLUMNS (c, …) | COLUMNS * EXCEPT (c, …)] [STORED AS SCD TYPE 1|2]
  *     [TRACK HISTORY ON (c, …) | TRACK HISTORY ON * EXCEPT (c, …)]`
  *    — the SQL form of `create_auto_cdc_flow`; `AUTO CDC INTO` (the renamed
@@ -62,7 +62,7 @@ object PipelineSql {
       """(\s+IGNORE\s+NULL\s+UPDATES)?""" +
       """(?:\s+APPLY\s+AS\s+DELETE\s+WHEN\s+(.+?))?""" +
       """(?:\s+APPLY\s+AS\s+TRUNCATE\s+WHEN\s+(.+?))?""" +
-      """\s+SEQUENCE\s+BY\s+([A-Za-z_]\w*)""" +
+      """\s+SEQUENCE\s+BY\s+(?:\(([^)]*)\)|([A-Za-z_]\w*))""" +
       """(?:\s+COLUMNS\s+(?:\*\s+EXCEPT\s*\(([^)]*)\)|\(([^)]*)\)))?""" +
       """(?:\s+STORED\s+AS\s+SCD\s+TYPE\s+([12]))?""" +
       """(?:\s+TRACK\s+HISTORY\s+ON\s+(?:\*\s+EXCEPT\s*\(([^)]*)\)|\(([^)]*)\)))?""" +
@@ -113,13 +113,18 @@ object PipelineSql {
       p.appendFlow(target, flowName, once = once != null)(evalSelect(p, select))
       ()
     case ApplyChanges(target, streamSrc, plainSrc, keys, ignoreNulls, delWhen,
-        truncWhen, seqBy, except, colList, scdType, trackExcept, trackOn) =>
+        truncWhen, seqList, seqBy, except, colList, scdType, trackExcept, trackOn) =>
       val source = Option(streamSrc).getOrElse(plainSrc)
       def cols(s: String): Seq[String] =
         Option(s).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      // SEQUENCE BY (c1, c2, …) — DLT's struct sequence_by: lexicographic
+      // ordering over the tuple; the first column is primary
+      val seqCols = Option(seqBy).map(s => Seq(s.trim)).getOrElse(cols(seqList))
+      require(seqCols.nonEmpty, "SEQUENCE BY needs at least one column")
       p.autoCdcFlow(target, source,
         keys = cols(keys),
-        sequenceBy = seqBy.trim,
+        sequenceBy = seqCols.head,
+        sequenceAlso = seqCols.tail,
         scdType = Option(scdType).map(_.trim.toInt).getOrElse(1),
         applyAsDeletes = Option(delWhen).map(_.trim),
         applyAsTruncates = Option(truncWhen).map(_.trim),

@@ -632,6 +632,35 @@ class PipelineSpec extends SparkSpec {
       .select($"score").as[Double].head() == 2.0)
   }
 
+  test("multi-column SEQUENCE BY (struct sequence_by): the tuple orders " +
+      "lexicographically within a batch AND across merges") {
+    val p = new Pipeline(spark, tmpDir("pl_seq2"))
+    var batch = Seq(
+      // same primary seq, higher secondary wins within the batch
+      (1L, "lo", ts("2024-01-01 00:00:00"), 1L),
+      (1L, "hi", ts("2024-01-01 00:00:00"), 7L),
+      (2L, "b", ts("2024-01-01 00:00:00"), 5L)).toDF("k", "v", "seq", "lsn")
+    p.streamingTable("silver")
+    p.view("src")(batch)
+    p.autoCdcFlow("silver", "src", Seq("k"), "seq", sequenceAlso = Seq("lsn"))
+    p.run()
+    assert(p.read("silver").orderBy("k").as[(Long, String, Timestamp, Long)]
+      .collect().toSeq == Seq(
+        (1L, "hi", ts("2024-01-01 00:00:00"), 7L),
+        (2L, "b", ts("2024-01-01 00:00:00"), 5L)))
+
+    // batch 2: k=1 same primary seq but LOWER lsn → stale, loses; k=2 same
+    // primary seq, higher lsn → wins
+    batch = Seq(
+      (1L, "stale", ts("2024-01-01 00:00:00"), 3L),
+      (2L, "b2", ts("2024-01-01 00:00:00"), 9L)).toDF("k", "v", "seq", "lsn")
+    p.run()
+    assert(p.read("silver").orderBy("k").as[(Long, String, Timestamp, Long)]
+      .collect().toSeq == Seq(
+        (1L, "hi", ts("2024-01-01 00:00:00"), 7L),
+        (2L, "b2", ts("2024-01-01 00:00:00"), 9L)))
+  }
+
   test("views resolve lazily and read() prefers materialized tables") {
     val p = new Pipeline(spark, tmpDir("pl_views"))
     var evaluated = false

@@ -257,6 +257,22 @@ class PipelineSqlSpec extends SparkSpec {
     assert(p.read("events").filter($"src" === "h").count() == 1)
   }
 
+  test("SEQUENCE BY (seq, lsn) parses as struct sequencing: secondary " +
+      "column breaks primary-sequence ties across batches") {
+    val p = new Pipeline(spark, tmpDir("plsql_seq2"))
+    var batch = Seq((1L, "a", ts("2024-01-01 00:00:00"), 7L))
+      .toDF("k", "v", "seq", "lsn")
+    p.view("src")(batch)
+    PipelineSql(p, "CREATE OR REFRESH STREAMING TABLE silver")
+    PipelineSql(p,
+      "APPLY CHANGES INTO silver FROM STREAM(src) KEYS (k) SEQUENCE BY (seq, lsn)")
+    p.run()
+    batch = Seq((1L, "stale", ts("2024-01-01 00:00:00"), 3L))
+      .toDF("k", "v", "seq", "lsn")
+    p.run() // same seq, lower lsn → loses
+    assert(p.read("silver").select("v").as[String].collect().toSeq == Seq("a"))
+  }
+
   test("unsupported statements fail loudly") {
     val p = new Pipeline(spark, tmpDir("plsql_bad"))
     val e = intercept[IllegalArgumentException] {
