@@ -300,11 +300,25 @@ object LakeSql {
             val st = tbl.optimizeWhere(preds, zc.getOrElse(Nil))
             Seq((st.filesRewritten, st.filesLinked, st.bytesRewritten))
               .toDF("files_rewritten", "files_untouched", "bytes_rewritten")
+          case (None, None) if tbl.clusterBy.nonEmpty =>
+            // liquid-clustered table: plain OPTIMIZE re-clusters on the
+            // declared key (Delta's clustering trigger; ours is a full
+            // re-cluster where Delta's is incremental over new files).
+            // All-z-orderable keys interleave (multi-dimensional locality);
+            // keys with string columns range-sort lexicographically.
+            val cols = tbl.clusterBy
+            if (tbl.zOrderable(cols)) tbl.compactZOrder(cols)
+            else tbl.compactSort(cols)
+            Seq((cols.mkString(","), tbl.detail.numFiles))
+              .toDF("clustered_by", "num_files")
           case (None, None) =>
             val st = tbl.optimizeCompact()
             Seq((st.filesRewritten, st.filesLinked, st.bytesRewritten))
               .toDF("files_rewritten", "files_linked", "bytes_rewritten")
           case (None, Some(cols)) =>
+            require(tbl.clusterBy.isEmpty,
+              s"ZORDER BY on liquid-clustered table $name — clustering " +
+                "owns the layout; use plain OPTIMIZE or CLUSTER BY NONE first")
             tbl.compactZOrder(cols)
             Seq((cols.mkString(","), tbl.detail.numFiles))
               .toDF("zorder_by", "num_files")
@@ -482,6 +496,25 @@ object LakeSql {
             val tbl = lookup(name)
             tbl.renameColumn(rc.column.name.head, rc.newName)
             Seq((norm(name), tbl.currentVersion)).toDF("table", "version")
+          case cb: org.apache.spark.sql.catalyst.plans.logical.AlterTableClusterBy =>
+            // `ALTER TABLE t CLUSTER BY (c, …)` / `CLUSTER BY NONE` —
+            // liquid clustering: metadata-only key change, the layout
+            // follows at the next OPTIMIZE (see LakeTable.setClusterBy)
+            val name = cb.table.collectFirst {
+              case UnresolvedRelation(parts, _, _) => parts.mkString(".")
+              case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+                ut.multipartIdentifier.mkString(".")
+            }.getOrElse(throw new IllegalArgumentException(
+              s"ALTER TABLE target must be a named table, got ${cb.table.nodeName}"))
+            val cols = cb.clusterBySpec.toSeq.flatMap(_.columnNames).map { r =>
+              require(r.fieldNames.length == 1,
+                s"nested clustering column ${r.fieldNames.mkString(".")} is not supported")
+              r.fieldNames.head
+            }
+            val tbl = lookup(name)
+            tbl.setClusterBy(cols)
+            Seq((norm(name), cols.mkString(","), tbl.currentVersion))
+              .toDF("table", "cluster_by", "version")
           case sp: org.apache.spark.sql.catalyst.plans.logical.SetTableProperties =>
             val name = sp.table.collectFirst {
               case UnresolvedRelation(parts, _, _) => parts.mkString(".")
@@ -861,7 +894,14 @@ object LakeSql {
     }).getOrElse(throw new IllegalArgumentException(
       s"CREATE TABLE $name needs LOCATION '<path>' — lake tables are " +
         "path-addressed"))
-    val pcol = partitioning.toList match {
+    // CREATE TABLE ... CLUSTER BY (c, ...) — liquid clustering from birth:
+    // the parser carries it as a ClusterByTransform in the partitioning
+    val clusterCols = org.apache.spark.sql.catalyst.catalog.ClusterBySpec
+      .extractClusterBySpec(partitioning)
+      .map(_.columnNames.map(_.fieldNames.mkString(".")))
+    val nonCluster = partitioning.filterNot(
+      _.isInstanceOf[org.apache.spark.sql.connector.expressions.ClusterByTransform])
+    val pcol = nonCluster.toList match {
       case Nil => None
       case t :: Nil if t.name == "identity" && t.references.length == 1 =>
         Some(t.references.head.fieldNames.mkString("."))
@@ -869,6 +909,9 @@ object LakeSql {
         s"CREATE TABLE $name: only a single-column PARTITIONED BY (col) is " +
           "supported")
     }
+    require(clusterCols.isEmpty || pcol.isEmpty,
+      s"CREATE TABLE $name: CLUSTER BY and PARTITIONED BY are exclusive " +
+        "(Delta's rule)")
     val props = spec match {
       case s: UnresolvedTableSpec => s.properties
       case _ => Map.empty[String, String]
@@ -883,6 +926,7 @@ object LakeSql {
       // CREATE TABLE ... TBLPROPERTIES lands as the table's first property
       // commit; `enableChangeFeed` is recognized (CDF on from creation)
       if (props.nonEmpty) tbl.setTableProperties(props)
+      clusterCols.foreach(cs => tbl.setClusterBy(cs))
     }
     register(name, tbl)
     Seq((norm(name), tbl.currentVersion)).toDF("table", "version")

@@ -678,6 +678,37 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     }
   }
 
+  /** Liquid clustering (Delta `CLUSTER BY` / `ALTER TABLE … CLUSTER BY`):
+   *  declare the clustering key as TABLE METADATA instead of baking it
+   *  into a directory layout. Data layout changes lazily — `OPTIMIZE`
+   *  without an explicit ZORDER re-clusters on these columns (Delta's
+   *  incremental-clustering trigger); writes themselves are untouched, so
+   *  changing the key is O(manifest) and takes effect at the next
+   *  OPTIMIZE. Empty `cols` = `CLUSTER BY NONE` (clears the key).
+   *  Partitioned tables are refused — Delta's rule: liquid clustering and
+   *  Hive-style partitioning are exclusive layouts. */
+  def setClusterBy(cols: Seq[String]): Unit = {
+    require(exists, s"LakeTable at $root does not exist")
+    if (cols.isEmpty) unsetTableProperties(Seq(LakeTable.ClusterByProp))
+    else {
+      require(partitionColumn.isEmpty,
+        "CLUSTER BY on a partitioned table — liquid clustering and " +
+          "partitioning are exclusive (Delta's rule)")
+      val missing = cols.filterNot(c =>
+        schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+      require(missing.isEmpty,
+        s"CLUSTER BY column(s) not in schema: ${missing.mkString(", ")}")
+      require(cols.size <= 4,
+        "CLUSTER BY supports at most 4 columns (Delta's limit)")
+      setTableProperties(Map(LakeTable.ClusterByProp -> cols.mkString(",")))
+    }
+  }
+
+  /** Current liquid-clustering columns (empty = not clustered). */
+  def clusterBy: Seq[String] =
+    tableProperties.get(LakeTable.ClusterByProp).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
   /** Current table properties (`SHOW TBLPROPERTIES`), including the
    *  recognized `enableChangeFeed` flag. */
   def tableProperties: Map[String, String] = {
@@ -2949,6 +2980,44 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     finally release()
   }
 
+  /** Lexicographic range-clustering compact — the layout `OPTIMIZE` applies
+   *  to a liquid-clustered table whose key includes non-z-orderable columns
+   *  (strings): range-repartition + sort on the column tuple, so each file
+   *  covers a contiguous span of the leading key and zone maps prune on
+   *  key prefixes. One sample pass (the range partitioner) + one shuffle —
+   *  the same O(table) cost envelope as [[compactZOrder]]. Favors the
+   *  LEADING columns (lexicographic), where the z-curve spreads locality
+   *  evenly; pick the order accordingly. */
+  def compactSort(cols: Seq[String], targetFiles: Int = 16): Unit = synchronized {
+    val v0 = currentVersion
+    val m = readManifest(v0)
+    require(cols.nonEmpty && cols.size <= 4, "1..4 sort-cluster columns")
+    cols.foreach { c =>
+      require(m.schema.fieldNames.contains(c), s"unknown cluster column $c")
+      require(!m.pcol.contains(c), s"$c is the partition column")
+    }
+    val clustered = readScoped(m, None)
+      .repartitionByRange(targetFiles max 1, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+    replaceAll(clustered, m.pcol, "compact", Some(v0),
+      preclustered = m.pcol.isDefined)
+  }
+
+  /** Whether every column in `cols` carries a z-orderable type
+   *  (numeric/timestamp/date) — decides [[compactZOrder]] vs
+   *  [[compactSort]] for liquid-clustered OPTIMIZE. */
+  def zOrderable(cols: Seq[String]): Boolean = {
+    val s = schema
+    cols.forall { c =>
+      s.fieldNames.contains(c) && (s(c).dataType match {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.DateType => true
+        case _ => false
+      })
+    }
+  }
+
   /** The Z-order clustering transform shared by [[compactZOrder]] (whole
    *  table) and [[optimizeWhere]] (partition-scoped): quantize each z-col
    *  to equi-depth 8-bit bins, interleave the bin bits into a z-value, and
@@ -3132,6 +3201,10 @@ object LakeTable {
   /** The recognized TBLPROPERTIES key that switches change-data capture
    *  (Delta's `delta.enableChangeDataFeed` role). */
   val ChangeFeedProp = "enableChangeFeed"
+
+  /** Table property carrying the liquid-clustering columns (Delta's
+   *  `clusteringColumns` metadata, set via SQL `CLUSTER BY`). */
+  val ClusterByProp = "clusteringColumns"
   /** TBLPROPERTIES keys driving write-side AUTO COMPACT (Delta
    *  `delta.autoOptimize.autoCompact` role): switch, small-file count
    *  threshold, and target packed-file size. MUTUALLY EXCLUSIVE with

@@ -1289,6 +1289,33 @@ object CoreQueries {
         WHERE o_custkey >= 100 AND o_custkey <= 300
         ORDER BY o_orderkey""")),
 
+    // S42: LIQUID CLUSTERING lifecycle — Delta's `ALTER TABLE … CLUSTER BY`
+    // + plain `OPTIMIZE` (no ZORDER clause): the clustering key lives as
+    // TABLE METADATA and OPTIMIZE routes to it. Same fixture hazard as s23
+    // (interleaved appends give every file a full-domain custkey range —
+    // nothing prunes until the re-cluster), but the layout choice comes
+    // from the table property, not the statement. Hash equality against
+    // the plain filter proves clustering is physical-only; the zone-pruned
+    // read is the payoff it exists for.
+    Q("s42_cluster_by", (s, d) => {
+      val o = t(s, d, "orders")
+      val tbl = LakeTable(s, s"${tmp("graft_s42")}/t")
+      tbl.create(o.schema, statsColumns = Seq("o_custkey", "o_totalprice"))
+      (0 until 3).foreach(r =>
+        tbl.append(o.filter(col("o_orderkey") % 3 === r).coalesce(1)))
+      LakeSql.register("s42_orders", tbl)
+      try {
+        LakeSql.sql(s, "ALTER TABLE s42_orders CLUSTER BY (o_custkey, o_totalprice)")
+        LakeSql.sql(s, "OPTIMIZE s42_orders") // routes to the clustering key
+      } finally LakeSql.unregister("s42_orders")
+      tbl.readWhere(Seq(LakeTable.ZonePred.between("o_custkey", "100", "300")))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_custkey >= 100 AND o_custkey <= 300
+        ORDER BY o_orderkey""")),
+
     // S24: CHECK-constraint reject-then-read — a violating append must fail
     // ATOMICALLY (no partial files land, no version is published), so the
     // subsequent read sees exactly the pre-violation snapshot. The oracle is

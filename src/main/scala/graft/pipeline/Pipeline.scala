@@ -40,6 +40,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
   private val onceFlowsDone = mutable.Set[String]()
   private val snapshotFlows = mutable.ArrayBuffer[SnapshotFlow]()
   private val snapshotVersions = mutable.Map[String, Long]()
+  private val pendingClusterBy = mutable.Map[String, Seq[String]]()
   private val mviews = mutable.LinkedHashMap[String, () => DataFrame]()
   private val gates = mutable.LinkedHashMap[String, Expectations.Gate]()
   private val tableGates =
@@ -79,10 +80,15 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       g.assertClean()
     }
 
-  /** Declare a materialized CDC target (O2 `dlt.create_streaming_table`). */
-  def streamingTable(name: String): LakeTable = {
+  /** Declare a materialized CDC target (O2 `dlt.create_streaming_table`).
+   *  `clusterBy` is DLT's `cluster_by` knob: the liquid-clustering key is
+   *  stamped as table metadata once the table materializes (first flow
+   *  write); `OPTIMIZE` then re-clusters on it
+   *  ([[graft.lake.LakeTable.setClusterBy]]). */
+  def streamingTable(name: String, clusterBy: Seq[String] = Nil): LakeTable = {
     val t = LakeTable(spark, s"$storageRoot/$name")
     tables(name) = t
+    if (clusterBy.nonEmpty) pendingClusterBy(name) = clusterBy
     t
   }
 
@@ -481,6 +487,12 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       if (!t.exists) t.create(df.schema)
       t.overwrite(df)
     }
+    // DLT `cluster_by`: stamp each declared clustering key once its table
+    // has materialized (idempotent — one properties commit, ever)
+    pendingClusterBy.foreach { case (name, cols) =>
+      val t = tables(name)
+      if (t.exists && t.clusterBy != cols) t.setClusterBy(cols)
+    }
     gates.values.filter(_.policy == Expectations.Fail).foreach(_.assertClean())
   }
 
@@ -550,6 +562,20 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       t.merge(rows, f.keys :+ GoldBuilder.Scd2Start)
     }
     snapshotVersions(f.target) = ver
+  }
+
+  /** DLT's FULL REFRESH: every declared table is cleared and recomputed
+   *  from scratch in one update — `once = true` append flows drain again
+   *  (the documented full-refresh exception to once semantics), SCD
+   *  targets rebuild from the sources' current contents, and snapshot
+   *  version counters restart. Each table keeps its schema and its
+   *  version history (the wipe is an overwrite commit — time travel to
+   *  pre-refresh versions still works). */
+  def runFullRefresh(): Unit = {
+    onceFlowsDone.clear()
+    snapshotVersions.clear()
+    tables.values.filter(_.exists).foreach(t => t.overwrite(t.read.limit(0)))
+    run()
   }
 
   /**

@@ -1048,4 +1048,84 @@ class LakeSqlSpec extends SparkSpec {
     assert(t.read.orderBy("k1", "k2").as[(Long, String, String)].collect().toSeq ==
       Seq((1L, "x", "new"), (1L, "y", "old"), (2L, "z", "new")))
   }
+
+  test("liquid clustering: ALTER TABLE CLUSTER BY is metadata-only, plain " +
+      "OPTIMIZE re-clusters on the key, ZORDER is refused while clustered, " +
+      "CLUSTER BY NONE clears") {
+    val t = LakeTable(spark, s"${tmpDir("sql_cluster")}/t")
+    t.append(Seq((3L, "c", 30), (1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "x"))
+    LakeSql.register("liq", t)
+    try {
+      val v0 = t.currentVersion
+      LakeSql.sql(spark, "ALTER TABLE liq CLUSTER BY (k, x)")
+      // metadata-only: one properties commit, no data rewrite
+      assert(t.currentVersion == v0 + 1)
+      assert(t.clusterBy == Seq("k", "x"))
+      assert(LakeSql.sql(spark, "SHOW TBLPROPERTIES liq ('clusteringColumns')")
+        .as[(String, String)].collect().toSeq ==
+        Seq(("clusteringColumns", "k,x")))
+
+      // plain OPTIMIZE routes to the clustering key
+      val opt = LakeSql.sql(spark, "OPTIMIZE liq").collect().head
+      assert(opt.getString(0) == "k,x") // clustered_by
+      assert(t.read.orderBy("k").as[(Long, String, Int)].collect().toSeq ==
+        Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)))
+
+      // clustering owns the layout: explicit ZORDER refused
+      val e = intercept[IllegalArgumentException] {
+        LakeSql.sql(spark, "OPTIMIZE liq ZORDER BY (v)")
+      }
+      assert(e.getMessage.contains("liquid-clustered"))
+
+      LakeSql.sql(spark, "ALTER TABLE liq CLUSTER BY NONE")
+      assert(t.clusterBy.isEmpty)
+      LakeSql.sql(spark, "OPTIMIZE liq ZORDER BY (x)") // allowed again
+    } finally LakeSql.unregister("liq")
+  }
+
+  test("liquid clustering over a STRING key routes OPTIMIZE to the " +
+      "range-sort layout (z-order can't bin strings) and keeps the rows") {
+    val t = LakeTable(spark, s"${tmpDir("sql_cluster_str")}/t")
+    t.append(Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("k", "v"))
+    LakeSql.register("liqs", t)
+    try {
+      LakeSql.sql(spark, "ALTER TABLE liqs CLUSTER BY (v)")
+      val opt = LakeSql.sql(spark, "OPTIMIZE liqs").collect().head
+      assert(opt.getString(0) == "v")
+      assert(t.read.orderBy("k").as[(Long, String)].collect().toSeq ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally LakeSql.unregister("liqs")
+  }
+
+  test("CREATE TABLE ... CLUSTER BY declares liquid clustering from birth; " +
+      "combining with PARTITIONED BY is refused") {
+    val dir = tmpDir("sql_create_cluster")
+    try {
+      LakeSql.sql(spark,
+        s"CREATE TABLE cb_t (k BIGINT, x INT) CLUSTER BY (k, x) LOCATION '$dir/t'")
+      val t = LakeSql.sql(spark, "SHOW TBLPROPERTIES cb_t ('clusteringColumns')")
+        .as[(String, String)].collect().toSeq
+      assert(t == Seq(("clusteringColumns", "k,x")))
+      // Spark's own parser already refuses the combination (our dispatch
+      // keeps a belt-and-suspenders require for programmatic plans)
+      intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+        LakeSql.sql(spark, "CREATE TABLE cb_bad (k BIGINT, p STRING) " +
+          s"CLUSTER BY (k) PARTITIONED BY (p) LOCATION '$dir/bad'")
+      }
+    } finally LakeSql.unregister("cb_t")
+  }
+
+  test("liquid clustering refusals: unknown column; partitioned table") {
+    val t = LakeTable(spark, s"${tmpDir("sql_cluster_bad")}/t")
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    intercept[IllegalArgumentException] { t.setClusterBy(Seq("nope")) }
+
+    val pt = LakeTable(spark, s"${tmpDir("sql_cluster_part")}/t")
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    pt.create(StructType(Seq(StructField("k", LongType), StructField("p", StringType))),
+      partitionBy = Some("p"))
+    pt.append(Seq((1L, "x")).toDF("k", "p"))
+    val e = intercept[IllegalArgumentException] { pt.setClusterBy(Seq("k")) }
+    assert(e.getMessage.contains("partitioned"))
+  }
 }

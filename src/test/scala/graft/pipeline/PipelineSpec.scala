@@ -661,6 +661,46 @@ class PipelineSpec extends SparkSpec {
         (2L, "b2", ts("2024-01-01 00:00:00"), 9L)))
   }
 
+  test("runFullRefresh clears targets, re-drains once-flows, and restarts " +
+      "snapshot version counters; pre-refresh versions stay time-travelable") {
+    val p = new Pipeline(spark, tmpDir("pl_refresh"))
+    p.streamingTable("feed")
+    p.appendFlow("feed", name = "backfill", once = true) {
+      Seq((1L, "h")).toDF("k", "src")
+    }
+    p.streamingTable("hist")
+    p.view("snap")(Seq((1L, "a")).toDF("k", "v"))
+    p.autoCdcFromSnapshotFlow("hist", "snap", Seq("k"), scdType = 2)
+    p.run()
+    p.run() // once-flow skipped, snapshot version 2 (no-op diff)
+    assert(p.read("feed").count() == 1)
+    val preRefresh = p.table("feed").currentVersion
+
+    p.runFullRefresh()
+    // feed: wiped then backfilled AGAIN (once re-drains on full refresh)
+    assert(p.read("feed").count() == 1)
+    // hist: rebuilt from scratch — one open row starting at version 1 again
+    import graft.gold.GoldBuilder.{Scd2End, Scd2Start}
+    assert(p.read("hist").select(col(Scd2Start).cast("long"))
+      .as[Long].collect().toSeq == Seq(1L))
+    assert(p.read("hist").filter(col(Scd2End).isNull).count() == 1)
+    // history preserved: the pre-refresh version still reads
+    assert(p.table("feed").readVersion(preRefresh).count() == 1)
+  }
+
+  test("streamingTable(clusterBy) stamps the liquid-clustering key once " +
+      "the target materializes (DLT create_streaming_table cluster_by)") {
+    val p = new Pipeline(spark, tmpDir("pl_cluster"))
+    p.streamingTable("silver", clusterBy = Seq("k"))
+    p.view("src")(Seq((1L, "a", ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq"))
+    p.autoCdcFlow("silver", "src", Seq("k"), "seq")
+    p.run()
+    assert(p.table("silver").clusterBy == Seq("k"))
+    p.run() // idempotent: the key is already stamped
+    assert(p.table("silver").clusterBy == Seq("k"))
+    assert(p.table("silver").tableProperties.contains("clusteringColumns"))
+  }
+
   test("views resolve lazily and read() prefers materialized tables") {
     val p = new Pipeline(spark, tmpDir("pl_views"))
     var evaluated = false
