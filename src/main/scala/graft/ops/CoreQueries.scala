@@ -922,6 +922,63 @@ object CoreQueries {
         SELECT * FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
         ORDER BY user_id, start_at""")),
 
+    // O11 INCREMENTALLY MAINTAINED AGGREGATE MV — Lakeflow's Enzyme-style
+    // incremental refresh for maintainable views, vs the engine's default
+    // full-recompute MV: the view (SUM/COUNT per event_type over the
+    // current silver state) is maintained from the silver table's CHANGE
+    // FEED in O(changed rows). Lifecycle: bootstrap at the cutoff state,
+    // then one merge batch (per-user latest overall) + a predicate DELETE
+    // ('error' users churn out), then one incremental refresh — value
+    // changes, group moves, group births and deaths all flow as signed
+    // deltas. The oracle recomputes the FINAL state directly; equality
+    // proves the delta algebra. Sums run over exact DECIMAL(28,6) (cast
+    // to double only at the output edge) so incremental addition is
+    // order-independent across engines.
+    Q("o11_incremental_mv", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .select("user_id", "ts", "event_type", "value", "event_id")
+      val r = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val cut = new Timestamp(
+        (r.getTimestamp(0).getTime + r.getTimestamp(1).getTime) / 2)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      def latest(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select("user_id", "event_type", "value")
+      val root = tmp("graft_mv11")
+      val state1 = latest(ev.filter(col("ts") <= lit(cut)))
+      val src = LakeTable(s, s"$root/src")
+      src.create(state1.schema, enableChangeFeed = true)
+      src.append(state1)
+      val p = new Pipeline(s, root)
+      p.streamingTable("mv")
+      p.runAggMvFromChangeFeed("mv", src, Seq("event_type"), Seq("value"),
+        s"$root/ledger") // bootstrap at the cutoff state
+      src.merge(latest(ev), Seq("user_id"))
+      src.deleteWhere("event_type = 'error'")
+      p.runAggMvFromChangeFeed("mv", src, Seq("event_type"), Seq("value"),
+        s"$root/ledger") // O(changed rows)
+      p.read("mv")
+        .select(col("event_type"), col("sum_value").cast("double").as("sum_value"),
+          col("cnt"))
+        .orderBy("event_type")
+    },
+      Some("""WITH ev AS (
+          SELECT user_id, ts, event_type, value, event_id FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        ), latest AS (
+          SELECT user_id, event_type, value FROM ev
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) = 1
+        )
+        SELECT event_type,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_value,
+               COUNT(*) AS cnt
+        FROM latest WHERE event_type <> 'error'
+        GROUP BY event_type ORDER BY event_type""")),
+
     // O10 append flows — DLT's `@dlt.append_flow` / Lakeflow SQL
     // `CREATE FLOW f AS INSERT INTO [ONCE] t BY NAME …`: many append-only
     // flows feed ONE streaming table. Declared through the SQL surface;

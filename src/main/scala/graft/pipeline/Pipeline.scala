@@ -657,6 +657,93 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
   }
 
   /**
+   * INCREMENTALLY MAINTAINED AGGREGATE MV — the Enzyme-style incremental
+   * refresh Lakeflow applies to maintainable materialized views, instead
+   * of [[materializedView]]'s documented full recompute. The view is
+   *   `SELECT groupBy…, SUM(c) AS sum_c (per c), COUNT(*) AS cnt
+   *    FROM source GROUP BY groupBy…`
+   * maintained from the SOURCE TABLE'S CHANGE FEED: each run reads only
+   * the versions committed since the last run (ledger next to the target),
+   * turns the row images into SIGNED deltas (+1 for insert/postimage, −1
+   * for delete/preimage — a group-moving update subtracts from the old
+   * group and adds to the new one), pre-aggregates them per group
+   * (map-side combine; the shuffle carries ONE row per touched group),
+   * and merges: matched groups add their delta, groups whose count
+   * reaches zero DELETE, new groups insert.
+   *
+   * Cost per run is O(changed rows) + a merge touching only changed
+   * groups — at 100 TB the MV never rescans the fact. SUM/COUNT only:
+   * they are the self-maintainable aggregates (MIN/MAX under deletes
+   * need a rescan of the affected group — that is [[materializedView]]'s
+   * job). Sums run over exact DECIMAL(28,6) so incremental addition is
+   * order-independent and bit-equal to a direct recompute; the first run
+   * bootstraps from the full snapshot (O(table), once). Returns the
+   * number of change rows processed.
+   */
+  def runAggMvFromChangeFeed(
+      target: String,
+      source: LakeTable,
+      groupBy: Seq[String],
+      sums: Seq[String],
+      ledgerPath: String): Long = {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
+    require(groupBy.nonEmpty, "incremental agg MV needs GROUP BY columns")
+    val t = tables(target)
+    def sumCol(c: String) = s"sum_$c"
+    val dec = "decimal(28,6)"
+    val ledger = Paths.get(ledgerPath)
+    val last =
+      if (Files.exists(ledger))
+        new String(Files.readAllBytes(ledger), StandardCharsets.UTF_8).trim.toLong
+      else -1L
+    val cur = source.currentVersion
+    if (cur <= last && t.exists) return 0L
+    def writeLedger(v: Long): Unit = {
+      Files.createDirectories(ledger.getParent)
+      Files.write(ledger, v.toString.getBytes(StandardCharsets.UTF_8))
+    }
+    if (!t.exists || last < 0) {
+      // bootstrap: one full-snapshot aggregation at version `cur`
+      val snap = source.readVersion(cur)
+      val base = snap.groupBy(groupBy.map(col): _*)
+        .agg(count(lit(1)).as("cnt"),
+          sums.map(c => sum(col(c).cast(dec)).cast(dec).as(sumCol(c))): _*)
+        .select((groupBy.map(col) ++ sums.map(c => col(sumCol(c))) :+
+          col("cnt")): _*)
+      if (!t.exists) t.create(base.schema)
+      t.overwrite(base)
+      writeLedger(cur)
+      return 0L
+    }
+    val feed = source.readChangeFeed(last + 1, Some(cur))
+    val sign = when(col(graft.lake.LakeTable.ChangeTypeCol)
+      .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
+    val delta = feed.withColumn("__sign", sign)
+      .groupBy(groupBy.map(col): _*)
+      .agg(sum(col("__sign")).as("__dcnt"),
+        sums.map(c => sum(col(c).cast(dec) * col("__sign")).as(s"__d_$c")): _*)
+    val processed = feed.count()
+    // NULL inputs contribute 0 (SUM-skips-nulls semantics; the one
+    // divergence is an all-NULL group reading 0 where a recompute reads
+    // NULL — the maintainable convention)
+    val updates = (sums.map(c =>
+        sumCol(c) -> s"cast(coalesce(t.${sumCol(c)}, 0) + coalesce(s.__d_$c, 0) as $dec)") :+
+      ("cnt" -> "t.cnt + s.__dcnt")).toMap
+    val inserts = (groupBy.map(c => c -> s"s.$c") ++
+      sums.map(c => sumCol(c) -> s"cast(coalesce(s.__d_$c, 0) as $dec)") :+
+      ("cnt" -> "s.__dcnt")).toMap
+    t.merge(delta, groupBy,
+      matchedSet = Some(updates),
+      matchedDeleteWhen = Some("t.cnt + s.__dcnt = 0"),
+      insertGuard = Some("s.__dcnt > 0"),
+      insertSet = Some(inserts))
+    writeLedger(cur)
+    processed
+  }
+
+  /**
    * TRUE INCREMENTAL `business_silver` (J1 — the reference's streaming
    * multi-way join, `dlt_bronze_to_silver_pipeline.py:125-133`): tail the
    * append-only fact table as a checkpointed stream and, per micro-batch,

@@ -701,6 +701,48 @@ class PipelineSpec extends SparkSpec {
     assert(p.table("silver").tableProperties.contains("clusteringColumns"))
   }
 
+  test("runAggMvFromChangeFeed: bootstrap then O(changed rows) maintenance " +
+      "— value changes, group moves, group death, group birth all via " +
+      "signed deltas; idle runs process nothing") {
+    import graft.lake.LakeTable
+    import org.apache.spark.sql.types._
+    val root = tmpDir("pl_aggmv")
+    val src = LakeTable(spark, s"$root/src").create(
+      StructType(Seq(StructField("k", LongType), StructField("g", StringType),
+        StructField("v", DoubleType))), enableChangeFeed = true)
+    src.append(Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0)).toDF("k", "g", "v"))
+
+    val p = new Pipeline(spark, root)
+    p.streamingTable("mv")
+    def refresh(): Long =
+      p.runAggMvFromChangeFeed("mv", src, Seq("g"), Seq("v"), s"$root/ledger")
+    refresh() // bootstrap
+    def mv: Seq[(String, java.math.BigDecimal, Long)] =
+      p.read("mv").orderBy("g")
+        .as[(String, java.math.BigDecimal, Long)].collect().toSeq
+    assert(mv.map(r => (r._1, r._2.doubleValue, r._3)) ==
+      Seq(("a", 30.0, 2L), ("b", 30.0, 1L)))
+
+    // changes: k=1 value 10→15 (same group), k=3 moves b→c (group b dies,
+    // c is born), k=4 inserts into a, k=2 deleted
+    src.merge(Seq((1L, "a", 15.0), (3L, "c", 30.0), (4L, "a", 5.0))
+      .toDF("k", "g", "v"), Seq("k"))
+    src.deleteWhere("k = 2")
+    val n = refresh()
+    assert(n > 0)
+    assert(mv.map(r => (r._1, r._2.doubleValue, r._3)) ==
+      Seq(("a", 20.0, 2L), ("c", 30.0, 1L)))
+    // the MV equals a direct recompute of the source
+    val direct = src.read.groupBy("g")
+      .agg(sum(col("v").cast("decimal(28,6)")).cast("decimal(28,6)").as("sum_v"),
+        count(lit(1)).as("cnt"))
+      .orderBy("g").as[(String, java.math.BigDecimal, Long)].collect().toSeq
+    assert(mv == direct)
+    // no new source versions → nothing processed
+    assert(refresh() == 0L)
+  }
+
   test("views resolve lazily and read() prefers materialized tables") {
     val p = new Pipeline(spark, tmpDir("pl_views"))
     var evaluated = false
