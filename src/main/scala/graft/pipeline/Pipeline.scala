@@ -99,11 +99,13 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
    *  materialize AFTER the CDC flows each run, so a gold MV over a silver
    *  streaming table sees that run's merged state. Before the first run the
    *  name resolves to the defining query itself. */
-  def materializedView(name: String)(fn: => DataFrame): LakeTable = {
+  def materializedView(name: String, clusterBy: Seq[String] = Nil)(
+      fn: => DataFrame): LakeTable = {
     val t = LakeTable(spark, s"$storageRoot/$name")
     tables(name) = t
     views(name) = () => fn
     mviews(name) = () => fn
+    if (clusterBy.nonEmpty) pendingClusterBy(name) = clusterBy
     t
   }
 
@@ -431,10 +433,19 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           else d.drop(f.exceptColumns: _*)
         val kept = keepCols(latest)
         if (!t.exists) t.create(kept.schema)
+        // DLT evolves the target ADDITIVELY when the feed grows columns:
+        // widen the schema metadata-only FIRST (O(manifest); existing
+        // files serve NULL — the same result as MERGE WITH SCHEMA
+        // EVOLUTION, without the op-flag column riding the delete path
+        // into the schema), then merge as usual. Type changes stay loud.
+        val newCols = kept.schema.fields.toSeq
+          .filterNot(fl => t.schema.fieldNames.contains(fl.name))
+        if (newCols.nonEmpty) t.addColumns(newCols.map(fl => fl.name -> fl.dataType))
+        val allCols = t.schema.fieldNames.toSeq
         // DLT's ignore_null_updates: matched rows take each source column
         // only when non-NULL (partial-row CDC feeds); the sequence column
         // always advances, inserts land the row as-is (DLT's rule)
-        def updSet: Map[String, String] = t.schema.fieldNames.toSeq
+        def updSet: Map[String, String] = allCols
           .filterNot(f.keys.contains).map(c =>
             c -> (if (c == f.sequenceBy || f.sequenceAlso.contains(c) ||
                 !f.ignoreNullUpdates) s"s.$c"
@@ -447,7 +458,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
             case Some(delPred) => keepCols(latest.filter(
               !fnCoalesce(fnExpr(delPred).cast("boolean"), fnLit(false))))
           }
-          t.overwrite(survivors.select(t.schema.fieldNames.toSeq.map(fnCol): _*))
+          t.overwrite(survivors.select(allCols.map(fnCol): _*))
         } else f.applyAsDeletes match {
           case None if !f.ignoreNullUpdates =>
             t.merge(kept, f.keys, Some(seqGeGuard(f.sequenceBy +: f.sequenceAlso)))
@@ -474,7 +485,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
               matchedSet = Some(updSet),
               matchedDeleteWhen = Some(s"(s.$delFlag) AND ($seqGuard)"),
               insertGuard = Some(s"NOT s.$delFlag"),
-              insertSet = Some(t.schema.fieldNames.toSeq.map(c => c -> s"s.$c").toMap))
+              insertSet = Some(allCols.map(c => c -> s"s.$c").toMap))
         }
       }
     }

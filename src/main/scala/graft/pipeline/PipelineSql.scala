@@ -75,9 +75,18 @@ object PipelineSql {
       // optional expectations block first: ( CONSTRAINT n EXPECT (cond)
       // [ON VIOLATION DROP ROW | FAIL UPDATE], ... ) — balanced-paren
       // scanned, since conditions nest parentheses freely
-      val (constraints, afterBlock) = takeParenBlock(rest) match {
+      val (constraints, afterBlock0) = takeParenBlock(rest) match {
         case Some((block, tail)) => (parseConstraints(block), tail)
         case None => (Nil, rest)
+      }
+      // optional CLUSTER BY (c1, …) — liquid clustering on the declared
+      // table (Lakeflow's grammar position: after the schema/constraint
+      // block, before AS)
+      val clusterRe = """(?is)\s*CLUSTER\s+BY\s*\(([^)]*)\)\s*(.*)""".r
+      val (clusterCols, afterBlock) = afterBlock0 match {
+        case clusterRe(cc, tail) =>
+          (cc.split(',').map(_.trim).filter(_.nonEmpty).toSeq, tail)
+        case _ => (Seq.empty[String], afterBlock0)
       }
       val asSelect = """(?is)\s*AS\s+(.+)""".r
       val select = afterBlock match {
@@ -89,8 +98,8 @@ object PipelineSql {
       val isMv = kind.toUpperCase(java.util.Locale.ROOT).startsWith("MATERIALIZED")
       require(select.nonEmpty || !isMv, "MATERIALIZED VIEW needs AS SELECT")
       select match {
-        case Some(sel) => p.materializedView(name)(evalSelect(p, sel))
-        case None => p.streamingTable(name)
+        case Some(sel) => p.materializedView(name, clusterCols)(evalSelect(p, sel))
+        case None => p.streamingTable(name, clusterCols)
       }
       // DLT policy per constraint, grouped; observe-only groups (Warn,
       // Fail) attach BEFORE Drop so their violation counts reflect the

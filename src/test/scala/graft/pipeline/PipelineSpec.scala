@@ -743,6 +743,57 @@ class PipelineSpec extends SparkSpec {
     assert(refresh() == 0L)
   }
 
+  test("SCD1 CDC flow evolves the target ADDITIVELY when the feed grows a " +
+      "column: schema widens metadata-only, pre-evolution rows serve NULL") {
+    val p = new Pipeline(spark, tmpDir("pl_evolve"))
+    var batch: org.apache.spark.sql.DataFrame =
+      Seq((1L, "a", ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq")
+    p.streamingTable("silver")
+    p.view("src")(batch)
+    p.autoCdcFlow("silver", "src", Seq("k"), "seq")
+    p.run()
+    // batch 2 carries a NEW column `score`
+    batch = Seq(
+      (1L, "a2", ts("2024-02-01 00:00:00"), 0.9),
+      (2L, "b", ts("2024-02-01 00:00:00"), 0.5)).toDF("k", "v", "seq", "score")
+    p.run()
+    assert(p.read("silver").columns.toSeq == Seq("k", "v", "seq", "score"))
+    assert(p.read("silver").orderBy("k")
+      .as[(Long, String, Timestamp, Option[Double])].collect().toSeq == Seq(
+        (1L, "a2", ts("2024-02-01 00:00:00"), Some(0.9)),
+        (2L, "b", ts("2024-02-01 00:00:00"), Some(0.5))))
+
+    // and through the delete path: batch 3 grows ANOTHER column; the op
+    // flag must not leak into the target schema
+    batch = Seq(
+      (1L, "x", ts("2024-03-01 00:00:00"), 0.9, "keep"),
+      (2L, "x", ts("2024-03-01 00:00:00"), 0.5, "drop")).toDF("k", "v", "seq", "score", "tag")
+    val p2 = new Pipeline(spark, tmpDir("pl_evolve2"))
+    p2.streamingTable("s2")
+    p2.view("src")(Seq((1L, "a", ts("2024-01-01 00:00:00"), 0.1))
+      .toDF("k", "v", "seq", "score"))
+    p2.autoCdcFlow("s2", "src", Seq("k"), "seq",
+      applyAsDeletes = Some("tag = 'drop'"))
+    intercept[Exception] { p2.run() } // batch 1 lacks `tag` → predicate fails loudly
+    val p3 = new Pipeline(spark, tmpDir("pl_evolve3"))
+    p3.streamingTable("s3")
+    var b3: org.apache.spark.sql.DataFrame =
+      Seq((1L, "a", ts("2024-01-01 00:00:00"), "keep")).toDF("k", "v", "seq", "tag")
+    p3.view("src")(b3)
+    p3.autoCdcFlow("s3", "src", Seq("k"), "seq",
+      applyAsDeletes = Some("tag = 'drop'"), exceptColumns = Seq("tag"))
+    p3.run()
+    b3 = Seq(
+      (1L, "a2", ts("2024-02-01 00:00:00"), "keep", 1.0),
+      (2L, "gone", ts("2024-02-01 00:00:00"), "drop", 2.0))
+      .toDF("k", "v", "seq", "tag", "score")
+    p3.run()
+    assert(p3.read("s3").columns.toSeq == Seq("k", "v", "seq", "score"))
+    assert(p3.read("s3").orderBy("k")
+      .as[(Long, String, Timestamp, Option[Double])].collect().toSeq ==
+      Seq((1L, "a2", ts("2024-02-01 00:00:00"), Some(1.0))))
+  }
+
   test("views resolve lazily and read() prefers materialized tables") {
     val p = new Pipeline(spark, tmpDir("pl_views"))
     var evaluated = false

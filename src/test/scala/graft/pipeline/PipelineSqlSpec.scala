@@ -273,6 +273,19 @@ class PipelineSqlSpec extends SparkSpec {
     assert(p.read("silver").select("v").as[String].collect().toSeq == Seq("a"))
   }
 
+  test("CREATE OR REFRESH ... CLUSTER BY stamps liquid clustering on " +
+      "pipeline tables once they materialize") {
+    val p = new Pipeline(spark, tmpDir("plsql_cluster"))
+    p.view("src")(Seq((1L, "a", ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq"))
+    PipelineSql(p, "CREATE OR REFRESH STREAMING TABLE silver CLUSTER BY (k)")
+    PipelineSql(p, "APPLY CHANGES INTO silver FROM STREAM(src) KEYS (k) SEQUENCE BY seq")
+    PipelineSql(p,
+      "CREATE OR REFRESH MATERIALIZED VIEW mv CLUSTER BY (k) AS SELECT k, v FROM silver")
+    p.run()
+    assert(p.table("silver").clusterBy == Seq("k"))
+    assert(p.table("mv").clusterBy == Seq("k"))
+  }
+
   test("unsupported statements fail loudly") {
     val p = new Pipeline(spark, tmpDir("plsql_bad"))
     val e = intercept[IllegalArgumentException] {
