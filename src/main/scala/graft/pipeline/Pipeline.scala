@@ -390,6 +390,17 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           else None
         val tb2 = (if (f.tiebreak.nonEmpty) f.tiebreak
           else attrs).filterNot(_ == delFlag)
+        // additive evolution (DLT): widen the history table metadata-only
+        // before the apply — closed rows serve NULL for the new columns,
+        // and the first non-null arrival opens a version (the column's
+        // value IS tracked state from then on)
+        if (t.exists) {
+          val newCols = cleaned.schema.fields.toSeq.filterNot(fl =>
+            t.schema.fieldNames.contains(fl.name) || fl.name == delFlag ||
+              fl.name == f.sequenceBy)
+          if (newCols.nonEmpty)
+            t.addColumns(newCols.map(fl => fl.name -> fl.dataType))
+        }
         val rows = gb.scd2Apply(cleaned, if (t.exists) Some(t.read) else None,
           f.keys, f.sequenceBy, tb2,
           deleteCol = f.applyAsDeletes.map(_ => delFlag),
@@ -533,6 +544,14 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     val snap = gate(f.target, snap0)
     f.keys.foreach(k => require(snap.columns.contains(k),
       s"snapshot is missing key column $k"))
+    // additive evolution: a snapshot that grows columns widens the target
+    // metadata-only first (pre-evolution rows serve NULL)
+    if (t.exists) {
+      val newCols = snap.schema.fields.toSeq
+        .filterNot(fl => t.schema.fieldNames.contains(fl.name))
+      if (newCols.nonEmpty)
+        t.addColumns(newCols.map(fl => fl.name -> fl.dataType))
+    }
     if (f.scdType == 1) {
       if (!t.exists) t.create(snap.schema)
       val attrs = t.schema.fieldNames.toSeq.filterNot(f.keys.contains)

@@ -794,6 +794,39 @@ class PipelineSpec extends SparkSpec {
       Seq((1L, "a2", ts("2024-02-01 00:00:00"), Some(1.0))))
   }
 
+  test("SCD2 CDC flow and snapshot flow evolve additively: a new column " +
+      "widens the history metadata-only, closed rows serve NULL, the new " +
+      "value opens a version") {
+    import graft.gold.GoldBuilder.{Scd2End, Scd2Start}
+    val p = new Pipeline(spark, tmpDir("pl_evolve_scd2"))
+    var batch: org.apache.spark.sql.DataFrame =
+      Seq((1L, "a", ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq")
+    p.streamingTable("hist")
+    p.view("src")(batch)
+    p.autoCdcFlow("hist", "src", Seq("k"), "seq", scdType = 2)
+    p.run()
+    batch = Seq((1L, "a", ts("2024-02-01 00:00:00"), 0.7)).toDF("k", "v", "seq", "score")
+    p.run()
+    val rows = p.read("hist")
+      .select($"v", $"score", col(Scd2End).isNull.as("open"))
+      .as[(String, Option[Double], Boolean)].collect().sortBy(_._3).toSeq
+    // v unchanged but score NULL→0.7 is a tracked change: old row closed
+    // (score NULL), new open row carries 0.7
+    assert(rows == Seq(("a", None, false), ("a", Some(0.7), true)))
+
+    // snapshot flow, SCD1: snapshot 2 grows a column
+    val p2 = new Pipeline(spark, tmpDir("pl_evolve_snap"))
+    var snap: org.apache.spark.sql.DataFrame = Seq((1L, "a")).toDF("k", "v")
+    p2.streamingTable("dim")
+    p2.view("snap")(snap)
+    p2.autoCdcFromSnapshotFlow("dim", "snap", Seq("k"))
+    p2.run()
+    snap = Seq((1L, "a", 5.0), (2L, "b", 6.0)).toDF("k", "v", "x")
+    p2.run()
+    assert(p2.read("dim").orderBy("k").as[(Long, String, Option[Double])]
+      .collect().toSeq == Seq((1L, "a", Some(5.0)), (2L, "b", Some(6.0))))
+  }
+
   test("views resolve lazily and read() prefers materialized tables") {
     val p = new Pipeline(spark, tmpDir("pl_views"))
     var evaluated = false
