@@ -128,10 +128,11 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     require(scdType == 1 || scdType == 2, s"stored_as_scd_type must be 1 or 2, got $scdType")
     // DLT's struct sequence_by (`sequence_by = struct(c1, c2)` / SQL
     // `SEQUENCE BY (c1, c2)`): ordering is lexicographic over the column
-    // tuple — within a batch AND across batches (the merge guard compares
-    // tuples). SCD1 only for now: SCD2 validity columns are single-valued.
-    require(sequenceAlso.isEmpty || scdType == 1,
-      "multi-column SEQUENCE BY is supported for SCD type 1 flows")
+    // tuple — within a batch AND across batches. SCD1 compares tuples in
+    // the merge guard; SCD2 sequences on a synthesized struct, so
+    // `__START_AT`/`__END_AT` are struct-typed (exactly what Databricks
+    // stores for a struct sequence_by) and the component columns are
+    // sequencing METADATA, not target attributes.
     require(sequenceAlso.isEmpty || applyAsTruncates.isEmpty,
       "multi-column SEQUENCE BY and apply_as_truncate are exclusive")
     require(tables.contains(target), s"declare streamingTable($target) first")
@@ -373,16 +374,27 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         // apply_as_deletes predicate is evaluated BEFORE except columns
         // drop (it typically reads the op-code metadata that
         // except_column_list then strips from the target).
-        import org.apache.spark.sql.functions.{coalesce, expr, lit}
+        import org.apache.spark.sql.functions.{coalesce, expr, lit, struct}
         val delFlag = "__graft_is_delete"
         val flagged = f.applyAsDeletes match {
           case Some(p) => batch.withColumn(delFlag,
             coalesce(expr(p).cast("boolean"), lit(false)))
           case None => batch
         }
-        val cleaned = flagged.drop(f.exceptColumns: _*)
+        // struct sequence_by: sequence on the synthesized tuple; the
+        // component columns are sequencing metadata and leave the frame
+        // (struct ordering IS the lexicographic tuple order)
+        val seqCol =
+          if (f.sequenceAlso.isEmpty) f.sequenceBy else "__graft_seq"
+        val cleaned0 =
+          if (f.sequenceAlso.isEmpty) flagged
+          else flagged.withColumn(seqCol,
+              struct((f.sequenceBy +: f.sequenceAlso).map(
+                org.apache.spark.sql.functions.col): _*))
+            .drop(f.sequenceBy +: f.sequenceAlso: _*)
+        val cleaned = cleaned0.drop(f.exceptColumns: _*)
         val attrs = cleaned.columns.toSeq.filterNot(c =>
-          f.keys.contains(c) || c == f.sequenceBy || c == delFlag)
+          f.keys.contains(c) || c == seqCol || c == delFlag)
         val trackCols =
           if (f.trackHistoryColumns.nonEmpty) Some(f.trackHistoryColumns)
           else if (f.trackHistoryExceptColumns.nonEmpty)
@@ -397,12 +409,12 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         if (t.exists) {
           val newCols = cleaned.schema.fields.toSeq.filterNot(fl =>
             t.schema.fieldNames.contains(fl.name) || fl.name == delFlag ||
-              fl.name == f.sequenceBy)
+              fl.name == seqCol)
           if (newCols.nonEmpty)
             t.addColumns(newCols.map(fl => fl.name -> fl.dataType))
         }
         val rows = gb.scd2Apply(cleaned, if (t.exists) Some(t.read) else None,
-          f.keys, f.sequenceBy, tb2,
+          f.keys, seqCol, tb2,
           deleteCol = f.applyAsDeletes.map(_ => delFlag),
           trackCols = trackCols,
           ignoreNulls = f.ignoreNullUpdates)

@@ -827,6 +827,40 @@ class PipelineSpec extends SparkSpec {
       .collect().toSeq == Seq((1L, "a", Some(5.0)), (2L, "b", Some(6.0))))
   }
 
+  test("SCD2 multi-column SEQUENCE BY: __START_AT/__END_AT carry the " +
+      "sequence STRUCT and tuple order decides versions across batches") {
+    import graft.gold.GoldBuilder.{Scd2End, Scd2Start}
+    val p = new Pipeline(spark, tmpDir("pl_scd2_seq2"))
+    var batch = Seq(
+      (1L, "v1", ts("2024-01-01 00:00:00"), 1L),
+      (1L, "v2", ts("2024-01-01 00:00:00"), 5L)) // same ts, higher lsn later
+      .toDF("k", "v", "seq", "lsn")
+    p.streamingTable("hist")
+    p.view("src")(batch)
+    p.autoCdcFlow("hist", "src", Seq("k"), "seq", scdType = 2,
+      sequenceAlso = Seq("lsn"))
+    p.run()
+    // within batch 1 the tuple ordered v1 < v2: v1 closed at (ts, 5)
+    val r1 = p.read("hist")
+      .select($"v", col(s"$Scd2Start.lsn").as("s_lsn"),
+        col(Scd2End).isNull.as("open"))
+      .as[(String, Long, Boolean)].collect().sortBy(_._2).toSeq
+    assert(r1 == Seq(("v1", 1L, false), ("v2", 5L, true)))
+
+    // batch 2: same primary ts, HIGHER lsn closes the open row
+    batch = Seq((1L, "v3", ts("2024-01-01 00:00:00"), 9L))
+      .toDF("k", "v", "seq", "lsn")
+    p.run()
+    val rows = p.read("hist")
+      .select($"v", col(s"$Scd2Start.lsn").as("s_lsn"),
+        col(Scd2End).isNull.as("open"))
+      .as[(String, Long, Boolean)].collect().sortBy(_._2).toSeq
+    assert(rows == Seq(("v1", 1L, false), ("v2", 5L, false), ("v3", 9L, true)))
+    // validity columns are struct-typed and carry both components
+    assert(p.read("hist").schema(Scd2Start).dataType
+      .isInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
   test("views resolve lazily and read() prefers materialized tables") {
     val p = new Pipeline(spark, tmpDir("pl_views"))
     var evaluated = false
