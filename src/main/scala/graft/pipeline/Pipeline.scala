@@ -318,6 +318,12 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
    *  enforce Fail-policy expectation gates (`expect_all_or_fail`). */
   def run(): Unit = {
     val gb = GoldBuilder(spark)
+    gates.clear() // this run's gates only (lastGate reads post-run state)
+    val events = mutable.ArrayBuffer[(String, String, Long, String)]()
+    // row counts ride the Observation metric channel on the flow's own
+    // write action — no extra pass over any batch (DLT's flow_progress
+    // num_output_rows discipline)
+    def observe(df: DataFrame): (DataFrame, () => Long) = Pipeline.observeRows(df)
     // append flows drain FIRST (declaration order): a CDC flow reading an
     // append-fed table sees this run's rows. `once = true` flows drain only
     // on this instance's first run (DLT's one-time backfill).
@@ -331,11 +337,13 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         val extra = df.columns.filterNot(tgt.fieldNames.contains)
         require(extra.isEmpty, s"append flow ${af.name}: column(s) " +
           s"${extra.mkString(", ")} not in target ${af.target}'s schema")
-        val aligned = df.select(tgt.fields.toSeq.map { fld =>
+        val (aligned, rows) = observe(df.select(tgt.fields.toSeq.map { fld =>
           if (df.columns.contains(fld.name)) fnCol(fld.name).cast(fld.dataType).as(fld.name)
           else fnLit(null).cast(fld.dataType).as(fld.name)
-        }: _*)
+        }: _*))
         t.append(aligned)
+        events += (("flow_progress", af.name, rows(),
+          s"append into ${af.target}" + (if (af.once) " (once)" else "")))
         if (af.once) onceFlowsDone += af.name
       }
     }
@@ -347,8 +355,10 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       f.source match {
         case Left(name) =>
           val last = lastSnapshotVersion(f)
-          applySnapshot(f, views.getOrElse(name, () => read(name))(),
-            last.getOrElse(0L) + 1, gb)
+          val ver = last.getOrElse(0L) + 1
+          val n = applySnapshot(f, views.getOrElse(name, () => read(name))(),
+            ver, gb)
+          events += (("flow_progress", f.target, n, s"snapshot v$ver diff"))
         case Right(next) =>
           var last = lastSnapshotVersion(f)
           var step = next(last)
@@ -356,14 +366,16 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
             val (snap, ver) = step.get
             require(last.forall(ver > _),
               s"snapshot versions must strictly increase: $ver after ${last.get}")
-            applySnapshot(f, snap, ver, gb)
+            val n = applySnapshot(f, snap, ver, gb)
+            events += (("flow_progress", f.target, n, s"snapshot v$ver diff"))
             last = Some(ver)
             step = next(last)
           }
       }
     }
     orderedFlows.foreach { f =>
-      val batch = gate(f.target, views.getOrElse(f.source, () => read(f.source))())
+      val (batch, flowRows) =
+        observe(gate(f.target, views.getOrElse(f.source, () => read(f.source))()))
       val tiebreak =
         if (f.tiebreak.nonEmpty) f.tiebreak
         else batch.columns.toSeq.filterNot(c => f.keys.contains(c) || c == f.sequenceBy)
@@ -511,15 +523,18 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
               insertSet = Some(allCols.map(c => c -> s"s.$c").toMap))
         }
       }
+      events += (("flow_progress", f.target, flowRows(),
+        s"cdc from ${f.source} (scd${f.scdType})"))
     }
     // materialized views refresh AFTER the flows (a gold MV over a silver
     // streaming table must see this run's merged state), in declaration
     // order — full recompute, atomically swapped in via overwrite
     mviews.foreach { case (name, fn) =>
-      val df = gate(name, fn())
+      val (df, rows) = observe(gate(name, fn()))
       val t = tables(name)
       if (!t.exists) t.create(df.schema)
       t.overwrite(df)
+      events += (("flow_progress", name, rows(), "materialized view refresh"))
     }
     // DLT `cluster_by`: stamp each declared clustering key once its table
     // has materialized (idempotent — one properties commit, ever)
@@ -527,7 +542,55 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       val t = tables(name)
       if (t.exists && t.clusterBy != cols) t.setClusterBy(cols)
     }
+    // data-quality events: one per expectation gate, with per-rule
+    // violation counts (metrics already materialized by the flows' own
+    // actions — the Observation channel, no re-scan)
+    gates.foreach { case (name, g) =>
+      events += (("expectation", name, g.passedCount,
+        g.violations.toSeq.sortBy(_._1)
+          .map { case (r, n) => s"$r=$n" }.mkString(",")))
+    }
+    writeEventLog(events.toSeq)
     gates.values.filter(_.policy == Expectations.Fail).foreach(_.assertClean())
+  }
+
+  /** Persist one run's events into the pipeline EVENT LOG — the DLT
+   *  event-log surface (flow_progress rows-written per flow,
+   *  per-expectation data-quality counts), queryable via [[eventLog]].
+   *  One append commit per run; `run_id` is dense from 0. */
+  private var nextRunId: Option[Long] = None
+
+  private def writeEventLog(events: Seq[(String, String, Long, String)]): Unit =
+    if (events.nonEmpty) {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.max
+      val el = LakeTable(spark, s"$storageRoot/__event_log")
+      // one max() probe per INSTANCE (tiny table), then a cached counter
+      val runId = nextRunId.getOrElse(
+        if (el.exists)
+          Option(el.read.agg(max(org.apache.spark.sql.functions.col("run_id")))
+            .head().get(0)).map(_.asInstanceOf[Long] + 1).getOrElse(0L)
+        else 0L)
+      nextRunId = Some(runId + 1)
+      val rows = events.zipWithIndex.map { case ((et, ds, n, msg), i) =>
+        (runId, i.toLong, et, ds, n, msg)
+      }.toDF("run_id", "event_seq", "event_type", "dataset", "rows", "message")
+      if (!el.exists) el.create(rows.schema)
+      el.append(rows)
+    }
+
+  /** The pipeline event log (DLT's `event_log()` surface): one row per
+   *  event — `flow_progress` with rows processed per flow (append,
+   *  snapshot, CDC, MV refresh), `expectation` with per-rule violation
+   *  counts — keyed (run_id, event_seq). Empty relation before any run. */
+  def eventLog: DataFrame = {
+    val el = LakeTable(spark, s"$storageRoot/__event_log")
+    if (el.exists) el.read
+    else {
+      import spark.implicits._
+      Seq.empty[(Long, Long, String, String, Long, String)]
+        .toDF("run_id", "event_seq", "event_type", "dataset", "rows", "message")
+    }
   }
 
   /** Last processed snapshot version for `f`: the in-memory counter, else
@@ -550,10 +613,14 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
    *  events for vanished open keys (left-anti on the same keys) and runs
    *  the shared [[graft.gold.GoldBuilder.scd2Apply]] kernel. */
   private def applySnapshot(f: SnapshotFlow, snap0: DataFrame, ver: Long,
-      gb: GoldBuilder): Unit = {
-    import org.apache.spark.sql.functions.{col, lit}
+      gb: GoldBuilder): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit}
     val t = tables(f.target)
     val snap = gate(f.target, snap0)
+    // the observed reference flows into the plan exactly ONCE (the upsert
+    // arm / the SCD1 merge source); the anti-join probe below reads the
+    // un-observed frame so no CollectMetrics node is duplicated
+    val (snapObs, snapRows) = Pipeline.observeRows(snap)
     f.keys.foreach(k => require(snap.columns.contains(k),
       s"snapshot is missing key column $k"))
     // additive evolution: a snapshot that grows columns widens the target
@@ -570,14 +637,14 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       // update only rows whose attributes actually changed; target keys
       // absent from the snapshot are deletes
       val changed = attrs.map(a => s"NOT (s.$a <=> t.$a)")
-      t.merge(snap, f.keys,
+      t.merge(snapObs, f.keys,
         matchedGuard =
           Some(if (changed.isEmpty) "false" else changed.mkString(" OR ")),
         deleteUnmatchedTarget = Some("true"))
     } else {
       val delFlag = "__graft_is_delete"
       val verCol = "__snapshot_ver"
-      val up = snap.withColumn(verCol, lit(ver)).withColumn(delFlag, lit(false))
+      val up = snapObs.withColumn(verCol, lit(ver)).withColumn(delFlag, lit(false))
       val events =
         if (t.exists) {
           // open keys that vanished from the snapshot → delete events
@@ -604,6 +671,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       t.merge(rows, f.keys :+ GoldBuilder.Scd2Start)
     }
     snapshotVersions(f.target) = ver
+    snapRows()
   }
 
   /** DLT's FULL REFRESH: every declared table is cleared and recomputed
@@ -836,6 +904,18 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
 }
 
 object Pipeline {
+  /** Row count riding the Observation metric channel: free when the
+   *  flow's own write action covered the observed node; falls back to one
+   *  count() of the same frame when the completed query surfaced no
+   *  metrics (some multi-stage write shapes re-plan the source). */
+  private def observeRows(df: DataFrame): (DataFrame, () => Long) = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs, count(lit(1)).as("rows"))
+    (observed, () => scala.util.Try(obs.get("rows").asInstanceOf[Long])
+      .getOrElse(observed.count()))
+  }
+
   /** One registered `@dlt.append_flow` — see [[Pipeline.appendFlow]]. */
   private final case class AppendFlow(
       target: String, name: String, once: Boolean, fn: () => DataFrame)

@@ -861,6 +861,39 @@ class PipelineSpec extends SparkSpec {
       .isInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
+  test("event log records flow_progress rows and expectation counts per " +
+      "run, keyed (run_id, event_seq)") {
+    val p = new Pipeline(spark, tmpDir("pl_eventlog"))
+    assert(p.eventLog.count() == 0) // empty relation before any run
+    p.streamingTable("silver")
+    p.view("src")(Seq(
+      (1L, 5.0, ts("2024-01-01 00:00:00")),
+      (2L, -1.0, ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq"))
+    p.autoCdcFlow("silver", "src", Seq("k"), "seq")
+    p.expectations("silver", Map("v_positive" -> "v > 0"), Expectations.Drop)
+    p.streamingTable("raw0")
+    p.appendFlow("raw0", name = "feed") { Seq((9L, "x")).toDF("k", "v") }
+    p.materializedView("agg") {
+      p.read("silver").groupBy().count()
+    }
+    p.run()
+    val ev = p.eventLog.orderBy("run_id", "event_seq")
+      .as[(Long, Long, String, String, Long, String)].collect().toSeq
+    val flows = ev.filter(_._3 == "flow_progress")
+    // append flow: 1 row; CDC flow: 2 incoming (1 dropped by the gate
+    // counts at the gate, the flow observes the post-gate batch = 1);
+    // MV refresh: 1 row
+    assert(flows.map(e => (e._4, e._5)).toSet ==
+      Set(("feed", 1L), ("silver", 1L), ("agg", 1L)))
+    val gatesEv = ev.filter(_._3 == "expectation")
+    assert(gatesEv.map(e => (e._4, e._5, e._6)) ==
+      Seq(("silver", 1L, "v_positive=1"))) // 1 passed, 1 violation
+    assert(ev.forall(_._1 == 0L)) // first run
+
+    p.run() // second run appends with run_id = 1
+    assert(p.eventLog.filter($"run_id" === 1).count() > 0)
+  }
+
   test("views resolve lazily and read() prefers materialized tables") {
     val p = new Pipeline(spark, tmpDir("pl_views"))
     var evaluated = false
