@@ -31,6 +31,25 @@ object Sampling {
     df.filter(TF.hash60(col(idCol).cast("string")) % denom < num)
   }
 
+  /** Deterministic seeded GLOBAL SHUFFLE + fixed shard assignment — the
+   *  export step of a training-data pipeline: each row's position is a
+   *  seeded 60-bit hash of its id (a new seed is a fresh permutation,
+   *  reproducible across runs and engines), `shard` = hash mod
+   *  `numShards`, `shard_pos` = the row's 1-based hash-order position
+   *  within its shard. At 100 TB this is ONE hash shuffle on the shard
+   *  key with a within-partition sort — no global sort, no skew (the
+   *  hash is uniform), and shard files write out independently. */
+  def shuffleShards(df: DataFrame, idCol: String, seed: Long,
+      numShards: Int): DataFrame = {
+    require(numShards > 0, s"need numShards > 0, got $numShards")
+    val h = TF.hash60(concat(lit(s"$seed:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h").asc, col(idCol).asc)
+    df.withColumn("__h", h)
+      .withColumn("shard", (col("__h") % numShards).cast("int"))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
   /** Exactly ceil(fraction · |stratum|) rows per stratum, chosen by ascending
    *  60-bit hash of the id (id tiebreak). Adds `sample_rank`, the row's
    *  1-based position in its stratum's hash order. */

@@ -1158,6 +1158,26 @@ object ExtQueries {
         SELECT doc_id, lang, sample_rank FROM ranked
         WHERE sample_rank <= CEIL(__n * 0.1) ORDER BY doc_id""")),
 
+    // Deterministic seeded GLOBAL SHUFFLE into fixed shards — the export
+    // step between curation and training: position = seeded 60-bit hash of
+    // the id (a new seed is a fresh permutation, identical across engines
+    // and re-runs), shard = hash mod N, shard_pos = hash-order rank within
+    // the shard. One uniform hash shuffle + within-partition sort — no
+    // global sort at any scale; shards then write out independently.
+    Q("x51_shuffle_shards", (s, d) =>
+      graft.ext.Sampling.shuffleShards(
+          t(s, d, "documents").select("doc_id", "lang"), "doc_id", 7L, 8)
+        .select("doc_id", "lang", "shard", "shard_pos")
+        .orderBy("shard", "shard_pos"),
+      Some(s"""WITH h AS (
+          SELECT doc_id, lang,
+            ${TF.hash60Sql("'7:' || CAST(doc_id AS VARCHAR)")} AS hh
+          FROM documents)
+        SELECT doc_id, lang, CAST(hh % 8 AS INTEGER) AS shard,
+          CAST(ROW_NUMBER() OVER (PARTITION BY hh % 8
+            ORDER BY hh, doc_id) AS BIGINT) AS shard_pos
+        FROM h ORDER BY shard, shard_pos""")),
+
     // Hash-threshold ~10% sample: zero-shuffle narrow filter — the 100 TB
     // default when exact per-stratum counts aren't required.
     Q("x21_sample_hash", (s, d) =>

@@ -65,4 +65,28 @@ class SamplingSpec extends SparkSpec {
       assert(ranks == (1L to ranks.size), s"non-dense ranks for $lang")
     }
   }
+
+  test("shuffleShards: every row lands in exactly one shard with dense " +
+      "in-shard ranks; a new seed is a different permutation; re-runs and " +
+      "layout changes reproduce it exactly") {
+    val n = docs.count()
+    val s1 = Sampling.shuffleShards(docs, "doc_id", seed = 7L, numShards = 8)
+    assert(s1.count() == n) // a shuffle permutes, never drops
+    // dense 1..k positions per shard
+    val byShard = s1.select("shard", "shard_pos").as[(Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq)
+    assert(byShard.keys.forall(s => s >= 0 && s < 8))
+    byShard.foreach { case (s, ranks) =>
+      assert(ranks == (1L to ranks.size), s"non-dense ranks in shard $s")
+    }
+    // deterministic across re-runs AND physical layout
+    def order(df: org.apache.spark.sql.DataFrame) =
+      Sampling.shuffleShards(df, "doc_id", 7L, 8)
+        .orderBy("shard", "shard_pos").select("doc_id").as[Long].collect().toSeq
+    assert(order(docs) == order(docs.repartition(13)))
+    // a different seed is a genuinely different permutation
+    val o2 = Sampling.shuffleShards(docs, "doc_id", 8L, 8)
+      .orderBy("shard", "shard_pos").select("doc_id").as[Long].collect().toSeq
+    assert(order(docs) != o2)
+  }
 }
