@@ -40,6 +40,14 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("shuffleShards plans exactly ONE hash exchange (on the shard key) " +
+      "and no global sort") {
+    val plan = Sampling.shuffleShards(docs, "doc_id", 7L, 8)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
   test("stratifiedExact takes exactly ceil(fraction * n) rows per stratum") {
     val want = docs.groupBy("lang").agg(count(lit(1)).as("n"))
       .select(col("lang"), ceil(col("n") * 0.1).as("k"))
