@@ -602,7 +602,16 @@ object LakeSql {
               ct.ignoreIfExists) { (tbl, pcol) =>
               val schema = StructType(ct.columns.map((c: ColumnDefinition) =>
                 org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
-              tbl.create(schema, partitionBy = pcol)
+              // GENERATED ALWAYS AS IDENTITY [(START WITH s STEP BY t)]
+              val idents = ct.columns.flatMap { c =>
+                c.identityColumnSpec.map { sp =>
+                  require(!sp.isAllowExplicitInsert,
+                    s"${c.name}: GENERATED BY DEFAULT AS IDENTITY is not " +
+                      "supported — use GENERATED ALWAYS")
+                  c.name -> (sp.getStart, sp.getStep)
+                }
+              }.toMap
+              tbl.create(schema, partitionBy = pcol, identityColumns = idents)
               ()
             }
           case o: OverwriteByExpression =>
@@ -842,7 +851,9 @@ object LakeSql {
       userCols: Seq[String], byName: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.col
     val schema = tbl.schema
-    val generated = tbl.generatedColumns.keySet
+    // generated columns are computed, identity columns are minted — both
+    // are omittable from (and for identity, forbidden in) the insert shape
+    val generated = tbl.generatedColumns.keySet ++ tbl.identityColumns.keySet
     val named =
       if (userCols.nonEmpty) {
         require(userCols.size == incoming.columns.length,

@@ -1257,7 +1257,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       enableChangeFeed: Boolean = false,
       statsColumns: Seq[String] = Nil,
       generatedColumns: Map[String, String] = Map.empty,
-      bloomFilterColumns: Seq[String] = Nil): LakeTable = {
+      bloomFilterColumns: Seq[String] = Nil,
+      identityColumns: Map[String, (Long, Long)] = Map.empty): LakeTable = {
     if (!exists) {
       partitionBy.foreach(p => require(schema.fieldNames.contains(p),
         s"partition column $p not in schema"))
@@ -1267,15 +1268,84 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         s"bloom filter column $c not in schema"))
       generatedColumns.keys.foreach(c => require(schema.fieldNames.contains(c),
         s"generated column $c not in schema"))
+      identityColumns.foreach { case (c, (_, step)) =>
+        require(schema.fieldNames.contains(c), s"identity column $c not in schema")
+        require(schema(c).dataType == org.apache.spark.sql.types.LongType,
+          s"identity column $c must be BIGINT")
+        require(step != 0, s"identity column $c: step must be non-zero")
+        require(!generatedColumns.contains(c),
+          s"$c cannot be both identity and generated")
+      }
+      // the sequence state rides the property map: spec + high-water
+      // (hw starts one step BEFORE start so the first assigned id = start)
+      val identProps = identityColumns.toSeq.sortBy(_._1).flatMap {
+        case (c, (s0, st)) => Seq(
+          s"${LakeTable.IdentityPropPrefix}$c" -> s"$s0,$st",
+          s"${LakeTable.IdentityPropPrefix}$c.hw" -> (s0 - st).toString)
+      }
       Files.createDirectories(Paths.get(root))
       // idempotent: losing the v0 race means someone else created the table
       tryCommit(Manifest(schema, partitionBy, Nil, "create",
         cdfEnabled = enableChangeFeed,
         statsCols = statsColumns.filterNot(partitionBy.contains),
         generated = generatedColumns.toSeq.sortBy(_._1),
-        bloomCols = bloomFilterColumns.filterNot(partitionBy.contains)), 0L)
+        bloomCols = bloomFilterColumns.filterNot(partitionBy.contains),
+        props = identProps), 0L)
     }
     this
+  }
+
+  /** Declared IDENTITY columns: name → (start, step). */
+  def identityColumns: Map[String, (Long, Long)] =
+    identitySpecsOf(manifest)
+
+  private def identitySpecsOf(m: Manifest): Map[String, (Long, Long)] =
+    m.props.collect {
+      case (k, v) if k.startsWith(LakeTable.IdentityPropPrefix) &&
+          !k.endsWith(".hw") =>
+        val Array(s0, st) = v.split(',')
+        k.stripPrefix(LakeTable.IdentityPropPrefix) -> (s0.toLong, st.toLong)
+    }.toMap
+
+  private def identityHw(m: Manifest, c: String): Long = {
+    val (s0, st) = identitySpecsOf(m)(c)
+    m.props.toMap.get(s"${LakeTable.IdentityPropPrefix}$c.hw")
+      .map(_.toLong).getOrElse(s0 - st)
+  }
+
+  /** Assign dense identity values above `hw`: ONE counting pass for
+   *  per-partition offsets, then a narrow map — no global sort, no
+   *  single-partition funnel at any batch size. Values are
+   *  hw + step·(global position); returns the frame (original column
+   *  order) and the new high-water per column. */
+  private def assignIdentities(df: DataFrame, tableSchema: StructType,
+      specs: Map[String, (Long, Long)],
+      hw: Map[String, Long]): (DataFrame, Map[String, Long]) = {
+    import org.apache.spark.sql.Row
+    specs.keys.foreach(c => require(!df.columns.contains(c),
+      s"identity column $c is GENERATED ALWAYS — it cannot be supplied"))
+    val rdd = df.rdd
+    val counts = rdd.mapPartitionsWithIndex((i, it) =>
+      Iterator((i, it.size.toLong))).collect().toMap
+    val nParts = rdd.getNumPartitions max 1
+    val offsets = (0 until nParts).scanLeft(0L)(
+      (acc, i) => acc + counts.getOrElse(i, 0L)).toArray
+    val total = offsets(nParts)
+    val specList = specs.toSeq.sortBy(_._1)
+    val schema2 = StructType(df.schema.fields ++ specList.map { case (c, _) =>
+      org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.LongType, nullable = false) })
+    val out = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var k = offsets(i)
+      it.map { r =>
+        k += 1
+        Row.fromSeq(r.toSeq ++ specList.map { case (c, (_, st)) =>
+          hw(c) + st * k })
+      }
+    }
+    val assigned = spark.createDataFrame(out, schema2)
+      .select(tableSchema.fieldNames.toSeq.map(col): _*)
+    (assigned, specs.map { case (c, (_, st)) => c -> (hw(c) + st * total) })
   }
 
   /**
@@ -1669,8 +1739,17 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     val bcols = m0.map(_.bloomCols).getOrElse(Nil)
     // fail-fast validation BEFORE the (expensive) physical write; the commit
     // loop re-reconciles per attempt against the then-current snapshot
+    var identBase = Map.empty[String, Long] // hw the assignment was based on
+    var identNew = Map.empty[String, Long]  // hw after this batch
     val df = m0.fold(df0) { m =>
-      val d = materializeGenerated(df0, m)
+      val d0 = materializeGenerated(df0, m)
+      val specs = identitySpecsOf(m)
+      val d = if (specs.isEmpty) d0 else {
+        identBase = specs.keys.map(c => c -> identityHw(m, c)).toMap
+        val (assigned, nhw) = assignIdentities(d0, m.schema, specs, identBase)
+        identNew = nhw
+        assigned
+      }
       reconcileSchema(m.schema, d.schema, mergeSchema)
       rejectTombstoned(m, d.schema)
       enforceConstraints(d, m.constraints)
@@ -1705,6 +1784,22 @@ final class LakeTable private (val spark: SparkSession, val root: String,
           val unvalidated = cur.constraints.filterNot(validatedConstraints)
           if (unvalidated.nonEmpty) enforceConstraints(df, unvalidated)
           rejectTombstoned(cur, df.schema)
+          // identity ids were minted against a specific high-water: if a
+          // concurrent writer advanced it, committing would publish
+          // duplicate ids — refuse (the caller retries the append, which
+          // re-mints above the new high-water). Same-process appends are
+          // serialized by `synchronized`, so this only fires cross-process.
+          identBase.foreach { case (c, base) =>
+            if (identityHw(cur, c) != base)
+              throw new ConcurrentWriteException(
+                s"identity column $c advanced concurrently — retry the append")
+          }
+          val props1 =
+            if (identNew.isEmpty) cur.props
+            else cur.props.filterNot { case (k, _) => identNew.keys.exists(c =>
+                k == s"${LakeTable.IdentityPropPrefix}$c.hw") } ++
+              identNew.toSeq.sortBy(_._1).map { case (c, n) =>
+                s"${LakeTable.IdentityPropPrefix}$c.hw" -> n.toString }
           (Manifest(reconcileSchema(cur.schema, df.schema, mergeSchema), pcol,
             cur.entries :+ DirEntry(dir, owned), "append",
             cur.cdfEnabled, statsCols = cur.statsCols,
@@ -1712,7 +1807,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
             constraints = cur.constraints, generated = cur.generated,
             deleteVectors = cur.deleteVectors, bloomCols = cur.bloomCols,
             txns = withTxn(cur.txns), droppedCols = cur.droppedCols,
-            colMap = cur.colMap, props = cur.props), v + 1)
+            colMap = cur.colMap, props = props1), v + 1)
         } else
           (Manifest(df.schema, pcol, Seq(DirEntry(dir, owned)), "append",
             statsCols = scols, fileStats = fstats, txns = withTxn(Nil)), 0L)
@@ -1725,6 +1820,12 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         deleteRecursively(Paths.get(root, dir))
         Files.deleteIfExists(bloomIndexFile(dir))
         false
+      case e: ConcurrentWriteException =>
+        // identity conflict (or exhausted races): the written dir carries
+        // ids minted against a stale high-water — reclaim before rethrow
+        deleteRecursively(Paths.get(root, dir))
+        Files.deleteIfExists(bloomIndexFile(dir))
+        throw e
     }
   }
 
@@ -3205,6 +3306,13 @@ object LakeTable {
   /** Table property carrying the liquid-clustering columns (Delta's
    *  `clusteringColumns` metadata, set via SQL `CLUSTER BY`). */
   val ClusterByProp = "clusteringColumns"
+
+  /** Table-property prefix for IDENTITY columns (Delta `GENERATED ALWAYS
+   *  AS IDENTITY`): `identity.<col>` holds "start,step", and
+   *  `identity.<col>.hw` the last assigned value — committed atomically
+   *  with each append, so the sequence survives restarts, restore, and
+   *  clone like any other manifest state. */
+  val IdentityPropPrefix = "identity."
   /** TBLPROPERTIES keys driving write-side AUTO COMPACT (Delta
    *  `delta.autoOptimize.autoCompact` role): switch, small-file count
    *  threshold, and target packed-file size. MUTUALLY EXCLUSIVE with

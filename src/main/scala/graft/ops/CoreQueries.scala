@@ -1373,6 +1373,36 @@ object CoreQueries {
         WHERE o_custkey >= 100 AND o_custkey <= 300
         ORDER BY o_orderkey""")),
 
+    // S43: IDENTITY columns (Delta `GENERATED ALWAYS AS IDENTITY`) — ids
+    // are minted at append time above a high-water mark that commits
+    // ATOMICALLY with the batch (the sequence state rides the manifest).
+    // Two single-partition sorted appends make the assignment order
+    // deterministic: ids 1..n over (parity, orderkey). The oracle replays
+    // it as a ROW_NUMBER — any dropped/duplicated/misordered id
+    // hash-mismatches.
+    Q("s43_identity", (s, d) => {
+      val o = t(s, d, "orders").select("o_orderkey", "o_totalprice")
+      val tbl = LakeTable(s, s"${tmp("graft_s43")}/t")
+      tbl.create(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("o_orderkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("o_totalprice",
+            org.apache.spark.sql.types.DoubleType))),
+        identityColumns = Map("id" -> (1L, 1L)))
+      tbl.append(o.filter(col("o_orderkey") % 2 === 0)
+        .orderBy("o_orderkey").coalesce(1))
+      tbl.append(o.filter(col("o_orderkey") % 2 === 1)
+        .orderBy("o_orderkey").coalesce(1))
+      tbl.read.orderBy("id")
+    },
+      Some("""SELECT CAST(ROW_NUMBER() OVER (
+            ORDER BY o_orderkey % 2, o_orderkey) AS BIGINT) AS id,
+          o_orderkey, o_totalprice
+        FROM orders ORDER BY id""")),
+
     // S24: CHECK-constraint reject-then-read — a violating append must fail
     // ATOMICALLY (no partial files land, no version is published), so the
     // subsequent read sees exactly the pre-violation snapshot. The oracle is

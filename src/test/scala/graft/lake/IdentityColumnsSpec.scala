@@ -1,0 +1,96 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.SparkSpec
+
+/** Delta IDENTITY columns (`GENERATED ALWAYS AS IDENTITY`): ids are minted
+ *  at append time above a high-water mark that commits atomically with the
+ *  batch; the sequence state rides the manifest (restored/cloned with it). */
+class IdentityColumnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("v", StringType)))
+
+  test("appends mint dense increasing ids and the sequence continues " +
+      "across batches; multi-partition batches stay collision-free") {
+    val t = LakeTable(spark, s"${tmpDir("ident_basic")}/t")
+    t.create(schema, identityColumns = Map("id" -> (1L, 1L)))
+    t.append(Seq("a", "b", "c").toDF("v").repartition(3))
+    t.append(Seq("d", "e").toDF("v"))
+    val rows = t.read.orderBy("id").as[(Long, String)].collect().toSeq
+    assert(rows.map(_._1) == (1L to 5L))
+    // batch 1 got 1..3 (some order), batch 2 got 4..5
+    assert(rows.filter(_._1 >= 4).map(_._2).toSet == Set("d", "e"))
+  }
+
+  test("START WITH / INCREMENT BY are honored, including negative steps") {
+    val t = LakeTable(spark, s"${tmpDir("ident_step")}/t")
+    t.create(schema, identityColumns = Map("id" -> (100L, 5L)))
+    t.append(Seq("a", "b").toDF("v"))
+    assert(t.read.select("id").as[Long].collect().sorted.toSeq == Seq(100L, 105L))
+
+    val n = LakeTable(spark, s"${tmpDir("ident_neg")}/t")
+    n.create(schema, identityColumns = Map("id" -> (0L, -10L)))
+    n.append(Seq("a", "b").toDF("v"))
+    assert(n.read.select("id").as[Long].collect().sorted.toSeq == Seq(-10L, 0L))
+  }
+
+  test("supplying a GENERATED ALWAYS identity column is refused") {
+    val t = LakeTable(spark, s"${tmpDir("ident_supplied")}/t")
+    t.create(schema, identityColumns = Map("id" -> (1L, 1L)))
+    val e = intercept[IllegalArgumentException] {
+      t.append(Seq((42L, "a")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("GENERATED ALWAYS"))
+  }
+
+  test("the high-water mark rides the manifest: RESTORE rewinds it with " +
+      "the data (no orphaned sequence state)") {
+    val t = LakeTable(spark, s"${tmpDir("ident_restore")}/t")
+    t.create(schema, identityColumns = Map("id" -> (1L, 1L)))
+    t.append(Seq("a").toDF("v")) // v1: id 1
+    val v1 = t.currentVersion
+    t.append(Seq("b").toDF("v")) // v2: id 2
+    t.restore(v1)
+    t.append(Seq("c").toDF("v")) // continues from the RESTORED high-water
+    assert(t.read.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "c")))
+  }
+
+  test("SQL: CREATE TABLE ... GENERATED ALWAYS AS IDENTITY + INSERT " +
+      "omitting the column mints ids; supplying it is refused") {
+    val dir = tmpDir("ident_sql")
+    LakeSql.sql(spark,
+      "CREATE TABLE idt (id BIGINT GENERATED ALWAYS AS IDENTITY " +
+        s"(START WITH 10 INCREMENT BY 2), v STRING) LOCATION '$dir/t'")
+    try {
+      LakeSql.sql(spark, "INSERT INTO idt VALUES ('a'), ('b')")
+      val rows = LakeSql.sql(spark, "SELECT id, v FROM idt ORDER BY id")
+        .as[(Long, String)].collect().toSeq
+      assert(rows == Seq((10L, "a"), (12L, "b")))
+      intercept[Exception] {
+        LakeSql.sql(spark, "INSERT INTO idt (id, v) VALUES (99, 'x')")
+      }
+    } finally LakeSql.unregister("idt")
+  }
+
+  test("identity and generated columns compose on one table; declaring a " +
+      "column as both is refused") {
+    val t = LakeTable(spark, s"${tmpDir("ident_gen")}/t")
+    val s3 = StructType(schema.fields :+ StructField("v_up", StringType))
+    t.create(s3, identityColumns = Map("id" -> (1L, 1L)),
+      generatedColumns = Map("v_up" -> "upper(v)"))
+    t.append(Seq("a").toDF("v"))
+    assert(t.read.select("id", "v_up").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "A")))
+    intercept[IllegalArgumentException] {
+      LakeTable(spark, s"${tmpDir("ident_both")}/t").create(s3,
+        identityColumns = Map("v_up" -> (1L, 1L)),
+        generatedColumns = Map("v_up" -> "upper(v)"))
+    }
+  }
+}
