@@ -979,6 +979,44 @@ object CoreQueries {
         FROM latest WHERE event_type <> 'error'
         GROUP BY event_type ORDER BY event_type""")),
 
+    // O12 incremental MV with MIN/MAX — the append-only arm of the Enzyme
+    // story: over a feed that never retracts, MIN/MAX merge monotonically
+    // (least/greatest), so the full SUM/COUNT/MIN/MAX panel maintains in
+    // O(new rows). Bootstrap on the even-event half, one append of the odd
+    // half, one refresh; the oracle recomputes the final panel directly.
+    Q("o12_incremental_mv_minmax", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .select("event_id", "event_type", "value")
+      val root = tmp("graft_mv12")
+      val half1 = ev.filter(col("event_id") % 2 === 0)
+        .select("event_type", "value")
+      val src = LakeTable(s, s"$root/src")
+      src.create(half1.schema, enableChangeFeed = true)
+      src.append(half1)
+      val p = new Pipeline(s, root)
+      p.streamingTable("mv")
+      def refresh(): Unit = {
+        p.runAggMvFromChangeFeed("mv", src, Seq("event_type"), Seq("value"),
+          s"$root/ledger", mins = Seq("value"), maxs = Seq("value"))
+        ()
+      }
+      refresh() // bootstrap
+      src.append(ev.filter(col("event_id") % 2 === 1)
+        .select("event_type", "value"))
+      refresh() // O(new rows)
+      p.read("mv")
+        .select(col("event_type"), col("sum_value").cast("double").as("sum_value"),
+          col("min_value"), col("max_value"), col("cnt"))
+        .orderBy("event_type")
+    },
+      Some("""SELECT event_type,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_value,
+               MIN(value) AS min_value, MAX(value) AS max_value,
+               COUNT(*) AS cnt
+        FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        GROUP BY event_type ORDER BY event_type""")),
+
     // O10 append flows — DLT's `@dlt.append_flow` / Lakeflow SQL
     // `CREATE FLOW f AS INSERT INTO [ONCE] t BY NAME …`: many append-only
     // flows feed ONE streaming table. Declared through the SQL surface;

@@ -782,10 +782,12 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
    * reaches zero DELETE, new groups insert.
    *
    * Cost per run is O(changed rows) + a merge touching only changed
-   * groups — at 100 TB the MV never rescans the fact. SUM/COUNT only:
-   * they are the self-maintainable aggregates (MIN/MAX under deletes
-   * need a rescan of the affected group — that is [[materializedView]]'s
-   * job). Sums run over exact DECIMAL(28,6) so incremental addition is
+   * groups — at 100 TB the MV never rescans the fact. SUM/COUNT are
+   * always maintainable; `mins`/`maxs` are maintainable ONLY while the
+   * feed is APPEND-ONLY (monotone merge `least`/`greatest`) — a delete or
+   * update image with MIN/MAX declared fails loudly (retracting an
+   * extreme needs a group rescan: that is [[materializedView]]'s job).
+   * Sums run over exact DECIMAL(28,6) so incremental addition is
    * order-independent and bit-equal to a direct recompute; the first run
    * bootstraps from the full snapshot (O(table), once). Returns the
    * number of change rows processed.
@@ -795,13 +797,17 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       source: LakeTable,
       groupBy: Seq[String],
       sums: Seq[String],
-      ledgerPath: String): Long = {
+      ledgerPath: String,
+      mins: Seq[String] = Nil,
+      maxs: Seq[String] = Nil): Long = {
     import java.nio.charset.StandardCharsets
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
     require(groupBy.nonEmpty, "incremental agg MV needs GROUP BY columns")
     val t = tables(target)
     def sumCol(c: String) = s"sum_$c"
+    def minCol(c: String) = s"min_$c"
+    def maxCol(c: String) = s"max_$c"
     val dec = "decimal(28,6)"
     val ledger = Paths.get(ledgerPath)
     val last =
@@ -817,10 +823,14 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     if (!t.exists || last < 0) {
       // bootstrap: one full-snapshot aggregation at version `cur`
       val snap = source.readVersion(cur)
+      val aggs =
+        sums.map(c => sum(col(c).cast(dec)).cast(dec).as(sumCol(c))) ++
+        mins.map(c => org.apache.spark.sql.functions.min(col(c)).as(minCol(c))) ++
+        maxs.map(c => org.apache.spark.sql.functions.max(col(c)).as(maxCol(c)))
       val base = snap.groupBy(groupBy.map(col): _*)
-        .agg(count(lit(1)).as("cnt"),
-          sums.map(c => sum(col(c).cast(dec)).cast(dec).as(sumCol(c))): _*)
-        .select((groupBy.map(col) ++ sums.map(c => col(sumCol(c))) :+
+        .agg(count(lit(1)).as("cnt"), aggs: _*)
+        .select((groupBy.map(col) ++ sums.map(c => col(sumCol(c))) ++
+          mins.map(c => col(minCol(c))) ++ maxs.map(c => col(maxCol(c))) :+
           col("cnt")): _*)
       if (!t.exists) t.create(base.schema)
       t.overwrite(base)
@@ -828,21 +838,38 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       return 0L
     }
     val feed = source.readChangeFeed(last + 1, Some(cur))
+    if (mins.nonEmpty || maxs.nonEmpty) {
+      // monotone merge is sound only while nothing ever retracts: the
+      // first delete/update image in the feed fails the refresh loudly
+      val nonInsert = feed.filter(!col(graft.lake.LakeTable.ChangeTypeCol)
+        .isin("insert")).limit(1).count()
+      require(nonInsert == 0L,
+        "MIN/MAX incremental maintenance needs an APPEND-ONLY source — " +
+          "the feed carries delete/update images; use a recompute MV")
+    }
     val sign = when(col(graft.lake.LakeTable.ChangeTypeCol)
       .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
+    val deltaAggs =
+      sums.map(c => sum(col(c).cast(dec) * col("__sign")).as(s"__d_$c")) ++
+      mins.map(c => org.apache.spark.sql.functions.min(col(c)).as(s"__mn_$c")) ++
+      maxs.map(c => org.apache.spark.sql.functions.max(col(c)).as(s"__mx_$c"))
     val delta = feed.withColumn("__sign", sign)
       .groupBy(groupBy.map(col): _*)
-      .agg(sum(col("__sign")).as("__dcnt"),
-        sums.map(c => sum(col(c).cast(dec) * col("__sign")).as(s"__d_$c")): _*)
+      .agg(sum(col("__sign")).as("__dcnt"), deltaAggs: _*)
     val processed = feed.count()
     // NULL inputs contribute 0 (SUM-skips-nulls semantics; the one
     // divergence is an all-NULL group reading 0 where a recompute reads
-    // NULL — the maintainable convention)
+    // NULL — the maintainable convention). least/greatest likewise skip
+    // NULLs, matching MIN/MAX.
     val updates = (sums.map(c =>
-        sumCol(c) -> s"cast(coalesce(t.${sumCol(c)}, 0) + coalesce(s.__d_$c, 0) as $dec)") :+
+        sumCol(c) -> s"cast(coalesce(t.${sumCol(c)}, 0) + coalesce(s.__d_$c, 0) as $dec)") ++
+      mins.map(c => minCol(c) -> s"least(t.${minCol(c)}, s.__mn_$c)") ++
+      maxs.map(c => maxCol(c) -> s"greatest(t.${maxCol(c)}, s.__mx_$c)") :+
       ("cnt" -> "t.cnt + s.__dcnt")).toMap
     val inserts = (groupBy.map(c => c -> s"s.$c") ++
-      sums.map(c => sumCol(c) -> s"cast(coalesce(s.__d_$c, 0) as $dec)") :+
+      sums.map(c => sumCol(c) -> s"cast(coalesce(s.__d_$c, 0) as $dec)") ++
+      mins.map(c => minCol(c) -> s"s.__mn_$c") ++
+      maxs.map(c => maxCol(c) -> s"s.__mx_$c") :+
       ("cnt" -> "s.__dcnt")).toMap
     t.merge(delta, groupBy,
       matchedSet = Some(updates),

@@ -894,6 +894,34 @@ class PipelineSpec extends SparkSpec {
     assert(p.eventLog.filter($"run_id" === 1).count() > 0)
   }
 
+  test("runAggMvFromChangeFeed MIN/MAX: maintainable while the feed is " +
+      "append-only (monotone least/greatest merge); a delete in the feed " +
+      "fails the refresh loudly") {
+    import graft.lake.LakeTable
+    import org.apache.spark.sql.types._
+    val root = tmpDir("pl_aggmv_minmax")
+    val src = LakeTable(spark, s"$root/src").create(
+      StructType(Seq(StructField("k", LongType), StructField("g", StringType),
+        StructField("v", DoubleType))), enableChangeFeed = true)
+    src.append(Seq((1L, "a", 10.0), (2L, "a", 20.0)).toDF("k", "g", "v"))
+    val p = new Pipeline(spark, root)
+    p.streamingTable("mv")
+    def refresh(): Long = p.runAggMvFromChangeFeed("mv", src, Seq("g"),
+      Seq("v"), s"$root/ledger", mins = Seq("v"), maxs = Seq("v"))
+    refresh() // bootstrap
+    src.append(Seq((3L, "a", 5.0), (4L, "b", 7.0)).toDF("k", "g", "v"))
+    refresh()
+    val rows = p.read("mv").orderBy("g")
+      .select($"g", $"sum_v".cast("double"), $"min_v", $"max_v", $"cnt")
+      .as[(String, Double, Double, Double, Long)].collect().toSeq
+    assert(rows == Seq(("a", 35.0, 5.0, 20.0, 3L), ("b", 7.0, 7.0, 7.0, 1L)))
+
+    // a delete breaks monotonicity: the next refresh refuses
+    src.deleteWhere("k = 1")
+    val e = intercept[IllegalArgumentException] { refresh() }
+    assert(e.getMessage.contains("APPEND-ONLY"))
+  }
+
   test("views resolve lazily and read() prefers materialized tables") {
     val p = new Pipeline(spark, tmpDir("pl_views"))
     var evaluated = false
