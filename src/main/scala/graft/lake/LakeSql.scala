@@ -611,7 +611,12 @@ object LakeSql {
                   c.name -> (sp.getStart, sp.getStep)
                 }
               }.toMap
-              tbl.create(schema, partitionBy = pcol, identityColumns = idents)
+              // column DEFAULT <expr> — applied when a named-column INSERT
+              // omits the column
+              val defaults = ct.columns.flatMap(c =>
+                c.defaultValue.map(dv => c.name -> dv.originalSQL)).toMap
+              tbl.create(schema, partitionBy = pcol, identityColumns = idents,
+                defaultValues = defaults)
               ()
             }
           case o: OverwriteByExpression =>
@@ -859,11 +864,19 @@ object LakeSql {
         require(userCols.size == incoming.columns.length,
           s"INSERT column list names ${userCols.size} columns but the query " +
             s"produces ${incoming.columns.length}")
+        val defaults = tbl.defaultValues
         val missing = schema.fieldNames
-          .filterNot(c => userCols.exists(_.equalsIgnoreCase(c)) || generated(c))
+          .filterNot(c => userCols.exists(_.equalsIgnoreCase(c)) ||
+            generated(c) || defaults.contains(c))
         require(missing.isEmpty,
           s"INSERT column list omits non-generated column(s) ${missing.mkString(", ")}")
-        incoming.toDF(userCols: _*)
+        // omitted columns with a declared DEFAULT take it (Delta/ANSI)
+        defaults.toSeq.sortBy(_._1).foldLeft(incoming.toDF(userCols: _*)) {
+          case (d, (c, e)) =>
+            if (userCols.exists(_.equalsIgnoreCase(c))) d
+            else d.withColumn(c,
+              org.apache.spark.sql.functions.expr(e).cast(schema(c).dataType))
+        }
       } else if (byName) incoming
       else {
         val nonGen = schema.fieldNames.filterNot(generated)

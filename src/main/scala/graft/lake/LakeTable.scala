@@ -1258,7 +1258,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       statsColumns: Seq[String] = Nil,
       generatedColumns: Map[String, String] = Map.empty,
       bloomFilterColumns: Seq[String] = Nil,
-      identityColumns: Map[String, (Long, Long)] = Map.empty): LakeTable = {
+      identityColumns: Map[String, (Long, Long)] = Map.empty,
+      defaultValues: Map[String, String] = Map.empty): LakeTable = {
     if (!exists) {
       partitionBy.foreach(p => require(schema.fieldNames.contains(p),
         s"partition column $p not in schema"))
@@ -1276,12 +1277,19 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         require(!generatedColumns.contains(c),
           s"$c cannot be both identity and generated")
       }
+      defaultValues.keys.foreach { c =>
+        require(schema.fieldNames.contains(c), s"DEFAULT column $c not in schema")
+        require(!generatedColumns.contains(c) && !identityColumns.contains(c),
+          s"$c cannot carry a DEFAULT and be generated/identity")
+      }
       // the sequence state rides the property map: spec + high-water
       // (hw starts one step BEFORE start so the first assigned id = start)
       val identProps = identityColumns.toSeq.sortBy(_._1).flatMap {
         case (c, (s0, st)) => Seq(
           s"${LakeTable.IdentityPropPrefix}$c" -> s"$s0,$st",
           s"${LakeTable.IdentityPropPrefix}$c.hw" -> (s0 - st).toString)
+      } ++ defaultValues.toSeq.sortBy(_._1).map { case (c, e) =>
+        s"${LakeTable.DefaultPropPrefix}$c" -> e
       }
       Files.createDirectories(Paths.get(root))
       // idempotent: losing the v0 race means someone else created the table
@@ -1298,6 +1306,13 @@ final class LakeTable private (val spark: SparkSession, val root: String,
   /** Declared IDENTITY columns: name → (start, step). */
   def identityColumns: Map[String, (Long, Long)] =
     identitySpecsOf(manifest)
+
+  /** Declared column DEFAULTs: name → expression SQL. */
+  def defaultValues: Map[String, String] =
+    manifest.props.collect {
+      case (k, v) if k.startsWith(LakeTable.DefaultPropPrefix) =>
+        k.stripPrefix(LakeTable.DefaultPropPrefix) -> v
+    }.toMap
 
   private def identitySpecsOf(m: Manifest): Map[String, (Long, Long)] =
     m.props.collect {
@@ -3306,6 +3321,11 @@ object LakeTable {
   /** Table property carrying the liquid-clustering columns (Delta's
    *  `clusteringColumns` metadata, set via SQL `CLUSTER BY`). */
   val ClusterByProp = "clusteringColumns"
+
+  /** Table-property prefix for column DEFAULT values (`CREATE TABLE …
+   *  (c INT DEFAULT <expr>)`): `default.<col>` holds the expression SQL.
+   *  Applied when a named-column INSERT omits the column. */
+  val DefaultPropPrefix = "default."
 
   /** Table-property prefix for IDENTITY columns (Delta `GENERATED ALWAYS
    *  AS IDENTITY`): `identity.<col>` holds "start,step", and

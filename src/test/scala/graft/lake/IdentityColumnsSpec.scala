@@ -78,6 +78,27 @@ class IdentityColumnsSpec extends SparkSpec {
     } finally LakeSql.unregister("idt")
   }
 
+  test("column DEFAULT values: an omitted column in a named-column INSERT " +
+      "takes its declared default; supplied values win; omitting a " +
+      "no-default column stays a loud error") {
+    val dir = tmpDir("default_sql")
+    LakeSql.sql(spark,
+      "CREATE TABLE dft (k BIGINT, status STRING DEFAULT 'new', " +
+        s"score DOUBLE DEFAULT 0.5, note STRING) LOCATION '$dir/t'")
+    try {
+      LakeSql.sql(spark, "INSERT INTO dft (k, note) VALUES (1, 'a')")
+      LakeSql.sql(spark,
+        "INSERT INTO dft (k, status, score, note) VALUES (2, 'done', 0.9, 'b')")
+      val rows = LakeSql.sql(spark,
+        "SELECT k, status, score, note FROM dft ORDER BY k")
+        .as[(Long, String, Double, String)].collect().toSeq
+      assert(rows == Seq((1L, "new", 0.5, "a"), (2L, "done", 0.9, "b")))
+      intercept[IllegalArgumentException] {
+        LakeSql.sql(spark, "INSERT INTO dft (k) VALUES (3)") // omits `note`
+      }
+    } finally LakeSql.unregister("dft")
+  }
+
   test("identity and generated columns compose on one table; declaring a " +
       "column as both is refused") {
     val t = LakeTable(spark, s"${tmpDir("ident_gen")}/t")
