@@ -249,7 +249,7 @@ object LakeSql {
   // on the existing LakeTable APIs; unsupported shapes fail loudly.
 
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([\w.]+)(\s+FULL)?(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
   private val DescribeDetailRe =
     """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*;?\s*""".r
   private val DescribeHistoryRe =
@@ -281,12 +281,22 @@ object LakeSql {
   def sql(spark: SparkSession, sqlText: String): DataFrame = {
     import spark.implicits._
     sqlText match {
-      case OptimizeRe(name, where, zcols) =>
+      case OptimizeRe(name, full, where, zcols) =>
         val tbl = lookup(name)
         val zc = Option(zcols)
           .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
         zc.foreach(cols => require(cols.nonEmpty,
           s"OPTIMIZE $name ZORDER BY () names no columns"))
+        // Delta's `OPTIMIZE t FULL`: force a full re-cluster of a
+        // liquid-clustered table. Our clustering trigger IS a full
+        // re-cluster, so FULL is a synonym — but, like Delta, it is only
+        // valid on clustered tables, and composes with nothing else.
+        if (full != null) {
+          require(tbl.clusterBy.nonEmpty,
+            s"OPTIMIZE $name FULL: table is not liquid-clustered")
+          require(where == null && zc.isEmpty,
+            s"OPTIMIZE $name FULL takes no WHERE/ZORDER")
+        }
         (Option(where), zc) match {
           case (Some(w), _) =>
             // partition-scoped maintenance (Delta `OPTIMIZE t WHERE ...`):
@@ -392,11 +402,12 @@ object LakeSql {
         Seq((d.location, d.version, d.numFiles, d.sizeInBytes,
             d.partitionColumns.mkString(","), d.statsColumns.mkString(","),
             d.changeFeedEnabled, d.constraints.size, d.lastOperation,
-            d.deletionVectors, d.bloomFilterColumns.mkString(",")))
+            d.deletionVectors, d.bloomFilterColumns.mkString(","),
+            d.clusteringColumns.mkString(",")))
           .toDF("location", "version", "num_files", "size_in_bytes",
             "partition_columns", "stats_columns", "change_feed_enabled",
             "num_constraints", "last_operation", "deletion_vectors",
-            "bloom_filter_columns")
+            "bloom_filter_columns", "clustering_columns")
       case _ =>
         spark.sessionState.sqlParser.parsePlan(sqlText) match {
           case _: MergeIntoTable =>

@@ -421,7 +421,9 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       lastOperation = m.op,
       lastCommitTimestampMs = m.commitTsMs,
       deletionVectors = m.deleteVectors.size,
-      bloomFilterColumns = m.bloomCols)
+      bloomFilterColumns = m.bloomCols,
+      clusteringColumns = m.props.toMap.get(LakeTable.ClusterByProp).toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
   }
 
   /** ADD a CHECK constraint (Delta `ALTER TABLE ... ADD CONSTRAINT ... CHECK`):
@@ -3454,7 +3456,9 @@ object LakeTable {
       /** Live deletion-vector dirs (rows logically deleted, files intact). */
       deletionVectors: Int = 0,
       /** Bloom-indexed columns (point-lookup file skipping). */
-      bloomFilterColumns: Seq[String] = Nil)
+      bloomFilterColumns: Seq[String] = Nil,
+      /** Liquid-clustering key (empty = not clustered). */
+      clusteringColumns: Seq[String] = Nil)
 
   /** Conjunctive data-skipping predicate: `col` between `lo` and `hi`, both
    *  inclusive, either bound open. Bound values are Spark CAST-to-STRING

@@ -1077,8 +1077,18 @@ class LakeSqlSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("liquid-clustered"))
 
+      // OPTIMIZE FULL: valid only while clustered; DESCRIBE DETAIL names
+      // the clustering key
+      val full = LakeSql.sql(spark, "OPTIMIZE liq FULL").collect().head
+      assert(full.getString(0) == "k,x")
+      assert(LakeSql.sql(spark, "DESCRIBE DETAIL liq").collect().head
+        .getAs[String]("clustering_columns") == "k,x")
+
       LakeSql.sql(spark, "ALTER TABLE liq CLUSTER BY NONE")
       assert(t.clusterBy.isEmpty)
+      intercept[IllegalArgumentException] {
+        LakeSql.sql(spark, "OPTIMIZE liq FULL") // no longer clustered
+      }
       LakeSql.sql(spark, "OPTIMIZE liq ZORDER BY (x)") // allowed again
     } finally LakeSql.unregister("liq")
   }
