@@ -507,6 +507,31 @@ object LakeSql {
             val tbl = lookup(name)
             tbl.renameColumn(rc.column.name.head, rc.newName)
             Seq((norm(name), tbl.currentVersion)).toDF("table", "version")
+          case ac: org.apache.spark.sql.catalyst.plans.logical.AlterColumns =>
+            // `ALTER TABLE t ALTER COLUMN c SET DEFAULT <expr> | DROP
+            // DEFAULT` — metadata-only default management; other ALTER
+            // COLUMN forms (type/nullability/comment/position) are
+            // rejected loudly (type changes need a rewrite contract)
+            val name = ac.table.collectFirst {
+              case UnresolvedRelation(parts, _, _) => parts.mkString(".")
+              case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+                ut.multipartIdentifier.mkString(".")
+            }.getOrElse(throw new IllegalArgumentException(
+              s"ALTER TABLE target must be a named table, got ${ac.table.nodeName}"))
+            val tbl = lookup(name)
+            ac.specs.foreach { sp =>
+              require(sp.column.name.length == 1,
+                s"nested column ${sp.column.name.mkString(".")} is not supported")
+              val c = sp.column.name.head
+              require(sp.newDataType.isEmpty && sp.newNullability.isEmpty &&
+                sp.newComment.isEmpty && sp.newPosition.isEmpty,
+                "ALTER COLUMN supports SET DEFAULT / DROP DEFAULT only")
+              if (sp.dropDefault) tbl.dropDefaultValue(c)
+              else tbl.setDefaultValue(c, sp.newDefaultExpression.getOrElse(
+                throw new IllegalArgumentException(
+                  s"ALTER COLUMN $c: nothing to alter")).originalSQL)
+            }
+            Seq((norm(name), tbl.currentVersion)).toDF("table", "version")
           case cb: org.apache.spark.sql.catalyst.plans.logical.AlterTableClusterBy =>
             // `ALTER TABLE t CLUSTER BY (c, …)` / `CLUSTER BY NONE` —
             // liquid clustering: metadata-only key change, the layout

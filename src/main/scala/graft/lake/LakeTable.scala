@@ -1309,6 +1309,23 @@ final class LakeTable private (val spark: SparkSession, val root: String,
   def identityColumns: Map[String, (Long, Long)] =
     identitySpecsOf(manifest)
 
+  /** `ALTER TABLE … ALTER COLUMN c SET DEFAULT <expr>` — metadata-only
+   *  (one properties commit); applies to subsequent named-column INSERTs
+   *  that omit the column. */
+  def setDefaultValue(c: String, e: String): Unit = {
+    require(schema.fieldNames.contains(c), s"unknown column $c")
+    require(!generatedColumns.contains(c) && !identityColumns.contains(c),
+      s"$c cannot carry a DEFAULT and be generated/identity")
+    setTableProperties(Map(s"${LakeTable.DefaultPropPrefix}$c" -> e))
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN c DROP DEFAULT` (absent default = no-op,
+   *  Delta's semantics). */
+  def dropDefaultValue(c: String): Unit = {
+    require(schema.fieldNames.contains(c), s"unknown column $c")
+    unsetTableProperties(Seq(s"${LakeTable.DefaultPropPrefix}$c"))
+  }
+
   /** Declared column DEFAULTs: name → expression SQL. */
   def defaultValues: Map[String, String] =
     manifest.props.collect {

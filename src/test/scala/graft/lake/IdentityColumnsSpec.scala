@@ -99,6 +99,26 @@ class IdentityColumnsSpec extends SparkSpec {
     } finally LakeSql.unregister("dft")
   }
 
+  test("ALTER COLUMN SET DEFAULT / DROP DEFAULT manage defaults " +
+      "metadata-only; other ALTER COLUMN forms are rejected") {
+    val dir = tmpDir("default_alter")
+    LakeSql.sql(spark,
+      s"CREATE TABLE adft (k BIGINT, status STRING) LOCATION '$dir/t'")
+    try {
+      LakeSql.sql(spark, "ALTER TABLE adft ALTER COLUMN status SET DEFAULT 'new'")
+      LakeSql.sql(spark, "INSERT INTO adft (k) VALUES (1)")
+      LakeSql.sql(spark, "ALTER TABLE adft ALTER COLUMN status DROP DEFAULT")
+      intercept[IllegalArgumentException] {
+        LakeSql.sql(spark, "INSERT INTO adft (k) VALUES (2)") // no default now
+      }
+      assert(LakeSql.sql(spark, "SELECT k, status FROM adft ORDER BY k")
+        .as[(Long, String)].collect().toSeq == Seq((1L, "new")))
+      intercept[IllegalArgumentException] {
+        LakeSql.sql(spark, "ALTER TABLE adft ALTER COLUMN status TYPE INT")
+      }
+    } finally LakeSql.unregister("adft")
+  }
+
   test("identity and generated columns compose on one table; declaring a " +
       "column as both is refused") {
     val t = LakeTable(spark, s"${tmpDir("ident_gen")}/t")
