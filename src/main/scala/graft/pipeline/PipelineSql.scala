@@ -227,6 +227,12 @@ object PipelineSql {
       case UnresolvedRelation(parts, _, _)
           if parts.length == 1 && p.contains(parts.head) =>
         SubqueryAlias(parts.head, GraftColumnBridge.logicalPlan(p.read(parts.head)))
+      case UnresolvedRelation(parts, _, _)
+          if parts.length == 2 && parts.head.equalsIgnoreCase("live") &&
+            p.contains(parts(1)) =>
+        // DLT's classic `LIVE.<dataset>` qualifier — same resolution as
+        // the bare name (the modern syntax drops the prefix)
+        SubqueryAlias(parts(1), GraftColumnBridge.logicalPlan(p.read(parts(1))))
       case r @ UnresolvedRelation(_, _, true) =>
         // STREAM() over a non-pipeline relation: demote to a batch read of
         // the same name (snapshot semantics) and let Spark resolve it

@@ -286,6 +286,19 @@ class PipelineSqlSpec extends SparkSpec {
     assert(p.table("mv").clusterBy == Seq("k"))
   }
 
+  test("LIVE.<dataset> (DLT's classic qualifier) resolves like the bare " +
+      "name, including under STREAM()") {
+    val p = new Pipeline(spark, tmpDir("plsql_live"))
+    p.view("src")(Seq((1L, "a")).toDF("k", "v"))
+    PipelineSql(p,
+      "CREATE OR REFRESH MATERIALIZED VIEW mv AS SELECT k, v FROM LIVE.src")
+    PipelineSql(p,
+      "CREATE OR REFRESH MATERIALIZED VIEW mv2 AS SELECT k FROM STREAM(LIVE.mv)")
+    p.run()
+    assert(p.read("mv").as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    assert(p.read("mv2").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("unsupported statements fail loudly") {
     val p = new Pipeline(spark, tmpDir("plsql_bad"))
     val e = intercept[IllegalArgumentException] {
