@@ -1761,6 +1761,39 @@ final class LakeTable private (val spark: SparkSession, val root: String,
 
   private case class TxnAlreadyApplied() extends RuntimeException
 
+  /** Highest `txnVersion` the manifest's transaction ledger records for
+   *  `appId` (Delta's `DeltaTable.txnVersion` probe — the read side of the
+   *  idempotent-writer protocol). None before the app's first commit or on
+   *  a non-existent table. */
+  def lastTxnVersion(appId: String): Option[Long] =
+    if (!exists) None
+    else manifest.txns.collectFirst { case (a, tv) if a == appId => tv }
+
+  /** Record `(appId, txnVersion)` in the transaction ledger WITHOUT data —
+   *  a metadata-only commit (op `properties`, invisible to the change
+   *  feed). The version-must-advance rule of [[appendIdempotent]] applies:
+   *  a stale or replayed version is a no-op (returns false). Used by
+   *  incremental flows whose data effect is itself idempotent (guarded
+   *  merges) to advance their source-version ledger crash-safely: the
+   *  ledger rides the manifest, so it snapshots, restores, and clones with
+   *  the table — no side file to half-write. */
+  def recordTxn(appId: String, txnVersion: Long): Boolean = synchronized {
+    require(exists, s"recordTxn target $root does not exist")
+    require(appId.nonEmpty, "recordTxn needs a non-empty appId")
+    try {
+      commitWithRetry { () =>
+        val v = currentVersion
+        val cur = readManifest(v)
+        if (cur.txns.exists { case (a, tv) => a == appId && tv >= txnVersion })
+          throw TxnAlreadyApplied()
+        (cur.copy(op = "properties", cdfDir = None, commitTsMs = None,
+          txns = cur.txns.filterNot(_._1 == appId) :+ (appId -> txnVersion)),
+          v + 1)
+      }
+      true
+    } catch { case TxnAlreadyApplied() => false }
+  }
+
   private def appendImpl(df0: DataFrame, mergeSchema: Boolean,
       txn: Option[(String, Long)]): Boolean = {
     Files.createDirectories(Paths.get(root))
@@ -1894,16 +1927,36 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     catch { case scala.util.control.NonFatal(_) => () } // best-effort
   }
 
-  /** Full-snapshot replace (new version; old files kept until vacuum). */
-  def overwrite(df: DataFrame, partitionBy: Option[String] = None): Unit =
-    replaceAll(df, partitionBy, "overwrite", expected = None)
+  /** Full-snapshot replace (new version; old files kept until vacuum).
+   *  `txn` rides the commit atomically (Delta's txnAppId/txnVersion on
+   *  overwrite) — a replayed (appId, txnVersion) still overwrites (the
+   *  effect is naturally idempotent) but the ledger never regresses. */
+  def overwrite(df: DataFrame, partitionBy: Option[String] = None,
+      txn: Option[(String, Long)] = None): Unit =
+    replaceAll(df, partitionBy, "overwrite", expected = None, txn = txn)
 
   /** `expected = Some(v)`: conditional replace — the snapshot this data was
    *  computed from must still be current, else [[ConcurrentWriteException]]
    *  (merge/compact). `None`: last-writer-wins replace, retried on races. */
+  /** `(appId → tv)` upserted into a transaction ledger (one entry per app);
+   *  the ledger never regresses — a replayed older version keeps the
+   *  recorded high-water. */
+  private def withTxnLedger(ts: Seq[(String, Long)],
+      txn: Option[(String, Long)]): Seq[(String, Long)] = txn match {
+    case None => ts
+    case Some((a, tv)) =>
+      if (ts.exists { case (a0, tv0) => a0 == a && tv0 >= tv }) ts
+      else ts.filterNot(_._1 == a) :+ (a -> tv)
+  }
+
+  private def txnAppliedIn(m: Manifest, txn: Option[(String, Long)]): Boolean =
+    txn.exists { case (a, tv) =>
+      m.txns.exists { case (a0, tv0) => a0 == a && tv0 >= tv } }
+
   private def replaceAll(df: DataFrame, partitionBy: Option[String],
       op: String, expected: Option[Long], cdfDir: Option[String] = None,
-      preclustered: Boolean = false): Unit = synchronized {
+      preclustered: Boolean = false,
+      txn: Option[(String, Long)] = None): Unit = synchronized {
     Files.createDirectories(Paths.get(root))
     val cur = if (exists) Some(manifest) else None
     val pcol = partitionBy.orElse(cur.flatMap(_.pcol))
@@ -1926,7 +1979,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     val validatedConstraints = cur.map(_.constraints).getOrElse(Nil).toSet
     val m = Manifest(df1.schema, pcol, Seq(DirEntry(dir, owned)), op,
       cur.exists(_.cdfEnabled), cdfDir, statsCols = scols, fileStats = fstats,
-      txns = cur.map(_.txns).getOrElse(Nil),
+      txns = withTxnLedger(cur.map(_.txns).getOrElse(Nil), txn),
       constraints = cur.map(_.constraints).getOrElse(Nil),
       generated = cur.map(_.generated).getOrElse(Nil),
       bloomCols = cur.map(_.bloomCols).getOrElse(Nil),
@@ -1949,9 +2002,11 @@ final class LakeTable private (val spark: SparkSession, val root: String,
             val unvalidated = c.constraints.filterNot(validatedConstraints)
             if (op == "overwrite" && unvalidated.nonEmpty)
               enforceConstraints(df1, unvalidated)
+            // carry the THEN-CURRENT ledger: an idempotent append committed
+            // after our pre-write snapshot must not lose its txn entry
             (m.copy(cdfEnabled = c.cdfEnabled, constraints = c.constraints,
               generated = c.generated, bloomCols = c.bloomCols,
-              props = c.props), v + 1)
+              txns = withTxnLedger(c.txns, txn), props = c.props), v + 1)
           } else (m, 0L)
         }
     }
@@ -1995,7 +2050,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       deleteUnmatchedTarget: Option[String] = None,
       insertAll: Boolean = true,
       insertGuard: Option[String] = None,
-      insertSet: Option[Map[String, String]] = None): Unit = synchronized {
+      insertSet: Option[Map[String, String]] = None,
+      txn: Option[(String, Long)] = None): Unit = synchronized {
     require(exists, s"merge target $root does not exist — create() or append() first")
     require(!(matchedDelete && matchedSet.nonEmpty),
       "WHEN MATCHED can DELETE or UPDATE, not both")
@@ -2003,6 +2059,12 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       "matchedDelete (sole clause) and matchedDeleteWhen (second clause) are exclusive")
     val v0 = currentVersion
     val m = readManifest(v0) // merge computes against THIS snapshot
+    // idempotent merge (Delta's txnAppId/txnVersion on MERGE): the ledger
+    // entry commits ATOMICALLY with the merged data, so a replayed
+    // (appId, txnVersion) — crash-retry, orchestrator re-run — is a no-op.
+    // This is the primitive that makes NON-idempotent merge effects (e.g.
+    // the signed-delta aggregate MV) exactly-once.
+    if (txnAppliedIn(m, txn)) return
     val src = materializeGenerated(src0, m)
     // WITH SCHEMA EVOLUTION (Delta's MERGE form): the source may carry
     // ADDITIVE new columns — the table schema widens (nullable), matched
@@ -2223,7 +2285,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       }
       if (insertSet.nonEmpty) enforceConstraints(flat, m.constraints)
       val chDir = writeChanges(flat.withColumn(ChangeTypeCol, lit("insert")))
-      replaceAll(flat, m.pcol, "merge", Some(v0), chDir)
+      replaceAll(flat, m.pcol, "merge", Some(v0), chDir, txn = txn)
       maybeAutoCompact()
       return
     }
@@ -2257,7 +2319,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
           // full-rewrite path (NOT MATCHED BY SOURCE sync) must come out the
           // other side still partitioned — Hive layout, SHOW PARTITIONS and
           // replaceWhere ownership all key off the manifest's pcol
-          replaceAll(merged, m.pcol, "merge", Some(v0), chDir)
+          replaceAll(merged, m.pcol, "merge", Some(v0), chDir, txn = txn)
           maybeAutoCompact()
         } finally if (m.cdfEnabled) { pinned.unpersist(); () }
       case Some(p) =>
@@ -2316,7 +2378,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
             committed = tryCommit(Manifest(schema1, base.pcol,
               kept :+ DirEntry(dir, owned), "merge",
               base.cdfEnabled, chDir, statsCols = base.statsCols,
-              txns = base.txns, droppedCols = base.droppedCols,
+              txns = withTxnLedger(base.txns, txn), droppedCols = base.droppedCols,
               fileStats = keptStats ++ fstats, constraints = base.constraints,
               generated = base.generated, deleteVectors = base.deleteVectors,
               bloomCols = base.bloomCols, colMap = base.colMap,
@@ -2324,6 +2386,13 @@ final class LakeTable private (val spark: SparkSession, val root: String,
             if (!committed) {
               val vN = currentVersion
               val mN = readManifest(vN)
+              // a concurrent replay of the SAME transaction won the race:
+              // reclaim the unreferenced data dir and no-op
+              if (txnAppliedIn(mN, txn)) {
+                deleteRecursively(Paths.get(root, dir))
+                Files.deleteIfExists(bloomIndexFile(dir))
+                return
+              }
               if (!rebasable(mN))
                 throw new ConcurrentWriteException(
                   s"merge computed against version $v0 of $root, but a " +

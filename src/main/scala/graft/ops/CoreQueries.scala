@@ -955,11 +955,11 @@ object CoreQueries {
       val p = new Pipeline(s, root)
       p.streamingTable("mv")
       p.runAggMvFromChangeFeed("mv", src, Seq("event_type"), Seq("value"),
-        s"$root/ledger") // bootstrap at the cutoff state
+        "mv_flow") // bootstrap at the cutoff state
       src.merge(latest(ev), Seq("user_id"))
       src.deleteWhere("event_type = 'error'")
       p.runAggMvFromChangeFeed("mv", src, Seq("event_type"), Seq("value"),
-        s"$root/ledger") // O(changed rows)
+        "mv_flow") // O(changed rows)
       p.read("mv")
         .select(col("event_type"), col("sum_value").cast("double").as("sum_value"),
           col("cnt"))
@@ -998,7 +998,7 @@ object CoreQueries {
       p.streamingTable("mv")
       def refresh(): Unit = {
         p.runAggMvFromChangeFeed("mv", src, Seq("event_type"), Seq("value"),
-          s"$root/ledger", mins = Seq("value"), maxs = Seq("value"))
+          "mv_flow", mins = Seq("value"), maxs = Seq("value"))
         ()
       }
       refresh() // bootstrap

@@ -715,30 +715,28 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
    * [[runCdcFlowStreaming]] tails FILES (sound only for append-only
    * sources), this consumes the row-level feed of a MERGE-maintained silver
    * table: each run processes only the source versions committed since the
-   * last run (version ledger next to the target), keeps the newest
-   * insert/update_postimage per key (commit order is authoritative across
-   * versions), and latest-wins merges into the target.
+   * last run, keeps the newest insert/update_postimage per key (commit
+   * order is authoritative across versions), and latest-wins merges into
+   * the target.
    *
-   * Cost per run is O(changed rows since last run) — no silver rescan. A
-   * crash between merge and ledger write replays the same versions; the
-   * guarded merge makes that idempotent (exactly-once effect). Returns the
-   * number of change rows processed.
+   * The last-consumed source version rides the TARGET's own transaction
+   * ledger (`flowId` as the app id), committed ATOMICALLY with the merge —
+   * there is no side file to half-write, and a crash replays the same
+   * window into an idempotent no-op (the ledger entry marks it applied).
+   * Cost per run is O(changed rows since last run) — no silver rescan.
+   * Returns the number of change rows processed.
    */
   def runCdcFlowFromChangeFeed(
       target: String,
       source: LakeTable,
       keys: Seq[String],
       sequenceBy: String,
-      ledgerPath: String,
+      flowId: String = "",
       tiebreak: Seq[String] = Nil): Long = {
-    import java.nio.charset.StandardCharsets
-    import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.functions.col
-    val ledger = Paths.get(ledgerPath)
-    val last =
-      if (Files.exists(ledger))
-        new String(Files.readAllBytes(ledger), StandardCharsets.UTF_8).trim.toLong
-      else -1L
+    val t = tables(target)
+    val appId = if (flowId.nonEmpty) flowId else s"graft.cdcflow.$target"
+    val last = t.lastTxnVersion(appId).getOrElse(-1L)
     val cur = source.currentVersion
     if (cur <= last) return 0L
     // persisted: both the processed-count and the dedup+merge consume the
@@ -757,11 +755,9 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         graft.lake.LakeTable.CommitVersionCol, Seq(sequenceBy) ++ tiebreak)
         .drop(graft.lake.LakeTable.CommitVersionCol)
       val processed = feed.count()
-      val t = tables(target)
       if (!t.exists) t.create(perKey.schema)
-      t.merge(perKey, keys, Some(s"s.$sequenceBy >= t.$sequenceBy"))
-      Files.createDirectories(ledger.getParent)
-      Files.write(ledger, cur.toString.getBytes(StandardCharsets.UTF_8))
+      t.merge(perKey, keys, Some(s"s.$sequenceBy >= t.$sequenceBy"),
+        txn = Some(appId -> cur))
       processed
     } finally feed.unpersist()
   }
@@ -773,7 +769,10 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
    *   `SELECT groupBy…, SUM(c) AS sum_c (per c), COUNT(*) AS cnt
    *    FROM source GROUP BY groupBy…`
    * maintained from the SOURCE TABLE'S CHANGE FEED: each run reads only
-   * the versions committed since the last run (ledger next to the target),
+   * the versions committed since the last run (the last-consumed version
+   * rides the target's transaction ledger, committed ATOMICALLY with the
+   * merge — a ±delta applied twice would double-count, so the exactly-once
+   * guarantee here is the merge-txn primitive, not replay idempotence),
    * turns the row images into SIGNED deltas (+1 for insert/postimage, −1
    * for delete/preimage — a group-moving update subtracts from the old
    * group and adds to the new one), pre-aggregates them per group
@@ -797,29 +796,20 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       source: LakeTable,
       groupBy: Seq[String],
       sums: Seq[String],
-      ledgerPath: String,
+      flowId: String = "",
       mins: Seq[String] = Nil,
       maxs: Seq[String] = Nil): Long = {
-    import java.nio.charset.StandardCharsets
-    import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
     require(groupBy.nonEmpty, "incremental agg MV needs GROUP BY columns")
     val t = tables(target)
+    val appId = if (flowId.nonEmpty) flowId else s"graft.aggmv.$target"
     def sumCol(c: String) = s"sum_$c"
     def minCol(c: String) = s"min_$c"
     def maxCol(c: String) = s"max_$c"
     val dec = "decimal(28,6)"
-    val ledger = Paths.get(ledgerPath)
-    val last =
-      if (Files.exists(ledger))
-        new String(Files.readAllBytes(ledger), StandardCharsets.UTF_8).trim.toLong
-      else -1L
+    val last = t.lastTxnVersion(appId).getOrElse(-1L)
     val cur = source.currentVersion
     if (cur <= last && t.exists) return 0L
-    def writeLedger(v: Long): Unit = {
-      Files.createDirectories(ledger.getParent)
-      Files.write(ledger, v.toString.getBytes(StandardCharsets.UTF_8))
-    }
     if (!t.exists || last < 0) {
       // bootstrap: one full-snapshot aggregation at version `cur`
       val snap = source.readVersion(cur)
@@ -833,8 +823,8 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           mins.map(c => col(minCol(c))) ++ maxs.map(c => col(maxCol(c))) :+
           col("cnt")): _*)
       if (!t.exists) t.create(base.schema)
-      t.overwrite(base)
-      writeLedger(cur)
+      // ledger rides the overwrite commit (replay re-bootstraps — same rows)
+      t.overwrite(base, txn = Some(appId -> cur))
       return 0L
     }
     val feed = source.readChangeFeed(last + 1, Some(cur))
@@ -871,12 +861,14 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       mins.map(c => minCol(c) -> s"s.__mn_$c") ++
       maxs.map(c => maxCol(c) -> s"s.__mx_$c") :+
       ("cnt" -> "s.__dcnt")).toMap
+    // the ±delta is NOT replay-idempotent — the txn entry commits with the
+    // merge so a crashed-and-retried window can never double-apply
     t.merge(delta, groupBy,
       matchedSet = Some(updates),
       matchedDeleteWhen = Some("t.cnt + s.__dcnt = 0"),
       insertGuard = Some("s.__dcnt > 0"),
-      insertSet = Some(inserts))
-    writeLedger(cur)
+      insertSet = Some(inserts),
+      txn = Some(appId -> cur))
     processed
   }
 

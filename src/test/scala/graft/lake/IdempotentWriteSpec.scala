@@ -57,6 +57,52 @@ class IdempotentWriteSpec extends SparkSpec {
     assert(t.read.count() == 3 && c.read.count() == 4)
   }
 
+  test("idempotent MERGE: a replayed (appId, version) merge is a no-op even " +
+      "when the merge effect itself is NOT idempotent") {
+    val t = LakeTable(spark, s"${tmpDir("txn_merge")}/t")
+    t.create(Seq((1L, 0L)).toDF("k", "n").schema)
+    t.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "n"))
+    // a counter-increment merge: replaying it would double-add
+    def bump(tv: Long): Unit = t.merge(
+      Seq((1L, 5L)).toDF("k", "d"), Seq("k"),
+      matchedSet = Some(Map("n" -> "t.n + s.d")),
+      insertAll = false, txn = Some("incr" -> tv))
+    bump(1L)
+    assert(t.read.filter(col("k") === 1L).select("n").as[Long].head() == 15L)
+    val v = t.currentVersion
+    bump(1L) // exact replay: skipped, nothing re-applied, no version minted
+    assert(t.currentVersion == v)
+    assert(t.read.filter(col("k") === 1L).select("n").as[Long].head() == 15L)
+    bump(2L) // next version lands
+    assert(t.read.filter(col("k") === 1L).select("n").as[Long].head() == 20L)
+    assert(t.lastTxnVersion("incr").contains(2L))
+    assert(t.lastTxnVersion("absent").isEmpty)
+    // bootstrap-path merge (empty table) carries the ledger too
+    val t2 = LakeTable(spark, s"${tmpDir("txn_merge2")}/t")
+    t2.create(Seq((1L, 1L)).toDF("k", "n").schema)
+    t2.merge(Seq((1L, 1L)).toDF("k", "n"), Seq("k"), txn = Some("boot" -> 3L))
+    assert(t2.lastTxnVersion("boot").contains(3L))
+    t2.merge(Seq((2L, 2L)).toDF("k", "n"), Seq("k"), txn = Some("boot" -> 3L))
+    assert(t2.read.count() == 1) // replay skipped
+  }
+
+  test("recordTxn: metadata-only ledger advance — version-must-advance rule, " +
+      "no data commit, invisible to the change feed") {
+    val t = LakeTable(spark, s"${tmpDir("txn_record")}/t")
+    t.create(Seq((1L, "a")).toDF("k", "v").schema, enableChangeFeed = true)
+    t.append(Seq((1L, "a")).toDF("k", "v"))
+    assert(t.recordTxn("flow", 4L))
+    assert(t.lastTxnVersion("flow").contains(4L))
+    assert(!t.recordTxn("flow", 4L)) // replay: no-op, no version minted
+    assert(!t.recordTxn("flow", 3L)) // regression: refused
+    assert(t.lastTxnVersion("flow").contains(4L))
+    assert(t.recordTxn("flow", 5L))
+    // the ledger commits are metadata-only: the feed still serves exactly
+    // the one appended batch
+    assert(t.readChangeFeed(0L).count() == 1)
+    intercept[IllegalArgumentException](t.recordTxn("", 1L))
+  }
+
   test("plain appends never touch the ledger; mixed use stays exactly-once") {
     val t = LakeTable(spark, s"${tmpDir("txn_mixed")}/t")
     assert(t.appendIdempotent("loader", 7L, Seq((1L, "a")).toDF("k", "v")))

@@ -254,7 +254,7 @@ class PipelineSpec extends SparkSpec {
     val p = new Pipeline(spark, s"$root/pipe")
     p.streamingTable("gold")
     def run(): Long = p.runCdcFlowFromChangeFeed(
-      "gold", silver, Seq("k"), "seq", s"$root/ledger")
+      "gold", silver, Seq("k"), "seq", "gold_flow")
 
     assert(run() == 2) // bootstrap: both inserts flow
     assert(run() == 0) // no new silver versions → nothing processed
@@ -716,7 +716,7 @@ class PipelineSpec extends SparkSpec {
     val p = new Pipeline(spark, root)
     p.streamingTable("mv")
     def refresh(): Long =
-      p.runAggMvFromChangeFeed("mv", src, Seq("g"), Seq("v"), s"$root/ledger")
+      p.runAggMvFromChangeFeed("mv", src, Seq("g"), Seq("v"), "mv_flow")
     refresh() // bootstrap
     def mv: Seq[(String, java.math.BigDecimal, Long)] =
       p.read("mv").orderBy("g")
@@ -907,7 +907,7 @@ class PipelineSpec extends SparkSpec {
     val p = new Pipeline(spark, root)
     p.streamingTable("mv")
     def refresh(): Long = p.runAggMvFromChangeFeed("mv", src, Seq("g"),
-      Seq("v"), s"$root/ledger", mins = Seq("v"), maxs = Seq("v"))
+      Seq("v"), "mv_flow", mins = Seq("v"), maxs = Seq("v"))
     refresh() // bootstrap
     src.append(Seq((3L, "a", 5.0), (4L, "b", 7.0)).toDF("k", "g", "v"))
     refresh()
