@@ -1017,6 +1017,49 @@ object CoreQueries {
         FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
         GROUP BY event_type ORDER BY event_type""")),
 
+    // O13 INCREMENTAL PIPELINE EXECUTION — the declared DAG on the
+    // O(new rows) path (`Pipeline.runIncremental`): bronze is an
+    // inputTable stream root, a streamingView cleans it per-row (DLT's
+    // `dlt.read_stream` shape, `dlt_bronze_to_silver_pipeline.py:17-18`),
+    // and the CDC flow consumes bronze's CHANGE FEED — run 2 processes
+    // only the second appended half, never re-scanning bronze (the
+    // per-flow ledger rides the silver table's transaction log). The
+    // oracle recomputes global latest-per-key over ALL events: equality
+    // proves two incremental windows compose to the full-scan answer.
+    // The time split puts equal-ts rows in one window, so per-batch
+    // dedup + the `s.ts >= t.ts` merge guard reproduce the global pick.
+    Q("o13_incremental_cdc_run", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select("user_id", "event_type", "value", "ts", "event_id")
+      val r = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val cut = new Timestamp(
+        (r.getTimestamp(0).getTime + r.getTimestamp(1).getTime) / 2)
+      val root = tmp("graft_o13")
+      val bronze = LakeTable(s, s"$root/bronze")
+      bronze.append(ev.filter(col("ts") <= lit(cut)))       // arrival 1
+      val p = new Pipeline(s, s"$root/pipe")
+      p.inputTable("bronze", bronze)
+      p.streamingView("clean", "bronze")(df =>
+        df.filter(col("event_type").isNotNull && col("value").isNotNull))
+      p.streamingTable("silver")
+      p.autoCdcFlow("silver", "clean", Seq("user_id"), "ts",
+        tiebreak = Seq("event_id"))
+      p.runIncremental()                                    // full window
+      bronze.append(ev.filter(col("ts") > lit(cut)))        // arrival 2
+      p.runIncremental()                                    // delta only
+      p.read("silver").orderBy("user_id")
+    },
+      Some("""WITH clean AS (
+          SELECT user_id, event_type, value, ts, event_id FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_type IS NOT NULL AND value IS NOT NULL
+        )
+        SELECT user_id, event_type, value, ts, event_id FROM clean
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY ts DESC, event_id DESC) = 1
+        ORDER BY user_id""")),
+
     // O10 append flows — DLT's `@dlt.append_flow` / Lakeflow SQL
     // `CREATE FLOW f AS INSERT INTO [ONCE] t BY NAME …`: many append-only
     // flows feed ONE streaming table. Declared through the SQL surface;

@@ -35,6 +35,10 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
 
   private val views = mutable.LinkedHashMap[String, () => DataFrame]()
   private val tables = mutable.LinkedHashMap[String, LakeTable]()
+  private val inputs = mutable.LinkedHashMap[String, LakeTable]()
+  private val streamingViews =
+    mutable.LinkedHashMap[String, (String, DataFrame => DataFrame)]()
+  private val cdfTables = mutable.Set[String]()
   private val flows = mutable.ArrayBuffer[CdcFlow]()
   private val appendFlows = mutable.ArrayBuffer[AppendFlow]()
   private val onceFlowsDone = mutable.Set[String]()
@@ -53,6 +57,33 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
   /** Register a named transformation (O3 `@dlt.view`). */
   def view(name: String)(fn: => DataFrame): this.type = {
     views(name) = () => fn
+    this
+  }
+
+  /** Register an EXTERNAL lake table as a pipeline dataset — the bronze
+   *  tables DLT pipelines read from outside their own graph
+   *  (`spark.readStream.table(...)`). Under [[run]] it resolves to the
+   *  table's current snapshot; under [[runIncremental]] it is a STREAM
+   *  ROOT: downstream CDC flows consume its change feed, processing only
+   *  rows committed since their last run. */
+  def inputTable(name: String, t: LakeTable): this.type = {
+    inputs(name) = t
+    views(name) = () => t.read
+    this
+  }
+
+  /** A view declared as a STATELESS row transform over one upstream
+   *  dataset — DLT's `@dlt.view` over `dlt.read_stream(source)`. Under
+   *  [[run]] it behaves exactly like [[view]] (`fn` over the source's
+   *  current snapshot); under [[runIncremental]] the transform is applied
+   *  to the source's CHANGE-FEED DELTA instead, which is sound precisely
+   *  because the transform is per-row (select/filter/cast — the silver
+   *  cleaning shape; DLT imposes the same restriction on streaming
+   *  tables). Aggregating/joining views must stay [[view]]s. */
+  def streamingView(name: String, source: String)(
+      fn: DataFrame => DataFrame): this.type = {
+    streamingViews(name) = (source, fn)
+    views(name) = () => fn(read(source))
     this
   }
 
@@ -85,11 +116,22 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
    *  stamped as table metadata once the table materializes (first flow
    *  write); `OPTIMIZE` then re-clusters on it
    *  ([[graft.lake.LakeTable.setClusterBy]]). */
-  def streamingTable(name: String, clusterBy: Seq[String] = Nil): LakeTable = {
+  def streamingTable(name: String, clusterBy: Seq[String] = Nil,
+      enableChangeFeed: Boolean = false): LakeTable = {
     val t = LakeTable(spark, s"$storageRoot/$name")
     tables(name) = t
     if (clusterBy.nonEmpty) pendingClusterBy(name) = clusterBy
+    if (enableChangeFeed) cdfTables += name
     t
+  }
+
+  /** Create `name`'s backing table honoring its declared CDF flag — a
+   *  CDC-maintained table feeding ANOTHER incremental flow must record
+   *  row-level changes (`streamingTable(..., enableChangeFeed = true)`). */
+  private def createTarget(name: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    tables(name).create(schema, enableChangeFeed = cdfTables.contains(name))
+    ()
   }
 
   /** Declare a MATERIALIZED VIEW (DLT's other table kind): a [[LakeTable]]
@@ -315,8 +357,52 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
   }
 
   /** Drain one batch through every CDC flow, in dependency order; then
-   *  enforce Fail-policy expectation gates (`expect_all_or_fail`). */
-  def run(): Unit = {
+   *  enforce Fail-policy expectation gates (`expect_all_or_fail`). Each
+   *  flow re-reads its source's CURRENT contents (snapshot execution);
+   *  see [[runIncremental]] for the O(new rows) mode. */
+  def run(): Unit = runImpl(incremental = false)
+
+  /**
+   * INCREMENTAL update of the declared graph — the execution DLT actually
+   * gives streaming tables (`dlt_bronze_to_silver_pipeline.py:17-18` reads
+   * bronze as a STREAM): a CDC flow whose source chain roots at a lake
+   * table ([[inputTable]], or an upstream flow's target declared with
+   * `enableChangeFeed = true`) consumes the root's CHANGE FEED, processing
+   * only the rows committed since this flow's last run — O(new rows), no
+   * source rescan, which is the difference between a medallion refresh
+   * that re-reads 100 TB of bronze per run and one that reads the day's
+   * arrivals. [[streamingView]] transforms are applied to the delta
+   * (stateless, so per-batch application is sound — DLT's own streaming
+   * restriction).
+   *
+   * Per-flow progress rides the TARGET's transaction ledger
+   * (`graft.flow.<target>` → last consumed source version): the SCD
+   * applies are replay-idempotent (guarded merges), so a crash between
+   * apply and ledger advance re-processes the window into a no-op.
+   * Flows whose source does NOT root at a feed-readable table (arbitrary
+   * views, MV sources) fall back to [[run]]'s snapshot semantics —
+   * correctness never depends on the incremental path being available.
+   */
+  def runIncremental(): Unit = runImpl(incremental = true)
+
+  /** Longest `streamingView` chain from `name` down to a feed-readable
+   *  root table, composing the per-row transforms along the way. */
+  private def resolveStreamRoot(name: String, depth: Int = 0)
+      : Option[(LakeTable, DataFrame => DataFrame)] =
+    if (depth > 16) None
+    else inputs.get(name).map(t => (t, identity[DataFrame] _))
+      .orElse(tables.get(name)
+        // an MV recomputes fully each run — its feed carries whole-table
+        // replace images, not row deltas; treat it as a snapshot source
+        .filterNot(_ => mviews.contains(name))
+        .map(t => (t, identity[DataFrame] _)))
+      .orElse(streamingViews.get(name).flatMap { case (src, fn) =>
+        resolveStreamRoot(src, depth + 1).map { case (t, g) =>
+          (t, g.andThen(fn))
+        }
+      })
+
+  private def runImpl(incremental: Boolean): Unit = {
     val gb = GoldBuilder(spark)
     gates.clear() // this run's gates only (lastGate reads post-run state)
     val events = mutable.ArrayBuffer[(String, String, Long, String)]()
@@ -332,7 +418,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         import org.apache.spark.sql.functions.{col => fnCol, lit => fnLit}
         val df = gate(af.target, af.fn())
         val t = tables(af.target)
-        if (!t.exists) t.create(df.schema)
+        if (!t.exists) createTarget(af.target, df.schema)
         val tgt = t.schema
         val extra = df.columns.filterNot(tgt.fieldNames.contains)
         require(extra.isEmpty, s"append flow ${af.name}: column(s) " +
@@ -374,8 +460,53 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       }
     }
     orderedFlows.foreach { f =>
-      val (batch, flowRows) =
-        observe(gate(f.target, views.getOrElse(f.source, () => read(f.source))()))
+      val stream = if (incremental) resolveStreamRoot(f.source) else None
+      stream match {
+        case Some((src, fn)) if src.exists =>
+          import org.apache.spark.sql.functions.col
+          val appId = s"graft.flow.${f.target}"
+          val t = tables(f.target)
+          val last = t.lastTxnVersion(appId).getOrElse(-1L)
+          val cur = src.currentVersion
+          if (cur > last) {
+            val delta = fn(src.readChangeFeed(last + 1, Some(cur))
+              .filter(col(graft.lake.LakeTable.ChangeTypeCol)
+                .isin("insert", "update_postimage"))
+              .drop(graft.lake.LakeTable.ChangeTypeCol,
+                graft.lake.LakeTable.CommitTimestampCol,
+                graft.lake.LakeTable.CommitVersionCol))
+            if (delta.isEmpty) {
+              // metadata-only window: advance the ledger, skip the apply
+              if (t.exists) { t.recordTxn(appId, cur); () }
+              events += (("flow_progress", f.target, 0L,
+                s"cdc from ${f.source} (scd${f.scdType}, incremental " +
+                  s"v${last + 1}..v$cur empty)"))
+            } else {
+              val (batch, flowRows) = observe(gate(f.target, delta))
+              applyCdcFlow(f, batch, gb, txn = Some(appId -> cur))
+              events += (("flow_progress", f.target, flowRows(),
+                s"cdc from ${f.source} (scd${f.scdType}, incremental " +
+                  s"v${last + 1}..v$cur)"))
+            }
+          } else events += (("flow_progress", f.target, 0L,
+            s"cdc from ${f.source} (scd${f.scdType}, incremental up-to-date)"))
+        case _ =>
+          val (batch, flowRows) =
+            observe(gate(f.target, views.getOrElse(f.source, () => read(f.source))()))
+          applyCdcFlow(f, batch, gb)
+          events += (("flow_progress", f.target, flowRows(),
+            s"cdc from ${f.source} (scd${f.scdType})"))
+      }
+    }
+    runTail(events)
+  }
+
+  /** Apply ONE CDC flow's batch to its target — the shared kernel of
+   *  [[run]] (full-snapshot batch) and [[runIncremental]] (change-feed
+   *  delta). `txn` rides the terminal merge/overwrite commit, advancing
+   *  the flow's source-version ledger atomically with the apply. */
+  private def applyCdcFlow(f: CdcFlow, batch: DataFrame, gb: GoldBuilder,
+      txn: Option[(String, Long)] = None): Unit = {
       val tiebreak =
         if (f.tiebreak.nonEmpty) f.tiebreak
         else batch.columns.toSeq.filterNot(c => f.keys.contains(c) || c == f.sequenceBy)
@@ -430,8 +561,8 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           deleteCol = f.applyAsDeletes.map(_ => delFlag),
           trackCols = trackCols,
           ignoreNulls = f.ignoreNullUpdates)
-        if (!t.exists) t.create(rows.schema)
-        t.merge(rows, f.keys :+ GoldBuilder.Scd2Start)
+        if (!t.exists) createTarget(f.target, rows.schema)
+        t.merge(rows, f.keys :+ GoldBuilder.Scd2Start, txn = txn)
       } else {
         import org.apache.spark.sql.functions.{coalesce => fnCoalesce, col => fnCol, expr => fnExpr, lit => fnLit, max => fnMax}
         // apply_as_truncate: the NEWEST truncate event wipes the whole
@@ -467,7 +598,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
               .distinct.map(fnCol): _*)
           else d.drop(f.exceptColumns: _*)
         val kept = keepCols(latest)
-        if (!t.exists) t.create(kept.schema)
+        if (!t.exists) createTarget(f.target, kept.schema)
         // DLT evolves the target ADDITIVELY when the feed grows columns:
         // widen the schema metadata-only FIRST (O(manifest); existing
         // files serve NULL — the same result as MERGE WITH SCHEMA
@@ -493,14 +624,15 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
             case Some(delPred) => keepCols(latest.filter(
               !fnCoalesce(fnExpr(delPred).cast("boolean"), fnLit(false))))
           }
-          t.overwrite(survivors.select(allCols.map(fnCol): _*))
+          t.overwrite(survivors.select(allCols.map(fnCol): _*), txn = txn)
         } else f.applyAsDeletes match {
           case None if !f.ignoreNullUpdates =>
-            t.merge(kept, f.keys, Some(seqGeGuard(f.sequenceBy +: f.sequenceAlso)))
+            t.merge(kept, f.keys, Some(seqGeGuard(f.sequenceBy +: f.sequenceAlso)),
+              txn = txn)
           case None =>
             t.merge(kept, f.keys,
               matchedGuard = Some(seqGeGuard(f.sequenceBy +: f.sequenceAlso)),
-              matchedSet = Some(updSet))
+              matchedSet = Some(updSet), txn = txn)
           case Some(delPred) =>
             // CDC apply with deletes (the s39 statement, programmatic):
             // the op-coded batch keeps its metadata columns on the SOURCE
@@ -520,19 +652,25 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
               matchedSet = Some(updSet),
               matchedDeleteWhen = Some(s"(s.$delFlag) AND ($seqGuard)"),
               insertGuard = Some(s"NOT s.$delFlag"),
-              insertSet = Some(allCols.map(c => c -> s"s.$c").toMap))
+              insertSet = Some(allCols.map(c => c -> s"s.$c").toMap),
+              txn = txn)
         }
       }
-      events += (("flow_progress", f.target, flowRows(),
-        s"cdc from ${f.source} (scd${f.scdType})"))
-    }
+  }
+
+  /** Post-flow stages shared by [[run]] and [[runIncremental]]: MV
+   *  refresh, pending CLUSTER BY stamps, expectation events, the event
+   *  log, and Fail-gate enforcement. */
+  private def runTail(
+      events: mutable.ArrayBuffer[(String, String, Long, String)]): Unit = {
+    def observe(df: DataFrame): (DataFrame, () => Long) = Pipeline.observeRows(df)
     // materialized views refresh AFTER the flows (a gold MV over a silver
     // streaming table must see this run's merged state), in declaration
     // order — full recompute, atomically swapped in via overwrite
     mviews.foreach { case (name, fn) =>
       val (df, rows) = observe(gate(name, fn()))
       val t = tables(name)
-      if (!t.exists) t.create(df.schema)
+      if (!t.exists) createTarget(name, df.schema)
       t.overwrite(df)
       events += (("flow_progress", name, rows(), "materialized view refresh"))
     }
@@ -632,7 +770,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         t.addColumns(newCols.map(fl => fl.name -> fl.dataType))
     }
     if (f.scdType == 1) {
-      if (!t.exists) t.create(snap.schema)
+      if (!t.exists) createTarget(f.target, snap.schema)
       val attrs = t.schema.fieldNames.toSeq.filterNot(f.keys.contains)
       // update only rows whose attributes actually changed; target keys
       // absent from the snapshot are deletes
@@ -667,7 +805,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         else None
       val rows = gb.scd2Apply(events, if (t.exists) Some(t.read) else None,
         f.keys, verCol, attrs, deleteCol = Some(delFlag), trackCols = trackCols)
-      if (!t.exists) t.create(rows.schema)
+      if (!t.exists) createTarget(f.target, rows.schema)
       t.merge(rows, f.keys :+ GoldBuilder.Scd2Start)
     }
     snapshotVersions(f.target) = ver

@@ -239,6 +239,111 @@ class PipelineSpec extends SparkSpec {
         (3L, "new", ts("2024-01-05 00:00:00"))))
   }
 
+  test("runIncremental: the declared DAG consumes change feeds — the second " +
+      "run processes ONLY rows appended since the first (event-log proof)") {
+    import graft.lake.LakeTable
+    val root = tmpDir("pl_inc")
+    val bronze = LakeTable(spark, s"$root/bronze")
+    bronze.append(Seq(
+      (1L, "a", 1, ts("2024-01-01 00:00:00")),
+      (1L, "b", 1, ts("2024-01-02 00:00:00")),
+      (2L, "x", 0, ts("2024-01-01 00:00:00")), // filtered by the view
+      (3L, "c", 1, ts("2024-01-01 00:00:00"))).toDF("k", "v", "ok", "seq"))
+
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("bronze", bronze)
+    p.streamingView("clean", "bronze")(df =>
+      df.filter(col("ok") === 1).drop("ok"))
+    p.streamingTable("silver")
+    p.autoCdcFlow("silver", "clean", Seq("k"), "seq")
+    p.runIncremental()
+    assert(p.read("silver").orderBy("k").as[(Long, String, Timestamp)].collect().toSeq ==
+      Seq((1L, "b", ts("2024-01-02 00:00:00")),
+        (3L, "c", ts("2024-01-01 00:00:00"))))
+    // run 1 processed the 3 surviving rows of the 4-row bootstrap window
+    def flowRows: Seq[Long] = p.eventLog
+      .filter(col("event_type") === "flow_progress" && col("dataset") === "silver")
+      .orderBy("run_id").select("rows").as[Long].collect().toSeq
+    assert(flowRows == Seq(3L))
+
+    // append TWO new bronze rows: the second run must process exactly 2,
+    // not re-scan the 6-row bronze table
+    bronze.append(Seq(
+      (1L, "stale", 1, ts("2023-12-01 00:00:00")),
+      (4L, "d", 1, ts("2024-01-05 00:00:00"))).toDF("k", "v", "ok", "seq"))
+    p.runIncremental()
+    assert(flowRows == Seq(3L, 2L))
+    assert(p.read("silver").orderBy("k").as[(Long, String, Timestamp)].collect().toSeq ==
+      Seq((1L, "b", ts("2024-01-02 00:00:00")), // stale event lost the guard
+        (3L, "c", ts("2024-01-01 00:00:00")),
+        (4L, "d", ts("2024-01-05 00:00:00"))))
+
+    // nothing new: up-to-date run processes 0 rows and commits no version
+    val v = p.table("silver").currentVersion
+    p.runIncremental()
+    assert(flowRows == Seq(3L, 2L, 0L))
+    assert(p.table("silver").currentVersion == v)
+
+    // a FRESH pipeline instance over the same storage resumes from the
+    // target's own ledger — no instance-local state involved
+    val p2 = new Pipeline(spark, s"$root/pipe")
+    p2.inputTable("bronze", bronze)
+    p2.streamingView("clean", "bronze")(df =>
+      df.filter(col("ok") === 1).drop("ok"))
+    p2.streamingTable("silver")
+    p2.autoCdcFlow("silver", "clean", Seq("k"), "seq")
+    bronze.append(Seq((5L, "e", 1, ts("2024-01-06 00:00:00"))).toDF("k", "v", "ok", "seq"))
+    p2.runIncremental()
+    assert(p2.read("silver").count() == 4)
+    assert(p2.eventLog
+      .filter(col("event_type") === "flow_progress" && col("dataset") === "silver")
+      .orderBy(col("run_id").desc).select("rows").as[Long].head() == 1L)
+  }
+
+  test("runIncremental: chained flows — a CDF-enabled silver target feeds " +
+      "a downstream incremental flow; plain-view sources fall back to snapshot") {
+    import graft.lake.LakeTable
+    val root = tmpDir("pl_inc_chain")
+    val bronze = LakeTable(spark, s"$root/bronze")
+    bronze.append(Seq(
+      (1L, "a", ts("2024-01-01 00:00:00")),
+      (2L, "b", ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq"))
+
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("bronze", bronze)
+    // silver records its change feed so gold can stream from it
+    p.streamingTable("silver", enableChangeFeed = true)
+    p.autoCdcFlow("silver", "bronze", Seq("k"), "seq")
+    p.streamingTable("gold")
+    p.streamingView("silver_up", "silver")(df =>
+      df.withColumn("v", upper(col("v"))))
+    p.autoCdcFlow("gold", "silver_up", Seq("k"), "seq")
+    p.runIncremental()
+    assert(p.read("gold").orderBy("k").as[(Long, String, Timestamp)].collect().toSeq ==
+      Seq((1L, "A", ts("2024-01-01 00:00:00")),
+        (2L, "B", ts("2024-01-01 00:00:00"))))
+
+    bronze.append(Seq((1L, "c", ts("2024-02-01 00:00:00"))).toDF("k", "v", "seq"))
+    p.runIncremental()
+    def goldRows: Seq[Long] = p.eventLog
+      .filter(col("event_type") === "flow_progress" && col("dataset") === "gold")
+      .orderBy("run_id").select("rows").as[Long].collect().toSeq
+    // run 2: silver merged one update → gold saw ONE postimage, not a rescan
+    assert(goldRows == Seq(2L, 1L))
+    assert(p.read("gold").orderBy("k").as[(Long, String, Timestamp)].collect().toSeq ==
+      Seq((1L, "C", ts("2024-02-01 00:00:00")),
+        (2L, "B", ts("2024-01-01 00:00:00"))))
+
+    // runIncremental on a plain-view source (no stream root): snapshot
+    // fallback still produces the right answer
+    val p3 = new Pipeline(spark, s"$root/pipe3")
+    p3.view("src")(Seq((1L, "z", ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq"))
+    p3.streamingTable("tgt")
+    p3.autoCdcFlow("tgt", "src", Seq("k"), "seq")
+    p3.runIncremental()
+    assert(p3.read("tgt").count() == 1)
+  }
+
   test("runCdcFlowFromChangeFeed: silver→gold via CDF, only new versions per run") {
     import graft.lake.LakeTable
     def ts(s: String) = Timestamp.valueOf(s)
