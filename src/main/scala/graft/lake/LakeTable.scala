@@ -646,7 +646,24 @@ final class LakeTable private (val spark: SparkSession, val root: String,
    * (Delta's `delta.enableChangeDataFeed` — the feed is readable from the
    * version that enabled it).
    */
-  def setTableProperties(kvs: Map[String, String]): Unit = synchronized {
+  def setTableProperties(kvs: Map[String, String]): Unit = {
+    // reserved namespaces (Delta likewise reserves delta.*): the identity
+    // sequence state, column DEFAULTs, and the clustering key are managed
+    // by their dedicated DDL — a raw SET could bypass their validation
+    // (e.g. a malformed identity spec would MatchError every later append)
+    val reserved = kvs.keys.filter(k =>
+      k.startsWith(LakeTable.IdentityPropPrefix) ||
+        k.startsWith(LakeTable.DefaultPropPrefix) ||
+        k == LakeTable.ClusterByProp)
+    require(reserved.isEmpty,
+      s"table propert${if (reserved.size == 1) "y" else "ies"} " +
+        s"${reserved.mkString(", ")} are reserved — use the dedicated DDL " +
+        "(IDENTITY at CREATE, ALTER COLUMN SET DEFAULT, ALTER TABLE CLUSTER BY)")
+    setTablePropertiesInternal(kvs)
+  }
+
+  private def setTablePropertiesInternal(
+      kvs: Map[String, String]): Unit = synchronized {
     require(exists, s"LakeTable at $root does not exist")
     require(kvs.nonEmpty, "SET TBLPROPERTIES with no properties")
     commitWithRetry { () =>
@@ -666,7 +683,20 @@ final class LakeTable private (val spark: SparkSession, val root: String,
   /** `ALTER TABLE ... UNSET TBLPROPERTIES` — absent keys are ignored
    *  (Delta's IF EXISTS semantics). Unsetting `enableChangeFeed` disables
    *  capture for subsequent commits. */
-  def unsetTableProperties(keys: Seq[String]): Unit = synchronized {
+  def unsetTableProperties(keys: Seq[String]): Unit = {
+    val reserved = keys.filter(k =>
+      k.startsWith(LakeTable.IdentityPropPrefix) ||
+        k.startsWith(LakeTable.DefaultPropPrefix) ||
+        k == LakeTable.ClusterByProp)
+    require(reserved.isEmpty,
+      s"table propert${if (reserved.size == 1) "y" else "ies"} " +
+        s"${reserved.mkString(", ")} are reserved — use the dedicated DDL " +
+        "(ALTER COLUMN DROP DEFAULT, ALTER TABLE CLUSTER BY NONE; " +
+        "identity state cannot be unset)")
+    unsetTablePropertiesInternal(keys)
+  }
+
+  private def unsetTablePropertiesInternal(keys: Seq[String]): Unit = synchronized {
     require(exists, s"LakeTable at $root does not exist")
     require(keys.nonEmpty, "UNSET TBLPROPERTIES with no keys")
     commitWithRetry { () =>
@@ -691,7 +721,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
    *  Hive-style partitioning are exclusive layouts. */
   def setClusterBy(cols: Seq[String]): Unit = {
     require(exists, s"LakeTable at $root does not exist")
-    if (cols.isEmpty) unsetTableProperties(Seq(LakeTable.ClusterByProp))
+    if (cols.isEmpty) unsetTablePropertiesInternal(Seq(LakeTable.ClusterByProp))
     else {
       require(partitionColumn.isEmpty,
         "CLUSTER BY on a partitioned table — liquid clustering and " +
@@ -702,7 +732,12 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         s"CLUSTER BY column(s) not in schema: ${missing.mkString(", ")}")
       require(cols.size <= 4,
         "CLUSTER BY supports at most 4 columns (Delta's limit)")
-      setTableProperties(Map(LakeTable.ClusterByProp -> cols.mkString(",")))
+      // store the schema's CANONICAL spelling: later OPTIMIZE resolves the
+      // clustering key case-sensitively, so `CLUSTER BY (O_CUSTKEY)` on a
+      // table with o_custkey must not brick every subsequent OPTIMIZE
+      val canon = cols.map(c =>
+        schema.fieldNames.find(_.equalsIgnoreCase(c)).get)
+      setTablePropertiesInternal(Map(LakeTable.ClusterByProp -> canon.mkString(",")))
     }
   }
 
@@ -1316,14 +1351,14 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     require(schema.fieldNames.contains(c), s"unknown column $c")
     require(!generatedColumns.contains(c) && !identityColumns.contains(c),
       s"$c cannot carry a DEFAULT and be generated/identity")
-    setTableProperties(Map(s"${LakeTable.DefaultPropPrefix}$c" -> e))
+    setTablePropertiesInternal(Map(s"${LakeTable.DefaultPropPrefix}$c" -> e))
   }
 
   /** `ALTER TABLE … ALTER COLUMN c DROP DEFAULT` (absent default = no-op,
    *  Delta's semantics). */
   def dropDefaultValue(c: String): Unit = {
     require(schema.fieldNames.contains(c), s"unknown column $c")
-    unsetTableProperties(Seq(s"${LakeTable.DefaultPropPrefix}$c"))
+    unsetTablePropertiesInternal(Seq(s"${LakeTable.DefaultPropPrefix}$c"))
   }
 
   /** Declared column DEFAULTs: name → expression SQL. */
@@ -1351,14 +1386,20 @@ final class LakeTable private (val spark: SparkSession, val root: String,
    *  per-partition offsets, then a narrow map — no global sort, no
    *  single-partition funnel at any batch size. Values are
    *  hw + step·(global position); returns the frame (original column
-   *  order) and the new high-water per column. */
+   *  order), the new high-water per column, and the PINNED input RDD.
+   *  Pinning matters for correctness, not just speed: the counting pass
+   *  and the physical write are two jobs over the same lineage — a
+   *  nondeterministic upstream (shuffled sample, rand()) could otherwise
+   *  change partition contents between them, silently duplicating or
+   *  skipping ids. The caller unpersists after the append commits. */
   private def assignIdentities(df: DataFrame, tableSchema: StructType,
       specs: Map[String, (Long, Long)],
-      hw: Map[String, Long]): (DataFrame, Map[String, Long]) = {
+      hw: Map[String, Long])
+      : (DataFrame, Map[String, Long], org.apache.spark.rdd.RDD[Row]) = {
     import org.apache.spark.sql.Row
     specs.keys.foreach(c => require(!df.columns.contains(c),
       s"identity column $c is GENERATED ALWAYS — it cannot be supplied"))
-    val rdd = df.rdd
+    val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = rdd.mapPartitionsWithIndex((i, it) =>
       Iterator((i, it.size.toLong))).collect().toMap
     val nParts = rdd.getNumPartitions max 1
@@ -1379,7 +1420,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     }
     val assigned = spark.createDataFrame(out, schema2)
       .select(tableSchema.fieldNames.toSeq.map(col): _*)
-    (assigned, specs.map { case (c, (_, st)) => c -> (hw(c) + st * total) })
+    (assigned, specs.map { case (c, (_, st)) => c -> (hw(c) + st * total) }, rdd)
   }
 
   /**
@@ -1808,13 +1849,16 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     // loop re-reconciles per attempt against the then-current snapshot
     var identBase = Map.empty[String, Long] // hw the assignment was based on
     var identNew = Map.empty[String, Long]  // hw after this batch
+    var identPinned: Option[org.apache.spark.rdd.RDD[Row]] = None
     val df = m0.fold(df0) { m =>
       val d0 = materializeGenerated(df0, m)
       val specs = identitySpecsOf(m)
       val d = if (specs.isEmpty) d0 else {
         identBase = specs.keys.map(c => c -> identityHw(m, c)).toMap
-        val (assigned, nhw) = assignIdentities(d0, m.schema, specs, identBase)
+        val (assigned, nhw, pinned) =
+          assignIdentities(d0, m.schema, specs, identBase)
         identNew = nhw
+        identPinned = Some(pinned)
         assigned
       }
       reconcileSchema(m.schema, d.schema, mergeSchema)
@@ -1822,6 +1866,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       enforceConstraints(d, m.constraints)
       d
     }
+    try {
     pcol.foreach(p => require(df.columns.contains(p),
       s"append batch is missing the partition column $p"))
     val validatedConstraints = m0.map(_.constraints).getOrElse(Nil).toSet
@@ -1894,6 +1939,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         Files.deleteIfExists(bloomIndexFile(dir))
         throw e
     }
+    } finally identPinned.foreach { r => r.unpersist(false); () }
   }
 
   /**

@@ -1092,6 +1092,34 @@ object CoreQueries {
           UNION ALL SELECT * FROM views UNION ALL SELECT * FROM views)
         ORDER BY event_id""")),
 
+    // O10 append-flow SCHEMA EVOLUTION — DLT evolves streaming-table
+    // schemas for append flows too: run 1 lands the narrow click feed;
+    // run 2's flow carries a NEW column (`value`), the target widens
+    // metadata-only, and run-1 rows serve NULL for it. The oracle builds
+    // the same union with an explicit typed-NULL backfill.
+    Q("o10_append_evolve", (s, d) => {
+      val ev = t(s, d, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      val p = new Pipeline(s, tmp("graft_appendev"))
+      val narrow = ev.filter(col("event_type") === "click").drop("value")
+      val wide = ev.filter(col("event_type") === "view")
+      p.streamingTable("feed")
+      p.appendFlow("feed", name = "narrow", once = true)(narrow)
+      p.run() // schema = (event_id, user_id, event_type)
+      p.appendFlow("feed", name = "wide", once = true)(wide)
+      p.run() // grows `value`; run-1 rows read NULL
+      p.read("feed").orderBy("event_id")
+    },
+      Some("""WITH narrow AS (
+          SELECT event_id, user_id, event_type, CAST(NULL AS DOUBLE) AS value
+          FROM events WHERE event_type = 'click'
+        ), wide AS (
+          SELECT event_id, user_id, event_type, value
+          FROM events WHERE event_type = 'view'
+        )
+        SELECT * FROM (SELECT * FROM narrow UNION ALL SELECT * FROM wide)
+        ORDER BY event_id""")),
+
     // O4: expect_all_or_drop — violating rows dropped
     // (dlt_bronze_to_silver_pipeline.py:5-12).
     Q("o4_expect_drop", (s, d) =>

@@ -104,9 +104,17 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
    *  land. For a Fail-policy gate, force the violation counters NOW (one
    *  eager pass over the gated batch) and throw before any downstream
    *  merge/overwrite commits — instead of detecting the violation after
-   *  the write, which would leave the target corrupted. */
+   *  the write, which would leave the target corrupted. The gated frame
+   *  is PINNED across the eager pass, so the flow's real write re-reads
+   *  the cache instead of recomputing the batch (one pass, not two —
+   *  DLT enforces expect_or_fail without a second scan); [[runImpl]]
+   *  unpersists after the run. */
+  private val failPinned = mutable.ArrayBuffer[DataFrame]()
+
   private def enforceFailEagerly(g: Expectations.Gate): Unit =
     if (g.policy == Expectations.Fail) {
+      g.df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      failPinned += g.df
       g.df.count()
       g.assertClean()
     }
@@ -348,8 +356,16 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
   private def orderedFlows: Seq[CdcFlow] = {
     val byTarget = flows.map(f => f.target -> f).toMap
     val visited = mutable.LinkedHashSet[String]()
+    val onStack = mutable.LinkedHashSet[String]()
     def visit(f: CdcFlow): Unit = if (!visited.contains(f.target)) {
+      // loud acyclicity check (DLT refuses cyclic graphs with a named
+      // diagnostic) — without it a cycle recurses to StackOverflowError
+      require(!onStack.contains(f.target),
+        "CDC flow cycle detected: " +
+          (onStack.toSeq.dropWhile(_ != f.target) :+ f.target).mkString(" -> "))
+      onStack += f.target
       byTarget.get(f.source).foreach(visit) // upstream flow first
+      onStack -= f.target
       visited += f.target
     }
     flows.foreach(visit)
@@ -402,7 +418,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         }
       })
 
-  private def runImpl(incremental: Boolean): Unit = {
+  private def runImpl(incremental: Boolean): Unit = try {
     val gb = GoldBuilder(spark)
     gates.clear() // this run's gates only (lastGate reads post-run state)
     val events = mutable.ArrayBuffer[(String, String, Long, String)]()
@@ -419,10 +435,15 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         val df = gate(af.target, af.fn())
         val t = tables(af.target)
         if (!t.exists) createTarget(af.target, df.schema)
+        // additive evolution (DLT evolves streaming-table schemas for
+        // append flows too — a backfill flow growing a column must not
+        // error): widen the target metadata-only for columns the flow
+        // adds; existing rows serve NULL. Type changes stay loud (the
+        // cast below is name-aligned, same as CDC-flow evolution).
+        val newCols = df.schema.fields.toSeq
+          .filterNot(fl => t.schema.fieldNames.contains(fl.name))
+        if (newCols.nonEmpty) t.addColumns(newCols.map(fl => fl.name -> fl.dataType))
         val tgt = t.schema
-        val extra = df.columns.filterNot(tgt.fieldNames.contains)
-        require(extra.isEmpty, s"append flow ${af.name}: column(s) " +
-          s"${extra.mkString(", ")} not in target ${af.target}'s schema")
         val (aligned, rows) = observe(df.select(tgt.fields.toSeq.map { fld =>
           if (df.columns.contains(fld.name)) fnCol(fld.name).cast(fld.dataType).as(fld.name)
           else fnLit(null).cast(fld.dataType).as(fld.name)
@@ -499,6 +520,9 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       }
     }
     runTail(events)
+  } finally {
+    failPinned.foreach(_.unpersist())
+    failPinned.clear()
   }
 
   /** Apply ONE CDC flow's batch to its target — the shared kernel of
@@ -695,26 +719,30 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
   /** Persist one run's events into the pipeline EVENT LOG — the DLT
    *  event-log surface (flow_progress rows-written per flow,
    *  per-expectation data-quality counts), queryable via [[eventLog]].
-   *  One append commit per run; `run_id` is dense from 0. */
-  private var nextRunId: Option[Long] = None
-
+   *  One append commit per run; `run_id` is dense from 0, CLAIMED through
+   *  the log table's own transaction ledger: the idempotent append commits
+   *  (run_id, rows) atomically, so two live Pipeline instances over the
+   *  same storageRoot can never mint colliding run_ids — the loser's
+   *  append is refused and it retries one id higher. */
   private def writeEventLog(events: Seq[(String, String, Long, String)]): Unit =
     if (events.nonEmpty) {
       import spark.implicits._
       import org.apache.spark.sql.functions.max
       val el = LakeTable(spark, s"$storageRoot/__event_log")
-      // one max() probe per INSTANCE (tiny table), then a cached counter
-      val runId = nextRunId.getOrElse(
+      val app = "graft.eventlog.run"
+      def mkRows(runId: Long) = events.zipWithIndex.map { case ((et, ds, n, msg), i) =>
+        (runId, i.toLong, et, ds, n, msg)
+      }.toDF("run_id", "event_seq", "event_type", "dataset", "rows", "message")
+      // next id = ledger high-water + 1; pre-ledger logs fall back to one
+      // max(run_id) probe of the (tiny) table
+      def probe(floor: Long): Long = (el.lastTxnVersion(app).map(_ + 1).getOrElse(
         if (el.exists)
           Option(el.read.agg(max(org.apache.spark.sql.functions.col("run_id")))
             .head().get(0)).map(_.asInstanceOf[Long] + 1).getOrElse(0L)
-        else 0L)
-      nextRunId = Some(runId + 1)
-      val rows = events.zipWithIndex.map { case ((et, ds, n, msg), i) =>
-        (runId, i.toLong, et, ds, n, msg)
-      }.toDF("run_id", "event_seq", "event_type", "dataset", "rows", "message")
-      if (!el.exists) el.create(rows.schema)
-      el.append(rows)
+        else 0L)).max(floor)
+      var runId = probe(0L)
+      while (!el.appendIdempotent(app, runId, mkRows(runId)))
+        runId = probe(runId + 1) // lost the claim to a concurrent instance
     }
 
   /** The pipeline event log (DLT's `event_log()` surface): one row per

@@ -134,4 +134,28 @@ class IdentityColumnsSpec extends SparkSpec {
         generatedColumns = Map("v_up" -> "upper(v)"))
     }
   }
+
+  test("identity assignment is exact under a nondeterministic upstream: " +
+      "the batch is pinned between the counting pass and the write") {
+    import org.apache.spark.sql.functions.rand
+    val t = LakeTable(spark, s"${tmpDir("ident_nondet")}/t")
+    t.create(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))),
+      identityColumns = Map("id" -> (1L, 1L)))
+    // rand()-gated filter + repartition: recomputing the lineage between
+    // the two identity jobs could change partition contents — the pinned
+    // RDD guarantees the ids stay dense and unique regardless
+    val df = spark.range(0, 2000).toDF("k")
+      .withColumn("r", rand()).filter(org.apache.spark.sql.functions.col("r") >= 0.0)
+      .drop("r").repartition(7)
+    t.append(df)
+    val ids = t.read.select("id").as[Long].collect().sorted
+    assert(ids.length == 2000)
+    assert(ids.toSeq == (1L to 2000L))
+    assert(t.identityColumns == Map("id" -> (1L, 1L)))
+  }
 }

@@ -1093,6 +1093,51 @@ class LakeSqlSpec extends SparkSpec {
     } finally LakeSql.unregister("liq")
   }
 
+  test("CLUSTER BY normalizes column case to the schema's spelling, so a " +
+      "later plain OPTIMIZE resolves the key; reserved property namespaces " +
+      "refuse raw SET/UNSET TBLPROPERTIES") {
+    val t = LakeTable(spark, s"${tmpDir("sql_cluster_case")}/t")
+    t.append(Seq((3L, 30), (1L, 10), (2L, 20)).toDF("o_custkey", "x"))
+    LakeSql.register("liqc", t)
+    try {
+      // user spells the column upper-case; the stored key is canonical
+      LakeSql.sql(spark, "ALTER TABLE liqc CLUSTER BY (O_CUSTKEY)")
+      assert(t.clusterBy == Seq("o_custkey"))
+      // the OPTIMIZE that used to throw 'unknown cluster column' now works
+      val opt = LakeSql.sql(spark, "OPTIMIZE liqc").collect().head
+      assert(opt.getString(0) == "o_custkey")
+      assert(t.read.orderBy("o_custkey").as[(Long, Int)].collect().toSeq ==
+        Seq((1L, 10), (2L, 20), (3L, 30)))
+
+      // reserved namespaces: identity state, defaults, clustering key —
+      // a raw SET would bypass the dedicated DDL's validation (a malformed
+      // identity spec would break every later append)
+      val e1 = intercept[IllegalArgumentException](
+        t.setTableProperties(Map("identity.o_custkey" -> "garbage")))
+      assert(e1.getMessage.contains("reserved"))
+      intercept[IllegalArgumentException](
+        t.setTableProperties(Map("default.x" -> "42")))
+      intercept[IllegalArgumentException](
+        t.setTableProperties(Map("clusteringColumns" -> "nope")))
+      intercept[IllegalArgumentException](
+        t.unsetTableProperties(Seq("clusteringColumns")))
+      intercept[IllegalArgumentException] {
+        LakeSql.sql(spark,
+          "ALTER TABLE liqc SET TBLPROPERTIES ('identity.x' = '1,1')")
+      }
+      // the dedicated DDL paths still work
+      LakeSql.sql(spark, "ALTER TABLE liqc ALTER COLUMN x SET DEFAULT 7")
+      assert(t.defaultValues == Map("x" -> "7"))
+      LakeSql.sql(spark, "ALTER TABLE liqc ALTER COLUMN x DROP DEFAULT")
+      assert(t.defaultValues.isEmpty)
+      LakeSql.sql(spark, "ALTER TABLE liqc CLUSTER BY NONE")
+      assert(t.clusterBy.isEmpty)
+      // unrelated properties remain freely settable
+      t.setTableProperties(Map("owner" -> "etl"))
+      assert(t.tableProperties("owner") == "etl")
+    } finally LakeSql.unregister("liqc")
+  }
+
   test("liquid clustering over a STRING key routes OPTIMIZE to the " +
       "range-sort layout (z-order can't bin strings) and keeps the rows") {
     val t = LakeTable(spark, s"${tmpDir("sql_cluster_str")}/t")

@@ -239,6 +239,44 @@ class PipelineSpec extends SparkSpec {
         (3L, "new", ts("2024-01-05 00:00:00"))))
   }
 
+  test("cyclic flow declarations die loudly with the cycle named, not with " +
+      "a StackOverflowError") {
+    val p = new Pipeline(spark, tmpDir("pl_cycle"))
+    p.streamingTable("a")
+    p.streamingTable("b")
+    p.autoCdcFlow("a", "b", Seq("k"), "seq") // a sources b's target
+    p.autoCdcFlow("b", "a", Seq("k"), "seq") // b sources a's target
+    p.view("ignored")(Seq((1L, ts("2024-01-01 00:00:00"))).toDF("k", "seq"))
+    val e = intercept[IllegalArgumentException] { p.run() }
+    assert(e.getMessage.contains("cycle"))
+    assert(e.getMessage.contains("a") && e.getMessage.contains("b"))
+  }
+
+  test("two Pipeline instances over one storageRoot mint dense, " +
+      "non-colliding event-log run_ids") {
+    val root = tmpDir("pl_runid")
+    def mk(): Pipeline = {
+      val p = new Pipeline(spark, root)
+      p.streamingTable("t")
+      p.view("src")(Seq((1L, "a", ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq"))
+      p.autoCdcFlow("t", "src", Seq("k"), "seq")
+      p
+    }
+    val p1 = mk()
+    val p2 = mk() // second live instance, same storage
+    p1.run() // run_id 0
+    p2.run() // must claim 1, not re-mint 0
+    p1.run() // 2
+    p2.run() // 3
+    val ids = p1.eventLog.select("run_id").distinct()
+      .orderBy("run_id").as[Long].collect().toSeq
+    assert(ids == Seq(0L, 1L, 2L, 3L))
+    // each run's events are intact (no overwrite of a colliding sequence)
+    val perRun = p1.eventLog.groupBy("run_id").count()
+      .select("count").distinct().as[Long].collect().toSeq
+    assert(perRun.size == 1) // same event count every run
+  }
+
   test("runIncremental: the declared DAG consumes change feeds — the second " +
       "run processes ONLY rows appended since the first (event-log proof)") {
     import graft.lake.LakeTable
@@ -537,18 +575,24 @@ class PipelineSpec extends SparkSpec {
     assert(p.read("events").filter($"src" === "hist").count() == 2)
   }
 
-  test("appendFlow: a column the target lacks is a loud error; duplicate " +
-      "flow names are rejected") {
-    val p = new Pipeline(spark, tmpDir("pl_append_err"))
+  test("appendFlow evolves the target ADDITIVELY when a flow grows a column " +
+      "(DLT's behavior); duplicate flow names are rejected") {
+    val p = new Pipeline(spark, tmpDir("pl_append_evolve"))
     p.streamingTable("t")
     p.appendFlow("t", name = "a") { Seq((1L, "x")).toDF("k", "v") }
     intercept[IllegalArgumentException] {
       p.appendFlow("t", name = "a") { Seq((2L, "y")).toDF("k", "v") }
     }
     p.run()
+    assert(p.read("t").columns.toSeq == Seq("k", "v"))
+    // a second flow carries a NEW column: the target widens metadata-only,
+    // pre-evolution rows serve NULL — same contract as CDC-flow evolution
     p.appendFlow("t", name = "b") { Seq((2L, "y", true)).toDF("k", "v", "extra") }
-    val e = intercept[IllegalArgumentException] { p.run() }
-    assert(e.getMessage.contains("extra"))
+    p.run()
+    assert(p.read("t").columns.toSeq == Seq("k", "v", "extra"))
+    assert(p.read("t").orderBy("k", "v")
+      .as[(Long, String, Option[Boolean])].collect().toSeq ==
+      Seq((1L, "x", None), (1L, "x", None), (2L, "y", Some(true))))
   }
 
   test("appendFlow drains BEFORE CDC flows: a CDC flow reading the appended " +
