@@ -267,7 +267,7 @@ object LakeSql {
       """LOCATION\s+'([^']+)'(?:\s+PARTITIONED\s+BY\s*\(\s*([\w]+)\s*\))?""" +
       """(?:\s+STATS\s+ON\s*\(([^)]+)\))?\s*;?\s*""").r
   private val CloneRe =
-    """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)\s+LOCATION\s+'([^']+)'\s*;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+(SHALLOW|DEEP)\s+CLONE\s+([\w.]+)\s+LOCATION\s+'([^']+)'\s*;?\s*""".r
 
   /**
    * Parse and execute ONE SQL statement against registered lake tables:
@@ -370,14 +370,19 @@ object LakeSql {
         register(name, tbl)
         Seq((norm(name), tbl.currentVersion, tbl.detail.numFiles))
           .toDF("table", "version", "num_files")
-      case CloneRe(name, srcName, location) =>
-        // `CREATE TABLE t2 SHALLOW CLONE t1 LOCATION '/path'` — Delta's
-        // zero-copy fork as SQL text: hard-linked file re-references,
-        // O(file count) metadata, fully independent lifecycle after the
-        // fork (RestoreCloneSpec); the clone auto-registers under its name
+      case CloneRe(name, kind, srcName, location) =>
+        // `CREATE TABLE t2 SHALLOW|DEEP CLONE t1 LOCATION '/path'` —
+        // Delta's fork as SQL text. SHALLOW = hard-linked file
+        // re-references, O(file count) metadata; DEEP = physical copy
+        // (self-contained, no shared inodes — archival/DR). Both have
+        // fully independent lifecycles after the fork (RestoreCloneSpec);
+        // the clone auto-registers under its name.
         require(!tables.contains(norm(name)),
           s"table $name is already registered")
-        val cloned = lookup(srcName).shallowClone(location)
+        val src0 = lookup(srcName)
+        val cloned =
+          if (kind.equalsIgnoreCase("DEEP")) src0.deepClone(location)
+          else src0.shallowClone(location)
         register(name, cloned)
         Seq((norm(name), cloned.currentVersion, cloned.detail.numFiles))
           .toDF("table", "version", "num_files")

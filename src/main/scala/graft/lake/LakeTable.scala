@@ -364,29 +364,44 @@ final class LakeTable private (val spark: SparkSession, val root: String,
    *  compacted, or vacuumed independently — neither can orphan the other's
    *  files). An object-store deployment would store absolute source paths
    *  in the manifest instead; the commit protocol is unchanged either way. */
-  def shallowClone(targetRoot: String): LakeTable = synchronized {
+  def shallowClone(targetRoot: String): LakeTable =
+    cloneTo(targetRoot, deep = false)
+
+  /** Delta's `CREATE TABLE … DEEP CLONE src` — a SELF-CONTAINED fork for
+   *  archival/DR: data files, deletion vectors, and bloom sidecars are
+   *  physically COPIED (no shared inodes), so the clone survives anything
+   *  that happens to the source — vacuum, rewrite, even deletion of the
+   *  source root — and vice versa. O(data bytes) I/O by definition; the
+   *  O(files) dev/test fork remains [[shallowClone]]. Like Delta, only the
+   *  CURRENT snapshot is copied (the clone's history starts at v0); the
+   *  source's full metadata (schema, constraints, properties, transaction
+   *  ledger, column mapping) carries over. */
+  def deepClone(targetRoot: String): LakeTable =
+    cloneTo(targetRoot, deep = true)
+
+  private def cloneTo(targetRoot: String, deep: Boolean): LakeTable = synchronized {
     require(exists, s"LakeTable at $root does not exist")
     val m = manifest
     val dst = new LakeTable(spark, targetRoot, clock)
     require(!dst.exists, s"clone target $targetRoot already exists")
     Files.createDirectories(Paths.get(targetRoot))
+    def adopt(src: Path, dstFile: Path): Unit = {
+      Files.createDirectories(dstFile.getParent)
+      if (deep) { Files.copy(src, dstFile); () }
+      else { Files.createLink(dstFile, src); () }
+    }
     // deletion vectors ride along: coordinates are root-RELATIVE, and the
-    // clone links the data files under the same relative layout, so the
+    // clone adopts the data files under the same relative layout, so the
     // vectors address the clone's rows exactly
     (m.entries.map(_.dir) ++ m.deleteVectors).foreach { d =>
       listParquet(Paths.get(root, d)).foreach { src =>
-        val rel = Paths.get(root).relativize(src)
-        val dstFile = Paths.get(targetRoot).resolve(rel)
-        Files.createDirectories(dstFile.getParent)
-        Files.createLink(dstFile, src)
+        adopt(src, Paths.get(targetRoot).resolve(Paths.get(root).relativize(src)))
       }
     }
     // bloom sidecars are keyed by dir uuid and reference root-relative
-    // paths — link them so the clone keeps its point-lookup pruning
+    // paths — adopt them so the clone keeps its point-lookup pruning
     m.entries.map(e => bloomIndexFile(e.dir)).filter(Files.exists(_)).foreach { src =>
-      val dstFile = Paths.get(targetRoot, "_bloom", src.getFileName.toString)
-      Files.createDirectories(dstFile.getParent)
-      Files.createLink(dstFile, src)
+      adopt(src, Paths.get(targetRoot, "_bloom", src.getFileName.toString))
     }
     require(dst.tryCommit(Manifest(m.schema, m.pcol, m.entries, "clone",
       cdfEnabled = m.cdfEnabled, statsCols = m.statsCols,

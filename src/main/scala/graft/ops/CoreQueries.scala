@@ -2192,6 +2192,40 @@ object CoreQueries {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         ORDER BY o_orderkey""")),
 
+    // S44 DEEP CLONE (Delta's self-contained fork, SQL-dispatched) —
+    // where s13's shallow clone shares inodes with the source, the deep
+    // clone COPIES bytes: after the fork the source is overwritten,
+    // vacuumed, and its whole root DELETED — the clone still serves the
+    // fork-point snapshot plus its own divergence. The oracle replays the
+    // same rowset relationally.
+    Q("s44_deep_clone", (s, d) => {
+      val o = t(s, d, "orders")
+      val root = tmp("graft_s44")
+      val src = LakeTable(s, s"$root/src")
+      src.create(o.schema)
+      src.append(o.filter(col("o_orderkey") % 2 === 0))
+      LakeSql.register("s44_src", src)
+      try {
+        LakeSql.sql(s,
+          s"CREATE TABLE s44_dst DEEP CLONE s44_src LOCATION '$root/dst'")
+        val clone = LakeTable(s, s"$root/dst")
+        clone.append(o.filter(col("o_orderkey") % 2 === 1)) // clone diverges
+        src.overwrite(o.limit(0))                           // source diverges
+        src.vacuum(keepVersions = 1)
+        // the source root disappears entirely — a shallow clone would
+        // lose its bytes here; the deep clone is self-contained
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$root/src"))
+          .iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+        clone.read.select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      } finally {
+        LakeSql.unregister("s44_src"); LakeSql.unregister("s44_dst")
+      }
+    },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_orderkey""")),
+
     // S14: JSONL source round-trip — the second landing format Auto Loader
     // ingests (cloudFiles format json). An events subset is serialized to
     // JSON lines and read back under an EXPLICIT schema (schema-on-read, no

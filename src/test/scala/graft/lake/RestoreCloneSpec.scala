@@ -105,6 +105,66 @@ class RestoreCloneSpec extends SparkSpec {
       .collect().toSeq == Seq((2L, "y", "p2")))
   }
 
+  test("DEEP CLONE copies bytes (no shared inodes): the fork survives " +
+      "source vacuum AND source deletion, and diverges independently") {
+    val root = tmpDir("rc_deep")
+    val src = LakeTable(spark, s"$root/src")
+    src.create(Seq((1L, "a")).toDF("k", "v").schema, statsColumns = Seq("k"))
+    src.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val clone = src.deepClone(s"$root/deep")
+    // physical copy: same relative layout, DIFFERENT inodes
+    var copied = 0
+    Files.walk(Paths.get(s"$root/src/data")).iterator().forEachRemaining { p =>
+      if (p.toString.endsWith(".parquet")) {
+        val cp = Paths.get(s"$root/deep")
+          .resolve(Paths.get(s"$root/src").relativize(p))
+        assert(Files.exists(cp))
+        assert(Files.getAttribute(p, "unix:ino") != Files.getAttribute(cp, "unix:ino"))
+        copied += 1
+      }
+    }
+    assert(copied > 0)
+    assert(clone.history.map(_._2) == Seq("clone"))
+    // metadata carries over: stats columns keep zone-map skipping alive
+    assert(clone.detail.statsColumns == Seq("k"))
+    // divergence both ways
+    clone.append(Seq((3L, "c")).toDF("k", "v"))
+    src.overwrite(Seq((9L, "z")).toDF("k", "v"))
+    src.vacuum(keepVersions = 1)
+    assert(clone.read.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // the ultimate independence test: delete the source root entirely
+    import scala.jdk.CollectionConverters._
+    Files.walk(Paths.get(s"$root/src")).iterator().asScala.toSeq.reverse
+      .foreach(Files.delete)
+    assert(clone.read.count() == 3)
+  }
+
+  test("SQL: CREATE TABLE ... DEEP CLONE ... LOCATION dispatches and " +
+      "registers the fork") {
+    val root = tmpDir("rc_deep_sql")
+    val src = LakeTable(spark, s"$root/src")
+    src.append(Seq((1L, "a")).toDF("k", "v"))
+    LakeSql.register("dc_src", src)
+    try {
+      val r = LakeSql.sql(spark,
+        s"CREATE TABLE dc_dst DEEP CLONE dc_src LOCATION '$root/dst'")
+        .collect().head
+      assert(r.getString(0) == "dc_dst")
+      val dst = LakeTable(spark, s"$root/dst")
+      assert(dst.read.count() == 1)
+      // no shared inodes between the two data trees
+      val srcIno = Files.walk(Paths.get(s"$root/src/data")).iterator()
+      srcIno.forEachRemaining { p =>
+        if (p.toString.endsWith(".parquet")) {
+          val cp = Paths.get(s"$root/dst")
+            .resolve(Paths.get(s"$root/src").relativize(p))
+          assert(Files.getAttribute(p, "unix:ino") != Files.getAttribute(cp, "unix:ino"))
+        }
+      }
+    } finally { LakeSql.unregister("dc_src"); LakeSql.unregister("dc_dst") }
+  }
+
   test("clone refuses an existing target") {
     val root = tmpDir("rc_clone_exists")
     val src = LakeTable(spark, s"$root/src")
