@@ -1060,6 +1060,35 @@ object CoreQueries {
           ORDER BY ts DESC, event_id DESC) = 1
         ORDER BY user_id""")),
 
+    // O15 TRUE STREAMING APPEND FLOW (SQL-declared) — where o10's live
+    // flow re-lands its view every run (snapshot semantics), this one is
+    // registered from `INSERT INTO … BY NAME SELECT … FROM STREAM(bronze)`
+    // whose plan is STATELESS over the stream, so under runIncremental
+    // each run appends ONLY the bronze rows committed since the last —
+    // two arrivals, three runs (one idle), every surviving row lands
+    // exactly once. The idle middle run is the point: snapshot semantics
+    // would have tripled the rowset.
+    Q("o15_append_flow_stream", (s, d) => {
+      val ev = t(s, d, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      val root = tmp("graft_o15")
+      val bronze = LakeTable(s, s"$root/bronze")
+      bronze.append(ev.filter(col("event_id") % 2 === 0))
+      val p = new Pipeline(s, s"$root/pipe")
+      p.inputTable("bronze", bronze)
+      PipelineSql(p, "CREATE OR REFRESH STREAMING TABLE feed")
+      PipelineSql(p, "CREATE FLOW live AS INSERT INTO feed BY NAME " +
+        "SELECT event_id, user_id, event_type, value FROM STREAM(bronze) " +
+        "WHERE value IS NOT NULL")
+      p.runIncremental() // arrival 1
+      p.runIncremental() // idle — lands nothing
+      bronze.append(ev.filter(col("event_id") % 2 === 1))
+      p.runIncremental() // arrival 2 only
+      p.read("feed").orderBy("event_id")
+    },
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+        WHERE value IS NOT NULL ORDER BY event_id""")),
+
     // O10 append flows — DLT's `@dlt.append_flow` / Lakeflow SQL
     // `CREATE FLOW f AS INSERT INTO [ONCE] t BY NAME …`: many append-only
     // flows feed ONE streaming table. Declared through the SQL surface;

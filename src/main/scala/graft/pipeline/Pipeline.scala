@@ -159,6 +159,32 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     t
   }
 
+  /** Declare an INCREMENTALLY MAINTAINED aggregate MV as a graph node —
+   *  the Enzyme-style refresh Lakeflow applies to maintainable views,
+   *  registered in the DAG instead of driven by hand
+   *  ([[runAggMvFromChangeFeed]] remains the standalone form). The view is
+   *  `SELECT groupBy…, SUM/MIN/MAX…, COUNT(*) FROM source GROUP BY …`,
+   *  maintained from the source table's change feed on EVERY run mode
+   *  (the refresh is inherently incremental: signed deltas + a merge over
+   *  touched groups, never a source rescan after bootstrap). `source`
+   *  must name a table-backed dataset ([[inputTable]] or a declared
+   *  streaming table — CDF-enabled if it is merge-maintained). MVs
+   *  refresh AFTER the CDC flows each run, so an MV over a silver target
+   *  sees that run's merged state. */
+  def incrementalAggMv(name: String, source: String, groupBy: Seq[String],
+      sums: Seq[String], mins: Seq[String] = Nil,
+      maxs: Seq[String] = Nil): LakeTable = {
+    require(groupBy.nonEmpty, "incremental agg MV needs GROUP BY columns")
+    val t = LakeTable(spark, s"$storageRoot/$name")
+    tables(name) = t
+    views(name) = () => t.read
+    aggMvs(name) = (source, groupBy, sums, mins, maxs)
+    t
+  }
+
+  private val aggMvs = mutable.LinkedHashMap[
+    String, (String, Seq[String], Seq[String], Seq[String], Seq[String])]()
+
   /** O1 `dlt.create_auto_cdc_flow(target, source, keys, sequence_by,
    *  stored_as_scd_type)`. `scdType = 1` (the reference's setting) keeps one
    *  latest-wins row per key; `scdType = 2` keeps full history with
@@ -245,7 +271,29 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     require(tables.contains(target), s"declare streamingTable($target) first")
     val flowName = if (name.nonEmpty) name else s"${target}_flow_${appendFlows.size}"
     require(!appendFlows.exists(_.name == flowName), s"duplicate flow name: $flowName")
-    appendFlows += AppendFlow(target, flowName, once, () => fn)
+    appendFlows += AppendFlow(target, flowName, once, () => fn, None)
+    this
+  }
+
+  /** An append flow declared over a named STREAM source — DLT's
+   *  `@dlt.append_flow` reading `dlt.read_stream(source)`, the
+   *  multi-topic/backfill-plus-live pattern with TRUE streaming
+   *  semantics: under [[runIncremental]] the flow appends only the
+   *  source rows committed since its last run (per-flow ledger on the
+   *  target via idempotent append — a replayed window can never land
+   *  twice), so an idle source appends NOTHING instead of re-landing the
+   *  whole view. `fn` is a stateless per-row transform of the delta
+   *  (same restriction as [[streamingView]]). Under [[run]] the flow
+   *  falls back to snapshot semantics (fn over the source's current
+   *  contents, re-appended per run — [[appendFlow]]'s documented shape). */
+  def appendFlowStream(target: String, source: String, name: String = "",
+      once: Boolean = false)(
+      fn: DataFrame => DataFrame = identity): this.type = {
+    require(tables.contains(target), s"declare streamingTable($target) first")
+    val flowName = if (name.nonEmpty) name else s"${target}_flow_${appendFlows.size}"
+    require(!appendFlows.exists(_.name == flowName), s"duplicate flow name: $flowName")
+    appendFlows += AppendFlow(target, flowName, once,
+      () => fn(read(source)), Some(source -> fn))
     this
   }
 
@@ -432,25 +480,55 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     appendFlows.foreach { af =>
       if (!(af.once && onceFlowsDone.contains(af.name))) {
         import org.apache.spark.sql.functions.{col => fnCol, lit => fnLit}
-        val df = gate(af.target, af.fn())
         val t = tables(af.target)
-        if (!t.exists) createTarget(af.target, df.schema)
         // additive evolution (DLT evolves streaming-table schemas for
         // append flows too — a backfill flow growing a column must not
         // error): widen the target metadata-only for columns the flow
         // adds; existing rows serve NULL. Type changes stay loud (the
         // cast below is name-aligned, same as CDC-flow evolution).
-        val newCols = df.schema.fields.toSeq
-          .filterNot(fl => t.schema.fieldNames.contains(fl.name))
-        if (newCols.nonEmpty) t.addColumns(newCols.map(fl => fl.name -> fl.dataType))
-        val tgt = t.schema
-        val (aligned, rows) = observe(df.select(tgt.fields.toSeq.map { fld =>
-          if (df.columns.contains(fld.name)) fnCol(fld.name).cast(fld.dataType).as(fld.name)
-          else fnLit(null).cast(fld.dataType).as(fld.name)
-        }: _*))
-        t.append(aligned)
-        events += (("flow_progress", af.name, rows(),
-          s"append into ${af.target}" + (if (af.once) " (once)" else "")))
+        def align(df: DataFrame): (DataFrame, () => Long) = {
+          if (!t.exists) createTarget(af.target, df.schema)
+          val newCols = df.schema.fields.toSeq
+            .filterNot(fl => t.schema.fieldNames.contains(fl.name))
+          if (newCols.nonEmpty) t.addColumns(newCols.map(fl => fl.name -> fl.dataType))
+          val tgt = t.schema
+          observe(df.select(tgt.fields.toSeq.map { fld =>
+            if (df.columns.contains(fld.name)) fnCol(fld.name).cast(fld.dataType).as(fld.name)
+            else fnLit(null).cast(fld.dataType).as(fld.name)
+          }: _*))
+        }
+        val streamRoot =
+          if (incremental) af.stream.flatMap { case (src, fn) =>
+            resolveStreamRoot(src).map { case (root, g) => (root, g.andThen(fn)) }
+          } else None
+        streamRoot match {
+          case Some((root, fn)) if root.exists =>
+            // TRUE streaming append: only the source rows committed since
+            // this flow's last run; the per-flow ledger rides the target's
+            // transaction log via the idempotent append (atomic, replay-safe)
+            import org.apache.spark.sql.functions.col
+            val appId = s"graft.appendflow.${af.name}"
+            val last = t.lastTxnVersion(appId).getOrElse(-1L)
+            val cur = root.currentVersion
+            if (cur > last) {
+              val delta = fn(root.readChangeFeed(last + 1, Some(cur))
+                .filter(col(graft.lake.LakeTable.ChangeTypeCol)
+                  .isin("insert", "update_postimage"))
+                .drop(graft.lake.LakeTable.ChangeTypeCol,
+                  graft.lake.LakeTable.CommitTimestampCol,
+                  graft.lake.LakeTable.CommitVersionCol))
+              val (aligned, rows) = align(gate(af.target, delta))
+              if (t.appendIdempotent(appId, cur, aligned))
+                events += (("flow_progress", af.name, rows(),
+                  s"append into ${af.target} (incremental v${last + 1}..v$cur)"))
+            } else events += (("flow_progress", af.name, 0L,
+              s"append into ${af.target} (incremental up-to-date)"))
+          case _ =>
+            val (aligned, rows) = align(gate(af.target, af.fn()))
+            t.append(aligned)
+            events += (("flow_progress", af.name, rows(),
+              s"append into ${af.target}" + (if (af.once) " (once)" else "")))
+        }
         if (af.once) onceFlowsDone += af.name
       }
     }
@@ -688,6 +766,16 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
   private def runTail(
       events: mutable.ArrayBuffer[(String, String, Long, String)]): Unit = {
     def observe(df: DataFrame): (DataFrame, () => Long) = Pipeline.observeRows(df)
+    // incrementally maintained aggregate MVs refresh from their source's
+    // change feed — O(changed rows) after bootstrap, in every run mode
+    aggMvs.foreach { case (name, (source, groupBy, sums, mins, maxs)) =>
+      val root = inputs.get(source).orElse(tables.get(source)).getOrElse(
+        sys.error(s"incremental agg MV $name: source $source is not a " +
+          "table-backed dataset (inputTable or streamingTable)"))
+      val n = runAggMvFromChangeFeed(name, root, groupBy, sums,
+        flowId = s"graft.aggmv.$name", mins = mins, maxs = maxs)
+      events += (("flow_progress", name, n, s"incremental agg mv from $source"))
+    }
     // materialized views refresh AFTER the flows (a gold MV over a silver
     // streaming table must see this run's merged state), in declaration
     // order — full recompute, atomically swapped in via overwrite
@@ -1101,9 +1189,13 @@ object Pipeline {
       .getOrElse(observed.count()))
   }
 
-  /** One registered `@dlt.append_flow` — see [[Pipeline.appendFlow]]. */
+  /** One registered `@dlt.append_flow` — see [[Pipeline.appendFlow]] /
+   *  [[Pipeline.appendFlowStream]]. `stream` = (source dataset, per-row
+   *  transform) for flows that consume a change-feed delta under
+   *  incremental execution. */
   private final case class AppendFlow(
-      target: String, name: String, once: Boolean, fn: () => DataFrame)
+      target: String, name: String, once: Boolean, fn: () => DataFrame,
+      stream: Option[(String, DataFrame => DataFrame)])
 
   /** One registered snapshot-diff CDC flow — see
    *  [[Pipeline.autoCdcFromSnapshotFlow]]. `source` is either a pipeline

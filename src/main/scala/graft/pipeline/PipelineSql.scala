@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project, SubqueryAlias}
 
 /**
  * Lakeflow's public SQL pipeline surface over [[Pipeline]] — the statement
@@ -118,8 +118,21 @@ object PipelineSql {
     case CreateFlowInsert(flowName, once, target, select) =>
       // Lakeflow's SQL append flow: `CREATE FLOW f AS INSERT INTO [ONCE] t
       // BY NAME <select>` — one of possibly many append-only flows feeding
-      // t; ONCE is the one-time backfill marker
-      p.appendFlow(target, flowName, once = once != null)(evalSelect(p, select))
+      // t; ONCE is the one-time backfill marker. When the select reads
+      // exactly ONE `STREAM(ds)` and is stateless over it (projections,
+      // filters, stream-static joins — DLT's own streaming restriction,
+      // checked on the LOGICAL PLAN), the flow registers as a TRUE
+      // streaming append: under Pipeline.runIncremental it lands only the
+      // source rows committed since its last run. Anything else (no
+      // stream, several, or a stateful shape above it) keeps snapshot
+      // semantics.
+      streamingAppendSource(p, select) match {
+        case Some(src) =>
+          p.appendFlowStream(target, src, flowName, once = once != null)(
+            delta => evalSelect(p, select, Map(src -> delta)))
+        case None =>
+          p.appendFlow(target, flowName, once = once != null)(evalSelect(p, select))
+      }
       ()
     case ApplyChanges(target, streamSrc, plainSrc, keys, ignoreNulls, delWhen,
         truncWhen, seqList, seqBy, except, colList, scdType, trackExcept, trackOn) =>
@@ -211,11 +224,47 @@ object PipelineSql {
         s"unparseable constraint: $other")
     }
 
+  /** The single pipeline dataset a defining SELECT streams from, when the
+   *  plan is STATELESS over it: exactly one `STREAM(ds)` occurrence, in
+   *  the main plan (not a subquery), with only Project/Filter/Join/
+   *  SubqueryAlias nodes between it and the root — the shapes a per-batch
+   *  delta substitution is sound for (a stream-static join of the delta
+   *  is DLT's legal enrichment; an aggregate/sort/limit/union above the
+   *  stream is not per-batch-composable and falls back to snapshot). */
+  private def streamingAppendSource(p: Pipeline, select: String): Option[String] = {
+    val plan = p.spark.sessionState.sqlParser.parsePlan(select)
+    def isStreamRef(n: LogicalPlan): Boolean = n match {
+      case UnresolvedRelation(parts, _, true) =>
+        parts.length == 1 && p.contains(parts.head)
+      case _ => false
+    }
+    val mainRefs = plan.collect {
+      case r: UnresolvedRelation if isStreamRef(r) => r.multipartIdentifier.head
+    }
+    val allRefs = plan.collectWithSubqueries {
+      case r: UnresolvedRelation if isStreamRef(r) => r.multipartIdentifier.head
+    }
+    if (mainRefs.size != 1 || allRefs.size != 1) return None
+    def containsStream(n: LogicalPlan): Boolean =
+      isStreamRef(n) || n.children.exists(containsStream)
+    def statelessAbove(n: LogicalPlan): Boolean =
+      if (isStreamRef(n)) true
+      else n match {
+        case _: Project | _: Filter | _: Join | _: SubqueryAlias =>
+          n.children.forall(c => !containsStream(c) || statelessAbove(c))
+        case _ => !containsStream(n)
+      }
+    if (statelessAbove(plan)) Some(mainRefs.head) else None
+  }
+
   /** Evaluate a defining SELECT with pipeline-dataset resolution: declared
    *  names (and `STREAM(name)` wrappers) are spliced in as the dataset's
-   *  CURRENT contents via [[Pipeline.read]]; everything else resolves
-   *  through Spark's analyzer as usual. */
-  private def evalSelect(p: Pipeline, select: String): DataFrame = {
+   *  CURRENT contents via [[Pipeline.read]] — or, for names in
+   *  `overrides`, as the given frame (the incremental append path splices
+   *  the change-feed delta where the STREAM relation sits); everything
+   *  else resolves through Spark's analyzer as usual. */
+  private def evalSelect(p: Pipeline, select: String,
+      overrides: Map[String, DataFrame] = Map.empty): DataFrame = {
     val spark = p.spark
     // STREAM(ds) is Lakeflow's streaming-read marker; Spark 4's parser
     // handles it natively (UnresolvedRelation with isStreaming = true), so
@@ -225,8 +274,10 @@ object PipelineSql {
     val plan = spark.sessionState.sqlParser.parsePlan(select)
     val spliced = plan.transformUpWithSubqueries {
       case UnresolvedRelation(parts, _, _)
-          if parts.length == 1 && p.contains(parts.head) =>
-        SubqueryAlias(parts.head, GraftColumnBridge.logicalPlan(p.read(parts.head)))
+          if parts.length == 1 &&
+            (overrides.contains(parts.head) || p.contains(parts.head)) =>
+        SubqueryAlias(parts.head, GraftColumnBridge.logicalPlan(
+          overrides.getOrElse(parts.head, p.read(parts.head))))
       case UnresolvedRelation(parts, _, _)
           if parts.length == 2 && parts.head.equalsIgnoreCase("live") &&
             p.contains(parts(1)) =>

@@ -239,6 +239,97 @@ class PipelineSpec extends SparkSpec {
         (3L, "new", ts("2024-01-05 00:00:00"))))
   }
 
+  test("appendFlowStream: true streaming append — each incremental run " +
+      "lands only the source rows committed since the last; idle runs land " +
+      "nothing; replay cannot double-land (idempotent append ledger)") {
+    import graft.lake.LakeTable
+    val root = tmpDir("pl_afs")
+    val bronze = LakeTable(spark, s"$root/bronze")
+    bronze.append(Seq((1L, "a", 1), (2L, "b", 0)).toDF("k", "v", "ok"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("bronze", bronze)
+    p.streamingTable("feed")
+    p.appendFlowStream("feed", "bronze", name = "live")(df =>
+      df.filter(col("ok") === 1).drop("ok"))
+    p.runIncremental()
+    assert(p.read("feed").as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    p.runIncremental() // idle: NOTHING re-lands (snapshot run() would double)
+    assert(p.read("feed").count() == 1)
+    bronze.append(Seq((3L, "c", 1)).toDF("k", "v", "ok"))
+    p.runIncremental()
+    assert(p.read("feed").orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (3L, "c")))
+    // a fresh instance resumes from the target's ledger — still no doubles
+    val p2 = new Pipeline(spark, s"$root/pipe")
+    p2.inputTable("bronze", bronze)
+    p2.streamingTable("feed")
+    p2.appendFlowStream("feed", "bronze", name = "live")(df =>
+      df.filter(col("ok") === 1).drop("ok"))
+    p2.runIncremental()
+    assert(p2.read("feed").count() == 2)
+    // under plain run() the flow falls back to snapshot semantics
+    p2.run()
+    assert(p2.read("feed").count() == 4) // full view re-appended once
+  }
+
+  test("PipelineSql: INSERT INTO ... BY NAME SELECT ... FROM STREAM(ds) " +
+      "registers a TRUE streaming append when stateless over the stream; " +
+      "aggregates over the stream fall back to snapshot semantics") {
+    import graft.lake.LakeTable
+    val root = tmpDir("pl_afs_sql")
+    val bronze = LakeTable(spark, s"$root/bronze")
+    bronze.append(Seq((1L, "x", 10.0), (2L, "y", -1.0)).toDF("k", "v", "amt"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("bronze", bronze)
+    PipelineSql(p, "CREATE OR REFRESH STREAMING TABLE feed")
+    PipelineSql(p, "CREATE FLOW live AS INSERT INTO feed BY NAME " +
+      "SELECT k, v, amt FROM STREAM(bronze) WHERE amt > 0")
+    p.runIncremental()
+    p.runIncremental() // idle
+    assert(p.read("feed").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "x", 10.0)))
+    bronze.append(Seq((3L, "z", 5.0)).toDF("k", "v", "amt"))
+    p.runIncremental()
+    assert(p.read("feed").orderBy("k").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "x", 10.0), (3L, "z", 5.0)))
+
+    // an AGGREGATE over the stream is not per-batch-composable: the flow
+    // must register as snapshot (full recompute appended per run)
+    val p2 = new Pipeline(spark, s"$root/pipe2")
+    p2.inputTable("bronze", bronze)
+    PipelineSql(p2, "CREATE OR REFRESH STREAMING TABLE agg")
+    PipelineSql(p2, "CREATE FLOW a AS INSERT INTO agg BY NAME " +
+      "SELECT v, COUNT(*) AS cnt FROM STREAM(bronze) GROUP BY v")
+    p2.runIncremental()
+    assert(p2.read("agg").count() == 3) // one row per v — full aggregate
+    p2.runIncremental()
+    assert(p2.read("agg").count() == 6) // snapshot semantics: re-appended
+  }
+
+  test("incrementalAggMv: a DAG-registered aggregate MV maintains itself " +
+      "from the source change feed — bootstrap, then O(changed rows)") {
+    import graft.lake.LakeTable
+    val root = tmpDir("pl_aggmv_dag")
+    val src = LakeTable(spark, s"$root/src")
+    src.append(Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("g", "v"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("sales", src)
+    p.incrementalAggMv("mv", "sales", Seq("g"), Seq("v"))
+    p.run() // bootstrap (full snapshot, once)
+    def mv: Seq[(String, Double, Long)] = p.read("mv")
+      .select(col("g"), col("sum_v").cast("double"), col("cnt"))
+      .orderBy("g").as[(String, Double, Long)].collect().toSeq
+    assert(mv == Seq(("a", 3.0, 2L), ("b", 5.0, 1L)))
+    src.append(Seq(("b", 1.0), ("c", 7.0)).toDF("g", "v"))
+    p.runIncremental() // delta only
+    assert(mv == Seq(("a", 3.0, 2L), ("b", 6.0, 2L), ("c", 7.0, 1L)))
+    // the event log records the refresh's processed-row count
+    assert(p.eventLog.filter(col("dataset") === "mv")
+      .orderBy(col("run_id").desc).select("rows").as[Long].head() == 2L)
+    // reading the MV as a pipeline dataset serves the materialized state
+    assert(p.read("mv").count() == 3)
+  }
+
   test("cyclic flow declarations die loudly with the cycle named, not with " +
       "a StackOverflowError") {
     val p = new Pipeline(spark, tmpDir("pl_cycle"))
