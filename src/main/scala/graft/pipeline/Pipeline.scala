@@ -449,6 +449,45 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
    */
   def runIncremental(): Unit = runImpl(incremental = true)
 
+  /**
+   * DLT's CONTINUOUS execution mode — the always-on counterpart to the
+   * triggered [[runIncremental]]: a long-running updater thread applies
+   * one incremental update, sleeps `pollMs`, and repeats until
+   * [[Pipeline.ContinuousUpdate.stop]] — new source commits flow to the
+   * targets within one poll interval, no orchestrator involved. Each
+   * cycle is the same crash-safe incremental update (per-flow ledgers on
+   * the targets), so killing the process and restarting continuous mode
+   * resumes exactly where it stopped. A cycle failure (e.g. a FAIL
+   * expectation) stops the loop and surfaces on [[stop]] — DLT likewise
+   * fails the continuous update rather than retrying bad data forever.
+   */
+  def runContinuous(pollMs: Long = 1000L): Pipeline.ContinuousUpdate = {
+    require(pollMs > 0, "pollMs must be positive")
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val runs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val thread = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          runIncremental()
+          runs.incrementAndGet()
+          // sleep in small slices so stop() returns promptly
+          var waited = 0L
+          while (!stop.get() && waited < pollMs) {
+            val slice = math.min(50L, pollMs - waited)
+            Thread.sleep(slice)
+            waited += slice
+          }
+        }
+      } catch { case t: Throwable => failure.set(t) }
+      finally done.countDown()
+    }, "graft-pipeline-continuous")
+    thread.setDaemon(true)
+    thread.start()
+    new Pipeline.ContinuousUpdate(stop, done, failure, runs)
+  }
+
   /** Longest `streamingView` chain from `name` down to a feed-readable
    *  root table, composing the per-row transforms along the way. */
   private def resolveStreamRoot(name: String, depth: Int = 0)
@@ -1177,6 +1216,40 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
 }
 
 object Pipeline {
+  /** Handle on a [[Pipeline.runContinuous]] updater. */
+  final class ContinuousUpdate private[pipeline] (
+      stopFlag: java.util.concurrent.atomic.AtomicBoolean,
+      done: java.util.concurrent.CountDownLatch,
+      failure: java.util.concurrent.atomic.AtomicReference[Throwable],
+      runs: java.util.concurrent.atomic.AtomicLong) {
+
+    /** Completed incremental update cycles so far. */
+    def runsCompleted: Long = runs.get()
+
+    /** The failure that stopped the loop, if any. */
+    def failed: Option[Throwable] = Option(failure.get())
+
+    /** Whether the updater thread is still cycling. */
+    def isActive: Boolean = done.getCount > 0
+
+    /** Block until at least `n` cycles completed or the loop died;
+     *  returns whether the target was reached. Test/ops helper. */
+    def awaitRuns(n: Long, timeoutMs: Long = 30000L): Boolean = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (runs.get() < n && isActive && System.nanoTime() < deadline)
+        Thread.sleep(10L)
+      runs.get() >= n
+    }
+
+    /** Signal the loop to stop, await it, and rethrow a cycle failure
+     *  (an update that failed must not fail silently). */
+    def stop(): Unit = {
+      stopFlag.set(true)
+      done.await()
+      failed.foreach(throw _)
+    }
+  }
+
   /** Row count riding the Observation metric channel: free when the
    *  flow's own write action covered the observed node; falls back to one
    *  count() of the same frame when the completed query surfaced no

@@ -330,6 +330,52 @@ class PipelineSpec extends SparkSpec {
     assert(p.read("mv").count() == 3)
   }
 
+  test("runContinuous: the always-on updater applies new source commits " +
+      "within a poll interval, resumes across restarts, and surfaces a " +
+      "cycle failure on stop()") {
+    import graft.lake.LakeTable
+    val root = tmpDir("pl_cont")
+    val bronze = LakeTable(spark, s"$root/bronze")
+    bronze.append(Seq((1L, "a", ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq"))
+    def mk(): Pipeline = {
+      val p = new Pipeline(spark, s"$root/pipe")
+      p.inputTable("bronze", bronze)
+      p.streamingTable("silver")
+      p.autoCdcFlow("silver", "bronze", Seq("k"), "seq")
+      p
+    }
+    val p = mk()
+    val h = p.runContinuous(pollMs = 50L)
+    assert(h.awaitRuns(1))
+    assert(p.read("silver").count() == 1)
+    // new bronze data flows through WITHOUT any explicit run call
+    bronze.append(Seq((2L, "b", ts("2024-01-02 00:00:00"))).toDF("k", "v", "seq"))
+    val before = h.runsCompleted
+    assert(h.awaitRuns(before + 2)) // at least one full cycle after the append
+    assert(p.read("silver").count() == 2)
+    h.stop()
+    assert(!h.isActive && h.failed.isEmpty)
+
+    // restart (fresh handle, same storage): resumes from the ledger
+    bronze.append(Seq((3L, "c", ts("2024-01-03 00:00:00"))).toDF("k", "v", "seq"))
+    val p2 = mk()
+    val h2 = p2.runContinuous(pollMs = 50L)
+    assert(h2.awaitRuns(1))
+    h2.stop()
+    assert(p2.read("silver").count() == 3)
+
+    // a failing cycle stops the loop and surfaces on stop()
+    val p3 = new Pipeline(spark, s"$root/pipe3")
+    p3.streamingTable("t")
+    p3.view("src")(Seq((1L, "x", ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq"))
+    p3.autoCdcFlow("t", "missing_dataset", Seq("k"), "seq")
+    val h3 = p3.runContinuous(pollMs = 50L)
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (h3.isActive && System.nanoTime() < deadline) Thread.sleep(10L)
+    assert(h3.failed.isDefined)
+    intercept[RuntimeException] { h3.stop() }
+  }
+
   test("cyclic flow declarations die loudly with the cycle named, not with " +
       "a StackOverflowError") {
     val p = new Pipeline(spark, tmpDir("pl_cycle"))
