@@ -1850,6 +1850,24 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     } catch { case TxnAlreadyApplied() => false }
   }
 
+  /** Remove `appId`'s transaction-ledger entry (metadata-only commit) —
+   *  the full-refresh primitive: a flow whose target was rebuilt from
+   *  scratch must re-bootstrap instead of resuming from a ledger that
+   *  now describes wiped state. No-op (false) when the entry is absent. */
+  def clearTxn(appId: String): Boolean = synchronized {
+    require(exists, s"clearTxn target $root does not exist")
+    try {
+      commitWithRetry { () =>
+        val v = currentVersion
+        val cur = readManifest(v)
+        if (!cur.txns.exists(_._1 == appId)) throw TxnAlreadyApplied()
+        (cur.copy(op = "properties", cdfDir = None, commitTsMs = None,
+          txns = cur.txns.filterNot(_._1 == appId)), v + 1)
+      }
+      true
+    } catch { case TxnAlreadyApplied() => false }
+  }
+
   private def appendImpl(df0: DataFrame, mergeSchema: Boolean,
       txn: Option[(String, Long)]): Boolean = {
     Files.createDirectories(Paths.get(root))

@@ -978,6 +978,18 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     onceFlowsDone.clear()
     snapshotVersions.clear()
     tables.values.filter(_.exists).foreach(t => t.overwrite(t.read.limit(0)))
+    // an incremental agg MV's ledger describes the WIPED state now: clear
+    // it so the refresh re-bootstraps from the full source snapshot —
+    // otherwise the ledger says "up to date" over an empty target and the
+    // MV stays empty forever. CDC/append flow ledgers deliberately KEEP:
+    // the snapshot re-run below rebuilds those targets from the sources'
+    // full current contents, so their ledgers remain consistent (clearing
+    // them would force a full change-feed replay that vacuumed history
+    // might not even serve).
+    aggMvs.keys.foreach { name =>
+      val t = tables(name)
+      if (t.exists) { t.clearTxn(s"graft.aggmv.$name"); () }
+    }
     run()
   }
 

@@ -101,6 +101,13 @@ class IdempotentWriteSpec extends SparkSpec {
     // the one appended batch
     assert(t.readChangeFeed(0L).count() == 1)
     intercept[IllegalArgumentException](t.recordTxn("", 1L))
+    // clearTxn removes the entry (full-refresh primitive): the app
+    // re-bootstraps — an old version is acceptable again
+    assert(t.clearTxn("flow"))
+    assert(!t.clearTxn("flow")) // already absent: no-op, no version minted
+    assert(t.lastTxnVersion("flow").isEmpty)
+    assert(t.recordTxn("flow", 2L)) // restart below the old high-water
+    assert(t.lastTxnVersion("flow").contains(2L))
   }
 
   test("plain appends never touch the ledger; mixed use stays exactly-once") {

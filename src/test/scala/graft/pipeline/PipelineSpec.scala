@@ -328,6 +328,16 @@ class PipelineSpec extends SparkSpec {
       .orderBy(col("run_id").desc).select("rows").as[Long].head() == 2L)
     // reading the MV as a pipeline dataset serves the materialized state
     assert(p.read("mv").count() == 3)
+
+    // FULL REFRESH re-bootstraps the MV from the full source snapshot —
+    // without the ledger clear the wiped target would stay empty forever
+    // (its ledger says "up to date")
+    p.runFullRefresh()
+    assert(mv == Seq(("a", 3.0, 2L), ("b", 6.0, 2L), ("c", 7.0, 1L)))
+    // and incremental maintenance continues cleanly after the refresh
+    src.append(Seq(("a", 1.0)).toDF("g", "v"))
+    p.runIncremental()
+    assert(mv == Seq(("a", 4.0, 3L), ("b", 6.0, 2L), ("c", 7.0, 1L)))
   }
 
   test("runContinuous: the always-on updater applies new source commits " +
