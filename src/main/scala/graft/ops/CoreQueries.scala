@@ -1060,6 +1060,35 @@ object CoreQueries {
           ORDER BY ts DESC, event_id DESC) = 1
         ORDER BY user_id""")),
 
+    // O16 STREAMING TABLE AS SELECT (DLT's most common statement) on the
+    // O(new rows) path: `CREATE OR REFRESH STREAMING TABLE … AS SELECT …
+    // FROM STREAM(bronze)` registers as a TRUE streaming table (the plan
+    // is stateless over its one STREAM source), so each runIncremental
+    // APPENDS the select over the bronze delta — two arrivals with an
+    // idle run between, a snapshot run() interleaved (recompute + ledger
+    // stamp), and every surviving row lands exactly once. Oracle = the
+    // select over all events.
+    Q("o16_streaming_table_select", (s, d) => {
+      val ev = t(s, d, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      val root = tmp("graft_o16")
+      val bronze = LakeTable(s, s"$root/bronze")
+      bronze.append(ev.filter(col("event_id") % 2 === 0))
+      val p = new Pipeline(s, s"$root/pipe")
+      p.inputTable("bronze", bronze)
+      PipelineSql(p, "CREATE OR REFRESH STREAMING TABLE clean AS " +
+        "SELECT event_id, user_id, value * 2 AS value2 FROM STREAM(bronze) " +
+        "WHERE value IS NOT NULL AND event_type = 'click'")
+      p.runIncremental() // arrival 1
+      p.run()            // snapshot recompute interleaved (stamps ledger)
+      bronze.append(ev.filter(col("event_id") % 2 === 1))
+      p.runIncremental() // arrival 2 only
+      p.read("clean").orderBy("event_id")
+    },
+      Some("""SELECT event_id, user_id, value * 2 AS value2 FROM events
+        WHERE value IS NOT NULL AND event_type = 'click'
+        ORDER BY event_id""")),
+
     // O15 TRUE STREAMING APPEND FLOW (SQL-declared) — where o10's live
     // flow re-lands its view every run (snapshot semantics), this one is
     // registered from `INSERT INTO … BY NAME SELECT … FROM STREAM(bronze)`

@@ -185,6 +185,30 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
   private val aggMvs = mutable.LinkedHashMap[
     String, (String, Seq[String], Seq[String], Seq[String], Seq[String])]()
 
+  /** DLT's `CREATE OR REFRESH STREAMING TABLE name AS SELECT … FROM
+   *  STREAM(source)` — the most common Lakeflow statement — as a graph
+   *  node: a table DEFINED BY a stateless select over one stream source.
+   *  Under [[runIncremental]] (and continuous mode) the select is applied
+   *  to the source's change-feed DELTA and APPENDED — O(new rows), the
+   *  ledger riding the target's transaction log via the idempotent
+   *  append; under [[run]] it refreshes as a full recompute
+   *  (snapshot execution's documented shape), stamping the ledger at the
+   *  source's current version so a later incremental run continues from
+   *  exactly there — the two modes interleave freely. Sources that don't
+   *  root at a lake table recompute in both modes. */
+  def streamingSelectTable(name: String, source: String,
+      clusterBy: Seq[String] = Nil)(fn: DataFrame => DataFrame): LakeTable = {
+    val t = LakeTable(spark, s"$storageRoot/$name")
+    tables(name) = t
+    views(name) = () => if (t.exists) t.read else fn(read(source))
+    selectTables(name) = (source, fn)
+    if (clusterBy.nonEmpty) pendingClusterBy(name) = clusterBy
+    t
+  }
+
+  private val selectTables =
+    mutable.LinkedHashMap[String, (String, DataFrame => DataFrame)]()
+
   /** O1 `dlt.create_auto_cdc_flow(target, source, keys, sequence_by,
    *  stored_as_scd_type)`. `scdType = 1` (the reference's setting) keeps one
    *  latest-wins row per key; `scdType = 2` keeps full history with
@@ -488,6 +512,18 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     new Pipeline.ContinuousUpdate(stop, done, failure, runs)
   }
 
+  /** The UPSERT-event delta of `root` over versions [from, to]: insert +
+   *  update-postimage rows, metadata columns dropped (the shape the
+   *  incremental flows consume). */
+  private def feedDelta(root: LakeTable, from: Long, to: Long): DataFrame =
+    root.readChangeFeed(from, Some(to))
+      .filter(org.apache.spark.sql.functions
+        .col(graft.lake.LakeTable.ChangeTypeCol)
+        .isin("insert", "update_postimage"))
+      .drop(graft.lake.LakeTable.ChangeTypeCol,
+        graft.lake.LakeTable.CommitTimestampCol,
+        graft.lake.LakeTable.CommitVersionCol)
+
   /** Longest `streamingView` chain from `name` down to a feed-readable
    *  root table, composing the per-row transforms along the way. */
   private def resolveStreamRoot(name: String, depth: Int = 0)
@@ -550,12 +586,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
             val last = t.lastTxnVersion(appId).getOrElse(-1L)
             val cur = root.currentVersion
             if (cur > last) {
-              val delta = fn(root.readChangeFeed(last + 1, Some(cur))
-                .filter(col(graft.lake.LakeTable.ChangeTypeCol)
-                  .isin("insert", "update_postimage"))
-                .drop(graft.lake.LakeTable.ChangeTypeCol,
-                  graft.lake.LakeTable.CommitTimestampCol,
-                  graft.lake.LakeTable.CommitVersionCol))
+              val delta = fn(feedDelta(root, last + 1, cur))
               val (aligned, rows) = align(gate(af.target, delta))
               if (t.appendIdempotent(appId, cur, aligned))
                 events += (("flow_progress", af.name, rows(),
@@ -607,12 +638,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           val last = t.lastTxnVersion(appId).getOrElse(-1L)
           val cur = src.currentVersion
           if (cur > last) {
-            val delta = fn(src.readChangeFeed(last + 1, Some(cur))
-              .filter(col(graft.lake.LakeTable.ChangeTypeCol)
-                .isin("insert", "update_postimage"))
-              .drop(graft.lake.LakeTable.ChangeTypeCol,
-                graft.lake.LakeTable.CommitTimestampCol,
-                graft.lake.LakeTable.CommitVersionCol))
+            val delta = fn(feedDelta(src, last + 1, cur))
             if (delta.isEmpty) {
               // metadata-only window: advance the ledger, skip the apply
               if (t.exists) { t.recordTxn(appId, cur); () }
@@ -636,7 +662,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
             s"cdc from ${f.source} (scd${f.scdType})"))
       }
     }
-    runTail(events)
+    runTail(events, incremental)
   } finally {
     failPinned.foreach(_.unpersist())
     failPinned.clear()
@@ -803,8 +829,42 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
    *  refresh, pending CLUSTER BY stamps, expectation events, the event
    *  log, and Fail-gate enforcement. */
   private def runTail(
-      events: mutable.ArrayBuffer[(String, String, Long, String)]): Unit = {
+      events: mutable.ArrayBuffer[(String, String, Long, String)],
+      incremental: Boolean): Unit = {
     def observe(df: DataFrame): (DataFrame, () => Long) = Pipeline.observeRows(df)
+    // streaming-select tables (ST AS SELECT over one STREAM source):
+    // incremental mode appends the select over the source's delta;
+    // snapshot mode recomputes, stamping the ledger at the source's
+    // current version so the two modes interleave without gaps or doubles
+    selectTables.foreach { case (name, (source, fn)) =>
+      val t = tables(name)
+      val appId = s"graft.sttable.$name"
+      val stream =
+        if (incremental) resolveStreamRoot(source).filter(_._1.exists) else None
+      stream match {
+        case Some((root, g)) =>
+          val last = t.lastTxnVersion(appId).getOrElse(-1L)
+          val cur = root.currentVersion
+          if (cur > last) {
+            val (out, rows) = observe(
+              gate(name, fn(g(feedDelta(root, last + 1, cur)))))
+            if (!t.exists) createTarget(name, out.schema)
+            if (t.appendIdempotent(appId, cur, out))
+              events += (("flow_progress", name, rows(),
+                s"select-table append from $source " +
+                  s"(incremental v${last + 1}..v$cur)"))
+          } else events += (("flow_progress", name, 0L,
+            s"select-table from $source (incremental up-to-date)"))
+        case None =>
+          val (df, rows) = observe(gate(name, fn(read(source))))
+          if (!t.exists) createTarget(name, df.schema)
+          val txn = resolveStreamRoot(source).filter(_._1.exists)
+            .map { case (root, _) => appId -> root.currentVersion }
+          t.overwrite(df, txn = txn)
+          events += (("flow_progress", name, rows(),
+            "select-table refresh (recompute)"))
+      }
+    }
     // incrementally maintained aggregate MVs refresh from their source's
     // change feed — O(changed rows) after bootstrap, in every run mode
     aggMvs.foreach { case (name, (source, groupBy, sums, mins, maxs)) =>

@@ -98,6 +98,20 @@ object PipelineSql {
       val isMv = kind.toUpperCase(java.util.Locale.ROOT).startsWith("MATERIALIZED")
       require(select.nonEmpty || !isMv, "MATERIALIZED VIEW needs AS SELECT")
       select match {
+        case Some(sel) if !isMv =>
+          // STREAMING TABLE AS SELECT: when the select is stateless over
+          // exactly one STREAM(ds) (DLT's streaming-table restriction,
+          // checked on the logical plan), register the TRUE streaming
+          // form — incremental runs append the select over the source's
+          // delta; snapshot runs recompute. Other shapes keep the
+          // documented full-recompute refresh.
+          streamingAppendSource(p, sel) match {
+            case Some(src) =>
+              p.streamingSelectTable(name, src, clusterCols)(df =>
+                evalSelect(p, sel, Map(src -> df)))
+            case None => p.materializedView(name, clusterCols)(evalSelect(p, sel))
+          }
+          ()
         case Some(sel) => p.materializedView(name, clusterCols)(evalSelect(p, sel))
         case None => p.streamingTable(name, clusterCols)
       }

@@ -306,6 +306,37 @@ class PipelineSpec extends SparkSpec {
     assert(p2.read("agg").count() == 6) // snapshot semantics: re-appended
   }
 
+  test("streamingSelectTable (ST AS SELECT over STREAM): incremental runs " +
+      "append the select over the delta; snapshot runs recompute and stamp " +
+      "the ledger so the two modes interleave without gaps or doubles") {
+    import graft.lake.LakeTable
+    val root = tmpDir("pl_stsel")
+    val bronze = LakeTable(spark, s"$root/bronze")
+    bronze.append(Seq((1L, 2.0), (2L, -1.0)).toDF("k", "amt"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("bronze", bronze)
+    PipelineSql(p, "CREATE OR REFRESH STREAMING TABLE clean AS " +
+      "SELECT k, amt * 2 AS amt2 FROM STREAM(bronze) WHERE amt > 0")
+    p.runIncremental() // bootstrap window
+    assert(p.read("clean").as[(Long, Double)].collect().toSeq == Seq((1L, 4.0)))
+    p.runIncremental() // idle: nothing lands
+    assert(p.read("clean").count() == 1)
+    bronze.append(Seq((3L, 5.0)).toDF("k", "amt"))
+    p.runIncremental() // delta only
+    assert(p.read("clean").orderBy("k").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 4.0), (3L, 10.0)))
+    // a SNAPSHOT run recomputes (same rows here) and stamps the ledger
+    p.run()
+    assert(p.read("clean").count() == 2)
+    // back to incremental: the recompute's stamp means nothing re-lands
+    p.runIncremental()
+    assert(p.read("clean").count() == 2)
+    bronze.append(Seq((4L, 1.0)).toDF("k", "amt"))
+    p.runIncremental()
+    assert(p.read("clean").orderBy("k").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 4.0), (3L, 10.0), (4L, 2.0)))
+  }
+
   test("incrementalAggMv: a DAG-registered aggregate MV maintains itself " +
       "from the source change feed — bootstrap, then O(changed rows)") {
     import graft.lake.LakeTable
