@@ -1883,6 +1883,9 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     var identBase = Map.empty[String, Long] // hw the assignment was based on
     var identNew = Map.empty[String, Long]  // hw after this batch
     var identPinned: Option[org.apache.spark.rdd.RDD[Row]] = None
+    // the try opens BEFORE the validation block: a constraint/schema
+    // rejection after assignIdentities pinned its RDD must still unpersist
+    try {
     val df = m0.fold(df0) { m =>
       val d0 = materializeGenerated(df0, m)
       val specs = identitySpecsOf(m)
@@ -1899,7 +1902,6 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       enforceConstraints(d, m.constraints)
       d
     }
-    try {
     pcol.foreach(p => require(df.columns.contains(p),
       s"append batch is missing the partition column $p"))
     val validatedConstraints = m0.map(_.constraints).getOrElse(Nil).toSet

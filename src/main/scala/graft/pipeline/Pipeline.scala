@@ -82,6 +82,17 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
    *  tables). Aggregating/joining views must stay [[view]]s. */
   def streamingView(name: String, source: String)(
       fn: DataFrame => DataFrame): this.type = {
+    // loud acyclicity check: a cyclic chain would otherwise recurse to
+    // StackOverflowError in the snapshot fallback's read() resolution
+    val seen = mutable.LinkedHashSet[String](name)
+    var cur = Option(source)
+    while (cur.isDefined) {
+      val c = cur.get
+      require(!seen.contains(c),
+        s"streamingView cycle detected: ${(seen.toSeq :+ c).mkString(" -> ")}")
+      seen += c
+      cur = streamingViews.get(c).map(_._1)
+    }
     streamingViews(name) = (source, fn)
     views(name) = () => fn(read(source))
     this
@@ -494,7 +505,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     val thread = new Thread(() => {
       try {
         while (!stop.get()) {
-          runIncremental()
+          runImpl(incremental = true, quietIdle = true)
           runs.incrementAndGet()
           // sleep in small slices so stop() returns promptly
           var waited = 0L
@@ -541,7 +552,13 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         }
       })
 
-  private def runImpl(incremental: Boolean): Unit = try {
+  /** One update at a time: a continuous updater thread and a user-invoked
+   *  run()/runIncremental() (or two continuous handles) must not interleave
+   *  on the shared gate/event/pin state — concurrent callers serialize. */
+  private val runLock = new Object
+
+  private def runImpl(incremental: Boolean,
+      quietIdle: Boolean = false): Unit = runLock.synchronized { try {
     val gb = GoldBuilder(spark)
     gates.clear() // this run's gates only (lastGate reads post-run state)
     val events = mutable.ArrayBuffer[(String, String, Long, String)]()
@@ -594,10 +611,35 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
             } else events += (("flow_progress", af.name, 0L,
               s"append into ${af.target} (incremental up-to-date)"))
           case _ =>
-            val (aligned, rows) = align(gate(af.target, af.fn()))
-            t.append(aligned)
-            events += (("flow_progress", af.name, rows(),
-              s"append into ${af.target}" + (if (af.once) " (once)" else "")))
+            // snapshot re-land. A STREAM-registered flow with a resolvable
+            // root pins the read at an exact source version and RECORDS it:
+            // without the stamp, the next incremental run would re-append
+            // rows this full view already landed (duplicates a full refresh
+            // could never shed); pinning makes the stamp exact under
+            // concurrent source commits.
+            val rootSnap = af.stream.flatMap { case (src, fn2) =>
+              resolveStreamRoot(src).filter(_._1.exists)
+                .map { case (root, g) => (root, g.andThen(fn2)) }
+            }
+            rootSnap match {
+              case Some((root, fn2)) =>
+                val cur = root.currentVersion
+                val (aligned, rows) =
+                  align(gate(af.target, fn2(root.readVersion(cur))))
+                t.append(aligned)
+                val appId = s"graft.appendflow.${af.name}"
+                if (t.lastTxnVersion(appId).forall(_ < cur)) {
+                  t.recordTxn(appId, cur); ()
+                }
+                events += (("flow_progress", af.name, rows(),
+                  s"append into ${af.target} (snapshot @ v$cur)" +
+                    (if (af.once) " (once)" else "")))
+              case None =>
+                val (aligned, rows) = align(gate(af.target, af.fn()))
+                t.append(aligned)
+                events += (("flow_progress", af.name, rows(),
+                  s"append into ${af.target}" + (if (af.once) " (once)" else "")))
+            }
         }
         if (af.once) onceFlowsDone += af.name
       }
@@ -638,20 +680,26 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           val last = t.lastTxnVersion(appId).getOrElse(-1L)
           val cur = src.currentVersion
           if (cur > last) {
+            // pinned: the emptiness probe, the gate counters, and the SCD
+            // apply's own joins all consume the delta — one pass over the
+            // change dirs instead of three
             val delta = fn(feedDelta(src, last + 1, cur))
-            if (delta.isEmpty) {
-              // metadata-only window: advance the ledger, skip the apply
-              if (t.exists) { t.recordTxn(appId, cur); () }
-              events += (("flow_progress", f.target, 0L,
-                s"cdc from ${f.source} (scd${f.scdType}, incremental " +
-                  s"v${last + 1}..v$cur empty)"))
-            } else {
-              val (batch, flowRows) = observe(gate(f.target, delta))
-              applyCdcFlow(f, batch, gb, txn = Some(appId -> cur))
-              events += (("flow_progress", f.target, flowRows(),
-                s"cdc from ${f.source} (scd${f.scdType}, incremental " +
-                  s"v${last + 1}..v$cur)"))
-            }
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              if (delta.isEmpty) {
+                // metadata-only window: advance the ledger, skip the apply
+                if (t.exists) { t.recordTxn(appId, cur); () }
+                events += (("flow_progress", f.target, 0L,
+                  s"cdc from ${f.source} (scd${f.scdType}, incremental " +
+                    s"v${last + 1}..v$cur empty)"))
+              } else {
+                val (batch, flowRows) = observe(gate(f.target, delta))
+                applyCdcFlow(f, batch, gb, txn = Some(appId -> cur))
+                events += (("flow_progress", f.target, flowRows(),
+                  s"cdc from ${f.source} (scd${f.scdType}, incremental " +
+                    s"v${last + 1}..v$cur)"))
+              }
+            } finally { delta.unpersist(); () }
           } else events += (("flow_progress", f.target, 0L,
             s"cdc from ${f.source} (scd${f.scdType}, incremental up-to-date)"))
         case _ =>
@@ -662,11 +710,11 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
             s"cdc from ${f.source} (scd${f.scdType})"))
       }
     }
-    runTail(events, incremental)
+    runTail(events, incremental, quietIdle)
   } finally {
     failPinned.foreach(_.unpersist())
     failPinned.clear()
-  }
+  } }
 
   /** Apply ONE CDC flow's batch to its target — the shared kernel of
    *  [[run]] (full-snapshot batch) and [[runIncremental]] (change-feed
@@ -830,7 +878,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
    *  log, and Fail-gate enforcement. */
   private def runTail(
       events: mutable.ArrayBuffer[(String, String, Long, String)],
-      incremental: Boolean): Unit = {
+      incremental: Boolean, quietIdle: Boolean = false): Unit = {
     def observe(df: DataFrame): (DataFrame, () => Long) = Pipeline.observeRows(df)
     // streaming-select tables (ST AS SELECT over one STREAM source):
     // incremental mode appends the select over the source's delta;
@@ -856,13 +904,26 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           } else events += (("flow_progress", name, 0L,
             s"select-table from $source (incremental up-to-date)"))
         case None =>
-          val (df, rows) = observe(gate(name, fn(read(source))))
-          if (!t.exists) createTarget(name, df.schema)
-          val txn = resolveStreamRoot(source).filter(_._1.exists)
-            .map { case (root, _) => appId -> root.currentVersion }
-          t.overwrite(df, txn = txn)
-          events += (("flow_progress", name, rows(),
-            "select-table refresh (recompute)"))
+          resolveStreamRoot(source).filter(_._1.exists) match {
+            case Some((root, g)) =>
+              // recompute PINNED at an exact source version: reading the
+              // live snapshot and probing currentVersion separately would
+              // race a concurrent source commit — stamping a version the
+              // recompute didn't (or did) include silently skips (or
+              // doubles) that window on the next incremental run
+              val cur = root.currentVersion
+              val (df, rows) = observe(gate(name, fn(g(root.readVersion(cur)))))
+              if (!t.exists) createTarget(name, df.schema)
+              t.overwrite(df, txn = Some(appId -> cur))
+              events += (("flow_progress", name, rows(),
+                s"select-table refresh (recompute @ v$cur)"))
+            case None =>
+              val (df, rows) = observe(gate(name, fn(read(source))))
+              if (!t.exists) createTarget(name, df.schema)
+              t.overwrite(df)
+              events += (("flow_progress", name, rows(),
+                "select-table refresh (recompute)"))
+          }
       }
     }
     // incrementally maintained aggregate MVs refresh from their source's
@@ -899,7 +960,16 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         g.violations.toSeq.sortBy(_._1)
           .map { case (r, n) => s"$r=$n" }.mkString(",")))
     }
-    writeEventLog(events.toSeq)
+    // under CONTINUOUS mode a fully idle cycle (every flow up-to-date,
+    // nothing landed, no gates evaluated) writes NO log commit — the
+    // updater polls every second, and one append per idle poll would grow
+    // __event_log without bound. Triggered runs always log (DLT records
+    // every requested update).
+    val idleOnly = quietIdle && events.forall { case (et, _, n, msg) =>
+      et == "flow_progress" && n == 0L &&
+        (msg.contains("up-to-date") || msg.endsWith("empty)"))
+    }
+    if (!idleOnly) writeEventLog(events.toSeq)
     gates.values.filter(_.policy == Expectations.Fail).foreach(_.assertClean())
   }
 

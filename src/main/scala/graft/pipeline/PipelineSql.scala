@@ -287,11 +287,17 @@ object PipelineSql {
     // streaming read resolves to the same current contents.
     val plan = spark.sessionState.sqlParser.parsePlan(select)
     val spliced = plan.transformUpWithSubqueries {
-      case UnresolvedRelation(parts, _, _)
+      case UnresolvedRelation(parts, _, isStreaming)
           if parts.length == 1 &&
             (overrides.contains(parts.head) || p.contains(parts.head)) =>
-        SubqueryAlias(parts.head, GraftColumnBridge.logicalPlan(
-          overrides.getOrElse(parts.head, p.read(parts.head))))
+        // overrides substitute ONLY the STREAM(ds) relation — a PLAIN
+        // reference to the same name (the stream-static self-join shape:
+        // `FROM STREAM(bronze) s JOIN bronze b ON …`) must keep reading
+        // the full current snapshot, never the delta
+        val frame =
+          if (isStreaming) overrides.getOrElse(parts.head, p.read(parts.head))
+          else p.read(parts.head)
+        SubqueryAlias(parts.head, GraftColumnBridge.logicalPlan(frame))
       case UnresolvedRelation(parts, _, _)
           if parts.length == 2 && parts.head.equalsIgnoreCase("live") &&
             p.contains(parts(1)) =>

@@ -267,9 +267,58 @@ class PipelineSpec extends SparkSpec {
       df.filter(col("ok") === 1).drop("ok"))
     p2.runIncremental()
     assert(p2.read("feed").count() == 2)
-    // under plain run() the flow falls back to snapshot semantics
+    // under plain run() the flow falls back to snapshot semantics — the
+    // full view re-lands, AND the ledger is stamped at the covered version
     p2.run()
     assert(p2.read("feed").count() == 4) // full view re-appended once
+    // the stamp means the next incremental run does NOT re-append rows the
+    // snapshot already landed
+    p2.runIncremental()
+    assert(p2.read("feed").count() == 4)
+
+    // FULL REFRESH: wipe + one snapshot re-land = exactly one copy, and
+    // incremental runs continue cleanly after it (no duplicate window)
+    p2.runFullRefresh()
+    assert(p2.read("feed").count() == 2)
+    p2.runIncremental()
+    assert(p2.read("feed").count() == 2)
+    bronze.append(Seq((4L, "d", 1)).toDF("k", "v", "ok"))
+    p2.runIncremental()
+    assert(p2.read("feed").orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (3L, "c"), (4L, "d")))
+  }
+
+  test("streamingView cycles are refused at registration with the cycle " +
+      "named; SQL stream-static SELF-join reads the delta on the STREAM " +
+      "side and the FULL snapshot on the static side") {
+    import graft.lake.LakeTable
+    val p0 = new Pipeline(spark, tmpDir("pl_svcycle"))
+    p0.streamingView("a", "b")(identity)
+    val e = intercept[IllegalArgumentException] {
+      p0.streamingView("b", "a")(identity)
+    }
+    assert(e.getMessage.contains("cycle"))
+
+    val root = tmpDir("pl_selfjoin")
+    val bronze = LakeTable(spark, s"$root/bronze")
+    bronze.append(Seq((1L, 10.0)).toDF("k", "amt"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("bronze", bronze)
+    PipelineSql(p, "CREATE OR REFRESH STREAMING TABLE enriched")
+    // the static `bronze t` side must see the WHOLE table, not the delta:
+    // total = sum over all bronze rows at apply time
+    PipelineSql(p, "CREATE FLOW sj AS INSERT INTO enriched BY NAME " +
+      "SELECT s.k, s.amt, t.total FROM STREAM(bronze) s JOIN " +
+      "(SELECT count(*) AS n, sum(amt) AS total FROM bronze) t ON t.n > 0")
+    p.runIncremental()
+    assert(p.read("enriched").as[(Long, Double, Double)].collect().toSeq ==
+      Seq((1L, 10.0, 10.0)))
+    bronze.append(Seq((2L, 5.0)).toDF("k", "amt"))
+    p.runIncremental()
+    // run 2: only k=2 lands (delta), but its `total` reflects BOTH rows —
+    // proof the static reference read the full snapshot
+    assert(p.read("enriched").orderBy("k").as[(Long, Double, Double)]
+      .collect().toSeq == Seq((1L, 10.0, 10.0), (2L, 5.0, 15.0)))
   }
 
   test("PipelineSql: INSERT INTO ... BY NAME SELECT ... FROM STREAM(ds) " +
