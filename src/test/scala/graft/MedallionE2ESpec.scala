@@ -218,4 +218,65 @@ class MedallionE2ESpec extends SparkSpec {
     assert(biz.filter(col("booking_id") === "B0004")
       .select("airline").as[String].head() == "JetAir")
   }
+
+  test("FULLY INCREMENTAL medallion loop: bronze → cleaned silver CDC → " +
+      "gold aggregate, every layer O(new rows) per run — event-log proof, " +
+      "no bronze rescan anywhere") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val root = tmpDir("medallion_inc")
+    // bronze: the append-only lake table Auto Loader lands into
+    val bronze = LakeTable(spark, s"$root/bronze")
+    bronze.append(Seq(
+      (Option("B0001"), "P001", 100.5, ts("2025-05-03 00:00:00")),
+      (Option("B0002"), "P002", 200.0, ts("2025-05-04 00:00:00")),
+      (Option.empty[String], "P003", 99.9, ts("2025-05-05 00:00:00")))
+      .toDF("booking_id", "passenger_id", "amount", "modifiedDate"))
+
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("bookings_bronze", bronze)
+    // silver cleaning as a per-row streaming transform (the DLT view shape)
+    p.streamingView("bookings_clean", "bookings_bronze")(df =>
+      df.filter(col("booking_id").isNotNull))
+    // silver CDC target records its change feed so gold can stream from it
+    p.streamingTable("bookings_silver", enableChangeFeed = true)
+    p.autoCdcFlow("bookings_silver", "bookings_clean",
+      Seq("booking_id"), "modifiedDate")
+    // gold: incrementally maintained aggregate over the SILVER change feed
+    p.incrementalAggMv("gold_by_passenger", "bookings_silver",
+      Seq("passenger_id"), Seq("amount"))
+
+    p.runIncremental()
+    def gold: Seq[(String, Double, Long)] = p.read("gold_by_passenger")
+      .select(col("passenger_id"), col("sum_amount").cast("double"), col("cnt"))
+      .orderBy("passenger_id").as[(String, Double, Long)].collect().toSeq
+    assert(p.read("bookings_silver").count() == 2) // null key filtered
+    assert(gold == Seq(("P001", 100.5, 1L), ("P002", 200.0, 1L)))
+
+    // batch 2: ONE update (B0002 re-priced) + ONE insert (B0004)
+    bronze.append(Seq(
+      ("B0002", "P002", 250.0, ts("2025-07-01 00:00:00")),
+      ("B0004", "P001", 300.0, ts("2025-07-02 00:00:00")))
+      .toDF("booking_id", "passenger_id", "amount", "modifiedDate"))
+    p.runIncremental()
+    // silver: latest-wins applied; gold: group deltas only
+    assert(p.read("bookings_silver").count() == 3)
+    assert(gold == Seq(("P001", 400.5, 2L), ("P002", 250.0, 1L)))
+
+    // EVENT-LOG PROOF of O(new rows): run 2's silver flow processed exactly
+    // the 2 appended rows (not the 5-row bronze table), and the gold MV
+    // consumed exactly the 3 silver change images (1 insert + update
+    // pre/post), never rescanning silver
+    def rowsOf(ds: String): Seq[Long] = p.eventLog
+      .filter(col("event_type") === "flow_progress" && col("dataset") === ds)
+      .orderBy("run_id").select("rows").as[Long].collect().toSeq
+    assert(rowsOf("bookings_silver") == Seq(2L, 2L))
+    assert(rowsOf("gold_by_passenger") == Seq(0L, 3L)) // bootstrap logs 0
+
+    // idle run: every layer up to date, nothing processed, no new versions
+    val vs = p.table("bookings_silver").currentVersion
+    val vg = p.table("gold_by_passenger").currentVersion
+    p.runIncremental()
+    assert(p.table("bookings_silver").currentVersion == vs)
+    assert(p.table("gold_by_passenger").currentVersion == vg)
+  }
 }
