@@ -136,20 +136,36 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
    *  write); `OPTIMIZE` then re-clusters on it
    *  ([[graft.lake.LakeTable.setClusterBy]]). */
   def streamingTable(name: String, clusterBy: Seq[String] = Nil,
-      enableChangeFeed: Boolean = false): LakeTable = {
+      enableChangeFeed: Boolean = false,
+      partitionBy: Option[String] = None): LakeTable = {
     val t = LakeTable(spark, s"$storageRoot/$name")
     tables(name) = t
     if (clusterBy.nonEmpty) pendingClusterBy(name) = clusterBy
     if (enableChangeFeed) cdfTables += name
+    partitionBy.foreach { pc =>
+      require(clusterBy.isEmpty,
+        "partitionBy and clusterBy are exclusive layouts (Delta's rule)")
+      partitionedTables(name) = pc
+    }
     t
   }
 
-  /** Create `name`'s backing table honoring its declared CDF flag — a
+  private val partitionedTables = mutable.Map[String, String]()
+
+  /** Create `name`'s backing table honoring its declared layout flags — a
    *  CDC-maintained table feeding ANOTHER incremental flow must record
-   *  row-level changes (`streamingTable(..., enableChangeFeed = true)`). */
+   *  row-level changes (`streamingTable(..., enableChangeFeed = true)`);
+   *  a PARTITIONED target (`partitionBy`) makes every later CDC merge
+   *  partition-scoped: only the partitions the batch touches are read and
+   *  rewritten — the O(new-write) counterpart to the incremental O(new-
+   *  read), and the shape a 100 TB silver table needs (an unpartitioned
+   *  merge re-writes the whole table per run no matter how small the
+   *  delta). */
   private def createTarget(name: String,
       schema: org.apache.spark.sql.types.StructType): Unit = {
-    tables(name).create(schema, enableChangeFeed = cdfTables.contains(name))
+    tables(name).create(schema,
+      partitionBy = partitionedTables.get(name),
+      enableChangeFeed = cdfTables.contains(name))
     ()
   }
 

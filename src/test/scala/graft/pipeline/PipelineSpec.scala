@@ -355,6 +355,52 @@ class PipelineSpec extends SparkSpec {
     assert(p2.read("agg").count() == 6) // snapshot semantics: re-appended
   }
 
+  test("PARTITIONED streaming table: incremental CDC merges rewrite ONLY " +
+      "the partitions the delta touches — untouched partitions keep their " +
+      "files (path and inode)") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import graft.lake.LakeTable
+    val root = tmpDir("pl_part")
+    val bronze = LakeTable(spark, s"$root/bronze")
+    bronze.append(Seq(
+      (1L, "A", "a1", ts("2024-01-01 00:00:00")),
+      (2L, "B", "b1", ts("2024-01-01 00:00:00"))).toDF("k", "region", "v", "seq"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("bronze", bronze)
+    p.streamingTable("silver", partitionBy = Some("region"))
+    p.autoCdcFlow("silver", "bronze", Seq("k"), "seq")
+    p.runIncremental()
+    assert(p.table("silver").partitionColumn.contains("region"))
+    def filesOf(part: String): Map[String, Object] =
+      Files.walk(Paths.get(s"$root/pipe/silver")).iterator().asScala
+        .filter(f => f.toString.endsWith(".parquet") &&
+          f.toString.contains(s"region=$part"))
+        .map(f => f.toString -> Files.getAttribute(f, "unix:ino"))
+        .toMap
+    val regionBBefore = filesOf("B")
+    assert(regionBBefore.nonEmpty)
+
+    // the delta touches ONLY region A: region B's files must not be
+    // rewritten (same paths, same inodes — zero write amplification there)
+    bronze.append(Seq(
+      (1L, "A", "a2", ts("2024-02-01 00:00:00")),
+      (3L, "A", "a3", ts("2024-02-01 00:00:00"))).toDF("k", "region", "v", "seq"))
+    p.runIncremental()
+    assert(p.read("silver").orderBy("k").as[(Long, String, String, Timestamp)]
+      .collect().toSeq == Seq(
+        (1L, "A", "a2", ts("2024-02-01 00:00:00")),
+        (2L, "B", "b1", ts("2024-01-01 00:00:00")),
+        (3L, "A", "a3", ts("2024-02-01 00:00:00"))))
+    assert(filesOf("B") == regionBBefore)
+
+    // partitioned + clustered is refused (exclusive layouts)
+    intercept[IllegalArgumentException] {
+      new Pipeline(spark, s"$root/pipe2").streamingTable("bad",
+        clusterBy = Seq("k"), partitionBy = Some("region"))
+    }
+  }
+
   test("streamingSelectTable (ST AS SELECT over STREAM): incremental runs " +
       "append the select over the delta; snapshot runs recompute and stamp " +
       "the ledger so the two modes interleave without gaps or doubles") {
