@@ -38,6 +38,35 @@ class PipelineSqlSpec extends SparkSpec {
         (3L, "c", ts("2024-02-01 00:00:00"))))
   }
 
+  test("SQL-declared CDC composes with runIncremental: APPLY CHANGES FROM " +
+      "STREAM over an inputTable consumes only new bronze versions per run") {
+    import graft.lake.LakeTable
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("plsql_inc")
+    val bronze = LakeTable(spark, s"$root/bronze")
+    bronze.append(Seq(
+      (1L, "a", ts("2024-01-01 00:00:00")),
+      (2L, "b", ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("bronze", bronze)
+    PipelineSql(p, "CREATE OR REFRESH STREAMING TABLE silver")
+    PipelineSql(p,
+      "APPLY CHANGES INTO silver FROM STREAM(bronze) KEYS (k) SEQUENCE BY seq")
+    p.runIncremental()
+    bronze.append(Seq(
+      (1L, "a2", ts("2024-02-01 00:00:00")),
+      (3L, "c", ts("2024-02-01 00:00:00"))).toDF("k", "v", "seq"))
+    p.runIncremental()
+    assert(p.read("silver").orderBy("k").as[(Long, String, Timestamp)].collect().toSeq ==
+      Seq((1L, "a2", ts("2024-02-01 00:00:00")),
+        (2L, "b", ts("2024-01-01 00:00:00")),
+        (3L, "c", ts("2024-02-01 00:00:00"))))
+    // event-log proof: run 2 processed exactly the 2 appended rows
+    assert(p.eventLog
+      .filter(col("event_type") === "flow_progress" && col("dataset") === "silver")
+      .orderBy("run_id").select("rows").as[Long].collect().toSeq == Seq(2L, 2L))
+  }
+
   test("AUTO CDC INTO synonym with SCD TYPE 2 and TRACK HISTORY ON * EXCEPT") {
     val p = new Pipeline(spark, tmpDir("plsql_scd2"))
     var batch = Seq(
