@@ -541,30 +541,69 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
 
   /** The UPSERT-event delta of `root` over versions [from, to]: insert +
    *  update-postimage rows, metadata columns dropped (the shape the
-   *  incremental flows consume). */
-  private def feedDelta(root: LakeTable, from: Long, to: Long): DataFrame =
-    root.readChangeFeed(from, Some(to))
+   *  incremental flows consume). `keepCommitVersion` retains the commit
+   *  version column for recency-resolving equal-sequence images. */
+  private def feedDelta(root: LakeTable, from: Long, to: Long,
+      keepCommitVersion: Boolean = false): DataFrame = {
+    val base = root.readChangeFeed(from, Some(to))
       .filter(org.apache.spark.sql.functions
         .col(graft.lake.LakeTable.ChangeTypeCol)
         .isin("insert", "update_postimage"))
       .drop(graft.lake.LakeTable.ChangeTypeCol,
-        graft.lake.LakeTable.CommitTimestampCol,
-        graft.lake.LakeTable.CommitVersionCol)
+        graft.lake.LakeTable.CommitTimestampCol)
+    if (keepCommitVersion) base
+    else base.drop(graft.lake.LakeTable.CommitVersionCol)
+  }
 
-  /** Longest `streamingView` chain from `name` down to a feed-readable
-   *  root table, composing the per-row transforms along the way. */
+  /** Loud DLT-style restriction for APPEND-ONLY consumers (append flows,
+   *  streaming-select tables): the window must carry no update/delete
+   *  images — an updated source row cannot be "appended again" without
+   *  silently duplicating (DLT fails a streaming read over changes the
+   *  same way). */
+  private def requireAppendOnlyWindow(root: LakeTable, from: Long, to: Long,
+      consumer: String): Unit = {
+    val nonInsert = root.readChangeFeed(from, Some(to))
+      .filter(!org.apache.spark.sql.functions
+        .col(graft.lake.LakeTable.ChangeTypeCol).isin("insert"))
+      .limit(1).count()
+    require(nonInsert == 0L,
+      s"$consumer consumes an append-only stream, but versions " +
+        s"[$from, $to] of its source carry update/delete images — " +
+        "append-only consumers cannot re-land changed rows (use a CDC " +
+        "flow, or keep the source append-only)")
+  }
+
+  /** Longest `streamingView` chain from `name` down to a FEED-READABLE
+   *  root table, composing the per-row transforms along the way. Returns
+   *  (root, composed transform, direct) — `direct` marks an identity
+   *  chain (no transform between the feed and the flow), which is when
+   *  equal-sequence images can be collapsed by commit recency at the
+   *  source grain. Declared streaming tables qualify only when their
+   *  change feed records row-level images (`enableChangeFeed`) — a
+   *  merge-maintained table without CDF falls back to snapshot semantics
+   *  instead of erroring mid-run; [[inputTable]] roots are the append-only
+   *  bronze contract (their appends derive feed inserts for free). */
   private def resolveStreamRoot(name: String, depth: Int = 0)
-      : Option[(LakeTable, DataFrame => DataFrame)] =
+      : Option[(LakeTable, DataFrame => DataFrame, Boolean)] =
     if (depth > 16) None
-    else inputs.get(name).map(t => (t, identity[DataFrame] _))
+    else inputs.get(name).map(t => (t, identity[DataFrame] _, true))
       .orElse(tables.get(name)
         // an MV recomputes fully each run — its feed carries whole-table
-        // replace images, not row deltas; treat it as a snapshot source
-        .filterNot(_ => mviews.contains(name))
-        .map(t => (t, identity[DataFrame] _)))
+        // replace images, not row deltas; treat it as a snapshot source.
+        // Non-CDF declared tables are merge-maintained without row images:
+        // snapshot fallback, not a mid-run feed error.
+        .filterNot(_ => mviews.contains(name) || selectTables.contains(name))
+        .filter(t => cdfTables.contains(name) ||
+          (t.exists && t.tableProperties.contains(
+            graft.lake.LakeTable.ChangeFeedProp)))
+        .map(t => (t, identity[DataFrame] _, true)))
+      .orElse(tables.get(name).filter(_ => selectTables.contains(name))
+        // a streaming-select table is APPEND-ONLY by construction — its
+        // feed serves inserts without CDF
+        .map(t => (t, identity[DataFrame] _, true)))
       .orElse(streamingViews.get(name).flatMap { case (src, fn) =>
-        resolveStreamRoot(src, depth + 1).map { case (t, g) =>
-          (t, g.andThen(fn))
+        resolveStreamRoot(src, depth + 1).map { case (t, g, _) =>
+          (t, g.andThen(fn), false)
         }
       })
 
@@ -607,7 +646,8 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         }
         val streamRoot =
           if (incremental) af.stream.flatMap { case (src, fn) =>
-            resolveStreamRoot(src).map { case (root, g) => (root, g.andThen(fn)) }
+            resolveStreamRoot(src).map { case (root, g, _) =>
+              (root, g.andThen(fn)) }
           } else None
         streamRoot match {
           case Some((root, fn)) if root.exists =>
@@ -619,7 +659,16 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
             val last = t.lastTxnVersion(appId).getOrElse(-1L)
             val cur = root.currentVersion
             if (cur > last) {
-              val delta = fn(feedDelta(root, last + 1, cur))
+              // bootstrap = the current snapshot pinned at cur (vacuumed
+              // early history can't wedge a first run); later windows must
+              // be APPEND-ONLY — re-landing an updated row would duplicate
+              val delta =
+                if (last < 0) fn(root.readVersion(cur))
+                else {
+                  requireAppendOnlyWindow(root, last + 1, cur,
+                    s"append flow ${af.name}")
+                  fn(feedDelta(root, last + 1, cur))
+                }
               val (aligned, rows) = align(gate(af.target, delta))
               if (t.appendIdempotent(appId, cur, aligned))
                 events += (("flow_progress", af.name, rows(),
@@ -635,7 +684,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
             // concurrent source commits.
             val rootSnap = af.stream.flatMap { case (src, fn2) =>
               resolveStreamRoot(src).filter(_._1.exists)
-                .map { case (root, g) => (root, g.andThen(fn2)) }
+                .map { case (root, g, _) => (root, g.andThen(fn2)) }
             }
             rootSnap match {
               case Some((root, fn2)) =>
@@ -689,17 +738,43 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     orderedFlows.foreach { f =>
       val stream = if (incremental) resolveStreamRoot(f.source) else None
       stream match {
-        case Some((src, fn)) if src.exists =>
+        case Some((src, fn, direct)) if src.exists =>
           import org.apache.spark.sql.functions.col
           val appId = s"graft.flow.${f.target}"
           val t = tables(f.target)
           val last = t.lastTxnVersion(appId).getOrElse(-1L)
           val cur = src.currentVersion
           if (cur > last) {
+            // first window BOOTSTRAPS from the CURRENT snapshot pinned at
+            // `cur` (every live row is an upsert event) instead of
+            // replaying the feed from v0 — immune to vacuumed early
+            // history, and it never drags dead intermediate images of a
+            // merge-maintained source through the transforms
+            val raw =
+              if (last < 0) src.readVersion(cur)
+              else if (direct) {
+                // a merge-maintained source resolves equal-(key, sequence)
+                // images by COMMIT RECENCY — the newest image IS the
+                // source's current value, and this matches the cross-window
+                // `>=` merge guard (an equal-seq late arrival replaces).
+                // Collapse per (key, full seq tuple) on (commit version,
+                // then the flow's own deterministic tiebreak) before the
+                // apply — within-commit ties keep run()'s resolution.
+                val fd = feedDelta(src, last + 1, cur, keepCommitVersion = true)
+                val valueTb =
+                  if (f.tiebreak.nonEmpty) f.tiebreak
+                  else fd.columns.toSeq.filterNot(c => f.keys.contains(c) ||
+                    c == f.sequenceBy || f.sequenceAlso.contains(c) ||
+                    c == graft.lake.LakeTable.CommitVersionCol)
+                gb.latestPerKey(fd,
+                  f.keys ++ (f.sequenceBy +: f.sequenceAlso),
+                  graft.lake.LakeTable.CommitVersionCol, valueTb)
+                  .drop(graft.lake.LakeTable.CommitVersionCol)
+              } else feedDelta(src, last + 1, cur)
             // pinned: the emptiness probe, the gate counters, and the SCD
             // apply's own joins all consume the delta — one pass over the
             // change dirs instead of three
-            val delta = fn(feedDelta(src, last + 1, cur))
+            val delta = fn(raw)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             try {
               if (delta.isEmpty) {
@@ -906,12 +981,20 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       val stream =
         if (incremental) resolveStreamRoot(source).filter(_._1.exists) else None
       stream match {
-        case Some((root, g)) =>
+        case Some((root, g, _)) =>
           val last = t.lastTxnVersion(appId).getOrElse(-1L)
           val cur = root.currentVersion
           if (cur > last) {
-            val (out, rows) = observe(
-              gate(name, fn(g(feedDelta(root, last + 1, cur)))))
+            // bootstrap from the pinned snapshot; later windows must be
+            // append-only (an updated source row can't be re-appended)
+            val delta =
+              if (last < 0) g(root.readVersion(cur))
+              else {
+                requireAppendOnlyWindow(root, last + 1, cur,
+                  s"streaming-select table $name")
+                g(feedDelta(root, last + 1, cur))
+              }
+            val (out, rows) = observe(gate(name, fn(delta)))
             if (!t.exists) createTarget(name, out.schema)
             if (t.appendIdempotent(appId, cur, out))
               events += (("flow_progress", name, rows(),
@@ -921,7 +1004,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
             s"select-table from $source (incremental up-to-date)"))
         case None =>
           resolveStreamRoot(source).filter(_._1.exists) match {
-            case Some((root, g)) =>
+            case Some((root, g, _)) =>
               // recompute PINNED at an exact source version: reading the
               // live snapshot and probing currentVersion separately would
               // race a concurrent source commit — stamping a version the
@@ -948,9 +1031,14 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       val root = inputs.get(source).orElse(tables.get(source)).getOrElse(
         sys.error(s"incremental agg MV $name: source $source is not a " +
           "table-backed dataset (inputTable or streamingTable)"))
-      val n = runAggMvFromChangeFeed(name, root, groupBy, sums,
-        flowId = s"graft.aggmv.$name", mins = mins, maxs = maxs)
-      events += (("flow_progress", name, n, s"incremental agg mv from $source"))
+      // a not-yet-materialized source is an empty input, not a crash —
+      // the MV bootstraps on the first run that finds data
+      if (root.exists) {
+        val n = runAggMvFromChangeFeed(name, root, groupBy, sums,
+          flowId = s"graft.aggmv.$name", mins = mins, maxs = maxs)
+        events += (("flow_progress", name, n, s"incremental agg mv from $source"))
+      } else events += (("flow_progress", name, 0L,
+        s"incremental agg mv from $source (source not materialized)"))
     }
     // materialized views refresh AFTER the flows (a gold MV over a silver
     // streaming table must see this run's merged state), in declaration

@@ -466,6 +466,107 @@ class PipelineSpec extends SparkSpec {
     assert(mv == Seq(("a", 4.0, 3L), ("b", 6.0, 2L), ("c", 7.0, 1L)))
   }
 
+  test("incremental-path safety: non-CDF merge-maintained sources fall " +
+      "back to snapshot; vacuumed early history can't wedge a bootstrap; " +
+      "an unmaterialized agg-MV source is an empty input, not a crash") {
+    import graft.lake.LakeTable
+    val root = tmpDir("pl_safety")
+
+    // 1. a declared table WITHOUT enableChangeFeed, maintained by a merge
+    //    flow, feeding a downstream flow: runIncremental must fall back to
+    //    snapshot semantics instead of erroring on an unreadable feed
+    val bronze = LakeTable(spark, s"$root/bronze")
+    bronze.append(Seq((1L, "a", ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("bronze", bronze)
+    p.streamingTable("silver") // NO change feed
+    p.autoCdcFlow("silver", "bronze", Seq("k"), "seq")
+    p.streamingTable("gold")
+    p.autoCdcFlow("gold", "silver", Seq("k"), "seq")
+    p.runIncremental()
+    bronze.append(Seq((1L, "a2", ts("2024-02-01 00:00:00"))).toDF("k", "v", "seq"))
+    p.runIncremental() // silver merges (no CDF) — gold re-reads the snapshot
+    assert(p.read("gold").as[(Long, String, Timestamp)].collect().toSeq ==
+      Seq((1L, "a2", ts("2024-02-01 00:00:00"))))
+
+    // 2. bootstrap reads the PINNED SNAPSHOT, not the feed from v0 — a
+    //    bronze whose early history was compacted away can still seed a
+    //    brand-new incremental pipeline
+    val b2 = LakeTable(spark, s"$root/bronze2")
+    b2.append(Seq((1L, "x", ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq"))
+    b2.append(Seq((2L, "y", ts("2024-01-02 00:00:00"))).toDF("k", "v", "seq"))
+    b2.optimizeCompact()
+    b2.vacuum(keepVersions = 1) // original append dirs gone
+    intercept[Exception](b2.readChangeFeed(0L).count()) // the feed IS dead
+    val p2 = new Pipeline(spark, s"$root/pipe2")
+    p2.inputTable("bronze2", b2)
+    p2.streamingTable("silver2")
+    p2.autoCdcFlow("silver2", "bronze2", Seq("k"), "seq")
+    p2.runIncremental() // snapshot bootstrap — no feed replay
+    assert(p2.read("silver2").count() == 2)
+    b2.append(Seq((3L, "z", ts("2024-01-03 00:00:00"))).toDF("k", "v", "seq"))
+    p2.runIncremental() // and the feed takes over from the bootstrap point
+    assert(p2.read("silver2").count() == 3)
+
+    // 3. an agg MV over a not-yet-materialized source skips quietly and
+    //    bootstraps on the first run that finds data
+    val empty = LakeTable(spark, s"$root/empty_src")
+    val p3 = new Pipeline(spark, s"$root/pipe3")
+    p3.inputTable("sales", empty)
+    p3.incrementalAggMv("mv", "sales", Seq("g"), Seq("v"))
+    p3.run() // no crash
+    assert(!p3.table("mv").exists)
+    empty.append(Seq(("a", 2.0)).toDF("g", "v"))
+    p3.run()
+    assert(p3.read("mv").select("cnt").as[Long].head() == 1L)
+  }
+
+  test("equal-sequence images across commits resolve by COMMIT RECENCY on " +
+      "direct chains: the downstream flow agrees with the source's own " +
+      "current value") {
+    import graft.lake.LakeTable
+    val root = tmpDir("pl_seqtie")
+    val silver = LakeTable(spark, s"$root/silver")
+    silver.create(Seq((1L, "a", ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq").schema,
+      enableChangeFeed = true)
+    silver.append(Seq((1L, "zzz", ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq"))
+    // an equal-seq CORRECTION lands via the source's own >= guard: silver's
+    // current value is now "aaa" — even though "zzz" sorts HIGHER on the
+    // value tiebreak a naive window dedup would use
+    silver.merge(Seq((1L, "aaa", ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq"),
+      Seq("k"), Some("s.seq >= t.seq"))
+    assert(silver.read.select("v").as[String].head() == "aaa")
+
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("silver", silver)
+    p.streamingTable("gold")
+    p.autoCdcFlow("gold", "silver", Seq("k"), "seq")
+    // force the window path (bootstrap would read the snapshot and dodge
+    // the question): consume v0 first, then the two-image window
+    p.table("gold").create(silver.schema)
+    p.table("gold").recordTxn("graft.flow.gold", 0L)
+    p.runIncremental() // window v1..v2: insert(zzz) + update_postimage(aaa)
+    assert(p.read("gold").select("v").as[String].head() == "aaa")
+  }
+
+  test("append-only consumers refuse update/delete windows loudly: an " +
+      "updated source row cannot be silently re-appended") {
+    import graft.lake.LakeTable
+    val root = tmpDir("pl_appendonly")
+    val src = LakeTable(spark, s"$root/src")
+    src.create(Seq((1L, "a")).toDF("k", "v").schema, enableChangeFeed = true)
+    src.append(Seq((1L, "a")).toDF("k", "v"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("src", src)
+    p.streamingTable("feed")
+    p.appendFlowStream("feed", "src", name = "live")()
+    p.runIncremental() // bootstrap
+    assert(p.read("feed").count() == 1)
+    src.merge(Seq((1L, "a2")).toDF("k", "v"), Seq("k")) // UPDATE image
+    val e = intercept[IllegalArgumentException] { p.runIncremental() }
+    assert(e.getMessage.contains("append-only"))
+  }
+
   test("runContinuous: the always-on updater applies new source commits " +
       "within a poll interval, resumes across restarts, and surfaces a " +
       "cycle failure on stop()") {
