@@ -907,6 +907,55 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema))
   }
 
+  /** Whether the change feed can serve versions `[fromVersion, toVersion]`
+   *  — false when the window contains a full-rewrite commit (`overwrite` /
+   *  `truncate`: no row-level delta exists) or a row-mutating commit with
+   *  no recorded images (merge/replace without CDF). A manifest-only probe,
+   *  O(window) tiny metadata reads, no data touched. Incremental consumers
+   *  use it to FALL BACK (re-bootstrap from the current snapshot, or
+   *  snapshot-refresh) instead of failing every subsequent run when an
+   *  upstream table was refreshed by full rewrite — without it, a ledger
+   *  window spanning the rewrite wedges the consumer permanently. */
+  def feedReadable(fromVersion: Long, toVersion: Long): Boolean = {
+    require(exists, s"LakeTable at $root does not exist")
+    fromVersion >= 0 && toVersion <= currentVersion &&
+      (fromVersion to toVersion).forall { v =>
+        val mv = readManifest(v)
+        mv.op match {
+          case "create" | "constraint" | "index" | "alter" | "rename" |
+               "properties" | "optimize" | "compact" | "append" | "convert" =>
+            true
+          case "merge" | "delete" | "update" | "replace" =>
+            // mirror readChangeFeed: images recorded, or a CDF-on
+            // delete/update that matched zero rows (legal empty part)
+            mv.cdfDir.isDefined ||
+              (mv.cdfEnabled && (mv.op == "delete" || mv.op == "update"))
+          case _ => false // overwrite and any other full-rewrite op
+        }
+      }
+  }
+
+  /** Whether every commit in `[fromVersion, toVersion]` is STRUCTURALLY
+   *  append-only (append/convert plus metadata-only and rowset-preserving
+   *  maintenance commits): such a window's change feed carries ONLY insert
+   *  images, so an append-only consumer can skip the update/delete data
+   *  probe entirely — a manifest-only check, zero data scanned. The common
+   *  100 TB shape (bronze ingest windows) takes this fast path every run;
+   *  only windows containing row-mutating commits (merge/delete/update/
+   *  replace — which MAY still be all-insert) need a data-level probe. */
+  def appendOnlyOps(fromVersion: Long, toVersion: Long): Boolean = {
+    require(exists, s"LakeTable at $root does not exist")
+    fromVersion >= 0 && toVersion <= currentVersion &&
+      (fromVersion to toVersion).forall { v =>
+        readManifest(v).op match {
+          case "create" | "constraint" | "index" | "alter" | "rename" |
+               "properties" | "optimize" | "compact" | "append" | "convert" =>
+            true
+          case _ => false
+        }
+      }
+  }
+
   /** Partition-pruned read of only the given partition values. */
   def readPartitions(values: Seq[String]): DataFrame =
     readScoped(manifest, Some(values.toSet))

@@ -1089,6 +1089,62 @@ object CoreQueries {
         WHERE value IS NOT NULL AND event_type = 'click'
         ORDER BY event_id""")),
 
+    // O17 INCREMENTAL BUSINESS JOIN — the reference's `business_silver`
+    // (`dlt_bronze_to_silver_pipeline.py:125-133`) as a DECLARED graph
+    // node in O(new fact rows): bronze → per-row clean → CDF-enabled
+    // silver CDC target → `streamingJoinTable` enriching ONLY the silver
+    // delta against a current dim snapshot and latest-wins merging. Two
+    // arrivals, two incremental runs — the second enriches just the
+    // second window's change images, never re-reading silver. The oracle
+    // recomputes the enriched latest-per-user panel over ALL events:
+    // equality proves the incremental windows compose to the full join.
+    Q("o17_incremental_business_join", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+        .select("user_id", "event_type", "value", "ts", "event_id")
+      val r = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val cut = new Timestamp(
+        (r.getTimestamp(0).getTime + r.getTimestamp(1).getTime) / 2)
+      val root = tmp("graft_o17")
+      val bronze = LakeTable(s, s"$root/bronze")
+      bronze.append(ev.filter(col("ts") <= lit(cut)))       // arrival 1
+      val p = new Pipeline(s, s"$root/pipe")
+      p.inputTable("bronze", bronze)
+      p.streamingView("clean", "bronze")(df => df.filter(col("value").isNotNull))
+      p.streamingTable("silver", enableChangeFeed = true)
+      p.autoCdcFlow("silver", "clean", Seq("user_id"), "ts",
+        tiebreak = Seq("event_id"))
+      // dim: a deterministic per-event-type lookup (broadcast-sized)
+      p.view("type_dim")(t(s, d, "events")
+        .filter(col("event_type").isNotNull)
+        .groupBy("event_type").agg(min(col("event_id")).as("type_min_id")))
+      p.streamingJoinTable("business", "silver",
+        Seq("user_id"), "ts", tiebreak = Seq("event_id"))(batch =>
+        batch.join(broadcast(p.read("type_dim")), Seq("event_type")))
+      p.runIncremental()                                    // full window
+      bronze.append(ev.filter(col("ts") > lit(cut)))        // arrival 2
+      p.runIncremental()                                    // delta only
+      p.read("business")
+        .select("user_id", "event_type", "value", "ts", "event_id", "type_min_id")
+        .orderBy("user_id")
+    },
+      Some("""WITH clean AS (
+          SELECT user_id, event_type, value, ts, event_id FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_type IS NOT NULL AND value IS NOT NULL
+        ), latest AS (
+          SELECT user_id, event_type, value, ts, event_id FROM clean
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) = 1
+        ), type_dim AS (
+          SELECT event_type, MIN(event_id) AS type_min_id FROM events
+          WHERE event_type IS NOT NULL GROUP BY event_type
+        )
+        SELECT l.user_id, l.event_type, l.value, l.ts, l.event_id, d.type_min_id
+        FROM latest l JOIN type_dim d USING (event_type)
+        ORDER BY l.user_id""")),
+
     // O15 TRUE STREAMING APPEND FLOW (SQL-declared) — where o10's live
     // flow re-lands its view every run (snapshot semantics), this one is
     // registered from `INSERT INTO … BY NAME SELECT … FROM STREAM(bronze)`

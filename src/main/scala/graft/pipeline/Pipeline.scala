@@ -236,6 +236,63 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
   private val selectTables =
     mutable.LinkedHashMap[String, (String, DataFrame => DataFrame)]()
 
+  /** The reference's `business_silver` join as a DECLARED GRAPH NODE
+   *  (`dlt_bronze_to_silver_pipeline.py:125-133` — the flagship gold join)
+   *  in O(new fact rows): a streaming table defined by a STREAM-STATIC
+   *  join, where `enrich` joins the fact source against CURRENT dim
+   *  snapshots (resolved through [[read]] — exactly how DLT pairs
+   *  `dlt.readStream` facts with `dlt.read` dims under trigger-once), the
+   *  result is deduped latest-per-key and latest-wins MERGED into the
+   *  target guarded by `s.seq >= t.seq`.
+   *
+   *  Under [[runIncremental]] only the fact rows committed since this
+   *  flow's last run are enriched — the per-flow ledger rides the target's
+   *  transaction log, committed ATOMICALLY with the merge — so the join MV
+   *  never re-reads the fact table: the last O(source) step of a medallion
+   *  refresh becomes O(delta). Under [[run]] the flow enriches the fact's
+   *  full current snapshot (pinned at an exact version and stamped, so the
+   *  two modes interleave without gaps or doubles). A fact window spanning
+   *  a full-rewrite commit re-pins at the current snapshot — sound because
+   *  the guarded merge is replay-idempotent. At 100 TB the dims stay
+   *  broadcast-joined inside `enrich` and the merge is partition-scoped
+   *  when the target is partitioned ([[streamingTable]]'s partitionBy
+   *  rationale). This is [[runJoinFlowStreaming]]'s semantics as a graph
+   *  node: declared once, executed by every run mode, event-logged.
+   *
+   *  Join tables refresh AFTER the CDC flows and streaming-select tables
+   *  each run (the enrichment must see this run's merged dim state) and
+   *  BEFORE the aggregate/recompute MVs (so a gold MV over the join target
+   *  sees this run's rows). */
+  def streamingJoinTable(name: String, source: String, keys: Seq[String],
+      sequenceBy: String, tiebreak: Seq[String] = Nil,
+      clusterBy: Seq[String] = Nil, partitionBy: Option[String] = None,
+      enableChangeFeed: Boolean = false)(
+      enrich: DataFrame => DataFrame): LakeTable = {
+    require(keys.nonEmpty, "streaming join table needs merge keys")
+    val t = LakeTable(spark, s"$storageRoot/$name")
+    tables(name) = t
+    // a CDF-enabled join table records row images on its merges, so a
+    // further incremental consumer (a gold agg MV) streams from it too
+    if (enableChangeFeed) cdfTables += name
+    views(name) = () => if (t.exists) t.read
+      else {
+        val e = enrich(read(source))
+        val tb = if (tiebreak.nonEmpty) tiebreak
+          else e.columns.toSeq.filterNot(c => keys.contains(c) || c == sequenceBy)
+        GoldBuilder(spark).latestPerKey(e, keys, sequenceBy, tb)
+      }
+    joinTables(name) = Pipeline.JoinTable(source, keys, sequenceBy, tiebreak, enrich)
+    if (clusterBy.nonEmpty) pendingClusterBy(name) = clusterBy
+    partitionBy.foreach { pc =>
+      require(clusterBy.isEmpty,
+        "partitionBy and clusterBy are exclusive layouts (Delta's rule)")
+      partitionedTables(name) = pc
+    }
+    t
+  }
+
+  private val joinTables = mutable.LinkedHashMap[String, Pipeline.JoinTable]()
+
   /** O1 `dlt.create_auto_cdc_flow(target, source, keys, sequence_by,
    *  stored_as_scd_type)`. `scdType = 1` (the reference's setting) keeps one
    *  latest-wins row per key; `scdType = 2` keeps full history with
@@ -508,28 +565,52 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
    * targets within one poll interval, no orchestrator involved. Each
    * cycle is the same crash-safe incremental update (per-flow ledgers on
    * the targets), so killing the process and restarting continuous mode
-   * resumes exactly where it stopped. A cycle failure (e.g. a FAIL
-   * expectation) stops the loop and surfaces on [[stop]] — DLT likewise
-   * fails the continuous update rather than retrying bad data forever.
+   * resumes exactly where it stopped.
+   *
+   * Failure policy (DLT's production-mode semantics): a TRANSIENT cycle
+   * failure — a lost commit race surfacing as
+   * [[graft.lake.ConcurrentWriteException]] from an external writer on a
+   * shared table — is retried up to `maxRetries` consecutive times with
+   * exponential backoff (1×, 2×, 4×… the poll interval) before failing
+   * the update; a successful cycle resets the budget. Every cycle is
+   * already crash-safe and replay-idempotent, so a retry can never
+   * double-apply. Anything else — a FAIL expectation, an analysis error,
+   * a broken declaration — stops the loop immediately and surfaces on
+   * [[Pipeline.ContinuousUpdate.stop]]: DLT likewise fails the update
+   * rather than retrying bad data forever.
    */
-  def runContinuous(pollMs: Long = 1000L): Pipeline.ContinuousUpdate = {
+  def runContinuous(pollMs: Long = 1000L,
+      maxRetries: Int = 3): Pipeline.ContinuousUpdate = {
     require(pollMs > 0, "pollMs must be positive")
+    require(maxRetries >= 0, "maxRetries must be non-negative")
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val failure = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
     val done = new java.util.concurrent.CountDownLatch(1)
     val runs = new java.util.concurrent.atomic.AtomicLong(0L)
+    // sleep in small slices so stop() returns promptly
+    def sleepSlices(ms: Long): Unit = {
+      var waited = 0L
+      while (!stop.get() && waited < ms) {
+        val slice = math.min(50L, ms - waited)
+        Thread.sleep(slice)
+        waited += slice
+      }
+    }
     val thread = new Thread(() => {
+      var retries = 0
       try {
         while (!stop.get()) {
-          runImpl(incremental = true, quietIdle = true)
-          runs.incrementAndGet()
-          // sleep in small slices so stop() returns promptly
-          var waited = 0L
-          while (!stop.get() && waited < pollMs) {
-            val slice = math.min(50L, pollMs - waited)
-            Thread.sleep(slice)
-            waited += slice
+          try {
+            runImpl(incremental = true, quietIdle = true)
+            runs.incrementAndGet()
+            retries = 0 // a clean cycle restores the retry budget
+          } catch {
+            case t: Throwable
+                if Pipeline.isRetriable(t) && retries < maxRetries =>
+              retries += 1
+              sleepSlices(pollMs * (1L << (retries - 1))) // backoff
           }
+          sleepSlices(pollMs)
         }
       } catch { case t: Throwable => failure.set(t) }
       finally done.countDown()
@@ -555,38 +636,93 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     else base.drop(graft.lake.LakeTable.CommitVersionCol)
   }
 
-  /** Loud DLT-style restriction for APPEND-ONLY consumers (append flows,
-   *  streaming-select tables): the window must carry no update/delete
-   *  images — an updated source row cannot be "appended again" without
-   *  silently duplicating (DLT fails a streaming read over changes the
-   *  same way). */
-  private def requireAppendOnlyWindow(root: LakeTable, from: Long, to: Long,
-      consumer: String): Unit = {
-    val nonInsert = root.readChangeFeed(from, Some(to))
+  /** The upsert delta of `root` over [from, to] with equal-(key, sequence)
+   *  images COLLAPSED BY COMMIT RECENCY at source grain: a merge-maintained
+   *  source rewriting the same key at the same sequence twice in one window
+   *  resolves to its newest image — the source's own current value, which
+   *  also matches the cross-window `>=` merge guard (an equal-seq late
+   *  arrival replaces). The collapse runs BEFORE any downstream per-row
+   *  transform, so the transform sees only the surviving image — exactly
+   *  what a full refresh reads. Within-commit ties keep the declared
+   *  tiebreak (run()'s resolution). When the key/sequence columns don't
+   *  exist at source grain (a transformed chain that renames them), the
+   *  raw delta is returned and the flow's declared tiebreak resolves —
+   *  documented restriction (COVERAGE.md). */
+  private def collapsedDelta(root: LakeTable, from: Long, to: Long,
+      keys: Seq[String], seqCols: Seq[String], declaredTiebreak: Seq[String],
+      gb: GoldBuilder): DataFrame = {
+    val fd = feedDelta(root, from, to, keepCommitVersion = true)
+    if ((keys ++ seqCols).forall(fd.columns.contains)) {
+      val declaredTb = declaredTiebreak.filter(fd.columns.contains)
+      val valueTb =
+        if (declaredTb.nonEmpty) declaredTb
+        else fd.columns.toSeq.filterNot(c => keys.contains(c) ||
+          seqCols.contains(c) || c == graft.lake.LakeTable.CommitVersionCol)
+      gb.latestPerKey(fd, keys ++ seqCols,
+        graft.lake.LakeTable.CommitVersionCol, valueTb)
+        .drop(graft.lake.LakeTable.CommitVersionCol)
+    } else fd.drop(graft.lake.LakeTable.CommitVersionCol)
+  }
+
+  /** ONE change-feed scan for an APPEND-ONLY consumer (append flows,
+   *  streaming-select tables), enforcing the DLT-style restriction that
+   *  the window carries no update/delete images — an updated source row
+   *  cannot be "appended again" without silently duplicating (DLT fails a
+   *  streaming read over changes the same way). A window of structurally
+   *  append-only commits skips the probe entirely (manifest-only check);
+   *  a window containing row-mutating commits is PINNED so the guard and
+   *  the consumer's own append are derived from the same cached pass over
+   *  the change dirs (not two scans — at 100 TB a day's commit window is
+   *  large). Returns the insert-only delta plus an unpersist handle the
+   *  caller invokes AFTER its write. */
+  private def appendOnlyWindow(root: LakeTable, from: Long, to: Long,
+      consumer: String): (DataFrame, () => Unit) = {
+    // FAST PATH (the 100 TB shape — bronze ingest windows): every commit in
+    // the window is structurally append-only, so the feed carries only
+    // insert images BY CONSTRUCTION — no data probe, no pin, one scan total
+    if (root.appendOnlyOps(from, to))
+      return (feedDelta(root, from, to), () => ())
+    require(root.feedReadable(from, to),
+      s"$consumer consumes an append-only stream, but versions " +
+        s"[$from, $to] of its source span a full-rewrite commit — an " +
+        "append-only consumer cannot replay a rewritten source without " +
+        "duplicating (full-refresh this pipeline, or keep the source " +
+        "append-only)")
+    val win = root.readChangeFeed(from, Some(to))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nonInsert = win
       .filter(!org.apache.spark.sql.functions
         .col(graft.lake.LakeTable.ChangeTypeCol).isin("insert"))
       .limit(1).count()
-    require(nonInsert == 0L,
-      s"$consumer consumes an append-only stream, but versions " +
-        s"[$from, $to] of its source carry update/delete images — " +
-        "append-only consumers cannot re-land changed rows (use a CDC " +
-        "flow, or keep the source append-only)")
+    if (nonInsert != 0L) {
+      win.unpersist()
+      throw new IllegalArgumentException(
+        s"$consumer consumes an append-only stream, but versions " +
+          s"[$from, $to] of its source carry update/delete images — " +
+          "append-only consumers cannot re-land changed rows (use a CDC " +
+          "flow, or keep the source append-only)")
+    }
+    (win.drop(graft.lake.LakeTable.ChangeTypeCol,
+        graft.lake.LakeTable.CommitTimestampCol,
+        graft.lake.LakeTable.CommitVersionCol),
+      () => { win.unpersist(); () })
   }
 
   /** Longest `streamingView` chain from `name` down to a FEED-READABLE
    *  root table, composing the per-row transforms along the way. Returns
-   *  (root, composed transform, direct) — `direct` marks an identity
-   *  chain (no transform between the feed and the flow), which is when
-   *  equal-sequence images can be collapsed by commit recency at the
-   *  source grain. Declared streaming tables qualify only when their
-   *  change feed records row-level images (`enableChangeFeed`) — a
-   *  merge-maintained table without CDF falls back to snapshot semantics
-   *  instead of erroring mid-run; [[inputTable]] roots are the append-only
-   *  bronze contract (their appends derive feed inserts for free). */
+   *  (root, composed transform). Declared streaming tables qualify only
+   *  when their change feed records row-level images (`enableChangeFeed`)
+   *  — a merge-maintained table without CDF falls back to snapshot
+   *  semantics instead of erroring mid-run; [[inputTable]] roots are the
+   *  append-only bronze contract (their appends derive feed inserts for
+   *  free). A select-table root refreshed in SNAPSHOT mode commits a full
+   *  rewrite — consumers probe [[graft.lake.LakeTable.feedReadable]] per
+   *  window and fall back (re-pin / snapshot-refresh / re-bootstrap)
+   *  instead of wedging. */
   private def resolveStreamRoot(name: String, depth: Int = 0)
-      : Option[(LakeTable, DataFrame => DataFrame, Boolean)] =
+      : Option[(LakeTable, DataFrame => DataFrame)] =
     if (depth > 16) None
-    else inputs.get(name).map(t => (t, identity[DataFrame] _, true))
+    else inputs.get(name).map(t => (t, identity[DataFrame] _))
       .orElse(tables.get(name)
         // an MV recomputes fully each run — its feed carries whole-table
         // replace images, not row deltas; treat it as a snapshot source.
@@ -596,14 +732,14 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         .filter(t => cdfTables.contains(name) ||
           (t.exists && t.tableProperties.contains(
             graft.lake.LakeTable.ChangeFeedProp)))
-        .map(t => (t, identity[DataFrame] _, true)))
+        .map(t => (t, identity[DataFrame] _)))
       .orElse(tables.get(name).filter(_ => selectTables.contains(name))
         // a streaming-select table is APPEND-ONLY by construction — its
         // feed serves inserts without CDF
-        .map(t => (t, identity[DataFrame] _, true)))
+        .map(t => (t, identity[DataFrame] _)))
       .orElse(streamingViews.get(name).flatMap { case (src, fn) =>
-        resolveStreamRoot(src, depth + 1).map { case (t, g, _) =>
-          (t, g.andThen(fn), false)
+        resolveStreamRoot(src, depth + 1).map { case (t, g) =>
+          (t, g.andThen(fn))
         }
       })
 
@@ -621,9 +757,21 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     // write action — no extra pass over any batch (DLT's flow_progress
     // num_output_rows discipline)
     def observe(df: DataFrame): (DataFrame, () => Long) = Pipeline.observeRows(df)
-    // append flows drain FIRST (declaration order): a CDC flow reading an
-    // append-fed table sees this run's rows. `once = true` flows drain only
-    // on this instance's first run (DLT's one-time backfill).
+    // select tables rooted at EXTERNAL input tables refresh before the
+    // flows: a CDC/append flow sourcing a cleaning-layer select table
+    // (bronze → clean → silver, the medallion shape) must see THIS run's
+    // cleaned rows, not last run's. Select tables rooted at declared
+    // tables still refresh in runTail, after the flows that maintain
+    // their sources.
+    val earlySelects = selectTables.collect {
+      case (name, (source, fn)) if rootsAtInput(source) =>
+        refreshSelectTable(name, source, fn, incremental, events)
+        name
+    }.toSet
+    // append flows drain FIRST among the flows (declaration order): a CDC
+    // flow reading an append-fed table sees this run's rows. `once = true`
+    // flows drain only on this instance's first run (DLT's one-time
+    // backfill).
     appendFlows.foreach { af =>
       if (!(af.once && onceFlowsDone.contains(af.name))) {
         import org.apache.spark.sql.functions.{col => fnCol, lit => fnLit}
@@ -646,7 +794,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         }
         val streamRoot =
           if (incremental) af.stream.flatMap { case (src, fn) =>
-            resolveStreamRoot(src).map { case (root, g, _) =>
+            resolveStreamRoot(src).map { case (root, g) =>
               (root, g.andThen(fn)) }
           } else None
         streamRoot match {
@@ -662,17 +810,16 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
               // bootstrap = the current snapshot pinned at cur (vacuumed
               // early history can't wedge a first run); later windows must
               // be APPEND-ONLY — re-landing an updated row would duplicate
-              val delta =
-                if (last < 0) fn(root.readVersion(cur))
-                else {
-                  requireAppendOnlyWindow(root, last + 1, cur,
-                    s"append flow ${af.name}")
-                  fn(feedDelta(root, last + 1, cur))
-                }
-              val (aligned, rows) = align(gate(af.target, delta))
-              if (t.appendIdempotent(appId, cur, aligned))
-                events += (("flow_progress", af.name, rows(),
-                  s"append into ${af.target} (incremental v${last + 1}..v$cur)"))
+              val (raw, done) =
+                if (last < 0) (root.readVersion(cur), () => ())
+                else appendOnlyWindow(root, last + 1, cur,
+                  s"append flow ${af.name}")
+              try {
+                val (aligned, rows) = align(gate(af.target, fn(raw)))
+                if (t.appendIdempotent(appId, cur, aligned))
+                  events += (("flow_progress", af.name, rows(),
+                    s"append into ${af.target} (incremental v${last + 1}..v$cur)"))
+              } finally done()
             } else events += (("flow_progress", af.name, 0L,
               s"append into ${af.target} (incremental up-to-date)"))
           case _ =>
@@ -684,18 +831,25 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
             // concurrent source commits.
             val rootSnap = af.stream.flatMap { case (src, fn2) =>
               resolveStreamRoot(src).filter(_._1.exists)
-                .map { case (root, g, _) => (root, g.andThen(fn2)) }
+                .map { case (root, g) => (root, g.andThen(fn2)) }
             }
             rootSnap match {
               case Some((root, fn2)) =>
                 val cur = root.currentVersion
                 val (aligned, rows) =
                   align(gate(af.target, fn2(root.readVersion(cur))))
-                t.append(aligned)
                 val appId = s"graft.appendflow.${af.name}"
+                // the ledger stamp rides the append COMMIT itself (the
+                // txn-carrying append): stamping in a separate commit
+                // leaves a crash window where the rows landed but the
+                // ledger lags, and the next incremental run re-appends the
+                // already-landed window as duplicates. When the ledger is
+                // already at/past `cur` (snapshot re-run at an unchanged
+                // source), the re-land is INTENTIONAL snapshot semantics —
+                // plain append, nothing to stamp.
                 if (t.lastTxnVersion(appId).forall(_ < cur)) {
-                  t.recordTxn(appId, cur); ()
-                }
+                  t.appendIdempotent(appId, cur, aligned); ()
+                } else t.append(aligned)
                 events += (("flow_progress", af.name, rows(),
                   s"append into ${af.target} (snapshot @ v$cur)" +
                     (if (af.once) " (once)" else "")))
@@ -738,7 +892,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     orderedFlows.foreach { f =>
       val stream = if (incremental) resolveStreamRoot(f.source) else None
       stream match {
-        case Some((src, fn, direct)) if src.exists =>
+        case Some((src, fn)) if src.exists =>
           import org.apache.spark.sql.functions.col
           val appId = s"graft.flow.${f.target}"
           val t = tables(f.target)
@@ -749,28 +903,17 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
             // `cur` (every live row is an upsert event) instead of
             // replaying the feed from v0 — immune to vacuumed early
             // history, and it never drags dead intermediate images of a
-            // merge-maintained source through the transforms
+            // merge-maintained source through the transforms. A window
+            // spanning a FULL-REWRITE commit (an upstream table refreshed
+            // in snapshot mode) also RE-PINS at cur instead of failing:
+            // the guarded latest-wins merge makes re-processing every
+            // current row a sound no-op-or-update, so the flow rides
+            // through instead of wedging permanently.
             val raw =
-              if (last < 0) src.readVersion(cur)
-              else if (direct) {
-                // a merge-maintained source resolves equal-(key, sequence)
-                // images by COMMIT RECENCY — the newest image IS the
-                // source's current value, and this matches the cross-window
-                // `>=` merge guard (an equal-seq late arrival replaces).
-                // Collapse per (key, full seq tuple) on (commit version,
-                // then the flow's own deterministic tiebreak) before the
-                // apply — within-commit ties keep run()'s resolution.
-                val fd = feedDelta(src, last + 1, cur, keepCommitVersion = true)
-                val valueTb =
-                  if (f.tiebreak.nonEmpty) f.tiebreak
-                  else fd.columns.toSeq.filterNot(c => f.keys.contains(c) ||
-                    c == f.sequenceBy || f.sequenceAlso.contains(c) ||
-                    c == graft.lake.LakeTable.CommitVersionCol)
-                gb.latestPerKey(fd,
-                  f.keys ++ (f.sequenceBy +: f.sequenceAlso),
-                  graft.lake.LakeTable.CommitVersionCol, valueTb)
-                  .drop(graft.lake.LakeTable.CommitVersionCol)
-              } else feedDelta(src, last + 1, cur)
+              if (last < 0 || !src.feedReadable(last + 1, cur))
+                src.readVersion(cur)
+              else collapsedDelta(src, last + 1, cur, f.keys,
+                f.sequenceBy +: f.sequenceAlso, f.tiebreak, gb)
             // pinned: the emptiness probe, the gate counters, and the SCD
             // apply's own joins all consume the delta — one pass over the
             // change dirs instead of three
@@ -801,7 +944,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
             s"cdc from ${f.source} (scd${f.scdType})"))
       }
     }
-    runTail(events, incremental, quietIdle)
+    runTail(events, incremental, quietIdle, earlySelects)
   } finally {
     failPinned.foreach(_.unpersist())
     failPinned.clear()
@@ -964,47 +1107,69 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       }
   }
 
-  /** Post-flow stages shared by [[run]] and [[runIncremental]]: MV
-   *  refresh, pending CLUSTER BY stamps, expectation events, the event
-   *  log, and Fail-gate enforcement. */
-  private def runTail(
-      events: mutable.ArrayBuffer[(String, String, Long, String)],
-      incremental: Boolean, quietIdle: Boolean = false): Unit = {
-    def observe(df: DataFrame): (DataFrame, () => Long) = Pipeline.observeRows(df)
-    // streaming-select tables (ST AS SELECT over one STREAM source):
-    // incremental mode appends the select over the source's delta;
-    // snapshot mode recomputes, stamping the ledger at the source's
-    // current version so the two modes interleave without gaps or doubles
-    selectTables.foreach { case (name, (source, fn)) =>
+  /** Whether `name`'s stream chain roots at an EXTERNAL input table —
+   *  nothing inside this pipeline run writes it, so a dataset over it can
+   *  refresh FIRST (before the flows), letting a CDC/append flow source a
+   *  cleaning-layer select table and see THIS run's rows (the medallion
+   *  bronze → clean → silver shape). Datasets rooted at declared tables
+   *  (CDC targets, upstream select tables) refresh in [[runTail]] after
+   *  the flows, as before. */
+  private def rootsAtInput(source: String): Boolean =
+    resolveStreamRoot(source).exists { case (root, _) =>
+      inputs.valuesIterator.exists(_ eq root)
+    }
+
+  /** Refresh ONE streaming-select table (ST AS SELECT over one STREAM
+   *  source): incremental mode appends the select over the source's
+   *  delta; snapshot mode recomputes, stamping the ledger at the source's
+   *  current version so the two modes interleave without gaps or doubles. */
+  private def refreshSelectTable(name: String, source: String,
+      fn: DataFrame => DataFrame, incremental: Boolean,
+      events: mutable.ArrayBuffer[(String, String, Long, String)]): Unit = {
+      def observe(df: DataFrame): (DataFrame, () => Long) = Pipeline.observeRows(df)
       val t = tables(name)
       val appId = s"graft.sttable.$name"
       val stream =
         if (incremental) resolveStreamRoot(source).filter(_._1.exists) else None
       stream match {
-        case Some((root, g, _)) =>
+        case Some((root, g)) =>
           val last = t.lastTxnVersion(appId).getOrElse(-1L)
           val cur = root.currentVersion
-          if (cur > last) {
+          if (cur > last && last >= 0 && !root.feedReadable(last + 1, cur)) {
+            // the source was refreshed by FULL REWRITE inside this window
+            // (e.g. an upstream select table run in snapshot mode) — its
+            // feed cannot serve the delta. Fall back to this table's own
+            // snapshot refresh (recompute pinned at cur, ledger stamped on
+            // the overwrite) instead of failing every subsequent run: the
+            // two execution modes interleave freely, so the fallback IS
+            // the documented snapshot shape, and the next incremental run
+            // resumes from cur.
+            val (df, rows) = observe(gate(name, fn(g(root.readVersion(cur)))))
+            if (!t.exists) createTarget(name, df.schema)
+            t.overwrite(df, txn = Some(appId -> cur))
+            events += (("flow_progress", name, rows(),
+              s"select-table refresh (recompute @ v$cur — source window " +
+                s"v${last + 1}..v$cur spans a full rewrite)"))
+          } else if (cur > last) {
             // bootstrap from the pinned snapshot; later windows must be
             // append-only (an updated source row can't be re-appended)
-            val delta =
-              if (last < 0) g(root.readVersion(cur))
-              else {
-                requireAppendOnlyWindow(root, last + 1, cur,
-                  s"streaming-select table $name")
-                g(feedDelta(root, last + 1, cur))
-              }
-            val (out, rows) = observe(gate(name, fn(delta)))
-            if (!t.exists) createTarget(name, out.schema)
-            if (t.appendIdempotent(appId, cur, out))
-              events += (("flow_progress", name, rows(),
-                s"select-table append from $source " +
-                  s"(incremental v${last + 1}..v$cur)"))
+            val (raw, done) =
+              if (last < 0) (root.readVersion(cur), () => ())
+              else appendOnlyWindow(root, last + 1, cur,
+                s"streaming-select table $name")
+            try {
+              val (out, rows) = observe(gate(name, fn(g(raw))))
+              if (!t.exists) createTarget(name, out.schema)
+              if (t.appendIdempotent(appId, cur, out))
+                events += (("flow_progress", name, rows(),
+                  s"select-table append from $source " +
+                    s"(incremental v${last + 1}..v$cur)"))
+            } finally done()
           } else events += (("flow_progress", name, 0L,
             s"select-table from $source (incremental up-to-date)"))
         case None =>
           resolveStreamRoot(source).filter(_._1.exists) match {
-            case Some((root, g, _)) =>
+            case Some((root, g)) =>
               // recompute PINNED at an exact source version: reading the
               // live snapshot and probing currentVersion separately would
               // race a concurrent source commit — stamping a version the
@@ -1022,6 +1187,97 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
               t.overwrite(df)
               events += (("flow_progress", name, rows(),
                 "select-table refresh (recompute)"))
+          }
+      }
+  }
+
+  /** Post-flow stages shared by [[run]] and [[runIncremental]]: MV
+   *  refresh, pending CLUSTER BY stamps, expectation events, the event
+   *  log, and Fail-gate enforcement. `refreshedEarly` names the select
+   *  tables [[runImpl]] already refreshed before the flows. */
+  private def runTail(
+      events: mutable.ArrayBuffer[(String, String, Long, String)],
+      incremental: Boolean, quietIdle: Boolean = false,
+      refreshedEarly: Set[String] = Set.empty): Unit = {
+    def observe(df: DataFrame): (DataFrame, () => Long) = Pipeline.observeRows(df)
+    // streaming-select tables not already refreshed before the flows
+    // (those rooted at declared tables — they must see this run's merges)
+    selectTables.foreach { case (name, (source, fn)) =>
+      if (!refreshedEarly.contains(name))
+        refreshSelectTable(name, source, fn, incremental, events)
+    }
+    // streaming join tables (the business_silver shape): enrich the fact
+    // delta — or, in snapshot mode, the fact's pinned full snapshot —
+    // against current dim snapshots, dedup latest-per-key, guarded merge.
+    // After the CDC flows (the enrichment sees this run's dim state),
+    // before the MVs (a gold MV over the join target sees this run's rows).
+    joinTables.foreach { case (name, jt) =>
+      val t = tables(name)
+      val appId = s"graft.jointable.$name"
+      val gb = GoldBuilder(spark)
+      def applyBatch(batch0: DataFrame, pinned: Option[Long], desc: String): Unit = {
+        val enriched = jt.enrich(batch0)
+        val (batch, rows) = observe(gate(name, enriched))
+        val tb = if (jt.tiebreak.nonEmpty) jt.tiebreak
+          else enriched.columns.toSeq.filterNot(c =>
+            jt.keys.contains(c) || c == jt.sequenceBy)
+        val latest = gb.latestPerKey(batch, jt.keys, jt.sequenceBy, tb)
+        if (!t.exists) createTarget(name, latest.schema)
+        t.merge(latest, jt.keys,
+          Some(s"s.${jt.sequenceBy} >= t.${jt.sequenceBy}"),
+          txn = pinned.map(v => appId -> v))
+        events += (("flow_progress", name, rows(), desc))
+      }
+      val stream =
+        if (incremental) resolveStreamRoot(jt.source).filter(_._1.exists)
+        else None
+      stream match {
+        case Some((root, g)) =>
+          val last = t.lastTxnVersion(appId).getOrElse(-1L)
+          val cur = root.currentVersion
+          if (cur > last) {
+            // bootstrap / full-rewrite windows re-pin at the current
+            // snapshot (guarded merge makes the replay idempotent);
+            // otherwise enrich ONLY the delta — O(new fact rows)
+            val raw =
+              if (last < 0 || !root.feedReadable(last + 1, cur))
+                root.readVersion(cur)
+              else collapsedDelta(root, last + 1, cur, jt.keys,
+                Seq(jt.sequenceBy), jt.tiebreak, gb)
+            val delta = g(raw)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              if (delta.isEmpty) {
+                if (t.exists) { t.recordTxn(appId, cur); () }
+                events += (("flow_progress", name, 0L,
+                  s"join-table from ${jt.source} (incremental " +
+                    s"v${last + 1}..v$cur empty)"))
+              } else applyBatch(delta, Some(cur),
+                s"join-table merge from ${jt.source} (incremental " +
+                  s"v${last + 1}..v$cur)")
+            } finally { delta.unpersist(); () }
+          } else events += (("flow_progress", name, 0L,
+            s"join-table from ${jt.source} (incremental up-to-date)"))
+        case None =>
+          // snapshot semantics: enrich the fact's FULL current contents,
+          // pinned at an exact version and stamped when the source roots
+          // at a table — the two modes interleave without gaps or doubles.
+          // A ledger already at/past the pin means the STAMP would be
+          // refused (txn-applied short-circuits the whole merge) — merge
+          // WITHOUT the txn instead: the snapshot re-enrich must still
+          // apply (current dim state refreshes the rows), and the guarded
+          // latest-wins merge makes the replay idempotent.
+          resolveStreamRoot(jt.source).filter(_._1.exists) match {
+            case Some((root, g)) =>
+              val cur = root.currentVersion
+              val stamp =
+                if (t.exists && t.lastTxnVersion(appId).exists(_ >= cur)) None
+                else Some(cur)
+              applyBatch(g(root.readVersion(cur)), stamp,
+                s"join-table merge from ${jt.source} (snapshot @ v$cur)")
+            case None =>
+              applyBatch(read(jt.source), None,
+                s"join-table merge from ${jt.source} (snapshot)")
           }
       }
     }
@@ -1278,6 +1534,25 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     val last = t.lastTxnVersion(appId).getOrElse(-1L)
     val cur = source.currentVersion
     if (cur <= last) return 0L
+    if (last >= 0 && !source.feedReadable(last + 1, cur)) {
+      // the window spans a full-rewrite source commit — RE-PIN at the
+      // current snapshot (every live row is an upsert; the guarded merge
+      // makes the replay a no-op-or-update) instead of wedging the flow
+      val gb = GoldBuilder(spark)
+      val snap = source.readVersion(cur)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val tb = if (tiebreak.nonEmpty) tiebreak
+          else snap.columns.toSeq.filterNot(c =>
+            keys.contains(c) || c == sequenceBy)
+        val perKey = gb.latestPerKey(snap, keys, sequenceBy, tb)
+        val processed = snap.count()
+        if (!t.exists) t.create(perKey.schema)
+        t.merge(perKey, keys, Some(s"s.$sequenceBy >= t.$sequenceBy"),
+          txn = Some(appId -> cur))
+        return processed
+      } finally snap.unpersist()
+    }
     // persisted: both the processed-count and the dedup+merge consume the
     // feed — one pass over the change dirs instead of two
     val feed = source.readChangeFeed(last + 1, Some(cur))
@@ -1349,8 +1624,12 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     val last = t.lastTxnVersion(appId).getOrElse(-1L)
     val cur = source.currentVersion
     if (cur <= last && t.exists) return 0L
-    if (!t.exists || last < 0) {
-      // bootstrap: one full-snapshot aggregation at version `cur`
+    if (!t.exists || last < 0 || !source.feedReadable(last + 1, cur)) {
+      // bootstrap: one full-snapshot aggregation at version `cur`. Also
+      // the fallback when the window spans a FULL-REWRITE source commit
+      // (the feed can't serve signed deltas across it): RE-bootstrapping
+      // replaces the MV with the recomputed panel — correct by definition
+      // and un-wedges the consumer — instead of failing every run.
       val snap = source.readVersion(cur)
       val aggs =
         sums.map(c => sum(col(c).cast(dec)).cast(dec).as(sumCol(c))) ++
@@ -1462,6 +1741,23 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
 }
 
 object Pipeline {
+  /** Whether a continuous-mode cycle failure is TRANSIENT (worth a bounded
+   *  retry): a lost optimistic-commit race against an external writer,
+   *  possibly wrapped by Spark's task/action machinery — walk the cause
+   *  chain, bounded against cycles. Everything else (FAIL expectations,
+   *  analysis errors, broken declarations) is deterministic: retrying
+   *  would fail identically. */
+  private def isRetriable(t: Throwable): Boolean = {
+    var cur = t
+    var depth = 0
+    while (cur != null && depth < 16) {
+      if (cur.isInstanceOf[graft.lake.ConcurrentWriteException]) return true
+      cur = cur.getCause
+      depth += 1
+    }
+    false
+  }
+
   /** Handle on a [[Pipeline.runContinuous]] updater. */
   final class ContinuousUpdate private[pipeline] (
       stopFlag: java.util.concurrent.atomic.AtomicBoolean,
@@ -1507,6 +1803,12 @@ object Pipeline {
     (observed, () => scala.util.Try(obs.get("rows").asInstanceOf[Long])
       .getOrElse(observed.count()))
   }
+
+  /** One registered streaming join table — see
+   *  [[Pipeline.streamingJoinTable]]. */
+  private final case class JoinTable(
+      source: String, keys: Seq[String], sequenceBy: String,
+      tiebreak: Seq[String], enrich: DataFrame => DataFrame)
 
   /** One registered `@dlt.append_flow` — see [[Pipeline.appendFlow]] /
    *  [[Pipeline.appendFlowStream]]. `stream` = (source dataset, per-row

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, NaturalJoin, RightOuter, UsingJoin}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project, SubqueryAlias}
 
 /**
@@ -244,7 +245,17 @@ object PipelineSql {
    *  SubqueryAlias nodes between it and the root — the shapes a per-batch
    *  delta substitution is sound for (a stream-static join of the delta
    *  is DLT's legal enrichment; an aggregate/sort/limit/union above the
-   *  stream is not per-batch-composable and falls back to snapshot). */
+   *  stream is not per-batch-composable and falls back to snapshot).
+   *
+   *  Joins additionally require the STREAM side to be the PRESERVED side
+   *  (Spark's own stream-static rule): inner joins qualify on either side;
+   *  LEFT OUTER / LEFT SEMI / LEFT ANTI only with the stream on the left;
+   *  RIGHT OUTER only with the stream on the right. A static-side-preserved
+   *  shape (`dims LEFT JOIN STREAM(src)`, RIGHT/FULL OUTER with the stream
+   *  preserved by the other side, CROSS) would re-emit unmatched STATIC
+   *  rows with NULL stream columns on EVERY incremental window — unbounded
+   *  phantom duplicates a full refresh could never produce — so it falls
+   *  back to snapshot semantics like every other stateful shape. */
   private def streamingAppendSource(p: Pipeline, select: String): Option[String] = {
     val plan = p.spark.sessionState.sqlParser.parsePlan(select)
     def isStreamRef(n: LogicalPlan): Boolean = n match {
@@ -261,10 +272,26 @@ object PipelineSql {
     if (mainRefs.size != 1 || allRefs.size != 1) return None
     def containsStream(n: LogicalPlan): Boolean =
       isStreamRef(n) || n.children.exists(containsStream)
+    // USING / NATURAL joins wrap the underlying join type — unwrap before
+    // classifying preservation
+    def baseType(t: JoinType): JoinType = t match {
+      case UsingJoin(tp, _) => tp
+      case NaturalJoin(tp) => tp
+      case other => other
+    }
+    def streamPreserved(j: Join): Boolean = baseType(j.joinType) match {
+      case Inner => true // delta ⋈ static distributes over window union
+      case LeftOuter | LeftSemi | LeftAnti => containsStream(j.left)
+      case RightOuter => containsStream(j.right)
+      case _ => false // Cross / FullOuter / AsOf: static side preserved
+    }
     def statelessAbove(n: LogicalPlan): Boolean =
       if (isStreamRef(n)) true
       else n match {
-        case _: Project | _: Filter | _: Join | _: SubqueryAlias =>
+        case j: Join =>
+          streamPreserved(j) &&
+            j.children.forall(c => !containsStream(c) || statelessAbove(c))
+        case _: Project | _: Filter | _: SubqueryAlias =>
           n.children.forall(c => !containsStream(c) || statelessAbove(c))
         case _ => !containsStream(n)
       }

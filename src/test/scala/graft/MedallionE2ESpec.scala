@@ -244,6 +244,13 @@ class MedallionE2ESpec extends SparkSpec {
     // gold: incrementally maintained aggregate over the SILVER change feed
     p.incrementalAggMv("gold_by_passenger", "bookings_silver",
       Seq("passenger_id"), Seq("amount"))
+    // business join as a DECLARED node: enriches ONLY the silver delta
+    // against the current passenger dim snapshot per run (O(new rows))
+    p.view("passengers")(Seq(("P001", "Ada"), ("P002", "Ben"))
+      .toDF("passenger_id", "name"))
+    p.streamingJoinTable("business_silver", "bookings_silver",
+      Seq("booking_id"), "modifiedDate")(batch =>
+      batch.join(p.read("passengers"), Seq("passenger_id")))
 
     p.runIncremental()
     def gold: Seq[(String, Double, Long)] = p.read("gold_by_passenger")
@@ -251,6 +258,10 @@ class MedallionE2ESpec extends SparkSpec {
       .orderBy("passenger_id").as[(String, Double, Long)].collect().toSeq
     assert(p.read("bookings_silver").count() == 2) // null key filtered
     assert(gold == Seq(("P001", 100.5, 1L), ("P002", 200.0, 1L)))
+    assert(p.read("business_silver").orderBy("booking_id")
+      .select("booking_id", "name", "amount")
+      .as[(String, String, Double)].collect().toSeq ==
+      Seq(("B0001", "Ada", 100.5), ("B0002", "Ben", 200.0)))
 
     // batch 2: ONE update (B0002 re-priced) + ONE insert (B0004)
     bronze.append(Seq(
@@ -261,22 +272,33 @@ class MedallionE2ESpec extends SparkSpec {
     // silver: latest-wins applied; gold: group deltas only
     assert(p.read("bookings_silver").count() == 3)
     assert(gold == Seq(("P001", 400.5, 2L), ("P002", 250.0, 1L)))
+    // business: run 2 enriched ONLY the changed bookings — B0002's update
+    // replaced its row (latest-wins), B0004 inserted enriched
+    assert(p.read("business_silver").orderBy("booking_id")
+      .select("booking_id", "name", "amount")
+      .as[(String, String, Double)].collect().toSeq ==
+      Seq(("B0001", "Ada", 100.5), ("B0002", "Ben", 250.0),
+        ("B0004", "Ada", 300.0)))
 
     // EVENT-LOG PROOF of O(new rows): run 2's silver flow processed exactly
-    // the 2 appended rows (not the 5-row bronze table), and the gold MV
+    // the 2 appended rows (not the 5-row bronze table), the gold MV
     // consumed exactly the 3 silver change images (1 insert + update
-    // pre/post), never rescanning silver
+    // pre/post), and the business join enriched exactly the 2 upsert
+    // images (insert + update postimage) — never rescanning silver
     def rowsOf(ds: String): Seq[Long] = p.eventLog
       .filter(col("event_type") === "flow_progress" && col("dataset") === ds)
       .orderBy("run_id").select("rows").as[Long].collect().toSeq
     assert(rowsOf("bookings_silver") == Seq(2L, 2L))
     assert(rowsOf("gold_by_passenger") == Seq(0L, 3L)) // bootstrap logs 0
+    assert(rowsOf("business_silver") == Seq(2L, 2L))
 
     // idle run: every layer up to date, nothing processed, no new versions
     val vs = p.table("bookings_silver").currentVersion
     val vg = p.table("gold_by_passenger").currentVersion
+    val vb = p.table("business_silver").currentVersion
     p.runIncremental()
     assert(p.table("bookings_silver").currentVersion == vs)
     assert(p.table("gold_by_passenger").currentVersion == vg)
+    assert(p.table("business_silver").currentVersion == vb)
   }
 }

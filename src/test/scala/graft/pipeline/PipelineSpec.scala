@@ -1445,6 +1445,190 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("APPEND-ONLY"))
   }
 
+  test("appendFlowStream snapshot fallback stamps its ledger ATOMICALLY " +
+      "with the append commit — no crash window, no duplicate on the next " +
+      "incremental run, and an unchanged-source re-run still re-lands") {
+    import graft.lake.LakeTable
+    val root = tmpDir("pl_atomicstamp")
+    val src = LakeTable(spark, s"$root/src")
+    src.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("src", src)
+    p.streamingTable("feed")
+    p.appendFlowStream("feed", "src", name = "live")()
+    p.run() // snapshot re-land path (pinned + stamped)
+    val t = p.table("feed")
+    assert(p.read("feed").count() == 2)
+    // ONE data commit carries both the rows and the ledger entry: target
+    // history is exactly create (v0) + stamped append (v1) — no separate
+    // properties commit a crash could separate from the landed rows
+    assert(t.currentVersion == 1L)
+    assert(t.lastTxnVersion("graft.appendflow.live").contains(src.currentVersion))
+    // the stamped ledger makes the next incremental run a no-op
+    p.runIncremental()
+    assert(p.read("feed").count() == 2)
+    // unchanged source, snapshot mode again: the documented re-land shape
+    p.run()
+    assert(p.read("feed").count() == 4)
+  }
+
+  test("equal-sequence images across commits resolve by COMMIT RECENCY " +
+      "even through a TRANSFORMING streamingView chain — the target agrees " +
+      "with the source's own current value") {
+    import graft.lake.LakeTable
+    val root = tmpDir("pl_recency")
+    val src = LakeTable(spark, s"$root/src")
+    src.create(Seq((1L, "seed", ts("2024-01-01 00:00:00")))
+      .toDF("k", "v", "seq").schema, enableChangeFeed = true)
+    src.append(Seq((1L, "seed", ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("src", src)
+    // NOT an identity chain: the per-row transform preserves the key and
+    // sequence columns, so the collapse still runs at source grain
+    p.streamingView("clean", "src")(df => df.filter(col("v").isNotNull))
+    p.streamingTable("silver")
+    p.autoCdcFlow("silver", "clean", Seq("k"), "seq")
+    p.runIncremental() // bootstrap
+    // one window, two commits rewriting k=1 at the SAME sequence: the
+    // value tiebreak (v desc) would keep "zzz" — commit recency must keep
+    // "aaa", the value the source itself currently holds
+    src.merge(Seq((1L, "zzz", ts("2024-02-01 00:00:00"))).toDF("k", "v", "seq"), Seq("k"))
+    src.merge(Seq((1L, "aaa", ts("2024-02-01 00:00:00"))).toDF("k", "v", "seq"), Seq("k"))
+    p.runIncremental()
+    assert(src.read.select("v").as[String].head() == "aaa")
+    assert(p.read("silver").select("v").as[String].head() == "aaa")
+  }
+
+  test("a snapshot-mode select-table refresh (full-rewrite commit) does " +
+      "not wedge downstream incremental consumers: CDC flows re-pin, " +
+      "chained select tables snapshot-refresh, agg MVs re-bootstrap") {
+    import graft.lake.LakeTable
+    val root = tmpDir("pl_rewrite")
+    val bronze = LakeTable(spark, s"$root/bronze")
+    bronze.append(Seq(
+      (1L, 10.0, ts("2024-01-01 00:00:00")),
+      (2L, 20.0, ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("bronze", bronze)
+    p.streamingSelectTable("clean", "bronze")(df => df.filter(col("v").isNotNull))
+    p.streamingSelectTable("clean2", "clean")(df => df.select("k", "v", "seq"))
+    p.streamingTable("silver", enableChangeFeed = true)
+    p.autoCdcFlow("silver", "clean", Seq("k"), "seq")
+    p.incrementalAggMv("gold", "silver", Seq("k"), Seq("v"))
+    p.runIncremental() // everything bootstraps
+    // SNAPSHOT run: `clean` refreshes by OVERWRITE — a full-rewrite commit
+    // lands inside every downstream consumer's next window
+    p.run()
+    bronze.append(Seq((3L, 30.0, ts("2024-02-01 00:00:00"))).toDF("k", "v", "seq"))
+    // without the fallbacks this run fails ("change feed unavailable
+    // across full-rewrite commit") and every later run fails the same way
+    p.runIncremental()
+    assert(p.read("silver").orderBy("k").select("k", "v")
+      .as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    assert(p.read("clean2").select("k").distinct().count() == 3)
+    assert(p.read("gold").orderBy("k").select($"k", $"sum_v".cast("double"))
+      .as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    // and the pipeline is UN-wedged: further incremental runs keep working
+    bronze.append(Seq((4L, 40.0, ts("2024-03-01 00:00:00"))).toDF("k", "v", "seq"))
+    p.runIncremental()
+    assert(p.read("silver").count() == 4)
+    assert(p.read("clean2").select("k").distinct().count() == 4)
+  }
+
+  test("runContinuous retries TRANSIENT failures (ConcurrentWriteException) " +
+      "with bounded backoff, fails the update when the budget exhausts, and " +
+      "still dies immediately on deterministic errors") {
+    import graft.lake.ConcurrentWriteException
+    val root = tmpDir("pl_retry")
+    // one-shot transient blip: first cycle loses a commit race, second wins
+    val blown = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.view("src") {
+      if (blown.compareAndSet(false, true))
+        throw new ConcurrentWriteException("injected transient blip")
+      Seq((1L, "a", ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq")
+    }
+    p.streamingTable("silver")
+    p.autoCdcFlow("silver", "src", Seq("k"), "seq")
+    val h = p.runContinuous(pollMs = 20L)
+    assert(h.awaitRuns(1, timeoutMs = 30000L)) // survived the blip
+    h.stop() // must NOT rethrow — the failure was retried away
+    assert(p.read("silver").count() == 1)
+
+    // persistent transient failure: the bounded budget exhausts and the
+    // loop fails the update (DLT does not retry forever)
+    val p2 = new Pipeline(spark, s"$root/pipe2")
+    p2.view("src2")(throw new ConcurrentWriteException("always racing"))
+    p2.streamingTable("t2")
+    p2.autoCdcFlow("t2", "src2", Seq("k"), "seq")
+    val h2 = p2.runContinuous(pollMs = 10L, maxRetries = 1)
+    assert(!h2.awaitRuns(1, timeoutMs = 10000L))
+    val e2 = intercept[ConcurrentWriteException](h2.stop())
+    assert(e2.getMessage.contains("always racing"))
+
+    // deterministic failure: no retry, immediate stop
+    val p3 = new Pipeline(spark, s"$root/pipe3")
+    p3.view("bad")(sys.error("deterministic failure"))
+    p3.streamingTable("t3")
+    p3.autoCdcFlow("t3", "bad", Seq("k"), "seq")
+    val h3 = p3.runContinuous(pollMs = 10L)
+    assert(!h3.awaitRuns(1, timeoutMs = 10000L))
+    val e3 = intercept[RuntimeException](h3.stop())
+    assert(e3.getMessage.contains("deterministic failure"))
+  }
+
+  test("streamingJoinTable: the business join as a DAG node — incremental " +
+      "runs enrich ONLY the fact delta against CURRENT dim snapshots and " +
+      "merge latest-wins; modes interleave without gaps or doubles") {
+    import graft.lake.LakeTable
+    val root = tmpDir("pl_jointbl")
+    val facts = LakeTable(spark, s"$root/facts")
+    facts.append(Seq((10L, 101L, 10.0, ts("2024-01-01 00:00:00")))
+      .toDF("booking_id", "flight_id", "amount", "seq"))
+    var airlines = Map(101L -> "AirOne", 102L -> "AirTwo")
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("bookings", facts)
+    p.view("flights")(airlines.toSeq.toDF("flight_id", "airline"))
+    p.streamingJoinTable("business", "bookings",
+      Seq("booking_id"), "seq")(batch =>
+      batch.join(p.read("flights"), Seq("flight_id")))
+    p.runIncremental() // bootstrap: 1 fact row enriched
+    assert(p.read("business").select("booking_id", "airline")
+      .as[(Long, String)].collect().toSeq == Seq((10L, "AirOne")))
+    val v1 = p.table("business").currentVersion
+    p.runIncremental() // idle: ledger up to date, NO commit
+    assert(p.table("business").currentVersion == v1)
+    // dim changes apply to NEW facts only (stream-static semantics): the
+    // already-landed booking keeps AirOne, the new one sees the rename
+    airlines = Map(101L -> "AirOneRenamed", 102L -> "AirTwo")
+    facts.append(Seq((11L, 101L, 20.0, ts("2024-02-01 00:00:00")))
+      .toDF("booking_id", "flight_id", "amount", "seq"))
+    p.runIncremental()
+    assert(p.read("business").orderBy("booking_id")
+      .select("booking_id", "airline").as[(Long, String)].collect().toSeq ==
+      Seq((10L, "AirOne"), (11L, "AirOneRenamed")))
+    // snapshot run interleaves: full re-enrich re-pins, merge keys dedup —
+    // the already-landed facts UPDATE (same keys), nothing duplicates
+    p.run()
+    assert(p.read("business").count() == 2)
+    assert(p.read("business").orderBy("booking_id")
+      .select("airline").as[String].collect().toSeq ==
+      Seq("AirOneRenamed", "AirOneRenamed"))
+    // and incremental execution resumes from the snapshot run's stamp
+    facts.append(Seq((12L, 102L, 5.0, ts("2024-03-01 00:00:00")))
+      .toDF("booking_id", "flight_id", "amount", "seq"))
+    p.runIncremental()
+    assert(p.read("business").count() == 3)
+    // event-log proof of O(new fact rows): bootstrap 1, idle 0, delta 1,
+    // snapshot 2 (full re-enrich), delta 1
+    assert(p.eventLog
+      .filter(col("event_type") === "flow_progress" && col("dataset") === "business")
+      .orderBy("run_id").select("rows").as[Long].collect().toSeq ==
+      Seq(1L, 0L, 1L, 2L, 1L))
+  }
+
   test("views resolve lazily and read() prefers materialized tables") {
     val p = new Pipeline(spark, tmpDir("pl_views"))
     var evaluated = false

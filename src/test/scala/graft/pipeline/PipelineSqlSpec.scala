@@ -328,6 +328,57 @@ class PipelineSqlSpec extends SparkSpec {
     assert(p.read("mv2").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("stream-side rule: a join preserving the STATIC side falls back to " +
+      "snapshot semantics — no phantom null-padded dim rows accumulate " +
+      "under incremental execution") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_joinside")
+    val bronze = LakeTable(spark, s"$root/bronze")
+    bronze.append(Seq((2L, "v2")).toDF("k", "v"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("src", bronze)
+    p.view("dims")(Seq((1L, "d1"), (2L, "d2")).toDF("k", "name"))
+    // LEFT JOIN with the stream on the NON-preserved side: a streaming
+    // registration would append the unmatched (1, d1, NULL) in window 1,
+    // then (1, d1, v1) in window 2 — phantom + duplicate rows a full
+    // refresh could never produce. Must register as snapshot (recompute).
+    PipelineSql(p, """CREATE OR REFRESH STREAMING TABLE joined AS
+      SELECT d.k, d.name, s.v FROM dims d LEFT JOIN STREAM(src) s ON d.k = s.k""")
+    p.runIncremental()
+    bronze.append(Seq((1L, "v1")).toDF("k", "v"))
+    p.runIncremental()
+    assert(p.read("joined").orderBy("k")
+      .as[(Long, String, Option[String])].collect().toSeq ==
+      Seq((1L, "d1", Some("v1")), (2L, "d2", Some("v2"))))
+  }
+
+  test("stream-preserved join stays TRUE streaming: STREAM(src) LEFT JOIN " +
+      "dims appends only the delta, exactly once, enriched against the " +
+      "current dim snapshot") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_joinok")
+    val bronze = LakeTable(spark, s"$root/bronze")
+    bronze.append(Seq((1L, 10.0)).toDF("k", "v"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("src", bronze)
+    p.view("dims")(Seq((1L, "d1"), (3L, "d3")).toDF("k", "name"))
+    PipelineSql(p, """CREATE OR REFRESH STREAMING TABLE enriched AS
+      SELECT s.k, s.v, d.name FROM STREAM(src) s LEFT JOIN dims d ON s.k = d.k""")
+    p.runIncremental() // bootstrap
+    p.runIncremental() // idle — a recompute fallback would re-land here
+    bronze.append(Seq((3L, 30.0)).toDF("k", "v"))
+    p.runIncremental() // delta only
+    assert(p.read("enriched").orderBy("k")
+      .as[(Long, Double, String)].collect().toSeq ==
+      Seq((1L, 10.0, "d1"), (3L, 30.0, "d3")))
+    // event-log proof: bootstrap landed 1 row, the idle run 0, run 3
+    // exactly the ONE new fact row (delta enrichment, not a recompute)
+    val rows = p.eventLog
+      .filter(col("event_type") === "flow_progress" && col("dataset") === "enriched")
+      .orderBy("run_id").select("rows").as[Long].collect().toSeq
+    assert(rows == Seq(1L, 0L, 1L))
+  }
+
   test("unsupported statements fail loudly") {
     val p = new Pipeline(spark, tmpDir("plsql_bad"))
     val e = intercept[IllegalArgumentException] {
