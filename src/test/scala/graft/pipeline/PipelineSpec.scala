@@ -1629,6 +1629,52 @@ class PipelineSpec extends SparkSpec {
       Seq(1L, 0L, 1L, 2L, 1L))
   }
 
+  test("a CDF-enabled streamingJoinTable chains onward: a gold agg MV " +
+      "streams from the join target in O(changed groups), and " +
+      "runFullRefresh rebuilds the whole chain from current contents") {
+    import graft.lake.LakeTable
+    val root = tmpDir("pl_joinchain")
+    val facts = LakeTable(spark, s"$root/facts")
+    facts.append(Seq(
+      (10L, 1L, 10.0, ts("2024-01-01 00:00:00")),
+      (11L, 2L, 20.0, ts("2024-01-01 00:00:00")))
+      .toDF("booking_id", "pax_id", "amount", "seq"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("bookings", facts)
+    p.view("pax")(Seq((1L, "Ada"), (2L, "Ben")).toDF("pax_id", "name"))
+    p.streamingJoinTable("business", "bookings", Seq("booking_id"), "seq",
+      enableChangeFeed = true)(b => b.join(p.read("pax"), Seq("pax_id")))
+    p.incrementalAggMv("gold", "business", Seq("name"), Seq("amount"))
+    p.runIncremental()
+    def gold: Seq[(String, Double, Long)] = p.read("gold")
+      .select($"name", $"sum_amount".cast("double"), $"cnt")
+      .orderBy("name").as[(String, Double, Long)].collect().toSeq
+    assert(gold == Seq(("Ada", 10.0, 1L), ("Ben", 20.0, 1L)))
+    // delta: one NEW booking + one re-priced one — the MV consumes the
+    // join target's change images (insert + update pre/post), O(changed)
+    facts.append(Seq(
+      (10L, 1L, 15.0, ts("2024-02-01 00:00:00")),
+      (12L, 1L, 30.0, ts("2024-02-01 00:00:00")))
+      .toDF("booking_id", "pax_id", "amount", "seq"))
+    p.runIncremental()
+    assert(gold == Seq(("Ada", 45.0, 2L), ("Ben", 20.0, 1L)))
+    // event-log: the MV's second refresh consumed exactly the 3 change
+    // images (1 insert + update pre/post), never rescanning the join table
+    assert(p.eventLog
+      .filter(col("event_type") === "flow_progress" && col("dataset") === "gold")
+      .orderBy("run_id").select("rows").as[Long].collect().toSeq == Seq(0L, 3L))
+    // FULL REFRESH rebuilds every layer from the sources' current contents
+    p.runFullRefresh()
+    assert(p.read("business").count() == 3)
+    assert(gold == Seq(("Ada", 45.0, 2L), ("Ben", 20.0, 1L)))
+    // and incremental execution keeps working after the refresh
+    facts.append(Seq((13L, 2L, 5.0, ts("2024-03-01 00:00:00")))
+      .toDF("booking_id", "pax_id", "amount", "seq"))
+    p.runIncremental()
+    assert(p.read("business").count() == 4)
+    assert(gold == Seq(("Ada", 45.0, 2L), ("Ben", 25.0, 2L)))
+  }
+
   test("views resolve lazily and read() prefers materialized tables") {
     val p = new Pipeline(spark, tmpDir("pl_views"))
     var evaluated = false
