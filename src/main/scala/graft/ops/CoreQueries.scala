@@ -1145,6 +1145,39 @@ object CoreQueries {
         FROM latest l JOIN type_dim d USING (event_type)
         ORDER BY l.user_id""")),
 
+    // O18 AUTO-MAINTAINED MATERIALIZED VIEW — Lakeflow's Enzyme behavior
+    // declared purely in SQL: `CREATE OR REFRESH MATERIALIZED VIEW …
+    // SELECT g, SUM(expr) AS a, COUNT(*) AS n FROM src WHERE … GROUP BY g`
+    // is PROVEN maintainable on the parsed plan and silently refreshed
+    // from the source's change feed — two arrivals, two runs, run 2
+    // processes only the appended half (signed deltas, one row per
+    // touched group through the shuffle). The oracle recomputes the
+    // panel directly over all events.
+    Q("o18_auto_incremental_mv", (s, d) => {
+      val ev = t(s, d, "events")
+        .select("event_id", "event_type", "value")
+      val root = tmp("graft_o18")
+      val bronze = LakeTable(s, s"$root/bronze")
+      bronze.append(ev.filter(col("event_id") % 2 === 0))
+      val p = new Pipeline(s, s"$root/pipe")
+      p.inputTable("bronze", bronze)
+      PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW panel AS
+        SELECT event_type, SUM(value * 2) AS twice, COUNT(*) AS n
+        FROM bronze WHERE value IS NOT NULL GROUP BY event_type""")
+      p.runIncremental()                                   // bootstrap
+      bronze.append(ev.filter(col("event_id") % 2 === 1))
+      p.runIncremental()                                   // delta only
+      p.read("panel")
+        .select(col("event_type"), col("twice").cast("double").as("twice"),
+          col("n"))
+        .orderBy("event_type")
+    },
+      Some("""SELECT event_type,
+               CAST(CAST(SUM(CAST(value * 2 AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS DOUBLE) AS twice,
+               COUNT(*) AS n
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
+
     // O15 TRUE STREAMING APPEND FLOW (SQL-declared) — where o10's live
     // flow re-lands its view every run (snapshot semantics), this one is
     // registered from `INSERT INTO … BY NAME SELECT … FROM STREAM(bronze)`

@@ -54,6 +54,13 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
   def contains(name: String): Boolean =
     tables.contains(name) || views.contains(name)
 
+  /** Whether `name` is a declared full-recompute MV — such a dataset
+   *  refreshes LAST each run, so an auto-maintained MV must not source
+   *  from it (it would read last run's state); [[PipelineSql]] keeps those
+   *  as recompute MVs, which refresh in declaration order. */
+  private[pipeline] def isRecomputeMv(name: String): Boolean =
+    mviews.contains(name)
+
   /** Register a named transformation (O3 `@dlt.view`). */
   def view(name: String)(fn: => DataFrame): this.type = {
     views(name) = () => fn
@@ -211,6 +218,60 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
 
   private val aggMvs = mutable.LinkedHashMap[
     String, (String, Seq[String], Seq[String], Seq[String], Seq[String])]()
+
+  /** An AUTO-DETECTED maintainable MV — the Lakeflow/Enzyme behavior where
+   *  `CREATE OR REFRESH MATERIALIZED VIEW` silently gets INCREMENTAL
+   *  refresh when the engine can prove maintainability: the defining query
+   *  is `SELECT g…, SUM(e) AS a…, MIN/MAX(e) AS b…, COUNT(*) AS n FROM src
+   *  [WHERE rowPred] GROUP BY g…` (detected on the parsed plan by
+   *  [[PipelineSql]]). Maintained from the source's change feed via the
+   *  signed-delta kernel; the user's declared column names and order are
+   *  preserved — the group-death count column is materialized internally
+   *  and hidden from reads when the user didn't select COUNT(*). A source
+   *  that turns out not to be table-backed at run time falls back to full
+   *  recompute — registration never has to know. MIN/MAX over a feed that
+   *  retracts re-bootstraps (recompute) instead of failing: the USER asked
+   *  for an MV, not an incremental contract — degrading to DLT's
+   *  documented recompute is always legal. */
+  private[pipeline] def autoAggMv(name: String, spec: Pipeline.AutoMvSpec,
+      clusterBy: Seq[String] = Nil): LakeTable = {
+    val t = LakeTable(spark, s"$storageRoot/$name")
+    tables(name) = t
+    autoMvs(name) = spec
+    val present: DataFrame => DataFrame = { df =>
+      val cntCol = spec.counts.headOption.getOrElse("__cnt")
+      df.select(spec.output.map { o =>
+        if (spec.counts.drop(1).contains(o))
+          org.apache.spark.sql.functions.col(cntCol).as(o)
+        else org.apache.spark.sql.functions.col(o)
+      }: _*)
+    }
+    presentations(name) = present
+    views(name) = () => present(autoMvDefining(spec, read(spec.source)))
+    if (clusterBy.nonEmpty) pendingClusterBy(name) = clusterBy
+    t
+  }
+
+  private val autoMvs = mutable.LinkedHashMap[String, Pipeline.AutoMvSpec]()
+
+  /** The INTERNAL-schema defining frame of an auto MV over `src` — group
+   *  columns, aggregate aliases, and the (possibly hidden) count column;
+   *  the recompute fallback and pre-materialization reads share it. */
+  private def autoMvDefining(spec: Pipeline.AutoMvSpec, src: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
+    val dec = "decimal(28,6)"
+    val cntCol = spec.counts.headOption.getOrElse("__cnt")
+    val base = spec.where.fold(src)(w => src.filter(expr(w)))
+    val aggs =
+      spec.sums.map { case (a, e) => sum(expr(e).cast(dec)).cast(dec).as(a) } ++
+      spec.mins.map { case (a, e) => org.apache.spark.sql.functions.min(expr(e)).as(a) } ++
+      spec.maxs.map { case (a, e) => org.apache.spark.sql.functions.max(expr(e)).as(a) }
+    base.groupBy(spec.groupBy.map(col): _*)
+      .agg(count(lit(1)).as(cntCol), aggs: _*)
+      .select((spec.groupBy.map(col) ++ spec.sums.map(p => col(p._1)) ++
+        spec.mins.map(p => col(p._1)) ++ spec.maxs.map(p => col(p._1)) :+
+        col(cntCol)): _*)
+  }
 
   /** DLT's `CREATE OR REFRESH STREAMING TABLE name AS SELECT … FROM
    *  STREAM(source)` — the most common Lakeflow statement — as a graph
@@ -497,9 +558,15 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       }
     }
 
+  /** Presentation projections: a dataset whose BACKING table carries
+   *  engine columns beyond its declared output (an auto-maintained MV's
+   *  internal count) serves reads through this projection. */
+  private val presentations = mutable.Map[String, DataFrame => DataFrame]()
+
   /** Resolve a node: materialized table if declared, else view thunk (S5). */
   def read(name: String): DataFrame =
-    tables.get(name).filter(_.exists).map(_.read)
+    tables.get(name).filter(_.exists)
+      .map(t => presentations.get(name).fold(t.read)(f => f(t.read)))
       .orElse(views.get(name).map(_.apply()))
       .getOrElse(sys.error(s"unknown pipeline dataset: $name"))
 
@@ -1296,6 +1363,34 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       } else events += (("flow_progress", name, 0L,
         s"incremental agg mv from $source (source not materialized)"))
     }
+    // AUTO-detected maintainable MVs (SQL `CREATE OR REFRESH MATERIALIZED
+    // VIEW` whose plan the engine proved maintainable): incremental from
+    // the source's change feed when the source is table-backed; graceful
+    // full-recompute fallback otherwise — the user declared an MV, never
+    // an incremental contract
+    autoMvs.foreach { case (name, spec) =>
+      val t = tables(name)
+      inputs.get(spec.source).orElse(tables.get(spec.source))
+        .filterNot(_ => mviews.contains(spec.source)) match {
+        case Some(root) if root.exists =>
+          val n = runAggMvCore(name, root, spec.where, spec.groupBy,
+            spec.sums, spec.mins, spec.maxs,
+            cntAlias = spec.counts.headOption.getOrElse("__cnt"),
+            flowId = s"graft.aggmv.$name", minMaxFallback = true)
+          events += (("flow_progress", name, n,
+            s"materialized view refresh (incremental from ${spec.source})"))
+        case Some(_) => events += (("flow_progress", name, 0L,
+          s"materialized view from ${spec.source} (source not materialized)"))
+        case None =>
+          // view-backed (or recompute-MV-backed) source: full recompute
+          // with the same internal schema, so the modes interchange freely
+          val (df, rows) = observe(gate(name, autoMvDefining(spec, read(spec.source))))
+          if (!t.exists) createTarget(name, df.schema)
+          t.overwrite(df)
+          events += (("flow_progress", name, rows(),
+            "materialized view refresh (recompute)"))
+      }
+    }
     // materialized views refresh AFTER the flows (a gold MV over a silver
     // streaming table must see this run's merged state), in declaration
     // order — full recompute, atomically swapped in via overwrite
@@ -1476,7 +1571,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     // full current contents, so their ledgers remain consistent (clearing
     // them would force a full change-feed replay that vacuumed history
     // might not even serve).
-    aggMvs.keys.foreach { name =>
+    (aggMvs.keys ++ autoMvs.keys).foreach { name =>
       val t = tables(name)
       if (t.exists) { t.clearTxn(s"graft.aggmv.$name"); () }
     }
@@ -1612,40 +1707,77 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       sums: Seq[String],
       flowId: String = "",
       mins: Seq[String] = Nil,
-      maxs: Seq[String] = Nil): Long = {
-    import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
+      maxs: Seq[String] = Nil): Long =
+    runAggMvCore(target, source, where = None, groupBy,
+      sums = sums.map(c => s"sum_$c" -> c),
+      mins = mins.map(c => s"min_$c" -> c),
+      maxs = maxs.map(c => s"max_$c" -> c),
+      cntAlias = "cnt", flowId = flowId)
+
+  /** The expression-general refresh kernel behind [[runAggMvFromChangeFeed]]
+   *  and the SQL-detected maintainable MVs: aggregates are (alias, SQL
+   *  expression) pairs, an optional per-row WHERE filters BOTH the
+   *  bootstrap snapshot and the change images (a stateless row predicate
+   *  commutes with the signed-delta algebra, so filtered maintenance stays
+   *  exact), and the count column carries the caller's alias (the group-
+   *  death detector, always materialized). */
+  private def runAggMvCore(
+      target: String,
+      source: LakeTable,
+      where: Option[String],
+      groupBy: Seq[String],
+      sums: Seq[(String, String)],
+      mins: Seq[(String, String)],
+      maxs: Seq[(String, String)],
+      cntAlias: String,
+      flowId: String,
+      minMaxFallback: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{col, count, expr, lit, sum, when}
     require(groupBy.nonEmpty, "incremental agg MV needs GROUP BY columns")
     val t = tables(target)
     val appId = if (flowId.nonEmpty) flowId else s"graft.aggmv.$target"
-    def sumCol(c: String) = s"sum_$c"
-    def minCol(c: String) = s"min_$c"
-    def maxCol(c: String) = s"max_$c"
     val dec = "decimal(28,6)"
+    def filtered(df: DataFrame): DataFrame = where.fold(df)(w => df.filter(expr(w)))
     val last = t.lastTxnVersion(appId).getOrElse(-1L)
     val cur = source.currentVersion
     if (cur <= last && t.exists) return 0L
-    if (!t.exists || last < 0 || !source.feedReadable(last + 1, cur)) {
+    // MIN/MAX retraction probe first when a graceful path exists: a window
+    // carrying delete/update images can't maintain extremes monotonically —
+    // the AUTO path re-bootstraps (the user asked for an MV, recompute is
+    // always legal), the explicit API keeps its loud contract below
+    val retractedExtremes = (mins.nonEmpty || maxs.nonEmpty) &&
+      minMaxFallback && t.exists && last >= 0 &&
+      source.feedReadable(last + 1, cur) &&
+      !source.appendOnlyOps(last + 1, cur) && {
+        source.readChangeFeed(last + 1, Some(cur))
+          .filter(!col(graft.lake.LakeTable.ChangeTypeCol).isin("insert"))
+          .limit(1).count() != 0L
+      }
+    if (!t.exists || last < 0 || retractedExtremes ||
+        !source.feedReadable(last + 1, cur)) {
       // bootstrap: one full-snapshot aggregation at version `cur`. Also
       // the fallback when the window spans a FULL-REWRITE source commit
       // (the feed can't serve signed deltas across it): RE-bootstrapping
       // replaces the MV with the recomputed panel — correct by definition
       // and un-wedges the consumer — instead of failing every run.
-      val snap = source.readVersion(cur)
+      val snap = filtered(source.readVersion(cur))
       val aggs =
-        sums.map(c => sum(col(c).cast(dec)).cast(dec).as(sumCol(c))) ++
-        mins.map(c => org.apache.spark.sql.functions.min(col(c)).as(minCol(c))) ++
-        maxs.map(c => org.apache.spark.sql.functions.max(col(c)).as(maxCol(c)))
+        sums.map { case (a, e) => sum(expr(e).cast(dec)).cast(dec).as(a) } ++
+        mins.map { case (a, e) => org.apache.spark.sql.functions.min(expr(e)).as(a) } ++
+        maxs.map { case (a, e) => org.apache.spark.sql.functions.max(expr(e)).as(a) }
       val base = snap.groupBy(groupBy.map(col): _*)
-        .agg(count(lit(1)).as("cnt"), aggs: _*)
-        .select((groupBy.map(col) ++ sums.map(c => col(sumCol(c))) ++
-          mins.map(c => col(minCol(c))) ++ maxs.map(c => col(maxCol(c))) :+
-          col("cnt")): _*)
+        .agg(count(lit(1)).as(cntAlias), aggs: _*)
+        .select((groupBy.map(col) ++ sums.map(p => col(p._1)) ++
+          mins.map(p => col(p._1)) ++ maxs.map(p => col(p._1)) :+
+          col(cntAlias)): _*)
       if (!t.exists) t.create(base.schema)
       // ledger rides the overwrite commit (replay re-bootstraps — same rows)
       t.overwrite(base, txn = Some(appId -> cur))
       return 0L
     }
-    val feed = source.readChangeFeed(last + 1, Some(cur))
+    // the WHERE predicate applies per-image BEFORE signing: Filter never
+    // drops columns, so the change-type metadata rides through it
+    val feed = filtered(source.readChangeFeed(last + 1, Some(cur)))
     if (mins.nonEmpty || maxs.nonEmpty) {
       // monotone merge is sound only while nothing ever retracts: the
       // first delete/update image in the feed fails the refresh loudly
@@ -1658,9 +1790,12 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     val sign = when(col(graft.lake.LakeTable.ChangeTypeCol)
       .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
     val deltaAggs =
-      sums.map(c => sum(col(c).cast(dec) * col("__sign")).as(s"__d_$c")) ++
-      mins.map(c => org.apache.spark.sql.functions.min(col(c)).as(s"__mn_$c")) ++
-      maxs.map(c => org.apache.spark.sql.functions.max(col(c)).as(s"__mx_$c"))
+      sums.zipWithIndex.map { case ((_, e), i) =>
+        sum(expr(e).cast(dec) * col("__sign")).as(s"__d_$i") } ++
+      mins.zipWithIndex.map { case ((_, e), i) =>
+        org.apache.spark.sql.functions.min(expr(e)).as(s"__mn_$i") } ++
+      maxs.zipWithIndex.map { case ((_, e), i) =>
+        org.apache.spark.sql.functions.max(expr(e)).as(s"__mx_$i") }
     val delta = feed.withColumn("__sign", sign)
       .groupBy(groupBy.map(col): _*)
       .agg(sum(col("__sign")).as("__dcnt"), deltaAggs: _*)
@@ -1669,21 +1804,22 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     // divergence is an all-NULL group reading 0 where a recompute reads
     // NULL — the maintainable convention). least/greatest likewise skip
     // NULLs, matching MIN/MAX.
-    val updates = (sums.map(c =>
-        sumCol(c) -> s"cast(coalesce(t.${sumCol(c)}, 0) + coalesce(s.__d_$c, 0) as $dec)") ++
-      mins.map(c => minCol(c) -> s"least(t.${minCol(c)}, s.__mn_$c)") ++
-      maxs.map(c => maxCol(c) -> s"greatest(t.${maxCol(c)}, s.__mx_$c)") :+
-      ("cnt" -> "t.cnt + s.__dcnt")).toMap
+    val updates = (sums.zipWithIndex.map { case ((a, _), i) =>
+        a -> s"cast(coalesce(t.$a, 0) + coalesce(s.__d_$i, 0) as $dec)" } ++
+      mins.zipWithIndex.map { case ((a, _), i) => a -> s"least(t.$a, s.__mn_$i)" } ++
+      maxs.zipWithIndex.map { case ((a, _), i) => a -> s"greatest(t.$a, s.__mx_$i)" } :+
+      (cntAlias -> s"t.$cntAlias + s.__dcnt")).toMap
     val inserts = (groupBy.map(c => c -> s"s.$c") ++
-      sums.map(c => sumCol(c) -> s"cast(coalesce(s.__d_$c, 0) as $dec)") ++
-      mins.map(c => minCol(c) -> s"s.__mn_$c") ++
-      maxs.map(c => maxCol(c) -> s"s.__mx_$c") :+
-      ("cnt" -> "s.__dcnt")).toMap
+      sums.zipWithIndex.map { case ((a, _), i) =>
+        a -> s"cast(coalesce(s.__d_$i, 0) as $dec)" } ++
+      mins.zipWithIndex.map { case ((a, _), i) => a -> s"s.__mn_$i" } ++
+      maxs.zipWithIndex.map { case ((a, _), i) => a -> s"s.__mx_$i" } :+
+      (cntAlias -> "s.__dcnt")).toMap
     // the ±delta is NOT replay-idempotent — the txn entry commits with the
     // merge so a crashed-and-retried window can never double-apply
     t.merge(delta, groupBy,
       matchedSet = Some(updates),
-      matchedDeleteWhen = Some("t.cnt + s.__dcnt = 0"),
+      matchedDeleteWhen = Some(s"t.$cntAlias + s.__dcnt = 0"),
       insertGuard = Some("s.__dcnt > 0"),
       insertSet = Some(inserts),
       txn = Some(appId -> cur))
@@ -1803,6 +1939,15 @@ object Pipeline {
     (observed, () => scala.util.Try(obs.get("rows").asInstanceOf[Long])
       .getOrElse(observed.count()))
   }
+
+  /** The detected shape of a MAINTAINABLE materialized view — see
+   *  [[Pipeline.autoAggMv]]. `sums`/`mins`/`maxs` are (alias, SQL
+   *  expression) pairs; `counts` the user's COUNT(*) aliases (empty =
+   *  internal hidden count); `output` the declared column order. */
+  private[pipeline] final case class AutoMvSpec(
+      source: String, where: Option[String], groupBy: Seq[String],
+      sums: Seq[(String, String)], mins: Seq[(String, String)],
+      maxs: Seq[(String, String)], counts: Seq[String], output: Seq[String])
 
   /** One registered streaming join table — see
    *  [[Pipeline.streamingJoinTable]]. */

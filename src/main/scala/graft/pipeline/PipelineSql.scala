@@ -1,9 +1,10 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, GraftColumnBridge}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, NaturalJoin, RightOuter, UsingJoin}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias}
 
 /**
  * Lakeflow's public SQL pipeline surface over [[Pipeline]] — the statement
@@ -113,8 +114,20 @@ object PipelineSql {
             case None => p.materializedView(name, clusterCols)(evalSelect(p, sel))
           }
           ()
-        case Some(sel) => p.materializedView(name, clusterCols)(evalSelect(p, sel))
-        case None => p.streamingTable(name, clusterCols)
+        case Some(sel) =>
+          // Lakeflow/Enzyme behavior: CREATE MV silently gets INCREMENTAL
+          // refresh when the engine proves the plan maintainable (simple
+          // SUM/MIN/MAX/COUNT(*) group-by over one declared dataset with a
+          // row-level WHERE). Expectation blocks gate the defining query —
+          // gating signed deltas would corrupt the algebra — so a
+          // constrained MV keeps the recompute refresh.
+          maintainableAggShape(p, sel) match {
+            case Some(spec) if constraints.isEmpty =>
+              p.autoAggMv(name, spec, clusterCols); ()
+            case _ =>
+              p.materializedView(name, clusterCols)(evalSelect(p, sel)); ()
+          }
+        case None => p.streamingTable(name, clusterCols); ()
       }
       // DLT policy per constraint, grouped; observe-only groups (Warn,
       // Fail) attach BEFORE Drop so their violation counts reflect the
@@ -296,6 +309,104 @@ object PipelineSql {
         case _ => !containsStream(n)
       }
     if (statelessAbove(plan)) Some(mainRefs.head) else None
+  }
+
+  /** Detect the MAINTAINABLE-MV shape on the parsed plan — Lakeflow's
+   *  Enzyme rule, conservatively: the statement must be exactly
+   *  `SELECT g…, SUM(e) AS a…, MIN(e)/MAX(e) AS b…, COUNT(*)|COUNT(1) AS n
+   *   FROM <one declared dataset> [WHERE <row predicate>] GROUP BY g…`
+   *  with every aggregate ALIASED, every group column selected, no
+   *  DISTINCT/FILTER/HAVING/ORDER BY/subqueries, and the source a declared
+   *  non-recompute-MV dataset (a recompute MV refreshes LAST — sourcing an
+   *  incremental MV from it would read stale state, so those keep the
+   *  documented recompute refresh in declaration order). Anything else
+   *  returns None and the MV registers as a full recompute — detection can
+   *  only ever trade recompute for an equivalent incremental plan, never
+   *  change results. Rendered expression texts are round-trip re-parsed so
+   *  a shape whose SQL can't regenerate falls back instead of failing at
+   *  run time. */
+  private def maintainableAggShape(p: Pipeline, select: String)
+      : Option[Pipeline.AutoMvSpec] = {
+    sealed trait Out
+    final case class G(name: String) extends Out
+    final case class Sm(alias: String, e: String) extends Out
+    final case class Mn(alias: String, e: String) extends Out
+    final case class Mx(alias: String, e: String) extends Out
+    final case class Cnt(alias: String) extends Out
+    def bareAttr(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 => Some(a.name)
+      case _ => None
+    }
+    def reparses(sqlText: String): Boolean = scala.util.Try {
+      p.spark.sessionState.sqlParser.parseExpression(sqlText); true
+    }.getOrElse(false)
+    def noSubquery(e: Expression): Boolean =
+      e.collectFirst { case s: SubqueryExpression => s }.isEmpty
+    scala.util.Try {
+      p.spark.sessionState.sqlParser.parsePlan(select) match {
+        case agg: Aggregate =>
+          val (where, rel) = agg.child match {
+            case Filter(cond, r) if noSubquery(cond) && reparses(cond.sql) =>
+              (Some(cond.sql), r)
+            case r => (None, r)
+          }
+          // a Filter that failed the guards must NOT silently drop: only a
+          // bare relation (or alias of one) qualifies as `rel`
+          val src = rel match {
+            case UnresolvedRelation(parts, _, false) if parts.length == 1 =>
+              Some(parts.head)
+            case SubqueryAlias(_, UnresolvedRelation(parts, _, false))
+                if parts.length == 1 => Some(parts.head)
+            case _ => None
+          }
+          val groups: Option[Seq[String]] = {
+            val gs = agg.groupingExpressions.map(bareAttr)
+            if (gs.nonEmpty && gs.forall(_.isDefined)) Some(gs.flatten.toSeq)
+            else None
+          }
+          def classify(ne: Expression): Option[Out] = ne match {
+            case a: UnresolvedAttribute if a.nameParts.length == 1 &&
+                groups.exists(_.contains(a.name)) => Some(G(a.name))
+            case al @ Alias(f: UnresolvedFunction, _)
+                if f.nameParts.length == 1 && !f.isDistinct &&
+                  f.filter.isEmpty && f.arguments.forall(noSubquery) =>
+              val fn = f.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+              (fn, f.arguments) match {
+                case ("sum", Seq(e)) if reparses(e.sql) => Some(Sm(al.name, e.sql))
+                case ("min", Seq(e)) if reparses(e.sql) => Some(Mn(al.name, e.sql))
+                case ("max", Seq(e)) if reparses(e.sql) => Some(Mx(al.name, e.sql))
+                case ("count", Seq(Literal(1, _))) => Some(Cnt(al.name))
+                case ("count", Seq(_: UnresolvedStar)) => Some(Cnt(al.name))
+                case _ => None
+              }
+            case _ => None
+          }
+          val outs = agg.aggregateExpressions.map(classify)
+          for {
+            s <- src
+            if p.contains(s) && !p.isRecomputeMv(s)
+            gs <- groups
+            os <- if (outs.forall(_.isDefined)) Some(outs.flatten.toSeq) else None
+            // the MV schema needs its keys: every group column selected;
+            // and at least one aggregate (a keys-only SELECT is DISTINCT,
+            // not an aggregation worth maintaining)
+            if gs.forall(g => os.contains(G(g)))
+            if os.exists { case _: G => false; case _ => true }
+            names = os.map {
+              case G(n) => n; case Sm(a, _) => a; case Mn(a, _) => a
+              case Mx(a, _) => a; case Cnt(a) => a
+            }
+            if names.distinct.size == names.size
+          } yield Pipeline.AutoMvSpec(
+            source = s, where = where, groupBy = gs,
+            sums = os.collect { case Sm(a, e) => a -> e },
+            mins = os.collect { case Mn(a, e) => a -> e },
+            maxs = os.collect { case Mx(a, e) => a -> e },
+            counts = os.collect { case Cnt(a) => a },
+            output = names)
+        case _ => None
+      }
+    }.toOption.flatten
   }
 
   /** Evaluate a defining SELECT with pipeline-dataset resolution: declared

@@ -379,6 +379,83 @@ class PipelineSqlSpec extends SparkSpec {
     assert(rows == Seq(1L, 0L, 1L))
   }
 
+  test("CREATE MATERIALIZED VIEW auto-detects maintainability (Enzyme): a " +
+      "provable SUM/COUNT group-by refreshes INCREMENTALLY from the change " +
+      "feed, with the user's aliases and column order preserved") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv")
+    val bronze = LakeTable(spark, s"$root/bronze")
+    bronze.append(Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", -5.0)).toDF("k", "g", "v"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("src", bronze)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW agg AS
+      SELECT g, SUM(v * 2) AS twice, COUNT(*) AS n
+      FROM src WHERE v > 0 GROUP BY g""")
+    p.run()
+    def agg = p.read("agg").orderBy("g")
+      .select($"g", $"twice".cast("double"), $"n")
+      .as[(String, Double, Long)].collect().toSeq
+    // the WHERE dropped k=3; user aliases and order serve as declared
+    assert(p.read("agg").columns.toSeq == Seq("g", "twice", "n"))
+    assert(agg == Seq(("a", 60.0, 2L)))
+    // run 2: ONLY the appended rows flow (incremental refresh) — the
+    // event log names the incremental path and counts the delta
+    bronze.append(Seq((4L, "b", 7.0), (5L, "a", 1.0)).toDF("k", "g", "v"))
+    p.run()
+    assert(agg == Seq(("a", 62.0, 3L), ("b", 14.0, 1L)))
+    val ev = p.eventLog
+      .filter(col("dataset") === "agg").orderBy("run_id")
+      .select("rows", "message").as[(Long, String)].collect().toSeq
+    assert(ev.map(_._2).forall(_.contains("incremental from src")), ev)
+    assert(ev.map(_._1) == Seq(0L, 2L)) // bootstrap logs 0, delta = 2 rows
+
+    // no COUNT selected: the group-death counter is internal and HIDDEN
+    PipelineSql(p, "CREATE OR REFRESH MATERIALIZED VIEW sums AS " +
+      "SELECT g, SUM(v) AS s FROM src GROUP BY g")
+    p.run()
+    assert(p.read("sums").columns.toSeq == Seq("g", "s"))
+
+    // non-maintainable shapes keep the recompute refresh and still answer
+    PipelineSql(p, "CREATE OR REFRESH MATERIALIZED VIEW avgs AS " +
+      "SELECT g, AVG(v) AS m FROM src GROUP BY g")
+    p.run()
+    assert(p.read("avgs").orderBy("g").as[(String, Double)].collect().toSeq ==
+      Seq(("a", 31.0 / 3), ("b", 1.0)))
+    assert(p.eventLog.filter(col("dataset") === "avgs")
+      .select("message").as[String].collect()
+      .forall(_.contains("materialized view refresh")))
+  }
+
+  test("auto-maintained MV degrades gracefully: MIN/MAX over a feed that " +
+      "retracts re-bootstraps instead of failing; a full-rewrite source " +
+      "window re-bootstraps too") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_minmax")
+    val src = LakeTable(spark, s"$root/src")
+    src.create(Seq((1L, "a", 10.0)).toDF("k", "g", "v").schema,
+      enableChangeFeed = true)
+    src.append(Seq((1L, "a", 10.0), (2L, "a", 3.0), (3L, "b", 7.0))
+      .toDF("k", "g", "v"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("src", src)
+    PipelineSql(p, "CREATE OR REFRESH MATERIALIZED VIEW lo AS " +
+      "SELECT g, MIN(v) AS lo, COUNT(*) AS n FROM src GROUP BY g")
+    p.run()
+    def lo = p.read("lo").orderBy("g")
+      .as[(String, Double, Long)].collect().toSeq
+    assert(lo == Seq(("a", 3.0, 2L), ("b", 7.0, 1L)))
+    // retraction: the group minimum LEAVES — monotone merge can't serve
+    // it; the auto path recomputes instead of failing the run
+    src.deleteWhere("k = 2")
+    p.run()
+    assert(lo == Seq(("a", 10.0, 1L), ("b", 7.0, 1L)))
+    // and incremental maintenance resumes on the next clean window
+    src.append(Seq((4L, "b", 1.0)).toDF("k", "g", "v"))
+    p.run()
+    assert(lo == Seq(("a", 10.0, 1L), ("b", 1.0, 2L)))
+  }
+
   test("unsupported statements fail loudly") {
     val p = new Pipeline(spark, tmpDir("plsql_bad"))
     val e = intercept[IllegalArgumentException] {
