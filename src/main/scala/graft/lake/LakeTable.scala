@@ -2181,7 +2181,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       insertAll: Boolean = true,
       insertGuard: Option[String] = None,
       insertSet: Option[Map[String, String]] = None,
-      txn: Option[(String, Long)] = None): Unit = synchronized {
+      txn: Option[(String, Long)] = None,
+      nullSafeKeys: Boolean = false): Unit = synchronized {
     require(exists, s"merge target $root does not exist — create() or append() first")
     require(!(matchedDelete && matchedSet.nonEmpty),
       "WHEN MATCHED can DELETE or UPDATE, not both")
@@ -2280,7 +2281,12 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     def joinedOf(target: DataFrame): DataFrame = {
       val t = target.withColumn(T_MARK, lit(true)).alias("t")
       val s = src.withColumn(S_MARK, lit(true)).alias("s")
-      val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+      // SQL MERGE equality never matches NULL keys (Delta parity — the
+      // default); GROUP-BY-derived keys (the aggregate-MV maintainers)
+      // opt into null-safe matching so a NULL group stays ONE group
+      val joinCond = keys.map(k =>
+        if (nullSafeKeys) col(s"t.$k") <=> col(s"s.$k")
+        else col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
       t.join(s, joinCond, "full_outer")
     }
     // unified matched-row predicates (shared by the projection and the CDF):

@@ -2197,6 +2197,50 @@ object CoreQueries {
            OR (o_orderkey % 3 = 0 AND o_orderkey % 2 = 1)
         ORDER BY o_orderkey""")),
 
+    // S45: the medallion VIEW chain declared entirely in SQL — `CREATE
+    // TEMPORARY VIEW … AS SELECT … FROM STREAM(bronze)` (the SQL form of
+    // `@dlt.view` over `dlt.read_stream`) feeding `APPLY CHANGES INTO`.
+    // Under runIncremental the view's projection composes onto bronze's
+    // change-feed delta (run 2 reads only arrival 2), proving the SQL
+    // surface reaches the same O(new rows) path as the programmatic
+    // streamingView. Oracle = global latest-per-user over the projected
+    // stream (the ts cut keeps equal-ts ties within one window; the
+    // default CDC tiebreak is the remaining columns desc, mirrored).
+    Q("s45_pipeline_sql_view", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select("user_id", "event_type", "value", "ts", "event_id")
+      val r = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val cut = new Timestamp(
+        (r.getTimestamp(0).getTime + r.getTimestamp(1).getTime) / 2)
+      val root = tmp("graft_s45")
+      val bronze = LakeTable(s, s"$root/bronze")
+      bronze.append(ev.filter(col("ts") <= lit(cut)))       // arrival 1
+      val p = new Pipeline(s, s"$root/pipe")
+      p.inputTable("bronze", bronze)
+      PipelineSql(p, """CREATE TEMPORARY VIEW clean AS
+        SELECT user_id, event_type, value * 2 AS value2, ts, event_id
+        FROM STREAM(bronze) WHERE event_type IS NOT NULL""")
+      PipelineSql(p, "CREATE OR REFRESH STREAMING TABLE silver")
+      PipelineSql(p,
+        "APPLY CHANGES INTO silver FROM STREAM(clean) KEYS (user_id) SEQUENCE BY ts")
+      p.runIncremental()                                    // full window
+      bronze.append(ev.filter(col("ts") > lit(cut)))        // arrival 2
+      p.runIncremental()                                    // delta only
+      p.read("silver").orderBy("user_id")
+    },
+      Some("""WITH clean AS (
+          SELECT user_id, event_type, value * 2 AS value2, ts, event_id
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_type IS NOT NULL
+        )
+        SELECT user_id, event_type, value2, ts, event_id FROM clean
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY ts DESC, event_type DESC NULLS LAST,
+                   value2 DESC NULLS LAST, event_id DESC) = 1
+        ORDER BY user_id""")),
+
     // S40: the ENTIRE pipeline declared in Lakeflow SQL — the public SQL
     // surface of the API the reference drives through Python decorators:
     // `CREATE OR REFRESH STREAMING TABLE` + `APPLY CHANGES INTO … APPLY AS

@@ -546,6 +546,14 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     this
   }
 
+  /** [[gate]] for the SQL surface: a CREATE VIEW statement's constraint
+   *  block gates the view's rows wherever the view resolves — inside the
+   *  defining thunk for snapshot reads, inside the composed per-row
+   *  transform for incremental delta reads — through the same group
+   *  machinery as table datasets. */
+  private[pipeline] def gateFor(dataset: String, df: DataFrame): DataFrame =
+    gate(dataset, df)
+
   /** Run `df` through `dataset`'s attached expectation groups (if any),
    *  registering each gate for post-run metrics/Fail enforcement. */
   private def gate(dataset: String, df: DataFrame): DataFrame =
@@ -1816,13 +1824,17 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       maxs.zipWithIndex.map { case ((a, _), i) => a -> s"s.__mx_$i" } :+
       (cntAlias -> "s.__dcnt")).toMap
     // the ±delta is NOT replay-idempotent — the txn entry commits with the
-    // merge so a crashed-and-retried window can never double-apply
+    // merge so a crashed-and-retried window can never double-apply.
+    // nullSafeKeys: the keys are GROUP BY outputs — SQL groups NULLs as
+    // ONE group, so the merge must match them too (plain MERGE equality
+    // would re-insert the NULL group every window)
     t.merge(delta, groupBy,
       matchedSet = Some(updates),
       matchedDeleteWhen = Some(s"t.$cntAlias + s.__dcnt = 0"),
       insertGuard = Some("s.__dcnt > 0"),
       insertSet = Some(inserts),
-      txn = Some(appId -> cur))
+      txn = Some(appId -> cur),
+      nullSafeKeys = true)
     processed
   }
 

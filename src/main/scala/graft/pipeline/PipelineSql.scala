@@ -31,6 +31,12 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, Log
  *  - `CREATE FLOW f AS INSERT INTO [ONCE] t BY NAME select` — the SQL form
  *    of `@dlt.append_flow` ([[Pipeline.appendFlow]]): one of possibly many
  *    append-only flows feeding `t`; `ONCE` marks a one-time backfill.
+ *  - `CREATE [TEMPORARY|PRIVATE] [STREAMING] [LIVE] VIEW v
+ *     [(CONSTRAINT …)] AS select` — the SQL form of `@dlt.view`
+ *    ([[Pipeline.view]] / [[Pipeline.streamingView]]): an unmaterialized
+ *    named transformation. A select stateless over one `STREAM(ds)`
+ *    registers STREAMING — downstream flows compose it onto the source's
+ *    change-feed delta under incremental execution.
  *  - Either CREATE form takes DLT's expectation block before AS:
  *    `( CONSTRAINT n EXPECT (cond) [ON VIOLATION DROP ROW | FAIL UPDATE],
  *    … )` — no ON VIOLATION = warn (metrics only), DROP ROW filters, FAIL
@@ -53,6 +59,9 @@ object PipelineSql {
     """(?is)\s*CONSTRAINT\s+([A-Za-z_]\w*)\s+EXPECT\s*(.*)""".r
   private val OnViolation =
     """(?is)\s*(?:ON\s+VIOLATION\s+(DROP\s+ROW|FAIL\s+UPDATE))?\s*""".r
+  private val CreateView =
+    ("""(?is)\s*CREATE\s+(?:OR\s+REFRESH\s+)?(?:TEMPORARY\s+|PRIVATE\s+)?""" +
+      """(?:STREAMING\s+)?(?:LIVE\s+)?VIEW\s+([A-Za-z_]\w*)\s*(.*?)\s*;?\s*""").r
   private val CreateFlowInsert =
     ("""(?is)\s*CREATE\s+FLOW\s+([A-Za-z_]\w*)\s+AS\s+INSERT\s+INTO\s+""" +
       """(?:(ONCE)\s+)?([A-Za-z_]\w*)\s+BY\s+NAME\s+(.+?)\s*;?\s*""").r
@@ -143,6 +152,43 @@ object PipelineSql {
           p.expectations(name, cs.map(c => c._1 -> c._2).toMap, policy)
       }
       ()
+    case CreateView(name, rest) =>
+      // DLT's `@dlt.view` in SQL — `CREATE [TEMPORARY|PRIVATE] [STREAMING]
+      // [LIVE] VIEW v [(CONSTRAINT …)] AS select`: an unmaterialized named
+      // transformation other pipeline datasets read. When the select is
+      // stateless over exactly one STREAM(ds) (including stream-preserved
+      // joins), it registers as a STREAMING view: under runIncremental a
+      // downstream CDC/append flow composes the transform onto the
+      // source's change-feed delta — the bronze → clean → silver medallion
+      // chain declared entirely in SQL. Constraint blocks gate the view's
+      // rows wherever it resolves (snapshot thunk AND incremental delta).
+      val (vConstraints, afterV) = takeParenBlock(rest) match {
+        case Some((block, tail)) => (parseConstraints(block), tail)
+        case None => (Nil, rest)
+      }
+      val vSelect = """(?is)\s*AS\s+(.+)""".r
+      val sel = afterV match {
+        case vSelect(s) => s
+        case other => throw new IllegalArgumentException(
+          s"CREATE VIEW $name needs AS SELECT, got: ${other.trim.take(40)}")
+      }
+      streamingAppendSource(p, sel) match {
+        case Some(src) =>
+          p.streamingView(name, src)(delta =>
+            p.gateFor(name, evalSelect(p, sel, Map(src -> delta))))
+        case None =>
+          p.view(name)(p.gateFor(name, evalSelect(p, sel)))
+      }
+      val vOrder: Expectations.Policy => Int = {
+        case Expectations.Warn => 0
+        case Expectations.Fail => 1
+        case Expectations.Drop => 2
+      }
+      vConstraints.groupBy(_._3).toSeq.sortBy(g => vOrder(g._1)).foreach {
+        case (policy, cs) =>
+          p.expectations(name, cs.map(c => c._1 -> c._2).toMap, policy)
+      }
+      ()
     case CreateFlowInsert(flowName, once, target, select) =>
       // Lakeflow's SQL append flow: `CREATE FLOW f AS INSERT INTO [ONCE] t
       // BY NAME <select>` — one of possibly many append-only flows feeding
@@ -187,6 +233,8 @@ object PipelineSql {
     case other => throw new IllegalArgumentException(
       "PipelineSql supports CREATE OR REFRESH STREAMING TABLE [AS SELECT] / " +
         "CREATE OR REFRESH MATERIALIZED VIEW AS SELECT / " +
+        "CREATE [TEMPORARY|PRIVATE] [STREAMING] VIEW AS SELECT / " +
+        "CREATE FLOW ... AS INSERT INTO / " +
         s"APPLY CHANGES (AUTO CDC) INTO, got: ${other.linesIterator.next()}")
   }
 

@@ -1675,6 +1675,27 @@ class PipelineSpec extends SparkSpec {
     assert(gold == Seq(("Ada", 45.0, 2L), ("Ben", 25.0, 2L)))
   }
 
+  test("incremental agg MV maintains a NULL group as ONE group across " +
+      "windows — GROUP BY's null-as-one-group semantics survive the merge") {
+    import graft.lake.LakeTable
+    val root = tmpDir("pl_nullgroup")
+    val src = LakeTable(spark, s"$root/src")
+    src.append(Seq((1L, Option("a"), 10.0), (2L, Option.empty[String], 5.0))
+      .toDF("k", "g", "v"))
+    val p = new Pipeline(spark, root)
+    p.streamingTable("mv")
+    def refresh(): Unit = {
+      p.runAggMvFromChangeFeed("mv", src, Seq("g"), Seq("v"), "f"); ()
+    }
+    refresh() // bootstrap: groups (a) and (NULL)
+    src.append(Seq((3L, Option.empty[String], 7.0)).toDF("k", "g", "v"))
+    refresh() // the NULL group's delta must MERGE, not insert a second row
+    val rows = p.read("mv")
+      .select($"g", $"sum_v".cast("double"), $"cnt")
+      .orderBy("g").as[(Option[String], Double, Long)].collect().toSeq
+    assert(rows == Seq((None, 12.0, 2L), (Some("a"), 10.0, 1L)))
+  }
+
   test("views resolve lazily and read() prefers materialized tables") {
     val p = new Pipeline(spark, tmpDir("pl_views"))
     var evaluated = false

@@ -456,6 +456,45 @@ class PipelineSqlSpec extends SparkSpec {
     assert(lo == Seq(("a", 10.0, 1L), ("b", 1.0, 2L)))
   }
 
+  test("CREATE VIEW (the SQL @dlt.view): a STREAM-stateless view composes " +
+      "into incremental execution — the CDC flow consumes the view's " +
+      "transform over the bronze delta; constraints gate both paths") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_view")
+    val bronze = LakeTable(spark, s"$root/bronze")
+    bronze.append(Seq(
+      (1L, Option("a"), ts("2024-01-01 00:00:00")),
+      (2L, Option.empty[String], ts("2024-01-01 00:00:00"))) // dropped
+      .toDF("k", "v", "seq"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("bronze", bronze)
+    PipelineSql(p, """CREATE TEMPORARY VIEW clean (
+        CONSTRAINT v_not_null EXPECT (v IS NOT NULL) ON VIOLATION DROP ROW
+      ) AS SELECT k, UPPER(v) AS v, seq FROM STREAM(bronze)""")
+    PipelineSql(p, "CREATE OR REFRESH STREAMING TABLE silver")
+    PipelineSql(p,
+      "APPLY CHANGES INTO silver FROM STREAM(clean) KEYS (k) SEQUENCE BY seq")
+    p.runIncremental()
+    assert(p.read("silver").select("k", "v").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "A")))
+    assert(p.lastGate("clean").exists(_.violations == Map("v_not_null" -> 1L)))
+    // arrival 2: the view's transform applies to the DELTA only
+    bronze.append(Seq((3L, Option("c"), ts("2024-02-01 00:00:00")))
+      .toDF("k", "v", "seq"))
+    p.runIncremental()
+    assert(p.read("silver").orderBy("k").select("k", "v")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "A"), (3L, "C")))
+    // event-log proof: run 2's flow processed ONLY the one appended row
+    assert(p.eventLog
+      .filter(col("event_type") === "flow_progress" && col("dataset") === "silver")
+      .orderBy("run_id").select("rows").as[Long].collect().toSeq == Seq(1L, 1L))
+
+    // the plain (no STREAM) view form registers snapshot semantics and
+    // resolves other pipeline datasets by name
+    PipelineSql(p, "CREATE VIEW silver_keys AS SELECT k FROM silver")
+    assert(p.read("silver_keys").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("unsupported statements fail loudly") {
     val p = new Pipeline(spark, tmpDir("plsql_bad"))
     val e = intercept[IllegalArgumentException] {
