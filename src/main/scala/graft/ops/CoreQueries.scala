@@ -2241,6 +2241,65 @@ object CoreQueries {
                    value2 DESC NULLS LAST, event_id DESC) = 1
         ORDER BY user_id""")),
 
+    // S46: the reference's WHOLE medallion declared in Lakeflow SQL and
+    // executed INCREMENTALLY — `CREATE STREAMING TABLE … TBLPROPERTIES
+    // ('delta.enableChangeDataFeed'='true')` makes the SQL-declared silver
+    // a change-feed root, a `CREATE TEMPORARY VIEW … FROM STREAM(silver)
+    // JOIN dims` is the business_silver enrichment, and a second APPLY
+    // CHANGES materializes the business table — two arrivals, two
+    // runIncremental passes; run 2 moves ONLY the second window's images
+    // through every layer. Oracle = latest-per-user (silver tiebreak)
+    // joined to the dim.
+    Q("s46_pipeline_sql_business", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+        .select("user_id", "event_type", "value", "ts", "event_id")
+      val r = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val cut = new Timestamp(
+        (r.getTimestamp(0).getTime + r.getTimestamp(1).getTime) / 2)
+      val root = tmp("graft_s46")
+      val bronze = LakeTable(s, s"$root/bronze")
+      bronze.append(ev.filter(col("ts") <= lit(cut)))       // arrival 1
+      val p = new Pipeline(s, s"$root/pipe")
+      p.inputTable("bronze", bronze)
+      p.view("type_dim")(t(s, d, "events")
+        .filter(col("event_type").isNotNull)
+        .groupBy("event_type").agg(min(col("event_id")).as("type_min_id")))
+      PipelineSql(p, """CREATE OR REFRESH STREAMING TABLE silver
+        TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')""")
+      PipelineSql(p,
+        "APPLY CHANGES INTO silver FROM STREAM(bronze) KEYS (user_id) SEQUENCE BY ts")
+      PipelineSql(p, """CREATE TEMPORARY VIEW enriched AS
+        SELECT s.user_id, s.event_type, s.value, s.ts, s.event_id,
+               d.type_min_id
+        FROM STREAM(silver) s JOIN type_dim d ON s.event_type = d.event_type""")
+      PipelineSql(p, "CREATE OR REFRESH STREAMING TABLE business")
+      PipelineSql(p,
+        "APPLY CHANGES INTO business FROM STREAM(enriched) KEYS (user_id) SEQUENCE BY ts")
+      p.runIncremental()                                    // full window
+      bronze.append(ev.filter(col("ts") > lit(cut)))        // arrival 2
+      p.runIncremental()                                    // delta only
+      p.read("business").orderBy("user_id")
+    },
+      Some("""WITH clean AS (
+          SELECT user_id, event_type, value, ts, event_id FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_type IS NOT NULL
+        ), latest AS (
+          SELECT user_id, event_type, value, ts, event_id FROM clean
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_type DESC NULLS LAST,
+                     value DESC NULLS LAST, event_id DESC) = 1
+        ), type_dim AS (
+          SELECT event_type, MIN(event_id) AS type_min_id FROM events
+          WHERE event_type IS NOT NULL GROUP BY event_type
+        )
+        SELECT l.user_id, l.event_type, l.value, l.ts, l.event_id,
+               d.type_min_id
+        FROM latest l JOIN type_dim d USING (event_type)
+        ORDER BY l.user_id""")),
+
     // S40: the ENTIRE pipeline declared in Lakeflow SQL — the public SQL
     // surface of the API the reference drives through Python decorators:
     // `CREATE OR REFRESH STREAMING TABLE` + `APPLY CHANGES INTO … APPLY AS

@@ -159,6 +159,19 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
 
   private val partitionedTables = mutable.Map[String, String]()
 
+  /** Stamp TBLPROPERTIES on a declared table once it materializes — the
+   *  SQL `TBLPROPERTIES (…)` clause on CREATE OR REFRESH (idempotent: one
+   *  properties commit, ever; the CDF key is handled at declaration, not
+   *  here). */
+  def tableProps(name: String, props: Map[String, String]): this.type = {
+    require(tables.contains(name), s"declare the table $name first")
+    if (props.nonEmpty)
+      pendingProps(name) = pendingProps.getOrElse(name, Map.empty) ++ props
+    this
+  }
+
+  private val pendingProps = mutable.Map[String, Map[String, String]]()
+
   /** Create `name`'s backing table honoring its declared layout flags — a
    *  CDC-maintained table feeding ANOTHER incremental flow must record
    *  row-level changes (`streamingTable(..., enableChangeFeed = true)`);
@@ -285,12 +298,18 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
    *  exactly there — the two modes interleave freely. Sources that don't
    *  root at a lake table recompute in both modes. */
   def streamingSelectTable(name: String, source: String,
-      clusterBy: Seq[String] = Nil)(fn: DataFrame => DataFrame): LakeTable = {
+      clusterBy: Seq[String] = Nil,
+      partitionBy: Option[String] = None)(fn: DataFrame => DataFrame): LakeTable = {
     val t = LakeTable(spark, s"$storageRoot/$name")
     tables(name) = t
     views(name) = () => if (t.exists) t.read else fn(read(source))
     selectTables(name) = (source, fn)
     if (clusterBy.nonEmpty) pendingClusterBy(name) = clusterBy
+    partitionBy.foreach { pc =>
+      require(clusterBy.isEmpty,
+        "partitionBy and clusterBy are exclusive layouts (Delta's rule)")
+      partitionedTables(name) = pc
+    }
     t
   }
 
@@ -581,9 +600,22 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
   def table(name: String): LakeTable = tables(name)
   def lastGate(name: String): Option[Expectations.Gate] = gates.get(name)
 
-  /** Flows in dependency order: a flow whose source IS another flow's
-   *  target runs after it (DLT's topological DAG resolution; ties keep
-   *  declaration order). */
+  /** The dataset a flow source chain ORIGINATES at: `streamingView` edges
+   *  walked to their origin, so a flow reading `clean` (a view over
+   *  `silver`) depends on the flow that maintains `silver`. */
+  private def chainOrigin(source: String): String = {
+    var cur = source
+    var depth = 0
+    while (streamingViews.contains(cur) && depth < 17) {
+      cur = streamingViews(cur)._1
+      depth += 1
+    }
+    cur
+  }
+
+  /** Flows in dependency order: a flow whose source (or the ORIGIN of its
+   *  streamingView chain) IS another flow's target runs after it (DLT's
+   *  topological DAG resolution; ties keep declaration order). */
   private def orderedFlows: Seq[CdcFlow] = {
     val byTarget = flows.map(f => f.target -> f).toMap
     val visited = mutable.LinkedHashSet[String]()
@@ -595,7 +627,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         "CDC flow cycle detected: " +
           (onStack.toSeq.dropWhile(_ != f.target) :+ f.target).mkString(" -> "))
       onStack += f.target
-      byTarget.get(f.source).foreach(visit) // upstream flow first
+      byTarget.get(chainOrigin(f.source)).foreach(visit) // upstream flow first
       onStack -= f.target
       visited += f.target
     }
@@ -1414,6 +1446,16 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     pendingClusterBy.foreach { case (name, cols) =>
       val t = tables(name)
       if (t.exists && t.clusterBy != cols) t.setClusterBy(cols)
+    }
+    // declared TBLPROPERTIES: stamped once materialized, only the keys not
+    // already at their declared values (idempotent)
+    pendingProps.foreach { case (name, kvs) =>
+      val t = tables(name)
+      if (t.exists) {
+        val missing = kvs.filterNot { case (k, v) =>
+          t.tableProperties.get(k).contains(v) }
+        if (missing.nonEmpty) t.setTableProperties(missing)
+      }
     }
     // data-quality events: one per expectation gate, with per-rule
     // violation counts (metrics already materialized by the flows' own

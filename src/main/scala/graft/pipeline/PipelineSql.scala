@@ -94,11 +94,40 @@ object PipelineSql {
       // table (Lakeflow's grammar position: after the schema/constraint
       // block, before AS)
       val clusterRe = """(?is)\s*CLUSTER\s+BY\s*\(([^)]*)\)\s*(.*)""".r
-      val (clusterCols, afterBlock) = afterBlock0 match {
+      val (clusterCols, afterBlock1) = afterBlock0 match {
         case clusterRe(cc, tail) =>
           (cc.split(',').map(_.trim).filter(_.nonEmpty).toSeq, tail)
         case _ => (Seq.empty[String], afterBlock0)
       }
+      // optional PARTITIONED BY (col) — a partitioned CDC/append target
+      // makes every later merge partition-scoped (the O(new-write) shape)
+      val partRe = """(?is)\s*PARTITIONED\s+BY\s*\(\s*([A-Za-z_]\w*)\s*\)\s*(.*)""".r
+      val (partCol, afterBlock2) = afterBlock1 match {
+        case partRe(c, tail) => (Some(c.trim), tail)
+        case _ => (Option.empty[String], afterBlock1)
+      }
+      // optional TBLPROPERTIES (k = v, …) — the CDF keys
+      // (`delta.enableChangeDataFeed`, Delta's name, or the engine's
+      // `enableChangeFeed`) flip change-feed capture at DECLARATION (so
+      // the target records row images from its very first merge and can
+      // root downstream incremental consumers); other properties stamp
+      // once the table materializes
+      val tblPropsRe = """(?is)\s*TBLPROPERTIES\s*(\(.*)""".r
+      val (rawProps, afterBlock) = afterBlock2 match {
+        case tblPropsRe(rest2) => takeParenBlock(rest2) match {
+          case Some((block, tail)) => (parseProps(block), tail)
+          case None => throw new IllegalArgumentException(
+            s"unbalanced TBLPROPERTIES in CREATE $name")
+        }
+        case _ => (Map.empty[String, String], afterBlock2)
+      }
+      val cdfKeys = Set("delta.enablechangedatafeed", "enablechangefeed")
+      val enableCdf = rawProps.exists { case (k, v) =>
+        cdfKeys.contains(k.toLowerCase(java.util.Locale.ROOT)) &&
+          v.trim.equalsIgnoreCase("true")
+      }
+      val passProps = rawProps.filterNot { case (k, _) =>
+        cdfKeys.contains(k.toLowerCase(java.util.Locale.ROOT)) }
       val asSelect = """(?is)\s*AS\s+(.+)""".r
       val select = afterBlock match {
         case asSelect(sel) => Some(sel)
@@ -108,6 +137,11 @@ object PipelineSql {
       }
       val isMv = kind.toUpperCase(java.util.Locale.ROOT).startsWith("MATERIALIZED")
       require(select.nonEmpty || !isMv, "MATERIALIZED VIEW needs AS SELECT")
+      require(partCol.isEmpty || !isMv,
+        "PARTITIONED BY applies to streaming tables (an MV recomputes whole)")
+      require(!enableCdf || !isMv,
+        "change-feed TBLPROPERTIES apply to streaming tables (an MV " +
+          "recomputes by full rewrite — no row-level feed exists)")
       select match {
         case Some(sel) if !isMv =>
           // STREAMING TABLE AS SELECT: when the select is stateless over
@@ -118,9 +152,13 @@ object PipelineSql {
           // documented full-recompute refresh.
           streamingAppendSource(p, sel) match {
             case Some(src) =>
-              p.streamingSelectTable(name, src, clusterCols)(df =>
+              p.streamingSelectTable(name, src, clusterCols, partCol)(df =>
                 evalSelect(p, sel, Map(src -> df)))
-            case None => p.materializedView(name, clusterCols)(evalSelect(p, sel))
+            case None =>
+              require(partCol.isEmpty,
+                "PARTITIONED BY needs a streaming (stateless-over-STREAM) " +
+                  "defining query — this one refreshes as a recompute MV")
+              p.materializedView(name, clusterCols)(evalSelect(p, sel))
           }
           ()
         case Some(sel) =>
@@ -136,8 +174,18 @@ object PipelineSql {
             case _ =>
               p.materializedView(name, clusterCols)(evalSelect(p, sel)); ()
           }
-        case None => p.streamingTable(name, clusterCols); ()
+        case None =>
+          p.streamingTable(name, clusterCols, enableChangeFeed = enableCdf,
+            partitionBy = partCol)
+          ()
       }
+      // CDF on an AS-SELECT streaming table stamps post-materialization
+      // (its appends derive feed inserts even before the stamp)
+      val stampProps = passProps ++
+        (if (enableCdf && select.nonEmpty && !isMv)
+          Map(graft.lake.LakeTable.ChangeFeedProp -> "true")
+        else Map.empty)
+      if (stampProps.nonEmpty) { p.tableProps(name, stampProps); () }
       // DLT policy per constraint, grouped; observe-only groups (Warn,
       // Fail) attach BEFORE Drop so their violation counts reflect the
       // full input, not the post-drop survivors (DLT computes all
@@ -258,6 +306,22 @@ object PipelineSql {
       throw new IllegalArgumentException(s"unbalanced parentheses in: $t")
     }
   }
+
+  /** `k = v` pairs out of a TBLPROPERTIES block; keys and values may be
+   *  bare or single/double-quoted (Delta writes `'delta.x' = 'true'`). */
+  private def parseProps(block: String): Map[String, String] =
+    splitTopLevel(block, ',').map(_.trim).filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      require(i > 0, s"unparseable TBLPROPERTIES entry: $kv")
+      def unq(s: String): String = {
+        val t = s.trim
+        if (t.length >= 2 && ((t.startsWith("'") && t.endsWith("'")) ||
+            (t.startsWith("\"") && t.endsWith("\""))))
+          t.substring(1, t.length - 1)
+        else t
+      }
+      unq(kv.substring(0, i)) -> unq(kv.substring(i + 1))
+    }.toMap
 
   /** Split on `sep` at parenthesis depth 0. */
   private def splitTopLevel(s: String, sep: Char): Seq[String] = {

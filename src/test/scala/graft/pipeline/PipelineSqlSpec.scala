@@ -495,6 +495,53 @@ class PipelineSqlSpec extends SparkSpec {
     assert(p.read("silver_keys").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("SQL-only incremental medallion: TBLPROPERTIES CDF + PARTITIONED BY " +
+      "on CREATE, a STREAM-join view, and chained APPLY CHANGES run " +
+      "O(new rows) end to end — flows ordered through the view chain") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_e2e")
+    val bronze = LakeTable(spark, s"$root/bronze")
+    bronze.append(Seq(
+      (1L, "click", 10.0, ts("2024-01-01 00:00:00")),
+      (2L, "view", 20.0, ts("2024-01-01 00:00:00")))
+      .toDF("user_id", "event_type", "value", "ts"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("bronze", bronze)
+    p.view("dims")(Seq(("click", 1L), ("view", 2L)).toDF("event_type", "w"))
+    PipelineSql(p, """CREATE OR REFRESH STREAMING TABLE silver
+      PARTITIONED BY (event_type)
+      TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true', 'quality' = 'silver')""")
+    PipelineSql(p, "CREATE OR REFRESH STREAMING TABLE business")
+    PipelineSql(p, """CREATE TEMPORARY VIEW enriched AS
+      SELECT s.user_id, s.value, s.ts, d.w
+      FROM STREAM(silver) s JOIN dims d ON s.event_type = d.event_type""")
+    // business flow declared BEFORE the silver flow: the DAG must order
+    // them through the view chain (enriched → silver)
+    PipelineSql(p,
+      "APPLY CHANGES INTO business FROM STREAM(enriched) KEYS (user_id) SEQUENCE BY ts")
+    PipelineSql(p,
+      "APPLY CHANGES INTO silver FROM STREAM(bronze) KEYS (user_id) SEQUENCE BY ts")
+    p.runIncremental()
+    assert(p.table("silver").partitionColumn.contains("event_type"))
+    assert(p.table("silver").tableProperties.get("quality").contains("silver"))
+    assert(p.read("business").orderBy("user_id")
+      .select("user_id", "value", "w").as[(Long, Double, Long)].collect().toSeq ==
+      Seq((1L, 10.0, 1L), (2L, 20.0, 2L)))
+    // arrival 2: ONE new user — the business layer consumes ONLY the
+    // silver change images of this window, enriched against current dims
+    bronze.append(Seq((3L, "click", 30.0, ts("2024-02-01 00:00:00")))
+      .toDF("user_id", "event_type", "value", "ts"))
+    p.runIncremental()
+    assert(p.read("business").orderBy("user_id")
+      .select("user_id", "value", "w").as[(Long, Double, Long)].collect().toSeq ==
+      Seq((1L, 10.0, 1L), (2L, 20.0, 2L), (3L, 30.0, 1L)))
+    def rowsOf(ds: String): Seq[Long] = p.eventLog
+      .filter(col("event_type") === "flow_progress" && col("dataset") === ds)
+      .orderBy("run_id").select("rows").as[Long].collect().toSeq
+    assert(rowsOf("silver") == Seq(2L, 1L))
+    assert(rowsOf("business") == Seq(2L, 1L))
+  }
+
   test("unsupported statements fail loudly") {
     val p = new Pipeline(spark, tmpDir("plsql_bad"))
     val e = intercept[IllegalArgumentException] {
