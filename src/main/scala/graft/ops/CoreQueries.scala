@@ -1151,8 +1151,10 @@ object CoreQueries {
     // is PROVEN maintainable on the parsed plan and silently refreshed
     // from the source's change feed — two arrivals, two runs, run 2
     // processes only the appended half (signed deltas, one row per
-    // touched group through the shuffle). The oracle recomputes the
-    // panel directly over all events.
+    // touched group through the shuffle). The maintainer is TYPE-FAITHFUL
+    // (the accumulator is the declared SUM's own type), so the declared
+    // query casts to decimal itself for cross-engine exactness; the
+    // oracle recomputes the identical panel directly over all events.
     Q("o18_auto_incremental_mv", (s, d) => {
       val ev = t(s, d, "events")
         .select("event_id", "event_type", "value")
@@ -1162,7 +1164,9 @@ object CoreQueries {
       val p = new Pipeline(s, s"$root/pipe")
       p.inputTable("bronze", bronze)
       PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW panel AS
-        SELECT event_type, SUM(value * 2) AS twice, COUNT(*) AS n
+        SELECT event_type,
+               SUM(CAST(value * 2 AS DECIMAL(28,6))) AS twice,
+               COUNT(*) AS n
         FROM bronze WHERE value IS NOT NULL GROUP BY event_type""")
       p.runIncremental()                                   // bootstrap
       bronze.append(ev.filter(col("event_id") % 2 === 1))
@@ -1173,7 +1177,7 @@ object CoreQueries {
         .orderBy("event_type")
     },
       Some("""SELECT event_type,
-               CAST(CAST(SUM(CAST(value * 2 AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS DOUBLE) AS twice,
+               CAST(SUM(CAST(value * 2 AS DECIMAL(28,6))) AS DOUBLE) AS twice,
                COUNT(*) AS n
         FROM events WHERE value IS NOT NULL
         GROUP BY event_type ORDER BY event_type NULLS FIRST""")),

@@ -272,11 +272,12 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
    *  the recompute fallback and pre-materialization reads share it. */
   private def autoMvDefining(spec: Pipeline.AutoMvSpec, src: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
-    val dec = "decimal(28,6)"
     val cntCol = spec.counts.headOption.getOrElse("__cnt")
     val base = spec.where.fold(src)(w => src.filter(expr(w)))
+    // TYPE-FAITHFUL: the aggregates are exactly the declared query's —
+    // detection never changes the MV's result type or values
     val aggs =
-      spec.sums.map { case (a, e) => sum(expr(e).cast(dec)).cast(dec).as(a) } ++
+      spec.sums.map { case (a, e) => sum(expr(e)).as(a) } ++
       spec.mins.map { case (a, e) => org.apache.spark.sql.functions.min(expr(e)).as(a) } ++
       spec.maxs.map { case (a, e) => org.apache.spark.sql.functions.max(expr(e)).as(a) }
     base.groupBy(spec.groupBy.map(col): _*)
@@ -754,7 +755,14 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
    *  tiebreak (run()'s resolution). When the key/sequence columns don't
    *  exist at source grain (a transformed chain that renames them), the
    *  raw delta is returned and the flow's declared tiebreak resolves —
-   *  documented restriction (COVERAGE.md). */
+   *  documented restriction (COVERAGE.md).
+   *
+   *  CAVEAT: the column check is by NAME — a chain that REDEFINES a
+   *  same-named column (`SELECT updated_at AS ts …` over a source that
+   *  also has `ts`) collapses by the source column's values, not the
+   *  flow's. Chains that repurpose key/sequence names should rename them
+   *  instead (then the fallback applies). Identity chains — the common
+   *  case — are exact by construction. */
   private def collapsedDelta(root: LakeTable, from: Long, to: Long,
       keys: Seq[String], seqCols: Seq[String], declaredTiebreak: Seq[String],
       gb: GoldBuilder): DataFrame = {
@@ -864,14 +872,18 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     // write action — no extra pass over any batch (DLT's flow_progress
     // num_output_rows discipline)
     def observe(df: DataFrame): (DataFrame, () => Long) = Pipeline.observeRows(df)
-    // select tables rooted at EXTERNAL input tables refresh before the
-    // flows: a CDC/append flow sourcing a cleaning-layer select table
-    // (bronze → clean → silver, the medallion shape) must see THIS run's
-    // cleaned rows, not last run's. Select tables rooted at declared
-    // tables still refresh in runTail, after the flows that maintain
-    // their sources.
+    // select tables rooted at EXTERNAL input tables AND consumed by a flow
+    // refresh before the flows: a CDC/append flow sourcing a cleaning-layer
+    // select table (bronze → clean → silver, the medallion shape) must see
+    // THIS run's cleaned rows, not last run's. Every other select table
+    // keeps the post-flow slot, so a defining transform that reads a CDC
+    // target via read() still sees this run's merged state — the two
+    // demands conflict only for a select table that BOTH feeds a flow and
+    // reads a flow target, which is a cross-layer cycle the graph can't
+    // satisfy in one pass (feeding the flow wins; the dim read lags a run).
     val earlySelects = selectTables.collect {
-      case (name, (source, fn)) if rootsAtInput(source) =>
+      case (name, (source, fn))
+          if rootsAtInput(source) && feedsAFlow(name) =>
         refreshSelectTable(name, source, fn, incremental, events)
         name
     }.toSet
@@ -1226,6 +1238,31 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       inputs.valuesIterator.exists(_ eq root)
     }
 
+  /** Whether `source`'s streamingView chain passes through dataset
+   *  `name` (including `source == name`). */
+  private def chainTouches(source: String, name: String): Boolean = {
+    var cur = source
+    var depth = 0
+    while (depth < 18) {
+      if (cur == name) return true
+      streamingViews.get(cur) match {
+        case Some((src, _)) => cur = src; depth += 1
+        case None => return false
+      }
+    }
+    false
+  }
+
+  /** Whether some flow (CDC or stream-registered append) consumes dataset
+   *  `name`, directly or through a streamingView chain — only such select
+   *  tables refresh BEFORE the flows; the rest keep the post-flow slot so
+   *  a transform that reads a CDC target via [[read]] still sees THIS
+   *  run's merged state. */
+  private def feedsAFlow(name: String): Boolean =
+    flows.exists(f => chainTouches(f.source, name)) ||
+      appendFlows.exists(_.stream.exists { case (src, _) =>
+        chainTouches(src, name) })
+
   /** Refresh ONE streaming-select table (ST AS SELECT over one STREAM
    *  source): incremental mode appends the select over the source's
    *  delta; snapshot mode recomputes, stamping the ledger at the source's
@@ -1307,17 +1344,12 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       incremental: Boolean, quietIdle: Boolean = false,
       refreshedEarly: Set[String] = Set.empty): Unit = {
     def observe(df: DataFrame): (DataFrame, () => Long) = Pipeline.observeRows(df)
-    // streaming-select tables not already refreshed before the flows
-    // (those rooted at declared tables — they must see this run's merges)
-    selectTables.foreach { case (name, (source, fn)) =>
-      if (!refreshedEarly.contains(name))
-        refreshSelectTable(name, source, fn, incremental, events)
-    }
     // streaming join tables (the business_silver shape): enrich the fact
     // delta — or, in snapshot mode, the fact's pinned full snapshot —
     // against current dim snapshots, dedup latest-per-key, guarded merge.
     // After the CDC flows (the enrichment sees this run's dim state),
-    // before the MVs (a gold MV over the join target sees this run's rows).
+    // before the post-flow select tables and MVs (a gold select table or
+    // MV over the join target sees this run's rows).
     joinTables.foreach { case (name, jt) =>
       val t = tables(name)
       val appId = s"graft.jointable.$name"
@@ -1388,6 +1420,13 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           }
       }
     }
+    // streaming-select tables not already refreshed before the flows
+    // (those rooted at declared tables — they must see this run's merges,
+    // including the join tables refreshed just above)
+    selectTables.foreach { case (name, (source, fn)) =>
+      if (!refreshedEarly.contains(name))
+        refreshSelectTable(name, source, fn, incremental, events)
+    }
     // incrementally maintained aggregate MVs refresh from their source's
     // change feed — O(changed rows) after bootstrap, in every run mode
     aggMvs.foreach { case (name, (source, groupBy, sums, mins, maxs)) =>
@@ -1416,7 +1455,8 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           val n = runAggMvCore(name, root, spec.where, spec.groupBy,
             spec.sums, spec.mins, spec.maxs,
             cntAlias = spec.counts.headOption.getOrElse("__cnt"),
-            flowId = s"graft.aggmv.$name", minMaxFallback = true)
+            flowId = s"graft.aggmv.$name", minMaxFallback = true,
+            exactDecimal = false)
           events += (("flow_progress", name, n,
             s"materialized view refresh (incremental from ${spec.source})"))
         case Some(_) => events += (("flow_progress", name, 0L,
@@ -1781,38 +1821,37 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       maxs: Seq[(String, String)],
       cntAlias: String,
       flowId: String,
-      minMaxFallback: Boolean = false): Long = {
+      minMaxFallback: Boolean = false,
+      exactDecimal: Boolean = true): Long = {
     import org.apache.spark.sql.functions.{col, count, expr, lit, sum, when}
     require(groupBy.nonEmpty, "incremental agg MV needs GROUP BY columns")
     val t = tables(target)
     val appId = if (flowId.nonEmpty) flowId else s"graft.aggmv.$target"
     val dec = "decimal(28,6)"
     def filtered(df: DataFrame): DataFrame = where.fold(df)(w => df.filter(expr(w)))
+    // `exactDecimal` (the explicit API's documented contract): each sum
+    // input passes through DECIMAL(28,6) so incremental addition is
+    // order-independent and bit-equal to a direct recompute. The AUTO path
+    // is TYPE-FAITHFUL instead: the accumulator is whatever the declared
+    // query's SUM would produce (long for integral, double for double,
+    // widened decimal for decimal) — detection must never change the MV's
+    // declared result type or values.
+    def sumIn(e: String) = if (exactDecimal) expr(e).cast(dec) else expr(e)
     val last = t.lastTxnVersion(appId).getOrElse(-1L)
     val cur = source.currentVersion
     if (cur <= last && t.exists) return 0L
-    // MIN/MAX retraction probe first when a graceful path exists: a window
-    // carrying delete/update images can't maintain extremes monotonically —
-    // the AUTO path re-bootstraps (the user asked for an MV, recompute is
-    // always legal), the explicit API keeps its loud contract below
-    val retractedExtremes = (mins.nonEmpty || maxs.nonEmpty) &&
-      minMaxFallback && t.exists && last >= 0 &&
-      source.feedReadable(last + 1, cur) &&
-      !source.appendOnlyOps(last + 1, cur) && {
-        source.readChangeFeed(last + 1, Some(cur))
-          .filter(!col(graft.lake.LakeTable.ChangeTypeCol).isin("insert"))
-          .limit(1).count() != 0L
-      }
-    if (!t.exists || last < 0 || retractedExtremes ||
-        !source.feedReadable(last + 1, cur)) {
-      // bootstrap: one full-snapshot aggregation at version `cur`. Also
-      // the fallback when the window spans a FULL-REWRITE source commit
-      // (the feed can't serve signed deltas across it): RE-bootstrapping
-      // replaces the MV with the recomputed panel — correct by definition
-      // and un-wedges the consumer — instead of failing every run.
+
+    // bootstrap: one full-snapshot aggregation at version `cur` — also the
+    // fallback when the window spans a FULL-REWRITE source commit (the
+    // feed can't serve signed deltas across it) or when maintained
+    // extremes retract under `minMaxFallback`: RE-bootstrapping replaces
+    // the MV with the recomputed panel — correct by definition and
+    // un-wedges the consumer — instead of failing every run.
+    def bootstrap(): Long = {
       val snap = filtered(source.readVersion(cur))
       val aggs =
-        sums.map { case (a, e) => sum(expr(e).cast(dec)).cast(dec).as(a) } ++
+        sums.map { case (a, e) =>
+          (if (exactDecimal) sum(sumIn(e)).cast(dec) else sum(sumIn(e))).as(a) } ++
         mins.map { case (a, e) => org.apache.spark.sql.functions.min(expr(e)).as(a) } ++
         maxs.map { case (a, e) => org.apache.spark.sql.functions.max(expr(e)).as(a) }
       val base = snap.groupBy(groupBy.map(col): _*)
@@ -1823,61 +1862,85 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       if (!t.exists) t.create(base.schema)
       // ledger rides the overwrite commit (replay re-bootstraps — same rows)
       t.overwrite(base, txn = Some(appId -> cur))
-      return 0L
+      0L
     }
-    // the WHERE predicate applies per-image BEFORE signing: Filter never
-    // drops columns, so the change-type metadata rides through it
+    if (!t.exists || last < 0 || !source.feedReadable(last + 1, cur))
+      return bootstrap()
+
+    // ONE read of the window, pinned: the retraction probe (when extremes
+    // are maintained over a window with row-mutating commits), the
+    // signed-delta aggregation, and the processed count all consume the
+    // same cached pass over the change dirs. The WHERE predicate applies
+    // per-image BEFORE signing: Filter never drops columns, so the
+    // change-type metadata rides through it.
     val feed = filtered(source.readChangeFeed(last + 1, Some(cur)))
-    if (mins.nonEmpty || maxs.nonEmpty) {
-      // monotone merge is sound only while nothing ever retracts: the
-      // first delete/update image in the feed fails the refresh loudly
-      val nonInsert = feed.filter(!col(graft.lake.LakeTable.ChangeTypeCol)
-        .isin("insert")).limit(1).count()
-      require(nonInsert == 0L,
-        "MIN/MAX incremental maintenance needs an APPEND-ONLY source — " +
-          "the feed carries delete/update images; use a recompute MV")
-    }
-    val sign = when(col(graft.lake.LakeTable.ChangeTypeCol)
-      .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
-    val deltaAggs =
-      sums.zipWithIndex.map { case ((_, e), i) =>
-        sum(expr(e).cast(dec) * col("__sign")).as(s"__d_$i") } ++
-      mins.zipWithIndex.map { case ((_, e), i) =>
-        org.apache.spark.sql.functions.min(expr(e)).as(s"__mn_$i") } ++
-      maxs.zipWithIndex.map { case ((_, e), i) =>
-        org.apache.spark.sql.functions.max(expr(e)).as(s"__mx_$i") }
-    val delta = feed.withColumn("__sign", sign)
-      .groupBy(groupBy.map(col): _*)
-      .agg(sum(col("__sign")).as("__dcnt"), deltaAggs: _*)
-    val processed = feed.count()
-    // NULL inputs contribute 0 (SUM-skips-nulls semantics; the one
-    // divergence is an all-NULL group reading 0 where a recompute reads
-    // NULL — the maintainable convention). least/greatest likewise skip
-    // NULLs, matching MIN/MAX.
-    val updates = (sums.zipWithIndex.map { case ((a, _), i) =>
-        a -> s"cast(coalesce(t.$a, 0) + coalesce(s.__d_$i, 0) as $dec)" } ++
-      mins.zipWithIndex.map { case ((a, _), i) => a -> s"least(t.$a, s.__mn_$i)" } ++
-      maxs.zipWithIndex.map { case ((a, _), i) => a -> s"greatest(t.$a, s.__mx_$i)" } :+
-      (cntAlias -> s"t.$cntAlias + s.__dcnt")).toMap
-    val inserts = (groupBy.map(c => c -> s"s.$c") ++
-      sums.zipWithIndex.map { case ((a, _), i) =>
-        a -> s"cast(coalesce(s.__d_$i, 0) as $dec)" } ++
-      mins.zipWithIndex.map { case ((a, _), i) => a -> s"s.__mn_$i" } ++
-      maxs.zipWithIndex.map { case ((a, _), i) => a -> s"s.__mx_$i" } :+
-      (cntAlias -> "s.__dcnt")).toMap
-    // the ±delta is NOT replay-idempotent — the txn entry commits with the
-    // merge so a crashed-and-retried window can never double-apply.
-    // nullSafeKeys: the keys are GROUP BY outputs — SQL groups NULLs as
-    // ONE group, so the merge must match them too (plain MERGE equality
-    // would re-insert the NULL group every window)
-    t.merge(delta, groupBy,
-      matchedSet = Some(updates),
-      matchedDeleteWhen = Some(s"t.$cntAlias + s.__dcnt = 0"),
-      insertGuard = Some("s.__dcnt > 0"),
-      insertSet = Some(inserts),
-      txn = Some(appId -> cur),
-      nullSafeKeys = true)
-    processed
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if ((mins.nonEmpty || maxs.nonEmpty) &&
+          !source.appendOnlyOps(last + 1, cur)) {
+        // monotone merge is sound only while nothing ever retracts: an
+        // extreme that LEAVES needs a group rescan. The AUTO path
+        // re-bootstraps (the user declared an MV — recompute is always
+        // legal); the explicit API keeps its loud contract.
+        val retracts = feed
+          .filter(!col(graft.lake.LakeTable.ChangeTypeCol).isin("insert"))
+          .limit(1).count() != 0L
+        if (retracts) {
+          if (minMaxFallback) return bootstrap()
+          require(false,
+            "MIN/MAX incremental maintenance needs an APPEND-ONLY source — " +
+              "the feed carries delete/update images; use a recompute MV")
+        }
+      }
+      val sign = when(col(graft.lake.LakeTable.ChangeTypeCol)
+        .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
+      val deltaAggs =
+        sums.zipWithIndex.map { case ((_, e), i) =>
+          sum(sumIn(e) * col("__sign")).as(s"__d_$i") } ++
+        mins.zipWithIndex.map { case ((_, e), i) =>
+          org.apache.spark.sql.functions.min(expr(e)).as(s"__mn_$i") } ++
+        maxs.zipWithIndex.map { case ((_, e), i) =>
+          org.apache.spark.sql.functions.max(expr(e)).as(s"__mx_$i") }
+      val delta = feed.withColumn("__sign", sign)
+        .groupBy(groupBy.map(col): _*)
+        .agg(sum(col("__sign")).as("__dcnt"), deltaAggs: _*)
+      val processed = feed.count()
+      // the target column's type drives the merge casts (widened-decimal
+      // arithmetic folds back; the accumulator type IS the declared type)
+      def tpe(a: String): String = t.schema(a).dataType.sql
+      // SUM's NULL algebra preserved exactly: NULL inputs contribute
+      // nothing, and a group whose inputs were ALL NULL stays NULL (the
+      // CASE keeps NULL+NULL = NULL where a bare coalesce-pair would have
+      // manufactured 0 — recompute parity). least/greatest skip NULLs,
+      // matching MIN/MAX.
+      val updates = (sums.zipWithIndex.map { case ((a, _), i) =>
+          a -> (s"cast(CASE WHEN t.$a IS NULL AND s.__d_$i IS NULL THEN NULL " +
+            s"WHEN t.$a IS NULL THEN s.__d_$i " +
+            s"WHEN s.__d_$i IS NULL THEN t.$a " +
+            s"ELSE t.$a + s.__d_$i END AS ${tpe(a)})") } ++
+        mins.zipWithIndex.map { case ((a, _), i) => a -> s"least(t.$a, s.__mn_$i)" } ++
+        maxs.zipWithIndex.map { case ((a, _), i) => a -> s"greatest(t.$a, s.__mx_$i)" } :+
+        (cntAlias -> s"t.$cntAlias + s.__dcnt")).toMap
+      val inserts = (groupBy.map(c => c -> s"s.$c") ++
+        sums.zipWithIndex.map { case ((a, _), i) =>
+          a -> s"cast(s.__d_$i AS ${tpe(a)})" } ++
+        mins.zipWithIndex.map { case ((a, _), i) => a -> s"s.__mn_$i" } ++
+        maxs.zipWithIndex.map { case ((a, _), i) => a -> s"s.__mx_$i" } :+
+        (cntAlias -> "s.__dcnt")).toMap
+      // the ±delta is NOT replay-idempotent — the txn entry commits with the
+      // merge so a crashed-and-retried window can never double-apply.
+      // nullSafeKeys: the keys are GROUP BY outputs — SQL groups NULLs as
+      // ONE group, so the merge must match them too (plain MERGE equality
+      // would re-insert the NULL group every window)
+      t.merge(delta, groupBy,
+        matchedSet = Some(updates),
+        matchedDeleteWhen = Some(s"t.$cntAlias + s.__dcnt = 0"),
+        insertGuard = Some("s.__dcnt > 0"),
+        insertSet = Some(inserts),
+        txn = Some(appId -> cur),
+        nullSafeKeys = true)
+      processed
+    } finally { feed.unpersist(); () }
   }
 
   /**

@@ -286,15 +286,27 @@ object PipelineSql {
         s"APPLY CHANGES (AUTO CDC) INTO, got: ${other.linesIterator.next()}")
   }
 
-  /** `( … )` with balanced nesting at the head of `s` → (inside, tail). */
+  /** `( … )` with balanced nesting at the head of `s` → (inside, tail).
+   *  QUOTE-AWARE: parens inside '…'/"…" string literals (doubled-quote
+   *  escapes honored) never count — a constraint condition or property
+   *  value may legally contain parentheses or commas in a string. */
   private def takeParenBlock(s: String): Option[(String, String)] = {
     val t = s.trim
     if (!t.startsWith("(")) None
     else {
       var depth = 0
       var i = 0
+      var quote: Char = 0
       while (i < t.length) {
-        t.charAt(i) match {
+        val c = t.charAt(i)
+        if (quote != 0) {
+          if (c == quote) {
+            // doubled quote = escaped quote inside the literal
+            if (i + 1 < t.length && t.charAt(i + 1) == quote) i += 1
+            else quote = 0
+          }
+        } else c match {
+          case '\'' | '"' => quote = c
           case '(' => depth += 1
           case ')' =>
             depth -= 1
@@ -323,18 +335,28 @@ object PipelineSql {
       unq(kv.substring(0, i)) -> unq(kv.substring(i + 1))
     }.toMap
 
-  /** Split on `sep` at parenthesis depth 0. */
+  /** Split on `sep` at parenthesis depth 0, outside string literals. */
   private def splitTopLevel(s: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0
     var start = 0
-    s.zipWithIndex.foreach { case (c, i) =>
-      c match {
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == quote) {
+          if (i + 1 < s.length && s.charAt(i + 1) == quote) i += 1
+          else quote = 0
+        }
+      } else c match {
+        case '\'' | '"' => quote = c
         case '(' => depth += 1
         case ')' => depth -= 1
         case `sep` if depth == 0 => out += s.substring(start, i); start = i + 1
         case _ =>
       }
+      i += 1
     }
     out += s.substring(start)
     out.result()
@@ -509,6 +531,11 @@ object PipelineSql {
               case Mx(a, _) => a; case Cnt(a) => a
             }
             if names.distinct.size == names.size
+            // the maintainer interpolates these names into merge SET
+            // expressions (t.<alias> + s.<delta>): a name that needs
+            // quoting would bootstrap fine and then wedge every refresh —
+            // keep such MVs on the recompute path instead
+            if (names ++ gs).forall(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
           } yield Pipeline.AutoMvSpec(
             source = s, where = where, groupBy = gs,
             sums = os.collect { case Sm(a, e) => a -> e },

@@ -1696,6 +1696,94 @@ class PipelineSpec extends SparkSpec {
     assert(rows == Seq((None, 12.0, 2L), (Some("a"), 10.0, 1L)))
   }
 
+  test("agg MV SUM NULL algebra: an all-NULL group stays NULL through " +
+      "incremental touches (recompute parity, no manufactured zero)") {
+    import graft.lake.LakeTable
+    val root = tmpDir("pl_nullsum")
+    val src = LakeTable(spark, s"$root/src")
+    src.append(Seq((1L, "a", Option.empty[Double]), (2L, "b", Option(3.0)))
+      .toDF("k", "g", "v"))
+    val p = new Pipeline(spark, root)
+    p.streamingTable("mv")
+    def refresh(): Unit = {
+      p.runAggMvFromChangeFeed("mv", src, Seq("g"), Seq("v"), "f"); ()
+    }
+    refresh() // bootstrap: group a sums NULL (its only input is NULL)
+    // touch group a with ANOTHER null input: still NULL, cnt advances
+    src.append(Seq((3L, "a", Option.empty[Double])).toDF("k", "g", "v"))
+    refresh()
+    def rows = p.read("mv")
+      .select($"g", $"sum_v".cast("double"), $"cnt")
+      .orderBy("g").as[(String, Option[Double], Long)].collect().toSeq
+    assert(rows == Seq(("a", None, 2L), ("b", Some(3.0), 1L)))
+    // the first non-NULL arrival materializes the sum
+    src.append(Seq((4L, "a", Option(5.0))).toDF("k", "g", "v"))
+    refresh()
+    assert(rows == Seq(("a", Some(5.0), 3L), ("b", Some(3.0), 1L)))
+  }
+
+  test("a select table NOT consumed by any flow refreshes AFTER the flows " +
+      "and joins THIS run's merged dim state; one consumed by a flow " +
+      "refreshes before it") {
+    import graft.lake.LakeTable
+    val root = tmpDir("pl_selectorder")
+    val facts = LakeTable(spark, s"$root/facts")
+    val dimSrc = LakeTable(spark, s"$root/dimsrc")
+    facts.append(Seq((1L, "D1", ts("2024-01-01 00:00:00")))
+      .toDF("k", "dimk", "seq"))
+    dimSrc.append(Seq(("D1", "old", ts("2024-01-01 00:00:00")))
+      .toDF("dimk", "name", "seq"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("facts", facts)
+    p.inputTable("dimsrc", dimSrc)
+    p.streamingTable("dim")
+    p.autoCdcFlow("dim", "dimsrc", Seq("dimk"), "seq")
+    // input-rooted but NOT consumed by any flow: must refresh POST-flows,
+    // so its dim join sees the state this run's CDC merge produced
+    p.streamingSelectTable("gold", "facts")(df =>
+      df.join(p.read("dim").select("dimk", "name"), Seq("dimk")))
+    p.runIncremental()
+    assert(p.read("gold").select("k", "name").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "old")))
+    // the dim RENAMES and a new fact arrives in the same window: the new
+    // gold row must carry the renamed dim value merged THIS run
+    dimSrc.append(Seq(("D1", "new", ts("2024-02-01 00:00:00")))
+      .toDF("dimk", "name", "seq"))
+    facts.append(Seq((2L, "D1", ts("2024-02-01 00:00:00")))
+      .toDF("k", "dimk", "seq"))
+    p.runIncremental()
+    assert(p.read("gold").orderBy("k").select("k", "name")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "old"), (2L, "new")))
+  }
+
+  test("a select table over a CDF-enabled streamingJoinTable consumes " +
+      "THIS run's join rows (join tables refresh before post-flow select " +
+      "tables)") {
+    import graft.lake.LakeTable
+    val root = tmpDir("pl_sel_over_join")
+    val facts = LakeTable(spark, s"$root/facts")
+    facts.append(Seq((10L, 1L, ts("2024-01-01 00:00:00")))
+      .toDF("booking_id", "pax_id", "seq"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("bookings", facts)
+    p.view("pax")(Seq((1L, "Ada"), (2L, "Ben")).toDF("pax_id", "name"))
+    p.streamingJoinTable("business", "bookings", Seq("booking_id"), "seq",
+      enableChangeFeed = true)(b => b.join(p.read("pax"), Seq("pax_id")))
+    p.streamingSelectTable("export", "business")(df =>
+      df.select("booking_id", "name"))
+    p.runIncremental()
+    assert(p.read("export").as[(Long, String)].collect().toSeq ==
+      Seq((10L, "Ada")))
+    // a NEW key arrives: the join merge carries insert-only images, and
+    // the export select table lands them in the SAME run
+    facts.append(Seq((11L, 2L, ts("2024-02-01 00:00:00")))
+      .toDF("booking_id", "pax_id", "seq"))
+    p.runIncremental()
+    assert(p.read("export").orderBy("booking_id").as[(Long, String)]
+      .collect().toSeq == Seq((10L, "Ada"), (11L, "Ben")))
+  }
+
   test("views resolve lazily and read() prefers materialized tables") {
     val p = new Pipeline(spark, tmpDir("pl_views"))
     var evaluated = false

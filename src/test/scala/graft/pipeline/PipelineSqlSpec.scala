@@ -542,6 +542,54 @@ class PipelineSqlSpec extends SparkSpec {
     assert(rowsOf("business") == Seq(2L, 1L))
   }
 
+  test("TBLPROPERTIES values may contain commas and parens inside quotes") {
+    val p = new Pipeline(spark, tmpDir("plsql_props"))
+    p.view("src")(Seq((1L, "a", ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq"))
+    PipelineSql(p, """CREATE OR REFRESH STREAMING TABLE t
+      TBLPROPERTIES ('cols' = 'a,b', 'note' = 'x (y)')""")
+    PipelineSql(p, "APPLY CHANGES INTO t FROM STREAM(src) KEYS (k) SEQUENCE BY seq")
+    p.run()
+    assert(p.table("t").tableProperties.get("cols").contains("a,b"))
+    assert(p.table("t").tableProperties.get("note").contains("x (y)"))
+  }
+
+  test("auto-MV maintenance is TYPE-FAITHFUL (the declared SUM's own " +
+      "result type survives) and names that need quoting stay on the " +
+      "recompute path") {
+    import graft.lake.LakeTable
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val root = tmpDir("plsql_automv_types")
+    val bronze = LakeTable(spark, s"$root/bronze")
+    bronze.append(Seq((1L, "a", 1.5, 10L), (2L, "a", 2.5, 20L))
+      .toDF("k", "g", "dv", "lv"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("src", bronze)
+    PipelineSql(p, "CREATE OR REFRESH MATERIALIZED VIEW m AS " +
+      "SELECT g, SUM(dv) AS sd, SUM(lv) AS sl FROM src GROUP BY g")
+    p.run()
+    // the recompute MV would produce DOUBLE and BIGINT — so must the
+    // maintained one (detection never changes declared types or values)
+    assert(p.read("m").schema("sd").dataType == DoubleType)
+    assert(p.read("m").schema("sl").dataType == LongType)
+    bronze.append(Seq((3L, "a", 0.5, 5L)).toDF("k", "g", "dv", "lv"))
+    p.run() // incremental touch keeps types and exact values
+    assert(p.read("m").schema("sd").dataType == DoubleType)
+    assert(p.read("m").as[(String, Double, Long)].collect().toSeq ==
+      Seq(("a", 4.5, 35L)))
+
+    // a backquoted alias would wedge the merge's SET expressions —
+    // detection refuses it, the recompute path still answers
+    PipelineSql(p, "CREATE OR REFRESH MATERIALIZED VIEW m2 AS " +
+      "SELECT g, SUM(dv) AS `total value` FROM src GROUP BY g")
+    p.run()
+    assert(p.read("m2").columns.toSeq == Seq("g", "total value"))
+    assert(p.read("m2").as[(String, Double)].collect().toSeq == Seq(("a", 4.5)))
+    assert(p.eventLog.filter(col("dataset") === "m2")
+      .select("message").as[String].collect()
+      .forall(m => m.contains("materialized view refresh") &&
+        !m.contains("incremental")))
+  }
+
   test("unsupported statements fail loudly") {
     val p = new Pipeline(spark, tmpDir("plsql_bad"))
     val e = intercept[IllegalArgumentException] {
