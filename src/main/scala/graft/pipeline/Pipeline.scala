@@ -1561,6 +1561,48 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     }
   }
 
+  /** The declared pipeline GRAPH as a relation — DLT's pipeline-graph
+   *  observability surface next to [[eventLog]]: one row per declared
+   *  dataset with its kind, its declared upstream dataset (the graph
+   *  edge; NULL for roots and plain views, whose dependencies are
+   *  closure-resolved), and whether the dataset currently refreshes
+   *  incrementally (its stream chain resolves to a feed-readable root).
+   *  Purely metadata — nothing executes. */
+  def datasets: DataFrame = {
+    import spark.implicits._
+    def inc(source: String): Boolean = resolveStreamRoot(source).isDefined
+    val rows =
+      inputs.keysIterator.map(n => (n, "input", Option.empty[String], false)).toSeq ++
+      streamingViews.iterator.map { case (n, (src, _)) =>
+        (n, "streaming_view", Option(src), inc(src)) }.toSeq ++
+      views.keysIterator.filterNot(n => tables.contains(n) ||
+        inputs.contains(n) || streamingViews.contains(n))
+        .map(n => (n, "view", Option.empty[String], false)).toSeq ++
+      tables.keysIterator.map { n =>
+        if (selectTables.contains(n)) {
+          val src = selectTables(n)._1
+          (n, "streaming_table_as_select", Option(src), inc(src))
+        } else if (joinTables.contains(n)) {
+          val src = joinTables(n).source
+          (n, "streaming_join_table", Option(src), inc(src))
+        } else if (aggMvs.contains(n))
+          (n, "incremental_agg_mv", Option(aggMvs(n)._1), true)
+        else if (autoMvs.contains(n)) {
+          val src = autoMvs(n).source
+          (n, "materialized_view_auto", Option(src),
+            inputs.contains(src) || tables.contains(src))
+        } else if (mviews.contains(n))
+          (n, "materialized_view", Option.empty[String], false)
+        else {
+          val src = flows.find(_.target == n).map(_.source)
+            .orElse(snapshotFlows.find(_.target == n)
+              .flatMap(_.source.left.toOption))
+          (n, "streaming_table", src, src.exists(inc))
+        }
+      }.toSeq
+    rows.toDF("name", "kind", "source", "incremental")
+  }
+
   /** Last processed snapshot version for `f`: the in-memory counter, else
    *  (SCD2) the target's max `__START_AT` — SCD2 versions survive
    *  instance restarts through the history itself. */

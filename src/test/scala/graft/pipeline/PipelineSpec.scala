@@ -1784,6 +1784,33 @@ class PipelineSpec extends SparkSpec {
       .collect().toSeq == Seq((10L, "Ada"), (11L, "Ben")))
   }
 
+  test("datasets introspection: one row per declared node with kind, edge, " +
+      "and incremental-capability — metadata only, nothing executes") {
+    import graft.lake.LakeTable
+    val root = tmpDir("pl_datasets")
+    val bronze = LakeTable(spark, s"$root/bronze")
+    bronze.append(Seq((1L, "a", ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("bronze", bronze)
+    var evaluated = false
+    p.view("dims") { evaluated = true; Seq((1L, "x")).toDF("k", "d") }
+    p.streamingView("clean", "bronze")(df => df.filter(col("v").isNotNull))
+    p.streamingTable("silver", enableChangeFeed = true)
+    p.autoCdcFlow("silver", "clean", Seq("k"), "seq")
+    p.streamingJoinTable("business", "silver", Seq("k"), "seq")(b =>
+      b.join(p.read("dims"), Seq("k")))
+    p.incrementalAggMv("gold", "silver", Seq("v"), Seq("k"))
+    val ds = p.datasets.as[(String, String, Option[String], Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(!evaluated) // introspection never runs defining queries
+    assert(ds("bronze") == (("input", None, false)))
+    assert(ds("dims") == (("view", None, false)))
+    assert(ds("clean") == (("streaming_view", Some("bronze"), true)))
+    assert(ds("silver") == (("streaming_table", Some("clean"), true)))
+    assert(ds("business") == (("streaming_join_table", Some("silver"), true)))
+    assert(ds("gold") == (("incremental_agg_mv", Some("silver"), true)))
+  }
+
   test("views resolve lazily and read() prefers materialized tables") {
     val p = new Pipeline(spark, tmpDir("pl_views"))
     var evaluated = false
