@@ -590,6 +590,31 @@ class PipelineSqlSpec extends SparkSpec {
         !m.contains("incremental")))
   }
 
+  test("runFullRefresh rebuilds an auto-maintained MV from scratch and " +
+      "incremental maintenance resumes after it") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_refresh")
+    val bronze = LakeTable(spark, s"$root/bronze")
+    bronze.append(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "g", "v"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("src", bronze)
+    PipelineSql(p, "CREATE OR REFRESH MATERIALIZED VIEW m AS " +
+      "SELECT g, SUM(v) AS s, COUNT(*) AS n FROM src GROUP BY g")
+    p.run()
+    bronze.append(Seq((3L, "a", 5L)).toDF("k", "g", "v"))
+    p.run()
+    def m = p.read("m").orderBy("g").as[(String, Long, Long)].collect().toSeq
+    assert(m == Seq(("a", 15L, 2L), ("b", 20L, 1L)))
+    // full refresh: the MV's ledger clears, the wiped table re-bootstraps
+    // from the source's full current snapshot
+    p.runFullRefresh()
+    assert(m == Seq(("a", 15L, 2L), ("b", 20L, 1L)))
+    // and the ledger is consistent: the next delta maintains incrementally
+    bronze.append(Seq((4L, "b", 1L)).toDF("k", "g", "v"))
+    p.runIncremental()
+    assert(m == Seq(("a", 15L, 2L), ("b", 21L, 2L)))
+  }
+
   test("unsupported statements fail loudly") {
     val p = new Pipeline(spark, tmpDir("plsql_bad"))
     val e = intercept[IllegalArgumentException] {
