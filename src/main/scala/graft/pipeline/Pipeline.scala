@@ -340,9 +340,10 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
    *  rationale). This is [[runJoinFlowStreaming]]'s semantics as a graph
    *  node: declared once, executed by every run mode, event-logged.
    *
-   *  Join tables refresh AFTER the CDC flows and streaming-select tables
-   *  each run (the enrichment must see this run's merged dim state) and
-   *  BEFORE the aggregate/recompute MVs (so a gold MV over the join target
+   *  Join tables refresh AFTER the CDC flows and any streaming-select
+   *  tables that FEED them each run (the enrichment must see this run's
+   *  merged dim and fact state) and BEFORE the remaining select tables and
+   *  the aggregate/recompute MVs (so a gold dataset over the join target
    *  sees this run's rows). */
   def streamingJoinTable(name: String, source: String, keys: Seq[String],
       sequenceBy: String, tiebreak: Seq[String] = Nil,
@@ -752,22 +753,22 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
    *  arrival replaces). The collapse runs BEFORE any downstream per-row
    *  transform, so the transform sees only the surviving image — exactly
    *  what a full refresh reads. Within-commit ties keep the declared
-   *  tiebreak (run()'s resolution). When the key/sequence columns don't
-   *  exist at source grain (a transformed chain that renames them), the
-   *  raw delta is returned and the flow's declared tiebreak resolves —
-   *  documented restriction (COVERAGE.md).
+   *  tiebreak (run()'s resolution).
    *
-   *  CAVEAT: the column check is by NAME — a chain that REDEFINES a
-   *  same-named column (`SELECT updated_at AS ts …` over a source that
-   *  also has `ts`) collapses by the source column's values, not the
-   *  flow's. Chains that repurpose key/sequence names should rename them
-   *  instead (then the fallback applies). Identity chains — the common
-   *  case — are exact by construction. */
+   *  The collapse is PROVENANCE-CHECKED, not name-checked: it applies only
+   *  when the key/sequence columns exist at source grain AND the composed
+   *  downstream transform provably passes them through un-redefined
+   *  ([[preservesColumns]] — plan-level lineage). A chain that renames
+   *  them away, or REDEFINES a same-named column (`SELECT updated_at AS
+   *  ts …` over a source that also has `ts` — the source `ts` is not the
+   *  flow's `ts`, so collapsing by it would silently diverge from a full
+   *  refresh), falls back to the raw delta + the flow's declared tiebreak. */
   private def collapsedDelta(root: LakeTable, from: Long, to: Long,
       keys: Seq[String], seqCols: Seq[String], declaredTiebreak: Seq[String],
-      gb: GoldBuilder): DataFrame = {
+      gb: GoldBuilder, downstream: DataFrame => DataFrame): DataFrame = {
     val fd = feedDelta(root, from, to, keepCommitVersion = true)
-    if ((keys ++ seqCols).forall(fd.columns.contains)) {
+    if ((keys ++ seqCols).forall(fd.columns.contains) &&
+        preservesColumns(downstream, root.schema, keys ++ seqCols)) {
       val declaredTb = declaredTiebreak.filter(fd.columns.contains)
       val valueTb =
         if (declaredTb.nonEmpty) declaredTb
@@ -778,6 +779,29 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         .drop(graft.lake.LakeTable.CommitVersionCol)
     } else fd.drop(graft.lake.LakeTable.CommitVersionCol)
   }
+
+  /** Whether the composed per-row transform PRESERVES each of `cols` by
+   *  PROVENANCE, not merely by name: applied to an empty frame with the
+   *  source's schema, the transform's output attribute named `c` must BE
+   *  the input attribute named `c` (same expression id — plan-level
+   *  lineage through Project/Filter/Alias), with the name unambiguous on
+   *  both sides. A redefinition (`SELECT updated_at AS ts` over a source
+   *  that also has `ts`) mints a fresh attribute and fails the check.
+   *  Driver-side plan analysis only — no data moves; a transform that
+   *  errors on the schema probe is conservatively non-preserving. */
+  private def preservesColumns(fn: DataFrame => DataFrame,
+      schema: org.apache.spark.sql.types.StructType,
+      cols: Seq[String]): Boolean = scala.util.Try {
+    val sample = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    val in = sample.queryExecution.analyzed.output
+    val out = fn(sample).queryExecution.analyzed.output
+    cols.forall { c =>
+      val i = in.filter(_.name == c)
+      val o = out.filter(_.name == c)
+      i.size == 1 && o.size == 1 && i.head.exprId == o.head.exprId
+    }
+  }.getOrElse(false)
 
   /** ONE change-feed scan for an APPEND-ONLY consumer (append flows,
    *  streaming-select tables), enforcing the DLT-style restriction that
@@ -1032,7 +1056,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
               if (last < 0 || !src.feedReadable(last + 1, cur))
                 src.readVersion(cur)
               else collapsedDelta(src, last + 1, cur, f.keys,
-                f.sequenceBy +: f.sequenceAlso, f.tiebreak, gb)
+                f.sequenceBy +: f.sequenceAlso, f.tiebreak, gb, fn)
             // pinned: the emptiness probe, the gate counters, and the SCD
             // apply's own joins all consume the delta — one pass over the
             // change dirs instead of three
@@ -1344,12 +1368,25 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       incremental: Boolean, quietIdle: Boolean = false,
       refreshedEarly: Set[String] = Set.empty): Unit = {
     def observe(df: DataFrame): (DataFrame, () => Long) = Pipeline.observeRows(df)
+    // select tables FEEDING a join table refresh BEFORE it: the join's
+    // source window must include THIS run's appended select rows, or the
+    // enrichment would lag one run behind (a select table that instead
+    // READS a join target keeps the post-join slot below — a table doing
+    // BOTH is a cross-layer cycle one pass can't satisfy; feeding wins).
+    val preJoinSelects = selectTables.collect {
+      case (name, (source, fn))
+          if !refreshedEarly.contains(name) &&
+            joinTables.valuesIterator.exists(jt => chainTouches(jt.source, name)) =>
+        refreshSelectTable(name, source, fn, incremental, events)
+        name
+    }.toSet
     // streaming join tables (the business_silver shape): enrich the fact
     // delta — or, in snapshot mode, the fact's pinned full snapshot —
     // against current dim snapshots, dedup latest-per-key, guarded merge.
-    // After the CDC flows (the enrichment sees this run's dim state),
-    // before the post-flow select tables and MVs (a gold select table or
-    // MV over the join target sees this run's rows).
+    // After the CDC flows and any select tables that feed them (the
+    // enrichment sees this run's dim and fact state), before the remaining
+    // select tables and MVs (a gold select table or MV over the join
+    // target sees this run's rows).
     joinTables.foreach { case (name, jt) =>
       val t = tables(name)
       val appId = s"graft.jointable.$name"
@@ -1382,7 +1419,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
               if (last < 0 || !root.feedReadable(last + 1, cur))
                 root.readVersion(cur)
               else collapsedDelta(root, last + 1, cur, jt.keys,
-                Seq(jt.sequenceBy), jt.tiebreak, gb)
+                Seq(jt.sequenceBy), jt.tiebreak, gb, g)
             val delta = g(raw)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             try {
@@ -1420,11 +1457,11 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           }
       }
     }
-    // streaming-select tables not already refreshed before the flows
-    // (those rooted at declared tables — they must see this run's merges,
-    // including the join tables refreshed just above)
+    // streaming-select tables not already refreshed before the flows or
+    // the join tables (the rest must see this run's merges, including the
+    // join tables refreshed just above)
     selectTables.foreach { case (name, (source, fn)) =>
-      if (!refreshedEarly.contains(name))
+      if (!refreshedEarly.contains(name) && !preJoinSelects.contains(name))
         refreshSelectTable(name, source, fn, incremental, events)
     }
     // incrementally maintained aggregate MVs refresh from their source's

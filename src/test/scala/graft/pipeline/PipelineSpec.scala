@@ -1819,4 +1819,65 @@ class PipelineSpec extends SparkSpec {
     assert(p.read("v").count() == 1)
     assert(evaluated)
   }
+
+  test("commit-recency collapse is PROVENANCE-checked: a chain that " +
+      "REDEFINES a same-named sequence column falls back to the raw " +
+      "delta — a one-window run agrees with per-commit windows") {
+    import graft.lake.LakeTable
+    val root = tmpDir("pl_provenance")
+    val src = LakeTable(spark, s"$root/src")
+    src.create(Seq((1L, 10L, 100L, "seed")).toDF("k", "ts", "updated_at", "v")
+      .schema, enableChangeFeed = true)
+    src.append(Seq((2L, 1L, 1L, "other")).toDF("k", "ts", "updated_at", "v"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("src", src)
+    // the chain REDEFINES `ts`: the flow's sequence is updated_at, but the
+    // SOURCE also has a ts column — a by-name collapse would group on the
+    // source's ts values, not the flow's
+    p.streamingView("clean", "src")(df =>
+      df.select(col("k"), col("updated_at").as("ts"), col("v")))
+    p.streamingTable("silver")
+    p.autoCdcFlow("silver", "clean", Seq("k"), "ts")
+    p.runIncremental() // bootstrap materializes silver and pins the ledger
+    // ONE window, two commits rewriting k=1 at the SAME source ts with
+    // DESCENDING flow sequence: a source-grain collapse keeps only the
+    // newer commit's image (updated_at=50) and silently discards the
+    // higher-sequenced event — per-commit windows would keep it via the
+    // >= merge guard
+    src.merge(Seq((1L, 10L, 100L, "keep")).toDF("k", "ts", "updated_at", "v"),
+      Seq("k"))
+    src.merge(Seq((1L, 10L, 50L, "stale")).toDF("k", "ts", "updated_at", "v"),
+      Seq("k"))
+    p.runIncremental()
+    assert(p.read("silver").filter($"k" === 1L).select("v")
+      .as[String].head() == "keep")
+    assert(p.read("silver").filter($"k" === 1L).select("ts")
+      .as[Long].head() == 100L)
+  }
+
+  test("a streaming-select table FEEDING a streamingJoinTable refreshes " +
+      "BEFORE it: the join enriches THIS run's select rows, not last " +
+      "run's") {
+    import graft.lake.LakeTable
+    val root = tmpDir("pl_joinfeed")
+    val bronze = LakeTable(spark, s"$root/bronze")
+    bronze.append(Seq((1L, "click", 1L)).toDF("k", "typ", "seq"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    // NOT input-rooted early refresh: route through a declared table so
+    // the select table sits squarely in runTail
+    p.inputTable("bronze", bronze)
+    p.streamingSelectTable("clean", "bronze")(df => df.filter(col("typ").isNotNull))
+    p.view("dim")(Seq(("click", 10L), ("view", 20L)).toDF("typ", "w"))
+    p.streamingJoinTable("biz", "clean", Seq("k"), "seq")(b =>
+      b.join(p.read("dim"), Seq("typ")))
+    p.runIncremental()
+    assert(p.read("biz").select("k", "w").as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 10L)))
+    bronze.append(Seq((2L, "view", 2L)).toDF("k", "typ", "seq"))
+    p.runIncremental()
+    // without the pre-join select refresh, run 2's join window reads only
+    // run 1's clean rows — k=2 lags one run behind
+    assert(p.read("biz").orderBy("k").select("k", "w")
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 10L), (2L, 20L)))
+  }
 }
