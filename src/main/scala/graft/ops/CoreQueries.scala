@@ -2304,6 +2304,67 @@ object CoreQueries {
         FROM latest l JOIN type_dim d USING (event_type)
         ORDER BY l.user_id""")),
 
+    // S47: the SAME medallion as s46 declared as ONE ;-separated Lakeflow
+    // SQL SCRIPT (`PipelineSql.script`) — the file form a real pipeline
+    // ships, with comments and a quoted semicolon exercising the quote-
+    // aware top-level splitter. Two arrivals, two incremental runs; the
+    // oracle is s46's (identical semantics, one entry point).
+    Q("s47_pipeline_sql_script", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+        .select("user_id", "event_type", "value", "ts", "event_id")
+      val r = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val cut = new Timestamp(
+        (r.getTimestamp(0).getTime + r.getTimestamp(1).getTime) / 2)
+      val root = tmp("graft_s47")
+      val bronze = LakeTable(s, s"$root/bronze")
+      bronze.append(ev.filter(col("ts") <= lit(cut)))       // arrival 1
+      val p = new Pipeline(s, s"$root/pipe")
+      p.inputTable("bronze", bronze)
+      p.view("type_dim")(t(s, d, "events")
+        .filter(col("event_type").isNotNull)
+        .groupBy("event_type").agg(min(col("event_id")).as("type_min_id")))
+      PipelineSql.script(p, """
+        -- silver: CDF-enabled so the business layer streams from it
+        CREATE OR REFRESH STREAMING TABLE silver
+          TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true');
+        APPLY CHANGES INTO silver FROM STREAM(bronze)
+          KEYS (user_id) SEQUENCE BY ts;
+        /* the business_silver enrichment; a stream-static join */
+        CREATE TEMPORARY VIEW enriched AS
+          SELECT s.user_id, s.event_type, s.value, s.ts, s.event_id,
+                 d.type_min_id
+          FROM STREAM(silver) s JOIN type_dim d
+            ON s.event_type = d.event_type;
+        CREATE OR REFRESH STREAMING TABLE business;
+        CREATE FLOW biz_cdc AS
+          APPLY CHANGES INTO business FROM STREAM(enriched)
+          KEYS (user_id) SEQUENCE BY ts;
+        """)
+      p.runIncremental()                                    // full window
+      bronze.append(ev.filter(col("ts") > lit(cut)))        // arrival 2
+      p.runIncremental()                                    // delta only
+      p.read("business").orderBy("user_id")
+    },
+      Some("""WITH clean AS (
+          SELECT user_id, event_type, value, ts, event_id FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_type IS NOT NULL
+        ), latest AS (
+          SELECT user_id, event_type, value, ts, event_id FROM clean
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_type DESC NULLS LAST,
+                     value DESC NULLS LAST, event_id DESC) = 1
+        ), type_dim AS (
+          SELECT event_type, MIN(event_id) AS type_min_id FROM events
+          WHERE event_type IS NOT NULL GROUP BY event_type
+        )
+        SELECT l.user_id, l.event_type, l.value, l.ts, l.event_id,
+               d.type_min_id
+        FROM latest l JOIN type_dim d USING (event_type)
+        ORDER BY l.user_id""")),
+
     // S40: the ENTIRE pipeline declared in Lakeflow SQL — the public SQL
     // surface of the API the reference drives through Python decorators:
     // `CREATE OR REFRESH STREAMING TABLE` + `APPLY CHANGES INTO … APPLY AS

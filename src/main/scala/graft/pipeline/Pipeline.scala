@@ -54,12 +54,16 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
   def contains(name: String): Boolean =
     tables.contains(name) || views.contains(name)
 
-  /** Whether `name` is a declared full-recompute MV — such a dataset
-   *  refreshes LAST each run, so an auto-maintained MV must not source
-   *  from it (it would read last run's state); [[PipelineSql]] keeps those
-   *  as recompute MVs, which refresh in declaration order. */
-  private[pipeline] def isRecomputeMv(name: String): Boolean =
-    mviews.contains(name)
+  /** Whether `name` is a TABLE-BACKED dataset an auto-maintained MV may
+   *  source from: an external input table or a declared non-recompute-MV
+   *  table. A recompute MV refreshes LAST each run, so an auto MV over one
+   *  would read last run's state — and a plain VIEW source is rejected for
+   *  the same reason even when its shape is maintainable: its dependency
+   *  closure may reach a recompute MV. [[PipelineSql]] keeps both on the
+   *  recompute path, ordered with the other recompute MVs in declaration
+   *  order. */
+  private[pipeline] def isTableBackedSource(name: String): Boolean =
+    inputs.contains(name) || (tables.contains(name) && !mviews.contains(name))
 
   /** Register a named transformation (O3 `@dlt.view`). */
   def view(name: String)(fn: => DataFrame): this.type = {
@@ -390,7 +394,8 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       ignoreNullUpdates: Boolean = false,
       applyAsTruncates: Option[String] = None,
       columnList: Seq[String] = Nil,
-      sequenceAlso: Seq[String] = Nil): this.type = {
+      sequenceAlso: Seq[String] = Nil,
+      name: String = ""): this.type = {
     require(scdType == 1 || scdType == 2, s"stored_as_scd_type must be 1 or 2, got $scdType")
     // DLT's struct sequence_by (`sequence_by = struct(c1, c2)` / SQL
     // `SEQUENCE BY (c1, c2)`): ordering is lexicographic over the column
@@ -428,10 +433,15 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       "track_history_column_list and track_history_except_column_list are exclusive")
     require((trackHistoryColumns.isEmpty && trackHistoryExceptColumns.isEmpty) ||
       scdType == 2, "track-history column scoping applies to SCD type 2 flows only")
+    // DLT addresses flows by their declared names in the event log — a
+    // named flow (SQL `CREATE FLOW f AS APPLY CHANGES …`) must stay
+    // distinguishable from every other named flow on the pipeline
+    require(name.isEmpty || (!flows.exists(_.name == name) &&
+      !appendFlows.exists(_.name == name)), s"duplicate flow name: $name")
     flows += CdcFlow(target, source, keys, sequenceBy, tiebreak, scdType,
       applyAsDeletes, exceptColumns, trackHistoryColumns,
       trackHistoryExceptColumns, ignoreNullUpdates, applyAsTruncates,
-      columnList, sequenceAlso)
+      columnList, sequenceAlso, name)
     this
   }
 
@@ -1067,24 +1077,25 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
                 // metadata-only window: advance the ledger, skip the apply
                 if (t.exists) { t.recordTxn(appId, cur); () }
                 events += (("flow_progress", f.target, 0L,
-                  s"cdc from ${f.source} (scd${f.scdType}, incremental " +
-                    s"v${last + 1}..v$cur empty)"))
+                  s"cdc flow ${f.flowName} from ${f.source} (scd${f.scdType}, " +
+                    s"incremental v${last + 1}..v$cur empty)"))
               } else {
                 val (batch, flowRows) = observe(gate(f.target, delta))
                 applyCdcFlow(f, batch, gb, txn = Some(appId -> cur))
                 events += (("flow_progress", f.target, flowRows(),
-                  s"cdc from ${f.source} (scd${f.scdType}, incremental " +
-                    s"v${last + 1}..v$cur)"))
+                  s"cdc flow ${f.flowName} from ${f.source} (scd${f.scdType}, " +
+                    s"incremental v${last + 1}..v$cur)"))
               }
             } finally { delta.unpersist(); () }
           } else events += (("flow_progress", f.target, 0L,
-            s"cdc from ${f.source} (scd${f.scdType}, incremental up-to-date)"))
+            s"cdc flow ${f.flowName} from ${f.source} (scd${f.scdType}, " +
+              "incremental up-to-date)"))
         case _ =>
           val (batch, flowRows) =
             observe(gate(f.target, views.getOrElse(f.source, () => read(f.source))()))
           applyCdcFlow(f, batch, gb)
           events += (("flow_progress", f.target, flowRows(),
-            s"cdc from ${f.source} (scd${f.scdType})"))
+            s"cdc flow ${f.flowName} from ${f.source} (scd${f.scdType})"))
       }
     }
     runTail(events, incremental, quietIdle, earlySelects)
@@ -1747,6 +1758,42 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     run()
   }
 
+  /** DLT's REFRESH SELECTION: full-refresh ONLY the named datasets while
+   *  the REST of the graph runs a normal incremental update — at 100 TB
+   *  the difference between re-bootstrapping one misdeclared gold table
+   *  and re-reading every layer. Each selected table is wiped (an
+   *  overwrite commit — time travel to pre-refresh versions still works)
+   *  and EVERY ledger its flows ride is cleared, so its CDC/append/select/
+   *  join/MV flows re-bootstrap from the sources' current contents;
+   *  `once = true` append flows into a selected target drain again (the
+   *  documented full-refresh exception), and snapshot-CDC version counters
+   *  restart. Untouched tables keep their data files; downstream
+   *  incremental consumers of a refreshed table see its wipe/rebuild as a
+   *  full-rewrite window and recover through the existing fallbacks
+   *  (re-pin at the current snapshot / snapshot-refresh / re-bootstrap —
+   *  sound because the guarded merges are replay-idempotent). */
+  def runFullRefresh(only: Set[String]): Unit = {
+    val unknown = only.filterNot(tables.contains)
+    require(unknown.isEmpty,
+      s"refresh selection names undeclared tables: ${unknown.toSeq.sorted.mkString(", ")}")
+    only.foreach { name =>
+      appendFlows.filter(_.target == name).foreach { af =>
+        onceFlowsDone -= af.name; ()
+      }
+      snapshotVersions -= name
+      val t = tables(name)
+      if (t.exists) {
+        t.overwrite(t.read.limit(0))
+        (Seq(s"graft.flow.$name", s"graft.sttable.$name",
+          s"graft.jointable.$name", s"graft.aggmv.$name") ++
+          appendFlows.filter(_.target == name)
+            .map(af => s"graft.appendflow.${af.name}"))
+          .foreach { app => t.clearTxn(app); () }
+      }
+    }
+    runIncremental()
+  }
+
   /**
    * TRUE STREAMING auto-CDC flow — the execution shape DLT actually gives a
    * `create_auto_cdc_flow` (SURVEY §3.2): tail an append-only bronze
@@ -2179,5 +2226,11 @@ object Pipeline {
       ignoreNullUpdates: Boolean = false,
       applyAsTruncates: Option[String] = None,
       columnList: Seq[String] = Nil,
-      sequenceAlso: Seq[String] = Nil)
+      sequenceAlso: Seq[String] = Nil,
+      name: String = "") {
+    /** Event-log flow attribution: the declared flow name, else the
+     *  target (DLT's default — an unnamed APPLY CHANGES is addressed by
+     *  its table). */
+    def flowName: String = if (name.nonEmpty) name else target
+  }
 }

@@ -66,7 +66,7 @@ object PipelineSql {
     ("""(?is)\s*CREATE\s+FLOW\s+([A-Za-z_]\w*)\s+AS\s+INSERT\s+INTO\s+""" +
       """(?:(ONCE)\s+)?([A-Za-z_]\w*)\s+BY\s+NAME\s+(.+?)\s*;?\s*""").r
   private val ApplyChanges =
-    ("""(?is)\s*(?:CREATE\s+FLOW\s+[A-Za-z_]\w*\s+AS\s+)?""" +
+    ("""(?is)\s*(?:CREATE\s+FLOW\s+([A-Za-z_]\w*)\s+AS\s+)?""" +
       """(?:APPLY\s+CHANGES|AUTO\s+CDC)\s+INTO\s+([A-Za-z_]\w*)""" +
       """\s+FROM\s+(?:STREAM\s*\(\s*([A-Za-z_]\w*)\s*\)|([A-Za-z_]\w*))""" +
       """\s+KEYS\s*\(([^)]*)\)""" +
@@ -78,6 +78,52 @@ object PipelineSql {
       """(?:\s+STORED\s+AS\s+SCD\s+TYPE\s+([12]))?""" +
       """(?:\s+TRACK\s+HISTORY\s+ON\s+(?:\*\s+EXCEPT\s*\(([^)]*)\)|\(([^)]*)\)))?""" +
       """\s*;?\s*""").r
+
+  /** Execute a whole `;`-separated Lakeflow SQL SCRIPT against `p` — the
+   *  file form a real pipeline ships (the SQL equivalent of declaring the
+   *  reference's entire `dlt_bronze_to_silver_pipeline.py:1-133` module in
+   *  one shot): statements split at TOP-LEVEL semicolons only (quote- and
+   *  paren-aware — a `;` inside a string literal or a parenthesized block
+   *  never splits), `--` line comments and `/* … */` block comments
+   *  stripped outside string literals, empty statements skipped.
+   *  Declaration only, like [[apply]] — run the graph with `p.run()`.
+   *  Returns the number of statements executed. */
+  def script(p: Pipeline, text: String): Int = {
+    val stmts = splitTopLevel(stripComments(text), ';')
+      .map(_.trim).filter(_.nonEmpty)
+    stmts.foreach(apply(p, _))
+    stmts.size
+  }
+
+  /** Strip `--` line comments and `/* … */` block comments, outside
+   *  string literals (doubled-quote escapes honored); block comments
+   *  become one space so adjacent tokens stay separated. */
+  private def stripComments(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        out += c
+        if (c == quote) {
+          if (i + 1 < s.length && s.charAt(i + 1) == quote) {
+            out += quote; i += 1
+          } else quote = 0
+        }
+        i += 1
+      } else if (c == '\'' || c == '"') { quote = c; out += c; i += 1 }
+      else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        while (i < s.length && s.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        val end = s.indexOf("*/", i + 2)
+        require(end >= 0, "unterminated /* block comment in SQL script")
+        out += ' '
+        i = end + 2
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
 
   /** Execute one pipeline DDL statement against `p` (declaration only —
    *  run the graph with `p.run()`). */
@@ -256,8 +302,9 @@ object PipelineSql {
           p.appendFlow(target, flowName, once = once != null)(evalSelect(p, select))
       }
       ()
-    case ApplyChanges(target, streamSrc, plainSrc, keys, ignoreNulls, delWhen,
-        truncWhen, seqList, seqBy, except, colList, scdType, trackExcept, trackOn) =>
+    case ApplyChanges(flowName, target, streamSrc, plainSrc, keys, ignoreNulls,
+        delWhen, truncWhen, seqList, seqBy, except, colList, scdType,
+        trackExcept, trackOn) =>
       val source = Option(streamSrc).getOrElse(plainSrc)
       def cols(s: String): Seq[String] =
         Option(s).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
@@ -276,7 +323,11 @@ object PipelineSql {
         columnList = cols(colList),
         trackHistoryColumns = cols(trackOn),
         trackHistoryExceptColumns = cols(trackExcept),
-        ignoreNullUpdates = ignoreNulls != null)
+        ignoreNullUpdates = ignoreNulls != null,
+        // the CREATE FLOW wrapper's name attributes event-log
+        // flow_progress rows (the dataset column stays the target —
+        // DLT's event log addresses flows by their declared names)
+        name = Option(flowName).map(_.trim).getOrElse(""))
       ()
     case other => throw new IllegalArgumentException(
       "PipelineSql supports CREATE OR REFRESH STREAMING TABLE [AS SELECT] / " +
@@ -451,9 +502,10 @@ object PipelineSql {
    *   FROM <one declared dataset> [WHERE <row predicate>] GROUP BY g…`
    *  with every aggregate ALIASED, every group column selected, no
    *  DISTINCT/FILTER/HAVING/ORDER BY/subqueries, and the source a declared
-   *  non-recompute-MV dataset (a recompute MV refreshes LAST — sourcing an
-   *  incremental MV from it would read stale state, so those keep the
-   *  documented recompute refresh in declaration order). Anything else
+   *  TABLE-BACKED dataset (a recompute MV refreshes LAST — sourcing an
+   *  incremental MV from it would read stale state — and a plain view's
+   *  dependency closure may reach one, so both keep the documented
+   *  recompute refresh in declaration order). Anything else
    *  returns None and the MV registers as a full recompute — detection can
    *  only ever trade recompute for an equivalent incremental plan, never
    *  change results. Rendered expression texts are round-trip re-parsed so
@@ -518,7 +570,11 @@ object PipelineSql {
           val outs = agg.aggregateExpressions.map(classify)
           for {
             s <- src
-            if p.contains(s) && !p.isRecomputeMv(s)
+            // TABLE-BACKED sources only: a plain-view source (whose
+            // dependency closure may reach a recompute MV that refreshes
+            // last) and direct recompute-MV sources both keep the
+            // recompute path, ordered with the other recompute MVs
+            if p.isTableBackedSource(s)
             gs <- groups
             os <- if (outs.forall(_.isDefined)) Some(outs.flatten.toSeq) else None
             // the MV schema needs its keys: every group column selected;

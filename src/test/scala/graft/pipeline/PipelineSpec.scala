@@ -1820,6 +1820,61 @@ class PipelineSpec extends SparkSpec {
     assert(evaluated)
   }
 
+  test("runFullRefresh(only): a REFRESH SELECTION rebuilds just the named " +
+      "table — untouched siblings keep their data files (path and inode), " +
+      "downstream join tables re-pin and converge, and the final state " +
+      "equals an all-table refresh") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import graft.lake.LakeTable
+    val root = tmpDir("pl_refreshsel")
+    val bronze = LakeTable(spark, s"$root/bronze")
+    bronze.append(Seq(
+      (1L, "click", "a1", 1L), (2L, "view", "b1", 1L)).toDF("k", "typ", "v", "seq"))
+    def declare(storage: String): Pipeline = {
+      val p = new Pipeline(spark, storage)
+      p.inputTable("bronze", bronze)
+      p.streamingTable("silver", enableChangeFeed = true)
+      p.autoCdcFlow("silver", "bronze", Seq("k"), "seq")
+      p.streamingTable("silver2")
+      p.autoCdcFlow("silver2", "bronze", Seq("k"), "seq")
+      p.view("dim")(Seq(("click", 10L), ("view", 20L)).toDF("typ", "w"))
+      p.streamingJoinTable("business", "silver", Seq("k"), "seq")(b =>
+        b.join(p.read("dim"), Seq("typ")))
+      p
+    }
+    val p = declare(s"$root/pipe")
+    p.runIncremental()
+    bronze.append(Seq((1L, "click", "a2", 2L), (3L, "view", "c1", 2L))
+      .toDF("k", "typ", "v", "seq"))
+    p.runIncremental()
+    def files(dir: String): Map[String, Object] =
+      Files.walk(Paths.get(dir)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(f => f.toString -> Files.getAttribute(f, "unix:ino")).toMap
+    val silver2Before = files(s"$root/pipe/silver2")
+    assert(silver2Before.nonEmpty)
+
+    intercept[IllegalArgumentException] { p.runFullRefresh(Set("nope")) }
+    p.runFullRefresh(Set("silver"))
+
+    // the untouched sibling kept every data file — zero write amplification
+    assert(files(s"$root/pipe/silver2") == silver2Before)
+    // rebuilt + re-pinned state equals a from-scratch all-table build
+    val fresh = declare(s"$root/fresh")
+    fresh.run()
+    def rows(pp: Pipeline, name: String) =
+      pp.read(name).orderBy("k").collect().toSeq
+    assert(rows(p, "silver") == rows(fresh, "silver"))
+    assert(rows(p, "business") == rows(fresh, "business"))
+    // and the pipeline stays incremental afterwards
+    bronze.append(Seq((4L, "click", "d1", 3L)).toDF("k", "typ", "v", "seq"))
+    p.runIncremental()
+    assert(p.read("silver").count() == 4)
+    assert(p.read("business").filter($"k" === 4L).select("w")
+      .as[Long].head() == 10L)
+  }
+
   test("commit-recency collapse is PROVENANCE-checked: a chain that " +
       "REDEFINES a same-named sequence column falls back to the raw " +
       "delta — a one-window run agrees with per-commit windows") {

@@ -622,4 +622,86 @@ class PipelineSqlSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("PipelineSql supports"))
   }
+
+  test("PipelineSql.script executes a whole ;-separated Lakeflow file: " +
+      "line and block comments are stripped, semicolons inside string " +
+      "literals never split, trailing empties are skipped") {
+    val p = new Pipeline(spark, tmpDir("plsql_script"))
+    p.view("src")(Seq((1L, "a;b", 1L), (2L, "c", 2L)).toDF("k", "v", "seq"))
+    val n = PipelineSql.script(p,
+      """
+      -- the silver target; declared first (this ; must not split)
+      CREATE OR REFRESH STREAMING TABLE silver;
+      /* the CDC flow;
+         a block comment spanning lines */
+      APPLY CHANGES INTO silver FROM STREAM(src) KEYS (k) SEQUENCE BY seq;
+      CREATE OR REFRESH MATERIALIZED VIEW tagged AS
+        SELECT k, v, 'x;y' AS tag FROM silver;  -- trailing comment
+      """)
+    assert(n == 3)
+    p.run()
+    assert(p.read("tagged").orderBy("k").as[(Long, String, String)]
+      .collect().toSeq == Seq((1L, "a;b", "x;y"), (2L, "c", "x;y")))
+    // an unterminated block comment is a loud error, not a silent swallow
+    val e = intercept[IllegalArgumentException] {
+      PipelineSql.script(p, "CREATE OR REFRESH STREAMING TABLE t /* oops")
+    }
+    assert(e.getMessage.contains("unterminated"))
+  }
+
+  test("CREATE FLOW names attribute event-log flow_progress rows: a named " +
+      "CDC flow and a named append flow on related targets stay " +
+      "distinguishable in the log") {
+    val p = new Pipeline(spark, tmpDir("plsql_flownames"))
+    p.view("src")(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "seq"))
+    PipelineSql.script(p, """
+      CREATE OR REFRESH STREAMING TABLE silver;
+      CREATE FLOW cdc_events AS
+        APPLY CHANGES INTO silver FROM STREAM(src) KEYS (k) SEQUENCE BY seq;
+      CREATE OR REFRESH STREAMING TABLE silver_raw;
+      CREATE FLOW append_events AS
+        INSERT INTO silver_raw BY NAME SELECT * FROM src;
+      """)
+    p.run()
+    val ev = p.eventLog.filter(col("event_type") === "flow_progress")
+      .select("dataset", "message").as[(String, String)].collect().toSeq
+    // the CDC flow is addressed by its declared name (target stays the
+    // dataset column); the append flow logs under its own name
+    assert(ev.exists { case (ds, m) =>
+      ds == "silver" && m.contains("cdc flow cdc_events from src") })
+    assert(ev.exists { case (ds, m) =>
+      ds == "append_events" && m.contains("append into silver_raw") })
+    // duplicate flow names are refused loudly across flow kinds
+    val e = intercept[IllegalArgumentException] {
+      PipelineSql(p, """CREATE FLOW append_events AS
+        APPLY CHANGES INTO silver_raw FROM STREAM(src) KEYS (k) SEQUENCE BY seq""")
+    }
+    assert(e.getMessage.contains("duplicate flow name"))
+  }
+
+  test("auto-MV guard walks past plain views: a maintainable shape over a " +
+      "VIEW (whose closure may reach a recompute MV) keeps the recompute " +
+      "path ordered with the recompute MVs — never a stale read") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_mvguard")
+    val bronze = LakeTable(spark, s"$root/bronze")
+    bronze.append(Seq((1L, 10.0)).toDF("k", "v"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("src", bronze)
+    // base: a recompute MV (non-aggregate shape); bv: a plain view over it
+    PipelineSql(p, "CREATE OR REFRESH MATERIALIZED VIEW base AS " +
+      "SELECT k, v FROM src WHERE v > 0")
+    p.view("bv")(p.read("base"))
+    PipelineSql(p, "CREATE OR REFRESH MATERIALIZED VIEW agg AS " +
+      "SELECT k, SUM(v) AS s, COUNT(*) AS n FROM bv GROUP BY k")
+    p.run()
+    bronze.append(Seq((2L, 7.0)).toDF("k", "v"))
+    p.run()
+    // a view-sourced auto registration would refresh BEFORE base each run
+    // and read base's last-run state — k=2 would be missing here
+    assert(p.read("agg").orderBy("k")
+      .select($"k", $"s".cast("double"), $"n")
+      .as[(Long, Double, Long)].collect().toSeq ==
+      Seq((1L, 10.0, 1L), (2L, 7.0, 1L)))
+  }
 }
