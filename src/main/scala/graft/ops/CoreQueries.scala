@@ -1182,6 +1182,42 @@ object CoreQueries {
         FROM events WHERE value IS NOT NULL
         GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
 
+    // O19 AUTO-MAINTAINED MV with AVG + COUNT(expr) — Enzyme's AVG rule:
+    // `AVG(e)` is decomposed into hidden SUM+COUNT internal columns and
+    // served as their quotient cast to the declared AVG type; `COUNT(e)`
+    // maintains as a signed non-null count. Two arrivals, two incremental
+    // runs — run 2 merges only the appended half's signed deltas. AVG is
+    // over an INTEGRAL column deliberately: the engine's floating-sum
+    // policy routes DOUBLE accumulators to recompute refresh (documented
+    // in COVERAGE.md), so an exact-typed AVG proves the incremental path.
+    Q("o19_auto_incremental_mv_avg", (s, d) => {
+      val ev = t(s, d, "events")
+        .select("event_id", "event_type", "value")
+      val root = tmp("graft_o19")
+      val bronze = LakeTable(s, s"$root/bronze")
+      bronze.append(ev.filter(col("event_id") % 2 === 0))
+      val p = new Pipeline(s, s"$root/pipe")
+      p.inputTable("bronze", bronze)
+      PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW panel AS
+        SELECT event_type,
+               AVG(event_id) AS avg_id,
+               COUNT(value) AS n_vals,
+               SUM(event_id) AS sum_id,
+               COUNT(*) AS n
+        FROM bronze WHERE event_type IS NOT NULL GROUP BY event_type""")
+      p.runIncremental()                                   // bootstrap
+      bronze.append(ev.filter(col("event_id") % 2 === 1))
+      p.runIncremental()                                   // delta only
+      p.read("panel").orderBy("event_type")
+    },
+      Some("""SELECT event_type,
+               AVG(event_id) AS avg_id,
+               COUNT(value) AS n_vals,
+               SUM(event_id) AS sum_id,
+               COUNT(*) AS n
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY event_type ORDER BY event_type""")),
+
     // O15 TRUE STREAMING APPEND FLOW (SQL-declared) — where o10's live
     // flow re-lands its view every run (snapshot semantics), this one is
     // registered from `INSERT INTO … BY NAME SELECT … FROM STREAM(bronze)`

@@ -271,24 +271,66 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
 
   private val autoMvs = mutable.LinkedHashMap[String, Pipeline.AutoMvSpec]()
 
+  /** Apply a star-join spec's enrichment to the fact-side frame `src`:
+   *  alias it as the declared FROM name (so qualified references like
+   *  `f.v` resolve on the fact side AND on the change feed) and inner-join
+   *  each dimension frame under its own declared alias. `dimFrames`
+   *  supplies each dimension's contents — CURRENT state for reads and
+   *  recomputes, the PINNED version for the maintenance kernel (so a
+   *  racing external dim writer can never make the pin newer than the
+   *  state that was actually joined). */
+  private def autoMvEnrich(spec: Pipeline.AutoMvSpec,
+      dimFrames: Map[String, DataFrame])(src: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val f0 = src.alias(spec.sourceAlias.getOrElse(spec.source))
+    spec.joins.foldLeft(f0) { (acc, j) =>
+      acc.join(dimFrames(j.dim).alias(j.alias.getOrElse(j.dim)),
+        expr(j.cond), "inner")
+    }
+  }
+
   /** The INTERNAL-schema defining frame of an auto MV over `src` — group
-   *  columns, aggregate aliases, and the (possibly hidden) count column;
-   *  the recompute fallback and pre-materialization reads share it. */
+   *  columns, aggregate aliases, the hidden maintenance columns (per-SUM
+   *  non-null counts for exact NULL algebra; per-AVG SUM+COUNT
+   *  decompositions), and the (possibly hidden) count column; the
+   *  recompute fallback, the bootstrap, and pre-materialization reads all
+   *  share this column order. Star-join specs enrich `src` against the
+   *  dims' CURRENT contents (resolved through [[read]]) before
+   *  aggregating. */
   private def autoMvDefining(spec: Pipeline.AutoMvSpec, src: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
+    import org.apache.spark.sql.functions.{avg, col, count, expr, lit, max, min, sum}
     val cntCol = spec.counts.headOption.getOrElse("__cnt")
-    val base = spec.where.fold(src)(w => src.filter(expr(w)))
-    // TYPE-FAITHFUL: the aggregates are exactly the declared query's —
-    // detection never changes the MV's result type or values
+    val enriched =
+      if (spec.joins.isEmpty && spec.sourceAlias.isEmpty) src
+      else autoMvEnrich(spec,
+        spec.joins.map(j => j.dim -> read(j.dim)).toMap)(src)
+    val base = spec.where.fold(enriched)(w => enriched.filter(expr(w)))
+    // TYPE-FAITHFUL: the declared aggregates are exactly the declared
+    // query's — detection never changes the MV's result type or values
     val aggs =
       spec.sums.map { case (a, e) => sum(expr(e)).as(a) } ++
-      spec.mins.map { case (a, e) => org.apache.spark.sql.functions.min(expr(e)).as(a) } ++
-      spec.maxs.map { case (a, e) => org.apache.spark.sql.functions.max(expr(e)).as(a) }
-    base.groupBy(spec.groupBy.map(col): _*)
-      .agg(count(lit(1)).as(cntCol), aggs: _*)
-      .select((spec.groupBy.map(col) ++ spec.sums.map(p => col(p._1)) ++
-        spec.mins.map(p => col(p._1)) ++ spec.maxs.map(p => col(p._1)) :+
-        col(cntCol)): _*)
+      spec.mins.map { case (a, e) => min(expr(e)).as(a) } ++
+      spec.maxs.map { case (a, e) => max(expr(e)).as(a) } ++
+      spec.avgs.map { case (a, e) => avg(expr(e)).as(a) } ++
+      spec.cntCols.map { case (a, e) => count(expr(e)).as(a) } ++
+      spec.sums.map { case (a, e) => count(expr(e)).as(s"__nn_$a") } ++
+      spec.avgs.flatMap { case (a, e) => Seq(
+        sum(expr(e)).as(s"__avs_$a"), count(expr(e)).as(s"__avn_$a")) }
+    val gCols = if (spec.groupExprs.nonEmpty) spec.groupExprs.map(expr)
+      else spec.groupBy.map(col)
+    val aggNames =
+      (spec.sums ++ spec.mins ++ spec.maxs ++ spec.avgs ++ spec.cntCols)
+        .map(_._1) ++
+      spec.sums.map(p => s"__nn_${p._1}") ++
+      spec.avgs.flatMap(p => Seq(s"__avs_${p._1}", s"__avn_${p._1}"))
+    val grouped = base.groupBy(gCols: _*).agg(count(lit(1)).as(cntCol), aggs: _*)
+    // qualified group expressions derive their own output names — rename
+    // POSITIONALLY to the declared names (grouping columns lead, then the
+    // aggregates in the order built above)
+    val named = if (spec.groupExprs.nonEmpty)
+      grouped.toDF((spec.groupBy ++ (cntCol +: aggNames)): _*) else grouped
+    named.select((spec.groupBy.map(col) ++ aggNames.map(col) :+
+      col(cntCol)): _*)
   }
 
   /** DLT's `CREATE OR REFRESH STREAMING TABLE name AS SELECT … FROM
@@ -1500,13 +1542,15 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       inputs.get(spec.source).orElse(tables.get(spec.source))
         .filterNot(_ => mviews.contains(spec.source)) match {
         case Some(root) if root.exists =>
-          val n = runAggMvCore(name, root, spec.where, spec.groupBy,
+          val (n, mode) = runAggMvCore(name, root, spec.where, spec.groupBy,
             spec.sums, spec.mins, spec.maxs,
             cntAlias = spec.counts.headOption.getOrElse("__cnt"),
             flowId = s"graft.aggmv.$name", minMaxFallback = true,
-            exactDecimal = false)
+            exactDecimal = false, avgs = spec.avgs, cnts = spec.cntCols)
+          val how = if (mode == "incremental") s"incremental from ${spec.source}"
+            else s"$mode, from ${spec.source}"
           events += (("flow_progress", name, n,
-            s"materialized view refresh (incremental from ${spec.source})"))
+            s"materialized view refresh ($how)"))
         case Some(_) => events += (("flow_progress", name, 0L,
           s"materialized view from ${spec.source} (source not materialized)"))
         case None =>
@@ -1928,7 +1972,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       sums = sums.map(c => s"sum_$c" -> c),
       mins = mins.map(c => s"min_$c" -> c),
       maxs = maxs.map(c => s"max_$c" -> c),
-      cntAlias = "cnt", flowId = flowId)
+      cntAlias = "cnt", flowId = flowId)._1
 
   /** The expression-general refresh kernel behind [[runAggMvFromChangeFeed]]
    *  and the SQL-detected maintainable MVs: aggregates are (alias, SQL
@@ -1936,7 +1980,27 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
    *  bootstrap snapshot and the change images (a stateless row predicate
    *  commutes with the signed-delta algebra, so filtered maintenance stays
    *  exact), and the count column carries the caller's alias (the group-
-   *  death detector, always materialized). */
+   *  death detector, always materialized). The AUTO path (`exactDecimal =
+   *  false`) additionally maintains hidden per-SUM non-null counts (exact
+   *  SUM NULL algebra: a group is NULL iff it holds no non-null inputs —
+   *  including the fully-retracted-contributions case) and supports
+   *  `avgs` (hidden SUM+COUNT decomposition, presented as their quotient
+   *  cast to the declared AVG type) and `cnts` (COUNT(expr) signed
+   *  non-null counts). Returns (rows processed, refresh mode) — the mode
+   *  feeds the event log.
+   *
+   *  STAR-JOIN maintenance (`dims`/`enrich`/`groupExprs`, auto path only):
+   *  the source is the FACT/delta side; `enrich` inner-joins a frame
+   *  against the dimension frames it is given, `groupExprs` carry the
+   *  (possibly qualified) group-defining SQL parallel to the `groupBy`
+   *  output names. Inner joins distribute over the signed-delta union —
+   *  γ((F+ΔF) ⋈ D) = merge(γ(F ⋈ D), γ±(ΔF ⋈ D)) — so while the dims are
+   *  UNCHANGED since the MV's pins the fact window joined against the
+   *  pinned dim snapshots maintains the MV exactly; any dim change (or an
+   *  unpinnable state) falls back to recompute, re-pinning. Pins ride the
+   *  MV's own table properties in a follow-up metadata commit — a crash
+   *  between the bootstrap and the pin write only costs one extra
+   *  recompute, never a wrong incremental window. */
   private def runAggMvCore(
       target: String,
       source: LakeTable,
@@ -1948,58 +2012,135 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       cntAlias: String,
       flowId: String,
       minMaxFallback: Boolean = false,
-      exactDecimal: Boolean = true): Long = {
-    import org.apache.spark.sql.functions.{col, count, expr, lit, sum, when}
+      exactDecimal: Boolean = true,
+      avgs: Seq[(String, String)] = Nil,
+      cnts: Seq[(String, String)] = Nil,
+      dims: Seq[(String, LakeTable)] = Nil,
+      enrich: Map[String, DataFrame] => DataFrame => DataFrame = _ => identity,
+      groupExprs: Seq[String] = Nil): (Long, String) = {
+    import org.apache.spark.sql.functions.{avg, col, count, expr, lit, max, min, sum, when}
     require(groupBy.nonEmpty, "incremental agg MV needs GROUP BY columns")
+    // AVG/COUNT(expr) decompositions ride hidden columns — auto path only
+    // (the explicit API's materialized schema is the user's own)
+    require(!exactDecimal || (avgs.isEmpty && cnts.isEmpty),
+      "AVG/COUNT(expr) maintenance is the auto path's")
+    require(!exactDecimal || dims.isEmpty,
+      "star-join maintenance is the auto path's")
+    val auto = !exactDecimal
     val t = tables(target)
     val appId = if (flowId.nonEmpty) flowId else s"graft.aggmv.$target"
     val dec = "decimal(28,6)"
     def filtered(df: DataFrame): DataFrame = where.fold(df)(w => df.filter(expr(w)))
+    // dimension versions probed ONCE and read AT that version everywhere
+    // below — the pin can never be newer than the state that was joined
+    val dimsCur: Seq[(String, Long)] =
+      dims.map { case (n, dt) => n -> dt.currentVersion }
+    def dimPinProp(n: String) = s"graft.aggmv.dimpin.$n"
+    val dimsChanged: Boolean = dims.nonEmpty && {
+      val props = if (t.exists) t.tableProperties else Map.empty[String, String]
+      dimsCur.exists { case (n, v) =>
+        !props.get(dimPinProp(n))
+          .flatMap(s => scala.util.Try(s.toLong).toOption).contains(v) }
+    }
+    val en: DataFrame => DataFrame =
+      if (dims.isEmpty) enrich(Map.empty)
+      else enrich(dims.zip(dimsCur).map { case ((n, dt), (_, v)) =>
+        n -> dt.readVersion(v) }.toMap)
+    val gCols = if (groupExprs.nonEmpty) groupExprs.map(expr) else groupBy.map(col)
+    // qualified group expressions derive their own column names — rename
+    // positionally to the declared output names (grouping columns lead)
+    def nameGroups(df: DataFrame, tailNames: Seq[String]): DataFrame =
+      if (groupExprs.nonEmpty) df.toDF((groupBy ++ tailNames): _*) else df
     // `exactDecimal` (the explicit API's documented contract): each sum
     // input passes through DECIMAL(28,6) so incremental addition is
     // order-independent and bit-equal to a direct recompute. The AUTO path
     // is TYPE-FAITHFUL instead: the accumulator is whatever the declared
-    // query's SUM would produce (long for integral, double for double,
-    // widened decimal for decimal) — detection must never change the MV's
-    // declared result type or values.
+    // query's SUM would produce (long for integral, widened decimal for
+    // decimal) — detection must never change the MV's declared result
+    // type or values. FLOAT/DOUBLE accumulators are routed to recompute
+    // below (not associative — a long-lived MV would drift ULPs from a
+    // recompute), so the type-faithful incremental path only ever adds
+    // exact types.
     def sumIn(e: String) = if (exactDecimal) expr(e).cast(dec) else expr(e)
     val last = t.lastTxnVersion(appId).getOrElse(-1L)
     val cur = source.currentVersion
-    if (cur <= last && t.exists) return 0L
+    if (cur <= last && t.exists && !dimsChanged) return (0L, "up-to-date")
+
+    // FLOATING-SUM POLICY (auto path; COVERAGE.md): a double/float SUM or
+    // AVG keeps RECOMPUTE refresh — pinned at the source version and
+    // skipped when idle, but never incrementally drifted. Driver-side
+    // schema probe only (the enriched zero-row frame carries the join
+    // schema); an unresolvable expression falls through to fail loudly in
+    // the aggregate itself.
+    lazy val floating = auto && source.exists && scala.util.Try {
+      val probe = en(source.read.limit(0))
+      (sums ++ avgs).exists { case (_, e) =>
+        probe.select(expr(e)).schema.head.dataType match {
+          case org.apache.spark.sql.types.DoubleType |
+               org.apache.spark.sql.types.FloatType => true
+          case _ => false
+        }
+      }
+    }.getOrElse(false)
 
     // bootstrap: one full-snapshot aggregation at version `cur` — also the
-    // fallback when the window spans a FULL-REWRITE source commit (the
-    // feed can't serve signed deltas across it) or when maintained
-    // extremes retract under `minMaxFallback`: RE-bootstrapping replaces
-    // the MV with the recomputed panel — correct by definition and
-    // un-wedges the consumer — instead of failing every run.
-    def bootstrap(): Long = {
-      val snap = filtered(source.readVersion(cur))
+    // recompute fallback when the window spans a FULL-REWRITE source
+    // commit (the feed can't serve signed deltas across it), when
+    // maintained extremes retract under `minMaxFallback`, and for
+    // floating-point aggregates: RE-bootstrapping replaces the MV with
+    // the recomputed panel — correct by definition and un-wedges the
+    // consumer — instead of failing every run.
+    def bootstrap(mode: String): (Long, String) = {
+      val snap = filtered(en(source.readVersion(cur)))
       val aggs =
         sums.map { case (a, e) =>
           (if (exactDecimal) sum(sumIn(e)).cast(dec) else sum(sumIn(e))).as(a) } ++
-        mins.map { case (a, e) => org.apache.spark.sql.functions.min(expr(e)).as(a) } ++
-        maxs.map { case (a, e) => org.apache.spark.sql.functions.max(expr(e)).as(a) }
-      val base = snap.groupBy(groupBy.map(col): _*)
-        .agg(count(lit(1)).as(cntAlias), aggs: _*)
-        .select((groupBy.map(col) ++ sums.map(p => col(p._1)) ++
-          mins.map(p => col(p._1)) ++ maxs.map(p => col(p._1)) :+
-          col(cntAlias)): _*)
+        mins.map { case (a, e) => min(expr(e)).as(a) } ++
+        maxs.map { case (a, e) => max(expr(e)).as(a) } ++
+        avgs.map { case (a, e) => avg(expr(e)).as(a) } ++
+        cnts.map { case (a, e) => count(expr(e)).as(a) } ++
+        (if (auto)
+          sums.map { case (a, e) => count(expr(e)).as(s"__nn_$a") } ++
+          avgs.flatMap { case (a, e) => Seq(
+            sum(expr(e)).as(s"__avs_$a"), count(expr(e)).as(s"__avn_$a")) }
+        else Nil)
+      val aggNames =
+        (sums ++ mins ++ maxs ++ avgs ++ cnts).map(_._1) ++
+        (if (auto)
+          sums.map(p => s"__nn_${p._1}") ++
+          avgs.flatMap(p => Seq(s"__avs_${p._1}", s"__avn_${p._1}"))
+        else Nil)
+      val base = nameGroups(
+        snap.groupBy(gCols: _*).agg(count(lit(1)).as(cntAlias), aggs: _*),
+        cntAlias +: aggNames)
+        .select((groupBy ++ aggNames :+ cntAlias).map(col): _*)
       if (!t.exists) t.create(base.schema)
       // ledger rides the overwrite commit (replay re-bootstraps — same rows)
       t.overwrite(base, txn = Some(appId -> cur))
-      0L
+      // dim pins land in a FOLLOW-UP metadata commit: a crash in between
+      // leaves stale pins, which only ever costs one extra recompute
+      if (dims.nonEmpty)
+        t.setTableProperties(dimsCur.map { case (n, v) =>
+          dimPinProp(n) -> v.toString }.toMap)
+      (0L, mode)
     }
-    if (!t.exists || last < 0 || !source.feedReadable(last + 1, cur))
-      return bootstrap()
+    if (!t.exists || last < 0) return bootstrap("bootstrap")
+    if (dimsChanged) return bootstrap("recompute: dimension changed")
+    if (floating) return bootstrap("recompute: floating-point aggregate")
+    if (!source.feedReadable(last + 1, cur))
+      return bootstrap("recompute: full-rewrite window")
 
     // ONE read of the window, pinned: the retraction probe (when extremes
     // are maintained over a window with row-mutating commits), the
     // signed-delta aggregation, and the processed count all consume the
     // same cached pass over the change dirs. The WHERE predicate applies
-    // per-image BEFORE signing: Filter never drops columns, so the
-    // change-type metadata rides through it.
-    val feed = filtered(source.readChangeFeed(last + 1, Some(cur)))
+    // per-image BEFORE signing (but AFTER the dim enrich — it may
+    // reference dim columns): Filter never drops columns, so the
+    // change-type metadata rides through it. The change-type column is
+    // copied to a reserved name BEFORE the enrich so a dimension carrying
+    // a same-named column can never make the sign ambiguous.
+    val feed = filtered(en(source.readChangeFeed(last + 1, Some(cur))
+        .withColumn("__graft_ct", col(graft.lake.LakeTable.ChangeTypeCol))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if ((mins.nonEmpty || maxs.nonEmpty) &&
@@ -2009,49 +2150,116 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         // re-bootstraps (the user declared an MV — recompute is always
         // legal); the explicit API keeps its loud contract.
         val retracts = feed
-          .filter(!col(graft.lake.LakeTable.ChangeTypeCol).isin("insert"))
+          .filter(!col("__graft_ct").isin("insert"))
           .limit(1).count() != 0L
         if (retracts) {
-          if (minMaxFallback) return bootstrap()
+          if (minMaxFallback) return bootstrap("recompute: retracting extremes")
           require(false,
             "MIN/MAX incremental maintenance needs an APPEND-ONLY source — " +
               "the feed carries delete/update images; use a recompute MV")
         }
       }
-      val sign = when(col(graft.lake.LakeTable.ChangeTypeCol)
+      val sign = when(col("__graft_ct")
         .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
+      // signed non-null count of `e`'s inputs — the exact-NULL-algebra and
+      // AVG/COUNT(expr) backbone (sum of a non-empty group is never NULL)
+      def signedNn(e: String) =
+        sum(when(expr(e).isNull, lit(0L)).otherwise(col("__sign")))
       val deltaAggs =
         sums.zipWithIndex.map { case ((_, e), i) =>
           sum(sumIn(e) * col("__sign")).as(s"__d_$i") } ++
         mins.zipWithIndex.map { case ((_, e), i) =>
-          org.apache.spark.sql.functions.min(expr(e)).as(s"__mn_$i") } ++
+          min(expr(e)).as(s"__mn_$i") } ++
         maxs.zipWithIndex.map { case ((_, e), i) =>
-          org.apache.spark.sql.functions.max(expr(e)).as(s"__mx_$i") }
-      val delta = feed.withColumn("__sign", sign)
-        .groupBy(groupBy.map(col): _*)
-        .agg(sum(col("__sign")).as("__dcnt"), deltaAggs: _*)
+          max(expr(e)).as(s"__mx_$i") } ++
+        (if (auto)
+          sums.zipWithIndex.map { case ((_, e), i) =>
+            signedNn(e).as(s"__dnn_$i") } ++
+          avgs.zipWithIndex.flatMap { case ((_, e), i) => Seq(
+            sum(expr(e) * col("__sign")).as(s"__davs_$i"),
+            signedNn(e).as(s"__davn_$i")) } ++
+          cnts.zipWithIndex.map { case ((_, e), i) =>
+            signedNn(e).as(s"__dc_$i") }
+        else Nil)
+      val deltaNames =
+        sums.indices.map(i => s"__d_$i") ++
+        mins.indices.map(i => s"__mn_$i") ++
+        maxs.indices.map(i => s"__mx_$i") ++
+        (if (auto)
+          sums.indices.map(i => s"__dnn_$i") ++
+          avgs.indices.flatMap(i => Seq(s"__davs_$i", s"__davn_$i")) ++
+          cnts.indices.map(i => s"__dc_$i")
+        else Nil)
+      val delta = nameGroups(
+        feed.withColumn("__sign", sign)
+          .groupBy(gCols: _*)
+          .agg(sum(col("__sign")).as("__dcnt"), deltaAggs: _*),
+        "__dcnt" +: deltaNames)
       val processed = feed.count()
       // the target column's type drives the merge casts (widened-decimal
       // arithmetic folds back; the accumulator type IS the declared type)
       def tpe(a: String): String = t.schema(a).dataType.sql
-      // SUM's NULL algebra preserved exactly: NULL inputs contribute
-      // nothing, and a group whose inputs were ALL NULL stays NULL (the
-      // CASE keeps NULL+NULL = NULL where a bare coalesce-pair would have
-      // manufactured 0 — recompute parity). least/greatest skip NULLs,
-      // matching MIN/MAX.
-      val updates = (sums.zipWithIndex.map { case ((a, _), i) =>
+      // SUM's NULL algebra. AUTO path: EXACT — the hidden per-sum non-null
+      // count decides nullness (a group is NULL iff it currently holds no
+      // non-null inputs, INCLUDING the case where every non-null
+      // contribution was retracted while NULL-input rows remain), and the
+      // netted arithmetic runs over coalesced exact values. EXPLICIT path
+      // (fixed user-facing schema, no hidden columns): the CASE keeps
+      // NULL+NULL = NULL, but a group whose non-NULL contributions are
+      // fully retracted while NULL-input rows remain reads 0 where a
+      // recompute reads NULL — the documented residual divergence of the
+      // count-less algebra. least/greatest skip NULLs, matching MIN/MAX.
+      val sumUpdates =
+        if (auto) sums.zipWithIndex.flatMap { case ((a, _), i) =>
+          val newNn = s"t.__nn_$a + coalesce(s.__dnn_$i, 0)"
+          Seq(
+            a -> (s"cast(CASE WHEN ($newNn) = 0 THEN NULL ELSE " +
+              s"coalesce(t.$a, 0) + coalesce(s.__d_$i, 0) END AS ${tpe(a)})"),
+            s"__nn_$a" -> s"cast($newNn AS ${tpe(s"__nn_$a")})")
+        } else sums.zipWithIndex.map { case ((a, _), i) =>
           a -> (s"cast(CASE WHEN t.$a IS NULL AND s.__d_$i IS NULL THEN NULL " +
             s"WHEN t.$a IS NULL THEN s.__d_$i " +
             s"WHEN s.__d_$i IS NULL THEN t.$a " +
-            s"ELSE t.$a + s.__d_$i END AS ${tpe(a)})") } ++
+            s"ELSE t.$a + s.__d_$i END AS ${tpe(a)})")
+        }
+      val avgUpdates = avgs.zipWithIndex.flatMap { case ((a, _), i) =>
+        val as = s"__avs_$a"; val an = s"__avn_$a"
+        val newS = s"coalesce(t.$as, 0) + coalesce(s.__davs_$i, 0)"
+        val newN = s"t.$an + coalesce(s.__davn_$i, 0)"
+        Seq(
+          // the declared AVG column is the decomposition's quotient, cast
+          // to its own declared type (the bootstrap's real avg() fixed it)
+          a -> (s"cast(CASE WHEN ($newN) = 0 THEN NULL ELSE " +
+            s"($newS) / ($newN) END AS ${tpe(a)})"),
+          as -> s"cast($newS AS ${tpe(as)})",
+          an -> s"cast($newN AS ${tpe(an)})")
+      }
+      val cntUpdates = cnts.zipWithIndex.map { case ((a, _), i) =>
+        a -> s"t.$a + coalesce(s.__dc_$i, 0)" }
+      val updates = (sumUpdates ++
         mins.zipWithIndex.map { case ((a, _), i) => a -> s"least(t.$a, s.__mn_$i)" } ++
-        maxs.zipWithIndex.map { case ((a, _), i) => a -> s"greatest(t.$a, s.__mx_$i)" } :+
+        maxs.zipWithIndex.map { case ((a, _), i) => a -> s"greatest(t.$a, s.__mx_$i)" } ++
+        avgUpdates ++ cntUpdates :+
         (cntAlias -> s"t.$cntAlias + s.__dcnt")).toMap
+      val sumInserts =
+        if (auto) sums.zipWithIndex.flatMap { case ((a, _), i) => Seq(
+          a -> (s"cast(CASE WHEN coalesce(s.__dnn_$i, 0) = 0 THEN NULL " +
+            s"ELSE s.__d_$i END AS ${tpe(a)})"),
+          s"__nn_$a" -> s"cast(coalesce(s.__dnn_$i, 0) AS ${tpe(s"__nn_$a")})")
+        } else sums.zipWithIndex.map { case ((a, _), i) =>
+          a -> s"cast(s.__d_$i AS ${tpe(a)})" }
+      val avgInserts = avgs.zipWithIndex.flatMap { case ((a, _), i) => Seq(
+        a -> (s"cast(CASE WHEN coalesce(s.__davn_$i, 0) = 0 THEN NULL " +
+          s"ELSE s.__davs_$i / s.__davn_$i END AS ${tpe(a)})"),
+        s"__avs_$a" -> s"cast(coalesce(s.__davs_$i, 0) AS ${tpe(s"__avs_$a")})",
+        s"__avn_$a" -> s"cast(coalesce(s.__davn_$i, 0) AS ${tpe(s"__avn_$a")})") }
       val inserts = (groupBy.map(c => c -> s"s.$c") ++
-        sums.zipWithIndex.map { case ((a, _), i) =>
-          a -> s"cast(s.__d_$i AS ${tpe(a)})" } ++
+        sumInserts ++
         mins.zipWithIndex.map { case ((a, _), i) => a -> s"s.__mn_$i" } ++
-        maxs.zipWithIndex.map { case ((a, _), i) => a -> s"s.__mx_$i" } :+
+        maxs.zipWithIndex.map { case ((a, _), i) => a -> s"s.__mx_$i" } ++
+        avgInserts ++
+        cnts.zipWithIndex.map { case ((a, _), i) =>
+          a -> s"cast(coalesce(s.__dc_$i, 0) AS ${tpe(a)})" } :+
         (cntAlias -> "s.__dcnt")).toMap
       // the ±delta is NOT replay-idempotent — the txn entry commits with the
       // merge so a crashed-and-retried window can never double-apply.
@@ -2065,7 +2273,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         insertSet = Some(inserts),
         txn = Some(appId -> cur),
         nullSafeKeys = true)
-      processed
+      (processed, "incremental")
     } finally { feed.unpersist(); () }
   }
 
@@ -2184,13 +2392,24 @@ object Pipeline {
   }
 
   /** The detected shape of a MAINTAINABLE materialized view — see
-   *  [[Pipeline.autoAggMv]]. `sums`/`mins`/`maxs` are (alias, SQL
-   *  expression) pairs; `counts` the user's COUNT(*) aliases (empty =
-   *  internal hidden count); `output` the declared column order. */
+   *  [[Pipeline.autoAggMv]]. `sums`/`mins`/`maxs`/`avgs`/`cntCols` are
+   *  (alias, SQL expression) pairs — `avgs` maintained by hidden SUM+COUNT
+   *  decomposition (Enzyme's rule), `cntCols` the COUNT(expr) non-null
+   *  counts; `counts` the user's COUNT(*) aliases (empty = internal hidden
+   *  count); `output` the declared column order. `joins` are the inner
+   *  equi-joined dimensions of a STAR-JOIN MV (the first FROM relation is
+   *  the fact/delta side); `groupExprs` the group columns' defining SQL
+   *  (qualified attributes), parallel to `groupBy` — empty means the
+   *  groups are the bare `groupBy` names. */
+  private[pipeline] final case class AutoMvJoin(
+      dim: String, alias: Option[String], cond: String)
   private[pipeline] final case class AutoMvSpec(
       source: String, where: Option[String], groupBy: Seq[String],
       sums: Seq[(String, String)], mins: Seq[(String, String)],
-      maxs: Seq[(String, String)], counts: Seq[String], output: Seq[String])
+      maxs: Seq[(String, String)], counts: Seq[String], output: Seq[String],
+      avgs: Seq[(String, String)] = Nil, cntCols: Seq[(String, String)] = Nil,
+      sourceAlias: Option[String] = None, joins: Seq[AutoMvJoin] = Nil,
+      groupExprs: Seq[String] = Nil)
 
   /** One registered streaming join table — see
    *  [[Pipeline.streamingJoinTable]]. */

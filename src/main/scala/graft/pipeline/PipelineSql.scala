@@ -519,6 +519,8 @@ object PipelineSql {
     final case class Mn(alias: String, e: String) extends Out
     final case class Mx(alias: String, e: String) extends Out
     final case class Cnt(alias: String) extends Out
+    final case class Av(alias: String, e: String) extends Out
+    final case class CntE(alias: String, e: String) extends Out
     def bareAttr(e: Expression): Option[String] = e match {
       case a: UnresolvedAttribute if a.nameParts.length == 1 => Some(a.name)
       case _ => None
@@ -563,6 +565,10 @@ object PipelineSql {
                 case ("max", Seq(e)) if reparses(e.sql) => Some(Mx(al.name, e.sql))
                 case ("count", Seq(Literal(1, _))) => Some(Cnt(al.name))
                 case ("count", Seq(_: UnresolvedStar)) => Some(Cnt(al.name))
+                // Enzyme's AVG rule: maintained as a hidden SUM+COUNT
+                // decomposition; COUNT(expr) as a signed non-null count
+                case ("avg", Seq(e)) if reparses(e.sql) => Some(Av(al.name, e.sql))
+                case ("count", Seq(e)) if reparses(e.sql) => Some(CntE(al.name, e.sql))
                 case _ => None
               }
             case _ => None
@@ -584,21 +590,28 @@ object PipelineSql {
             if os.exists { case _: G => false; case _ => true }
             names = os.map {
               case G(n) => n; case Sm(a, _) => a; case Mn(a, _) => a
-              case Mx(a, _) => a; case Cnt(a) => a
+              case Mx(a, _) => a; case Cnt(a) => a; case Av(a, _) => a
+              case CntE(a, _) => a
             }
             if names.distinct.size == names.size
             // the maintainer interpolates these names into merge SET
             // expressions (t.<alias> + s.<delta>): a name that needs
             // quoting would bootstrap fine and then wedge every refresh —
-            // keep such MVs on the recompute path instead
-            if (names ++ gs).forall(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
+            // keep such MVs on the recompute path instead. The `__` prefix
+            // is reserved for the hidden internal columns (per-SUM
+            // non-null counts, per-AVG decompositions, the group-death
+            // counter) riding the backing table.
+            if (names ++ gs).forall(n =>
+              n.matches("[A-Za-z_][A-Za-z0-9_]*") && !n.startsWith("__"))
           } yield Pipeline.AutoMvSpec(
             source = s, where = where, groupBy = gs,
             sums = os.collect { case Sm(a, e) => a -> e },
             mins = os.collect { case Mn(a, e) => a -> e },
             maxs = os.collect { case Mx(a, e) => a -> e },
             counts = os.collect { case Cnt(a) => a },
-            output = names)
+            output = names,
+            avgs = os.collect { case Av(a, e) => a -> e },
+            cntCols = os.collect { case CntE(a, e) => a -> e })
         case _ => None
       }
     }.toOption.flatten

@@ -386,7 +386,7 @@ class PipelineSqlSpec extends SparkSpec {
     val root = tmpDir("plsql_automv")
     val bronze = LakeTable(spark, s"$root/bronze")
     bronze.append(Seq(
-      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", -5.0)).toDF("k", "g", "v"))
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "b", -5L)).toDF("k", "g", "v"))
     val p = new Pipeline(spark, s"$root/pipe")
     p.inputTable("src", bronze)
     PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW agg AS
@@ -401,13 +401,14 @@ class PipelineSqlSpec extends SparkSpec {
     assert(agg == Seq(("a", 60.0, 2L)))
     // run 2: ONLY the appended rows flow (incremental refresh) — the
     // event log names the incremental path and counts the delta
-    bronze.append(Seq((4L, "b", 7.0), (5L, "a", 1.0)).toDF("k", "g", "v"))
+    bronze.append(Seq((4L, "b", 7L), (5L, "a", 1L)).toDF("k", "g", "v"))
     p.run()
     assert(agg == Seq(("a", 62.0, 3L), ("b", 14.0, 1L)))
     val ev = p.eventLog
       .filter(col("dataset") === "agg").orderBy("run_id")
       .select("rows", "message").as[(Long, String)].collect().toSeq
-    assert(ev.map(_._2).forall(_.contains("incremental from src")), ev)
+    assert(ev.head._2.contains("bootstrap"), ev)
+    assert(ev(1)._2.contains("incremental from src"), ev)
     assert(ev.map(_._1) == Seq(0L, 2L)) // bootstrap logs 0, delta = 2 rows
 
     // no COUNT selected: the group-death counter is internal and HIDDEN
@@ -416,15 +417,22 @@ class PipelineSqlSpec extends SparkSpec {
     p.run()
     assert(p.read("sums").columns.toSeq == Seq("g", "s"))
 
-    // non-maintainable shapes keep the recompute refresh and still answer
+    // AVG over an exact type is maintainable too (hidden SUM+COUNT
+    // decomposition — Enzyme's rule); the declared DOUBLE result type
+    // survives and later windows maintain incrementally
     PipelineSql(p, "CREATE OR REFRESH MATERIALIZED VIEW avgs AS " +
       "SELECT g, AVG(v) AS m FROM src GROUP BY g")
     p.run()
-    assert(p.read("avgs").orderBy("g").as[(String, Double)].collect().toSeq ==
-      Seq(("a", 31.0 / 3), ("b", 1.0)))
-    assert(p.eventLog.filter(col("dataset") === "avgs")
-      .select("message").as[String].collect()
-      .forall(_.contains("materialized view refresh")))
+    def avgsRows = p.read("avgs").orderBy("g")
+      .as[(String, Double)].collect().toSeq
+    assert(p.read("avgs").columns.toSeq == Seq("g", "m"))
+    assert(avgsRows == Seq(("a", 31.0 / 3), ("b", 1.0)))
+    bronze.append(Seq((6L, "b", 10L)).toDF("k", "g", "v"))
+    p.run()
+    assert(avgsRows == Seq(("a", 31.0 / 3), ("b", 4.0)))
+    val avgEv = p.eventLog.filter(col("dataset") === "avgs")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    assert(avgEv.last.contains("incremental from src"), avgEv)
   }
 
   test("auto-maintained MV degrades gracefully: MIN/MAX over a feed that " +
@@ -554,8 +562,9 @@ class PipelineSqlSpec extends SparkSpec {
   }
 
   test("auto-MV maintenance is TYPE-FAITHFUL (the declared SUM's own " +
-      "result type survives) and names that need quoting stay on the " +
-      "recompute path") {
+      "result type survives), floating-point SUMs route to RECOMPUTE " +
+      "refresh (no incremental ULP drift), and names that need quoting " +
+      "stay on the recompute path") {
     import graft.lake.LakeTable
     import org.apache.spark.sql.types.{DoubleType, LongType}
     val root = tmpDir("plsql_automv_types")
@@ -572,10 +581,18 @@ class PipelineSqlSpec extends SparkSpec {
     assert(p.read("m").schema("sd").dataType == DoubleType)
     assert(p.read("m").schema("sl").dataType == LongType)
     bronze.append(Seq((3L, "a", 0.5, 5L)).toDF("k", "g", "dv", "lv"))
-    p.run() // incremental touch keeps types and exact values
+    p.run() // refresh keeps types and exact values
     assert(p.read("m").schema("sd").dataType == DoubleType)
     assert(p.read("m").as[(String, Double, Long)].collect().toSeq ==
       Seq(("a", 4.5, 35L)))
+    // THE FLOATING POLICY: double addition is not associative, so a
+    // double-SUM MV refreshes by RECOMPUTE (pinned at the source version,
+    // skipped when idle) — its value can never drift ULPs from a
+    // recompute's; only exact accumulators (long/decimal) maintain
+    // incrementally
+    val mEv = p.eventLog.filter(col("dataset") === "m")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    assert(mEv.last.contains("floating-point"), mEv)
 
     // a backquoted alias would wedge the merge's SET expressions —
     // detection refuses it, the recompute path still answers
@@ -588,6 +605,46 @@ class PipelineSqlSpec extends SparkSpec {
       .select("message").as[String].collect()
       .forall(m => m.contains("materialized view refresh") &&
         !m.contains("incremental")))
+  }
+
+  test("auto-MV exact NULL algebra and AVG/COUNT(expr) maintenance: a " +
+      "group whose non-NULL contributions are fully RETRACTED reads NULL " +
+      "(recompute parity via the hidden non-null counts), AVG and " +
+      "COUNT(expr) ride their decompositions through deletes") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_null")
+    val src = LakeTable(spark, s"$root/src")
+    val seed = Seq((1L, "a", Option(10L)), (2L, "a", Option.empty[Long]),
+      (3L, "b", Option(5L))).toDF("k", "g", "v")
+    src.create(seed.schema, enableChangeFeed = true)
+    src.append(seed)
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("src", src)
+    PipelineSql(p, "CREATE OR REFRESH MATERIALIZED VIEW panel AS " +
+      "SELECT g, SUM(v) AS s, AVG(v) AS m, COUNT(v) AS nv, COUNT(*) AS n " +
+      "FROM src GROUP BY g")
+    p.run()
+    assert(p.read("panel").columns.toSeq == Seq("g", "s", "m", "nv", "n"))
+    def panel = p.read("panel").orderBy("g")
+      .as[(String, Option[Long], Option[Double], Long, Long)].collect().toSeq
+    assert(panel == Seq(("a", Some(10L), Some(10.0), 1L, 2L),
+      ("b", Some(5L), Some(5.0), 1L, 1L)))
+    // retract group a's ONLY non-null input: a NULL-input row remains, so
+    // the group survives — SUM/AVG must read NULL (what a recompute
+    // reads), never the netted 0; COUNT(v) drops to 0, COUNT(*) to 1
+    src.deleteWhere("k = 1")
+    p.run()
+    assert(panel == Seq(("a", None, None, 0L, 1L),
+      ("b", Some(5L), Some(5.0), 1L, 1L)))
+    // and this was the INCREMENTAL path, not a recompute dodge
+    val ev = p.eventLog.filter(col("dataset") === "panel")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    assert(ev.last.contains("incremental from src"), ev)
+    // a later non-null arrival resumes exact maintenance from the NULLs
+    src.append(Seq((4L, "a", Option(20L))).toDF("k", "g", "v"))
+    p.run()
+    assert(panel == Seq(("a", Some(20L), Some(20.0), 1L, 2L),
+      ("b", Some(5L), Some(5.0), 1L, 1L)))
   }
 
   test("runFullRefresh rebuilds an auto-maintained MV from scratch and " +
