@@ -1218,6 +1218,51 @@ object CoreQueries {
         FROM events WHERE event_type IS NOT NULL
         GROUP BY event_type ORDER BY event_type""")),
 
+    // O20 STAR-JOIN AUTO-MAINTAINED MV — Enzyme's join-aggregate rule: a
+    // gold MV `SELECT d.g, SUM(f.v * d.w) … FROM fact f JOIN dim d ON …
+    // GROUP BY d.g` maintains INCREMENTALLY from the fact's change feed
+    // while the dim is UNCHANGED since the MV's pin (inner joins
+    // distribute over the signed-delta union); any dim change recomputes
+    // and re-pins. Two fact arrivals, two incremental runs — run 2 joins
+    // ONLY the appended half against the pinned dim snapshot and merges
+    // the signed group deltas: the 100 TB gold-layer shape (the fact is
+    // the big side; the window, not the fact, is what run 2 reads).
+    Q("o20_auto_mv_star_join", (s, d) => {
+      val ev = t(s, d, "events")
+        .select("event_id", "event_type")
+        .filter(col("event_type").isNotNull)
+      val root = tmp("graft_o20")
+      val fact = LakeTable(s, s"$root/fact")
+      fact.append(ev.filter(col("event_id") % 2 === 0))
+      val dim = LakeTable(s, s"$root/dim")
+      dim.append(ev.select(col("event_type").as("et"))
+        .distinct().withColumn("w", length(col("et")).cast("long")))
+      val p = new Pipeline(s, s"$root/pipe")
+      p.inputTable("fact", fact)
+      p.inputTable("dim", dim)
+      PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW gold AS
+        SELECT d.et AS et,
+               SUM(f.event_id * d.w) AS s,
+               AVG(f.event_id) AS m,
+               COUNT(*) AS n
+        FROM fact f JOIN dim d ON f.event_type = d.et
+        GROUP BY d.et""")
+      p.runIncremental()                                   // bootstrap + pin
+      fact.append(ev.filter(col("event_id") % 2 === 1))
+      p.runIncremental()                                   // fact delta ⋈ pinned dim
+      p.read("gold").orderBy("et")
+    },
+      Some("""SELECT d.et AS et,
+               SUM(f.event_id * d.w) AS s,
+               AVG(f.event_id) AS m,
+               COUNT(*) AS n
+        FROM events f
+        JOIN (SELECT DISTINCT event_type AS et,
+                     CAST(length(event_type) AS BIGINT) AS w
+              FROM events WHERE event_type IS NOT NULL) d
+          ON f.event_type = d.et
+        GROUP BY d.et ORDER BY et""")),
+
     // O15 TRUE STREAMING APPEND FLOW (SQL-declared) — where o10's live
     // flow re-lands its view every run (snapshot semantics), this one is
     // registered from `INSERT INTO … BY NAME SELECT … FROM STREAM(bronze)`

@@ -240,9 +240,10 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
    *  `CREATE OR REFRESH MATERIALIZED VIEW` silently gets INCREMENTAL
    *  refresh when the engine can prove maintainability: the defining query
    *  is `SELECT g…, SUM(e) AS a…, MIN/MAX(e) AS b…, COUNT(*) AS n FROM src
-   *  [WHERE rowPred] GROUP BY g…` (detected on the parsed plan by
-   *  [[PipelineSql]]). Maintained from the source's change feed via the
-   *  signed-delta kernel; the user's declared column names and order are
+   *  [JOIN dim ON …]… [WHERE rowPred] GROUP BY g…` (detected on the parsed
+   *  plan by [[PipelineSql]]; the join form is the STAR-JOIN shape — see
+   *  [[runAggMvCore]]). Maintained from the fact source's change feed via
+   *  the signed-delta kernel; the user's declared column names and order are
    *  preserved — the group-death count column is materialized internally
    *  and hidden from reads when the user didn't select COUNT(*). A source
    *  that turns out not to be table-backed at run time falls back to full
@@ -1539,20 +1540,30 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     // an incremental contract
     autoMvs.foreach { case (name, spec) =>
       val t = tables(name)
-      inputs.get(spec.source).orElse(tables.get(spec.source))
-        .filterNot(_ => mviews.contains(spec.source)) match {
-        case Some(root) if root.exists =>
+      def asTable(ds: String): Option[LakeTable] =
+        inputs.get(ds).orElse(tables.get(ds)).filterNot(_ => mviews.contains(ds))
+      // star-join dims must be table-backed AND materialized — the
+      // incremental window needs a pinnable dim VERSION; a dim that is
+      // still empty parks the MV like an empty source does
+      val dimTables: Seq[(String, Option[LakeTable])] =
+        spec.joins.map(j => j.dim -> asTable(j.dim).filter(_.exists))
+      asTable(spec.source) match {
+        case Some(root) if root.exists && dimTables.forall(_._2.isDefined) =>
+          val dims = dimTables.map { case (n, dt) => n -> dt.get }
           val (n, mode) = runAggMvCore(name, root, spec.where, spec.groupBy,
             spec.sums, spec.mins, spec.maxs,
             cntAlias = spec.counts.headOption.getOrElse("__cnt"),
             flowId = s"graft.aggmv.$name", minMaxFallback = true,
-            exactDecimal = false, avgs = spec.avgs, cnts = spec.cntCols)
+            exactDecimal = false, avgs = spec.avgs, cnts = spec.cntCols,
+            dims = dims, enrich = autoMvEnrich(spec, _),
+            groupExprs = spec.groupExprs)
           val how = if (mode == "incremental") s"incremental from ${spec.source}"
             else s"$mode, from ${spec.source}"
           events += (("flow_progress", name, n,
             s"materialized view refresh ($how)"))
         case Some(_) => events += (("flow_progress", name, 0L,
-          s"materialized view from ${spec.source} (source not materialized)"))
+          s"materialized view from ${spec.source} (source or dimension " +
+            "not materialized)"))
         case None =>
           // view-backed (or recompute-MV-backed) source: full recompute
           // with the same internal schema, so the modes interchange freely
@@ -1680,9 +1691,13 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         } else if (aggMvs.contains(n))
           (n, "incremental_agg_mv", Option(aggMvs(n)._1), true)
         else if (autoMvs.contains(n)) {
-          val src = autoMvs(n).source
+          val spec = autoMvs(n)
+          // star-join MVs list fact + dims (the fact leads: it's the
+          // delta side; dim changes recompute)
+          val src = (spec.source +: spec.joins.map(_.dim)).mkString(",")
           (n, "materialized_view_auto", Option(src),
-            inputs.contains(src) || tables.contains(src))
+            (spec.source +: spec.joins.map(_.dim)).forall(s =>
+              inputs.contains(s) || tables.contains(s)))
         } else if (mviews.contains(n))
           (n, "materialized_view", Option.empty[String], false)
         else {

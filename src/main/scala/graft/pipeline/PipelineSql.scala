@@ -498,14 +498,20 @@ object PipelineSql {
 
   /** Detect the MAINTAINABLE-MV shape on the parsed plan — Lakeflow's
    *  Enzyme rule, conservatively: the statement must be exactly
-   *  `SELECT g…, SUM(e) AS a…, MIN(e)/MAX(e) AS b…, COUNT(*)|COUNT(1) AS n
-   *   FROM <one declared dataset> [WHERE <row predicate>] GROUP BY g…`
-   *  with every aggregate ALIASED, every group column selected, no
-   *  DISTINCT/FILTER/HAVING/ORDER BY/subqueries, and the source a declared
-   *  TABLE-BACKED dataset (a recompute MV refreshes LAST — sourcing an
-   *  incremental MV from it would read stale state — and a plain view's
-   *  dependency closure may reach one, so both keep the documented
-   *  recompute refresh in declaration order). Anything else
+   *  `SELECT g…, SUM(e) AS a…, MIN(e)/MAX(e) AS b…, AVG(e) AS c…,
+   *   COUNT(e) AS d…, COUNT(*)|COUNT(1) AS n
+   *   FROM <declared dataset> [[AS] f]
+   *   [JOIN <declared dataset> [[AS] d] ON <cond>]…
+   *   [WHERE <row predicate>] GROUP BY g…`
+   *  with every aggregate ALIASED, every group column selected (bare or
+   *  table-qualified, optionally re-aliased), no DISTINCT/FILTER/HAVING/
+   *  ORDER BY/subqueries, and every relation a declared TABLE-BACKED
+   *  dataset (a recompute MV refreshes LAST — sourcing an incremental MV
+   *  from it would read stale state — and a plain view's dependency
+   *  closure may reach one, so both keep the documented recompute refresh
+   *  in declaration order; star-join dims additionally need a pinnable
+   *  version). The join form is the STAR-JOIN shape — the first relation
+   *  is the fact/delta side, inner ON-joins only. Anything else
    *  returns None and the MV registers as a full recompute — detection can
    *  only ever trade recompute for an equivalent incremental plan, never
    *  change results. Rendered expression texts are round-trip re-parsed so
@@ -514,17 +520,14 @@ object PipelineSql {
   private def maintainableAggShape(p: Pipeline, select: String)
       : Option[Pipeline.AutoMvSpec] = {
     sealed trait Out
-    final case class G(name: String) extends Out
+    final case class G(name: String, e: String, parts: Seq[String]) extends Out
     final case class Sm(alias: String, e: String) extends Out
     final case class Mn(alias: String, e: String) extends Out
     final case class Mx(alias: String, e: String) extends Out
     final case class Cnt(alias: String) extends Out
     final case class Av(alias: String, e: String) extends Out
     final case class CntE(alias: String, e: String) extends Out
-    def bareAttr(e: Expression): Option[String] = e match {
-      case a: UnresolvedAttribute if a.nameParts.length == 1 => Some(a.name)
-      case _ => None
-    }
+    final case class Rel(name: String, alias: Option[String])
     def reparses(sqlText: String): Boolean = scala.util.Try {
       p.spark.sessionState.sqlParser.parseExpression(sqlText); true
     }.getOrElse(false)
@@ -539,22 +542,49 @@ object PipelineSql {
             case r => (None, r)
           }
           // a Filter that failed the guards must NOT silently drop: only a
-          // bare relation (or alias of one) qualifies as `rel`
-          val src = rel match {
+          // bare relation (or alias of one) qualifies as a leaf — and a
+          // LEFT-DEEP chain of INNER ON-joins of such leaves is the
+          // STAR-JOIN shape (the first relation is the fact/delta side;
+          // inner joins distribute over the signed-delta union, so the
+          // fact window joined against UNCHANGED dims maintains exactly;
+          // outer/cross/using/natural joins keep the recompute path)
+          def leaf(n: LogicalPlan): Option[Rel] = n match {
             case UnresolvedRelation(parts, _, false) if parts.length == 1 =>
-              Some(parts.head)
-            case SubqueryAlias(_, UnresolvedRelation(parts, _, false))
-                if parts.length == 1 => Some(parts.head)
+              Some(Rel(parts.head, None))
+            case SubqueryAlias(id, UnresolvedRelation(parts, _, false))
+                if parts.length == 1 => Some(Rel(parts.head, Some(id.name)))
             case _ => None
           }
-          val groups: Option[Seq[String]] = {
-            val gs = agg.groupingExpressions.map(bareAttr)
-            if (gs.nonEmpty && gs.forall(_.isDefined)) Some(gs.flatten.toSeq)
+          def walk(n: LogicalPlan): Option[(Rel, Seq[(Rel, String)])] = n match {
+            case Join(l, r, Inner, Some(cond), hint)
+                if hint == org.apache.spark.sql.catalyst.plans.logical
+                  .JoinHint.NONE && noSubquery(cond) && reparses(cond.sql) =>
+              for { lw <- walk(l); d <- leaf(r) }
+                yield (lw._1, lw._2 :+ (d -> cond.sql))
+            case other => leaf(other).map(_ -> Seq.empty[(Rel, String)])
+          }
+          val walked = walk(rel)
+          // group columns: bare or table-qualified attributes (the star
+          // shape groups by dim columns like `d.region`)
+          val groupParts: Option[Seq[Seq[String]]] = {
+            val gs = agg.groupingExpressions.map {
+              case a: UnresolvedAttribute if a.nameParts.length <= 2 =>
+                Some(a.nameParts.toSeq)
+              case _ => None
+            }
+            if (gs.nonEmpty && gs.forall(_.isDefined) &&
+              gs.flatten.distinct.size == gs.size) Some(gs.flatten.toSeq)
             else None
           }
+          def groupOut(a: UnresolvedAttribute, out: String): Option[Out] =
+            if (a.nameParts.length <= 2 &&
+              groupParts.exists(_.contains(a.nameParts.toSeq)))
+              Some(G(out, a.sql, a.nameParts.toSeq))
+            else None
           def classify(ne: Expression): Option[Out] = ne match {
-            case a: UnresolvedAttribute if a.nameParts.length == 1 &&
-                groups.exists(_.contains(a.name)) => Some(G(a.name))
+            case a: UnresolvedAttribute => groupOut(a, a.nameParts.last)
+            case al @ Alias(a: UnresolvedAttribute, _)
+                if groupOut(a, al.name).isDefined => groupOut(a, al.name)
             case al @ Alias(f: UnresolvedFunction, _)
                 if f.nameParts.length == 1 && !f.isDistinct &&
                   f.filter.isEmpty && f.arguments.forall(noSubquery) =>
@@ -575,21 +605,33 @@ object PipelineSql {
           }
           val outs = agg.aggregateExpressions.map(classify)
           for {
-            s <- src
-            // TABLE-BACKED sources only: a plain-view source (whose
-            // dependency closure may reach a recompute MV that refreshes
-            // last) and direct recompute-MV sources both keep the
-            // recompute path, ordered with the other recompute MVs
+            (fact, joins) <- walked
+            s = fact.name
+            // TABLE-BACKED sources only — fact AND every dim: a plain-view
+            // source (whose dependency closure may reach a recompute MV
+            // that refreshes last) and direct recompute-MV sources both
+            // keep the recompute path, ordered with the other recompute
+            // MVs; dims additionally need a pinnable VERSION (the
+            // dim-unchanged proof the incremental window rests on)
             if p.isTableBackedSource(s)
-            gs <- groups
+            if joins.forall { case (d, _) => p.isTableBackedSource(d.name) }
+            // distinct relations only (a self-join's two sides can't be
+            // independently pinned) and distinct aliases (ambiguous
+            // qualifiers would wedge every refresh)
+            rels = (fact +: joins.map(_._1))
+            if rels.map(_.name).distinct.size == rels.size
+            if rels.map(r => r.alias.getOrElse(r.name)).distinct.size == rels.size
+            gs <- groupParts
             os <- if (outs.forall(_.isDefined)) Some(outs.flatten.toSeq) else None
-            // the MV schema needs its keys: every group column selected;
-            // and at least one aggregate (a keys-only SELECT is DISTINCT,
-            // not an aggregation worth maintaining)
-            if gs.forall(g => os.contains(G(g)))
+            gOuts = os.collect { case g: G => g }
+            // the MV schema needs its keys: every group column selected
+            // exactly once; and at least one aggregate (a keys-only SELECT
+            // is DISTINCT, not an aggregation worth maintaining)
+            if gs.forall(g => gOuts.count(_.parts == g) == 1)
+            if gOuts.size == gs.size
             if os.exists { case _: G => false; case _ => true }
             names = os.map {
-              case G(n) => n; case Sm(a, _) => a; case Mn(a, _) => a
+              case G(n, _, _) => n; case Sm(a, _) => a; case Mn(a, _) => a
               case Mx(a, _) => a; case Cnt(a) => a; case Av(a, _) => a
               case CntE(a, _) => a
             }
@@ -601,17 +643,22 @@ object PipelineSql {
             // is reserved for the hidden internal columns (per-SUM
             // non-null counts, per-AVG decompositions, the group-death
             // counter) riding the backing table.
-            if (names ++ gs).forall(n =>
+            if names.forall(n =>
               n.matches("[A-Za-z_][A-Za-z0-9_]*") && !n.startsWith("__"))
           } yield Pipeline.AutoMvSpec(
-            source = s, where = where, groupBy = gs,
+            source = s, where = where,
+            groupBy = gOuts.map(_.name),
             sums = os.collect { case Sm(a, e) => a -> e },
             mins = os.collect { case Mn(a, e) => a -> e },
             maxs = os.collect { case Mx(a, e) => a -> e },
             counts = os.collect { case Cnt(a) => a },
             output = names,
             avgs = os.collect { case Av(a, e) => a -> e },
-            cntCols = os.collect { case CntE(a, e) => a -> e })
+            cntCols = os.collect { case CntE(a, e) => a -> e },
+            sourceAlias = fact.alias,
+            joins = joins.map { case (d, cond) =>
+              Pipeline.AutoMvJoin(d.name, d.alias, cond) },
+            groupExprs = gOuts.map(_.e))
         case _ => None
       }
     }.toOption.flatten

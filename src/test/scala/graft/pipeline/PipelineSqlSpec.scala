@@ -647,6 +647,119 @@ class PipelineSqlSpec extends SparkSpec {
       ("b", Some(5L), Some(5.0), 1L, 1L)))
   }
 
+  test("STAR-JOIN auto-MV (Enzyme): an agg over fact INNER JOIN dim " +
+      "maintains incrementally from the FACT change feed while the dim is " +
+      "unchanged; a dim change recomputes and re-pins; fact deletes ride " +
+      "the signed algebra through the join") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_star")
+    val fact = LakeTable(spark, s"$root/fact")
+    val seed = Seq((1L, "x", 10L), (2L, "x", 20L), (3L, "y", 5L))
+      .toDF("k", "cat", "v")
+    fact.create(seed.schema, enableChangeFeed = true)
+    fact.append(seed)
+    val dim = LakeTable(spark, s"$root/dim")
+    dim.append(Seq(("x", "west", 2L), ("y", "east", 3L))
+      .toDF("cat", "region", "w"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("fact", fact)
+    p.inputTable("dim", dim)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW gold AS
+      SELECT d.region AS region, SUM(f.v * d.w) AS s,
+             AVG(f.v) AS m, COUNT(*) AS n
+      FROM fact f JOIN dim d ON f.cat = d.cat
+      GROUP BY d.region""")
+    p.run()
+    assert(p.read("gold").columns.toSeq == Seq("region", "s", "m", "n"))
+    def gold = p.read("gold").orderBy("region")
+      .as[(String, Option[Long], Option[Double], Long)].collect().toSeq
+    assert(gold == Seq(("east", Some(15L), Some(5.0), 1L),
+      ("west", Some(60L), Some(15.0), 2L)))
+    // run 2: fact-only change maintains INCREMENTALLY (dim pinned)
+    fact.append(Seq((4L, "y", 7L)).toDF("k", "cat", "v"))
+    p.run()
+    assert(gold == Seq(("east", Some(36L), Some(6.0), 2L),
+      ("west", Some(60L), Some(15.0), 2L)))
+    def ev = p.eventLog.filter(col("dataset") === "gold")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    assert(ev.last.contains("incremental from fact"), ev)
+    // run 3: a fact DELETE retracts through the join (group y loses k=3)
+    fact.deleteWhere("k = 3")
+    p.run()
+    assert(gold == Seq(("east", Some(21L), Some(7.0), 1L),
+      ("west", Some(60L), Some(15.0), 2L)))
+    assert(ev.last.contains("incremental from fact"), ev)
+    // run 4: a DIM change forces recompute (and re-pins) — the new weight
+    // applies to ALL existing fact rows, which no fact window could serve
+    dim.deleteWhere("cat = 'x'")
+    dim.append(Seq(("x", "west", 10L)).toDF("cat", "region", "w"))
+    p.run()
+    assert(gold == Seq(("east", Some(21L), Some(7.0), 1L),
+      ("west", Some(300L), Some(15.0), 2L)))
+    assert(ev.last.contains("recompute: dimension changed"), ev)
+    // run 5: incremental maintenance RESUMES against the new pin
+    fact.append(Seq((5L, "x", 1L)).toDF("k", "cat", "v"))
+    p.run()
+    assert(gold == Seq(("east", Some(21L), Some(7.0), 1L),
+      ("west", Some(310L), Some(10.333333333333334), 3L)))
+    assert(ev.last.contains("incremental from fact"), ev)
+    // a fact row with NO dim match contributes nothing — inner-join
+    // semantics hold through the incremental path
+    fact.append(Seq((6L, "zzz", 99L)).toDF("k", "cat", "v"))
+    p.run()
+    assert(gold == Seq(("east", Some(21L), Some(7.0), 1L),
+      ("west", Some(310L), Some(10.333333333333334), 3L)))
+  }
+
+  test("star-join auto-MV fallbacks: LEFT JOIN, self-join, and a " +
+      "view-backed dim keep the recompute path (and still answer); a WHERE " +
+      "over dim columns maintains exactly") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_star_fb")
+    val fact = LakeTable(spark, s"$root/fact")
+    val seed = Seq((1L, "x", 10L), (2L, "y", 20L)).toDF("k", "cat", "v")
+    fact.create(seed.schema, enableChangeFeed = true)
+    fact.append(seed)
+    val dim = LakeTable(spark, s"$root/dim")
+    dim.append(Seq(("x", "west"), ("y", "east")).toDF("cat", "region"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("fact", fact)
+    p.inputTable("dim", dim)
+    // LEFT JOIN: not maintainable — registers as recompute MV, answers
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW lj AS
+      SELECT d.region AS region, SUM(f.v) AS s
+      FROM fact f LEFT JOIN dim d ON f.cat = d.cat GROUP BY d.region""")
+    // self-join: two sides of one relation can't be independently pinned
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW sj AS
+      SELECT a.cat AS cat, SUM(b.v) AS s
+      FROM fact a JOIN fact b ON a.k = b.k GROUP BY a.cat""")
+    // view-backed dim: no pinnable version — recompute
+    PipelineSql(p, "CREATE VIEW dimv AS SELECT cat, region FROM dim")
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW vj AS
+      SELECT d.region AS region, SUM(f.v) AS s
+      FROM fact f JOIN dimv d ON f.cat = d.cat GROUP BY d.region""")
+    // WHERE over a dim column: maintainable, filter rides the join
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW wj AS
+      SELECT f.cat AS cat, SUM(f.v) AS s
+      FROM fact f JOIN dim d ON f.cat = d.cat
+      WHERE d.region = 'west' GROUP BY f.cat""")
+    p.run()
+    fact.append(Seq((3L, "x", 5L), (4L, "y", 7L)).toDF("k", "cat", "v"))
+    p.run()
+    assert(p.read("lj").orderBy("region").as[(String, Long)].collect().toSeq ==
+      Seq(("east", 27L), ("west", 15L)))
+    assert(p.read("sj").orderBy("cat").as[(String, Long)].collect().toSeq ==
+      Seq(("x", 15L), ("y", 27L)))
+    assert(p.read("vj").orderBy("region").as[(String, Long)].collect().toSeq ==
+      Seq(("east", 27L), ("west", 15L)))
+    assert(p.read("wj").as[(String, Long)].collect().toSeq == Seq(("x", 15L)))
+    def msgs(ds: String) = p.eventLog.filter(col("dataset") === ds)
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    Seq("lj", "sj", "vj").foreach { ds =>
+      assert(msgs(ds).forall(!_.contains("incremental")), ds -> msgs(ds)) }
+    assert(msgs("wj").last.contains("incremental from fact"), msgs("wj"))
+  }
+
   test("runFullRefresh rebuilds an auto-maintained MV from scratch and " +
       "incremental maintenance resumes after it") {
     import graft.lake.LakeTable
