@@ -1263,6 +1263,38 @@ object CoreQueries {
           ON f.event_type = d.et
         GROUP BY d.et ORDER BY et""")),
 
+    // O21 COUNT(DISTINCT) AUTO-MAINTAINED MV — the aggregate Enzyme can't
+    // maintain by signed sums alone: a hidden COMPANION table holds the
+    // live (group, value) multiplicities; each incremental window merges
+    // the window's signed multiplicities into it (value births and deaths
+    // exact through duplicates and retractions), then the TOUCHED groups'
+    // distinct counts are recounted ABSOLUTELY from the companion and ride
+    // the main merge — O(window + touched-group probe) per refresh, never
+    // a fact rescan. Two arrivals, two incremental runs.
+    Q("o21_auto_mv_count_distinct", (s, d) => {
+      val ev = t(s, d, "events")
+        .select("event_id", "event_type", "user_id")
+      val root = tmp("graft_o21")
+      val bronze = LakeTable(s, s"$root/bronze")
+      bronze.append(ev.filter(col("event_id") % 2 === 0))
+      val p = new Pipeline(s, s"$root/pipe")
+      p.inputTable("bronze", bronze)
+      PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW panel AS
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS users,
+               COUNT(*) AS n
+        FROM bronze WHERE event_type IS NOT NULL GROUP BY event_type""")
+      p.runIncremental()                                   // bootstrap
+      bronze.append(ev.filter(col("event_id") % 2 === 1))
+      p.runIncremental()                                   // delta + recount
+      p.read("panel").orderBy("event_type")
+    },
+      Some("""SELECT event_type,
+               COUNT(DISTINCT user_id) AS users,
+               COUNT(*) AS n
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY event_type ORDER BY event_type""")),
+
     // O15 TRUE STREAMING APPEND FLOW (SQL-declared) — where o10's live
     // flow re-lands its view every run (snapshot semantics), this one is
     // registered from `INSERT INTO … BY NAME SELECT … FROM STREAM(bronze)`

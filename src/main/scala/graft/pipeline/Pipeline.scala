@@ -299,7 +299,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
    *  dims' CURRENT contents (resolved through [[read]]) before
    *  aggregating. */
   private def autoMvDefining(spec: Pipeline.AutoMvSpec, src: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{avg, col, count, expr, lit, max, min, sum}
+    import org.apache.spark.sql.functions.{avg, col, count, countDistinct, expr, lit, max, min, sum}
     val cntCol = spec.counts.headOption.getOrElse("__cnt")
     val enriched =
       if (spec.joins.isEmpty && spec.sourceAlias.isEmpty) src
@@ -314,14 +314,15 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       spec.maxs.map { case (a, e) => max(expr(e)).as(a) } ++
       spec.avgs.map { case (a, e) => avg(expr(e)).as(a) } ++
       spec.cntCols.map { case (a, e) => count(expr(e)).as(a) } ++
+      spec.dcounts.map { case (a, e) => countDistinct(expr(e)).as(a) } ++
       spec.sums.map { case (a, e) => count(expr(e)).as(s"__nn_$a") } ++
       spec.avgs.flatMap { case (a, e) => Seq(
         sum(expr(e)).as(s"__avs_$a"), count(expr(e)).as(s"__avn_$a")) }
     val gCols = if (spec.groupExprs.nonEmpty) spec.groupExprs.map(expr)
       else spec.groupBy.map(col)
     val aggNames =
-      (spec.sums ++ spec.mins ++ spec.maxs ++ spec.avgs ++ spec.cntCols)
-        .map(_._1) ++
+      (spec.sums ++ spec.mins ++ spec.maxs ++ spec.avgs ++ spec.cntCols ++
+        spec.dcounts).map(_._1) ++
       spec.sums.map(p => s"__nn_${p._1}") ++
       spec.avgs.flatMap(p => Seq(s"__avs_${p._1}", s"__avn_${p._1}"))
     val grouped = base.groupBy(gCols: _*).agg(count(lit(1)).as(cntCol), aggs: _*)
@@ -1556,7 +1557,10 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
             flowId = s"graft.aggmv.$name", minMaxFallback = true,
             exactDecimal = false, avgs = spec.avgs, cnts = spec.cntCols,
             dims = dims, enrich = autoMvEnrich(spec, _),
-            groupExprs = spec.groupExprs)
+            groupExprs = spec.groupExprs,
+            dcounts = spec.dcounts,
+            distTables = spec.dcounts.map { case (a, _) =>
+              LakeTable(spark, s"$storageRoot/${name}__dist_$a") })
           val how = if (mode == "incremental") s"incremental from ${spec.source}"
             else s"$mode, from ${spec.source}"
           events += (("flow_progress", name, n,
@@ -2032,8 +2036,10 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       cnts: Seq[(String, String)] = Nil,
       dims: Seq[(String, LakeTable)] = Nil,
       enrich: Map[String, DataFrame] => DataFrame => DataFrame = _ => identity,
-      groupExprs: Seq[String] = Nil): (Long, String) = {
-    import org.apache.spark.sql.functions.{avg, col, count, expr, lit, max, min, sum, when}
+      groupExprs: Seq[String] = Nil,
+      dcounts: Seq[(String, String)] = Nil,
+      distTables: Seq[LakeTable] = Nil): (Long, String) = {
+    import org.apache.spark.sql.functions.{avg, col, count, countDistinct, expr, lit, max, min, sum, when}
     require(groupBy.nonEmpty, "incremental agg MV needs GROUP BY columns")
     // AVG/COUNT(expr) decompositions ride hidden columns — auto path only
     // (the explicit API's materialized schema is the user's own)
@@ -2041,6 +2047,9 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       "AVG/COUNT(expr) maintenance is the auto path's")
     require(!exactDecimal || dims.isEmpty,
       "star-join maintenance is the auto path's")
+    require((exactDecimal && dcounts.isEmpty) ||
+      dcounts.size == distTables.size,
+      "COUNT(DISTINCT) maintenance is the auto path's, one companion per column")
     val auto = !exactDecimal
     val t = tables(target)
     val appId = if (flowId.nonEmpty) flowId else s"graft.aggmv.$target"
@@ -2107,6 +2116,17 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     // consumer — instead of failing every run.
     def bootstrap(mode: String): (Long, String) = {
       val snap = filtered(en(source.readVersion(cur)))
+      // COUNT(DISTINCT) companions rebuild FIRST: each holds the (group,
+      // value) multiplicities of the snapshot — the MV overwrite below
+      // carries the ledger, so a crash in between just re-bootstraps
+      dcounts.zip(distTables).foreach { case ((_, e), dt) =>
+        val comp = snap.filter(expr(e).isNotNull)
+          .groupBy((gCols :+ expr(e)): _*)
+          .agg(count(lit(1)).as("__vcnt"))
+          .toDF((groupBy ++ Seq("__v", "__vcnt")): _*)
+        if (!dt.exists) dt.create(comp.schema)
+        dt.overwrite(comp)
+      }
       val aggs =
         sums.map { case (a, e) =>
           (if (exactDecimal) sum(sumIn(e)).cast(dec) else sum(sumIn(e))).as(a) } ++
@@ -2114,13 +2134,14 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         maxs.map { case (a, e) => max(expr(e)).as(a) } ++
         avgs.map { case (a, e) => avg(expr(e)).as(a) } ++
         cnts.map { case (a, e) => count(expr(e)).as(a) } ++
+        dcounts.map { case (a, e) => countDistinct(expr(e)).as(a) } ++
         (if (auto)
           sums.map { case (a, e) => count(expr(e)).as(s"__nn_$a") } ++
           avgs.flatMap { case (a, e) => Seq(
             sum(expr(e)).as(s"__avs_$a"), count(expr(e)).as(s"__avn_$a")) }
         else Nil)
       val aggNames =
-        (sums ++ mins ++ maxs ++ avgs ++ cnts).map(_._1) ++
+        (sums ++ mins ++ maxs ++ avgs ++ cnts ++ dcounts).map(_._1) ++
         (if (auto)
           sums.map(p => s"__nn_${p._1}") ++
           avgs.flatMap(p => Seq(s"__avs_${p._1}", s"__avn_${p._1}"))
@@ -2205,11 +2226,67 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           avgs.indices.flatMap(i => Seq(s"__davs_$i", s"__davn_$i")) ++
           cnts.indices.map(i => s"__dc_$i")
         else Nil)
+      val signed = feed.withColumn("__sign", sign)
       val delta = nameGroups(
-        feed.withColumn("__sign", sign)
+        signed
           .groupBy(gCols: _*)
           .agg(sum(col("__sign")).as("__dcnt"), deltaAggs: _*),
         "__dcnt" +: deltaNames)
+      // COUNT(DISTINCT) maintenance: each companion absorbs the window's
+      // signed (group, value) multiplicities — txn-guarded per companion,
+      // so a crashed-and-retried window can never double-apply — then the
+      // TOUCHED groups' distinct counts are recounted ABSOLUTELY from the
+      // companion and ride the main merge. Absolute values make the replay
+      // idempotent: a crash between the companion merge and the main merge
+      // re-runs the recount against the already-advanced companion and
+      // lands the same numbers. Cost: O(window) merge + a semi-join probe
+      // of the companion by the touched groups per refresh — never a fact
+      // rescan.
+      val withDcounts =
+        if (dcounts.isEmpty) delta
+        else {
+          import org.apache.spark.sql.functions.coalesce
+          val touched = delta.select(groupBy.map(col): _*)
+          val absCounts = dcounts.zip(distTables).zipWithIndex.map {
+            case (((a, e), dt), i) =>
+              val cdelta = signed.filter(expr(e).isNotNull)
+                .groupBy((gCols :+ expr(e)): _*)
+                .agg(sum(col("__sign")).as("__d"))
+                .toDF((groupBy ++ Seq("__v", "__d")): _*)
+              dt.merge(cdelta, groupBy :+ "__v",
+                matchedSet = Some(Map("__vcnt" -> "t.__vcnt + s.__d")),
+                matchedDeleteWhen = Some("t.__vcnt + s.__d = 0"),
+                insertGuard = Some("s.__d > 0"),
+                insertSet = Some((groupBy.map(c => c -> s"s.$c") ++
+                  Seq("__v" -> "s.__v", "__vcnt" -> "s.__d")).toMap),
+                txn = Some(s"$appId.dist.$a" -> cur),
+                nullSafeKeys = true)
+              // one companion row per live (group, value) — the touched
+              // groups' counts are just row counts, probed null-safely
+              val comp = dt.read
+              val live = comp.join(touched,
+                groupBy.map(c => comp(c) <=> touched(c)).reduce(_ && _),
+                "left_semi")
+              live.groupBy(groupBy.map(col): _*)
+                .agg(count(lit(1)).as(s"__da_$i"))
+          }
+          val abs = absCounts.zipWithIndex.foldLeft(touched) {
+            case (acc, (counts, i)) =>
+              val renamed = counts.select(
+                groupBy.map(c => col(c).as(s"__k_$c")) :+ col(s"__da_$i"): _*)
+              acc.join(renamed,
+                groupBy.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _),
+                "left")
+                .drop(groupBy.map(c => s"__k_$c"): _*)
+                .withColumn(s"__da_$i", coalesce(col(s"__da_$i"), lit(0L)))
+          }
+          val absR = abs.select(groupBy.map(c => col(c).as(s"__k_$c")) ++
+            dcounts.indices.map(i => col(s"__da_$i")): _*)
+          delta.join(absR,
+            groupBy.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _),
+            "left")
+            .drop(groupBy.map(c => s"__k_$c"): _*)
+        }
       val processed = feed.count()
       // the target column's type drives the merge casts (widened-decimal
       // arithmetic folds back; the accumulator type IS the declared type)
@@ -2251,10 +2328,14 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       }
       val cntUpdates = cnts.zipWithIndex.map { case ((a, _), i) =>
         a -> s"t.$a + coalesce(s.__dc_$i, 0)" }
+      // COUNT(DISTINCT) columns land ABSOLUTE (recounted from the
+      // companion above) — the one aggregate whose delta is not a sum
+      val dcUpdates = dcounts.zipWithIndex.map { case ((a, _), i) =>
+        a -> s"cast(s.__da_$i AS ${tpe(a)})" }
       val updates = (sumUpdates ++
         mins.zipWithIndex.map { case ((a, _), i) => a -> s"least(t.$a, s.__mn_$i)" } ++
         maxs.zipWithIndex.map { case ((a, _), i) => a -> s"greatest(t.$a, s.__mx_$i)" } ++
-        avgUpdates ++ cntUpdates :+
+        avgUpdates ++ cntUpdates ++ dcUpdates :+
         (cntAlias -> s"t.$cntAlias + s.__dcnt")).toMap
       val sumInserts =
         if (auto) sums.zipWithIndex.flatMap { case ((a, _), i) => Seq(
@@ -2274,14 +2355,16 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         maxs.zipWithIndex.map { case ((a, _), i) => a -> s"s.__mx_$i" } ++
         avgInserts ++
         cnts.zipWithIndex.map { case ((a, _), i) =>
-          a -> s"cast(coalesce(s.__dc_$i, 0) AS ${tpe(a)})" } :+
+          a -> s"cast(coalesce(s.__dc_$i, 0) AS ${tpe(a)})" } ++
+        dcounts.zipWithIndex.map { case ((a, _), i) =>
+          a -> s"cast(coalesce(s.__da_$i, 0) AS ${tpe(a)})" } :+
         (cntAlias -> "s.__dcnt")).toMap
       // the ±delta is NOT replay-idempotent — the txn entry commits with the
       // merge so a crashed-and-retried window can never double-apply.
       // nullSafeKeys: the keys are GROUP BY outputs — SQL groups NULLs as
       // ONE group, so the merge must match them too (plain MERGE equality
       // would re-insert the NULL group every window)
-      t.merge(delta, groupBy,
+      t.merge(withDcounts, groupBy,
         matchedSet = Some(updates),
         matchedDeleteWhen = Some(s"t.$cntAlias + s.__dcnt = 0"),
         insertGuard = Some("s.__dcnt > 0"),
@@ -2424,7 +2507,7 @@ object Pipeline {
       maxs: Seq[(String, String)], counts: Seq[String], output: Seq[String],
       avgs: Seq[(String, String)] = Nil, cntCols: Seq[(String, String)] = Nil,
       sourceAlias: Option[String] = None, joins: Seq[AutoMvJoin] = Nil,
-      groupExprs: Seq[String] = Nil)
+      groupExprs: Seq[String] = Nil, dcounts: Seq[(String, String)] = Nil)
 
   /** One registered streaming join table — see
    *  [[Pipeline.streamingJoinTable]]. */

@@ -527,6 +527,7 @@ object PipelineSql {
     final case class Cnt(alias: String) extends Out
     final case class Av(alias: String, e: String) extends Out
     final case class CntE(alias: String, e: String) extends Out
+    final case class Dc(alias: String, e: String) extends Out
     final case class Rel(name: String, alias: Option[String])
     def reparses(sqlText: String): Boolean = scala.util.Try {
       p.spark.sessionState.sqlParser.parseExpression(sqlText); true
@@ -586,10 +587,16 @@ object PipelineSql {
             case al @ Alias(a: UnresolvedAttribute, _)
                 if groupOut(a, al.name).isDefined => groupOut(a, al.name)
             case al @ Alias(f: UnresolvedFunction, _)
-                if f.nameParts.length == 1 && !f.isDistinct &&
+                if f.nameParts.length == 1 &&
                   f.filter.isEmpty && f.arguments.forall(noSubquery) =>
               val fn = f.nameParts.head.toLowerCase(java.util.Locale.ROOT)
-              (fn, f.arguments) match {
+              if (f.isDistinct) (fn, f.arguments) match {
+                // COUNT(DISTINCT e): maintained through a signed COMPANION
+                // table of (group, value) multiplicities
+                case ("count", Seq(e)) if reparses(e.sql) => Some(Dc(al.name, e.sql))
+                case _ => None
+              }
+              else (fn, f.arguments) match {
                 case ("sum", Seq(e)) if reparses(e.sql) => Some(Sm(al.name, e.sql))
                 case ("min", Seq(e)) if reparses(e.sql) => Some(Mn(al.name, e.sql))
                 case ("max", Seq(e)) if reparses(e.sql) => Some(Mx(al.name, e.sql))
@@ -633,7 +640,7 @@ object PipelineSql {
             names = os.map {
               case G(n, _, _) => n; case Sm(a, _) => a; case Mn(a, _) => a
               case Mx(a, _) => a; case Cnt(a) => a; case Av(a, _) => a
-              case CntE(a, _) => a
+              case CntE(a, _) => a; case Dc(a, _) => a
             }
             if names.distinct.size == names.size
             // the maintainer interpolates these names into merge SET
@@ -658,7 +665,8 @@ object PipelineSql {
             sourceAlias = fact.alias,
             joins = joins.map { case (d, cond) =>
               Pipeline.AutoMvJoin(d.name, d.alias, cond) },
-            groupExprs = gOuts.map(_.e))
+            groupExprs = gOuts.map(_.e),
+            dcounts = os.collect { case Dc(a, e) => a -> e })
         case _ => None
       }
     }.toOption.flatten

@@ -760,6 +760,69 @@ class PipelineSqlSpec extends SparkSpec {
     assert(msgs("wj").last.contains("incremental from fact"), msgs("wj"))
   }
 
+  test("COUNT(DISTINCT) auto-MV: a signed companion table of (group, " +
+      "value) multiplicities maintains exact distinct counts through " +
+      "duplicate inserts, partial and final retractions, NULLs, group " +
+      "death, and group birth — incrementally") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_dcount")
+    val src = LakeTable(spark, s"$root/src")
+    val seed = Seq((1L, "a", Option(10L)), (2L, "a", Option(10L)),
+      (3L, "a", Option(20L)), (4L, "b", Option(5L)), (5L, "b", Option.empty[Long]))
+      .toDF("k", "g", "v")
+    src.create(seed.schema, enableChangeFeed = true)
+    src.append(seed)
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("src", src)
+    PipelineSql(p, "CREATE OR REFRESH MATERIALIZED VIEW panel AS " +
+      "SELECT g, COUNT(DISTINCT v) AS dv, SUM(v) AS s, COUNT(*) AS n " +
+      "FROM src GROUP BY g")
+    p.run()
+    assert(p.read("panel").columns.toSeq == Seq("g", "dv", "s", "n"))
+    def panel = p.read("panel").orderBy("g")
+      .as[(String, Long, Option[Long], Long)].collect().toSeq
+    // a: values {10, 20} (10 twice); b: {5} (NULL ignored by the DISTINCT)
+    assert(panel == Seq(("a", 2L, Some(40L), 3L), ("b", 1L, Some(5L), 2L)))
+    def ev = p.eventLog.filter(col("dataset") === "panel")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    // birth of a new value + a duplicate of an existing one + a new group
+    src.append(Seq((6L, "a", Option(30L)), (7L, "a", Option(20L)),
+      (8L, "c", Option(1L))).toDF("k", "g", "v"))
+    p.run()
+    assert(panel == Seq(("a", 3L, Some(90L), 5L), ("b", 1L, Some(5L), 2L),
+      ("c", 1L, Some(1L), 1L)))
+    assert(ev.last.contains("incremental from src"), ev)
+    // PARTIAL retraction: one of the two 10s leaves — the value survives
+    src.deleteWhere("k = 1")
+    p.run()
+    assert(panel == Seq(("a", 3L, Some(80L), 4L), ("b", 1L, Some(5L), 2L),
+      ("c", 1L, Some(1L), 1L)))
+    assert(ev.last.contains("incremental from src"), ev)
+    // FINAL retraction: the last 10 leaves — the distinct count drops
+    src.deleteWhere("k = 2")
+    p.run()
+    assert(panel == Seq(("a", 2L, Some(70L), 3L), ("b", 1L, Some(5L), 2L),
+      ("c", 1L, Some(1L), 1L)))
+    // retracting b's only non-NULL value: dv drops to 0, the group LIVES
+    // (the NULL row holds it), SUM reads NULL — exact algebra end to end
+    src.deleteWhere("k = 4")
+    p.run()
+    assert(panel == Seq(("a", 2L, Some(70L), 3L), ("b", 0L, None, 1L),
+      ("c", 1L, Some(1L), 1L)))
+    // group death removes the row entirely
+    src.deleteWhere("g = 'c'")
+    p.run()
+    assert(panel == Seq(("a", 2L, Some(70L), 3L), ("b", 0L, None, 1L)))
+    assert(ev.last.contains("incremental from src"), ev)
+    // full refresh rebuilds the companion too, and maintenance resumes
+    p.runFullRefresh()
+    assert(panel == Seq(("a", 2L, Some(70L), 3L), ("b", 0L, None, 1L)))
+    src.append(Seq((9L, "b", Option(5L))).toDF("k", "g", "v"))
+    p.run()
+    assert(panel == Seq(("a", 2L, Some(70L), 3L), ("b", 1L, Some(5L), 2L)))
+    assert(ev.last.contains("incremental from src"), ev)
+  }
+
   test("runFullRefresh rebuilds an auto-maintained MV from scratch and " +
       "incremental maintenance resumes after it") {
     import graft.lake.LakeTable
