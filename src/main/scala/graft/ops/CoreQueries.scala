@@ -1295,6 +1295,39 @@ object CoreQueries {
         FROM events WHERE event_type IS NOT NULL
         GROUP BY event_type ORDER BY event_type""")),
 
+    // O22 AUTO-MAINTAINED MV WITH HAVING — the predicate references the
+    // declared OUTPUT columns, so the engine maintains the FULL panel
+    // incrementally (groups cross the threshold in both directions with
+    // exact running aggregates) and filters at presentation. Second run is
+    // one signed-delta window, never a rescan.
+    Q("o22_auto_mv_having", (s, d) => {
+      val ev = t(s, d, "events")
+        .select("event_id", "event_type", "user_id")
+      val root = tmp("graft_o22")
+      val bronze = LakeTable(s, s"$root/bronze")
+      bronze.append(ev.filter(col("event_id") % 2 === 0))
+      val p = new Pipeline(s, s"$root/pipe")
+      p.inputTable("bronze", bronze)
+      PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW busy AS
+        SELECT event_type, user_id,
+               SUM(event_id) AS s,
+               COUNT(*) AS n
+        FROM bronze WHERE event_type IS NOT NULL
+        GROUP BY event_type, user_id
+        HAVING n > 2""")
+      p.runIncremental()                                   // bootstrap
+      bronze.append(ev.filter(col("event_id") % 2 === 1))
+      p.runIncremental()                                   // delta only
+      p.read("busy").orderBy("event_type", "user_id")
+    },
+      Some("""SELECT event_type, user_id,
+               SUM(event_id) AS s,
+               COUNT(*) AS n
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY event_type, user_id
+        HAVING COUNT(*) > 2
+        ORDER BY event_type, user_id NULLS FIRST""")),
+
     // O15 TRUE STREAMING APPEND FLOW (SQL-declared) — where o10's live
     // flow re-lands its view every run (snapshot semantics), this one is
     // registered from `INSERT INTO … BY NAME SELECT … FROM STREAM(bronze)`

@@ -258,11 +258,17 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     autoMvs(name) = spec
     val present: DataFrame => DataFrame = { df =>
       val cntCol = spec.counts.headOption.getOrElse("__cnt")
-      df.select(spec.output.map { o =>
+      val sel = df.select(spec.output.map { o =>
         if (spec.counts.drop(1).contains(o))
           org.apache.spark.sql.functions.col(cntCol).as(o)
         else org.apache.spark.sql.functions.col(o)
       }: _*)
+      // HAVING over output columns: the FULL panel is maintained (a group
+      // crossing the threshold in either direction must re-appear with its
+      // exact running aggregates), the predicate filters at presentation —
+      // result-identical to materializing post-HAVING
+      spec.having.fold(sel)(h =>
+        sel.filter(org.apache.spark.sql.functions.expr(h)))
     }
     presentations(name) = present
     views(name) = () => present(autoMvDefining(spec, read(spec.source)))
@@ -2507,7 +2513,8 @@ object Pipeline {
       maxs: Seq[(String, String)], counts: Seq[String], output: Seq[String],
       avgs: Seq[(String, String)] = Nil, cntCols: Seq[(String, String)] = Nil,
       sourceAlias: Option[String] = None, joins: Seq[AutoMvJoin] = Nil,
-      groupExprs: Seq[String] = Nil, dcounts: Seq[(String, String)] = Nil)
+      groupExprs: Seq[String] = Nil, dcounts: Seq[(String, String)] = Nil,
+      having: Option[String] = None)
 
   /** One registered streaming join table — see
    *  [[Pipeline.streamingJoinTable]]. */

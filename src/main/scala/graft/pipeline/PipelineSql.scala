@@ -535,8 +535,23 @@ object PipelineSql {
     def noSubquery(e: Expression): Boolean =
       e.collectFirst { case s: SubqueryExpression => s }.isEmpty
     scala.util.Try {
-      p.spark.sessionState.sqlParser.parsePlan(select) match {
-        case agg: Aggregate =>
+      // HAVING over the DECLARED OUTPUT COLUMNS only (bare references, no
+      // functions — `HAVING SUM(v) > 5` re-aggregates and must stay on the
+      // recompute path): the full panel is maintained, the predicate
+      // filters at presentation — a group crossing the threshold in either
+      // direction re-appears with exact running aggregates
+      val parsed = p.spark.sessionState.sqlParser.parsePlan(select) match {
+        case a: Aggregate => Some((a, None, Nil))
+        case org.apache.spark.sql.catalyst.analysis
+            .UnresolvedHaving(cond, a: Aggregate)
+            if noSubquery(cond) && reparses(cond.sql) &&
+              cond.collectFirst { case f: UnresolvedFunction => f }.isEmpty =>
+          Some((a, Some(cond.sql),
+            cond.collect { case at: UnresolvedAttribute => at.nameParts.toSeq }))
+        case _ => None
+      }
+      parsed match {
+        case Some((agg, having, havingAttrs)) =>
           val (where, rel) = agg.child match {
             case Filter(cond, r) if noSubquery(cond) && reparses(cond.sql) =>
               (Some(cond.sql), r)
@@ -652,6 +667,8 @@ object PipelineSql {
             // counter) riding the backing table.
             if names.forall(n =>
               n.matches("[A-Za-z_][A-Za-z0-9_]*") && !n.startsWith("__"))
+            // HAVING may only reference the declared output columns
+            if havingAttrs.forall(a => a.length == 1 && names.contains(a.head))
           } yield Pipeline.AutoMvSpec(
             source = s, where = where,
             groupBy = gOuts.map(_.name),
@@ -666,7 +683,8 @@ object PipelineSql {
             joins = joins.map { case (d, cond) =>
               Pipeline.AutoMvJoin(d.name, d.alias, cond) },
             groupExprs = gOuts.map(_.e),
-            dcounts = os.collect { case Dc(a, e) => a -> e })
+            dcounts = os.collect { case Dc(a, e) => a -> e },
+            having = having)
         case _ => None
       }
     }.toOption.flatten

@@ -823,6 +823,53 @@ class PipelineSqlSpec extends SparkSpec {
     assert(ev.last.contains("incremental from src"), ev)
   }
 
+  test("auto-MV HAVING over output columns: the full panel maintains " +
+      "incrementally and the predicate filters at presentation — a group " +
+      "crosses the threshold in BOTH directions with exact aggregates; a " +
+      "HAVING that re-aggregates keeps the recompute path") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_having")
+    val src = LakeTable(spark, s"$root/src")
+    val seed = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))
+      .toDF("k", "g", "v")
+    src.create(seed.schema, enableChangeFeed = true)
+    src.append(seed)
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("src", src)
+    PipelineSql(p, "CREATE OR REFRESH MATERIALIZED VIEW busy AS " +
+      "SELECT g, SUM(v) AS s, COUNT(*) AS n FROM src GROUP BY g " +
+      "HAVING n > 1")
+    p.run()
+    def busy = p.read("busy").orderBy("g")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(busy == Seq(("a", 30L, 2L)))
+    // b crosses UP: appears with its exact running aggregates
+    src.append(Seq((4L, "b", 7L)).toDF("k", "g", "v"))
+    p.run()
+    assert(busy == Seq(("a", 30L, 2L), ("b", 12L, 2L)))
+    // a crosses DOWN: disappears, but stays maintained underneath
+    src.deleteWhere("k = 2")
+    p.run()
+    assert(busy == Seq(("b", 12L, 2L)))
+    // ... and re-appears exactly when it crosses back up
+    src.append(Seq((5L, "a", 100L)).toDF("k", "g", "v"))
+    p.run()
+    assert(busy == Seq(("a", 110L, 2L), ("b", 12L, 2L)))
+    val ev = p.eventLog.filter(col("dataset") === "busy")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    assert(ev.tail.forall(_.contains("incremental from src")), ev)
+
+    // HAVING with an aggregate function re-aggregates — recompute path
+    PipelineSql(p, "CREATE OR REFRESH MATERIALIZED VIEW busy2 AS " +
+      "SELECT g, COUNT(*) AS n FROM src GROUP BY g HAVING SUM(v) > 50")
+    p.run()
+    assert(p.read("busy2").as[(String, Long)].collect().toSeq ==
+      Seq(("a", 2L)))
+    assert(p.eventLog.filter(col("dataset") === "busy2")
+      .select("message").as[String].collect()
+      .forall(!_.contains("incremental")))
+  }
+
   test("runFullRefresh rebuilds an auto-maintained MV from scratch and " +
       "incremental maintenance resumes after it") {
     import graft.lake.LakeTable
