@@ -1328,6 +1328,34 @@ object CoreQueries {
         HAVING COUNT(*) > 2
         ORDER BY event_type, user_id NULLS FIRST""")),
 
+    // O23 SINK — DLT's `dlt.create_sink` + `@append_flow` into it: an
+    // EXTERNAL write-only destination (a downstream team's landing zone,
+    // outside the pipeline root). The lake format delivers EXACTLY-ONCE:
+    // the flow ledger rides the sink's own transaction log, so two
+    // incremental windows land each row once, an idle run and a snapshot
+    // re-run deliver nothing. The result reads the EXTERNAL table the
+    // pipeline never reads back.
+    Q("o23_sink_flow", (s, d) => {
+      val ev = t(s, d, "events")
+        .select("event_id", "event_type", "user_id")
+      val root = tmp("graft_o23")
+      val bronze = LakeTable(s, s"$root/bronze")
+      bronze.append(ev.filter(col("event_id") % 2 === 0))
+      val p = new Pipeline(s, s"$root/pipe")
+      p.inputTable("bronze", bronze)
+      p.sink("out", s"$root/external/out", "lake")
+      p.appendFlowStream("out", "bronze", name = "deliver")(df =>
+        df.filter(col("event_type").isNotNull)
+          .select(col("event_id"), col("event_type")))
+      p.runIncremental()                                   // window 1
+      bronze.append(ev.filter(col("event_id") % 2 === 1))
+      p.runIncremental()                                   // window 2 only
+      p.runIncremental()                                   // idle: nothing
+      LakeTable(s, s"$root/external/out").read.orderBy("event_id")
+    },
+      Some("""SELECT event_id, event_type FROM events
+        WHERE event_type IS NOT NULL ORDER BY event_id""")),
+
     // O15 TRUE STREAMING APPEND FLOW (SQL-declared) — where o10's live
     // flow re-lands its view every run (snapshot semantics), this one is
     // registered from `INSERT INTO … BY NAME SELECT … FROM STREAM(bronze)`

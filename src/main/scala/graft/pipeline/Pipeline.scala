@@ -50,9 +50,97 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
   private val tableGates =
     mutable.LinkedHashMap[String, Seq[(Expectations.Policy, Map[String, String])]]()
 
-  /** Whether `name` is a declared pipeline dataset (table, view, or MV). */
+  /** Whether `name` is a declared pipeline dataset (table, view, or MV).
+   *  Sinks are NOT datasets — they are write-only destinations. */
   def contains(name: String): Boolean =
     tables.contains(name) || views.contains(name)
+
+  /** One registered external SINK — see [[sink]]. `table` is the lake
+   *  handle when format = "lake" (exactly-once); raw formats keep their
+   *  flow ledgers on the pipeline's internal sink-state table. */
+  private final case class SinkSpec(path: String, format: String,
+      table: LakeTable)
+  private val sinks = mutable.LinkedHashMap[String, SinkSpec]()
+  // the data-less ledger table for RAW-format sinks: its manifest carries
+  // each sink flow's last-drained source version (the file append itself
+  // is not atomic with the ledger commit — DLT's documented AT-LEAST-ONCE
+  // contract for non-transactional sinks)
+  private lazy val sinkState: LakeTable = {
+    val st = LakeTable(spark, s"$storageRoot/__sinkstate")
+    if (!st.exists) st.create(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sink",
+        org.apache.spark.sql.types.StringType))))
+    st
+  }
+
+  /** DLT's `dlt.create_sink(name, format, options)` — an EXTERNAL
+   *  write-only destination for append flows: the pipeline writes to it
+   *  but never reads it back (a sink is not a dataset — `read`/`STREAM()`
+   *  refuse it, full refresh never wipes it; the path typically lives
+   *  OUTSIDE the pipeline root, e.g. a downstream team's landing zone).
+   *  `format`:
+   *   - `"lake"` — the destination is a lake table; each flow's ledger
+   *     rides the SINK's own transaction log via the idempotent append, so
+   *     delivery is EXACTLY-ONCE (DLT's Delta-sink contract).
+   *   - `"parquet"` / `"jsonl"` — raw files appended per window; the flow
+   *     ledger commits to the pipeline's internal sink-state table AFTER
+   *     the files land, so delivery is AT-LEAST-ONCE (DLT's contract for
+   *     non-transactional sinks like Kafka — a crash between the write
+   *     and the ledger commit replays the window).
+   *  Only STREAM-rooted append flows may target a sink ([[appendFlowStream]]):
+   *  a snapshot-re-landing view flow would duplicate externally every run. */
+  def sink(name: String, path: String, format: String = "lake"): this.type = {
+    require(!contains(name) && !sinks.contains(name),
+      s"duplicate dataset/sink name: $name")
+    require(Set("lake", "parquet", "jsonl").contains(format),
+      s"sink format must be lake|parquet|jsonl, got $format")
+    sinks(name) = SinkSpec(path, format, LakeTable(spark, path))
+    this
+  }
+
+  /** Drain one RAW-format sink flow (parquet/jsonl): resolve the STREAM
+   *  root, write the ledger window's rows as files, then commit the flow
+   *  ledger to the internal sink-state table — AT-LEAST-ONCE by
+   *  construction (the file write and the ledger are separate commits; a
+   *  crash in between replays the window — DLT's documented contract for
+   *  non-transactional sinks). Sinks always drain their window, in BOTH
+   *  run modes — an external destination has no snapshot-re-land shape. */
+  private def drainRawSink(af: Pipeline.AppendFlow, sk: SinkSpec,
+      events: mutable.ArrayBuffer[(String, String, Long, String)]): Unit = {
+    val rooted = af.stream.flatMap { case (src, fn) =>
+      resolveStreamRoot(src).map { case (root, g) => (root, g.andThen(fn)) } }
+    require(rooted.isDefined,
+      s"sink ${af.target} needs a STREAM-resolvable source (sinks drain " +
+        "append-only windows; a view flow would re-land every run)")
+    val (root, fn) = rooted.get
+    if (!root.exists) {
+      events += (("flow_progress", af.name, 0L,
+        s"sink ${af.target} (source not materialized)"))
+      return
+    }
+    val appId = s"graft.sinkflow.${af.name}"
+    val last = sinkState.lastTxnVersion(appId).getOrElse(-1L)
+    val cur = root.currentVersion
+    if (cur <= last) {
+      events += (("flow_progress", af.name, 0L,
+        s"sink ${af.target} (up-to-date)"))
+      return
+    }
+    val (raw, done) =
+      if (last < 0) (root.readVersion(cur), () => ())
+      else appendOnlyWindow(root, last + 1, cur, s"sink flow ${af.name}")
+    try {
+      val (out, rows) = Pipeline.observeRows(gate(af.target, fn(raw)))
+      val w = out.write.mode("append")
+      sk.format match {
+        case "jsonl" => w.json(sk.path)
+        case _ => w.parquet(sk.path)
+      }
+      sinkState.recordTxn(appId, cur)
+      events += (("flow_progress", af.name, rows(),
+        s"sink append into ${af.target} (v${last + 1}..v$cur, at-least-once)"))
+    } finally done()
+  }
 
   /** Whether `name` is a TABLE-BACKED dataset an auto-maintained MV may
    *  source from: an external input table or a declared non-recompute-MV
@@ -539,7 +627,8 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
   def appendFlowStream(target: String, source: String, name: String = "",
       once: Boolean = false)(
       fn: DataFrame => DataFrame = identity): this.type = {
-    require(tables.contains(target), s"declare streamingTable($target) first")
+    require(tables.contains(target) || sinks.contains(target),
+      s"declare streamingTable($target) or sink($target) first")
     val flowName = if (name.nonEmpty) name else s"${target}_flow_${appendFlows.size}"
     require(!appendFlows.exists(_.name == flowName), s"duplicate flow name: $flowName")
     appendFlows += AppendFlow(target, flowName, once,
@@ -977,15 +1066,29 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     // backfill).
     appendFlows.foreach { af =>
       if (!(af.once && onceFlowsDone.contains(af.name))) {
+        val sinkSpec = sinks.get(af.target)
+        if (sinkSpec.exists(_.format != "lake")) {
+          // raw-format sink: files + separate ledger commit (at-least-once)
+          drainRawSink(af, sinkSpec.get, events)
+          if (af.once) onceFlowsDone += af.name
+        } else {
         import org.apache.spark.sql.functions.{col => fnCol, lit => fnLit}
-        val t = tables(af.target)
+        // a lake-format SINK is an external lake table: the same
+        // evolution/ledger/append machinery applies — exactly-once, the
+        // flow ledger riding the sink's own transaction log
+        val t = sinkSpec.map(_.table).getOrElse(tables(af.target))
         // additive evolution (DLT evolves streaming-table schemas for
         // append flows too — a backfill flow growing a column must not
         // error): widen the target metadata-only for columns the flow
         // adds; existing rows serve NULL. Type changes stay loud (the
         // cast below is name-aligned, same as CDC-flow evolution).
         def align(df: DataFrame): (DataFrame, () => Long) = {
-          if (!t.exists) createTarget(af.target, df.schema)
+          if (!t.exists) {
+            // sinks create their external table directly (no declared
+            // dataset properties to stamp)
+            if (sinkSpec.isDefined) t.create(df.schema)
+            else createTarget(af.target, df.schema)
+          }
           val newCols = df.schema.fields.toSeq
             .filterNot(fl => t.schema.fieldNames.contains(fl.name))
           if (newCols.nonEmpty) t.addColumns(newCols.map(fl => fl.name -> fl.dataType))
@@ -1037,6 +1140,16 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
                 .map { case (root, g) => (root, g.andThen(fn2)) }
             }
             rootSnap match {
+              case Some((root, fn2))
+                  if sinkSpec.isDefined && sinkSpec.get.table.exists &&
+                    sinkSpec.get.table
+                      .lastTxnVersion(s"graft.appendflow.${af.name}")
+                      .exists(_ >= root.currentVersion) =>
+                // a SINK never intentionally re-lands: an unchanged source
+                // under snapshot execution is simply up-to-date (delivery
+                // to an external destination must stay exactly-once)
+                events += (("flow_progress", af.name, 0L,
+                  s"sink ${af.target} (snapshot up-to-date)"))
               case Some((root, fn2)) =>
                 val cur = root.currentVersion
                 val (aligned, rows) =
@@ -1056,6 +1169,16 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
                 events += (("flow_progress", af.name, rows(),
                   s"append into ${af.target} (snapshot @ v$cur)" +
                     (if (af.once) " (once)" else "")))
+              case None if sinkSpec.isDefined =>
+                // a plain view flow RE-LANDS its full view every run — fine
+                // for a pipeline-owned streaming table (full refresh resets
+                // it), unrecoverable for an external sink
+                require(af.stream.isDefined,
+                  s"sink ${af.target} needs a STREAM-resolvable source " +
+                    "(view flows re-land every run — duplicates a sink " +
+                    "could never shed)")
+                events += (("flow_progress", af.name, 0L,
+                  s"sink ${af.target} (source not materialized)"))
               case None =>
                 val (aligned, rows) = align(gate(af.target, af.fn()))
                 t.append(aligned)
@@ -1064,6 +1187,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
             }
         }
         if (af.once) onceFlowsDone += af.name
+        }
       }
     }
     // snapshot-diff CDC flows next (declaration order; their targets are
@@ -1691,6 +1815,10 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       views.keysIterator.filterNot(n => tables.contains(n) ||
         inputs.contains(n) || streamingViews.contains(n))
         .map(n => (n, "view", Option.empty[String], false)).toSeq ++
+      sinks.iterator.map { case (n, sk) =>
+        val src = appendFlows.collectFirst {
+          case af if af.target == n => af.stream.map(_._1) }.flatten
+        (n, s"sink_${sk.format}", src, src.exists(inc)) }.toSeq ++
       tables.keysIterator.map { n =>
         if (selectTables.contains(n)) {
           val src = selectTables(n)._1

@@ -1935,4 +1935,80 @@ class PipelineSpec extends SparkSpec {
     assert(p.read("biz").orderBy("k").select("k", "w")
       .as[(Long, Long)].collect().toSeq == Seq((1L, 10L), (2L, 20L)))
   }
+
+  test("LAKE-format sink: an external write-only destination — append " +
+      "flows deliver EXACTLY-ONCE across incremental, idle, snapshot, and " +
+      "full-refresh runs; the sink survives full refresh untouched") {
+    import graft.lake.LakeTable
+    val root = tmpDir("p_sink_lake")
+    val bronze = LakeTable(spark, s"$root/bronze")
+    bronze.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("bronze", bronze)
+    // the sink path lives OUTSIDE the pipeline root — a downstream team's
+    // landing zone
+    p.sink("out", s"$root/external/out", "lake")
+    p.appendFlowStream("out", "bronze", name = "deliver")(
+      df => df.filter(col("k") > 0))
+    p.runIncremental()
+    val ext = LakeTable(spark, s"$root/external/out")
+    def rows = ext.read.orderBy("k").as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b")))
+    // idle incremental run delivers nothing
+    p.runIncremental()
+    assert(rows == Seq((1L, "a"), (2L, "b")))
+    // a new window delivers ONLY the delta
+    bronze.append(Seq((3L, "c")).toDF("k", "v"))
+    p.runIncremental()
+    assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // snapshot run at an unchanged source: a sink never re-lands
+    p.run()
+    assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // full refresh resets pipeline TABLES, never the external sink — and
+    // the flow ledger rides the sink, so nothing re-delivers
+    p.runFullRefresh()
+    assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // sinks are write-only: not a dataset, not readable
+    intercept[Exception] { p.read("out") }
+    // and a sink flow shows up in the event log under its own name
+    assert(p.eventLog.filter(col("dataset") === "deliver").count() > 0)
+  }
+
+  test("RAW-format sink (jsonl/parquet): windows land as files with the " +
+      "ledger on the internal sink-state table — at-least-once, idle runs " +
+      "deliver nothing, plain view flows into sinks are refused") {
+    import graft.lake.LakeTable
+    val root = tmpDir("p_sink_raw")
+    val bronze = LakeTable(spark, s"$root/bronze")
+    bronze.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("bronze", bronze)
+    p.sink("outp", s"$root/external/outp", "parquet")
+    p.sink("outj", s"$root/external/outj", "jsonl")
+    p.appendFlowStream("outp", "bronze", name = "dp")()
+    p.appendFlowStream("outj", "bronze", name = "dj")(df =>
+      df.select(col("k"), col("v")))
+    p.runIncremental()
+    def pq = spark.read.parquet(s"$root/external/outp")
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    def jl = spark.read.json(s"$root/external/outj")
+      .select(col("k"), col("v")).orderBy("k").as[(Long, String)].collect().toSeq
+    assert(pq == Seq((1L, "a"), (2L, "b")))
+    assert(jl == Seq((1L, "a"), (2L, "b")))
+    // idle run: ledger says up-to-date, no new files
+    p.runIncremental()
+    assert(pq == Seq((1L, "a"), (2L, "b")))
+    // delta window in SNAPSHOT mode too — sinks always drain the window
+    bronze.append(Seq((3L, "c")).toDF("k", "v"))
+    p.run()
+    assert(pq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(jl == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // a plain (view) append flow can't target a sink
+    intercept[IllegalArgumentException] {
+      p.appendFlow("outp")(bronze.read)
+    }
+    // a sink name can't collide with a dataset and formats are validated
+    intercept[IllegalArgumentException] { p.sink("bronze", s"$root/x") }
+    intercept[IllegalArgumentException] { p.sink("k", s"$root/x", "kafka") }
+  }
 }
