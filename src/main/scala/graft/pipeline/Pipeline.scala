@@ -98,6 +98,78 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     this
   }
 
+  /** Refresh ONE auto-maintained MV (the [[runTail]] loop body, also the
+   *  single-dataset path behind SQL `REFRESH MATERIALIZED VIEW`):
+   *  incremental from the source's change feed when the source (and every
+   *  star-join dim) is table-backed and materialized; recompute fallback
+   *  otherwise. */
+  private def refreshAutoMv(name: String, spec: Pipeline.AutoMvSpec,
+      events: mutable.ArrayBuffer[(String, String, Long, String)]): Unit = {
+    def observe(df: DataFrame): (DataFrame, () => Long) = Pipeline.observeRows(df)
+    val t = tables(name)
+    def asTable(ds: String): Option[LakeTable] =
+      inputs.get(ds).orElse(tables.get(ds)).filterNot(_ => mviews.contains(ds))
+    // star-join dims must be table-backed AND materialized — the
+    // incremental window needs a pinnable dim VERSION; a dim that is
+    // still empty parks the MV like an empty source does
+    val dimTables: Seq[(String, Option[LakeTable])] =
+      spec.joins.map(j => j.dim -> asTable(j.dim).filter(_.exists))
+    asTable(spec.source) match {
+      case Some(root) if root.exists && dimTables.forall(_._2.isDefined) =>
+        val dims = dimTables.map { case (n, dt) => n -> dt.get }
+        val (n, mode) = runAggMvCore(name, root, spec.where, spec.groupBy,
+          spec.sums, spec.mins, spec.maxs,
+          cntAlias = spec.counts.headOption.getOrElse("__cnt"),
+          flowId = s"graft.aggmv.$name", minMaxFallback = true,
+          exactDecimal = false, avgs = spec.avgs, cnts = spec.cntCols,
+          dims = dims, enrich = autoMvEnrich(spec, _),
+          groupExprs = spec.groupExprs,
+          dcounts = spec.dcounts,
+          distTables = spec.dcounts.map { case (a, _) =>
+            LakeTable(spark, s"$storageRoot/${name}__dist_$a") })
+        val how = if (mode == "incremental") s"incremental from ${spec.source}"
+          else s"$mode, from ${spec.source}"
+        events += (("flow_progress", name, n,
+          s"materialized view refresh ($how)"))
+      case Some(_) => events += (("flow_progress", name, 0L,
+        s"materialized view from ${spec.source} (source or dimension " +
+          "not materialized)"))
+      case None =>
+        // view-backed (or recompute-MV-backed) source: full recompute
+        // with the same internal schema, so the modes interchange freely
+        val (df, rows) = observe(gate(name, autoMvDefining(spec, read(spec.source))))
+        if (!t.exists) createTarget(name, df.schema)
+        t.overwrite(df)
+        events += (("flow_progress", name, rows(),
+          "materialized view refresh (recompute)"))
+    }
+  }
+
+  /** Databricks SQL's `REFRESH MATERIALIZED VIEW name [FULL]` as an API:
+   *  a SYNCHRONOUS refresh of ONE materialized view. Without `full`, an
+   *  auto-maintained MV refreshes incrementally from its ledger and a
+   *  recompute MV re-materializes from its defining query — both against
+   *  the sources' CURRENT contents (DLT's semantics: the statement
+   *  refreshes the one dataset, not the whole graph). With `full`, the
+   *  dataset is wiped and re-bootstrapped via [[runFullRefresh(only*]]
+   *  refresh selection. The refresh writes its own event-log rows. */
+  def refreshMaterializedView(name: String, full: Boolean = false): Unit = {
+    require(autoMvs.contains(name) || mviews.contains(name),
+      s"$name is not a materialized view (REFRESH targets MVs; tables " +
+        "refresh through run()/runIncremental())")
+    if (full) { runFullRefresh(Set(name)); return }
+    val events = mutable.ArrayBuffer[(String, String, Long, String)]()
+    if (autoMvs.contains(name)) refreshAutoMv(name, autoMvs(name), events)
+    else {
+      val (df, rows) = Pipeline.observeRows(gate(name, mviews(name)()))
+      val t = tables(name)
+      if (!t.exists) createTarget(name, df.schema)
+      t.overwrite(df)
+      events += (("flow_progress", name, rows(), "materialized view refresh"))
+    }
+    writeEventLog(events.toSeq)
+  }
+
   /** Drain one RAW-format sink flow (parquet/jsonl): resolve the STREAM
    *  root, write the ledger window's rows as files, then commit the flow
    *  ledger to the internal sink-state table — AT-LEAST-ONCE by
@@ -1670,43 +1742,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     // full-recompute fallback otherwise — the user declared an MV, never
     // an incremental contract
     autoMvs.foreach { case (name, spec) =>
-      val t = tables(name)
-      def asTable(ds: String): Option[LakeTable] =
-        inputs.get(ds).orElse(tables.get(ds)).filterNot(_ => mviews.contains(ds))
-      // star-join dims must be table-backed AND materialized — the
-      // incremental window needs a pinnable dim VERSION; a dim that is
-      // still empty parks the MV like an empty source does
-      val dimTables: Seq[(String, Option[LakeTable])] =
-        spec.joins.map(j => j.dim -> asTable(j.dim).filter(_.exists))
-      asTable(spec.source) match {
-        case Some(root) if root.exists && dimTables.forall(_._2.isDefined) =>
-          val dims = dimTables.map { case (n, dt) => n -> dt.get }
-          val (n, mode) = runAggMvCore(name, root, spec.where, spec.groupBy,
-            spec.sums, spec.mins, spec.maxs,
-            cntAlias = spec.counts.headOption.getOrElse("__cnt"),
-            flowId = s"graft.aggmv.$name", minMaxFallback = true,
-            exactDecimal = false, avgs = spec.avgs, cnts = spec.cntCols,
-            dims = dims, enrich = autoMvEnrich(spec, _),
-            groupExprs = spec.groupExprs,
-            dcounts = spec.dcounts,
-            distTables = spec.dcounts.map { case (a, _) =>
-              LakeTable(spark, s"$storageRoot/${name}__dist_$a") })
-          val how = if (mode == "incremental") s"incremental from ${spec.source}"
-            else s"$mode, from ${spec.source}"
-          events += (("flow_progress", name, n,
-            s"materialized view refresh ($how)"))
-        case Some(_) => events += (("flow_progress", name, 0L,
-          s"materialized view from ${spec.source} (source or dimension " +
-            "not materialized)"))
-        case None =>
-          // view-backed (or recompute-MV-backed) source: full recompute
-          // with the same internal schema, so the modes interchange freely
-          val (df, rows) = observe(gate(name, autoMvDefining(spec, read(spec.source))))
-          if (!t.exists) createTarget(name, df.schema)
-          t.overwrite(df)
-          events += (("flow_progress", name, rows(),
-            "materialized view refresh (recompute)"))
-      }
+      refreshAutoMv(name, spec, events)
     }
     // materialized views refresh AFTER the flows (a gold MV over a silver
     // streaming table must see this run's merged state), in declaration
@@ -2297,6 +2333,16 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     if (!t.exists || last < 0) return bootstrap("bootstrap")
     if (dimsChanged) return bootstrap("recompute: dimension changed")
     if (floating) return bootstrap("recompute: floating-point aggregate")
+    // a COUNT(DISTINCT) companion ledger AHEAD of the MV ledger means a
+    // previous refresh crashed between the companion merge and the main
+    // merge: re-running the main window would re-apply the companion's
+    // already-applied sub-window (double-count). Recompute resynchronizes
+    // both — one extra recompute, never a wrong window. (A companion
+    // ledger BEHIND the MV's is the normal post-bootstrap state: the
+    // bootstrap overwrite carries content, not a txn.)
+    if (dcounts.zip(distTables).exists { case ((a, _), dt) =>
+      dt.exists && dt.lastTxnVersion(s"$appId.dist.$a").exists(_ > last) })
+      return bootstrap("recompute: distinct companion out of sync")
     if (!source.feedReadable(last + 1, cur))
       return bootstrap("recompute: full-rewrite window")
 
@@ -2368,13 +2414,14 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         "__dcnt" +: deltaNames)
       // COUNT(DISTINCT) maintenance: each companion absorbs the window's
       // signed (group, value) multiplicities — txn-guarded per companion,
-      // so a crashed-and-retried window can never double-apply — then the
-      // TOUCHED groups' distinct counts are recounted ABSOLUTELY from the
-      // companion and ride the main merge. Absolute values make the replay
-      // idempotent: a crash between the companion merge and the main merge
-      // re-runs the recount against the already-advanced companion and
-      // lands the same numbers. Cost: O(window) merge + a semi-join probe
-      // of the companion by the touched groups per refresh — never a fact
+      // so a same-window retry can never double-apply — then the TOUCHED
+      // groups' distinct counts are recounted ABSOLUTELY from the
+      // companion and ride the main merge (absolute values are themselves
+      // replay-idempotent). A crash between the two merges leaves the
+      // companion AHEAD of the MV ledger; the out-of-sync guard above
+      // resynchronizes by recompute before this path can ever see a
+      // half-applied window. Cost: O(window) merge + a semi-join probe of
+      // the companion by the touched groups per refresh — never a fact
       // rescan.
       val withDcounts =
         if (dcounts.isEmpty) delta

@@ -55,6 +55,8 @@ object PipelineSql {
 
   private val CreateHead =
     """(?is)\s*CREATE\s+OR\s+REFRESH\s+(STREAMING\s+TABLE|MATERIALIZED\s+VIEW)\s+([A-Za-z_]\w*)\s*(.*?)\s*;?\s*""".r
+  private val RefreshMv =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)\s*(FULL)?\s*;?\s*""".r
   private val ConstraintHead =
     """(?is)\s*CONSTRAINT\s+([A-Za-z_]\w*)\s+EXPECT\s*(.*)""".r
   private val OnViolation =
@@ -329,10 +331,15 @@ object PipelineSql {
         // DLT's event log addresses flows by their declared names)
         name = Option(flowName).map(_.trim).getOrElse(""))
       ()
+    // Databricks SQL's synchronous single-MV refresh — the one PipelineSql
+    // statement that EXECUTES instead of declaring
+    case RefreshMv(name, full) =>
+      p.refreshMaterializedView(name.trim, full = full != null)
     case other => throw new IllegalArgumentException(
       "PipelineSql supports CREATE OR REFRESH STREAMING TABLE [AS SELECT] / " +
         "CREATE OR REFRESH MATERIALIZED VIEW AS SELECT / " +
         "CREATE [TEMPORARY|PRIVATE] [STREAMING] VIEW AS SELECT / " +
+        "REFRESH MATERIALIZED VIEW name [FULL] / " +
         "CREATE FLOW ... AS INSERT INTO / " +
         s"APPLY CHANGES (AUTO CDC) INTO, got: ${other.linesIterator.next()}")
   }

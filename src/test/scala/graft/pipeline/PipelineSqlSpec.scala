@@ -823,6 +823,89 @@ class PipelineSqlSpec extends SparkSpec {
     assert(ev.last.contains("incremental from src"), ev)
   }
 
+  test("REFRESH MATERIALIZED VIEW name [FULL]: a SYNCHRONOUS single-MV " +
+      "refresh — the named MV updates from current sources while sibling " +
+      "datasets stay untouched; FULL re-bootstraps; non-MV targets refuse") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_refresh_mv")
+    val src = LakeTable(spark, s"$root/src")
+    src.append(Seq((1L, "a", 10L), (2L, "b", 5L)).toDF("k", "g", "v"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("src", src)
+    PipelineSql(p, "CREATE OR REFRESH MATERIALIZED VIEW agg AS " +
+      "SELECT g, SUM(v) AS s FROM src GROUP BY g")
+    PipelineSql(p, "CREATE OR REFRESH MATERIALIZED VIEW top1 AS " +
+      "SELECT g, s FROM (SELECT g, SUM(v) AS s FROM src GROUP BY g) " +
+      "ORDER BY s DESC LIMIT 1")
+    p.run()
+    def agg = p.read("agg").orderBy("g").as[(String, Long)].collect().toSeq
+    def top = p.read("top1").as[(String, Long)].collect().toSeq
+    assert(agg == Seq(("a", 10L), ("b", 5L)) && top == Seq(("a", 10L)))
+    // source moves; refresh ONLY the auto MV — the recompute MV is stale
+    src.append(Seq((3L, "b", 100L)).toDF("k", "g", "v"))
+    PipelineSql(p, "REFRESH MATERIALIZED VIEW agg")
+    assert(agg == Seq(("a", 10L), ("b", 105L)))
+    assert(top == Seq(("a", 10L))) // untouched sibling
+    // now the recompute MV, alone
+    PipelineSql(p, "REFRESH MATERIALIZED VIEW top1;")
+    assert(top == Seq(("b", 105L)))
+    // the single-MV refresh was INCREMENTAL for the auto MV
+    val ev = p.eventLog.filter(col("dataset") === "agg")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    assert(ev.last.contains("incremental from src"), ev)
+    // FULL re-bootstraps (ledger cleared, same rows)
+    PipelineSql(p, "REFRESH MATERIALIZED VIEW agg FULL")
+    assert(agg == Seq(("a", 10L), ("b", 105L)))
+    // non-MV targets refuse (a declared CDC streaming table is not an MV;
+    // note an AS-SELECT streaming table WITHOUT a STREAM source registers
+    // as a recompute MV by design and would be refreshable)
+    PipelineSql(p, "CREATE OR REFRESH STREAMING TABLE raw")
+    intercept[IllegalArgumentException] {
+      PipelineSql(p, "REFRESH MATERIALIZED VIEW raw")
+    }
+  }
+
+  test("COUNT(DISTINCT) crash recovery: a companion ledger AHEAD of the " +
+      "MV ledger (refresh died between the companion merge and the main " +
+      "merge) resynchronizes by recompute — no double-count, and " +
+      "incremental maintenance resumes") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_dcount_crash")
+    val src = LakeTable(spark, s"$root/src")
+    val seed = Seq((1L, "a", 10L), (2L, "a", 20L)).toDF("k", "g", "v")
+    src.create(seed.schema, enableChangeFeed = true)
+    src.append(seed)
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("src", src)
+    PipelineSql(p, "CREATE OR REFRESH MATERIALIZED VIEW panel AS " +
+      "SELECT g, COUNT(DISTINCT v) AS dv, COUNT(*) AS n FROM src GROUP BY g")
+    p.run()
+    src.append(Seq((3L, "a", 30L)).toDF("k", "g", "v"))
+    p.run()
+    def panel = p.read("panel").orderBy("g")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(panel == Seq(("a", 3L, 3L)))
+    // SIMULATE the crash: a new window arrives, and the companion's ledger
+    // advances to that window's version while the MV's does not — exactly
+    // the state a refresh leaves when it dies after the companion merge
+    // and before the main merge
+    src.append(Seq((4L, "a", 30L)).toDF("k", "g", "v")) // duplicate value
+    val companion = LakeTable(spark, s"$root/pipe/panel__dist_dv")
+    assert(companion.exists)
+    companion.recordTxn("graft.aggmv.panel.dist.dv", src.currentVersion)
+    p.run()
+    // a naive window replay would double-apply: dv must stay exact
+    assert(panel == Seq(("a", 3L, 4L)))
+    def ev = p.eventLog.filter(col("dataset") === "panel")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    assert(ev.last.contains("companion out of sync"), ev)
+    // and the recompute re-synchronized both — maintenance resumes
+    src.append(Seq((5L, "a", 40L)).toDF("k", "g", "v"))
+    p.run()
+    assert(panel == Seq(("a", 4L, 5L)))
+    assert(ev.last.contains("incremental from src"), ev)
+  }
+
   test("auto-MV HAVING over output columns: the full panel maintains " +
       "incrementally and the predicate filters at presentation — a group " +
       "crosses the threshold in BOTH directions with exact aggregates; a " +
