@@ -711,6 +711,69 @@ class PipelineSqlSpec extends SparkSpec {
       ("west", Some(310L), Some(10.333333333333334), 3L)))
   }
 
+  test("star-join auto-MV composition: a TWO-dim join chain with " +
+      "COUNT(DISTINCT) and AVG maintains from the fact window against " +
+      "BOTH pinned dims; either dim changing recomputes and re-pins") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_star2")
+    val fact = LakeTable(spark, s"$root/fact")
+    val seed = Seq((1L, "x", "p", 10L), (2L, "x", "q", 10L),
+      (3L, "y", "p", 5L)).toDF("k", "cat", "prod", "v")
+    fact.create(seed.schema, enableChangeFeed = true)
+    fact.append(seed)
+    val cats = LakeTable(spark, s"$root/cats")
+    cats.append(Seq(("x", "west"), ("y", "east")).toDF("cat", "region"))
+    val prods = LakeTable(spark, s"$root/prods")
+    prods.append(Seq(("p", 2L), ("q", 3L)).toDF("prod", "w"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("fact", fact)
+    p.inputTable("cats", cats)
+    p.inputTable("prods", prods)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW gold AS
+      SELECT c.region AS region,
+             SUM(f.v * w.w) AS s,
+             COUNT(DISTINCT f.v) AS dv,
+             AVG(f.k) AS mk,
+             COUNT(*) AS n
+      FROM fact f
+      JOIN cats c ON f.cat = c.cat
+      JOIN prods w ON f.prod = w.prod
+      GROUP BY c.region""")
+    p.run()
+    def gold = p.read("gold").orderBy("region")
+      .as[(String, Option[Long], Long, Option[Double], Long)].collect().toSeq
+    // west: rows (10*2, 10*3) → s=50, dv=1 (both v=10), mk=(1+2)/2
+    assert(gold == Seq(("east", Some(10L), 1L, Some(3.0), 1L),
+      ("west", Some(50L), 1L, Some(1.5), 2L)))
+    def ev = p.eventLog.filter(col("dataset") === "gold")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    // fact-only arrival: incremental against BOTH pinned dims
+    fact.append(Seq((4L, "y", "q", 7L)).toDF("k", "cat", "prod", "v"))
+    p.run()
+    assert(gold == Seq(("east", Some(31L), 2L, Some(3.5), 2L),
+      ("west", Some(50L), 1L, Some(1.5), 2L)))
+    assert(ev.last.contains("incremental from fact"), ev)
+    // a fact delete retracts the dcount through both joins
+    fact.deleteWhere("k = 2")
+    p.run()
+    assert(gold == Seq(("east", Some(31L), 2L, Some(3.5), 2L),
+      ("west", Some(20L), 1L, Some(1.0), 1L)))
+    assert(ev.last.contains("incremental from fact"), ev)
+    // the SECOND dim changing forces recompute + re-pin
+    prods.deleteWhere("prod = 'q'")
+    prods.append(Seq(("q", 10L)).toDF("prod", "w"))
+    p.run()
+    assert(gold == Seq(("east", Some(80L), 2L, Some(3.5), 2L),
+      ("west", Some(20L), 1L, Some(1.0), 1L)))
+    assert(ev.last.contains("recompute: dimension changed"), ev)
+    // and maintenance resumes against the new pins
+    fact.append(Seq((5L, "x", "q", 4L)).toDF("k", "cat", "prod", "v"))
+    p.run()
+    assert(gold == Seq(("east", Some(80L), 2L, Some(3.5), 2L),
+      ("west", Some(60L), 2L, Some(3.0), 2L)))
+    assert(ev.last.contains("incremental from fact"), ev)
+  }
+
   test("star-join auto-MV fallbacks: LEFT JOIN, self-join, and a " +
       "view-backed dim keep the recompute path (and still answer); a WHERE " +
       "over dim columns maintains exactly") {
