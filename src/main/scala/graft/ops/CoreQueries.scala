@@ -1356,6 +1356,55 @@ object CoreQueries {
       Some("""SELECT event_id, event_type FROM events
         WHERE event_type IS NOT NULL ORDER BY event_id""")),
 
+    // O24 THE CHAINED GOLD SHAPE — a CDC-maintained silver (APPLY CHANGES
+    // latest-per-user, CDF-enabled) feeding an AUTO-MAINTAINED gold MV off
+    // the CDC MERGES' change feed: run 2's merges emit pre/post images, so
+    // a user whose latest event MOVES groups retracts from the old group
+    // and lands in the new one — the signed algebra handles group moves
+    // exactly, O(changed users) per run at any silver size. This is the
+    // reference medallion's gold aggregation made incremental end to end.
+    Q("o24_auto_mv_over_cdc", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+        .select("user_id", "event_type", "ts", "event_id")
+      val r = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val cut = new Timestamp(
+        (r.getTimestamp(0).getTime + r.getTimestamp(1).getTime) / 2)
+      val root = tmp("graft_o24")
+      val bronze = LakeTable(s, s"$root/bronze")
+      bronze.append(ev.filter(col("ts") <= lit(cut)))       // arrival 1
+      val p = new Pipeline(s, s"$root/pipe")
+      p.inputTable("bronze", bronze)
+      PipelineSql.script(p, """
+        CREATE OR REFRESH STREAMING TABLE silver
+          TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true');
+        APPLY CHANGES INTO silver FROM STREAM(bronze)
+          KEYS (user_id) SEQUENCE BY ts;
+        -- gold maintains INCREMENTALLY off silver's CDC merges
+        CREATE OR REFRESH MATERIALIZED VIEW gold AS
+          SELECT event_type,
+                 COUNT(*) AS users,
+                 SUM(event_id) AS s,
+                 AVG(event_id) AS m
+          FROM silver GROUP BY event_type""")
+      p.runIncremental()                                    // bootstrap
+      bronze.append(ev.filter(col("ts") > lit(cut)))        // arrival 2
+      p.runIncremental()                                    // deltas only
+      p.read("gold").orderBy("event_type")
+    },
+      Some("""WITH silver AS (
+          SELECT user_id, event_type, ts, event_id FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_type IS NOT NULL
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_type DESC NULLS LAST,
+                     event_id DESC) = 1
+        )
+        SELECT event_type, COUNT(*) AS users, SUM(event_id) AS s,
+               AVG(event_id) AS m
+        FROM silver GROUP BY event_type ORDER BY event_type""")),
+
     // O15 TRUE STREAMING APPEND FLOW (SQL-declared) — where o10's live
     // flow re-lands its view every run (snapshot semantics), this one is
     // registered from `INSERT INTO … BY NAME SELECT … FROM STREAM(bronze)`

@@ -886,6 +886,37 @@ class PipelineSqlSpec extends SparkSpec {
     assert(ev.last.contains("incremental from src"), ev)
   }
 
+  test("auto-MV over a CDC-maintained silver: the gold panel maintains " +
+      "INCREMENTALLY off the CDC merges' change feed — a user whose " +
+      "latest event MOVES groups retracts from the old group exactly") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_cdc")
+    val bronze = LakeTable(spark, s"$root/bronze")
+    bronze.append(Seq((1L, "click", 1L, 10L), (2L, "view", 1L, 20L))
+      .toDF("u", "typ", "seq", "v"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("bronze", bronze)
+    PipelineSql.script(p, """
+      CREATE OR REFRESH STREAMING TABLE silver
+        TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true');
+      APPLY CHANGES INTO silver FROM STREAM(bronze) KEYS (u) SEQUENCE BY seq;
+      CREATE OR REFRESH MATERIALIZED VIEW gold AS
+        SELECT typ, COUNT(*) AS users, SUM(v) AS s FROM silver GROUP BY typ""")
+    p.runIncremental()
+    def gold = p.read("gold").orderBy("typ")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(gold == Seq(("click", 1L, 10L), ("view", 1L, 20L)))
+    // user 1's latest event MOVES to 'view': the CDC merge emits pre/post
+    // images, the MV retracts (click, u1) and lands (view, u1) — the
+    // click group DIES (count 0 removes the row)
+    bronze.append(Seq((1L, "view", 2L, 30L)).toDF("u", "typ", "seq", "v"))
+    p.runIncremental()
+    assert(gold == Seq(("view", 2L, 50L)))
+    val ev = p.eventLog.filter(col("dataset") === "gold")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    assert(ev.last.contains("incremental from silver"), ev)
+  }
+
   test("REFRESH MATERIALIZED VIEW name [FULL]: a SYNCHRONOUS single-MV " +
       "refresh — the named MV updates from current sources while sibling " +
       "datasets stay untouched; FULL re-bootstraps; non-MV targets refuse") {
