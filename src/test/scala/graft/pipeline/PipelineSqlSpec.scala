@@ -774,6 +774,54 @@ class PipelineSqlSpec extends SparkSpec {
     assert(ev.last.contains("incremental from fact"), ev)
   }
 
+  test("star-join auto-MV over a PIPELINE-MAINTAINED dim: the dim's own " +
+      "refresh lands first in the same run, the MV sees the dim version " +
+      "move and recomputes against the fresh state; fact-only runs stay " +
+      "incremental") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_star_pipedim")
+    val fact = LakeTable(spark, s"$root/fact")
+    val seed = Seq((1L, "x", 10L), (2L, "y", 5L)).toDF("k", "cat", "v")
+    fact.create(seed.schema, enableChangeFeed = true)
+    fact.append(seed)
+    val dimSrc = LakeTable(spark, s"$root/dimsrc")
+    dimSrc.append(Seq(("x", 2L), ("y", 3L)).toDF("cat", "w"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("fact", fact)
+    p.inputTable("dimsrc", dimSrc)
+    // the dim is a DECLARED streaming table — maintained by the pipeline,
+    // refreshed in runTail BEFORE the auto MVs
+    PipelineSql(p, "CREATE OR REFRESH STREAMING TABLE dim AS " +
+      "SELECT cat, w FROM STREAM(dimsrc)")
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW gold AS
+      SELECT f.cat AS cat, SUM(f.v * d.w) AS s
+      FROM fact f JOIN dim d ON f.cat = d.cat GROUP BY f.cat""")
+    p.runIncremental()
+    def gold = p.read("gold").orderBy("cat")
+      .as[(String, Long)].collect().toSeq
+    assert(gold == Seq(("x", 20L), ("y", 15L)))
+    def ev = p.eventLog.filter(col("dataset") === "gold")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    // fact-only arrival: the dim table's version is untouched → incremental
+    fact.append(Seq((3L, "x", 1L)).toDF("k", "cat", "v"))
+    p.runIncremental()
+    assert(gold == Seq(("x", 22L), ("y", 15L)))
+    assert(ev.last.contains("incremental from fact"), ev)
+    // the dim's SOURCE moves: the SAME run refreshes the dim first (append
+    // flow order), the MV sees the dim version move and recomputes against
+    // the state the run just landed — never last run's dim
+    dimSrc.append(Seq(("z", 7L)).toDF("cat", "w"))
+    fact.append(Seq((4L, "z", 2L)).toDF("k", "cat", "v"))
+    p.runIncremental()
+    assert(gold == Seq(("x", 22L), ("y", 15L), ("z", 14L)))
+    assert(ev.last.contains("recompute: dimension changed"), ev)
+    // and incremental maintenance resumes on the new pin
+    fact.append(Seq((5L, "z", 1L)).toDF("k", "cat", "v"))
+    p.runIncremental()
+    assert(gold == Seq(("x", 22L), ("y", 15L), ("z", 21L)))
+    assert(ev.last.contains("incremental from fact"), ev)
+  }
+
   test("star-join auto-MV fallbacks: LEFT JOIN, self-join, and a " +
       "view-backed dim keep the recompute path (and still answer); a WHERE " +
       "over dim columns maintains exactly") {
