@@ -287,10 +287,10 @@ object LakeSql {
           .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
         zc.foreach(cols => require(cols.nonEmpty,
           s"OPTIMIZE $name ZORDER BY () names no columns"))
-        // Delta's `OPTIMIZE t FULL`: force a full re-cluster of a
-        // liquid-clustered table. Our clustering trigger IS a full
-        // re-cluster, so FULL is a synonym — but, like Delta, it is only
-        // valid on clustered tables, and composes with nothing else.
+        // Delta's `OPTIMIZE t FULL`: force a GLOBAL re-cluster of a
+        // liquid-clustered table (plain OPTIMIZE is incremental over data
+        // written since the last pass). Like Delta, FULL is only valid on
+        // clustered tables, and composes with nothing else.
         if (full != null) {
           require(tbl.clusterBy.nonEmpty,
             s"OPTIMIZE $name FULL: table is not liquid-clustered")
@@ -310,17 +310,27 @@ object LakeSql {
             val st = tbl.optimizeWhere(preds, zc.getOrElse(Nil))
             Seq((st.filesRewritten, st.filesLinked, st.bytesRewritten))
               .toDF("files_rewritten", "files_untouched", "bytes_rewritten")
-          case (None, None) if tbl.clusterBy.nonEmpty =>
-            // liquid-clustered table: plain OPTIMIZE re-clusters on the
-            // declared key (Delta's clustering trigger; ours is a full
-            // re-cluster where Delta's is incremental over new files).
-            // All-z-orderable keys interleave (multi-dimensional locality);
-            // keys with string columns range-sort lexicographically.
+          case (None, None) if tbl.clusterBy.nonEmpty && full != null =>
+            // `OPTIMIZE t FULL` (Delta): force a GLOBAL re-cluster on the
+            // declared key — restores the cross-batch curve incremental
+            // passes degrade. All-z-orderable keys interleave
+            // (multi-dimensional locality); keys with string columns
+            // range-sort lexicographically.
             val cols = tbl.clusterBy
             if (tbl.zOrderable(cols)) tbl.compactZOrder(cols)
             else tbl.compactSort(cols)
             Seq((cols.mkString(","), tbl.detail.numFiles))
               .toDF("clustered_by", "num_files")
+          case (None, None) if tbl.clusterBy.nonEmpty =>
+            // liquid-clustered table: plain OPTIMIZE clusters INCREMENTALLY
+            // — only data written since the last clustering pass is
+            // rewritten (Delta's behavior); already-clustered files keep
+            // their paths and inodes. O(new data) at any table size.
+            val st = tbl.optimizeClustered(tbl.clusterBy)
+            Seq((tbl.clusterBy.mkString(","), st.filesRewritten,
+                st.filesLinked, st.bytesRewritten))
+              .toDF("clustered_by", "files_rewritten", "files_untouched",
+                "bytes_rewritten")
           case (None, None) =>
             val st = tbl.optimizeCompact()
             Seq((st.filesRewritten, st.filesLinked, st.bytesRewritten))

@@ -121,6 +121,13 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     case Array(d) => DirEntry(d, None)
     case Array(d, owned) =>
       DirEntry(d, Some(owned.split(',').toSeq.filter(_.nonEmpty).map(b64d)))
+    // third field: entry flags — "c" marks the dir clustered on the
+    // manifest's clusterKey (an empty second field keeps owned = None)
+    case Array(d, owned, flags) =>
+      DirEntry(d,
+        if (owned.isEmpty) None
+        else Some(owned.split(',').toSeq.filter(_.nonEmpty).map(b64d)),
+        clustered = flags.contains('c'))
     case _ => sys.error(s"bad manifest dir entry: $s")
   }
 
@@ -190,13 +197,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         b64d(n) -> b64d(e)
     }.toSeq
     val entries = lines.collect {
-      case l if l.startsWith("dir=") =>
-        l.stripPrefix("dir=").split('|') match {
-          case Array(d) => DirEntry(d, None)
-          case Array(d, owned) =>
-            DirEntry(d, Some(owned.split(',').toSeq.filter(_.nonEmpty).map(b64d)))
-          case _ => sys.error(s"bad manifest line: $l")
-        }
+      case l if l.startsWith("dir=") => parseDirEntry(l.stripPrefix("dir="))
     }.toSeq
     val fileStats = lines.collect {
       case l if l.startsWith("fstat=") =>
@@ -231,9 +232,12 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         val Array(k, v0) = l.stripPrefix("prop=").split(':')
         b64d(k) -> b64d(v0)
     }.toSeq
+    val clusterKey = lines.collectFirst { case l if l.startsWith("ckey=") =>
+      l.stripPrefix("ckey=").split(',').toSeq.filter(_.nonEmpty).map(b64d)
+    }.getOrElse(Nil)
     Manifest(schema, pcol, entries, op, cdfEnabled, cdfDir, statsCols, fileStats,
       commitTsMs, constraints, generated, deleteVectors, bloomCols, txns,
-      dropped, colMap, props)
+      dropped, colMap, props, clusterKey)
   }
 
   private def manifest: Manifest = readManifest(currentVersion)
@@ -351,7 +355,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         fileStats = m.fileStats, constraints = m.constraints,
         generated = m.generated, deleteVectors = m.deleteVectors,
         txns = curM.txns, droppedCols = curM.droppedCols,
-        bloomCols = m.bloomCols, colMap = m.colMap, props = m.props), cur + 1)
+        bloomCols = m.bloomCols, colMap = m.colMap, props = m.props,
+        clusterKey = m.clusterKey), cur + 1)
     }
   }
 
@@ -408,7 +413,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       fileStats = m.fileStats, constraints = m.constraints,
       generated = m.generated, deleteVectors = m.deleteVectors,
       txns = m.txns, droppedCols = m.droppedCols,
-      bloomCols = m.bloomCols, colMap = m.colMap, props = m.props), 0L),
+      bloomCols = m.bloomCols, colMap = m.colMap, props = m.props,
+      clusterKey = m.clusterKey), 0L),
       s"clone target $targetRoot was created concurrently")
     dst
   }
@@ -1239,9 +1245,13 @@ final class LakeTable private (val spark: SparkSession, val root: String,
   /** Conditional put of manifest `m` as version `next`: stage to a temp
    *  file, hard-link it to the manifest path — atomic, and EEXIST if another
    *  writer already committed `next`. Returns whether this writer won. */
-  private def dirLine(prefix: String, e: DirEntry): String = e.owned match {
-    case None => s"$prefix${e.dir}"
-    case Some(vs) => s"$prefix${e.dir}|${vs.map(b64e).mkString(",")}"
+  private def dirLine(prefix: String, e: DirEntry): String = {
+    val ownedPart = e.owned.map(_.map(b64e).mkString(",")).getOrElse("")
+    if (e.clustered) s"$prefix${e.dir}|$ownedPart|c"
+    else e.owned match {
+      case None => s"$prefix${e.dir}"
+      case Some(_) => s"$prefix${e.dir}|$ownedPart"
+    }
   }
 
   private def fstatLine(fs: FileStat): String =
@@ -1311,7 +1321,9 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       (if (m.colMap.nonEmpty)
         Seq(s"colmap=${m.colMap.sortBy(_._1).map { case (l, p) =>
           s"${b64e(l)}:${b64e(p)}" }.mkString(",")}") else Nil) ++
-      m.props.sortBy(_._1).map { case (k, v) => s"prop=${b64e(k)}:${b64e(v)}" }
+      m.props.sortBy(_._1).map { case (k, v) => s"prop=${b64e(k)}:${b64e(v)}" } ++
+      (if (m.clusterKey.nonEmpty)
+        Seq(s"ckey=${m.clusterKey.map(b64e).mkString(",")}") else Nil)
     val fullBody = m.entries.map(dirLine("dir=", _)) ++ m.fileStats.map(fstatLine)
     val lines = deltaBodyFor(m, next, fullBody) match {
       // base=/chain= lead the file so chain-depth probes read 2 lines only
@@ -2003,7 +2015,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
             constraints = cur.constraints, generated = cur.generated,
             deleteVectors = cur.deleteVectors, bloomCols = cur.bloomCols,
             txns = withTxn(cur.txns), droppedCols = cur.droppedCols,
-            colMap = cur.colMap, props = props1), v + 1)
+            colMap = cur.colMap, props = props1,
+            clusterKey = cur.clusterKey), v + 1)
         } else
           (Manifest(df.schema, pcol, Seq(DirEntry(dir, owned)), "append",
             statsCols = scols, fileStats = fstats, txns = withTxn(Nil)), 0L)
@@ -2086,7 +2099,10 @@ final class LakeTable private (val spark: SparkSession, val root: String,
   private def replaceAll(df: DataFrame, partitionBy: Option[String],
       op: String, expected: Option[Long], cdfDir: Option[String] = None,
       preclustered: Boolean = false,
-      txn: Option[(String, Long)] = None): Unit = synchronized {
+      txn: Option[(String, Long)] = None,
+      // non-empty = this rewrite CLUSTERED the table on these columns:
+      // flag the output entry and record the key for incremental OPTIMIZE
+      clusteredAs: Seq[String] = Nil): Unit = synchronized {
     Files.createDirectories(Paths.get(root))
     val cur = if (exists) Some(manifest) else None
     val pcol = partitionBy.orElse(cur.flatMap(_.pcol))
@@ -2107,13 +2123,17 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     val (dir, owned, fstats) = writeData(df1, pcol, scols, preclustered,
       bloomCols = cur.map(_.bloomCols).getOrElse(Nil), colMap = keptMap)
     val validatedConstraints = cur.map(_.constraints).getOrElse(Nil).toSet
-    val m = Manifest(df1.schema, pcol, Seq(DirEntry(dir, owned)), op,
+    val m = Manifest(df1.schema, pcol,
+      Seq(DirEntry(dir, owned, clustered = clusteredAs.nonEmpty)), op,
       cur.exists(_.cdfEnabled), cdfDir, statsCols = scols, fileStats = fstats,
       txns = withTxnLedger(cur.map(_.txns).getOrElse(Nil), txn),
       constraints = cur.map(_.constraints).getOrElse(Nil),
       generated = cur.map(_.generated).getOrElse(Nil),
       bloomCols = cur.map(_.bloomCols).getOrElse(Nil),
-      colMap = keptMap, props = cur.map(_.props).getOrElse(Nil))
+      colMap = keptMap, props = cur.map(_.props).getOrElse(Nil),
+      clusterKey =
+        if (clusteredAs.nonEmpty) clusteredAs
+        else cur.map(_.clusterKey).getOrElse(Nil))
     expected match {
       case Some(v) =>
         if (!tryCommit(m, v + 1))
@@ -2517,6 +2537,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
               txns = withTxnLedger(base.txns, txn), droppedCols = base.droppedCols,
               fileStats = keptStats ++ fstats, constraints = base.constraints,
               generated = base.generated, deleteVectors = base.deleteVectors,
+              clusterKey = base.clusterKey,
               bloomCols = base.bloomCols, colMap = base.colMap,
               props = base.props), baseV + 1)
             if (!committed) {
@@ -2825,7 +2846,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
             droppedCols = m.droppedCols,
             constraints = m.constraints,
             generated = m.generated, deleteVectors = m.deleteVectors,
-            bloomCols = m.bloomCols, colMap = m.colMap, props = m.props), v0 + 1))
+            bloomCols = m.bloomCols, colMap = m.colMap, props = m.props,
+            clusterKey = m.clusterKey), v0 + 1))
           throw new ConcurrentWriteException(
             s"replace computed against version $v0 of $root, but a concurrent " +
               s"writer committed v${v0 + 1} first — recompute and retry")
@@ -2966,7 +2988,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         m.cdfEnabled, chDir, m.statsCols, newStats.toSeq, txns = m.txns,
         droppedCols = m.droppedCols,
         constraints = m.constraints, generated = m.generated,
-        bloomCols = m.bloomCols, colMap = m.colMap, props = m.props), v0 + 1))
+        bloomCols = m.bloomCols, colMap = m.colMap, props = m.props,
+        clusterKey = m.clusterKey), v0 + 1))
       throw new ConcurrentWriteException(
         s"$opName computed against version $v0 of $root, but a concurrent " +
           s"writer committed v${v0 + 1} first — recompute and retry")
@@ -3272,7 +3295,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         "optimize", m.cdfEnabled, None, m.statsCols, newStats.toSeq,
         txns = m.txns, droppedCols = m.droppedCols,
         constraints = m.constraints, generated = m.generated,
-        bloomCols = m.bloomCols, colMap = m.colMap, props = m.props), v0 + 1))
+        bloomCols = m.bloomCols, colMap = m.colMap, props = m.props,
+        clusterKey = m.clusterKey), v0 + 1))
       throw new ConcurrentWriteException(
         s"optimize computed against version $v0 of $root, but a concurrent " +
           s"writer committed v${v0 + 1} first — recompute and retry")
@@ -3316,7 +3340,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     val (clustered, release) =
       zorderClustered(readScoped(m, None), m, zcols, targetFiles)
     try replaceAll(clustered, m.pcol, "compact", Some(v0),
-      preclustered = m.pcol.isDefined)
+      preclustered = m.pcol.isDefined, clusteredAs = zcols)
     finally release()
   }
 
@@ -3340,7 +3364,81 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       .repartitionByRange(targetFiles max 1, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
     replaceAll(clustered, m.pcol, "compact", Some(v0),
-      preclustered = m.pcol.isDefined)
+      preclustered = m.pcol.isDefined, clusteredAs = cols)
+  }
+
+  /**
+   * INCREMENTAL liquid-clustering OPTIMIZE (Delta's actual `OPTIMIZE`
+   * behavior on a clustered table): cluster ONLY the data written since the
+   * last clustering pass, leaving already-clustered files untouched — same
+   * paths, same inodes, no relink. At 100 TB this is the difference between
+   * a nightly job that rewrites yesterday's ingest and one that rewrites
+   * the table: cost is O(new data), independent of table size.
+   *
+   * Mechanics: manifest entries carry a `clustered` flag (set by the
+   * clustering rewrites) plus the key they were clustered on
+   * ([[Manifest.clusterKey]]). This pass reads the UNFLAGGED dirs (through
+   * their deletion vectors — their dead rows materialize away), lays them
+   * out on the key (bit-interleaved Z-order for z-orderable keys,
+   * lexicographic range-sort otherwise), and commits a rewrite that
+   * replaces only those entries. Vectors addressing kept files stay live;
+   * vectors addressing rewritten files go stale-and-harmless (their paths
+   * leave the manifest). A changed declared key (ALTER … CLUSTER BY)
+   * invalidates the flags wholesale, so the next pass re-clusters
+   * everything on the new key — Delta's `OPTIMIZE FULL` shape.
+   *
+   * Like Delta, incremental clustering is LOCAL: each pass lays out its own
+   * batch well, but cross-batch key ranges overlap, so zone-map selectivity
+   * degrades slowly as batches accumulate — `OPTIMIZE t FULL`
+   * ([[compactZOrder]]/[[compactSort]]) restores the global curve.
+   * Rowset-preserving "optimize" commit: the change feed spans it silently.
+   */
+  def optimizeClustered(cols: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024): OptimizeStats = synchronized {
+    require(exists, s"LakeTable at $root does not exist")
+    require(cols.nonEmpty, "optimizeClustered needs clustering columns")
+    val v0 = currentVersion
+    val m = readManifest(v0)
+    require(m.pcol.isEmpty,
+      "liquid clustering applies to unpartitioned tables only")
+    val keyMatches = m.clusterKey == cols
+    val (kept, uncl) = m.entries.partition(e => e.clustered && keyMatches)
+    if (uncl.isEmpty) return OptimizeStats(0,
+      kept.map(e => listParquet(Paths.get(root, e.dir)).size).sum, 0L)
+    val unclFiles = uncl.flatMap(e => listParquet(Paths.get(root, e.dir)))
+    val bytes = unclFiles.map(Files.size).sum
+    val targetFiles = math.max(1,
+      math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    // read the unclustered dirs through their deletion vectors (dead rows
+    // materialize away — the targeted REORG, same as optimizeCompact)
+    val scan0 = spark.read.schema(physSchema(m))
+      .parquet(uncl.map(e => s"$root/${e.dir}"): _*)
+    val batch = antiJoinDeleteVectors(toLogicalNames(m,
+        if (m.deleteVectors.isEmpty) scan0 else rowIdCols(scan0)), m)
+      .select(m.schema.fieldNames.map(col).toSeq: _*)
+    val (clustered, release) =
+      if (zOrderable(cols)) zorderClustered(batch, m, cols, targetFiles)
+      else (batch.repartitionByRange(targetFiles, cols.map(col): _*)
+        .sortWithinPartitions(cols.map(col): _*), () => ())
+    try {
+      val (dir, _, fstats) = writeData(clustered, None, m.statsCols,
+        preclustered = true, bloomCols = m.bloomCols, colMap = m.colMap)
+      val keptDirs = kept.map(_.dir).toSet
+      val keptStats =
+        m.fileStats.filter(fs => keptDirs.exists(d => fs.path.startsWith(d + "/")))
+      if (!tryCommit(Manifest(m.schema, m.pcol,
+          kept :+ DirEntry(dir, None, clustered = true), "optimize",
+          m.cdfEnabled, None, m.statsCols, keptStats ++ fstats,
+          txns = m.txns, droppedCols = m.droppedCols,
+          constraints = m.constraints, generated = m.generated,
+          deleteVectors = m.deleteVectors, bloomCols = m.bloomCols,
+          colMap = m.colMap, props = m.props, clusterKey = cols), v0 + 1))
+        throw new ConcurrentWriteException(
+          s"optimize computed against version $v0 of $root, but a concurrent " +
+            s"writer committed v${v0 + 1} first — recompute and retry")
+      OptimizeStats(listParquet(Paths.get(root, dir)).size,
+        kept.map(e => listParquet(Paths.get(root, e.dir)).size).sum, bytes)
+    } finally release()
   }
 
   /** Whether every column in `cols` carries a z-orderable type
@@ -3517,7 +3615,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         txns = m.txns, droppedCols = m.droppedCols,
         constraints = m.constraints, generated = m.generated,
         deleteVectors = m.deleteVectors, bloomCols = m.bloomCols,
-        colMap = m.colMap, props = m.props), v0 + 1))
+        colMap = m.colMap, props = m.props,
+        clusterKey = m.clusterKey), v0 + 1))
       throw new ConcurrentWriteException(
         s"optimize computed against version $v0 of $root, but a concurrent " +
           s"writer committed v${v0 + 1} first — recompute and retry")
@@ -3607,7 +3706,17 @@ object LakeTable {
     org.apache.spark.sql.types.StructField("pos",
       org.apache.spark.sql.types.LongType, nullable = false)))
 
-  private case class DirEntry(dir: String, owned: Option[Seq[String]])
+  /** One data directory of a snapshot. `owned` scopes partitioned dirs to
+   *  the partition values this entry still owns; `clustered` marks dirs
+   *  whose files were WRITTEN BY a clustering pass on the manifest's
+   *  [[Manifest.clusterKey]] — incremental `OPTIMIZE` on a liquid-clustered
+   *  table rewrites only the unflagged dirs (Delta's incremental
+   *  clustering). The flag rides the entry wherever entries are carried,
+   *  so appends/merges/DML never have to know about it; any rewrite that
+   *  produces a fresh entry defaults to unclustered, which can only cost a
+   *  re-cluster, never correctness. */
+  private case class DirEntry(dir: String, owned: Option[Seq[String]],
+      clustered: Boolean = false)
   /** Zone map for one data file: root-relative path → per-column (min, max)
    *  as Spark CAST-to-STRING renderings (UTC session). Columns whose min or
    *  max is NULL in the file are absent — absent stats never prune. */
@@ -3666,7 +3775,15 @@ object LakeTable {
        *  name-ordered for deterministic manifests. `enableChangeFeed` is
        *  recognized and routed to [[Manifest.cdfEnabled]] rather than
        *  stored here. */
-      props: Seq[(String, String)] = Nil)
+      props: Seq[(String, String)] = Nil,
+      /** The clustering key the entry-level `clustered` flags refer to
+       *  (set by clustering rewrites). When the DECLARED key (the
+       *  [[LakeTable.ClusterByProp]] property) differs — e.g. after
+       *  `ALTER TABLE … CLUSTER BY` changed it — the flags are simply
+       *  ignored and the next OPTIMIZE re-clusters everything on the new
+       *  key. O(1) metadata; a constructor that forgets to carry it only
+       *  costs one extra full re-cluster. */
+      clusterKey: Seq[String] = Nil)
 
   /** DESCRIBE DETAIL row (Delta parity): current-snapshot facts. */
   final case class TableDetail(

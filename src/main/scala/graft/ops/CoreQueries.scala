@@ -1856,6 +1856,38 @@ object CoreQueries {
         WHERE o_custkey >= 100 AND o_custkey <= 300
         ORDER BY o_orderkey""")),
 
+    // S48: INCREMENTAL liquid clustering — Delta's actual OPTIMIZE shape on
+    // a clustered table: the second OPTIMIZE rewrites ONLY the files
+    // appended since the first pass (O(new data) at any table size — the
+    // 100 TB nightly maintenance job), while the first pass's output keeps
+    // its paths and inodes. The read must see every row of both eras
+    // through the zone-pruned scan; `OPTIMIZE FULL` stays the global
+    // re-cluster (s42's shape).
+    Q("s48_cluster_incremental", (s, d) => {
+      val o = t(s, d, "orders")
+      val tbl = LakeTable(s, s"${tmp("graft_s48")}/t")
+      tbl.create(o.schema, statsColumns = Seq("o_custkey"))
+      tbl.append(o.filter(col("o_orderkey") % 3 =!= 0).coalesce(2))
+      LakeSql.register("s48_orders", tbl)
+      try {
+        LakeSql.sql(s, "ALTER TABLE s48_orders CLUSTER BY (o_custkey)")
+        LakeSql.sql(s, "OPTIMIZE s48_orders")       // pass 1: clusters all
+        tbl.append(o.filter(col("o_orderkey") % 3 === 0).coalesce(1))
+        val st = LakeSql.sql(s, "OPTIMIZE s48_orders").collect().head
+        // the incremental contract, enforced in-query: pass 2 touched only
+        // the trickle (pass 1's output rode untouched)
+        require(st.getAs[Int]("files_untouched") >= 1 &&
+          st.getAs[Int]("files_rewritten") >= 1,
+          s"OPTIMIZE was not incremental: $st")
+      } finally LakeSql.unregister("s48_orders")
+      tbl.readWhere(Seq(LakeTable.ZonePred.between("o_custkey", "100", "300")))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_custkey >= 100 AND o_custkey <= 300
+        ORDER BY o_orderkey""")),
+
     // S43: IDENTITY columns (Delta `GENERATED ALWAYS AS IDENTITY`) — ids
     // are minted at append time above a high-water mark that commits
     // ATOMICALLY with the batch (the sequence state rides the manifest).
