@@ -524,9 +524,11 @@ object LakeSql {
             Seq((norm(name), tbl.currentVersion)).toDF("table", "version")
           case ac: org.apache.spark.sql.catalyst.plans.logical.AlterColumns =>
             // `ALTER TABLE t ALTER COLUMN c SET DEFAULT <expr> | DROP
-            // DEFAULT` — metadata-only default management; other ALTER
-            // COLUMN forms (type/nullability/comment/position) are
-            // rejected loudly (type changes need a rewrite contract)
+            // DEFAULT` — metadata-only default management — and
+            // `ALTER COLUMN c TYPE <wider>` — metadata-only TYPE WIDENING
+            // (needs `delta.enableTypeWidening`; see
+            // LakeTable.alterColumnType). Other ALTER COLUMN forms
+            // (nullability/comment/position) are rejected loudly.
             val name = ac.table.collectFirst {
               case UnresolvedRelation(parts, _, _) => parts.mkString(".")
               case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
@@ -538,13 +540,20 @@ object LakeSql {
               require(sp.column.name.length == 1,
                 s"nested column ${sp.column.name.mkString(".")} is not supported")
               val c = sp.column.name.head
-              require(sp.newDataType.isEmpty && sp.newNullability.isEmpty &&
+              require(sp.newNullability.isEmpty &&
                 sp.newComment.isEmpty && sp.newPosition.isEmpty,
-                "ALTER COLUMN supports SET DEFAULT / DROP DEFAULT only")
-              if (sp.dropDefault) tbl.dropDefaultValue(c)
-              else tbl.setDefaultValue(c, sp.newDefaultExpression.getOrElse(
-                throw new IllegalArgumentException(
-                  s"ALTER COLUMN $c: nothing to alter")).originalSQL)
+                "ALTER COLUMN supports SET DEFAULT / DROP DEFAULT / TYPE only")
+              sp.newDataType match {
+                case Some(dt) =>
+                  require(sp.newDefaultExpression.isEmpty && !sp.dropDefault,
+                    s"ALTER COLUMN $c: TYPE does not compose with DEFAULT")
+                  tbl.alterColumnType(c, dt)
+                case None =>
+                  if (sp.dropDefault) tbl.dropDefaultValue(c)
+                  else tbl.setDefaultValue(c, sp.newDefaultExpression.getOrElse(
+                    throw new IllegalArgumentException(
+                      s"ALTER COLUMN $c: nothing to alter")).originalSQL)
+              }
             }
             Seq((norm(name), tbl.currentVersion)).toDF("table", "version")
           case cb: org.apache.spark.sql.catalyst.plans.logical.AlterTableClusterBy =>

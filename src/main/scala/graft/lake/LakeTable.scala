@@ -599,6 +599,47 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     }
 
   /**
+   * METADATA-ONLY TYPE WIDENING (`ALTER TABLE … ALTER COLUMN c TYPE t`,
+   * Delta's explicit widening form): the column's declared type grows
+   * along the lossless [[LakeTable.widensTo]] lattice; NO data file is
+   * rewritten at any table size — existing narrow files are served through
+   * Spark's parquet widening promotion, later appends may keep landing
+   * physically narrow files under the wide column. Requires the
+   * `delta.enableTypeWidening` property (Delta's rule). Partition /
+   * bloom-indexed / constraint- or generated-referenced / identity columns
+   * refuse ([[wideningBlocked]] — their sidecars or expressions are keyed
+   * to the physical type). Zone-map stats stay valid: numeric stats
+   * compare as numbers, and every widening pair is numeric→numeric.
+   * Time travel serves pre-widen versions under their own narrower type;
+   * the change feed serves the whole history under the CURRENT type.
+   */
+  def alterColumnType(colName: String,
+      to: org.apache.spark.sql.types.DataType): Unit = synchronized {
+    require(exists, s"LakeTable at $root does not exist")
+    commitWithRetry { () =>
+      val v = currentVersion
+      val cur = readManifest(v)
+      require(wideningOn(cur),
+        s"ALTER COLUMN TYPE needs TBLPROPERTIES ('${LakeTable.TypeWideningProp}' " +
+          "= 'true') — widening is opt-in (Delta's rule)")
+      val f = cur.schema.fields.find(_.name.equalsIgnoreCase(colName))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no column $colName in ${cur.schema.fieldNames.mkString(",")}"))
+      require(f.dataType != to, s"column ${f.name} already has type ${to.simpleString}")
+      require(LakeTable.widensTo(f.dataType, to),
+        s"${f.dataType.simpleString} → ${to.simpleString} is not a lossless " +
+          "widening (supported: byte/short/int→wider integral, " +
+          "float→double, byte/short/int→double)")
+      require(!wideningBlocked(cur).contains(f.name),
+        s"column ${f.name} is partition/bloom/constraint/generated/identity-" +
+          "bound — its physical type is load-bearing and cannot widen")
+      (cur.copy(op = "alter", cdfDir = None, commitTsMs = None,
+        schema = StructType(cur.schema.fields.map(x =>
+          if (x.name == f.name) x.copy(dataType = to) else x))), v + 1)
+    }
+  }
+
+  /**
    * METADATA-ONLY RENAME COLUMN (`ALTER TABLE ... RENAME COLUMN a TO b`,
    * Delta's `columnMapping.mode = name` rename): only the LOGICAL name
    * changes — the column's PHYSICAL name (fixed at creation) stays in every
@@ -1825,16 +1866,40 @@ final class LakeTable private (val spark: SparkSession, val root: String,
    *  its files; NEW columns are rejected unless `mergeSchema` (Delta's
    *  `mergeSchema` option) — with it the table schema widens, the new
    *  columns nullable, and every pre-existing file serves NULL for them. */
+  /** Validate an incoming batch's schema against the table's and produce
+   *  the post-commit schema. Additive evolution needs `mergeSchema`; same-
+   *  name columns must type-match EXCEPT under `widen` (the
+   *  `delta.enableTypeWidening` property): a WIDENING change on an
+   *  unblocked column either grows the table type metadata-only (wider
+   *  incoming — old narrow files read through Spark's parquet widening
+   *  promotion, proven in `TypeWideningSpec`) or is absorbed (narrower
+   *  incoming — the new file lands physically narrow under the wide
+   *  column, which the same promotion serves exactly). `wideBlocked`
+   *  columns (partition / bloom-indexed / constraint- or
+   *  generated-referenced / identity) always stay loud: their sidecars or
+   *  expressions are keyed to the physical type. */
   private def reconcileSchema(table: StructType, incoming: StructType,
-      mergeSchema: Boolean): StructType = {
+      mergeSchema: Boolean, widen: Boolean = false,
+      wideBlocked: Set[String] = Set.empty): StructType = {
     val byName = table.fields.map(f => f.name -> f).toMap
+    val widened = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.types.DataType]
     val novel = incoming.fields.flatMap { f =>
       byName.get(f.name) match {
         case Some(t) =>
-          require(t.dataType == f.dataType,
-            s"column ${f.name}: incoming type ${f.dataType.simpleString} " +
-              s"conflicts with table type ${t.dataType.simpleString} " +
-              "(schema evolution is additive-only — full type changes need overwrite)")
+          if (t.dataType != f.dataType) {
+            val ok = widen && !wideBlocked.contains(f.name)
+            if (ok && LakeTable.widensTo(t.dataType, f.dataType))
+              widened(f.name) = f.dataType
+            else require(ok && LakeTable.widensTo(f.dataType, t.dataType),
+              s"column ${f.name}: incoming type ${f.dataType.simpleString} " +
+                s"conflicts with table type ${t.dataType.simpleString} " +
+                "(schema evolution is additive-only — full type changes need " +
+                "overwrite; WIDENING changes need the " +
+                s"${LakeTable.TypeWideningProp} property" +
+                (if (widen) s", and ${f.name} is partition/bloom/constraint/" +
+                  "generated/identity-bound, which pins its physical type"
+                else "") + ")")
+          }
           None
         case None =>
           require(mergeSchema,
@@ -1843,8 +1908,35 @@ final class LakeTable private (val spark: SparkSession, val root: String,
           Some(f.copy(nullable = true))
       }
     }
-    StructType(table.fields ++ novel)
+    StructType(table.fields.map(f =>
+      widened.get(f.name).fold(f)(dt => f.copy(dataType = dt))) ++ novel)
   }
+
+  /** Columns whose physical type is load-bearing beyond the data files —
+   *  type widening refuses them: the partition column (Hive dir names),
+   *  bloom-indexed columns (sidecar hashes are type-sensitive: an int
+   *  hashed at write would false-negative a long probe — WRONG pruning),
+   *  columns referenced by CHECK constraints or generated-column
+   *  expressions (re-typed inputs could change expression semantics), and
+   *  identity columns. An unparseable expression conservatively blocks
+   *  every column. */
+  private def wideningBlocked(m: Manifest): Set[String] = {
+    def refs(e: String): Seq[String] = scala.util.Try {
+      spark.sessionState.sqlParser.parseExpression(e).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head
+      }
+    }.getOrElse(m.schema.fieldNames.toSeq)
+    (m.pcol.toSeq ++ m.bloomCols ++ m.generated.map(_._1) ++
+      m.generated.flatMap(g => refs(g._2)) ++
+      m.constraints.flatMap(c => refs(c._2)) ++
+      identitySpecsOf(m).keys).toSet
+  }
+
+  /** Whether `delta.enableTypeWidening` is on in `m`'s properties. */
+  private def wideningOn(m: Manifest): Boolean =
+    m.props.exists { case (k, v) =>
+      k == LakeTable.TypeWideningProp && v.equalsIgnoreCase("true") }
 
   /** Append-only write — O(new data), never rewrites existing files.
    *  This is the bronze-sink primitive (reference keeps bronze append-only,
@@ -1958,7 +2050,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         identPinned = Some(pinned)
         assigned
       }
-      reconcileSchema(m.schema, d.schema, mergeSchema)
+      reconcileSchema(m.schema, d.schema, mergeSchema,
+        widen = wideningOn(m), wideBlocked = wideningBlocked(m))
       rejectTombstoned(m, d.schema)
       enforceConstraints(d, m.constraints)
       d
@@ -2008,7 +2101,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
                 k == s"${LakeTable.IdentityPropPrefix}$c.hw") } ++
               identNew.toSeq.sortBy(_._1).map { case (c, n) =>
                 s"${LakeTable.IdentityPropPrefix}$c.hw" -> n.toString }
-          (Manifest(reconcileSchema(cur.schema, df.schema, mergeSchema), pcol,
+          (Manifest(reconcileSchema(cur.schema, df.schema, mergeSchema,
+            widen = wideningOn(cur), wideBlocked = wideningBlocked(cur)), pcol,
             cur.entries :+ DirEntry(dir, owned), "append",
             cur.cdfEnabled, statsCols = cur.statsCols,
             fileStats = cur.fileStats ++ fstats,
@@ -3667,6 +3761,36 @@ object LakeTable {
   val AutoCompactProp = "autoCompact"
   val AutoCompactMinFilesProp = "autoCompact.minFiles"
   val AutoCompactTargetBytesProp = "autoCompact.targetFileBytes"
+  /** TYPE WIDENING (Delta `delta.enableTypeWidening`): with this property
+   *  `'true'`, a type change along [[widensTo]]'s lossless lattice is a
+   *  METADATA-ONLY schema change — no data file rewritten at any table
+   *  size. Old narrow files are served through Spark 4's parquet widening
+   *  promotion (the reader upcasts int32 under a BIGINT schema, float
+   *  under DOUBLE, …); appends may land files physically narrower than
+   *  the declared column, exactly like Delta. Applies to `append`
+   *  evolution and `ALTER TABLE … ALTER COLUMN … TYPE`; MERGE evolution
+   *  keeps the loud equality contract (its clause expressions bind both
+   *  sides). */
+  val TypeWideningProp = "delta.enableTypeWidening"
+
+  /** The supported LOSSLESS widening lattice (Delta's, minus the
+   *  date→timestampNTZ and decimal-rescale rows): integral upcasts,
+   *  float→double, and sub-long integral→double (every int32 is exact in
+   *  a double; long→double is lossy and refused). Each pair is
+   *  reader-proven in `TypeWideningSpec` — a pair outside the proven set
+   *  must never be added without a mixed-era read test. */
+  private[lake] def widensTo(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case _ => false
+    }
+  }
   /** Change-feed column names (Delta CDF's). */
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"

@@ -1888,6 +1888,41 @@ object CoreQueries {
         WHERE o_custkey >= 100 AND o_custkey <= 300
         ORDER BY o_orderkey""")),
 
+    // S49: TYPE WIDENING (Delta `delta.enableTypeWidening`) — the declared
+    // column types grow int→bigint / float→double METADATA-ONLY: zero data
+    // files rewritten at any table size (the 100 TB schema-migration
+    // shape). Era-1 files stay physically narrow and are served through
+    // Spark's parquet widening promotion; era-2 appends land wide. The
+    // oracle replays both eras' exact values — era 1 through the float
+    // round-trip (a widened float must read as THAT float's double, not
+    // the original double), era 2 exact — so a lossy or misrouted read
+    // hash-mismatches.
+    Q("s49_type_widening", (s, d) => {
+      val o = t(s, d, "orders")
+      val tbl = LakeTable(s, s"${tmp("graft_s49")}/t")
+      val era1 = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey").cast("int").as("k"),
+          col("o_totalprice").cast("float").as("price"))
+      tbl.create(era1.schema, statsColumns = Seq("k"))
+      tbl.append(era1)
+      LakeSql.register("s49_t", tbl)
+      try {
+        LakeSql.sql(s, "ALTER TABLE s49_t SET TBLPROPERTIES " +
+          "('delta.enableTypeWidening' = 'true')")
+        LakeSql.sql(s, "ALTER TABLE s49_t ALTER COLUMN k TYPE BIGINT")
+        LakeSql.sql(s, "ALTER TABLE s49_t ALTER COLUMN price TYPE DOUBLE")
+        tbl.append(o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").as("k"),
+            col("o_totalprice").as("price")))
+      } finally LakeSql.unregister("s49_t")
+      tbl.read.orderBy("k")
+    },
+      Some("""SELECT o_orderkey AS k,
+          CASE WHEN o_orderkey % 2 = 1
+               THEN CAST(CAST(o_totalprice AS REAL) AS DOUBLE)
+               ELSE CAST(o_totalprice AS DOUBLE) END AS price
+        FROM orders ORDER BY k""")),
+
     // S43: IDENTITY columns (Delta `GENERATED ALWAYS AS IDENTITY`) — ids
     // are minted at append time above a high-water mark that commits
     // ATOMICALLY with the batch (the sequence state rides the manifest).

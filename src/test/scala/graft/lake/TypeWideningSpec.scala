@@ -1,0 +1,139 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Delta type widening (`delta.enableTypeWidening`): a type change along
+ *  the lossless lattice is METADATA-ONLY — no data file rewritten at any
+ *  table size; old narrow files read through Spark's parquet widening
+ *  promotion, post-widen appends may land physically narrow files under
+ *  the wide column. */
+class TypeWideningSpec extends SparkSpec {
+  import spark.implicits._
+  import scala.jdk.CollectionConverters._
+
+  private def dataFileKeys(root: String): Set[Object] =
+    Files.walk(Paths.get(root, "data")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(Files.getAttribute(_, "fileKey")).toSet
+
+  test("append evolution widens int→long when the property is on; mixed-era read is exact") {
+    val t = LakeTable(spark, s"${tmpDir("widen_append")}/t")
+    t.append(Seq((1, 10f)).toDF("k", "v"))
+    // property off: a wider batch stays loud
+    val e = intercept[IllegalArgumentException](
+      t.append(Seq((2L, 10f)).toDF("k", "v"), mergeSchema = true))
+    assert(e.getMessage.contains("enableTypeWidening"), e.getMessage)
+    t.setTableProperties(Map(LakeTable.TypeWideningProp -> "true"))
+    t.append(Seq((3000000000L, 20f)).toDF("k", "v"), mergeSchema = true)
+    assert(t.schema("k").dataType == LongType)
+    assert(t.schema("v").dataType == FloatType)  // untouched column keeps its type
+    assert(t.read.orderBy("k").as[(Long, Float)].collect().toSeq ==
+      Seq((1L, 10f), (3000000000L, 20f)))
+  }
+
+  test("post-widen NARROW batches land physically narrow and read exactly") {
+    val t = LakeTable(spark, s"${tmpDir("widen_narrow")}/t")
+    t.create(StructType(Seq(StructField("k", LongType), StructField("v", DoubleType))))
+    t.setTableProperties(Map(LakeTable.TypeWideningProp -> "true"))
+    t.append(Seq((1L, 1.5)).toDF("k", "v"))
+    // int/float batch under the long/double schema: absorbed, not rejected
+    t.append(Seq((2, 2.5f)).toDF("k", "v"), mergeSchema = true)
+    assert(t.schema("k").dataType == LongType)
+    assert(t.read.orderBy("k").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 1.5), (2L, 2.5)))
+  }
+
+  test("ALTER COLUMN TYPE is metadata-only: same data files, same inodes") {
+    val t = LakeTable(spark, s"${tmpDir("widen_alter")}/t")
+    val big = (1 to 50000).map(k => (k, k.toFloat / 3)).toDF("k", "v")
+    t.create(big.schema, statsColumns = Seq("k"))
+    t.append(big.coalesce(2))
+    t.setTableProperties(Map(LakeTable.TypeWideningProp -> "true"))
+    val before = dataFileKeys(t.root)
+    t.alterColumnType("k", LongType)
+    t.alterColumnType("v", DoubleType)
+    assert(dataFileKeys(t.root) == before)          // zero files touched
+    assert(t.schema("k").dataType == LongType)
+    assert(t.schema("v").dataType == DoubleType)
+    assert(t.read.agg(sum(col("k"))).head.getLong(0) ==
+      (1 to 50000).map(_.toLong).sum)
+    // float values widen exactly (1.5f reads as the double 1.5f.toDouble)
+    assert(t.read.filter(col("k") === 3).head.getDouble(1) == (3.toFloat / 3).toDouble)
+    // zone maps on the widened column still prune, and exactly
+    val (kept, skipped) = t.skippingStats(Seq(LakeTable.ZonePred.eq("k", "49999")))
+    assert(skipped >= 1, s"kept=$kept skipped=$skipped")
+    assert(t.readWhere(Seq(LakeTable.ZonePred.eq("k", "49999"))).count() == 1)
+  }
+
+  test("widening refusals: property off, lossy directions, load-bearing columns") {
+    val t = LakeTable(spark, s"${tmpDir("widen_refuse")}/t")
+    val df = Seq((1, 2L, "a", 5)).toDF("k", "big", "s", "guarded")
+    t.create(df.schema, bloomFilterColumns = Seq("k"))
+    t.addCheckConstraint("pos", "guarded > 0")
+    t.append(df)
+    // property off
+    intercept[IllegalArgumentException](t.alterColumnType("big", DoubleType))
+    t.setTableProperties(Map(LakeTable.TypeWideningProp -> "true"))
+    // lossy / sideways moves refused
+    intercept[IllegalArgumentException](t.alterColumnType("big", IntegerType))
+    intercept[IllegalArgumentException](t.alterColumnType("big", DoubleType))
+    intercept[IllegalArgumentException](t.alterColumnType("s", LongType))
+    // bloom-indexed: sidecar hashes are type-sensitive — refuse
+    val eb = intercept[IllegalArgumentException](t.alterColumnType("k", LongType))
+    assert(eb.getMessage.contains("load-bearing"), eb.getMessage)
+    // constraint-referenced: refuse (on both the ALTER and the append path)
+    intercept[IllegalArgumentException](t.alterColumnType("guarded", LongType))
+    intercept[IllegalArgumentException](t.append(
+      Seq((1, 2L, "a", 5L)).toDF("k", "big", "s", "guarded"), mergeSchema = true))
+  }
+
+  test("time travel serves pre-widen versions under the old type; CDF serves the current type") {
+    val t = LakeTable(spark, s"${tmpDir("widen_tt")}/t")
+    t.create(StructType(Seq(StructField("k", IntegerType), StructField("v", IntegerType))),
+      enableChangeFeed = true)
+    t.setTableProperties(Map(LakeTable.TypeWideningProp -> "true"))
+    t.append(Seq((1, 10)).toDF("k", "v"))
+    val preWiden = t.currentVersion
+    t.alterColumnType("v", LongType)
+    t.append(Seq((2, 3000000000L)).toDF("k", "v"), mergeSchema = true)
+    assert(t.readVersion(preWiden).schema("v").dataType == IntegerType)
+    assert(t.read.schema("v").dataType == LongType)
+    // the whole feed — including the pre-widen insert — serves LongType
+    val feed = t.readChangeFeed(0)
+    assert(feed.schema("v").dataType == LongType)
+    assert(feed.filter(col("k") === 1).head.getAs[Long]("v") == 10L)
+  }
+
+  test("MERGE on a widened table reads narrow-era files exactly") {
+    val t = LakeTable(spark, s"${tmpDir("widen_merge")}/t")
+    t.create(StructType(Seq(StructField("k", IntegerType), StructField("v", IntegerType))))
+    t.setTableProperties(Map(LakeTable.TypeWideningProp -> "true"))
+    t.append(Seq((1, 10), (2, 20)).toDF("k", "v"))   // narrow-era file
+    t.alterColumnType("v", LongType)
+    t.merge(Seq((2, 200L), (3, 30L)).toDF("k", "v"), Seq("k"))
+    assert(t.read.orderBy("k").as[(Int, Long)].collect().toSeq ==
+      Seq((1, 10L), (2, 200L), (3, 30L)))
+  }
+
+  test("SQL: ALTER TABLE … ALTER COLUMN … TYPE dispatches") {
+    val t = LakeTable(spark, s"${tmpDir("widen_sql")}/t")
+    t.create(StructType(Seq(StructField("k", IntegerType), StructField("v", FloatType))))
+    t.append(Seq((7, 1.25f)).toDF("k", "v"))
+    LakeSql.register("widen_sql_t", t)
+    try {
+      intercept[Exception](LakeSql.sql(spark,
+        "ALTER TABLE widen_sql_t ALTER COLUMN k TYPE BIGINT"))  // property off
+      LakeSql.sql(spark,
+        "ALTER TABLE widen_sql_t SET TBLPROPERTIES ('delta.enableTypeWidening' = 'true')")
+      LakeSql.sql(spark, "ALTER TABLE widen_sql_t ALTER COLUMN k TYPE BIGINT")
+      LakeSql.sql(spark, "ALTER TABLE widen_sql_t ALTER COLUMN v TYPE DOUBLE")
+      assert(t.schema("k").dataType == LongType)
+      assert(LakeSql.sql(spark, "SELECT k, v FROM widen_sql_t").head.getLong(0) == 7L)
+    } finally LakeSql.unregister("widen_sql_t")
+  }
+}
