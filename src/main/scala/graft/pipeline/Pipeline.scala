@@ -818,7 +818,11 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     tables.get(name).filter(_.exists)
       .map(t => presentations.get(name).fold(t.read)(f => f(t.read)))
       .orElse(views.get(name).map(_.apply()))
-      .getOrElse(sys.error(s"unknown pipeline dataset: $name"))
+      .getOrElse(sys.error(
+        if (tables.contains(name))
+          s"pipeline dataset $name is not yet materialized — run the " +
+            "pipeline to populate it"
+        else s"unknown pipeline dataset: $name"))
 
   def table(name: String): LakeTable = tables(name)
   def lastGate(name: String): Option[Expectations.Gate] = gates.get(name)
@@ -1882,6 +1886,143 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         }
       }.toSeq
     rows.toDF("name", "kind", "source", "incremental")
+  }
+
+  /** DLT's VALIDATE update: analyze the declared graph WITHOUT writing a
+   *  row. Every dataset's defining query is resolved through Spark's
+   *  analyzer (driver-side only — `.schema` forces analysis, no job runs);
+   *  every CDC/append/join flow's source is resolved and its declared
+   *  column lists (KEYS, SEQUENCE BY, EXCEPT/COLUMNS, track-history,
+   *  DELETE/TRUNCATE WHEN expressions) are checked against the source's
+   *  actual schema; every expectation expression is analysis-checked
+   *  against its dataset; the CDC-flow DAG is cycle-checked; sinks are
+   *  checked for STREAM-resolvable sources. Statuses:
+   *   - `ok`       — analyzed; detail carries the resolved schema DDL (or
+   *                  the flow's source line).
+   *   - `deferred` — a source is declared but not yet materialized, so the
+   *                  schema is unknowable until the first update runs (not
+   *                  an error — DLT likewise resolves those at update time).
+   *   - `error`    — the dataset or flow can never run as declared:
+   *                  unknown source, missing column, unparseable
+   *                  expression, flow cycle.
+   *  Results come back as a relation (name, kind, status, detail) and are
+   *  recorded in the event log as `validation` rows — the Validate-only
+   *  update a user runs before scheduling a 100 TB pipeline. */
+  def validate(): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    val out = mutable.ArrayBuffer[(String, String, String, String)]()
+    def firstLine(m: String): String =
+      Option(m).getOrElse("").linesIterator.toSeq.headOption.getOrElse("")
+    def classify(e: Throwable): (String, String) = {
+      val m = Option(e.getMessage).getOrElse(e.toString)
+      // an existing-but-unmaterialized LakeTable reads as "does not
+      // exist", an unmaterialized pipeline dataset as "not yet
+      // materialized" — the graph is fine, the data just hasn't arrived
+      if (m.contains("does not exist") || m.contains("not yet materialized"))
+        ("deferred", firstLine(m))
+      else ("error", firstLine(m))
+    }
+    def analyzedSchema(name: String)
+        : Either[(String, String), org.apache.spark.sql.types.StructType] =
+      try Right(read(name).schema)
+      catch {
+        case e: Throwable =>
+          if (tables.contains(name) && !views.contains(name))
+            // a flow target with no defining view: its schema is minted by
+            // its flow's first run
+            Left(("deferred", "materializes at first run"))
+          else Left(classify(e))
+      }
+    def sourceFrame(source: String): DataFrame =
+      views.getOrElse(source, () => read(source))()
+    // datasets: resolve each declared name's schema
+    (inputs.keys ++ views.keys ++ tables.keys).toSeq.distinct.foreach { n =>
+      val kind =
+        if (inputs.contains(n)) "input"
+        else if (sinks.contains(n)) "sink"
+        else if (streamingViews.contains(n)) "streaming_view"
+        else if (views.contains(n) && !tables.contains(n)) "view"
+        else if (autoMvs.contains(n)) "materialized_view_auto"
+        else if (mviews.contains(n)) "materialized_view"
+        else "table"
+      analyzedSchema(n) match {
+        case Right(sc) =>
+          out += ((n, kind, "ok", sc.toDDL))
+          // expectations must analyze against the dataset's schema —
+          // a typo'd column in a CONSTRAINT fails here, not mid-update
+          tableGates.getOrElse(n, Nil).flatMap(_._2).foreach { case (cn, e) =>
+            try { read(n).filter(expr(e)).schema; () }
+            catch { case ex: Throwable =>
+              out += ((n, "expectation", "error",
+                s"CONSTRAINT $cn: ${firstLine(ex.getMessage)}"))
+            }
+          }
+        case Left((st, detail)) => out += ((n, kind, st, detail))
+      }
+    }
+    // CDC flow DAG: cycles are a graph-level error
+    try { orderedFlows; () }
+    catch { case e: Throwable =>
+      out += (("__graph__", "cdc_flows", "error", firstLine(e.getMessage)))
+    }
+    // CDC flows: source resolves and the declared columns exist in it
+    flows.foreach { f =>
+      try {
+        val src = sourceFrame(f.source)
+        val cols = src.columns.toSet
+        val named = (f.keys ++ Seq(f.sequenceBy) ++ f.sequenceAlso ++
+          f.exceptColumns ++ f.columnList ++ f.trackHistoryColumns ++
+          f.trackHistoryExceptColumns).filterNot(cols.contains)
+        if (named.nonEmpty)
+          out += ((f.flowName, "cdc_flow", "error",
+            s"source ${f.source} lacks declared column(s): ${named.mkString(", ")}"))
+        else {
+          (f.applyAsDeletes.toSeq ++ f.applyAsTruncates.toSeq)
+            .foreach(cond => { src.filter(expr(cond)).schema; () })
+          out += ((f.flowName, "cdc_flow", "ok",
+            s"scd${f.scdType} into ${f.target} from ${f.source}"))
+        }
+      } catch { case e: Throwable =>
+        val (st, d) = classify(e)
+        out += ((f.flowName, "cdc_flow", st, d))
+      }
+    }
+    // append flows (incl. sink flows): the transform analyzes over the
+    // source; raw sinks additionally need a STREAM-resolvable source
+    appendFlows.foreach { af =>
+      try {
+        val sc = af.stream match {
+          case Some((src, fn)) => fn(sourceFrame(src)).schema
+          case None => af.fn().schema
+        }
+        if (sinks.get(af.target).exists(_.format != "lake") && af.stream.isEmpty)
+          out += ((af.name, "append_flow", "error",
+            s"sink ${af.target} needs a STREAM-resolvable source"))
+        else out += ((af.name, "append_flow", "ok", sc.toDDL))
+      } catch { case e: Throwable =>
+        val (st, d) = classify(e)
+        out += ((af.name, "append_flow", st, d))
+      }
+    }
+    // join tables: the enrich output must still carry keys + sequence
+    joinTables.foreach { case (n, jt) =>
+      try {
+        val enriched = jt.enrich(sourceFrame(jt.source))
+        val cols = enriched.columns.toSet
+        val named = (jt.keys :+ jt.sequenceBy).filterNot(cols.contains)
+        if (named.nonEmpty)
+          out += ((n, "join_table", "error",
+            s"enriched ${jt.source} lacks declared column(s): ${named.mkString(", ")}"))
+        else out += ((n, "join_table", "ok", enriched.schema.toDDL))
+      } catch { case e: Throwable =>
+        val (st, d) = classify(e)
+        out += ((n, "join_table", st, d))
+      }
+    }
+    writeEventLog(out.toSeq.map { case (n, _, st, d) =>
+      ("validation", n, 0L, s"$st${if (d.nonEmpty) s": $d" else ""}") })
+    out.toSeq.toDF("name", "kind", "status", "detail")
   }
 
   /** Last processed snapshot version for `f`: the in-memory counter, else
