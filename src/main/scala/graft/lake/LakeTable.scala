@@ -957,8 +957,10 @@ final class LakeTable private (val spark: SparkSession, val root: String,
   /** Whether the change feed can serve versions `[fromVersion, toVersion]`
    *  — false when the window contains a full-rewrite commit (`overwrite` /
    *  `truncate`: no row-level delta exists) or a row-mutating commit with
-   *  no recorded images (merge/replace without CDF). A manifest-only probe,
-   *  O(window) tiny metadata reads, no data touched. Incremental consumers
+   *  no recorded images (merge/replace without CDF) — or when VACUUM has
+   *  reclaimed the window's change/data dirs. A metadata-only probe
+   *  (O(window) manifest reads + dir-existence stats, no data touched).
+   *  Incremental consumers
    *  use it to FALL BACK (re-bootstrap from the current snapshot, or
    *  snapshot-refresh) instead of failing every subsequent run when an
    *  upstream table was refreshed by full rewrite — without it, a ledger
@@ -970,13 +972,25 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         val mv = readManifest(v)
         mv.op match {
           case "create" | "constraint" | "index" | "alter" | "rename" |
-               "properties" | "optimize" | "compact" | "append" | "convert" =>
+               "properties" | "optimize" | "compact" =>
             true
+          case "append" | "convert" =>
+            // VACUUM may have reclaimed this window's added dirs (a lagging
+            // consumer under an aggressive retention): unreadable → the
+            // consumer falls back to re-bootstrap instead of wedging on
+            // readChangeFeed's vacuumed-range error every subsequent run
+            val prevDirs: Set[String] =
+              if (v == 0) Set.empty
+              else readManifest(v - 1).entries.map(_.dir).toSet
+            mv.entries.map(_.dir).filterNot(prevDirs)
+              .forall(d => Files.isDirectory(Paths.get(root, d)))
           case "merge" | "delete" | "update" | "replace" =>
-            // mirror readChangeFeed: images recorded, or a CDF-on
-            // delete/update that matched zero rows (legal empty part)
-            mv.cdfDir.isDefined ||
-              (mv.cdfEnabled && (mv.op == "delete" || mv.op == "update"))
+            // mirror readChangeFeed: images recorded (and still on disk —
+            // same vacuum consideration), or a CDF-on delete/update that
+            // matched zero rows (legal empty part)
+            mv.cdfDir.exists(d => Files.isDirectory(Paths.get(root, d))) ||
+              (mv.cdfDir.isEmpty && mv.cdfEnabled &&
+                (mv.op == "delete" || mv.op == "update"))
           case _ => false // overwrite and any other full-rewrite op
         }
       }
@@ -3261,6 +3275,28 @@ final class LakeTable private (val spark: SparkSession, val root: String,
   /** [[optimizeCompact]] result: what was rewritten vs carried by link. */
   final case class OptimizeStats(
       filesRewritten: Int, filesLinked: Int, bytesRewritten: Long)
+
+  /** Whether [[optimizeCompact]] would actually improve the layout: live
+   *  deletion vectors exist (the pack materializes them), or at least two
+   *  files sit under the small-file threshold (one lone small file can't
+   *  pack into fewer). Maintenance jobs probe this FIRST — an
+   *  already-packed table skips the pass entirely instead of paying an
+   *  O(files) relink every night. Driver-side listing only. */
+  def needsCompaction(targetFileBytes: Long = 128L * 1024 * 1024): Boolean =
+    synchronized {
+      require(exists, s"LakeTable at $root does not exist")
+      val m = manifest
+      if (m.deleteVectors.nonEmpty) return true
+      val minSize = targetFileBytes / 2
+      var small = 0
+      m.entries.foreach { e =>
+        listParquet(Paths.get(root, e.dir)).foreach { p =>
+          if (Files.size(p) < minSize) small += 1
+          if (small >= 2) return true
+        }
+      }
+      false
+    }
 
   /**
    * OPTIMIZE bin-packing (Delta `OPTIMIZE` without ZORDER): coalesce SMALL

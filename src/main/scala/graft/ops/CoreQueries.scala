@@ -1363,6 +1363,40 @@ object CoreQueries {
     // and lands in the new one — the signed algebra handles group moves
     // exactly, O(changed users) per run at any silver size. This is the
     // reference medallion's gold aggregation made incremental end to end.
+    // O25 MAINTENANCE + VACUUM SAFETY — the nightly-ops shape: an upstream
+    // team compacts and aggressively vacuums the bronze table BETWEEN a
+    // gold MV's incremental refreshes, reclaiming the exact change window
+    // the MV's ledger points at. The refresh must NOT wedge on the
+    // vacuumed-range error: feedReadable probes dir existence, the window
+    // reads as unreadable, and the MV re-bootstraps from the current
+    // snapshot — exact values, one extra recompute, never a stuck
+    // pipeline. p.maintain() runs the DLT-style maintenance pass over the
+    // pipeline's own tables along the way (probe-gated: nothing to pack →
+    // zero commits).
+    Q("o25_maintenance_vacuum_recovery", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isNotNull)
+        .select("event_id", "event_type", "user_id")
+      val root = tmp("graft_o25")
+      val bronze = LakeTable(s, s"$root/bronze")
+      bronze.append(ev.filter(col("event_id") % 2 === 0))
+      val p = new Pipeline(s, s"$root/pipe")
+      p.inputTable("bronze", bronze)
+      PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW panel AS
+        SELECT event_type, SUM(event_id) AS sum_id, COUNT(*) AS n
+        FROM bronze GROUP BY event_type""")
+      p.runIncremental()                       // bootstrap, ledger pinned
+      bronze.append(ev.filter(col("event_id") % 2 === 1))
+      bronze.optimizeCompact()                 // upstream nightly pack...
+      bronze.vacuum(1)                         // ...and aggressive vacuum
+      p.maintain()                             // pipeline-side maintenance
+      p.runIncremental()                       // window vacuumed → recompute
+      p.read("panel").orderBy("event_type")
+    },
+      Some("""SELECT event_type, SUM(event_id) AS sum_id, COUNT(*) AS n
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY event_type ORDER BY event_type""")),
+
     Q("o24_auto_mv_over_cdc", (s, d) => {
       val ev = t(s, d, "events")
         .filter(col("user_id").isNotNull && col("ts").isNotNull &&

@@ -296,7 +296,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
   private def enforceFailEagerly(g: Expectations.Gate): Unit =
     if (g.policy == Expectations.Fail) {
       g.df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      failPinned += g.df
+      failPinned.synchronized { failPinned += g.df; () }
       g.df.count()
       g.assertClean()
     }
@@ -802,7 +802,11 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     tableGates.get(dataset).fold(df) { groups =>
       groups.zipWithIndex.foldLeft(df) { case (d, ((policy, rules), i)) =>
         val g = Expectations(d, rules, policy)
-        gates(if (i == 0) dataset else s"$dataset#$i") = g
+        // registry writes are lock-guarded: under concurrency > 1 flows
+        // gate concurrently (each its own dataset key)
+        gates.synchronized {
+          gates(if (i == 0) dataset else s"$dataset#$i") = g
+        }
         enforceFailEagerly(g)
         g.df
       }
@@ -1112,6 +1116,298 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
    *  on the shared gate/event/pin state — concurrent callers serialize. */
   private val runLock = new Object
 
+  /** Max flows refreshed CONCURRENTLY per run (DLT runs independent flows
+   *  in parallel across the cluster; default 1 = strictly sequential, the
+   *  historical behavior). With n > 1, each refresh phase schedules its
+   *  units in dependency WAVES: a unit whose source chain touches another
+   *  unit's target waits for it; units whose dependencies can't be proven
+   *  from declarations (a plain-`view` source — an opaque thunk that may
+   *  read anything) run ALONE as barriers in their original position. The
+   *  event log stays byte-identical to the sequential schedule (per-unit
+   *  buffers appended in declaration order), and results are identical by
+   *  construction — only wall-clock changes. On a real cluster this is
+   *  what keeps 1000 executors busy while one flow's merge is in its
+   *  shuffle tail; on local[32] the gain is overlap of driver-side
+   *  planning with executor work. */
+  @volatile private var parallelism: Int = 1
+  def concurrency(n: Int): this.type = {
+    require(n >= 1, s"concurrency must be >= 1, got $n")
+    parallelism = n
+    this
+  }
+
+  private type EventBuf = mutable.ArrayBuffer[(String, String, Long, String)]
+
+  /** Run `units` under [[parallelism]], honoring `dependsOn` (a unit runs
+   *  only after every unit it depends on) and `barrier` units (run alone,
+   *  original relative order). Each unit writes a PRIVATE event buffer;
+   *  buffers are appended to `events` in the units' original order, so
+   *  the event log is independent of the schedule. The first failure (by
+   *  original order) propagates after its wave drains — later waves never
+   *  start, matching the sequential abort contract. */
+  private def runWaves[A](units: Seq[A], events: EventBuf,
+      barrier: A => Boolean, dependsOn: (A, A) => Boolean)(
+      exec: (A, EventBuf) => Unit): Unit = {
+    if (parallelism <= 1 || units.size <= 1) {
+      units.foreach(u => exec(u, events)); return
+    }
+    val idx = units.zipWithIndex
+    val bufs = units.indices.map(_ => new EventBuf()).toIndexedSeq
+    // segments split at barrier units (which run alone, in place);
+    // everything is INDEX-keyed — two textually-identical declarations
+    // must stay distinct units
+    val segments = mutable.ArrayBuffer[Either[Int, mutable.ArrayBuffer[Int]]]()
+    idx.foreach { case (u, i) =>
+      if (barrier(u)) segments += Left(i)
+      else segments.lastOption match {
+        case Some(Right(seg)) => seg += i; ()
+        case _ => segments += Right(mutable.ArrayBuffer(i)); ()
+      }
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    try {
+      segments.foreach {
+        case Left(i) => exec(units(i), bufs(i))
+        case Right(seg) =>
+          // longest-path levels within the segment (units arrive in a
+          // dependency-consistent order, so one pass suffices)
+          val level = mutable.LinkedHashMap[Int, Int]()
+          seg.foreach { i =>
+            val d = seg.takeWhile(_ != i).filter(j => dependsOn(units(i), units(j)))
+            level(i) = if (d.isEmpty) 0 else d.map(level).max + 1
+          }
+          level.values.toSeq.distinct.sorted.foreach { lv =>
+            val wave = seg.filter(i => level(i) == lv)
+            if (wave.size == 1) exec(units(wave.head), bufs(wave.head))
+            else {
+              val futs = wave.map { i =>
+                i -> pool.submit(new java.util.concurrent.Callable[Unit] {
+                  def call(): Unit = exec(units(i), bufs(i))
+                })
+              }
+              // drain the whole wave, then rethrow the FIRST failure in
+              // original order (sequential abort semantics)
+              val failures = futs.flatMap { case (i, fut) =>
+                try { fut.get(); None }
+                catch {
+                  case e: java.util.concurrent.ExecutionException =>
+                    Some(i -> e.getCause)
+                  case e: Throwable => Some(i -> e)
+                }
+              }
+              failures.headOption.foreach { case (_, e) => throw e }
+            }
+          }
+      }
+      units.indices.foreach(i => events ++= bufs(i))
+    } finally { pool.shutdownNow(); () }
+  }
+
+  /** Whether a flow-source chain bottoms out at an OPAQUE plain view —
+   *  a thunk that may read any dataset, so no dependency can be proven
+   *  from declarations; such units run as scheduling barriers. */
+  private def opaqueOrigin(source: String): Boolean = {
+    val o = chainOrigin(source)
+    (views.contains(o) && !tables.contains(o) && !inputs.contains(o)) ||
+      streamingViews.contains(o) // depth-capped walk left a view: be safe
+  }
+
+
+  /** Apply ONE event-fed CDC flow — the body of [[runImpl]]'s CDC phase,
+   *  extracted so [[runWaves]] can run independent flows concurrently. */
+  private def runCdcFlow(f: CdcFlow, gb: GoldBuilder, incremental: Boolean,
+      events: EventBuf): Unit = {
+    def observe(df: DataFrame): (DataFrame, () => Long) = Pipeline.observeRows(df)
+    val stream = if (incremental) resolveStreamRoot(f.source) else None
+    stream match {
+      case Some((src, fn)) if src.exists =>
+        import org.apache.spark.sql.functions.col
+        val appId = s"graft.flow.${f.target}"
+        val t = tables(f.target)
+        val last = t.lastTxnVersion(appId).getOrElse(-1L)
+        val cur = src.currentVersion
+        if (cur > last) {
+          // first window BOOTSTRAPS from the CURRENT snapshot pinned at
+          // `cur` (every live row is an upsert event) instead of
+          // replaying the feed from v0 — immune to vacuumed early
+          // history, and it never drags dead intermediate images of a
+          // merge-maintained source through the transforms. A window
+          // spanning a FULL-REWRITE commit (an upstream table refreshed
+          // in snapshot mode) also RE-PINS at cur instead of failing:
+          // the guarded latest-wins merge makes re-processing every
+          // current row a sound no-op-or-update, so the flow rides
+          // through instead of wedging permanently.
+          val raw =
+            if (last < 0 || !src.feedReadable(last + 1, cur))
+              src.readVersion(cur)
+            else collapsedDelta(src, last + 1, cur, f.keys,
+              f.sequenceBy +: f.sequenceAlso, f.tiebreak, gb, fn)
+          // pinned: the emptiness probe, the gate counters, and the SCD
+          // apply's own joins all consume the delta — one pass over the
+          // change dirs instead of three
+          val delta = fn(raw)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            if (delta.isEmpty) {
+              // metadata-only window: advance the ledger, skip the apply
+              if (t.exists) { t.recordTxn(appId, cur); () }
+              events += (("flow_progress", f.target, 0L,
+                s"cdc flow ${f.flowName} from ${f.source} (scd${f.scdType}, " +
+                  s"incremental v${last + 1}..v$cur empty)"))
+            } else {
+              val (batch, flowRows) = observe(gate(f.target, delta))
+              applyCdcFlow(f, batch, gb, txn = Some(appId -> cur))
+              events += (("flow_progress", f.target, flowRows(),
+                s"cdc flow ${f.flowName} from ${f.source} (scd${f.scdType}, " +
+                  s"incremental v${last + 1}..v$cur)"))
+            }
+          } finally { delta.unpersist(); () }
+        } else events += (("flow_progress", f.target, 0L,
+          s"cdc flow ${f.flowName} from ${f.source} (scd${f.scdType}, " +
+            "incremental up-to-date)"))
+      case _ =>
+        val (batch, flowRows) =
+          observe(gate(f.target, views.getOrElse(f.source, () => read(f.source))()))
+        applyCdcFlow(f, batch, gb)
+        events += (("flow_progress", f.target, flowRows(),
+          s"cdc flow ${f.flowName} from ${f.source} (scd${f.scdType})"))
+    }
+  }
+
+    /** Drain ONE append flow (lake target or lake-format sink) — the body of
+   *  [[runImpl]]'s append phase, extracted so [[runWaves]] can run
+   *  independent flows concurrently. Touches only per-flow state: the
+   *  target LakeTable (internally synchronized), the private event buffer,
+   *  and the lock-guarded gate/once registries. */
+  private def runAppendFlow(af: AppendFlow, incremental: Boolean,
+      events: EventBuf): Unit = {
+    def observe(df: DataFrame): (DataFrame, () => Long) = Pipeline.observeRows(df)
+    if (onceFlowsDone.synchronized(af.once && onceFlowsDone.contains(af.name)))
+      return
+    val sinkSpec = sinks.get(af.target)
+    if (sinkSpec.exists(_.format != "lake")) {
+      // raw-format sink: files + separate ledger commit (at-least-once)
+      drainRawSink(af, sinkSpec.get, events)
+      if (af.once) onceFlowsDone.synchronized { onceFlowsDone += af.name; () }
+      return
+    }
+    import org.apache.spark.sql.functions.{col => fnCol, lit => fnLit}
+    // a lake-format SINK is an external lake table: the same
+    // evolution/ledger/append machinery applies — exactly-once, the
+    // flow ledger riding the sink's own transaction log
+    val t = sinkSpec.map(_.table).getOrElse(tables(af.target))
+    // additive evolution (DLT evolves streaming-table schemas for
+    // append flows too — a backfill flow growing a column must not
+    // error): widen the target metadata-only for columns the flow
+    // adds; existing rows serve NULL. Type changes stay loud (the
+    // cast below is name-aligned, same as CDC-flow evolution).
+    def align(df: DataFrame): (DataFrame, () => Long) = {
+      if (!t.exists) {
+        // sinks create their external table directly (no declared
+        // dataset properties to stamp)
+        if (sinkSpec.isDefined) t.create(df.schema)
+        else createTarget(af.target, df.schema)
+      }
+      val newCols = df.schema.fields.toSeq
+        .filterNot(fl => t.schema.fieldNames.contains(fl.name))
+      if (newCols.nonEmpty) t.addColumns(newCols.map(fl => fl.name -> fl.dataType))
+      val tgt = t.schema
+      observe(df.select(tgt.fields.toSeq.map { fld =>
+        if (df.columns.contains(fld.name)) fnCol(fld.name).cast(fld.dataType).as(fld.name)
+        else fnLit(null).cast(fld.dataType).as(fld.name)
+      }: _*))
+    }
+    val streamRoot =
+      if (incremental) af.stream.flatMap { case (src, fn) =>
+        resolveStreamRoot(src).map { case (root, g) =>
+          (root, g.andThen(fn)) }
+      } else None
+    streamRoot match {
+      case Some((root, fn)) if root.exists =>
+        // TRUE streaming append: only the source rows committed since
+        // this flow's last run; the per-flow ledger rides the target's
+        // transaction log via the idempotent append (atomic, replay-safe)
+        import org.apache.spark.sql.functions.col
+        val appId = s"graft.appendflow.${af.name}"
+        val last = t.lastTxnVersion(appId).getOrElse(-1L)
+        val cur = root.currentVersion
+        if (cur > last) {
+          // bootstrap = the current snapshot pinned at cur (vacuumed
+          // early history can't wedge a first run); later windows must
+          // be APPEND-ONLY — re-landing an updated row would duplicate
+          val (raw, done) =
+            if (last < 0) (root.readVersion(cur), () => ())
+            else appendOnlyWindow(root, last + 1, cur,
+              s"append flow ${af.name}")
+          try {
+            val (aligned, rows) = align(gate(af.target, fn(raw)))
+            if (t.appendIdempotent(appId, cur, aligned))
+              events += (("flow_progress", af.name, rows(),
+                s"append into ${af.target} (incremental v${last + 1}..v$cur)"))
+          } finally done()
+        } else events += (("flow_progress", af.name, 0L,
+          s"append into ${af.target} (incremental up-to-date)"))
+      case _ =>
+        // snapshot re-land. A STREAM-registered flow with a resolvable
+        // root pins the read at an exact source version and RECORDS it:
+        // without the stamp, the next incremental run would re-append
+        // rows this full view already landed (duplicates a full refresh
+        // could never shed); pinning makes the stamp exact under
+        // concurrent source commits.
+        val rootSnap = af.stream.flatMap { case (src, fn2) =>
+          resolveStreamRoot(src).filter(_._1.exists)
+            .map { case (root, g) => (root, g.andThen(fn2)) }
+        }
+        rootSnap match {
+          case Some((root, fn2))
+              if sinkSpec.isDefined && sinkSpec.get.table.exists &&
+                sinkSpec.get.table
+                  .lastTxnVersion(s"graft.appendflow.${af.name}")
+                  .exists(_ >= root.currentVersion) =>
+            // a SINK never intentionally re-lands: an unchanged source
+            // under snapshot execution is simply up-to-date (delivery
+            // to an external destination must stay exactly-once)
+            events += (("flow_progress", af.name, 0L,
+              s"sink ${af.target} (snapshot up-to-date)"))
+          case Some((root, fn2)) =>
+            val cur = root.currentVersion
+            val (aligned, rows) =
+              align(gate(af.target, fn2(root.readVersion(cur))))
+            val appId = s"graft.appendflow.${af.name}"
+            // the ledger stamp rides the append COMMIT itself (the
+            // txn-carrying append): stamping in a separate commit
+            // leaves a crash window where the rows landed but the
+            // ledger lags, and the next incremental run re-appends the
+            // already-landed window as duplicates. When the ledger is
+            // already at/past `cur` (snapshot re-run at an unchanged
+            // source), the re-land is INTENTIONAL snapshot semantics —
+            // plain append, nothing to stamp.
+            if (t.lastTxnVersion(appId).forall(_ < cur)) {
+              t.appendIdempotent(appId, cur, aligned); ()
+            } else t.append(aligned)
+            events += (("flow_progress", af.name, rows(),
+              s"append into ${af.target} (snapshot @ v$cur)" +
+                (if (af.once) " (once)" else "")))
+          case None if sinkSpec.isDefined =>
+            // a plain view flow RE-LANDS its full view every run — fine
+            // for a pipeline-owned streaming table (full refresh resets
+            // it), unrecoverable for an external sink
+            require(af.stream.isDefined,
+              s"sink ${af.target} needs a STREAM-resolvable source " +
+                "(view flows re-land every run — duplicates a sink " +
+                "could never shed)")
+            events += (("flow_progress", af.name, 0L,
+              s"sink ${af.target} (source not materialized)"))
+          case None =>
+            val (aligned, rows) = align(gate(af.target, af.fn()))
+            t.append(aligned)
+            events += (("flow_progress", af.name, rows(),
+              s"append into ${af.target}" + (if (af.once) " (once)" else "")))
+        }
+    }
+    if (af.once) onceFlowsDone.synchronized { onceFlowsDone += af.name; () }
+  }
+
   private def runImpl(incremental: Boolean,
       quietIdle: Boolean = false): Unit = runLock.synchronized { try {
     val gb = GoldBuilder(spark)
@@ -1139,133 +1435,15 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     // append flows drain FIRST among the flows (declaration order): a CDC
     // flow reading an append-fed table sees this run's rows. `once = true`
     // flows drain only on this instance's first run (DLT's one-time
-    // backfill).
-    appendFlows.foreach { af =>
-      if (!(af.once && onceFlowsDone.contains(af.name))) {
-        val sinkSpec = sinks.get(af.target)
-        if (sinkSpec.exists(_.format != "lake")) {
-          // raw-format sink: files + separate ledger commit (at-least-once)
-          drainRawSink(af, sinkSpec.get, events)
-          if (af.once) onceFlowsDone += af.name
-        } else {
-        import org.apache.spark.sql.functions.{col => fnCol, lit => fnLit}
-        // a lake-format SINK is an external lake table: the same
-        // evolution/ledger/append machinery applies — exactly-once, the
-        // flow ledger riding the sink's own transaction log
-        val t = sinkSpec.map(_.table).getOrElse(tables(af.target))
-        // additive evolution (DLT evolves streaming-table schemas for
-        // append flows too — a backfill flow growing a column must not
-        // error): widen the target metadata-only for columns the flow
-        // adds; existing rows serve NULL. Type changes stay loud (the
-        // cast below is name-aligned, same as CDC-flow evolution).
-        def align(df: DataFrame): (DataFrame, () => Long) = {
-          if (!t.exists) {
-            // sinks create their external table directly (no declared
-            // dataset properties to stamp)
-            if (sinkSpec.isDefined) t.create(df.schema)
-            else createTarget(af.target, df.schema)
-          }
-          val newCols = df.schema.fields.toSeq
-            .filterNot(fl => t.schema.fieldNames.contains(fl.name))
-          if (newCols.nonEmpty) t.addColumns(newCols.map(fl => fl.name -> fl.dataType))
-          val tgt = t.schema
-          observe(df.select(tgt.fields.toSeq.map { fld =>
-            if (df.columns.contains(fld.name)) fnCol(fld.name).cast(fld.dataType).as(fld.name)
-            else fnLit(null).cast(fld.dataType).as(fld.name)
-          }: _*))
-        }
-        val streamRoot =
-          if (incremental) af.stream.flatMap { case (src, fn) =>
-            resolveStreamRoot(src).map { case (root, g) =>
-              (root, g.andThen(fn)) }
-          } else None
-        streamRoot match {
-          case Some((root, fn)) if root.exists =>
-            // TRUE streaming append: only the source rows committed since
-            // this flow's last run; the per-flow ledger rides the target's
-            // transaction log via the idempotent append (atomic, replay-safe)
-            import org.apache.spark.sql.functions.col
-            val appId = s"graft.appendflow.${af.name}"
-            val last = t.lastTxnVersion(appId).getOrElse(-1L)
-            val cur = root.currentVersion
-            if (cur > last) {
-              // bootstrap = the current snapshot pinned at cur (vacuumed
-              // early history can't wedge a first run); later windows must
-              // be APPEND-ONLY — re-landing an updated row would duplicate
-              val (raw, done) =
-                if (last < 0) (root.readVersion(cur), () => ())
-                else appendOnlyWindow(root, last + 1, cur,
-                  s"append flow ${af.name}")
-              try {
-                val (aligned, rows) = align(gate(af.target, fn(raw)))
-                if (t.appendIdempotent(appId, cur, aligned))
-                  events += (("flow_progress", af.name, rows(),
-                    s"append into ${af.target} (incremental v${last + 1}..v$cur)"))
-              } finally done()
-            } else events += (("flow_progress", af.name, 0L,
-              s"append into ${af.target} (incremental up-to-date)"))
-          case _ =>
-            // snapshot re-land. A STREAM-registered flow with a resolvable
-            // root pins the read at an exact source version and RECORDS it:
-            // without the stamp, the next incremental run would re-append
-            // rows this full view already landed (duplicates a full refresh
-            // could never shed); pinning makes the stamp exact under
-            // concurrent source commits.
-            val rootSnap = af.stream.flatMap { case (src, fn2) =>
-              resolveStreamRoot(src).filter(_._1.exists)
-                .map { case (root, g) => (root, g.andThen(fn2)) }
-            }
-            rootSnap match {
-              case Some((root, fn2))
-                  if sinkSpec.isDefined && sinkSpec.get.table.exists &&
-                    sinkSpec.get.table
-                      .lastTxnVersion(s"graft.appendflow.${af.name}")
-                      .exists(_ >= root.currentVersion) =>
-                // a SINK never intentionally re-lands: an unchanged source
-                // under snapshot execution is simply up-to-date (delivery
-                // to an external destination must stay exactly-once)
-                events += (("flow_progress", af.name, 0L,
-                  s"sink ${af.target} (snapshot up-to-date)"))
-              case Some((root, fn2)) =>
-                val cur = root.currentVersion
-                val (aligned, rows) =
-                  align(gate(af.target, fn2(root.readVersion(cur))))
-                val appId = s"graft.appendflow.${af.name}"
-                // the ledger stamp rides the append COMMIT itself (the
-                // txn-carrying append): stamping in a separate commit
-                // leaves a crash window where the rows landed but the
-                // ledger lags, and the next incremental run re-appends the
-                // already-landed window as duplicates. When the ledger is
-                // already at/past `cur` (snapshot re-run at an unchanged
-                // source), the re-land is INTENTIONAL snapshot semantics —
-                // plain append, nothing to stamp.
-                if (t.lastTxnVersion(appId).forall(_ < cur)) {
-                  t.appendIdempotent(appId, cur, aligned); ()
-                } else t.append(aligned)
-                events += (("flow_progress", af.name, rows(),
-                  s"append into ${af.target} (snapshot @ v$cur)" +
-                    (if (af.once) " (once)" else "")))
-              case None if sinkSpec.isDefined =>
-                // a plain view flow RE-LANDS its full view every run — fine
-                // for a pipeline-owned streaming table (full refresh resets
-                // it), unrecoverable for an external sink
-                require(af.stream.isDefined,
-                  s"sink ${af.target} needs a STREAM-resolvable source " +
-                    "(view flows re-land every run — duplicates a sink " +
-                    "could never shed)")
-                events += (("flow_progress", af.name, 0L,
-                  s"sink ${af.target} (source not materialized)"))
-              case None =>
-                val (aligned, rows) = align(gate(af.target, af.fn()))
-                t.append(aligned)
-                events += (("flow_progress", af.name, rows(),
-                  s"append into ${af.target}" + (if (af.once) " (once)" else "")))
-            }
-        }
-        if (af.once) onceFlowsDone += af.name
-        }
-      }
-    }
+    // backfill). Under concurrency > 1 independent flows drain in waves:
+    // same-target flows and chains (a flow reading another's target)
+    // serialize; opaque view flows run alone.
+    runWaves[AppendFlow](appendFlows.toSeq, events,
+      barrier = af => af.stream.isEmpty ||
+        af.stream.exists { case (src, _) => opaqueOrigin(src) },
+      dependsOn = (a, b) => a.target == b.target ||
+        a.stream.exists { case (src, _) => chainOrigin(src) == b.target })(
+      (af, buf) => runAppendFlow(af, incremental, buf))
     // snapshot-diff CDC flows next (declaration order; their targets are
     // disjoint from the event-fed CDC flows' by construction), so an
     // event-fed flow sourcing a snapshot-maintained table sees this run's
@@ -1292,62 +1470,15 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           }
       }
     }
-    orderedFlows.foreach { f =>
-      val stream = if (incremental) resolveStreamRoot(f.source) else None
-      stream match {
-        case Some((src, fn)) if src.exists =>
-          import org.apache.spark.sql.functions.col
-          val appId = s"graft.flow.${f.target}"
-          val t = tables(f.target)
-          val last = t.lastTxnVersion(appId).getOrElse(-1L)
-          val cur = src.currentVersion
-          if (cur > last) {
-            // first window BOOTSTRAPS from the CURRENT snapshot pinned at
-            // `cur` (every live row is an upsert event) instead of
-            // replaying the feed from v0 — immune to vacuumed early
-            // history, and it never drags dead intermediate images of a
-            // merge-maintained source through the transforms. A window
-            // spanning a FULL-REWRITE commit (an upstream table refreshed
-            // in snapshot mode) also RE-PINS at cur instead of failing:
-            // the guarded latest-wins merge makes re-processing every
-            // current row a sound no-op-or-update, so the flow rides
-            // through instead of wedging permanently.
-            val raw =
-              if (last < 0 || !src.feedReadable(last + 1, cur))
-                src.readVersion(cur)
-              else collapsedDelta(src, last + 1, cur, f.keys,
-                f.sequenceBy +: f.sequenceAlso, f.tiebreak, gb, fn)
-            // pinned: the emptiness probe, the gate counters, and the SCD
-            // apply's own joins all consume the delta — one pass over the
-            // change dirs instead of three
-            val delta = fn(raw)
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            try {
-              if (delta.isEmpty) {
-                // metadata-only window: advance the ledger, skip the apply
-                if (t.exists) { t.recordTxn(appId, cur); () }
-                events += (("flow_progress", f.target, 0L,
-                  s"cdc flow ${f.flowName} from ${f.source} (scd${f.scdType}, " +
-                    s"incremental v${last + 1}..v$cur empty)"))
-              } else {
-                val (batch, flowRows) = observe(gate(f.target, delta))
-                applyCdcFlow(f, batch, gb, txn = Some(appId -> cur))
-                events += (("flow_progress", f.target, flowRows(),
-                  s"cdc flow ${f.flowName} from ${f.source} (scd${f.scdType}, " +
-                    s"incremental v${last + 1}..v$cur)"))
-              }
-            } finally { delta.unpersist(); () }
-          } else events += (("flow_progress", f.target, 0L,
-            s"cdc flow ${f.flowName} from ${f.source} (scd${f.scdType}, " +
-              "incremental up-to-date)"))
-        case _ =>
-          val (batch, flowRows) =
-            observe(gate(f.target, views.getOrElse(f.source, () => read(f.source))()))
-          applyCdcFlow(f, batch, gb)
-          events += (("flow_progress", f.target, flowRows(),
-            s"cdc flow ${f.flowName} from ${f.source} (scd${f.scdType})"))
-      }
-    }
+    // event-fed CDC flows in dependency order; under concurrency > 1
+    // independent flows apply in waves (a flow whose source chain
+    // originates at another flow's target waits for it; plain-view
+    // sources are opaque — they run alone as barriers)
+    runWaves[CdcFlow](orderedFlows, events,
+      barrier = f => opaqueOrigin(f.source),
+      dependsOn = (a, b) => a.target == b.target ||
+        chainOrigin(a.source) == b.target)(
+      (f, buf) => runCdcFlow(f, gb, incremental, buf))
     runTail(events, incremental, quietIdle, earlySelects)
   } finally {
     failPinned.foreach(_.unpersist())
@@ -1720,34 +1851,52 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     }
     // streaming-select tables not already refreshed before the flows or
     // the join tables (the rest must see this run's merges, including the
-    // join tables refreshed just above)
-    selectTables.foreach { case (name, (source, fn)) =>
-      if (!refreshedEarly.contains(name) && !preJoinSelects.contains(name))
-        refreshSelectTable(name, source, fn, incremental, events)
+    // join tables refreshed just above). Under concurrency > 1 independent
+    // tables refresh in waves; a table whose chain touches another's
+    // target waits for it, opaque (plain-view) sources run alone.
+    val postSelects = selectTables.toSeq.collect {
+      case (name, (source, fn))
+          if !refreshedEarly.contains(name) && !preJoinSelects.contains(name) =>
+        (name, source, fn)
     }
+    runWaves[(String, String, DataFrame => DataFrame)](postSelects, events,
+      barrier = t => opaqueOrigin(t._2),
+      dependsOn = (a, b) => chainTouches(a._2, b._1))(
+      (t, buf) => refreshSelectTable(t._1, t._2, t._3, incremental, buf))
     // incrementally maintained aggregate MVs refresh from their source's
-    // change feed — O(changed rows) after bootstrap, in every run mode
-    aggMvs.foreach { case (name, (source, groupBy, sums, mins, maxs)) =>
-      val root = inputs.get(source).orElse(tables.get(source)).getOrElse(
-        sys.error(s"incremental agg MV $name: source $source is not a " +
-          "table-backed dataset (inputTable or streamingTable)"))
-      // a not-yet-materialized source is an empty input, not a crash —
-      // the MV bootstraps on the first run that finds data
-      if (root.exists) {
-        val n = runAggMvFromChangeFeed(name, root, groupBy, sums,
-          flowId = s"graft.aggmv.$name", mins = mins, maxs = maxs)
-        events += (("flow_progress", name, n, s"incremental agg mv from $source"))
-      } else events += (("flow_progress", name, 0L,
-        s"incremental agg mv from $source (source not materialized)"))
-    }
+    // change feed — O(changed rows) after bootstrap, in every run mode;
+    // independent MVs refresh concurrently (deps: an MV over another MV's
+    // target waits)
+    runWaves[(String, (String, Seq[String], Seq[String], Seq[String], Seq[String]))](
+      aggMvs.toSeq, events,
+      barrier = _ => false,
+      dependsOn = (a, b) => a._2._1 == b._1)(
+      { case ((name, (source, groupBy, sums, mins, maxs)), buf) =>
+        val root = inputs.get(source).orElse(tables.get(source)).getOrElse(
+          sys.error(s"incremental agg MV $name: source $source is not a " +
+            "table-backed dataset (inputTable or streamingTable)"))
+        // a not-yet-materialized source is an empty input, not a crash —
+        // the MV bootstraps on the first run that finds data
+        if (root.exists) {
+          val n = runAggMvFromChangeFeed(name, root, groupBy, sums,
+            flowId = s"graft.aggmv.$name", mins = mins, maxs = maxs)
+          buf += (("flow_progress", name, n, s"incremental agg mv from $source"))
+        } else buf += (("flow_progress", name, 0L,
+          s"incremental agg mv from $source (source not materialized)"))
+      })
     // AUTO-detected maintainable MVs (SQL `CREATE OR REFRESH MATERIALIZED
     // VIEW` whose plan the engine proved maintainable): incremental from
     // the source's change feed when the source is table-backed; graceful
     // full-recompute fallback otherwise — the user declared an MV, never
-    // an incremental contract
-    autoMvs.foreach { case (name, spec) =>
-      refreshAutoMv(name, spec, events)
-    }
+    // an incremental contract. View-backed sources are opaque (their
+    // recompute reads through read()) — those run alone.
+    runWaves[(String, Pipeline.AutoMvSpec)](autoMvs.toSeq, events,
+      barrier = { case (_, spec) =>
+        !isTableBackedSource(spec.source) ||
+          spec.joins.exists(j => !isTableBackedSource(j.dim)) },
+      dependsOn = (a, b) => a._2.source == b._1 ||
+        a._2.joins.exists(_.dim == b._1))(
+      (t, buf) => refreshAutoMv(t._1, t._2, buf))
     // materialized views refresh AFTER the flows (a gold MV over a silver
     // streaming table must see this run's merged state), in declaration
     // order — full recompute, atomically swapped in via overwrite
@@ -2023,6 +2172,61 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     writeEventLog(out.toSeq.map { case (n, _, st, d) =>
       ("validation", n, 0L, s"$st${if (d.nonEmpty) s": $d" else ""}") })
     out.toSeq.toDF("name", "kind", "status", "detail")
+  }
+
+  /** DLT's scheduled MAINTENANCE update (the Databricks runtime runs
+   *  OPTIMIZE and VACUUM on pipeline tables roughly daily): for every
+   *  MATERIALIZED declared table,
+   *   - liquid-clustered tables take the INCREMENTAL clustering pass
+   *     ([[graft.lake.LakeTable.optimizeClustered]]) — O(data written
+   *     since the last pass), a no-op when nothing new landed: at 100 TB
+   *     the nightly bill is yesterday's ingest, never the table;
+   *   - everything else bin-packs ([[graft.lake.LakeTable.optimizeCompact]])
+   *     ONLY when a driver-side probe says the layout needs it (≥2 small
+   *     files or live deletion vectors — which the pack materializes);
+   *     an already-packed table costs one listing, zero commits;
+   *   - with `retainVersions = Some(n)`, VACUUM then drops data no
+   *     recent-n version references. Safe for lagging incremental
+   *     consumers: a vacuumed change window reads as feed-UNREADABLE
+   *     ([[graft.lake.LakeTable.feedReadable]] probes dir existence), so
+   *     the consumer re-bootstraps at its next run instead of wedging —
+   *     still, size the retention to your consumers' lag to keep their
+   *     refreshes incremental.
+   *  Inputs and sinks are external — never maintained. Event-logged per
+   *  table; returns one row per action taken. */
+  def maintain(retainVersions: Option[Int] = None,
+      targetFileBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    import spark.implicits._
+    val out = mutable.ArrayBuffer[(String, String, String)]()
+    tables.foreach { case (name, t) =>
+      if (t.exists) try {
+        val key = t.clusterBy
+        if (key.nonEmpty) {
+          val st = t.optimizeClustered(key, targetFileBytes)
+          if (st.filesRewritten > 0)
+            out += ((name, "optimize_clustered",
+              s"clustered ${st.filesRewritten} file(s) on ${key.mkString(",")} " +
+                s"(${st.bytesRewritten} bytes; ${st.filesLinked} untouched)"))
+          else out += ((name, "optimize_clustered", "up-to-date"))
+        } else if (t.needsCompaction(targetFileBytes)) {
+          val st = t.optimizeCompact(targetFileBytes)
+          out += ((name, "optimize_compact",
+            s"packed ${st.filesRewritten} file(s) from ${st.bytesRewritten} " +
+              s"bytes (${st.filesLinked} linked)"))
+        } else out += ((name, "optimize_compact", "not needed"))
+        retainVersions.foreach { n =>
+          t.vacuum(n)
+          out += ((name, "vacuum", s"retained newest $n version(s)"))
+        }
+      } catch { case e: graft.lake.ConcurrentWriteException =>
+        // best-effort like DLT's maintenance: a lost race just means a
+        // writer is active — the next maintenance window retries
+        out += ((name, "skipped", e.getMessage.linesIterator.next()))
+      }
+    }
+    writeEventLog(out.toSeq.map { case (n, act, d) =>
+      ("maintenance", n, 0L, s"$act: $d") })
+    out.toSeq.toDF("name", "action", "detail")
   }
 
   /** Last processed snapshot version for `f`: the in-memory counter, else
