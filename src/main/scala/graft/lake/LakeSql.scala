@@ -57,6 +57,23 @@ object LakeSql {
 
   def unregister(name: String): Unit = { tables.remove(norm(name)); () }
 
+  /** READ-ONLY relation registry: `name` → a thunk producing the CURRENT
+   *  frame, re-evaluated per query (never stale). The SELECT surfaces
+   *  (`LakeSql.sql`/`select` and native `spark.sql` via
+   *  [[ResolveLakeRelations]]) resolve these exactly like registered
+   *  tables; DML / MERGE / OPTIMIZE / time travel / `table_changes`
+   *  refuse by construction (the statement paths look up `tables` only) —
+   *  the shape for PRESENTED datasets like an auto-maintained MV, whose
+   *  backing table carries hidden maintenance columns a SQL reader must
+   *  never see. A full-table registration under the same name wins. */
+  private val relations =
+    scala.collection.concurrent.TrieMap.empty[String, () => DataFrame]
+
+  def registerRelation(name: String, frame: () => DataFrame): Unit =
+    relations.put(norm(name), frame)
+
+  def unregisterRelation(name: String): Unit = { relations.remove(norm(name)); () }
+
   /** Parse and execute a `MERGE INTO` statement against registered lake
    *  tables. Returns the target table (for chaining reads). */
   def merge(spark: SparkSession, sqlText: String): LakeTable = {
@@ -755,7 +772,8 @@ object LakeSql {
    *  No-op (and cheap) when the plan references no registered table. */
   private[lake] def resolveRelations(spark: SparkSession,
       plan: LogicalPlan): LogicalPlan =
-    if (tables.isEmpty || collectLakeRelations(plan).isEmpty) plan
+    if ((tables.isEmpty && relations.isEmpty) ||
+      collectLakeRelations(plan).isEmpty) plan
     else substituteLakeRelations(spark, plan)
 
   /** Names of registered lake tables referenced by `plan`'s relation leaves.
@@ -765,7 +783,8 @@ object LakeSql {
   private def collectLakeRelations(plan: LogicalPlan): Seq[String] =
     plan.collectWithSubqueries {
       case UnresolvedRelation(parts, _, _)
-          if tables.contains(norm(parts.mkString("."))) => parts.mkString(".")
+          if tables.contains(norm(parts.mkString("."))) ||
+            relations.contains(norm(parts.mkString("."))) => parts.mkString(".")
       case RelationTimeTravel(UnresolvedRelation(parts, _, _), _, _)
           if tables.contains(norm(parts.mkString("."))) => parts.mkString(".")
       case tvf: UnresolvedTableValuedFunction
@@ -894,6 +913,11 @@ object LakeSql {
         if tables.contains(norm(parts.mkString("."))) =>
       SubqueryAlias(parts.last,
         GraftColumnBridge.logicalPlan(tables(norm(parts.mkString("."))).read))
+    case UnresolvedRelation(parts, _, _)
+        if relations.contains(norm(parts.mkString("."))) =>
+      // read-only relation: the thunk yields the CURRENT presented frame
+      SubqueryAlias(parts.last,
+        GraftColumnBridge.logicalPlan(relations(norm(parts.mkString(".")))()))
   }
 
   /** Evaluate a (foldable) TIMESTAMP AS OF operand to epoch millis — UTC,

@@ -2064,8 +2064,12 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         identPinned = Some(pinned)
         assigned
       }
-      reconcileSchema(m.schema, d.schema, mergeSchema,
-        widen = wideningOn(m), wideBlocked = wideningBlocked(m))
+      // wideningBlocked parses constraint/generated expressions — only
+      // worth computing when the widening property is actually on (the
+      // common append pays zero for the feature's existence)
+      val widenOn = wideningOn(m)
+      reconcileSchema(m.schema, d.schema, mergeSchema, widen = widenOn,
+        wideBlocked = if (widenOn) wideningBlocked(m) else Set.empty)
       rejectTombstoned(m, d.schema)
       enforceConstraints(d, m.constraints)
       d
@@ -2116,7 +2120,9 @@ final class LakeTable private (val spark: SparkSession, val root: String,
               identNew.toSeq.sortBy(_._1).map { case (c, n) =>
                 s"${LakeTable.IdentityPropPrefix}$c.hw" -> n.toString }
           (Manifest(reconcileSchema(cur.schema, df.schema, mergeSchema,
-            widen = wideningOn(cur), wideBlocked = wideningBlocked(cur)), pcol,
+            widen = wideningOn(cur),
+            wideBlocked =
+              if (wideningOn(cur)) wideningBlocked(cur) else Set.empty), pcol,
             cur.entries :+ DirEntry(dir, owned), "append",
             cur.cdfEnabled, statsCols = cur.statsCols,
             fileStats = cur.fileStats ++ fstats,

@@ -2085,11 +2085,15 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       }
     def sourceFrame(source: String): DataFrame =
       views.getOrElse(source, () => read(source))()
+    // sinks: external write-only destinations — no schema of their own
+    // (their flows validate below); the row records the declared wiring
+    sinks.foreach { case (n, sk) =>
+      out += ((n, s"sink_${sk.format}", "ok", sk.path))
+    }
     // datasets: resolve each declared name's schema
     (inputs.keys ++ views.keys ++ tables.keys).toSeq.distinct.foreach { n =>
       val kind =
         if (inputs.contains(n)) "input"
-        else if (sinks.contains(n)) "sink"
         else if (streamingViews.contains(n)) "streaming_view"
         else if (views.contains(n) && !tables.contains(n)) "view"
         else if (autoMvs.contains(n)) "materialized_view_auto"
@@ -2172,6 +2176,39 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     writeEventLog(out.toSeq.map { case (n, _, st, d) =>
       ("validation", n, 0L, s"$st${if (d.nonEmpty) s": $d" else ""}") })
     out.toSeq.toDF("name", "kind", "status", "detail")
+  }
+
+  /** Publish the pipeline's datasets to [[graft.lake.LakeSql]] so plain
+   *  SQL reads them by name — DLT's tables ARE catalog tables: with the
+   *  `GraftExtensions` session extension, `spark.sql("SELECT … FROM
+   *  silver")` resolves natively (and `LakeSql.sql` without it). Plain
+   *  table-backed datasets register as FULL lake tables — SELECT, time
+   *  travel, `table_changes`, DML and OPTIMIZE all work; datasets served
+   *  through a presentation projection (an auto-maintained MV whose
+   *  backing table carries hidden maintenance columns) register as
+   *  READ-ONLY relations resolved freshly per query — a SQL reader sees
+   *  exactly the declared columns and can never corrupt the maintenance
+   *  state. Inputs register as full tables too. `prefix` namespaces the
+   *  published names (e.g. `"sales."`). */
+  def exposeSql(prefix: String = ""): this.type = {
+    inputs.foreach { case (n, t) => graft.lake.LakeSql.register(prefix + n, t) }
+    tables.foreach { case (n, t) =>
+      if (presentations.contains(n))
+        graft.lake.LakeSql.registerRelation(prefix + n, () => read(n))
+      else graft.lake.LakeSql.register(prefix + n, t)
+    }
+    this
+  }
+
+  /** Remove this pipeline's [[exposeSql]] registrations. */
+  def unexposeSql(prefix: String = ""): this.type = {
+    inputs.keys.foreach(n => graft.lake.LakeSql.unregister(prefix + n))
+    tables.foreach { case (n, _) =>
+      if (presentations.contains(n))
+        graft.lake.LakeSql.unregisterRelation(prefix + n)
+      else graft.lake.LakeSql.unregister(prefix + n)
+    }
+    this
   }
 
   /** DLT's scheduled MAINTENANCE update (the Databricks runtime runs
@@ -2318,22 +2355,41 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
    *  version history (the wipe is an overwrite commit — time travel to
    *  pre-refresh versions still works). */
   def runFullRefresh(): Unit = {
-    onceFlowsDone.clear()
-    snapshotVersions.clear()
-    tables.values.filter(_.exists).foreach(t => t.overwrite(t.read.limit(0)))
+    // DLT's `pipelines.reset.allowed = 'false'`: the table is EXCLUDED
+    // from a whole-pipeline full refresh — its data (often an
+    // irreplaceable append-only history) survives, its ONCE-flow markers
+    // and snapshot counters keep their state, and its flows simply
+    // continue. An explicitly-selected refresh of such a table refuses
+    // instead (runFullRefresh(only)).
+    onceFlowsDone.filterInPlace(fn =>
+      appendFlows.exists(af => af.name == fn && resetDisallowed(af.target)))
+    snapshotVersions.filterInPlace { case (target, _) => resetDisallowed(target) }
+    tables.foreach { case (name, t) =>
+      if (t.exists && !resetDisallowed(name)) t.overwrite(t.read.limit(0))
+    }
     // an incremental agg MV's ledger describes the WIPED state now: clear
     // it so the refresh re-bootstraps from the full source snapshot —
     // otherwise the ledger says "up to date" over an empty target and the
-    // MV stays empty forever. CDC/append flow ledgers deliberately KEEP:
-    // the snapshot re-run below rebuilds those targets from the sources'
-    // full current contents, so their ledgers remain consistent (clearing
-    // them would force a full change-feed replay that vacuumed history
-    // might not even serve).
-    (aggMvs.keys ++ autoMvs.keys).foreach { name =>
+    // MV stays empty forever. (A reset-protected MV keeps its ledger and
+    // just continues incrementally.) CDC/append flow ledgers deliberately
+    // KEEP: the snapshot re-run below rebuilds those targets from the
+    // sources' full current contents, so their ledgers remain consistent
+    // (clearing them would force a full change-feed replay that vacuumed
+    // history might not even serve).
+    (aggMvs.keys ++ autoMvs.keys).filterNot(resetDisallowed).foreach { name =>
       val t = tables(name)
       if (t.exists) { t.clearTxn(s"graft.aggmv.$name"); () }
     }
     run()
+  }
+
+  /** Whether `name` declared or carries `pipelines.reset.allowed = 'false'`
+   *  (DLT's full-refresh protection property). */
+  private def resetDisallowed(name: String): Boolean = {
+    val declared = pendingProps.get(name).flatMap(_.get(Pipeline.ResetAllowedProp))
+    val stamped = tables.get(name).filter(_.exists)
+      .flatMap(_.tableProperties.get(Pipeline.ResetAllowedProp))
+    stamped.orElse(declared).exists(_.equalsIgnoreCase("false"))
   }
 
   /** DLT's REFRESH SELECTION: full-refresh ONLY the named datasets while
@@ -2354,6 +2410,13 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     val unknown = only.filterNot(tables.contains)
     require(unknown.isEmpty,
       s"refresh selection names undeclared tables: ${unknown.toSeq.sorted.mkString(", ")}")
+    // an EXPLICIT selection of a reset-protected table is refused loudly
+    // (a whole-pipeline full refresh silently skips it instead)
+    val protectedSel = only.filter(resetDisallowed)
+    require(protectedSel.isEmpty,
+      s"refresh selection names reset-protected table(s) " +
+        s"(${Pipeline.ResetAllowedProp} = 'false'): " +
+        protectedSel.toSeq.sorted.mkString(", "))
     only.foreach { name =>
       appendFlows.filter(_.target == name).foreach { af =>
         onceFlowsDone -= af.name; ()
@@ -2952,6 +3015,13 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
 }
 
 object Pipeline {
+  /** DLT's `pipelines.reset.allowed` table property: set to `'false'`
+   *  (via TBLPROPERTIES at declaration or on the table), the table is
+   *  excluded from whole-pipeline full refreshes and an explicit refresh
+   *  selection naming it refuses — protection for append-only histories a
+   *  recompute could never rebuild. */
+  val ResetAllowedProp = "pipelines.reset.allowed"
+
   /** Whether a continuous-mode cycle failure is TRANSIENT (worth a bounded
    *  retry): a lost optimistic-commit race against an external writer,
    *  possibly wrapped by Spark's task/action machinery — walk the cause
