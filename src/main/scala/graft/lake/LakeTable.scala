@@ -604,7 +604,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
    * along the lossless [[LakeTable.widensTo]] lattice; NO data file is
    * rewritten at any table size — existing narrow files are served through
    * Spark's parquet widening promotion, later appends may keep landing
-   * physically narrow files under the wide column. Requires the
+   * pre-widen files stay physically narrow (served through the
+   * promotion) while new appends CAST UP at write. Requires the
    * `delta.enableTypeWidening` property (Delta's rule). Partition /
    * bloom-indexed / constraint- or generated-referenced / identity columns
    * refuse ([[wideningBlocked]] — their sidecars or expressions are keyed
@@ -633,9 +634,21 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       require(!wideningBlocked(cur).contains(f.name),
         s"column ${f.name} is partition/bloom/constraint/generated/identity-" +
           "bound — its physical type is load-bearing and cannot widen")
+      // FLOAT→DOUBLE invalidates the column's zone stats: a float's
+      // shortest decimal rendering ("0.1") disagrees with its promoted
+      // double value (0.10000000149…), so a high-precision predicate
+      // could WRONGLY prune a float-era file. Absent stats never prune —
+      // drop them (integral widenings are decimal-exact and keep theirs);
+      // post-widen appends write double files with double stats.
+      val pc = physName(cur, f.name)
+      val keptStats =
+        if (f.dataType == org.apache.spark.sql.types.FloatType)
+          cur.fileStats.map(fs => fs.copy(minMax = fs.minMax - pc))
+        else cur.fileStats
       (cur.copy(op = "alter", cdfDir = None, commitTsMs = None,
         schema = StructType(cur.schema.fields.map(x =>
-          if (x.name == f.name) x.copy(dataType = to) else x))), v + 1)
+          if (x.name == f.name) x.copy(dataType = to) else x)),
+        fileStats = keptStats), v + 1)
     }
   }
 
@@ -1887,8 +1900,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
    *  unblocked column either grows the table type metadata-only (wider
    *  incoming — old narrow files read through Spark's parquet widening
    *  promotion, proven in `TypeWideningSpec`) or is absorbed (narrower
-   *  incoming — the new file lands physically narrow under the wide
-   *  column, which the same promotion serves exactly). `wideBlocked`
+   *  incoming — the batch is CAST UP at write, so its file and zone
+   *  stats carry the column's real type). `wideBlocked`
    *  columns (partition / bloom-indexed / constraint- or
    *  generated-referenced / identity) always stay loud: their sidecars or
    *  expressions are keyed to the physical type. */
@@ -2072,7 +2085,27 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         wideBlocked = if (widenOn) wideningBlocked(m) else Set.empty)
       rejectTombstoned(m, d.schema)
       enforceConstraints(d, m.constraints)
-      d
+      // a NARROWER batch under a widened column is CAST UP at write: the
+      // file lands physically wide, so its zone stats are computed (and
+      // rendered) under the column's real type — a float file's stats
+      // under a double column would disagree with the promoted values a
+      // read serves (see alterColumnType's stat-drop note)
+      if (!widenOn) d
+      else {
+        val tgt = m.schema
+        val needsUp = d.schema.fields.exists(f =>
+          tgt.fieldNames.contains(f.name) &&
+            LakeTable.widensTo(f.dataType, tgt(f.name).dataType) &&
+            tgt(f.name).dataType != f.dataType)
+        if (!needsUp) d
+        else d.select(d.schema.fields.toSeq.map { f =>
+          val up = tgt.fieldNames.contains(f.name) &&
+            LakeTable.widensTo(f.dataType, tgt(f.name).dataType) &&
+            tgt(f.name).dataType != f.dataType
+          if (up) col(f.name).cast(tgt(f.name).dataType).as(f.name)
+          else col(f.name)
+        }: _*)
+      }
     }
     pcol.foreach(p => require(df.columns.contains(p),
       s"append batch is missing the partition column $p"))
@@ -3808,8 +3841,9 @@ object LakeTable {
    *  METADATA-ONLY schema change — no data file rewritten at any table
    *  size. Old narrow files are served through Spark 4's parquet widening
    *  promotion (the reader upcasts int32 under a BIGINT schema, float
-   *  under DOUBLE, …); appends may land files physically narrower than
-   *  the declared column, exactly like Delta. Applies to `append`
+   *  under DOUBLE, …); pre-widen files stay physically narrow while
+   *  narrower post-widen batches are cast up at write (their zone stats
+   *  must carry the column's real type). Applies to `append`
    *  evolution and `ALTER TABLE … ALTER COLUMN … TYPE`; MERGE evolution
    *  keeps the loud equality contract (its clause expressions bind both
    *  sides). */

@@ -10,8 +10,7 @@ import graft.SparkSpec
 /** Delta type widening (`delta.enableTypeWidening`): a type change along
  *  the lossless lattice is METADATA-ONLY — no data file rewritten at any
  *  table size; old narrow files read through Spark's parquet widening
- *  promotion, post-widen appends may land physically narrow files under
- *  the wide column. */
+ *  promotion, post-widen narrow batches are cast up at write. */
 class TypeWideningSpec extends SparkSpec {
   import spark.implicits._
   import scala.jdk.CollectionConverters._
@@ -36,7 +35,7 @@ class TypeWideningSpec extends SparkSpec {
       Seq((1L, 10f), (3000000000L, 20f)))
   }
 
-  test("post-widen NARROW batches land physically narrow and read exactly") {
+  test("post-widen NARROW batches are absorbed (cast up at write) and read exactly") {
     val t = LakeTable(spark, s"${tmpDir("widen_narrow")}/t")
     t.create(StructType(Seq(StructField("k", LongType), StructField("v", DoubleType))))
     t.setTableProperties(Map(LakeTable.TypeWideningProp -> "true"))
@@ -118,6 +117,29 @@ class TypeWideningSpec extends SparkSpec {
     t.merge(Seq((2, 200L), (3, 30L)).toDF("k", "v"), Seq("k"))
     assert(t.read.orderBy("k").as[(Int, Long)].collect().toSeq ==
       Seq((1, 10L), (2, 200L), (3, 30L)))
+  }
+
+  test("float→double widening cannot WRONGLY prune: float-era stats drop, narrow batches land wide") {
+    val t = LakeTable(spark, s"${tmpDir("widen_stats")}/t")
+    val df = Seq((1, 0.1f), (2, 0.2f)).toDF("k", "v")
+    t.create(df.schema, statsColumns = Seq("k", "v"))
+    t.append(df.coalesce(1))
+    t.setTableProperties(Map(LakeTable.TypeWideningProp -> "true"))
+    t.alterColumnType("v", DoubleType)
+    // the promoted double of 0.1f — its decimal rendering disagrees with
+    // the float-era stat string "0.1"; stale stats would prune this file
+    val promoted = 0.1f.toDouble.toString
+    assert(t.readWhere(Seq(LakeTable.ZonePred.eq("v", promoted))).count() == 1)
+    // the INTEGRAL column's stats survived the widen (decimal-exact)
+    t.alterColumnType("k", LongType)
+    val (_, skipped) = t.skippingStats(Seq(LakeTable.ZonePred.eq("k", "999")))
+    assert(skipped >= 1)
+    // a post-widen FLOAT batch is cast up at write: its file carries real
+    // doubles, so its stats prune correctly under high-precision bounds
+    t.append(Seq((3, 0.3f)).toDF("k", "v"), mergeSchema = true)
+    val p3 = 0.3f.toDouble.toString
+    assert(t.readWhere(Seq(LakeTable.ZonePred.eq("v", p3))).count() == 1)
+    assert(t.read.filter(col("k") === 3).head.getDouble(1) == 0.3f.toDouble)
   }
 
   test("SQL: ALTER TABLE … ALTER COLUMN … TYPE dispatches") {
