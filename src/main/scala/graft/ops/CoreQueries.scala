@@ -1397,6 +1397,67 @@ object CoreQueries {
         FROM events WHERE event_type IS NOT NULL
         GROUP BY event_type ORDER BY event_type""")),
 
+    // O26 CONCURRENT FLOW EXECUTION — DLT runs independent flows in
+    // parallel: a two-branch medallion (two bronzes → two CDC silvers →
+    // two auto-maintained gold MVs) executes under concurrency(4), each
+    // phase's independent units in parallel waves. Results must be
+    // IDENTICAL to the sequential schedule — the oracle replays both
+    // branches relationally, so any cross-branch interference, lost
+    // wave, or mis-ordered dependency hash-mismatches. Two incremental
+    // runs: run 2 moves only arrival 2's windows through both branches
+    // CONCURRENTLY.
+    Q("o26_concurrent_medallion", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+        .select("user_id", "event_type", "ts", "event_id")
+      val r = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val cut = new Timestamp(
+        (r.getTimestamp(0).getTime + r.getTimestamp(1).getTime) / 2)
+      val root = tmp("graft_o26")
+      val ba = LakeTable(s, s"$root/bronze_a")
+      val bb = LakeTable(s, s"$root/bronze_b")
+      ba.append(ev.filter(col("event_id") % 2 === 0 && col("ts") <= lit(cut)))
+      bb.append(ev.filter(col("event_id") % 2 === 1 && col("ts") <= lit(cut)))
+      val p = new Pipeline(s, s"$root/pipe").concurrency(4)
+      p.inputTable("bronze_a", ba)
+      p.inputTable("bronze_b", bb)
+      PipelineSql.script(p, """
+        CREATE OR REFRESH STREAMING TABLE silver_a;
+        APPLY CHANGES INTO silver_a FROM STREAM(bronze_a)
+          KEYS (user_id) SEQUENCE BY ts;
+        CREATE OR REFRESH STREAMING TABLE silver_b;
+        APPLY CHANGES INTO silver_b FROM STREAM(bronze_b)
+          KEYS (user_id) SEQUENCE BY ts;
+        CREATE OR REFRESH MATERIALIZED VIEW gold_a AS
+          SELECT event_type, COUNT(*) AS users, SUM(event_id) AS sum_id
+          FROM silver_a GROUP BY event_type;
+        CREATE OR REFRESH MATERIALIZED VIEW gold_b AS
+          SELECT event_type, COUNT(*) AS users, SUM(event_id) AS sum_id
+          FROM silver_b GROUP BY event_type""")
+      p.runIncremental()                                    // bootstrap ∥
+      ba.append(ev.filter(col("event_id") % 2 === 0 && col("ts") > lit(cut)))
+      bb.append(ev.filter(col("event_id") % 2 === 1 && col("ts") > lit(cut)))
+      p.runIncremental()                                    // deltas ∥
+      p.read("gold_a").withColumn("branch", lit("a"))
+        .unionByName(p.read("gold_b").withColumn("branch", lit("b")))
+        .select("branch", "event_type", "users", "sum_id")
+        .orderBy("branch", "event_type")
+    },
+      Some("""WITH evs AS (
+          SELECT user_id, event_type, ts, event_id FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_type IS NOT NULL
+        ), latest AS (
+          SELECT event_id % 2 AS br, user_id, event_type, event_id FROM evs
+          QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY event_id % 2, user_id
+            ORDER BY ts DESC, event_type DESC NULLS LAST, event_id DESC) = 1
+        )
+        SELECT CASE WHEN br = 0 THEN 'a' ELSE 'b' END AS branch,
+               event_type, COUNT(*) AS users, SUM(event_id) AS sum_id
+        FROM latest GROUP BY 1, 2 ORDER BY branch, event_type""")),
+
     Q("o24_auto_mv_over_cdc", (s, d) => {
       val ev = t(s, d, "events")
         .filter(col("user_id").isNotNull && col("ts").isNotNull &&
