@@ -2197,6 +2197,9 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         graft.lake.LakeSql.registerRelation(prefix + n, () => read(n))
       else graft.lake.LakeSql.register(prefix + n, t)
     }
+    // DLT's `event_log()` SQL surface: the pipeline's event log is itself
+    // queryable by name (read-only — the engine owns its writes)
+    graft.lake.LakeSql.registerRelation(prefix + "event_log", () => eventLog)
     this
   }
 
@@ -2208,6 +2211,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         graft.lake.LakeSql.unregisterRelation(prefix + n)
       else graft.lake.LakeSql.unregister(prefix + n)
     }
+    graft.lake.LakeSql.unregisterRelation(prefix + "event_log")
     this
   }
 

@@ -59,6 +59,10 @@ class PipelineSqlCatalogSpec extends SparkSpec {
       assert(LakeSql.sql(spark,
         """SELECT count(*) AS n FROM cat_silver t JOIN cat_panel m
            ON t.g = m.g""").head.getLong(0) == 4L)
+      // DLT's event_log() surface: the pipeline's event log by name
+      assert(LakeSql.sql(spark,
+        "SELECT count(*) AS n FROM event_log WHERE event_type = 'flow_progress'")
+        .head.getLong(0) >= 2L)
       // native spark.sql through the session extension
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
