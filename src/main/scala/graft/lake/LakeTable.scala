@@ -630,7 +630,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       require(LakeTable.widensTo(f.dataType, to),
         s"${f.dataType.simpleString} → ${to.simpleString} is not a lossless " +
           "widening (supported: byte/short/int→wider integral, " +
-          "float→double, byte/short/int→double)")
+          "float→double, byte/short/int→double, integral→decimal(p,0) with " +
+          "enough digits, decimal→decimal growing scale and integer capacity)")
       require(!wideningBlocked(cur).contains(f.name),
         s"column ${f.name} is partition/bloom/constraint/generated/identity-" +
           "bound — its physical type is load-bearing and cannot widen")
@@ -3850,11 +3851,13 @@ object LakeTable {
   val TypeWideningProp = "delta.enableTypeWidening"
 
   /** The supported LOSSLESS widening lattice (Delta's, minus the
-   *  date→timestampNTZ and decimal-rescale rows): integral upcasts,
-   *  float→double, and sub-long integral→double (every int32 is exact in
-   *  a double; long→double is lossy and refused). Each pair is
-   *  reader-proven in `TypeWideningSpec` — a pair outside the proven set
-   *  must never be added without a mixed-era read test. */
+   *  date→timestampNTZ row): integral upcasts, float→double, sub-long
+   *  integral→double (every int32 is exact in a double; long→double is
+   *  lossy and refused), integral→DECIMAL(p,0) with enough integer
+   *  digits, and decimal→decimal where the scale only grows and the
+   *  integer-part capacity (p−s) never shrinks — all value-exact. Each
+   *  pair class is reader-proven in `TypeWideningSpec` — a pair outside
+   *  the proven set must never be added without a mixed-era read test. */
   private[lake] def widensTo(from: org.apache.spark.sql.types.DataType,
       to: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
@@ -3864,6 +3867,14 @@ object LakeTable {
       case (IntegerType, LongType) => true
       case (FloatType, DoubleType) => true
       case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (ByteType, d: DecimalType) => d.scale == 0 && d.precision >= 3
+      case (ShortType, d: DecimalType) => d.scale == 0 && d.precision >= 5
+      case (IntegerType, d: DecimalType) => d.scale == 0 && d.precision >= 10
+      case (LongType, d: DecimalType) => d.scale == 0 && d.precision >= 20
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale >= a.scale &&
+          b.precision - b.scale >= a.precision - a.scale &&
+          (b.precision > a.precision || b.scale > a.scale)
       case _ => false
     }
   }

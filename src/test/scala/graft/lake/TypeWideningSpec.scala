@@ -142,6 +142,34 @@ class TypeWideningSpec extends SparkSpec {
     assert(t.read.filter(col("k") === 3).head.getDouble(1) == 0.3f.toDouble)
   }
 
+  test("decimal widening: integral→decimal(p,0) and decimal growth, mixed-era reads exact, stats keep pruning") {
+    val t = LakeTable(spark, s"${tmpDir("widen_dec")}/t")
+    val df = Seq((1, 2L, BigDecimal("12345.67"))).toDF("i", "l", "d")
+      .select(col("i"), col("l"), col("d").cast(DecimalType(10, 2)).as("d"))
+    t.create(df.schema, statsColumns = Seq("i", "d"))
+    t.append(df)
+    t.setTableProperties(Map(LakeTable.TypeWideningProp -> "true"))
+    t.alterColumnType("i", DecimalType(18, 0))
+    t.alterColumnType("l", DecimalType(20, 0))
+    t.alterColumnType("d", DecimalType(12, 4))   // scale AND capacity grow
+    // narrow-era file reads exactly under every widened decimal
+    val r = t.read.head
+    assert(r.getDecimal(0) == new java.math.BigDecimal("1"))
+    assert(r.getDecimal(1) == new java.math.BigDecimal("2"))
+    assert(r.getDecimal(2) == new java.math.BigDecimal("12345.6700"))
+    // decimal renderings are exact: the old stats still prune CORRECTLY
+    t.append(Seq((900, 9L, BigDecimal("1.5"))).toDF("i", "l", "d")
+      .select(col("i").cast(DecimalType(18, 0)).as("i"),
+        col("l").cast(DecimalType(20, 0)).as("l"),
+        col("d").cast(DecimalType(12, 4)).as("d")))
+    assert(t.readWhere(Seq(LakeTable.ZonePred.eq("d", "12345.67"))).count() == 1)
+    assert(t.readWhere(Seq(LakeTable.ZonePred.eq("i", "900"))).count() == 1)
+    // lossless guards: integer capacity may never shrink, scale never drop
+    intercept[IllegalArgumentException](t.alterColumnType("d", DecimalType(12, 6)))
+    intercept[IllegalArgumentException](t.alterColumnType("d", DecimalType(13, 2)))
+    ()
+  }
+
   test("SQL: ALTER TABLE … ALTER COLUMN … TYPE dispatches") {
     val t = LakeTable(spark, s"${tmpDir("widen_sql")}/t")
     t.create(StructType(Seq(StructField("k", IntegerType), StructField("v", FloatType))))
