@@ -32,8 +32,11 @@ object Bench {
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
-        // drop caches a query may have registered so runs stay isolated
+        // drop caches a query may have registered so runs stay isolated,
+        // and delete this run's fixture roots — self-cleaning keeps every
+        // run's /tmp state identical (no accumulation-driven drift)
         spark.catalog.clearCache()
+        graft.ops.FixtureRoots.sweep()
         if (ok) dt else -1.0
       }
       val best = if (times.contains(-1.0)) -1.0 else times.min

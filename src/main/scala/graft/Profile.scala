@@ -29,11 +29,10 @@ object Profile {
 
     // g2 stages (date-partitioned fact build)
     {
-      import java.nio.file.Files
       import org.apache.spark.sql.expressions.Window
       import graft.gold.{FactConfig, FactDim, GoldBuilder}
       import graft.lake.LakeTable
-      val root = Files.createTempDirectory("prof_g2").toString
+      val root = graft.ops.FixtureRoots.create("prof_g2")
       val dimPart = LakeTable(spark, s"$root/dim_part")
       time("g2 mint dim_part")(dimPart.overwrite(GoldBuilder.mintSurrogateKeys(
         t(spark, sfDir, "part").select("p_partkey"), Seq("p_partkey"), "dim_part_key")))
@@ -60,7 +59,6 @@ object Profile {
 
     // s8 stages
     {
-      import java.nio.file.Files
       val gb = graft.gold.GoldBuilder(spark)
       val ev = t(spark, sfDir, "events")
       val cols = Seq("user_id", "ts", "event_type", "value")
@@ -69,7 +67,7 @@ object Profile {
         .select(cols.map(col): _*)
       time("s8 base latest count")(base.count())
       val tbl = graft.lake.LakeTable(spark,
-        Files.createTempDirectory("prof_s8").toString + "/t")
+        graft.ops.FixtureRoots.create("prof_s8") + "/t")
       time("s8 create+merge base")({ tbl.create(base.schema); tbl.merge(base, Seq("user_id")) })
       val src = gb.latestPerKey(
         ev.filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
@@ -133,6 +131,7 @@ object Profile {
       .join(sig.select(col("doc_id").as("doc_b"), col("mh").as("mhb")), "doc_b")
       .withColumn("est_jaccard", Dedup.signatureAgreement(col("mha"), col("mhb"), 8))
     time("estimate join")(est.count())
+    graft.ops.FixtureRoots.sweep()
     spark.stop()
   }
 }

@@ -38,8 +38,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // drop per-query persisted intermediates so queries stay isolated
+      // drop per-query persisted intermediates so queries stay isolated,
+      // and delete the query's fixture roots so repeated runs leave no
+      // /tmp residue (r15: ~5,000 leftover dirs inflated bench ~1.22x)
       spark.catalog.clearCache()
+      graft.ops.FixtureRoots.sweep()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

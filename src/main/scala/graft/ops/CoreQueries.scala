@@ -27,7 +27,7 @@ object CoreQueries {
   private val C2 = "2030-02-01 00:00:00"
 
   private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+    FixtureRoots.create(prefix)   // registered; harness sweeps after each query
 
   val all: Seq[Q] = Seq(
 
@@ -1213,7 +1213,7 @@ object CoreQueries {
       Some("""SELECT event_type,
                AVG(event_id) AS avg_id,
                COUNT(value) AS n_vals,
-               SUM(event_id) AS sum_id,
+               CAST(SUM(event_id) AS BIGINT) AS sum_id,
                COUNT(*) AS n
         FROM events WHERE event_type IS NOT NULL
         GROUP BY event_type ORDER BY event_type""")),
@@ -1253,7 +1253,7 @@ object CoreQueries {
       p.read("gold").orderBy("et")
     },
       Some("""SELECT d.et AS et,
-               SUM(f.event_id * d.w) AS s,
+               CAST(SUM(f.event_id * d.w) AS BIGINT) AS s,
                AVG(f.event_id) AS m,
                COUNT(*) AS n
         FROM events f
@@ -1321,7 +1321,7 @@ object CoreQueries {
       p.read("busy").orderBy("event_type", "user_id")
     },
       Some("""SELECT event_type, user_id,
-               SUM(event_id) AS s,
+               CAST(SUM(event_id) AS BIGINT) AS s,
                COUNT(*) AS n
         FROM events WHERE event_type IS NOT NULL
         GROUP BY event_type, user_id
@@ -1393,7 +1393,8 @@ object CoreQueries {
       p.runIncremental()                       // window vacuumed → recompute
       p.read("panel").orderBy("event_type")
     },
-      Some("""SELECT event_type, SUM(event_id) AS sum_id, COUNT(*) AS n
+      Some("""SELECT event_type, CAST(SUM(event_id) AS BIGINT) AS sum_id,
+               COUNT(*) AS n
         FROM events WHERE event_type IS NOT NULL
         GROUP BY event_type ORDER BY event_type""")),
 
@@ -1455,7 +1456,8 @@ object CoreQueries {
             ORDER BY ts DESC, event_type DESC NULLS LAST, event_id DESC) = 1
         )
         SELECT CASE WHEN br = 0 THEN 'a' ELSE 'b' END AS branch,
-               event_type, COUNT(*) AS users, SUM(event_id) AS sum_id
+               event_type, COUNT(*) AS users,
+               CAST(SUM(event_id) AS BIGINT) AS sum_id
         FROM latest GROUP BY 1, 2 ORDER BY branch, event_type""")),
 
     Q("o24_auto_mv_over_cdc", (s, d) => {
@@ -1496,7 +1498,8 @@ object CoreQueries {
             ORDER BY ts DESC, event_type DESC NULLS LAST,
                      event_id DESC) = 1
         )
-        SELECT event_type, COUNT(*) AS users, SUM(event_id) AS s,
+        SELECT event_type, COUNT(*) AS users,
+               CAST(SUM(event_id) AS BIGINT) AS s,
                AVG(event_id) AS m
         FROM silver GROUP BY event_type ORDER BY event_type""")),
 

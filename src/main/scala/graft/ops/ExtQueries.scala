@@ -35,7 +35,7 @@ object ExtQueries {
   private val SIMHASH_HAM = 3 // ≤3 differing bits can't dirty all 4 bands → full recall
 
   private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+    FixtureRoots.create(prefix)   // registered; harness sweeps after each query
 
   /** Shared oracle CTE: embeddings as double vectors with precomputed norms. */
   private val NORM_CTE =

@@ -61,7 +61,7 @@ object WindowQueries {
     Q("w_streaming_tumbling", (s, d) => withShufflePartitions(s, 4) {
       // the streaming file source wants a directory: stage the single
       // parquet file into one (byte copy, file-level)
-      val stage = java.nio.file.Files.createTempDirectory("graft_wst")
+      val stage = FixtureRoots.path("graft_wst")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$d/events.parquet"),
         stage.resolve("events.parquet"))
@@ -93,7 +93,7 @@ object WindowQueries {
     // interval join the oracle replays. (Bounded-delay state cleanup is the
     // same code path with a shorter delay; StreamingSpec covers dropping.)
     Q("w_stream_join", (s, d) => withShufflePartitions(s, 4) {
-      val stage = java.nio.file.Files.createTempDirectory("graft_wsj")
+      val stage = FixtureRoots.path("graft_wsj")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$d/events.parquet"),
         stage.resolve("events.parquet"))
@@ -133,7 +133,7 @@ object WindowQueries {
     // refresh cadence is a re-broadcast, not a stateful join. Left join
     // keeps facts with no dim row (nulls), exactly as the batch twin.
     Q("w_stream_enrich", (s, d) => withShufflePartitions(s, 4) {
-      val stage = java.nio.file.Files.createTempDirectory("graft_wsen")
+      val stage = FixtureRoots.path("graft_wsen")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$d/events.parquet"),
         stage.resolve("events.parquet"))
@@ -165,12 +165,12 @@ object WindowQueries {
     // (stream → ledgered appends → DV-aware lake read ≡ plain relational
     // oracle).
     Q("w_lake_sink", (s, d) => {
-      val stage = java.nio.file.Files.createTempDirectory("graft_wsink")
+      val stage = FixtureRoots.path("graft_wsink")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$d/orders.parquet"),
         stage.resolve("orders.parquet"))
       val raw = s.read.parquet(s"$d/orders.parquet").schema
-      val root = java.nio.file.Files.createTempDirectory("graft_wsink_t")
+      val root = FixtureRoots.path("graft_wsink_t")
       val tbl = graft.lake.LakeTable(s, s"$root/t")
       val stream = s.readStream.schema(raw).parquet(stage.toString)
         .filter(col("o_orderkey") % 7 === 0)
@@ -197,7 +197,7 @@ object WindowQueries {
     // batch DISTINCT; only key columns are emitted so which physical
     // occurrence survived cannot affect the oracle hash.
     Q("w_streaming_dedup", (s, d) => withShufflePartitions(s, 4) {
-      val stage = java.nio.file.Files.createTempDirectory("graft_wsd")
+      val stage = FixtureRoots.path("graft_wsd")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$d/events.parquet"),
         stage.resolve("events.parquet"))

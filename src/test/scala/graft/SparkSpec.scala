@@ -12,9 +12,18 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
 
   def tmpDir(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+    graft.ops.FixtureRoots.create(prefix)
 
   val sfDir = "/root/testdata/sf0.001"
+
+  // Self-cleaning fixtures: suites run sequentially in the one forked test
+  // JVM (Test/fork, no testForkedParallel), so sweeping after each suite
+  // deletes exactly that suite's roots. Repeated `sbt test` runs therefore
+  // leave no /tmp residue (the r15 bench-drift root cause).
+  override def afterAll(): Unit = {
+    graft.ops.FixtureRoots.sweep()
+    super.afterAll()
+  }
 }
 
 object SparkSpec {

@@ -61,7 +61,7 @@ class SessionizeSpec extends SparkSpec {
     val cut = batch.selectExpr(
       "timestamp_micros(cast(percentile_approx(unix_micros(ts), 0.5) as long))")
       .head().getTimestamp(0)
-    val stage = java.nio.file.Files.createTempDirectory("graft_sess_stream")
+    val stage = graft.ops.FixtureRoots.path("graft_sess_stream")
     batch.filter(col("ts") <= cut).coalesce(1).write.parquet(s"$stage/b0")
     batch.filter(col("ts") > cut).coalesce(1).write.parquet(s"$stage/b1")
     val land = java.nio.file.Files.createDirectory(stage.resolve("land"))

@@ -40,8 +40,12 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
+    import os
     for name, sql in sorted(oracles.items()):
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            n_skip += 1  # subset run (SPARK_GRAFT_ONLY): no dump, not a failure
+            continue
         try:
             ours = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
@@ -50,6 +54,26 @@ def main(sf_dir, out_dir):
             theirs = theirs[sorted(theirs.columns)]
             if list(ours.columns) != list(theirs.columns):
                 print(f"FAIL {name}: columns {list(ours.columns)} != {list(theirs.columns)}")
+                n_fail += 1
+                continue
+            # DTYPE-STRICT: the driver hashes typed values, so int64 vs
+            # HUGEINT-as-float64 (or any int-vs-float drift) is a hash
+            # mismatch even when every cell compares == in Python (the
+            # entire r15 154/160 gap). Integer WIDTHS are one family:
+            # int32 5 and int64 5 are the same Python int, and the driver
+            # demonstrably passes them (s1 has int32 event_id vs the
+            # oracle's int64 and was green r1-r15). Everything else —
+            # int vs float, float32 vs float64, object — must match.
+            def fam(dt):
+                s = str(dt)
+                return "int" if s.startswith(("int", "uint", "Int", "UInt")) else s
+            dbad = [(c, str(ours[c].dtype), str(theirs[c].dtype))
+                    for c in ours.columns
+                    if fam(ours[c].dtype) != fam(theirs[c].dtype)]
+            if dbad:
+                c, da, db = dbad[0]
+                print(f"FAIL {name}: dtype col {c}: ours={da} oracle={db}"
+                      f" (cast the oracle SQL so result types match)")
                 n_fail += 1
                 continue
             if len(ours) != len(theirs):
@@ -74,7 +98,8 @@ def main(sf_dir, out_dir):
         except Exception as e:
             print(f"ERROR {name}: {e}")
             n_fail += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    print(f"\n{n_pass} pass, {n_fail} fail"
+          + (f", {n_skip} skipped (no dump)" if n_skip else ""))
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
