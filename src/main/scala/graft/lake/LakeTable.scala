@@ -2153,13 +2153,28 @@ final class LakeTable private (val spark: SparkSession, val root: String,
                 k == s"${LakeTable.IdentityPropPrefix}$c.hw") } ++
               identNew.toSeq.sortBy(_._1).map { case (c, n) =>
                 s"${LakeTable.IdentityPropPrefix}$c.hw" -> n.toString }
-          (Manifest(reconcileSchema(cur.schema, df.schema, mergeSchema,
+          val mergedSchema = reconcileSchema(cur.schema, df.schema, mergeSchema,
             widen = wideningOn(cur),
             wideBlocked =
-              if (wideningOn(cur)) wideningBlocked(cur) else Set.empty), pcol,
+              if (wideningOn(cur)) wideningBlocked(cur) else Set.empty)
+          // append-driven FLOAT→DOUBLE widening invalidates the column's
+          // zone stats exactly like alterColumnType's explicit form: a
+          // float's shortest decimal rendering ('0.1') disagrees with its
+          // promoted double value, so float-era stats under the widened
+          // type could WRONGLY prune. Drop them (absent stats never prune);
+          // all other widenings are decimal-exact and keep theirs.
+          val floatWidened = cur.schema.fields.iterator.filter { f =>
+            f.dataType == org.apache.spark.sql.types.FloatType &&
+              mergedSchema.fields.exists(n => n.name == f.name &&
+                n.dataType == org.apache.spark.sql.types.DoubleType)
+          }.map(f => physName(cur, f.name)).toSet
+          val keptStats =
+            if (floatWidened.isEmpty) cur.fileStats
+            else cur.fileStats.map(fs => fs.copy(minMax = fs.minMax -- floatWidened))
+          (Manifest(mergedSchema, pcol,
             cur.entries :+ DirEntry(dir, owned), "append",
             cur.cdfEnabled, statsCols = cur.statsCols,
-            fileStats = cur.fileStats ++ fstats,
+            fileStats = keptStats ++ fstats,
             constraints = cur.constraints, generated = cur.generated,
             deleteVectors = cur.deleteVectors, bloomCols = cur.bloomCols,
             txns = withTxn(cur.txns), droppedCols = cur.droppedCols,
@@ -3596,12 +3611,41 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       val keptDirs = kept.map(_.dir).toSet
       val keptStats =
         m.fileStats.filter(fs => keptDirs.exists(d => fs.path.startsWith(d + "/")))
+      // DRAIN stale deletion vectors: the rewritten dirs' dead rows just
+      // materialized away, so any DV dir whose coordinates all address
+      // rewritten (now-unreferenced) files is dead weight — on a clustered
+      // table maintain() always takes this branch, so without pruning the
+      // DV list would grow forever and every read would pay the DV scan +
+      // anti-join with zero live vectors. Keep only dirs that still address
+      // a KEPT file. One metadata-sized job: rows per DV dir = its deleted
+      // row count; the collect is DV-dir-count-sized.
+      val keptDvs =
+        if (m.deleteVectors.isEmpty || kept.isEmpty) Nil
+        else {
+          val prefix = "file:" +
+            Paths.get(root).toAbsolutePath.normalize.toString + "/"
+          val dv = spark.read.schema(DvSchema)
+            .parquet(m.deleteVectors.map(d => s"$root/$d"): _*)
+            .select(
+              // DV dirs are `_dv/<uuid>` (two segments) — recover each
+              // row's owning dir from its file's root-relative path
+              expr(s"substring_index(substring(_metadata.file_path, " +
+                s"${prefix.length + 1}), '/', 2)").as("dvdir"),
+              col("file"))
+          val underKept = keptDirs.toSeq.sorted
+            .map(d => col("file").startsWith(d + "/"))
+            .reduce(_ || _)
+          val liveDirs = dv.filter(underKept)
+            .select("dvdir").distinct()
+            .collect().map(_.getString(0)).toSet
+          m.deleteVectors.filter(liveDirs)
+        }
       if (!tryCommit(Manifest(m.schema, m.pcol,
           kept :+ DirEntry(dir, None, clustered = true), "optimize",
           m.cdfEnabled, None, m.statsCols, keptStats ++ fstats,
           txns = m.txns, droppedCols = m.droppedCols,
           constraints = m.constraints, generated = m.generated,
-          deleteVectors = m.deleteVectors, bloomCols = m.bloomCols,
+          deleteVectors = keptDvs, bloomCols = m.bloomCols,
           colMap = m.colMap, props = m.props, clusterKey = cols), v0 + 1))
         throw new ConcurrentWriteException(
           s"optimize computed against version $v0 of $root, but a concurrent " +

@@ -1317,11 +1317,19 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         else fnLit(null).cast(fld.dataType).as(fld.name)
       }: _*))
     }
+    // a reset-protected target (`pipelines.reset.allowed = 'false'`) holds
+    // an irreplaceable append-only history that full refresh preserved —
+    // its stream flows must "simply continue" from their ledger in EVERY
+    // run mode. Snapshot execution's re-land branch would append the full
+    // source snapshot onto the surviving rows (silent doubling), so the
+    // protected flow always drains incrementally instead.
     val streamRoot =
-      if (incremental) af.stream.flatMap { case (src, fn) =>
-        resolveStreamRoot(src).map { case (root, g) =>
-          (root, g.andThen(fn)) }
-      } else None
+      if (incremental || resetDisallowed(af.target))
+        af.stream.flatMap { case (src, fn) =>
+          resolveStreamRoot(src).map { case (root, g) =>
+            (root, g.andThen(fn)) }
+        }
+      else None
     streamRoot match {
       case Some((root, fn)) if root.exists =>
         // TRUE streaming append: only the source rows committed since

@@ -64,8 +64,21 @@ class ClusterIncrementalSpec extends SparkSpec {
     t.append(trickle.coalesce(1))
     // DV on the UNCLUSTERED append — the pass materializes it away
     t.deleteWhere("k = 20050")
-    assert(t.deleteVectorDirs.nonEmpty)
+    assert(t.deleteVectorDirs.size == 2)
     t.optimizeClustered(Seq("k", "b"))
+    assert(t.read.count() == 20098)
+    assert(t.read.filter(col("k") === 5 || col("k") === 20050).count() == 0)
+    // the pass DRAINS the stale vector: the k=20050 DV addressed only the
+    // rewritten append, so it leaves the manifest; the k=5 DV still
+    // addresses a kept clustered file and stays. Without the drain the DV
+    // list grows forever on a clustered table (maintain() never reaches
+    // compact's DV-clearing path) and every read pays a dead anti-join.
+    assert(t.deleteVectorDirs.size == 1, t.deleteVectorDirs.toString)
+    // re-keying invalidates every clustered flag: the next pass rewrites
+    // ALL entries, so the last DV drains too — and the rows stay deleted
+    t.setClusterBy(Seq("b", "k"))
+    t.optimizeClustered(Seq("b", "k"))
+    assert(t.deleteVectorDirs.isEmpty, t.deleteVectorDirs.toString)
     assert(t.read.count() == 20098)
     assert(t.read.filter(col("k") === 5 || col("k") === 20050).count() == 0)
   }

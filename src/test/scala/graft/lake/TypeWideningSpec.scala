@@ -142,6 +142,28 @@ class TypeWideningSpec extends SparkSpec {
     assert(t.read.filter(col("k") === 3).head.getDouble(1) == 0.3f.toDouble)
   }
 
+  test("APPEND-driven float→double widening also drops float-era stats (no wrong pruning)") {
+    // same invariant as the ALTER test, through the other widening door:
+    // a wider incoming batch widening the table via append(mergeSchema)
+    // must drop the widened float column's zone stats in the SAME commit —
+    // float-era stat strings ('0.1') under the promoted double type would
+    // WRONGLY prune high-precision predicates (the 0d29a14 bug class).
+    val t = LakeTable(spark, s"${tmpDir("widen_append_stats")}/t")
+    val df = Seq((1, 0.1f), (2, 0.2f)).toDF("k", "v")
+    t.create(df.schema, statsColumns = Seq("k", "v"))
+    t.append(df.coalesce(1))
+    t.setTableProperties(Map(LakeTable.TypeWideningProp -> "true"))
+    t.append(Seq((3, 0.3)).toDF("k", "v"), mergeSchema = true) // double batch widens v
+    assert(t.schema("v").dataType == DoubleType)
+    // float-era row must be reachable under its promoted double value —
+    // with stale float stats the zone map would skip its file
+    val promoted = 0.1f.toDouble.toString
+    assert(t.readWhere(Seq(LakeTable.ZonePred.eq("v", promoted))).count() == 1)
+    // the INTEGRAL column's stats survived (decimal-exact renderings)
+    val (_, skipped) = t.skippingStats(Seq(LakeTable.ZonePred.eq("k", "999")))
+    assert(skipped >= 1)
+  }
+
   test("decimal widening: integral→decimal(p,0) and decimal growth, mixed-era reads exact, stats keep pruning") {
     val t = LakeTable(spark, s"${tmpDir("widen_dec")}/t")
     val df = Seq((1, 2L, BigDecimal("12345.67"))).toDF("i", "l", "d")

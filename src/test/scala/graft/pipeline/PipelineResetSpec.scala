@@ -50,6 +50,37 @@ class PipelineResetSpec extends SparkSpec {
     assert(p.read("history").count() == 2)
   }
 
+  test("a reset-protected NON-once stream append flow does not re-land its snapshot on full refresh") {
+    // the r15-advice hole: runFullRefresh skips the wipe, then run()'s
+    // snapshot mode took the re-land branch (ledger >= cur → plain append
+    // of the FULL source snapshot) and silently doubled the protected
+    // append-only history. Protected stream flows must continue
+    // incrementally in every run mode.
+    val root = tmpDir("pl_reset_cont")
+    val bronze = LakeTable(spark, s"$root/bronze")
+    bronze.append(Seq(
+      (1L, "a", ts("2024-01-01 00:00:00")),
+      (2L, "b", ts("2024-01-01 00:00:00"))).toDF("k", "v", "seq"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("bronze", bronze)
+    p.streamingTable("history")
+    p.tableProps("history", Map(Pipeline.ResetAllowedProp -> "false"))
+    p.appendFlowStream("history", "bronze", name = "land")(identity) // NOT once
+    p.runIncremental()
+    assert(p.read("history").count() == 2)
+
+    p.runFullRefresh()                       // must NOT double to 4
+    assert(p.read("history").count() == 2)
+
+    // and the flow genuinely CONTINUES: a new source commit drains exactly
+    // its delta through the kept ledger, in snapshot mode too
+    bronze.append(Seq((3L, "c", ts("2024-01-02 00:00:00"))).toDF("k", "v", "seq"))
+    p.run()                                  // snapshot-mode run
+    assert(p.read("history").count() == 3)
+    p.runFullRefresh()
+    assert(p.read("history").count() == 3)
+  }
+
   test("a reset-protected auto MV keeps its ledger and continues incrementally across a full refresh") {
     val root = tmpDir("pl_reset_mv")
     val bronze = LakeTable(spark, s"$root/bronze")
