@@ -1503,6 +1503,39 @@ object CoreQueries {
                AVG(event_id) AS m
         FROM silver GROUP BY event_type ORDER BY event_type""")),
 
+    // O27 EXPRESSION-GROUP-KEY AUTO-MV — the date-grained gold panel (the
+    // single most common lakehouse gold shape; the reference's fact keys
+    // on booking_date, `FACT_Gold_Layer.py`): `GROUP BY date_trunc('day',
+    // ts)` maintains INCREMENTALLY — the key expression is deterministic
+    // and row-local, so it is computed per change image BEFORE signing and
+    // the signed-delta algebra is unchanged. Two arrivals, two incremental
+    // runs; run 2 reads ONE change-feed window, never the table.
+    Q("o27_auto_mv_expr_groupkey", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .select("event_id", "event_type", "ts")
+      val root = tmp("graft_o27")
+      val bronze = LakeTable(s, s"$root/bronze")
+      bronze.append(ev.filter(col("event_id") % 2 === 0))
+      val p = new Pipeline(s, s"$root/pipe")
+      p.inputTable("bronze", bronze)
+      PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW daily AS
+        SELECT date_trunc('day', ts) AS day, event_type,
+               SUM(event_id) AS sum_id,
+               COUNT(*) AS n
+        FROM bronze GROUP BY date_trunc('day', ts), event_type""")
+      p.runIncremental()                                   // bootstrap
+      bronze.append(ev.filter(col("event_id") % 2 === 1))
+      p.runIncremental()                                   // delta only
+      p.read("daily").orderBy("day", "event_type")
+    },
+      Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               event_type,
+               CAST(SUM(event_id) AS BIGINT) AS sum_id,
+               COUNT(*) AS n
+        FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1, 2 ORDER BY day, event_type""")),
+
     // O15 TRUE STREAMING APPEND FLOW (SQL-declared) — where o10's live
     // flow re-lands its view every run (snapshot semantics), this one is
     // registered from `INSERT INTO … BY NAME SELECT … FROM STREAM(bronze)`

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, BinaryArithmetic, CaseWhen, Cast, Expression, Literal, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, NaturalJoin, RightOuter, UsingJoin}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias}
 
@@ -52,6 +52,40 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, Log
  * resolver (temp views, catalog tables compose as usual).
  */
 object PipelineSql {
+
+  /** Scalar functions accepted inside a maintainable MV's GROUP BY
+   *  expression: every listed name is DETERMINISTIC and ROW-LOCAL (its
+   *  value depends only on the row image's own columns and literals —
+   *  no clock, no randomness, no partition/session state), which is
+   *  exactly the property the signed-delta algebra needs. Names absent
+   *  here (rand, current_date, unix_timestamp's zero-arg clock form,
+   *  any aggregate/window function) keep the recompute path. */
+  private[pipeline] val DeterministicRowFns: Set[String] = Set(
+    // temporal bucketing — the gold-panel shapes
+    "date_trunc", "trunc", "to_date", "date_format", "year", "quarter",
+    "month", "day", "dayofmonth", "dayofweek", "weekday", "dayofyear",
+    "weekofyear", "hour", "minute", "second", "last_day", "next_day",
+    "date_add", "date_sub", "add_months", "months_between", "datediff",
+    "date_diff", "unix_date", "unix_micros", "unix_millis", "unix_seconds",
+    "to_timestamp", "timestamp_seconds", "timestamp_millis",
+    "timestamp_micros", "make_date",
+    // string shaping
+    "substr", "substring", "concat", "concat_ws", "upper", "lower",
+    "ucase", "lcase", "trim", "ltrim", "rtrim", "lpad", "rpad", "replace",
+    "translate", "left", "right", "split_part", "length", "char_length",
+    "instr", "locate", "initcap", "reverse", "repeat", "format_string",
+    "regexp_extract", "regexp_replace", "substring_index",
+    // numeric shaping
+    "abs", "floor", "ceil", "ceiling", "round", "bround", "mod", "pmod",
+    "sign", "signum", "greatest", "least", "power", "pow", "sqrt", "exp",
+    "ln", "log", "log2", "log10", "factorial", "bin", "hex", "unhex",
+    "conv", "bit_count", "shiftleft", "shiftright",
+    // null shaping / conditionals
+    "coalesce", "nullif", "if", "ifnull", "nvl", "nvl2", "nanvl", "isnull",
+    "isnotnull",
+    // stable hashes
+    "hash", "xxhash64", "md5", "sha1", "sha2", "crc32", "base64",
+    "unbase64", "encode", "decode")
 
   private val CreateHead =
     """(?is)\s*CREATE\s+OR\s+REFRESH\s+(STREAMING\s+TABLE|MATERIALIZED\s+VIEW)\s+([A-Za-z_]\w*)\s*(.*?)\s*;?\s*""".r
@@ -527,7 +561,7 @@ object PipelineSql {
   private def maintainableAggShape(p: Pipeline, select: String)
       : Option[Pipeline.AutoMvSpec] = {
     sealed trait Out
-    final case class G(name: String, e: String, parts: Seq[String]) extends Out
+    final case class G(name: String, e: String, key: String) extends Out
     final case class Sm(alias: String, e: String) extends Out
     final case class Mn(alias: String, e: String) extends Out
     final case class Mx(alias: String, e: String) extends Out
@@ -541,6 +575,26 @@ object PipelineSql {
     }.getOrElse(false)
     def noSubquery(e: Expression): Boolean =
       e.collectFirst { case s: SubqueryExpression => s }.isEmpty
+    // deterministic, row-local expression: computable per row image from
+    // that image alone — the property that lets a GROUP BY expression ride
+    // the signed-delta algebra unchanged (the key is computed per image
+    // BEFORE signing). Function determinism is an ALLOWLIST on the
+    // unresolved name (an UnresolvedFunction node carries no determinism
+    // info — rand() would otherwise slip through); an unlisted function
+    // keeps the documented recompute path, never a wrong result.
+    def rowLocalDet(e: Expression): Boolean = e match {
+      case _: UnresolvedAttribute => true
+      case _: Literal => true
+      case c: Cast => rowLocalDet(c.child)
+      case b: BinaryArithmetic => b.children.forall(rowLocalDet)
+      case cw: CaseWhen => cw.children.forall(rowLocalDet)
+      case f: UnresolvedFunction =>
+        f.nameParts.length == 1 && !f.isDistinct && f.filter.isEmpty &&
+          PipelineSql.DeterministicRowFns.contains(
+            f.nameParts.head.toLowerCase(java.util.Locale.ROOT)) &&
+          f.arguments.forall(rowLocalDet)
+      case _ => false
+    }
     scala.util.Try {
       // HAVING over the DECLARED OUTPUT COLUMNS only (bare references, no
       // functions — `HAVING SUM(v) > 5` re-aggregates and must stay on the
@@ -587,27 +641,47 @@ object PipelineSql {
             case other => leaf(other).map(_ -> Seq.empty[(Rel, String)])
           }
           val walked = walk(rel)
-          // group columns: bare or table-qualified attributes (the star
-          // shape groups by dim columns like `d.region`)
-          val groupParts: Option[Seq[Seq[String]]] = {
+          // group keys: bare/table-qualified attributes (the star shape
+          // groups by dim columns like `d.region`) OR deterministic
+          // row-local EXPRESSIONS over them (`GROUP BY date_trunc('day',
+          // ts)` — the date-grained gold panel): the expression is
+          // computed per row image before signing, so the signed-delta
+          // algebra is unchanged. Each key is canonicalized to its
+          // rendered SQL; attribute keys also keep their name parts for
+          // the SELECT-list match.
+          val groupKeys: Option[Seq[(String, Option[Seq[String]])]] = {
             val gs = agg.groupingExpressions.map {
               case a: UnresolvedAttribute if a.nameParts.length <= 2 =>
-                Some(a.nameParts.toSeq)
+                Some((a.sql, Option(a.nameParts.toSeq)))
+              case e if rowLocalDet(e) && noSubquery(e) && reparses(e.sql) =>
+                Some((e.sql, Option.empty[Seq[String]]))
               case _ => None
             }
             if (gs.nonEmpty && gs.forall(_.isDefined) &&
-              gs.flatten.distinct.size == gs.size) Some(gs.flatten.toSeq)
+              gs.flatten.map(_._1).distinct.size == gs.size)
+              Some(gs.flatten.toSeq)
             else None
           }
           def groupOut(a: UnresolvedAttribute, out: String): Option[Out] =
-            if (a.nameParts.length <= 2 &&
-              groupParts.exists(_.contains(a.nameParts.toSeq)))
-              Some(G(out, a.sql, a.nameParts.toSeq))
+            if (a.nameParts.length <= 2)
+              groupKeys.flatMap(_.collectFirst {
+                case (ksql, Some(kparts)) if kparts == a.nameParts.toSeq =>
+                  G(out, a.sql, ksql)
+              })
             else None
           def classify(ne: Expression): Option[Out] = ne match {
             case a: UnresolvedAttribute => groupOut(a, a.nameParts.last)
             case al @ Alias(a: UnresolvedAttribute, _)
                 if groupOut(a, al.name).isDefined => groupOut(a, al.name)
+            // an aliased EXPRESSION matching a group key (by rendered SQL)
+            // is that key's output column — must match before the
+            // aggregate-function case (date_trunc would otherwise fail
+            // aggregate classification and sink the whole shape)
+            case al @ Alias(e, _)
+                if !e.isInstanceOf[UnresolvedAttribute] &&
+                  groupKeys.exists(_.exists { case (ksql, p) =>
+                    p.isEmpty && ksql == e.sql }) =>
+              Some(G(al.name, e.sql, e.sql))
             case al @ Alias(f: UnresolvedFunction, _)
                 if f.nameParts.length == 1 &&
                   f.filter.isEmpty && f.arguments.forall(noSubquery) =>
@@ -650,13 +724,13 @@ object PipelineSql {
             rels = (fact +: joins.map(_._1))
             if rels.map(_.name).distinct.size == rels.size
             if rels.map(r => r.alias.getOrElse(r.name)).distinct.size == rels.size
-            gs <- groupParts
+            gs <- groupKeys
             os <- if (outs.forall(_.isDefined)) Some(outs.flatten.toSeq) else None
             gOuts = os.collect { case g: G => g }
-            // the MV schema needs its keys: every group column selected
+            // the MV schema needs its keys: every group key selected
             // exactly once; and at least one aggregate (a keys-only SELECT
             // is DISTINCT, not an aggregation worth maintaining)
-            if gs.forall(g => gOuts.count(_.parts == g) == 1)
+            if gs.forall { case (ksql, _) => gOuts.count(_.key == ksql) == 1 }
             if gOuts.size == gs.size
             if os.exists { case _: G => false; case _ => true }
             names = os.map {

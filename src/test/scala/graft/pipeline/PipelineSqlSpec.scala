@@ -1120,6 +1120,74 @@ class PipelineSqlSpec extends SparkSpec {
     assert(m == Seq(("a", 15L, 2L), ("b", 21L, 2L)))
   }
 
+  test("auto-MV with an EXPRESSION group key (date_trunc day panel) " +
+      "maintains incrementally, exactly ≡ recompute through appends, " +
+      "deletes and bucket-moving updates; non-deterministic keys keep " +
+      "the recompute path") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_exprkey")
+    val src = LakeTable(spark, s"$root/src")
+    val seed = Seq(
+      (1L, "a", ts("2024-01-01 01:00:00"), 10L),
+      (2L, "a", ts("2024-01-01 23:00:00"), 20L),
+      (3L, "b", ts("2024-01-02 05:00:00"), 5L)).toDF("k", "g", "ts", "v")
+    src.create(seed.schema, enableChangeFeed = true)
+    src.append(seed)
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("src", src)
+    // mixed keys: one deterministic row-local EXPRESSION + one attribute
+    PipelineSql(p, "CREATE OR REFRESH MATERIALIZED VIEW daily AS " +
+      "SELECT date_trunc('day', ts) AS day, g, SUM(v) AS s, COUNT(*) AS n " +
+      "FROM src GROUP BY date_trunc('day', ts), g")
+    p.run()
+    def panel = p.read("daily").orderBy("day", "g")
+      .as[(Timestamp, String, Long, Long)].collect().toSeq
+    assert(panel == Seq(
+      (ts("2024-01-01 00:00:00"), "a", 30L, 2L),
+      (ts("2024-01-02 00:00:00"), "b", 5L, 1L)))
+    // delta window 1: an append into an existing bucket + a new bucket
+    src.append(Seq(
+      (4L, "a", ts("2024-01-01 06:00:00"), 7L),
+      (5L, "b", ts("2024-01-03 00:30:00"), 1L)).toDF("k", "g", "ts", "v"))
+    p.run()
+    assert(panel == Seq(
+      (ts("2024-01-01 00:00:00"), "a", 37L, 3L),
+      (ts("2024-01-02 00:00:00"), "b", 5L, 1L),
+      (ts("2024-01-03 00:00:00"), "b", 1L, 1L)))
+    // delta window 2: a delete that KILLS a bucket (group death through
+    // the expression key) and a bucket-moving rewrite (delete+insert
+    // images move k=2 from Jan-1 to Jan-2: minus the old bucket, plus
+    // the new — the expression is computed per image before signing)
+    src.deleteWhere("k = 5")
+    src.deleteWhere("k = 2")
+    src.append(Seq((2L, "a", ts("2024-01-02 09:00:00"), 20L))
+      .toDF("k", "g", "ts", "v"))
+    p.run()
+    assert(panel == Seq(
+      (ts("2024-01-01 00:00:00"), "a", 17L, 2L),
+      (ts("2024-01-02 00:00:00"), "a", 20L, 1L),
+      (ts("2024-01-02 00:00:00"), "b", 5L, 1L)))
+    // every post-bootstrap refresh ran the INCREMENTAL path
+    val ev = p.eventLog.filter(col("dataset") === "daily")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    assert(ev.tail.forall(_.contains("incremental from src")), ev)
+    // ≡ recompute: the maintained panel equals the defining query run raw
+    val recompute = src.read
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("g"))
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .orderBy("day", "g").as[(Timestamp, String, Long, Long)].collect().toSeq
+    assert(panel == recompute)
+
+    // a NON-deterministic group expression never maintains — recompute
+    PipelineSql(p, "CREATE OR REFRESH MATERIALIZED VIEW lucky AS " +
+      "SELECT CAST(rand() * 0 AS BIGINT) AS z, SUM(v) AS s FROM src GROUP BY CAST(rand() * 0 AS BIGINT)")
+    p.run()
+    assert(p.read("lucky").as[(Long, Long)].collect().toSeq == Seq((0L, 42L)))
+    val evL = p.eventLog.filter(col("dataset") === "lucky")
+      .select("message").as[String].collect().toSeq
+    assert(evL.forall(m => !m.contains("incremental from")), evL)
+  }
+
   test("unsupported statements fail loudly") {
     val p = new Pipeline(spark, tmpDir("plsql_bad"))
     val e = intercept[IllegalArgumentException] {
