@@ -1536,6 +1536,97 @@ object CoreQueries {
         FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
         GROUP BY 1, 2 ORDER BY day, event_type""")),
 
+    // O28 DIM-DELTA STAR MAINTENANCE — the `dim_airports_scd.csv`-style
+    // trickle (reference: 3 updated dim keys) against a big fact: after
+    // the MV pins, a 3-key dim weight update refreshes by the DIM-DELTA
+    // path — ±(F[key∈K] ⋈ ΔD) over the key-bounded fact slice (the
+    // IN-list reaches the parquet scan; zone maps/bloom prune the rest) —
+    // never a recompute, never a full fact scan. At 100 TB this is the
+    // difference between re-aggregating the lake and touching 3 keys.
+    Q("o28_auto_mv_dim_delta", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isNotNull)
+        .select("event_id", "event_type")
+      val root = tmp("graft_o28")
+      val fact = LakeTable(s, s"$root/fact")
+      fact.append(ev)
+      val dim = LakeTable(s, s"$root/dim")
+      dim.append(ev.select(col("event_type").as("et")).distinct()
+        .withColumn("w", length(col("et")).cast("long")))
+      val p = new Pipeline(s, s"$root/pipe")
+      p.inputTable("fact", fact)
+      p.inputTable("dim", dim)
+      PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW gold AS
+        SELECT d.et AS et,
+               SUM(f.event_id * d.w) AS s,
+               AVG(f.event_id) AS m,
+               COUNT(*) AS n
+        FROM fact f JOIN dim d ON f.event_type = d.et
+        GROUP BY d.et""")
+      p.runIncremental()                           // bootstrap + pin
+      // the trickle: triple the weight of the 3 smallest keys
+      val low3 = dim.read.orderBy("et").limit(3)
+        .withColumn("w", col("w") * 3)
+      dim.merge(low3, Seq("et"))
+      p.runIncremental()                           // dim-delta only
+      p.read("gold").orderBy("et")
+    },
+      Some("""WITH d0 AS (SELECT DISTINCT event_type AS et,
+                     CAST(length(event_type) AS BIGINT) AS w
+              FROM events WHERE event_type IS NOT NULL),
+          low3 AS (SELECT et FROM d0 ORDER BY et LIMIT 3),
+          d AS (SELECT et,
+                  CASE WHEN et IN (SELECT et FROM low3) THEN w * 3
+                       ELSE w END AS w
+                FROM d0)
+        SELECT d.et AS et,
+               CAST(SUM(f.event_id * d.w) AS BIGINT) AS s,
+               AVG(f.event_id) AS m,
+               COUNT(*) AS n
+        FROM events f JOIN d ON f.event_type = d.et
+        GROUP BY d.et ORDER BY et""")),
+
+    // O29 LEFT-JOIN AUTO-MV — the null-extending star: LEFT joins
+    // distribute over a union on the preserved fact side, so the fact
+    // window joins ⟕ the pinned dim and maintains incrementally —
+    // dim-side MISSES land in the NULL-dim-key group exactly as a
+    // recompute would place them. The dim deliberately excludes the
+    // largest key so misses exist; two arrivals, two incremental runs.
+    Q("o29_auto_mv_left_join", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isNotNull)
+        .select("event_id", "event_type")
+      val root = tmp("graft_o29")
+      val fact = LakeTable(s, s"$root/fact")
+      fact.append(ev.filter(col("event_id") % 2 === 0))
+      val dim = LakeTable(s, s"$root/dim")
+      val maxEt = ev.agg(max("event_type")).head().getString(0)
+      dim.append(ev.select(col("event_type").as("et")).distinct()
+        .filter(col("et") =!= lit(maxEt)))
+      val p = new Pipeline(s, s"$root/pipe")
+      p.inputTable("fact", fact)
+      p.inputTable("dim", dim)
+      PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW panel AS
+        SELECT d.et AS et,
+               SUM(f.event_id) AS s,
+               COUNT(*) AS n
+        FROM fact f LEFT JOIN dim d ON f.event_type = d.et
+        GROUP BY d.et""")
+      p.runIncremental()                           // bootstrap
+      fact.append(ev.filter(col("event_id") % 2 === 1))
+      p.runIncremental()                           // delta ⟕ pinned dim
+      p.read("panel").orderBy("et")
+    },
+      Some("""WITH d AS (SELECT DISTINCT event_type AS et FROM events
+              WHERE event_type IS NOT NULL
+                AND event_type <> (SELECT max(event_type) FROM events))
+        SELECT d.et AS et,
+               CAST(SUM(f.event_id) AS BIGINT) AS s,
+               COUNT(*) AS n
+        FROM events f LEFT JOIN d ON f.event_type = d.et
+        WHERE f.event_type IS NOT NULL
+        GROUP BY d.et ORDER BY et NULLS FIRST""")),
+
     // O15 TRUE STREAMING APPEND FLOW (SQL-declared) — where o10's live
     // flow re-lands its view every run (snapshot semantics), this one is
     // registered from `INSERT INTO … BY NAME SELECT … FROM STREAM(bronze)`

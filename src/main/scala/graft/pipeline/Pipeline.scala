@@ -124,6 +124,9 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           exactDecimal = false, avgs = spec.avgs, cnts = spec.cntCols,
           dims = dims, enrich = autoMvEnrich(spec, _),
           groupExprs = spec.groupExprs,
+          dimEqui = spec.joins.collect {
+            case j if j.equi.size == 1 =>
+              j.dim -> j.equi.head }.toMap,
           dcounts = spec.dcounts,
           distTables = spec.dcounts.map { case (a, _) =>
             LakeTable(spark, s"$storageRoot/${name}__dist_$a") })
@@ -452,7 +455,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     val f0 = src.alias(spec.sourceAlias.getOrElse(spec.source))
     spec.joins.foldLeft(f0) { (acc, j) =>
       acc.join(dimFrames(j.dim).alias(j.alias.getOrElse(j.dim)),
-        expr(j.cond), "inner")
+        expr(j.cond), j.joinType)
     }
   }
 
@@ -2628,7 +2631,8 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       enrich: Map[String, DataFrame] => DataFrame => DataFrame = _ => identity,
       groupExprs: Seq[String] = Nil,
       dcounts: Seq[(String, String)] = Nil,
-      distTables: Seq[LakeTable] = Nil): (Long, String) = {
+      distTables: Seq[LakeTable] = Nil,
+      dimEqui: Map[String, (String, String)] = Map.empty): (Long, String) = {
     import org.apache.spark.sql.functions.{avg, col, count, countDistinct, expr, lit, max, min, sum, when}
     require(groupBy.nonEmpty, "incremental agg MV needs GROUP BY columns")
     // AVG/COUNT(expr) decompositions ride hidden columns — auto path only
@@ -2650,16 +2654,36 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     val dimsCur: Seq[(String, Long)] =
       dims.map { case (n, dt) => n -> dt.currentVersion }
     def dimPinProp(n: String) = s"graft.aggmv.dimpin.$n"
-    val dimsChanged: Boolean = dims.nonEmpty && {
-      val props = if (t.exists) t.tableProperties else Map.empty[String, String]
-      dimsCur.exists { case (n, v) =>
-        !props.get(dimPinProp(n))
-          .flatMap(s => scala.util.Try(s.toLong).toOption).contains(v) }
+    // EFFECTIVE pin: the pin property, or a NEWER dim-delta merge txn —
+    // the dim-delta merge commits its new pin as a txn atomically with
+    // the delta itself; the property lands in a follow-up commit, so
+    // after a crash in between the txn is authoritative (re-trusting the
+    // stale property would re-apply the already-merged dim delta).
+    val tProps = if (t.exists) t.tableProperties else Map.empty[String, String]
+    def effPin(n: String): Option[Long] = {
+      val prop = tProps.get(dimPinProp(n))
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+      val tx = if (t.exists) t.lastTxnVersion(s"$appId.dimpin.$n") else None
+      (prop.toSeq ++ tx.toSeq).maxOption
     }
+    val dimPins: Map[String, Long] =
+      dims.flatMap { case (n, _) => effPin(n).map(n -> _) }.toMap
+    val changedDims: Seq[(String, Long)] =
+      dimsCur.filter { case (n, v) => !dimPins.get(n).contains(v) }
+    val dimsChanged: Boolean = dims.nonEmpty && changedDims.nonEmpty
     val en: DataFrame => DataFrame =
       if (dims.isEmpty) enrich(Map.empty)
       else enrich(dims.zip(dimsCur).map { case ((n, dt), (_, v)) =>
         n -> dt.readVersion(v) }.toMap)
+    // the fact WINDOW joins dims at their PINNED versions — the state the
+    // MV reflects. While no dim changed pin == cur and the two enrichers
+    // coincide; when one changed and the dim-delta path below will close
+    // the gap, the window must still see the OLD dim (the delta algebra
+    // orders fact-window-first: γ(F_cur ⋈ D_pin), then ±(F_cur ⋈ ΔD)).
+    val enPinned: DataFrame => DataFrame =
+      if (dims.isEmpty) enrich(Map.empty)
+      else enrich(dims.map { case (n, dt) =>
+        n -> dt.readVersion(dimPins.getOrElse(n, dt.currentVersion)) }.toMap)
     val gCols = if (groupExprs.nonEmpty) groupExprs.map(expr) else groupBy.map(col)
     // qualified group expressions derive their own column names — rename
     // positionally to the declared output names (grouping columns lead)
@@ -2751,7 +2775,30 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       (0L, mode)
     }
     if (!t.exists || last < 0) return bootstrap("bootstrap")
-    if (dimsChanged) return bootstrap("recompute: dimension changed")
+    // DIM-DELTA candidacy (the `dim_airports_scd.csv`-style trickle: a
+    // 3-key dim update against a 100 TB fact is exactly where recompute
+    // is the wrong plan): exactly ONE changed dim, a single-column
+    // fact-equi-dim ON key (the handle that bounds the fact slice), no
+    // extremes (a dim change can retract a MIN/MAX) and no
+    // COUNT(DISTINCT) companions (their value multiplicities would need
+    // their own dim-signed merges). Anything else keeps the documented
+    // recompute. The algebra: partition the dim by changed keys K —
+    // F ⋈ D[K̄] is unchanged, so ΔMV = γ±(F[X∈K] ⋈ D_cur[K]) −
+    // γ±(F[X∈K] ⋈ D_pin[K]); with a LEFT join the null-extension of an
+    // F[X∈K] row is decided entirely inside D[K], so the same two signed
+    // branches stay exact through match births and deaths.
+    val dimDeltaPlan: Option[(String, LakeTable, Long, Long, String, String)] =
+      if (!auto || changedDims.size != 1 || mins.nonEmpty || maxs.nonEmpty ||
+          dcounts.nonEmpty) None
+      else changedDims.headOption.flatMap { case (dn, curV) =>
+        for {
+          pinV <- dimPins.get(dn)
+          fcdc <- dimEqui.get(dn)
+          dt <- dims.collectFirst { case (n, d) if n == dn => d }
+        } yield (dn, dt, pinV, curV, fcdc._1, fcdc._2)
+      }
+    if (dimsChanged && dimDeltaPlan.isEmpty)
+      return bootstrap("recompute: dimension changed")
     if (floating) return bootstrap("recompute: floating-point aggregate")
     // a COUNT(DISTINCT) companion ledger AHEAD of the MV ledger means a
     // previous refresh crashed between the companion merge and the main
@@ -2763,44 +2810,64 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     if (dcounts.zip(distTables).exists { case ((a, _), dt) =>
       dt.exists && dt.lastTxnVersion(s"$appId.dist.$a").exists(_ > last) })
       return bootstrap("recompute: distinct companion out of sync")
-    if (!source.feedReadable(last + 1, cur))
+    if (cur > last && !source.feedReadable(last + 1, cur))
       return bootstrap("recompute: full-rewrite window")
+    // build the DIM-DELTA window BEFORE any merge: an unboundable delta
+    // (over-cap key set, unreadable/vacuumed pinned version, evolved dim
+    // schema) must fall back to ONE recompute, never half-apply. The key
+    // set is the exact changed-row keys — a full-row diff of the two dim
+    // versions (dim-sized, the small side by star assumption), collected
+    // only up to the cap + 1.
+    val dimDelta: Option[(DataFrame, String, Long)] = dimDeltaPlan.flatMap {
+      case (dn, dt, pinV, curV, fc, dc) =>
+        scala.util.Try {
+          val dPin = dt.readVersion(pinV)
+          val dCur = dt.readVersion(curV)
+          val changedKeys = dCur.exceptAll(dPin).select(col(dc))
+            .unionByName(dPin.exceptAll(dCur).select(col(dc)))
+            .filter(col(dc).isNotNull).distinct()
+            .limit(Pipeline.DimDeltaKeyCap + 1).collect()
+            .map(_.get(0)).toSeq
+          if (changedKeys.size > Pipeline.DimDeltaKeyCap) None
+          else {
+            // the IN-list reaches the fact's parquet scan — zone maps /
+            // bloom sidecars prune files owning none of the changed keys,
+            // so the trickle-update refresh never reads the whole fact
+            val factSlice = source.readVersion(cur)
+              .filter(col(fc).isin(changedKeys: _*))
+            def frames(v: Long): Map[String, DataFrame] =
+              dims.map { case (n2, dt2) =>
+                n2 -> (if (n2 == dn)
+                  dt2.readVersion(v).filter(col(dc).isin(changedKeys: _*))
+                else dt2.readVersion(
+                  dimPins.getOrElse(n2, dt2.currentVersion)))
+              }.toMap
+            val plus = filtered(enrich(frames(curV))(factSlice))
+              .withColumn("__sign", lit(1L))
+            val minus = filtered(enrich(frames(pinV))(factSlice))
+              .withColumn("__sign", lit(-1L))
+            // positional union: the enriched frame carries the join key
+            // under BOTH qualifiers (f.cat, d.cat — duplicate bare names),
+            // which by-name union refuses; the two branches share one
+            // construction so their column order is identical by build
+            Some((plus.union(minus), dn, curV))
+          }
+        }.toOption.flatten
+    }
+    if (dimsChanged && dimDelta.isEmpty)
+      return bootstrap("recompute: dimension changed (delta unboundable)")
 
-    // ONE read of the window, pinned: the retraction probe (when extremes
-    // are maintained over a window with row-mutating commits), the
-    // signed-delta aggregation, and the processed count all consume the
-    // same cached pass over the change dirs. The WHERE predicate applies
-    // per-image BEFORE signing (but AFTER the dim enrich — it may
-    // reference dim columns): Filter never drops columns, so the
-    // change-type metadata rides through it. The change-type column is
-    // copied to a reserved name BEFORE the enrich so a dimension carrying
-    // a same-named column can never make the sign ambiguous.
-    val feed = filtered(en(source.readChangeFeed(last + 1, Some(cur))
-        .withColumn("__graft_ct", col(graft.lake.LakeTable.ChangeTypeCol))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      if ((mins.nonEmpty || maxs.nonEmpty) &&
-          !source.appendOnlyOps(last + 1, cur)) {
-        // monotone merge is sound only while nothing ever retracts: an
-        // extreme that LEAVES needs a group rescan. The AUTO path
-        // re-bootstraps (the user declared an MV — recompute is always
-        // legal); the explicit API keeps its loud contract.
-        val retracts = feed
-          .filter(!col("__graft_ct").isin("insert"))
-          .limit(1).count() != 0L
-        if (retracts) {
-          if (minMaxFallback) return bootstrap("recompute: retracting extremes")
-          require(false,
-            "MIN/MAX incremental maintenance needs an APPEND-ONLY source — " +
-              "the feed carries delete/update images; use a recompute MV")
-        }
-      }
-      val sign = when(col("__graft_ct")
-        .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
-      // signed non-null count of `e`'s inputs — the exact-NULL-algebra and
-      // AVG/COUNT(expr) backbone (sum of a non-empty group is never NULL)
-      def signedNn(e: String) =
-        sum(when(expr(e).isNull, lit(0L)).otherwise(col("__sign")))
+    // the shared SIGNED-WINDOW applier: aggregate a frame of signed row
+    // images (enriched, filtered, carrying `__sign` ∈ {+1, −1}) into one
+    // row per touched group and merge it into the MV. Two callers: the
+    // fact change-feed window (txn = source ledger) and the dim-delta
+    // window (txn = the dim's pin ledger — committing the new pin
+    // ATOMICALLY with its delta, the crash-safety backbone of effPin).
+    // signed non-null count of `e`'s inputs — the exact-NULL-algebra and
+    // AVG/COUNT(expr) backbone (sum of a non-empty group is never NULL)
+    def signedNn(e: String) =
+      sum(when(expr(e).isNull, lit(0L)).otherwise(col("__sign")))
+    def applySigned(signed: DataFrame, txnPair: (String, Long)): Long = {
       val deltaAggs =
         sums.zipWithIndex.map { case ((_, e), i) =>
           sum(sumIn(e) * col("__sign")).as(s"__d_$i") } ++
@@ -2826,7 +2893,6 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           avgs.indices.flatMap(i => Seq(s"__davs_$i", s"__davn_$i")) ++
           cnts.indices.map(i => s"__dc_$i")
         else Nil)
-      val signed = feed.withColumn("__sign", sign)
       val delta = nameGroups(
         signed
           .groupBy(gCols: _*)
@@ -2888,7 +2954,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
             "left")
             .drop(groupBy.map(c => s"__k_$c"): _*)
         }
-      val processed = feed.count()
+      val processed = signed.count()
       // the target column's type drives the merge casts (widened-decimal
       // arithmetic folds back; the accumulator type IS the declared type)
       def tpe(a: String): String = t.schema(a).dataType.sql
@@ -2970,10 +3036,65 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         matchedDeleteWhen = Some(s"t.$cntAlias + s.__dcnt = 0"),
         insertGuard = Some("s.__dcnt > 0"),
         insertSet = Some(inserts),
-        txn = Some(appId -> cur),
+        txn = Some(txnPair),
         nullSafeKeys = true)
-      (processed, "incremental")
-    } finally { feed.unpersist(); () }
+      processed
+    }
+
+    var processedTotal = 0L
+    var mode = "up-to-date"
+    if (cur > last) {
+      // ONE read of the window, pinned: the retraction probe (when
+      // extremes are maintained over a window with row-mutating commits),
+      // the signed-delta aggregation, and the processed count all consume
+      // the same cached pass over the change dirs. The WHERE predicate
+      // applies per-image BEFORE signing (but AFTER the dim enrich — it
+      // may reference dim columns): Filter never drops columns, so the
+      // change-type metadata rides through it. The change-type column is
+      // copied to a reserved name BEFORE the enrich so a dimension
+      // carrying a same-named column can never make the sign ambiguous.
+      // Dims join at their PINNED versions (enPinned) — the state the MV
+      // reflects; the dim-delta window below closes any dim gap.
+      val feed = filtered(enPinned(source.readChangeFeed(last + 1, Some(cur))
+          .withColumn("__graft_ct", col(graft.lake.LakeTable.ChangeTypeCol))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if ((mins.nonEmpty || maxs.nonEmpty) &&
+            !source.appendOnlyOps(last + 1, cur)) {
+          // monotone merge is sound only while nothing ever retracts: an
+          // extreme that LEAVES needs a group rescan. The AUTO path
+          // re-bootstraps (the user declared an MV — recompute is always
+          // legal); the explicit API keeps its loud contract.
+          val retracts = feed
+            .filter(!col("__graft_ct").isin("insert"))
+            .limit(1).count() != 0L
+          if (retracts) {
+            if (minMaxFallback) return bootstrap("recompute: retracting extremes")
+            require(false,
+              "MIN/MAX incremental maintenance needs an APPEND-ONLY source — " +
+                "the feed carries delete/update images; use a recompute MV")
+          }
+        }
+        val sign = when(col("__graft_ct")
+          .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
+        processedTotal += applySigned(
+          feed.withColumn("__sign", sign), appId -> cur)
+        mode = "incremental"
+      } finally { feed.unpersist(); () }
+    }
+    dimDelta.foreach { case (frame0, dn, curV) =>
+      val frame = frame0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        processedTotal += applySigned(frame, s"$appId.dimpin.$dn" -> curV)
+      } finally { frame.unpersist(); () }
+      // pin property follow-up: a crash before it only leaves the stale
+      // property, and effPin's max-with-txn keeps the merge authoritative
+      t.setTableProperties(Map(dimPinProp(dn) -> curV.toString))
+      mode = if (mode == "incremental") s"incremental + dim-delta from $dn"
+             else s"dim-delta from $dn"
+    }
+    (processedTotal, mode)
   }
 
   /**
@@ -3033,6 +3154,14 @@ object Pipeline {
    *  selection naming it refuses — protection for append-only histories a
    *  recompute could never rebuild. */
   val ResetAllowedProp = "pipelines.reset.allowed"
+
+  /** Largest changed-dim key set the DIM-DELTA MV maintenance path will
+   *  carry as a fact-scan IN-list: beyond this the literal list stops
+   *  pruning well (expression size, codegen) and a dim that churned
+   *  thousands of keys is no longer a "trickle" — the recompute path is
+   *  the honest plan. The cap bounds DRIVER memory too (the keys are
+   *  collected once, metadata-sized). */
+  val DimDeltaKeyCap = 1024
 
   /** Whether a continuous-mode cycle failure is TRANSIENT (worth a bounded
    *  retry): a lost optimistic-commit race against an external writer,
@@ -3107,8 +3236,17 @@ object Pipeline {
    *  the fact/delta side); `groupExprs` the group columns' defining SQL
    *  (qualified attributes), parallel to `groupBy` — empty means the
    *  groups are the bare `groupBy` names. */
+  /** `joinType` is `"inner"` or `"left"` — both distribute over a union on
+   *  the fact (preserved) side, so both maintain from the fact's change
+   *  feed against pinned dims; `equi` is the parsed single-column
+   *  fact-equi-dim key pair (fact-side bare column name, dim-side bare
+   *  column name) when the ON condition is exactly that shape — the
+   *  handle the DIM-DELTA maintenance path restricts the fact scan by.
+   *  Empty `equi` only ever disables dim-delta maintenance (dim changes
+   *  recompute), never affects correctness. */
   private[pipeline] final case class AutoMvJoin(
-      dim: String, alias: Option[String], cond: String)
+      dim: String, alias: Option[String], cond: String,
+      joinType: String = "inner", equi: Seq[(String, String)] = Nil)
   private[pipeline] final case class AutoMvSpec(
       source: String, where: Option[String], groupBy: Seq[String],
       sums: Seq[(String, String)], mins: Seq[(String, String)],

@@ -620,11 +620,14 @@ object PipelineSql {
           }
           // a Filter that failed the guards must NOT silently drop: only a
           // bare relation (or alias of one) qualifies as a leaf — and a
-          // LEFT-DEEP chain of INNER ON-joins of such leaves is the
-          // STAR-JOIN shape (the first relation is the fact/delta side;
-          // inner joins distribute over the signed-delta union, so the
-          // fact window joined against UNCHANGED dims maintains exactly;
-          // outer/cross/using/natural joins keep the recompute path)
+          // LEFT-DEEP chain of INNER or LEFT OUTER ON-joins of such leaves
+          // is the STAR-JOIN shape (the first relation is the fact/delta
+          // side; both inner AND left joins distribute over a union on the
+          // preserved fact side — (F ∪ ΔF) ⟕ D = (F ⟕ D) ∪ (ΔF ⟕ D) — so
+          // the fact window joined against UNCHANGED dims maintains
+          // exactly, null-extended misses included; right/full/cross/
+          // using/natural joins keep the recompute path: their preserved
+          // side is not the delta side)
           def leaf(n: LogicalPlan): Option[Rel] = n match {
             case UnresolvedRelation(parts, _, false) if parts.length == 1 =>
               Some(Rel(parts.head, None))
@@ -632,15 +635,39 @@ object PipelineSql {
                 if parts.length == 1 => Some(Rel(parts.head, Some(id.name)))
             case _ => None
           }
-          def walk(n: LogicalPlan): Option[(Rel, Seq[(Rel, String)])] = n match {
-            case Join(l, r, Inner, Some(cond), hint)
-                if hint == org.apache.spark.sql.catalyst.plans.logical
-                  .JoinHint.NONE && noSubquery(cond) && reparses(cond.sql) =>
+          def walk(n: LogicalPlan)
+              : Option[(Rel, Seq[(Rel, String, Expression)])] = n match {
+            case Join(l, r, jt, Some(cond), hint)
+                if (jt == Inner || jt == LeftOuter) &&
+                  hint == org.apache.spark.sql.catalyst.plans.logical
+                    .JoinHint.NONE && noSubquery(cond) && reparses(cond.sql) =>
               for { lw <- walk(l); d <- leaf(r) }
-                yield (lw._1, lw._2 :+ (d -> cond.sql))
-            case other => leaf(other).map(_ -> Seq.empty[(Rel, String)])
+                yield (lw._1, lw._2 :+
+                  ((d, if (jt == Inner) "inner" else "left", cond)))
+            case other =>
+              leaf(other).map(_ -> Seq.empty[(Rel, String, Expression)])
           }
           val walked = walk(rel)
+          // single-column fact-equi-dim key extraction (the DIM-DELTA
+          // maintenance handle): the ON condition must be exactly
+          // `<fact>.<col> = <dim>.<col>` (either order), both sides
+          // attribute references qualified by the two relations' aliases.
+          // Anything else leaves `equi` empty — dim changes then keep the
+          // documented recompute path; never a correctness decision.
+          def equiOf(factQ: String, dimQ: String, cond: Expression)
+              : Seq[(String, String)] = cond match {
+            case org.apache.spark.sql.catalyst.expressions.EqualTo(
+                a: UnresolvedAttribute, b: UnresolvedAttribute)
+                if a.nameParts.length == 2 && b.nameParts.length == 2 =>
+              (a.nameParts.head, b.nameParts.head) match {
+                case (`factQ`, `dimQ`) =>
+                  Seq(a.nameParts.last -> b.nameParts.last)
+                case (`dimQ`, `factQ`) =>
+                  Seq(b.nameParts.last -> a.nameParts.last)
+                case _ => Nil
+              }
+            case _ => Nil
+          }
           // group keys: bare/table-qualified attributes (the star shape
           // groups by dim columns like `d.region`) OR deterministic
           // row-local EXPRESSIONS over them (`GROUP BY date_trunc('day',
@@ -717,7 +744,7 @@ object PipelineSql {
             // MVs; dims additionally need a pinnable VERSION (the
             // dim-unchanged proof the incremental window rests on)
             if p.isTableBackedSource(s)
-            if joins.forall { case (d, _) => p.isTableBackedSource(d.name) }
+            if joins.forall { case (d, _, _) => p.isTableBackedSource(d.name) }
             // distinct relations only (a self-join's two sides can't be
             // independently pinned) and distinct aliases (ambiguous
             // qualifiers would wedge every refresh)
@@ -761,8 +788,10 @@ object PipelineSql {
             avgs = os.collect { case Av(a, e) => a -> e },
             cntCols = os.collect { case CntE(a, e) => a -> e },
             sourceAlias = fact.alias,
-            joins = joins.map { case (d, cond) =>
-              Pipeline.AutoMvJoin(d.name, d.alias, cond) },
+            joins = joins.map { case (d, jt, cond) =>
+              Pipeline.AutoMvJoin(d.name, d.alias, cond.sql, jt,
+                equiOf(fact.alias.getOrElse(fact.name),
+                  d.alias.getOrElse(d.name), cond)) },
             groupExprs = gOuts.map(_.e),
             dcounts = os.collect { case Dc(a, e) => a -> e },
             having = having)

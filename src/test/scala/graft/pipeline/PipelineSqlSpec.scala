@@ -649,8 +649,9 @@ class PipelineSqlSpec extends SparkSpec {
 
   test("STAR-JOIN auto-MV (Enzyme): an agg over fact INNER JOIN dim " +
       "maintains incrementally from the FACT change feed while the dim is " +
-      "unchanged; a dim change recomputes and re-pins; fact deletes ride " +
-      "the signed algebra through the join") {
+      "unchanged; a small dim change maintains by DIM-DELTA (key-bounded " +
+      "fact slice, no recompute); fact deletes ride the signed algebra " +
+      "through the join") {
     import graft.lake.LakeTable
     val root = tmpDir("plsql_automv_star")
     val fact = LakeTable(spark, s"$root/fact")
@@ -689,14 +690,16 @@ class PipelineSqlSpec extends SparkSpec {
     assert(gold == Seq(("east", Some(21L), Some(7.0), 1L),
       ("west", Some(60L), Some(15.0), 2L)))
     assert(ev.last.contains("incremental from fact"), ev)
-    // run 4: a DIM change forces recompute (and re-pins) — the new weight
-    // applies to ALL existing fact rows, which no fact window could serve
+    // run 4: a one-key DIM change maintains by DIM-DELTA — the new weight
+    // applies to all fact rows carrying the CHANGED key, served as two
+    // signed key-bounded fact slices (±(F[cat='x'] ⋈ ΔD)), never a
+    // recompute and never a full fact scan
     dim.deleteWhere("cat = 'x'")
     dim.append(Seq(("x", "west", 10L)).toDF("cat", "region", "w"))
     p.run()
     assert(gold == Seq(("east", Some(21L), Some(7.0), 1L),
       ("west", Some(300L), Some(15.0), 2L)))
-    assert(ev.last.contains("recompute: dimension changed"), ev)
+    assert(ev.last.contains("dim-delta from dim"), ev)
     // run 5: incremental maintenance RESUMES against the new pin
     fact.append(Seq((5L, "x", 1L)).toDF("k", "cat", "v"))
     p.run()
@@ -775,9 +778,9 @@ class PipelineSqlSpec extends SparkSpec {
   }
 
   test("star-join auto-MV over a PIPELINE-MAINTAINED dim: the dim's own " +
-      "refresh lands first in the same run, the MV sees the dim version " +
-      "move and recomputes against the fresh state; fact-only runs stay " +
-      "incremental") {
+      "refresh lands first in the same run, and the MV applies the fact " +
+      "window (old pin) plus the dim delta (new fact) in one refresh; " +
+      "fact-only runs stay incremental") {
     import graft.lake.LakeTable
     val root = tmpDir("plsql_automv_star_pipedim")
     val fact = LakeTable(spark, s"$root/fact")
@@ -807,14 +810,15 @@ class PipelineSqlSpec extends SparkSpec {
     p.runIncremental()
     assert(gold == Seq(("x", 22L), ("y", 15L)))
     assert(ev.last.contains("incremental from fact"), ev)
-    // the dim's SOURCE moves: the SAME run refreshes the dim first (append
-    // flow order), the MV sees the dim version move and recomputes against
-    // the state the run just landed — never last run's dim
+    // the dim's SOURCE moves WITH a fact arrival: the SAME run refreshes
+    // the dim first (flow order), then the MV applies BOTH windows — the
+    // fact delta against the old pin, the dim delta against the new fact
+    // — exactly the state the run just landed, never last run's dim
     dimSrc.append(Seq(("z", 7L)).toDF("cat", "w"))
     fact.append(Seq((4L, "z", 2L)).toDF("k", "cat", "v"))
     p.runIncremental()
     assert(gold == Seq(("x", 22L), ("y", 15L), ("z", 14L)))
-    assert(ev.last.contains("recompute: dimension changed"), ev)
+    assert(ev.last.contains("incremental + dim-delta from dim"), ev)
     // and incremental maintenance resumes on the new pin
     fact.append(Seq((5L, "z", 1L)).toDF("k", "cat", "v"))
     p.runIncremental()
@@ -822,9 +826,10 @@ class PipelineSqlSpec extends SparkSpec {
     assert(ev.last.contains("incremental from fact"), ev)
   }
 
-  test("star-join auto-MV fallbacks: LEFT JOIN, self-join, and a " +
-      "view-backed dim keep the recompute path (and still answer); a WHERE " +
-      "over dim columns maintains exactly") {
+  test("star-join auto-MV: LEFT JOIN maintains (null-extension rides the " +
+      "fact window); self-join and a view-backed dim keep the recompute " +
+      "path (and still answer); a WHERE over dim columns maintains " +
+      "exactly") {
     import graft.lake.LakeTable
     val root = tmpDir("plsql_automv_star_fb")
     val fact = LakeTable(spark, s"$root/fact")
@@ -836,7 +841,9 @@ class PipelineSqlSpec extends SparkSpec {
     val p = new Pipeline(spark, s"$root/pipe")
     p.inputTable("fact", fact)
     p.inputTable("dim", dim)
-    // LEFT JOIN: not maintainable — registers as recompute MV, answers
+    // LEFT JOIN: maintainable — left joins distribute over a union on
+    // the preserved fact side, so the fact window joins ⟕ the pinned dim
+    // (null-extended misses land in the NULL-dim-column groups)
     PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW lj AS
       SELECT d.region AS region, SUM(f.v) AS s
       FROM fact f LEFT JOIN dim d ON f.cat = d.cat GROUP BY d.region""")
@@ -866,9 +873,103 @@ class PipelineSqlSpec extends SparkSpec {
     assert(p.read("wj").as[(String, Long)].collect().toSeq == Seq(("x", 15L)))
     def msgs(ds: String) = p.eventLog.filter(col("dataset") === ds)
       .orderBy("run_id").select("message").as[String].collect().toSeq
-    Seq("lj", "sj", "vj").foreach { ds =>
+    Seq("sj", "vj").foreach { ds =>
       assert(msgs(ds).forall(!_.contains("incremental")), ds -> msgs(ds)) }
-    assert(msgs("wj").last.contains("incremental from fact"), msgs("wj"))
+    Seq("lj", "wj").foreach { ds =>
+      assert(msgs(ds).last.contains("incremental from fact"), ds -> msgs(ds)) }
+  }
+
+  test("LEFT-join auto-MV through DIM-DELTA match birth and death: rows " +
+      "move between the null-extended group and real dim groups exactly, " +
+      "group death included — always ≡ recompute") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_lj_dimdelta")
+    val fact = LakeTable(spark, s"$root/fact")
+    val seed = Seq((1L, "x", 10L), (2L, "y", 5L), (3L, "zzz", 7L))
+      .toDF("k", "cat", "v")
+    fact.create(seed.schema, enableChangeFeed = true)
+    fact.append(seed)
+    val dim = LakeTable(spark, s"$root/dim")
+    dim.append(Seq(("x", "west"), ("y", "east")).toDF("cat", "region"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("fact", fact)
+    p.inputTable("dim", dim)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW lj AS
+      SELECT d.region AS region, SUM(f.v) AS s, COUNT(*) AS n
+      FROM fact f LEFT JOIN dim d ON f.cat = d.cat GROUP BY d.region""")
+    p.run()
+    def panel = p.read("lj").orderBy(col("region").asc_nulls_first)
+      .as[(Option[String], Long, Long)].collect().toSeq
+    def recompute = fact.read.alias("f")
+      .join(dim.read.alias("d"), expr("f.cat = d.cat"), "left")
+      .groupBy(col("d.region")).agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .orderBy(col("region").asc_nulls_first)
+      .as[(Option[String], Long, Long)].collect().toSeq
+    assert(panel == Seq((None, 7L, 1L), (Some("east"), 5L, 1L),
+      (Some("west"), 10L, 1L)))
+    def ev = p.eventLog.filter(col("dataset") === "lj")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    // MATCH BIRTH via dim delta: the dim gains key 'zzz' — k=3 must move
+    // from the null-extended group (which DIES) into the new 'south' group
+    dim.append(Seq(("zzz", "south")).toDF("cat", "region"))
+    p.run()
+    assert(panel == recompute)
+    assert(panel == Seq((Some("east"), 5L, 1L), (Some("south"), 7L, 1L),
+      (Some("west"), 10L, 1L)))
+    assert(ev.last.contains("dim-delta from dim"), ev)
+    // MATCH DEATH via dim delta: the dim loses key 'x' — k=1 falls back
+    // to null-extension (the NULL group is re-BORN), 'west' dies
+    dim.deleteWhere("cat = 'x'")
+    p.run()
+    assert(panel == recompute)
+    assert(panel == Seq((None, 10L, 1L), (Some("east"), 5L, 1L),
+      (Some("south"), 7L, 1L)))
+    assert(ev.last.contains("dim-delta from dim"), ev)
+    // and a plain fact arrival keeps the ordinary incremental window,
+    // null-extending against the CURRENT pin
+    fact.append(Seq((4L, "qqq", 2L), (5L, "y", 1L)).toDF("k", "cat", "v"))
+    p.run()
+    assert(panel == recompute)
+    assert(panel == Seq((None, 12L, 2L), (Some("east"), 6L, 2L),
+      (Some("south"), 7L, 1L)))
+    assert(ev.last.contains("incremental from fact"), ev)
+  }
+
+  test("dim-delta fallbacks: a dim churn past the key cap recomputes; " +
+      "AVG rides the dim-delta decomposition exactly") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_dimcap")
+    val fact = LakeTable(spark, s"$root/fact")
+    val n = Pipeline.DimDeltaKeyCap + 50
+    val seed = (1 to n).map(i => (i.toLong, s"c$i", i.toLong))
+      .toDF("k", "cat", "v")
+    fact.create(seed.schema, enableChangeFeed = true)
+    fact.append(seed)
+    val dim = LakeTable(spark, s"$root/dim")
+    dim.append((1 to n).map(i => (s"c$i", 1L)).toDF("cat", "w"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("fact", fact)
+    p.inputTable("dim", dim)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW gold AS
+      SELECT f.cat AS cat, SUM(f.v * d.w) AS s, AVG(f.v * d.w) AS m
+      FROM fact f JOIN dim d ON f.cat = d.cat GROUP BY f.cat""")
+    p.run()
+    def ev = p.eventLog.filter(col("dataset") === "gold")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    // a 3-key trickle: dim-delta, exact values incl. the AVG decomposition
+    dim.merge(Seq(("c1", 10L), ("c2", 20L), ("c3", 30L)).toDF("cat", "w"),
+      Seq("cat"))
+    p.run()
+    assert(ev.last.contains("dim-delta from dim"), ev)
+    assert(p.read("gold").filter(col("cat").isin("c1", "c2", "c3"))
+      .orderBy("cat").as[(String, Long, Double)].collect().toSeq ==
+      Seq(("c1", 10L, 10.0), ("c2", 40L, 40.0), ("c3", 90L, 90.0)))
+    // EVERY key churns: past the cap the honest plan is recompute
+    dim.overwrite((1 to n).map(i => (s"c$i", 2L)).toDF("cat", "w"))
+    p.run()
+    assert(ev.last.contains("recompute: dimension changed"), ev)
+    assert(p.read("gold").filter(col("cat") === "c5")
+      .as[(String, Long, Double)].collect().toSeq == Seq(("c5", 10L, 10.0)))
   }
 
   test("COUNT(DISTINCT) auto-MV: a signed companion table of (group, " +
