@@ -2031,6 +2031,30 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     } catch { case TxnAlreadyApplied() => false }
   }
 
+  /** Upsert `appId`'s transaction-ledger entry in a METADATA-ONLY commit —
+   *  for flows whose content landed in a commit that could carry only ONE
+   *  ledger entry (a multi-source MV bootstrap: the overwrite carries the
+   *  first source's stamp, the rest land here). The ledger never regresses
+   *  (same rule as txn-carrying writes); a crash before this stamp leaves
+   *  that source's ledger absent, which re-bootstraps — one extra
+   *  recompute, never a double-applied window. No-op (false) when the
+   *  recorded high-water is already at/past `version`. */
+  def stampTxn(appId: String, version: Long): Boolean = synchronized {
+    require(exists, s"stampTxn target $root does not exist")
+    try {
+      commitWithRetry { () =>
+        val v = currentVersion
+        val cur = readManifest(v)
+        if (cur.txns.exists { case (a, tv) => a == appId && tv >= version })
+          throw TxnAlreadyApplied()
+        (cur.copy(op = "properties", cdfDir = None, commitTsMs = None,
+          txns = cur.txns.filterNot(_._1 == appId) :+ (appId -> version)),
+          v + 1)
+      }
+      true
+    } catch { case TxnAlreadyApplied() => false }
+  }
+
   /** Remove `appId`'s transaction-ledger entry (metadata-only commit) —
    *  the full-refresh primitive: a flow whose target was rebuilt from
    *  scratch must re-bootstrap instead of resuming from a ledger that

@@ -1627,6 +1627,48 @@ object CoreQueries {
         WHERE f.event_type IS NOT NULL
         GROUP BY d.et ORDER BY et NULLS FIRST""")),
 
+    // O30 UNION ALL AUTO-MV — a gold panel over `bronze_a UNION ALL
+    // bronze_b` (the multi-region/multi-tenant landing shape): γ over
+    // UNION ALL is additive, so each branch maintains the panel
+    // INDEPENDENTLY under its own ledger — a refresh reads only the
+    // branches that moved, one signed window each, never the union.
+    // Branch b's physical column ORDER differs (positional SQL union
+    // semantics). Two arrivals per branch, two incremental runs.
+    Q("o30_auto_mv_union", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isNotNull)
+        .select("event_id", "event_type")
+      val root = tmp("graft_o30")
+      val ba = LakeTable(s, s"$root/ba")
+      ba.append(ev.filter(col("event_id") % 4 === 0))
+      val bb = LakeTable(s, s"$root/bb")
+      bb.append(ev.filter(col("event_id") % 2 === 1)
+        .filter(col("event_id") % 4 === 1)
+        .select(col("event_type").as("et2"), col("event_id").as("id2")))
+      val p = new Pipeline(s, s"$root/pipe")
+      p.inputTable("ba", ba)
+      p.inputTable("bb", bb)
+      PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW panel AS
+        SELECT event_type,
+               SUM(event_id) AS s,
+               COUNT(*) AS n
+        FROM (SELECT event_type, event_id FROM ba
+              UNION ALL
+              SELECT et2, id2 FROM bb)
+        GROUP BY event_type""")
+      p.runIncremental()                           // bootstrap both ledgers
+      ba.append(ev.filter(col("event_id") % 4 === 2))
+      bb.append(ev.filter(col("event_id") % 4 === 3)
+        .select(col("event_type").as("et2"), col("event_id").as("id2")))
+      p.runIncremental()                           // one window per branch
+      p.read("panel").orderBy("event_type")
+    },
+      Some("""SELECT event_type,
+               CAST(SUM(event_id) AS BIGINT) AS s,
+               COUNT(*) AS n
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY event_type ORDER BY event_type""")),
+
     // O15 TRUE STREAMING APPEND FLOW (SQL-declared) — where o10's live
     // flow re-lands its view every run (snapshot semantics), this one is
     // registered from `INSERT INTO … BY NAME SELECT … FROM STREAM(bronze)`

@@ -114,7 +114,39 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     // still empty parks the MV like an empty source does
     val dimTables: Seq[(String, Option[LakeTable])] =
       spec.joins.map(j => j.dim -> asTable(j.dim).filter(_.exists))
+    // UNION ALL branches must ALL be table-backed and materialized for
+    // the per-branch-ledger maintenance; any view-backed branch drops the
+    // whole MV to the recompute path (the None case below), any
+    // unmaterialized one parks it — same contract as dims
+    val unionTables: Seq[(String, Option[LakeTable], Option[Seq[String]])] =
+      spec.union.map { case (ds, cols) => (ds, asTable(ds), cols) }
+    if (spec.union.nonEmpty && unionTables.exists(_._2.isEmpty)) {
+      val (df, rows) = observe(gate(name, autoMvDefining(spec, autoMvSource(spec))))
+      if (!t.exists) createTarget(name, df.schema)
+      t.overwrite(df)
+      events += (("flow_progress", name, rows(),
+        "materialized view refresh (recompute: view-backed union branch)"))
+      return
+    }
+    if (spec.union.nonEmpty && unionTables.exists(!_._2.get.exists)) {
+      events += (("flow_progress", name, 0L,
+        s"materialized view from union (branch not materialized)"))
+      return
+    }
     asTable(spec.source) match {
+      case _ if spec.union.nonEmpty =>
+        val ubs = unionTables.map { case (_, bt, cols) => (bt.get, cols) }
+        val (n, mode) = runAggMvCore(name, ubs.head._1, spec.where,
+          spec.groupBy, spec.sums, spec.mins, spec.maxs,
+          cntAlias = spec.counts.headOption.getOrElse("__cnt"),
+          flowId = s"graft.aggmv.$name", minMaxFallback = true,
+          exactDecimal = false, avgs = spec.avgs, cnts = spec.cntCols,
+          groupExprs = spec.groupExprs, union = ubs)
+        val how = if (mode == "incremental")
+          s"incremental from ${spec.union.map(_._1).mkString(" ∪ ")}"
+          else s"$mode, from ${spec.union.map(_._1).mkString(" ∪ ")}"
+        events += (("flow_progress", name, n,
+          s"materialized view refresh ($how)"))
       case Some(root) if root.exists && dimTables.forall(_._2.isDefined) =>
         val dims = dimTables.map { case (n, dt) => n -> dt.get }
         val (n, mode) = runAggMvCore(name, root, spec.where, spec.groupBy,
@@ -434,7 +466,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         sel.filter(org.apache.spark.sql.functions.expr(h)))
     }
     presentations(name) = present
-    views(name) = () => present(autoMvDefining(spec, read(spec.source)))
+    views(name) = () => present(autoMvDefining(spec, autoMvSource(spec)))
     if (clusterBy.nonEmpty) pendingClusterBy(name) = clusterBy
     t
   }
@@ -467,6 +499,18 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
    *  share this column order. Star-join specs enrich `src` against the
    *  dims' CURRENT contents (resolved through [[read]]) before
    *  aggregating. */
+  /** The defining INPUT frame of an auto MV — the single source's current
+   *  contents, or for a UNION ALL MV the positional union of its branch
+   *  reads (Spark's set-operation widening supplies SQL UNION ALL type
+   *  semantics; names bind from the first branch). */
+  private def autoMvSource(spec: Pipeline.AutoMvSpec): DataFrame =
+    if (spec.union.isEmpty) read(spec.source)
+    else spec.union.map { case (ds, cols) =>
+      val df = read(ds)
+      cols.fold(df)(cs =>
+        df.select(cs.map(org.apache.spark.sql.functions.col): _*))
+    }.reduce(_ union _)
+
   private def autoMvDefining(spec: Pipeline.AutoMvSpec, src: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{avg, col, count, countDistinct, expr, lit, max, min, sum}
     val cntCol = spec.counts.headOption.getOrElse("__cnt")
@@ -2632,7 +2676,8 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       groupExprs: Seq[String] = Nil,
       dcounts: Seq[(String, String)] = Nil,
       distTables: Seq[LakeTable] = Nil,
-      dimEqui: Map[String, (String, String)] = Map.empty): (Long, String) = {
+      dimEqui: Map[String, (String, String)] = Map.empty,
+      union: Seq[(LakeTable, Option[Seq[String]])] = Nil): (Long, String) = {
     import org.apache.spark.sql.functions.{avg, col, count, countDistinct, expr, lit, max, min, sum, when}
     require(groupBy.nonEmpty, "incremental agg MV needs GROUP BY columns")
     // AVG/COUNT(expr) decompositions ride hidden columns — auto path only
@@ -2644,9 +2689,36 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     require((exactDecimal && dcounts.isEmpty) ||
       dcounts.size == distTables.size,
       "COUNT(DISTINCT) maintenance is the auto path's, one companion per column")
+    require(union.isEmpty ||
+      (!exactDecimal && dims.isEmpty && dcounts.isEmpty),
+      "UNION ALL maintenance is the auto path's; star-join and " +
+        "COUNT(DISTINCT) forms keep recompute")
     val auto = !exactDecimal
     val t = tables(target)
     val appId = if (flowId.nonEmpty) flowId else s"graft.aggmv.$target"
+    // UNION ALL branches: (per-branch ledger id, table, optional
+    // positional projection). Empty `union` = the classic single-source
+    // MV: ONE branch whose ledger is appId itself — the generalized code
+    // below degenerates to the original single-window behavior, and
+    // existing MV ledgers keep working unchanged. Branch 0 of a union MV
+    // also keeps appId (its overwrite bootstrap carries that stamp); the
+    // rest ride `.uN` suffixes stamped metadata-only after bootstrap.
+    // γ over UNION ALL is additive: each branch's signed window applies
+    // independently, in any order, each merge carrying its own ledger —
+    // a crash between branch merges just leaves later branches for the
+    // next run (their ledgers haven't moved).
+    val branches: Seq[(String, LakeTable, Option[Seq[String]])] =
+      if (union.isEmpty) Seq((appId, source, None))
+      else union.zipWithIndex.map { case ((ut, cols), i) =>
+        (if (i == 0) appId else s"$appId.u$i", ut, cols) }
+    // a positional union of the branches at the given versions — Spark's
+    // set-operation widening gives SQL UNION ALL type semantics, names
+    // from the first branch (what the declared query's analyzer binds)
+    def unionAt(vers: Seq[Long]): DataFrame =
+      branches.zip(vers).map { case ((_, bt, cols), v) =>
+        val df = bt.readVersion(v)
+        cols.fold(df)(cs => df.select(cs.map(col): _*))
+      }.reduce(_ union _)
     val dec = "decimal(28,6)"
     def filtered(df: DataFrame): DataFrame = where.fold(df)(w => df.filter(expr(w)))
     // dimension versions probed ONCE and read AT that version everywhere
@@ -2700,18 +2772,24 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     // recompute), so the type-faithful incremental path only ever adds
     // exact types.
     def sumIn(e: String) = if (exactDecimal) expr(e).cast(dec) else expr(e)
-    val last = t.lastTxnVersion(appId).getOrElse(-1L)
-    val cur = source.currentVersion
-    if (cur <= last && t.exists && !dimsChanged) return (0L, "up-to-date")
+    val lasts = branches.map { case (lid, _, _) =>
+      t.lastTxnVersion(lid).getOrElse(-1L) }
+    val curs = branches.map(_._2.currentVersion)
+    val last = lasts.head
+    val cur = curs.head
+    val anyNew = branches.indices.exists(i => curs(i) > lasts(i))
+    if (!anyNew && t.exists && !dimsChanged) return (0L, "up-to-date")
 
     // FLOATING-SUM POLICY (auto path; COVERAGE.md): a double/float SUM or
     // AVG keeps RECOMPUTE refresh — pinned at the source version and
     // skipped when idle, but never incrementally drifted. Driver-side
     // schema probe only (the enriched zero-row frame carries the join
-    // schema); an unresolvable expression falls through to fail loudly in
-    // the aggregate itself.
+    // schema — for a union MV the UNIONED frame, whose widened set-op
+    // types are the declared result's inputs); an unresolvable expression
+    // falls through to fail loudly in the aggregate itself.
     lazy val floating = auto && source.exists && scala.util.Try {
-      val probe = en(source.read.limit(0))
+      val probe = en(
+        (if (union.isEmpty) source.read else unionAt(curs)).limit(0))
       (sums ++ avgs).exists { case (_, e) =>
         probe.select(expr(e)).schema.head.dataType match {
           case org.apache.spark.sql.types.DoubleType |
@@ -2729,7 +2807,8 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     // the recomputed panel — correct by definition and un-wedges the
     // consumer — instead of failing every run.
     def bootstrap(mode: String): (Long, String) = {
-      val snap = filtered(en(source.readVersion(cur)))
+      val snap = filtered(en(
+        if (union.isEmpty) source.readVersion(cur) else unionAt(curs)))
       // COUNT(DISTINCT) companions rebuild FIRST: each holds the (group,
       // value) multiplicities of the snapshot — the MV overwrite below
       // carries the ledger, so a crash in between just re-bootstraps
@@ -2767,6 +2846,12 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       if (!t.exists) t.create(base.schema)
       // ledger rides the overwrite commit (replay re-bootstraps — same rows)
       t.overwrite(base, txn = Some(appId -> cur))
+      // extra union branches' ledgers land metadata-only AFTER the
+      // overwrite: a crash in between leaves that branch ledger absent →
+      // the next run re-bootstraps (one extra recompute, never a window
+      // applied against the wrong base)
+      branches.drop(1).zip(curs.drop(1)).foreach { case ((lid, _, _), v) =>
+        t.stampTxn(lid, v); () }
       // dim pins land in a FOLLOW-UP metadata commit: a crash in between
       // leaves stale pins, which only ever costs one extra recompute
       if (dims.nonEmpty)
@@ -2774,7 +2859,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           dimPinProp(n) -> v.toString }.toMap)
       (0L, mode)
     }
-    if (!t.exists || last < 0) return bootstrap("bootstrap")
+    if (!t.exists || lasts.exists(_ < 0)) return bootstrap("bootstrap")
     // DIM-DELTA candidacy (the `dim_airports_scd.csv`-style trickle: a
     // 3-key dim update against a 100 TB fact is exactly where recompute
     // is the wrong plan): exactly ONE changed dim, a single-column
@@ -2810,7 +2895,8 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     if (dcounts.zip(distTables).exists { case ((a, _), dt) =>
       dt.exists && dt.lastTxnVersion(s"$appId.dist.$a").exists(_ > last) })
       return bootstrap("recompute: distinct companion out of sync")
-    if (cur > last && !source.feedReadable(last + 1, cur))
+    if (branches.indices.exists(i => curs(i) > lasts(i) &&
+        !branches(i)._2.feedReadable(lasts(i) + 1, curs(i))))
       return bootstrap("recompute: full-rewrite window")
     // build the DIM-DELTA window BEFORE any merge: an unboundable delta
     // (over-cap key set, unreadable/vacuumed pinned version, evolved dim
@@ -3043,44 +3129,63 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
 
     var processedTotal = 0L
     var mode = "up-to-date"
-    if (cur > last) {
-      // ONE read of the window, pinned: the retraction probe (when
-      // extremes are maintained over a window with row-mutating commits),
-      // the signed-delta aggregation, and the processed count all consume
-      // the same cached pass over the change dirs. The WHERE predicate
-      // applies per-image BEFORE signing (but AFTER the dim enrich — it
-      // may reference dim columns): Filter never drops columns, so the
-      // change-type metadata rides through it. The change-type column is
-      // copied to a reserved name BEFORE the enrich so a dimension
-      // carrying a same-named column can never make the sign ambiguous.
-      // Dims join at their PINNED versions (enPinned) — the state the MV
-      // reflects; the dim-delta window below closes any dim gap.
-      val feed = filtered(enPinned(source.readChangeFeed(last + 1, Some(cur))
-          .withColumn("__graft_ct", col(graft.lake.LakeTable.ChangeTypeCol))))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        if ((mins.nonEmpty || maxs.nonEmpty) &&
-            !source.appendOnlyOps(last + 1, cur)) {
-          // monotone merge is sound only while nothing ever retracts: an
-          // extreme that LEAVES needs a group rescan. The AUTO path
-          // re-bootstraps (the user declared an MV — recompute is always
-          // legal); the explicit API keeps its loud contract.
-          val retracts = feed
-            .filter(!col("__graft_ct").isin("insert"))
-            .limit(1).count() != 0L
-          if (retracts) {
-            if (minMaxFallback) return bootstrap("recompute: retracting extremes")
-            require(false,
-              "MIN/MAX incremental maintenance needs an APPEND-ONLY source — " +
-                "the feed carries delete/update images; use a recompute MV")
-          }
+    // the first branch's effective column names — what the declared
+    // query's analyzer binds the outer expressions to; later union
+    // branches' windows rename to them (positional UNION ALL semantics)
+    lazy val names0: Seq[String] = branches.head match {
+      case (_, bt, cols) => cols.getOrElse(bt.schema.fieldNames.toSeq) }
+    branches.zipWithIndex.foreach { case ((lid, bt, bcols), bi) =>
+      if (curs(bi) > lasts(bi)) {
+        // ONE read of the window, pinned: the retraction probe (when
+        // extremes are maintained over a window with row-mutating
+        // commits), the signed-delta aggregation, and the processed count
+        // all consume the same cached pass over the change dirs. The
+        // WHERE predicate applies per-image BEFORE signing (but AFTER the
+        // dim enrich — it may reference dim columns): Filter never drops
+        // columns, so the change-type metadata rides through it. The
+        // change-type column is copied to a reserved name BEFORE the
+        // enrich/projection so a dimension (or a union branch) carrying a
+        // same-named column can never make the sign ambiguous.
+        // Dims join at their PINNED versions (enPinned) — the state the
+        // MV reflects; the dim-delta window below closes any dim gap.
+        val raw = bt.readChangeFeed(lasts(bi) + 1, Some(curs(bi)))
+          .withColumn("__graft_ct", col(graft.lake.LakeTable.ChangeTypeCol))
+        // union branch: project the branch's columns and rename to the
+        // first branch's names, so the shared group/agg expressions bind
+        val projected = bcols match {
+          case None if union.isEmpty => raw
+          case _ =>
+            val cs = bcols.getOrElse(bt.schema.fieldNames.toSeq)
+            raw.select((cs :+ "__graft_ct").map(col): _*)
+              .toDF((names0 :+ "__graft_ct"): _*)
         }
-        val sign = when(col("__graft_ct")
-          .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
-        processedTotal += applySigned(
-          feed.withColumn("__sign", sign), appId -> cur)
-        mode = "incremental"
-      } finally { feed.unpersist(); () }
+        val feed = filtered(enPinned(projected))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if ((mins.nonEmpty || maxs.nonEmpty) &&
+              !bt.appendOnlyOps(lasts(bi) + 1, curs(bi))) {
+            // monotone merge is sound only while nothing ever retracts:
+            // an extreme that LEAVES needs a group rescan. The AUTO path
+            // re-bootstraps (the user declared an MV — recompute is
+            // always legal); the explicit API keeps its loud contract.
+            val retracts = feed
+              .filter(!col("__graft_ct").isin("insert"))
+              .limit(1).count() != 0L
+            if (retracts) {
+              if (minMaxFallback)
+                return bootstrap("recompute: retracting extremes")
+              require(false,
+                "MIN/MAX incremental maintenance needs an APPEND-ONLY source — " +
+                  "the feed carries delete/update images; use a recompute MV")
+            }
+          }
+          val sign = when(col("__graft_ct")
+            .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
+          processedTotal += applySigned(
+            feed.withColumn("__sign", sign), lid -> curs(bi))
+          mode = "incremental"
+        } finally { feed.unpersist(); () }
+      }
     }
     dimDelta.foreach { case (frame0, dn, curV) =>
       val frame = frame0
@@ -3254,7 +3359,8 @@ object Pipeline {
       avgs: Seq[(String, String)] = Nil, cntCols: Seq[(String, String)] = Nil,
       sourceAlias: Option[String] = None, joins: Seq[AutoMvJoin] = Nil,
       groupExprs: Seq[String] = Nil, dcounts: Seq[(String, String)] = Nil,
-      having: Option[String] = None)
+      having: Option[String] = None,
+      union: Seq[(String, Option[Seq[String]])] = Nil)
 
   /** One registered streaming join table — see
    *  [[Pipeline.streamingJoinTable]]. */

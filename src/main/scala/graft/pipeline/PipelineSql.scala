@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions.{Alias, BinaryArithmetic, CaseWhen, Cast, Expression, Literal, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, NaturalJoin, RightOuter, UsingJoin}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias, Union}
 
 /**
  * Lakeflow's public SQL pipeline surface over [[Pipeline]] — the statement
@@ -613,10 +613,10 @@ object PipelineSql {
       }
       parsed match {
         case Some((agg, having, havingAttrs)) =>
-          val (where, rel) = agg.child match {
+          val (where, whereE, rel) = agg.child match {
             case Filter(cond, r) if noSubquery(cond) && reparses(cond.sql) =>
-              (Some(cond.sql), r)
-            case r => (None, r)
+              (Some(cond.sql), Some(cond), r)
+            case r => (None, Option.empty[Expression], r)
           }
           // a Filter that failed the guards must NOT silently drop: only a
           // bare relation (or alias of one) qualifies as a leaf — and a
@@ -648,6 +648,56 @@ object PipelineSql {
               leaf(other).map(_ -> Seq.empty[(Rel, String, Expression)])
           }
           val walked = walk(rel)
+          // UNION ALL shape — `FROM (a UNION ALL SELECT g, v FROM b …)`:
+          // γ over UNION ALL is additive, so each branch's signed window
+          // maintains the panel independently under its own ledger. A
+          // branch is a bare declared relation or a plain bare-column
+          // projection of one (positional SQL union semantics — the
+          // engine renames later branches' windows to the first branch's
+          // columns); branch-level filters/expressions/aliases and UNION
+          // DISTINCT (parsed as Distinct(Union)) keep the recompute path.
+          def peelAlias(x: LogicalPlan): LogicalPlan = x match {
+            case SubqueryAlias(_, c) => peelAlias(c)
+            case o => o
+          }
+          def unionBranch(n: LogicalPlan): Option[(String, Option[Seq[String]])] =
+            peelAlias(n) match {
+              case UnresolvedRelation(parts, _, false) if parts.length == 1 =>
+                Some((parts.head, None))
+              case Project(Seq(_: UnresolvedStar),
+                  UnresolvedRelation(parts, _, false)) if parts.length == 1 =>
+                Some((parts.head, None))
+              case Project(exprs, UnresolvedRelation(parts, _, false))
+                  if parts.length == 1 =>
+                val cols = exprs.map {
+                  case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+                    Some(a.nameParts.head)
+                  case _ => None
+                }
+                if (cols.nonEmpty && cols.forall(_.isDefined))
+                  Some((parts.head, Some(cols.flatten.toSeq)))
+                else None
+              case _ => None
+            }
+          val unionBs: Option[Seq[(String, Option[Seq[String]])]] =
+            peelAlias(rel) match {
+              case u: Union if u.children.size >= 2 && !u.byName =>
+                val bs = u.children.map(unionBranch)
+                if (bs.forall(_.isDefined)) Some(bs.flatten.toSeq) else None
+              case _ => None
+            }
+          // union MVs bind the outer expressions to the FIRST branch's
+          // bare column names — any qualified reference (the subquery
+          // alias won't exist on the runtime union frame) falls back
+          def onlySinglePartRefs: Boolean =
+            (agg.aggregateExpressions ++ agg.groupingExpressions ++
+              whereE.toSeq).forall(e =>
+              e.collect { case a: UnresolvedAttribute => a }
+                .forall(_.nameParts.length == 1))
+          // the union shape masquerades as a joinless single fact through
+          // the shared guards; per-branch checks ride separate guards
+          val walkedOrUnion = walked.orElse(unionBs.map(bs =>
+            (Rel(bs.head._1, None), Seq.empty[(Rel, String, Expression)])))
           // single-column fact-equi-dim key extraction (the DIM-DELTA
           // maintenance handle): the ON condition must be exactly
           // `<fact>.<col> = <dim>.<col>` (either order), both sides
@@ -735,16 +785,20 @@ object PipelineSql {
           }
           val outs = agg.aggregateExpressions.map(classify)
           for {
-            (fact, joins) <- walked
+            (fact, joins) <- walkedOrUnion
             s = fact.name
-            // TABLE-BACKED sources only — fact AND every dim: a plain-view
-            // source (whose dependency closure may reach a recompute MV
-            // that refreshes last) and direct recompute-MV sources both
-            // keep the recompute path, ordered with the other recompute
-            // MVs; dims additionally need a pinnable VERSION (the
-            // dim-unchanged proof the incremental window rests on)
+            // TABLE-BACKED sources only — fact AND every dim AND every
+            // union branch: a plain-view source (whose dependency closure
+            // may reach a recompute MV that refreshes last) and direct
+            // recompute-MV sources both keep the recompute path, ordered
+            // with the other recompute MVs; dims additionally need a
+            // pinnable VERSION (the dim-unchanged proof the incremental
+            // window rests on)
             if p.isTableBackedSource(s)
             if joins.forall { case (d, _, _) => p.isTableBackedSource(d.name) }
+            if unionBs.forall(_.forall { case (ds, _) =>
+              p.isTableBackedSource(ds) })
+            if unionBs.isEmpty || onlySinglePartRefs
             // distinct relations only (a self-join's two sides can't be
             // independently pinned) and distinct aliases (ambiguous
             // qualifiers would wedge every refresh)
@@ -760,6 +814,9 @@ object PipelineSql {
             if gs.forall { case (ksql, _) => gOuts.count(_.key == ksql) == 1 }
             if gOuts.size == gs.size
             if os.exists { case _: G => false; case _ => true }
+            // COUNT(DISTINCT) companions track ONE source's windows —
+            // union MVs with them keep the recompute path
+            if unionBs.isEmpty || !os.exists { case _: Dc => true; case _ => false }
             names = os.map {
               case G(n, _, _) => n; case Sm(a, _) => a; case Mn(a, _) => a
               case Mx(a, _) => a; case Cnt(a) => a; case Av(a, _) => a
@@ -794,7 +851,8 @@ object PipelineSql {
                   d.alias.getOrElse(d.name), cond)) },
             groupExprs = gOuts.map(_.e),
             dcounts = os.collect { case Dc(a, e) => a -> e },
-            having = having)
+            having = having,
+            union = unionBs.getOrElse(Nil))
         case _ => None
       }
     }.toOption.flatten

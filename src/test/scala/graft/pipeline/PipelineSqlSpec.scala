@@ -961,6 +961,14 @@ class PipelineSqlSpec extends SparkSpec {
       Seq("cat"))
     p.run()
     assert(ev.last.contains("dim-delta from dim"), ev)
+    // KEY-BOUNDED proof: the refresh processed exactly the two signed
+    // branches over the 3 changed keys (3 fact rows × 2 signs = 6 images),
+    // not the ~1000-row fact — the event log's row count IS the evidence
+    // the fact scan was sliced, never re-aggregated
+    val processed = p.eventLog
+      .filter(col("event_type") === "flow_progress" && col("dataset") === "gold")
+      .orderBy(col("run_id").desc).select("rows").as[Long].head()
+    assert(processed == 6L, s"processed $processed images, expected 6")
     assert(p.read("gold").filter(col("cat").isin("c1", "c2", "c3"))
       .orderBy("cat").as[(String, Long, Double)].collect().toSeq ==
       Seq(("c1", 10L, 10.0), ("c2", 40L, 40.0), ("c3", 90L, 90.0)))
@@ -970,6 +978,77 @@ class PipelineSqlSpec extends SparkSpec {
     assert(ev.last.contains("recompute: dimension changed"), ev)
     assert(p.read("gold").filter(col("cat") === "c5")
       .as[(String, Long, Double)].collect().toSeq == Seq(("c5", 10L, 10.0)))
+  }
+
+  test("UNION ALL auto-MV: each branch maintains under its own ledger — " +
+      "appends and deletes on either side apply as independent signed " +
+      "windows, positional column semantics hold, ≡ recompute; UNION " +
+      "DISTINCT and view-backed branches keep recompute") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_union")
+    val a = LakeTable(spark, s"$root/a")
+    val seedA = Seq((1L, "x", 10L), (2L, "y", 5L)).toDF("k", "g", "v")
+    a.create(seedA.schema, enableChangeFeed = true)
+    a.append(seedA)
+    // b's physical column ORDER differs — the branch projection must
+    // align positionally (SQL UNION ALL semantics), not by table order
+    val b = LakeTable(spark, s"$root/b")
+    val seedB = Seq((20L, "x", 100L), (7L, "z", 101L)).toDF("v2", "g2", "k2")
+    b.create(seedB.schema, enableChangeFeed = true)
+    b.append(seedB)
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("a", a)
+    p.inputTable("b", b)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW panel AS
+      SELECT g, SUM(v) AS s, COUNT(*) AS n
+      FROM (SELECT g, v FROM a UNION ALL SELECT g2, v2 FROM b)
+      GROUP BY g""")
+    p.run()
+    def panel = p.read("panel").orderBy("g")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(panel == Seq(("x", 30L, 2L), ("y", 5L, 1L), ("z", 7L, 1L)))
+    def ev = p.eventLog.filter(col("dataset") === "panel")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    // window on branch a only
+    a.append(Seq((3L, "z", 2L)).toDF("k", "g", "v"))
+    p.run()
+    assert(panel == Seq(("x", 30L, 2L), ("y", 5L, 1L), ("z", 9L, 2L)))
+    assert(ev.last.contains("incremental from a ∪ b"), ev)
+    // windows on BOTH branches in one refresh, incl. a retraction on b
+    a.append(Seq((4L, "w", 1L)).toDF("k", "g", "v"))
+    b.deleteWhere("g2 = 'x'")
+    p.run()
+    assert(panel == Seq(("w", 1L, 1L), ("x", 10L, 1L), ("y", 5L, 1L),
+      ("z", 9L, 2L)))
+    assert(ev.last.contains("incremental from a ∪ b"), ev)
+    // ≡ recompute over the whole union
+    val rec = a.read.select(col("g"), col("v"))
+      .union(b.read.select(col("g2"), col("v2")))
+      .groupBy("g").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    assert(panel == rec)
+    // an idle refresh is up-to-date on every branch ledger — no work
+    p.run()
+    assert(panel == rec)
+
+    // UNION (DISTINCT) parses as Distinct(Union) → recompute path
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW pd AS
+      SELECT g, SUM(v) AS s
+      FROM (SELECT g, v FROM a UNION SELECT g2, v2 FROM b) GROUP BY g""")
+    // a view-backed branch → recompute path (still answers)
+    PipelineSql(p, "CREATE VIEW av AS SELECT g, v FROM a")
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW pv AS
+      SELECT g, SUM(v) AS s
+      FROM (SELECT g, v FROM av UNION ALL SELECT g2, v2 FROM b) GROUP BY g""")
+    p.run()
+    assert(p.read("pd").count() > 0)
+    assert(p.read("pv").orderBy("g").as[(String, Long)].collect().toSeq ==
+      rec.map { case (g, s, _) => (g, s) })
+    Seq("pd", "pv").foreach { ds =>
+      val m = p.eventLog.filter(col("dataset") === ds)
+        .select("message").as[String].collect().toSeq
+      assert(m.forall(!_.contains("incremental from")), ds -> m)
+    }
   }
 
   test("COUNT(DISTINCT) auto-MV: a signed companion table of (group, " +
