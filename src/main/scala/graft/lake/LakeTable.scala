@@ -1047,8 +1047,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
    * column all-NULL in the file) are always read — skipping is only ever an
    * optimization, never a filter.
    */
-  def readWhere(preds: Seq[ZonePred]): DataFrame = {
-    val m = manifest
+  def readWhere(preds: Seq[ZonePred], asOf: Option[Long] = None): DataFrame = {
+    val m = asOf.fold(manifest)(readManifest)
     preds.foreach(p => require(m.schema.fieldNames.contains(p.col),
       s"unknown predicate column ${p.col}"))
     def residual(df: DataFrame): DataFrame =

@@ -2909,18 +2909,40 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         scala.util.Try {
           val dPin = dt.readVersion(pinV)
           val dCur = dt.readVersion(curV)
-          val changedKeys = dCur.exceptAll(dPin).select(col(dc))
+          val keysDf = dCur.exceptAll(dPin).select(col(dc))
             .unionByName(dPin.exceptAll(dCur).select(col(dc)))
             .filter(col(dc).isNotNull).distinct()
+          val changedKeys = keysDf
             .limit(Pipeline.DimDeltaKeyCap + 1).collect()
             .map(_.get(0)).toSeq
           if (changedKeys.size > Pipeline.DimDeltaKeyCap) None
-          else {
-            // the IN-list reaches the fact's parquet scan — zone maps /
-            // bloom sidecars prune files owning none of the changed keys,
-            // so the trickle-update refresh never reads the whole fact
-            val factSlice = source.readVersion(cur)
-              .filter(col(fc).isin(changedKeys: _*))
+          else if (changedKeys.isEmpty) {
+            // a dim version bump with zero row changes (a properties
+            // commit): nothing to apply — an empty signed window still
+            // advances the pin through the merge txn
+            val emptySlice = source.readVersion(cur).limit(0)
+            val plus = filtered(enrich(Map(dims.map { case (n2, dt2) =>
+              n2 -> dt2.readVersion(if (n2 == dn) curV
+                else dimPins.getOrElse(n2, dt2.currentVersion))
+            }: _*))(emptySlice)).withColumn("__sign", lit(1L))
+            Some((plus, dn, curV))
+          } else {
+            // TWO pruning layers on the fact slice: (1) MANIFEST-level
+            // zone-map skipping via the key set's conservative [min,max]
+            // range (files whose key range misses every changed key are
+            // never even opened — the 100 TB lever: footer reads track
+            // the trickle, not the table), then (2) the exact IN-list as
+            // the row residual, reaching the parquet scan for row-group
+            // pruning inside surviving files. Bounds use Spark's own
+            // CAST-to-STRING rendering (the ZonePred contract).
+            val b = keysDf
+              .agg(min(col(dc)).cast("string"), max(col(dc)).cast("string"))
+              .head()
+            val zoneSliced = scala.util.Try(source.readWhere(
+              Seq(graft.lake.LakeTable.ZonePred.between(
+                fc, b.getString(0), b.getString(1))),
+              asOf = Some(cur))).getOrElse(source.readVersion(cur))
+            val factSlice = zoneSliced.filter(col(fc).isin(changedKeys: _*))
             def frames(v: Long): Map[String, DataFrame] =
               dims.map { case (n2, dt2) =>
                 n2 -> (if (n2 == dn)

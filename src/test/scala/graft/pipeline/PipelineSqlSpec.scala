@@ -980,6 +980,57 @@ class PipelineSqlSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSeq == Seq(("c5", 10L, 10.0)))
   }
 
+  test("dim-delta fact slice SKIPS whole fact files by zone map (manifest-" +
+      "level, pinned version) and a row-less dim version bump just " +
+      "advances the pin") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_dimzone")
+    val fact = LakeTable(spark, s"$root/fact")
+    val mk = (lo: Int, hi: Int) => (lo to hi)
+      .map(i => (i.toLong, f"c$i%04d", i.toLong)).toDF("k", "cat", "v")
+    fact.create(mk(0, 0).schema, enableChangeFeed = true,
+      statsColumns = Seq("cat"))
+    // two appends with DISJOINT key ranges → two files with tight zone
+    // stats on the join column
+    fact.append(mk(0, 499).coalesce(1))
+    fact.append(mk(500, 999).coalesce(1))
+    val dim = LakeTable(spark, s"$root/dim")
+    dim.append((0 to 999).map(i => (f"c$i%04d", 1L)).toDF("cat", "w"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("fact", fact)
+    p.inputTable("dim", dim)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW gold AS
+      SELECT f.cat AS cat, SUM(f.v * d.w) AS s
+      FROM fact f JOIN dim d ON f.cat = d.cat GROUP BY f.cat""")
+    p.run()
+    // the trickle touches only low-range keys: the high-range fact file's
+    // zone map proves it can hold none of them — the manifest-level skip
+    // the dim-delta slice rides (same pred, same planSkip)
+    dim.merge(Seq(("c0003", 5L), ("c0007", 5L)).toDF("cat", "w"), Seq("cat"))
+    val (_, skipped) = fact.skippingStats(
+      Seq(LakeTable.ZonePred.between("cat", "c0003", "c0007")))
+    assert(skipped >= 1, s"expected the high-range file skipped, got $skipped")
+    p.run()
+    def ev = p.eventLog.filter(col("dataset") === "gold")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    assert(ev.last.contains("dim-delta from dim"), ev)
+    assert(p.read("gold").filter(col("cat").isin("c0003", "c0007", "c0500"))
+      .orderBy("cat").as[(String, Long)].collect().toSeq ==
+      Seq(("c0003", 15L), ("c0007", 35L), ("c0500", 500L)))
+    // a dim PROPERTIES commit moves the version with zero row changes:
+    // the refresh applies an EMPTY signed window that only advances the
+    // pin — values untouched, and the next run is cleanly up-to-date
+    dim.setTableProperties(Map("team.owner" -> "gold"))
+    p.run()
+    assert(ev.last.contains("dim-delta from dim"), ev)
+    assert(p.read("gold").filter(col("cat") === "c0003")
+      .as[(String, Long)].collect().toSeq == Seq(("c0003", 15L)))
+    val before = ev.size
+    p.run()
+    assert(p.eventLog.filter(col("dataset") === "gold").count() == before + 1)
+    assert(ev.last.contains("up-to-date") || ev.last.contains("(0"), ev.last)
+  }
+
   test("UNION ALL auto-MV: each branch maintains under its own ledger — " +
       "appends and deletes on either side apply as independent signed " +
       "windows, positional column semantics hold, ≡ recompute; UNION " +
