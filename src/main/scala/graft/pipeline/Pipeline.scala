@@ -2872,17 +2872,20 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     // γ±(F[X∈K] ⋈ D_pin[K]); with a LEFT join the null-extension of an
     // F[X∈K] row is decided entirely inside D[K], so the same two signed
     // branches stay exact through match births and deaths.
-    val dimDeltaPlan: Option[(String, LakeTable, Long, Long, String, String)] =
-      if (!auto || changedDims.size != 1 || mins.nonEmpty || maxs.nonEmpty ||
-          dcounts.nonEmpty) None
-      else changedDims.headOption.flatMap { case (dn, curV) =>
+    val dimDeltaPlans: Seq[(String, LakeTable, Long, Long, String, String)] =
+      if (!auto || changedDims.isEmpty || mins.nonEmpty || maxs.nonEmpty ||
+          dcounts.nonEmpty) Nil
+      else changedDims.flatMap { case (dn, curV) =>
         for {
           pinV <- dimPins.get(dn)
           fcdc <- dimEqui.get(dn)
           dt <- dims.collectFirst { case (n, d) if n == dn => d }
         } yield (dn, dt, pinV, curV, fcdc._1, fcdc._2)
       }
-    if (dimsChanged && dimDeltaPlan.isEmpty)
+    // EVERY changed dim must be delta-capable, or the whole MV recomputes
+    // — a half-delta'd state (one dim advanced, another recomputed) has
+    // no consistent pin vector to resume from
+    if (dimsChanged && dimDeltaPlans.size != changedDims.size)
       return bootstrap("recompute: dimension changed")
     if (floating) return bootstrap("recompute: floating-point aggregate")
     // a COUNT(DISTINCT) companion ledger AHEAD of the MV ledger means a
@@ -2898,14 +2901,32 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     if (branches.indices.exists(i => curs(i) > lasts(i) &&
         !branches(i)._2.feedReadable(lasts(i) + 1, curs(i))))
       return bootstrap("recompute: full-rewrite window")
-    // build the DIM-DELTA window BEFORE any merge: an unboundable delta
+    // build the DIM-DELTA windows BEFORE any merge: an unboundable delta
     // (over-cap key set, unreadable/vacuumed pinned version, evolved dim
-    // schema) must fall back to ONE recompute, never half-apply. The key
-    // set is the exact changed-row keys — a full-row diff of the two dim
-    // versions (dim-sized, the small side by star assumption), collected
-    // only up to the cap + 1.
-    val dimDelta: Option[(DataFrame, String, Long)] = dimDeltaPlan.flatMap {
-      case (dn, dt, pinV, curV, fc, dc) =>
+    // schema) in ANY changed dim must fall back to ONE recompute, never
+    // half-apply. Each key set is the exact changed-row keys — a full-row
+    // diff of the two dim versions (dim-sized, the small side by star
+    // assumption), collected only up to the cap + 1.
+    //
+    // MULTIPLE changed dims apply SEQUENTIALLY in declaration order: each
+    // step is the single-dim delta lemma with "the fact" = fact ⋈ other
+    // dims at their step-effective versions — dims processed EARLIER in
+    // this refresh at CURRENT, later ones still at PIN:
+    //   γ(F ⋈ D1_cur ⋈ D2_pin) --Δ2--> γ(F ⋈ D1_cur ⋈ D2_cur), exact.
+    val orderedPlans = dims.map(_._1)
+      .flatMap(n => dimDeltaPlans.find(_._1 == n))
+    val earlierCur = scala.collection.mutable.Set[String]()
+    val dimDeltaSteps: Seq[Option[(DataFrame, String, Long)]] =
+      orderedPlans.map { case (dn, dt, pinV, curV, fc, dc) =>
+        val doneCur = earlierCur.toSet
+        earlierCur += dn
+        // step-effective version of every OTHER dim (both branches):
+        // already-processed changed dims read CURRENT, the rest their PIN
+        def otherVer(n2: String, dt2: LakeTable): Long =
+          if (doneCur(n2))
+            dimsCur.collectFirst { case (n3, v) if n3 == n2 => v }
+              .getOrElse(dt2.currentVersion)
+          else dimPins.getOrElse(n2, dt2.currentVersion)
         scala.util.Try {
           val dPin = dt.readVersion(pinV)
           val dCur = dt.readVersion(curV)
@@ -2922,8 +2943,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
             // advances the pin through the merge txn
             val emptySlice = source.readVersion(cur).limit(0)
             val plus = filtered(enrich(Map(dims.map { case (n2, dt2) =>
-              n2 -> dt2.readVersion(if (n2 == dn) curV
-                else dimPins.getOrElse(n2, dt2.currentVersion))
+              n2 -> dt2.readVersion(if (n2 == dn) curV else otherVer(n2, dt2))
             }: _*))(emptySlice)).withColumn("__sign", lit(1L))
             Some((plus, dn, curV))
           } else {
@@ -2947,8 +2967,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
               dims.map { case (n2, dt2) =>
                 n2 -> (if (n2 == dn)
                   dt2.readVersion(v).filter(col(dc).isin(changedKeys: _*))
-                else dt2.readVersion(
-                  dimPins.getOrElse(n2, dt2.currentVersion)))
+                else dt2.readVersion(otherVer(n2, dt2)))
               }.toMap
             val plus = filtered(enrich(frames(curV))(factSlice))
               .withColumn("__sign", lit(1L))
@@ -2961,8 +2980,11 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
             Some((plus.union(minus), dn, curV))
           }
         }.toOption.flatten
-    }
-    if (dimsChanged && dimDelta.isEmpty)
+      }
+    val dimDeltas: Option[Seq[(DataFrame, String, Long)]] =
+      if (dimDeltaSteps.forall(_.isDefined)) Some(dimDeltaSteps.flatten)
+      else None
+    if (dimsChanged && dimDeltas.isEmpty)
       return bootstrap("recompute: dimension changed (delta unboundable)")
 
     // the shared SIGNED-WINDOW applier: aggregate a frame of signed row
@@ -3209,7 +3231,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         } finally { feed.unpersist(); () }
       }
     }
-    dimDelta.foreach { case (frame0, dn, curV) =>
+    dimDeltas.getOrElse(Nil).foreach { case (frame0, dn, curV) =>
       val frame = frame0
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -3218,8 +3240,10 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       // pin property follow-up: a crash before it only leaves the stale
       // property, and effPin's max-with-txn keeps the merge authoritative
       t.setTableProperties(Map(dimPinProp(dn) -> curV.toString))
-      mode = if (mode == "incremental") s"incremental + dim-delta from $dn"
-             else s"dim-delta from $dn"
+      mode =
+        if (mode.contains("dim-delta from")) s"$mode, $dn"
+        else if (mode == "incremental") s"incremental + dim-delta from $dn"
+        else s"dim-delta from $dn"
     }
     (processedTotal, mode)
   }

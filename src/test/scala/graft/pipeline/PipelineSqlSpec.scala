@@ -980,6 +980,110 @@ class PipelineSqlSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSeq == Seq(("c5", 10L, 10.0)))
   }
 
+  test("MULTI-dim delta: BOTH dims of a two-dim star change in one " +
+      "refresh — sequential signed windows (earlier dim at its new " +
+      "version for the later step) ≡ recompute, fact window included") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_dim2")
+    val fact = LakeTable(spark, s"$root/fact")
+    val seed = Seq(
+      (1L, "x", "p", 10L), (2L, "y", "q", 5L), (3L, "x", "q", 7L))
+      .toDF("k", "cat", "grp", "v")
+    fact.create(seed.schema, enableChangeFeed = true)
+    fact.append(seed)
+    val d1 = LakeTable(spark, s"$root/d1")
+    d1.append(Seq(("x", 2L), ("y", 3L)).toDF("cat", "w1"))
+    val d2 = LakeTable(spark, s"$root/d2")
+    d2.append(Seq(("p", 100L), ("q", 200L)).toDF("grp", "w2"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("fact", fact)
+    p.inputTable("d1", d1)
+    p.inputTable("d2", d2)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW gold AS
+      SELECT f.cat AS cat, SUM(f.v * a.w1 * b.w2) AS s, COUNT(*) AS n
+      FROM fact f JOIN d1 a ON f.cat = a.cat JOIN d2 b ON f.grp = b.grp
+      GROUP BY f.cat""")
+    p.run()
+    def gold = p.read("gold").orderBy("cat")
+      .as[(String, Long, Long)].collect().toSeq
+    def recompute = fact.read.alias("f")
+      .join(d1.read.alias("a"), expr("f.cat = a.cat"))
+      .join(d2.read.alias("b"), expr("f.grp = b.grp"))
+      .groupBy(col("f.cat")).agg(
+        sum(expr("f.v * a.w1 * b.w2")).as("s"), count(lit(1)).as("n"))
+      .orderBy("cat").as[(String, Long, Long)].collect().toSeq
+    assert(gold == recompute)
+    def ev = p.eventLog.filter(col("dataset") === "gold")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    // BOTH dims trickle in one refresh, plus a fact arrival: the kernel
+    // orders fact-window-first (old pins), then d1's delta (d2 at pin),
+    // then d2's delta (d1 at cur) — three signed windows, exact
+    d1.merge(Seq(("x", 20L)).toDF("cat", "w1"), Seq("cat"))
+    d2.merge(Seq(("q", 999L)).toDF("grp", "w2"), Seq("grp"))
+    fact.append(Seq((4L, "y", "p", 1L)).toDF("k", "cat", "grp", "v"))
+    p.run()
+    assert(gold == recompute)
+    assert(ev.last.contains("incremental + dim-delta from d1, d2"), ev)
+    // dim-only double trickle on the NEW pins
+    d1.merge(Seq(("y", 30L)).toDF("cat", "w1"), Seq("cat"))
+    d2.merge(Seq(("p", 1L)).toDF("grp", "w2"), Seq("grp"))
+    p.run()
+    assert(gold == recompute)
+    assert(ev.last.contains("dim-delta from d1, d2"), ev)
+    // and plain incremental resumes on the advanced pin vector
+    fact.append(Seq((5L, "x", "p", 2L)).toDF("k", "cat", "grp", "v"))
+    p.run()
+    assert(gold == recompute)
+    assert(ev.last.contains("incremental from fact"), ev)
+  }
+
+  test("EXPRESSION group keys compose with star joins: a day-bucketed " +
+      "fact-time panel over fact JOIN dim maintains through fact windows " +
+      "AND dim deltas") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_expr_star")
+    val fact = LakeTable(spark, s"$root/fact")
+    val seed = Seq(
+      (1L, "x", ts("2024-01-01 10:00:00"), 10L),
+      (2L, "y", ts("2024-01-01 11:00:00"), 5L),
+      (3L, "x", ts("2024-01-02 09:00:00"), 7L)).toDF("k", "cat", "ts", "v")
+    fact.create(seed.schema, enableChangeFeed = true)
+    fact.append(seed)
+    val dim = LakeTable(spark, s"$root/dim")
+    dim.append(Seq(("x", 2L), ("y", 3L)).toDF("cat", "w"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("fact", fact)
+    p.inputTable("dim", dim)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW daily AS
+      SELECT date_trunc('day', f.ts) AS day, SUM(f.v * d.w) AS s,
+             COUNT(*) AS n
+      FROM fact f JOIN dim d ON f.cat = d.cat
+      GROUP BY date_trunc('day', f.ts)""")
+    p.run()
+    def panel = p.read("daily").orderBy("day")
+      .as[(Timestamp, Long, Long)].collect().toSeq
+    assert(panel == Seq(
+      (ts("2024-01-01 00:00:00"), 35L, 2L),
+      (ts("2024-01-02 00:00:00"), 14L, 1L)))
+    def ev = p.eventLog.filter(col("dataset") === "daily")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    // fact window: the day bucket is computed per image inside the join
+    fact.append(Seq((4L, "y", ts("2024-01-02 23:00:00"), 1L))
+      .toDF("k", "cat", "ts", "v"))
+    p.run()
+    assert(panel == Seq(
+      (ts("2024-01-01 00:00:00"), 35L, 2L),
+      (ts("2024-01-02 00:00:00"), 17L, 2L)))
+    assert(ev.last.contains("incremental from fact"), ev)
+    // dim delta: the re-weighted key flows into the day buckets exactly
+    dim.merge(Seq(("x", 10L)).toDF("cat", "w"), Seq("cat"))
+    p.run()
+    assert(panel == Seq(
+      (ts("2024-01-01 00:00:00"), 115L, 2L),
+      (ts("2024-01-02 00:00:00"), 73L, 2L)))
+    assert(ev.last.contains("dim-delta from dim"), ev)
+  }
+
   test("dim-delta fact slice SKIPS whole fact files by zone map (manifest-" +
       "level, pinned version) and a row-less dim version bump just " +
       "advances the pin") {
