@@ -157,8 +157,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           dims = dims, enrich = autoMvEnrich(spec, _),
           groupExprs = spec.groupExprs,
           dimEqui = spec.joins.collect {
-            case j if j.equi.size == 1 =>
-              j.dim -> j.equi.head }.toMap,
+            case j if j.equi.nonEmpty => j.dim -> j.equi }.toMap,
           dcounts = spec.dcounts,
           distTables = spec.dcounts.map { case (a, _) =>
             LakeTable(spark, s"$storageRoot/${name}__dist_$a") })
@@ -2676,9 +2675,9 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       groupExprs: Seq[String] = Nil,
       dcounts: Seq[(String, String)] = Nil,
       distTables: Seq[LakeTable] = Nil,
-      dimEqui: Map[String, (String, String)] = Map.empty,
+      dimEqui: Map[String, Seq[(String, String)]] = Map.empty,
       union: Seq[(LakeTable, Option[Seq[String]])] = Nil): (Long, String) = {
-    import org.apache.spark.sql.functions.{avg, col, count, countDistinct, expr, lit, max, min, sum, when}
+    import org.apache.spark.sql.functions.{avg, broadcast, col, count, countDistinct, expr, lit, max, min, sum, when}
     require(groupBy.nonEmpty, "incremental agg MV needs GROUP BY columns")
     // AVG/COUNT(expr) decompositions ride hidden columns — auto path only
     // (the explicit API's materialized schema is the user's own)
@@ -2872,15 +2871,17 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     // γ±(F[X∈K] ⋈ D_pin[K]); with a LEFT join the null-extension of an
     // F[X∈K] row is decided entirely inside D[K], so the same two signed
     // branches stay exact through match births and deaths.
-    val dimDeltaPlans: Seq[(String, LakeTable, Long, Long, String, String)] =
+    val dimDeltaPlans
+        : Seq[(String, LakeTable, Long, Long, Seq[(String, String)])] =
       if (!auto || changedDims.isEmpty || mins.nonEmpty || maxs.nonEmpty ||
           dcounts.nonEmpty) Nil
       else changedDims.flatMap { case (dn, curV) =>
         for {
           pinV <- dimPins.get(dn)
-          fcdc <- dimEqui.get(dn)
+          eqKeys <- dimEqui.get(dn)
+          if eqKeys.nonEmpty
           dt <- dims.collectFirst { case (n, d) if n == dn => d }
-        } yield (dn, dt, pinV, curV, fcdc._1, fcdc._2)
+        } yield (dn, dt, pinV, curV, eqKeys)
       }
     // EVERY changed dim must be delta-capable, or the whole MV recomputes
     // — a half-delta'd state (one dim advanced, another recomputed) has
@@ -2917,9 +2918,11 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       .flatMap(n => dimDeltaPlans.find(_._1 == n))
     val earlierCur = scala.collection.mutable.Set[String]()
     val dimDeltaSteps: Seq[Option[(DataFrame, String, Long)]] =
-      orderedPlans.map { case (dn, dt, pinV, curV, fc, dc) =>
+      orderedPlans.map { case (dn, dt, pinV, curV, eqKeys) =>
         val doneCur = earlierCur.toSet
         earlierCur += dn
+        val fcs = eqKeys.map(_._1)
+        val dcs = eqKeys.map(_._2)
         // step-effective version of every OTHER dim (both branches):
         // already-processed changed dims read CURRENT, the rest their PIN
         def otherVer(n2: String, dt2: LakeTable): Long =
@@ -2930,14 +2933,15 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         scala.util.Try {
           val dPin = dt.readVersion(pinV)
           val dCur = dt.readVersion(curV)
-          val keysDf = dCur.exceptAll(dPin).select(col(dc))
-            .unionByName(dPin.exceptAll(dCur).select(col(dc)))
-            .filter(col(dc).isNotNull).distinct()
-          val changedKeys = keysDf
-            .limit(Pipeline.DimDeltaKeyCap + 1).collect()
-            .map(_.get(0)).toSeq
-          if (changedKeys.size > Pipeline.DimDeltaKeyCap) None
-          else if (changedKeys.isEmpty) {
+          // changed-key tuples; all-key-null rows are unmatchable under
+          // `=` (inner AND left joins alike) so their changes are inert
+          val keysDf = dCur.exceptAll(dPin).select(dcs.map(col): _*)
+            .unionByName(dPin.exceptAll(dCur).select(dcs.map(col): _*))
+            .filter(dcs.map(col(_).isNotNull).reduce(_ && _)).distinct()
+          val changedRows = keysDf
+            .limit(Pipeline.DimDeltaKeyCap + 1).collect().toSeq
+          if (changedRows.size > Pipeline.DimDeltaKeyCap) None
+          else if (changedRows.isEmpty) {
             // a dim version bump with zero row changes (a properties
             // commit): nothing to apply — an empty signed window still
             // advances the pin through the merge txn
@@ -2948,25 +2952,54 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
             Some((plus, dn, curV))
           } else {
             // TWO pruning layers on the fact slice: (1) MANIFEST-level
-            // zone-map skipping via the key set's conservative [min,max]
-            // range (files whose key range misses every changed key are
-            // never even opened — the 100 TB lever: footer reads track
-            // the trickle, not the table), then (2) the exact IN-list as
-            // the row residual, reaching the parquet scan for row-group
-            // pruning inside surviving files. Bounds use Spark's own
-            // CAST-to-STRING rendering (the ZonePred contract).
-            val b = keysDf
-              .agg(min(col(dc)).cast("string"), max(col(dc)).cast("string"))
-              .head()
-            val zoneSliced = scala.util.Try(source.readWhere(
-              Seq(graft.lake.LakeTable.ZonePred.between(
-                fc, b.getString(0), b.getString(1))),
-              asOf = Some(cur))).getOrElse(source.readVersion(cur))
-            val factSlice = zoneSliced.filter(col(fc).isin(changedKeys: _*))
+            // zone-map skipping via each key column's conservative
+            // [min,max] bound (a product box — files whose ranges miss
+            // every changed key on ANY column are never even opened: the
+            // 100 TB lever, footer reads track the trickle, not the
+            // table), then (2) the exact key restriction as the row
+            // residual — an IN-list for single-column keys (reaches the
+            // parquet scan for row-group pruning), a broadcast semi-join
+            // against the metadata-sized key set for composite keys.
+            // Bounds use Spark's own CAST-to-STRING rendering (the
+            // ZonePred contract).
+            val bAggs = dcs.flatMap(c =>
+              Seq(min(col(c)).cast("string"), max(col(c)).cast("string")))
+            val b = keysDf.agg(bAggs.head, bAggs.tail: _*).head()
+            val preds = fcs.zipWithIndex.map { case (fc2, i) =>
+              graft.lake.LakeTable.ZonePred.between(
+                fc2, b.getString(2 * i), b.getString(2 * i + 1)) }
+            val zoneSliced = scala.util.Try(
+              source.readWhere(preds, asOf = Some(cur)))
+              .getOrElse(source.readVersion(cur))
+            // local key frames (≤ cap rows) under fact-side / dim-side
+            // names for the two semi-joins; nulls were filtered above so
+            // plain equality is exact
+            def keyFrame(names: Seq[String]): DataFrame =
+              spark.createDataFrame(
+                spark.sparkContext.parallelize(changedRows, 1),
+                org.apache.spark.sql.types.StructType(
+                  names.zip(dcs).map { case (n2, c) =>
+                    org.apache.spark.sql.types.StructField(
+                      s"__key_$n2", dCur.schema(c).dataType) }))
+            def semiByKeys(df: DataFrame, names: Seq[String]): DataFrame = {
+              val kf = keyFrame(names)
+              df.join(broadcast(kf),
+                names.zipWithIndex.map { case (n2, i) =>
+                  df(n2) === kf(s"__key_$n2") }.reduce(_ && _), "left_semi")
+            }
+            val singleVals =
+              if (eqKeys.size == 1) changedRows.map(_.get(0)) else Nil
+            val factSlice =
+              if (eqKeys.size == 1)
+                zoneSliced.filter(col(fcs.head).isin(singleVals: _*))
+              else semiByKeys(zoneSliced, fcs)
+            def sliceDim(df: DataFrame): DataFrame =
+              if (eqKeys.size == 1)
+                df.filter(col(dcs.head).isin(singleVals: _*))
+              else semiByKeys(df, dcs)
             def frames(v: Long): Map[String, DataFrame] =
               dims.map { case (n2, dt2) =>
-                n2 -> (if (n2 == dn)
-                  dt2.readVersion(v).filter(col(dc).isin(changedKeys: _*))
+                n2 -> (if (n2 == dn) sliceDim(dt2.readVersion(v))
                 else dt2.readVersion(otherVer(n2, dt2)))
               }.toMap
             val plus = filtered(enrich(frames(curV))(factSlice))

@@ -698,14 +698,19 @@ object PipelineSql {
           // the shared guards; per-branch checks ride separate guards
           val walkedOrUnion = walked.orElse(unionBs.map(bs =>
             (Rel(bs.head._1, None), Seq.empty[(Rel, String, Expression)])))
-          // single-column fact-equi-dim key extraction (the DIM-DELTA
-          // maintenance handle): the ON condition must be exactly
-          // `<fact>.<col> = <dim>.<col>` (either order), both sides
-          // attribute references qualified by the two relations' aliases.
-          // Anything else leaves `equi` empty — dim changes then keep the
+          // fact-equi-dim key extraction (the DIM-DELTA maintenance
+          // handle): the ON condition must be a conjunction of
+          // `<fact>.<col> = <dim>.<col>` equalities (either order, any
+          // count — composite dim keys included), every side an attribute
+          // reference qualified by the two relations' aliases. Anything
+          // else leaves `equi` empty — dim changes then keep the
           // documented recompute path; never a correctness decision.
           def equiOf(factQ: String, dimQ: String, cond: Expression)
               : Seq[(String, String)] = cond match {
+            case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+              val ls = equiOf(factQ, dimQ, l)
+              val rs = equiOf(factQ, dimQ, r)
+              if (ls.nonEmpty && rs.nonEmpty) ls ++ rs else Nil
             case org.apache.spark.sql.catalyst.expressions.EqualTo(
                 a: UnresolvedAttribute, b: UnresolvedAttribute)
                 if a.nameParts.length == 2 && b.nameParts.length == 2 =>

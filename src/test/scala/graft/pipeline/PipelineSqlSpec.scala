@@ -980,6 +980,51 @@ class PipelineSqlSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSeq == Seq(("c5", 10L, 10.0)))
   }
 
+  test("COMPOSITE-key dim delta: a two-column equi join maintains through " +
+      "a dim trickle via the broadcast semi-join key set; null-keyed fact " +
+      "rows stay inert") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_dimck")
+    val fact = LakeTable(spark, s"$root/fact")
+    val seed = Seq(
+      (1L, Option("x"), "e", 10L), (2L, Option("x"), "w", 5L),
+      (3L, Option("y"), "e", 7L), (4L, Option.empty[String], "e", 99L))
+      .toDF("k", "cat", "region", "v")
+    fact.create(seed.schema, enableChangeFeed = true)
+    fact.append(seed)
+    val dim = LakeTable(spark, s"$root/dim")
+    dim.append(Seq(("x", "e", 2L), ("x", "w", 3L), ("y", "e", 4L))
+      .toDF("cat", "region", "w"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("fact", fact)
+    p.inputTable("dim", dim)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW gold AS
+      SELECT f.cat AS cat, SUM(f.v * d.w) AS s, COUNT(*) AS n
+      FROM fact f LEFT JOIN dim d
+        ON f.cat = d.cat AND f.region = d.region
+      GROUP BY f.cat""")
+    p.run()
+    def gold = p.read("gold").orderBy(col("cat").asc_nulls_first)
+      .as[(Option[String], Option[Long], Long)].collect().toSeq
+    // the null-keyed fact row never matches → null-extended (s = NULL)
+    assert(gold == Seq((None, None, 1L), (Some("x"), Some(35L), 2L),
+      (Some("y"), Some(28L), 1L)))
+    // trickle ONE composite tuple: only (x, w)'s weight moves
+    dim.merge(Seq(("x", "w", 30L)).toDF("cat", "region", "w"),
+      Seq("cat", "region"))
+    p.run()
+    assert(gold == Seq((None, None, 1L), (Some("x"), Some(170L), 2L),
+      (Some("y"), Some(28L), 1L)))
+    val ev = p.eventLog.filter(col("dataset") === "gold")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    assert(ev.last.contains("dim-delta from dim"), ev)
+    // delete a composite tuple: (y, e) falls back to null-extension
+    dim.deleteWhere("cat = 'y'")
+    p.run()
+    assert(gold == Seq((None, None, 1L), (Some("x"), Some(170L), 2L),
+      (Some("y"), None, 1L)))
+  }
+
   test("MULTI-dim delta: BOTH dims of a two-dim star change in one " +
       "refresh — sequential signed windows (earlier dim at its new " +
       "version for the later step) ≡ recompute, fact window included") {
