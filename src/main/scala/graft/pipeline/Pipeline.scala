@@ -107,8 +107,14 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       events: mutable.ArrayBuffer[(String, String, Long, String)]): Unit = {
     def observe(df: DataFrame): (DataFrame, () => Long) = Pipeline.observeRows(df)
     val t = tables(name)
+    // a HAVING auto-MV's backing table carries the FULL maintained panel;
+    // the declared dataset is the presentation-FILTERED view — consuming
+    // the raw table as an incremental source would include the groups
+    // HAVING hides. Such sources keep the recompute path (read() applies
+    // the presentation), exactly like recompute-MV sources.
     def asTable(ds: String): Option[LakeTable] =
-      inputs.get(ds).orElse(tables.get(ds)).filterNot(_ => mviews.contains(ds))
+      inputs.get(ds).orElse(tables.get(ds)).filterNot(_ =>
+        mviews.contains(ds) || autoMvs.get(ds).exists(_.having.isDefined))
     // star-join dims must be table-backed AND materialized — the
     // incremental window needs a pinnable dim VERSION; a dim that is
     // still empty parks the MV like an empty source does
@@ -1141,8 +1147,12 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         // an MV recomputes fully each run — its feed carries whole-table
         // replace images, not row deltas; treat it as a snapshot source.
         // Non-CDF declared tables are merge-maintained without row images:
-        // snapshot fallback, not a mid-run feed error.
-        .filterNot(_ => mviews.contains(name) || selectTables.contains(name))
+        // snapshot fallback, not a mid-run feed error. A HAVING auto-MV's
+        // raw feed would leak the presentation-hidden groups — snapshot
+        // fallback too (reads go through the presentation).
+        .filterNot(_ => mviews.contains(name) ||
+          selectTables.contains(name) ||
+          autoMvs.get(name).exists(_.having.isDefined))
         .filter(t => cdfTables.contains(name) ||
           (t.exists && t.tableProperties.contains(
             graft.lake.LakeTable.ChangeFeedProp)))

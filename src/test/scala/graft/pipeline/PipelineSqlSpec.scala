@@ -980,6 +980,113 @@ class PipelineSqlSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSeq == Seq(("c5", 10L, 10.0)))
   }
 
+  test("a downstream MV over a HAVING auto-MV sees the PRESENTED panel, " +
+      "never the raw backing table's hidden groups") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_having_chain")
+    val src = LakeTable(spark, s"$root/src")
+    val seed = Seq((1L, "a", 10L), (2L, "a", 5L), (3L, "a", 1L),
+      (4L, "b", 7L)).toDF("k", "g", "v")
+    src.create(seed.schema, enableChangeFeed = true)
+    src.append(seed)
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("src", src)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW busy AS
+      SELECT g, SUM(v) AS s, COUNT(*) AS n
+      FROM src GROUP BY g HAVING n > 2""")
+    // the downstream panel must aggregate the HAVING-FILTERED view: the
+    // raw backing table holds group b too (the FULL panel is maintained
+    // underneath), which a naive table-backed chain would leak. This
+    // downstream shape IS detector-maintainable — the guard must reroute
+    // it to the presentation-correct recompute at refresh time.
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW top AS
+      SELECT g, SUM(s) AS total, COUNT(*) AS m
+      FROM busy GROUP BY g""")
+    p.run()
+    assert(p.read("busy").as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 16L, 3L)))
+    // pre-fix this read (16,1) leaked group b from the raw table
+    assert(p.read("top").orderBy("g").as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 16L, 1L)))
+    // group b crosses the threshold: both panels follow exactly
+    src.append(Seq((5L, "b", 2L), (6L, "b", 3L)).toDF("k", "g", "v"))
+    p.run()
+    assert(p.read("busy").orderBy("g").as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 16L, 3L), ("b", 12L, 3L)))
+    assert(p.read("top").orderBy("g").as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 16L, 1L), ("b", 12L, 1L)))
+  }
+
+  test("composition: UNION ALL + expression group key + WHERE + HAVING " +
+      "maintain together; star HAVING panel maintains through a dim delta") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_compose")
+    // union + date_trunc key + WHERE + HAVING in one declaration
+    val a = LakeTable(spark, s"$root/a")
+    val seedA = Seq(
+      (1L, ts("2024-01-01 02:00:00"), 10L),
+      (2L, ts("2024-01-01 03:00:00"), -1L),
+      (3L, ts("2024-01-02 04:00:00"), 3L)).toDF("k", "ts", "v")
+    a.create(seedA.schema, enableChangeFeed = true)
+    a.append(seedA)
+    val b = LakeTable(spark, s"$root/b")
+    val seedB = Seq((9L, ts("2024-01-01 09:00:00"), 7L)).toDF("k", "ts", "v")
+    b.create(seedB.schema, enableChangeFeed = true)
+    b.append(seedB)
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("a", a)
+    p.inputTable("b", b)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW daily AS
+      SELECT date_trunc('day', ts) AS day, SUM(v) AS s, COUNT(*) AS n
+      FROM (SELECT ts, v FROM a UNION ALL SELECT ts, v FROM b)
+      WHERE v > 0
+      GROUP BY date_trunc('day', ts)
+      HAVING n > 1""")
+    p.run()
+    def daily = p.read("daily").orderBy("day")
+      .as[(Timestamp, Long, Long)].collect().toSeq
+    assert(daily == Seq((ts("2024-01-01 00:00:00"), 17L, 2L)))
+    // branch windows move a day ACROSS the HAVING threshold both ways
+    b.append(Seq((10L, ts("2024-01-02 10:00:00"), 5L)).toDF("k", "ts", "v"))
+    p.run()
+    assert(daily == Seq((ts("2024-01-01 00:00:00"), 17L, 2L),
+      (ts("2024-01-02 00:00:00"), 8L, 2L)))
+    a.deleteWhere("k = 3")
+    p.run()
+    assert(daily == Seq((ts("2024-01-01 00:00:00"), 17L, 2L)))
+    val evD = p.eventLog.filter(col("dataset") === "daily")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    assert(evD.tail.forall(_.contains("incremental from a ∪ b")), evD)
+
+    // star HAVING panel through a DIM delta: the threshold re-evaluates
+    // over the maintained full panel after the dim-signed windows
+    val fact = LakeTable(spark, s"$root/fact")
+    val fseed = Seq((1L, "x", 10L), (2L, "x", 5L), (3L, "y", 7L))
+      .toDF("k", "cat", "v")
+    fact.create(fseed.schema, enableChangeFeed = true)
+    fact.append(fseed)
+    val dim = LakeTable(spark, s"$root/dim")
+    dim.append(Seq(("x", 1L), ("y", 1L)).toDF("cat", "w"))
+    p.inputTable("fact", fact)
+    p.inputTable("dim", dim)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW busy AS
+      SELECT f.cat AS cat, SUM(f.v * d.w) AS s, COUNT(*) AS n
+      FROM fact f JOIN dim d ON f.cat = d.cat
+      GROUP BY f.cat HAVING s > 10""")
+    p.run()
+    def busy = p.read("busy").orderBy("cat")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(busy == Seq(("x", 15L, 2L)))
+    // the dim trickle pushes 'y' over the HAVING threshold — the full
+    // panel maintained underneath makes the group re-appear exactly
+    dim.merge(Seq(("y", 2L)).toDF("cat", "w"), Seq("cat"))
+    p.run()
+    assert(busy == Seq(("x", 15L, 2L), ("y", 14L, 1L)))
+    val evB = p.eventLog.filter(col("dataset") === "busy")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    assert(evB.last.contains("dim-delta from dim"), evB)
+  }
+
   test("COMPOSITE-key dim delta: a two-column equi join maintains through " +
       "a dim trickle via the broadcast semi-join key set; null-keyed fact " +
       "rows stay inert") {
