@@ -1957,9 +1957,11 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     runWaves[(String, Pipeline.AutoMvSpec)](autoMvs.toSeq, events,
       barrier = { case (_, spec) =>
         !isTableBackedSource(spec.source) ||
-          spec.joins.exists(j => !isTableBackedSource(j.dim)) },
+          spec.joins.exists(j => !isTableBackedSource(j.dim)) ||
+          spec.union.exists(b => !isTableBackedSource(b._1)) },
       dependsOn = (a, b) => a._2.source == b._1 ||
-        a._2.joins.exists(_.dim == b._1))(
+        a._2.joins.exists(_.dim == b._1) ||
+        a._2.union.exists(_._1 == b._1))(
       (t, buf) => refreshAutoMv(t._1, t._2, buf))
     // materialized views refresh AFTER the flows (a gold MV over a silver
     // streaming table must see this run's merged state), in declaration
@@ -2852,7 +2854,13 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         snap.groupBy(gCols: _*).agg(count(lit(1)).as(cntAlias), aggs: _*),
         cntAlias +: aggNames)
         .select((groupBy ++ aggNames :+ cntAlias).map(col): _*)
-      if (!t.exists) t.create(base.schema)
+      // AUTO-path backing tables capture CDF from birth: their merges then
+      // serve exact row deltas, so a DOWNSTREAM auto-MV (gold-over-gold)
+      // maintains incrementally off THIS MV's change feed — Enzyme
+      // chaining. MV tables are aggregate-sized (one row per live group),
+      // so the capture cost is negligible at any fact scale. The explicit
+      // API keeps the user's own storage contract untouched.
+      if (!t.exists) t.create(base.schema, enableChangeFeed = auto)
       // ledger rides the overwrite commit (replay re-bootstraps — same rows)
       t.overwrite(base, txn = Some(appId -> cur))
       // extra union branches' ledgers land metadata-only AFTER the

@@ -980,6 +980,59 @@ class PipelineSqlSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSeq == Seq(("c5", 10L, 10.0)))
   }
 
+  test("MV-over-MV chaining (Enzyme gold-over-gold): a downstream auto-MV " +
+      "maintains INCREMENTALLY off the upstream MV's own change feed — " +
+      "group moves, births and deaths flow through as exact row deltas") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_chain")
+    val src = LakeTable(spark, s"$root/src")
+    val seed = Seq((1L, "a", "g1", 10L), (2L, "a", "g1", 5L),
+      (3L, "b", "g2", 7L)).toDF("k", "u", "grp", "v")
+    src.create(seed.schema, enableChangeFeed = true)
+    src.append(seed)
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("src", src)
+    // layer 1: per-user panel; layer 2: per-group rollup OVER layer 1
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW per_user AS
+      SELECT u, grp, SUM(v) AS s, COUNT(*) AS n FROM src GROUP BY u, grp""")
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW per_grp AS
+      SELECT grp, SUM(s) AS total, SUM(n) AS rows_in, COUNT(*) AS users
+      FROM per_user GROUP BY grp""")
+    p.run()
+    def perGrp = p.read("per_grp").orderBy("grp")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(perGrp == Seq(("g1", 15L, 2L, 1L), ("g2", 7L, 1L, 1L)))
+    def ev = p.eventLog.filter(col("dataset") === "per_grp")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    // an ordinary source window: per_user merges its delta, per_grp
+    // maintains off per_user's CHANGE FEED in the same run — never a
+    // rescan of per_user, never a recompute
+    src.append(Seq((4L, "c", "g1", 2L)).toDF("k", "u", "grp", "v"))
+    p.run()
+    assert(perGrp == Seq(("g1", 17L, 3L, 2L), ("g2", 7L, 1L, 1L)))
+    assert(ev.last.contains("incremental from per_user"), ev)
+    // upstream GROUP DEATH (user b's rows all retract): per_user deletes
+    // the (b, g2) row; per_grp sees the delete image and kills g2
+    src.deleteWhere("u = 'b'")
+    p.run()
+    assert(perGrp == Seq(("g1", 17L, 3L, 2L)))
+    assert(ev.last.contains("incremental from per_user"), ev)
+    // upstream group MOVE (a's latest rows move to g2 via delete+insert):
+    // the chain retracts from g1's rollup and lands in g2's
+    src.deleteWhere("u = 'a'")
+    src.append(Seq((5L, "a", "g2", 20L)).toDF("k", "u", "grp", "v"))
+    p.run()
+    assert(perGrp == Seq(("g1", 2L, 1L, 1L), ("g2", 20L, 1L, 1L)))
+    assert(ev.last.contains("incremental from per_user"), ev)
+    // ≡ recompute over the chain
+    val rec = src.read.groupBy("u", "grp")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .groupBy("grp").agg(sum("s").as("total"), sum("n").as("rows_in"),
+        count(lit(1)).as("users"))
+      .orderBy("grp").as[(String, Long, Long, Long)].collect().toSeq
+    assert(perGrp == rec)
+  }
+
   test("a downstream MV over a HAVING auto-MV sees the PRESENTED panel, " +
       "never the raw backing table's hidden groups") {
     import graft.lake.LakeTable
