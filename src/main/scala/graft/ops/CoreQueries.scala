@@ -1669,6 +1669,47 @@ object CoreQueries {
         FROM events WHERE event_type IS NOT NULL
         GROUP BY event_type ORDER BY event_type""")),
 
+    // O31 MV-OVER-MV CHAIN (Enzyme gold-over-gold): a per-(user, type)
+    // panel feeds a per-type rollup — BOTH auto-maintained. The upstream
+    // MV's backing table captures CDF from birth, so the downstream run 2
+    // reads ONE change-feed window of upstream GROUP deltas (merge
+    // images), never the upstream panel and never the fact. The wave
+    // scheduler orders upstream-before-downstream within each run.
+    Q("o31_auto_mv_chain", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+        .select("event_id", "event_type", "user_id")
+      val root = tmp("graft_o31")
+      val bronze = LakeTable(s, s"$root/bronze")
+      bronze.append(ev.filter(col("event_id") % 2 === 0))
+      val p = new Pipeline(s, s"$root/pipe")
+      p.inputTable("bronze", bronze)
+      PipelineSql.script(p, """
+        CREATE OR REFRESH MATERIALIZED VIEW per_user AS
+          SELECT user_id, event_type,
+                 SUM(event_id) AS s, COUNT(*) AS n
+          FROM bronze GROUP BY user_id, event_type;
+        CREATE OR REFRESH MATERIALIZED VIEW per_type AS
+          SELECT event_type, SUM(s) AS total, SUM(n) AS rows_in,
+                 COUNT(*) AS users
+          FROM per_user GROUP BY event_type""")
+      p.runIncremental()                           // bootstrap both layers
+      bronze.append(ev.filter(col("event_id") % 2 === 1))
+      p.runIncremental()                           // window → window chain
+      p.read("per_type").orderBy("event_type")
+    },
+      Some("""WITH pu AS (
+          SELECT user_id, event_type,
+                 CAST(SUM(event_id) AS BIGINT) AS s, COUNT(*) AS n
+          FROM events
+          WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+          GROUP BY user_id, event_type)
+        SELECT event_type,
+               CAST(SUM(s) AS BIGINT) AS total,
+               CAST(SUM(n) AS BIGINT) AS rows_in,
+               COUNT(*) AS users
+        FROM pu GROUP BY event_type ORDER BY event_type""")),
+
     // O15 TRUE STREAMING APPEND FLOW (SQL-declared) — where o10's live
     // flow re-lands its view every run (snapshot semantics), this one is
     // registered from `INSERT INTO … BY NAME SELECT … FROM STREAM(bronze)`
