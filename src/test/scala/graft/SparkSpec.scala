@@ -29,11 +29,23 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 object SparkSpec {
   // One session per JVM (tests fork one JVM): Spark re-init per suite is slow.
   lazy val session: SparkSession = {
+    // the warehouse lives as long as the JVM (per-suite sweeping would
+    // delete it under later suites) — a shutdown hook reclaims it, so
+    // repeated `sbt test` runs leave no /tmp residue either
+    val warehouse = Files.createTempDirectory("graft_warehouse")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (!Files.isSymbolicLink(f.toPath)) {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        }
+        f.delete(): Unit
+      }
+      rm(warehouse.toFile)
+    }))
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
-      .config("spark.sql.warehouse.dir",
-        Files.createTempDirectory("graft_warehouse").toString)
+      .config("spark.sql.warehouse.dir", warehouse.toString)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
