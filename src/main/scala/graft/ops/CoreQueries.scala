@@ -1710,6 +1710,60 @@ object CoreQueries {
                COUNT(*) AS users
         FROM pu GROUP BY event_type ORDER BY event_type""")),
 
+    // O32 COMPOSITE-KEY DIM DELTA — the dim keys on TWO columns
+    // (`ON f.event_type = d.et AND f.par = d.par`): the changed-key set is
+    // a tuple set, so the fact slice restricts by a broadcast semi-join
+    // against the metadata-sized keys (per-column zone boxes still prune
+    // fact files). A 2-tuple weight trickle refreshes by dim-delta —
+    // never a recompute, never a full fact scan.
+    Q("o32_auto_mv_dim_delta_composite", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          (col("user_id") % 3).as("par"))
+      val root = tmp("graft_o32")
+      val fact = LakeTable(s, s"$root/fact")
+      fact.append(ev)
+      val dim = LakeTable(s, s"$root/dim")
+      dim.append(ev.select(col("event_type").as("et"), col("par"))
+        .distinct()
+        .withColumn("w", length(col("et")).cast("long") + col("par")))
+      val p = new Pipeline(s, s"$root/pipe")
+      p.inputTable("fact", fact)
+      p.inputTable("dim", dim)
+      PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW gold AS
+        SELECT d.et AS et, d.par AS par,
+               SUM(f.event_id * d.w) AS s,
+               COUNT(*) AS n
+        FROM fact f JOIN dim d
+          ON f.event_type = d.et AND f.par = d.par
+        GROUP BY d.et, d.par""")
+      p.runIncremental()                           // bootstrap + pin
+      // the trickle: two composite tuples re-weighted
+      val low2 = dim.read.orderBy("et", "par").limit(2)
+        .withColumn("w", col("w") * 7)
+      dim.merge(low2, Seq("et", "par"))
+      p.runIncremental()                           // composite dim-delta
+      p.read("gold").orderBy("et", "par")
+    },
+      Some("""WITH d0 AS (SELECT DISTINCT event_type AS et,
+                     user_id % 3 AS par,
+                     CAST(length(event_type) AS BIGINT) + user_id % 3 AS w
+              FROM events
+              WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+          low2 AS (SELECT et, par FROM d0 ORDER BY et, par LIMIT 2),
+          d AS (SELECT et, par,
+                  CASE WHEN (et, par) IN (SELECT (et, par) FROM low2)
+                       THEN w * 7 ELSE w END AS w
+                FROM d0)
+        SELECT d.et AS et, d.par AS par,
+               CAST(SUM(f.event_id * d.w) AS BIGINT) AS s,
+               COUNT(*) AS n
+        FROM (SELECT event_id, event_type, user_id % 3 AS par FROM events
+              WHERE event_type IS NOT NULL AND user_id IS NOT NULL) f
+        JOIN d ON f.event_type = d.et AND f.par = d.par
+        GROUP BY d.et, d.par ORDER BY et, par""")),
+
     // O15 TRUE STREAMING APPEND FLOW (SQL-declared) — where o10's live
     // flow re-lands its view every run (snapshot semantics), this one is
     // registered from `INSERT INTO … BY NAME SELECT … FROM STREAM(bronze)`
