@@ -2073,6 +2073,30 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     } catch { case TxnAlreadyApplied() => false }
   }
 
+  /** Remove `appId`'s ledger entry AND every dot-suffixed descendant
+   *  (`appId.…`) in ONE metadata commit — the multi-ledger [[clearTxn]]
+   *  (an MV carries a family of ledgers: per-union-branch `.uN`, dim pins
+   *  `.dimpin.*`, distinct companions `.dist.*` — a recompute overwrite
+   *  must retire them all atomically or a later incremental life resumes
+   *  from ledgers describing replaced state). The dot boundary keeps
+   *  sibling ids that merely share a name prefix (`…mv.panel` vs
+   *  `…mv.panel2`) untouched. No-op (false) when none match. */
+  def clearTxnFamily(appId: String): Boolean = synchronized {
+    require(exists, s"clearTxnFamily target $root does not exist")
+    def inFamily(id: String): Boolean =
+      id == appId || id.startsWith(appId + ".")
+    try {
+      commitWithRetry { () =>
+        val v = currentVersion
+        val cur = readManifest(v)
+        if (!cur.txns.exists(t => inFamily(t._1))) throw TxnAlreadyApplied()
+        (cur.copy(op = "properties", cdfDir = None, commitTsMs = None,
+          txns = cur.txns.filterNot(t => inFamily(t._1))), v + 1)
+      }
+      true
+    } catch { case TxnAlreadyApplied() => false }
+  }
+
   private def appendImpl(df0: DataFrame, mergeSchema: Boolean,
       txn: Option[(String, Long)]): Boolean = {
     Files.createDirectories(Paths.get(root))

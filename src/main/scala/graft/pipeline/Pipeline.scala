@@ -130,6 +130,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       val (df, rows) = observe(gate(name, autoMvDefining(spec, autoMvSource(spec))))
       if (!t.exists) createTarget(name, df.schema)
       t.overwrite(df)
+      retireMvLedgers(name, t)
       events += (("flow_progress", name, rows(),
         "materialized view refresh (recompute: view-backed union branch)"))
       return
@@ -180,9 +181,29 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         val (df, rows) = observe(gate(name, autoMvDefining(spec, read(spec.source))))
         if (!t.exists) createTarget(name, df.schema)
         t.overwrite(df)
+        retireMvLedgers(name, t)
         events += (("flow_progress", name, rows(),
           "materialized view refresh (recompute)"))
     }
+  }
+
+  /** After a recompute OVERWRITE of an auto-MV taken through a fallback
+   *  path (view-backed source or union branch), retire the MV's whole
+   *  ledger family — branch high-waters (`appId`, `appId.uN`), dim pins
+   *  (`appId.dimpin.*`, txn AND property forms), distinct companions
+   *  (`appId.dist.*`). The recompute already contains everything those
+   *  ledgers describe; if the source later becomes table-backed again
+   *  (pipeline redefinition across runs), stale ledgers would resume
+   *  incremental maintenance from windows ALREADY INCLUDED in the
+   *  overwrite — a silent double-apply. Probe-gated: while the source
+   *  stays view-backed (recompute every refresh) no ledgers exist and
+   *  this is metadata-read-only, zero commits. */
+  private def retireMvLedgers(name: String, t: LakeTable): Unit = {
+    val appId = s"graft.aggmv.$name"
+    t.clearTxnFamily(appId)
+    val pinKeys = t.tableProperties.keys
+      .filter(_.startsWith("graft.aggmv.dimpin.")).toSeq
+    if (pinKeys.nonEmpty) t.unsetTableProperties(pinKeys)
   }
 
   /** Databricks SQL's `REFRESH MATERIALIZED VIEW name [FULL]` as an API:
@@ -205,6 +226,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       val t = tables(name)
       if (!t.exists) createTarget(name, df.schema)
       t.overwrite(df)
+      retireMvLedgers(name, t) // see runTail's mviews pass
       events += (("flow_progress", name, rows(), "materialized view refresh"))
     }
     writeEventLog(events.toSeq)
@@ -1152,7 +1174,14 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         // fallback too (reads go through the presentation).
         .filterNot(_ => mviews.contains(name) ||
           selectTables.contains(name) ||
-          autoMvs.get(name).exists(_.having.isDefined))
+          autoMvs.get(name).exists(_.having.isDefined) ||
+          // auto-MV backing tables capture CDF from birth (MV-over-MV
+          // maintenance reads it directly), but their feed carries the
+          // maintenance merges' UPDATE images — an append-only stream
+          // consumer would throw mid-run where it historically got
+          // snapshot fallback. Keep that fallback unless the user
+          // EXPLICITLY declared CDF on the MV (an opted-in feed contract).
+          (autoMvs.contains(name) && !cdfTables.contains(name)))
         .filter(t => cdfTables.contains(name) ||
           (t.exists && t.tableProperties.contains(
             graft.lake.LakeTable.ChangeFeedProp)))
@@ -1971,6 +2000,13 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       val t = tables(name)
       if (!t.exists) createTarget(name, df.schema)
       t.overwrite(df)
+      // the target may have lived an AUTO-maintained life under an earlier
+      // pipeline definition (a branch/source since became view-backed,
+      // downgrading the MV to recompute): retire any surviving ledger
+      // family so a later auto life re-bootstraps instead of resuming
+      // from high-waters this overwrite already includes. Probe-gated —
+      // a plain MV carries no ledgers and pays a metadata read only.
+      retireMvLedgers(name, t)
       events += (("flow_progress", name, rows(), "materialized view refresh"))
     }
     // DLT `cluster_by`: stamp each declared clustering key once its table
@@ -2870,13 +2906,29 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       branches.drop(1).zip(curs.drop(1)).foreach { case ((lid, _, _), v) =>
         t.stampTxn(lid, v); () }
       // dim pins land in a FOLLOW-UP metadata commit: a crash in between
-      // leaves stale pins, which only ever costs one extra recompute
-      if (dims.nonEmpty)
-        t.setTableProperties(dimsCur.map { case (n, v) =>
-          dimPinProp(n) -> v.toString }.toMap)
+      // leaves stale pins, which only ever costs one extra recompute.
+      // Expression group keys additionally pin the SESSION TIMEZONE they
+      // were computed under: date_trunc/to_date/... are row-local
+      // deterministic only per-zone, so a later incremental window under
+      // a different zone would mix bucketings in one MV — the pin forces
+      // ONE recompute instead (self-consistent under the new zone).
+      val tzPin: Map[String, String] =
+        if (groupExprs.nonEmpty)
+          Map(Pipeline.SessionTzProp ->
+            spark.conf.get("spark.sql.session.timeZone", "UTC"))
+        else Map.empty
+      val pinProps = dimsCur.map { case (n, v) =>
+        dimPinProp(n) -> v.toString }.toMap ++ tzPin
+      if (pinProps.nonEmpty) t.setTableProperties(pinProps)
       (0L, mode)
     }
     if (!t.exists || lasts.exists(_ < 0)) return bootstrap("bootstrap")
+    // session-timezone pin check (expression group keys only; see the
+    // bootstrap pin above). A pre-pin MV (property absent) is stamped at
+    // its next bootstrap — the check never fires on absence.
+    if (groupExprs.nonEmpty && tProps.get(Pipeline.SessionTzProp).exists(
+        _ != spark.conf.get("spark.sql.session.timeZone", "UTC")))
+      return bootstrap("recompute: session timezone changed")
     // DIM-DELTA candidacy (the `dim_airports_scd.csv`-style trickle: a
     // 3-key dim update against a 100 TB fact is exactly where recompute
     // is the wrong plan): exactly ONE changed dim, a single-column
@@ -2899,6 +2951,16 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           eqKeys <- dimEqui.get(dn)
           if eqKeys.nonEmpty
           dt <- dims.collectFirst { case (n, d) if n == dn => d }
+          // EXACT KEY-TYPE equality gate: the fact-slice bounds below are
+          // rendered from DIM-side key values but applied under the FACT
+          // column's type and ordering (ZonePred residual). With mixed
+          // types (string fact code vs numeric dim key) lexicographic vs
+          // numeric ordering disagree and the residual would silently
+          // drop matching fact rows — so a mixed-type key keeps the
+          // documented recompute instead.
+          if scala.util.Try(eqKeys.forall { case (fc, dc) =>
+            source.schema(fc).dataType == dt.schema(dc).dataType
+          }).getOrElse(false)
         } yield (dn, dt, pinV, curV, eqKeys)
       }
     // EVERY changed dim must be delta-capable, or the whole MV recomputes
@@ -3364,6 +3426,13 @@ object Pipeline {
    *  the honest plan. The cap bounds DRIVER memory too (the keys are
    *  collected once, metadata-sized). */
   val DimDeltaKeyCap = 1024
+
+  /** Table property pinning the SESSION TIMEZONE an expression-group-key
+   *  auto-MV was bootstrapped under: its date/time group expressions are
+   *  row-local deterministic only per-zone, so maintenance under a
+   *  different `spark.sql.session.timeZone` forces one recompute instead
+   *  of mixing two bucketings in one panel. */
+  val SessionTzProp = "graft.aggmv.sessiontz"
 
   /** Whether a continuous-mode cycle failure is TRANSIENT (worth a bounded
    *  retry): a lost optimistic-commit race against an external writer,

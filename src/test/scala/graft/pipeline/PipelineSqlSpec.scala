@@ -1817,4 +1817,144 @@ class PipelineSqlSpec extends SparkSpec {
       .as[(Long, Double, Long)].collect().toSeq ==
       Seq((1L, 10.0, 1L), (2L, 7.0, 1L)))
   }
+
+  test("MIXED-TYPE equi keys keep the recompute path: dim-delta fact-slice " +
+      "bounds are rendered from dim values but applied under the FACT " +
+      "column's ordering — string '10' < '5' lexicographically would " +
+      "silently drop matching fact rows, so the type gate forces recompute") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_dimtype")
+    val fact = LakeTable(spark, s"$root/fact")
+    // STRING fact codes whose lexicographic and numeric orderings disagree
+    val seed = Seq(("5", 1L), ("7", 2L), ("10", 3L), ("10", 4L))
+      .toDF("code", "v")
+    fact.create(seed.schema, enableChangeFeed = true)
+    fact.append(seed)
+    val dim = LakeTable(spark, s"$root/dim")
+    dim.append(Seq((5, 1L), (7, 1L), (10, 1L)).toDF("k", "w"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("fact", fact)
+    p.inputTable("dim", dim)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW gold AS
+      SELECT d.k AS k, SUM(f.v * d.w) AS s, COUNT(*) AS n
+      FROM fact f JOIN dim d ON f.code = d.k GROUP BY d.k""")
+    p.run()
+    def ev = p.eventLog.filter(col("dataset") === "gold")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    // the trickle touches keys 5 and 10: a same-type dim would take the
+    // dim-delta path, but its string-rendered bounds ['10','5'] exclude
+    // fact code '10' under STRING ordering — the gate must recompute
+    dim.merge(Seq((5, 10L), (10, 20L)).toDF("k", "w"), Seq("k"))
+    p.run()
+    assert(ev.last.contains("recompute: dimension changed"), ev)
+    val got = p.read("gold").orderBy("k")
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(got == Seq((5, 10L, 1L), (7, 2L, 1L), (10, 140L, 2L)), got)
+  }
+
+  test("union recompute-overwrite RETIRES the MV's ledger family: a branch " +
+      "that was view-backed for one life cannot leave stale per-branch " +
+      "high-waters that double-apply when it becomes table-backed again") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_union_retire")
+    val ba = LakeTable(spark, s"$root/ba")
+    ba.append(Seq(("a", 1L), ("b", 2L)).toDF("g", "v"))
+    val bb = LakeTable(spark, s"$root/bb")
+    bb.append(Seq(("a", 10L)).toDF("g2", "v2"))
+    val mvSql = """CREATE OR REFRESH MATERIALIZED VIEW panel AS
+      SELECT g, SUM(v) AS s, COUNT(*) AS n
+      FROM (SELECT g, v FROM ba UNION ALL SELECT g2, v2 FROM bb)
+      GROUP BY g"""
+    // life 1: both branches table-backed — bootstrap stamps branch ledgers
+    val p1 = new Pipeline(spark, s"$root/pipe")
+    p1.inputTable("ba", ba); p1.inputTable("bb", bb)
+    PipelineSql(p1, mvSql)
+    p1.run()
+    // bb moves, then life 2 declares bb as a VIEW: the refresh takes the
+    // recompute-overwrite fallback, which already includes bb@v1
+    bb.append(Seq(("b", 20L)).toDF("g2", "v2"))
+    val p2 = new Pipeline(spark, s"$root/pipe")
+    p2.inputTable("ba", ba); p2.view("bb")(bb.read)
+    PipelineSql(p2, mvSql)
+    p2.run()
+    // life 3: table-backed again. A stale bb ledger (v0 from life 1) would
+    // re-apply bb's [v1..v1] window ON TOP of the recompute — b double-counts
+    ba.append(Seq(("c", 5L)).toDF("g", "v"))
+    val p3 = new Pipeline(spark, s"$root/pipe")
+    p3.inputTable("ba", ba); p3.inputTable("bb", bb)
+    PipelineSql(p3, mvSql)
+    p3.run()
+    val got = p3.read("panel").orderBy("g")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 11L, 2L), ("b", 22L, 2L), ("c", 5L, 1L)), got)
+  }
+
+  test("SESSION TIMEZONE pin: an expression-group-key MV bootstrapped under " +
+      "one zone recomputes (never drifts) when maintained under another — " +
+      "delta group keys would otherwise mix two bucketings in one panel") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_tz")
+    val src = LakeTable(spark, s"$root/src")
+    val seed = Seq(
+      (1L, ts("2024-01-01 03:00:00")),
+      (2L, ts("2024-01-02 03:00:00"))).toDF("v", "t")
+    src.create(seed.schema, enableChangeFeed = true)
+    src.append(seed)
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("src", src)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW daily AS
+      SELECT date_trunc('day', t) AS day, SUM(v) AS s, COUNT(*) AS n
+      FROM src GROUP BY date_trunc('day', t)""")
+    p.run()
+    def ev = p.eventLog.filter(col("dataset") === "daily")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    try {
+      // UTC 03:00 buckets to the SAME day under UTC but the PREVIOUS day
+      // under UTC-8 — an incremental window here would land deltas in
+      // groups the existing panel never used
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      src.append(Seq((4L, ts("2024-01-01 05:00:00"))).toDF("v", "t"))
+      p.run()
+      assert(ev.last.contains("recompute: session timezone changed"), ev)
+      // the recompute is self-consistent under the NEW zone
+      val rec = src.read
+        .groupBy(date_trunc("day", col("t")).as("day"))
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .orderBy("day").as[(Timestamp, Long, Long)].collect().toSeq
+      val got = p.read("daily").orderBy("day")
+        .as[(Timestamp, Long, Long)].collect().toSeq
+      assert(got == rec, s"got $got, recompute $rec")
+      // the new zone is pinned by the recompute: the next window under the
+      // SAME zone maintains incrementally again
+      src.append(Seq((8L, ts("2024-01-03 05:00:00"))).toDF("v", "t"))
+      p.run()
+      assert(ev.last.contains("incremental"), ev)
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
+  test("an append-only stream consumer over an auto-MV keeps SNAPSHOT " +
+      "fallback: the MV's from-birth CDF carries maintenance-merge UPDATE " +
+      "images an append-only window must not (and now does not) see") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_streamroot")
+    val bronze = LakeTable(spark, s"$root/bronze")
+    bronze.append(Seq(("a", 1L), ("b", 2L)).toDF("g", "v"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("bronze", bronze)
+    PipelineSql.script(p, """
+      CREATE OR REFRESH MATERIALIZED VIEW panel AS
+        SELECT g, SUM(v) AS s, COUNT(*) AS n FROM bronze GROUP BY g;
+      CREATE OR REFRESH STREAMING TABLE tail AS
+        SELECT g, s FROM STREAM(panel)""")
+    p.runIncremental()
+    // run 2's panel refresh merges UPDATE images into group a — an
+    // append-only window over panel's feed would throw; snapshot fallback
+    // must re-land the select instead
+    bronze.append(Seq(("a", 10L)).toDF("g", "v"))
+    p.runIncremental()
+    p.runIncremental() // tail re-snapshots panel's settled state
+    val got = p.read("tail").orderBy("g")
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 11L), ("b", 2L)), got)
+  }
 }
