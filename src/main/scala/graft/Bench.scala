@@ -26,7 +26,7 @@ object Bench {
     // reports): noise only ever ADDS time, so min(N) is the tightest
     // estimate of the code's true cost. N=1 available for quick profiling.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val results = selected.map { case (name, fn) =>
+    val perRun = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -39,8 +39,10 @@ object Bench {
         graft.ops.FixtureRoots.sweep()
         if (ok) dt else -1.0
       }
-      val best = if (times.contains(-1.0)) -1.0 else times.min
-      name -> best
+      name -> times
+    }
+    val results = perRun.map { case (name, times) =>
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     // explicit ROOT locale: the f-interpolator honors the JVM default locale,
     // and a comma decimal separator would corrupt the canonical JSON line
@@ -60,8 +62,18 @@ object Bench {
     //   3. a short FINAL summary line — total + slowest queries — compact
     //      enough to sit whole inside the tail window.
     println(full)
+    // bench_latest.json additionally carries EVERY run's time per query
+    // ("runs"): a contended box inflates some runs but rarely all three,
+    // so min≪max in the artifact IS the contention evidence — the r16
+    // verdict's adjudication (driver 2.56× vs clean 1.95×, every outlier
+    // re-pinned at band) needed an isolated re-run to prove what this
+    // field now shows directly.
+    val runsJson = perRun.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val enriched = full.dropRight(1) + s""","runs":$runsJson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_latest.json"),
-      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (enriched + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () } // stdout remains the source of truth
     val slowest = results.toSeq.sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")

@@ -27,6 +27,37 @@ object Profile {
       r
     }
 
+    // o33 stages (MIN/MAX retraction maintenance via extreme companions)
+    if (args.headOption.contains("o33")) {
+      import graft.lake.LakeTable
+      import graft.pipeline.{Pipeline, PipelineSql}
+      val ev = t(spark, sfDir, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull &&
+          col("event_id") % 4 === 0)
+        .select("event_id", "event_type", "value")
+      val root = graft.ops.FixtureRoots.create("prof_o33")
+      val src = LakeTable(spark, s"$root/src")
+      time("o33 fixture append (CDF)") {
+        src.create(ev.schema, enableChangeFeed = true); src.append(ev)
+      }
+      val p = new Pipeline(spark, s"$root/pipe")
+      p.inputTable("src", src)
+      PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW panel AS
+        SELECT event_type, MIN(value) AS mn, MAX(value) AS mx,
+               SUM(event_id) AS sid, COUNT(*) AS n
+        FROM src GROUP BY event_type""")
+      time("o33 bootstrap (panel + 2 companions)")(p.runIncremental())
+      time("o33 delete mid-band")(
+        src.deleteWhere("value >= 100.0 AND value < 105.0"))
+      time("o33 refresh 2 (maintain)")(p.runIncremental())
+      time("o33 delete top-band")(src.deleteWhere("value > 390.0"))
+      time("o33 refresh 3 (refill/maintain)")(p.runIncremental())
+      time("o33 read")(p.read("panel").orderBy("event_type").count())
+      graft.ops.FixtureRoots.sweep()
+      spark.stop()
+      return
+    }
+
     // g2 stages (date-partitioned fact build)
     {
       import org.apache.spark.sql.expressions.Window

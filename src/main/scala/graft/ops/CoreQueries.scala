@@ -29,6 +29,16 @@ object CoreQueries {
   private def tmp(prefix: String): String =
     FixtureRoots.create(prefix)   // registered; harness sweeps after each query
 
+  /** Content-keyed POOLED fixture, cloned O(files) into this query's own
+   *  swept root (see [[FixturePool]]): the table is built from parquet once
+   *  per JVM; every later run of the query hard-links it and measures the
+   *  operator under test — refresh, merge, read — not the fixture write.
+   *  Keys name the CONTENT (two queries share one iff their builds are
+   *  identical); the sf-dir name rides along so scales never collide. */
+  private def pooled(s: org.apache.spark.sql.SparkSession, d: String,
+      key: String, target: String)(build: LakeTable => Unit): LakeTable =
+    FixturePool.cloneTo(s, s"$key-${new java.io.File(d).getName}", target)(build)
+
   val all: Seq[Q] = Seq(
 
     // ---- §2.4 aggregations ------------------------------------------------
@@ -949,9 +959,10 @@ object CoreQueries {
         .select("user_id", "event_type", "value")
       val root = tmp("graft_mv11")
       val state1 = latest(ev.filter(col("ts") <= lit(cut)))
-      val src = LakeTable(s, s"$root/src")
-      src.create(state1.schema, enableChangeFeed = true)
-      src.append(state1)
+      val src = pooled(s, d, "o11_src_cdf", s"$root/src") { st =>
+        st.create(state1.schema, enableChangeFeed = true)
+        st.append(state1)
+      }
       val p = new Pipeline(s, root)
       p.streamingTable("mv")
       p.runAggMvFromChangeFeed("mv", src, Seq("event_type"), Seq("value"),
@@ -991,9 +1002,10 @@ object CoreQueries {
       val root = tmp("graft_mv12")
       val half1 = ev.filter(col("event_id") % 2 === 0)
         .select("event_type", "value")
-      val src = LakeTable(s, s"$root/src")
-      src.create(half1.schema, enableChangeFeed = true)
-      src.append(half1)
+      val src = pooled(s, d, "o12_src_cdf", s"$root/src") { st =>
+        st.create(half1.schema, enableChangeFeed = true)
+        st.append(half1)
+      }
       val p = new Pipeline(s, root)
       p.streamingTable("mv")
       def refresh(): Unit = {
@@ -1036,8 +1048,8 @@ object CoreQueries {
       val cut = new Timestamp(
         (r.getTimestamp(0).getTime + r.getTimestamp(1).getTime) / 2)
       val root = tmp("graft_o13")
-      val bronze = LakeTable(s, s"$root/bronze")
-      bronze.append(ev.filter(col("ts") <= lit(cut)))       // arrival 1
+      val bronze = pooled(s, d, "o13_bronze_a1", s"$root/bronze")(
+        _.append(ev.filter(col("ts") <= lit(cut))))         // arrival 1
       val p = new Pipeline(s, s"$root/pipe")
       p.inputTable("bronze", bronze)
       p.streamingView("clean", "bronze")(df =>
@@ -1072,8 +1084,8 @@ object CoreQueries {
       val ev = t(s, d, "events")
         .select("event_id", "user_id", "event_type", "value")
       val root = tmp("graft_o16")
-      val bronze = LakeTable(s, s"$root/bronze")
-      bronze.append(ev.filter(col("event_id") % 2 === 0))
+      val bronze = pooled(s, d, "ev4_id_uid_et_val_even", s"$root/bronze")(
+        _.append(ev.filter(col("event_id") % 2 === 0)))
       val p = new Pipeline(s, s"$root/pipe")
       p.inputTable("bronze", bronze)
       PipelineSql(p, "CREATE OR REFRESH STREAMING TABLE clean AS " +
@@ -1107,8 +1119,8 @@ object CoreQueries {
       val cut = new Timestamp(
         (r.getTimestamp(0).getTime + r.getTimestamp(1).getTime) / 2)
       val root = tmp("graft_o17")
-      val bronze = LakeTable(s, s"$root/bronze")
-      bronze.append(ev.filter(col("ts") <= lit(cut)))       // arrival 1
+      val bronze = pooled(s, d, "o17_bronze_a1", s"$root/bronze")(
+        _.append(ev.filter(col("ts") <= lit(cut))))         // arrival 1
       val p = new Pipeline(s, s"$root/pipe")
       p.inputTable("bronze", bronze)
       p.streamingView("clean", "bronze")(df => df.filter(col("value").isNotNull))
@@ -1159,8 +1171,8 @@ object CoreQueries {
       val ev = t(s, d, "events")
         .select("event_id", "event_type", "value")
       val root = tmp("graft_o18")
-      val bronze = LakeTable(s, s"$root/bronze")
-      bronze.append(ev.filter(col("event_id") % 2 === 0))
+      val bronze = pooled(s, d, "ev3_id_et_val_even", s"$root/bronze")(
+        _.append(ev.filter(col("event_id") % 2 === 0)))
       val p = new Pipeline(s, s"$root/pipe")
       p.inputTable("bronze", bronze)
       PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW panel AS
@@ -1194,8 +1206,8 @@ object CoreQueries {
       val ev = t(s, d, "events")
         .select("event_id", "event_type", "value")
       val root = tmp("graft_o19")
-      val bronze = LakeTable(s, s"$root/bronze")
-      bronze.append(ev.filter(col("event_id") % 2 === 0))
+      val bronze = pooled(s, d, "ev3_id_et_val_even", s"$root/bronze")(
+        _.append(ev.filter(col("event_id") % 2 === 0)))
       val p = new Pipeline(s, s"$root/pipe")
       p.inputTable("bronze", bronze)
       PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW panel AS
@@ -1232,11 +1244,11 @@ object CoreQueries {
         .select("event_id", "event_type")
         .filter(col("event_type").isNotNull)
       val root = tmp("graft_o20")
-      val fact = LakeTable(s, s"$root/fact")
-      fact.append(ev.filter(col("event_id") % 2 === 0))
-      val dim = LakeTable(s, s"$root/dim")
-      dim.append(ev.select(col("event_type").as("et"))
-        .distinct().withColumn("w", length(col("et")).cast("long")))
+      val fact = pooled(s, d, "ev2_id_et_even", s"$root/fact")(
+        _.append(ev.filter(col("event_id") % 2 === 0)))
+      val dim = pooled(s, d, "dim_et_w", s"$root/dim")(
+        _.append(ev.select(col("event_type").as("et"))
+          .distinct().withColumn("w", length(col("et")).cast("long"))))
       val p = new Pipeline(s, s"$root/pipe")
       p.inputTable("fact", fact)
       p.inputTable("dim", dim)
@@ -1275,8 +1287,8 @@ object CoreQueries {
       val ev = t(s, d, "events")
         .select("event_id", "event_type", "user_id")
       val root = tmp("graft_o21")
-      val bronze = LakeTable(s, s"$root/bronze")
-      bronze.append(ev.filter(col("event_id") % 2 === 0))
+      val bronze = pooled(s, d, "ev3_id_et_uid_even", s"$root/bronze")(
+        _.append(ev.filter(col("event_id") % 2 === 0)))
       val p = new Pipeline(s, s"$root/pipe")
       p.inputTable("bronze", bronze)
       PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW panel AS
@@ -1304,8 +1316,8 @@ object CoreQueries {
       val ev = t(s, d, "events")
         .select("event_id", "event_type", "user_id")
       val root = tmp("graft_o22")
-      val bronze = LakeTable(s, s"$root/bronze")
-      bronze.append(ev.filter(col("event_id") % 2 === 0))
+      val bronze = pooled(s, d, "ev3_id_et_uid_even", s"$root/bronze")(
+        _.append(ev.filter(col("event_id") % 2 === 0)))
       val p = new Pipeline(s, s"$root/pipe")
       p.inputTable("bronze", bronze)
       PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW busy AS
@@ -1339,8 +1351,8 @@ object CoreQueries {
       val ev = t(s, d, "events")
         .select("event_id", "event_type", "user_id")
       val root = tmp("graft_o23")
-      val bronze = LakeTable(s, s"$root/bronze")
-      bronze.append(ev.filter(col("event_id") % 2 === 0))
+      val bronze = pooled(s, d, "ev3_id_et_uid_even", s"$root/bronze")(
+        _.append(ev.filter(col("event_id") % 2 === 0)))
       val p = new Pipeline(s, s"$root/pipe")
       p.inputTable("bronze", bronze)
       p.sink("out", s"$root/external/out", "lake")
@@ -1378,8 +1390,8 @@ object CoreQueries {
         .filter(col("event_type").isNotNull)
         .select("event_id", "event_type", "user_id")
       val root = tmp("graft_o25")
-      val bronze = LakeTable(s, s"$root/bronze")
-      bronze.append(ev.filter(col("event_id") % 2 === 0))
+      val bronze = pooled(s, d, "ev3_id_et_uid_etnn_even", s"$root/bronze")(
+        _.append(ev.filter(col("event_id") % 2 === 0)))
       val p = new Pipeline(s, s"$root/pipe")
       p.inputTable("bronze", bronze)
       PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW panel AS
@@ -1416,10 +1428,10 @@ object CoreQueries {
       val cut = new Timestamp(
         (r.getTimestamp(0).getTime + r.getTimestamp(1).getTime) / 2)
       val root = tmp("graft_o26")
-      val ba = LakeTable(s, s"$root/bronze_a")
-      val bb = LakeTable(s, s"$root/bronze_b")
-      ba.append(ev.filter(col("event_id") % 2 === 0 && col("ts") <= lit(cut)))
-      bb.append(ev.filter(col("event_id") % 2 === 1 && col("ts") <= lit(cut)))
+      val ba = pooled(s, d, "o26_bronze_a", s"$root/bronze_a")(
+        _.append(ev.filter(col("event_id") % 2 === 0 && col("ts") <= lit(cut))))
+      val bb = pooled(s, d, "o26_bronze_b", s"$root/bronze_b")(
+        _.append(ev.filter(col("event_id") % 2 === 1 && col("ts") <= lit(cut))))
       val p = new Pipeline(s, s"$root/pipe").concurrency(4)
       p.inputTable("bronze_a", ba)
       p.inputTable("bronze_b", bb)
@@ -1469,8 +1481,8 @@ object CoreQueries {
       val cut = new Timestamp(
         (r.getTimestamp(0).getTime + r.getTimestamp(1).getTime) / 2)
       val root = tmp("graft_o24")
-      val bronze = LakeTable(s, s"$root/bronze")
-      bronze.append(ev.filter(col("ts") <= lit(cut)))       // arrival 1
+      val bronze = pooled(s, d, "o24_bronze_a1", s"$root/bronze")(
+        _.append(ev.filter(col("ts") <= lit(cut))))         // arrival 1
       val p = new Pipeline(s, s"$root/pipe")
       p.inputTable("bronze", bronze)
       PipelineSql.script(p, """
@@ -1515,8 +1527,8 @@ object CoreQueries {
         .filter(col("event_type").isNotNull && col("ts").isNotNull)
         .select("event_id", "event_type", "ts")
       val root = tmp("graft_o27")
-      val bronze = LakeTable(s, s"$root/bronze")
-      bronze.append(ev.filter(col("event_id") % 2 === 0))
+      val bronze = pooled(s, d, "ev3_id_et_ts_even", s"$root/bronze")(
+        _.append(ev.filter(col("event_id") % 2 === 0)))
       val p = new Pipeline(s, s"$root/pipe")
       p.inputTable("bronze", bronze)
       PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW daily AS
@@ -1548,11 +1560,10 @@ object CoreQueries {
         .filter(col("event_type").isNotNull)
         .select("event_id", "event_type")
       val root = tmp("graft_o28")
-      val fact = LakeTable(s, s"$root/fact")
-      fact.append(ev)
-      val dim = LakeTable(s, s"$root/dim")
-      dim.append(ev.select(col("event_type").as("et")).distinct()
-        .withColumn("w", length(col("et")).cast("long")))
+      val fact = pooled(s, d, "ev2_id_et_full", s"$root/fact")(_.append(ev))
+      val dim = pooled(s, d, "dim_et_w", s"$root/dim")(
+        _.append(ev.select(col("event_type").as("et")).distinct()
+          .withColumn("w", length(col("et")).cast("long"))))
       val p = new Pipeline(s, s"$root/pipe")
       p.inputTable("fact", fact)
       p.inputTable("dim", dim)
@@ -1597,12 +1608,13 @@ object CoreQueries {
         .filter(col("event_type").isNotNull)
         .select("event_id", "event_type")
       val root = tmp("graft_o29")
-      val fact = LakeTable(s, s"$root/fact")
-      fact.append(ev.filter(col("event_id") % 2 === 0))
-      val dim = LakeTable(s, s"$root/dim")
-      val maxEt = ev.agg(max("event_type")).head().getString(0)
-      dim.append(ev.select(col("event_type").as("et")).distinct()
-        .filter(col("et") =!= lit(maxEt)))
+      val fact = pooled(s, d, "ev2_id_et_even", s"$root/fact")(
+        _.append(ev.filter(col("event_id") % 2 === 0)))
+      val dim = pooled(s, d, "dim_et_nomax", s"$root/dim") { dt =>
+        val maxEt = ev.agg(max("event_type")).head().getString(0)
+        dt.append(ev.select(col("event_type").as("et")).distinct()
+          .filter(col("et") =!= lit(maxEt)))
+      }
       val p = new Pipeline(s, s"$root/pipe")
       p.inputTable("fact", fact)
       p.inputTable("dim", dim)
@@ -1639,12 +1651,12 @@ object CoreQueries {
         .filter(col("event_type").isNotNull)
         .select("event_id", "event_type")
       val root = tmp("graft_o30")
-      val ba = LakeTable(s, s"$root/ba")
-      ba.append(ev.filter(col("event_id") % 4 === 0))
-      val bb = LakeTable(s, s"$root/bb")
-      bb.append(ev.filter(col("event_id") % 2 === 1)
-        .filter(col("event_id") % 4 === 1)
-        .select(col("event_type").as("et2"), col("event_id").as("id2")))
+      val ba = pooled(s, d, "o30_ba_mod4_0", s"$root/ba")(
+        _.append(ev.filter(col("event_id") % 4 === 0)))
+      val bb = pooled(s, d, "o30_bb_mod4_1", s"$root/bb")(
+        _.append(ev.filter(col("event_id") % 2 === 1)
+          .filter(col("event_id") % 4 === 1)
+          .select(col("event_type").as("et2"), col("event_id").as("id2"))))
       val p = new Pipeline(s, s"$root/pipe")
       p.inputTable("ba", ba)
       p.inputTable("bb", bb)
@@ -1680,8 +1692,8 @@ object CoreQueries {
         .filter(col("event_type").isNotNull && col("user_id").isNotNull)
         .select("event_id", "event_type", "user_id")
       val root = tmp("graft_o31")
-      val bronze = LakeTable(s, s"$root/bronze")
-      bronze.append(ev.filter(col("event_id") % 2 === 0))
+      val bronze = pooled(s, d, "ev3_id_et_uid_nn_even", s"$root/bronze")(
+        _.append(ev.filter(col("event_id") % 2 === 0)))
       val p = new Pipeline(s, s"$root/pipe")
       p.inputTable("bronze", bronze)
       PipelineSql.script(p, """
@@ -1722,12 +1734,11 @@ object CoreQueries {
         .select(col("event_id"), col("event_type"),
           (col("user_id") % 3).as("par"))
       val root = tmp("graft_o32")
-      val fact = LakeTable(s, s"$root/fact")
-      fact.append(ev)
-      val dim = LakeTable(s, s"$root/dim")
-      dim.append(ev.select(col("event_type").as("et"), col("par"))
-        .distinct()
-        .withColumn("w", length(col("et")).cast("long") + col("par")))
+      val fact = pooled(s, d, "o32_fact_id_et_par", s"$root/fact")(_.append(ev))
+      val dim = pooled(s, d, "o32_dim_et_par_w", s"$root/dim")(
+        _.append(ev.select(col("event_type").as("et"), col("par"))
+          .distinct()
+          .withColumn("w", length(col("et")).cast("long") + col("par"))))
       val p = new Pipeline(s, s"$root/pipe")
       p.inputTable("fact", fact)
       p.inputTable("dim", dim)
@@ -1764,6 +1775,121 @@ object CoreQueries {
         JOIN d ON f.event_type = d.et AND f.par = d.par
         GROUP BY d.et, d.par ORDER BY et, par""")),
 
+    // O33 MIN/MAX RETRACTION MAINTENANCE — the aggregate the signed
+    // algebra alone can't maintain, served by a bounded per-group top-K
+    // COMPANION (exact multiset beyond a bootstrap floor): delete 1 (a
+    // mid-band retraction, nowhere near any group's extremes) maintains
+    // the panel in O(window) — enforced in-query via the event log —
+    // and delete 2 (the global top band, killing several groups' maxima)
+    // either refills from the companions or recomputes loudly, both
+    // exact. At 100 TB the first shape is the one that matters: a
+    // GDPR-delete of ordinary rows no longer re-aggregates the lake.
+    Q("o33_auto_mv_minmax_retract", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull &&
+          col("event_id") % 4 === 0)
+        .select("event_id", "event_type", "value")
+      val root = tmp("graft_o33")
+      val src = pooled(s, d, "o33_src_cdf", s"$root/src") { st =>
+        st.create(ev.schema, enableChangeFeed = true)
+        st.append(ev)
+      }
+      val p = new Pipeline(s, s"$root/pipe")
+      p.inputTable("src", src)
+      PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW panel AS
+        SELECT event_type, MAX(value) AS mx,
+               SUM(event_id) AS sid, COUNT(*) AS n
+        FROM src GROUP BY event_type""")
+      p.runIncremental()                     // bootstrap + companions
+      // mid-band delete: far from every group's bottom-K and top-K
+      src.deleteWhere("value >= 100.0 AND value < 105.0")
+      p.runIncremental()
+      val msg = p.eventLog.filter(col("dataset") === "panel")
+        .orderBy(col("run_id").desc).select("message")
+        .limit(1).collect().head.getString(0)
+      require(msg.contains("incremental"),
+        s"mid-band retraction must MAINTAIN, not recompute: $msg")
+      // top-band delete: several groups' maxima retract
+      src.deleteWhere("value > 390.0")
+      p.runIncremental()
+      p.read("panel").orderBy("event_type")
+    },
+      Some("""SELECT event_type, MAX(value) AS mx,
+               CAST(SUM(event_id) AS BIGINT) AS sid, COUNT(*) AS n
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL
+          AND event_id % 4 = 0
+          AND NOT (value >= 100.0 AND value < 105.0)
+          AND NOT (value > 390.0)
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // O34 SCD2 AS-OF STAR MV — the reference's SCD machinery composed
+    // with its gold star at SCD2 depth (`DIM_Gold_layer.py` +
+    // `FACT_Gold_Layer.py:135-148`): the gold panel joins facts to a
+    // slowly-changing dimension HISTORY on key + validity interval
+    // (`start_at <= f.ts < end_at`), so every fact row is priced by the
+    // dim version that was CURRENT at event time. The non-equi residual
+    // rides the detected star join whole: fact arrival 2 maintains the
+    // panel from ONE change window joined to the PINNED history — at
+    // 100 TB the as-of panel refreshes without re-reading the fact lake.
+    Q("o34_auto_mv_scd2_asof", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .select("event_id", "event_type", "ts")
+      val root = tmp("graft_o34")
+      val fact = pooled(s, d, "ev3_id_et_ts_even", s"$root/fact")(
+        _.append(ev.filter(col("event_id") % 2 === 0)))
+      val dim = pooled(s, d, "o34_dim_scd2", s"$root/dim") { dt =>
+        val d0 = ev.select(col("event_type").as("et")).distinct()
+          .withColumn("w0", length(col("et")).cast("long"))
+        val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+        val lo = lit("1900-01-01 00:00:00").cast("timestamp")
+        val hi = lit("2200-01-01 00:00:00").cast("timestamp")
+        dt.append(
+          d0.select(col("et"), col("w0").as("w"),
+            lo.as("start_at"), cut.as("end_at"))
+          .unionByName(d0.select(col("et"), (col("w0") * 10).as("w"),
+            cut.as("start_at"), hi.as("end_at"))))
+      }
+      val p = new Pipeline(s, s"$root/pipe")
+      p.inputTable("fact", fact)
+      p.inputTable("dim", dim)
+      PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW gold AS
+        SELECT d.et AS et, SUM(f.event_id * d.w) AS sw, COUNT(*) AS n
+        FROM fact f JOIN dim d
+          ON f.event_type = d.et
+            AND f.ts >= d.start_at AND f.ts < d.end_at
+        GROUP BY d.et""")
+      p.runIncremental()                       // bootstrap + history pin
+      fact.append(ev.filter(col("event_id") % 2 === 1))
+      p.runIncremental()                       // window ⋈ pinned history
+      val msg = p.eventLog.filter(col("dataset") === "gold")
+        .orderBy(col("run_id").desc).select("message")
+        .limit(1).collect().head.getString(0)
+      require(msg.contains("incremental"),
+        s"as-of fact window must MAINTAIN, not recompute: $msg")
+      p.read("gold").orderBy("et")
+    },
+      Some("""WITH d0 AS (SELECT DISTINCT event_type AS et,
+                     CAST(length(event_type) AS BIGINT) AS w0
+              FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+          dim AS (
+            SELECT et, w0 AS w,
+                   TIMESTAMP '1900-01-01 00:00:00' AS start_at,
+                   TIMESTAMP '2024-01-15 00:00:00' AS end_at FROM d0
+            UNION ALL
+            SELECT et, w0 * 10,
+                   TIMESTAMP '2024-01-15 00:00:00',
+                   TIMESTAMP '2200-01-01 00:00:00' FROM d0)
+        SELECT d.et AS et, CAST(SUM(f.event_id * d.w) AS BIGINT) AS sw,
+               COUNT(*) AS n
+        FROM (SELECT event_id, event_type, ts FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL) f
+        JOIN dim d ON f.event_type = d.et
+          AND f.ts >= d.start_at AND f.ts < d.end_at
+        GROUP BY d.et ORDER BY et""")),
+
     // O15 TRUE STREAMING APPEND FLOW (SQL-declared) — where o10's live
     // flow re-lands its view every run (snapshot semantics), this one is
     // registered from `INSERT INTO … BY NAME SELECT … FROM STREAM(bronze)`
@@ -1776,8 +1902,8 @@ object CoreQueries {
       val ev = t(s, d, "events")
         .select("event_id", "user_id", "event_type", "value")
       val root = tmp("graft_o15")
-      val bronze = LakeTable(s, s"$root/bronze")
-      bronze.append(ev.filter(col("event_id") % 2 === 0))
+      val bronze = pooled(s, d, "ev4_id_uid_et_val_even", s"$root/bronze")(
+        _.append(ev.filter(col("event_id") % 2 === 0)))
       val p = new Pipeline(s, s"$root/pipe")
       p.inputTable("bronze", bronze)
       PipelineSql(p, "CREATE OR REFRESH STREAMING TABLE feed")
@@ -1920,10 +2046,11 @@ object CoreQueries {
     // replays.
     Q("s10_zonemap_read", (s, d) => {
       val o = t(s, d, "orders")
-      val tbl = LakeTable(s, s"${tmp("graft_s10")}/t")
-      tbl.create(o.schema, statsColumns = Seq("o_orderdate", "o_totalprice"))
-      Seq((1995, 1996), (1997, 1998), (1999, 2001)).foreach { case (a, b) =>
-        tbl.append(o.filter(year(col("o_orderdate")).between(a, b)).coalesce(1))
+      val tbl = pooled(s, d, "orders_3yr_od_tp", s"${tmp("graft_s10")}/t") { pt =>
+        pt.create(o.schema, statsColumns = Seq("o_orderdate", "o_totalprice"))
+        Seq((1995, 1996), (1997, 1998), (1999, 2001)).foreach { case (a, b) =>
+          pt.append(o.filter(year(col("o_orderdate")).between(a, b)).coalesce(1))
+        }
       }
       tbl.readWhere(Seq(LakeTable.ZonePred.between("o_orderdate",
           "1997-03-01 00:00:00", "1998-06-01 00:00:00")))
@@ -1943,10 +2070,11 @@ object CoreQueries {
     // update = CASE projection.
     Q("s11_delete_update", (s, d) => {
       val o = t(s, d, "orders")
-      val tbl = LakeTable(s, s"${tmp("graft_s11")}/t")
-      tbl.create(o.schema, statsColumns = Seq("o_orderdate"))
-      Seq((1995, 1996), (1997, 1998), (1999, 2001)).foreach { case (a, b) =>
-        tbl.append(o.filter(year(col("o_orderdate")).between(a, b)).coalesce(1))
+      val tbl = pooled(s, d, "orders_3yr_od", s"${tmp("graft_s11")}/t") { pt =>
+        pt.create(o.schema, statsColumns = Seq("o_orderdate"))
+        Seq((1995, 1996), (1997, 1998), (1999, 2001)).foreach { case (a, b) =>
+          pt.append(o.filter(year(col("o_orderdate")).between(a, b)).coalesce(1))
+        }
       }
       tbl.delete(Seq(LakeTable.ZonePred.between("o_orderdate",
         "1996-01-01 00:00:00", "1996-12-31 23:59:59")))
@@ -1978,9 +2106,10 @@ object CoreQueries {
     // rows) delete path; the copy-on-write s11 path is O(candidate files).
     Q("s17_delete_mor", (s, d) => {
       val o = t(s, d, "orders")
-      val tbl = LakeTable(s, s"${tmp("graft_s17")}/t")
-      tbl.create(o.schema)
-      tbl.append(o.filter(col("o_orderkey") % 3 =!= 0))
+      val tbl = pooled(s, d, "orders_mod3ne0", s"${tmp("graft_s17")}/t") { pt =>
+        pt.create(o.schema)
+        pt.append(o.filter(col("o_orderkey") % 3 =!= 0))
+      }
       tbl.deleteWhere("o_totalprice > 300000.0")
       tbl.append(o.filter(col("o_orderkey") % 3 === 0)) // post-delete: untouched
       tbl.read.select("o_orderkey", "o_custkey", "o_totalprice")
@@ -1999,11 +2128,12 @@ object CoreQueries {
     // unclustered key reads ~fpp of the files instead of all of them.
     Q("s19_bloom_lookup", (s, d) => {
       val o = t(s, d, "orders")
-      val tbl = LakeTable(s, s"${tmp("graft_s19")}/t")
-      tbl.create(o.schema, statsColumns = Seq("o_orderdate"),
-        bloomFilterColumns = Seq("o_orderkey"))
-      (0 until 3).foreach(i =>
-        tbl.append(o.filter(col("o_orderkey") % 3 === i).coalesce(1)))
+      val tbl = pooled(s, d, "orders_3i_bloom_ok", s"${tmp("graft_s19")}/t") { pt =>
+        pt.create(o.schema, statsColumns = Seq("o_orderdate"),
+          bloomFilterColumns = Seq("o_orderkey"))
+        (0 until 3).foreach(i =>
+          pt.append(o.filter(col("o_orderkey") % 3 === i).coalesce(1)))
+      }
       tbl.readWhere(Seq(LakeTable.ZonePred.eq("o_orderkey", "7")))
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
@@ -2020,12 +2150,13 @@ object CoreQueries {
     // relational reading over the full dataset: packing must be invisible.
     Q("s20_optimize_pack", (s, d) => {
       val o = t(s, d, "orders")
-      val tbl = LakeTable(s, s"${tmp("graft_s20")}/t")
-      tbl.create(o.schema, statsColumns = Seq("o_orderdate"))
-      tbl.append(o.filter(col("o_orderkey") % 3 =!= 0).coalesce(1))
-      (0 to 2).foreach(i => tbl.append(
-        o.filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") % 9 === i * 3)
-          .coalesce(1)))
+      val tbl = pooled(s, d, "s20_landing", s"${tmp("graft_s20")}/t") { pt =>
+        pt.create(o.schema, statsColumns = Seq("o_orderdate"))
+        pt.append(o.filter(col("o_orderkey") % 3 =!= 0).coalesce(1))
+        (0 to 2).foreach(i => pt.append(
+          o.filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") % 9 === i * 3)
+            .coalesce(1)))
+      }
       tbl.deleteWhere("o_totalprice > 200000.0")
       tbl.optimizeCompact(targetFileBytes = 8L * 1024 * 1024)
       tbl.read.select("o_orderkey", "o_custkey", "o_totalprice")
@@ -2055,9 +2186,10 @@ object CoreQueries {
         Seq("user_id"), "ts", Seq("event_id"))
         .withColumn("value", col("value") + lit(1000.0))
         .select(cols.map(col): _*)
-      val tbl = LakeTable(s, s"${tmp("graft_s18")}/t")
-      tbl.create(base.schema)
-      tbl.merge(base, Seq("user_id"))
+      val tbl = pooled(s, d, "s18_user_latest_base", s"${tmp("graft_s18")}/t") { pt =>
+        pt.create(base.schema)
+        pt.merge(base, Seq("user_id"))
+      }
       LakeSql.register("user_latest", tbl)
       src.createOrReplaceTempView("user_updates")
       try LakeSql.merge(s,
@@ -2096,11 +2228,12 @@ object CoreQueries {
     // rollback actually re-materialized v1.
     Q("s12_restore", (s, d) => {
       val o = t(s, d, "orders")
-      val tbl = LakeTable(s, s"${tmp("graft_s12")}/t")
-      tbl.create(o.schema)
-      tbl.append(o)                                          // v1: good
-      tbl.overwrite(o.filter(col("o_orderkey") % 10 === 0))  // v2: bad
-      tbl.restore(1)                                         // v3: undo v2
+      val tbl = pooled(s, d, "orders_full", s"${tmp("graft_s12")}/t") { pt =>
+        pt.create(o.schema)
+        pt.append(o)
+      }                                                      // clone v0: good
+      tbl.overwrite(o.filter(col("o_orderkey") % 10 === 0))  // v1: bad
+      tbl.restore(0)                                         // v2: undo v1
       tbl.read.select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
     },
@@ -2139,10 +2272,11 @@ object CoreQueries {
     // s11 oracle proves statement dispatch ≡ the programmatic API.
     Q("s22_sql_dml", (s, d) => {
       val o = t(s, d, "orders")
-      val tbl = LakeTable(s, s"${tmp("graft_s22")}/t")
-      tbl.create(o.schema, statsColumns = Seq("o_orderdate"))
-      Seq((1995, 1996), (1997, 1998), (1999, 2001)).foreach { case (a, b) =>
-        tbl.append(o.filter(year(col("o_orderdate")).between(a, b)).coalesce(1))
+      val tbl = pooled(s, d, "orders_3yr_od", s"${tmp("graft_s22")}/t") { pt =>
+        pt.create(o.schema, statsColumns = Seq("o_orderdate"))
+        Seq((1995, 1996), (1997, 1998), (1999, 2001)).foreach { case (a, b) =>
+          pt.append(o.filter(year(col("o_orderdate")).between(a, b)).coalesce(1))
+        }
       }
       LakeSql.register("s22_orders", tbl)
       try {
@@ -2175,10 +2309,11 @@ object CoreQueries {
     // filter proves re-clustering is a physical reorganization only.
     Q("s23_zorder_read", (s, d) => {
       val o = t(s, d, "orders")
-      val tbl = LakeTable(s, s"${tmp("graft_s23")}/t")
-      tbl.create(o.schema, statsColumns = Seq("o_custkey", "o_totalprice"))
-      (0 until 3).foreach(r =>
-        tbl.append(o.filter(col("o_orderkey") % 3 === r).coalesce(1)))
+      val tbl = pooled(s, d, "orders_3i_ck_tp", s"${tmp("graft_s23")}/t") { pt =>
+        pt.create(o.schema, statsColumns = Seq("o_custkey", "o_totalprice"))
+        (0 until 3).foreach(r =>
+          pt.append(o.filter(col("o_orderkey") % 3 === r).coalesce(1)))
+      }
       tbl.compactZOrder(Seq("o_custkey", "o_totalprice"))
       tbl.readWhere(Seq(LakeTable.ZonePred.between("o_custkey", "100", "300")))
         .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -2198,10 +2333,11 @@ object CoreQueries {
     // read is the payoff it exists for.
     Q("s42_cluster_by", (s, d) => {
       val o = t(s, d, "orders")
-      val tbl = LakeTable(s, s"${tmp("graft_s42")}/t")
-      tbl.create(o.schema, statsColumns = Seq("o_custkey", "o_totalprice"))
-      (0 until 3).foreach(r =>
-        tbl.append(o.filter(col("o_orderkey") % 3 === r).coalesce(1)))
+      val tbl = pooled(s, d, "orders_3i_ck_tp", s"${tmp("graft_s42")}/t") { pt =>
+        pt.create(o.schema, statsColumns = Seq("o_custkey", "o_totalprice"))
+        (0 until 3).foreach(r =>
+          pt.append(o.filter(col("o_orderkey") % 3 === r).coalesce(1)))
+      }
       LakeSql.register("s42_orders", tbl)
       try {
         LakeSql.sql(s, "ALTER TABLE s42_orders CLUSTER BY (o_custkey, o_totalprice)")
@@ -2224,9 +2360,10 @@ object CoreQueries {
     // re-cluster (s42's shape).
     Q("s48_cluster_incremental", (s, d) => {
       val o = t(s, d, "orders")
-      val tbl = LakeTable(s, s"${tmp("graft_s48")}/t")
-      tbl.create(o.schema, statsColumns = Seq("o_custkey"))
-      tbl.append(o.filter(col("o_orderkey") % 3 =!= 0).coalesce(2))
+      val tbl = pooled(s, d, "orders_mod3ne0_c2_ck", s"${tmp("graft_s48")}/t") { pt =>
+        pt.create(o.schema, statsColumns = Seq("o_custkey"))
+        pt.append(o.filter(col("o_orderkey") % 3 =!= 0).coalesce(2))
+      }
       LakeSql.register("s48_orders", tbl)
       try {
         LakeSql.sql(s, "ALTER TABLE s48_orders CLUSTER BY (o_custkey)")
@@ -2258,12 +2395,13 @@ object CoreQueries {
     // hash-mismatches.
     Q("s49_type_widening", (s, d) => {
       val o = t(s, d, "orders")
-      val tbl = LakeTable(s, s"${tmp("graft_s49")}/t")
       val era1 = o.filter(col("o_orderkey") % 2 === 1)
         .select(col("o_orderkey").cast("int").as("k"),
           col("o_totalprice").cast("float").as("price"))
-      tbl.create(era1.schema, statsColumns = Seq("k"))
-      tbl.append(era1)
+      val tbl = pooled(s, d, "s49_era1_narrow", s"${tmp("graft_s49")}/t") { pt =>
+        pt.create(era1.schema, statsColumns = Seq("k"))
+        pt.append(era1)
+      }
       LakeSql.register("s49_t", tbl)
       try {
         LakeSql.sql(s, "ALTER TABLE s49_t SET TBLPROPERTIES " +
@@ -2318,10 +2456,11 @@ object CoreQueries {
     // the valid subset alone: any leaked row hash-mismatches.
     Q("s24_check_reject", (s, d) => {
       val o = t(s, d, "orders")
-      val tbl = LakeTable(s, s"${tmp("graft_s24")}/t")
-      tbl.create(o.schema)
-      tbl.addCheckConstraint("positive_price", "o_totalprice > 0")
-      tbl.append(o.filter(col("o_orderkey") % 2 === 0))
+      val tbl = pooled(s, d, "orders_even_chk", s"${tmp("graft_s24")}/t") { pt =>
+        pt.create(o.schema)
+        pt.addCheckConstraint("positive_price", "o_totalprice > 0")
+        pt.append(o.filter(col("o_orderkey") % 2 === 0))
+      }
       val rejected = scala.util.Try(tbl.append(
         o.filter(col("o_orderkey") % 2 === 1)
           .withColumn("o_totalprice", -col("o_totalprice")))).isFailure
@@ -2342,14 +2481,15 @@ object CoreQueries {
     // oracle proves the SELECT path serves the true snapshot.
     Q("s25_sql_select", (s, d) => {
       val o = t(s, d, "orders")
-      val tbl = LakeTable(s, s"${tmp("graft_s25")}/t")
-      tbl.append(o.filter(col("o_orderkey") % 2 === 0)
-        .select("o_orderkey", "o_custkey", "o_totalprice"))
-      tbl.append(o.filter(col("o_orderkey") % 2 === 1)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-          (col("o_totalprice") * lit(0.1)).as("o_discounted")),
-        mergeSchema = true)
-      tbl.deleteWhere("o_orderkey % 10 = 3") // arbitrary predicate → live DVs
+      val tbl = pooled(s, d, "s25_dv_evolved", s"${tmp("graft_s25")}/t") { pt =>
+        pt.append(o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice"))
+        pt.append(o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            (col("o_totalprice") * lit(0.1)).as("o_discounted")),
+          mergeSchema = true)
+        pt.deleteWhere("o_orderkey % 10 = 3") // arbitrary predicate → live DVs
+      }
       LakeSql.register("s25_orders", tbl)
       try LakeSql.sql(s,
         """SELECT o_orderkey, o_custkey, o_totalprice, o_discounted
@@ -2374,11 +2514,12 @@ object CoreQueries {
     Q("s26_optimize_scoped", (s, d) => {
       val o = t(s, d, "orders")
       val oy = o.withColumn("o_year", year(col("o_orderdate")))
-      val tbl = LakeTable(s, s"${tmp("graft_s26")}/t")
-      tbl.create(oy.schema, partitionBy = Some("o_year"),
-        statsColumns = Seq("o_custkey"))
-      (0 until 3).foreach(r =>
-        tbl.append(oy.filter(col("o_orderkey") % 3 === r)))
+      val tbl = pooled(s, d, "orders_ypart_3i_ck", s"${tmp("graft_s26")}/t") { pt =>
+        pt.create(oy.schema, partitionBy = Some("o_year"),
+          statsColumns = Seq("o_custkey"))
+        (0 until 3).foreach(r =>
+          pt.append(oy.filter(col("o_orderkey") % 3 === r)))
+      }
       LakeSql.register("s26_orders", tbl)
       try LakeSql.sql(s,
         "OPTIMIZE s26_orders WHERE o_year = 1997 ZORDER BY (o_custkey)")
@@ -2402,9 +2543,10 @@ object CoreQueries {
     // binary-exact so the doubled price hashes identically in DuckDB.
     Q("s27_update_where", (s, d) => {
       val o = t(s, d, "orders")
-      val tbl = LakeTable(s, s"${tmp("graft_s27")}/t")
-      tbl.create(o.schema, enableChangeFeed = true)
-      tbl.append(o)
+      val tbl = pooled(s, d, "orders_full_cdf", s"${tmp("graft_s27")}/t") { pt =>
+        pt.create(o.schema, enableChangeFeed = true)
+        pt.append(o)
+      }
       LakeSql.register("s27_orders", tbl)
       val n =
         try LakeSql.sql(s,
@@ -2495,11 +2637,12 @@ object CoreQueries {
     Q("s29_replace_partition", (s, d) => {
       val o = t(s, d, "orders")
       val oy = o.withColumn("o_year", year(col("o_orderdate")))
-      val tbl = LakeTable(s, s"${tmp("graft_s29")}/t")
-      tbl.create(oy.schema, partitionBy = Some("o_year"),
-        statsColumns = Seq("o_custkey"))
-      (0 until 3).foreach(r =>
-        tbl.append(oy.filter(col("o_orderkey") % 3 === r)))
+      val tbl = pooled(s, d, "orders_ypart_3i_ck", s"${tmp("graft_s29")}/t") { pt =>
+        pt.create(oy.schema, partitionBy = Some("o_year"),
+          statsColumns = Seq("o_custkey"))
+        (0 until 3).foreach(r =>
+          pt.append(oy.filter(col("o_orderkey") % 3 === r)))
+      }
       LakeSql.register("s29_orders", tbl)
       try LakeSql.sql(s,
         """INSERT INTO s29_orders REPLACE WHERE o_year = 1997
@@ -2525,9 +2668,9 @@ object CoreQueries {
     // predicated cells and nothing else.
     Q("s30_merge_evolve", (s, d) => {
       val o = t(s, d, "orders")
-      val tbl = LakeTable(s, s"${tmp("graft_s30")}/t")
-      tbl.append(o.filter(col("o_orderkey") % 2 === 0)
-        .select("o_orderkey", "o_custkey", "o_totalprice"))
+      val tbl = pooled(s, d, "orders_even_3col", s"${tmp("graft_s30")}/t")(
+        _.append(o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice")))
       val src = o.filter(col("o_orderkey") % 3 === 0)
         .select(col("o_orderkey"), col("o_custkey"),
           (col("o_totalprice") + lit(1000.0)).as("o_totalprice"),
@@ -2561,9 +2704,9 @@ object CoreQueries {
     // widened union relationally.
     Q("s31_add_column", (s, d) => {
       val o = t(s, d, "orders")
-      val tbl = LakeTable(s, s"${tmp("graft_s31")}/t")
-      tbl.append(o.filter(col("o_orderkey") % 2 === 0)
-        .select("o_orderkey", "o_custkey", "o_totalprice"))
+      val tbl = pooled(s, d, "orders_even_3col", s"${tmp("graft_s31")}/t")(
+        _.append(o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice")))
       LakeSql.register("s31_orders", tbl)
       try LakeSql.sql(s, "ALTER TABLE s31_orders ADD COLUMNS (o_margin DOUBLE)")
       finally LakeSql.unregister("s31_orders")
@@ -2637,13 +2780,14 @@ object CoreQueries {
     // hash equality proves the mapping reconciles both file eras exactly.
     Q("s34_rename_column", (s, d) => {
       val o = t(s, d, "orders")
-      val tbl = LakeTable(s, s"${tmp("graft_s34")}/t")
-      tbl.create(StructType(Seq(
-          StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
-          StructField("o_totalprice", DoubleType))),
-        statsColumns = Seq("o_totalprice"))
-      tbl.append(o.filter(col("o_orderkey") % 2 === 0)
-        .select("o_orderkey", "o_custkey", "o_totalprice"))
+      val tbl = pooled(s, d, "s34_base_tp_stats", s"${tmp("graft_s34")}/t") { pt =>
+        pt.create(StructType(Seq(
+            StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+            StructField("o_totalprice", DoubleType))),
+          statsColumns = Seq("o_totalprice"))
+        pt.append(o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice"))
+      }
       LakeSql.register("s34_orders", tbl)
       try {
         LakeSql.sql(s, "ALTER TABLE s34_orders RENAME COLUMN o_totalprice TO price")
@@ -2735,9 +2879,9 @@ object CoreQueries {
     // immediately. Source-only rows still INSERT * complete.
     Q("s37_merge_set_columns", (s, d) => {
       val o = t(s, d, "orders")
-      val tbl = LakeTable(s, s"${tmp("graft_s37")}/t")
-      tbl.append(o.filter(col("o_orderkey") % 2 === 0)
-        .select("o_orderkey", "o_custkey", "o_totalprice"))
+      val tbl = pooled(s, d, "orders_even_3col", s"${tmp("graft_s37")}/t")(
+        _.append(o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice")))
       val src = o.filter(col("o_orderkey") % 3 === 0)
         .select(col("o_orderkey"), (col("o_custkey") + 1L).as("o_custkey"),
           col("o_totalprice"))
@@ -2773,9 +2917,9 @@ object CoreQueries {
     // two-statement composition as one relational predicate.
     Q("s38_merge_sync", (s, d) => {
       val o = t(s, d, "orders")
-      val tbl = LakeTable(s, s"${tmp("graft_s38")}/t")
-      tbl.append(o.filter(col("o_orderkey") % 2 === 0)
-        .select("o_orderkey", "o_custkey", "o_totalprice"))
+      val tbl = pooled(s, d, "orders_even_3col", s"${tmp("graft_s38")}/t")(
+        _.append(o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice")))
       val src = o.filter(col("o_orderkey") % 3 === 0)
         .select("o_orderkey", "o_custkey", "o_totalprice")
       LakeSql.register("s38_orders", tbl)
@@ -2815,9 +2959,9 @@ object CoreQueries {
     // the oracle replays the whole application relationally.
     Q("s39_merge_cdc_apply", (s, d) => {
       val o = t(s, d, "orders")
-      val tbl = LakeTable(s, s"${tmp("graft_s39")}/t")
-      tbl.append(o.filter(col("o_orderkey") % 2 === 0)
-        .select("o_orderkey", "o_custkey", "o_totalprice"))
+      val tbl = pooled(s, d, "orders_even_3col", s"${tmp("graft_s39")}/t")(
+        _.append(o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice")))
       val cdc = o.filter(col("o_orderkey") % 3 === 0)
         .select(col("o_orderkey"), col("o_custkey"),
           (col("o_totalprice") + lit(1000.0)).as("o_totalprice"),
@@ -2867,8 +3011,8 @@ object CoreQueries {
       val cut = new Timestamp(
         (r.getTimestamp(0).getTime + r.getTimestamp(1).getTime) / 2)
       val root = tmp("graft_s45")
-      val bronze = LakeTable(s, s"$root/bronze")
-      bronze.append(ev.filter(col("ts") <= lit(cut)))       // arrival 1
+      val bronze = pooled(s, d, "s45_bronze_a1", s"$root/bronze")(
+        _.append(ev.filter(col("ts") <= lit(cut))))         // arrival 1
       val p = new Pipeline(s, s"$root/pipe")
       p.inputTable("bronze", bronze)
       PipelineSql(p, """CREATE TEMPORARY VIEW clean AS
@@ -2912,8 +3056,8 @@ object CoreQueries {
       val cut = new Timestamp(
         (r.getTimestamp(0).getTime + r.getTimestamp(1).getTime) / 2)
       val root = tmp("graft_s46")
-      val bronze = LakeTable(s, s"$root/bronze")
-      bronze.append(ev.filter(col("ts") <= lit(cut)))       // arrival 1
+      val bronze = pooled(s, d, "s4647_bronze_a1", s"$root/bronze")(
+        _.append(ev.filter(col("ts") <= lit(cut))))         // arrival 1
       val p = new Pipeline(s, s"$root/pipe")
       p.inputTable("bronze", bronze)
       p.view("type_dim")(t(s, d, "events")
@@ -2967,8 +3111,8 @@ object CoreQueries {
       val cut = new Timestamp(
         (r.getTimestamp(0).getTime + r.getTimestamp(1).getTime) / 2)
       val root = tmp("graft_s47")
-      val bronze = LakeTable(s, s"$root/bronze")
-      bronze.append(ev.filter(col("ts") <= lit(cut)))       // arrival 1
+      val bronze = pooled(s, d, "s4647_bronze_a1", s"$root/bronze")(
+        _.append(ev.filter(col("ts") <= lit(cut))))         // arrival 1
       val p = new Pipeline(s, s"$root/pipe")
       p.inputTable("bronze", bronze)
       p.view("type_dim")(t(s, d, "events")

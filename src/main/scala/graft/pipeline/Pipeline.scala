@@ -167,7 +167,11 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
             case j if j.equi.nonEmpty => j.dim -> j.equi }.toMap,
           dcounts = spec.dcounts,
           distTables = spec.dcounts.map { case (a, _) =>
-            LakeTable(spark, s"$storageRoot/${name}__dist_$a") })
+            LakeTable(spark, s"$storageRoot/${name}__dist_$a") },
+          extMins = spec.mins.map { case (a, _) =>
+            LakeTable(spark, s"$storageRoot/${name}__ext_$a") },
+          extMaxs = spec.maxs.map { case (a, _) =>
+            LakeTable(spark, s"$storageRoot/${name}__ext_$a") })
         val how = if (mode == "incremental") s"incremental from ${spec.source}"
           else s"$mode, from ${spec.source}"
         events += (("flow_progress", name, n,
@@ -2341,7 +2345,20 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       targetFileBytes: Long = 128L * 1024 * 1024): DataFrame = {
     import spark.implicits._
     val out = mutable.ArrayBuffer[(String, String, String)]()
-    tables.foreach { case (name, t) =>
+    // COMPANION tables ride maintenance too: COUNT(DISTINCT) multisets and
+    // MIN/MAX top-K companions are written by EVERY MV refresh (one dir
+    // per window) but belong to no declared dataset — without this they
+    // grow files forever while the panels they serve stay packed
+    val companions: Seq[(String, LakeTable)] = autoMvs.toSeq.flatMap {
+      case (name, spec) =>
+        spec.dcounts.map { case (a, _) =>
+          s"${name}__dist_$a" ->
+            LakeTable(spark, s"$storageRoot/${name}__dist_$a") } ++
+        (spec.mins ++ spec.maxs).map { case (a, _) =>
+          s"${name}__ext_$a" ->
+            LakeTable(spark, s"$storageRoot/${name}__ext_$a") }
+    }
+    (tables.toSeq ++ companions).foreach { case (name, t) =>
       if (t.exists) try {
         val key = t.clusterBy
         if (key.nonEmpty) {
@@ -2724,7 +2741,9 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       dcounts: Seq[(String, String)] = Nil,
       distTables: Seq[LakeTable] = Nil,
       dimEqui: Map[String, Seq[(String, String)]] = Map.empty,
-      union: Seq[(LakeTable, Option[Seq[String]])] = Nil): (Long, String) = {
+      union: Seq[(LakeTable, Option[Seq[String]])] = Nil,
+      extMins: Seq[LakeTable] = Nil,
+      extMaxs: Seq[LakeTable] = Nil): (Long, String) = {
     import org.apache.spark.sql.functions.{avg, broadcast, col, count, countDistinct, expr, lit, max, min, sum, when}
     require(groupBy.nonEmpty, "incremental agg MV needs GROUP BY columns")
     // AVG/COUNT(expr) decompositions ride hidden columns — auto path only
@@ -2741,6 +2760,26 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       "UNION ALL maintenance is the auto path's; star-join and " +
         "COUNT(DISTINCT) forms keep recompute")
     val auto = !exactDecimal
+    // EXTREME COMPANIONS (the MIN/MAX retraction-maintenance machinery —
+    // the aggregate the signed algebra alone can't maintain): one bounded
+    // per-group top-K table per MIN/MAX, holding the EXACT multiset of the
+    // group's values STRICTLY beyond its bootstrap floor (the K+1-ranked
+    // value; NULL floor = fewer than K+1 distinct values, track all). The
+    // floor gate is load-bearing: inserts at-or-beyond the floor are
+    // REJECTED, so every tracked count is exact and companion-nonempty ⇒
+    // its extreme dominates every untracked value. Deletes that leave the
+    // companion nonempty maintain in O(window); a drained-but-live group
+    // (the true extreme fell past the floor) or an overgrown companion
+    // (monotone domains outgrow the floor) costs ONE recompute, which
+    // re-trims. AUTO single-source path only — the explicit API keeps its
+    // loud append-only contract, union branches keep recompute.
+    //   (alias, expr, companion, isMin, index)
+    val extremes: Seq[(String, String, LakeTable, Boolean, Int)] =
+      if (!auto || union.nonEmpty || extMins.size != mins.size ||
+          extMaxs.size != maxs.size) Nil
+      else (mins.zip(extMins).map { case ((a, e), et) => (a, e, et, true) } ++
+        maxs.zip(extMaxs).map { case ((a, e), et) => (a, e, et, false) })
+        .zipWithIndex.map { case ((a, e, et, m), i) => (a, e, et, m, i) }
     val t = tables(target)
     val appId = if (flowId.nonEmpty) flowId else s"graft.aggmv.$target"
     // UNION ALL branches: (per-branch ledger id, table, optional
@@ -2854,8 +2893,15 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     // the recomputed panel — correct by definition and un-wedges the
     // consumer — instead of failing every run.
     def bootstrap(mode: String): (Long, String) = {
-      val snap = filtered(en(
+      val snap0 = filtered(en(
         if (union.isEmpty) source.readVersion(cur) else unionAt(curs)))
+      // companions + the main aggregate each scan the snapshot — one
+      // cached pass when any companion exists, a single scan otherwise
+      val snapCached = dcounts.nonEmpty || extremes.nonEmpty
+      val snap = if (snapCached)
+        snap0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else snap0
+      try {
       // COUNT(DISTINCT) companions rebuild FIRST: each holds the (group,
       // value) multiplicities of the snapshot — the MV overwrite below
       // carries the ledger, so a crash in between just re-bootstraps
@@ -2867,6 +2913,39 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         if (!dt.exists) dt.create(comp.schema)
         dt.overwrite(comp)
       }
+      // extreme companions: per group the top-K distinct values (by the
+      // extreme's own order) with exact multiplicities; every row carries
+      // the group FLOOR — the K+1-ranked value (NULL: group tracks all).
+      // The (group, value) multiset is aggregated ONCE per distinct
+      // expression and shared by a MIN and MAX over the same column.
+      val valsByExpr: Map[String, DataFrame] =
+        extremes.map(_._2).distinct.map { e =>
+          e -> snap.filter(expr(e).isNotNull)
+            .groupBy((gCols :+ expr(e)): _*)
+            .agg(count(lit(1)).as("__vcnt"))
+            .toDF((groupBy ++ Seq("__v", "__vcnt")): _*)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }.toMap
+      try extremes.foreach { case (_, e, et, isMin, _) =>
+        val vals = valsByExpr(e)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(groupBy.map(col): _*)
+          .orderBy(if (isMin) col("__v").asc else col("__v").desc)
+        val ranked = vals.withColumn("__rk",
+          org.apache.spark.sql.functions.row_number().over(w))
+        val floors = ranked
+          .filter(col("__rk") === Pipeline.ExtremeCompanionK + 1)
+          .select(groupBy.map(c => col(c).as(s"__k_$c")) :+
+            col("__v").as("__floor"): _*)
+        val kept = ranked.filter(col("__rk") <= Pipeline.ExtremeCompanionK)
+          .drop("__rk")
+          .join(floors,
+            groupBy.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _),
+            "left")
+          .drop(groupBy.map(c => s"__k_$c"): _*)
+        if (!et.exists) et.create(kept.schema)
+        et.overwrite(kept)
+      } finally valsByExpr.values.foreach { v => v.unpersist(); () }
       val aggs =
         sums.map { case (a, e) =>
           (if (exactDecimal) sum(sumIn(e)).cast(dec) else sum(sumIn(e))).as(a) } ++
@@ -2879,13 +2958,17 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           sums.map { case (a, e) => count(expr(e)).as(s"__nn_$a") } ++
           avgs.flatMap { case (a, e) => Seq(
             sum(expr(e)).as(s"__avs_$a"), count(expr(e)).as(s"__avn_$a")) }
-        else Nil)
+        else Nil) ++
+        // per-extreme non-null input count: distinguishes an all-NULL-input
+        // group (extreme legitimately NULL) from a DRAINED companion
+        extremes.map { case (a, e, _, _, _) => count(expr(e)).as(s"__xn_$a") }
       val aggNames =
         (sums ++ mins ++ maxs ++ avgs ++ cnts ++ dcounts).map(_._1) ++
         (if (auto)
           sums.map(p => s"__nn_${p._1}") ++
           avgs.flatMap(p => Seq(s"__avs_${p._1}", s"__avn_${p._1}"))
-        else Nil)
+        else Nil) ++
+        extremes.map { case (a, _, _, _, _) => s"__xn_$a" }
       val base = nameGroups(
         snap.groupBy(gCols: _*).agg(count(lit(1)).as(cntAlias), aggs: _*),
         cntAlias +: aggNames)
@@ -2921,8 +3004,15 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         dimPinProp(n) -> v.toString }.toMap ++ tzPin
       if (pinProps.nonEmpty) t.setTableProperties(pinProps)
       (0L, mode)
+      } finally { if (snapCached) { snap.unpersist(); () } }
     }
     if (!t.exists || lasts.exists(_ < 0)) return bootstrap("bootstrap")
+    // extreme-companion upgrade path: an MV bootstrapped before its
+    // companions existed (or whose backing table predates the hidden
+    // __xn columns) re-bootstraps ONCE to mint them
+    if (extremes.nonEmpty && (extremes.exists(x => !x._3.exists) ||
+        extremes.exists(x => !t.schema.fieldNames.contains(s"__xn_${x._1}"))))
+      return bootstrap("bootstrap: extreme companions")
     // session-timezone pin check (expression group keys only; see the
     // bootstrap pin above). A pre-pin MV (property absent) is stamped at
     // its next bootstrap — the check never fires on absence.
@@ -2979,6 +3069,12 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     if (dcounts.zip(distTables).exists { case ((a, _), dt) =>
       dt.exists && dt.lastTxnVersion(s"$appId.dist.$a").exists(_ > last) })
       return bootstrap("recompute: distinct companion out of sync")
+    // same crash-resync contract for extreme companions (ledger AHEAD of
+    // the MV = a refresh died between the companion merge and the main
+    // merge; recompute resynchronizes both)
+    if (extremes.exists { case (a, _, et, _, _) =>
+      et.exists && et.lastTxnVersion(s"$appId.ext.$a").exists(_ > last) })
+      return bootstrap("recompute: extreme companion out of sync")
     if (branches.indices.exists(i => curs(i) > lasts(i) &&
         !branches(i)._2.feedReadable(lasts(i) + 1, curs(i))))
       return bootstrap("recompute: full-rewrite window")
@@ -2997,7 +3093,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     val orderedPlans = dims.map(_._1)
       .flatMap(n => dimDeltaPlans.find(_._1 == n))
     val earlierCur = scala.collection.mutable.Set[String]()
-    val dimDeltaSteps: Seq[Option[(DataFrame, String, Long)]] =
+    val dimDeltaSteps: Seq[Option[(DataFrame, String, Long, String)]] =
       orderedPlans.map { case (dn, dt, pinV, curV, eqKeys) =>
         val doneCur = earlierCur.toSet
         earlierCur += dn
@@ -3013,10 +3109,27 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         scala.util.Try {
           val dPin = dt.readVersion(pinV)
           val dCur = dt.readVersion(curV)
-          // changed-key tuples; all-key-null rows are unmatchable under
-          // `=` (inner AND left joins alike) so their changes are inert
-          val keysDf = dCur.exceptAll(dPin).select(dcs.map(col): _*)
-            .unionByName(dPin.exceptAll(dCur).select(dcs.map(col): _*))
+          // CHANGED-KEY SET, two plans by what the dim records:
+          //  - the dim's own CHANGE FEED when it carries row images across
+          //    the window (CDC-maintained silver dims and auto-MV targets
+          //    capture CDF from birth; plain appends feed for free) —
+          //    O(changed dim rows), the billion-row-dim shape: a trickle
+          //    is read as a trickle, never a dim scan. A key touched then
+          //    reverted inside the window over-approximates harmlessly —
+          //    its ± branches join identical dim rows and cancel exactly.
+          //  - the two-full-version diff as the fallback (a plain input
+          //    dim mutated by merges without CDF, a vacuumed feed) —
+          //    dim-sized, the small side by star assumption.
+          // all-key-null rows are unmatchable under `=` (inner AND left
+          // joins alike) so their changes are inert either way.
+          val feedKeys = dt.feedReadable(pinV + 1, curV)
+          val keysRaw =
+            if (feedKeys)
+              dt.readChangeFeed(pinV + 1, Some(curV)).select(dcs.map(col): _*)
+            else
+              dCur.exceptAll(dPin).select(dcs.map(col): _*)
+                .unionByName(dPin.exceptAll(dCur).select(dcs.map(col): _*))
+          val keysDf = keysRaw
             .filter(dcs.map(col(_).isNotNull).reduce(_ && _)).distinct()
           val changedRows = keysDf
             .limit(Pipeline.DimDeltaKeyCap + 1).collect().toSeq
@@ -3029,7 +3142,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
             val plus = filtered(enrich(Map(dims.map { case (n2, dt2) =>
               n2 -> dt2.readVersion(if (n2 == dn) curV else otherVer(n2, dt2))
             }: _*))(emptySlice)).withColumn("__sign", lit(1L))
-            Some((plus, dn, curV))
+            Some((plus, dn, curV, if (feedKeys) "feed" else "diff"))
           } else {
             // TWO pruning layers on the fact slice: (1) MANIFEST-level
             // zone-map skipping via each key column's conservative
@@ -3090,11 +3203,12 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
             // under BOTH qualifiers (f.cat, d.cat — duplicate bare names),
             // which by-name union refuses; the two branches share one
             // construction so their column order is identical by build
-            Some((plus.union(minus), dn, curV))
+            Some((plus.union(minus), dn, curV,
+              if (feedKeys) "feed" else "diff"))
           }
         }.toOption.flatten
       }
-    val dimDeltas: Option[Seq[(DataFrame, String, Long)]] =
+    val dimDeltas: Option[Seq[(DataFrame, String, Long, String)]] =
       if (dimDeltaSteps.forall(_.isDefined)) Some(dimDeltaSteps.flatten)
       else None
     if (dimsChanged && dimDeltas.isEmpty)
@@ -3126,7 +3240,8 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
             signedNn(e).as(s"__davn_$i")) } ++
           cnts.zipWithIndex.map { case ((_, e), i) =>
             signedNn(e).as(s"__dc_$i") }
-        else Nil)
+        else Nil) ++
+        extremes.map { case (_, e, _, _, i) => signedNn(e).as(s"__dxn_$i") }
       val deltaNames =
         sums.indices.map(i => s"__d_$i") ++
         mins.indices.map(i => s"__mn_$i") ++
@@ -3135,7 +3250,8 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           sums.indices.map(i => s"__dnn_$i") ++
           avgs.indices.flatMap(i => Seq(s"__davs_$i", s"__davn_$i")) ++
           cnts.indices.map(i => s"__dc_$i")
-        else Nil)
+        else Nil) ++
+        extremes.map { case (_, _, _, _, i) => s"__dxn_$i" }
       val delta = nameGroups(
         signed
           .groupBy(gCols: _*)
@@ -3197,6 +3313,102 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
             "left")
             .drop(groupBy.map(c => s"__k_$c"): _*)
         }
+      // EXTREME maintenance: merge the window's signed (group, value)
+      // multiplicities into each companion — FLOOR-GATED (see `extremes`
+      // above: an insert at-or-beyond the floor is rejected so tracked
+      // counts stay exact) — then recount the touched groups' extremes
+      // ABSOLUTELY from the companions to ride the main merge. Two
+      // refill triggers abort to ONE recompute (which re-trims): a
+      // DRAINED group (companion empty, non-null inputs remain — the
+      // true extreme fell past the floor) and an OVERGROWN group (a
+      // monotone domain outgrew the floor past the cap).
+      val withExtremes =
+        if (extremes.isEmpty) withDcounts
+        else {
+          // the signed (group, value) multiset is aggregated ONCE per
+          // distinct expression (a MIN and MAX over one column share it)
+          val cdeltaByExpr: Map[String, DataFrame] =
+            extremes.map(_._2).distinct.map { e =>
+              e -> signed.filter(expr(e).isNotNull)
+                .groupBy((gCols :+ expr(e)): _*)
+                .agg(sum(col("__sign")).as("__d"))
+                .toDF((groupBy ++ Seq("__v", "__d")): _*)
+            }.toMap
+          val touched = delta.select(groupBy.map(col): _*)
+          val absExt = extremes.map { case (a, e, et, isMin, i) =>
+            val floors = et.read.groupBy(groupBy.map(col): _*)
+              .agg(max(col("__floor")).as("__f")) // rows agree per group
+              .select(groupBy.map(c => col(c).as(s"__k_$c")) :+ col("__f"): _*)
+            // the floor gates BOTH signs: tracked values are strictly
+            // beyond the floor by invariant, so a retraction at-or-past
+            // it can never match a companion row either — a mid-band
+            // mass delete contributes ZERO merge-source rows
+            val gated = cdeltaByExpr(e)
+              .join(floors,
+                groupBy.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _),
+                "left")
+              .drop(groupBy.map(c => s"__k_$c"): _*)
+              .filter(col("__f").isNull ||
+                (if (isMin) col("__v") < col("__f")
+                 else col("__v") > col("__f")))
+            et.merge(gated, groupBy :+ "__v",
+              matchedSet = Some(Map("__vcnt" -> "t.__vcnt + s.__d")),
+              matchedDeleteWhen = Some("t.__vcnt + s.__d <= 0"),
+              insertGuard = Some("s.__d > 0"),
+              insertSet = Some((groupBy.map(c => c -> s"s.$c") ++
+                Seq("__v" -> "s.__v", "__vcnt" -> "s.__d",
+                  "__floor" -> "s.__f")).toMap),
+              txn = Some(s"$appId.ext.$a" -> cur),
+              nullSafeKeys = true)
+            val comp = et.read
+            val live = comp.join(touched,
+              groupBy.map(c => comp(c) <=> touched(c)).reduce(_ && _),
+              "left_semi")
+            live.groupBy(groupBy.map(col): _*)
+              .agg((if (isMin) min(col("__v")) else max(col("__v")))
+                .as(s"__xab_$i"),
+                count(lit(1)).as(s"__xsz_$i"))
+          }
+          absExt.foldLeft(withDcounts) { (acc, ab) =>
+            val renamed = ab.select(
+              groupBy.map(c => col(c).as(s"__k_$c")) ++
+                ab.columns.filterNot(groupBy.contains).map(col): _*)
+            acc.join(renamed,
+              groupBy.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _),
+              "left")
+              .drop(groupBy.map(c => s"__k_$c"): _*)
+          }
+        }
+      // ONE materialization of the extreme-joined source frame: the
+      // refill probe and the main merge's internal passes reuse it —
+      // unpersisted, the feed aggregation and every companion probe
+      // re-execute per consumer (measured ~2× the refresh cost)
+      if (extremes.nonEmpty)
+        withExtremes.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+      if (extremes.nonEmpty) {
+        import org.apache.spark.sql.functions.coalesce
+        // refill probe: one aggregate-sized pass over the source frame
+        // against the MV's current per-group non-null input counts
+        val tprobe = t.read.select(
+          groupBy.map(c => col(c).as(s"__k_$c")) ++
+            extremes.map { case (a, _, _, _, _) =>
+              col(s"__xn_$a").as(s"__txn_$a") }: _*)
+        val probe = withExtremes.join(tprobe,
+          groupBy.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _),
+          "left")
+        val refill = extremes.map { case (a, _, _, _, i) =>
+          val newXn = coalesce(col(s"__txn_$a"), lit(0L)) +
+            coalesce(col(s"__dxn_$i"), lit(0L))
+          (newXn > 0 && col(s"__xab_$i").isNull) ||
+            coalesce(col(s"__xsz_$i"), lit(0L)) >
+              lit(Pipeline.ExtremeCompanionOvergrow)
+        }.reduce(_ || _)
+        if (probe.filter(refill).limit(1).count() != 0L)
+          throw Pipeline.ExtremeRefill(
+            "recompute: maintained extremes drained or overgrown")
+      }
       val processed = signed.count()
       // the target column's type drives the merge casts (widened-decimal
       // arithmetic folds back; the accumulator type IS the declared type)
@@ -3242,9 +3454,20 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       // companion above) — the one aggregate whose delta is not a sum
       val dcUpdates = dcounts.zipWithIndex.map { case ((a, _), i) =>
         a -> s"cast(s.__da_$i AS ${tpe(a)})" }
-      val updates = (sumUpdates ++
-        mins.zipWithIndex.map { case ((a, _), i) => a -> s"least(t.$a, s.__mn_$i)" } ++
-        maxs.zipWithIndex.map { case ((a, _), i) => a -> s"greatest(t.$a, s.__mx_$i)" } ++
+      // extremes: monotone least/greatest while no companion maintains
+      // them; ABSOLUTE recounts from the companion (replay-idempotent,
+      // exact through retractions) when one does
+      val extUpdates: Seq[(String, String)] =
+        if (extremes.isEmpty)
+          mins.zipWithIndex.map { case ((a, _), i) =>
+            a -> s"least(t.$a, s.__mn_$i)" } ++
+          maxs.zipWithIndex.map { case ((a, _), i) =>
+            a -> s"greatest(t.$a, s.__mx_$i)" }
+        else extremes.flatMap { case (a, _, _, _, i) => Seq(
+          a -> s"cast(s.__xab_$i AS ${tpe(a)})",
+          s"__xn_$a" -> (s"cast(t.__xn_$a + coalesce(s.__dxn_$i, 0) " +
+            s"AS ${tpe(s"__xn_$a")})")) }
+      val updates = (sumUpdates ++ extUpdates ++
         avgUpdates ++ cntUpdates ++ dcUpdates :+
         (cntAlias -> s"t.$cntAlias + s.__dcnt")).toMap
       val sumInserts =
@@ -3259,10 +3482,17 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           s"ELSE s.__davs_$i / s.__davn_$i END AS ${tpe(a)})"),
         s"__avs_$a" -> s"cast(coalesce(s.__davs_$i, 0) AS ${tpe(s"__avs_$a")})",
         s"__avn_$a" -> s"cast(coalesce(s.__davn_$i, 0) AS ${tpe(s"__avn_$a")})") }
+      val extInserts: Seq[(String, String)] =
+        if (extremes.isEmpty)
+          mins.zipWithIndex.map { case ((a, _), i) => a -> s"s.__mn_$i" } ++
+          maxs.zipWithIndex.map { case ((a, _), i) => a -> s"s.__mx_$i" }
+        else extremes.flatMap { case (a, _, _, _, i) => Seq(
+          a -> s"cast(s.__xab_$i AS ${tpe(a)})",
+          s"__xn_$a" -> (s"cast(coalesce(s.__dxn_$i, 0) " +
+            s"AS ${tpe(s"__xn_$a")})")) }
       val inserts = (groupBy.map(c => c -> s"s.$c") ++
         sumInserts ++
-        mins.zipWithIndex.map { case ((a, _), i) => a -> s"s.__mn_$i" } ++
-        maxs.zipWithIndex.map { case ((a, _), i) => a -> s"s.__mx_$i" } ++
+        extInserts ++
         avgInserts ++
         cnts.zipWithIndex.map { case ((a, _), i) =>
           a -> s"cast(coalesce(s.__dc_$i, 0) AS ${tpe(a)})" } ++
@@ -3274,7 +3504,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       // nullSafeKeys: the keys are GROUP BY outputs — SQL groups NULLs as
       // ONE group, so the merge must match them too (plain MERGE equality
       // would re-insert the NULL group every window)
-      t.merge(withDcounts, groupBy,
+      t.merge(withExtremes, groupBy,
         matchedSet = Some(updates),
         matchedDeleteWhen = Some(s"t.$cntAlias + s.__dcnt = 0"),
         insertGuard = Some("s.__dcnt > 0"),
@@ -3282,6 +3512,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         txn = Some(txnPair),
         nullSafeKeys = true)
       processed
+      } finally { if (extremes.nonEmpty) { withExtremes.unpersist(); () } }
     }
 
     var processedTotal = 0L
@@ -3291,7 +3522,11 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     // branches' windows rename to them (positional UNION ALL semantics)
     lazy val names0: Seq[String] = branches.head match {
       case (_, bt, cols) => cols.getOrElse(bt.schema.fieldNames.toSeq) }
-    branches.zipWithIndex.foreach { case ((lid, bt, bcols), bi) =>
+    // an extreme refill (drained/overgrown companion) aborts the window
+    // mid-apply to ONE recompute: the companion merges already committed
+    // (txn-guarded — a replay can't double-apply) and the bootstrap
+    // overwrite rebuilds companions and panel consistently
+    try branches.zipWithIndex.foreach { case ((lid, bt, bcols), bi) =>
       if (curs(bi) > lasts(bi)) {
         // ONE read of the window, pinned: the retraction probe (when
         // extremes are maintained over a window with row-mutating
@@ -3319,12 +3554,15 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         val feed = filtered(enPinned(projected))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          if ((mins.nonEmpty || maxs.nonEmpty) &&
+          if ((mins.nonEmpty || maxs.nonEmpty) && extremes.isEmpty &&
               !bt.appendOnlyOps(lasts(bi) + 1, curs(bi))) {
-            // monotone merge is sound only while nothing ever retracts:
-            // an extreme that LEAVES needs a group rescan. The AUTO path
-            // re-bootstraps (the user declared an MV — recompute is
-            // always legal); the explicit API keeps its loud contract.
+            // WITHOUT companions, monotone merge is sound only while
+            // nothing ever retracts: an extreme that LEAVES needs a group
+            // rescan. The AUTO path re-bootstraps (the user declared an
+            // MV — recompute is always legal); the explicit API keeps its
+            // loud contract. WITH companions (the auto single-source
+            // path) retractions maintain through the bounded top-K and
+            // only a drain/overgrowth refills — no probe needed here.
             val retracts = feed
               .filter(!col("__graft_ct").isin("insert"))
               .limit(1).count() != 0L
@@ -3343,8 +3581,8 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           mode = "incremental"
         } finally { feed.unpersist(); () }
       }
-    }
-    dimDeltas.getOrElse(Nil).foreach { case (frame0, dn, curV) =>
+    } catch { case Pipeline.ExtremeRefill(m) => return bootstrap(m) }
+    dimDeltas.getOrElse(Nil).foreach { case (frame0, dn, curV, via) =>
       val frame = frame0
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -3353,10 +3591,14 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       // pin property follow-up: a crash before it only leaves the stale
       // property, and effPin's max-with-txn keeps the merge authoritative
       t.setTableProperties(Map(dimPinProp(dn) -> curV.toString))
+      // the event log carries HOW the changed keys were found ("feed" =
+      // O(changed rows) from the dim's change feed, "diff" = two-version
+      // fallback) — the scale-plan evidence a spec or operator can assert
       mode =
-        if (mode.contains("dim-delta from")) s"$mode, $dn"
-        else if (mode == "incremental") s"incremental + dim-delta from $dn"
-        else s"dim-delta from $dn"
+        if (mode.contains("dim-delta from")) s"$mode, $dn ($via)"
+        else if (mode == "incremental")
+          s"incremental + dim-delta from $dn ($via)"
+        else s"dim-delta from $dn ($via)"
     }
     (processedTotal, mode)
   }
@@ -3426,6 +3668,26 @@ object Pipeline {
    *  the honest plan. The cap bounds DRIVER memory too (the keys are
    *  collected once, metadata-sized). */
   val DimDeltaKeyCap = 1024
+
+  /** Distinct values each MIN/MAX companion tracks per group (the bounded
+   *  top-K): deletes that leave any tracked value alive maintain the
+   *  extreme in O(window); only a fully drained (or overgrown) group
+   *  costs a recompute, which re-trims. Small by design — the companion
+   *  exists to survive the common delete-a-non-extreme case, not to
+   *  mirror the data. */
+  val ExtremeCompanionK = 8
+
+  /** Tracked-values-per-group cap before a companion is declared
+   *  OVERGROWN and re-trimmed by recompute: a monotone domain (MAX over
+   *  an ever-growing timestamp) admits every new value past its frozen
+   *  bootstrap floor, so growth is bounded here and amortized
+   *  O(1/cap) recomputes. */
+  val ExtremeCompanionOvergrow = 64
+
+  /** Control signal: a maintained-extreme window found a drained or
+   *  overgrown companion mid-apply — unwind to one recompute. */
+  private[pipeline] final case class ExtremeRefill(mode: String)
+    extends Exception(mode)
 
   /** Table property pinning the SESSION TIMEZONE an expression-group-key
    *  auto-MV was bootstrapped under: its date/time group expressions are

@@ -89,4 +89,44 @@ class PipelineMaintainSpec extends SparkSpec {
       .select("message").as[String].collect()
     assert(msgs.exists(_.contains("recompute")), msgs.mkString("; "))
   }
+
+  test("maintain packs MV COMPANION tables: the distinct multiset and the " +
+      "extreme top-K grow one dir per refresh and belong to no declared " +
+      "dataset — maintenance must bound their file counts anyway") {
+    import graft.pipeline.PipelineSql
+    val root = tmpDir("pl_maint_comp")
+    val bronze = LakeTable(spark, s"$root/bronze")
+    bronze.append(Seq((1L, "a", 1.0)).toDF("k", "g", "v"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("bronze", bronze)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW panel AS
+      SELECT g, COUNT(DISTINCT k) AS dk, MAX(v) AS mx, COUNT(*) AS n
+      FROM bronze GROUP BY g""")
+    p.runIncremental()
+    // 8 trickle refreshes: each merges BOTH companions → one dir each
+    (2L to 9L).foreach { i =>
+      bronze.append(Seq((i, "a", i.toDouble)).toDF("k", "g", "v"))
+      p.runIncremental()
+    }
+    val dist = LakeTable(spark, s"$root/pipe/panel__dist_dk")
+    val ext = LakeTable(spark, s"$root/pipe/panel__ext_mx")
+    assert(dist.exists && ext.exists)
+    val before = (dist.detail.numFiles, ext.detail.numFiles)
+    val acts = actions(p.maintain())
+    assert(acts.contains(("panel__dist_dk", "optimize_compact")), acts)
+    assert(acts.contains(("panel__ext_mx", "optimize_compact")), acts)
+    val after = (dist.detail.numFiles, ext.detail.numFiles)
+    assert(after._1 <= 1L || after._1 < before._1,
+      s"dist companion not packed: $before -> $after")
+    assert(after._2 <= 1L || after._2 < before._2,
+      s"ext companion not packed: $before -> $after")
+    // the panels still answer exactly after the pack
+    assert(p.read("panel").orderBy("g").as[(String, Long, Double, Long)]
+      .collect().toSeq == Seq(("a", 9L, 9.0, 9L)))
+    // and the NEXT refresh maintains against the packed companions
+    bronze.append(Seq((10L, "a", 10.0)).toDF("k", "g", "v"))
+    p.runIncremental()
+    assert(p.read("panel").orderBy("g").as[(String, Long, Double, Long)]
+      .collect().toSeq == Seq(("a", 10L, 10.0, 10L)))
+  }
 }

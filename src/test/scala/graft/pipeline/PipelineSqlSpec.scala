@@ -1228,13 +1228,13 @@ class PipelineSqlSpec extends SparkSpec {
     fact.append(Seq((4L, "y", "p", 1L)).toDF("k", "cat", "grp", "v"))
     p.run()
     assert(gold == recompute)
-    assert(ev.last.contains("incremental + dim-delta from d1, d2"), ev)
+    assert(ev.last.contains("incremental + dim-delta from d1 (diff), d2 (diff)"), ev)
     // dim-only double trickle on the NEW pins
     d1.merge(Seq(("y", 30L)).toDF("cat", "w1"), Seq("cat"))
     d2.merge(Seq(("p", 1L)).toDF("grp", "w2"), Seq("grp"))
     p.run()
     assert(gold == recompute)
-    assert(ev.last.contains("dim-delta from d1, d2"), ev)
+    assert(ev.last.contains("dim-delta from d1 (diff), d2 (diff)"), ev)
     // and plain incremental resumes on the advanced pin vector
     fact.append(Seq((5L, "x", "p", 2L)).toDF("k", "cat", "grp", "v"))
     p.run()
@@ -1816,6 +1816,194 @@ class PipelineSqlSpec extends SparkSpec {
       .select($"k", $"s".cast("double"), $"n")
       .as[(Long, Double, Long)].collect().toSeq ==
       Seq((1L, 10.0, 1L), (2L, 7.0, 1L)))
+  }
+
+  test("SCD2 AS-OF star MV: a gold panel joining facts to an SCD2 history " +
+      "on key + validity interval (__START_AT <= ts < __END_AT) maintains " +
+      "on FACT windows against the PINNED history — non-equi residuals " +
+      "ride the join whole; a history change recomputes and re-pins") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_scd2asof")
+    val hist = LakeTable(spark, s"$root/hist")
+    hist.append(Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00"), Option(ts("2024-01-10 00:00:00"))),
+      (1L, 11L, ts("2024-01-10 00:00:00"), Option.empty[Timestamp]),
+      (2L, 20L, ts("2024-01-01 00:00:00"), Option.empty[Timestamp]))
+      .toDF("dk", "w", "__START_AT", "__END_AT"))
+    val fact = LakeTable(spark, s"$root/fact")
+    fact.append(Seq(
+      (1L, ts("2024-01-05 00:00:00"), 1L),   // joins version w=10
+      (1L, ts("2024-01-15 00:00:00"), 2L),   // joins open version w=11
+      (2L, ts("2024-01-05 00:00:00"), 5L))
+      .toDF("dk", "ts", "v"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("fact", fact)
+    p.inputTable("hist", hist)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW gold AS
+      SELECT d.dk AS dk, SUM(f.v * d.w) AS s, COUNT(*) AS n
+      FROM fact f JOIN hist d
+        ON f.dk = d.dk AND f.ts >= d.__START_AT
+          AND (d.__END_AT IS NULL OR f.ts < d.__END_AT)
+      GROUP BY d.dk""")
+    p.run()
+    def ev = p.eventLog.filter(col("dataset") === "gold")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    def gold = p.read("gold").orderBy("dk")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(gold == Seq((1L, 32L, 2L), (2L, 100L, 1L)), gold)
+    // fact append straddling both versions of dk=1: maintained against
+    // the PINNED history — one window, never a recompute
+    fact.append(Seq(
+      (1L, ts("2024-01-20 00:00:00"), 3L),   // open version w=11
+      (2L, ts("2024-01-02 00:00:00"), 7L))
+      .toDF("dk", "ts", "v"))
+    p.run()
+    assert(ev.last.contains("incremental from fact"), ev)
+    assert(gold == Seq((1L, 65L, 3L), (2L, 240L, 2L)), gold)
+    // the history itself changes (dk=2's open version closes, a re-priced
+    // one opens): interval keys aren't dim-delta-able — loud recompute
+    hist.overwrite(Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00"), Option(ts("2024-01-10 00:00:00"))),
+      (1L, 11L, ts("2024-01-10 00:00:00"), Option.empty[Timestamp]),
+      (2L, 20L, ts("2024-01-01 00:00:00"), Option(ts("2024-01-25 00:00:00"))),
+      (2L, 25L, ts("2024-01-25 00:00:00"), Option.empty[Timestamp]))
+      .toDF("dk", "w", "__START_AT", "__END_AT"))
+    p.run()
+    assert(ev.last.contains("recompute: dimension changed"), ev)
+    assert(gold == Seq((1L, 65L, 3L), (2L, 240L, 2L)), gold)
+    // and fact maintenance RESUMES against the re-pinned history
+    fact.append(Seq((2L, ts("2024-01-26 00:00:00"), 2L)).toDF("dk", "ts", "v"))
+    p.run()
+    assert(ev.last.contains("incremental from fact"), ev)
+    assert(gold == Seq((1L, 65L, 3L), (2L, 290L, 3L)), gold)
+  }
+
+  test("MIN/MAX auto-MV maintains through RETRACTIONS via the bounded " +
+      "top-K companion: a delete below the extreme merges in O(window); " +
+      "deleting the extreme itself refills from the companion; draining " +
+      "past the bootstrap floor recomputes (and re-trims) — all ≡ recompute") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_minmax")
+    val src = LakeTable(spark, s"$root/src")
+    // group a: 12 distinct values 1..12 (floor: top-K tracks 5..12 for
+    // MAX with K=8, i.e. floor=4; bottom-K tracks 1..8 for MIN, floor=9)
+    val seed = (1 to 12).map(i => (i.toLong, "a", i.toDouble))
+      .toDF("k", "g", "v")
+    src.create(seed.schema, enableChangeFeed = true)
+    src.append(seed)
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("src", src)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW panel AS
+      SELECT g, MIN(v) AS mn, MAX(v) AS mx, SUM(k) AS sk, COUNT(*) AS n
+      FROM src GROUP BY g""")
+    p.run()
+    def ev = p.eventLog.filter(col("dataset") === "panel")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    def panel = p.read("panel").orderBy("g")
+      .as[(String, Double, Double, Long, Long)].collect().toSeq
+    assert(panel == Seq(("a", 1.0, 12.0, 78L, 12L)))
+    // 1. delete BELOW the max (and above the min): pure maintenance
+    src.deleteWhere("v = 7.0")
+    p.run()
+    assert(ev.last.contains("incremental"), ev)
+    assert(panel == Seq(("a", 1.0, 12.0, 71L, 11L)))
+    // 2. delete the MAX itself: the companion still tracks 5,6,8..11 —
+    //    refills to 11 WITHOUT a recompute
+    src.deleteWhere("v = 12.0")
+    p.run()
+    assert(ev.last.contains("incremental"), ev)
+    assert(panel == Seq(("a", 1.0, 11.0, 59L, 10L)))
+    // 3. drain the MAX companion: delete everything above the bootstrap
+    //    floor (v >= 5) — the true max (4) fell past the floor, ONE
+    //    loud recompute refills and re-trims
+    src.deleteWhere("v >= 5.0")
+    p.run()
+    assert(ev.last.contains("recompute: maintained extremes drained"), ev)
+    assert(panel == Seq(("a", 1.0, 4.0, 10L, 4L)))
+    // 4. and maintenance RESUMES on the re-trimmed companions
+    src.deleteWhere("v = 4.0")
+    p.run()
+    assert(ev.last.contains("incremental"), ev)
+    assert(panel == Seq(("a", 1.0, 3.0, 6L, 3L)))
+    // 5. group death: the NULL-algebra end state
+    src.deleteWhere("v IS NOT NULL")
+    p.run()
+    assert(panel.isEmpty, panel)
+  }
+
+  test("extreme-companion OVERGROWTH: a monotone MAX outgrows its frozen " +
+      "bootstrap floor; past the cap the refresh recomputes once and " +
+      "re-trims — values exact throughout") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_minmax_grow")
+    val src = LakeTable(spark, s"$root/src")
+    val seed = (1 to 12).map(i => (i.toLong, "a", i.toDouble))
+      .toDF("k", "g", "v")
+    src.create(seed.schema, enableChangeFeed = true)
+    src.append(seed)
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("src", src)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW panel AS
+      SELECT g, MAX(v) AS mx, COUNT(*) AS n FROM src GROUP BY g""")
+    p.run()
+    def ev = p.eventLog.filter(col("dataset") === "panel")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    // one window of 100 new ever-increasing values: all pass the frozen
+    // floor, the companion would track them all → overgrown → recompute
+    src.append((101 to 200).map(i => (i.toLong, "a", i.toDouble))
+      .toDF("k", "g", "v"))
+    p.run()
+    assert(ev.last.contains("drained or overgrown"), ev)
+    assert(p.read("panel").orderBy("g").as[(String, Double, Long)]
+      .collect().toSeq == Seq(("a", 200.0, 112L)))
+    // the recompute re-trimmed: a small follow-up window maintains again
+    src.append(Seq((201L, "a", 201.0)).toDF("k", "g", "v"))
+    p.run()
+    assert(ev.last.contains("incremental"), ev)
+    assert(p.read("panel").orderBy("g").as[(String, Double, Long)]
+      .collect().toSeq == Seq(("a", 201.0, 113L)))
+  }
+
+  test("dim-delta CHANGED-KEY plans: a CDF-recording dim serves its " +
+      "changed keys from its own change feed (O(changed rows), tagged " +
+      "'feed'); a plain merged dim falls back to the two-version diff " +
+      "(tagged 'diff') — identical values either way") {
+    import graft.lake.LakeTable
+    def build(root: String, cdf: Boolean): (Pipeline, LakeTable) = {
+      val fact = LakeTable(spark, s"$root/fact")
+      fact.append(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L))
+        .toDF("k", "cat", "v"))
+      val dim = LakeTable(spark, s"$root/dim")
+      val seed = Seq(("a", 1L), ("b", 2L)).toDF("cat", "w")
+      if (cdf) dim.create(seed.schema, enableChangeFeed = true)
+      dim.append(seed)
+      val p = new Pipeline(spark, s"$root/pipe")
+      p.inputTable("fact", fact)
+      p.inputTable("dim", dim)
+      PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW gold AS
+        SELECT d.cat AS cat, SUM(f.v * d.w) AS s, COUNT(*) AS n
+        FROM fact f JOIN dim d ON f.cat = d.cat GROUP BY d.cat""")
+      p.run()
+      (p, dim)
+    }
+    def ev(p: Pipeline) = p.eventLog.filter(col("dataset") === "gold")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    def gold(p: Pipeline) = p.read("gold").orderBy("cat")
+      .as[(String, Long, Long)].collect().toSeq
+    // CDF dim: the trickle's changed keys come from the dim's OWN feed —
+    // at a billion-row dim this is a probe, not a scan
+    val (p1, dimCdf) = build(tmpDir("plsql_dimfeed"), cdf = true)
+    dimCdf.merge(Seq(("a", 5L)).toDF("cat", "w"), Seq("cat"))
+    p1.run()
+    assert(ev(p1).last.contains("dim-delta from dim (feed)"), ev(p1))
+    assert(gold(p1) == Seq(("a", 200L, 2L), ("b", 40L, 1L)), gold(p1))
+    // plain dim, merge without CDF: no row images recorded → the
+    // two-version diff fallback, same values
+    val (p2, dimPlain) = build(tmpDir("plsql_dimdiff"), cdf = false)
+    dimPlain.merge(Seq(("a", 5L)).toDF("cat", "w"), Seq("cat"))
+    p2.run()
+    assert(ev(p2).last.contains("dim-delta from dim (diff)"), ev(p2))
+    assert(gold(p2) == Seq(("a", 200L, 2L), ("b", 40L, 1L)), gold(p2))
   }
 
   test("MIXED-TYPE equi keys keep the recompute path: dim-delta fact-slice " +
