@@ -1931,6 +1931,59 @@ class PipelineSqlSpec extends SparkSpec {
     assert(panel.isEmpty, panel)
   }
 
+  test("maintained extremes COMPOSE with star joins: MAX over an enriched " +
+      "expression (f.v * d.w) maintains through fact appends AND " +
+      "retractions against the pinned dim; a dim change recomputes " +
+      "(extremes exclude dim-delta)") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_minmax_star")
+    val fact = LakeTable(spark, s"$root/fact")
+    val seed = Seq((1L, "a", 2L), (2L, "a", 5L), (3L, "b", 7L))
+      .toDF("k", "cat", "v")
+    fact.create(seed.schema, enableChangeFeed = true)
+    fact.append(seed)
+    val dim = LakeTable(spark, s"$root/dim")
+    dim.append(Seq(("a", 10L), ("b", 100L)).toDF("cat", "w"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("fact", fact)
+    p.inputTable("dim", dim)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW gold AS
+      SELECT d.cat AS cat, MAX(f.v * d.w) AS mx, COUNT(*) AS n
+      FROM fact f JOIN dim d ON f.cat = d.cat GROUP BY d.cat""")
+    p.run()
+    def ev = p.eventLog.filter(col("dataset") === "gold")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    def gold = p.read("gold").orderBy("cat")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(gold == Seq(("a", 50L, 2L), ("b", 700L, 1L)))
+    // fact append: enriched extreme maintains against the pinned dim
+    fact.append(Seq((4L, "a", 9L)).toDF("k", "cat", "v"))
+    p.run()
+    assert(ev.last.contains("incremental"), ev)
+    assert(gold == Seq(("a", 90L, 3L), ("b", 700L, 1L)))
+    // retract the NON-extreme: pure maintenance through the companion
+    fact.deleteWhere("k = 1")
+    p.run()
+    assert(ev.last.contains("incremental"), ev)
+    assert(gold == Seq(("a", 90L, 2L), ("b", 700L, 1L)))
+    // retract the EXTREME itself: refills from the companion (50 tracked)
+    fact.deleteWhere("k = 4")
+    p.run()
+    assert(ev.last.contains("incremental"), ev)
+    assert(gold == Seq(("a", 50L, 1L), ("b", 700L, 1L)))
+    // a dim weight change retracts enriched extremes — extremes keep
+    // dim-delta OFF, so this is the documented loud recompute + re-pin
+    dim.merge(Seq(("a", 3L)).toDF("cat", "w"), Seq("cat"))
+    p.run()
+    assert(ev.last.contains("recompute: dimension changed"), ev)
+    assert(gold == Seq(("a", 15L, 1L), ("b", 700L, 1L)))
+    // and fact maintenance resumes on the new pin
+    fact.append(Seq((5L, "b", 1L)).toDF("k", "cat", "v"))
+    p.run()
+    assert(ev.last.contains("incremental"), ev)
+    assert(gold == Seq(("a", 15L, 1L), ("b", 700L, 2L)))
+  }
+
   test("extreme-companion OVERGROWTH: a monotone MAX outgrows its frozen " +
       "bootstrap floor; past the cap the refresh recomputes once and " +
       "re-trims — values exact throughout") {
