@@ -34,26 +34,26 @@ import graft.lake.LakeTable
 object FixturePool {
   private lazy val poolRoot: Path = {
     val p = Files.createTempDirectory("graft_fixture_pool")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        if (!Files.isSymbolicLink(f.toPath)) {
-          val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-        }
-        f.delete(): Unit
-      }
-      rm(poolRoot.toFile)
-    }))
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      FixtureRoots.deleteRec(poolRoot.toFile)))
     p
   }
 
   /** The pooled table for `key`, built by `build` on first use (guarded —
-    * concurrent first callers build once). The returned table is the
-    * SHARED pool copy: callers must not mutate it — take [[cloneTo]]. */
+    * concurrent first callers build once). A build that fails PARTWAY
+    * (after its first commit) is torn down before rethrowing: a half-built
+    * table must never be served as the fixture for the rest of the JVM
+    * (the pre-pool per-run rebuilds self-healed; the pool must too). The
+    * returned table is the SHARED pool copy: callers must not mutate it —
+    * take [[cloneTo]]. */
   def pooled(spark: SparkSession, key: String)
       (build: LakeTable => Unit): LakeTable = synchronized {
     require(key.matches("[A-Za-z0-9._-]+"), s"unsafe pool key: $key")
-    val t = LakeTable(spark, poolRoot.resolve(key).toString)
-    if (!t.exists) build(t)
+    val dir = poolRoot.resolve(key)
+    val t = LakeTable(spark, dir.toString)
+    if (!t.exists)
+      try build(t)
+      catch { case e: Throwable => FixtureRoots.deleteRec(dir.toFile); throw e }
     t
   }
 

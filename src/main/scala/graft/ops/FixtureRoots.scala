@@ -45,7 +45,7 @@ object FixtureRoots {
     }
   }
 
-  private def deleteRec(f: java.io.File): Unit = {
+  private[ops] def deleteRec(f: java.io.File): Unit = {
     if (!Files.isSymbolicLink(f.toPath)) {
       val kids = f.listFiles()
       if (kids != null) kids.foreach(deleteRec)

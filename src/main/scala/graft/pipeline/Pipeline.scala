@@ -192,16 +192,21 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
   }
 
   /** After a recompute OVERWRITE of an auto-MV taken through a fallback
-   *  path (view-backed source or union branch), retire the MV's whole
-   *  ledger family — branch high-waters (`appId`, `appId.uN`), dim pins
-   *  (`appId.dimpin.*`, txn AND property forms), distinct companions
-   *  (`appId.dist.*`). The recompute already contains everything those
-   *  ledgers describe; if the source later becomes table-backed again
-   *  (pipeline redefinition across runs), stale ledgers would resume
-   *  incremental maintenance from windows ALREADY INCLUDED in the
-   *  overwrite — a silent double-apply. Probe-gated: while the source
-   *  stays view-backed (recompute every refresh) no ledgers exist and
-   *  this is metadata-read-only, zero commits. */
+   *  path (view-backed source or union branch), retire the ledger family
+   *  stamped ON THE MV TARGET — branch high-waters (`appId`, `appId.uN`),
+   *  dim-pin txns (`appId.dimpin.*`) and dim-pin properties. The
+   *  recompute already contains everything those ledgers describe; if
+   *  the source later becomes table-backed again (pipeline redefinition
+   *  across runs), stale ledgers would resume incremental maintenance
+   *  from windows ALREADY INCLUDED in the overwrite — a silent
+   *  double-apply. COMPANION-side ledgers (`appId.dist.*`/`appId.ext.*`)
+   *  live on the companion tables, NOT on `t`, and are deliberately left
+   *  alone: clearing the target's own ledgers forces `lasts = -1` →
+   *  bootstrap on the next incremental life, and the bootstrap OVERWRITES
+   *  every companion before any window could consult it — that overwrite,
+   *  not this clear, is the companion resync mechanism. Probe-gated:
+   *  while the source stays view-backed (recompute every refresh) no
+   *  ledgers exist and this is metadata-read-only, zero commits. */
   private def retireMvLedgers(name: String, t: LakeTable): Unit = {
     val appId = s"graft.aggmv.$name"
     t.clearTxnFamily(appId)
@@ -2760,26 +2765,6 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       "UNION ALL maintenance is the auto path's; star-join and " +
         "COUNT(DISTINCT) forms keep recompute")
     val auto = !exactDecimal
-    // EXTREME COMPANIONS (the MIN/MAX retraction-maintenance machinery —
-    // the aggregate the signed algebra alone can't maintain): one bounded
-    // per-group top-K table per MIN/MAX, holding the EXACT multiset of the
-    // group's values STRICTLY beyond its bootstrap floor (the K+1-ranked
-    // value; NULL floor = fewer than K+1 distinct values, track all). The
-    // floor gate is load-bearing: inserts at-or-beyond the floor are
-    // REJECTED, so every tracked count is exact and companion-nonempty ⇒
-    // its extreme dominates every untracked value. Deletes that leave the
-    // companion nonempty maintain in O(window); a drained-but-live group
-    // (the true extreme fell past the floor) or an overgrown companion
-    // (monotone domains outgrow the floor) costs ONE recompute, which
-    // re-trims. AUTO single-source path only — the explicit API keeps its
-    // loud append-only contract, union branches keep recompute.
-    //   (alias, expr, companion, isMin, index)
-    val extremes: Seq[(String, String, LakeTable, Boolean, Int)] =
-      if (!auto || union.nonEmpty || extMins.size != mins.size ||
-          extMaxs.size != maxs.size) Nil
-      else (mins.zip(extMins).map { case ((a, e), et) => (a, e, et, true) } ++
-        maxs.zip(extMaxs).map { case ((a, e), et) => (a, e, et, false) })
-        .zipWithIndex.map { case ((a, e, et, m), i) => (a, e, et, m, i) }
     val t = tables(target)
     val appId = if (flowId.nonEmpty) flowId else s"graft.aggmv.$target"
     // UNION ALL branches: (per-branch ledger id, table, optional
@@ -2884,6 +2869,31 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         }
       }
     }.getOrElse(false)
+
+    // EXTREME COMPANIONS (the MIN/MAX retraction-maintenance machinery —
+    // the aggregate the signed algebra alone can't maintain): one bounded
+    // per-group top-K table per MIN/MAX, holding the EXACT multiset of the
+    // group's values STRICTLY beyond its bootstrap floor (the K+1-ranked
+    // value; NULL floor = fewer than K+1 distinct values, track all). The
+    // floor gate is load-bearing: inserts at-or-beyond the floor are
+    // REJECTED, so every tracked count is exact and companion-nonempty ⇒
+    // its extreme dominates every untracked value. Deletes that leave the
+    // companion nonempty maintain in O(window); a drained-but-live group
+    // (the true extreme fell past the floor) or an overgrown companion
+    // (monotone domains outgrow the floor) costs ONE recompute, which
+    // re-trims. AUTO single-source path only — the explicit API keeps its
+    // loud append-only contract, union branches keep recompute, and a
+    // FLOATING-sum MV (recompute every refresh by policy) skips the
+    // companions entirely: they would be rebuilt per refresh and never
+    // consulted.
+    //   (alias, expr, companion, isMin, index)
+    lazy val extremes: Seq[(String, String, LakeTable, Boolean, Int)] =
+      if (!auto || union.nonEmpty || extMins.size != mins.size ||
+          extMaxs.size != maxs.size ||
+          ((mins.nonEmpty || maxs.nonEmpty) && floating)) Nil
+      else (mins.zip(extMins).map { case ((a, e), et) => (a, e, et, true) } ++
+        maxs.zip(extMaxs).map { case ((a, e), et) => (a, e, et, false) })
+        .zipWithIndex.map { case ((a, e, et, m), i) => (a, e, et, m, i) }
 
     // bootstrap: one full-snapshot aggregation at version `cur` — also the
     // recompute fallback when the window spans a FULL-REWRITE source
@@ -2997,8 +3007,11 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       // ONE recompute instead (self-consistent under the new zone).
       val tzPin: Map[String, String] =
         if (groupExprs.nonEmpty)
+          // the EFFECTIVE zone (resolves to the JVM default when the conf
+          // is unset) — a "UTC" literal default would record a zone that
+          // was never in effect and defeat the guard
           Map(Pipeline.SessionTzProp ->
-            spark.conf.get("spark.sql.session.timeZone", "UTC"))
+            spark.sessionState.conf.sessionLocalTimeZone)
         else Map.empty
       val pinProps = dimsCur.map { case (n, v) =>
         dimPinProp(n) -> v.toString }.toMap ++ tzPin
@@ -3017,7 +3030,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     // bootstrap pin above). A pre-pin MV (property absent) is stamped at
     // its next bootstrap — the check never fires on absence.
     if (groupExprs.nonEmpty && tProps.get(Pipeline.SessionTzProp).exists(
-        _ != spark.conf.get("spark.sql.session.timeZone", "UTC")))
+        _ != spark.sessionState.conf.sessionLocalTimeZone))
       return bootstrap("recompute: session timezone changed")
     // DIM-DELTA candidacy (the `dim_airports_scd.csv`-style trickle: a
     // 3-key dim update against a 100 TB fact is exactly where recompute
@@ -3225,13 +3238,17 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     def signedNn(e: String) =
       sum(when(expr(e).isNull, lit(0L)).otherwise(col("__sign")))
     def applySigned(signed: DataFrame, txnPair: (String, Long)): Long = {
+      // monotone __mn_/__mx_ window extremes serve the least/greatest
+      // merge only — companion-maintained MVs read absolute __xab_
+      // recounts instead, so skip the wasted per-window aggregation
       val deltaAggs =
         sums.zipWithIndex.map { case ((_, e), i) =>
           sum(sumIn(e) * col("__sign")).as(s"__d_$i") } ++
-        mins.zipWithIndex.map { case ((_, e), i) =>
+        (if (extremes.nonEmpty) Nil
+         else mins.zipWithIndex.map { case ((_, e), i) =>
           min(expr(e)).as(s"__mn_$i") } ++
         maxs.zipWithIndex.map { case ((_, e), i) =>
-          max(expr(e)).as(s"__mx_$i") } ++
+          max(expr(e)).as(s"__mx_$i") }) ++
         (if (auto)
           sums.zipWithIndex.map { case ((_, e), i) =>
             signedNn(e).as(s"__dnn_$i") } ++
@@ -3244,8 +3261,9 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         extremes.map { case (_, e, _, _, i) => signedNn(e).as(s"__dxn_$i") }
       val deltaNames =
         sums.indices.map(i => s"__d_$i") ++
-        mins.indices.map(i => s"__mn_$i") ++
-        maxs.indices.map(i => s"__mx_$i") ++
+        (if (extremes.nonEmpty) Nil
+         else mins.indices.map(i => s"__mn_$i") ++
+        maxs.indices.map(i => s"__mx_$i")) ++
         (if (auto)
           sums.indices.map(i => s"__dnn_$i") ++
           avgs.indices.flatMap(i => Seq(s"__davs_$i", s"__davn_$i")) ++
