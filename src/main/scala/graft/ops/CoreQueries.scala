@@ -1830,6 +1830,55 @@ object CoreQueries {
           AND NOT (value > 390.0)
         GROUP BY event_type ORDER BY event_type""")),
 
+    // O35 UNION ALL × COMPANION AGGREGATES — COUNT(DISTINCT) and a
+    // maintained MAX over a multi-branch union (the multi-region landing
+    // shape with the two companion-table aggregates): each branch's
+    // signed window merges the SHARED companions under its OWN
+    // per-branch ledger, so a refresh reads only the branches that
+    // moved and the distinct multiset / top-K extremes stay exact
+    // across branches (round 17 — previously a documented recompute
+    // fallback). Two arrivals per branch, two incremental runs.
+    Q("o35_auto_mv_union_companions", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull &&
+          col("value").isNotNull && col("user_id") % 5 === 0)
+        .select("event_id", "event_type", "user_id", "value")
+      val root = tmp("graft_o35")
+      val ba = pooled(s, d, "o35_ba_mod4_0", s"$root/ba")(
+        _.append(ev.filter(col("event_id") % 4 === 0)))
+      val bb = pooled(s, d, "o35_bb_mod4_1", s"$root/bb")(
+        _.append(ev.filter(col("event_id") % 4 === 1)
+          .select(col("event_type").as("et2"), col("user_id").as("uid2"),
+            col("value").as("val2"))))
+      val p = new Pipeline(s, s"$root/pipe")
+      p.inputTable("ba", ba)
+      p.inputTable("bb", bb)
+      PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW panel AS
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS users,
+               MAX(value) AS mx,
+               COUNT(*) AS n
+        FROM (SELECT event_type, user_id, value FROM ba
+              UNION ALL
+              SELECT et2, uid2, val2 FROM bb)
+        GROUP BY event_type""")
+      p.runIncremental()                   // bootstrap + companions
+      // only branch A moves: run 2 reads ONE branch window (bb's ledger
+      // proves it never re-reads the idle branch)
+      ba.append(ev.filter(col("event_id") % 4 === 2))
+      p.runIncremental()
+      p.read("panel").orderBy("event_type")
+    },
+      Some("""SELECT event_type,
+               COUNT(DISTINCT user_id) AS users,
+               MAX(value) AS mx,
+               COUNT(*) AS n
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+          AND value IS NOT NULL AND user_id % 5 = 0
+          AND event_id % 4 IN (0, 1, 2)
+        GROUP BY event_type ORDER BY event_type""")),
+
     // O34 SCD2 AS-OF STAR MV — the reference's SCD machinery composed
     // with its gold star at SCD2 depth (`DIM_Gold_layer.py` +
     // `FACT_Gold_Layer.py:135-148`): the gold panel joins facts to a

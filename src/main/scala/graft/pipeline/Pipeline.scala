@@ -148,7 +148,14 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           cntAlias = spec.counts.headOption.getOrElse("__cnt"),
           flowId = s"graft.aggmv.$name", minMaxFallback = true,
           exactDecimal = false, avgs = spec.avgs, cnts = spec.cntCols,
-          groupExprs = spec.groupExprs, union = ubs)
+          groupExprs = spec.groupExprs, union = ubs,
+          dcounts = spec.dcounts,
+          distTables = spec.dcounts.map { case (a, _) =>
+            LakeTable(spark, s"$storageRoot/${name}__dist_$a") },
+          extMins = spec.mins.map { case (a, _) =>
+            LakeTable(spark, s"$storageRoot/${name}__ext_$a") },
+          extMaxs = spec.maxs.map { case (a, _) =>
+            LakeTable(spark, s"$storageRoot/${name}__ext_$a") })
         val how = if (mode == "incremental")
           s"incremental from ${spec.union.map(_._1).mkString(" ∪ ")}"
           else s"$mode, from ${spec.union.map(_._1).mkString(" ∪ ")}"
@@ -2760,10 +2767,9 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     require((exactDecimal && dcounts.isEmpty) ||
       dcounts.size == distTables.size,
       "COUNT(DISTINCT) maintenance is the auto path's, one companion per column")
-    require(union.isEmpty ||
-      (!exactDecimal && dims.isEmpty && dcounts.isEmpty),
-      "UNION ALL maintenance is the auto path's; star-join and " +
-        "COUNT(DISTINCT) forms keep recompute")
+    require(union.isEmpty || (!exactDecimal && dims.isEmpty),
+      "UNION ALL maintenance is the auto path's; star-join forms keep " +
+        "recompute (companions compose: per-branch ledgers)")
     val auto = !exactDecimal
     val t = tables(target)
     val appId = if (flowId.nonEmpty) flowId else s"graft.aggmv.$target"
@@ -2881,14 +2887,15 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     // companion nonempty maintain in O(window); a drained-but-live group
     // (the true extreme fell past the floor) or an overgrown companion
     // (monotone domains outgrow the floor) costs ONE recompute, which
-    // re-trims. AUTO single-source path only — the explicit API keeps its
-    // loud append-only contract, union branches keep recompute, and a
+    // re-trims. AUTO path only — the explicit API keeps its loud
+    // append-only contract; union branches maintain companions too (each
+    // branch window merges under its OWN per-branch companion ledger); a
     // FLOATING-sum MV (recompute every refresh by policy) skips the
     // companions entirely: they would be rebuilt per refresh and never
     // consulted.
     //   (alias, expr, companion, isMin, index)
     lazy val extremes: Seq[(String, String, LakeTable, Boolean, Int)] =
-      if (!auto || union.nonEmpty || extMins.size != mins.size ||
+      if (!auto || extMins.size != mins.size ||
           extMaxs.size != maxs.size ||
           ((mins.nonEmpty || maxs.nonEmpty) && floating)) Nil
       else (mins.zip(extMins).map { case ((a, e), et) => (a, e, et, true) } ++
@@ -3072,22 +3079,24 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     if (dimsChanged && dimDeltaPlans.size != changedDims.size)
       return bootstrap("recompute: dimension changed")
     if (floating) return bootstrap("recompute: floating-point aggregate")
-    // a COUNT(DISTINCT) companion ledger AHEAD of the MV ledger means a
-    // previous refresh crashed between the companion merge and the main
-    // merge: re-running the main window would re-apply the companion's
+    // a companion ledger AHEAD of its branch's MV ledger means a previous
+    // refresh crashed between the companion merge and the main merge:
+    // re-running the main window would re-apply the companion's
     // already-applied sub-window (double-count). Recompute resynchronizes
     // both — one extra recompute, never a wrong window. (A companion
     // ledger BEHIND the MV's is the normal post-bootstrap state: the
-    // bootstrap overwrite carries content, not a txn.)
-    if (dcounts.zip(distTables).exists { case ((a, _), dt) =>
-      dt.exists && dt.lastTxnVersion(s"$appId.dist.$a").exists(_ > last) })
-      return bootstrap("recompute: distinct companion out of sync")
-    // same crash-resync contract for extreme companions (ledger AHEAD of
-    // the MV = a refresh died between the companion merge and the main
-    // merge; recompute resynchronizes both)
-    if (extremes.exists { case (a, _, et, _, _) =>
-      et.exists && et.lastTxnVersion(s"$appId.ext.$a").exists(_ > last) })
-      return bootstrap("recompute: extreme companion out of sync")
+    // bootstrap overwrite carries content, not a txn.) Companion ledger
+    // ids are PER BRANCH (`<branchLid>.dist.<a>` / `.ext.<a>` — for the
+    // classic single-source MV the branch lid IS appId, so existing
+    // ledgers keep working unchanged).
+    if (branches.zipWithIndex.exists { case ((lid, _, _), i) =>
+      dcounts.zip(distTables).exists { case ((a, _), dt) =>
+        dt.exists && dt.lastTxnVersion(s"$lid.dist.$a").exists(_ > lasts(i))
+      } ||
+      extremes.exists { case (a, _, et, _, _) =>
+        et.exists && et.lastTxnVersion(s"$lid.ext.$a").exists(_ > lasts(i))
+      }
+    }) return bootstrap("recompute: companion out of sync")
     if (branches.indices.exists(i => curs(i) > lasts(i) &&
         !branches(i)._2.feedReadable(lasts(i) + 1, curs(i))))
       return bootstrap("recompute: full-rewrite window")
@@ -3303,7 +3312,9 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
                 insertGuard = Some("s.__d > 0"),
                 insertSet = Some((groupBy.map(c => c -> s"s.$c") ++
                   Seq("__v" -> "s.__v", "__vcnt" -> "s.__d")).toMap),
-                txn = Some(s"$appId.dist.$a" -> cur),
+                // ledger id derives from the WINDOW's ledger (per union
+                // branch; the classic single source's lid IS appId)
+                txn = Some(s"${txnPair._1}.dist.$a" -> txnPair._2),
                 nullSafeKeys = true)
               // one companion row per live (group, value) — the touched
               // groups' counts are just row counts, probed null-safely
@@ -3376,7 +3387,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
               insertSet = Some((groupBy.map(c => c -> s"s.$c") ++
                 Seq("__v" -> "s.__v", "__vcnt" -> "s.__d",
                   "__floor" -> "s.__f")).toMap),
-              txn = Some(s"$appId.ext.$a" -> cur),
+              txn = Some(s"${txnPair._1}.ext.$a" -> txnPair._2),
               nullSafeKeys = true)
             val comp = et.read
             val live = comp.join(touched,

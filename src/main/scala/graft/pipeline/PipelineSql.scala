@@ -819,9 +819,10 @@ object PipelineSql {
             if gs.forall { case (ksql, _) => gOuts.count(_.key == ksql) == 1 }
             if gOuts.size == gs.size
             if os.exists { case _: G => false; case _ => true }
-            // COUNT(DISTINCT) companions track ONE source's windows —
-            // union MVs with them keep the recompute path
-            if unionBs.isEmpty || !os.exists { case _: Dc => true; case _ => false }
+            // COUNT(DISTINCT)/MIN/MAX companions compose with UNION ALL
+            // sources too: each branch window merges its signed
+            // multiplicities under its OWN per-branch companion ledger
+            // (round 17 — previously a documented recompute fallback)
             names = os.map {
               case G(n, _, _) => n; case Sm(a, _) => a; case Mn(a, _) => a
               case Mx(a, _) => a; case Cnt(a) => a; case Av(a, _) => a

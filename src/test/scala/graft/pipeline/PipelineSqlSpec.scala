@@ -1818,6 +1818,62 @@ class PipelineSqlSpec extends SparkSpec {
       Seq((1L, 10.0, 1L), (2L, 7.0, 1L)))
   }
 
+  test("UNION ALL composes with COUNT(DISTINCT) and maintained extremes: " +
+      "each branch window merges the companions under its OWN per-branch " +
+      "ledger — appends, cross-branch duplicates and retractions all " +
+      "maintain ≡ recompute") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_union_companions")
+    val ba = LakeTable(spark, s"$root/ba")
+    val seedA = Seq((1L, "a", 1.0), (2L, "a", 5.0)).toDF("k", "g", "v")
+    ba.create(seedA.schema, enableChangeFeed = true)
+    ba.append(seedA)
+    val bb = LakeTable(spark, s"$root/bb")
+    val seedB = Seq((3L, "a", 9.0), (4L, "b", 2.0)).toDF("k2", "g2", "v2")
+    bb.create(seedB.schema, enableChangeFeed = true)
+    bb.append(seedB)
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("ba", ba)
+    p.inputTable("bb", bb)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW panel AS
+      SELECT g, COUNT(DISTINCT k) AS dk, MAX(v) AS mx, COUNT(*) AS n
+      FROM (SELECT g, k, v FROM ba UNION ALL SELECT g2, k2, v2 FROM bb)
+      GROUP BY g""")
+    p.run()
+    def ev = p.eventLog.filter(col("dataset") === "panel")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    def panel = p.read("panel").orderBy("g")
+      .as[(String, Long, Double, Long)].collect().toSeq
+    assert(panel == Seq(("a", 3L, 9.0, 3L), ("b", 1L, 2.0, 1L)), panel)
+    // both branches move: one signed window EACH, companions merged under
+    // ba's and bb's own ledgers
+    ba.append(Seq((5L, "b", 7.0)).toDF("k", "g", "v"))
+    bb.append(Seq((6L, "a", 4.0)).toDF("k2", "g2", "v2"))
+    p.run()
+    assert(ev.last.contains("incremental"), ev)
+    assert(panel == Seq(("a", 4L, 9.0, 4L), ("b", 2L, 7.0, 2L)), panel)
+    // branch-b RETRACTION kills group a's MAX: refills from the companion
+    // (every remaining value tracked — bootstrap floor NULL at this size)
+    bb.deleteWhere("k2 = 3")
+    p.run()
+    assert(ev.last.contains("incremental"), ev)
+    assert(panel == Seq(("a", 3L, 5.0, 3L), ("b", 2L, 7.0, 2L)), panel)
+    // a CROSS-BRANCH duplicate key: dk counts distinct k over the UNION —
+    // k=1 now lives in both branches, so group a's distinct count is
+    // unchanged while the row count moves
+    bb.append(Seq((1L, "a", 0.5)).toDF("k2", "g2", "v2"))
+    p.run()
+    assert(ev.last.contains("incremental"), ev)
+    assert(panel == Seq(("a", 3L, 5.0, 4L), ("b", 2L, 7.0, 2L)), panel)
+    // ≡ recompute over the live union
+    val rec = ba.read.toDF("k", "g", "v")
+      .unionByName(bb.read.toDF("k", "g", "v"))
+      .groupBy("g").agg(countDistinct("k").as("dk"), max("v").as("mx"),
+        count(lit(1)).as("n"))
+      .orderBy("g").as[(String, Long, Double, Long)].collect().toSeq
+    assert(panel == rec, s"panel $panel vs recompute $rec")
+  }
+
   test("SCD2 AS-OF star MV: a gold panel joining facts to an SCD2 history " +
       "on key + validity interval (__START_AT <= ts < __END_AT) maintains " +
       "on FACT windows against the PINNED history — non-equi residuals " +
@@ -1982,6 +2038,43 @@ class PipelineSqlSpec extends SparkSpec {
     p.run()
     assert(ev.last.contains("incremental"), ev)
     assert(gold == Seq(("a", 15L, 1L), ("b", 700L, 2L)))
+  }
+
+  test("extreme-companion CRASH RECOVERY: a companion ledger AHEAD of the " +
+      "MV's (a refresh died between the companion merge and the main " +
+      "merge) forces one resynchronizing recompute — never a double-" +
+      "applied window") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_minmax_crash")
+    val src = LakeTable(spark, s"$root/src")
+    val seed = Seq((1L, "a", 1.0), (2L, "a", 5.0)).toDF("k", "g", "v")
+    src.create(seed.schema, enableChangeFeed = true)
+    src.append(seed)
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("src", src)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW panel AS
+      SELECT g, MAX(v) AS mx, COUNT(*) AS n FROM src GROUP BY g""")
+    p.run()
+    // simulate the torn refresh: a new window lands, and the companion's
+    // ledger is stamped AT that window's version — as if the companion
+    // merge committed and the process died before the main merge
+    val ext = LakeTable(spark, s"$root/pipe/panel__ext_mx")
+    val mvLast = p.read("panel").count() // force materialization
+    src.append(Seq((3L, "a", 9.0)).toDF("k", "g", "v"))
+    ext.stampTxn("graft.aggmv.panel.ext.mx", src.currentVersion)
+    p.run()
+    def ev = p.eventLog.filter(col("dataset") === "panel")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    assert(ev.last.contains("companion out of sync"), ev)
+    assert(p.read("panel").orderBy("g").as[(String, Double, Long)]
+      .collect().toSeq == Seq(("a", 9.0, 3L)))
+    assert(mvLast == 1L)
+    // the recompute re-stamped consistent state: maintenance resumes
+    src.append(Seq((4L, "a", 2.0)).toDF("k", "g", "v"))
+    p.run()
+    assert(ev.last.contains("incremental"), ev)
+    assert(p.read("panel").orderBy("g").as[(String, Double, Long)]
+      .collect().toSeq == Seq(("a", 9.0, 4L)))
   }
 
   test("extreme-companion OVERGROWTH: a monotone MAX outgrows its frozen " +
