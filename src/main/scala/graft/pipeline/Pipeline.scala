@@ -3051,10 +3051,18 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     // γ±(F[X∈K] ⋈ D_pin[K]); with a LEFT join the null-extension of an
     // F[X∈K] row is decided entirely inside D[K], so the same two signed
     // branches stay exact through match births and deaths.
+    // COMPANION aggregates COMPOSE with dim-delta (round 17): the ±
+    // signed branches are ordinary windows, so COUNT(DISTINCT) multisets
+    // merge under the dim-pin ledger (replay-guarded) with ABSOLUTE
+    // recounts, and companion-maintained extremes retract/refill through
+    // the same machinery (a drained companion unwinds to one recompute).
+    // MIN/MAX WITHOUT companions (floating MVs, explicit API) still keep
+    // recompute — a dim change can retract an extreme no monotone merge
+    // recovers.
     val dimDeltaPlans
         : Seq[(String, LakeTable, Long, Long, Seq[(String, String)])] =
-      if (!auto || changedDims.isEmpty || mins.nonEmpty || maxs.nonEmpty ||
-          dcounts.nonEmpty) Nil
+      if (!auto || changedDims.isEmpty ||
+          ((mins.nonEmpty || maxs.nonEmpty) && extremes.isEmpty)) Nil
       else changedDims.flatMap { case (dn, curV) =>
         for {
           pinV <- dimPins.get(dn)
@@ -3095,6 +3103,21 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       } ||
       extremes.exists { case (a, _, et, _, _) =>
         et.exists && et.lastTxnVersion(s"$lid.ext.$a").exists(_ > lasts(i))
+      }
+    }) return bootstrap("recompute: companion out of sync")
+    // the DIM-side twin: a dim-delta window stamps companions under the
+    // dim-pin ledger (`<appId>.dimpin.<dn>.dist/.ext.<a>`); a stamp AHEAD
+    // of the dim's effective pin means a refresh died between the
+    // companion merge and the pin-advancing main merge — a retry whose
+    // dim moved further would re-apply the already-merged sub-window
+    if (dims.exists { case (dn, _) =>
+      val pin = dimPins.getOrElse(dn, Long.MaxValue)
+      val dimLid = s"$appId.dimpin.$dn"
+      dcounts.zip(distTables).exists { case ((a, _), dt) =>
+        dt.exists && dt.lastTxnVersion(s"$dimLid.dist.$a").exists(_ > pin)
+      } ||
+      extremes.exists { case (a, _, et, _, _) =>
+        et.exists && et.lastTxnVersion(s"$dimLid.ext.$a").exists(_ > pin)
       }
     }) return bootstrap("recompute: companion out of sync")
     if (branches.indices.exists(i => curs(i) > lasts(i) &&
@@ -3610,7 +3633,6 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           mode = "incremental"
         } finally { feed.unpersist(); () }
       }
-    } catch { case Pipeline.ExtremeRefill(m) => return bootstrap(m) }
     dimDeltas.getOrElse(Nil).foreach { case (frame0, dn, curV, via) =>
       val frame = frame0
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -3629,6 +3651,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           s"incremental + dim-delta from $dn ($via)"
         else s"dim-delta from $dn ($via)"
     }
+    } catch { case Pipeline.ExtremeRefill(m) => return bootstrap(m) }
     (processedTotal, mode)
   }
 

@@ -716,7 +716,8 @@ class PipelineSqlSpec extends SparkSpec {
 
   test("star-join auto-MV composition: a TWO-dim join chain with " +
       "COUNT(DISTINCT) and AVG maintains from the fact window against " +
-      "BOTH pinned dims; either dim changing recomputes and re-pins") {
+      "BOTH pinned dims; a dim change maintains by DIM-DELTA (round 17: " +
+      "companion aggregates ride the ± windows) and re-pins") {
     import graft.lake.LakeTable
     val root = tmpDir("plsql_automv_star2")
     val fact = LakeTable(spark, s"$root/fact")
@@ -762,13 +763,14 @@ class PipelineSqlSpec extends SparkSpec {
     assert(gold == Seq(("east", Some(31L), 2L, Some(3.5), 2L),
       ("west", Some(20L), 1L, Some(1.0), 1L)))
     assert(ev.last.contains("incremental from fact"), ev)
-    // the SECOND dim changing forces recompute + re-pin
+    // the SECOND dim changing maintains by DIM-DELTA: the COUNT(DISTINCT)
+    // multiset rides the ± windows (retract at old weight, insert at new)
     prods.deleteWhere("prod = 'q'")
     prods.append(Seq(("q", 10L)).toDF("prod", "w"))
     p.run()
     assert(gold == Seq(("east", Some(80L), 2L, Some(3.5), 2L),
       ("west", Some(20L), 1L, Some(1.0), 1L)))
-    assert(ev.last.contains("recompute: dimension changed"), ev)
+    assert(ev.last.contains("dim-delta from prods"), ev)
     // and maintenance resumes against the new pins
     fact.append(Seq((5L, "x", "q", 4L)).toDF("k", "cat", "prod", "v"))
     p.run()
@@ -1989,8 +1991,8 @@ class PipelineSqlSpec extends SparkSpec {
 
   test("maintained extremes COMPOSE with star joins: MAX over an enriched " +
       "expression (f.v * d.w) maintains through fact appends AND " +
-      "retractions against the pinned dim; a dim change recomputes " +
-      "(extremes exclude dim-delta)") {
+      "retractions against the pinned dim; a dim change maintains by " +
+      "DIM-DELTA (the ± windows retract/insert the enriched extremes)") {
     import graft.lake.LakeTable
     val root = tmpDir("plsql_automv_minmax_star")
     val fact = LakeTable(spark, s"$root/fact")
@@ -2027,17 +2029,73 @@ class PipelineSqlSpec extends SparkSpec {
     p.run()
     assert(ev.last.contains("incremental"), ev)
     assert(gold == Seq(("a", 50L, 1L), ("b", 700L, 1L)))
-    // a dim weight change retracts enriched extremes — extremes keep
-    // dim-delta OFF, so this is the documented loud recompute + re-pin
+    // a dim weight change retracts the enriched extremes THROUGH the ±
+    // dim windows: old-weight values leave the companion, new-weight
+    // values enter — a DIM-DELTA refresh, never a recompute
     dim.merge(Seq(("a", 3L)).toDF("cat", "w"), Seq("cat"))
     p.run()
-    assert(ev.last.contains("recompute: dimension changed"), ev)
+    assert(ev.last.contains("dim-delta from dim"), ev)
     assert(gold == Seq(("a", 15L, 1L), ("b", 700L, 1L)))
     // and fact maintenance resumes on the new pin
     fact.append(Seq((5L, "b", 1L)).toDF("k", "cat", "v"))
     p.run()
     assert(ev.last.contains("incremental"), ev)
     assert(gold == Seq(("a", 15L, 1L), ("b", 700L, 2L)))
+  }
+
+  test("dim-delta COMPOSES with companion aggregates: COUNT(DISTINCT) and " +
+      "a maintained MAX ride the ± dim windows — a weight trickle " +
+      "maintains (old enriched values retract, new ones insert), a fact " +
+      "retraction refills the extreme from the companion, all ≡ recompute") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_dimdelta_companions")
+    val fact = LakeTable(spark, s"$root/fact")
+    val seed = Seq((1L, "a", 10L, 2L), (2L, "a", 11L, 5L),
+      (3L, "a", 10L, 7L), (4L, "b", 12L, 3L)).toDF("k", "cat", "uid", "v")
+    fact.create(seed.schema, enableChangeFeed = true)
+    fact.append(seed)
+    val dim = LakeTable(spark, s"$root/dim")
+    dim.append(Seq(("a", 10L), ("b", 100L)).toDF("cat", "w"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("fact", fact)
+    p.inputTable("dim", dim)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW gold AS
+      SELECT d.cat AS cat, COUNT(DISTINCT f.uid) AS du,
+             MAX(f.v * d.w) AS mx, SUM(f.v) AS s, COUNT(*) AS n
+      FROM fact f JOIN dim d ON f.cat = d.cat GROUP BY d.cat""")
+    p.run()
+    def ev = p.eventLog.filter(col("dataset") === "gold")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    def gold = p.read("gold").orderBy("cat")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(gold == Seq(("a", 2L, 70L, 14L, 3L), ("b", 1L, 300L, 3L, 1L)))
+    // dim trickle: a's weight collapses 10 -> 3. The ± windows retract
+    // every enriched value at the OLD weight and re-insert at the new —
+    // a DIM-DELTA refresh, never a recompute, with the distinct-user
+    // multiset passing through unchanged
+    dim.merge(Seq(("a", 3L)).toDF("cat", "w"), Seq("cat"))
+    p.run()
+    assert(ev.last.contains("dim-delta from dim"), ev)
+    assert(gold == Seq(("a", 2L, 21L, 14L, 3L), ("b", 1L, 300L, 3L, 1L)))
+    // fact retraction: k=3 (uid 10, the enriched max 21) dies — uid 10
+    // survives through k=1 (distinct count holds), the MAX refills from
+    // the companion
+    fact.deleteWhere("k = 3")
+    p.run()
+    assert(ev.last.contains("incremental"), ev)
+    assert(gold == Seq(("a", 2L, 15L, 7L, 2L), ("b", 1L, 300L, 3L, 1L)))
+    // second trickle on the NEW pin: weight 3 -> 1000
+    dim.merge(Seq(("a", 1000L)).toDF("cat", "w"), Seq("cat"))
+    p.run()
+    assert(ev.last.contains("dim-delta from dim"), ev)
+    assert(gold == Seq(("a", 2L, 5000L, 7L, 2L), ("b", 1L, 300L, 3L, 1L)))
+    // ≡ recompute over live state
+    val rec = fact.read.join(dim.read, "cat")
+      .groupBy("cat").agg(countDistinct("uid").as("du"),
+        max(col("v") * col("w")).as("mx"), sum("v").as("s"),
+        count(lit(1)).as("n"))
+      .orderBy("cat").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(gold == rec, s"gold $gold vs recompute $rec")
   }
 
   test("extreme-companion CRASH RECOVERY: a companion ledger AHEAD of the " +
