@@ -51,8 +51,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // ONE renderer for both artifact forms (stdout line and
+    // bench_latest.json): the enriched form differs only by the extra
+    // fields spliced between "queries" and "sf" — never by string surgery
+    // on the rendered line, which would silently emit invalid JSON if the
+    // canonical shape ever changed
+    def render(extraFields: String): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$extraFields,"sf":"$sfDir"}"""
+    val full = render("")
     // The driver artifact keeps only the LAST ~2000 chars of stdout, and the
     // full per-query map alone exceeds that — every prior round's artifact
     // ended up "parsed": null with the line's head clipped. Emit THREE
@@ -71,7 +77,7 @@ object Bench {
     val runsJson = perRun.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val enriched = full.dropRight(1) + s""","runs":$runsJson}"""
+    val enriched = render(s""","runs":$runsJson""")
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_latest.json"),
       (enriched + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () } // stdout remains the source of truth

@@ -1837,7 +1837,9 @@ object CoreQueries {
     // per-branch ledger, so a refresh reads only the branches that
     // moved and the distinct multiset / top-K extremes stay exact
     // across branches (round 17 — previously a documented recompute
-    // fallback). Two arrivals per branch, two incremental runs.
+    // fallback). Two arrivals on branch A, one on branch B; the second
+    // refresh reads only A's window (B stays idle to prove the
+    // idle-branch skip).
     Q("o35_auto_mv_union_companions", (s, d) => {
       val ev = t(s, d, "events")
         .filter(col("event_type").isNotNull && col("user_id").isNotNull &&

@@ -39,22 +39,33 @@ object FixturePool {
     p
   }
 
-  /** The pooled table for `key`, built by `build` on first use (guarded —
-    * concurrent first callers build once). A build that fails PARTWAY
-    * (after its first commit) is torn down before rethrowing: a half-built
-    * table must never be served as the fixture for the rest of the JVM
-    * (the pre-pool per-run rebuilds self-healed; the pool must too). The
-    * returned table is the SHARED pool copy: callers must not mutate it —
-    * take [[cloneTo]]. */
+  /** One monitor per pool key: first builds of DIFFERENT fixtures run
+    * concurrently (a parallel harness must not convoy every build behind
+    * one global lock); first builds of the SAME key still serialize, so
+    * concurrent first callers build once. The map itself is the only
+    * globally-shared state and its access is lock-free. */
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** The pooled table for `key`, built by `build` on first use (guarded
+    * per key — concurrent first callers of one key build once; distinct
+    * keys build in parallel). A build that fails PARTWAY (after its first
+    * commit) is torn down before rethrowing: a half-built table must
+    * never be served as the fixture for the rest of the JVM (the pre-pool
+    * per-run rebuilds self-healed; the pool must too). The returned table
+    * is the SHARED pool copy: callers must not mutate it — take
+    * [[cloneTo]]. */
   def pooled(spark: SparkSession, key: String)
-      (build: LakeTable => Unit): LakeTable = synchronized {
+      (build: LakeTable => Unit): LakeTable = {
     require(key.matches("[A-Za-z0-9._-]+"), s"unsafe pool key: $key")
-    val dir = poolRoot.resolve(key)
-    val t = LakeTable(spark, dir.toString)
-    if (!t.exists)
-      try build(t)
-      catch { case e: Throwable => FixtureRoots.deleteRec(dir.toFile); throw e }
-    t
+    locks.computeIfAbsent(key, _ => new Object).synchronized {
+      val dir = poolRoot.resolve(key)
+      val t = LakeTable(spark, dir.toString)
+      if (!t.exists)
+        try build(t)
+        catch { case e: Throwable => FixtureRoots.deleteRec(dir.toFile); throw e }
+      t
+    }
   }
 
   /** A private, freely-mutable shallow clone of the pooled fixture at

@@ -2798,6 +2798,17 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       }.reduce(_ union _)
     val dec = "decimal(28,6)"
     def filtered(df: DataFrame): DataFrame = where.fold(df)(w => df.filter(expr(w)))
+    // SESSION-ZONE sensitivity: expression GROUP keys always (their
+    // bucketing IS the zone question), and otherwise any maintained
+    // expression — the WHERE clause or an aggregate input — that calls a
+    // zone-dependent date/time function or casts through DATE/TIMESTAMP.
+    // A zone-sensitive MV pins the session timezone at bootstrap and
+    // recomputes (once) when maintained under a different one; a
+    // plain-column MV skips the pin entirely.
+    val tzSensitive: Boolean = groupExprs.nonEmpty ||
+      (where.toSeq ++
+        (sums ++ mins ++ maxs ++ avgs ++ cnts ++ dcounts).map(_._2))
+        .exists(Pipeline.zoneSensitiveSql(spark, _))
     // dimension versions probed ONCE and read AT that version everywhere
     // below — the pin can never be newer than the state that was joined
     val dimsCur: Seq[(String, Long)] =
@@ -3007,13 +3018,13 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         t.stampTxn(lid, v); () }
       // dim pins land in a FOLLOW-UP metadata commit: a crash in between
       // leaves stale pins, which only ever costs one extra recompute.
-      // Expression group keys additionally pin the SESSION TIMEZONE they
+      // Zone-sensitive MVs additionally pin the SESSION TIMEZONE they
       // were computed under: date_trunc/to_date/... are row-local
       // deterministic only per-zone, so a later incremental window under
       // a different zone would mix bucketings in one MV — the pin forces
       // ONE recompute instead (self-consistent under the new zone).
       val tzPin: Map[String, String] =
-        if (groupExprs.nonEmpty)
+        if (tzSensitive)
           // the EFFECTIVE zone (resolves to the JVM default when the conf
           // is unset) — a "UTC" literal default would record a zone that
           // was never in effect and defeat the guard
@@ -3033,12 +3044,18 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     if (extremes.nonEmpty && (extremes.exists(x => !x._3.exists) ||
         extremes.exists(x => !t.schema.fieldNames.contains(s"__xn_${x._1}"))))
       return bootstrap("bootstrap: extreme companions")
-    // session-timezone pin check (expression group keys only; see the
-    // bootstrap pin above). A pre-pin MV (property absent) is stamped at
-    // its next bootstrap — the check never fires on absence.
-    if (groupExprs.nonEmpty && tProps.get(Pipeline.SessionTzProp).exists(
-        _ != spark.sessionState.conf.sessionLocalTimeZone))
-      return bootstrap("recompute: session timezone changed")
+    // session-timezone pin check (zone-sensitive MVs; see the bootstrap
+    // pin above). An ABSENT pin is OUT-OF-DATE, not trusted: the pin
+    // lands in a follow-up metadata commit after the bootstrap overwrite,
+    // so a crash in between (or an MV bootstrapped before pinning
+    // existed) must fail SAFE — one recompute that stamps it — never
+    // silently mix two zones' bucketings in one panel.
+    if (tzSensitive && !tProps.get(Pipeline.SessionTzProp).contains(
+        spark.sessionState.conf.sessionLocalTimeZone))
+      return bootstrap(
+        if (tProps.contains(Pipeline.SessionTzProp))
+          "recompute: session timezone changed"
+        else "recompute: session timezone unpinned")
     // DIM-DELTA candidacy (the `dim_airports_scd.csv`-style trickle: a
     // 3-key dim update against a 100 TB fact is exactly where recompute
     // is the wrong plan): exactly ONE changed dim, a single-column
@@ -3747,6 +3764,47 @@ object Pipeline {
    *  different `spark.sql.session.timeZone` forces one recompute instead
    *  of mixing two bucketings in one panel. */
   val SessionTzProp = "graft.aggmv.sessiontz"
+
+  /** Scalar date/time functions whose value depends on the SESSION
+   *  TIMEZONE (directly, or through the string↔timestamp coercions their
+   *  arguments take): an MV maintaining any of these in a WHERE clause or
+   *  aggregate input is zone-sensitive even when its GROUP keys are plain
+   *  columns, so the tz pin must gate it too. Over-approximation is safe —
+   *  a listed function that happens to be zone-stable only ever costs one
+   *  recompute IF the session zone actually changes mid-life. */
+  private val ZoneSensitiveFns: Set[String] = Set(
+    "date_trunc", "trunc", "to_date", "date_format", "year", "quarter",
+    "month", "day", "dayofmonth", "dayofweek", "weekday", "dayofyear",
+    "weekofyear", "hour", "minute", "second", "last_day", "next_day",
+    "date_add", "date_sub", "add_months", "months_between", "datediff",
+    "date_diff", "unix_date", "make_date", "to_timestamp",
+    "timestamp_seconds", "timestamp_millis", "timestamp_micros",
+    "unix_micros", "unix_millis", "unix_seconds", "unix_timestamp",
+    "from_unixtime", "to_unix_timestamp", "from_utc_timestamp",
+    "to_utc_timestamp", "current_date", "now", "current_timestamp")
+
+  /** Whether a maintained SQL expression is session-zone-sensitive: any
+   *  [[ZoneSensitiveFns]] call, or a CAST to/involving DATE or TIMESTAMP
+   *  (string→timestamp and timestamp→date casts resolve in the session
+   *  zone). Unparseable input is conservatively sensitive — the caller
+   *  only ever uses the answer to force a recompute, never to skip one. */
+  private[pipeline] def zoneSensitiveSql(
+      spark: SparkSession, sql: String): Boolean =
+    scala.util.Try {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+      import org.apache.spark.sql.catalyst.expressions.Cast
+      spark.sessionState.sqlParser.parseExpression(sql).exists {
+        case f: UnresolvedFunction =>
+          f.nameParts.length == 1 && ZoneSensitiveFns.contains(
+            f.nameParts.head.toLowerCase(java.util.Locale.ROOT))
+        case c: Cast => c.dataType match {
+          case org.apache.spark.sql.types.DateType |
+               org.apache.spark.sql.types.TimestampType => true
+          case _ => false
+        }
+        case _ => false
+      }
+    }.getOrElse(true)
 
   /** Whether a continuous-mode cycle failure is TRANSIENT (worth a bounded
    *  retry): a lost optimistic-commit race against an external writer,

@@ -2324,6 +2324,90 @@ class PipelineSqlSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
+  test("an ABSENT tz pin on a zone-sensitive MV fails SAFE: one recompute " +
+      "that stamps it — never an incremental window that trusts an " +
+      "unpinned bootstrap (crash-between-overwrite-and-pin shape)") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_tz_unpinned")
+    val src = LakeTable(spark, s"$root/src")
+    val seed = Seq(
+      (1L, ts("2024-01-01 03:00:00")),
+      (2L, ts("2024-01-02 03:00:00"))).toDF("v", "t")
+    src.create(seed.schema, enableChangeFeed = true)
+    src.append(seed)
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("src", src)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW daily AS
+      SELECT date_trunc('day', t) AS day, SUM(v) AS s, COUNT(*) AS n
+      FROM src GROUP BY date_trunc('day', t)""")
+    p.run()
+    def ev = p.eventLog.filter(col("dataset") === "daily")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    // simulate the pre-pin MV / the crash between the bootstrap overwrite
+    // and the follow-up pin commit: the property is simply absent
+    LakeTable(spark, s"$root/pipe/daily")
+      .unsetTableProperties(Seq(Pipeline.SessionTzProp))
+    src.append(Seq((4L, ts("2024-01-02 05:00:00"))).toDF("v", "t"))
+    p.run()
+    assert(ev.last.contains("recompute: session timezone unpinned"), ev)
+    val rec = src.read
+      .groupBy(date_trunc("day", col("t")).as("day"))
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .orderBy("day").as[(Timestamp, Long, Long)].collect().toSeq
+    val got = p.read("daily").orderBy("day")
+      .as[(Timestamp, Long, Long)].collect().toSeq
+    assert(got == rec, s"got $got, recompute $rec")
+    // the recompute stamped the pin: the next window maintains again
+    src.append(Seq((8L, ts("2024-01-03 05:00:00"))).toDF("v", "t"))
+    p.run()
+    assert(ev.last.contains("incremental"), ev)
+  }
+
+  test("a zone-sensitive WHERE clause on a PLAIN-group-key MV is tz-pinned " +
+      "too: a session timezone change forces one recompute instead of " +
+      "mixing two zones' row filters in one panel") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_tz_where")
+    val src = LakeTable(spark, s"$root/src")
+    val seed = Seq(
+      ("a", 1L, ts("2024-01-01 03:00:00")),
+      ("b", 2L, ts("2024-01-02 03:00:00"))).toDF("g", "v", "t")
+    src.create(seed.schema, enableChangeFeed = true)
+    src.append(seed)
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("src", src)
+    // the group key is the PLAIN column g; only the WHERE buckets by day
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW jan1 AS
+      SELECT g, SUM(v) AS s, COUNT(*) AS n
+      FROM src
+      WHERE date_trunc('day', t) = TIMESTAMP '2024-01-01 00:00:00'
+      GROUP BY g""")
+    p.run()
+    def ev = p.eventLog.filter(col("dataset") === "jan1")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    try {
+      // UTC 03:00 on Jan 1 falls on Dec 31 under UTC-8: the predicate's
+      // row set changes with the zone, so the pin must force a recompute
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      src.append(Seq(("a", 4L, ts("2024-01-01 09:00:00"))).toDF("g", "v", "t"))
+      p.run()
+      assert(ev.last.contains("recompute: session timezone changed"), ev)
+      // self-consistent under the NEW zone
+      val rec = src.read
+        .filter(date_trunc("day", col("t")) ===
+          lit("2024-01-01 00:00:00").cast("timestamp"))
+        .groupBy("g").agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .orderBy("g").as[(String, Long, Long)].collect().toSeq
+      val got = p.read("jan1").orderBy("g")
+        .as[(String, Long, Long)].collect().toSeq
+      assert(got == rec, s"got $got, recompute $rec")
+      // pinned at the new zone: the next same-zone window maintains
+      src.append(Seq(("a", 8L, ts("2024-01-01 17:00:00"))).toDF("g", "v", "t"))
+      p.run()
+      assert(ev.last.contains("incremental"), ev)
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
   test("an append-only stream consumer over an auto-MV keeps SNAPSHOT " +
       "fallback: the MV's from-birth CDF carries maintenance-merge UPDATE " +
       "images an append-only window must not (and now does not) see") {
