@@ -1340,6 +1340,60 @@ object CoreQueries {
         HAVING COUNT(*) > 2
         ORDER BY event_type, user_id NULLS FIRST""")),
 
+    // O36 HAVING OVER AGGREGATE EXPRESSIONS — the reference's own
+    // invariant idiom (`GROUP BY … HAVING count(*) > 1`,
+    // FACT_Gold_Layer.py:208-210) maintained incrementally: aggregate
+    // calls in HAVING rewrite to panel columns — the declared alias when
+    // the same aggregate is selected (SUM(event_id) here), the
+    // always-maintained group-death counter for COUNT(*), and a MINTED
+    // HIDDEN companion column for an aggregate no output carries
+    // (SUM(user_id)). The FULL panel maintains; the predicate filters at
+    // presentation, so groups cross the threshold in BOTH directions
+    // (append run pushes groups up, delete run retracts them down) with
+    // exact running aggregates — both proven incremental in-query via
+    // the event log, never a rescan.
+    Q("o36_auto_mv_having_agg", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+        .select("event_id", "event_type", "user_id")
+      val root = tmp("graft_o36")
+      val bronze = pooled(s, d, "o36_src_cdf", s"$root/bronze") { st =>
+        st.create(ev.schema, enableChangeFeed = true)
+        st.append(ev.filter(col("event_id") % 2 === 0))
+      }
+      val p = new Pipeline(s, s"$root/pipe")
+      p.inputTable("bronze", bronze)
+      PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW busy AS
+        SELECT event_type, user_id, SUM(event_id) AS s
+        FROM bronze
+        GROUP BY event_type, user_id
+        HAVING SUM(event_id) > 500000 AND COUNT(*) > 1
+           AND SUM(user_id) > 0""")
+      p.runIncremental()                             // bootstrap
+      def lastMsg(): String = p.eventLog
+        .filter(col("dataset") === "busy")
+        .orderBy(col("run_id").desc).select("message")
+        .limit(1).collect().head.getString(0)
+      bronze.append(ev.filter(col("event_id") % 2 === 1))
+      p.runIncremental()                             // groups cross UP
+      require(lastMsg().contains("incremental"),
+        s"HAVING panel must MAINTAIN on appends: ${lastMsg()}")
+      bronze.deleteWhere("event_id % 3 = 0")
+      p.runIncremental()                             // groups cross DOWN
+      require(lastMsg().contains("incremental"),
+        s"HAVING panel must MAINTAIN on retractions: ${lastMsg()}")
+      p.read("busy").orderBy("event_type", "user_id")
+    },
+      Some("""SELECT event_type, user_id,
+               CAST(SUM(event_id) AS BIGINT) AS s
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+          AND NOT (event_id % 3 = 0)
+        GROUP BY event_type, user_id
+        HAVING SUM(event_id) > 500000 AND COUNT(*) > 1
+           AND SUM(user_id) > 0
+        ORDER BY event_type, user_id""")),
+
     // O23 SINK — DLT's `dlt.create_sink` + `@append_flow` into it: an
     // EXTERNAL write-only destination (a downstream team's landing zone,
     // outside the pipeline root). The lake format delivers EXACTLY-ONCE:

@@ -495,18 +495,28 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     tables(name) = t
     autoMvs(name) = spec
     val present: DataFrame => DataFrame = { df =>
+      import org.apache.spark.sql.functions.{col, expr}
       val cntCol = spec.counts.headOption.getOrElse("__cnt")
-      val sel = df.select(spec.output.map { o =>
-        if (spec.counts.drop(1).contains(o))
-          org.apache.spark.sql.functions.col(cntCol).as(o)
-        else org.apache.spark.sql.functions.col(o)
-      }: _*)
-      // HAVING over output columns: the FULL panel is maintained (a group
-      // crossing the threshold in either direction must re-appear with its
-      // exact running aggregates), the predicate filters at presentation —
-      // result-identical to materializing post-HAVING
-      spec.having.fold(sel)(h =>
-        sel.filter(org.apache.spark.sql.functions.expr(h)))
+      val outCols = spec.output.map { o =>
+        if (spec.counts.drop(1).contains(o)) col(cntCol).as(o) else col(o)
+      }
+      // HAVING: the FULL panel is maintained (a group crossing the
+      // threshold in either direction must re-appear with its exact
+      // running aggregates), the predicate filters at presentation —
+      // result-identical to materializing post-HAVING. The rewritten
+      // predicate may reference HIDDEN maintained columns (`havingHidden`:
+      // aggregate calls in the declared HAVING that no output column
+      // carries, decomposed to companion panel columns at detection) —
+      // those ride the filter frame and are dropped before the consumer
+      // ever sees a row: the hidden-group non-leak contract extends to
+      // hidden COLUMNS too.
+      spec.having match {
+        case None => df.select(outCols: _*)
+        case Some(h) =>
+          df.select(outCols ++ spec.havingHidden.map(col): _*)
+            .filter(expr(h))
+            .select(spec.output.map(col): _*)
+      }
     }
     presentations(name) = present
     views(name) = () => present(autoMvDefining(spec, autoMvSource(spec)))
@@ -3898,7 +3908,8 @@ object Pipeline {
       sourceAlias: Option[String] = None, joins: Seq[AutoMvJoin] = Nil,
       groupExprs: Seq[String] = Nil, dcounts: Seq[(String, String)] = Nil,
       having: Option[String] = None,
-      union: Seq[(String, Option[Seq[String]])] = Nil)
+      union: Seq[(String, Option[Seq[String]])] = Nil,
+      havingHidden: Seq[String] = Nil)
 
   /** One registered streaming join table — see
    *  [[Pipeline.streamingJoinTable]]. */

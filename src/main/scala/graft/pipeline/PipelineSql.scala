@@ -1,8 +1,8 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, GraftColumnBridge}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
-import org.apache.spark.sql.catalyst.expressions.{Alias, BinaryArithmetic, CaseWhen, Cast, Expression, Literal, SubqueryExpression}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedHaving, UnresolvedRelation, UnresolvedStar}
+import org.apache.spark.sql.catalyst.expressions.{Alias, BinaryArithmetic, BinaryOperator, CaseWhen, Cast, Expression, In, IsNotNull, IsNull, Literal, Not, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, NaturalJoin, RightOuter, UsingJoin}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias, Union}
 
@@ -595,24 +595,152 @@ object PipelineSql {
           f.arguments.forall(rowLocalDet)
       case _ => false
     }
+    // the maintainable-aggregate KIND of one call: (tag, arg SQL) —
+    // shared by the SELECT-list classifier and the HAVING rewriter so
+    // both recognize exactly the same aggregate family
+    def aggKind(f: UnresolvedFunction): Option[(String, String)] =
+      if (f.nameParts.length != 1 || f.filter.nonEmpty ||
+          !f.arguments.forall(noSubquery)) None
+      else {
+        val fn = f.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+        if (f.isDistinct) (fn, f.arguments) match {
+          // COUNT(DISTINCT e): maintained through a signed COMPANION
+          // table of (group, value) multiplicities
+          case ("count", Seq(e)) if reparses(e.sql) => Some(("dc", e.sql))
+          case _ => None
+        }
+        else (fn, f.arguments) match {
+          case ("sum", Seq(e)) if reparses(e.sql) => Some(("sum", e.sql))
+          case ("min", Seq(e)) if reparses(e.sql) => Some(("min", e.sql))
+          case ("max", Seq(e)) if reparses(e.sql) => Some(("max", e.sql))
+          case ("count", Seq(Literal(1, _))) => Some(("cnt", ""))
+          case ("count", Seq(_: UnresolvedStar)) => Some(("cnt", ""))
+          // Enzyme's AVG rule: maintained as a hidden SUM+COUNT
+          // decomposition; COUNT(expr) as a signed non-null count
+          case ("avg", Seq(e)) if reparses(e.sql) => Some(("avg", e.sql))
+          case ("count", Seq(e)) if reparses(e.sql) => Some(("cnte", e.sql))
+          case _ => None
+        }
+      }
+    def kindOut(kind: (String, String), alias: String): Out = kind match {
+      case ("sum", e) => Sm(alias, e)
+      case ("min", e) => Mn(alias, e)
+      case ("max", e) => Mx(alias, e)
+      case ("cnt", _) => Cnt(alias)
+      case ("avg", e) => Av(alias, e)
+      case ("cnte", e) => CntE(alias, e)
+      case (_, e) => Dc(alias, e)
+    }
+    // a rewritten HAVING condition: the predicate SQL over panel columns,
+    // the HIDDEN companion aggregates it minted (per kind, parallel to
+    // the spec's own lists), and the hidden column names it references
+    // (minted companions + the internal count when COUNT(*) wasn't
+    // selected) — presentation projects these for the filter, then drops
+    // them before any reader sees a row
+    final case class HavingRewrite(sql: String,
+        sums: Seq[(String, String)], mins: Seq[(String, String)],
+        maxs: Seq[(String, String)], avgs: Seq[(String, String)],
+        cnts: Seq[(String, String)], dcs: Seq[(String, String)],
+        hidden: Seq[String])
+    // rewrite a HAVING condition to panel-column references: aggregate
+    // calls resolve to the declared alias computing the SAME aggregate,
+    // or mint a hidden `__hv_N` companion (COUNT(*) rides the
+    // always-maintained group-death counter for free); bare single-part
+    // attributes must name declared outputs; literals and the row-local
+    // scalar allowlist recurse; anything else (unknown function, window
+    // spec, qualified or undeclared column) fails the rewrite and the MV
+    // keeps the documented recompute path — the rewrite can only ever
+    // trade recompute for an equivalent maintained filter, never change
+    // results
+    def rewriteHaving(cond: Expression, os: Seq[Out], names: Seq[String],
+        aggFns: Set[String] = Set("sum", "min", "max", "avg", "count"))
+        : Option[HavingRewrite] = {
+      val declared: Map[(String, String), String] = os.reverse.collect {
+        case Sm(a, e) => ("sum", e) -> a
+        case Mn(a, e) => ("min", e) -> a
+        case Mx(a, e) => ("max", e) -> a
+        case Av(a, e) => ("avg", e) -> a
+        case CntE(a, e) => ("cnte", e) -> a
+        case Dc(a, e) => ("dc", e) -> a
+        case Cnt(a) => ("cnt", "") -> a
+      }.toMap // reversed so the FIRST declaration of a duplicate wins
+      val minted = scala.collection.mutable.LinkedHashMap[(String, String), String]()
+      val hidden = scala.collection.mutable.LinkedHashSet[String]()
+      def aggRef(f: UnresolvedFunction): Option[Expression] =
+        aggKind(f).map { kind =>
+          val alias = declared.get(kind) match {
+            case Some(a) => a
+            case None if kind._1 == "cnt" =>
+              // the group-death counter is ALWAYS maintained — reference
+              // it directly, hidden iff the user never selected COUNT(*)
+              hidden += "__cnt"; "__cnt"
+            case None =>
+              val a = minted.getOrElseUpdate(kind, s"__hv_${minted.size}")
+              hidden += a
+              a
+          }
+          UnresolvedAttribute(Seq(alias))
+        }
+      def rw(e: Expression): Option[Expression] = e match {
+        case f: UnresolvedFunction
+            if f.nameParts.length == 1 && aggFns.contains(
+              f.nameParts.head.toLowerCase(java.util.Locale.ROOT)) =>
+          aggRef(f)
+        case a: UnresolvedAttribute =>
+          if (a.nameParts.length == 1 && names.contains(a.nameParts.head))
+            Some(a)
+          else None
+        case _: Literal => Some(e)
+        case f: UnresolvedFunction =>
+          if (f.nameParts.length == 1 && !f.isDistinct && f.filter.isEmpty &&
+              PipelineSql.DeterministicRowFns.contains(
+                f.nameParts.head.toLowerCase(java.util.Locale.ROOT)))
+            rwKids(e)
+          else None
+        case _: BinaryOperator | _: Not | _: In | _: IsNull | _: IsNotNull |
+            _: CaseWhen | _: Cast => rwKids(e)
+        case _ => None
+      }
+      def rwKids(e: Expression): Option[Expression] = {
+        val ks = e.children.map(rw)
+        if (ks.forall(_.isDefined)) Some(e.withNewChildren(ks.map(_.get)))
+        else None
+      }
+      for {
+        r <- rw(cond)
+        sql = r.sql
+        if reparses(sql)
+      } yield HavingRewrite(sql,
+        sums = minted.toSeq.collect { case (("sum", e), a) => a -> e },
+        mins = minted.toSeq.collect { case (("min", e), a) => a -> e },
+        maxs = minted.toSeq.collect { case (("max", e), a) => a -> e },
+        avgs = minted.toSeq.collect { case (("avg", e), a) => a -> e },
+        cnts = minted.toSeq.collect { case (("cnte", e), a) => a -> e },
+        dcs = minted.toSeq.collect { case (("dc", e), a) => a -> e },
+        hidden = hidden.toSeq)
+    }
     scala.util.Try {
-      // HAVING over the DECLARED OUTPUT COLUMNS only (bare references, no
-      // functions — `HAVING SUM(v) > 5` re-aggregates and must stay on the
-      // recompute path): the full panel is maintained, the predicate
-      // filters at presentation — a group crossing the threshold in either
-      // direction re-appears with exact running aggregates
+      // HAVING is maintained two ways, both presentation-filters over the
+      // maintained FULL panel (a group crossing the threshold in either
+      // direction re-appears with exact running aggregates):
+      //  - bare references to declared output columns pass through;
+      //  - AGGREGATE CALLS (`HAVING SUM(v) > 5`, the reference's own
+      //    invariant idiom `GROUP BY … HAVING count(*) > 1`) are rewritten
+      //    to panel columns — the declared alias when the same aggregate
+      //    is selected, otherwise a MINTED HIDDEN companion column
+      //    (`__hv_N`, maintained exactly like a declared aggregate and
+      //    never surfaced to readers). COUNT(*) rides the always-present
+      //    group-death counter for free. A condition that won't rewrite
+      //    (unknown function, qualified or undeclared column, subquery)
+      //    keeps the documented recompute path.
       val parsed = p.spark.sessionState.sqlParser.parsePlan(select) match {
-        case a: Aggregate => Some((a, None, Nil))
-        case org.apache.spark.sql.catalyst.analysis
-            .UnresolvedHaving(cond, a: Aggregate)
-            if noSubquery(cond) && reparses(cond.sql) &&
-              cond.collectFirst { case f: UnresolvedFunction => f }.isEmpty =>
-          Some((a, Some(cond.sql),
-            cond.collect { case at: UnresolvedAttribute => at.nameParts.toSeq }))
+        case a: Aggregate => Some((a, Option.empty[Expression]))
+        case UnresolvedHaving(cond, a: Aggregate) if noSubquery(cond) =>
+          Some((a, Some(cond)))
         case _ => None
       }
       parsed match {
-        case Some((agg, having, havingAttrs)) =>
+        case Some((agg, having0)) =>
           val (where, whereE, rel) = agg.child match {
             case Filter(cond, r) if noSubquery(cond) && reparses(cond.sql) =>
               (Some(cond.sql), Some(cond), r)
@@ -764,28 +892,8 @@ object PipelineSql {
                   groupKeys.exists(_.exists { case (ksql, p) =>
                     p.isEmpty && ksql == e.sql }) =>
               Some(G(al.name, e.sql, e.sql))
-            case al @ Alias(f: UnresolvedFunction, _)
-                if f.nameParts.length == 1 &&
-                  f.filter.isEmpty && f.arguments.forall(noSubquery) =>
-              val fn = f.nameParts.head.toLowerCase(java.util.Locale.ROOT)
-              if (f.isDistinct) (fn, f.arguments) match {
-                // COUNT(DISTINCT e): maintained through a signed COMPANION
-                // table of (group, value) multiplicities
-                case ("count", Seq(e)) if reparses(e.sql) => Some(Dc(al.name, e.sql))
-                case _ => None
-              }
-              else (fn, f.arguments) match {
-                case ("sum", Seq(e)) if reparses(e.sql) => Some(Sm(al.name, e.sql))
-                case ("min", Seq(e)) if reparses(e.sql) => Some(Mn(al.name, e.sql))
-                case ("max", Seq(e)) if reparses(e.sql) => Some(Mx(al.name, e.sql))
-                case ("count", Seq(Literal(1, _))) => Some(Cnt(al.name))
-                case ("count", Seq(_: UnresolvedStar)) => Some(Cnt(al.name))
-                // Enzyme's AVG rule: maintained as a hidden SUM+COUNT
-                // decomposition; COUNT(expr) as a signed non-null count
-                case ("avg", Seq(e)) if reparses(e.sql) => Some(Av(al.name, e.sql))
-                case ("count", Seq(e)) if reparses(e.sql) => Some(CntE(al.name, e.sql))
-                case _ => None
-              }
+            case al @ Alias(f: UnresolvedFunction, _) =>
+              aggKind(f).map(kindOut(_, al.name))
             case _ => None
           }
           val outs = agg.aggregateExpressions.map(classify)
@@ -838,27 +946,41 @@ object PipelineSql {
             // counter) riding the backing table.
             if names.forall(n =>
               n.matches("[A-Za-z_][A-Za-z0-9_]*") && !n.startsWith("__"))
-            // HAVING may only reference the declared output columns
-            if havingAttrs.forall(a => a.length == 1 && names.contains(a.head))
+            // HAVING rewrite: declared-output references pass, aggregate
+            // calls become panel columns (declared alias or minted hidden
+            // `__hv_N` companion), scalar shaping from the row-local
+            // allowlist recurses; anything else sinks the rewrite and the
+            // MV keeps the recompute path
+            hv <- having0 match {
+              case None => Some(Option.empty[HavingRewrite])
+              case Some(cond) => rewriteHaving(cond, os, names).map(Some(_))
+            }
           } yield Pipeline.AutoMvSpec(
             source = s, where = where,
             groupBy = gOuts.map(_.name),
-            sums = os.collect { case Sm(a, e) => a -> e },
-            mins = os.collect { case Mn(a, e) => a -> e },
-            maxs = os.collect { case Mx(a, e) => a -> e },
+            sums = os.collect { case Sm(a, e) => a -> e } ++
+              hv.fold(Seq.empty[(String, String)])(_.sums),
+            mins = os.collect { case Mn(a, e) => a -> e } ++
+              hv.fold(Seq.empty[(String, String)])(_.mins),
+            maxs = os.collect { case Mx(a, e) => a -> e } ++
+              hv.fold(Seq.empty[(String, String)])(_.maxs),
             counts = os.collect { case Cnt(a) => a },
             output = names,
-            avgs = os.collect { case Av(a, e) => a -> e },
-            cntCols = os.collect { case CntE(a, e) => a -> e },
+            avgs = os.collect { case Av(a, e) => a -> e } ++
+              hv.fold(Seq.empty[(String, String)])(_.avgs),
+            cntCols = os.collect { case CntE(a, e) => a -> e } ++
+              hv.fold(Seq.empty[(String, String)])(_.cnts),
             sourceAlias = fact.alias,
             joins = joins.map { case (d, jt, cond) =>
               Pipeline.AutoMvJoin(d.name, d.alias, cond.sql, jt,
                 equiOf(fact.alias.getOrElse(fact.name),
                   d.alias.getOrElse(d.name), cond)) },
             groupExprs = gOuts.map(_.e),
-            dcounts = os.collect { case Dc(a, e) => a -> e },
-            having = having,
-            union = unionBs.getOrElse(Nil))
+            dcounts = os.collect { case Dc(a, e) => a -> e } ++
+              hv.fold(Seq.empty[(String, String)])(_.dcs),
+            having = hv.map(_.sql),
+            union = unionBs.getOrElse(Nil),
+            havingHidden = hv.fold(Seq.empty[String])(_.hidden))
         case _ => None
       }
     }.toOption.flatten

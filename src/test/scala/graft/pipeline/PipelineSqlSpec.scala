@@ -1072,6 +1072,90 @@ class PipelineSqlSpec extends SparkSpec {
       Seq(("a", 16L, 1L), ("b", 12L, 1L)))
   }
 
+  test("HAVING over AGGREGATE EXPRESSIONS maintains incrementally: a call " +
+      "matching a declared alias reuses it, COUNT(*) rides the free " +
+      "group-death counter, an unselected aggregate mints a HIDDEN " +
+      "companion column — groups cross the threshold in both directions " +
+      "and hidden columns never leak") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_having_exprs")
+    val src = LakeTable(spark, s"$root/src")
+    val seed = Seq(
+      (1L, "a", 10L, 1L), (2L, "a", 5L, 1L),
+      (3L, "b", 7L, -1L)).toDF("k", "g", "v", "w")
+    src.create(seed.schema, enableChangeFeed = true)
+    src.append(seed)
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("src", src)
+    // SUM(v) reuses the declared panel column `s`; COUNT(*) references
+    // the internal counter (never selected); SUM(w) mints `__hv_0`
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW busy AS
+      SELECT g, SUM(v) AS s FROM src GROUP BY g
+      HAVING SUM(v) > 9 AND COUNT(*) > 1 AND SUM(w) > 0""")
+    p.run()
+    def busy = p.read("busy").orderBy("g")
+      .as[(String, Long)].collect().toSeq
+    def rec = src.read.groupBy("g")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"), sum("w").as("sw"))
+      .filter(col("s") > 9 && col("n") > 1 && col("sw") > 0)
+      .select("g", "s").orderBy("g").as[(String, Long)].collect().toSeq
+    def ev = p.eventLog.filter(col("dataset") === "busy")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    // the non-leak contract extends to hidden COLUMNS: readers see only
+    // the declared output, never __cnt / __hv_0 / __nn_*
+    assert(p.read("busy").columns.toSeq == Seq("g", "s"))
+    assert(busy == Seq(("a", 15L)) && busy == rec, (busy, rec))
+    // b crosses UP (all three predicates flip true for it)
+    src.append(Seq((4L, "b", 8L, 3L)).toDF("k", "g", "v", "w"))
+    p.run()
+    assert(ev.last.contains("incremental"), ev)
+    assert(busy == Seq(("a", 15L), ("b", 15L)) && busy == rec, (busy, rec))
+    // a crosses DOWN via the declared-alias predicate (SUM(v) falls to 5)
+    src.deleteWhere("k = 1")
+    p.run()
+    assert(ev.last.contains("incremental"), ev)
+    assert(busy == Seq(("b", 15L)) && busy == rec, (busy, rec))
+    // b crosses DOWN via the COUNT(*) free ride (one row left)
+    src.deleteWhere("k = 3")
+    p.run()
+    assert(ev.last.contains("incremental"), ev)
+    assert(busy == Seq.empty && busy == rec, (busy, rec))
+    // and back UP through the minted companion: w sums positive again
+    src.append(Seq((5L, "b", 9L, 7L)).toDF("k", "g", "v", "w"))
+    p.run()
+    assert(ev.last.contains("incremental"), ev)
+    assert(busy == Seq(("b", 17L)) && busy == rec, (busy, rec))
+  }
+
+  test("HAVING with a NON-maintainable aggregate call keeps the recompute " +
+      "path — values exact, never a wrong maintained filter") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_having_fallback")
+    val src = LakeTable(spark, s"$root/src")
+    val seed = Seq((1L, "a", 10L), (2L, "a", 14L), (3L, "b", 7L))
+      .toDF("k", "g", "v")
+    src.create(seed.schema, enableChangeFeed = true)
+    src.append(seed)
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("src", src)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW spread AS
+      SELECT g, SUM(v) AS s FROM src GROUP BY g
+      HAVING stddev(v) > 1.0""")
+    p.run()
+    src.append(Seq((4L, "b", 1L)).toDF("k", "g", "v"))
+    p.run()
+    val ev = p.eventLog.filter(col("dataset") === "spread")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    assert(ev.nonEmpty && ev.forall(!_.contains("incremental")), ev)
+    val got = p.read("spread").orderBy("g")
+      .as[(String, Long)].collect().toSeq
+    val rec = src.read.groupBy("g")
+      .agg(sum("v").as("s"), stddev(col("v")).as("sd"))
+      .filter(col("sd") > 1.0).select("g", "s")
+      .orderBy("g").as[(String, Long)].collect().toSeq
+    assert(got == rec && got == Seq(("a", 24L), ("b", 8L)), (got, rec))
+  }
+
   test("composition: UNION ALL + expression group key + WHERE + HAVING " +
       "maintain together; star HAVING panel maintains through a dim delta") {
     import graft.lake.LakeTable
@@ -1593,7 +1677,8 @@ class PipelineSqlSpec extends SparkSpec {
   test("auto-MV HAVING over output columns: the full panel maintains " +
       "incrementally and the predicate filters at presentation — a group " +
       "crosses the threshold in BOTH directions with exact aggregates; a " +
-      "HAVING that re-aggregates keeps the recompute path") {
+      "HAVING aggregate the SELECT doesn't carry maintains via a minted " +
+      "hidden companion") {
     import graft.lake.LakeTable
     val root = tmpDir("plsql_automv_having")
     val src = LakeTable(spark, s"$root/src")
@@ -1626,15 +1711,23 @@ class PipelineSqlSpec extends SparkSpec {
       .orderBy("run_id").select("message").as[String].collect().toSeq
     assert(ev.tail.forall(_.contains("incremental from src")), ev)
 
-    // HAVING with an aggregate function re-aggregates — recompute path
+    // HAVING with an aggregate the SELECT doesn't carry: SUM(v) mints a
+    // hidden companion column and the panel still maintains incrementally
+    // (round 18 — previously a documented recompute fallback)
     PipelineSql(p, "CREATE OR REFRESH MATERIALIZED VIEW busy2 AS " +
       "SELECT g, COUNT(*) AS n FROM src GROUP BY g HAVING SUM(v) > 50")
     p.run()
     assert(p.read("busy2").as[(String, Long)].collect().toSeq ==
       Seq(("a", 2L)))
+    // a falls below the hidden threshold, b rises over it — one window
+    src.deleteWhere("k = 5")
+    src.append(Seq((6L, "b", 95L)).toDF("k", "g", "v"))
+    p.run()
+    assert(p.read("busy2").orderBy("g").as[(String, Long)].collect().toSeq ==
+      Seq(("b", 3L)))
     assert(p.eventLog.filter(col("dataset") === "busy2")
-      .select("message").as[String].collect()
-      .forall(!_.contains("incremental")))
+      .orderBy(col("run_id").desc).select("message").as[String]
+      .head().contains("incremental"))
   }
 
   test("runFullRefresh rebuilds an auto-maintained MV from scratch and " +
