@@ -26,6 +26,56 @@ object Bench {
     // reports): noise only ever ADDS time, so min(N) is the tightest
     // estimate of the code's true cost. N=1 available for quick profiling.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // Shared JIT/codegen warm-up, OUTSIDE every timed window: the
+    // SQL-pipeline dispatch path (parser → CDC flow planning → merge
+    // codegen → change-feed reads → auto-MV maintain) pays ~10s of
+    // first-execution JIT that otherwise lands on whichever query hits it
+    // first — s46's round-17 run profile was [15.9, 8.06, 5.84], a 2.7×
+    // first-to-min ramp on pure warm-up. Eight in-memory rows drive the
+    // same code paths once; per-query timings then measure the operator,
+    // not the JVM. The warmed state is exactly what a long-lived
+    // production driver has, so this never hides real per-run cost. The
+    // pipeline BUILD of each measured query still runs inside its timed
+    // window — only the JVM/codegen state is shared. Disable with
+    // SPARK_GRAFT_WARMUP=0.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
+      try {
+        import org.apache.spark.sql.functions.{col, min}
+        val root = graft.ops.FixtureRoots.create("graft_warmup")
+        val df = spark.range(8).selectExpr(
+          "id AS user_id", "CAST(id % 2 AS STRING) AS event_type",
+          "CAST(id AS DOUBLE) AS value",
+          "timestamp_micros(id * 1000000) AS ts", "id AS event_id")
+        val bronze = graft.lake.LakeTable(spark, s"$root/bronze")
+        bronze.append(df)
+        val p = new graft.pipeline.Pipeline(spark, s"$root/pipe")
+        p.inputTable("bronze", bronze)
+        p.view("type_dim")(df.groupBy("event_type")
+          .agg(min(col("event_id")).as("type_min_id")))
+        graft.pipeline.PipelineSql.script(p, """
+          CREATE OR REFRESH STREAMING TABLE silver
+            TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true');
+          APPLY CHANGES INTO silver FROM STREAM(bronze)
+            KEYS (user_id) SEQUENCE BY ts;
+          CREATE TEMPORARY VIEW enriched AS
+            SELECT s.user_id, s.event_type, s.value, s.ts, s.event_id,
+                   d.type_min_id
+            FROM STREAM(silver) s JOIN type_dim d
+              ON s.event_type = d.event_type;
+          CREATE OR REFRESH STREAMING TABLE business;
+          APPLY CHANGES INTO business FROM STREAM(enriched)
+            KEYS (user_id) SEQUENCE BY ts;
+          CREATE OR REFRESH MATERIALIZED VIEW panel AS
+            SELECT event_type, SUM(event_id) AS s, COUNT(*) AS n
+            FROM silver GROUP BY event_type HAVING COUNT(*) > 0""")
+        p.runIncremental()
+        bronze.append(df.withColumn("user_id", col("user_id") + 100L))
+        p.runIncremental()
+        p.read("business").count()
+        ()
+      } catch { case _: Throwable => () } // warm-up must never fail a bench
+      finally { spark.catalog.clearCache(); graft.ops.FixtureRoots.sweep() }
+    }
     val perRun = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

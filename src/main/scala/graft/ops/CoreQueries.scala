@@ -1390,8 +1390,8 @@ object CoreQueries {
         WHERE event_type IS NOT NULL AND user_id IS NOT NULL
           AND NOT (event_id % 3 = 0)
         GROUP BY event_type, user_id
-        HAVING SUM(event_id) > 500000 AND COUNT(*) > 1
-           AND SUM(user_id) > 0
+        HAVING CAST(SUM(event_id) AS BIGINT) > 500000 AND COUNT(*) > 1
+           AND CAST(SUM(user_id) AS BIGINT) > 0
         ORDER BY event_type, user_id""")),
 
     // O23 SINK — DLT's `dlt.create_sink` + `@append_flow` into it: an
@@ -1935,6 +1935,56 @@ object CoreQueries {
           AND event_id % 4 IN (0, 1, 2)
         GROUP BY event_type ORDER BY event_type""")),
 
+    // O37 UNION ALL WITH ROW-LOCAL BRANCH FILTERS — each region table
+    // lands RAW rows and the panel unions only each branch's clean slice
+    // (`SELECT … FROM ba WHERE user_id % 2 = 0` — the filter references a
+    // column the projection DROPS, exercising SQL's pre-projection
+    // evaluation). Each branch's predicate applies per row image to that
+    // branch's own signed window — the same algebra the top-level WHERE
+    // rides — so run 2 (only branch A moves) maintains from ONE filtered
+    // branch window, proven incremental in-query via the event log
+    // (round 18 — branch-level filters previously kept the recompute
+    // path).
+    Q("o37_auto_mv_union_filtered", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+        .select("event_id", "event_type", "user_id")
+      val root = tmp("graft_o37")
+      val ba = pooled(s, d, "o37_ba_mod4_0", s"$root/ba")(
+        _.append(ev.filter(col("event_id") % 4 === 0)))
+      val bb = pooled(s, d, "o37_bb_mod4_1", s"$root/bb")(
+        _.append(ev.filter(col("event_id") % 4 === 1)
+          .select(col("event_type").as("et2"), col("event_id").as("id2"),
+            col("user_id").as("uid2"))))
+      val p = new Pipeline(s, s"$root/pipe")
+      p.inputTable("ba", ba)
+      p.inputTable("bb", bb)
+      PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW panel AS
+        SELECT event_type, SUM(event_id) AS sm, COUNT(*) AS n
+        FROM (SELECT event_type, event_id FROM ba WHERE user_id % 2 = 0
+              UNION ALL
+              SELECT et2, id2 FROM bb WHERE uid2 % 2 = 1)
+        GROUP BY event_type""")
+      p.runIncremental()                   // bootstrap + definition pin
+      // only branch A moves: run 2 reads ONE filtered branch window
+      ba.append(ev.filter(col("event_id") % 4 === 2))
+      p.runIncremental()
+      val msg = p.eventLog.filter(col("dataset") === "panel")
+        .orderBy(col("run_id").desc).select("message")
+        .limit(1).collect().head.getString(0)
+      require(msg.contains("incremental"),
+        s"filtered branch window must MAINTAIN, not recompute: $msg")
+      p.read("panel").orderBy("event_type")
+    },
+      Some("""SELECT event_type,
+               CAST(SUM(event_id) AS BIGINT) AS sm,
+               COUNT(*) AS n
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+          AND ((event_id % 4 IN (0, 2) AND user_id % 2 = 0)
+            OR (event_id % 4 = 1 AND user_id % 2 = 1))
+        GROUP BY event_type ORDER BY event_type""")),
+
     // O34 SCD2 AS-OF STAR MV — the reference's SCD machinery composed
     // with its gold star at SCD2 depth (`DIM_Gold_layer.py` +
     // `FACT_Gold_Layer.py:135-148`): the gold panel joins facts to a
@@ -1994,6 +2044,97 @@ object CoreQueries {
             SELECT et, w0 * 10,
                    TIMESTAMP '2024-01-15 00:00:00',
                    TIMESTAMP '2200-01-01 00:00:00' FROM d0)
+        SELECT d.et AS et, CAST(SUM(f.event_id * d.w) AS BIGINT) AS sw,
+               COUNT(*) AS n
+        FROM (SELECT event_id, event_type, ts FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL) f
+        JOIN dim d ON f.event_type = d.et
+          AND f.ts >= d.start_at AND f.ts < d.end_at
+        GROUP BY d.et ORDER BY et""")),
+
+    // O38 SCD2 HISTORY TRICKLE → DIM-DELTA — o34's as-of star where RUN 2
+    // changes ONE business key's history (the SCD2 trickle merge: close
+    // the open validity row, open a re-priced one). The interval residual
+    // rides the equi key, so the refresh applies ± signed windows over
+    // the ONE key's zone-pruned fact slice joined to the pinned and
+    // current history — proven in-query via the event log's
+    // "dim-delta from dim" tag — instead of o34-round-17's full
+    // recompute. At 100 TB: a one-supplier re-price refreshes the as-of
+    // panel without re-reading the fact lake.
+    Q("o38_auto_mv_scd2_dim_delta", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .select("event_id", "event_type", "ts")
+      val root = tmp("graft_o38")
+      val fact = pooled(s, d, "o38_fact_id_et_ts", s"$root/fact")(_.append(ev))
+      val dimDf = {
+        val d0 = ev.select(col("event_type").as("et")).distinct()
+          .withColumn("w0", length(col("et")).cast("long"))
+        val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+        val lo = lit("1900-01-01 00:00:00").cast("timestamp")
+        val hi = lit("2200-01-01 00:00:00").cast("timestamp")
+        d0.select(col("et"), col("w0").as("w"),
+            lo.as("start_at"), cut.as("end_at"))
+          .unionByName(d0.select(col("et"), (col("w0") * 10).as("w"),
+            cut.as("start_at"), hi.as("end_at")))
+      }
+      val dim = pooled(s, d, "o38_dim_scd2_cdf", s"$root/dim") { dt =>
+        dt.create(dimDf.schema, enableChangeFeed = true)
+        dt.append(dimDf)
+      }
+      val p = new Pipeline(s, s"$root/pipe")
+      p.inputTable("fact", fact)
+      p.inputTable("dim", dim)
+      PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW gold AS
+        SELECT d.et AS et, SUM(f.event_id * d.w) AS sw, COUNT(*) AS n
+        FROM fact f JOIN dim d
+          ON f.event_type = d.et
+            AND f.ts >= d.start_at AND f.ts < d.end_at
+        GROUP BY d.et""")
+      p.runIncremental()                     // bootstrap + history pin
+      // ONE key's SCD2 trickle: close its open row at a second cut,
+      // open a re-priced version from there
+      val hotEt = dim.read.agg(min(col("et"))).head().getString(0)
+      val cut2 = "2024-01-22 00:00:00"
+      dim.updateWhere(
+        s"et = '$hotEt' AND end_at = timestamp'2200-01-01 00:00:00'",
+        Map("end_at" -> lit(cut2).cast("timestamp")))
+      dim.append(dim.read
+        .filter(col("et") === hotEt &&
+          col("end_at") === lit(cut2).cast("timestamp"))
+        .limit(1)
+        .select(col("et"), (length(col("et")).cast("long") * 100).as("w"),
+          lit(cut2).cast("timestamp").as("start_at"),
+          lit("2200-01-01 00:00:00").cast("timestamp").as("end_at")))
+      p.runIncremental()                     // ± windows, one key's slice
+      val msg = p.eventLog.filter(col("dataset") === "gold")
+        .orderBy(col("run_id").desc).select("message")
+        .limit(1).collect().head.getString(0)
+      require(msg.contains("dim-delta from dim"),
+        s"history trickle must MAINTAIN by dim-delta, not recompute: $msg")
+      p.read("gold").orderBy("et")
+    },
+      Some("""WITH d0 AS (SELECT DISTINCT event_type AS et,
+                     CAST(length(event_type) AS BIGINT) AS w0
+              FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+          hot AS (SELECT min(et) AS et FROM d0),
+          dim AS (
+            SELECT et, w0 AS w,
+                   TIMESTAMP '1900-01-01 00:00:00' AS start_at,
+                   TIMESTAMP '2024-01-15 00:00:00' AS end_at FROM d0
+            UNION ALL
+            SELECT et, w0 * 10,
+                   TIMESTAMP '2024-01-15 00:00:00',
+                   CASE WHEN et = (SELECT et FROM hot)
+                        THEN TIMESTAMP '2024-01-22 00:00:00'
+                        ELSE TIMESTAMP '2200-01-01 00:00:00' END
+            FROM d0
+            UNION ALL
+            SELECT et, w0 * 100,
+                   TIMESTAMP '2024-01-22 00:00:00',
+                   TIMESTAMP '2200-01-01 00:00:00'
+            FROM d0 WHERE et = (SELECT et FROM hot))
         SELECT d.et AS et, CAST(SUM(f.event_id * d.w) AS BIGINT) AS sw,
                COUNT(*) AS n
         FROM (SELECT event_id, event_type, ts FROM events

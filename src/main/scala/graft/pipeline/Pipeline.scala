@@ -124,8 +124,18 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     // the per-branch-ledger maintenance; any view-backed branch drops the
     // whole MV to the recompute path (the None case below), any
     // unmaterialized one parks it — same contract as dims
-    val unionTables: Seq[(String, Option[LakeTable], Option[Seq[String]])] =
-      spec.union.map { case (ds, cols) => (ds, asTable(ds), cols) }
+    val unionTables
+        : Seq[(String, Option[LakeTable], Option[Seq[String]], Option[String])] =
+      spec.union.map { case (ds, cols, where) => (ds, asTable(ds), cols, where) }
+    // the union DEFINITION fingerprint (branch names + projections +
+    // row-local filters, in order): branch ledger ids are positional, so
+    // a redeclared union whose shape changed must re-bootstrap instead of
+    // resuming another branch's high-water
+    val unionDef: Option[String] =
+      if (spec.union.isEmpty) None
+      else Some(Pipeline.fingerprint(spec.union.map { case (ds, cols, where) =>
+        s"$ds|${cols.fold("*")(_.mkString(","))}|${where.getOrElse("")}"
+      }.mkString(";")))
     if (spec.union.nonEmpty && unionTables.exists(_._2.isEmpty)) {
       val (df, rows) = observe(gate(name, autoMvDefining(spec, autoMvSource(spec))))
       if (!t.exists) createTarget(name, df.schema)
@@ -142,13 +152,14 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     }
     asTable(spec.source) match {
       case _ if spec.union.nonEmpty =>
-        val ubs = unionTables.map { case (_, bt, cols) => (bt.get, cols) }
+        val ubs = unionTables.map { case (_, bt, cols, where) =>
+          (bt.get, cols, where) }
         val (n, mode) = runAggMvCore(name, ubs.head._1, spec.where,
           spec.groupBy, spec.sums, spec.mins, spec.maxs,
           cntAlias = spec.counts.headOption.getOrElse("__cnt"),
           flowId = s"graft.aggmv.$name", minMaxFallback = true,
           exactDecimal = false, avgs = spec.avgs, cnts = spec.cntCols,
-          groupExprs = spec.groupExprs, union = ubs,
+          groupExprs = spec.groupExprs, union = ubs, unionDef = unionDef,
           dcounts = spec.dcounts,
           distTables = spec.dcounts.map { case (a, _) =>
             LakeTable(spark, s"$storageRoot/${name}__dist_$a") },
@@ -555,11 +566,15 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
   /** The defining INPUT frame of an auto MV — the single source's current
    *  contents, or for a UNION ALL MV the positional union of its branch
    *  reads (Spark's set-operation widening supplies SQL UNION ALL type
-   *  semantics; names bind from the first branch). */
+   *  semantics; names bind from the first branch). A branch's row-local
+   *  WHERE applies PRE-projection (it may reference columns the
+   *  projection drops — SQL's evaluation order). */
   private def autoMvSource(spec: Pipeline.AutoMvSpec): DataFrame =
     if (spec.union.isEmpty) read(spec.source)
-    else spec.union.map { case (ds, cols) =>
-      val df = read(ds)
+    else spec.union.map { case (ds, cols, where) =>
+      val df0 = read(ds)
+      val df = where.fold(df0)(w =>
+        df0.filter(org.apache.spark.sql.functions.expr(w)))
       cols.fold(df)(cs =>
         df.select(cs.map(org.apache.spark.sql.functions.col): _*))
     }.reduce(_ union _)
@@ -2763,9 +2778,10 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       dcounts: Seq[(String, String)] = Nil,
       distTables: Seq[LakeTable] = Nil,
       dimEqui: Map[String, Seq[(String, String)]] = Map.empty,
-      union: Seq[(LakeTable, Option[Seq[String]])] = Nil,
+      union: Seq[(LakeTable, Option[Seq[String]], Option[String])] = Nil,
       extMins: Seq[LakeTable] = Nil,
-      extMaxs: Seq[LakeTable] = Nil): (Long, String) = {
+      extMaxs: Seq[LakeTable] = Nil,
+      unionDef: Option[String] = None): (Long, String) = {
     import org.apache.spark.sql.functions.{avg, broadcast, col, count, countDistinct, expr, lit, max, min, sum, when}
     require(groupBy.nonEmpty, "incremental agg MV needs GROUP BY columns")
     // AVG/COUNT(expr) decompositions ride hidden columns — auto path only
@@ -2794,16 +2810,19 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     // independently, in any order, each merge carrying its own ledger —
     // a crash between branch merges just leaves later branches for the
     // next run (their ledgers haven't moved).
-    val branches: Seq[(String, LakeTable, Option[Seq[String]])] =
-      if (union.isEmpty) Seq((appId, source, None))
-      else union.zipWithIndex.map { case ((ut, cols), i) =>
-        (if (i == 0) appId else s"$appId.u$i", ut, cols) }
+    val branches: Seq[(String, LakeTable, Option[Seq[String]], Option[String])] =
+      if (union.isEmpty) Seq((appId, source, None, None))
+      else union.zipWithIndex.map { case ((ut, cols, bw), i) =>
+        (if (i == 0) appId else s"$appId.u$i", ut, cols, bw) }
     // a positional union of the branches at the given versions — Spark's
     // set-operation widening gives SQL UNION ALL type semantics, names
-    // from the first branch (what the declared query's analyzer binds)
+    // from the first branch (what the declared query's analyzer binds).
+    // A branch's row-local WHERE filters PRE-projection (it may reference
+    // columns the projection drops — SQL's evaluation order).
     def unionAt(vers: Seq[Long]): DataFrame =
-      branches.zip(vers).map { case ((_, bt, cols), v) =>
-        val df = bt.readVersion(v)
+      branches.zip(vers).map { case ((_, bt, cols, bw), v) =>
+        val df0 = bt.readVersion(v)
+        val df = bw.fold(df0)(w => df0.filter(expr(w)))
         cols.fold(df)(cs => df.select(cs.map(col): _*))
       }.reduce(_ union _)
     val dec = "decimal(28,6)"
@@ -2870,13 +2889,26 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     // recompute), so the type-faithful incremental path only ever adds
     // exact types.
     def sumIn(e: String) = if (exactDecimal) expr(e).cast(dec) else expr(e)
-    val lasts = branches.map { case (lid, _, _) =>
+    val lasts = branches.map { case (lid, _, _, _) =>
       t.lastTxnVersion(lid).getOrElse(-1L) }
     val curs = branches.map(_._2.currentVersion)
     val last = lasts.head
     val cur = curs.head
     val anyNew = branches.indices.exists(i => curs(i) > lasts(i))
-    if (!anyNew && t.exists && !dimsChanged) return (0L, "up-to-date")
+    // UNION-DEFINITION pin staleness (checked BEFORE the up-to-date
+    // short-circuit: branch ledgers are positional, so a reordered or
+    // re-filtered redeclaration can alias one branch's high-water onto
+    // another table's version and read as spuriously idle). ABSENT pin =
+    // out-of-date, same fail-safe rule as the tz pin.
+    val unionShapeStale: Option[String] =
+      if (union.isEmpty || !t.exists || unionDef.isEmpty) None
+      else tProps.get(Pipeline.UnionDefProp) match {
+        case Some(h) if unionDef.contains(h) => None
+        case Some(_) => Some("recompute: union shape changed")
+        case None => Some("recompute: union definition unpinned")
+      }
+    if (!anyNew && t.exists && !dimsChanged && unionShapeStale.isEmpty)
+      return (0L, "up-to-date")
 
     // FLOATING-SUM POLICY (auto path; COVERAGE.md): a double/float SUM or
     // AVG keeps RECOMPUTE refresh — pinned at the source version and
@@ -3024,7 +3056,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       // overwrite: a crash in between leaves that branch ledger absent →
       // the next run re-bootstraps (one extra recompute, never a window
       // applied against the wrong base)
-      branches.drop(1).zip(curs.drop(1)).foreach { case ((lid, _, _), v) =>
+      branches.drop(1).zip(curs.drop(1)).foreach { case ((lid, _, _, _), v) =>
         t.stampTxn(lid, v); () }
       // dim pins land in a FOLLOW-UP metadata commit: a crash in between
       // leaves stale pins, which only ever costs one extra recompute.
@@ -3041,13 +3073,18 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           Map(Pipeline.SessionTzProp ->
             spark.sessionState.conf.sessionLocalTimeZone)
         else Map.empty
+      val unionPin: Map[String, String] =
+        if (union.nonEmpty)
+          unionDef.map(Pipeline.UnionDefProp -> _).toMap
+        else Map.empty
       val pinProps = dimsCur.map { case (n, v) =>
-        dimPinProp(n) -> v.toString }.toMap ++ tzPin
+        dimPinProp(n) -> v.toString }.toMap ++ tzPin ++ unionPin
       if (pinProps.nonEmpty) t.setTableProperties(pinProps)
       (0L, mode)
       } finally { if (snapCached) { snap.unpersist(); () } }
     }
     if (!t.exists || lasts.exists(_ < 0)) return bootstrap("bootstrap")
+    unionShapeStale.foreach(reason => return bootstrap(reason))
     // extreme-companion upgrade path: an MV bootstrapped before its
     // companions existed (or whose backing table predates the hidden
     // __xn columns) re-bootstraps ONCE to mint them
@@ -3068,9 +3105,11 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         else "recompute: session timezone unpinned")
     // DIM-DELTA candidacy (the `dim_airports_scd.csv`-style trickle: a
     // 3-key dim update against a 100 TB fact is exactly where recompute
-    // is the wrong plan): exactly ONE changed dim, a single-column
-    // fact-equi-dim ON key (the handle that bounds the fact slice), no
-    // extremes (a dim change can retract a MIN/MAX) and no
+    // is the wrong plan): each changed dim needs fact-equi-dim ON
+    // conjuncts (the handle that bounds the fact slice — composite keys
+    // and non-equi residuals like the SCD2 validity interval both
+    // compose: residuals ride the full join condition inside the ±
+    // branches), no extremes (a dim change can retract a MIN/MAX) and no
     // COUNT(DISTINCT) companions (their value multiplicities would need
     // their own dim-signed merges). Anything else keeps the documented
     // recompute. The algebra: partition the dim by changed keys K —
@@ -3124,7 +3163,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     // ids are PER BRANCH (`<branchLid>.dist.<a>` / `.ext.<a>` — for the
     // classic single-source MV the branch lid IS appId, so existing
     // ledgers keep working unchanged).
-    if (branches.zipWithIndex.exists { case ((lid, _, _), i) =>
+    if (branches.zipWithIndex.exists { case ((lid, _, _, _), i) =>
       dcounts.zip(distTables).exists { case ((a, _), dt) =>
         dt.exists && dt.lastTxnVersion(s"$lid.dist.$a").exists(_ > lasts(i))
       } ||
@@ -3600,12 +3639,12 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     // query's analyzer binds the outer expressions to; later union
     // branches' windows rename to them (positional UNION ALL semantics)
     lazy val names0: Seq[String] = branches.head match {
-      case (_, bt, cols) => cols.getOrElse(bt.schema.fieldNames.toSeq) }
+      case (_, bt, cols, _) => cols.getOrElse(bt.schema.fieldNames.toSeq) }
     // an extreme refill (drained/overgrown companion) aborts the window
     // mid-apply to ONE recompute: the companion merges already committed
     // (txn-guarded — a replay can't double-apply) and the bootstrap
     // overwrite rebuilds companions and panel consistently
-    try branches.zipWithIndex.foreach { case ((lid, bt, bcols), bi) =>
+    try branches.zipWithIndex.foreach { case ((lid, bt, bcols, bwhere), bi) =>
       if (curs(bi) > lasts(bi)) {
         // ONE read of the window, pinned: the retraction probe (when
         // extremes are maintained over a window with row-mutating
@@ -3619,8 +3658,14 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         // same-named column can never make the sign ambiguous.
         // Dims join at their PINNED versions (enPinned) — the state the
         // MV reflects; the dim-delta window below closes any dim gap.
-        val raw = bt.readChangeFeed(lasts(bi) + 1, Some(curs(bi)))
+        val raw0 = bt.readChangeFeed(lasts(bi) + 1, Some(curs(bi)))
           .withColumn("__graft_ct", col(graft.lake.LakeTable.ChangeTypeCol))
+        // a union branch's ROW-LOCAL WHERE applies per image BEFORE the
+        // positional projection/rename (it may reference branch columns
+        // the projection drops): an update whose images cross the
+        // predicate nets to exactly the insert/retract a recompute sees —
+        // the same per-image algebra as the top-level WHERE below
+        val raw = bwhere.fold(raw0)(w => raw0.filter(expr(w)))
         // union branch: project the branch's columns and rename to the
         // first branch's names, so the shared group/agg expressions bind
         val projected = bcols match {
@@ -3775,6 +3820,22 @@ object Pipeline {
    *  of mixing two bucketings in one panel. */
   val SessionTzProp = "graft.aggmv.sessiontz"
 
+  /** Table property pinning the UNION-branch DEFINITION a union auto-MV
+   *  was bootstrapped with (a [[fingerprint]] of branch names +
+   *  projections + row-local filters, in order). Branch LEDGER ids are
+   *  positional (`appId`, `appId.u1`, …), so a pipeline life that
+   *  reorders, replaces or re-filters branches must re-bootstrap — a
+   *  stale positional ledger would resume ANOTHER branch's high-water
+   *  and silently skip or double-apply windows. */
+  val UnionDefProp = "graft.aggmv.uniondef"
+
+  /** Stable content fingerprint for definition pins (MD5 hex — identity,
+   *  not security). */
+  private[pipeline] def fingerprint(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
   /** Scalar date/time functions whose value depends on the SESSION
    *  TIMEZONE (directly, or through the string↔timestamp coercions their
    *  arguments take): an MV maintaining any of these in a WHERE clause or
@@ -3891,12 +3952,14 @@ object Pipeline {
    *  groups are the bare `groupBy` names. */
   /** `joinType` is `"inner"` or `"left"` — both distribute over a union on
    *  the fact (preserved) side, so both maintain from the fact's change
-   *  feed against pinned dims; `equi` is the parsed single-column
-   *  fact-equi-dim key pair (fact-side bare column name, dim-side bare
-   *  column name) when the ON condition is exactly that shape — the
-   *  handle the DIM-DELTA maintenance path restricts the fact scan by.
-   *  Empty `equi` only ever disables dim-delta maintenance (dim changes
-   *  recompute), never affects correctness. */
+   *  feed against pinned dims; `equi` is the parsed fact-equi-dim key
+   *  pairs (fact-side bare column name, dim-side bare column name)
+   *  collected from the ON condition's top-level conjunction — non-equi
+   *  conjuncts (SCD2 validity intervals, range bands) ride the join
+   *  whole and don't disqualify the handle, which the DIM-DELTA
+   *  maintenance path restricts the fact scan by. Empty `equi` only ever
+   *  disables dim-delta maintenance (dim changes recompute), never
+   *  affects correctness. */
   private[pipeline] final case class AutoMvJoin(
       dim: String, alias: Option[String], cond: String,
       joinType: String = "inner", equi: Seq[(String, String)] = Nil)
@@ -3908,7 +3971,7 @@ object Pipeline {
       sourceAlias: Option[String] = None, joins: Seq[AutoMvJoin] = Nil,
       groupExprs: Seq[String] = Nil, dcounts: Seq[(String, String)] = Nil,
       having: Option[String] = None,
-      union: Seq[(String, Option[Seq[String]])] = Nil,
+      union: Seq[(String, Option[Seq[String]], Option[String])] = Nil,
       havingHidden: Seq[String] = Nil)
 
   /** One registered streaming join table — see

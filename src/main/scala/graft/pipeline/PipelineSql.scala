@@ -782,32 +782,70 @@ object PipelineSql {
           // branch is a bare declared relation or a plain bare-column
           // projection of one (positional SQL union semantics — the
           // engine renames later branches' windows to the first branch's
-          // columns); branch-level filters/expressions/aliases and UNION
-          // DISTINCT (parsed as Distinct(Union)) keep the recompute path.
+          // columns), optionally over a ROW-LOCAL WHERE (`SELECT g, v
+          // FROM b WHERE region = 'eu'` — the multi-region landing
+          // shape): the predicate applies per row image to that branch's
+          // signed window, the same algebra the top-level WHERE already
+          // rides, and may reference branch columns the projection drops
+          // (it filters PRE-projection, like SQL). Branch-level
+          // projected expressions/aliases, non-row-local predicates and
+          // UNION DISTINCT (parsed as Distinct(Union)) keep the
+          // recompute path.
           def peelAlias(x: LogicalPlan): LogicalPlan = x match {
             case SubqueryAlias(_, c) => peelAlias(c)
             case o => o
           }
-          def unionBranch(n: LogicalPlan): Option[(String, Option[Seq[String]])] =
-            peelAlias(n) match {
-              case UnresolvedRelation(parts, _, false) if parts.length == 1 =>
-                Some((parts.head, None))
-              case Project(Seq(_: UnresolvedStar),
-                  UnresolvedRelation(parts, _, false)) if parts.length == 1 =>
-                Some((parts.head, None))
-              case Project(exprs, UnresolvedRelation(parts, _, false))
-                  if parts.length == 1 =>
-                val cols = exprs.map {
-                  case a: UnresolvedAttribute if a.nameParts.length == 1 =>
-                    Some(a.nameParts.head)
-                  case _ => None
-                }
-                if (cols.nonEmpty && cols.forall(_.isDefined))
-                  Some((parts.head, Some(cols.flatten.toSeq)))
-                else None
+          // boolean-shape wrapper over the rowLocalDet leaf allowlist:
+          // AND/OR/comparisons/arithmetic (BinaryOperator), NOT, IN,
+          // IS [NOT] NULL recurse; leaves must be row-local deterministic
+          def rowLocalPred(e: Expression): Boolean = e match {
+            case b: BinaryOperator => b.children.forall(rowLocalPred)
+            case n: Not => rowLocalPred(n.child)
+            case i: In => i.children.forall(rowLocalPred)
+            case _: IsNull | _: IsNotNull =>
+              e.children.forall(rowLocalPred)
+            case _ => rowLocalDet(e)
+          }
+          // a branch predicate also may not smuggle qualified references
+          // (the runtime branch frame carries bare columns only)
+          def branchPred(cond: Expression): Boolean =
+            rowLocalPred(cond) && noSubquery(cond) && reparses(cond.sql) &&
+              cond.collect { case a: UnresolvedAttribute => a }
+                .forall(_.nameParts.length == 1)
+          def bareCols(exprs: Seq[Expression]): Option[Seq[String]] = {
+            val cols = exprs.map {
+              case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+                Some(a.nameParts.head)
               case _ => None
             }
-          val unionBs: Option[Seq[(String, Option[Seq[String]])]] =
+            if (cols.nonEmpty && cols.forall(_.isDefined))
+              Some(cols.flatten.toSeq)
+            else None
+          }
+          def unionBranch(n: LogicalPlan)
+              : Option[(String, Option[Seq[String]], Option[String])] =
+            peelAlias(n) match {
+              case UnresolvedRelation(parts, _, false) if parts.length == 1 =>
+                Some((parts.head, None, None))
+              case Project(Seq(_: UnresolvedStar),
+                  UnresolvedRelation(parts, _, false)) if parts.length == 1 =>
+                Some((parts.head, None, None))
+              case Project(exprs, UnresolvedRelation(parts, _, false))
+                  if parts.length == 1 =>
+                bareCols(exprs).map(cs => (parts.head, Some(cs), None))
+              case Project(Seq(_: UnresolvedStar),
+                  Filter(cond, UnresolvedRelation(parts, _, false)))
+                  if parts.length == 1 && branchPred(cond) =>
+                Some((parts.head, None, Some(cond.sql)))
+              case Project(exprs,
+                  Filter(cond, UnresolvedRelation(parts, _, false)))
+                  if parts.length == 1 && branchPred(cond) =>
+                bareCols(exprs).map(cs =>
+                  (parts.head, Some(cs), Some(cond.sql)))
+              case _ => None
+            }
+          val unionBs
+              : Option[Seq[(String, Option[Seq[String]], Option[String])]] =
             peelAlias(rel) match {
               case u: Union if u.children.size >= 2 && !u.byName =>
                 val bs = u.children.map(unionBranch)
@@ -827,18 +865,25 @@ object PipelineSql {
           val walkedOrUnion = walked.orElse(unionBs.map(bs =>
             (Rel(bs.head._1, None), Seq.empty[(Rel, String, Expression)])))
           // fact-equi-dim key extraction (the DIM-DELTA maintenance
-          // handle): the ON condition must be a conjunction of
-          // `<fact>.<col> = <dim>.<col>` equalities (either order, any
-          // count — composite dim keys included), every side an attribute
-          // reference qualified by the two relations' aliases. Anything
-          // else leaves `equi` empty — dim changes then keep the
-          // documented recompute path; never a correctness decision.
+          // handle): `<fact>.<col> = <dim>.<col>` equalities (either
+          // order, any count — composite dim keys included) collected
+          // from the ON condition's TOP-LEVEL CONJUNCTION, every side an
+          // attribute reference qualified by the two relations' aliases.
+          // Non-equi conjuncts (the SCD2 validity interval
+          // `f.ts >= d.start_at AND f.ts < d.end_at`, range bands, OR
+          // residuals) are SKIPPED, not disqualifying: every join match
+          // still satisfies the extracted equi conjuncts, so a dim
+          // change's blast radius stays bounded by the changed keys and
+          // the ± signed branches apply the FULL condition through the
+          // enrich — the dim-delta lemma is residual-agnostic. Only a
+          // condition with NO top-level fact-equi-dim conjunct (e.g. pure
+          // range join, OR at the top) leaves `equi` empty — dim changes
+          // then keep the documented recompute path; never a correctness
+          // decision.
           def equiOf(factQ: String, dimQ: String, cond: Expression)
-              : Seq[(String, String)] = cond match {
+              : Seq[(String, String)] = (cond match {
             case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-              val ls = equiOf(factQ, dimQ, l)
-              val rs = equiOf(factQ, dimQ, r)
-              if (ls.nonEmpty && rs.nonEmpty) ls ++ rs else Nil
+              equiOf(factQ, dimQ, l) ++ equiOf(factQ, dimQ, r)
             case org.apache.spark.sql.catalyst.expressions.EqualTo(
                 a: UnresolvedAttribute, b: UnresolvedAttribute)
                 if a.nameParts.length == 2 && b.nameParts.length == 2 =>
@@ -850,7 +895,7 @@ object PipelineSql {
                 case _ => Nil
               }
             case _ => Nil
-          }
+          }).distinct
           // group keys: bare/table-qualified attributes (the star shape
           // groups by dim columns like `d.region`) OR deterministic
           // row-local EXPRESSIONS over them (`GROUP BY date_trunc('day',
@@ -909,7 +954,7 @@ object PipelineSql {
             // window rests on)
             if p.isTableBackedSource(s)
             if joins.forall { case (d, _, _) => p.isTableBackedSource(d.name) }
-            if unionBs.forall(_.forall { case (ds, _) =>
+            if unionBs.forall(_.forall { case (ds, _, _) =>
               p.isTableBackedSource(ds) })
             if unionBs.isEmpty || onlySinglePartRefs
             // distinct relations only (a self-join's two sides can't be

@@ -1072,6 +1072,119 @@ class PipelineSqlSpec extends SparkSpec {
       Seq(("a", 16L, 1L), ("b", 12L, 1L)))
   }
 
+  test("UNION ALL branches carry ROW-LOCAL filters: each predicate rides " +
+      "its own branch's signed window PRE-projection (it may reference " +
+      "dropped columns), appends and deletes on either side of the " +
+      "predicate maintain ≡ recompute; a non-row-local branch filter " +
+      "keeps the recompute path") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_union_bwhere")
+    val a = LakeTable(spark, s"$root/a")
+    val seedA = Seq((1L, "x", 10L, 0L), (2L, "x", 5L, 1L), (3L, "y", 7L, 0L))
+      .toDF("k", "g", "v", "keep")
+    a.create(seedA.schema, enableChangeFeed = true)
+    a.append(seedA)
+    val b = LakeTable(spark, s"$root/b")
+    val seedB = Seq((9L, "x", 100L, 1L)).toDF("k2", "g2", "v2", "keep2")
+    b.create(seedB.schema, enableChangeFeed = true)
+    b.append(seedB)
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("a", a)
+    p.inputTable("b", b)
+    // both predicates reference columns the projections DROP
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW panel AS
+      SELECT g, SUM(v) AS s, COUNT(*) AS n
+      FROM (SELECT g, v FROM a WHERE keep % 2 = 0
+            UNION ALL
+            SELECT g2, v2 FROM b WHERE keep2 = 1)
+      GROUP BY g""")
+    p.run()
+    def panel = p.read("panel").orderBy("g")
+      .as[(String, Long, Long)].collect().toSeq
+    def rec = a.read.filter(col("keep") % 2 === 0).select("g", "v")
+      .unionByName(b.read.filter(col("keep2") === 1)
+        .select(col("g2").as("g"), col("v2").as("v")))
+      .groupBy("g").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    def ev = p.eventLog.filter(col("dataset") === "panel")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    assert(panel == Seq(("x", 110L, 2L), ("y", 7L, 1L)) && panel == rec)
+    // branch A only: one kept row, one filtered-out row in the window
+    a.append(Seq((4L, "y", 3L, 0L), (5L, "y", 99L, 1L)).toDF("k", "g", "v", "keep"))
+    p.run()
+    assert(panel == Seq(("x", 110L, 2L), ("y", 10L, 2L)) && panel == rec)
+    // deleting a FILTERED-OUT row is inert; deleting a kept row retracts
+    a.deleteWhere("k = 2")
+    a.deleteWhere("k = 1")
+    p.run()
+    assert(panel == Seq(("x", 100L, 1L), ("y", 10L, 2L)) && panel == rec)
+    assert(ev.tail.forall(_.contains("incremental from a ∪ b")), ev)
+
+    // a branch predicate OUTSIDE the row-local allowlist → recompute path
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW panel2 AS
+      SELECT g, SUM(v) AS s
+      FROM (SELECT g, v FROM a WHERE keep % 2 = 0
+            UNION ALL
+            SELECT g2, v2 FROM b WHERE current_date() >= DATE '2000-01-01')
+      GROUP BY g""")
+    p.run()
+    b.append(Seq((10L, "z", 1L, 1L)).toDF("k2", "g2", "v2", "keep2"))
+    p.run()
+    val ev2 = p.eventLog.filter(col("dataset") === "panel2")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    assert(ev2.nonEmpty && ev2.forall(!_.contains("incremental")), ev2)
+    val got2 = p.read("panel2").orderBy("g")
+      .as[(String, Long)].collect().toSeq
+    val rec2 = a.read.filter(col("keep") % 2 === 0).select("g", "v")
+      .unionByName(b.read.select(col("g2").as("g"), col("v2").as("v")))
+      .groupBy("g").agg(sum("v").as("s"))
+      .orderBy("g").as[(String, Long)].collect().toSeq
+    assert(got2 == rec2, (got2, rec2))
+  }
+
+  test("positional union branch ledgers are DEFINITION-PINNED: a " +
+      "redeclared union with reordered branches re-bootstraps (one " +
+      "recompute) instead of resuming another branch's high-water — " +
+      "which would silently skip a moved branch's window") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_union_defpin")
+    val a = LakeTable(spark, s"$root/a")
+    a.append(Seq(("x", 1L)).toDF("g", "v"))   // a@0
+    a.append(Seq(("y", 2L)).toDF("g", "v"))   // a@1
+    val b = LakeTable(spark, s"$root/b")
+    b.append(Seq(("x", 10L)).toDF("g", "v"))  // b@0
+    val p1 = new Pipeline(spark, s"$root/pipe")
+    p1.inputTable("a", a); p1.inputTable("b", b)
+    PipelineSql(p1, """CREATE OR REFRESH MATERIALIZED VIEW panel AS
+      SELECT g, SUM(v) AS s, COUNT(*) AS n
+      FROM (SELECT g, v FROM a UNION ALL SELECT g, v FROM b)
+      GROUP BY g""")
+    p1.run() // ledgers: appId→a@1, u1→b@0
+    b.append(Seq(("y", 1000L)).toDF("g", "v")) // b@1
+    // life 2 SWAPS the branches: positionally, b now reads a's ledger
+    // (b@1 vs a's stamped @1 — "idle") and would skip b's real window
+    val p2 = new Pipeline(spark, s"$root/pipe")
+    p2.inputTable("a", a); p2.inputTable("b", b)
+    PipelineSql(p2, """CREATE OR REFRESH MATERIALIZED VIEW panel AS
+      SELECT g, SUM(v) AS s, COUNT(*) AS n
+      FROM (SELECT g, v FROM b UNION ALL SELECT g, v FROM a)
+      GROUP BY g""")
+    p2.run()
+    val ev = p2.eventLog.filter(col("dataset") === "panel")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    assert(ev.last.contains("union shape changed"), ev)
+    def panel = p2.read("panel").orderBy("g")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(panel == Seq(("x", 11L, 2L), ("y", 1002L, 2L)), panel)
+    // the re-bootstrap pinned the new shape: next window maintains
+    b.append(Seq(("z", 5L)).toDF("g", "v"))
+    p2.run()
+    assert(p2.eventLog.filter(col("dataset") === "panel")
+      .orderBy(col("run_id").desc).select("message").as[String]
+      .head().contains("incremental"))
+    assert(panel == Seq(("x", 11L, 2L), ("y", 1002L, 2L), ("z", 5L, 1L)), panel)
+  }
+
   test("HAVING over AGGREGATE EXPRESSIONS maintains incrementally: a call " +
       "matching a declared alias reuses it, COUNT(*) rides the free " +
       "group-death counter, an unselected aggregate mints a HIDDEN " +
@@ -1972,7 +2085,8 @@ class PipelineSqlSpec extends SparkSpec {
   test("SCD2 AS-OF star MV: a gold panel joining facts to an SCD2 history " +
       "on key + validity interval (__START_AT <= ts < __END_AT) maintains " +
       "on FACT windows against the PINNED history — non-equi residuals " +
-      "ride the join whole; a history change recomputes and re-pins") {
+      "ride the join whole; a history change maintains by DIM-DELTA on " +
+      "the business key (time-sliced ± windows), never a fact rescan") {
     import graft.lake.LakeTable
     val root = tmpDir("plsql_automv_scd2asof")
     val hist = LakeTable(spark, s"$root/hist")
@@ -2012,21 +2126,29 @@ class PipelineSqlSpec extends SparkSpec {
     assert(ev.last.contains("incremental from fact"), ev)
     assert(gold == Seq((1L, 65L, 3L), (2L, 240L, 2L)), gold)
     // the history itself changes (dk=2's open version closes, a re-priced
-    // one opens): interval keys aren't dim-delta-able — loud recompute
+    // one opens — the SCD2 trickle): the interval residual rides the
+    // equi business key, so ONE key's validity rewrite maintains by
+    // dim-delta — ± windows over the dk=2 fact slice joined to the two
+    // history versions — never a full recompute, never a fact rescan
+    // (round 18 — previously a documented recompute fallback). dk=2's
+    // post-cut fact row (2024-01-26 doesn't exist yet) and its pre-cut
+    // rows re-price per the new validity split.
     hist.overwrite(Seq(
       (1L, 10L, ts("2024-01-01 00:00:00"), Option(ts("2024-01-10 00:00:00"))),
       (1L, 11L, ts("2024-01-10 00:00:00"), Option.empty[Timestamp]),
-      (2L, 20L, ts("2024-01-01 00:00:00"), Option(ts("2024-01-25 00:00:00"))),
-      (2L, 25L, ts("2024-01-25 00:00:00"), Option.empty[Timestamp]))
+      (2L, 20L, ts("2024-01-01 00:00:00"), Option(ts("2024-01-04 00:00:00"))),
+      (2L, 25L, ts("2024-01-04 00:00:00"), Option.empty[Timestamp]))
       .toDF("dk", "w", "__START_AT", "__END_AT"))
     p.run()
-    assert(ev.last.contains("recompute: dimension changed"), ev)
-    assert(gold == Seq((1L, 65L, 3L), (2L, 240L, 2L)), gold)
+    assert(ev.last.contains("dim-delta from hist"), ev)
+    // dk=2 facts: (01-02, 7) keeps w=20 → 140; (01-05, 5) re-prices to
+    // w=25 → 125; total 265. dk=1 untouched.
+    assert(gold == Seq((1L, 65L, 3L), (2L, 265L, 2L)), gold)
     // and fact maintenance RESUMES against the re-pinned history
     fact.append(Seq((2L, ts("2024-01-26 00:00:00"), 2L)).toDF("dk", "ts", "v"))
     p.run()
     assert(ev.last.contains("incremental from fact"), ev)
-    assert(gold == Seq((1L, 65L, 3L), (2L, 290L, 3L)), gold)
+    assert(gold == Seq((1L, 65L, 3L), (2L, 315L, 3L)), gold)
   }
 
   test("MIN/MAX auto-MV maintains through RETRACTIONS via the bounded " +
