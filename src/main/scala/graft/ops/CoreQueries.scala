@@ -2052,6 +2052,74 @@ object CoreQueries {
           AND f.ts >= d.start_at AND f.ts < d.end_at
         GROUP BY d.et ORDER BY et""")),
 
+    // O39 UNION-AS-FACT STAR — `FROM (region_a UNION ALL region_b) f
+    // JOIN dim d`: the multi-region landing shape star-joined to a shared
+    // weight dim, with row-local branch filters. Joins distribute over
+    // the union on the fact side branch by branch, so run 2's single
+    // moved branch maintains from ONE filtered window enriched against
+    // the PINNED dim, and run 3's dim trickle applies ± windows over the
+    // zone-pruned UNION fact slice — both proven in-query via the event
+    // log (round 18 — union×star previously kept the recompute path).
+    Q("o39_auto_mv_union_star", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+        .select("event_id", "event_type", "user_id")
+      val root = tmp("graft_o39")
+      val ba = pooled(s, d, "o39_ba_mod4_0", s"$root/ba")(
+        _.append(ev.filter(col("event_id") % 4 === 0)))
+      val bb = pooled(s, d, "o39_bb_mod4_1", s"$root/bb")(
+        _.append(ev.filter(col("event_id") % 4 === 1)
+          .select(col("event_type").as("et2"), col("event_id").as("id2"),
+            col("user_id").as("uid2"))))
+      val dim = pooled(s, d, "o39_dim_et_w", s"$root/dim")(
+        _.append(ev.select(col("event_type").as("et")).distinct()
+          .withColumn("w", length(col("et")).cast("long"))))
+      val p = new Pipeline(s, s"$root/pipe")
+      p.inputTable("ba", ba)
+      p.inputTable("bb", bb)
+      p.inputTable("dim", dim)
+      PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW gold AS
+        SELECT d.et AS et, SUM(f.event_id * d.w) AS sw, COUNT(*) AS n
+        FROM (SELECT event_type, event_id FROM ba WHERE user_id % 2 = 0
+              UNION ALL
+              SELECT et2, id2 FROM bb WHERE uid2 % 2 = 1) f
+        JOIN dim d ON f.event_type = d.et
+        GROUP BY d.et""")
+      p.runIncremental()                     // bootstrap + dim pin
+      def lastMsg(): String = p.eventLog
+        .filter(col("dataset") === "gold")
+        .orderBy(col("run_id").desc).select("message")
+        .limit(1).collect().head.getString(0)
+      ba.append(ev.filter(col("event_id") % 4 === 2))
+      p.runIncremental()                     // one filtered branch window
+      require(lastMsg().contains("incremental"),
+        s"moved branch must MAINTAIN against the pinned dim: ${lastMsg()}")
+      val low2 = dim.read.orderBy("et").limit(2)
+        .withColumn("w", col("w") * 7)
+      dim.merge(low2, Seq("et"))
+      p.runIncremental()                     // ± windows over union slice
+      require(lastMsg().contains("dim-delta from dim"),
+        s"dim trickle must apply ± union-slice windows: ${lastMsg()}")
+      p.read("gold").orderBy("et")
+    },
+      Some("""WITH d0 AS (SELECT DISTINCT event_type AS et,
+                     CAST(length(event_type) AS BIGINT) AS w
+              FROM events
+              WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+          low2 AS (SELECT et FROM d0 ORDER BY et LIMIT 2),
+          dm AS (SELECT et,
+                   CASE WHEN et IN (SELECT et FROM low2) THEN w * 7
+                        ELSE w END AS w
+                 FROM d0),
+          f AS (SELECT event_type, event_id FROM events
+                WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                  AND ((event_id % 4 IN (0, 2) AND user_id % 2 = 0)
+                    OR (event_id % 4 = 1 AND user_id % 2 = 1)))
+        SELECT d.et AS et, CAST(SUM(f.event_id * d.w) AS BIGINT) AS sw,
+               COUNT(*) AS n
+        FROM f JOIN dm d ON f.event_type = d.et
+        GROUP BY d.et ORDER BY et""")),
+
     // O38 SCD2 HISTORY TRICKLE → DIM-DELTA — o34's as-of star where RUN 2
     // changes ONE business key's history (the SCD2 trickle merge: close
     // the open validity row, open a re-priced one). The interval residual

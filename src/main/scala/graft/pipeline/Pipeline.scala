@@ -152,6 +152,14 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     }
     asTable(spec.source) match {
       case _ if spec.union.nonEmpty =>
+        // union-as-fact STAR joins ride the same arm: branch windows and
+        // the dim-delta ± slices both enrich against the pinned dims —
+        // an unmaterialized dim parks exactly like the single-fact star
+        if (dimTables.exists(_._2.isEmpty)) {
+          events += (("flow_progress", name, 0L,
+            s"materialized view from union (dimension not materialized)"))
+          return
+        }
         val ubs = unionTables.map { case (_, bt, cols, where) =>
           (bt.get, cols, where) }
         val (n, mode) = runAggMvCore(name, ubs.head._1, spec.where,
@@ -160,6 +168,10 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           flowId = s"graft.aggmv.$name", minMaxFallback = true,
           exactDecimal = false, avgs = spec.avgs, cnts = spec.cntCols,
           groupExprs = spec.groupExprs, union = ubs, unionDef = unionDef,
+          dims = dimTables.map { case (n2, dt) => n2 -> dt.get },
+          enrich = autoMvEnrich(spec, _),
+          dimEqui = spec.joins.collect {
+            case j if j.equi.nonEmpty => j.dim -> j.equi }.toMap,
           dcounts = spec.dcounts,
           distTables = spec.dcounts.map { case (a, _) =>
             LakeTable(spark, s"$storageRoot/${name}__dist_$a") },
@@ -2793,9 +2805,9 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     require((exactDecimal && dcounts.isEmpty) ||
       dcounts.size == distTables.size,
       "COUNT(DISTINCT) maintenance is the auto path's, one companion per column")
-    require(union.isEmpty || (!exactDecimal && dims.isEmpty),
-      "UNION ALL maintenance is the auto path's; star-join forms keep " +
-        "recompute (companions compose: per-branch ledgers)")
+    require(union.isEmpty || !exactDecimal,
+      "UNION ALL maintenance is the auto path's (star-join unions " +
+        "compose: branch windows enrich against the pinned dims)")
     val auto = !exactDecimal
     val t = tables(target)
     val appId = if (flowId.nonEmpty) flowId else s"graft.aggmv.$target"
@@ -3125,6 +3137,33 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     // MIN/MAX WITHOUT companions (floating MVs, explicit API) still keep
     // recompute — a dim change can retract an extreme no monotone merge
     // recovers.
+    // the first branch's effective column names — what the declared
+    // query's analyzer binds the outer expressions to; later union
+    // branches' windows (and the dim-delta union slice) rename to them
+    // (positional UNION ALL semantics)
+    lazy val names0: Seq[String] = branches.head match {
+      case (_, bt, cols, _) => cols.getOrElse(bt.schema.fieldNames.toSeq) }
+    // a union branch's PHYSICAL column for a fact-side (names0) name —
+    // positional mapping through the branch projection; throws when the
+    // name isn't a plain union output (callers Try → recompute)
+    def branchKeyCol(bt: LakeTable, bcols: Option[Seq[String]],
+        fc: String): String = {
+      val idx = names0.indexOf(fc)
+      require(idx >= 0, s"$fc is not a union output column")
+      bcols.getOrElse(bt.schema.fieldNames.toSeq)(idx)
+    }
+    // the FACT-side key type: the single source's column, or for a union
+    // the branches' mapped columns — which must ALL agree exactly (the
+    // widened set-op type would change ordering semantics under the
+    // zone-pred residual, so any disagreement keeps recompute)
+    def factKeyType(fc: String): org.apache.spark.sql.types.DataType =
+      if (union.isEmpty) source.schema(fc).dataType
+      else {
+        val ts = branches.map { case (_, bt, bcols, _) =>
+          bt.schema(branchKeyCol(bt, bcols, fc)).dataType }.distinct
+        require(ts.size == 1, s"union branches disagree on $fc type")
+        ts.head
+      }
     val dimDeltaPlans
         : Seq[(String, LakeTable, Long, Long, Seq[(String, String)])] =
       if (!auto || changedDims.isEmpty ||
@@ -3143,7 +3182,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           // drop matching fact rows — so a mixed-type key keeps the
           // documented recompute instead.
           if scala.util.Try(eqKeys.forall { case (fc, dc) =>
-            source.schema(fc).dataType == dt.schema(dc).dataType
+            factKeyType(fc) == dt.schema(dc).dataType
           }).getOrElse(false)
         } yield (dn, dt, pinV, curV, eqKeys)
       }
@@ -3248,8 +3287,11 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           else if (changedRows.isEmpty) {
             // a dim version bump with zero row changes (a properties
             // commit): nothing to apply — an empty signed window still
-            // advances the pin through the merge txn
-            val emptySlice = source.readVersion(cur).limit(0)
+            // advances the pin through the merge txn. Union facts take
+            // the unioned zero-row frame (names0 schema, set-op types).
+            val emptySlice =
+              if (union.isEmpty) source.readVersion(cur).limit(0)
+              else unionAt(curs).limit(0)
             val plus = filtered(enrich(Map(dims.map { case (n2, dt2) =>
               n2 -> dt2.readVersion(if (n2 == dn) curV else otherVer(n2, dt2))
             }: _*))(emptySlice)).withColumn("__sign", lit(1L))
@@ -3269,12 +3311,29 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
             val bAggs = dcs.flatMap(c =>
               Seq(min(col(c)).cast("string"), max(col(c)).cast("string")))
             val b = keysDf.agg(bAggs.head, bAggs.tail: _*).head()
-            val preds = fcs.zipWithIndex.map { case (fc2, i) =>
-              graft.lake.LakeTable.ZonePred.between(
-                fc2, b.getString(2 * i), b.getString(2 * i + 1)) }
-            val zoneSliced = scala.util.Try(
-              source.readWhere(preds, asOf = Some(cur)))
-              .getOrElse(source.readVersion(cur))
+            // manifest-level zone predicates per PHYSICAL table: the
+            // single fact's own columns, or for a UNION fact each
+            // branch's positionally-mapped columns — each branch is
+            // zone-pruned, branch-filtered, projected and renamed to the
+            // union output names, then the slices union (the exact key
+            // residual below applies to the unioned frame)
+            def zonePruned(bt: LakeTable, bcols: Option[Seq[String]],
+                colOf: String => String, v: Long): DataFrame = {
+              val preds = fcs.zipWithIndex.map { case (fc2, i) =>
+                graft.lake.LakeTable.ZonePred.between(
+                  colOf(fc2), b.getString(2 * i), b.getString(2 * i + 1)) }
+              scala.util.Try(bt.readWhere(preds, asOf = Some(v)))
+                .getOrElse(bt.readVersion(v))
+            }
+            val zoneSliced =
+              if (union.isEmpty) zonePruned(source, None, identity, cur)
+              else branches.zip(curs).map { case ((_, bt, bcols, bw), v) =>
+                val z = zonePruned(bt, bcols,
+                  fc2 => branchKeyCol(bt, bcols, fc2), v)
+                val f = bw.fold(z)(w => z.filter(expr(w)))
+                val cs = bcols.getOrElse(bt.schema.fieldNames.toSeq)
+                f.select(cs.map(col): _*).toDF(names0: _*)
+              }.reduce(_ union _)
             // local key frames (≤ cap rows) under fact-side / dim-side
             // names for the two semi-joins; nulls were filtered above so
             // plain equality is exact
@@ -3635,11 +3694,6 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
 
     var processedTotal = 0L
     var mode = "up-to-date"
-    // the first branch's effective column names — what the declared
-    // query's analyzer binds the outer expressions to; later union
-    // branches' windows rename to them (positional UNION ALL semantics)
-    lazy val names0: Seq[String] = branches.head match {
-      case (_, bt, cols, _) => cols.getOrElse(bt.schema.fieldNames.toSeq) }
     // an extreme refill (drained/overgrown companion) aborts the window
     // mid-apply to ONE recompute: the companion merges already committed
     // (txn-guarded — a replay can't double-apply) and the bootstrap

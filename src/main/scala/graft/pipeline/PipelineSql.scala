@@ -595,6 +595,24 @@ object PipelineSql {
           f.arguments.forall(rowLocalDet)
       case _ => false
     }
+    // boolean/expression-shape wrapper over the rowLocalDet leaf
+    // allowlist: AND/OR/comparisons/arithmetic (BinaryOperator), NOT,
+    // IN, IS [NOT] NULL and CASE predicates recurse; leaves must be
+    // row-local deterministic. This is the soundness gate for every
+    // expression the signed-delta algebra evaluates PER ROW IMAGE — the
+    // maintained WHERE, aggregate inputs, branch filters: a
+    // non-deterministic term (rand()) would score the +1 and −1 images
+    // of one row differently and silently drift the panel, so anything
+    // outside the allowlist keeps the documented recompute path.
+    def rowLocalPred(e: Expression): Boolean = e match {
+      case b: BinaryOperator => b.children.forall(rowLocalPred)
+      case n: Not => rowLocalPred(n.child)
+      case i: In => i.children.forall(rowLocalPred)
+      case _: IsNull | _: IsNotNull => e.children.forall(rowLocalPred)
+      case cw: CaseWhen => cw.children.forall(rowLocalPred)
+      case c: Cast => rowLocalPred(c.child)
+      case _ => rowLocalDet(e)
+    }
     // the maintainable-aggregate KIND of one call: (tag, arg SQL) —
     // shared by the SELECT-list classifier and the HAVING rewriter so
     // both recognize exactly the same aggregate family
@@ -603,22 +621,28 @@ object PipelineSql {
           !f.arguments.forall(noSubquery)) None
       else {
         val fn = f.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+        // aggregate INPUTS need no extra determinism gate: Spark's own
+        // analyzer rejects non-deterministic aggregate arguments
+        // (AGGREGATE_FUNCTION_WITH_NONDETERMINISTIC_EXPRESSION) on the
+        // maintained AND recompute paths alike, and deterministic ≡
+        // row-local for a per-image evaluation
+        def okArg(e: Expression): Boolean = reparses(e.sql)
         if (f.isDistinct) (fn, f.arguments) match {
           // COUNT(DISTINCT e): maintained through a signed COMPANION
           // table of (group, value) multiplicities
-          case ("count", Seq(e)) if reparses(e.sql) => Some(("dc", e.sql))
+          case ("count", Seq(e)) if okArg(e) => Some(("dc", e.sql))
           case _ => None
         }
         else (fn, f.arguments) match {
-          case ("sum", Seq(e)) if reparses(e.sql) => Some(("sum", e.sql))
-          case ("min", Seq(e)) if reparses(e.sql) => Some(("min", e.sql))
-          case ("max", Seq(e)) if reparses(e.sql) => Some(("max", e.sql))
+          case ("sum", Seq(e)) if okArg(e) => Some(("sum", e.sql))
+          case ("min", Seq(e)) if okArg(e) => Some(("min", e.sql))
+          case ("max", Seq(e)) if okArg(e) => Some(("max", e.sql))
           case ("count", Seq(Literal(1, _))) => Some(("cnt", ""))
           case ("count", Seq(_: UnresolvedStar)) => Some(("cnt", ""))
           // Enzyme's AVG rule: maintained as a hidden SUM+COUNT
           // decomposition; COUNT(expr) as a signed non-null count
-          case ("avg", Seq(e)) if reparses(e.sql) => Some(("avg", e.sql))
-          case ("count", Seq(e)) if reparses(e.sql) => Some(("cnte", e.sql))
+          case ("avg", Seq(e)) if okArg(e) => Some(("avg", e.sql))
+          case ("count", Seq(e)) if okArg(e) => Some(("cnte", e.sql))
           case _ => None
         }
       }
@@ -741,8 +765,14 @@ object PipelineSql {
       }
       parsed match {
         case Some((agg, having0)) =>
+          // the maintained WHERE must be ROW-LOCAL DETERMINISTIC (the
+          // signed algebra applies it per row image — see rowLocalPred);
+          // a Filter outside the allowlist stays WRAPPED, so the leaf
+          // walk below fails and the MV keeps the recompute path, never
+          // a silently dropped predicate
           val (where, whereE, rel) = agg.child match {
-            case Filter(cond, r) if noSubquery(cond) && reparses(cond.sql) =>
+            case Filter(cond, r) if noSubquery(cond) && reparses(cond.sql) &&
+                rowLocalPred(cond) =>
               (Some(cond.sql), Some(cond), r)
             case r => (None, Option.empty[Expression], r)
           }
@@ -795,17 +825,6 @@ object PipelineSql {
             case SubqueryAlias(_, c) => peelAlias(c)
             case o => o
           }
-          // boolean-shape wrapper over the rowLocalDet leaf allowlist:
-          // AND/OR/comparisons/arithmetic (BinaryOperator), NOT, IN,
-          // IS [NOT] NULL recurse; leaves must be row-local deterministic
-          def rowLocalPred(e: Expression): Boolean = e match {
-            case b: BinaryOperator => b.children.forall(rowLocalPred)
-            case n: Not => rowLocalPred(n.child)
-            case i: In => i.children.forall(rowLocalPred)
-            case _: IsNull | _: IsNotNull =>
-              e.children.forall(rowLocalPred)
-            case _ => rowLocalDet(e)
-          }
           // a branch predicate also may not smuggle qualified references
           // (the runtime branch frame carries bare columns only)
           def branchPred(cond: Expression): Boolean =
@@ -844,14 +863,56 @@ object PipelineSql {
                   (parts.head, Some(cs), Some(cond.sql)))
               case _ => None
             }
+          def branchesOf(u: Union)
+              : Option[Seq[(String, Option[Seq[String]], Option[String])]] =
+            if (u.children.size < 2 || u.byName) None
+            else {
+              val bs = u.children.map(unionBranch)
+              if (bs.forall(_.isDefined)) Some(bs.flatten.toSeq) else None
+            }
           val unionBs
               : Option[Seq[(String, Option[Seq[String]], Option[String])]] =
             peelAlias(rel) match {
-              case u: Union if u.children.size >= 2 && !u.byName =>
-                val bs = u.children.map(unionBranch)
-                if (bs.forall(_.isDefined)) Some(bs.flatten.toSeq) else None
+              case u: Union => branchesOf(u)
               case _ => None
             }
+          // UNION-AS-FACT STAR — `FROM (a UNION ALL …) f JOIN dim d ON
+          // f.k = d.k`: the leftmost relation of the left-deep join chain
+          // is an ALIASED union of maintainable branches (the alias is
+          // required — qualified outer references bind to it, exactly as
+          // the runtime enrich re-aliases the union frame). Joins
+          // distribute over a union on the preserved fact side branch by
+          // branch, so each branch window enriches against the pinned
+          // dims independently and the dim-delta ± windows slice the
+          // UNION of the branches — both compositions reuse the star
+          // machinery unchanged.
+          def factUnion(n: LogicalPlan): Option[(String,
+              Seq[(String, Option[Seq[String]], Option[String])])] = n match {
+            case SubqueryAlias(id, u: Union) =>
+              branchesOf(u).map(bs => (id.name, bs))
+            case _ => None
+          }
+          def walkU(n: LogicalPlan): Option[((String,
+              Seq[(String, Option[Seq[String]], Option[String])]),
+              Seq[(Rel, String, Expression)])] = n match {
+            case Join(l, r, jt, Some(cond), hint)
+                if (jt == Inner || jt == LeftOuter) &&
+                  hint == org.apache.spark.sql.catalyst.plans.logical
+                    .JoinHint.NONE && noSubquery(cond) && reparses(cond.sql) =>
+              for { lw <- walkU(l); d <- leaf(r) }
+                yield (lw._1, lw._2 :+
+                  ((d, if (jt == Inner) "inner" else "left", cond)))
+            case other => factUnion(other).map(_ -> Seq.empty)
+          }
+          // only claim the union-star shape when there IS a join — a
+          // joinless aliased union belongs to the plain-union path above
+          val unionStar: Option[(String,
+              Seq[(String, Option[Seq[String]], Option[String])],
+              Seq[(Rel, String, Expression)])] =
+            if (walked.isDefined || unionBs.isDefined) None
+            else walkU(rel).collect {
+              case ((alias, bs), js) if js.nonEmpty => (alias, bs, js) }
+          val allBranches = unionBs.orElse(unionStar.map(_._2))
           // union MVs bind the outer expressions to the FIRST branch's
           // bare column names — any qualified reference (the subquery
           // alias won't exist on the runtime union frame) falls back
@@ -860,10 +921,15 @@ object PipelineSql {
               whereE.toSeq).forall(e =>
               e.collect { case a: UnresolvedAttribute => a }
                 .forall(_.nameParts.length == 1))
-          // the union shape masquerades as a joinless single fact through
-          // the shared guards; per-branch checks ride separate guards
-          val walkedOrUnion = walked.orElse(unionBs.map(bs =>
-            (Rel(bs.head._1, None), Seq.empty[(Rel, String, Expression)])))
+          // the union shapes masquerade as a single fact through the
+          // shared guards (name = first branch; the union-star keeps its
+          // subquery alias as the fact alias); per-branch checks ride
+          // separate guards
+          val walkedOrUnion = walked
+            .orElse(unionBs.map(bs =>
+              (Rel(bs.head._1, None), Seq.empty[(Rel, String, Expression)])))
+            .orElse(unionStar.map { case (alias, bs, js) =>
+              (Rel(bs.head._1, Some(alias)), js) })
           // fact-equi-dim key extraction (the DIM-DELTA maintenance
           // handle): `<fact>.<col> = <dim>.<col>` equalities (either
           // order, any count — composite dim keys included) collected
@@ -954,15 +1020,23 @@ object PipelineSql {
             // window rests on)
             if p.isTableBackedSource(s)
             if joins.forall { case (d, _, _) => p.isTableBackedSource(d.name) }
-            if unionBs.forall(_.forall { case (ds, _, _) =>
+            if allBranches.forall(_.forall { case (ds, _, _) =>
               p.isTableBackedSource(ds) })
+            // the PLAIN union (no alias wrapper on the runtime frame)
+            // binds outer expressions to bare first-branch names only;
+            // the union-STAR's subquery alias carries qualified refs
             if unionBs.isEmpty || onlySinglePartRefs
             // distinct relations only (a self-join's two sides can't be
             // independently pinned) and distinct aliases (ambiguous
-            // qualifiers would wedge every refresh)
+            // qualifiers would wedge every refresh); union branches must
+            // additionally be disjoint from the dims — a table serving as
+            // BOTH a window-bearing branch and a pinned dimension has no
+            // single consistent version to pin
             rels = (fact +: joins.map(_._1))
             if rels.map(_.name).distinct.size == rels.size
             if rels.map(r => r.alias.getOrElse(r.name)).distinct.size == rels.size
+            if allBranches.forall(bs => bs.map(_._1).toSet
+              .intersect(joins.map(_._1.name).toSet).isEmpty)
             gs <- groupKeys
             os <- if (outs.forall(_.isDefined)) Some(outs.flatten.toSeq) else None
             gOuts = os.collect { case g: G => g }
@@ -1024,7 +1098,7 @@ object PipelineSql {
             dcounts = os.collect { case Dc(a, e) => a -> e } ++
               hv.fold(Seq.empty[(String, String)])(_.dcs),
             having = hv.map(_.sql),
-            union = unionBs.getOrElse(Nil),
+            union = allBranches.getOrElse(Nil),
             havingHidden = hv.fold(Seq.empty[String])(_.hidden))
         case _ => None
       }

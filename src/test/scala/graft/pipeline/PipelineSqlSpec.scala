@@ -1142,6 +1142,77 @@ class PipelineSqlSpec extends SparkSpec {
     assert(got2 == rec2, (got2, rec2))
   }
 
+  test("UNION-AS-FACT star join: FROM (a UNION ALL b) f JOIN dim " +
+      "maintains — branch windows enrich against the pinned dim, a dim " +
+      "trickle applies ± windows over the UNION fact slice, branch " +
+      "filters and renamed columns compose, fact window and dim delta " +
+      "land in ONE refresh; ≡ recompute throughout") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_unionstar")
+    val a = LakeTable(spark, s"$root/a")
+    val seedA = Seq(("x", 10L, 0L), ("y", 7L, 0L), ("x", 5L, 1L))
+      .toDF("g", "v", "keep")
+    a.create(seedA.schema, enableChangeFeed = true)
+    a.append(seedA)
+    val b = LakeTable(spark, s"$root/b")
+    val seedB = Seq(("x", 100L), ("z", 1L)).toDF("g2", "v2")
+    b.create(seedB.schema, enableChangeFeed = true)
+    b.append(seedB)
+    val dim = LakeTable(spark, s"$root/dim")
+    dim.append(Seq(("x", 2L), ("y", 3L), ("z", 4L)).toDF("g", "w"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("a", a); p.inputTable("b", b); p.inputTable("dim", dim)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW panel AS
+      SELECT d.g AS g, SUM(f.v * d.w) AS s, COUNT(*) AS n
+      FROM (SELECT g, v FROM a WHERE keep % 2 = 0
+            UNION ALL
+            SELECT g2, v2 FROM b) f
+      JOIN dim d ON f.g = d.g
+      GROUP BY d.g""")
+    p.run()
+    def panel = p.read("panel").orderBy("g")
+      .as[(String, Long, Long)].collect().toSeq
+    def rec = a.read.filter(col("keep") % 2 === 0).select("g", "v")
+      .unionByName(b.read.select(col("g2").as("g"), col("v2").as("v")))
+      .join(dim.read, "g")
+      .groupBy("g").agg(sum(col("v") * col("w")).as("s"),
+        count(lit(1)).as("n"))
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    def ev = p.eventLog.filter(col("dataset") === "panel")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    assert(panel == Seq(("x", 220L, 2L), ("y", 21L, 1L), ("z", 4L, 1L))
+      && panel == rec, (panel, rec))
+    // BRANCH window: only a moves (one kept row, one filtered out) —
+    // enriched against the PINNED dim, never a recompute
+    a.append(Seq(("z", 6L, 0L), ("z", 9L, 1L)).toDF("g", "v", "keep"))
+    p.run()
+    assert(ev.last.contains("incremental from a ∪ b"), ev)
+    assert(panel == Seq(("x", 220L, 2L), ("y", 21L, 1L), ("z", 28L, 2L))
+      && panel == rec, (panel, rec))
+    // DIM trickle: x reweights — ± windows over the UNION fact slice
+    dim.merge(Seq(("x", 10L)).toDF("g", "w"), Seq("g"))
+    p.run()
+    assert(ev.last.contains("dim-delta from dim"), ev)
+    assert(panel == Seq(("x", 1100L, 2L), ("y", 21L, 1L), ("z", 28L, 2L))
+      && panel == rec, (panel, rec))
+    // BRANCH retraction through the filter: a's kept z row deletes
+    a.deleteWhere("g = 'z' AND keep = 0")
+    p.run()
+    assert(ev.last.contains("incremental from a ∪ b"), ev)
+    assert(panel == Seq(("x", 1100L, 2L), ("y", 21L, 1L), ("z", 4L, 1L))
+      && panel == rec, (panel, rec))
+    // fact window AND dim delta in ONE refresh: b lands y=50 while y
+    // reweights 3→1 — the window joins the PINNED dim, the ± windows
+    // close the dim gap, sequentially exact
+    b.append(Seq(("y", 50L)).toDF("g2", "v2"))
+    dim.merge(Seq(("y", 1L)).toDF("g", "w"), Seq("g"))
+    p.run()
+    assert(ev.last.contains("incremental") &&
+      ev.last.contains("dim-delta from dim"), ev)
+    assert(panel == Seq(("x", 1100L, 2L), ("y", 57L, 2L), ("z", 4L, 1L))
+      && panel == rec, (panel, rec))
+  }
+
   test("positional union branch ledgers are DEFINITION-PINNED: a " +
       "redeclared union with reordered branches re-bootstraps (one " +
       "recompute) instead of resuming another branch's high-water — " +
@@ -1238,6 +1309,34 @@ class PipelineSqlSpec extends SparkSpec {
     p.run()
     assert(ev.last.contains("incremental"), ev)
     assert(busy == Seq(("b", 17L)) && busy == rec, (busy, rec))
+  }
+
+  test("NON-row-local maintained WHERE keeps the recompute path: a rand() " +
+      "predicate would score a row's +1/−1 images differently and " +
+      "silently drift the signed panel (aggregate args need no gate — " +
+      "Spark's analyzer rejects non-deterministic aggregate inputs on " +
+      "both paths)") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_nondet")
+    val src = LakeTable(spark, s"$root/src")
+    val seed = Seq((1L, "a", 10L), (2L, "b", 7L)).toDF("k", "g", "v")
+    src.create(seed.schema, enableChangeFeed = true)
+    src.append(seed)
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("src", src)
+    // rand() >= 0 is ALWAYS TRUE (value-deterministic), so the recompute
+    // is exact — but the detector must not trust it per-image
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW w_nd AS
+      SELECT g, SUM(v) AS s FROM src WHERE rand() >= 0 GROUP BY g""")
+    p.run()
+    src.append(Seq((3L, "a", 5L)).toDF("k", "g", "v"))
+    p.run()
+    val ev = p.eventLog.filter(col("dataset") === "w_nd")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    assert(ev.nonEmpty && ev.forall(!_.contains("incremental")), ev)
+    val got = p.read("w_nd").orderBy("g")
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 15L), ("b", 7L)), got)
   }
 
   test("HAVING with a NON-maintainable aggregate call keeps the recompute " +
