@@ -125,7 +125,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     // whole MV to the recompute path (the None case below), any
     // unmaterialized one parks it — same contract as dims
     val unionTables
-        : Seq[(String, Option[LakeTable], Option[Seq[String]], Option[String])] =
+        : Seq[(String, Option[LakeTable], Option[Seq[(String, String)]], Option[String])] =
       spec.union.map { case (ds, cols, where) => (ds, asTable(ds), cols, where) }
     // the union DEFINITION fingerprint (branch names + projections +
     // row-local filters, in order): branch ledger ids are positional, so
@@ -134,7 +134,9 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     val unionDef: Option[String] =
       if (spec.union.isEmpty) None
       else Some(Pipeline.fingerprint(spec.union.map { case (ds, cols, where) =>
-        s"$ds|${cols.fold("*")(_.mkString(","))}|${where.getOrElse("")}"
+        val proj = cols.fold("*")(_.map { case (e, n) => s"$e AS $n" }
+          .mkString(","))
+        s"$ds|$proj|${where.getOrElse("")}"
       }.mkString(";")))
     if (spec.union.nonEmpty && unionTables.exists(_._2.isEmpty)) {
       val (df, rows) = observe(gate(name, autoMvDefining(spec, autoMvSource(spec))))
@@ -587,8 +589,8 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       val df0 = read(ds)
       val df = where.fold(df0)(w =>
         df0.filter(org.apache.spark.sql.functions.expr(w)))
-      cols.fold(df)(cs =>
-        df.select(cs.map(org.apache.spark.sql.functions.col): _*))
+      cols.fold(df)(cs => df.select(cs.map { case (e, n) =>
+        org.apache.spark.sql.functions.expr(e).as(n) }: _*))
     }.reduce(_ union _)
 
   private def autoMvDefining(spec: Pipeline.AutoMvSpec, src: DataFrame): DataFrame = {
@@ -2790,7 +2792,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       dcounts: Seq[(String, String)] = Nil,
       distTables: Seq[LakeTable] = Nil,
       dimEqui: Map[String, Seq[(String, String)]] = Map.empty,
-      union: Seq[(LakeTable, Option[Seq[String]], Option[String])] = Nil,
+      union: Seq[(LakeTable, Option[Seq[(String, String)]], Option[String])] = Nil,
       extMins: Seq[LakeTable] = Nil,
       extMaxs: Seq[LakeTable] = Nil,
       unionDef: Option[String] = None): (Long, String) = {
@@ -2822,7 +2824,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     // independently, in any order, each merge carrying its own ledger —
     // a crash between branch merges just leaves later branches for the
     // next run (their ledgers haven't moved).
-    val branches: Seq[(String, LakeTable, Option[Seq[String]], Option[String])] =
+    val branches: Seq[(String, LakeTable, Option[Seq[(String, String)]], Option[String])] =
       if (union.isEmpty) Seq((appId, source, None, None))
       else union.zipWithIndex.map { case ((ut, cols, bw), i) =>
         (if (i == 0) appId else s"$appId.u$i", ut, cols, bw) }
@@ -2835,7 +2837,8 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       branches.zip(vers).map { case ((_, bt, cols, bw), v) =>
         val df0 = bt.readVersion(v)
         val df = bw.fold(df0)(w => df0.filter(expr(w)))
-        cols.fold(df)(cs => df.select(cs.map(col): _*))
+        cols.fold(df)(cs => df.select(cs.map { case (e, n) =>
+          expr(e).as(n) }: _*))
       }.reduce(_ union _)
     val dec = "decimal(28,6)"
     def filtered(df: DataFrame): DataFrame = where.fold(df)(w => df.filter(expr(w)))
@@ -3142,15 +3145,26 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     // branches' windows (and the dim-delta union slice) rename to them
     // (positional UNION ALL semantics)
     lazy val names0: Seq[String] = branches.head match {
-      case (_, bt, cols, _) => cols.getOrElse(bt.schema.fieldNames.toSeq) }
+      case (_, bt, cols, _) =>
+        cols.fold(bt.schema.fieldNames.toSeq)(_.map(_._2)) }
     // a union branch's PHYSICAL column for a fact-side (names0) name —
     // positional mapping through the branch projection; throws when the
     // name isn't a plain union output (callers Try → recompute)
-    def branchKeyCol(bt: LakeTable, bcols: Option[Seq[String]],
+    def branchKeyCol(bt: LakeTable, bcols: Option[Seq[(String, String)]],
         fc: String): String = {
       val idx = names0.indexOf(fc)
       require(idx >= 0, s"$fc is not a union output column")
-      bcols.getOrElse(bt.schema.fieldNames.toSeq)(idx)
+      bcols match {
+        case None => bt.schema.fieldNames.toSeq(idx)
+        case Some(cs) =>
+          val (e, _) = cs(idx)
+          // BARE columns only: an expression-projected key has no
+          // physical column to zone-prune or type-gate — callers Try →
+          // dim changes keep the recompute path for that shape
+          require(bt.schema.fieldNames.contains(e),
+            s"union branch projects $fc as an expression")
+          e
+      }
     }
     // the FACT-side key type: the single source's column, or for a union
     // the branches' mapped columns — which must ALL agree exactly (the
@@ -3317,7 +3331,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
             // zone-pruned, branch-filtered, projected and renamed to the
             // union output names, then the slices union (the exact key
             // residual below applies to the unioned frame)
-            def zonePruned(bt: LakeTable, bcols: Option[Seq[String]],
+            def zonePruned(bt: LakeTable, bcols: Option[Seq[(String, String)]],
                 colOf: String => String, v: Long): DataFrame = {
               val preds = fcs.zipWithIndex.map { case (fc2, i) =>
                 graft.lake.LakeTable.ZonePred.between(
@@ -3331,8 +3345,10 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
                 val z = zonePruned(bt, bcols,
                   fc2 => branchKeyCol(bt, bcols, fc2), v)
                 val f = bw.fold(z)(w => z.filter(expr(w)))
-                val cs = bcols.getOrElse(bt.schema.fieldNames.toSeq)
-                f.select(cs.map(col): _*).toDF(names0: _*)
+                val cs = bcols.getOrElse(
+                  bt.schema.fieldNames.toSeq.map(n => (n, n)))
+                f.select(cs.map { case (e, n) => expr(e).as(n) }: _*)
+                  .toDF(names0: _*)
               }.reduce(_ union _)
             // local key frames (≤ cap rows) under fact-side / dim-side
             // names for the two semi-joins; nulls were filtered above so
@@ -3725,8 +3741,10 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         val projected = bcols match {
           case None if union.isEmpty => raw
           case _ =>
-            val cs = bcols.getOrElse(bt.schema.fieldNames.toSeq)
-            raw.select((cs :+ "__graft_ct").map(col): _*)
+            val cs = bcols.getOrElse(
+              bt.schema.fieldNames.toSeq.map(n => (n, n)))
+            raw.select(cs.map { case (e, n) => expr(e).as(n) } :+
+              col("__graft_ct"): _*)
               .toDF((names0 :+ "__graft_ct"): _*)
         }
         val feed = filtered(enPinned(projected))
@@ -4025,7 +4043,7 @@ object Pipeline {
       sourceAlias: Option[String] = None, joins: Seq[AutoMvJoin] = Nil,
       groupExprs: Seq[String] = Nil, dcounts: Seq[(String, String)] = Nil,
       having: Option[String] = None,
-      union: Seq[(String, Option[Seq[String]], Option[String])] = Nil,
+      union: Seq[(String, Option[Seq[(String, String)]], Option[String])] = Nil,
       havingHidden: Seq[String] = Nil)
 
   /** One registered streaming join table — see

@@ -688,6 +688,12 @@ object PipelineSql {
         case Dc(a, e) => ("dc", e) -> a
         case Cnt(a) => ("cnt", "") -> a
       }.toMap // reversed so the FIRST declaration of a duplicate wins
+      // group-key references by their DEFINING sql ("d.et", "g",
+      // "date_trunc('day', ts)") → the declared output column, so a
+      // HAVING may reference the key as the query's FROM side spells it,
+      // not only by its output alias
+      val groupRefs: Map[String, String] =
+        os.collect { case G(n, e, k) => Seq(e -> n, k -> n) }.flatten.toMap
       val minted = scala.collection.mutable.LinkedHashMap[(String, String), String]()
       val hidden = scala.collection.mutable.LinkedHashSet[String]()
       def aggRef(f: UnresolvedFunction): Option[Expression] =
@@ -706,6 +712,12 @@ object PipelineSql {
           UnresolvedAttribute(Seq(alias))
         }
       def rw(e: Expression): Option[Expression] = e match {
+        // a term spelling a GROUP KEY the way the FROM side defines it
+        // (qualified attribute, or the whole key expression) reads the
+        // key's output column — checked first so `date_trunc('day', ts)`
+        // maps as a unit instead of recursing into unresolvable args
+        case _ if groupRefs.contains(e.sql) =>
+          Some(UnresolvedAttribute(Seq(groupRefs(e.sql))))
         case f: UnresolvedFunction
             if f.nameParts.length == 1 && aggFns.contains(
               f.nameParts.head.toLowerCase(java.util.Locale.ROOT)) =>
@@ -831,18 +843,32 @@ object PipelineSql {
             rowLocalPred(cond) && noSubquery(cond) && reparses(cond.sql) &&
               cond.collect { case a: UnresolvedAttribute => a }
                 .forall(_.nameParts.length == 1)
-          def bareCols(exprs: Seq[Expression]): Option[Seq[String]] = {
-            val cols = exprs.map {
+          // a branch projection entry: (select-expression SQL, output
+          // name). Bare columns select themselves; ALIASED ROW-LOCAL
+          // expressions (`SELECT g, v * 2 AS v2 FROM a` — unit
+          // conversions, derived measures) are computed per row image
+          // BEFORE signing, so the signed algebra is unchanged — the
+          // union's output names bind from the FIRST branch's aliases,
+          // positional SQL semantics as ever. Unaliased expressions,
+          // qualified references and non-row-local terms fall back.
+          def projEntries(exprs: Seq[Expression])
+              : Option[Seq[(String, String)]] = {
+            val es = exprs.map {
               case a: UnresolvedAttribute if a.nameParts.length == 1 =>
-                Some(a.nameParts.head)
+                Some((a.nameParts.head, a.nameParts.head))
+              case al @ Alias(e, _)
+                  if rowLocalPred(e) && noSubquery(e) && reparses(e.sql) &&
+                    e.collect { case a: UnresolvedAttribute => a }
+                      .forall(_.nameParts.length == 1) =>
+                Some((e.sql, al.name))
               case _ => None
             }
-            if (cols.nonEmpty && cols.forall(_.isDefined))
-              Some(cols.flatten.toSeq)
+            if (es.nonEmpty && es.forall(_.isDefined))
+              Some(es.flatten.toSeq)
             else None
           }
           def unionBranch(n: LogicalPlan)
-              : Option[(String, Option[Seq[String]], Option[String])] =
+              : Option[(String, Option[Seq[(String, String)]], Option[String])] =
             peelAlias(n) match {
               case UnresolvedRelation(parts, _, false) if parts.length == 1 =>
                 Some((parts.head, None, None))
@@ -851,7 +877,7 @@ object PipelineSql {
                 Some((parts.head, None, None))
               case Project(exprs, UnresolvedRelation(parts, _, false))
                   if parts.length == 1 =>
-                bareCols(exprs).map(cs => (parts.head, Some(cs), None))
+                projEntries(exprs).map(cs => (parts.head, Some(cs), None))
               case Project(Seq(_: UnresolvedStar),
                   Filter(cond, UnresolvedRelation(parts, _, false)))
                   if parts.length == 1 && branchPred(cond) =>
@@ -859,19 +885,19 @@ object PipelineSql {
               case Project(exprs,
                   Filter(cond, UnresolvedRelation(parts, _, false)))
                   if parts.length == 1 && branchPred(cond) =>
-                bareCols(exprs).map(cs =>
+                projEntries(exprs).map(cs =>
                   (parts.head, Some(cs), Some(cond.sql)))
               case _ => None
             }
           def branchesOf(u: Union)
-              : Option[Seq[(String, Option[Seq[String]], Option[String])]] =
+              : Option[Seq[(String, Option[Seq[(String, String)]], Option[String])]] =
             if (u.children.size < 2 || u.byName) None
             else {
               val bs = u.children.map(unionBranch)
               if (bs.forall(_.isDefined)) Some(bs.flatten.toSeq) else None
             }
           val unionBs
-              : Option[Seq[(String, Option[Seq[String]], Option[String])]] =
+              : Option[Seq[(String, Option[Seq[(String, String)]], Option[String])]] =
             peelAlias(rel) match {
               case u: Union => branchesOf(u)
               case _ => None
@@ -887,13 +913,13 @@ object PipelineSql {
           // UNION of the branches — both compositions reuse the star
           // machinery unchanged.
           def factUnion(n: LogicalPlan): Option[(String,
-              Seq[(String, Option[Seq[String]], Option[String])])] = n match {
+              Seq[(String, Option[Seq[(String, String)]], Option[String])])] = n match {
             case SubqueryAlias(id, u: Union) =>
               branchesOf(u).map(bs => (id.name, bs))
             case _ => None
           }
           def walkU(n: LogicalPlan): Option[((String,
-              Seq[(String, Option[Seq[String]], Option[String])]),
+              Seq[(String, Option[Seq[(String, String)]], Option[String])]),
               Seq[(Rel, String, Expression)])] = n match {
             case Join(l, r, jt, Some(cond), hint)
                 if (jt == Inner || jt == LeftOuter) &&
@@ -907,7 +933,7 @@ object PipelineSql {
           // only claim the union-star shape when there IS a join — a
           // joinless aliased union belongs to the plain-union path above
           val unionStar: Option[(String,
-              Seq[(String, Option[Seq[String]], Option[String])],
+              Seq[(String, Option[Seq[(String, String)]], Option[String])],
               Seq[(Rel, String, Expression)])] =
             if (walked.isDefined || unionBs.isDefined) None
             else walkU(rel).collect {

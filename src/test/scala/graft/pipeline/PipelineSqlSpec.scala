@@ -1142,6 +1142,83 @@ class PipelineSqlSpec extends SparkSpec {
     assert(got2 == rec2, (got2, rec2))
   }
 
+  test("UNION ALL branches carry ROW-LOCAL projected EXPRESSIONS " +
+      "(`SELECT g, v * 2 AS v2` — unit conversion per branch): computed " +
+      "per row image before signing, names bind from the first branch's " +
+      "aliases, filters compose; an expression-projected KEY keeps dim " +
+      "changes on the recompute path while branch windows still maintain") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_union_bexpr")
+    val a = LakeTable(spark, s"$root/a")
+    val seedA = Seq((1L, "x", 10L, 0L), (2L, "y", 7L, 1L))
+      .toDF("k", "g", "v", "keep")
+    a.create(seedA.schema, enableChangeFeed = true)
+    a.append(seedA)
+    val b = LakeTable(spark, s"$root/b")
+    val seedB = Seq((9L, "x", 100L)).toDF("k2", "g2", "cents")
+    b.create(seedB.schema, enableChangeFeed = true)
+    b.append(seedB)
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("a", a)
+    p.inputTable("b", b)
+    // branch A converts v to cents (×100) under a filter; branch B lands
+    // cents natively — the union output names bind from A's aliases
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW panel AS
+      SELECT g, SUM(cents) AS s, COUNT(*) AS n
+      FROM (SELECT g, v * 100 AS cents FROM a WHERE keep % 2 = 0
+            UNION ALL
+            SELECT g2, cents FROM b)
+      GROUP BY g""")
+    p.run()
+    def panel = p.read("panel").orderBy("g")
+      .as[(String, Long, Long)].collect().toSeq
+    def rec = a.read.filter(col("keep") % 2 === 0)
+      .select(col("g"), (col("v") * 100).as("cents"))
+      .unionByName(b.read.select(col("g2").as("g"), col("cents")))
+      .groupBy("g").agg(sum("cents").as("s"), count(lit(1)).as("n"))
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    def ev = p.eventLog.filter(col("dataset") === "panel")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    assert(panel == Seq(("x", 1100L, 2L)) && panel == rec, (panel, rec))
+    // branch windows maintain: A lands a kept row, B a row; A's window
+    // rides the expression, B's the native column
+    a.append(Seq((3L, "y", 5L, 0L)).toDF("k", "g", "v", "keep"))
+    b.append(Seq((10L, "y", 30L)).toDF("k2", "g2", "cents"))
+    p.run()
+    assert(ev.last.contains("incremental from a ∪ b"), ev)
+    assert(panel == Seq(("x", 1100L, 2L), ("y", 530L, 2L)) && panel == rec,
+      (panel, rec))
+    // a retraction through the expression branch nets exactly
+    a.deleteWhere("k = 1")
+    p.run()
+    assert(ev.last.contains("incremental from a ∪ b"), ev)
+    assert(panel == Seq(("x", 100L, 1L), ("y", 530L, 2L)) && panel == rec,
+      (panel, rec))
+    // an EXPRESSION-projected join key star-joins and maintains branch
+    // windows, but a dim change has no physical key column to zone-slice
+    // or type-gate — loud recompute, values exact
+    val dim = LakeTable(spark, s"$root/dim")
+    dim.append(Seq(("x", 1L), ("y", 2L)).toDF("g", "w"))
+    p.inputTable("dim", dim)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW panel2 AS
+      SELECT d.g AS g, SUM(f.cents * d.w) AS sw, COUNT(*) AS m
+      FROM (SELECT concat(g, '') AS g, v * 100 AS cents FROM a
+              WHERE keep % 2 = 0
+            UNION ALL
+            SELECT g2, cents FROM b) f
+      JOIN dim d ON f.g = d.g
+      GROUP BY d.g""")
+    p.run()
+    dim.merge(Seq(("x", 5L)).toDF("g", "w"), Seq("g"))
+    p.run()
+    val ev2 = p.eventLog.filter(col("dataset") === "panel2")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    assert(ev2.last.contains("recompute: dimension changed"), ev2)
+    val got2 = p.read("panel2").orderBy("g")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got2 == Seq(("x", 500L, 1L), ("y", 1060L, 2L)), got2)
+  }
+
   test("UNION-AS-FACT star join: FROM (a UNION ALL b) f JOIN dim " +
       "maintains — branch windows enrich against the pinned dim, a dim " +
       "trickle applies ± windows over the UNION fact slice, branch " +
@@ -1337,6 +1414,55 @@ class PipelineSqlSpec extends SparkSpec {
     val got = p.read("w_nd").orderBy("g")
       .as[(String, Long)].collect().toSeq
     assert(got == Seq(("a", 15L), ("b", 7L)), got)
+  }
+
+  test("HAVING may reference GROUP KEYS as the FROM side spells them: a " +
+      "dim-qualified key (d.g) and a whole key EXPRESSION " +
+      "(date_trunc('day', ts)) both rewrite to their output columns and " +
+      "the panels maintain incrementally") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_having_keys")
+    val fact = LakeTable(spark, s"$root/fact")
+    val fseed = Seq((1L, "x", 10L), (2L, "y", 7L)).toDF("k", "cat", "v")
+    fact.create(fseed.schema, enableChangeFeed = true)
+    fact.append(fseed)
+    val dim = LakeTable(spark, s"$root/dim")
+    dim.append(Seq(("x", 2L), ("y", 3L), ("z", 5L)).toDF("cat", "w"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("fact", fact)
+    p.inputTable("dim", dim)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW busy AS
+      SELECT d.cat AS cat, SUM(f.v * d.w) AS s
+      FROM fact f JOIN dim d ON f.cat = d.cat
+      GROUP BY d.cat
+      HAVING d.cat <> 'x' AND SUM(f.v * d.w) > 0""")
+    val src = LakeTable(spark, s"$root/src")
+    val seed2 = Seq((1L, ts("2024-01-01 03:00:00"), 4L),
+      (2L, ts("2024-01-02 03:00:00"), 6L)).toDF("k", "t", "v")
+    src.create(seed2.schema, enableChangeFeed = true)
+    src.append(seed2)
+    p.inputTable("src", src)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW daily AS
+      SELECT date_trunc('day', t) AS day, SUM(v) AS s
+      FROM src GROUP BY date_trunc('day', t)
+      HAVING date_trunc('day', t) >= TIMESTAMP '2024-01-02 00:00:00'""")
+    p.run()
+    assert(p.read("busy").orderBy("cat").as[(String, Long)].collect().toSeq
+      == Seq(("y", 21L)))
+    assert(p.read("daily").as[(Timestamp, Long)].collect().toSeq
+      == Seq((ts("2024-01-02 00:00:00"), 6L)))
+    fact.append(Seq((3L, "z", 2L)).toDF("k", "cat", "v"))
+    src.append(Seq((3L, ts("2024-01-02 09:00:00"), 10L)).toDF("k", "t", "v"))
+    p.run()
+    for (mv <- Seq("busy", "daily")) {
+      val last = p.eventLog.filter(col("dataset") === mv)
+        .orderBy(col("run_id").desc).select("message").as[String].head()
+      assert(last.contains("incremental"), (mv, last))
+    }
+    assert(p.read("busy").orderBy("cat").as[(String, Long)].collect().toSeq
+      == Seq(("y", 21L), ("z", 10L)))
+    assert(p.read("daily").as[(Timestamp, Long)].collect().toSeq
+      == Seq((ts("2024-01-02 00:00:00"), 16L)))
   }
 
   test("HAVING with a NON-maintainable aggregate call keeps the recompute " +
@@ -1636,6 +1762,54 @@ class PipelineSqlSpec extends SparkSpec {
     p.run()
     assert(p.eventLog.filter(col("dataset") === "gold").count() == before + 1)
     assert(ev.last.contains("up-to-date") || ev.last.contains("(0"), ev.last)
+  }
+
+  test("union-star dim-delta slices each BRANCH by its own zone maps: a " +
+      "low-key dim trickle skips each branch's high-range file at the " +
+      "manifest level (positional key-column mapping) — the per-branch " +
+      "100 TB lever") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_ustar_zone")
+    val mkA = (lo: Int, hi: Int) => (lo to hi)
+      .map(i => (i.toLong, f"c$i%04d", i.toLong)).toDF("k", "cat", "v")
+    val a = LakeTable(spark, s"$root/a")
+    a.create(mkA(0, 0).schema, enableChangeFeed = true,
+      statsColumns = Seq("cat"))
+    a.append(mkA(0, 499).coalesce(1))
+    a.append(mkA(500, 999).coalesce(1))
+    // branch b renames the key column — the slice maps it positionally
+    val mkB = (lo: Int, hi: Int) => (lo to hi)
+      .map(i => (f"c$i%04d", i.toLong)).toDF("cat2", "v2")
+    val b = LakeTable(spark, s"$root/b")
+    b.create(mkB(0, 0).schema, enableChangeFeed = true,
+      statsColumns = Seq("cat2"))
+    b.append(mkB(0, 499).coalesce(1))
+    b.append(mkB(500, 999).coalesce(1))
+    val dim = LakeTable(spark, s"$root/dim")
+    dim.append((0 to 999).map(i => (f"c$i%04d", 1L)).toDF("cat", "w"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("a", a); p.inputTable("b", b); p.inputTable("dim", dim)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW gold AS
+      SELECT f.cat AS cat, SUM(f.v * d.w) AS s, COUNT(*) AS n
+      FROM (SELECT cat, v FROM a UNION ALL SELECT cat2, v2 FROM b) f
+      JOIN dim d ON f.cat = d.cat
+      GROUP BY f.cat""")
+    p.run()
+    dim.merge(Seq(("c0003", 5L), ("c0007", 5L)).toDF("cat", "w"), Seq("cat"))
+    // BOTH branches' high-range files are zone-skippable under the
+    // changed-key bounds — branch b through its RENAMED key column
+    val (_, skipA) = a.skippingStats(
+      Seq(LakeTable.ZonePred.between("cat", "c0003", "c0007")))
+    val (_, skipB) = b.skippingStats(
+      Seq(LakeTable.ZonePred.between("cat2", "c0003", "c0007")))
+    assert(skipA >= 1 && skipB >= 1, (skipA, skipB))
+    p.run()
+    val ev = p.eventLog.filter(col("dataset") === "gold")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    assert(ev.last.contains("dim-delta from dim"), ev)
+    assert(p.read("gold").filter(col("cat").isin("c0003", "c0500"))
+      .orderBy("cat").as[(String, Long, Long)].collect().toSeq ==
+      Seq(("c0003", 30L, 2L), ("c0500", 1000L, 2L)))
   }
 
   test("UNION ALL auto-MV: each branch maintains under its own ledger — " +
