@@ -2178,8 +2178,11 @@ object CoreQueries {
       val msg = p.eventLog.filter(col("dataset") === "gold")
         .orderBy(col("run_id").desc).select("message")
         .limit(1).collect().head.getString(0)
-      require(msg.contains("dim-delta from dim"),
-        s"history trickle must MAINTAIN by dim-delta, not recompute: $msg")
+      // "+band" (round 18): the interval residual's bounds are extracted
+      // as a time-band box over the changed validity images, pruning the
+      // fact slice beyond the key residual — the 100 TB as-of lever
+      require(msg.contains("dim-delta from dim (feed+band)"),
+        s"history trickle must MAINTAIN by banded dim-delta: $msg")
       p.read("gold").orderBy("et")
     },
       Some("""WITH d0 AS (SELECT DISTINCT event_type AS et,

@@ -174,6 +174,8 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           enrich = autoMvEnrich(spec, _),
           dimEqui = spec.joins.collect {
             case j if j.equi.nonEmpty => j.dim -> j.equi }.toMap,
+          dimBands = spec.joins.collect {
+            case j if j.bands.nonEmpty => j.dim -> j.bands }.toMap,
           dcounts = spec.dcounts,
           distTables = spec.dcounts.map { case (a, _) =>
             LakeTable(spark, s"$storageRoot/${name}__dist_$a") },
@@ -197,6 +199,8 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           groupExprs = spec.groupExprs,
           dimEqui = spec.joins.collect {
             case j if j.equi.nonEmpty => j.dim -> j.equi }.toMap,
+          dimBands = spec.joins.collect {
+            case j if j.bands.nonEmpty => j.dim -> j.bands }.toMap,
           dcounts = spec.dcounts,
           distTables = spec.dcounts.map { case (a, _) =>
             LakeTable(spark, s"$storageRoot/${name}__dist_$a") },
@@ -2793,6 +2797,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       distTables: Seq[LakeTable] = Nil,
       dimEqui: Map[String, Seq[(String, String)]] = Map.empty,
       union: Seq[(LakeTable, Option[Seq[(String, String)]], Option[String])] = Nil,
+      dimBands: Map[String, Seq[(String, String, Boolean)]] = Map.empty,
       extMins: Seq[LakeTable] = Nil,
       extMaxs: Seq[LakeTable] = Nil,
       unionDef: Option[String] = None): (Long, String) = {
@@ -3287,12 +3292,22 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           // all-key-null rows are unmatchable under `=` (inner AND left
           // joins alike) so their changes are inert either way.
           val feedKeys = dt.feedReadable(pinV + 1, curV)
-          val keysRaw =
+          // the changed-row IMAGES carry the key columns AND any
+          // interval-band bound columns (the as-of pruning handle) —
+          // bands whose dim column is absent are dropped here, pruning
+          // only ever shrinks
+          val bandSpecs = dimBands.getOrElse(dn, Nil)
+          val bandCols = bandSpecs.map(_._2).distinct
+            .filter(dt.schema.fieldNames.contains)
+          val projCols = (dcs ++ bandCols).distinct
+          val imagesRaw =
             if (feedKeys)
-              dt.readChangeFeed(pinV + 1, Some(curV)).select(dcs.map(col): _*)
+              dt.readChangeFeed(pinV + 1, Some(curV))
+                .select(projCols.map(col): _*)
             else
-              dCur.exceptAll(dPin).select(dcs.map(col): _*)
-                .unionByName(dPin.exceptAll(dCur).select(dcs.map(col): _*))
+              dCur.exceptAll(dPin).select(projCols.map(col): _*)
+                .unionByName(dPin.exceptAll(dCur).select(projCols.map(col): _*))
+          val keysRaw = imagesRaw.select(dcs.map(col): _*)
           val keysDf = keysRaw
             .filter(dcs.map(col(_).isNotNull).reduce(_ && _)).distinct()
           val changedRows = keysDf
@@ -3325,6 +3340,45 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
             val bAggs = dcs.flatMap(c =>
               Seq(min(col(c)).cast("string"), max(col(c)).cast("string")))
             val b = keysDf.agg(bAggs.head, bAggs.tail: _*).head()
+            // TIME-BAND box (interval/as-of residuals, round 18): per
+            // fact ts column, the conservative [min lower, max upper]
+            // over the changed validity IMAGES — both versions' rows
+            // (the diff carries both sides, the feed pre+post images).
+            // A fact row outside the box matches NO changed image in
+            // EITHER version, so its ± contributions cancel and
+            // excluding it is exact. A NULL image bound (open-ended
+            // validity, the live SCD2 row) leaves that side unbounded;
+            // any failure (missing/mistyped columns, several bound
+            // columns per side) skips the band — pruning only.
+            //   (fact ts col, lower (typed, string), upper (typed, string))
+            val bandBox: Seq[(String, Option[(Any, String)], Option[(Any, String)])] =
+              bandSpecs.groupBy(_._1).toSeq.flatMap { case (ftc, bs) =>
+                scala.util.Try {
+                  val los = bs.filter(_._3).map(_._2).distinct
+                  val his = bs.filterNot(_._3).map(_._2).distinct
+                  require(los.size <= 1 && his.size <= 1 &&
+                    (los ++ his).nonEmpty, "one bound column per side")
+                  val ftype = factKeyType(ftc)
+                  require((los ++ his).forall(c =>
+                    dt.schema(c).dataType == ftype), "band type mismatch")
+                  // ONE job for both sides: (bound, bound-as-string,
+                  // NULL count) per side — a NULL image bound (the open
+                  // SCD2 row) leaves that side unbounded
+                  val sideAggs = los.map(c => (min(col(c)), c)) ++
+                    his.map(c => (max(col(c)), c))
+                  val aggs = sideAggs.flatMap { case (f, c) =>
+                    Seq(f, f.cast("string"),
+                      sum(when(col(c).isNull, lit(1L)).otherwise(lit(0L)))) }
+                  val r = imagesRaw.agg(aggs.head, aggs.tail: _*).head()
+                  def bound(i: Int): Option[(Any, String)] =
+                    if (r.isNullAt(3 * i) || r.getLong(3 * i + 2) > 0L) None
+                    else Some((r.get(3 * i), r.getString(3 * i + 1)))
+                  val lo = if (los.nonEmpty) bound(0) else None
+                  val hi =
+                    if (his.nonEmpty) bound(los.size) else None
+                  (ftc, lo, hi)
+                }.toOption.filter(t => t._2.nonEmpty || t._3.nonEmpty)
+              }
             // manifest-level zone predicates per PHYSICAL table: the
             // single fact's own columns, or for a UNION fact each
             // branch's positionally-mapped columns — each branch is
@@ -3336,7 +3390,14 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
               val preds = fcs.zipWithIndex.map { case (fc2, i) =>
                 graft.lake.LakeTable.ZonePred.between(
                   colOf(fc2), b.getString(2 * i), b.getString(2 * i + 1)) }
-              scala.util.Try(bt.readWhere(preds, asOf = Some(v)))
+              // the band box rides as extra manifest-level preds — a
+              // per-branch mapping failure drops that band, never the
+              // key preds
+              val bandPreds = bandBox.flatMap { case (ftc, lo, hi) =>
+                scala.util.Try(graft.lake.LakeTable.ZonePred(
+                  colOf(ftc), lo.map(_._2), hi.map(_._2))).toOption
+              }
+              scala.util.Try(bt.readWhere(preds ++ bandPreds, asOf = Some(v)))
                 .getOrElse(bt.readVersion(v))
             }
             val zoneSliced =
@@ -3368,10 +3429,20 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
             }
             val singleVals =
               if (eqKeys.size == 1) changedRows.map(_.get(0)) else Nil
-            val factSlice =
+            val factSliceKeys =
               if (eqKeys.size == 1)
                 zoneSliced.filter(col(fcs.head).isin(singleVals: _*))
               else semiByKeys(zoneSliced, fcs)
+            // the band box as a row-level residual too (typed values —
+            // reaches the parquet scan for row-group pruning); per-band
+            // Try so a missing fact column only skips that band
+            val factSlice = bandBox.foldLeft(factSliceKeys) {
+              case (acc, (ftc, lo, hi)) => scala.util.Try {
+                val conds = lo.map(l => col(ftc) >= lit(l._1)).toSeq ++
+                  hi.map(h => col(ftc) <= lit(h._1))
+                conds.foldLeft(acc)(_ filter _)
+              }.getOrElse(acc)
+            }
             def sliceDim(df: DataFrame): DataFrame =
               if (eqKeys.size == 1)
                 df.filter(col(dcs.head).isin(singleVals: _*))
@@ -3389,8 +3460,13 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
             // under BOTH qualifiers (f.cat, d.cat — duplicate bare names),
             // which by-name union refuses; the two branches share one
             // construction so their column order is identical by build
+            //
+            // the `via` tag additionally records an applied time-band box
+            // ("+band") — the scale-plan evidence that the as-of fact
+            // slice was interval-pruned, not just key-pruned
             Some((plus.union(minus), dn, curV,
-              if (feedKeys) "feed" else "diff"))
+              (if (feedKeys) "feed" else "diff") +
+                (if (bandBox.nonEmpty) "+band" else "")))
           }
         }.toOption.flatten
       }
@@ -4032,9 +4108,16 @@ object Pipeline {
    *  maintenance path restricts the fact scan by. Empty `equi` only ever
    *  disables dim-delta maintenance (dim changes recompute), never
    *  affects correctness. */
+  /** `bands` are the ON condition's interval residual handles —
+   *  (fact ts column, dim bound column, isLower) per top-level
+   *  `fact.ts >=|> dim.lo` / `fact.ts <|<= dim.hi` conjunct: the
+   *  dim-delta path prunes the fact slice by the changed validity
+   *  images' conservative time box on top of the key slice. Purely a
+   *  pruning handle — absence or failure only ever skips pruning. */
   private[pipeline] final case class AutoMvJoin(
       dim: String, alias: Option[String], cond: String,
-      joinType: String = "inner", equi: Seq[(String, String)] = Nil)
+      joinType: String = "inner", equi: Seq[(String, String)] = Nil,
+      bands: Seq[(String, String, Boolean)] = Nil)
   private[pipeline] final case class AutoMvSpec(
       source: String, where: Option[String], groupBy: Seq[String],
       sums: Seq[(String, String)], mins: Seq[(String, String)],

@@ -972,6 +972,44 @@ object PipelineSql {
           // range join, OR at the top) leaves `equi` empty — dim changes
           // then keep the documented recompute path; never a correctness
           // decision.
+          // INTERVAL-BAND extraction (the as-of residual's pruning
+          // handle): top-level conjuncts of the form `<fact>.<ts> >=|>
+          // <dim>.<lo>` / `<fact>.<ts> <|<= <dim>.<hi>` (either operand
+          // order). A dim-delta refresh uses them to bound the fact
+          // slice by the changed validity images' conservative
+          // [min lower, max upper] box on top of the key slice — fact
+          // rows outside the box join only outside every changed
+          // interval, so their ± contributions cancel and excluding
+          // them is exact. Collection failure only ever skips pruning.
+          def bandsOf(factQ: String, dimQ: String, cond: Expression)
+              : Seq[(String, String, Boolean)] = {
+            import org.apache.spark.sql.catalyst.expressions.{
+              GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+            def qa(e: Expression): Option[(String, String)] = e match {
+              case a: UnresolvedAttribute if a.nameParts.length == 2 =>
+                Some((a.nameParts.head, a.nameParts.last))
+              case _ => None
+            }
+            // (fact ts col, dim bound col, isLower) for `fact OP dim`
+            def side(l: Expression, r: Expression, factGreater: Boolean)
+                : Seq[(String, String, Boolean)] =
+              (qa(l), qa(r)) match {
+                case (Some((`factQ`, fc)), Some((`dimQ`, dc))) =>
+                  Seq((fc, dc, factGreater))
+                case (Some((`dimQ`, dc)), Some((`factQ`, fc))) =>
+                  Seq((fc, dc, !factGreater))
+                case _ => Nil
+              }
+            cond match {
+              case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+                bandsOf(factQ, dimQ, l) ++ bandsOf(factQ, dimQ, r)
+              case GreaterThanOrEqual(l, r) => side(l, r, factGreater = true)
+              case GreaterThan(l, r) => side(l, r, factGreater = true)
+              case LessThan(l, r) => side(l, r, factGreater = false)
+              case LessThanOrEqual(l, r) => side(l, r, factGreater = false)
+              case _ => Nil
+            }
+          }
           def equiOf(factQ: String, dimQ: String, cond: Expression)
               : Seq[(String, String)] = (cond match {
             case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
@@ -1119,7 +1157,9 @@ object PipelineSql {
             joins = joins.map { case (d, jt, cond) =>
               Pipeline.AutoMvJoin(d.name, d.alias, cond.sql, jt,
                 equiOf(fact.alias.getOrElse(fact.name),
-                  d.alias.getOrElse(d.name), cond)) },
+                  d.alias.getOrElse(d.name), cond),
+                bandsOf(fact.alias.getOrElse(fact.name),
+                  d.alias.getOrElse(d.name), cond).distinct) },
             groupExprs = gOuts.map(_.e),
             dcounts = os.collect { case Dc(a, e) => a -> e } ++
               hv.fold(Seq.empty[(String, String)])(_.dcs),

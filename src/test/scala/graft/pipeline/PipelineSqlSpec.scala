@@ -2413,7 +2413,11 @@ class PipelineSqlSpec extends SparkSpec {
       (2L, 25L, ts("2024-01-04 00:00:00"), Option.empty[Timestamp]))
       .toDF("dk", "w", "__START_AT", "__END_AT"))
     p.run()
-    assert(ev.last.contains("dim-delta from hist"), ev)
+    // "+band": the interval residual's lower bound (f.ts >= __START_AT is
+    // a top-level conjunct; the NULL-guarded upper rides inside an OR and
+    // is correctly NOT extracted) prunes the fact slice by the changed
+    // images' conservative time box on top of the key slice (round 18)
+    assert(ev.last.contains("dim-delta from hist (diff+band)"), ev)
     // dk=2 facts: (01-02, 7) keeps w=20 → 140; (01-05, 5) re-prices to
     // w=25 → 125; total 265. dk=1 untouched.
     assert(gold == Seq((1L, 65L, 3L), (2L, 265L, 2L)), gold)
@@ -2422,6 +2426,148 @@ class PipelineSqlSpec extends SparkSpec {
     p.run()
     assert(ev.last.contains("incremental from fact"), ev)
     assert(gold == Seq((1L, 65L, 3L), (2L, 315L, 3L)), gold)
+  }
+
+  test("interval-band pruning on dim-delta: a closed-interval as-of join " +
+      "carries BOTH band bounds — the changed validity images' conservative " +
+      "time box rides the fact slice ('+band' in the event log) and zone-" +
+      "skips fact files the key residual alone cannot; an ambiguous band " +
+      "(two lower-bound conjuncts on one ts column) skips pruning but " +
+      "still maintains — band failure is never a correctness decision") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_band")
+    // ONE business key with three year-long rate intervals: the key
+    // residual keeps EVERY fact row — only the time band can prune
+    val cal = LakeTable(spark, s"$root/cal")
+    val calDf = Seq(
+      (1L, 2L, ts("2023-01-01 00:00:00"), ts("2023-12-31 00:00:00")),
+      (1L, 3L, ts("2024-01-01 00:00:00"), ts("2024-12-31 00:00:00")),
+      (1L, 4L, ts("2025-01-01 00:00:00"), ts("2025-12-31 00:00:00")))
+      .toDF("rk", "rate", "lo", "hi")
+    cal.create(calDf.schema, enableChangeFeed = true)
+    cal.append(calDf)
+    // three single-file appends, one per year — per-file ts zone maps
+    // (stats columns declared at create, the zone-map contract)
+    val fact = LakeTable(spark, s"$root/fact")
+    fact.create(Seq((1L, ts("2023-06-01 00:00:00"), 10L))
+      .toDF("rk", "ts", "v").schema, statsColumns = Seq("rk", "ts"))
+    fact.append(Seq((1L, ts("2023-06-01 00:00:00"), 10L))
+      .toDF("rk", "ts", "v").coalesce(1))
+    fact.append(Seq((1L, ts("2024-06-01 00:00:00"), 100L))
+      .toDF("rk", "ts", "v").coalesce(1))
+    fact.append(Seq((1L, ts("2025-06-01 00:00:00"), 1000L))
+      .toDF("rk", "ts", "v").coalesce(1))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("fact", fact)
+    p.inputTable("cal", cal)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW gold AS
+      SELECT d.rk AS rk, SUM(f.v * d.rate) AS s, COUNT(*) AS n
+      FROM fact f JOIN cal d
+        ON f.rk = d.rk AND f.ts >= d.lo AND f.ts <= d.hi
+      GROUP BY d.rk""")
+    p.run()
+    def ev = p.eventLog.filter(col("dataset") === "gold")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    def gold = p.read("gold").orderBy("rk")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(gold == Seq((1L, 4320L, 3L)), gold) // 10·2 + 100·3 + 1000·4
+    // re-price the 2024 interval: the CDF carries pre+post images, both
+    // with the SAME [lo, hi] — box = [2024-01-01, 2024-12-31]
+    cal.updateWhere("rate = 3", Map("rate" -> lit(30L)))
+    p.run()
+    assert(ev.last.contains("dim-delta from cal (feed+band)"), ev)
+    assert(gold == Seq((1L, 7020L, 3L)), gold) // 20 + 3000 + 4000
+    // the box the pipeline just rode skips 2 of the 3 fact files at the
+    // manifest level; the key residual alone (rk ∈ {1}) skips NONE —
+    // the band is the lever for this shape
+    val (keptB, skippedB) = fact.skippingStats(Seq(LakeTable.ZonePred(
+      "ts", Some("2024-01-01 00:00:00"), Some("2024-12-31 00:00:00"))))
+    assert((keptB, skippedB) == ((1, 2)), (keptB, skippedB))
+    val (keptK, skippedK) = fact.skippingStats(Seq(
+      LakeTable.ZonePred.eq("rk", "1")))
+    assert(skippedK == 0, (keptK, skippedK))
+    // AMBIGUOUS band: two lower-bound conjuncts on the same ts column —
+    // extraction keeps both, the runtime box refuses (one bound column
+    // per side) and skips pruning; the dim trickle still MAINTAINS
+    val cal2 = LakeTable(spark, s"$root/cal2")
+    val cal2Df = Seq(
+      (1L, 5L, ts("2023-01-01 00:00:00"), ts("2023-01-01 00:00:00"),
+        ts("2026-12-31 00:00:00")))
+      .toDF("rk", "rate", "lo", "lo2", "hi")
+    cal2.create(cal2Df.schema, enableChangeFeed = true)
+    cal2.append(cal2Df)
+    p.inputTable("cal2", cal2)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW gold2 AS
+      SELECT d.rk AS rk, SUM(f.v * d.rate) AS s
+      FROM fact f JOIN cal2 d
+        ON f.rk = d.rk AND f.ts >= d.lo AND f.ts >= d.lo2
+          AND f.ts <= d.hi
+      GROUP BY d.rk""")
+    p.run()
+    def ev2 = p.eventLog.filter(col("dataset") === "gold2")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    def gold2 = p.read("gold2").orderBy("rk")
+      .as[(Long, Long)].collect().toSeq
+    assert(gold2 == Seq((1L, 5550L)), gold2) // (10+100+1000)·5
+    cal2.updateWhere("rate = 5", Map("rate" -> lit(6L)))
+    p.run()
+    assert(ev2.last.contains("dim-delta from cal2 (feed)"), ev2)
+    assert(!ev2.last.contains("+band"), ev2)
+    assert(gold2 == Seq((1L, 6660L)), gold2)
+  }
+
+  test("interval bands COMPOSE with UNION-as-fact: the changed images' " +
+      "time box rides EVERY branch's zone-pruned slice through the " +
+      "positional column mapping (a renamed branch maps its ts " +
+      "positionally) — '+band' tagged, ≡ recompute") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_band_union")
+    val cal = LakeTable(spark, s"$root/cal")
+    val calDf = Seq(
+      (1L, 2L, ts("2023-01-01 00:00:00"), ts("2023-12-31 00:00:00")),
+      (1L, 3L, ts("2024-01-01 00:00:00"), ts("2024-12-31 00:00:00")),
+      (1L, 4L, ts("2025-01-01 00:00:00"), ts("2025-12-31 00:00:00")))
+      .toDF("rk", "rate", "lo", "hi")
+    cal.create(calDf.schema, enableChangeFeed = true)
+    cal.append(calDf)
+    val ra = LakeTable(spark, s"$root/ra")
+    ra.append(Seq(
+      (1L, ts("2023-06-01 00:00:00"), 10L),
+      (1L, ts("2024-06-01 00:00:00"), 100L)).toDF("rk", "ts", "v"))
+    // branch b under DIFFERENT physical names — the band's fact ts
+    // column resolves per branch through the positional union mapping
+    val rb = LakeTable(spark, s"$root/rb")
+    rb.append(Seq((1L, ts("2025-06-01 00:00:00"), 1000L))
+      .toDF("k2", "t2", "v2"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("ra", ra)
+    p.inputTable("rb", rb)
+    p.inputTable("cal", cal)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW gold AS
+      SELECT d.rk AS rk, SUM(f.v * d.rate) AS s, COUNT(*) AS n
+      FROM (SELECT rk, ts, v FROM ra
+            UNION ALL
+            SELECT k2, t2, v2 FROM rb) f
+      JOIN cal d
+        ON f.rk = d.rk AND f.ts >= d.lo AND f.ts <= d.hi
+      GROUP BY d.rk""")
+    p.run()
+    def ev = p.eventLog.filter(col("dataset") === "gold")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    def gold = p.read("gold").orderBy("rk")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(gold == Seq((1L, 4320L, 3L)), gold)
+    cal.updateWhere("rate = 3", Map("rate" -> lit(30L)))
+    p.run()
+    assert(ev.last.contains("dim-delta from cal (feed+band)"), ev)
+    assert(gold == Seq((1L, 7020L, 3L)), gold)
+    // and a branch append afterwards still maintains as a branch window
+    // against the re-pinned calendar
+    rb.append(Seq((1L, ts("2024-07-01 00:00:00"), 7L))
+      .toDF("k2", "t2", "v2"))
+    p.run()
+    assert(ev.last.contains("incremental"), ev)
+    assert(gold == Seq((1L, 7230L, 4L)), gold) // + 7·30
   }
 
   test("MIN/MAX auto-MV maintains through RETRACTIONS via the bounded " +
