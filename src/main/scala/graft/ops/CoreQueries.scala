@@ -1950,9 +1950,9 @@ object CoreQueries {
         .filter(col("event_type").isNotNull && col("user_id").isNotNull)
         .select("event_id", "event_type", "user_id")
       val root = tmp("graft_o37")
-      val ba = pooled(s, d, "o37_ba_mod4_0", s"$root/ba")(
+      val ba = pooled(s, d, "ev3_etuid_ba_mod4_0", s"$root/ba")(
         _.append(ev.filter(col("event_id") % 4 === 0)))
-      val bb = pooled(s, d, "o37_bb_mod4_1", s"$root/bb")(
+      val bb = pooled(s, d, "ev3_etuid_bb_mod4_1", s"$root/bb")(
         _.append(ev.filter(col("event_id") % 4 === 1)
           .select(col("event_type").as("et2"), col("event_id").as("id2"),
             col("user_id").as("uid2"))))
@@ -2065,9 +2065,9 @@ object CoreQueries {
         .filter(col("event_type").isNotNull && col("user_id").isNotNull)
         .select("event_id", "event_type", "user_id")
       val root = tmp("graft_o39")
-      val ba = pooled(s, d, "o39_ba_mod4_0", s"$root/ba")(
+      val ba = pooled(s, d, "ev3_etuid_ba_mod4_0", s"$root/ba")(
         _.append(ev.filter(col("event_id") % 4 === 0)))
-      val bb = pooled(s, d, "o39_bb_mod4_1", s"$root/bb")(
+      val bb = pooled(s, d, "ev3_etuid_bb_mod4_1", s"$root/bb")(
         _.append(ev.filter(col("event_id") % 4 === 1)
           .select(col("event_type").as("et2"), col("event_id").as("id2"),
             col("user_id").as("uid2"))))

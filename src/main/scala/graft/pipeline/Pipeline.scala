@@ -138,6 +138,28 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           .mkString(","))
         s"$ds|$proj|${where.getOrElse("")}"
       }.mkString(";")))
+    // the WHOLE-DEFINITION fingerprint (round-18 review follow-up): the
+    // union pin only catches reshaped unions, but ANY redeclaration the
+    // ledger can't see — a changed WHERE constant, swapped aggregate
+    // expressions, different join conditions over the same source —
+    // would resume the old panel as if idle and then maintain the NEW
+    // definition's windows on top of the OLD definition's rows. One
+    // fingerprint over every semantic field forces ONE re-bootstrap when
+    // anything changed; an identical redeclaration hashes equal and
+    // resumes cleanly. Extraction-derived fields (equi keys, bands) are
+    // deliberately EXCLUDED — a smarter future extractor must not read
+    // as a definition change.
+    val defFp: Option[String] = Some(Pipeline.fingerprint(Seq(
+      spec.source, spec.sourceAlias.getOrElse(""),
+      spec.where.getOrElse(""),
+      spec.groupBy.mkString(","), spec.groupExprs.mkString(","),
+      (spec.sums ++ spec.mins ++ spec.maxs ++ spec.avgs ++ spec.cntCols ++
+        spec.dcounts).map { case (a, e) => s"$a:$e" }.mkString(","),
+      spec.counts.mkString(","), spec.output.mkString(","),
+      spec.having.getOrElse(""), spec.havingHidden.mkString(","),
+      spec.joins.map(j => s"${j.dim}|${j.alias.getOrElse("")}|" +
+        s"${j.joinType}|${j.cond}").mkString(";"),
+      unionDef.getOrElse("")).mkString("\n")))
     if (spec.union.nonEmpty && unionTables.exists(_._2.isEmpty)) {
       val (df, rows) = observe(gate(name, autoMvDefining(spec, autoMvSource(spec))))
       if (!t.exists) createTarget(name, df.schema)
@@ -170,6 +192,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           flowId = s"graft.aggmv.$name", minMaxFallback = true,
           exactDecimal = false, avgs = spec.avgs, cnts = spec.cntCols,
           groupExprs = spec.groupExprs, union = ubs, unionDef = unionDef,
+          defFp = defFp,
           dims = dimTables.map { case (n2, dt) => n2 -> dt.get },
           enrich = autoMvEnrich(spec, _),
           dimEqui = spec.joins.collect {
@@ -196,7 +219,7 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           flowId = s"graft.aggmv.$name", minMaxFallback = true,
           exactDecimal = false, avgs = spec.avgs, cnts = spec.cntCols,
           dims = dims, enrich = autoMvEnrich(spec, _),
-          groupExprs = spec.groupExprs,
+          groupExprs = spec.groupExprs, defFp = defFp,
           dimEqui = spec.joins.collect {
             case j if j.equi.nonEmpty => j.dim -> j.equi }.toMap,
           dimBands = spec.joins.collect {
@@ -2800,7 +2823,8 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       dimBands: Map[String, Seq[(String, String, Boolean)]] = Map.empty,
       extMins: Seq[LakeTable] = Nil,
       extMaxs: Seq[LakeTable] = Nil,
-      unionDef: Option[String] = None): (Long, String) = {
+      unionDef: Option[String] = None,
+      defFp: Option[String] = None): (Long, String) = {
     import org.apache.spark.sql.functions.{avg, broadcast, col, count, countDistinct, expr, lit, max, min, sum, when}
     require(groupBy.nonEmpty, "incremental agg MV needs GROUP BY columns")
     // AVG/COUNT(expr) decompositions ride hidden columns — auto path only
@@ -2854,9 +2878,15 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     // A zone-sensitive MV pins the session timezone at bootstrap and
     // recomputes (once) when maintained under a different one; a
     // plain-column MV skips the pin entirely.
+    // union BRANCH expressions are maintained per row image too: each
+    // branch's row-local WHERE and projected expressions evaluate inside
+    // the signed windows, so a zone-dependent term there pins the zone
+    // exactly like the top-level WHERE (round-18 review)
     val tzSensitive: Boolean = groupExprs.nonEmpty ||
       (where.toSeq ++
-        (sums ++ mins ++ maxs ++ avgs ++ cnts ++ dcounts).map(_._2))
+        (sums ++ mins ++ maxs ++ avgs ++ cnts ++ dcounts).map(_._2) ++
+        union.flatMap { case (_, cols, bw) =>
+          cols.toSeq.flatten.map(_._1) ++ bw.toSeq })
         .exists(Pipeline.zoneSensitiveSql(spark, _))
     // dimension versions probed ONCE and read AT that version everywhere
     // below — the pin can never be newer than the state that was joined
@@ -2921,13 +2951,34 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
     // another table's version and read as spuriously idle). ABSENT pin =
     // out-of-date, same fail-safe rule as the tz pin.
     val unionShapeStale: Option[String] =
-      if (union.isEmpty || !t.exists || unionDef.isEmpty) None
+      if (!t.exists) None
+      else if (union.isEmpty)
+        // SYMMETRIC fail-safe: a union MV redeclared as a single-source
+        // MV still carries the union pin — its positional branch ledgers
+        // would otherwise read as a valid single-source high-water and
+        // the dropped branches' rows would stay in the panel forever.
+        // One recompute; the bootstrap clears the pin.
+        if (tProps.contains(Pipeline.UnionDefProp))
+          Some("recompute: union shape changed")
+        else None
+      else if (unionDef.isEmpty) None
       else tProps.get(Pipeline.UnionDefProp) match {
         case Some(h) if unionDef.contains(h) => None
         case Some(_) => Some("recompute: union shape changed")
         case None => Some("recompute: union definition unpinned")
       }
-    if (!anyNew && t.exists && !dimsChanged && unionShapeStale.isEmpty)
+    // WHOLE-DEFINITION pin (auto path; checked after the more specific
+    // union-shape reason): a redeclared WHERE/aggregate/join over the
+    // same source is invisible to the ledger — ABSENT pin fails safe
+    val defStale: Option[String] =
+      if (!t.exists || defFp.isEmpty || unionShapeStale.nonEmpty) None
+      else tProps.get(Pipeline.MvDefProp) match {
+        case Some(h) if defFp.contains(h) => None
+        case Some(_) => Some("recompute: definition changed")
+        case None => Some("recompute: definition unpinned")
+      }
+    if (!anyNew && t.exists && !dimsChanged && unionShapeStale.isEmpty &&
+        defStale.isEmpty)
       return (0L, "up-to-date")
 
     // FLOATING-SUM POLICY (auto path; COVERAGE.md): a double/float SUM or
@@ -3070,6 +3121,17 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       // so the capture cost is negligible at any fact scale. The explicit
       // API keeps the user's own storage contract untouched.
       if (!t.exists) t.create(base.schema, enableChangeFeed = auto)
+      // REDECLARATION REWIND GUARD: the txn ledger never regresses, so a
+      // bootstrap stamping a SMALLER version than a stale life's
+      // high-water (the MV redeclared over a different/younger source)
+      // would leave `lasts` ahead of the new source and silently skip
+      // every window until the source caught up. Retire the ledger
+      // family first — the overwrite's own txn then stamps cleanly. A
+      // crash in between only costs one re-bootstrap (lasts = -1). One
+      // metadata commit, paid only when a rewind is provable.
+      else if (branches.zip(curs).exists { case ((lid, _, _, _), v) =>
+          t.lastTxnVersion(lid).exists(_ > v) })
+        t.clearTxnFamily(appId)
       // ledger rides the overwrite commit (replay re-bootstraps — same rows)
       t.overwrite(base, txn = Some(appId -> cur))
       // extra union branches' ledgers land metadata-only AFTER the
@@ -3097,14 +3159,22 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
         if (union.nonEmpty)
           unionDef.map(Pipeline.UnionDefProp -> _).toMap
         else Map.empty
+      val defPin: Map[String, String] =
+        defFp.map(Pipeline.MvDefProp -> _).toMap
       val pinProps = dimsCur.map { case (n, v) =>
-        dimPinProp(n) -> v.toString }.toMap ++ tzPin ++ unionPin
+        dimPinProp(n) -> v.toString }.toMap ++ tzPin ++ unionPin ++ defPin
       if (pinProps.nonEmpty) t.setTableProperties(pinProps)
+      // a union MV redeclared single-source clears the stale union pin
+      // here — without this, unionShapeStale would re-bootstrap forever
+      if (union.isEmpty &&
+          t.tableProperties.contains(Pipeline.UnionDefProp))
+        t.unsetTableProperties(Seq(Pipeline.UnionDefProp))
       (0L, mode)
       } finally { if (snapCached) { snap.unpersist(); () } }
     }
     if (!t.exists || lasts.exists(_ < 0)) return bootstrap("bootstrap")
     unionShapeStale.foreach(reason => return bootstrap(reason))
+    defStale.foreach(reason => return bootstrap(reason))
     // extreme-companion upgrade path: an MV bootstrapped before its
     // companions existed (or whose backing table predates the hidden
     // __xn columns) re-bootstraps ONCE to mint them
@@ -3976,6 +4046,13 @@ object Pipeline {
    *  stale positional ledger would resume ANOTHER branch's high-water
    *  and silently skip or double-apply windows. */
   val UnionDefProp = "graft.aggmv.uniondef"
+  /** The auto-MV WHOLE-DEFINITION fingerprint property — every semantic
+   *  field of the declared query (source, WHERE, group keys, aggregate
+   *  list, HAVING, join conditions, union shape). A redeclaration whose
+   *  hash differs re-bootstraps ONCE; extraction-derived maintenance
+   *  handles are excluded so engine upgrades never read as definition
+   *  changes. ABSENT pin = out-of-date (fail-safe). */
+  val MvDefProp = "graft.aggmv.def"
 
   /** Stable content fingerprint for definition pins (MD5 hex — identity,
    *  not security). */
@@ -4000,7 +4077,10 @@ object Pipeline {
     "timestamp_seconds", "timestamp_millis", "timestamp_micros",
     "unix_micros", "unix_millis", "unix_seconds", "unix_timestamp",
     "from_unixtime", "to_unix_timestamp", "from_utc_timestamp",
-    "to_utc_timestamp", "current_date", "now", "current_timestamp")
+    "to_utc_timestamp", "current_date", "now", "current_timestamp",
+    "extract", "date_part", "datepart", "convert_timezone", "dateadd",
+    "timestampadd", "timestampdiff", "try_to_timestamp", "try_to_date",
+    "to_char", "make_timestamp", "localtimestamp", "curdate")
 
   /** Whether a maintained SQL expression is session-zone-sensitive: any
    *  [[ZoneSensitiveFns]] call, or a CAST to/involving DATE or TIMESTAMP

@@ -75,6 +75,8 @@ object PipelineSql {
     "translate", "left", "right", "split_part", "length", "char_length",
     "instr", "locate", "initcap", "reverse", "repeat", "format_string",
     "regexp_extract", "regexp_replace", "substring_index",
+    "startswith", "endswith", "contains", "like", "ilike", "rlike",
+    "regexp", "regexp_like",
     // numeric shaping
     "abs", "floor", "ceil", "ceiling", "round", "bround", "mod", "pmod",
     "sign", "signum", "greatest", "least", "power", "pow", "sqrt", "exp",
@@ -611,6 +613,16 @@ object PipelineSql {
       case _: IsNull | _: IsNotNull => e.children.forall(rowLocalPred)
       case cw: CaseWhen => cw.children.forall(rowLocalPred)
       case c: Cast => rowLocalPred(c.child)
+      // LIKE/ILIKE/RLIKE parse to dedicated nodes (BinaryExpression, not
+      // BinaryOperator) and `x BETWEEN lo AND hi` to the unresolved
+      // 3-arg `between` call — all row-local deterministic predicates
+      case l @ (_: org.apache.spark.sql.catalyst.expressions.Like |
+                _: org.apache.spark.sql.catalyst.expressions.ILike |
+                _: org.apache.spark.sql.catalyst.expressions.RLike) =>
+        l.children.forall(rowLocalPred)
+      case f: UnresolvedFunction
+          if f.nameParts == Seq("between") && f.arguments.length == 3 =>
+        f.arguments.forall(rowLocalPred)
       case _ => rowLocalDet(e)
     }
     // the maintainable-aggregate KIND of one call: (tag, arg SQL) —
@@ -941,10 +953,14 @@ object PipelineSql {
           val allBranches = unionBs.orElse(unionStar.map(_._2))
           // union MVs bind the outer expressions to the FIRST branch's
           // bare column names — any qualified reference (the subquery
-          // alias won't exist on the runtime union frame) falls back
+          // alias won't exist on the runtime union frame) falls back.
+          // The HAVING condition is scanned too: its aggregate arguments
+          // become panel/companion columns evaluated over the same bare
+          // frame, so a qualified ref there would crash every refresh
+          // instead of recomputing
           def onlySinglePartRefs: Boolean =
             (agg.aggregateExpressions ++ agg.groupingExpressions ++
-              whereE.toSeq).forall(e =>
+              whereE.toSeq ++ having0.toSeq).forall(e =>
               e.collect { case a: UnresolvedAttribute => a }
                 .forall(_.nameParts.length == 1))
           // the union shapes masquerade as a single fact through the
@@ -1007,6 +1023,14 @@ object PipelineSql {
               case GreaterThan(l, r) => side(l, r, factGreater = true)
               case LessThan(l, r) => side(l, r, factGreater = false)
               case LessThanOrEqual(l, r) => side(l, r, factGreater = false)
+              // Spark 4 parses `x BETWEEN lo AND hi` as the unresolved
+              // 3-arg `between` call (resolved later to the Between
+              // RuntimeReplaceable) — both bounds inclusive
+              case f: UnresolvedFunction
+                  if f.nameParts == Seq("between") &&
+                    f.arguments.length == 3 =>
+                side(f.arguments(0), f.arguments(1), factGreater = true) ++
+                  side(f.arguments(0), f.arguments(2), factGreater = false)
               case _ => Nil
             }
           }

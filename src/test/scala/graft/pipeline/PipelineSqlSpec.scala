@@ -1331,6 +1331,141 @@ class PipelineSqlSpec extends SparkSpec {
       .orderBy(col("run_id").desc).select("message").as[String]
       .head().contains("incremental"))
     assert(panel == Seq(("x", 11L, 2L), ("y", 1002L, 2L), ("z", 5L, 1L)), panel)
+    // life 3 drops the union ENTIRELY (single-source redeclaration): the
+    // stale union pin forces ONE recompute — without it, a's high-water
+    // reads as valid and b's rows would silently stay in the panel —
+    // and the bootstrap CLEARS the pin so the next window maintains
+    val p3 = new Pipeline(spark, s"$root/pipe")
+    p3.inputTable("a", a); p3.inputTable("b", b)
+    PipelineSql(p3, """CREATE OR REFRESH MATERIALIZED VIEW panel AS
+      SELECT g, SUM(v) AS s, COUNT(*) AS n FROM a GROUP BY g""")
+    p3.run()
+    val ev3 = p3.eventLog.filter(col("dataset") === "panel")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    assert(ev3.last.contains("union shape changed"), ev3)
+    def panel3 = p3.read("panel").orderBy("g")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(panel3 == Seq(("x", 1L, 1L), ("y", 2L, 1L)), panel3)
+    a.append(Seq(("z", 9L)).toDF("g", "v"))
+    p3.run()
+    assert(p3.eventLog.filter(col("dataset") === "panel")
+      .orderBy(col("run_id").desc).select("message").as[String]
+      .head().contains("incremental"))
+    assert(panel3 == Seq(("x", 1L, 1L), ("y", 2L, 1L), ("z", 9L, 1L)), panel3)
+  }
+
+  test("the WHOLE MV definition is pinned: a redeclaration that changes " +
+      "the WHERE (same schema, same source — the ledger alone can't see " +
+      "it) re-bootstraps ONCE instead of silently serving the old " +
+      "definition's panel; an identical redeclaration resumes cleanly") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_defpin")
+    val src = LakeTable(spark, s"$root/src")
+    val seed = Seq(("a", 5L), ("a", 50L), ("b", 7L)).toDF("g", "v")
+    src.create(seed.schema, enableChangeFeed = true)
+    src.append(seed)
+    val p1 = new Pipeline(spark, s"$root/pipe")
+    p1.inputTable("src", src)
+    PipelineSql(p1, """CREATE OR REFRESH MATERIALIZED VIEW panel AS
+      SELECT g, SUM(v) AS s FROM src WHERE v <= 100 GROUP BY g""")
+    p1.run()
+    assert(p1.read("panel").orderBy("g").as[(String, Long)]
+      .collect().toSeq == Seq(("a", 55L), ("b", 7L)))
+    // life 2: SAME schema, SAME source, DIFFERENT threshold — without a
+    // definition pin the ledger reads as idle and the panel silently
+    // keeps rows the new definition excludes
+    val p2 = new Pipeline(spark, s"$root/pipe")
+    p2.inputTable("src", src)
+    PipelineSql(p2, """CREATE OR REFRESH MATERIALIZED VIEW panel AS
+      SELECT g, SUM(v) AS s FROM src WHERE v <= 10 GROUP BY g""")
+    p2.run()
+    def ev2 = p2.eventLog.filter(col("dataset") === "panel")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    assert(ev2.last.contains("definition changed"), ev2)
+    def panel2 = p2.read("panel").orderBy("g")
+      .as[(String, Long)].collect().toSeq
+    assert(panel2 == Seq(("a", 5L), ("b", 7L)), panel2)
+    // and the re-pinned definition maintains incrementally
+    src.append(Seq(("b", 3L), ("b", 300L)).toDF("g", "v"))
+    p2.run()
+    assert(ev2.last.contains("incremental"), ev2)
+    assert(panel2 == Seq(("a", 5L), ("b", 10L)), panel2)
+    // life 3 redeclares IDENTICALLY: no spurious recompute
+    val p3 = new Pipeline(spark, s"$root/pipe")
+    p3.inputTable("src", src)
+    PipelineSql(p3, """CREATE OR REFRESH MATERIALIZED VIEW panel AS
+      SELECT g, SUM(v) AS s FROM src WHERE v <= 10 GROUP BY g""")
+    src.append(Seq(("a", 1L)).toDF("g", "v"))
+    p3.run()
+    assert(p3.eventLog.filter(col("dataset") === "panel")
+      .orderBy(col("run_id").desc).select("message").as[String]
+      .head().contains("incremental"))
+    assert(p3.read("panel").orderBy("g").as[(String, Long)]
+      .collect().toSeq == Seq(("a", 6L), ("b", 10L)))
+  }
+
+  test("LIKE and BETWEEN WHERE clauses stay INCREMENTALLY maintained: " +
+      "both are row-local deterministic predicates (dedicated parse " +
+      "nodes, not BinaryOperators) — demoting them to recompute would " +
+      "rescan the fact on every refresh") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_like_between")
+    val src = LakeTable(spark, s"$root/src")
+    val seed = Seq(
+      ("eu-west", 10L), ("eu-east", 200L), ("us-east", 30L))
+      .toDF("g", "v")
+    src.create(seed.schema, enableChangeFeed = true)
+    src.append(seed)
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("src", src)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW eu AS
+      SELECT g, SUM(v) AS s FROM src
+      WHERE g LIKE 'eu%' AND v BETWEEN 0 AND 100
+      GROUP BY g""")
+    p.run()
+    def ev = p.eventLog.filter(col("dataset") === "eu")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    def eu = p.read("eu").orderBy("g")
+      .as[(String, Long)].collect().toSeq
+    assert(eu == Seq(("eu-west", 10L)), eu)
+    src.append(Seq(("eu-west", 5L), ("eu-north", 400L), ("us-west", 7L))
+      .toDF("g", "v"))
+    p.run()
+    assert(ev.last.contains("incremental"), ev)
+    assert(eu == Seq(("eu-west", 15L)), eu)
+  }
+
+  test("a QUALIFIED reference inside HAVING over a plain aliased union " +
+      "falls back to RECOMPUTE: the subquery alias doesn't exist on the " +
+      "runtime union frame, so a minted companion would crash every " +
+      "refresh — the guard scans HAVING like every other expression") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_having_qualified")
+    val a = LakeTable(spark, s"$root/a")
+    a.append(Seq(("x", 4L), ("y", 9L)).toDF("g", "v"))
+    val b = LakeTable(spark, s"$root/b")
+    b.append(Seq(("x", 3L)).toDF("g", "v"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("a", a); p.inputTable("b", b)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW busy AS
+      SELECT g, SUM(v) AS s
+      FROM (SELECT g, v FROM a UNION ALL SELECT g, v FROM b) u
+      GROUP BY g HAVING SUM(u.v) > 5""")
+    p.run()
+    // the shape is refused by the DETECTOR entirely (plain recompute MV:
+    // the bare "materialized view refresh" event, no maintenance mode) —
+    // never a maintained bootstrap whose companion would then crash
+    def ev = p.eventLog.filter(col("dataset") === "busy")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    assert(ev.last == "materialized view refresh", ev)
+    def busy = p.read("busy").orderBy("g")
+      .as[(String, Long)].collect().toSeq
+    assert(busy == Seq(("x", 7L), ("y", 9L)), busy)
+    // and it KEEPS working across refreshes (the recompute path, loudly)
+    b.append(Seq(("y", -5L)).toDF("g", "v"))
+    p.run()
+    assert(ev.last == "materialized view refresh", ev)
+    assert(busy == Seq(("x", 7L)), busy)
   }
 
   test("HAVING over AGGREGATE EXPRESSIONS maintains incrementally: a call " +
@@ -2570,6 +2705,44 @@ class PipelineSqlSpec extends SparkSpec {
     assert(gold == Seq((1L, 7230L, 4L)), gold) // + 7·30
   }
 
+  test("BETWEEN desugars to band conjuncts, and a LEFT as-of join " +
+      "band-prunes too: the unmatched facts' NULL-dim group rides the ± " +
+      "algebra (or is pruned outright — same answer), '+band' tagged") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_band_left")
+    val cal = LakeTable(spark, s"$root/cal")
+    val calDf = Seq(
+      (1L, 2L, ts("2023-01-01 00:00:00"), ts("2023-12-31 00:00:00")),
+      (1L, 3L, ts("2024-01-01 00:00:00"), ts("2024-12-31 00:00:00")))
+      .toDF("rk", "rate", "lo", "hi")
+    cal.create(calDf.schema, enableChangeFeed = true)
+    cal.append(calDf)
+    val fact = LakeTable(spark, s"$root/fact")
+    fact.append(Seq(
+      (1L, ts("2023-06-01 00:00:00"), 10L),
+      (1L, ts("2024-06-01 00:00:00"), 100L),
+      (1L, ts("2030-01-01 00:00:00"), 7L))   // outside every interval
+      .toDF("rk", "ts", "v"))
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("fact", fact)
+    p.inputTable("cal", cal)
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW gold AS
+      SELECT d.rk AS rk, SUM(f.v * d.rate) AS s, COUNT(*) AS n
+      FROM fact f LEFT JOIN cal d
+        ON f.rk = d.rk AND f.ts BETWEEN d.lo AND d.hi
+      GROUP BY d.rk""")
+    p.run()
+    def ev = p.eventLog.filter(col("dataset") === "gold")
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    def gold = p.read("gold").orderBy("rk")
+      .as[(Option[Long], Option[Long], Long)].collect().toSeq
+    assert(gold == Seq((None, None, 1L), (Some(1L), Some(320L), 2L)), gold)
+    cal.updateWhere("rate = 3", Map("rate" -> lit(30L)))
+    p.run()
+    assert(ev.last.contains("dim-delta from cal (feed+band)"), ev)
+    assert(gold == Seq((None, None, 1L), (Some(1L), Some(3020L), 2L)), gold)
+  }
+
   test("MIN/MAX auto-MV maintains through RETRACTIONS via the bounded " +
       "top-K companion: a delete below the extreme merges in O(window); " +
       "deleting the extreme itself refills from the companion; draining " +
@@ -3039,6 +3212,65 @@ class PipelineSqlSpec extends SparkSpec {
       src.append(Seq(("a", 8L, ts("2024-01-01 17:00:00"))).toDF("g", "v", "t"))
       p.run()
       assert(ev.last.contains("incremental"), ev)
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
+  test("zone-sensitive UNION-BRANCH filters and EXTRACT aggregate inputs " +
+      "are tz-pinned too: a session timezone change recomputes instead " +
+      "of mixing two zones' bucketing in one panel (round-18 review)") {
+    import graft.lake.LakeTable
+    val root = tmpDir("plsql_automv_tz_branch")
+    val ua = LakeTable(spark, s"$root/ua")
+    val seedA = Seq(("a", 1L, ts("2024-01-01 03:00:00"))).toDF("g", "v", "t")
+    ua.create(seedA.schema, enableChangeFeed = true); ua.append(seedA)
+    val ub = LakeTable(spark, s"$root/ub")
+    ub.append(Seq(("b", 2L, ts("2024-01-02 03:00:00"))).toDF("g", "v", "t"))
+    val s2 = LakeTable(spark, s"$root/s2")
+    val seed2 = Seq(("a", 5L, ts("2024-01-01 03:30:00"))).toDF("g", "v", "t")
+    s2.create(seed2.schema, enableChangeFeed = true); s2.append(seed2)
+    val p = new Pipeline(spark, s"$root/pipe")
+    p.inputTable("ua", ua); p.inputTable("ub", ub); p.inputTable("s2", s2)
+    // branch A's row-local WHERE buckets by day — zone-dependent
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW upanel AS
+      SELECT g, SUM(v) AS s
+      FROM (SELECT g, v FROM ua
+              WHERE date_trunc('day', t) = TIMESTAMP '2024-01-01 00:00:00'
+            UNION ALL SELECT g, v FROM ub)
+      GROUP BY g""")
+    // EXTRACT as an aggregate input — hour-of-day is zone-dependent
+    PipelineSql(p, """CREATE OR REFRESH MATERIALIZED VIEW hpanel AS
+      SELECT g, SUM(extract(HOUR FROM t)) AS h FROM s2 GROUP BY g""")
+    p.run()
+    def ev(d: String) = p.eventLog.filter(col("dataset") === d)
+      .orderBy("run_id").select("message").as[String].collect().toSeq
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      ua.append(Seq(("a", 4L, ts("2024-01-01 09:00:00"))).toDF("g", "v", "t"))
+      s2.append(Seq(("a", 7L, ts("2024-01-01 10:00:00"))).toDF("g", "v", "t"))
+      p.run()
+      assert(ev("upanel").last.contains("recompute: session timezone changed"),
+        ev("upanel"))
+      assert(ev("hpanel").last.contains("recompute: session timezone changed"),
+        ev("hpanel"))
+      // both self-consistent under the NEW zone (≡ recompute)
+      val recU = ua.read
+        .filter(date_trunc("day", col("t")) ===
+          lit("2024-01-01 00:00:00").cast("timestamp"))
+        .select("g", "v").unionByName(ub.read.select("g", "v"))
+        .groupBy("g").agg(sum("v").as("s"))
+        .orderBy("g").as[(String, Long)].collect().toSeq
+      assert(p.read("upanel").orderBy("g")
+        .as[(String, Long)].collect().toSeq == recU)
+      val recH = s2.read.groupBy("g").agg(sum(hour(col("t"))).as("h"))
+        .orderBy("g").as[(String, Long)].collect().toSeq
+      assert(p.read("hpanel").orderBy("g")
+        .as[(String, Long)].collect().toSeq == recH)
+      // pinned at the new zone: the next same-zone windows maintain
+      ua.append(Seq(("a", 16L, ts("2024-01-01 17:00:00"))).toDF("g", "v", "t"))
+      s2.append(Seq(("b", 1L, ts("2024-01-01 20:00:00"))).toDF("g", "v", "t"))
+      p.run()
+      assert(ev("upanel").last.contains("incremental"), ev("upanel"))
+      assert(ev("hpanel").last.contains("incremental"), ev("hpanel"))
     } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
