@@ -41,19 +41,49 @@ object Plans {
     @volatile var stages = 0L
     @volatile var tasks = 0L
     @volatile var shuffleWrite = 0L
+    val sites = new java.util.concurrent.ConcurrentHashMap[String, Long]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+      private val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      private val jobExec = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      private val execSite = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs += 1
+        jobStart.put(j.jobId, System.nanoTime())
+        Option(j.properties).flatMap(p =>
+          Option(p.getProperty("spark.sql.execution.id"))).foreach(id =>
+          jobExec.put(j.jobId, id.toLong))
+      }
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val dt = Option(jobStart.remove(e.jobId))
+          .map(t0 => System.nanoTime() - t0).getOrElse(0L)
+        val site = Option(jobExec.remove(e.jobId))
+          .flatMap(id => Option(execSite.get(id))).getOrElse("<no-sql-exec>")
+        // accumulate NANOS of job wall time per originating graft call site
+        sites.merge(site, dt, (a, b) => a + b)
+      }
+      // SQL executions carry the USER stack in `details`; jobs submitted
+      // through SQLExecution's future wrapper lose it at the stage level
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case es: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            val cs = es.details.linesIterator
+              .find(l => l.contains("graft.") && !l.contains("graft.Plans"))
+              .map(_.trim).getOrElse(es.details.linesIterator.take(1).mkString)
+            execSite.put(es.executionId, cs)
+          case _ => ()
+        }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages += 1
         tasks += s.stageInfo.numTasks
         shuffleWrite += s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
       }
     })
+    val dumpSites = sys.env.get("SPARK_GRAFT_PLANS_SITES").contains("1")
 
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     selected.foreach { case (name, fn) =>
-      jobs = 0; stages = 0; tasks = 0; shuffleWrite = 0
+      jobs = 0; stages = 0; tasks = 0; shuffleWrite = 0; sites.clear()
       val t0 = System.nanoTime()
       val res =
         try {
@@ -69,6 +99,12 @@ object Plans {
       Thread.sleep(300)
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[plans] $name%-36s ${dt}%7.2fs jobs=$jobs%-4d stages=$stages%-5d tasks=$tasks%-6d shufKB=${shuffleWrite / 1024}%-8d $res")
+      if (dumpSites) {
+        import scala.jdk.CollectionConverters._
+        sites.asScala.toSeq.sortBy(-_._2).foreach { case (cs, ns) =>
+          println(f"[plans]   site ${ns / 1e9}%7.2fs  $cs")
+        }
+      }
       spark.catalog.clearCache()
       graft.ops.FixtureRoots.sweep()
     }
