@@ -109,9 +109,14 @@ final class GoldBuilder(spark: SparkSession, clock: () => Timestamp) {
 
     val trg = table.read
     // Conventional incremental watermark: only rows newer than what's loaded
-    // — unless a backdated refresh explicitly rewinds it.
-    val lastLoad = backdatedRefresh.orElse(
-      trg.agg(max(col(cfg.cdcCol))).as[Option[Timestamp]].head())
+    // — unless a backdated refresh explicitly rewinds it. The watermark and
+    // the surrogate high-water come out of ONE aggregate over the dim (they
+    // were two separate scans).
+    val (aggLoad, maxSk) = {
+      val r = trg.agg(max(col(cfg.cdcCol)), max(col(cfg.surrogateCol))).head()
+      (Option(r.getTimestamp(0)), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val lastLoad = backdatedRefresh.orElse(aggLoad)
     val src = lastLoad.fold(latest)(w => latest.filter(col(cfg.cdcCol) >= lit(w)))
 
     // J2: attach existing surrogate + create_date by left join on business
@@ -129,7 +134,6 @@ final class GoldBuilder(spark: SparkSession, clock: () => Timestamp) {
       .withColumn("create_date", col("__cd"))
       .withColumn("update_date", ts)
       .drop("__sk", "__cd")
-    val maxSk = trg.agg(max(col(cfg.surrogateCol))).as[Option[Long]].head().getOrElse(0L)
     val fresh = GoldBuilder.mintSurrogateKeys(
         joined.filter(col("__sk").isNull).drop("__sk", "__cd"),
         cfg.keyCols, cfg.surrogateCol, offset = maxSk)
@@ -266,8 +270,20 @@ final class GoldBuilder(spark: SparkSession, clock: () => Timestamp) {
     val trackS = struct(track.map(col): _*)
     val isDel = deleteCol
       .map(c => coalesce(col(c).cast("boolean"), lit(false))).getOrElse(lit(false))
-    val events = latestPerKey(batch, keys :+ seqCol, seqCol,
-        tiebreak.filterNot(deleteCol.contains))
+    // Per-(key, seq) dedup on the SAME keys-partitioned sort every later
+    // window needs: under (seq ASC, tiebreak DESC) ordering, the first row
+    // of each seq run is exactly latestPerKey's winner over (keys, seq) —
+    // the old latestPerKey partitioned by (keys, seqCol) and cost the batch
+    // a second full shuffle before the RLE windows re-clustered it by keys.
+    val ordDedup = col(seqCol).asc +:
+      tiebreak.filterNot(c => c == seqCol || deleteCol.contains(c)).map(col(_).desc)
+    val wkOrd = Window.partitionBy(keys.map(col): _*).orderBy(ordDedup: _*)
+    val events = batch
+      // first-of-run detection must survive a NULL seq group: lag(lit) marks
+      // "a previous row exists", the null-safe seq compare marks "same run"
+      .withColumn("__is_dup", lag(lit(true), 1).over(wkOrd).isNotNull &&
+        (lag(col(seqCol), 1).over(wkOrd) <=> col(seqCol)))
+      .filter(!col("__is_dup")).drop("__is_dup")
       .withColumn("__del", isDel)
     // per-event STATE: delete events all collapse to one canonical
     // "absent" value (tracked struct nulled), so consecutive deletes — and a
@@ -338,34 +354,53 @@ final class GoldBuilder(spark: SparkSession, clock: () => Timestamp) {
     // one row per version interval: tracked attrs are constant within it by
     // construction, untracked attrs take the LAST event's values (DLT's
     // update-in-place rule scoped to the interval); a delete interval emits
-    // no row but still bounds its predecessor's __END_AT via the lead
-    val wv = Window.partitionBy(keys.map(col): _*).orderBy(col("__vstart").asc)
-    val grouped = latestPerKey(st.filter(col("__vstart").isNotNull),
-        keys :+ "__vstart", seqCol, Nil)
+    // no row but still bounds its predecessor's __END_AT via the lead.
+    // __vstart is non-decreasing per key, so a version's LAST event is the
+    // one whose successor carries a different __vstart — and that
+    // successor's __vstart IS the interval's end bound. One lead over the
+    // existing keys clustering replaces the old latestPerKey grouping
+    // (a (keys, __vstart) re-shuffle) plus its separate end-bound window.
+    val grouped = st.filter(col("__vstart").isNotNull)
+      .withColumn("__nextv", lead(col("__vstart"), 1).over(w))
+      .filter(col("__nextv").isNull || col("__nextv") =!= col("__vstart"))
       .withColumn(Scd2Start, col("__vstart"))
-      .withColumn(Scd2End, lead(col("__vstart"), 1).over(wv))
+      .withColumn(Scd2End, col("__nextv"))
     val versions = grouped.filter(!col("__del")).select(outCols: _*)
     open match {
       case None => versions
-      case Some(o) =>
+      case Some(_) =>
         // the open row closes at the key's FIRST in-batch version boundary
         // (an upsert re-opening history or a delete ending it — both bound
         // the interval); independently, untracked-only events inside the
-        // open interval rewrite the open row's untracked columns in place
-        val closeAt = st.filter(col("__chg")).groupBy(keys.map(col): _*)
-          .agg(min(col("__vstart")).as("__close_at"))
-        val updatable = // no untracked columns → nothing updates in place
-          if (untrack.isEmpty) st.filter(lit(false)) else st.filter(col("__vstart").isNull)
-        val openUpd = latestPerKey(updatable, keys, seqCol, Nil)
-          .select((keys.map(col) :+ lit(true).as("__upd") :+
-            untrackSel.as("__new_untrack")): _*)
-        val touched = o.join(closeAt, keys, "left").join(openUpd, keys, "left")
-          .filter(col("__close_at").isNotNull || col("__upd").isNotNull)
+        // open interval rewrite the open row's untracked columns in place.
+        // The open row's full image already rides every event from the
+        // open-rows join (__open_start/__open_attrs), so both the close
+        // bound and the in-place untracked update come out of ONE more
+        // pass over the same keys clustering — the old formulation
+        // re-joined the target's open rows against two separately
+        // aggregated branches of st (two more shuffles and a third
+        // evaluation of the window chain).
+        val wAll = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val updExpr = // no untracked columns → nothing updates in place
+          if (untrack.isEmpty) lit(null)
+          else last(when(col("__vstart").isNull, untrackSel),
+            ignoreNulls = true).over(wAll)
+        val touched = st
+          .withColumn("__close_at", min(when(col("__chg"), col("__vstart"))).over(wAll))
+          .withColumn("__new_untrack", updExpr)
+          // seq is unique per key after dedup: max(seq) picks one row per key
+          .withColumn("__last_seq", max(col(seqCol)).over(wAll))
+          .filter(col(seqCol) === col("__last_seq"))
+          .filter(col("__open_start").isNotNull &&
+            (col("__close_at").isNotNull || col("__new_untrack").isNotNull))
         val openOut = touched.select((keys.map(col) ++ attrs.map { c =>
+          val base = col(s"__open_attrs.$c")
           if (untrack.contains(c))
-            when(col("__upd").isNotNull, col(s"__new_untrack.$c")).otherwise(col(c)).as(c)
-          else col(c)
-        } :+ col(Scd2Start) :+ col("__close_at").as(Scd2End)): _*)
+            when(col("__new_untrack").isNotNull, col(s"__new_untrack.$c"))
+              .otherwise(base).as(c)
+          else base.as(c)
+        } :+ col("__open_start").as(Scd2Start) :+ col("__close_at").as(Scd2End)): _*)
         openOut.unionByName(versions)
     }
   }

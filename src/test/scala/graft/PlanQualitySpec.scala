@@ -308,6 +308,37 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("scd2Apply rides ONE keys exchange end-to-end — no (key, seq) or (key, version) re-shuffles") {
+    val gb = graft.gold.GoldBuilder(spark)
+    val ev = t(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select("user_id", "ts", "event_type", "value")
+    // bootstrap arm: dedup, RLE and version grouping all share the keys
+    // partitioning — exactly one hash exchange in the whole apply
+    val boot = gb.scd2Apply(ev, None, Seq("user_id"), "ts", Seq("event_type", "value"))
+    val bplan = planOf(boot).split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(bplan).size == 1, bplan)
+    // incremental arm (open rows present): the batch may join/union, but no
+    // exchange may re-partition by the sequence column or the version label
+    // (the pre-round-18 plan shuffled the batch by (user_id, ts) for dedup
+    // and by (user_id, __vstart) for version grouping)
+    import java.sql.Timestamp
+    val target = spark.createDataFrame(Seq(
+      (1L, "click", 1.0, Timestamp.valueOf("2024-01-01 00:00:00"),
+        null.asInstanceOf[Timestamp]))).toDF(
+      "user_id", "event_type", "value", graft.gold.GoldBuilder.Scd2Start,
+      graft.gold.GoldBuilder.Scd2End)
+    for (ignoreNulls <- Seq(false, true)) {
+      val inc = gb.scd2Apply(ev, Some(target), Seq("user_id"), "ts",
+        Seq("event_type", "value"), trackCols = Some(Seq("event_type")),
+        ignoreNulls = ignoreNulls)
+      val plan = planOf(inc).split("== Initial Plan ==").head
+      val badParts = "hashpartitioning\\([^)]*(\\bts#|__vstart|__g#)".r
+      assert(badParts.findFirstIn(plan).isEmpty,
+        s"ignoreNulls=$ignoreNulls: seq/version/group re-shuffle present\n$plan")
+    }
+  }
+
   test("custom-state sessionization plans the arbitrary-state operator, one key shuffle") {
     val df = SparkEntry.queries("w_custom_state")(spark, sfDir)
     val plan = planOf(df).split("== Initial Plan ==").head
