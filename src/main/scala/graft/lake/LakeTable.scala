@@ -895,6 +895,21 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     val m = manifest
     val feedSchema = m.schema
       .add(ChangeTypeCol, org.apache.spark.sql.types.StringType, nullable = false)
+    def insertsFromData(v: Long, mv: Manifest): Option[DataFrame] = {
+      val prevDirs: Set[String] =
+        if (v == 0) Set.empty else readManifest(v - 1).entries.map(_.dir).toSet
+      val added = mv.entries.map(_.dir).filterNot(prevDirs)
+      added.foreach(d => require(Files.isDirectory(Paths.get(root, d)),
+        s"change feed for v$v has been vacuumed ($d)"))
+      added.map { d =>
+        // files carry PHYSICAL names; serve the feed under the CURRENT
+        // logical names (physical ids are stable across renames, so a
+        // feed spanning a RENAME COLUMN stays column-consistent)
+        toLogicalNames(m, spark.read.schema(physSchema(m))
+          .option("basePath", s"$root/$d").parquet(s"$root/$d"))
+          .withColumn(ChangeTypeCol, lit("insert"))
+      }.reduceOption(_ unionByName _)
+    }
     val parts = (fromVersion to hi).flatMap { v =>
       val mv = readManifest(v)
       val part: Option[DataFrame] = mv.op match {
@@ -906,21 +921,14 @@ final class LakeTable private (val spark: SparkSession, val root: String,
           // Delta's CDF likewise skips OPTIMIZE. Auto-compact (property-
           // driven) makes these commits routine inside append streams.
         case "append" | "convert" => // convert's adopted files ARE its inserts
-          val prevDirs: Set[String] =
-            if (v == 0) Set.empty else readManifest(v - 1).entries.map(_.dir).toSet
-          val added = mv.entries.map(_.dir).filterNot(prevDirs)
-          added.foreach(d => require(Files.isDirectory(Paths.get(root, d)),
-            s"change feed for v$v has been vacuumed ($d)"))
-          added.map { d =>
-            // files carry PHYSICAL names; serve the feed under the CURRENT
-            // logical names (physical ids are stable across renames, so a
-            // feed spanning a RENAME COLUMN stays column-consistent)
-            toLogicalNames(m, spark.read.schema(physSchema(m))
-              .option("basePath", s"$root/$d").parquet(s"$root/$d"))
-              .withColumn(ChangeTypeCol, lit("insert"))
-          }.reduceOption(_ unionByName _)
+          insertsFromData(v, mv)
         case "merge" | "delete" | "update" | "replace" =>
           mv.cdfDir match {
+            // an all-insert commit (bootstrap merge) records no image dir:
+            // its added data files ARE its inserts, exactly like append —
+            // materializing them again under _changes would write every
+            // row twice
+            case Some(LakeTable.CdfFromData) => insertsFromData(v, mv)
             case Some(d) =>
               require(Files.isDirectory(Paths.get(root, d)),
                 s"change feed for v$v has been vacuumed ($d)")
@@ -1000,9 +1008,16 @@ final class LakeTable private (val spark: SparkSession, val root: String,
               .forall(d => Files.isDirectory(Paths.get(root, d)))
           case "merge" | "delete" | "update" | "replace" =>
             // mirror readChangeFeed: images recorded (and still on disk —
-            // same vacuum consideration), or a CDF-on delete/update that
-            // matched zero rows (legal empty part)
-            mv.cdfDir.exists(d => Files.isDirectory(Paths.get(root, d))) ||
+            // same vacuum consideration), an all-insert commit served from
+            // its added data dirs, or a CDF-on delete/update that matched
+            // zero rows (legal empty part)
+            (if (mv.cdfDir.contains(LakeTable.CdfFromData)) {
+              val prevDirs: Set[String] =
+                if (v == 0) Set.empty
+                else readManifest(v - 1).entries.map(_.dir).toSet
+              mv.entries.map(_.dir).filterNot(prevDirs)
+                .forall(d => Files.isDirectory(Paths.get(root, d)))
+            } else mv.cdfDir.exists(d => Files.isDirectory(Paths.get(root, d)))) ||
               (mv.cdfDir.isEmpty && mv.cdfEnabled &&
                 (mv.op == "delete" || mv.op == "update"))
           case _ => false // overwrite and any other full-rewrite op
@@ -1667,6 +1682,38 @@ final class LakeTable private (val spark: SparkSession, val root: String,
    *  `bloomCols` arrive in LOGICAL names; files, Hive dirs, stats keys and
    *  bloom sidecars are written PHYSICAL (see the translation-boundary
    *  notes above). */
+  /** Data-file writes use INT64 TIMESTAMP(MICROS) instead of Spark's
+   *  legacy INT96 default: INT96 is deprecated upstream and its footer
+   *  statistics are unordered bytes, so zone maps for timestamp columns
+   *  would need a read-back aggregation pass. Scoped set-and-restore —
+   *  the session's own writes outside the lake keep their configured
+   *  encoding. A concurrent restore race only re-encodes a file as INT96,
+   *  whose absent footer stats never prune (safe degradation). */
+  private def withMicrosTimestamps[A](f: => A): A = {
+    val k = "spark.sql.parquet.outputTimestampType"
+    // REFCOUNTED per session: concurrent lake writes (CONCURRENT pipeline
+    // flows, parallel fixture builds) overlap — a naive save/restore pair
+    // races, captures a sibling's override as "previous" and leaks
+    // TIMESTAMP_MICROS into the session for good. First writer in saves,
+    // last writer out restores.
+    val st = LakeTable.microsOverride.computeIfAbsent(spark,
+      _ => new LakeTable.MicrosState)
+    st.synchronized {
+      if (st.depth == 0) {
+        st.prev = spark.conf.getOption(k)
+        spark.conf.set(k, "TIMESTAMP_MICROS")
+      }
+      st.depth += 1
+    }
+    try f finally st.synchronized {
+      st.depth -= 1
+      if (st.depth == 0) st.prev match {
+        case Some(v) => spark.conf.set(k, v)
+        case None => spark.conf.unset(k)
+      }
+    }
+  }
+
   private def writeData(df0: DataFrame, pcol: Option[String],
       statsCols: Seq[String] = Nil,
       preclustered: Boolean = false,
@@ -1678,7 +1725,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     val dir = s"data/${UUID.randomUUID()}"
     val owned = pcol.map(pn) match {
       case None =>
-        df.write.parquet(s"$root/$dir")
+        withMicrosTimestamps { df.write.parquet(s"$root/$dir") }
         None
       case Some(p) =>
         // Cluster by the partition column first: otherwise every task writes
@@ -1689,7 +1736,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         // `preclustered` callers (Z-order compaction) arranged their own
         // task layout — re-shuffling here would destroy it.
         val out = if (preclustered) df else df.repartition(col(p))
-        out.write.partitionBy(p).parquet(s"$root/$dir")
+        withMicrosTimestamps { out.write.partitionBy(p).parquet(s"$root/$dir") }
         // Owned partition values from the written directory layout (p=value
         // subdirs) — a driver-side listing instead of a second full
         // evaluation of `df` (which may be an expensive join/window plan;
@@ -1860,10 +1907,159 @@ final class LakeTable private (val spark: SparkSession, val root: String,
   private def collectFileStats(dir: String, schema: StructType,
       pcol: Option[String], statsCols: Seq[String]): Seq[FileStat] = {
     if (statsCols.isEmpty) Nil
-    else statsOf(
-      spark.read.schema(schema).option("basePath", s"$root/$dir").parquet(s"$root/$dir"),
-      dir, schema, pcol, statsCols)
+    else {
+      val files = listParquet(Paths.get(root, dir))
+        .map(p => p -> Paths.get(root).relativize(p).toString)
+      footerStats(files, schema, pcol, statsCols).getOrElse(statsOf(
+        spark.read.schema(schema).option("basePath", s"$root/$dir").parquet(s"$root/$dir"),
+        dir, schema, pcol, statsCols))
+    }
   }
+
+  /** Per-file zone maps read from the parquet FOOTERS of freshly written
+   *  files — the write already computed exact per-chunk min/max, so the old
+   *  read-back aggregation was a second full pass over every written
+   *  file's stats columns (plus one Spark job per commit). Footer decoding
+   *  is driver-side O(files) metadata I/O. Min/max render through Spark's
+   *  own `Cast` to STRING, so the manifest encoding is identical to the
+   *  aggregation pass's `min(col).cast("string")`. Ordering parity:
+   *  parquet's signed comparators match Spark's for numerics, and its
+   *  UNSIGNED lexicographic Binary order IS UTF8String's byte order for
+   *  strings. Safety: a column whose footer lacks usable stats in some
+   *  file is omitted for that file (absent stats never prune — same
+   *  contract as the old NULL-aggregate omission); any unexpected shape
+   *  returns None and the caller falls back to the aggregation pass. */
+  private def footerStats(files: Seq[(Path, String)], schema: StructType,
+      pcol: Option[String], statsCols: Seq[String]): Option[Seq[FileStat]] = {
+    import org.apache.spark.sql.types._
+    val scols = statsCols.filter(c => schema.fieldNames.contains(c) &&
+      !pcol.contains(c))
+    if (scols.isEmpty) return Some(Nil)
+    val types = scols.map(c => c -> schema(c).dataType).toMap
+    val conf = spark.sessionState.newHadoopConf()
+    val zone = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    def render(v: Any, dt: DataType): String =
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt),
+        StringType, zone).eval() match {
+        case null => null
+        case s => s.toString
+      }
+    // parquet stat value (genericGetMin/Max) → Spark INTERNAL value of `dt`,
+    // or None when the footer's shape isn't the one Spark writes for `dt`
+    def decode(raw: Any, dt: DataType,
+        chunk: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Option[Any] = {
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val logical = chunk.getPrimitiveType.getLogicalTypeAnnotation
+      // foreign files (CONVERT) may carry unsigned int annotations whose
+      // raw stats order differs from the signed Spark value — never trust
+      def unsignedInt = logical match {
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => !i.isSigned
+        case _ => false
+      }
+      (dt, raw) match {
+        case _ if unsignedInt => None
+        case (ByteType, i: java.lang.Integer) => Some(i.toByte)
+        case (ShortType, i: java.lang.Integer) => Some(i.toShort)
+        case (IntegerType, i: java.lang.Integer) => Some(i.toInt)
+        case (LongType, l: java.lang.Long) => Some(l.toLong)
+        case (FloatType, f: java.lang.Float) =>
+          if (f.isNaN) None else Some(f.toFloat)
+        case (DoubleType, d: java.lang.Double) =>
+          if (d.isNaN) None else Some(d.toDouble)
+        case (BooleanType, b: java.lang.Boolean) => Some(b.booleanValue())
+        case (StringType, b: org.apache.parquet.io.api.Binary) =>
+          Some(org.apache.spark.unsafe.types.UTF8String.fromBytes(b.getBytes))
+        case (DateType, i: java.lang.Integer) => Some(i.toInt)
+        case (TimestampType | TimestampNTZType, l: java.lang.Long) =>
+          logical match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit match {
+                case LogicalTypeAnnotation.TimeUnit.MICROS => Some(l.toLong)
+                case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                  Some(Math.multiplyExact(l.toLong, 1000L))
+                case _ => None // NANOS never maps to TimestampType here
+              }
+            case _ => None
+          }
+        case (d: DecimalType, raw) =>
+          val unscaled = raw match {
+            case i: java.lang.Integer => Some(java.math.BigInteger.valueOf(i.toLong))
+            case l: java.lang.Long => Some(java.math.BigInteger.valueOf(l))
+            case b: org.apache.parquet.io.api.Binary =>
+              Some(new java.math.BigInteger(b.getBytes))
+            case _ => None
+          }
+          unscaled.map(u => Decimal(new java.math.BigDecimal(u, d.scale), d.precision, d.scale))
+        case _ => None
+      }
+    }
+    try {
+      val out = files.flatMap { case (file, rel) =>
+        val meta = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+          conf, new org.apache.hadoop.fs.Path(file.toUri),
+          org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER): @annotation.nowarn("cat=deprecation")
+        val blocks = meta.getBlocks.asScala.toSeq
+        // an empty file produced no row in the old groupBy(input_file_name)
+        // pass either — no FileStat entry (absent stats never prune)
+        if (blocks.forall(_.getRowCount == 0L)) None
+        else {
+          val mm = scols.flatMap { c =>
+            val dt = types(c)
+            val chunks = blocks.map(_.getColumns.asScala
+              .find(_.getPath.toDotString == c))
+            if (chunks.exists(_.isEmpty)) None
+            else {
+              val sts = chunks.flatten.map(_.getStatistics)
+              // a row group with NO recorded stats leaves the file
+              // unbounded for this column; all-null groups (stats present,
+              // no non-null value) contribute nothing to min/max
+              if (sts.exists(st => st == null || st.isEmpty)) None
+              else {
+                val withVals = sts.filter(_.hasNonNullValue)
+                if (withVals.isEmpty) None // all-null column ≡ old NULL agg
+                else {
+                  val merged = withVals.head.copy()
+                    .asInstanceOf[org.apache.parquet.column.statistics.Statistics[_]]
+                  withVals.tail.foreach(st => merged.mergeStatistics(
+                    st.asInstanceOf[org.apache.parquet.column.statistics.Statistics[Nothing]]))
+                  val chunk0 = chunks.head.get
+                  for {
+                    mn <- decode(merged.genericGetMin, dt, chunk0)
+                    mx <- decode(merged.genericGetMax, dt, chunk0)
+                    mnS <- Option(render(mn, dt))
+                    mxS <- Option(render(mx, dt))
+                  } yield c -> ((mnS, mxS))
+                }
+              }
+            }
+          }.toMap
+          Some(FileStat(rel, mm))
+        }
+      }
+      Some(out)
+    } catch { case scala.util.control.NonFatal(_) =>
+      LakeTable.footerStatsFallbacks.incrementAndGet(); None
+    }
+  }
+
+  /** Total row count of every parquet file under `dir`, from footers —
+   *  driver-side metadata I/O, no Spark job. None on any read trouble. */
+  private def parquetRowCount(dir: Path): Option[Long] =
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      Some(listParquet(dir).map { f =>
+        val meta = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+          conf, new org.apache.hadoop.fs.Path(f.toUri),
+          org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER): @annotation.nowarn("cat=deprecation")
+        meta.getBlocks.asScala.map(_.getRowCount).sum
+      }.sum)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The current manifest's per-file zone maps — test hook for footer-stats
+   *  parity specs (root-relative path → col → (min, max) strings). */
+  private[lake] def zoneStatsForTest: Map[String, Map[String, (String, String)]] =
+    manifest.fileStats.map(fs => fs.path -> fs.minMax).toMap
 
   /** Zone maps for the files `df` scans (all expected under `dir`). */
   private def statsOf(df: DataFrame, dir: String, schema: StructType,
@@ -2651,7 +2847,9 @@ final class LakeTable private (val spark: SparkSession, val root: String,
             .as(c)): _*)
       }
       if (insertSet.nonEmpty) enforceConstraints(flat, m.constraints)
-      val chDir = writeChanges(flat.withColumn(ChangeTypeCol, lit("insert")))
+      // all-insert commit: the data dir IS the change set — record the
+      // from-data marker instead of writing every row a second time
+      val chDir = if (m.cdfEnabled) Some(LakeTable.CdfFromData) else None
       replaceAll(flat, m.pcol, "merge", Some(v0), chDir, txn = txn)
       maybeAutoCompact()
       return
@@ -2890,7 +3088,11 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       val dvDir = s"_dv/${UUID.randomUUID()}"
       matches.select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
         .write.parquet(s"$root/$dvDir")
-      val matched = spark.read.schema(DvSchema).parquet(s"$root/$dvDir").count()
+      // count the coordinates from the written files' FOOTERS — the old
+      // read-back count was one more Spark job per delete for a number
+      // the parquet metadata already records exactly
+      val matched = parquetRowCount(Paths.get(root, dvDir)).getOrElse(
+        spark.read.schema(DvSchema).parquet(s"$root/$dvDir").count())
       if (matched == 0) {
         deleteRecursively(Paths.get(root, dvDir))
         return 0L
@@ -2953,7 +3155,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         val dvDir = s"_dv/${UUID.randomUUID()}"
         matches.select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
           .write.parquet(s"$root/$dvDir")
-        val replaced = spark.read.schema(DvSchema).parquet(s"$root/$dvDir").count()
+        val replaced = parquetRowCount(Paths.get(root, dvDir)).getOrElse(
+          spark.read.schema(DvSchema).parquet(s"$root/$dvDir").count())
         val (dir, owned, fstats) =
           writeData(data, m.pcol, m.statsCols, bloomCols = m.bloomCols,
             colMap = m.colMap)
@@ -3162,11 +3365,11 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         // preserve partition subdirs for partitioned tables; files are
         // written under PHYSICAL column names (column-mapping boundary)
         val rewrittenP = toPhysicalNames(m, rewritten)
-        m.pcol.map(physName(m, _)) match {
+        withMicrosTimestamps { m.pcol.map(physName(m, _)) match {
           case Some(p) => rewrittenP.repartition(col(p))
             .write.partitionBy(p).parquet(s"$root/$rwTmp")
           case None => rewrittenP.write.parquet(s"$root/$rwTmp")
-        }
+        } }
         val rwFiles = listParquet(Paths.get(root, rwTmp))
         rwFiles.foreach { src =>
           val rel = Paths.get(root, rwTmp).relativize(src)
@@ -3178,11 +3381,17 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         val rwRel = rwFiles.map(src =>
           s"$newDir/${Paths.get(root, rwTmp).relativize(src)}")
         if (m.statsCols.nonEmpty && rwRel.nonEmpty) {
-          val rwDf = spark.read.schema(physSchema(m))
-            .option("basePath", s"$root/$newDir")
-            .parquet(rwRel.map(f => s"$root/$f"): _*)
-          newStats ++= statsOf(rwDf, newDir, physSchema(m),
+          // footers of the freshly rewritten files (read via the rwTmp
+          // paths — same inodes as the hard links under newDir)
+          newStats ++= footerStats(rwFiles.zip(rwRel), physSchema(m),
             m.pcol.map(physName(m, _)), m.statsCols.map(physName(m, _)))
+            .getOrElse {
+              val rwDf = spark.read.schema(physSchema(m))
+                .option("basePath", s"$root/$newDir")
+                .parquet(rwRel.map(f => s"$root/$f"): _*)
+              statsOf(rwDf, newDir, physSchema(m),
+                m.pcol.map(physName(m, _)), m.statsCols.map(physName(m, _)))
+            }
         }
         deleteRecursively(Paths.get(root, rwTmp))
         newEntries += DirEntry(newDir, e.owned)
@@ -3245,7 +3454,11 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       val dvDir = s"_dv/${UUID.randomUUID()}"
       matches.select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
         .write.parquet(s"$root/$dvDir")
-      val matched = spark.read.schema(DvSchema).parquet(s"$root/$dvDir").count()
+      // count the coordinates from the written files' FOOTERS — the old
+      // read-back count was one more Spark job per delete for a number
+      // the parquet metadata already records exactly
+      val matched = parquetRowCount(Paths.get(root, dvDir)).getOrElse(
+        spark.read.schema(DvSchema).parquet(s"$root/$dvDir").count())
       if (matched == 0) {
         deleteRecursively(Paths.get(root, dvDir))
         return 0L
@@ -3494,13 +3707,13 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     rewritten.foreach { df =>
       val rwTmp = s"data/.opt-${UUID.randomUUID()}"
       val dfP = toPhysicalNames(m, df)
-      m.pcol.map(physName(m, _)) match {
+      withMicrosTimestamps { m.pcol.map(physName(m, _)) match {
         case Some(p) => dfP.repartition(col(p))
           .write.partitionBy(p).parquet(s"$root/$rwTmp")
         case None =>
           val n = math.max(1, math.ceil(rewriteBytes.toDouble / targetFileBytes).toInt)
           dfP.coalesce(n).write.parquet(s"$root/$rwTmp")
-      }
+      } }
       val rwFiles = listParquet(Paths.get(root, rwTmp))
       rwFiles.foreach { src =>
         val sub = Paths.get(root, rwTmp).relativize(src)
@@ -3512,11 +3725,15 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       if (m.statsCols.nonEmpty && rwFiles.nonEmpty) {
         val rwRel = rwFiles.map(src =>
           s"$newDir/${Paths.get(root, rwTmp).relativize(src)}")
-        val rwDf = spark.read.schema(physSchema(m))
-          .option("basePath", s"$root/$newDir")
-          .parquet(rwRel.map(f => s"$root/$f"): _*)
-        newStats ++= statsOf(rwDf, newDir, physSchema(m),
+        newStats ++= footerStats(rwFiles.zip(rwRel), physSchema(m),
           m.pcol.map(physName(m, _)), m.statsCols.map(physName(m, _)))
+          .getOrElse {
+            val rwDf = spark.read.schema(physSchema(m))
+              .option("basePath", s"$root/$newDir")
+              .parquet(rwRel.map(f => s"$root/$f"): _*)
+            statsOf(rwDf, newDir, physSchema(m),
+              m.pcol.map(physName(m, _)), m.statsCols.map(physName(m, _)))
+          }
       }
       deleteRecursively(Paths.get(root, rwTmp))
     }
@@ -3889,6 +4106,18 @@ final class LakeTable private (val spark: SparkSession, val root: String,
 object LakeTable {
   private val T_MARK = "__t_exists"
   private val S_MARK = "__s_exists"
+  private[lake] final class MicrosState {
+    var depth: Int = 0
+    var prev: Option[String] = None
+  }
+  private[lake] val microsOverride =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, MicrosState]()
+  /** Sentinel cdfDir value: the commit's ADDED DATA dirs are its insert
+   *  images (all-insert commits — bootstrap merges). Never a real path. */
+  private[lake] val CdfFromData = "__cdf_from_data__"
+  /** Diagnostic: how often footer-based zone stats fell back to the Spark
+   *  aggregation pass (expected ~never — parity specs assert it stays 0). */
+  private[lake] val footerStatsFallbacks = new java.util.concurrent.atomic.AtomicLong()
   /** [[LakeTable.vacuumRetainHours]] safety floor (Delta's default retention
    *  window): reclaiming data younger than this risks failing a reader that
    *  resolved its snapshot before the vacuum started. */

@@ -41,6 +41,25 @@ class ChangeFeedSpec extends SparkSpec {
     assert(images == Seq("b2", "b"))
   }
 
+  test("a BOOTSTRAP merge materializes no change images — its data dir IS the insert set") {
+    val t = cdfTable("cdf_boot")
+    // bootstrap merge into the empty table (every CDC flow's first batch)
+    t.merge(Seq((1L, "a", 1), (2L, "b", 1)).toDF("k", "v", "seq"),
+      Seq("k"), Some("s.seq >= t.seq"))
+    // round-18 optimization: no _changes dir exists — the feed serves the
+    // commit's added data files as inserts (writing the images too would
+    // double every bootstrap's write bytes)
+    val changesDir = java.nio.file.Paths.get(t.root, "_changes")
+    assert(!java.nio.file.Files.isDirectory(changesDir) ||
+      !java.nio.file.Files.list(changesDir).findFirst().isPresent, "images materialized")
+    assert(t.feedReadable(1, 1))
+    assert(feed(t, 0) == Seq((1L, "insert", 1L), (2L, "insert", 1L)))
+    // a later REAL merge still records its mixed images
+    t.merge(Seq((2L, "b2", 2)).toDF("k", "v", "seq"), Seq("k"), Some("s.seq >= t.seq"))
+    assert(feed(t, 2) == Seq(
+      (2L, "update_postimage", 2L), (2L, "update_preimage", 2L)))
+  }
+
   test("_commit_timestamp carries the pinned commit clock per version") {
     val t0 = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
     val tick = new java.util.concurrent.atomic.AtomicLong(0L)
