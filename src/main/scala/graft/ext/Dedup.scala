@@ -161,13 +161,19 @@ object Dedup {
     // localCheckpoint (not persist): iterative plans nest their whole
     // history, so re-analysis cost grows per round — truncating lineage
     // keeps every iteration O(current state).
-    var labels = nodes.select(col(idCol), col(idCol).as("cc")).localCheckpoint(true)
     // labels only ever DECREASE (min-propagation + min-jump), so the label
     // SUM is a strictly monotone progress measure: sum unchanged ⟺ no label
-    // changed. One cheap aggregate per round replaces a join+count.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cc").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = labelSum(labels)
+    // changed. The sum rides the checkpoint materialization as an OBSERVED
+    // metric — the old separate aggregate re-scanned the fresh labels once
+    // more per round (a full extra pass at any scale).
+    def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df.observe(obs, sum(col("cc").cast("decimal(38,0)")).as("__s"))
+        .localCheckpoint(true)
+      (ck, obs.get("__s").asInstanceOf[java.math.BigDecimal])
+    }
+    var (labels, prevSum) = checkpointWithSum(
+      nodes.select(col(idCol), col(idCol).as("cc")))
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -177,11 +183,10 @@ object Dedup {
         .groupBy(idCol).agg(min("cc").as("cc")).localCheckpoint(true)
       // pointer jump: follow the current label to ITS label and take the min
       val jump = merged.select(col(idCol).as("__lid"), col("cc").as("__lcc"))
-      val next = merged.join(jump, merged("cc") === jump("__lid"), "left")
-        .select(merged(idCol),
-          least(merged("cc"), coalesce(col("__lcc"), merged("cc"))).as("cc"))
-        .localCheckpoint(true)
-      val curSum = labelSum(next)
+      val (next, curSum) = checkpointWithSum(
+        merged.join(jump, merged("cc") === jump("__lid"), "left")
+          .select(merged(idCol),
+            least(merged("cc"), coalesce(col("__lcc"), merged("cc"))).as("cc")))
       labels = next
       converged = curSum == prevSum
       prevSum = curSum
