@@ -1759,6 +1759,51 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     (dir, owned, collectFileStats(dir, df.schema, pcol.map(pn), statsCols.map(pn)))
   }
 
+  /** ONE-PASS data + change-image write for an unpartitioned CDF commit:
+   *  the merged rows and the commit's change rows are two projections of
+   *  the SAME join, so writing them as one `partitionBy` job over a side
+   *  discriminator evaluates the join once — the union branches share
+   *  their exchanges (ReuseExchange) — instead of persisting the join and
+   *  running two sequential write jobs over it (guide §1.2: remove the
+   *  pass, don't tune it). The side dirs are renamed into `data/` and
+   *  `_changes/` (driver-side moves, no data I/O). Data files carry an
+   *  all-NULL `_change_type` column (the union schema) that every reader
+   *  ignores — reads are explicit-schema projections. A missing side dir
+   *  means that side had zero rows: an empty dir serves the same empty
+   *  relation an empty parquet write did. Returns
+   *  (dataDir, fileStats, changesDir). */
+  private def writeDataAndChanges(df0: DataFrame, changes0: DataFrame,
+      statsCols: Seq[String], bloomCols: Seq[String],
+      colMap: Seq[(String, String)]): (String, Seq[FileStat], String) = {
+    def pn(c: String): String =
+      colMap.collectFirst { case (l, p) if l == c => p }.getOrElse(c)
+    val ren = colMap.toMap
+    val df = if (colMap.isEmpty) df0 else df0.withColumnsRenamed(ren)
+    val changes =
+      if (colMap.isEmpty) changes0 else changes0.withColumnsRenamed(ren)
+    val side = "__cdc_side"
+    val unioned = df
+      .withColumn(ChangeTypeCol, lit(null).cast("string"))
+      .withColumn(side, lit("d"))
+      .unionByName(changes.withColumn(side, lit("c")))
+    val tmp = s"data/.mc-${UUID.randomUUID()}"
+    withMicrosTimestamps {
+      unioned.write.partitionBy(side).parquet(s"$root/$tmp") }
+    val dir = s"data/${UUID.randomUUID()}"
+    val ch = s"_changes/${UUID.randomUUID()}"
+    def place(sideVal: String, dst: Path): Unit = {
+      Files.createDirectories(dst.getParent)
+      val src = Paths.get(root, tmp, s"$side=$sideVal")
+      if (Files.isDirectory(src)) { Files.move(src, dst); () }
+      else { Files.createDirectories(dst); () } // zero rows on this side
+    }
+    place("d", Paths.get(root, dir))
+    place("c", Paths.get(root, ch))
+    deleteRecursively(Paths.get(root, tmp))
+    writeBloomIndex(dir, df.schema, None, bloomCols.map(pn))
+    (dir, collectFileStats(dir, df.schema, None, statsCols.map(pn)), ch)
+  }
+
   // ---- BLOOM-FILTER FILE INDEX (Delta bloom filter index analog) ----------
   //
   // Zone maps prune on VALUE RANGES, which needs the column clustered
@@ -2503,13 +2548,32 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     txn.exists { case (a, tv) =>
       m.txns.exists { case (a0, tv0) => a0 == a && tv0 >= tv } }
 
+  /** Run `body` on its own thread so its Spark job(s) OVERLAP the caller's
+   *  next job instead of serializing behind it (guide §2.6: a commit's
+   *  independent writes — change images, deletion vectors, data files — are
+   *  independent jobs; only your driver code makes them sequential). The
+   *  returned thunk joins and rethrows the body's failure. */
+  private def inParallel[A](body: => A): () => A = {
+    val fut = new java.util.concurrent.FutureTask[A](() => body)
+    val th = new Thread(fut, "lake-parallel-write")
+    th.setDaemon(true)
+    th.start()
+    () => try fut.get() catch {
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    }
+  }
+
   private def replaceAll(df: DataFrame, partitionBy: Option[String],
-      op: String, expected: Option[Long], cdfDir: Option[String] = None,
+      op: String, expected: Option[Long], cdfDir: () => Option[String] = () => None,
       preclustered: Boolean = false,
       txn: Option[(String, Long)] = None,
       // non-empty = this rewrite CLUSTERED the table on these columns:
       // flag the output entry and record the key for incremental OPTIMIZE
-      clusteredAs: Seq[String] = Nil): Unit = synchronized {
+      clusteredAs: Seq[String] = Nil,
+      // the commit's change images, written in the SAME Spark job as the
+      // data (one-pass union write; unpartitioned targets only) — takes
+      // precedence over `cdfDir`
+      changes: Option[DataFrame] = None): Unit = synchronized {
     Files.createDirectories(Paths.get(root))
     val cur = if (exists) Some(manifest) else None
     val pcol = partitionBy.orElse(cur.flatMap(_.pcol))
@@ -2527,12 +2591,25 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       else df
     val keptMap = cur.map(_.colMap.filter { case (l, _) =>
       df1.columns.contains(l) }).getOrElse(Nil)
-    val (dir, owned, fstats) = writeData(df1, pcol, scols, preclustered,
-      bloomCols = cur.map(_.bloomCols).getOrElse(Nil), colMap = keptMap)
+    require(changes.isEmpty || pcol.isEmpty,
+      "one-pass change-image writes are for unpartitioned targets")
+    val (dir, owned, fstats, unionCh) = changes match {
+      case Some(ch) =>
+        val (d, fs, c) = writeDataAndChanges(df1, ch, scols,
+          bloomCols = cur.map(_.bloomCols).getOrElse(Nil), colMap = keptMap)
+        (d, None, fs, Some(c))
+      case None =>
+        val (d, o, fs) = writeData(df1, pcol, scols, preclustered,
+          bloomCols = cur.map(_.bloomCols).getOrElse(Nil), colMap = keptMap)
+        (d, o, fs, None)
+    }
+    // resolve AFTER writeData: a caller's in-flight change-image write
+    // (launched via inParallel) overlaps the data write above
+    val cdfDirV = unionCh.orElse(cdfDir())
     val validatedConstraints = cur.map(_.constraints).getOrElse(Nil).toSet
     val m = Manifest(df1.schema, pcol,
       Seq(DirEntry(dir, owned, clustered = clusteredAs.nonEmpty)), op,
-      cur.exists(_.cdfEnabled), cdfDir, statsCols = scols, fileStats = fstats,
+      cur.exists(_.cdfEnabled), cdfDirV, statsCols = scols, fileStats = fstats,
       txns = withTxnLedger(cur.map(_.txns).getOrElse(Nil), txn),
       constraints = cur.map(_.constraints).getOrElse(Nil),
       generated = cur.map(_.generated).getOrElse(Nil),
@@ -2850,7 +2927,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       // all-insert commit: the data dir IS the change set — record the
       // from-data marker instead of writing every row a second time
       val chDir = if (m.cdfEnabled) Some(LakeTable.CdfFromData) else None
-      replaceAll(flat, m.pcol, "merge", Some(v0), chDir, txn = txn)
+      replaceAll(flat, m.pcol, "merge", Some(v0), () => chDir, txn = txn)
       maybeAutoCompact()
       return
     }
@@ -2868,6 +2945,22 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     // merge) that doesn't carry the partition column can't scope the touched
     // partitions either — same full-rewrite fallback, partitioning kept.
     m.pcol.filter(p => deleteUnmatchedTarget.isEmpty && src.columns.contains(p)) match {
+      case None if m.cdfEnabled && m.pcol.isEmpty =>
+        // ONE-PASS commit: merged rows and change images are two projections
+        // of the same join — write both in a single job (union + side
+        // partition) instead of persisting the join and running two
+        // sequential jobs over it. The union branches reuse the join's
+        // exchanges, so the (often expensive) merge-source subtree
+        // evaluates once.
+        val joined = joinedOf(widen(readScoped(m, None)))
+        val merged = mergedFrom(joined)
+        // SET * writes source rows (validated above); column-level
+        // clauses synthesize new rows — gate them before anything lands
+        if (matchedSet.nonEmpty || insertSet.nonEmpty)
+          enforceConstraints(merged, m.constraints)
+        replaceAll(merged, m.pcol, "merge", Some(v0), txn = txn,
+          changes = Some(changesFrom(joined)))
+        maybeAutoCompact()
       case None =>
         val joined = joinedOf(widen(readScoped(m, None)))
         val pinned = // two consumers under CDF: pin the join, not twice the work
@@ -2884,7 +2977,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
           // full-rewrite path (NOT MATCHED BY SOURCE sync) must come out the
           // other side still partitioned — Hive layout, SHOW PARTITIONS and
           // replaceWhere ownership all key off the manifest's pcol
-          replaceAll(merged, m.pcol, "merge", Some(v0), chDir, txn = txn)
+          replaceAll(merged, m.pcol, "merge", Some(v0), () => chDir, txn = txn)
           maybeAutoCompact()
         } finally if (m.cdfEnabled) { pinned.unpersist(); () }
       case Some(p) =>
@@ -2898,12 +2991,17 @@ final class LakeTable private (val spark: SparkSession, val root: String,
           if (m.cdfEnabled) joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           else joined
         try {
-          val chDir = writeChanges(changesFrom(pinned))
+          // same overlap as the unpartitioned arm: images ride their own
+          // thread while the merged partitions are written
+          val chDirF =
+            if (m.cdfEnabled) inParallel { writeChanges(changesFrom(pinned)) }
+            else () => Option.empty[String]
           val merged = mergedFrom(pinned)
           if (matchedSet.nonEmpty || insertSet.nonEmpty)
             enforceConstraints(merged, m.constraints)
           val (dir, owned, fstats) = writeData(merged, Some(p),
             m.statsCols, bloomCols = m.bloomCols, colMap = m.colMap)
+          val chDir = chDirF()
           // PARTITION-DISJOINT CONCURRENT MERGES both commit without
           // recompute (Delta's partition-level conflict resolution): on a
           // lost CAS, REBASE instead of throwing when the interleaved
@@ -3086,6 +3184,17 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dvDir = s"_dv/${UUID.randomUUID()}"
+      // the delete images and the DV coordinates are independent projections
+      // of the pinned matches: write the images on their own thread so the
+      // two jobs overlap (both dirs are vacuumable orphans if either fails)
+      val chDirF: () => Option[String] =
+        if (m.cdfEnabled) inParallel {
+          val d = s"_changes/${UUID.randomUUID()}"
+          toPhysicalNames(m, matches.select(m.schema.fieldNames.map(col).toSeq: _*)
+            .withColumn(ChangeTypeCol, lit("delete")))
+            .write.parquet(s"$root/$d")
+          Some(d)
+        } else () => None
       matches.select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
         .write.parquet(s"$root/$dvDir")
       // count the coordinates from the written files' FOOTERS — the old
@@ -3095,16 +3204,10 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         spark.read.schema(DvSchema).parquet(s"$root/$dvDir").count())
       if (matched == 0) {
         deleteRecursively(Paths.get(root, dvDir))
+        chDirF().foreach(d => deleteRecursively(Paths.get(root, d)))
         return 0L
       }
-      val chDir =
-        if (m.cdfEnabled) {
-          val d = s"_changes/${UUID.randomUUID()}"
-          toPhysicalNames(m, matches.select(m.schema.fieldNames.map(col).toSeq: _*)
-            .withColumn(ChangeTypeCol, lit("delete")))
-            .write.parquet(s"$root/$d")
-          Some(d)
-        } else None
+      val chDir = chDirF()
       if (!tryCommit(m.copy(op = "delete", cdfDir = chDir, commitTsMs = None,
           deleteVectors = m.deleteVectors :+ dvDir), v0 + 1))
         throw new ConcurrentWriteException(
@@ -3153,22 +3256,28 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val dvDir = s"_dv/${UUID.randomUUID()}"
-        matches.select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
-          .write.parquet(s"$root/$dvDir")
-        val replaced = parquetRowCount(Paths.get(root, dvDir)).getOrElse(
-          spark.read.schema(DvSchema).parquet(s"$root/$dvDir").count())
-        val (dir, owned, fstats) =
-          writeData(data, m.pcol, m.statsCols, bloomCols = m.bloomCols,
-            colMap = m.colMap)
-        val chDir =
-          if (m.cdfEnabled) {
+        // three independent consumers of the two pinned frames — DV
+        // coordinates, change images, new data — overlap all three writes
+        val chDirF: () => Option[String] =
+          if (m.cdfEnabled) inParallel {
             val d = s"_changes/${UUID.randomUUID()}"
             toPhysicalNames(m, matches.select(cols.map(col): _*)
               .withColumn(ChangeTypeCol, lit("delete"))
               .unionByName(data.withColumn(ChangeTypeCol, lit("insert"))))
               .write.parquet(s"$root/$d")
             Some(d)
-          } else None
+          } else () => None
+        val dvF = inParallel {
+          matches.select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
+            .write.parquet(s"$root/$dvDir")
+        }
+        val (dir, owned, fstats) =
+          writeData(data, m.pcol, m.statsCols, bloomCols = m.bloomCols,
+            colMap = m.colMap)
+        dvF()
+        val replaced = parquetRowCount(Paths.get(root, dvDir)).getOrElse(
+          spark.read.schema(DvSchema).parquet(s"$root/$dvDir").count())
+        val chDir = chDirF()
         if (!tryCommit(m.copy(op = "replace", cdfDir = chDir, commitTsMs = None,
             entries = m.entries :+ DirEntry(dir, owned),
             fileStats = m.fileStats ++ fstats,
@@ -3470,18 +3579,21 @@ final class LakeTable private (val spark: SparkSession, val root: String,
       val updated = materializeGenerated(assigned, m)
         .select(cols.map(col): _*)
       enforceConstraints(updated, m.constraints)
-      val (dir, owned, fstats) =
-        writeData(updated, m.pcol, m.statsCols, bloomCols = m.bloomCols,
-          colMap = m.colMap)
-      val chDir =
-        if (m.cdfEnabled) {
+      // pre/post images derive from the SAME pinned matches as the updated
+      // data: write them on their own thread, overlapping the data write
+      val chDirF: () => Option[String] =
+        if (m.cdfEnabled) inParallel {
           val d = s"_changes/${UUID.randomUUID()}"
           toPhysicalNames(m, matches.select(cols.map(col): _*)
             .withColumn(ChangeTypeCol, lit("update_preimage"))
             .unionByName(updated.withColumn(ChangeTypeCol, lit("update_postimage"))))
             .write.parquet(s"$root/$d")
           Some(d)
-        } else None
+        } else () => None
+      val (dir, owned, fstats) =
+        writeData(updated, m.pcol, m.statsCols, bloomCols = m.bloomCols,
+          colMap = m.colMap)
+      val chDir = chDirF()
       if (!tryCommit(m.copy(op = "update", cdfDir = chDir, commitTsMs = None,
           entries = m.entries :+ DirEntry(dir, owned),
           fileStats = m.fileStats ++ fstats,
