@@ -1714,6 +1714,85 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     }
   }
 
+  /** Driver-local parquet write of a SMALL in-memory relation: a frame
+   *  whose optimized plan is a LocalRelation of simple-typed rows (event
+   *  logs, tiny metadata batches, fixture seeds) is written by the driver
+   *  thread straight through parquet-hadoop — ZERO Spark jobs, one file —
+   *  instead of scheduling a distributed write for rows that already sit
+   *  in driver memory (guide §5: the scheduler round-trip IS the cost for
+   *  metadata-sized writes). Encodings match the distributed writer
+   *  exactly: INT64 TIMESTAMP(MICROS) — InternalRow's own representation,
+   *  the same encoding [[withMicrosTimestamps]] pins — DATE int32, STRING
+   *  binary, snappy compression, footer stats recorded, so zone maps and
+   *  the change feed read these files like any other. Any other plan
+   *  shape, row count, or type falls back (returns false). */
+  private def writeLocalRelation(df: DataFrame, dir: String): Boolean = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    def writable(dt: DataType): Boolean = dt match {
+      case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+           StringType | TimestampType | DateType => true
+      case _ => false
+    }
+    df.queryExecution.optimizedPlan match {
+      case lr: LocalRelation
+          if lr.data.lengthCompare(LakeTable.LocalWriteMaxRows) <= 0 &&
+            lr.output.forall(a => writable(a.dataType)) =>
+        import org.apache.parquet.schema.{LogicalTypeAnnotation => L, Types}
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+        import org.apache.parquet.schema.Type.Repetition
+        val fields = lr.output
+        val msgB = Types.buildMessage()
+        fields.foreach { a =>
+          val rep = if (a.nullable) Repetition.OPTIONAL else Repetition.REQUIRED
+          val t = a.dataType match {
+            case LongType => Types.primitive(INT64, rep)
+            case IntegerType => Types.primitive(INT32, rep)
+            case DoubleType => Types.primitive(DOUBLE, rep)
+            case FloatType => Types.primitive(FLOAT, rep)
+            case BooleanType => Types.primitive(BOOLEAN, rep)
+            case StringType => Types.primitive(BINARY, rep).as(L.stringType())
+            case TimestampType => Types.primitive(INT64, rep)
+              .as(L.timestampType(true, L.TimeUnit.MICROS))
+            case DateType => Types.primitive(INT32, rep).as(L.dateType())
+            case other => sys.error(s"unreachable local-write type $other")
+          }
+          msgB.addField(t.named(a.name))
+        }
+        val msg = msgB.named("spark_schema")
+        Files.createDirectories(Paths.get(root, dir))
+        val f = new org.apache.hadoop.fs.Path(
+          s"$root/$dir/part-00000-${UUID.randomUUID()}.snappy.parquet")
+        val conf = spark.sessionState.newHadoopConf()
+        val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+          .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(f, conf))
+          .withConf(conf)
+          .withType(msg)
+          .withCompressionCodec(
+            org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+          .build()
+        try lr.data.foreach { r =>
+          val g = new org.apache.parquet.example.data.simple.SimpleGroup(msg)
+          var i = 0
+          while (i < fields.length) {
+            if (!r.isNullAt(i)) fields(i).dataType match {
+              case LongType | TimestampType => g.add(i, r.getLong(i))
+              case IntegerType | DateType => g.add(i, r.getInt(i))
+              case DoubleType => g.add(i, r.getDouble(i))
+              case FloatType => g.add(i, r.getFloat(i))
+              case BooleanType => g.add(i, r.getBoolean(i))
+              case StringType => g.add(i, r.getUTF8String(i).toString)
+              case _ => ()
+            }
+            i += 1
+          }
+          w.write(g)
+        } finally w.close()
+        true
+      case _ => false
+    }
+  }
+
   private def writeData(df0: DataFrame, pcol: Option[String],
       statsCols: Seq[String] = Nil,
       preclustered: Boolean = false,
@@ -1725,7 +1804,8 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     val dir = s"data/${UUID.randomUUID()}"
     val owned = pcol.map(pn) match {
       case None =>
-        withMicrosTimestamps { df.write.parquet(s"$root/$dir") }
+        if (!writeLocalRelation(df, dir))
+          withMicrosTimestamps { df.write.parquet(s"$root/$dir") }
         None
       case Some(p) =>
         // Cluster by the partition column first: otherwise every task writes
@@ -4324,6 +4404,12 @@ object LakeTable {
    *  the knob is a constant here because the CONTRACT (absent/undersized
    *  blooms only lose pruning, never correctness) does not depend on it. */
   private val BloomExpectedItems = 50000L
+
+  /** Row cap for the driver-local LocalRelation write path: above this a
+   *  distributed write amortizes its scheduling cost; below it the Spark
+   *  job IS the cost. LocalRelations are driver memory by definition, so
+   *  the cap bounds single-file size, not correctness. */
+  private[lake] val LocalWriteMaxRows = 100000
   private val BloomFpp = 0.01
 
   /** Executor-side OR-merge of two serialized per-file bloom arrays (one
