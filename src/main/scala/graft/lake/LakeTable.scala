@@ -1153,6 +1153,56 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     }
   }
 
+  /** Candidate-file plan for a FILE-PRUNED unpartitioned merge, or None
+   *  when the path doesn't apply. The source's per-key [min, max] (rendered
+   *  through the same canonical CAST-to-string both zone stats use) becomes
+   *  one [[ZonePred]] per stats-carrying key; [[planSkip]] then names which
+   *  files may hold a matching row. Gates:
+   *   - at least one merge key must carry zone stats of a type whose
+   *     rendering orders correctly under [[mayMatch]] (numerics compare as
+   *     BigDecimal; strings/dates lexicographically — timestamps are
+   *     excluded, their trimmed-fraction rendering does not);
+   *   - the table must be big enough that one bounds aggregation over the
+   *     source beats a blind full rewrite
+   *     (`spark.graft.merge.pruneMinBytes`, default 64 MB — derived from
+   *     data size, never from the local core count);
+   *   - under null-safe key matching a NULL source key matches NULL target
+   *     rows, which zone stats do not describe — bail;
+   *   - a plan that touches every file anyway returns None (the caller's
+   *     full-rewrite path skips the relink machinery). */
+  private def mergePrunePlan(m: Manifest, src: DataFrame, keys: Seq[String],
+      nullSafeKeys: Boolean): Option[Seq[(DirEntry, Seq[String], Int)]] = {
+    import org.apache.spark.sql.types._
+    def prunable(dt: DataType): Boolean = dt match {
+      case _: NumericType | StringType | DateType => true
+      case _ => false
+    }
+    val statKeys = keys.filter(k => m.statsCols.contains(k) &&
+      prunable(m.schema(k).dataType))
+    if (statKeys.isEmpty) return None
+    val totalBytes = m.entries.iterator.flatMap(e =>
+      listParquet(Paths.get(root, e.dir))).map(Files.size(_)).sum
+    if (totalBytes < LakeTable.mergePruneMinBytes(spark)) return None
+    val aggs = statKeys.flatMap { k =>
+      Seq(min(col(k)).cast("string").as(s"__lo_$k"),
+        max(col(k)).cast("string").as(s"__hi_$k")) ++
+      (if (nullSafeKeys) Seq(max(col(k).isNull.cast("int")).as(s"__nul_$k"))
+       else Nil)
+    }
+    val r = src.agg(aggs.head, aggs.tail: _*).head()
+    if (nullSafeKeys && statKeys.exists { k =>
+        val i = r.fieldIndex(s"__nul_$k"); !r.isNullAt(i) && r.getInt(i) == 1 })
+      return None
+    val preds = statKeys.flatMap { k =>
+      val lo = r.fieldIndex(s"__lo_$k"); val hi = r.fieldIndex(s"__hi_$k")
+      if (r.isNullAt(lo) || r.isNullAt(hi)) None // empty/all-null source key
+      else Some(ZonePred(k, Some(r.getString(lo)), Some(r.getString(hi))))
+    }
+    if (preds.isEmpty) return None
+    val plan = planSkip(m, preds)
+    if (plan.map(_._2.size).sum >= plan.map(_._3).sum) None else Some(plan)
+  }
+
   /** Can a file with zone map `mm` contain a row satisfying `pr`? Missing
    *  stats keep the file; comparisons are numeric for numeric columns and
    *  lexicographic otherwise (Spark's fixed-width timestamp/date renderings
@@ -3018,6 +3068,82 @@ final class LakeTable private (val spark: SparkSession, val root: String,
         if (d.columns.contains(f.name)) d
         else d.withColumn(f.name, lit(null).cast(f.dataType)))
 
+    // FILE-PRUNED unpartitioned merge (Delta's merge file pruning): when
+    // the table is large enough that a full rewrite dwarfs one small
+    // bounds aggregation, join only the files whose zone maps admit a
+    // source key — every other file is re-referenced by hard link, making
+    // a keyed merge O(files that may contain matches + new data) instead
+    // of O(table). Pruning is SOUND: a skipped file's key range provably
+    // misses every source key, so it can hold no matched row and no row
+    // that would flip an insert classification. Applies only when the
+    // sync clause (which must see every target row), deletion vectors
+    // (whose coordinates are path-keyed) and schema evolution are absent.
+    if (m.pcol.isEmpty && deleteUnmatchedTarget.isEmpty &&
+        m.deleteVectors.isEmpty && !mergeSchema) {
+      mergePrunePlan(m, src, keys, nullSafeKeys).foreach { plan =>
+        val touched = plan.flatMap(_._2)
+        val candidates =
+          if (touched.isEmpty) readScoped(m, None).limit(0)
+          else toLogicalNames(m, spark.read.schema(physSchema(m))
+            .parquet(touched.map(f => s"$root/$f"): _*))
+        val joined = joinedOf(candidates)
+        val merged = mergedFrom(joined)
+        if (matchedSet.nonEmpty || insertSet.nonEmpty)
+          enforceConstraints(merged, m.constraints)
+        val (dir, fstats, chDir) =
+          if (m.cdfEnabled) {
+            val (d, fs, c) = writeDataAndChanges(merged, changesFrom(joined),
+              m.statsCols, m.bloomCols, m.colMap)
+            (d, fs, Some(c))
+          } else {
+            val (d, _, fs) = writeData(merged, None, m.statsCols,
+              bloomCols = m.bloomCols, colMap = m.colMap)
+            (d, fs, None)
+          }
+        val newEntries = scala.collection.mutable.ArrayBuffer.empty[DirEntry]
+        val newStats = scala.collection.mutable.ArrayBuffer.empty[FileStat]
+        plan.foreach { case (e, touchedInDir, _) =>
+          if (touchedInDir.isEmpty) {
+            // no file in this dir can match: re-reference as-is (stats,
+            // bloom sidecar and clustered flag all stay valid)
+            newEntries += e
+            newStats ++= m.fileStats.filter(_.path.startsWith(e.dir + "/"))
+          } else {
+            // hard-link the untouched files into a fresh dir (zero data
+            // I/O), dropping the rewritten ones — the mutateWhere pattern
+            val newDir = s"data/${UUID.randomUUID()}"
+            Files.createDirectories(Paths.get(root, newDir))
+            val touchedSet = touchedInDir.toSet
+            val all = listParquet(Paths.get(root, e.dir))
+              .map(p => Paths.get(root).relativize(p).toString)
+            all.filterNot(touchedSet).foreach { f =>
+              val rel = Paths.get(e.dir).relativize(Paths.get(f))
+              val dst = Paths.get(root, newDir).resolve(rel)
+              Files.createDirectories(dst.getParent)
+              Files.createLink(dst, Paths.get(root, f))
+              m.fileStats.find(_.path == f).foreach { fs =>
+                newStats += fs.copy(path = s"$newDir/$rel")
+              }
+            }
+            newEntries += DirEntry(newDir, e.owned, clustered = e.clustered)
+          }
+        }
+        if (!tryCommit(Manifest(schema1, m.pcol,
+            newEntries.toSeq :+ DirEntry(dir, None), "merge",
+            m.cdfEnabled, chDir, statsCols = m.statsCols,
+            fileStats = newStats.toSeq ++ fstats,
+            txns = withTxnLedger(m.txns, txn), droppedCols = m.droppedCols,
+            constraints = m.constraints, generated = m.generated,
+            bloomCols = m.bloomCols, colMap = m.colMap, props = m.props,
+            clusterKey = m.clusterKey), v0 + 1))
+          throw new ConcurrentWriteException(
+            s"merge computed against version $v0 of $root, but a concurrent " +
+              s"writer committed v${v0 + 1} first — recompute and retry")
+        maybeAutoCompact()
+        return
+      }
+    }
+
     // WHEN NOT MATCHED BY SOURCE DELETE must examine target-only rows in
     // EVERY partition (sync semantics touch the whole table by definition),
     // so it takes the full-rewrite path even on partitioned targets —
@@ -4410,6 +4536,15 @@ object LakeTable {
    *  job IS the cost. LocalRelations are driver memory by definition, so
    *  the cap bounds single-file size, not correctness. */
   private[lake] val LocalWriteMaxRows = 100000
+
+  /** Minimum table bytes before a merge attempts file pruning — below it
+   *  the bounds aggregation + relink bookkeeping cost more than the full
+   *  rewrite they avoid. Scale-derived (data size), deliberately NOT a
+   *  core-count constant; override per session for tests or small-file
+   *  deployments. */
+  private[lake] def mergePruneMinBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.merge.pruneMinBytes")
+      .map(_.toLong).getOrElse(64L * 1024 * 1024)
   private val BloomFpp = 0.01
 
   /** Executor-side OR-merge of two serialized per-file bloom arrays (one
