@@ -70,6 +70,12 @@ object Plans {
               .find(l => l.contains("graft.") && !l.contains("graft.Plans"))
               .map(_.trim).getOrElse(es.details.linesIterator.take(1).mkString)
             execSite.put(es.executionId, cs)
+          case ee: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionEnd =>
+            // drop the site entry so a long run doesn't grow the map
+            // unboundedly (jobs resolve their site at onJobEnd, which for
+            // a finished execution has already fired)
+            execSite.remove(ee.executionId)
+            ()
           case _ => ()
         }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {

@@ -1746,21 +1746,33 @@ final class LakeTable private (val spark: SparkSession, val root: String,
     // races, captures a sibling's override as "previous" and leaks
     // TIMESTAMP_MICROS into the session for good. First writer in saves,
     // last writer out restores.
-    val st = LakeTable.microsOverride.computeIfAbsent(spark,
-      _ => new LakeTable.MicrosState)
-    st.synchronized {
+    // Acquire/release run inside ConcurrentHashMap.compute so the entry
+    // can be REMOVED when the last writer leaves — a session-churning app
+    // no longer accumulates one entry per SparkSession it ever wrote
+    // with. (A remove outside the map's per-key lock would race a fresh
+    // computeIfAbsent into a second state object owning its own
+    // save/restore.)
+    LakeTable.microsOverride.compute(spark, (_, st0) => {
+      val st = if (st0 == null) new LakeTable.MicrosState else st0
       if (st.depth == 0) {
         st.prev = spark.conf.getOption(k)
         spark.conf.set(k, "TIMESTAMP_MICROS")
       }
       st.depth += 1
-    }
-    try f finally st.synchronized {
-      st.depth -= 1
-      if (st.depth == 0) st.prev match {
-        case Some(v) => spark.conf.set(k, v)
-        case None => spark.conf.unset(k)
-      }
+      st
+    })
+    try f finally {
+      LakeTable.microsOverride.compute(spark, (_, st) => {
+        st.depth -= 1
+        if (st.depth == 0) {
+          st.prev match {
+            case Some(v) => spark.conf.set(k, v)
+            case None => spark.conf.unset(k)
+          }
+          null // drop the entry
+        } else st
+      })
+      ()
     }
   }
 
@@ -2175,12 +2187,22 @@ final class LakeTable private (val spark: SparkSession, val root: String,
           conf, new org.apache.hadoop.fs.Path(file.toUri),
           org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER): @annotation.nowarn("cat=deprecation")
         val blocks = meta.getBlocks.asScala.toSeq
+        // legacy-rebase files (CONVERT-adopted, written by old writers in
+        // hybrid-Julian mode): Spark REBASES date/timestamp values on
+        // read, so raw footer min/max can disagree with read-back values
+        // for pre-Gregorian dates and would prune incorrectly — omit
+        // those columns for the file (absent stats never prune)
+        val legacyRebase = meta.getFileMetaData.getKeyValueMetaData
+          .containsKey("org.apache.spark.legacyDateTime")
         // an empty file produced no row in the old groupBy(input_file_name)
         // pass either — no FileStat entry (absent stats never prune)
         if (blocks.forall(_.getRowCount == 0L)) None
         else {
           val mm = scols.flatMap { c =>
             val dt = types(c)
+            if (legacyRebase && (dt == DateType || dt == TimestampType ||
+                dt == TimestampNTZType)) None
+            else {
             val chunks = blocks.map(_.getColumns.asScala
               .find(_.getPath.toDotString == c))
             if (chunks.exists(_.isEmpty)) None
@@ -2207,6 +2229,7 @@ final class LakeTable private (val spark: SparkSession, val root: String,
                   } yield c -> ((mnS, mxS))
                 }
               }
+            }
             }
           }.toMap
           Some(FileStat(rel, mm))

@@ -3594,6 +3594,13 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           .groupBy(gCols: _*)
           .agg(sum(col("__sign")).as("__dcnt"), deltaAggs: _*),
         "__dcnt" +: deltaNames)
+      // Materialize the CALLER-PERSISTED window up front (the count also
+      // feeds the event log): every companion merge and probe below then
+      // reads the cache instead of racing to recompute the change-feed
+      // window — which lets the independent companion merges (distinct
+      // tables, shared read-only inputs) run CONCURRENTLY rather than
+      // serializing their single-task commit jobs.
+      val processed = signed.count()
       // COUNT(DISTINCT) maintenance: each companion absorbs the window's
       // signed (group, value) multiplicities — txn-guarded per companion,
       // so a same-window retry can never double-apply — then the TOUCHED
@@ -3605,27 +3612,88 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       // half-applied window. Cost: O(window) merge + a semi-join probe of
       // the companion by the touched groups per refresh — never a fact
       // rescan.
+      // Phase 1 — EVERY companion merge (COUNT(DISTINCT) multiset tables
+      // and extreme top-K tables) launches together and joins before any
+      // post-merge read: each writes its OWN table from the shared cached
+      // window, so the merges are independent and their cost at this
+      // window size is single-task commit latency, not compute —
+      // overlapping them hides all but the slowest. A crash between
+      // merges hits the existing companion-ahead resync guard
+      // (recompute), exactly as under the old sequential order.
+      // The signed (group, value) multiset is aggregated ONCE per
+      // distinct expression (a MIN and MAX over one column share it).
+      val cdeltaUses = scala.collection.mutable.Map.empty[String, Int]
+      val cdeltaOf: String => DataFrame = {
+        val cache = scala.collection.mutable.Map.empty[String, DataFrame]
+        e => {
+          cdeltaUses(e) = cdeltaUses.getOrElse(e, 0) + 1
+          cache.getOrElseUpdate(e, signed.filter(expr(e).isNotNull)
+            .groupBy((gCols :+ expr(e)): _*)
+            .agg(sum(col("__sign")).as("__d"))
+            .toDF((groupBy ++ Seq("__v", "__d")): _*))
+        }
+      }
+      val dcountMerges: Seq[() => Unit] = dcounts.zip(distTables).map {
+        case ((a, e), dt) =>
+          val cdelta = cdeltaOf(e)
+          () => dt.merge(cdelta, groupBy :+ "__v",
+            matchedSet = Some(Map("__vcnt" -> "t.__vcnt + s.__d")),
+            matchedDeleteWhen = Some("t.__vcnt + s.__d = 0"),
+            insertGuard = Some("s.__d > 0"),
+            insertSet = Some((groupBy.map(c => c -> s"s.$c") ++
+              Seq("__v" -> "s.__v", "__vcnt" -> "s.__d")).toMap),
+            // ledger id derives from the WINDOW's ledger (per union
+            // branch; the classic single source's lid IS appId)
+            txn = Some(s"${txnPair._1}.dist.$a" -> txnPair._2),
+            nullSafeKeys = true)
+      }
+      val extMerges: Seq[() => Unit] = extremes.map {
+        case (a, e, et, isMin, _) =>
+          val cdelta = cdeltaOf(e)
+          () => {
+            val floors = et.read.groupBy(groupBy.map(col): _*)
+              .agg(max(col("__floor")).as("__f")) // rows agree per group
+              .select(groupBy.map(c => col(c).as(s"__k_$c")) :+ col("__f"): _*)
+            // the floor gates BOTH signs: tracked values are strictly
+            // beyond the floor by invariant, so a retraction at-or-past
+            // it can never match a companion row either — a mid-band
+            // mass delete contributes ZERO merge-source rows
+            val gated = cdelta
+              .join(floors,
+                groupBy.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _),
+                "left")
+              .drop(groupBy.map(c => s"__k_$c"): _*)
+              .filter(col("__f").isNull ||
+                (if (isMin) col("__v") < col("__f")
+                 else col("__v") > col("__f")))
+            et.merge(gated, groupBy :+ "__v",
+              matchedSet = Some(Map("__vcnt" -> "t.__vcnt + s.__d")),
+              matchedDeleteWhen = Some("t.__vcnt + s.__d <= 0"),
+              insertGuard = Some("s.__d > 0"),
+              insertSet = Some((groupBy.map(c => c -> s"s.$c") ++
+                Seq("__v" -> "s.__v", "__vcnt" -> "s.__d",
+                  "__floor" -> "s.__f")).toMap),
+              txn = Some(s"${txnPair._1}.ext.$a" -> txnPair._2),
+              nullSafeKeys = true)
+          }
+      }
+      // a cdelta consumed by MORE than one merge (MIN and MAX over the
+      // same column) is pinned for the parallel phase, so the second
+      // thread reads the first's materialization instead of re-running
+      // the window aggregation
+      val sharedCdeltas = cdeltaUses.collect {
+        case (e, n) if n > 1 => cdeltaOf(e) }.toSeq
+      sharedCdeltas.foreach(_.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      try Pipeline.awaitAll(dcountMerges ++ extMerges)
+      finally sharedCdeltas.foreach { f => f.unpersist(); () }
       val withDcounts =
         if (dcounts.isEmpty) delta
         else {
           import org.apache.spark.sql.functions.coalesce
           val touched = delta.select(groupBy.map(col): _*)
           val absCounts = dcounts.zip(distTables).zipWithIndex.map {
-            case (((a, e), dt), i) =>
-              val cdelta = signed.filter(expr(e).isNotNull)
-                .groupBy((gCols :+ expr(e)): _*)
-                .agg(sum(col("__sign")).as("__d"))
-                .toDF((groupBy ++ Seq("__v", "__d")): _*)
-              dt.merge(cdelta, groupBy :+ "__v",
-                matchedSet = Some(Map("__vcnt" -> "t.__vcnt + s.__d")),
-                matchedDeleteWhen = Some("t.__vcnt + s.__d = 0"),
-                insertGuard = Some("s.__d > 0"),
-                insertSet = Some((groupBy.map(c => c -> s"s.$c") ++
-                  Seq("__v" -> "s.__v", "__vcnt" -> "s.__d")).toMap),
-                // ledger id derives from the WINDOW's ledger (per union
-                // branch; the classic single source's lid IS appId)
-                txn = Some(s"${txnPair._1}.dist.$a" -> txnPair._2),
-                nullSafeKeys = true)
+            case (((_, _), dt), i) =>
               // one companion row per live (group, value) — the touched
               // groups' counts are just row counts, probed null-safely
               val comp = dt.read
@@ -3664,41 +3732,8 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
       val withExtremes =
         if (extremes.isEmpty) withDcounts
         else {
-          // the signed (group, value) multiset is aggregated ONCE per
-          // distinct expression (a MIN and MAX over one column share it)
-          val cdeltaByExpr: Map[String, DataFrame] =
-            extremes.map(_._2).distinct.map { e =>
-              e -> signed.filter(expr(e).isNotNull)
-                .groupBy((gCols :+ expr(e)): _*)
-                .agg(sum(col("__sign")).as("__d"))
-                .toDF((groupBy ++ Seq("__v", "__d")): _*)
-            }.toMap
           val touched = delta.select(groupBy.map(col): _*)
-          val absExt = extremes.map { case (a, e, et, isMin, i) =>
-            val floors = et.read.groupBy(groupBy.map(col): _*)
-              .agg(max(col("__floor")).as("__f")) // rows agree per group
-              .select(groupBy.map(c => col(c).as(s"__k_$c")) :+ col("__f"): _*)
-            // the floor gates BOTH signs: tracked values are strictly
-            // beyond the floor by invariant, so a retraction at-or-past
-            // it can never match a companion row either — a mid-band
-            // mass delete contributes ZERO merge-source rows
-            val gated = cdeltaByExpr(e)
-              .join(floors,
-                groupBy.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _),
-                "left")
-              .drop(groupBy.map(c => s"__k_$c"): _*)
-              .filter(col("__f").isNull ||
-                (if (isMin) col("__v") < col("__f")
-                 else col("__v") > col("__f")))
-            et.merge(gated, groupBy :+ "__v",
-              matchedSet = Some(Map("__vcnt" -> "t.__vcnt + s.__d")),
-              matchedDeleteWhen = Some("t.__vcnt + s.__d <= 0"),
-              insertGuard = Some("s.__d > 0"),
-              insertSet = Some((groupBy.map(c => c -> s"s.$c") ++
-                Seq("__v" -> "s.__v", "__vcnt" -> "s.__d",
-                  "__floor" -> "s.__f")).toMap),
-              txn = Some(s"${txnPair._1}.ext.$a" -> txnPair._2),
-              nullSafeKeys = true)
+          val absExt = extremes.map { case (a, _, et, isMin, i) =>
             val comp = et.read
             val live = comp.join(touched,
               groupBy.map(c => comp(c) <=> touched(c)).reduce(_ && _),
@@ -3748,7 +3783,6 @@ final class Pipeline(val spark: SparkSession, storageRoot: String) {
           throw Pipeline.ExtremeRefill(
             "recompute: maintained extremes drained or overgrown")
       }
-      val processed = signed.count()
       // the target column's type drives the merge casts (widened-decimal
       // arithmetic folds back; the accumulator type IS the declared type)
       def tpe(a: String): String = t.schema(a).dataType.sql
@@ -4030,6 +4064,24 @@ object Pipeline {
    *  overgrown companion mid-apply — unwind to one recompute. */
   private[pipeline] final case class ExtremeRefill(mode: String)
     extends Exception(mode)
+
+  /** Run independent bodies concurrently (one thread each, daemon) and
+   *  join them all, rethrowing the first failure. A single body runs
+   *  inline — no thread for the common one-companion refresh. */
+  private[pipeline] def awaitAll(bodies: Seq[() => Unit]): Unit =
+    if (bodies.lengthCompare(1) <= 0) bodies.foreach(_.apply())
+    else {
+      val futs = bodies.map { b =>
+        val ft = new java.util.concurrent.FutureTask[Unit](() => b())
+        val th = new Thread(ft, "graft-companion-merge")
+        th.setDaemon(true)
+        th.start()
+        ft
+      }
+      futs.foreach(ft => try { ft.get(); () } catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      })
+    }
 
   /** Table property pinning the SESSION TIMEZONE an expression-group-key
    *  auto-MV was bootstrapped under: its date/time group expressions are
